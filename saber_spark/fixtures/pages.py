@@ -1,0 +1,53 @@
+"""Common-Crawl-style page table built deterministically from testdata.
+
+Shape follows the driver input_hint:
+    url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+Rows derive 1:1 from the driver-generated ``documents`` parquet (doc_id,
+text, lang): url is a function of doc_id, html wraps the text in a fixed
+template with EXTRA whitespace/markup so the extraction stage has real work
+to do, and the ``text`` column is nulled for even doc_ids to force the
+html-extraction path on half the corpus (the reference accepts raw text OR a
+fetched document, saber/saber.py:52-96 + app_utils.py:19-80).
+
+The invariant (BASELINE.md): extract(html) must be byte-identical to
+``sterilize(text)`` per url. The wrapper is constructed to guarantee the
+kernel recovers exactly that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HTML_PREFIX = ("<html><head><title></title><style>body{margin:0}</style>"
+               "<script>var cc=1;</script></head>\n<body>\n  <div class=\"main\">"
+               "<p>\n")
+HTML_SUFFIX = "\n</p></div>\n<footer>&nbsp;</footer>\n</body></html>"
+
+EPOCH_TS = "2024-01-01 00:00:00"
+
+
+def wrap_html(text: str) -> str:
+    """Wrap raw text in the fixed page template (driver-side mirror)."""
+    return HTML_PREFIX + (text or "") + HTML_SUFFIX
+
+
+def build_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> pages DataFrame (url, warc_ts, html, text, lang).
+
+    Pure built-in expressions (concat / encode / timestampadd) — no UDF, so
+    at 100 TB this stage is a zero-shuffle narrow map over the scan.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id").cast("string")
+                 ).alias("url"),
+        F.timestamp_add("SECOND", F.col("doc_id").cast("int"),
+                        F.to_timestamp(F.lit(EPOCH_TS))).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit(HTML_PREFIX), F.col("text"), F.lit(HTML_SUFFIX)),
+            "utf-8").alias("html"),
+        F.when(F.col("doc_id") % 2 == 1, F.col("text")).alias("text"),
+        F.col("lang"),
+    )

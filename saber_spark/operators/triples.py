@@ -1,0 +1,81 @@
+"""Triple assembly + dedup: within-sentence co-occurrence pairs.
+
+Reference basis: Saber emits per-document entity annotations — "the building
+blocks of (subj, pred, obj) triples" (README.md:36); the multi-model fan-out
+unions per-type annotations over the same text (saber/cli/app.py:60-85,
+app_utils.py:165-178). The rebuild pairs grounded entities that co-occur in
+one sentence into (subj, 'cooccurs_with', obj) edges, then deduplicates into
+a weighted edge table (north_rule: "deduplicated triple tables plus
+node/edge tables").
+
+Scale design — ONE shuffle instead of a double-shuffled self-join:
+  naive: mentions self-join on (url, sent_id)            -> 2 shuffles + skew
+  here:  groupBy(url, sent_id).collect_set(canonical_id) -> 1 shuffle,
+         then pair expansion with HIGHER-ORDER ARRAY FUNCTIONS (flatten/
+         transform/slice) — pure JVM codegen, no Python, no extra shuffle.
+Sentences have bounded entity counts (dozens), so the quadratic expansion is
+per-row cheap and never skews a reducer the way a hub-key self-join would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PRED_COOCCURS = "cooccurs_with"
+
+
+def assemble_triples(linked: DataFrame) -> DataFrame:
+    """linked mentions -> one row per (subj, pred, obj, url, sent_id).
+
+    subj < obj lexicographically (undirected co-occurrence, stored once);
+    a canonical_id pair appears once per sentence regardless of how many
+    times either entity is mentioned in it (collect_set semantics).
+    """
+    ents = (
+        linked.filter(F.col("canonical_id").isNotNull())
+        .groupBy("url", "sent_id")
+        .agg(F.array_sort(F.collect_set("canonical_id")).alias("ents"))
+        .filter(F.size("ents") >= 2)
+    )
+    pairs = ents.select(
+        "url",
+        "sent_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ents"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ents"),
+                            i + F.lit(2),
+                            F.size(F.col("ents")) - i - F.lit(1),
+                        ),
+                        lambda y: F.struct(x.alias("subj"), y.alias("obj")),
+                    ),
+                )
+            )
+        ).alias("pair"),
+    )
+    return pairs.select(
+        F.col("pair.subj").alias("subj"),
+        F.lit(PRED_COOCCURS).alias("pred"),
+        F.col("pair.obj").alias("obj"),
+        "url",
+        "sent_id",
+    )
+
+
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj) edge table with occurrence weight + provenance.
+
+    groupBy runs as partial+final hash agg (map-side combine), so even a hub
+    pair ("table" x everything) arrives at the reducer pre-collapsed.
+    """
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("url").alias("first_url"),
+        )
+    )

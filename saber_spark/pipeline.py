@@ -1,0 +1,107 @@
+"""End-to-end KG-construction pipeline (the flagship "query").
+
+pages --filter lang--> extract(text) --repartition(hash(url))-->
+tag mentions (mapInPandas) --> link (broadcast join) -->
+  +--> canonicalize -> nodes table (salted two-phase agg)
+  +--> triples (1-shuffle pair expansion) -> dedup -> edges table
+
+Reference lifecycle being reimplemented: Saber.annotate
+(saber/saber.py:52-128) generalized from one string to a 10^12-row page
+table, plus grounding (grounding_utils.py) and the annotation union
+(app_utils.py:165-178) folded into set semantics.
+
+Run as a job:  python -m saber_spark.pipeline --sf-dir /root/testdata/sf0.001
+                      --out /tmp/kg_out [--checkpoint-dir /tmp/kg_ckpt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saber_spark import checkpoint as ckpt
+from saber_spark.fixtures.dictionary import grounding_dict_df, surface_label_map
+from saber_spark.fixtures.pages import build_pages_df
+from saber_spark.operators.canonicalize import canonicalize_nodes
+from saber_spark.operators.extract import extract_text
+from saber_spark.operators.linking import link_mentions
+from saber_spark.operators.tagger import detect_mentions
+from saber_spark.operators.triples import assemble_triples, dedup_triples
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    dictionary: DataFrame | None = None,
+    surface_map: dict | None = None,
+    checkpoint_dir: str | None = None,
+    lang: str | None = "en",
+    repartition: int | None = None,
+) -> dict[str, DataFrame]:
+    """Full pipeline; returns {mentions, linked, nodes, triples, edges}.
+
+    ``repartition`` spreads extraction+tagging uniformly over the cluster on
+    hash(url) (north_rule); default 3x the session's parallelism so AQE can
+    still coalesce small outputs.
+    """
+    if dictionary is None:
+        dictionary = grounding_dict_df(spark)
+    if surface_map is None:
+        surface_map = surface_label_map()
+    if repartition is None:
+        repartition = spark.sparkContext.defaultParallelism * 3
+    surface_bc = spark.sparkContext.broadcast(surface_map)
+
+    def compute_mentions() -> DataFrame:
+        extracted = extract_text(pages, lang=lang)
+        # explicit url-hash repartition: uniform work distribution into the
+        # Python tagger stage regardless of upstream file layout
+        extracted = extracted.repartition(repartition, F.col("url"))
+        return detect_mentions(extracted, surface_bc)
+
+    mentions = ckpt.run_stage(spark, checkpoint_dir, "mentions", compute_mentions)
+    linked = ckpt.run_stage(
+        spark, checkpoint_dir, "linked",
+        lambda: link_mentions(mentions, dictionary))
+    nodes = ckpt.run_stage(
+        spark, checkpoint_dir, "nodes",
+        lambda: canonicalize_nodes(linked))
+    triples = ckpt.run_stage(
+        spark, checkpoint_dir, "triples",
+        lambda: assemble_triples(linked))
+    edges = ckpt.run_stage(
+        spark, checkpoint_dir, "edges",
+        lambda: dedup_triples(triples))
+    return {"mentions": mentions, "linked": linked, "nodes": nodes,
+            "triples": triples, "edges": edges}
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    parser.add_argument("--out", default="/tmp/kg_out")
+    parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--lang", default="en")
+    args = parser.parse_args()
+
+    from saber_spark.session import get_spark
+
+    spark = get_spark("saber_spark.pipeline")
+    pages = build_pages_df(spark, args.sf_dir)
+    out = run_pipeline(spark, pages, checkpoint_dir=args.checkpoint_dir,
+                       lang=args.lang)
+    stats = {}
+    for name in ("nodes", "edges", "triples"):
+        path = os.path.join(args.out, name)
+        out[name].write.mode("overwrite").parquet(path)
+        stats[name] = spark.read.parquet(path).count()
+    print(json.dumps({"out": args.out, "rows": stats}))
+
+
+if __name__ == "__main__":
+    main()

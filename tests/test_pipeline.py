@@ -1,0 +1,204 @@
+"""End-to-end pipeline tests: triple P/R vs the reference harness,
+byte-identity of extraction, checkpoint/resume, operator units."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from saber_spark.fixtures.dictionary import (
+    GROUNDING_DICT_ROWS,
+    grounding_dict_df,
+    surface_label_map,
+)
+from saber_spark.fixtures.pages import build_pages_df, wrap_html
+from saber_spark.kernels.text import extract_html_text, sterilize
+from saber_spark.operators.extract import extract_text
+from saber_spark.operators.linking import link_mentions
+from saber_spark.operators.tagger import DictionaryTagger, detect_mentions
+from saber_spark.operators.triples import assemble_triples, dedup_triples
+from saber_spark.pipeline import run_pipeline
+from saber_spark.reference_harness import (
+    reference_triples,
+    triple_precision_recall,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return build_pages_df(spark, SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, pages):
+    return run_pipeline(spark, pages)
+
+
+def _canonical_map():
+    return {(surface, label): canonical
+            for surface, label, _, _, _, canonical in GROUNDING_DICT_ROWS}
+
+
+class TestExtractionInvariant:
+    def test_byte_identity_per_url(self, spark, pages):
+        """Spark-extracted text must be byte-identical to the driver-side
+        reference extractor output for every url (BASELINE.md invariant)."""
+        extracted = {r["url"]: r["doc_text"]
+                     for r in extract_text(pages, lang=None).collect()}
+        raw = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+        assert len(extracted) == len(raw)
+        for r in raw:
+            url = f"https://example.org/doc/{r['doc_id']}"
+            if r["doc_id"] % 2 == 1:
+                expected = sterilize(r["text"])
+            else:
+                expected = extract_html_text(wrap_html(r["text"]).encode())
+            assert extracted[url] == expected, url
+
+    def test_lang_filter_pushed_down(self, spark, pages):
+        plan = extract_text(pages, lang="en")._jdf.queryExecution().toString()
+        assert "PushedFilters" in plan
+
+
+class TestTriplePR:
+    def test_pr_vs_reference(self, spark, pages, pipeline_out):
+        """North-rule gate: P/R >= 0.95 vs the reference harness."""
+        rows = []
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect():
+            if r["lang"] != "en":
+                continue
+            url = f"https://example.org/doc/{r['doc_id']}"
+            text = r["text"] if r["doc_id"] % 2 == 1 else None
+            html = wrap_html(r["text"]).encode() if text is None else None
+            rows.append((url, text, html))
+        tagger = DictionaryTagger(surface_label_map())
+        gold = reference_triples(rows, tagger, _canonical_map())
+        predicted = {
+            (t["subj"], t["pred"], t["obj"], t["url"], t["sent_id"])
+            for t in pipeline_out["triples"].collect()
+        }
+        p, r = triple_precision_recall(predicted, gold)
+        assert p >= 0.95 and r >= 0.95, (p, r, len(gold), len(predicted))
+        # with the shared deterministic tagger the rebuild should be exact
+        assert p == 1.0 and r == 1.0
+
+    def test_edges_are_deduped(self, pipeline_out):
+        edges = pipeline_out["edges"]
+        assert edges.count() == edges.select("subj", "pred", "obj").distinct().count()
+        total = edges.agg(F.sum("n_occurrences")).first()[0]
+        assert total == pipeline_out["triples"].count()
+
+    def test_nodes_match_linked(self, pipeline_out):
+        nodes = {r["canonical_id"] for r in pipeline_out["nodes"].collect()}
+        linked = {
+            r["canonical_id"]
+            for r in pipeline_out["linked"]
+            .filter(F.col("canonical_id").isNotNull())
+            .select("canonical_id").distinct().collect()
+        }
+        assert nodes == linked
+
+    def test_salted_agg_matches_naive(self, pipeline_out):
+        """The two-phase salted aggregation must equal a naive groupBy."""
+        salted = {(r["canonical_id"], r["label"]): r["n_mentions"]
+                  for r in pipeline_out["nodes"].collect()}
+        naive = {
+            (r["canonical_id"], r["label"]): r["cnt"]
+            for r in pipeline_out["linked"]
+            .filter(F.col("canonical_id").isNotNull())
+            .groupBy("canonical_id", "label")
+            .agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        assert salted == naive
+        assert "PRGE:table" in {k[0] for k in salted}
+
+
+class TestLinking:
+    def test_multi_xref_surface(self, spark, pages):
+        """'spark' carries two xrefs; exact-surface semantics (case-sensitive)."""
+        mentions = detect_mentions(
+            extract_text(pages),
+            spark.sparkContext.broadcast(surface_label_map()))
+        linked = link_mentions(mentions, grounding_dict_df(spark))
+        row = (linked.filter((F.col("text") == "spark") &
+                             (F.col("label") == "PRGE"))
+               .select("xrefs", "canonical_id").first())
+        assert row is not None
+        assert row["canonical_id"] == "PRGE:spark"
+        assert [x["id"] for x in row["xrefs"]] == [
+            "ENSP00000269305", "ENSP00000398846"]
+        assert all(x["organism_id"] == "9606" for x in row["xrefs"])
+
+    def test_unlinked_mentions_kept(self, spark):
+        mentions = spark.createDataFrame(
+            [("u", 0, 0, 1, 0, 3, "zzz", "PRGE")],
+            "url string, sent_id int, tok_start int, tok_end int, "
+            "start int, end int, text string, label string")
+        linked = link_mentions(mentions, grounding_dict_df(spark))
+        row = linked.first()
+        assert row["canonical_id"] is None
+
+    def test_broadcast_join_in_plan(self, spark, pages):
+        mentions = detect_mentions(
+            extract_text(pages),
+            spark.sparkContext.broadcast(surface_label_map()))
+        linked = link_mentions(mentions, grounding_dict_df(spark))
+        plan = linked._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestTriples:
+    def test_pair_expansion_semantics(self, spark):
+        linked = spark.createDataFrame(
+            [("u", 0, "A"), ("u", 0, "B"), ("u", 0, "C"), ("u", 0, "A"),
+             ("u", 1, "A"), ("v", 0, "B")],
+            "url string, sent_id int, canonical_id string")
+        triples = assemble_triples(linked)
+        got = {(r["subj"], r["obj"], r["url"], r["sent_id"])
+               for r in triples.collect()}
+        assert got == {("A", "B", "u", 0), ("A", "C", "u", 0),
+                       ("B", "C", "u", 0)}
+        assert triples.filter(F.col("pred") != "cooccurs_with").count() == 0
+
+    def test_dedup_counts(self, spark):
+        triples = spark.createDataFrame(
+            [("A", "cooccurs_with", "B", "u1", 0),
+             ("A", "cooccurs_with", "B", "u2", 1),
+             ("A", "cooccurs_with", "C", "u1", 0)],
+            "subj string, pred string, obj string, url string, sent_id int")
+        edges = {(r["subj"], r["obj"]): (r["n_occurrences"], r["first_url"])
+                 for r in dedup_triples(triples).collect()}
+        assert edges[("A", "B")] == (2, "u1")
+        assert edges[("A", "C")] == (1, "u1")
+
+
+class TestCheckpointResume:
+    def test_resume_skips_completed_stages(self, spark, pages, tmp_path):
+        ckpt_dir = str(tmp_path / "ckpt")
+        out1 = run_pipeline(spark, pages, checkpoint_dir=ckpt_dir)
+        edges1 = sorted(
+            (r["subj"], r["obj"], r["n_occurrences"])
+            for r in out1["edges"].collect())
+        # simulate a resume: remove the LAST stage's manifest only
+        os.remove(os.path.join(ckpt_dir, "edges", "_saber_manifest.json"))
+        # poison the mentions checkpoint detection: if resume re-ran the
+        # mentions stage the marker file would be deleted by overwrite
+        marker = os.path.join(ckpt_dir, "mentions", "_marker")
+        open(marker, "w").close()
+        out2 = run_pipeline(spark, pages, checkpoint_dir=ckpt_dir)
+        edges2 = sorted(
+            (r["subj"], r["obj"], r["n_occurrences"])
+            for r in out2["edges"].collect())
+        assert edges1 == edges2
+        assert os.path.exists(marker), "mentions stage was recomputed"
+
+    def test_manifest_lineage(self, spark, pages, tmp_path):
+        from saber_spark.checkpoint import read_manifest
+        ckpt_dir = str(tmp_path / "ckpt2")
+        run_pipeline(spark, pages, checkpoint_dir=ckpt_dir)
+        m = read_manifest(ckpt_dir, "mentions")
+        assert m["complete"] is True
+        assert m["rows"] == sum(m["partitions"].values())
+        assert m["rows"] > 0
