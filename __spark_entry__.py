@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG pipeline on sf0.001 and returns the
+deduplicated edge table. ``queries()`` enumerates every implemented operator
+from SURVEY.md §2.2 (plus the training-data-pipeline operators); each
+SQL-expressible one has a DuckDB oracle in ``oracle_sql()``. UDF-backed
+stages (extraction, mention tagging, multimodal decode) are rows-only.
+
+Engine-portability conventions (so value hashes match):
+  - integer results cast to BIGINT on both sides;
+  - money aggregates computed in DECIMAL (exact), cast to double at the end;
+  - float similarity/ratio outputs rounded to 6 after exact-integer math;
+  - every computed column aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +18,733 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saber_spark.kernels.text import INFIX_PATTERN
+from saber_spark.fixtures.dictionary import GROUNDING_DICT_ROWS, grounding_dict_df
+from saber_spark.fixtures.pages import build_pages_df
+from saber_spark.operators import tpch
+from saber_spark.operators.canonicalize import salted_count
+from saber_spark.operators.chunker import chunk_bio_sql
+from saber_spark.operators.dedup import (
+    MINHASH_PRIME,
+    MINHASH_SEEDS,
+    SIMHASH_BITS,
+    SIMHASH_MULT,
+    exact_dedup,
+    minhash_candidates,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
+from saber_spark.operators.evaluation import evaluate_chunks
+from saber_spark.operators.extract import extract_text
+from saber_spark.operators.multimodal import attach_fake_media, decode_features
+from saber_spark.operators.sessions import sessionize, tumbling_window_agg
+from saber_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from saber_spark.operators.splits import HASH_MOD, KNUTH, fold_assign, top1_by
+from saber_spark.operators.textstats import (
+    EN_STOPWORDS,
+    FP_MOD,
+    FP_MULT,
+    FP_OFFSET,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+from saber_spark.operators.vocab import (
+    rare_tokens,
+    token_freq,
+    tokenize_docs,
+    vocab_ids,
+)
+
+RARE_MAX = 30  # catches the driver-planted 'dup' token at sf0.01
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- tag seqs
+
+TAG_CASE = {"click": "B-CLK", "purchase": "I-CLK", "error": "B-ERR"}
+PRED_TAG_CASE = {"click": "B-CLK", "purchase": "B-CLK"}  # perturbed model
+
+
+def _event_tags(events: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """events -> (seq_id, pos, tag): per-user event stream as a BIO corpus."""
+    from pyspark.sql import Window
+
+    expr = F.lit("O")
+    for k, v in mapping.items():
+        expr = F.when(F.col("event_type") == k, F.lit(v)).otherwise(expr)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return events.select(
+        F.col("user_id").cast("long").alias("seq_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        expr.alias("tag"),
+    )
+
+
+def _tag_case_sql(mapping: dict[str, str]) -> str:
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in mapping.items())
+    return f"CASE event_type {whens} ELSE 'O' END"
+
+
+def _chunks_cte_sql(mapping: dict[str, str], prefix: str) -> str:
+    """Gaps-and-islands BIO chunk decode over the events tag stream."""
+    return f"""
+{prefix}_seq AS (
+  SELECT CAST(user_id AS BIGINT) AS seq_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT) AS pos,
+         {_tag_case_sql(mapping)} AS tag
+  FROM events),
+{prefix}_lag AS (
+  SELECT *, lag(tag) OVER (PARTITION BY seq_id ORDER BY pos) AS prev_tag
+  FROM {prefix}_seq),
+{prefix}_brk AS (
+  SELECT *, CASE WHEN tag LIKE 'I-%' AND prev_tag IS NOT NULL
+                      AND regexp_extract(prev_tag, '[^-]+$') = regexp_extract(tag, '[^-]+$')
+                      AND (prev_tag LIKE 'B-%' OR prev_tag LIKE 'I-%')
+                 THEN 0 ELSE 1 END AS brk
+  FROM {prefix}_lag),
+{prefix}_grp AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY seq_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM {prefix}_brk),
+{prefix}_chunks AS (
+  SELECT seq_id,
+         regexp_extract(arg_min(tag, pos), '[^-]+$') AS label,
+         CAST(min(pos) AS BIGINT) AS chunk_start,
+         CAST(max(pos) + 1 AS BIGINT) AS chunk_end
+  FROM {prefix}_grp
+  GROUP BY seq_id, grp
+  HAVING arg_min(tag, pos) LIKE 'B-%')
+"""
+
+
+# ------------------------------------------------------- shared SQL pieces
+
+TOKENS_CTE = f"""
+tokens AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos,
+         unnest(arr) AS token
+  FROM (SELECT doc_id,
+               regexp_extract_all(text, '{INFIX_PATTERN}', 0) AS arr
+        FROM documents))
+"""
+
+VOCAB_CTE = """
+vocab AS (
+  SELECT token,
+         CAST(ROW_NUMBER() OVER (ORDER BY token) + 1 AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT token FROM tokens))
+"""
+
+_SINGLE_DICT = sorted({
+    (surface, label, canonical)
+    for surface, label, _, _, _, canonical in GROUNDING_DICT_ROWS
+    if " " not in surface
+})
+
+DICT_VALUES_SQL = ", ".join(
+    f"('{s}', '{l}', '{c}')" for s, l, c in _SINGLE_DICT)
+
+LINKED_CTE = f"""
+linked AS (
+  SELECT t.doc_id, t.pos, t.token, g.label, g.canonical_id
+  FROM tokens t
+  JOIN (VALUES {DICT_VALUES_SQL}) AS g(surface, label, canonical_id)
+    ON t.token = g.surface)
+"""
+
+SEEDS_VALUES_SQL = ", ".join(f"({i}, {a}, {b})" for i, a, b in MINHASH_SEEDS)
+
+# word 3-gram shingles via pos self-joins (identical set to the Spark
+# higher-order-function formulation in operators/dedup.py)
+SHINGLES_CTE = """
+shingles AS (
+  SELECT DISTINCT a.doc_id,
+         a.token || ' ' || b.token || ' ' || c.token AS shingle
+  FROM tokens a
+  JOIN tokens b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tokens c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+shvocab AS (
+  SELECT shingle,
+         CAST(ROW_NUMBER() OVER (ORDER BY shingle) + 1 AS BIGINT) AS shingle_id
+  FROM (SELECT DISTINCT shingle FROM shingles))
+"""
+
+SIGS_CTE = f"""
+sigs AS (
+  SELECT doc_id, seed_id,
+         CAST(min((a * shingle_id + b) % {MINHASH_PRIME}) AS BIGINT) AS minhash
+  FROM shingles
+  JOIN shvocab USING (shingle)
+  CROSS JOIN (VALUES {SEEDS_VALUES_SQL}) AS seeds(seed_id, a, b)
+  GROUP BY doc_id, seed_id)
+"""
+
+CANDIDATES_CTE = """
+bands AS (
+  SELECT doc_id, CAST(seed_id // 2 AS INT) AS band,
+         array_to_string(list_sort(list(seed_id || ':' || minhash)), '|') AS band_sig
+  FROM sigs GROUP BY doc_id, CAST(seed_id // 2 AS INT)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+"""
+
+STOP_VALUES_SQL = ", ".join(f"('{w}')" for w in EN_STOPWORDS)
+
+
+def _linked_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = tokenize_docs(_docs(spark, sf_dir))
+    dict_df = (spark.createDataFrame(
+        _SINGLE_DICT, "surface string, label string, canonical_id string"))
+    return tokens.join(F.broadcast(dict_df),
+                       tokens.token == F.col("surface")).select(
+        "doc_id", "pos", "token", "label", "canonical_id")
+
+
+# ----------------------------------------------------------------- queries
+
+def q_scan_filter_project(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .filter((F.col("lang") == "en") & F.col("text").isNotNull())
+            .select("doc_id", "source", "n_chars"))
+
+
+def q_tokenize_explode(spark, sf_dir):
+    return tokenize_docs(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+def q_token_freq(spark, sf_dir):
+    return token_freq(tokenize_docs(_docs(spark, sf_dir)))
+
+
+def q_rare_tokens(spark, sf_dir):
+    return rare_tokens(tokenize_docs(_docs(spark, sf_dir)), max_count=RARE_MAX)
+
+
+def q_vocab_ids(spark, sf_dir):
+    return vocab_ids(tokenize_docs(_docs(spark, sf_dir))).select(
+        "token", F.col("token_id").cast("long").alias("token_id"))
+
+
+def q_bio_chunks(spark, sf_dir):
+    return chunk_bio_sql(_event_tags(_events(spark, sf_dir), TAG_CASE)).select(
+        "seq_id", "label",
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.col("chunk_end").cast("long").alias("chunk_end"))
+
+
+def q_entity_link(spark, sf_dir):
+    return _linked_spark(spark, sf_dir)
+
+
+def q_canonicalize_salted(spark, sf_dir):
+    linked = _linked_spark(spark, sf_dir)
+    counts = salted_count(linked, ["canonical_id", "label"], "doc_id",
+                          out_col="n_mentions")
+    docs = (linked.select("canonical_id", "doc_id").dropDuplicates()
+            .groupBy("canonical_id")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+    return counts.join(docs, "canonical_id").select(
+        "canonical_id", "label", "n_mentions", "n_docs")
+
+
+def q_triples_cooccur(spark, sf_dir):
+    from saber_spark.operators.triples import assemble_triples
+    linked = _linked_spark(spark, sf_dir).select(
+        F.col("doc_id").alias("url"), F.lit(0).alias("sent_id"),
+        "canonical_id")
+    triples = assemble_triples(linked)
+    return (triples.groupBy("subj", "pred", "obj")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("url").cast("long").alias("first_doc")))
+
+
+def q_eval_prf(spark, sf_dir):
+    events = _events(spark, sf_dir)
+    gold = chunk_bio_sql(_event_tags(events, TAG_CASE))
+    pred = chunk_bio_sql(_event_tags(events, PRED_TAG_CASE))
+    return evaluate_chunks(gold, pred, criteria="exact", extra_keys=["seq_id"])
+
+
+def q_split_folds(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (fold_assign(orders, "o_orderkey", 5)
+            .groupBy(F.col("fold").cast("long").alias("fold"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
+def q_top1_per_user(spark, sf_dir):
+    return top1_by(_events(spark, sf_dir), ["user_id"], "value", "event_id"
+                   ).select("user_id", "event_id", "value")
+
+
+def q_sessionize(spark, sf_dir):
+    return sessionize(_events(spark, sf_dir)).select(
+        "user_id", F.col("session_id").cast("long").alias("session_id"),
+        "n_events", "session_start_us", "session_end_us", "total_value")
+
+
+def q_window_agg(spark, sf_dir):
+    return tumbling_window_agg(_events(spark, sf_dir))
+
+
+def q_tpch_q1(spark, sf_dir):
+    return tpch.pricing_summary(tpch.load(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_q3_top10(spark, sf_dir):
+    return tpch.top_orders_by_revenue(
+        tpch.load(spark, sf_dir, "customer"),
+        tpch.load(spark, sf_dir, "orders"),
+        tpch.load(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_q5_nation(spark, sf_dir):
+    return tpch.revenue_by_nation(
+        tpch.load(spark, sf_dir, "customer"),
+        tpch.load(spark, sf_dir, "orders"),
+        tpch.load(spark, sf_dir, "lineitem"),
+        tpch.load(spark, sf_dir, "nation"),
+        tpch.load(spark, sf_dir, "region"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return minhash_signatures(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("seed_id").cast("long").alias("seed_id"),
+        F.col("minhash").cast("long").alias("minhash"))
+
+
+def q_minhash_candidates(spark, sf_dir):
+    return minhash_candidates(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return ngram_jaccard(docs, minhash_candidates(docs))
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("simhash").cast("long").alias("simhash"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3).select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"))
+
+
+def q_lsh_cosine_topk(spark, sf_dir):
+    return lsh_cosine_topk(_embeddings(spark, sf_dir), k=3).select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"))
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        "en_ratio", "pred_lang")
+
+
+def q_quality_score(spark, sf_dir):
+    q = quality_score(_docs(spark, sf_dir))
+    return q.select(
+        "doc_id", "n_chars", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len", "punct_ratio", "stopword_ratio", "quality")
+
+
+def q_token_counts(spark, sf_dir):
+    return token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_re_tokens").cast("long").alias("n_re_tokens"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return doc_fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("fingerprint").cast("long").alias("fingerprint"))
+
+
+# ------------------------------------------------ UDF stages (rows-only)
+
+def q_kg_mentions(spark, sf_dir):
+    from saber_spark.fixtures.dictionary import surface_label_map
+    from saber_spark.operators.tagger import detect_mentions
+    pages = build_pages_df(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(surface_label_map())
+    return detect_mentions(extract_text(pages), bc)
+
+
+def q_kg_edges(spark, sf_dir):
+    from saber_spark.pipeline import run_pipeline
+    pages = build_pages_df(spark, sf_dir)
+    return run_pipeline(spark, pages)["edges"]
+
+
+def q_multimodal_features(spark, sf_dir):
+    media = attach_fake_media(_docs(spark, sf_dir))
+    return decode_features(media)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
+    from saber_spark.pipeline import run_pipeline
+
+    pages = build_pages_df(spark, "/root/testdata/sf0.001")
+    return run_pipeline(spark, pages)["edges"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "scan_filter_project": q_scan_filter_project,
+        "tokenize_explode": q_tokenize_explode,
+        "token_freq": q_token_freq,
+        "rare_tokens": q_rare_tokens,
+        "vocab_ids": q_vocab_ids,
+        "bio_chunks": q_bio_chunks,
+        "entity_link": q_entity_link,
+        "canonicalize_salted": q_canonicalize_salted,
+        "triples_cooccur": q_triples_cooccur,
+        "eval_prf": q_eval_prf,
+        "split_folds": q_split_folds,
+        "top1_per_user": q_top1_per_user,
+        "sessionize": q_sessionize,
+        "window_agg": q_window_agg,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3_top10": q_tpch_q3_top10,
+        "tpch_q5_nation": q_tpch_q5_nation,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_candidates": q_minhash_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "kg_mentions": q_kg_mentions,
+        "kg_edges": q_kg_edges,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qualities = """
+  SELECT d.doc_id,
+         length(d.text) AS n_chars,
+         count(t.token) AS n_tokens,
+         count(CASE WHEN NOT regexp_matches(t.token, '^[0-9a-zA-Z]+$') THEN 1 END) AS n_punct,
+         count(s.w) AS n_stop,
+         coalesce(sum(length(t.token)), 0) AS tok_chars
+  FROM documents d
+  LEFT JOIN tokens t ON d.doc_id = t.doc_id
+  LEFT JOIN (VALUES {stops}) AS s(w) ON t.token = s.w
+  GROUP BY d.doc_id, length(d.text)
+""".format(stops=STOP_VALUES_SQL)
+
+    return {
+        "scan_filter_project": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE lang = 'en' AND text IS NOT NULL""",
+        "tokenize_explode": f"""
+            WITH {TOKENS_CTE}
+            SELECT doc_id, pos, token FROM tokens""",
+        "token_freq": f"""
+            WITH {TOKENS_CTE}
+            SELECT token, count(*) AS freq FROM tokens GROUP BY token""",
+        "rare_tokens": f"""
+            WITH {TOKENS_CTE}
+            SELECT token, count(*) AS freq FROM tokens
+            GROUP BY token HAVING count(*) <= {RARE_MAX}""",
+        "vocab_ids": f"""
+            WITH {TOKENS_CTE}, {VOCAB_CTE}
+            SELECT token, token_id FROM vocab""",
+        "bio_chunks": f"""
+            WITH {_chunks_cte_sql(TAG_CASE, 'g')}
+            SELECT seq_id, label, chunk_start, chunk_end FROM g_chunks""",
+        "entity_link": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE}
+            SELECT doc_id, pos, token, label, canonical_id FROM linked""",
+        "canonicalize_salted": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE}
+            SELECT canonical_id, label,
+                   count(*) AS n_mentions,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM linked GROUP BY canonical_id, label""",
+        "triples_cooccur": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            ents AS (SELECT DISTINCT doc_id, canonical_id FROM linked)
+            SELECT a.canonical_id AS subj, 'cooccurs_with' AS pred,
+                   b.canonical_id AS obj, count(*) AS n_docs,
+                   CAST(min(a.doc_id) AS BIGINT) AS first_doc
+            FROM ents a JOIN ents b
+              ON a.doc_id = b.doc_id AND a.canonical_id < b.canonical_id
+            GROUP BY 1, 2, 3""",
+        "eval_prf": f"""
+            WITH {_chunks_cte_sql(TAG_CASE, 'g')}, {_chunks_cte_sql(PRED_TAG_CASE, 'p')},
+            g AS (SELECT DISTINCT seq_id, label, chunk_start, chunk_end FROM g_chunks),
+            p AS (SELECT DISTINCT seq_id, label, chunk_start, chunk_end FROM p_chunks),
+            tp AS (SELECT label, count(*) AS tp
+                   FROM g JOIN p USING (seq_id, label, chunk_start, chunk_end)
+                   GROUP BY label),
+            fn AS (SELECT label, count(*) AS fn
+                   FROM g ANTI JOIN p USING (seq_id, label, chunk_start, chunk_end)
+                   GROUP BY label),
+            fp AS (SELECT label, count(*) AS fp
+                   FROM p ANTI JOIN g USING (seq_id, label, chunk_start, chunk_end)
+                   GROUP BY label),
+            labels AS (SELECT DISTINCT label FROM g),
+            m AS (SELECT l.label,
+                         coalesce(tp.tp, 0) AS tp, coalesce(fp.fp, 0) AS fp,
+                         coalesce(fn.fn, 0) AS fn
+                  FROM labels l
+                  LEFT JOIN tp ON l.label = tp.label
+                  LEFT JOIN fn ON l.label = fn.label
+                  LEFT JOIN fp ON l.label = fp.label)
+            SELECT label, tp, fp, fn,
+                   round(CASE WHEN tp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0 END, 6) AS precision,
+                   round(CASE WHEN tp > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0 END, 6) AS recall,
+                   round(CASE WHEN tp > 0 AND (2*tp + fp + fn) > 0
+                              THEN 2.0 * (tp / (tp + fp)::DOUBLE) * (tp / (tp + fn)::DOUBLE)
+                                   / ((tp / (tp + fp)::DOUBLE) + (tp / (tp + fn)::DOUBLE))
+                              ELSE 0 END, 6) AS f1
+            FROM m""",
+        "split_folds": f"""
+            SELECT ((o_orderkey * {KNUTH}) % {HASH_MOD}) % 5 AS fold,
+                   count(*) AS n_orders,
+                   min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+            FROM orders GROUP BY 1""",
+        "top1_per_user": """
+            SELECT user_id, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events) WHERE rn = 1""",
+        "sessionize": """
+            WITH lagged AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_us
+              FROM events),
+            brk AS (
+              SELECT *, CASE WHEN prev_us IS NULL THEN 1
+                             WHEN us - prev_us > 1800000000 THEN 1
+                             ELSE 0 END AS new_session
+              FROM lagged),
+            sid AS (
+              SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                               ORDER BY us, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM brk)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(us) AS session_start_us, max(us) AS session_end_us,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM sid GROUP BY user_id, session_id""",
+        "window_agg": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(5,4)))
+                            * (1 + CAST(l_tax AS DECIMAL(5,4)))), 6) AS DOUBLE) AS sum_charge,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q3_top10": """
+            SELECT o_orderkey,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        "tpch_q5_nation": """
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name""",
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_docs,
+                   min(doc_id) AS min_doc_id
+            FROM documents GROUP BY md5(text)""",
+        "minhash_signatures": f"""
+            WITH {TOKENS_CTE}, {SHINGLES_CTE}, {SIGS_CTE}
+            SELECT doc_id, CAST(seed_id AS BIGINT) AS seed_id, minhash FROM sigs""",
+        "minhash_candidates": f"""
+            WITH {TOKENS_CTE}, {SHINGLES_CTE}, {SIGS_CTE}, {CANDIDATES_CTE}
+            SELECT doc_a, doc_b FROM cand""",
+        "ngram_jaccard": f"""
+            WITH {TOKENS_CTE}, {SHINGLES_CTE}, {SIGS_CTE}, {CANDIDATES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_tok FROM shingles GROUP BY doc_id),
+            common AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_common
+              FROM cand c
+              JOIN shingles ta ON ta.doc_id = c.doc_a
+              JOIN shingles tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+              GROUP BY c.doc_a, c.doc_b)
+            SELECT m.doc_a, m.doc_b, m.n_common,
+                   sa.n_tok + sb.n_tok - m.n_common AS n_union,
+                   round(m.n_common / (sa.n_tok + sb.n_tok - m.n_common)::DOUBLE, 6) AS jaccard
+            FROM common m
+            JOIN sizes sa ON sa.doc_id = m.doc_a
+            JOIN sizes sb ON sb.doc_id = m.doc_b""",
+        "simhash": f"""
+            WITH {TOKENS_CTE}, {VOCAB_CTE},
+            weighted AS (
+              SELECT doc_id, token_id, count(*) AS w
+              FROM tokens JOIN vocab USING (token)
+              GROUP BY doc_id, token_id),
+            h AS (SELECT doc_id, (token_id * {SIMHASH_MULT}) % 4294967296 AS hval, w
+                  FROM weighted),
+            perbit AS (
+              SELECT doc_id, bit,
+                     sum(CASE WHEN (hval >> bit) & 1 = 1 THEN w ELSE -w END) AS s
+              FROM h CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS bit)
+              GROUP BY doc_id, bit)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+            FROM perbit GROUP BY doc_id""",
+        "cosine_topk": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding,
+                     x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            vals AS (
+              SELECT vec_id, CAST(generate_subscripts(qv, 1) AS INT) AS i,
+                     unnest(qv) AS v
+              FROM q),
+            norms AS (SELECT vec_id, sum(v * v) AS norm2 FROM vals GROUP BY vec_id),
+            dots AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     sum(a.v * b.v) AS dot
+              FROM vals a JOIN vals b ON a.i = b.i AND a.vec_id != b.vec_id
+              WHERE a.vec_id < 10
+              GROUP BY a.vec_id, b.vec_id),
+            scored AS (
+              SELECT d.query_id, d.neighbor_id,
+                     d.dot / sqrt(nq.norm2::DOUBLE * nn.norm2::DOUBLE) AS cos
+              FROM dots d
+              JOIN norms nq ON nq.vec_id = d.query_id
+              JOIN norms nn ON nn.vec_id = d.neighbor_id)
+            SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rank
+                  FROM scored)
+            WHERE rank <= 3""",
+        "lsh_cosine_topk": """
+            WITH b AS (
+              SELECT vec_id,
+                     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                      + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                      + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket,
+                     list_transform(embedding,
+                         x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            vals AS (
+              SELECT vec_id, bucket, CAST(generate_subscripts(qv, 1) AS INT) AS i,
+                     unnest(qv) AS v
+              FROM b),
+            norms AS (SELECT vec_id, sum(v * v) AS norm2 FROM vals GROUP BY vec_id),
+            dots AS (
+              SELECT a.vec_id AS query_id, bb.vec_id AS neighbor_id,
+                     sum(a.v * bb.v) AS dot
+              FROM vals a JOIN vals bb
+                ON a.i = bb.i AND a.bucket = bb.bucket AND a.vec_id != bb.vec_id
+              GROUP BY a.vec_id, bb.vec_id),
+            scored AS (
+              SELECT d.query_id, d.neighbor_id,
+                     d.dot / sqrt(nq.norm2::DOUBLE * nn.norm2::DOUBLE) AS cos
+              FROM dots d
+              JOIN norms nq ON nq.vec_id = d.query_id
+              JOIN norms nn ON nn.vec_id = d.neighbor_id)
+            SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rank
+                  FROM scored)
+            WHERE rank <= 3""",
+        "lang_id": f"""
+            WITH {TOKENS_CTE},
+            counts AS (
+              SELECT d.doc_id, count(t.token) AS n_tokens, count(s.w) AS n_stopwords
+              FROM documents d
+              LEFT JOIN tokens t ON d.doc_id = t.doc_id
+              LEFT JOIN (VALUES {STOP_VALUES_SQL}) AS s(w) ON t.token = s.w
+              GROUP BY d.doc_id)
+            SELECT doc_id, n_tokens, n_stopwords,
+                   round(n_stopwords / greatest(n_tokens, 1)::DOUBLE, 6) AS en_ratio,
+                   CASE WHEN n_stopwords / greatest(n_tokens, 1)::DOUBLE > 0.02
+                        THEN 'en' ELSE 'other' END AS pred_lang
+            FROM counts""",
+        "quality_score": f"""
+            WITH {TOKENS_CTE},
+            base AS ({qualities})
+            SELECT doc_id, n_chars, n_tokens,
+                   round(tok_chars / greatest(n_tokens, 1)::DOUBLE, 6) AS avg_token_len,
+                   round(n_punct / greatest(n_tokens, 1)::DOUBLE, 6) AS punct_ratio,
+                   round(n_stop / greatest(n_tokens, 1)::DOUBLE, 6) AS stopword_ratio,
+                   round(0.4 * least(n_tokens / 100.0, 1.0)
+                         + 0.3 * (1 - n_punct / greatest(n_tokens, 1)::DOUBLE)
+                         + 0.3 * least((n_stop / greatest(n_tokens, 1)::DOUBLE) / 0.05, 1.0),
+                         6) AS quality
+            FROM base""",
+        "token_counts": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{INFIX_PATTERN}', 0)) AS BIGINT) AS n_re_tokens
+            FROM documents""",
+        "doc_fingerprint": f"""
+            WITH {TOKENS_CTE}, {VOCAB_CTE}
+            SELECT doc_id,
+                   sum((token_id * ((pos * {FP_MULT} + {FP_OFFSET}) % {FP_MOD})) % {FP_MOD})
+                     % {FP_MOD} AS fingerprint
+            FROM tokens JOIN vocab USING (token)
+            GROUP BY doc_id""",
+    }

@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries + full KG pipeline throughput.
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_docs_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "docs_per_sec": ...,
+   "cpus": N, "rows": {...}}
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     parallelism (default all cores) — the N vs 4N
+                       scaling bench runs this script at 8 and 32.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as e
+    from saber_spark.fixtures.pages import build_pages_df
+    from saber_spark.pipeline import run_pipeline
+    from saber_spark.session import get_spark
+
+    spark = get_spark("saber_spark.bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    # ---- headline 1: full KG pipeline, writing real node/edge sinks
+    out_dir = tempfile.mkdtemp(prefix="saber_bench_")
+    pages = build_pages_df(spark, sf_dir)
+    n_docs = pages.filter("lang = 'en'").count()  # excluded from the timing
+    t0 = time.monotonic()
+    result = run_pipeline(spark, pages)
+    result["edges"].write.mode("overwrite").parquet(f"{out_dir}/edges")
+    result["nodes"].write.mode("overwrite").parquet(f"{out_dir}/nodes")
+    kg_seconds = time.monotonic() - t0
+    timings["kg_pipeline"] = round(kg_seconds, 3)
+    rows["kg_edges"] = spark.read.parquet(f"{out_dir}/edges").count()
+    rows["docs"] = n_docs
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs_per_sec = n_docs / kg_seconds if kg_seconds > 0 else 0.0
+
+    # ---- headline 2: representative operator suite
+    qs = e.queries()
+    bench_queries = [
+        "token_freq", "bio_chunks", "entity_link", "canonicalize_salted",
+        "triples_cooccur", "sessionize", "tpch_q1", "tpch_q3_top10",
+        "tpch_q5_nation", "dedup_exact", "minhash_candidates",
+        "ngram_jaccard", "simhash", "cosine_topk", "lsh_cosine_topk",
+        "lang_id", "quality_score", "doc_fingerprint",
+    ]
+    for name in bench_queries:
+        t0 = time.monotonic()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        rows[name] = n
+
+    total = sum(timings.values())
+    print(json.dumps({
+        "metric": "kg_pipeline_docs_per_sec",
+        "value": round(docs_per_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": round(docs_per_sec, 3),
+        "total_seconds": round(total, 3),
+        "cpus": cpus,
+        "rows": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()

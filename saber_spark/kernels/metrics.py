@@ -11,15 +11,17 @@ Behavioral parity with the reference evaluation
   - MICRO_AVG = P/R/F1 from pooled TP/FP/FN counts;
   - precision/recall are 0.0 when TP == 0 (reference convention).
 
-Note the reference uses list (multiset-ish) membership; duplicates of a
-chunk on one side count multiple times.  We reproduce that with counted
-multiset intersection (identical results on the reference's own goldens and
-on de-duplicated chunk sets, which is what the pipeline emits).
+Deviation note: the reference uses plain list membership
+(saber/metrics.py:174-184), which double-counts duplicated chunks
+asymmetrically (each gold duplicate tests membership independently). The
+pipeline only ever emits de-duplicated chunk sets, where list and set
+semantics coincide — including every golden in the reference's own tests —
+so we normalize to SET semantics after criteria projection. This is also
+what makes the relational (join-based) formulation in
+operators/evaluation.py exactly equivalent.
 """
 
 from __future__ import annotations
-
-from collections import Counter
 
 
 def precision_recall_f1_support(
@@ -64,11 +66,11 @@ def get_precision_recall_f1_support(
     labels = sorted({chunk[0] for chunk in y_true})
     tp_total = fp_total = fn_total = 0
     for lab in labels:
-        gold = Counter(_project(c, criteria) for c in y_true if c[0] == lab)
-        pred = Counter(_project(c, criteria) for c in y_pred if c[0] == lab)
-        tp = sum((gold & pred).values())
-        fp = sum(pred.values()) - tp
-        fn = sum(gold.values()) - tp
+        gold = {_project(c, criteria) for c in y_true if c[0] == lab}
+        pred = {_project(c, criteria) for c in y_pred if c[0] == lab}
+        tp = len(gold & pred)
+        fp = len(pred) - tp
+        fn = len(gold) - tp
         scores[lab] = precision_recall_f1_support(tp, fp, fn)
         tp_total += tp
         fp_total += fp

@@ -24,6 +24,22 @@ from pyspark.sql import functions as F
 DEFAULT_SALT_BUCKETS = 64
 
 
+def salted_count(df: DataFrame, keys: list[str], salt_src: str,
+                 out_col: str = "n", salt_buckets: int = DEFAULT_SALT_BUCKETS
+                 ) -> DataFrame:
+    """Generic two-phase salted count: groupBy(keys) robust to hub keys.
+
+    The salt value only affects row distribution, never the result, so any
+    hash works; the oracle for this operator is a plain GROUP BY count.
+    """
+    partial = (
+        df.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)))
+        .groupBy(*keys, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias(out_col))
+
+
 def canonicalize_nodes(linked: DataFrame,
                        salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
     """linked mentions -> node table (canonical_id, label, n_mentions, n_docs).

@@ -1,0 +1,204 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all DataFrame-native and engine-portable (deterministic
+arithmetic hashing — no engine-specific hash functions — so every variant is
+oracle-checkable):
+
+  exact_dedup        md5(text) groupBy — byte-exact duplicate groups
+  minhash_signatures k permutation-min signatures over vocab token ids
+  minhash_candidates LSH banding: pairs agreeing on a full band
+  ngram_jaccard      exact token-set Jaccard for candidate verification
+  simhash            b-bit sign-of-weighted-sum fingerprint + hamming pairs
+
+Scale design:
+  - exact: one shuffle on the hash, partial agg collapses per-partition.
+  - minhash: explode(doc x k seeds) is a narrow crossjoin with a tiny
+    broadcast seeds table; groupBy(doc, seed) has partial min pushdown.
+    LSH banding shuffles on (band, band_signature) — duplicate buckets are
+    tiny by construction, so the candidate self-join inside a bucket never
+    explodes (the reason LSH beats all-pairs at 10^12 docs).
+  - jaccard verification runs ONLY on LSH candidates, not all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from saber_spark.operators.vocab import tokenize_docs, vocab_ids
+
+MINHASH_PRIME = 2_147_483_647  # 2^31-1, Mersenne
+# deterministic (a, b) seed pairs for k=8 permutation hashes.
+# a MUST be large (~P) so a*x wraps the modulus even for tiny ids —
+# with small a, (a*x+b) % P is monotone in x and every "permutation"
+# degenerates to argmin(id), destroying MinHash's independence.
+MINHASH_SEEDS: list[tuple[int, int, int]] = [
+    (i,
+     (563_079_003 * (i + 1) + 101) % MINHASH_PRIME,
+     (976_369_111 * (i + 1) + 7) % MINHASH_PRIME)
+    for i in range(8)
+]
+SIMHASH_BITS = 16
+SIMHASH_MULT = 2654435761
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """-> (text_hash, n_docs, min_doc_id): duplicate groups by md5."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(id_col).alias("min_doc_id"))
+    )
+
+
+SHINGLE_N = 3
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
+    """distinct (doc_id, shingle): word n-grams joined with single spaces.
+
+    Shingling (not unigrams) is what makes MinHash/LSH selective: documents
+    over a small vocabulary share almost all unigrams, but only true
+    near-duplicates share most n-grams. Built with higher-order array
+    functions — a narrow, JVM-only stage.
+    """
+    from saber_spark.kernels.text import INFIX_PATTERN
+
+    arr = F.regexp_extract_all(F.col(text_col), F.lit(INFIX_PATTERN), F.lit(0))
+    idx = F.sequence(F.lit(0), F.size(F.col("arr")) - n)
+    shingles = F.when(
+        F.size(F.col("arr")) >= n,
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("arr"), i + j + 1) for j in range(n)])),
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.select(F.col(id_col), arr.alias("arr"))
+            .select(id_col, F.explode(shingles).alias("shingle"))
+            .distinct())
+
+
+def _doc_shingle_ids(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """distinct (doc_id, shingle_id) via the deterministic shingle vocab."""
+    sh = doc_shingles(docs, text_col=text_col, id_col=id_col)
+    vocab = vocab_ids(sh.withColumnRenamed("shingle", "token"))
+    return (sh.join(F.broadcast(vocab), sh.shingle == vocab.token)
+            .select(id_col, F.col("token_id").alias("shingle_id")))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """-> (doc_id, seed_id, minhash): k-permutation MinHash signature rows.
+
+    h_i(x) = (a_i * x + b_i) mod P over the doc's distinct SHINGLE ids —
+    arithmetic-only, so the identical formula runs under any SQL engine.
+    """
+    spark = docs.sparkSession
+    seeds = spark.createDataFrame(MINHASH_SEEDS, "seed_id int, a long, b long")
+    doc_sh = _doc_shingle_ids(docs, text_col, id_col)
+    return (
+        doc_sh.crossJoin(F.broadcast(seeds))
+        .select(
+            id_col, "seed_id",
+            F.pmod(F.col("a") * F.col("shingle_id") + F.col("b"),
+                   F.lit(MINHASH_PRIME)).alias("h"),
+        )
+        .groupBy(id_col, "seed_id")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_candidates(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", rows_per_band: int = 2
+                       ) -> DataFrame:
+    """LSH banding -> candidate near-duplicate pairs (doc_a < doc_b).
+
+    Docs agreeing on EVERY minhash within at least one band become a
+    candidate pair. Self-join happens per (band, signature) bucket.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col)
+    bands = (
+        sigs.withColumn("band", (F.col("seed_id") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("seed_id"), F.col("minhash")))).alias("sig_parts"))
+        .select(id_col, "band",
+                F.concat_ws("|", F.col("sig_parts")).alias("band_sig"))
+    )
+    left = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
+    right = bands.select(F.col(id_col).alias("doc_b"), "band", "band_sig")
+    return (
+        left.join(right, on=["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs.
+
+    -> (doc_a, doc_b, n_common, n_union, jaccard rounded 6). Runs only on
+    LSH candidates — never all pairs.
+    """
+    doc_sh = doc_shingles(docs, text_col=text_col, id_col=id_col)
+    sizes = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = doc_sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    tb = doc_sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        pairs.join(ta, "doc_a").join(tb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common
+        .join(sizes.withColumnRenamed(id_col, "doc_a")
+              .withColumnRenamed("n_tok", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b")
+              .withColumnRenamed("n_tok", "n_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_common",
+            (F.col("n_a") + F.col("n_b") - F.col("n_common")).alias("n_union"),
+            F.round(F.col("n_common") /
+                    (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+                    ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """-> (doc_id, simhash): b-bit SimHash over token-id multiset.
+
+    bit_j(doc) = 1 iff sum over token occurrences of
+    (+1 if bit j of (token_id * SIMHASH_MULT) else -1), weighted by token
+    frequency, is positive. Arithmetic-only -> oracle-checkable.
+    """
+    spark = docs.sparkSession
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    tokens = tokenize_docs(docs, text_col=text_col, id_col=id_col)
+    vocab = vocab_ids(tokens)
+    weighted = (
+        tokens.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("w"))
+        .join(F.broadcast(vocab), "token")
+        .withColumn("hval", F.pmod(F.col("token_id") * F.lit(SIMHASH_MULT),
+                                   F.lit(2**32)))
+    )
+    per_bit = (
+        weighted.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "contrib",
+            F.when(F.expr("shiftright(hval, bit) & 1") == 1,
+                   F.col("w")).otherwise(-F.col("w")))
+        .groupBy(id_col, "bit")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return (
+        per_bit.withColumn(
+            "bitval",
+            F.when(F.col("s") > 0,
+                   F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0)))
+        .groupBy(id_col)
+        .agg(F.sum("bitval").alias("simhash"))
+    )

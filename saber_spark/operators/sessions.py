@@ -1,0 +1,56 @@
+"""Event sessionization + windowed aggregation (batch form).
+
+The streaming twin lives in saber_spark.streaming (watermark + session
+window); this batch formulation is the oracle-checkable one: a session
+breaks after a gap > timeout from the previous event of the same user
+(classic gaps-and-islands, one shuffle on user_id, both windows reuse it).
+
+Timestamps compare in integer MICROSECONDS (unix_micros) so any engine
+agrees exactly (no float epoch, no truncation drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """-> per-session rows (user_id, session_id, n_events, session_start_us,
+    session_end_us, total_value). session_id is 1-based per user."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    with_break = events.withColumn(
+        "_new_session",
+        F.when(us - F.lag(us).over(w) > gap_us, 1)
+         .when(F.lag(us).over(w).isNull(), 1)
+         .otherwise(0))
+    with_sid = with_break.withColumn(
+        "session_id",
+        F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        with_sid.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(us).alias("session_start_us"),
+            F.max(us).alias("session_end_us"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def tumbling_window_agg(events: DataFrame, window_minutes: int = 60) -> DataFrame:
+    """Fixed tumbling-window aggregation (batch twin of the streaming agg).
+
+    -> (window_start_us, event_type, n_events, total_value rounded 6).
+    """
+    win_us = window_minutes * 60 * 1_000_000
+    start = (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / win_us) * win_us)
+    return (
+        events.groupBy(start.alias("window_start_us"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+    )

@@ -1,0 +1,54 @@
+"""Deterministic train/valid/k-fold splits + top-1 selection.
+
+Reference basis:
+  - train/valid split: 10% validation, random_state=42
+    (saber/utils/data_utils.py:139-182) — rebuilt as an ENGINE-PORTABLE
+    multiplicative hash (Knuth 2654435761) so Spark and any oracle agree
+    row-for-row (preferred over randomSplit per SURVEY.md §2.2: hash-based
+    is reproducible across partitionings; randomSplit is not).
+  - k-fold CV: KFold(n_splits=k) (saber/utils/data_utils.py:184-272) —
+    fold = hash-mod-k column; train = fold != j, valid = fold = j.
+  - best-epoch selection: argmax by F1 (saber/metrics.py:240-284) — window
+    row_number()=1 / max_by.
+
+Scale: the fold expression is a narrow map (no shuffle); top-1 per group is
+one shuffle with partial min/max pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # multiplicative hash constant; portable across engines
+HASH_MOD = 2**31 - 1
+
+
+def fold_assign(df: DataFrame, id_col: str, k: int,
+                fold_col: str = "fold") -> DataFrame:
+    """Deterministic fold id in [0, k): ((id * KNUTH) % (2^31-1)) % k."""
+    return df.withColumn(
+        fold_col,
+        F.pmod(F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH),
+                      F.lit(HASH_MOD)), F.lit(k)),
+    )
+
+
+def train_valid_split(df: DataFrame, id_col: str,
+                      valid_fraction_denom: int = 10) -> tuple[DataFrame, DataFrame]:
+    """~1/denom of rows to validation (reference: 10%)."""
+    with_fold = fold_assign(df, id_col, valid_fraction_denom)
+    return (with_fold.filter(F.col("fold") != 0).drop("fold"),
+            with_fold.filter(F.col("fold") == 0).drop("fold"))
+
+
+def top1_by(df: DataFrame, group_cols: list[str], order_col: str,
+            tiebreak_col: str) -> DataFrame:
+    """Best row per group: max order_col, ties -> min tiebreak_col.
+
+    Reference analogue: best-epoch argmax by F1 (saber/metrics.py:240-284).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))

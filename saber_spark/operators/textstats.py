@@ -1,0 +1,123 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All built-in expressions (JVM codegen, zero Python)
+and engine-portable for oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from saber_spark.kernels.text import INFIX_PATTERN
+from saber_spark.operators.vocab import tokenize_docs, vocab_ids
+
+# tiny multi-language stopword inventory for the n-gram/stopword heuristic
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+FP_MOD = 1_000_003  # fingerprint modulus (prime)
+FP_MULT = 31
+FP_OFFSET = 7
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", threshold: float = 0.02) -> DataFrame:
+    """Stopword-ratio language heuristic.
+
+    -> (doc_id, n_tokens, n_stopwords, en_ratio rounded 6, pred_lang).
+    pred_lang = 'en' iff ratio of English stopwords > threshold.
+    """
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(INFIX_PATTERN), F.lit(0))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+               ).alias("n_stopwords"),
+    ).select(
+        id_col, "n_tokens", "n_stopwords",
+        F.round(F.col("n_stopwords") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+                ).alias("en_ratio"),
+        F.when(F.col("n_stopwords") / F.greatest(F.col("n_tokens"), F.lit(1))
+               > threshold, F.lit("en")).otherwise(F.lit("other")
+                                                   ).alias("pred_lang"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Document quality features + a composite score.
+
+    -> (doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
+        stopword_ratio, quality rounded 6).
+    quality = 0.4*min(n_tokens/100,1) + 0.3*(1-punct_ratio) + 0.3*stopword_sat
+    (stopword_sat = min(stopword_ratio/0.05, 1)): favors long, low-punct,
+    natural-language docs — the standard web-corpus filter shape.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(INFIX_PATTERN), F.lit(0))
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    base = docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9a-zA-Z]+$") == F.lit(False))
+               ).alias("n_punct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+               ).alias("n_stop"),
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).alias("tok_chars"),
+    )
+    nt = F.greatest(F.col("n_tokens"), F.lit(1))
+    punct_ratio = F.col("n_punct") / nt
+    stop_ratio = F.col("n_stop") / nt
+    quality = (
+        0.4 * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1 - punct_ratio)
+        + 0.3 * F.least(stop_ratio / F.lit(0.05), F.lit(1.0))
+    )
+    return base.select(
+        id_col, "n_chars", "n_tokens",
+        F.round(F.col("tok_chars") / nt, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace vs regex ("BPE-ish") token counts per doc.
+
+    -> (doc_id, n_ws_tokens, n_re_tokens). The regex count uses the NERsuite
+    pattern (subword-ish: punctuation splits), the whitespace count is the
+    cheap upper bound used for budget estimates.
+    """
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(INFIX_PATTERN),
+                                    F.lit(0))).alias("n_re_tokens"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Position-sensitive rolling-hash fingerprint per document.
+
+    fp = sum over positions of token_id * ((pos * 31 + 7) mod M)  (mod M)
+    Each term is position-dependent (so permuted docs differ) but the SUM is
+    commutative — aggregation order cannot change the result, making the
+    value engine-portable and shuffle-safe.
+    -> (doc_id, fingerprint).
+    """
+    tokens = tokenize_docs(docs, text_col=text_col, id_col=id_col)
+    vocab = vocab_ids(tokens)
+    with_ids = tokens.join(F.broadcast(vocab), "token")
+    term = F.pmod(
+        F.col("token_id").cast("long") *
+        F.pmod(F.col("pos").cast("long") * FP_MULT + FP_OFFSET, F.lit(FP_MOD)),
+        F.lit(FP_MOD))
+    return (
+        with_ids.select(F.col(id_col), term.alias("term"))
+        .groupBy(id_col)
+        .agg(F.pmod(F.sum("term"), F.lit(FP_MOD)).alias("fingerprint"))
+    )

@@ -67,6 +67,12 @@ def run_pipeline(
     linked = ckpt.run_stage(
         spark, checkpoint_dir, "linked",
         lambda: link_mentions(mentions, dictionary))
+    if checkpoint_dir is None:
+        # three consumers (nodes, triples->edges) fan out from `linked`;
+        # without parquet checkpoints, persist it so the Python tagging
+        # stage runs exactly once (at cluster scale checkpoint_dir replaces
+        # this with durable parquet stages)
+        linked = linked.persist()
     nodes = ckpt.run_stage(
         spark, checkpoint_dir, "nodes",
         lambda: canonicalize_nodes(linked))

@@ -31,6 +31,13 @@ def get_spark(app_name: str = "saber_spark", cpus: int | None = None,
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(32, cpus)
+    # Pin BLAS/OpenMP to one thread per Python worker: with K concurrent
+    # pandas-UDF workers each spawning cpu_count() BLAS threads, K*cores
+    # spinning threads drive kernel time to ~85% and make local[32] SLOWER
+    # than local[8]. Python workers inherit the driver env in local mode.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

@@ -1,0 +1,9 @@
+"""Structured Streaming stages (streaming twins of the batch operators)."""
+
+from saber_spark.streaming.stream import (
+    stream_mentions,
+    stream_sessionize,
+    stream_windowed_counts,
+)
+
+__all__ = ["stream_mentions", "stream_sessionize", "stream_windowed_counts"]

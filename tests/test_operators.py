@@ -1,0 +1,227 @@
+"""Operator-level tests: SQL formulations cross-checked against the pure
+kernels, dedup/similarity semantics on crafted inputs."""
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from saber_spark.kernels.chunk import chunk_entities
+from saber_spark.kernels.metrics import get_precision_recall_f1_support
+from saber_spark.operators.chunker import chunk_bio_sql
+from saber_spark.operators.dedup import (
+    doc_shingles,
+    exact_dedup,
+    minhash_candidates,
+    ngram_jaccard,
+    simhash,
+)
+from saber_spark.operators.evaluation import evaluate_chunks
+from saber_spark.operators.multimodal import attach_fake_media, decode_features
+from saber_spark.operators.sessions import sessionize
+from saber_spark.operators.similarity import cosine_topk
+from saber_spark.operators.splits import fold_assign, top1_by
+from saber_spark.operators.vocab import rare_tokens, tokenize_docs, vocab_ids
+
+
+def _random_tag_seqs(n_seqs=60, seed=7):
+    rng = random.Random(seed)
+    labels = ["PRGE", "DISO", "CHED"]
+    tags = (["O"] * 4
+            + [f"B-{l}" for l in labels]
+            + [f"I-{l}" for l in labels]
+            + [f"E-{l}" for l in labels] + ["S-PRGE"])
+    return [[rng.choice(tags) for _ in range(rng.randint(0, 12))]
+            for _ in range(n_seqs)]
+
+
+class TestChunkerSQL:
+    def test_matches_kernel_on_random_sequences(self, spark):
+        """The window-function chunk decode must equal the reference kernel
+        on arbitrary (including invalid) BIO/BIOES sequences."""
+        seqs = _random_tag_seqs()
+        rows = [(i, p, t) for i, seq in enumerate(seqs)
+                for p, t in enumerate(seq)]
+        df = spark.createDataFrame(rows, "seq_id int, pos int, tag string")
+        got = {
+            (r["seq_id"], r["label"], r["chunk_start"], r["chunk_end"])
+            for r in chunk_bio_sql(df).collect()
+        }
+        expected = {
+            (i, lab, s, e)
+            for i, seq in enumerate(seqs)
+            for lab, s, e in chunk_entities(seq)
+        }
+        assert got == expected
+
+
+class TestEvaluationSQL:
+    def test_matches_kernel(self, spark):
+        rng = random.Random(13)
+        labels = ["A", "B", "C"]
+        gold = [(rng.choice(labels), rng.randint(0, 6), rng.randint(7, 12))
+                for _ in range(40)]
+        pred = [(rng.choice(labels), rng.randint(0, 6), rng.randint(7, 12))
+                for _ in range(40)]
+        gold_set, pred_set = sorted(set(gold)), sorted(set(pred))
+        for criteria in ("exact", "left", "right"):
+            kernel = get_precision_recall_f1_support(gold_set, pred_set, criteria)
+            gdf = spark.createDataFrame(
+                gold_set, "label string, chunk_start int, chunk_end int")
+            pdf = spark.createDataFrame(
+                pred_set, "label string, chunk_start int, chunk_end int")
+            got = {r["label"]: r for r in
+                   evaluate_chunks(gdf, pdf, criteria).collect()}
+            for lab in {g[0] for g in gold_set}:
+                p, r, f1, support = kernel[lab]
+                assert got[lab]["precision"] == pytest.approx(p, abs=1e-6)
+                assert got[lab]["recall"] == pytest.approx(r, abs=1e-6)
+                assert got[lab]["f1"] == pytest.approx(f1, abs=1e-6)
+                assert got[lab]["tp"] + got[lab]["fn"] == support
+
+    def test_invalid_criteria(self, spark):
+        df = spark.createDataFrame(
+            [("A", 0, 1)], "label string, chunk_start int, chunk_end int")
+        with pytest.raises(ValueError):
+            evaluate_chunks(df, df, "bogus")
+
+
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def crafted_docs(self, spark):
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lam mu nu xi omicron pi rho sigma tau upsilon")
+        near = base.replace("theta", "THETA")  # 3 shingles differ
+        far = "completely different words nothing shared here at all ok then"
+        return spark.createDataFrame(
+            [(0, base), (1, base), (2, near), (3, far)],
+            "doc_id long, text string")
+
+    def test_exact_dedup(self, spark, crafted_docs):
+        groups = {r["min_doc_id"]: r["n_docs"]
+                  for r in exact_dedup(crafted_docs).collect()}
+        assert groups[0] == 2  # docs 0 and 1 byte-identical
+        assert groups[3] == 1
+
+    def test_minhash_finds_near_dup(self, spark, crafted_docs):
+        pairs = {(r["doc_a"], r["doc_b"])
+                 for r in minhash_candidates(crafted_docs).collect()}
+        assert (0, 1) in pairs          # identical
+        assert (0, 2) in pairs or (1, 2) in pairs  # near-dup
+        assert not any(3 in p for p in pairs)      # unrelated never pairs
+
+    def test_jaccard_values(self, spark, crafted_docs):
+        pairs = spark.createDataFrame(
+            [(0, 1), (0, 2)], "doc_a long, doc_b long")
+        j = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard(crafted_docs, pairs).collect()}
+        assert j[(0, 1)] == 1.0
+        assert 0.5 < j[(0, 2)] < 1.0
+
+    def test_simhash_near_dup_close(self, spark, crafted_docs):
+        h = {r["doc_id"]: r["simhash"] for r in simhash(crafted_docs).collect()}
+        assert h[0] == h[1]
+        d_near = bin(h[0] ^ h[2]).count("1")
+        d_far = bin(h[0] ^ h[3]).count("1")
+        assert d_near <= d_far
+
+    def test_shingles(self, spark):
+        docs = spark.createDataFrame([(0, "a b c d"), (1, "a b")],
+                                     "doc_id long, text string")
+        sh = {(r["doc_id"], r["shingle"]) for r in doc_shingles(docs).collect()}
+        assert sh == {(0, "a b c"), (0, "b c d")}  # short doc -> none
+
+
+class TestSimilarity:
+    def test_cosine_topk_vs_numpy(self, spark):
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(20, 8).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+            "vec_id long, embedding array<float>")
+        got = cosine_topk(df, df.filter(F.col("vec_id") < 3), k=2).collect()
+        q = np.round(vecs.astype(np.float64) * 1000)
+        for qid in range(3):
+            sims = {}
+            for j in range(20):
+                if j == qid:
+                    continue
+                sims[j] = float(q[qid] @ q[j] /
+                                np.sqrt((q[qid] @ q[qid]) * (q[j] @ q[j])))
+            expect = sorted(sims, key=lambda j: (-sims[j], j))[:2]
+            mine = [r["neighbor_id"] for r in sorted(
+                (r for r in got if r["query_id"] == qid),
+                key=lambda r: r["rank"])]
+            assert mine == expect
+
+
+class TestSessions:
+    def test_gap_splits_sessions(self, spark):
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "view", 1.0, None),
+            (1, "2024-01-01 00:10:00", 1, "view", 2.0, None),
+            (2, "2024-01-01 01:00:00", 1, "view", 3.0, None),  # 50min gap
+            (3, "2024-01-01 00:00:00", 2, "view", 4.0, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string,"
+                  " value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = {(r["user_id"], r["session_id"]): r["n_events"]
+               for r in sessionize(df).collect()}
+        assert out == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+class TestSplits:
+    def test_fold_partition(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+        folded = fold_assign(df, "id", 5)
+        counts = {r["fold"]: r["n"] for r in
+                  folded.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert set(counts) == {0, 1, 2, 3, 4}
+        assert folded.count() == 1000
+        # deterministic: same assignment on recompute
+        again = {r["id"]: r["fold"] for r in fold_assign(df, "id", 5).collect()}
+        first = {r["id"]: r["fold"] for r in folded.collect()}
+        assert first == again
+
+    def test_top1(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10, 5.0), (1, 11, 9.0), (1, 12, 9.0), (2, 20, 1.0)],
+            "user_id long, event_id long, value double")
+        got = {r["user_id"]: r["event_id"]
+               for r in top1_by(df, ["user_id"], "value", "event_id").collect()}
+        assert got == {1: 11, 2: 20}  # tie broken by min event_id
+
+
+class TestMultimodal:
+    def test_plumbing_and_determinism(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(9)], "doc_id long, text string")
+        media = attach_fake_media(docs)
+        assert dict(media.dtypes)["payload"] == "binary"
+        feats = decode_features(media)
+        rows = {r["doc_id"]: r for r in feats.collect()}
+        assert len(rows) == 9
+        assert all(len(r["feature"]) == 8 for r in rows.values())
+        assert all(0.0 <= v <= 1.0 for r in rows.values() for v in r["feature"])
+        rows2 = {r["doc_id"]: r["feature"] for r in decode_features(media).collect()}
+        assert {k: v["feature"] for k, v in rows.items()} == rows2
+        # content-sensitivity: different payloads -> different features
+        assert rows[0]["feature"] != rows[1]["feature"]
+
+
+class TestVocab:
+    def test_vocab_ids_start_at_2(self, spark):
+        docs = spark.createDataFrame([(0, "b a c a")], "doc_id long, text string")
+        ids = {r["token"]: r["token_id"]
+               for r in vocab_ids(tokenize_docs(docs)).collect()}
+        assert ids == {"a": 2, "b": 3, "c": 4}  # PAD=0/UNK=1 reserved
+
+    def test_rare_tokens(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "x x x y")], "doc_id long, text string")
+        rare = {r["token"] for r in
+                rare_tokens(tokenize_docs(docs), max_count=1).collect()}
+        assert rare == {"y"}

@@ -1,0 +1,94 @@
+"""Structured Streaming tests: file-source micro-batch runs compared to the
+batch twins on identical data."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from saber_spark.fixtures.dictionary import surface_label_map
+from saber_spark.fixtures.pages import build_pages_df
+from saber_spark.operators.extract import extract_text
+from saber_spark.operators.tagger import detect_mentions
+from saber_spark.streaming import (
+    stream_mentions,
+    stream_sessionize,
+    stream_windowed_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run_stream(df, tmp_path, name):
+    out = str(tmp_path / f"{name}_out")
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("complete" if df.isStreaming else "append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    _ = out
+    return q
+
+
+class TestStreamingMentions:
+    def test_matches_batch(self, spark, tmp_path):
+        """Streaming mentions over the page table == batch mentions."""
+        pages_dir = str(tmp_path / "pages")
+        build_pages_df(spark, SF_DIR).write.parquet(pages_dir)
+        schema = spark.read.parquet(pages_dir).schema
+        stream = spark.readStream.schema(schema).parquet(pages_dir)
+        bc = spark.sparkContext.broadcast(surface_label_map())
+
+        q = (stream_mentions(stream, bc)
+             .writeStream.format("memory").queryName("mentions_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {tuple(r) for r in spark.sql(
+            "select * from mentions_stream").collect()}
+
+        batch = detect_mentions(
+            extract_text(spark.read.parquet(pages_dir)), bc)
+        expected = {tuple(r) for r in batch.collect()}
+        assert got == expected
+        assert len(got) > 0
+
+
+class TestStreamingWindows:
+    @pytest.fixture(scope="class")
+    def events_dir(self, spark, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("ev") / "events")
+        spark.read.parquet(f"{SF_DIR}/events.parquet").write.parquet(d)
+        return d
+
+    def test_windowed_counts_match_batch(self, spark, events_dir):
+        schema = spark.read.parquet(events_dir).schema
+        stream = spark.readStream.schema(schema).parquet(events_dir)
+        q = (stream_windowed_counts(stream)
+             .writeStream.format("memory").queryName("win_stream")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+               for r in spark.sql("select * from win_stream").collect()}
+
+        batch = (spark.read.parquet(events_dir)
+                 .groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour")
+                          .alias("win"), "event_type")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.col("value").cast("decimal(18,2)"))
+                      .cast("double").alias("v")))
+        expected = {(r["win"]["start"], r["event_type"]): (r["n"], r["v"])
+                    for r in batch.collect()}
+        assert got == expected
+
+    def test_sessionize_runs(self, spark, events_dir):
+        schema = spark.read.parquet(events_dir).schema
+        stream = spark.readStream.schema(schema).parquet(events_dir)
+        q = (stream_sessionize(stream)
+             .writeStream.format("memory").queryName("sess_stream")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("select * from sess_stream").collect()
+        assert len(rows) > 0
+        r0 = rows[0]
+        assert r0["session_end"] >= r0["session_start"]
+        assert r0["n_events"] >= 1
+        assert os.path.exists(events_dir)
