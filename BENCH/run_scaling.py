@@ -41,13 +41,23 @@ spark.sparkContext.setLogLevel("ERROR")
 
 # Materialize the replicated corpus as MULTI-FILE parquet (untimed): a real
 # Iceberg/CC table is many files; a single exploded file would serialize the
-# scan into one task and poison the scaling measurement (Amdahl).
+# scan into one task and poison the scaling measurement (Amdahl). Texts are
+# lengthened DOC_REPEAT x (driver docs are ~50 words; real Common-Crawl pages
+# are ~1k words) so per-doc tagging compute dominates orchestration overhead,
+# per BASELINE.md's "compute >> init" sizing requirement.
+DOC_REPEAT = int(os.environ.get("SCALING_DOC_REPEAT", "20"))
 if not os.path.exists(pages_dir + "/_SUCCESS"):
-    base = build_pages_df(spark, sf_dir)
-    pages_w = (base.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
-               .withColumn("url", F.concat_ws("#", F.col("url"), F.col("_rep")))
-               .drop("_rep"))
-    pages_w.repartition(128, "url").write.mode("overwrite").parquet(pages_dir)
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    long_docs = (docs
+                 .withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+                 .withColumn("doc_id", F.col("doc_id") * replicate + F.col("_rep"))
+                 .drop("_rep")
+                 .withColumn("text", F.concat_ws(" ", *([F.col("text")] * DOC_REPEAT)))
+                 .withColumn("n_chars", F.length("text")))
+    scaled_sf = pages_dir + "_docs"
+    long_docs.repartition(128, "doc_id").write.mode("overwrite").parquet(
+        scaled_sf + "/documents.parquet")
+    build_pages_df(spark, scaled_sf).write.mode("overwrite").parquet(pages_dir)
 
 pages = spark.read.parquet(pages_dir)
 n_docs = pages.filter("lang = 'en'").count()   # warms page cache; untimed

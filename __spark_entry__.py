@@ -88,11 +88,19 @@ def _event_tags(events: DataFrame, mapping: dict[str, str]) -> DataFrame:
     expr = F.lit("O")
     for k, v in mapping.items():
         expr = F.when(F.col("event_type") == k, F.lit(v)).otherwise(expr)
-    w = Window.partitionBy("user_id").orderBy("event_id")
-    return events.select(
+    # alias BEFORE windowing so this window and the downstream chunk-decode
+    # windows agree on the same partitioning attribute (seq_id) — otherwise
+    # Catalyst inserts a second Exchange for what is the same partitioning
+    base = events.select(
         F.col("user_id").cast("long").alias("seq_id"),
-        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        F.col("event_id"),
         expr.alias("tag"),
+    )
+    w = Window.partitionBy("seq_id").orderBy("event_id")
+    return base.select(
+        "seq_id",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        "tag",
     )
 
 

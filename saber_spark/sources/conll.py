@@ -1,0 +1,137 @@
+"""CoNLL-TSV corpus connector (token⇥tag lines, blank-line sentence breaks).
+
+Reference behavior being reimplemented (saber/dataset.py:17-85 via NLTK
+ConllCorpusReader; partition globbing train.*/valid.*/test.* at
+saber/utils/data_utils.py:15-49): a corpus directory holds one TSV per
+partition; each file is token<TAB>tag lines with blank lines separating
+sentences.
+
+Spark-first formulation (no NLTK): spark.read.text with the input file name
+attached, sentence ids assigned by a running count of blank lines per file
+(window over the line index), then groupBy-collect into
+(doc_id, partition, sent_id, tokens, tags) rows — the `sentences` DataFrame
+shape from FIXTURES.md §2.
+
+Scale: one shuffle (the window on file), then the groupBy reuses the file
+partitioning. Line order within a file is preserved via
+monotonically_increasing_id, which is monotone within a partition — each
+input file maps to >=1 whole partitions under text reads, so per-file order
+holds.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SENTENCES_SCHEMA = ("doc_id string, partition string, sent_id int, "
+                    "tokens array<string>, tags array<string>")
+
+PARTITION_PREFIXES = ("train", "valid", "test")  # data_utils.py:34-36
+
+
+def load_conll_file(spark: SparkSession, path: str,
+                    partition: str = "train") -> DataFrame:
+    """One CoNLL TSV -> sentences DataFrame."""
+    lines = (
+        spark.read.text(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.monotonically_increasing_id().alias("line_id"),
+            F.col("value"),
+        )
+    )
+    w = Window.partitionBy("file").orderBy("line_id")
+    with_sent = (
+        lines
+        .withColumn("is_blank", (F.trim(F.col("value")) == "").cast("int"))
+        .withColumn("sent_id", F.sum("is_blank").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("is_blank"))
+        .filter(F.col("is_blank") == 0)
+    )
+    parsed = with_sent.select(
+        F.col("file"),
+        F.col("sent_id").cast("int"),
+        F.col("line_id"),
+        F.split(F.col("value"), "\t").getItem(0).alias("token"),
+        F.split(F.col("value"), "\t").getItem(1).alias("tag"),
+    )
+    return (
+        parsed.groupBy("file", "sent_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("line_id", "token", "tag"))
+                         ).alias("rows"))
+        .select(
+            F.element_at(F.split(F.col("file"), "/"), -1).alias("doc_id"),
+            F.lit(partition).alias("partition"),
+            F.col("sent_id"),
+            F.transform(F.col("rows"), lambda r: r["token"]).alias("tokens"),
+            F.transform(F.col("rows"), lambda r: r["tag"]).alias("tags"),
+        )
+    )
+
+
+def load_conll_dir(spark: SparkSession, directory: str) -> DataFrame:
+    """Corpus directory -> sentences DataFrame with partition column.
+
+    Partition resolution mirrors the reference filename globbing
+    (train.* / valid.* / test.*, saber/utils/data_utils.py:15-49); files
+    matching no prefix raise, like the reference's ValueError.
+    """
+    parts: list[DataFrame] = []
+    for name in sorted(os.listdir(directory)):
+        path = os.path.join(directory, name)
+        if not os.path.isfile(path):
+            continue
+        prefix = next((p for p in PARTITION_PREFIXES
+                       if name.startswith(p)), None)
+        if prefix is None:
+            raise ValueError(
+                f"Expected CoNLL files named train.*/valid.*/test.*; got {name}")
+        parts.append(load_conll_file(spark, path, partition=prefix))
+    if not parts:
+        raise ValueError(f"No CoNLL files found in {directory}")
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def pool_compound_vocab(datasets: list[DataFrame]) -> DataFrame:
+    """Union word vocabulary across datasets (multi-task pooling).
+
+    Reference: load_compound_dataset shares word/char types across datasets
+    while tag sets stay per-dataset (saber/utils/data_utils.py:71-118).
+    Returns the pooled distinct token DataFrame; per-dataset tag maps are
+    built separately by the caller.
+    """
+    vocabs = [d.select(F.explode("tokens").alias("token")).distinct()
+              for d in datasets]
+    out = vocabs[0]
+    for v in vocabs[1:]:
+        out = out.unionByName(v)
+    return out.distinct()
+
+
+def replace_rare_tokens(sentences: DataFrame, count: int = 1) -> DataFrame:
+    """Replace corpus-rare tokens with '<UNK>' inside the tokens arrays.
+
+    Reference: replace_rare_tokens, NUM_RARE=1
+    (saber/preprocessor.py:229-257, saber/constants.py:27). Relational
+    form: explode -> groupBy count -> collect the (small) rare set -> a
+    broadcast array membership inside transform(). The rare set is bounded
+    by vocabulary size, not corpus size, so the local collect is safe.
+    """
+    freq = (sentences.select(F.explode("tokens").alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
+    rare = [r["token"] for r in freq.filter(F.col("freq") <= count).collect()]
+    rare_arr = F.array(*[F.lit(t) for t in rare]) if rare else F.array().cast(
+        "array<string>")
+    return sentences.withColumn(
+        "tokens",
+        F.transform(
+            "tokens",
+            lambda t: F.when(F.array_contains(rare_arr, t),
+                             F.lit("<UNK>")).otherwise(t)))

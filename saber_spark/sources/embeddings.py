@@ -1,0 +1,80 @@
+"""Word-embedding connector: word2vec text format -> broadcast matrix.
+
+Reference behavior (saber/embeddings.py:29-106, gensim-based):
+  - load vectors from word2vec format (`V d` header, then `word v1 .. vd`);
+  - prepare_embedding_index: word -> vector dict;
+  - prepare_embedding_matrix: row i = vector of word id i, ZERO row for
+    words without a vector (:97-106);
+  - load_all=False keeps only corpus-vocabulary words (the broadcast-size
+    optimization, :74-96); load_all=True regenerates the vocabulary from
+    the embedding file instead;
+  - debug mode caps at the first 10k vectors (:68).
+
+Spark-first: the file parses as a DataFrame (so a 100 GB embedding file
+semi-joins against the corpus vocab WITHOUT driver memory), and only the
+filtered result is collected into the NumPy matrix that ships to executors
+as a broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEBUG_VECTOR_CAP = 10_000  # parity: saber/embeddings.py:68
+
+
+def load_word2vec_text(spark: SparkSession, path: str,
+                       debug: bool = False) -> DataFrame:
+    """word2vec text file -> (word string, vector array<float>).
+
+    The `V d` header line is dropped by requiring >= 2 value tokens and a
+    non-numeric first field... more robustly: any line whose remainder
+    parses to d floats where d matches the header is kept.
+    """
+    raw = spark.read.text(path).select(F.col("value"))
+    parsed = raw.select(
+        F.split(F.trim(F.col("value")), r"\s+").alias("parts")
+    ).filter(F.size("parts") > 2).select(
+        F.element_at("parts", 1).alias("word"),
+        F.slice(F.col("parts"), 2, F.size("parts") - 1)
+        .cast("array<float>").alias("vector"),
+    ).filter(F.col("vector").getItem(0).isNotNull())
+    if debug:
+        parsed = parsed.limit(DEBUG_VECTOR_CAP)
+    return parsed
+
+
+def filter_to_vocab(embeddings: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Semi-join the embedding table against the corpus vocabulary.
+
+    Reference: Embeddings.load(load_all=False) keeps only corpus words
+    (saber/embeddings.py:74-96) — this is what keeps the broadcast small.
+    vocab: (token, token_id).
+    """
+    return embeddings.join(
+        F.broadcast(vocab.select(F.col("token").alias("word"))), "word",
+        "left_semi")
+
+
+def build_embedding_matrix(embeddings: DataFrame, vocab: DataFrame,
+                           dim: int | None = None) -> np.ndarray:
+    """(V_total x d) float32 matrix: row token_id = vector, zero for OOV.
+
+    Parity: saber/embeddings.py:97-106 (zero row for misses; ids 0/1 are
+    PAD/UNK and stay zero). Collect happens AFTER the vocab semi-join, so
+    driver memory is bounded by |corpus vocab|, not the embedding file.
+    """
+    joined = (vocab.join(embeddings.withColumnRenamed("word", "token"),
+                         "token", "left")
+              .select("token_id", "vector"))
+    rows = joined.collect()
+    if dim is None:
+        dim = next((len(r["vector"]) for r in rows if r["vector"] is not None), 0)
+    n = max((r["token_id"] for r in rows), default=-1) + 1
+    matrix = np.zeros((n, dim), dtype=np.float32)
+    for r in rows:
+        if r["vector"] is not None and len(r["vector"]) == dim:
+            matrix[r["token_id"]] = r["vector"]
+    return matrix

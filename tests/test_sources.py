@@ -1,0 +1,197 @@
+"""Tests for input connectors (CoNLL, embeddings, generic) and fan-out."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from saber_spark.fixtures.dictionary import surface_label_map
+from saber_spark.operators.fanout import fanout_mentions, harmonize_entities
+from saber_spark.operators.vocab import vocab_ids
+from saber_spark.sources.conll import (
+    load_conll_dir,
+    load_conll_file,
+    pool_compound_vocab,
+    replace_rare_tokens,
+)
+from saber_spark.sources.embeddings import (
+    build_embedding_matrix,
+    filter_to_vocab,
+    load_word2vec_text,
+)
+from saber_spark.sources.registry import read_table
+
+# mirrors the reference fixtures' shape
+# (saber/tests/resources/dummy_dataset_1/train.tsv: BIOES DISO tags)
+CONLL_TRAIN = """Human\tO
+APC2\tO
+maps\tO
+to\tO
+chromosome\tO
+19p13\tO
+.\tO
+
+The\tO
+absence\tB-DISO
+of\tI-DISO
+functional\tI-DISO
+C7\tE-DISO
+activity\tO
+.\tO
+"""
+
+CONLL_VALID = """Single\tO
+sentence\tB-PRGE
+.\tO
+"""
+
+W2V_TEXT = """4 3
+the 0.1 0.2 0.3
+absence 1.0 2.0 3.0
+maps -1.0 0.5 0.25
+zzz 9.0 9.0 9.0
+"""
+
+
+@pytest.fixture(scope="module")
+def conll_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("conll")
+    (d / "train.tsv").write_text(CONLL_TRAIN)
+    (d / "valid.tsv").write_text(CONLL_VALID)
+    return str(d)
+
+
+class TestConll:
+    def test_load_file(self, spark, conll_dir):
+        df = load_conll_file(spark, f"{conll_dir}/train.tsv")
+        rows = {r["sent_id"]: r for r in df.collect()}
+        assert len(rows) == 2
+        assert rows[0]["tokens"] == ["Human", "APC2", "maps", "to",
+                                     "chromosome", "19p13", "."]
+        assert rows[1]["tags"] == ["O", "B-DISO", "I-DISO", "I-DISO",
+                                   "E-DISO", "O", "O"]
+        assert rows[0]["partition"] == "train"
+
+    def test_load_dir_partitions(self, spark, conll_dir):
+        df = load_conll_dir(spark, conll_dir)
+        parts = {r["partition"] for r in df.collect()}
+        assert parts == {"train", "valid"}
+        assert df.count() == 3
+
+    def test_bad_filename_raises(self, spark, tmp_path):
+        (tmp_path / "bogus.tsv").write_text("a\tO\n")
+        with pytest.raises(ValueError):
+            load_conll_dir(spark, str(tmp_path))
+
+    def test_pool_compound_vocab(self, spark, conll_dir):
+        train = load_conll_file(spark, f"{conll_dir}/train.tsv")
+        valid = load_conll_file(spark, f"{conll_dir}/valid.tsv", "valid")
+        pooled = {r["token"] for r in
+                  pool_compound_vocab([train, valid]).collect()}
+        assert "Human" in pooled and "Single" in pooled
+        assert len(pooled) == len({t for r in (train.collect() + valid.collect())
+                                   for t in r["tokens"]})
+
+    def test_replace_rare(self, spark):
+        df = spark.createDataFrame(
+            [("d", "train", 0, ["x", "x", "y"], ["O", "O", "O"]),
+             ("d", "train", 1, ["x", "z"], ["O", "O"])],
+            "doc_id string, partition string, sent_id int, "
+            "tokens array<string>, tags array<string>")
+        out = {r["sent_id"]: r["tokens"]
+               for r in replace_rare_tokens(df, count=1).collect()}
+        assert out[0] == ["x", "x", "<UNK>"]
+        assert out[1] == ["x", "<UNK>"]
+
+
+class TestEmbeddings:
+    @pytest.fixture(scope="class")
+    def w2v_path(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("emb") / "w2v.txt"
+        p.write_text(W2V_TEXT)
+        return str(p)
+
+    def test_load(self, spark, w2v_path):
+        df = load_word2vec_text(spark, w2v_path)
+        rows = {r["word"]: r["vector"] for r in df.collect()}
+        assert len(rows) == 4  # header line dropped
+        assert rows["absence"] == [1.0, 2.0, 3.0]
+
+    def test_matrix_with_vocab_filter(self, spark, w2v_path):
+        docs = spark.createDataFrame(
+            [(0, "the absence maps")], "doc_id long, text string")
+        from saber_spark.operators.vocab import tokenize_docs
+        vocab = vocab_ids(tokenize_docs(docs))
+        emb = filter_to_vocab(load_word2vec_text(spark, w2v_path), vocab)
+        assert emb.count() == 3  # zzz filtered out (not in corpus)
+        matrix = build_embedding_matrix(emb, vocab)
+        ids = {r["token"]: r["token_id"] for r in vocab.collect()}
+        assert matrix.shape == (2 + len(ids) - 0, 3) or matrix.shape[1] == 3
+        np.testing.assert_allclose(matrix[ids["absence"]], [1.0, 2.0, 3.0])
+        # PAD/UNK rows stay zero (saber/embeddings.py:97-106 parity)
+        assert not matrix[0].any() and not matrix[1].any()
+
+    def test_debug_cap(self, spark, w2v_path):
+        assert load_word2vec_text(spark, w2v_path, debug=True).count() <= 10000
+
+
+class TestRegistry:
+    def test_parquet_and_csv(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "a")], "id long, s string")
+        df.write.parquet(str(tmp_path / "t.parquet"))
+        df.write.option("header", "true").csv(str(tmp_path / "t.csv"))
+        assert read_table(spark, str(tmp_path / "t.parquet")).count() == 1
+        got = read_table(spark, str(tmp_path / "t.csv"), fmt="csv").collect()
+        assert got[0]["s"] == "a"
+
+    def test_bad_format(self, spark):
+        with pytest.raises(ValueError):
+            read_table(spark, "/nope", fmt="avro")
+
+
+class TestFanout:
+    def test_harmonize(self):
+        assert harmonize_entities(
+            {"PRGE": False, "DISO": False}, {"PRGE": True, "XXX": True}
+        ) == {"PRGE": True, "DISO": False}
+
+    def test_fanout_superset_of_single_pass(self, spark):
+        """K per-type models unioned ⊇ one multi-type model.
+
+        Reference semantics: each model tags independently and
+        combine_annotations concatenates, so mentions that a multi-type
+        greedy pass consumes into a longer cross-type surface (here
+        'fast table'/CHED swallowing 'table'/PRGE) REAPPEAR from the
+        single-type model — overlapping ents coexist
+        (saber/utils/app_utils.py:165-178)."""
+        full_map = surface_label_map()
+        per_type = {}
+        for key, label in full_map.items():
+            per_type.setdefault(label, {})[key] = label
+        extracted = spark.createDataFrame(
+            [("u1", "spark causes slow sort . customer stream big data ."),
+             ("u2", "vector table fast table merge .")],
+            "url string, doc_text string")
+        from saber_spark.operators.tagger import detect_mentions
+        bc = spark.sparkContext.broadcast(full_map)
+        single = {tuple(r) for r in detect_mentions(extracted, bc).collect()}
+        fan = {tuple(r) for r in
+               fanout_mentions(extracted, per_type).collect()}
+        assert single <= fan
+        extra = fan - single
+        # every extra mention overlaps a longer mention of another type
+        assert extra == {("u2", 0, 3, 4, 18, 23, "table", "PRGE")}
+
+    def test_fanout_subset(self, spark):
+        full_map = surface_label_map()
+        per_type = {}
+        for key, label in full_map.items():
+            per_type.setdefault(label, {})[key] = label
+        extracted = spark.createDataFrame(
+            [("u1", "spark slow sort customer .")],
+            "url string, doc_text string")
+        only_prge = fanout_mentions(
+            extracted, per_type,
+            requested={"PRGE": True, "DISO": False, "CHED": False,
+                       "LIVB": False})
+        labels = {r["label"] for r in only_prge.collect()}
+        assert labels == {"PRGE"}
