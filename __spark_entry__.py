@@ -399,6 +399,47 @@ def q_doc_fingerprint(spark, sf_dir):
         "doc_id", F.col("fingerprint").cast("long").alias("fingerprint"))
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation (region -> nation -> grand total).
+
+    The micro/macro aggregation vehicle from SURVEY §2.2 (O20/O21): subtotal
+    rows correspond to pooled (micro) scores, leaf rows to per-label scores.
+    """
+    lineitem = tpch.load(spark, sf_dir, "lineitem")
+    orders = tpch.load(spark, sf_dir, "orders")
+    customer = tpch.load(spark, sf_dir, "customer")
+    nation = tpch.load(spark, sf_dir, "nation")
+    region = tpch.load(spark, sf_dir, "region")
+    dims = (customer
+            .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .select("c_custkey", "n_name", "r_name"))
+    base = (lineitem
+            .join(orders.select("o_orderkey", "o_custkey"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(dims, F.col("o_custkey") == F.col("c_custkey")))
+    return (base.rollup("r_name", "n_name")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                 .cast("double").alias("total_price"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def q_setops_active_customers(spark, sf_dir):
+    """INTERSECT/EXCEPT set operators (vocab-union generalization, O6/O10).
+
+    active  = customers with orders INTERSECT positive-balance customers
+    dormant = positive-balance customers EXCEPT customers with orders
+    """
+    customer = tpch.load(spark, sf_dir, "customer")
+    orders = tpch.load(spark, sf_dir, "orders")
+    pos = customer.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey"))
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    active = pos.intersect(with_orders).withColumn("status", F.lit("active"))
+    dormant = pos.exceptAll(with_orders).withColumn("status", F.lit("dormant"))
+    return active.unionByName(dormant)
+
+
 # ------------------------------------------------ UDF stages (rows-only)
 
 def q_kg_mentions(spark, sf_dir):
@@ -458,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "rollup_revenue": q_rollup_revenue,
+        "setops_active_customers": q_setops_active_customers,
         "kg_mentions": q_kg_mentions,
         "kg_edges": q_kg_edges,
         "multimodal_features": q_multimodal_features,
@@ -755,4 +798,20 @@ def oracle_sql() -> dict[str, str]:
                      % {FP_MOD} AS fingerprint
             FROM tokens JOIN vocab USING (token)
             GROUP BY doc_id""",
+        "rollup_revenue": """
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)""",
+        "setops_active_customers": """
+            WITH pos AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0),
+            wo AS (SELECT DISTINCT o_custkey AS custkey FROM orders)
+            SELECT custkey, 'active' AS status FROM (SELECT custkey FROM pos INTERSECT SELECT custkey FROM wo)
+            UNION ALL
+            SELECT custkey, 'dormant' AS status FROM (SELECT custkey FROM pos EXCEPT SELECT custkey FROM wo)""",
     }

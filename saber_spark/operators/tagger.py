@@ -79,14 +79,32 @@ class DictionaryTagger:
 
 # Per-Python-worker model cache (the "load once per executor" pattern;
 # reference analogue saber/saber.py:76-81 lazy init).
-_MODEL_CACHE: dict[int, DictionaryTagger] = {}
+_MODEL_CACHE: dict[int, object] = {}
 
 
-def _get_model(payload: dict[tuple[str, ...], str]) -> DictionaryTagger:
+def _build_model(payload):
+    """Model factory from a broadcast payload.
+
+    Two payload shapes:
+      {(token,...): label, ...}                         -> DictionaryTagger
+      {"kind": "viterbi", "surface_map": ..., "word_to_idx": ...}
+                                                        -> ViterbiCRFTagger
+    A trained neural model slots in as another "kind" without touching the
+    Spark plan (the mapInPandas stage is model-agnostic).
+    """
+    if isinstance(payload, dict) and payload.get("kind") == "viterbi":
+        from saber_spark.models import ViterbiCRFTagger
+
+        return ViterbiCRFTagger.from_dictionary(
+            payload["surface_map"], payload["word_to_idx"])
+    return DictionaryTagger(payload)
+
+
+def _get_model(payload):
     key = id(payload)
     model = _MODEL_CACHE.get(key)
     if model is None:
-        model = DictionaryTagger(payload)
+        model = _build_model(payload)
         _MODEL_CACHE.clear()
         _MODEL_CACHE[key] = model
     return model

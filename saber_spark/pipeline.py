@@ -41,6 +41,7 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     lang: str | None = "en",
     repartition: int | None = None,
+    coref: bool = False,
 ) -> dict[str, DataFrame]:
     """Full pipeline; returns {mentions, linked, nodes, triples, edges}.
 
@@ -61,6 +62,11 @@ def run_pipeline(
         # explicit url-hash repartition: uniform work distribution into the
         # Python tagger stage regardless of upstream file layout
         extracted = extracted.repartition(repartition, F.col("url"))
+        if coref:
+            # optional coref stage (reference: coref=True rewrites pronouns
+            # before tagging, saber/preprocessor.py:54-57; off by default)
+            from saber_spark.operators.coref import resolve_coreferences
+            extracted = resolve_coreferences(extracted, surface_bc)
         return detect_mentions(extracted, surface_bc)
 
     mentions = ckpt.run_stage(spark, checkpoint_dir, "mentions", compute_mentions)
