@@ -342,18 +342,18 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    return minhash_signatures(_docs(spark, sf_dir)).select(
+    return minhash_signatures(_docs(spark, sf_dir), portable_ids=True).select(
         "doc_id", F.col("seed_id").cast("long").alias("seed_id"),
         F.col("minhash").cast("long").alias("minhash"))
 
 
 def q_minhash_candidates(spark, sf_dir):
-    return minhash_candidates(_docs(spark, sf_dir))
+    return minhash_candidates(_docs(spark, sf_dir), portable_ids=True)
 
 
 def q_ngram_jaccard(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    return ngram_jaccard(docs, minhash_candidates(docs))
+    return ngram_jaccard(docs, minhash_candidates(docs, portable_ids=True))
 
 
 def q_simhash(spark, sf_dir):

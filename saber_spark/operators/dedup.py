@@ -79,16 +79,36 @@ def doc_shingles(docs: DataFrame, text_col: str = "text",
             .distinct())
 
 
-def _doc_shingle_ids(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """distinct (doc_id, shingle_id) via the deterministic shingle vocab."""
+def _doc_shingle_ids(docs: DataFrame, text_col: str, id_col: str,
+                     portable_ids: bool = False) -> DataFrame:
+    """distinct (doc_id, shingle_id).
+
+    Two id assignments:
+      portable_ids=False (PRODUCTION): shingle_id = xxhash64(shingle),
+        a narrow map — no vocab table, no shuffle, no global sort. This is
+        the only shape that survives 10^12 docs, where the shingle vocab
+        itself is trillions of rows.
+      portable_ids=True (ORACLE): dense ids via a row_number over the
+        distinct shingle vocabulary — engine-portable arithmetic so the
+        DuckDB twin computes identical signatures. Bounded-vocab inputs
+        only (the sort is global).
+    """
     sh = doc_shingles(docs, text_col=text_col, id_col=id_col)
+    if not portable_ids:
+        # reduce into [0, P) so the affine permutation hash a*x+b cannot
+        # overflow int64 (a ~ 1e9, x < P ~ 2.1e9 -> product < 2^62)
+        return sh.select(
+            id_col,
+            F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME)
+                   ).alias("shingle_id"))
     vocab = vocab_ids(sh.withColumnRenamed("shingle", "token"))
     return (sh.join(F.broadcast(vocab), sh.shingle == vocab.token)
             .select(id_col, F.col("token_id").alias("shingle_id")))
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       portable_ids: bool = False) -> DataFrame:
     """-> (doc_id, seed_id, minhash): k-permutation MinHash signature rows.
 
     h_i(x) = (a_i * x + b_i) mod P over the doc's distinct SHINGLE ids —
@@ -96,7 +116,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     """
     spark = docs.sparkSession
     seeds = spark.createDataFrame(MINHASH_SEEDS, "seed_id int, a long, b long")
-    doc_sh = _doc_shingle_ids(docs, text_col, id_col)
+    doc_sh = _doc_shingle_ids(docs, text_col, id_col, portable_ids)
     return (
         doc_sh.crossJoin(F.broadcast(seeds))
         .select(
@@ -110,14 +130,14 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 
 def minhash_candidates(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", rows_per_band: int = 2
-                       ) -> DataFrame:
+                       id_col: str = "doc_id", rows_per_band: int = 2,
+                       portable_ids: bool = False) -> DataFrame:
     """LSH banding -> candidate near-duplicate pairs (doc_a < doc_b).
 
     Docs agreeing on EVERY minhash within at least one band become a
     candidate pair. Self-join happens per (band, signature) bucket.
     """
-    sigs = minhash_signatures(docs, text_col, id_col)
+    sigs = minhash_signatures(docs, text_col, id_col, portable_ids)
     bands = (
         sigs.withColumn("band", (F.col("seed_id") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
