@@ -92,6 +92,8 @@ def _build_model(payload):
     A trained neural model slots in as another "kind" without touching the
     Spark plan (the mapInPandas stage is model-agnostic).
     """
+    if hasattr(payload, "predict_tags"):
+        return payload  # a ready model (e.g. a trained ViterbiCRFTagger)
     if isinstance(payload, dict) and payload.get("kind") == "viterbi":
         from saber_spark.models import ViterbiCRFTagger
 
