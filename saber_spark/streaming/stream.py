@@ -32,6 +32,46 @@ def stream_mentions(pages_stream: DataFrame,
     return detect_mentions(extract_text(pages_stream), surface_map_bc)
 
 
+def stream_running_label_counts(mentions_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-label mention statistics.
+
+    applyInPandasWithState keeps one state row per label across ALL
+    micro-batches: cumulative count + distinct-ish url cardinality (bounded
+    by keeping only a capped url set in state — the bound is what makes the
+    operator safe at 10^12 events). Emits the updated totals each batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    STATE_SCHEMA = "n long, urls array<string>"
+    OUTPUT_SCHEMA = "label string, n_mentions long, n_urls_lowerbound long"
+    URL_CAP = 1000
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+        n, urls = state.get if state.exists else (0, [])
+        url_set = set(urls)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            for u in pdf["url"]:
+                if len(url_set) < URL_CAP:
+                    url_set.add(u)
+        state.update((n, sorted(url_set)))
+        yield pd.DataFrame({
+            "label": [key[0]],
+            "n_mentions": [n],
+            "n_urls_lowerbound": [len(url_set)],
+        })
+
+    return (mentions_stream
+            .groupBy("label")
+            .applyInPandasWithState(
+                update,
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def stream_windowed_counts(events_stream: DataFrame,
                            window: str = "1 hour",
                            watermark: str = "10 minutes") -> DataFrame:

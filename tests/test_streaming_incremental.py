@@ -124,3 +124,35 @@ class TestResumeRobustness:
         out = run_pipeline(spark, pages, checkpoint_dir=ckpt)
         cols = set(out["nodes"].columns)
         assert {"canonical_id", "label", "n_mentions", "n_docs"} <= cols
+
+
+class TestStatefulLabelCounts:
+    def test_running_counts_accumulate_across_batches(self, spark, tmp_path):
+        """applyInPandasWithState keeps per-label state across micro-batches:
+        the final update must equal the all-batch totals."""
+        from saber_spark.operators.extract import extract_text
+        from saber_spark.operators.tagger import detect_mentions
+        from saber_spark.streaming.stream import stream_running_label_counts
+
+        pages_dir = str(tmp_path / "pages")
+        build_pages_df(spark, SF_DIR).filter("lang = 'en'").write.parquet(pages_dir)
+        schema = spark.read.parquet(pages_dir).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "2").parquet(pages_dir))
+        bc = spark.sparkContext.broadcast(surface_label_map())
+        mentions_stream = detect_mentions(extract_text(stream), bc)
+        q = (stream_running_label_counts(mentions_stream)
+             .writeStream.format("memory").queryName("label_counts")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        # last update per label (memory sink appends every update)
+        rows = spark.sql("""
+            SELECT label, max(n_mentions) AS n FROM label_counts GROUP BY label
+        """).collect()
+        got = {r["label"]: r["n"] for r in rows}
+        batch = detect_mentions(
+            extract_text(spark.read.parquet(pages_dir)), bc)
+        expected = {r["label"]: r["n"] for r in
+                    batch.groupBy("label").agg(
+                        F.count(F.lit(1)).alias("n")).collect()}
+        assert got == expected
