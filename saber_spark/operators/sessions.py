@@ -17,12 +17,26 @@ from pyspark.sql import functions as F
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 
+def _epoch_micros(ts_col: str):
+    """Microseconds since epoch of a TIMESTAMP_NTZ, timezone-INDEPENDENT.
+
+    ``unix_micros(cast(ts as timestamp))`` would interpret the naive value
+    in the SESSION timezone — a driver session not running UTC would shift
+    every boundary and break oracle parity. NTZ-to-NTZ timestampdiff has no
+    timezone in it at all, matching DuckDB's epoch_us on naive timestamps.
+    """
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"))
+
+
 def sessionize(events: DataFrame, user_col: str = "user_id",
                ts_col: str = "ts", gap_us: int = SESSION_GAP_US) -> DataFrame:
     """-> per-session rows (user_id, session_id, n_events, session_start_us,
     session_end_us, total_value). session_id is 1-based per user."""
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = _epoch_micros(ts_col)
     with_break = events.withColumn(
         "_new_session",
         F.when(us - F.lag(us).over(w) > gap_us, 1)
@@ -48,7 +62,7 @@ def tumbling_window_agg(events: DataFrame, window_minutes: int = 60) -> DataFram
     -> (window_start_us, event_type, n_events, total_value rounded 6).
     """
     win_us = window_minutes * 60 * 1_000_000
-    start = (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / win_us) * win_us)
+    start = (F.floor(_epoch_micros("ts") / win_us) * win_us)
     return (
         events.groupBy(start.alias("window_start_us"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
