@@ -399,6 +399,12 @@ def q_doc_fingerprint(spark, sf_dir):
         "doc_id", F.col("fingerprint").cast("long").alias("fingerprint"))
 
 
+def q_zscore_by_source(spark, sf_dir):
+    """applyInPandas grouped-map vs pure window SQL (cross-paradigm parity)."""
+    from saber_spark.operators.groupstats import zscore_by_group
+    return zscore_by_group(_docs(spark, sf_dir))
+
+
 def q_rollup_revenue(spark, sf_dir):
     """ROLLUP aggregation (region -> nation -> grand total).
 
@@ -499,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "zscore_by_source": q_zscore_by_source,
         "rollup_revenue": q_rollup_revenue,
         "setops_active_customers": q_setops_active_customers,
         "kg_mentions": q_kg_mentions,
@@ -798,6 +805,13 @@ def oracle_sql() -> dict[str, str]:
                      % {FP_MOD} AS fingerprint
             FROM tokens JOIN vocab USING (token)
             GROUP BY doc_id""",
+        "zscore_by_source": """
+            SELECT doc_id, source, n_chars,
+                   round(CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY source) > 0
+                              THEN (n_chars - avg(n_chars) OVER (PARTITION BY source))
+                                   / stddev_pop(n_chars) OVER (PARTITION BY source)
+                              ELSE 0.0 END, 6) AS zscore
+            FROM documents""",
         "rollup_revenue": """
             SELECT r_name, n_name,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
