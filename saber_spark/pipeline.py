@@ -54,7 +54,12 @@ def run_pipeline(
     if surface_map is None:
         surface_map = surface_label_map()
     if repartition is None:
-        repartition = spark.sparkContext.defaultParallelism * 3
+        # enough tasks to keep every core busy with headroom for stragglers,
+        # but never a large multiple of the actual input split count — tiny
+        # inputs would otherwise pay 3 stages of near-empty task overhead
+        par = spark.sparkContext.defaultParallelism
+        n_input = pages.rdd.getNumPartitions()
+        repartition = max(par, min(par * 3, n_input * 4))
     surface_bc = spark.sparkContext.broadcast(surface_map)
 
     def compute_mentions() -> DataFrame:
