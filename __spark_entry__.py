@@ -405,6 +405,83 @@ def q_zscore_by_source(spark, sf_dir):
     return zscore_by_group(_docs(spark, sf_dir))
 
 
+def q_eval_prf_left(spark, sf_dir):
+    """Chunk eval under the 'left' boundary criteria (saber/metrics.py:161)."""
+    events = _events(spark, sf_dir)
+    gold = chunk_bio_sql(_event_tags(events, TAG_CASE))
+    pred = chunk_bio_sql(_event_tags(events, PRED_TAG_CASE))
+    return evaluate_chunks(gold, pred, criteria="left", extra_keys=["seq_id"])
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + single aggregate (pushdown showcase)."""
+    li = tpch.load(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                       * F.col("l_discount").cast("decimal(5,4)"))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def q_above_nation_avg(spark, sf_dir):
+    """Correlated-subquery shape (decorrelation): customers whose balance
+    exceeds their nation's average balance."""
+    customer = tpch.load(spark, sf_dir, "customer")
+    nation_avg = (customer.groupBy("c_nationkey")
+                  .agg(F.avg(F.col("c_acctbal").cast("decimal(12,2)"))
+                       .cast("double").alias("nation_avg")))
+    return (customer.join(nation_avg, "c_nationkey")
+            .filter(F.col("c_acctbal") > F.col("nation_avg"))
+            .select("c_custkey", "c_nationkey", "c_acctbal",
+                    F.round(F.col("nation_avg"), 6).alias("nation_avg")))
+
+
+def q_exists_high_value(spark, sf_dir):
+    """EXISTS / left-semi: orders having at least one lineitem > 1900."""
+    orders = tpch.load(spark, sf_dir, "orders")
+    li = tpch.load(spark, sf_dir, "lineitem")
+    high = li.filter(F.col("l_extendedprice") > 1900).select("l_orderkey")
+    return (orders.join(high, orders.o_orderkey == high.l_orderkey,
+                        "left_semi")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """NOT EXISTS / anti join: FN-side of the eval joins (O20).
+
+    Restricted to URGENT orders so the result is non-empty on testdata
+    (every customer has some order; ~200 lack an urgent one at sf0.01)."""
+    customer = tpch.load(spark, sf_dir, "customer")
+    urgent = tpch.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    return (customer.join(urgent,
+                          customer.c_custkey == urgent.o_custkey,
+                          "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+def q_token_bigrams(spark, sf_dir):
+    """Token bigram counts over the corpus (n-gram LM statistics)."""
+    tokens = tokenize_docs(_docs(spark, sf_dir))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (tokens
+            .withColumn("next_token", F.lead("token").over(w))
+            .filter(F.col("next_token").isNotNull())
+            .groupBy("token", "next_token")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_mentions_histogram(spark, sf_dir):
+    """Distribution query: how many docs have k linked mentions (count of
+    counts — the shape of corpus QA dashboards)."""
+    linked = _linked_spark(spark, sf_dir)
+    per_doc = linked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("k"))
+    return per_doc.groupBy("k").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_rollup_revenue(spark, sf_dir):
     """ROLLUP aggregation (region -> nation -> grand total).
 
@@ -506,6 +583,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "zscore_by_source": q_zscore_by_source,
+        "eval_prf_left": q_eval_prf_left,
+        "tpch_q6": q_tpch_q6,
+        "above_nation_avg": q_above_nation_avg,
+        "exists_high_value": q_exists_high_value,
+        "customers_without_orders": q_customers_without_orders,
+        "token_bigrams": q_token_bigrams,
+        "mentions_histogram": q_mentions_histogram,
         "rollup_revenue": q_rollup_revenue,
         "setops_active_customers": q_setops_active_customers,
         "kg_mentions": q_kg_mentions,
@@ -805,6 +889,75 @@ def oracle_sql() -> dict[str, str]:
                      % {FP_MOD} AS fingerprint
             FROM tokens JOIN vocab USING (token)
             GROUP BY doc_id""",
+        "eval_prf_left": f"""
+            WITH {_chunks_cte_sql(TAG_CASE, 'g')}, {_chunks_cte_sql(PRED_TAG_CASE, 'p')},
+            g AS (SELECT DISTINCT seq_id, label, chunk_start FROM g_chunks),
+            p AS (SELECT DISTINCT seq_id, label, chunk_start FROM p_chunks),
+            tp AS (SELECT label, count(*) AS tp
+                   FROM g JOIN p USING (seq_id, label, chunk_start)
+                   GROUP BY label),
+            fn AS (SELECT label, count(*) AS fn
+                   FROM g ANTI JOIN p USING (seq_id, label, chunk_start)
+                   GROUP BY label),
+            fp AS (SELECT label, count(*) AS fp
+                   FROM p ANTI JOIN g USING (seq_id, label, chunk_start)
+                   GROUP BY label),
+            labels AS (SELECT DISTINCT label FROM g),
+            m AS (SELECT l.label,
+                         coalesce(tp.tp, 0) AS tp, coalesce(fp.fp, 0) AS fp,
+                         coalesce(fn.fn, 0) AS fn
+                  FROM labels l
+                  LEFT JOIN tp ON l.label = tp.label
+                  LEFT JOIN fn ON l.label = fn.label
+                  LEFT JOIN fp ON l.label = fp.label)
+            SELECT label, tp, fp, fn,
+                   round(CASE WHEN tp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0 END, 6) AS precision,
+                   round(CASE WHEN tp > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0 END, 6) AS recall,
+                   round(CASE WHEN tp > 0 AND (2*tp + fp + fn) > 0
+                              THEN 2.0 * (tp / (tp + fp)::DOUBLE) * (tp / (tp + fn)::DOUBLE)
+                                   / ((tp / (tp + fp)::DOUBLE) + (tp / (tp + fn)::DOUBLE))
+                              ELSE 0 END, 6) AS f1
+            FROM m""",
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_discount AS DECIMAL(5,4))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        "above_nation_avg": """
+            WITH na AS (
+              SELECT c_nationkey,
+                     CAST(avg(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS nation_avg
+              FROM customer GROUP BY c_nationkey)
+            SELECT c_custkey, c.c_nationkey, c_acctbal,
+                   round(nation_avg, 6) AS nation_avg
+            FROM customer c JOIN na ON c.c_nationkey = na.c_nationkey
+            WHERE c_acctbal > nation_avg""",
+        "exists_high_value": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_extendedprice > 1900)""",
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')""",
+        "token_bigrams": f"""
+            WITH {TOKENS_CTE},
+            nx AS (
+              SELECT token,
+                     lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS next_token
+              FROM tokens)
+            SELECT token, next_token, count(*) AS n
+            FROM nx WHERE next_token IS NOT NULL
+            GROUP BY token, next_token""",
+        "mentions_histogram": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            per_doc AS (SELECT doc_id, count(*) AS k FROM linked GROUP BY doc_id)
+            SELECT k, count(*) AS n_docs FROM per_doc GROUP BY k""",
         "zscore_by_source": """
             SELECT doc_id, source, n_chars,
                    round(CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY source) > 0
