@@ -63,9 +63,11 @@ def main() -> None:
     bench_queries = [
         "token_freq", "bio_chunks", "entity_link", "canonicalize_salted",
         "triples_cooccur", "sessionize", "tpch_q1", "tpch_q3_top10",
-        "tpch_q5_nation", "dedup_exact", "minhash_candidates",
+        "tpch_q5_nation", "tpch_q6", "dedup_exact", "minhash_candidates",
         "ngram_jaccard", "simhash", "cosine_topk", "lsh_cosine_topk",
-        "lang_id", "quality_score", "doc_fingerprint",
+        "lang_id", "quality_score", "doc_fingerprint", "rollup_revenue",
+        "above_nation_avg", "exists_high_value", "token_bigrams",
+        "zscore_by_source", "eval_prf",
     ]
     for name in bench_queries:
         t0 = time.monotonic()

@@ -15,7 +15,6 @@ combine_annotations.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from saber_spark.operators.tagger import detect_mentions
 

@@ -55,24 +55,54 @@ class DictionaryTagger:
     def __init__(self, surface_map: dict[tuple[str, ...], str]):
         self.surface_map = surface_map
         self.max_len = max((len(k) for k in surface_map), default=1)
+        # hot-loop layout: single-token surfaces get a direct dict; longer
+        # surfaces are grouped by length (desc) behind a first-token gate so
+        # the common case (no match) costs ONE dict probe per token instead
+        # of max_len tuple allocations — this loop runs once per token of
+        # the whole corpus inside the mapInPandas stage
+        self._singles: dict[str, str] = {}
+        by_len: dict[int, dict[tuple[str, ...], str]] = {}
+        for key, label in surface_map.items():
+            if len(key) == 1:
+                self._singles[key[0]] = label
+            else:
+                by_len.setdefault(len(key), {})[key] = label
+        self._multis = [
+            (length, d, {k[0] for k in d})
+            for length, d in sorted(by_len.items(), reverse=True)
+        ]
+        # precomputed tag strings (avoid per-hit f-string formatting)
+        labels = set(surface_map.values())
+        self._b = {lab: f"B-{lab}" for lab in labels}
+        self._i = {lab: f"I-{lab}" for lab in labels}
 
     def predict_tags(self, sentences: list[list[str]]) -> list[list[str]]:
+        singles, multis = self._singles, self._multis
+        b_tag, i_tag = self._b, self._i
         out = []
         for tokens in sentences:
             n = len(tokens)
             tags = ["O"] * n
             i = 0
             while i < n:
-                matched = 0
-                for length in range(min(self.max_len, n - i), 0, -1):
-                    label = self.surface_map.get(tuple(tokens[i:i + length]))
-                    if label is not None:
-                        tags[i] = f"B-{label}"
-                        for j in range(i + 1, i + length):
-                            tags[j] = f"I-{label}"
-                        matched = length
-                        break
-                i += matched if matched else 1
+                t = tokens[i]
+                label = None
+                length = 1
+                for mlen, d, firsts in multis:  # longest first
+                    if t in firsts and i + mlen <= n:
+                        label = d.get(tuple(tokens[i:i + mlen]))
+                        if label is not None:
+                            length = mlen
+                            break
+                if label is None:
+                    label = singles.get(t)
+                if label is None:
+                    i += 1
+                    continue
+                tags[i] = b_tag[label]
+                for j in range(i + 1, i + length):
+                    tags[j] = i_tag[label]
+                i += length
             out.append(tags)
         return out
 

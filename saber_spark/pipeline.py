@@ -46,8 +46,9 @@ def run_pipeline(
     """Full pipeline; returns {mentions, linked, nodes, triples, edges}.
 
     ``repartition`` spreads extraction+tagging uniformly over the cluster on
-    hash(url) (north_rule); default 3x the session's parallelism so AQE can
-    still coalesce small outputs.
+    hash(url) (north_rule); default = 3x the session's parallelism, capped
+    at 4x the input split count so tiny inputs don't pay empty-task
+    overhead. AQE coalesces the downstream aggregation outputs.
     """
     if dictionary is None:
         dictionary = grounding_dict_df(spark)
