@@ -141,6 +141,40 @@ def _chunks_cte_sql(mapping: dict[str, str], prefix: str) -> str:
 """
 
 
+def _eval_oracle_sql(criteria_keys: str) -> str:
+    """Chunk-eval oracle parameterized by the boundary-criteria key columns
+    (exact: start+end, left: start, right: end — saber/metrics.py:158-166)."""
+    return f"""
+            WITH {_chunks_cte_sql(TAG_CASE, 'g')}, {_chunks_cte_sql(PRED_TAG_CASE, 'p')},
+            g AS (SELECT DISTINCT seq_id, label, {criteria_keys} FROM g_chunks),
+            p AS (SELECT DISTINCT seq_id, label, {criteria_keys} FROM p_chunks),
+            tp AS (SELECT label, count(*) AS tp
+                   FROM g JOIN p USING (seq_id, label, {criteria_keys})
+                   GROUP BY label),
+            fn AS (SELECT label, count(*) AS fn
+                   FROM g ANTI JOIN p USING (seq_id, label, {criteria_keys})
+                   GROUP BY label),
+            fp AS (SELECT label, count(*) AS fp
+                   FROM p ANTI JOIN g USING (seq_id, label, {criteria_keys})
+                   GROUP BY label),
+            labels AS (SELECT DISTINCT label FROM g),
+            m AS (SELECT l.label,
+                         coalesce(tp.tp, 0) AS tp, coalesce(fp.fp, 0) AS fp,
+                         coalesce(fn.fn, 0) AS fn
+                  FROM labels l
+                  LEFT JOIN tp ON l.label = tp.label
+                  LEFT JOIN fn ON l.label = fn.label
+                  LEFT JOIN fp ON l.label = fp.label)
+            SELECT label, tp, fp, fn,
+                   round(CASE WHEN tp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0 END, 6) AS precision,
+                   round(CASE WHEN tp > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0 END, 6) AS recall,
+                   round(CASE WHEN tp > 0 AND (2*tp + fp + fn) > 0
+                              THEN 2.0 * (tp / (tp + fp)::DOUBLE) * (tp / (tp + fn)::DOUBLE)
+                                   / ((tp / (tp + fp)::DOUBLE) + (tp / (tp + fn)::DOUBLE))
+                              ELSE 0 END, 6) AS f1
+            FROM m"""
+
+
 # ------------------------------------------------------- shared SQL pieces
 
 TOKENS_CTE = f"""
@@ -268,10 +302,10 @@ def q_canonicalize_salted(spark, sf_dir):
     linked = _linked_spark(spark, sf_dir)
     counts = salted_count(linked, ["canonical_id", "label"], "doc_id",
                           out_col="n_mentions")
-    docs = (linked.select("canonical_id", "doc_id").dropDuplicates()
-            .groupBy("canonical_id")
+    docs = (linked.select("canonical_id", "label", "doc_id").dropDuplicates()
+            .groupBy("canonical_id", "label")
             .agg(F.count(F.lit(1)).alias("n_docs")))
-    return counts.join(docs, "canonical_id").select(
+    return counts.join(docs, ["canonical_id", "label"]).select(
         "canonical_id", "label", "n_mentions", "n_docs")
 
 
@@ -374,6 +408,16 @@ def q_lsh_cosine_topk(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"))
 
 
+def q_lsh_cosine_multiband(spark, sf_dir):
+    """Multi-band OR construction (2 bands x 3 planes): a pair is scored if
+    it shares a bucket in ANY band — the recall-recovery half of the scaled
+    ANN design (n_planes grows with log N, bands restore recall)."""
+    return lsh_cosine_topk(_embeddings(spark, sf_dir), k=3,
+                           n_planes=3, n_bands=2).select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"))
+
+
 def q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir)).select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -411,6 +455,14 @@ def q_eval_prf_left(spark, sf_dir):
     gold = chunk_bio_sql(_event_tags(events, TAG_CASE))
     pred = chunk_bio_sql(_event_tags(events, PRED_TAG_CASE))
     return evaluate_chunks(gold, pred, criteria="left", extra_keys=["seq_id"])
+
+
+def q_eval_prf_right(spark, sf_dir):
+    """Chunk eval under the 'right' boundary criteria (saber/metrics.py:163-166)."""
+    events = _events(spark, sf_dir)
+    gold = chunk_bio_sql(_event_tags(events, TAG_CASE))
+    pred = chunk_bio_sql(_event_tags(events, PRED_TAG_CASE))
+    return evaluate_chunks(gold, pred, criteria="right", extra_keys=["seq_id"])
 
 
 def q_tpch_q6(spark, sf_dir):
@@ -540,8 +592,15 @@ def q_kg_edges(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Rows-only UDF stage; the driver canonicalizer sorts columns, so the
+    array<float> feature is exploded to primitive (dim, value) rows."""
     media = attach_fake_media(_docs(spark, sf_dir))
-    return decode_features(media)
+    feats = decode_features(media)
+    return feats.select(
+        "doc_id", "media_type", "n_bytes",
+        F.posexplode("feature").alias("dim", "value"),
+    ).select("doc_id", "media_type", "n_bytes", "dim",
+             F.round(F.col("value").cast("double"), 6).alias("value"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -578,12 +637,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "lsh_cosine_multiband": q_lsh_cosine_multiband,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "zscore_by_source": q_zscore_by_source,
         "eval_prf_left": q_eval_prf_left,
+        "eval_prf_right": q_eval_prf_right,
         "tpch_q6": q_tpch_q6,
         "above_nation_avg": q_above_nation_avg,
         "exists_high_value": q_exists_high_value,
@@ -650,35 +711,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ents a JOIN ents b
               ON a.doc_id = b.doc_id AND a.canonical_id < b.canonical_id
             GROUP BY 1, 2, 3""",
-        "eval_prf": f"""
-            WITH {_chunks_cte_sql(TAG_CASE, 'g')}, {_chunks_cte_sql(PRED_TAG_CASE, 'p')},
-            g AS (SELECT DISTINCT seq_id, label, chunk_start, chunk_end FROM g_chunks),
-            p AS (SELECT DISTINCT seq_id, label, chunk_start, chunk_end FROM p_chunks),
-            tp AS (SELECT label, count(*) AS tp
-                   FROM g JOIN p USING (seq_id, label, chunk_start, chunk_end)
-                   GROUP BY label),
-            fn AS (SELECT label, count(*) AS fn
-                   FROM g ANTI JOIN p USING (seq_id, label, chunk_start, chunk_end)
-                   GROUP BY label),
-            fp AS (SELECT label, count(*) AS fp
-                   FROM p ANTI JOIN g USING (seq_id, label, chunk_start, chunk_end)
-                   GROUP BY label),
-            labels AS (SELECT DISTINCT label FROM g),
-            m AS (SELECT l.label,
-                         coalesce(tp.tp, 0) AS tp, coalesce(fp.fp, 0) AS fp,
-                         coalesce(fn.fn, 0) AS fn
-                  FROM labels l
-                  LEFT JOIN tp ON l.label = tp.label
-                  LEFT JOIN fn ON l.label = fn.label
-                  LEFT JOIN fp ON l.label = fp.label)
-            SELECT label, tp, fp, fn,
-                   round(CASE WHEN tp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0 END, 6) AS precision,
-                   round(CASE WHEN tp > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0 END, 6) AS recall,
-                   round(CASE WHEN tp > 0 AND (2*tp + fp + fn) > 0
-                              THEN 2.0 * (tp / (tp + fp)::DOUBLE) * (tp / (tp + fn)::DOUBLE)
-                                   / ((tp / (tp + fp)::DOUBLE) + (tp / (tp + fn)::DOUBLE))
-                              ELSE 0 END, 6) AS f1
-            FROM m""",
+        "eval_prf": _eval_oracle_sql("chunk_start, chunk_end"),
         "split_folds": f"""
             SELECT ((o_orderkey * {KNUTH}) % {HASH_MOD}) % 5 AS fold,
                    count(*) AS n_orders,
@@ -852,6 +885,45 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY cos DESC, neighbor_id) AS rank
                   FROM scored)
             WHERE rank <= 3""",
+        "lsh_cosine_multiband": """
+            WITH e AS (
+              SELECT vec_id,
+                     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                      + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS b0,
+                     (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END
+                      + CASE WHEN embedding[5] >= 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[6] >= 0 THEN 4 ELSE 0 END) AS b1,
+                     list_transform(embedding,
+                         x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+              FROM e a JOIN e b
+                ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id != b.vec_id),
+            vals AS (
+              SELECT vec_id, CAST(generate_subscripts(qv, 1) AS INT) AS i,
+                     unnest(qv) AS v
+              FROM e),
+            norms AS (SELECT vec_id, sum(v * v) AS norm2 FROM vals GROUP BY vec_id),
+            dots AS (
+              SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
+              FROM cand c
+              JOIN vals a ON a.vec_id = c.query_id
+              JOIN vals b ON b.vec_id = c.neighbor_id AND b.i = a.i
+              GROUP BY c.query_id, c.neighbor_id),
+            scored AS (
+              SELECT d.query_id, d.neighbor_id,
+                     d.dot / sqrt(nq.norm2::DOUBLE * nn.norm2::DOUBLE) AS cos
+              FROM dots d
+              JOIN norms nq ON nq.vec_id = d.query_id
+              JOIN norms nn ON nn.vec_id = d.neighbor_id)
+            SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rank
+                  FROM scored)
+            WHERE rank <= 3""",
         "lang_id": f"""
             WITH {TOKENS_CTE},
             counts AS (
@@ -885,39 +957,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"""
             WITH {TOKENS_CTE}, {VOCAB_CTE}
             SELECT doc_id,
-                   sum((token_id * ((pos * {FP_MULT} + {FP_OFFSET}) % {FP_MOD})) % {FP_MOD})
-                     % {FP_MOD} AS fingerprint
+                   CAST(sum((token_id * ((pos * {FP_MULT} + {FP_OFFSET}) % {FP_MOD})) % {FP_MOD})
+                     % {FP_MOD} AS BIGINT) AS fingerprint
             FROM tokens JOIN vocab USING (token)
             GROUP BY doc_id""",
-        "eval_prf_left": f"""
-            WITH {_chunks_cte_sql(TAG_CASE, 'g')}, {_chunks_cte_sql(PRED_TAG_CASE, 'p')},
-            g AS (SELECT DISTINCT seq_id, label, chunk_start FROM g_chunks),
-            p AS (SELECT DISTINCT seq_id, label, chunk_start FROM p_chunks),
-            tp AS (SELECT label, count(*) AS tp
-                   FROM g JOIN p USING (seq_id, label, chunk_start)
-                   GROUP BY label),
-            fn AS (SELECT label, count(*) AS fn
-                   FROM g ANTI JOIN p USING (seq_id, label, chunk_start)
-                   GROUP BY label),
-            fp AS (SELECT label, count(*) AS fp
-                   FROM p ANTI JOIN g USING (seq_id, label, chunk_start)
-                   GROUP BY label),
-            labels AS (SELECT DISTINCT label FROM g),
-            m AS (SELECT l.label,
-                         coalesce(tp.tp, 0) AS tp, coalesce(fp.fp, 0) AS fp,
-                         coalesce(fn.fn, 0) AS fn
-                  FROM labels l
-                  LEFT JOIN tp ON l.label = tp.label
-                  LEFT JOIN fn ON l.label = fn.label
-                  LEFT JOIN fp ON l.label = fp.label)
-            SELECT label, tp, fp, fn,
-                   round(CASE WHEN tp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0 END, 6) AS precision,
-                   round(CASE WHEN tp > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0 END, 6) AS recall,
-                   round(CASE WHEN tp > 0 AND (2*tp + fp + fn) > 0
-                              THEN 2.0 * (tp / (tp + fp)::DOUBLE) * (tp / (tp + fn)::DOUBLE)
-                                   / ((tp / (tp + fp)::DOUBLE) + (tp / (tp + fn)::DOUBLE))
-                              ELSE 0 END, 6) AS f1
-            FROM m""",
+        "eval_prf_left": _eval_oracle_sql("chunk_start"),
+        "eval_prf_right": _eval_oracle_sql("chunk_end"),
         "tpch_q6": """
             SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                             * CAST(l_discount AS DECIMAL(5,4))) AS DOUBLE) AS revenue,

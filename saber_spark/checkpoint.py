@@ -42,23 +42,25 @@ def is_complete(path: str, stage: str) -> bool:
 
 def write_stage(df: DataFrame, path: str, stage: str,
                 partition_by: list[str] | None = None,
-                extra_metrics: dict | None = None) -> DataFrame:
+                extra_metrics: dict | None = None,
+                fmt: str | None = None) -> DataFrame:
     """Materialize a stage with lineage, write the manifest, return a reader.
 
     The lineage column records the physical partition that produced each row
     (per-partition lineage, north_rule); per-partition row counts land in the
-    manifest for audit/resume.
+    manifest for audit/resume. Writes go through the sink registry, so the
+    checkpoint format (parquet default / Iceberg at deploy) is a config value.
     """
+    from saber_spark.sources.registry import (DEFAULT_WRITE_FORMAT,
+                                              read_table, write_table)
+    fmt = fmt or DEFAULT_WRITE_FORMAT
     with_lineage = df.withColumn(LINEAGE_COL, F.spark_partition_id())
     t0 = time.monotonic()
-    writer = with_lineage.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    write_table(with_lineage, path, fmt, partition_by=partition_by)
     elapsed = time.monotonic() - t0
 
     spark = df.sparkSession
-    written = spark.read.parquet(path)
+    written = read_table(spark, path, fmt)
     part_counts = {
         str(r[LINEAGE_COL]): r["cnt"]
         for r in written.groupBy(LINEAGE_COL).agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -76,8 +78,9 @@ def write_stage(df: DataFrame, path: str, stage: str,
     return written.drop(LINEAGE_COL)
 
 
-def read_stage(spark: SparkSession, path: str) -> DataFrame:
-    df = spark.read.parquet(path)
+def read_stage(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    from saber_spark.sources.registry import DEFAULT_WRITE_FORMAT, read_table
+    df = read_table(spark, path, fmt or DEFAULT_WRITE_FORMAT)
     return df.drop(LINEAGE_COL) if LINEAGE_COL in df.columns else df
 
 

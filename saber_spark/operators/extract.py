@@ -40,6 +40,14 @@ def _extract_udf(html: pd.Series, text: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="object")
 
 
+# The function is pure, but marking it nondeterministic stops Catalyst from
+# pushing the downstream `doc_text != ''` filter below the Project by
+# DUPLICATING the UDF call (two ArrowEvalPython nodes = 2x the Python
+# extraction cost of every pipeline run). tools/plan_audit.py asserts the
+# single-node invariant.
+_extract_udf = _extract_udf.asNondeterministic()
+
+
 def extract_text(pages: DataFrame, lang: str | None = "en") -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> (url, doc_text).
 

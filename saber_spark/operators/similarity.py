@@ -79,43 +79,125 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     )
 
 
-def lsh_bucket(embeddings: DataFrame, n_planes: int = 4,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Sign-LSH bucket id from the first n_planes axis hyperplanes.
+def derive_n_planes(corpus_count: int, target_bucket_size: int = 256) -> int:
+    """Plane count that keeps expected bucket size ~target as the corpus
+    grows: 2^n_planes buckets => n_planes = ceil(log2(N / target)).
 
-    bucket = sum over j < n_planes of (embedding[j] >= 0) << j.
-    Axis-aligned planes keep the formula engine-portable; a production
-    deployment swaps in broadcast random hyperplanes with the same shape.
+    This is the 100-TB guardrail: with a CONSTANT plane count, within-bucket
+    pair count grows quadratically with the corpus; deriving it from N keeps
+    per-bucket work bounded (pairs per bucket ~ target^2, buckets ~ N/target,
+    total candidate pairs ~ N * target — linear in N).
+    """
+    import math
+    if corpus_count <= target_bucket_size:
+        return 1
+    return max(1, math.ceil(math.log2(corpus_count / target_bucket_size)))
+
+
+def random_planes(dim: int, n_planes: int, n_bands: int = 1,
+                  seed: int = 7) -> list[list[list[float]]]:
+    """Deterministic Gaussian hyperplanes, one set per band.
+
+    Axis-aligned planes (the oracle-portable variant below) skew badly when
+    real embeddings concentrate in an orthant; Gaussian planes split any
+    direction-uniform-ish cloud evenly. Rounded to 6 decimals so the same
+    literals are embeddable in an oracle SQL if needed.
+    """
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    arr = rng.standard_normal((n_bands, n_planes, dim)).round(6)
+    return [[list(map(float, p)) for p in band] for band in arr]
+
+
+def lsh_bucket(embeddings: DataFrame, n_planes: int = 4, band: int = 0,
+               planes: list[list[float]] | None = None,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Sign-LSH bucket id -> (id, vec, bucket).
+
+    planes=None: axis hyperplanes offset by band (bit j tests component
+    band*n_planes + j >= 0) — engine-portable, used by the oracle queries.
+    planes given: sign of the dot product with each (broadcast-literal)
+    random hyperplane — the production path for real embeddings.
     """
     bucket = F.lit(0)
     for j in range(n_planes):
-        bucket = bucket + F.when(
-            F.element_at(F.col(vec_col), j + 1) >= 0, F.lit(1 << j)
-        ).otherwise(F.lit(0))
+        if planes is None:
+            test = F.element_at(F.col(vec_col), band * n_planes + j + 1) >= 0
+        else:
+            plane = F.array(*[F.lit(v) for v in planes[j]])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), plane,
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, x: acc + x)
+            test = dot >= 0
+        bucket = bucket + F.when(test, F.lit(1 << j)).otherwise(F.lit(0))
     return embeddings.select(F.col(id_col), F.col(vec_col),
                              bucket.alias("bucket"))
 
 
-def lsh_cosine_topk(embeddings: DataFrame, k: int = 3, n_planes: int = 4,
+def lsh_candidates(embeddings: DataFrame, n_planes: int, n_bands: int = 1,
+                   planes_per_band: list[list[list[float]]] | None = None,
+                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   ) -> DataFrame:
+    """Candidate (query_id, neighbor_id) pairs via multi-band OR.
+
+    A pair is a candidate if it shares a bucket in ANY band (each band uses
+    its own plane set). Banding restores the recall a single deep code loses:
+    P(candidate) = 1 - (1 - s^n_planes)^n_bands for sign-agreement rate s.
+    Pairs are deduplicated BEFORE scoring so a pair colliding in several
+    bands is scored once.
+    """
+    per_band = []
+    for b in range(n_bands):
+        planes = None if planes_per_band is None else planes_per_band[b]
+        bucketed = lsh_bucket(embeddings, n_planes, band=b, planes=planes,
+                              id_col=id_col, vec_col=vec_col)
+        ids = bucketed.select(F.col(id_col), "bucket")
+        left = ids.select(F.col(id_col).alias("query_id"), "bucket")
+        right = ids.select(F.col(id_col).alias("neighbor_id"), "bucket")
+        per_band.append(
+            left.join(right, "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id"))
+    out = per_band[0]
+    for cand in per_band[1:]:
+        out = out.unionByName(cand)
+    return out.distinct() if n_bands > 1 else out
+
+
+def lsh_cosine_topk(embeddings: DataFrame, k: int = 3,
+                    n_planes: int | None = 4, n_bands: int = 1,
+                    target_bucket_size: int = 256,
+                    use_random_planes: bool = False, plane_seed: int = 7,
                     id_col: str = "vec_id", vec_col: str = "embedding"
                     ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the same LSH bucket.
+    """Approximate top-k: candidates restricted to shared LSH buckets.
 
-    -> (query_id, neighbor_id, cosine rounded 6, rank). The self-join is
-    per-bucket (2^n_planes buckets), cutting pair count ~16x at n_planes=4;
-    at 10^12 scale n_planes grows with log(corpus).
+    -> (query_id, neighbor_id, cosine rounded 6, rank).
+
+    n_planes=None derives the plane count from the corpus row count
+    (one cheap count() job) so bucket sizes stay bounded at any scale;
+    n_bands > 1 ORs several independent codes to recover recall;
+    use_random_planes=True switches from axis planes (oracle-portable) to
+    seeded Gaussian hyperplanes (robust to orthant-skewed embeddings).
     """
-    bucketed = lsh_bucket(embeddings, n_planes, id_col, vec_col)
-    quant = _quantized(bucketed, id_col, vec_col).join(
-        bucketed.select(id_col, "bucket"), id_col)
-    left = quant.select(F.col(id_col).alias("query_id"),
-                        F.col("q").alias("q_query"),
-                        F.col("norm2").alias("norm2_query"), "bucket")
-    right = quant.select(F.col(id_col).alias("neighbor_id"),
-                         F.col("q"), F.col("norm2"), "bucket")
+    if n_planes is None:
+        n_planes = derive_n_planes(embeddings.count(), target_bucket_size)
+    planes_per_band = None
+    if use_random_planes:
+        dim = len(embeddings.select(vec_col).first()[0])
+        planes_per_band = random_planes(dim, n_planes, n_bands, plane_seed)
+
+    cand = lsh_candidates(embeddings, n_planes, n_bands, planes_per_band,
+                          id_col, vec_col)
+    quant = _quantized(embeddings, id_col, vec_col)
     scored = (
-        left.join(right, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand
+        .join(quant.select(F.col(id_col).alias("query_id"),
+                           F.col("q").alias("q_query"),
+                           F.col("norm2").alias("norm2_query")), "query_id")
+        .join(quant.select(F.col(id_col).alias("neighbor_id"),
+                           F.col("q"), F.col("norm2")), "neighbor_id")
         .select(
             "query_id", "neighbor_id",
             (_dot(F.col("q_query"), F.col("q")) /

@@ -105,9 +105,12 @@ def main() -> None:
     parser.add_argument("--out", default="/tmp/kg_out")
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--lang", default="en")
+    parser.add_argument("--format", default=None,
+                        help="sink format (parquet default; iceberg at deploy)")
     args = parser.parse_args()
 
     from saber_spark.session import get_spark
+    from saber_spark.sources.registry import read_table, write_table
 
     spark = get_spark("saber_spark.pipeline")
     pages = build_pages_df(spark, args.sf_dir)
@@ -116,8 +119,8 @@ def main() -> None:
     stats = {}
     for name in ("nodes", "edges", "triples"):
         path = os.path.join(args.out, name)
-        out[name].write.mode("overwrite").parquet(path)
-        stats[name] = spark.read.parquet(path).count()
+        write_table(out[name], path, args.format)
+        stats[name] = read_table(spark, path, args.format or "parquet").count()
     print(json.dumps({"out": args.out, "rows": stats}))
 
 

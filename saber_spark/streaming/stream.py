@@ -97,40 +97,25 @@ def start_incremental_edges(pages_stream: DataFrame,
     """Incremental KG construction: micro-batch pages -> merged edge table.
 
     foreachBatch runs the BATCH linking + triple stages on each micro-batch
-    and merges its deduplicated edges into the edge parquet (read-modify-
-    write keyed on (subj, pred, obj), summing n_occurrences, min provenance).
-    On Iceberg this becomes a MERGE INTO; parquet stands in with the same
-    semantics. Exactly-once per micro-batch comes from the streaming
-    checkpoint; the merge is idempotent per epoch_id.
+    and MERGEs its deduplicated edges into the edge table via the sink
+    registry (keyed on (subj, pred, obj), summing n_occurrences, min
+    provenance). On Iceberg the merge is a transactional MERGE INTO; on
+    parquet the registry runs the same semantics as a rewrite + atomic swap.
+    Exactly-once per micro-batch comes from the streaming checkpoint; the
+    merge is idempotent per epoch_id.
     Returns the StreamingQuery (caller awaits termination).
     """
     from saber_spark.operators.linking import link_mentions
     from saber_spark.operators.triples import assemble_triples, dedup_triples
+    from saber_spark.sources.registry import merge_upsert
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
         mentions = detect_mentions(extract_text(batch_df), surface_map_bc)
         linked = link_mentions(mentions, dictionary)
         new_edges = dedup_triples(assemble_triples(linked))
-        try:
-            existing = spark.read.parquet(edges_path)
-        except Exception:
-            existing = None
-        if existing is not None:
-            merged = (
-                existing.unionByName(new_edges)
-                .groupBy("subj", "pred", "obj")
-                .agg(F.sum("n_occurrences").alias("n_occurrences"),
-                     F.min("first_url").alias("first_url"))
-            )
-        else:
-            merged = new_edges
-        # write to a tmp dir then swap: parquet has no transactional MERGE
-        tmp = f"{edges_path}__epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-        shutil.rmtree(edges_path, ignore_errors=True)
-        shutil.move(tmp, edges_path)
+        merge_upsert(edges_path, new_edges, keys=["subj", "pred", "obj"],
+                     sum_cols=["n_occurrences"], min_cols=["first_url"],
+                     epoch_id=epoch_id)
 
     return (pages_stream.writeStream
             .foreachBatch(merge_batch)

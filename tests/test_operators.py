@@ -156,6 +156,59 @@ class TestSimilarity:
             assert mine == expect
 
 
+class TestLSHScale:
+    """Scale guardrails for the ANN path: derived plane count keeps buckets
+    bounded on orthant-skewed embeddings, and the multi-band random-plane
+    construction keeps recall >= 0.9 vs brute force."""
+
+    @staticmethod
+    def _skewed_df(spark, n=400, dim=16, seed=11):
+        # all vectors in the positive orthant of the first components:
+        # axis-aligned planes put EVERYTHING in one bucket
+        rng = np.random.RandomState(seed)
+        vecs = rng.randn(n, dim).astype(np.float32)
+        vecs[:, :8] = np.abs(vecs[:, :8]) + 0.1
+        return spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>")
+
+    def test_derive_n_planes_scales_with_corpus(self):
+        from saber_spark.operators.similarity import derive_n_planes
+        assert derive_n_planes(100, 256) == 1
+        assert derive_n_planes(10_000, 256) == 6
+        # 100x corpus -> ~log2(100) ~ 7 more planes, bucket size held
+        assert derive_n_planes(1_000_000, 256) == 12
+        assert derive_n_planes(10**12, 256) == 32
+
+    def test_random_planes_bound_buckets_on_skew(self, spark):
+        from saber_spark.operators.similarity import lsh_bucket, random_planes
+        df = self._skewed_df(spark)
+        n_planes = 4
+        # axis planes degenerate: one bucket holds the whole corpus
+        axis = lsh_bucket(df, n_planes).groupBy("bucket").count().collect()
+        assert max(r["count"] for r in axis) == 400
+        # Gaussian planes split the same cloud into bounded buckets
+        planes = random_planes(16, n_planes, n_bands=1)[0]
+        rand = lsh_bucket(df, n_planes, planes=planes) \
+            .groupBy("bucket").count().collect()
+        counts = [r["count"] for r in rand]
+        assert len(counts) >= 8  # most of the 16 codes populated
+        assert max(counts) < 400 * 0.5  # no degenerate mega-bucket
+
+    def test_multiband_recall_vs_brute(self, spark):
+        from saber_spark.operators.similarity import (cosine_topk,
+                                                      lsh_cosine_topk)
+        df = self._skewed_df(spark)
+        brute = cosine_topk(df, df, k=3).collect()
+        approx = lsh_cosine_topk(
+            df, k=3, n_planes=None, n_bands=4, target_bucket_size=64,
+            use_random_planes=True).collect()
+        truth = {(r["query_id"], r["neighbor_id"]) for r in brute}
+        got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
+
+
 class TestSessions:
     def test_gap_splits_sessions(self, spark):
         rows = [
