@@ -76,8 +76,9 @@ for df in warm.values():
 
 from concurrent.futures import ThreadPoolExecutor
 
-best = None
-for _ in range(2):
+n_runs = int(sys.argv[6])
+times = []
+for _ in range(n_runs):
     t0 = time.monotonic()
     result = run_pipeline(spark, pages)
     result["linked"].count()   # materialize the shared persisted stage once
@@ -90,15 +91,18 @@ for _ in range(2):
         f2 = pool.submit(lambda: result["nodes"].write.mode("overwrite")
                          .parquet(out + "/nodes"))
         f1.result(); f2.result()
-    elapsed = time.monotonic() - t0
-    best = elapsed if best is None else min(best, elapsed)
+    times.append(time.monotonic() - t0)
     for df in result.values():
         try:
             df.unpersist()
         except Exception:
             pass
-print(json.dumps({"cpus": cpus, "docs": n_docs, "seconds": round(best, 3),
-                  "docs_per_sec": round(n_docs / best, 3)}))
+import statistics
+med = statistics.median(times)
+print(json.dumps({"cpus": cpus, "docs": n_docs,
+                  "samples_seconds": [round(t, 3) for t in times],
+                  "median_seconds": round(med, 3),
+                  "docs_per_sec": round(n_docs / med, 3)}))
 """
 
 
@@ -131,7 +135,8 @@ def _burn(n: int) -> int:
     return acc
 
 
-def run_level(cpus: int, replicate: int, sf_dir: str, pages_dir: str) -> dict:
+def run_level(cpus: int, replicate: int, sf_dir: str, pages_dir: str,
+              runs: int) -> dict:
     env = dict(os.environ)
     # the persisted linking stage holds tens of millions of rows; an 8g heap
     # GC-thrashes under many task threads and poisons the high level's time
@@ -139,7 +144,7 @@ def run_level(cpus: int, replicate: int, sf_dir: str, pages_dir: str) -> dict:
     with tempfile.TemporaryDirectory(prefix=f"scal{cpus}_") as out:
         proc = subprocess.run(
             [sys.executable, "-c", WORKER % {"repo": REPO},
-             str(cpus), str(replicate), sf_dir, out, pages_dir],
+             str(cpus), str(replicate), sf_dir, out, pages_dir, str(runs)],
             capture_output=True, text=True, cwd=REPO, timeout=3600, env=env)
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr[-3000:])
@@ -151,33 +156,30 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicate", type=int, default=8)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--n4", type=int, default=32)
-    ap.add_argument("--repeats", type=int, default=3,
-                    help="interleaved repeats per level; min wall time wins "
-                         "(the sandbox hypervisor steals CPU in bursts — the "
-                         "minimum is the standard interference-robust "
-                         "estimator of true capability)")
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--n4", type=int, default=16)
+    ap.add_argument("--runs", type=int, default=5,
+                    help="timed pipeline runs per level (one warm JVM); the "
+                         "MEDIAN is the reported estimator — robust to the "
+                         "sandbox hypervisor's bursty CPU steal without the "
+                         "superlinear artifacts a min/best-of estimator "
+                         "produces under 2x run-to-run variance")
     args = ap.parse_args()
 
     pages_dir = tempfile.mkdtemp(prefix="scal_pages_") + "/pages"
-    lows, highs, hw_lows, hw_highs = [], [], [], []
-    for _ in range(args.repeats):  # interleave L,H,L,H,... to de-bias drift
-        hw_lows.append(hw_ceiling(args.n))
-        lows.append(run_level(args.n, args.replicate, args.sf_dir, pages_dir))
-        hw_highs.append(hw_ceiling(args.n4))
-        highs.append(run_level(args.n4, args.replicate, args.sf_dir, pages_dir))
-    low = min(lows, key=lambda r: r["seconds"])
-    high = min(highs, key=lambda r: r["seconds"])
+    hw_lo = hw_ceiling(args.n)
+    low = run_level(args.n, args.replicate, args.sf_dir, pages_dir, args.runs)
+    hw_hi = hw_ceiling(args.n4)
+    high = run_level(args.n4, args.replicate, args.sf_dir, pages_dir, args.runs)
     eff = high["docs_per_sec"] / ((args.n4 / args.n) * low["docs_per_sec"])
-    hw_eff = max(hw_highs) / ((args.n4 / args.n) * max(hw_lows))
+    hw_eff = hw_hi / ((args.n4 / args.n) * hw_lo)
     normalized = eff / hw_eff if hw_eff > 0 else 0.0
     report = {
-        "protocol": f"local[{args.n}] vs local[{args.n4}], identical input",
+        "protocol": (f"local[{args.n}] vs local[{args.n4}], identical input; "
+                     f"{args.runs} timed runs per level, median reported"),
         "input": f"{args.sf_dir} pages x{args.replicate}",
+        "estimator": "median",
         "low": low, "high": high,
-        "samples": {"low_seconds": [r["seconds"] for r in lows],
-                    "high_seconds": [r["seconds"] for r in highs]},
         "hardware_ceiling_efficiency": round(hw_eff, 3),
         "scaling_efficiency_raw": round(eff, 3),
         "scaling_efficiency_normalized": round(normalized, 3),

@@ -418,6 +418,14 @@ def q_lsh_cosine_multiband(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"))
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH candidates verified once against
+    a cosine threshold (the embedding member of the dedup family)."""
+    from saber_spark.operators.similarity import embedding_near_dup
+    return embedding_near_dup(_embeddings(spark, sf_dir),
+                              threshold=0.35, n_planes=3, n_bands=2)
+
+
 def q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir)).select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -559,6 +567,42 @@ def q_rollup_revenue(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_items")))
 
 
+def q_cube_revenue(spark, sf_dir):
+    """CUBE aggregation: all 4 grouping combinations of (priority, status)
+    in one pass (completes the rollup/cube/grouping-sets family)."""
+    orders = tpch.load(spark, sf_dir, "orders")
+    return (orders.cube("o_orderpriority", "o_orderstatus")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                 .cast("double").alias("total_price"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+def q_grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS: two independent breakdowns (by priority, by
+    status) in one scan — neither rollup nor cube expresses this set."""
+    orders = tpch.load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_price,
+               count(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""")
+
+
+def q_xml_articles(spark, sf_dir):
+    """Hermetic O17: (title, abstract) out of article-shaped XML via the
+    built-in xpath_string — zero Python (saber/utils/app_utils.py:63-80)."""
+    from saber_spark.operators.articles import (attach_fake_article_xml,
+                                                extract_article_fields_df)
+    arts = attach_fake_article_xml(_docs(spark, sf_dir))
+    out = extract_article_fields_df(arts)
+    return out.select(
+        "doc_id", "title",
+        F.length("abstract").cast("long").alias("n_abstract_chars"))
+
+
 def q_setops_active_customers(spark, sf_dir):
     """INTERSECT/EXCEPT set operators (vocab-union generalization, O6/O10).
 
@@ -638,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "lsh_cosine_multiband": q_lsh_cosine_multiband,
+        "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -652,6 +697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bigrams": q_token_bigrams,
         "mentions_histogram": q_mentions_histogram,
         "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "xml_articles": q_xml_articles,
         "setops_active_customers": q_setops_active_customers,
         "kg_mentions": q_kg_mentions,
         "kg_edges": q_kg_edges,
@@ -924,6 +972,40 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY cos DESC, neighbor_id) AS rank
                   FROM scored)
             WHERE rank <= 3""",
+        "embedding_near_dup": """
+            WITH e AS (
+              SELECT vec_id,
+                     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                      + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS b0,
+                     (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END
+                      + CASE WHEN embedding[5] >= 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[6] >= 0 THEN 4 ELSE 0 END) AS b1,
+                     list_transform(embedding,
+                         x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM e a JOIN e b
+                ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id < b.vec_id),
+            vals AS (
+              SELECT vec_id, CAST(generate_subscripts(qv, 1) AS INT) AS i,
+                     unnest(qv) AS v
+              FROM e),
+            norms AS (SELECT vec_id, sum(v * v) AS norm2 FROM vals GROUP BY vec_id),
+            dots AS (
+              SELECT c.vec_a, c.vec_b, sum(a.v * b.v) AS dot
+              FROM cand c
+              JOIN vals a ON a.vec_id = c.vec_a
+              JOIN vals b ON b.vec_id = c.vec_b AND b.i = a.i
+              GROUP BY c.vec_a, c.vec_b)
+            SELECT d.vec_a, d.vec_b,
+                   round(d.dot / sqrt(na.norm2::DOUBLE * nb.norm2::DOUBLE), 6)
+                     AS cosine
+            FROM dots d
+            JOIN norms na ON na.vec_id = d.vec_a
+            JOIN norms nb ON nb.vec_id = d.vec_b
+            WHERE d.dot / sqrt(na.norm2::DOUBLE * nb.norm2::DOUBLE) >= 0.35""",
         "lang_id": f"""
             WITH {TOKENS_CTE},
             counts AS (
@@ -1020,6 +1102,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)""",
+        "cube_revenue": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                     AS total_price,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+        "grouping_sets_revenue": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                     AS total_price,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""",
+        "xml_articles": """
+            SELECT doc_id, substr(text, 1, 40) AS title,
+                   CAST(length(text) AS BIGINT) AS n_abstract_chars
+            FROM documents""",
         "setops_active_customers": """
             WITH pos AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0),
             wo AS (SELECT DISTINCT o_custkey AS custkey FROM orders)

@@ -43,10 +43,19 @@ def main() -> None:
     out_dir = tempfile.mkdtemp(prefix="saber_bench_")
     pages = build_pages_df(spark, sf_dir)
     n_docs = pages.filter("lang = 'en'").count()  # excluded from the timing
-    # warm the Python UDF workers (paid once per executor lifetime on a real
-    # cluster; ~0.3 s/worker here) so the timing measures steady-state
-    from saber_spark.operators.extract import extract_text
-    extract_text(pages.limit(256)).count()
+    # COLD pipeline run first: includes Python-worker spawn + JIT, recorded
+    # separately so cold-start cost stays visible round-over-round. It doubles
+    # as the warmup for the steady-state number below (on a real cluster that
+    # init is paid once per executor lifetime).
+    t0 = time.monotonic()
+    cold = run_pipeline(spark, pages)
+    cold["edges"].write.mode("overwrite").parquet(f"{out_dir}/cold_edges")
+    timings["kg_pipeline_cold"] = round(time.monotonic() - t0, 3)
+    for df in cold.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
     t0 = time.monotonic()
     result = run_pipeline(spark, pages)
     result["edges"].write.mode("overwrite").parquet(f"{out_dir}/edges")
@@ -75,7 +84,8 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         rows[name] = n
 
-    total = sum(timings.values())
+    # cold-start excluded: keeps total_seconds comparable with prior rounds
+    total = sum(v for k, v in timings.items() if k != "kg_pipeline_cold")
     print(json.dumps({
         "metric": "kg_pipeline_docs_per_sec",
         "value": round(docs_per_sec, 3),

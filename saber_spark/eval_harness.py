@@ -90,17 +90,77 @@ def evaluate(spark: SparkSession, sf_dir: str) -> dict:
     return report
 
 
+TRIPLE_KEYS = ["subj", "pred", "obj", "url", "sent_id"]
+
+
+def gold_triples_df(pages):
+    """Distributed gold side: the row-by-row reference kernels run INSIDE an
+    Arrow mapInPandas, one partition at a time — no driver collect. Per-doc
+    triples are disjoint across docs (url is in the key), so batch-local
+    reference_triples() sets union to exactly the corpus-wide gold set.
+    """
+    import pandas as pd
+
+    def run(batches):
+        tagger = DictionaryTagger(surface_label_map())
+        cmap = {(s, l): c for s, l, _, _, _, c in GROUNDING_DICT_ROWS}
+        for pdf in batches:
+            rows = list(zip(pdf["url"],
+                            pdf["text"].where(pdf["text"].notna(), None),
+                            pdf["html"]))
+            trip = reference_triples(rows, tagger, cmap)
+            yield pd.DataFrame(sorted(trip), columns=TRIPLE_KEYS)
+
+    return pages.select("url", "text", "html", "lang") \
+        .filter("lang = 'en'").drop("lang") \
+        .mapInPandas(run, schema="subj string, pred string, obj string, "
+                                 "url string, sent_id int")
+
+
+def evaluate_distributed(spark: SparkSession, sf_dir: str) -> dict:
+    """The 0.95 triple P/R gate computed with JOINS, not Python sets.
+
+    evaluate() collects the corpus to the driver — fine at sf0.001, wrong as
+    a scale statement. Here both sides stay DataFrames and P/R reduces to
+    semi-/anti-join counts: TP = pred semi-join gold on the full triple key;
+    P = TP/|pred|, R = TP/|gold|. At 100 TB this is three shuffled counts.
+    """
+    pages = build_pages_df(spark, sf_dir)
+    gold = gold_triples_df(pages)
+    pred = run_pipeline(spark, pages)["triples"].select(*TRIPLE_KEYS)
+    n_gold = gold.count()
+    n_pred = pred.count()
+    tp = pred.join(gold, TRIPLE_KEYS, "left_semi").count()
+    p = tp / n_pred if n_pred else 0.0
+    r = tp / n_gold if n_gold else 0.0
+    return {
+        "sf_dir": sf_dir, "mode": "distributed-joins",
+        "triples": {"gold": n_gold, "pred": n_pred, "tp": tp,
+                    "precision": round(p, 6), "recall": round(r, 6),
+                    "gate": PR_GATE, "pass": p >= PR_GATE and r >= PR_GATE},
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     ap.add_argument("--out", default="/tmp/saber_eval.json")
+    ap.add_argument("--distributed", action="store_true",
+                    help="compute the triple gate via joins (sf0.1-ready), "
+                         "skipping the driver-side mention criteria table")
     args = ap.parse_args()
 
     from saber_spark.session import get_spark
 
     spark = get_spark("saber_spark.eval")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.distributed:
+        report = evaluate_distributed(spark, args.sf_dir)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+        print(json.dumps(report))
+        sys.exit(0 if report["triples"]["pass"] else 1)
     report = evaluate(spark, args.sf_dir)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2, sort_keys=True)

@@ -120,6 +120,37 @@ def sentence_spans(text: str) -> list[tuple[int, int]]:
     return spans
 
 
+def extract_article_fields(xml: str | bytes | None) -> tuple[str | None, str | None]:
+    """(title, abstract) from a PubMed-article-shaped XML string.
+
+    Hermetic parity with the PARSING half of the reference's PubMed fetch
+    (saber/utils/app_utils.py:63-80: recurse PubmedArticle > MedlineCitation
+    > Article to ArticleTitle / Abstract > AbstractText) — the network fetch
+    itself is out of scope (SURVEY §2.1 O17); this kernel runs over a LOCAL
+    xml column. Missing elements -> None (the reference would raise; a 100 TB
+    corpus treats malformed rows as data, not exceptions).
+    """
+    if xml is None:
+        return None, None
+    if isinstance(xml, (bytes, bytearray)):
+        xml = bytes(xml).decode("utf-8", errors="replace")
+    import xml.etree.ElementTree as ET
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError:
+        return None, None
+    art = root.find("./PubmedArticle/MedlineCitation/Article")
+    if art is None:
+        # allow the PubmedArticle element itself as root
+        art = root.find("./MedlineCitation/Article")
+    if art is None:
+        return None, None
+    title_el = art.find("ArticleTitle")
+    abs_el = art.find("Abstract/AbstractText")
+    return (title_el.text if title_el is not None else None,
+            abs_el.text if abs_el is not None else None)
+
+
 def process_text(text: str) -> tuple[list[list[str]], list[list[tuple[int, int]]]]:
     """Sentences-of-tokens plus per-token global char offsets.
 

@@ -165,6 +165,49 @@ def lsh_candidates(embeddings: DataFrame, n_planes: int, n_bands: int = 1,
     return out.distinct() if n_bands > 1 else out
 
 
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.35,
+                       n_planes: int | None = 3, n_bands: int = 2,
+                       target_bucket_size: int = 256,
+                       use_random_planes: bool = False, plane_seed: int = 7,
+                       id_col: str = "vec_id", vec_col: str = "embedding"
+                       ) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold, not top-k).
+
+    The embedding member of the dedup family (exact / MinHash-LSH / SimHash /
+    n-gram Jaccard / embedding cosine): sign-LSH bucketed candidates
+    (multi-band OR), each candidate pair verified once by quantized cosine,
+    kept if >= threshold. -> (vec_a, vec_b, cosine) with vec_a < vec_b.
+    Never all-pairs: candidate count is bounded by bucket sizes, which
+    n_planes=None keeps bounded at any corpus scale (derive_n_planes).
+    """
+    if n_planes is None:
+        n_planes = derive_n_planes(embeddings.count(), target_bucket_size)
+    planes_per_band = None
+    if use_random_planes:
+        dim = len(embeddings.select(vec_col).first()[0])
+        planes_per_band = random_planes(dim, n_planes, n_bands, plane_seed)
+    cand = (lsh_candidates(embeddings, n_planes, n_bands, planes_per_band,
+                           id_col, vec_col)
+            .filter(F.col("query_id") < F.col("neighbor_id")))
+    quant = _quantized(embeddings, id_col, vec_col)
+    return (
+        cand
+        .join(quant.select(F.col(id_col).alias("query_id"),
+                           F.col("q").alias("q_query"),
+                           F.col("norm2").alias("norm2_query")), "query_id")
+        .join(quant.select(F.col(id_col).alias("neighbor_id"),
+                           F.col("q"), F.col("norm2")), "neighbor_id")
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            (_dot(F.col("q_query"), F.col("q")) /
+             F.sqrt(F.col("norm2_query").cast("double") *
+                    F.col("norm2").cast("double"))).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round(F.col("cos"), 6).alias("cosine"))
+    )
+
+
 def lsh_cosine_topk(embeddings: DataFrame, k: int = 3,
                     n_planes: int | None = 4, n_bands: int = 1,
                     target_bucket_size: int = 256,

@@ -201,3 +201,41 @@ class TestHtmlExtract:
     def test_none_and_empty(self):
         assert extract_html_text(None) == ""
         assert extract_html_text(b"") == ""
+
+
+class TestArticleXml:
+    """Hermetic parity with the parsing half of the reference's PubMed path
+    (saber/utils/app_utils.py:63-80): recurse to ArticleTitle /
+    Abstract > AbstractText."""
+
+    XML = ("<PubmedArticleSet><PubmedArticle><MedlineCitation>"
+           "<PMID>123</PMID><Article>"
+           "<ArticleTitle>P53 &amp; cancer: a review.</ArticleTitle>"
+           "<Abstract><AbstractText>The protein p53 binds DNA."
+           "</AbstractText></Abstract>"
+           "</Article></MedlineCitation></PubmedArticle></PubmedArticleSet>")
+
+    def test_extracts_title_and_abstract(self):
+        from saber_spark.kernels.text import extract_article_fields
+        title, abstract = extract_article_fields(self.XML)
+        assert title == "P53 & cancer: a review."
+        assert abstract == "The protein p53 binds DNA."
+
+    def test_article_root_without_set_wrapper(self):
+        from saber_spark.kernels.text import extract_article_fields
+        inner = self.XML.replace("<PubmedArticleSet>", "").replace(
+            "</PubmedArticleSet>", "")
+        assert extract_article_fields(inner)[0] == "P53 & cancer: a review."
+
+    def test_missing_fields_and_garbage(self):
+        from saber_spark.kernels.text import extract_article_fields
+        assert extract_article_fields(None) == (None, None)
+        assert extract_article_fields("not xml <<<") == (None, None)
+        assert extract_article_fields("<PubmedArticle><MedlineCitation>"
+                                      "<Article/></MedlineCitation>"
+                                      "</PubmedArticle>") == (None, None)
+
+    def test_bytes_input(self):
+        from saber_spark.kernels.text import extract_article_fields
+        assert extract_article_fields(self.XML.encode())[1] \
+            == "The protein p53 binds DNA."

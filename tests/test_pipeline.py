@@ -84,6 +84,16 @@ class TestTriplePR:
         # with the shared deterministic tagger the rebuild should be exact
         assert p == 1.0 and r == 1.0
 
+    def test_pr_gate_distributed_sf01(self, spark):
+        """The same 0.95 gate computed with semi-joins at sf0.1 — no corpus
+        collect on either side (gold runs the reference kernels inside
+        mapInPandas), so the gate statement holds distributively."""
+        from saber_spark.eval_harness import evaluate_distributed
+        report = evaluate_distributed(spark, "/root/testdata/sf0.1")
+        t = report["triples"]
+        assert t["pass"], t
+        assert t["precision"] == 1.0 and t["recall"] == 1.0, t
+
     def test_edges_are_deduped(self, pipeline_out):
         edges = pipeline_out["edges"]
         assert edges.count() == edges.select("subj", "pred", "obj").distinct().count()

@@ -195,3 +195,44 @@ class TestFanout:
                        "LIVB": False})
         labels = {r["label"] for r in only_prge.collect()}
         assert labels == {"PRGE"}
+
+
+class TestRegistrySinks:
+    """write_table / merge_upsert: the format seam every sink goes through."""
+
+    def test_write_table_roundtrip_with_partitioning(self, spark, tmp_path):
+        from saber_spark.sources.registry import read_table, write_table
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+            "id long, grp string, v long")
+        path = str(tmp_path / "t")
+        write_table(df, path, partition_by=["grp"])
+        back = read_table(spark, path)
+        assert {tuple(r) for r in back.select("id", "grp", "v").collect()} \
+            == {(1, "a", 10), (2, "b", 20), (3, "a", 30)}
+        assert (tmp_path / "t" / "grp=a").exists()
+
+    def test_merge_upsert_sums_and_mins(self, spark, tmp_path):
+        from saber_spark.sources.registry import merge_upsert, read_table
+        path = str(tmp_path / "edges")
+        schema = "subj string, pred string, obj string, n long, first string"
+        base = spark.createDataFrame(
+            [("a", "p", "b", 2, "url9"), ("a", "p", "c", 1, "url5")], schema)
+        # first merge into a non-existent target just writes the updates
+        merge_upsert(path, base, keys=["subj", "pred", "obj"],
+                     sum_cols=["n"], min_cols=["first"], epoch_id=0)
+        upd = spark.createDataFrame(
+            [("a", "p", "b", 3, "url1"), ("x", "p", "y", 1, "url2")], schema)
+        merge_upsert(path, upd, keys=["subj", "pred", "obj"],
+                     sum_cols=["n"], min_cols=["first"], epoch_id=1)
+        got = {(r["subj"], r["obj"]): (r["n"], r["first"])
+               for r in read_table(spark, path).collect()}
+        assert got == {("a", "b"): (5, "url1"),   # matched: sum + min
+                       ("a", "c"): (1, "url5"),   # untouched
+                       ("x", "y"): (1, "url2")}   # not matched: insert
+
+    def test_unsupported_format_rejected(self, spark):
+        from saber_spark.sources.registry import write_table
+        df = spark.range(1)
+        with pytest.raises(ValueError, match="Unsupported format"):
+            write_table(df, "/tmp/nope", fmt="avro")
