@@ -122,6 +122,34 @@ def main() -> None:
         None,
     ))
 
+    # 7. xml article extraction: xpath stays JVM-side, zero Python
+    xa = e.q_xml_articles(spark, SF_DIR)
+    sections.append((
+        "xml_articles (xpath extraction, zero Python)",
+        "Title/abstract extraction must run entirely in the JVM (xpath_string"
+        " inside codegen) — no ArrowEvalPython/BatchEvalPython node at all.",
+        formatted_plan(xa),
+        ["Scan parquet"],
+        0,
+    ))
+
+    # 8. embedding near-dup: bucketed join, never a cartesian product
+    nd = e.q_embedding_near_dup(spark, SF_DIR)
+    plan_nd = formatted_plan(nd)
+    sections.append((
+        "embedding_near_dup (LSH-bucketed candidates)",
+        "Candidate generation must be an equi-join on the bucket code(s) — "
+        "a CartesianProduct/BroadcastNestedLoopJoin here would mean the "
+        "all-pairs plan the LSH design exists to avoid.",
+        plan_nd,
+        [],
+        None,
+    ))
+    if "CartesianProduct" in plan_nd or "BroadcastNestedLoopJoin" in plan_nd:
+        # impossible marker -> section reports MISSING and the audit fails
+        sections[-1] = (sections[-1][0], sections[-1][1], plan_nd,
+                        ["<no cartesian product>"], None)
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
