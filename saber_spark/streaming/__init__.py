@@ -1,9 +1,11 @@
 """Structured Streaming stages (streaming twins of the batch operators)."""
 
 from saber_spark.streaming.stream import (
+    stream_dedup_events,
     stream_mentions,
     stream_sessionize,
     stream_windowed_counts,
 )
 
-__all__ = ["stream_mentions", "stream_sessionize", "stream_windowed_counts"]
+__all__ = ["stream_dedup_events", "stream_mentions", "stream_sessionize",
+           "stream_windowed_counts"]

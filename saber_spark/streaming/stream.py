@@ -124,6 +124,24 @@ def start_incremental_edges(pages_stream: DataFrame,
             .start())
 
 
+def stream_dedup_events(events_stream: DataFrame,
+                        keys: list[str] | None = None,
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup with BOUNDED state (the streaming twin of
+    operators/dedup.exact_dedup).
+
+    dropDuplicatesWithinWatermark keeps each key in state only until the
+    watermark passes it — on an unbounded 10^12-event stream, state holds
+    just the active watermark window instead of every key ever seen (which
+    plain dropDuplicates on a stream would, growing without bound).
+    """
+    keys = keys or ["event_id"]
+    return (events_stream
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 def stream_sessionize(events_stream: DataFrame,
                       gap: str = "30 minutes",
                       watermark: str = "10 minutes") -> DataFrame:

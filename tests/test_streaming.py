@@ -92,3 +92,23 @@ class TestStreamingWindows:
         assert r0["session_end"] >= r0["session_start"]
         assert r0["n_events"] >= 1
         assert os.path.exists(events_dir)
+
+
+class TestStreamingDedup:
+    def test_dedup_within_watermark_drops_dupes(self, spark, tmp_path):
+        """Duplicated event_ids arriving within the watermark window are
+        emitted once; state is watermark-bounded (dropDuplicatesWithinWatermark)."""
+        from saber_spark.streaming import stream_dedup_events
+        d = str(tmp_path / "dup_events")
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(200)
+        # plant exact duplicates: every event twice
+        ev.unionAll(ev).write.parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = spark.readStream.schema(schema).parquet(d)
+        q = (stream_dedup_events(stream, keys=["event_id"])
+             .writeStream.format("memory").queryName("dedup_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = spark.sql("select event_id from dedup_stream").collect()
+        assert len(got) == 200
+        assert len({r["event_id"] for r in got}) == 200
