@@ -80,7 +80,8 @@ def doc_shingles(docs: DataFrame, text_col: str = "text",
 
 
 def _doc_shingle_ids(docs: DataFrame, text_col: str, id_col: str,
-                     portable_ids: bool = False) -> DataFrame:
+                     portable_ids: bool = False,
+                     shingles: DataFrame | None = None) -> DataFrame:
     """distinct (doc_id, shingle_id).
 
     Two id assignments:
@@ -93,7 +94,8 @@ def _doc_shingle_ids(docs: DataFrame, text_col: str, id_col: str,
         DuckDB twin computes identical signatures. Bounded-vocab inputs
         only (the sort is global).
     """
-    sh = doc_shingles(docs, text_col=text_col, id_col=id_col)
+    sh = shingles if shingles is not None else doc_shingles(
+        docs, text_col=text_col, id_col=id_col)
     if not portable_ids:
         # reduce into [0, P) so the affine permutation hash a*x+b cannot
         # overflow int64 (a ~ 1e9, x < P ~ 2.1e9 -> product < 2^62)
@@ -108,7 +110,8 @@ def _doc_shingle_ids(docs: DataFrame, text_col: str, id_col: str,
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       portable_ids: bool = False) -> DataFrame:
+                       portable_ids: bool = False,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """-> (doc_id, seed_id, minhash): k-permutation MinHash signature rows.
 
     h_i(x) = (a_i * x + b_i) mod P over the doc's distinct SHINGLE ids —
@@ -116,7 +119,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     """
     spark = docs.sparkSession
     seeds = spark.createDataFrame(MINHASH_SEEDS, "seed_id int, a long, b long")
-    doc_sh = _doc_shingle_ids(docs, text_col, id_col, portable_ids)
+    doc_sh = _doc_shingle_ids(docs, text_col, id_col, portable_ids, shingles)
     return (
         doc_sh.crossJoin(F.broadcast(seeds))
         .select(
@@ -131,13 +134,14 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def minhash_candidates(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", rows_per_band: int = 2,
-                       portable_ids: bool = False) -> DataFrame:
+                       portable_ids: bool = False,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """LSH banding -> candidate near-duplicate pairs (doc_a < doc_b).
 
     Docs agreeing on EVERY minhash within at least one band become a
     candidate pair. Self-join happens per (band, signature) bucket.
     """
-    sigs = minhash_signatures(docs, text_col, id_col, portable_ids)
+    sigs = minhash_signatures(docs, text_col, id_col, portable_ids, shingles)
     bands = (
         sigs.withColumn("band", (F.col("seed_id") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
@@ -156,13 +160,21 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text",
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shingles: DataFrame | None = None) -> DataFrame:
     """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs.
 
     -> (doc_a, doc_b, n_common, n_union, jaccard rounded 6). Runs only on
     LSH candidates — never all pairs.
+
+    ``shingles``: pass a (persisted) doc_shingles() DataFrame to share the
+    shingle computation with the candidate-generation stage — the full
+    candidates+verify chain otherwise recomputes the narrow shingle lineage
+    in every join branch (8 scans observed). At 100 TB the shared table is a
+    materialized checkpoint stage, not a cache.
     """
-    doc_sh = doc_shingles(docs, text_col=text_col, id_col=id_col)
+    doc_sh = shingles if shingles is not None else doc_shingles(
+        docs, text_col=text_col, id_col=id_col)
     sizes = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     ta = doc_sh.select(F.col(id_col).alias("doc_a"), "shingle")
     tb = doc_sh.select(F.col(id_col).alias("doc_b"), "shingle")

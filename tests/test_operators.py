@@ -278,3 +278,23 @@ class TestVocab:
         rare = {r["token"] for r in
                 rare_tokens(tokenize_docs(docs), max_count=1).collect()}
         assert rare == {"y"}
+
+
+class TestSharedShingles:
+    def test_shared_shingle_table_parity(self, spark):
+        """Passing a precomputed shingle table (the 100-TB checkpoint shape)
+        must not change candidates or jaccard results."""
+        base_txt = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                    "kappa lam mu nu xi omicron pi rho sigma tau upsilon")
+        docs = spark.createDataFrame(
+            [(0, base_txt), (1, base_txt),
+             (2, base_txt.replace("theta", "THETA")),
+             (3, "completely different words nothing shared here at all")],
+            "doc_id long, text string")
+        base_c = minhash_candidates(docs, portable_ids=True)
+        base_j = {tuple(r) for r in ngram_jaccard(docs, base_c).collect()}
+        sh = doc_shingles(docs)
+        shared_c = minhash_candidates(docs, portable_ids=True, shingles=sh)
+        shared_j = {tuple(r) for r in
+                    ngram_jaccard(docs, shared_c, shingles=sh).collect()}
+        assert shared_j == base_j and len(base_j) > 0
