@@ -424,6 +424,16 @@ def q_lsh_cosine_multiband(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"))
 
 
+def q_ivf_cosine_topk(spark, sf_dir):
+    """IVF ANN: cell-partitioned candidates (inverted file on the coarse
+    quantizer) — the second scale path next to sign-LSH."""
+    from saber_spark.operators.similarity import ivf_cosine_topk
+    return ivf_cosine_topk(_embeddings(spark, sf_dir), k=3, n_centroids=8,
+                           n_probe=2, n_queries=10).select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH candidates verified once against
     a cosine threshold (the embedding member of the dedup family)."""
@@ -689,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "lsh_cosine_multiband": q_lsh_cosine_multiband,
         "embedding_near_dup": q_embedding_near_dup,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -960,6 +971,55 @@ def oracle_sql() -> dict[str, str]:
                      unnest(qv) AS v
               FROM e),
             norms AS (SELECT vec_id, sum(v * v) AS norm2 FROM vals GROUP BY vec_id),
+            dots AS (
+              SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
+              FROM cand c
+              JOIN vals a ON a.vec_id = c.query_id
+              JOIN vals b ON b.vec_id = c.neighbor_id AND b.i = a.i
+              GROUP BY c.query_id, c.neighbor_id),
+            scored AS (
+              SELECT d.query_id, d.neighbor_id,
+                     d.dot / sqrt(nq.norm2::DOUBLE * nn.norm2::DOUBLE) AS cos
+              FROM dots d
+              JOIN norms nq ON nq.vec_id = d.query_id
+              JOIN norms nn ON nn.vec_id = d.neighbor_id)
+            SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS rank
+                  FROM scored)
+            WHERE rank <= 3""",
+        "ivf_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding,
+                     x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            vals AS (
+              SELECT vec_id, CAST(generate_subscripts(qv, 1) AS INT) AS i,
+                     unnest(qv) AS v
+              FROM q),
+            norms AS (SELECT vec_id, sum(v * v) AS norm2 FROM vals GROUP BY vec_id),
+            cscore AS (
+              SELECT a.vec_id, c.vec_id AS cid,
+                     sum(a.v * c.v)
+                       / sqrt(na.norm2::DOUBLE * nc.norm2::DOUBLE) AS cos
+              FROM vals a
+              JOIN vals c ON c.i = a.i AND c.vec_id < 8
+              JOIN norms na ON na.vec_id = a.vec_id
+              JOIN norms nc ON nc.vec_id = c.vec_id
+              GROUP BY a.vec_id, c.vec_id, na.norm2, nc.norm2),
+            ranked AS (
+              SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid) AS rn
+              FROM cscore),
+            assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+            probe AS (SELECT vec_id AS query_id, cid AS cell
+                      FROM ranked WHERE rn <= 2 AND vec_id < 10),
+            cand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id
+              FROM probe p JOIN assign a
+                ON a.cell = p.cell AND a.vec_id != p.query_id),
             dots AS (
               SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
               FROM cand c

@@ -165,6 +165,76 @@ def lsh_candidates(embeddings: DataFrame, n_planes: int, n_bands: int = 1,
     return out.distinct() if n_bands > 1 else out
 
 
+def ivf_cosine_topk(embeddings: DataFrame, k: int = 3, n_centroids: int = 8,
+                    n_probe: int = 2, n_queries: int | None = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the cell-partitioned ANN
+    variant next to sign-LSH.
+
+    Coarse quantizer: the first ``n_centroids`` vectors (deterministic,
+    engine-portable; production swaps in offline k-means centroids with the
+    same shape). Every corpus vector is assigned to its best-cosine cell by
+    a NARROW higher-order-function argmax over the broadcast-literal
+    centroid array — no shuffle, no crossJoin row blowup. Queries probe
+    their ``n_probe`` best cells; candidates are the corpus vectors in the
+    probed cells (an equi-join on cell id — the inverted file), scored once
+    with exact quantized cosine, per-query top-k.
+
+    -> (query_id, neighbor_id, cosine rounded 6, rank). At 10^12 docs the
+    candidate count per query is corpus/n_centroids * n_probe; n_centroids
+    grows with the corpus (sqrt(N) rule of thumb) exactly like LSH's
+    derive_n_planes.
+    """
+    corpus = _quantized(embeddings, id_col, vec_col)
+    cent_rows = sorted(
+        corpus.filter(F.col(id_col) < n_centroids).collect(),
+        key=lambda r: r[id_col])
+    # centroid array literal: struct(cid, q array<long>, norm2)
+    cent_arr = F.array(*[
+        F.struct(F.lit(int(r[id_col])).alias("cid"),
+                 F.array(*[F.lit(int(x)) for x in r["q"]]).alias("cq"),
+                 F.lit(int(r["norm2"])).alias("cnorm2"))
+        for r in cent_rows])
+
+    def cos_to(c):
+        dot = F.aggregate(F.zip_with(F.col("q"), c["cq"], lambda x, y: x * y),
+                          F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return dot / F.sqrt(F.col("norm2").cast("double") *
+                            c["cnorm2"].cast("double"))
+
+    # per-row scores over all cells: array<struct<cos,cid>>, sorted best-first
+    # (cos DESC, cid ASC) — array_sort on (-cos, cid)
+    scores = F.array_sort(F.transform(
+        cent_arr, lambda c: F.struct((-cos_to(c)).alias("neg"),
+                                     c["cid"].alias("cid"))))
+    assigned = corpus.withColumn("cell", scores[0]["cid"])
+
+    queries = assigned
+    if n_queries is not None:
+        queries = assigned.filter(F.col(id_col) < n_queries)
+    probes = (queries
+              .withColumn("probe", F.slice(scores, 1, n_probe))
+              .select(F.col(id_col).alias("query_id"),
+                      F.col("q").alias("q_query"),
+                      F.col("norm2").alias("norm2_query"),
+                      F.explode(F.col("probe")["cid"]).alias("cell")))
+    cand = (probes.join(
+        assigned.select(F.col(id_col).alias("neighbor_id"),
+                        F.col("q"), F.col("norm2"), "cell"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                (_dot(F.col("q_query"), F.col("q")) /
+                 F.sqrt(F.col("norm2_query").cast("double") *
+                        F.col("norm2").cast("double"))).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round(F.col("cos"), 6).alias("cosine"), "rank"))
+
+
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.35,
                        n_planes: int | None = 3, n_bands: int = 2,
                        target_bucket_size: int = 256,

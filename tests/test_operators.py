@@ -298,3 +298,42 @@ class TestSharedShingles:
         shared_j = {tuple(r) for r in
                     ngram_jaccard(docs, shared_c, shingles=sh).collect()}
         assert shared_j == base_j and len(base_j) > 0
+
+
+class TestIVF:
+    def test_ivf_recall_vs_brute(self, spark):
+        """IVF with n_probe=3 of 8 cells holds decent recall vs brute force
+        and returns exactly k rows per query."""
+        from saber_spark.operators.similarity import (cosine_topk,
+                                                      ivf_cosine_topk)
+        rng = np.random.RandomState(5)
+        vecs = rng.randn(300, 16).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+            "vec_id long, embedding array<float>")
+        brute = cosine_topk(df, df.filter(F.col("vec_id") < 20), k=3)
+        approx = ivf_cosine_topk(df, k=3, n_centroids=8, n_probe=3,
+                                 n_queries=20)
+        truth = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+        rows = approx.collect()
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        per_q = {}
+        for r in rows:
+            per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+        assert all(v == 3 for v in per_q.values()) and len(per_q) == 20
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.5, f"recall {recall:.3f}"  # 3/8 cells probed
+
+    def test_ivf_narrow_assignment(self, spark):
+        """Cell assignment must be shuffle-free: no Exchange below the
+        first aggregation in the assignment subplan (higher-order argmax,
+        not a crossJoin+groupBy)."""
+        from saber_spark.operators.similarity import ivf_cosine_topk
+        rng = np.random.RandomState(6)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.randn(8)]) for i in range(50)],
+            "vec_id long, embedding array<float>")
+        plan = ivf_cosine_topk(df, n_centroids=4, n_probe=1, n_queries=5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
