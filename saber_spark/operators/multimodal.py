@@ -60,6 +60,82 @@ def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return arr / np.float32(2**32)
 
 
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """DETERMINISTIC FAKE resize (PIL unavailable in-container): derives a
+    width*height-proportional byte string from a sha256 stream of the
+    payload — content-sensitive, size-correct, shaped like a real thumbnail.
+    Replace the body (not the signature) with PIL/ffmpeg to go real."""
+    n_bytes = max(1, (width * height) // 64)
+    out = bytearray()
+    counter = 0
+    seed = payload or b""
+    while len(out) < n_bytes:
+        out.extend(hashlib.sha256(seed + counter.to_bytes(4, "big")).digest())
+        counter += 1
+    return bytes(out[:n_bytes])
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64
+                 ) -> DataFrame:
+    """mapInPandas resize: (doc_id, media_type, payload, meta) -> same rows
+    with thumbnail payloads and updated meta.
+
+    Real Spark plumbing (Arrow batches, struct meta rebuild, 1:1 row
+    contract); only the pixel work is the marked fake. Narrow stage — rides
+    whatever partitioning the media table already has.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [_fake_resize(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "payload": thumbs,
+                "meta": [{"width": width, "height": height, "n_bytes": len(t)}
+                         for t in thumbs],
+            })
+
+    return media.select("doc_id", "media_type", "payload", "meta") \
+        .mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAMES_SCHEMA = ("doc_id long, frame_idx int, ts_ms int, frame binary")
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  max_frames: int = 4) -> DataFrame:
+    """mapInPandas frame sampling for video rows: one input row fans out to
+    up to ``max_frames`` (doc_id, frame_idx, ts_ms, frame) rows.
+
+    The 1:N row contract is the real plumbing being exercised (a video
+    decoder emits multiple frames per input); frame bytes come from the
+    marked fake. Non-video rows are dropped inside the batch — at scale,
+    push ``media_type = 'video'`` BEFORE this stage so the scan prunes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for doc_id, mtype, payload in zip(
+                    pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if mtype != "video":
+                    continue
+                # fake duration: proportional to payload size
+                n = min(max_frames, max(1, len(payload or b"") // 32))
+                for i in range(n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(i * every_ms)
+                    rows["frame"].append(_fake_resize(
+                        (payload or b"") + i.to_bytes(4, "big"), 16, 16))
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("media_type") == "video") \
+        .select("doc_id", "media_type", "payload") \
+        .mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def decode_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 

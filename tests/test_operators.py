@@ -264,6 +264,40 @@ class TestMultimodal:
         # content-sensitivity: different payloads -> different features
         assert rows[0]["feature"] != rows[1]["feature"]
 
+    def test_resize_rebuilds_meta(self, spark):
+        from saber_spark.operators.multimodal import resize_media
+        docs = spark.createDataFrame(
+            [(i, "words " * (i + 4)) for i in range(6)],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r
+               for r in resize_media(attach_fake_media(docs), 32, 24).collect()}
+        assert len(out) == 6                      # 1:1 row contract
+        assert all(r["meta"]["width"] == 32 and r["meta"]["height"] == 24
+                   for r in out.values())
+        assert all(r["meta"]["n_bytes"] == len(r["payload"]) == 12
+                   for r in out.values())          # 32*24/64
+        assert out[0]["payload"] != out[1]["payload"]  # content-sensitive
+        again = {r["doc_id"]: r["payload"]
+                 for r in resize_media(attach_fake_media(docs), 32, 24).collect()}
+        assert {k: v["payload"] for k, v in out.items()} == again
+
+    def test_frame_sampling_fans_out_video_rows(self, spark):
+        from saber_spark.operators.multimodal import sample_frames
+        docs = spark.createDataFrame(
+            [(i, "frame payload material " * 20) for i in range(9)],
+            "doc_id long, text string")
+        media = attach_fake_media(docs)   # doc_id % 3 == 2 -> video
+        frames = sample_frames(media, every_ms=500, max_frames=3).collect()
+        by_doc = {}
+        for r in frames:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == {2, 5, 8}           # only video rows
+        for doc_frames in by_doc.values():
+            assert len(doc_frames) == 3           # 1:N fan-out
+            assert sorted(f["ts_ms"] for f in doc_frames) == [0, 500, 1000]
+            assert all(isinstance(f["frame"], (bytes, bytearray))
+                       for f in doc_frames)
+
 
 class TestVocab:
     def test_vocab_ids_start_at_2(self, spark):
