@@ -583,6 +583,49 @@ def q_rollup_revenue(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_items")))
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: date-window scan + EXISTS-correlated count by
+    priority (semi-join decorrelation + partial agg). timestamp_ntz
+    literals keep the window timezone-independent (events.ts lesson);
+    on a date-partitioned Iceberg table this predicate IS the partition
+    prune. Testdata has no commit/receipt dates, so the EXISTS condition
+    is high-quantity lineitems."""
+    orders = tpch.load(spark, sf_dir, "orders")
+    li = tpch.load(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    lo = F.lit("1995-07-01").cast("timestamp_ntz")
+    hi = F.lit("1996-01-01").cast("timestamp_ntz")
+    return (orders
+            .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+def q_moving_avg(spark, sf_dir):
+    """Sliding-frame window (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    3-event moving average of value per user."""
+    from pyspark.sql import Window
+    events = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(-2, 0))
+    return events.select(
+        "user_id", "event_id",
+        F.round(F.avg(F.col("value").cast("decimal(18,2)")).over(w)
+                .cast("double"), 6).alias("mavg3"))
+
+
+def q_median_by_source(spark, sf_dir):
+    """Exact percentiles (median + p90) of doc length per source —
+    percentile() is the exact (sort-based) variant, matching DuckDB's
+    quantile_cont; approx_percentile is the sketch the 100-TB path uses."""
+    return (_docs(spark, sf_dir)
+            .groupBy("source")
+            .agg(F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+                 F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
 def q_cube_revenue(spark, sf_dir):
     """CUBE aggregation: all 4 grouping combinations of (priority, status)
     in one pass (completes the rollup/cube/grouping-sets family)."""
@@ -714,6 +757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bigrams": q_token_bigrams,
         "mentions_histogram": q_mentions_histogram,
         "rollup_revenue": q_rollup_revenue,
+        "tpch_q4": q_tpch_q4,
+        "moving_avg": q_moving_avg,
+        "median_by_source": q_median_by_source,
         "cube_revenue": q_cube_revenue,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "xml_articles": q_xml_articles,
@@ -1168,6 +1214,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)""",
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+              AND o_orderdate <  TIMESTAMP '1996-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity > 45)
+            GROUP BY o_orderpriority""",
+        "moving_avg": """
+            SELECT user_id, event_id,
+                   round(CAST(avg(CAST(value AS DECIMAL(18,2)))
+                              OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                         AS DOUBLE), 6) AS mavg3
+            FROM events""",
+        "median_by_source": """
+            SELECT source,
+                   quantile_cont(n_chars, 0.5) AS median_chars,
+                   quantile_cont(n_chars, 0.9) AS p90_chars,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source""",
         "cube_revenue": """
             SELECT o_orderpriority, o_orderstatus,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
