@@ -58,8 +58,17 @@ def main() -> None:
             pass
     t0 = time.monotonic()
     result = run_pipeline(spark, pages)
-    result["edges"].write.mode("overwrite").parquet(f"{out_dir}/edges")
-    result["nodes"].write.mode("overwrite").parquet(f"{out_dir}/nodes")
+    result["linked"].count()  # materialize the shared persisted stage once
+    # node + edge sinks are independent consumers of `linked`: submit them as
+    # concurrent Spark jobs (multi-sink practice; the scheduler interleaves
+    # their stages instead of serializing two small jobs)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(2) as pool:
+        f1 = pool.submit(lambda: result["edges"].write.mode("overwrite")
+                         .parquet(f"{out_dir}/edges"))
+        f2 = pool.submit(lambda: result["nodes"].write.mode("overwrite")
+                         .parquet(f"{out_dir}/nodes"))
+        f1.result(); f2.result()
     kg_seconds = time.monotonic() - t0
     timings["kg_pipeline"] = round(kg_seconds, 3)
     rows["kg_edges"] = spark.read.parquet(f"{out_dir}/edges").count()

@@ -140,3 +140,61 @@ class TestHtmlProperties:
         safe = t.replace("<", " ").replace(">", " ").replace("&", " ")
         html = f"<html><body><p>{safe}</p></body></html>".encode()
         assert extract_html_text(html) == sterilize(safe)
+
+
+class TestArticleXmlProperties:
+    # XML 1.0 cannot carry C0 control chars (or surrogates) at all
+    xml_text = st.text(
+        alphabet=st.characters(min_codepoint=0x20,
+                               blacklist_categories=("Cs",)),
+        max_size=120)
+
+    @given(xml_text, xml_text)
+    @settings(max_examples=200, deadline=None)
+    def test_roundtrip_through_xml(self, title, abstract):
+        """Any title/abstract embedded into the article XML shape extracts
+        back unchanged (after XML escaping)."""
+        from xml.sax.saxutils import escape
+        from saber_spark.kernels.text import extract_article_fields
+        xml = ("<PubmedArticle><MedlineCitation><Article>"
+               f"<ArticleTitle>{escape(title)}</ArticleTitle>"
+               f"<Abstract><AbstractText>{escape(abstract)}</AbstractText>"
+               "</Abstract></Article></MedlineCitation></PubmedArticle>")
+        t, a = extract_article_fields(xml)
+        # ElementTree returns None for an empty element's text
+        assert (t or "") == title
+        assert (a or "") == abstract
+
+    @given(st.text(max_size=120))
+    @settings(max_examples=100, deadline=None)
+    def test_never_raises_on_garbage(self, junk):
+        from saber_spark.kernels.text import extract_article_fields
+        out = extract_article_fields(junk)
+        assert isinstance(out, tuple) and len(out) == 2
+
+
+class TestRenderProperties:
+    spans = st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 20), labels).map(
+            lambda t: {"start": t[0], "end": t[0] + t[1], "label": t[2]}),
+        max_size=8)
+
+    @given(st.text(min_size=0, max_size=60).filter(lambda s: "<" not in s
+                                                   and ">" not in s
+                                                   and "&" not in s),
+           spans)
+    @settings(max_examples=200, deadline=None)
+    def test_all_text_preserved_in_order(self, text, mentions):
+        """Stripping the markup from the rendered HTML yields exactly the
+        original text (no characters lost or duplicated by span slicing),
+        for any overlap pattern."""
+        import html as html_mod
+        import re
+        from saber_spark.visualize import render_document_html
+        ms = [m for m in mentions if m["end"] <= len(text)]
+        html = render_document_html(text, ms)
+        stripped = html_mod.unescape(re.sub(r"<[^>]+>", "", html))
+        # remove the label badges the renderer appends inside each mark
+        for m in ms:
+            stripped = stripped.replace(m["label"], "", 1)
+        assert stripped == text
