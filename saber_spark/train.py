@@ -150,3 +150,75 @@ def prepare_for_transfer(model: ViterbiCRFTagger,
                    / (trans_counts.sum(axis=1, keepdims=True) + smoothing * t))
     trans = np.where(validity <= NEG_INF, NEG_INF, trans)
     return ViterbiCRFTagger(word_to_idx, tags, em, trans)
+
+
+def main() -> None:
+    """CLI twin of ``python -m saber.cli.train`` (saber/cli/train.py):
+    load a CoNLL corpus dir -> fit the tagger -> chunk-level P/R/F1 on the
+    validation partition -> metrics JSON + saved artifact dir.
+
+    Validation selection mirrors the reference's strategy dispatch
+    (saber/trainer.py:40-45): a valid.* partition is used when present,
+    otherwise a reproducible hash-based 10% split of train.
+    """
+    import argparse
+    import json
+
+    from saber_spark.artifacts import save_model_dir
+    from saber_spark.kernels.chunk import chunk_entities
+    from saber_spark.kernels.metrics import get_precision_recall_f1_support
+    from saber_spark.operators.splits import train_valid_split
+    from saber_spark.session import get_spark
+    from saber_spark.sources.conll import load_conll_dir
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--data", required=True, help="CoNLL dir (train.*[, valid.*])")
+    ap.add_argument("--out", default="/tmp/saber_train_metrics.json")
+    ap.add_argument("--model-dir", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("saber_spark.train")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = load_conll_dir(spark, args.data)
+    if corpus.filter(F.col("partition") == "valid").limit(1).count():
+        train_df = corpus.filter(F.col("partition") == "train")
+        valid_df = corpus.filter(F.col("partition") == "valid")
+    else:
+        train_df, valid_df = train_valid_split(
+            corpus.filter(F.col("partition") == "train"), "sent_id")
+
+    model = train_viterbi_tagger(train_df)
+
+    # validation is fixture-scale by reference convention; the corpus-scale
+    # path is detect_mentions over the page table (pipeline.py)
+    rows = valid_df.select("tokens", "tags").collect()
+    pred = model.predict_tags([r["tokens"] for r in rows])
+    # sentence-scoped chunk identity: boundary = (sentence index, position)
+    gold_chunks = [(lab, (i, s), (i, e))
+                   for i, r in enumerate(rows)
+                   for lab, s, e in chunk_entities(r["tags"])]
+    pred_chunks = [(lab, (i, s), (i, e))
+                   for i, seq in enumerate(pred)
+                   for lab, s, e in chunk_entities(seq)]
+    scores = get_precision_recall_f1_support(gold_chunks, pred_chunks, "exact")
+    report = {
+        "data": args.data,
+        "n_train_sents": train_df.count(),
+        "n_valid_sents": len(rows),
+        "scores": {lab: {"precision": round(v[0], 6),
+                         "recall": round(v[1], 6),
+                         "f1": round(v[2], 6), "support": v[3]}
+                   for lab, v in sorted(scores.items())},
+    }
+    if args.model_dir:
+        save_model_dir(args.model_dir, kind="viterbi", surface_map={},
+                       word_to_idx=model.word_to_idx,
+                       config={"tags": model.tags})
+        report["model_dir"] = args.model_dir
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
