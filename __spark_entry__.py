@@ -583,6 +583,23 @@ def q_rollup_revenue(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_items")))
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join: each purchase gets the user's most recent
+    at-or-before click (the as-of join Spark lacks natively; one-shuffle
+    union+window formulation, DuckDB native ASOF JOIN as oracle)."""
+    from saber_spark.operators.asof import asof_join
+    events = _events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "event_id", "ts", "value")
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select("user_id", "event_id", "ts", "value")
+    out = asof_join(purchases, clicks, keys=["user_id"], ts_col="ts",
+                    payload_cols=["event_id", "value"])
+    return out.select("user_id", "event_id", "value",
+                      F.col("asof_event_id").cast("long").alias("asof_event_id"),
+                      "asof_value")
+
+
 def q_tpch_q4(spark, sf_dir):
     """TPC-H Q4 shape: date-window scan + EXISTS-correlated count by
     priority (semi-join decorrelation + partial agg). timestamp_ntz
@@ -757,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bigrams": q_token_bigrams,
         "mentions_histogram": q_mentions_histogram,
         "rollup_revenue": q_rollup_revenue,
+        "asof_join": q_asof_join,
         "tpch_q4": q_tpch_q4,
         "moving_avg": q_moving_avg,
         "median_by_source": q_median_by_source,
@@ -1214,6 +1232,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)""",
+        "asof_join": """
+            SELECT p.user_id, p.event_id, p.value,
+                   c.event_id AS asof_event_id, c.value AS asof_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts""",
         "tpch_q4": """
             SELECT o_orderpriority, count(*) AS order_count
             FROM orders o

@@ -371,3 +371,33 @@ class TestIVF:
             ._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestAsofJoin:
+    def test_latest_at_or_before_semantics(self, spark):
+        from saber_spark.operators.asof import asof_join
+        left = spark.createDataFrame(
+            [(1, 100, 5), (1, 200, 6), (1, 50, 7), (2, 100, 8)],
+            "user_id long, ts long, lid long")
+        right = spark.createDataFrame(
+            [(1, 100, 91), (1, 150, 92), (2, 400, 93)],
+            "user_id long, ts long, rid long")
+        out = {r["lid"]: r["asof_rid"]
+               for r in asof_join(left, right, keys=["user_id"], ts_col="ts",
+                                  payload_cols=["rid"]).collect()}
+        assert out[5] == 91      # equal ts -> inclusive (>=)
+        assert out[6] == 92      # most recent of {100, 150}
+        assert out[7] is None    # nothing at-or-before 50
+        assert out[8] is None    # right row is in the future
+
+    def test_one_shuffle_plan(self, spark):
+        """The union+window formulation must show ONE Exchange — the plan
+        shape that survives 10^12 rows (no range-join candidate blowup)."""
+        from saber_spark.operators.asof import asof_join
+        left = spark.createDataFrame([(1, 1, 1)], "user_id long, ts long, lid long")
+        right = spark.createDataFrame([(1, 1, 2)], "user_id long, ts long, rid long")
+        plan = asof_join(left, right, ["user_id"], "ts", ["rid"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        import re
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+        assert "CartesianProduct" not in plan
