@@ -600,6 +600,46 @@ def q_asof_join(spark, sf_dir):
                       "asof_value")
 
 
+def q_hypertable_rollup(spark, sf_dir):
+    """Continuous aggregate: hour rollup from raw events, day rollup from
+    the HOUR table (raw data scanned once however many grains exist)."""
+    from saber_spark.operators.timeseries import hypertable_rollup
+    return hypertable_rollup(_events(spark, sf_dir))
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per source, next to the exact count —
+    a mergeable cardinality estimator whose arithmetic is engine-portable
+    (HLL twins like approx_count_distinct are not oracle-checkable)."""
+    from saber_spark.operators.sketch import kmv_distinct
+    docs = _docs(spark, sf_dir)
+    tokens = tokenize_docs(docs)
+    vocab = vocab_ids(tokens)
+    tok = (tokens.join(F.broadcast(vocab), "token")
+           .join(docs.select("doc_id", "source"), "doc_id"))
+    return kmv_distinct(tok, "source", "token_id", k=16)
+
+
+def q_range_join_clicks(spark, sf_dir):
+    """Banded range join: clicks within the hour BEFORE each purchase
+    (same user), counted per purchase. Equi-join on (user, time-bin) + exact
+    residual filter — never a per-key nested loop."""
+    from saber_spark.operators.rangejoin import range_join
+    events = _events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "event_id", "ts")
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id", "value")
+    HOUR_US = 3_600_000_000
+    pairs = range_join(purchases, clicks, keys=["user_id"], ts_col="ts",
+                       lower_us=-HOUR_US, upper_us=-1,
+                       payload_cols=["event_id", "value"])
+    return (pairs.groupBy("user_id", "event_id")
+            .agg(F.count(F.lit(1)).alias("n_clicks"),
+                 F.round(F.sum(F.col("r_value").cast("decimal(18,2)"))
+                         .cast("double"), 6).alias("click_value")))
+
+
 def q_tpch_q4(spark, sf_dir):
     """TPC-H Q4 shape: date-window scan + EXISTS-correlated count by
     priority (semi-join decorrelation + partial agg). timestamp_ntz
@@ -775,6 +815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_histogram": q_mentions_histogram,
         "rollup_revenue": q_rollup_revenue,
         "asof_join": q_asof_join,
+        "range_join_clicks": q_range_join_clicks,
+        "hypertable_rollup": q_hypertable_rollup,
+        "kmv_distinct": q_kmv_distinct,
         "tpch_q4": q_tpch_q4,
         "moving_avg": q_moving_avg,
         "median_by_source": q_median_by_source,
@@ -1238,6 +1281,58 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "hypertable_rollup": """
+            WITH hour AS (
+              SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+                     event_type, count(*) AS n_events,
+                     sum(CAST(value AS DECIMAL(18,2))) AS total
+              FROM events GROUP BY 1, 2),
+            day AS (
+              SELECT (bucket_us // 86400000000) * 86400000000 AS bucket_us,
+                     event_type, sum(n_events) AS n_events, sum(total) AS total
+              FROM hour GROUP BY 1, 2)
+            SELECT 'hour' AS grain, bucket_us, event_type, n_events,
+                   CAST(total AS DOUBLE) AS total_value
+            FROM hour
+            UNION ALL
+            SELECT 'day' AS grain, bucket_us, event_type, n_events,
+                   CAST(total AS DOUBLE) AS total_value
+            FROM day""",
+        "kmv_distinct": f"""
+            WITH {TOKENS_CTE}, {VOCAB_CTE},
+            src AS (
+              SELECT d.source, v.token_id
+              FROM tokens t JOIN vocab v USING (token)
+              JOIN documents d USING (doc_id)),
+            hashed AS (
+              SELECT DISTINCT source,
+                     (976369111 * token_id + 563079003) % 2147483647 AS h
+              FROM src),
+            topk AS (
+              SELECT source, h,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+              FROM hashed),
+            pg AS (SELECT source, max(h) AS kth, count(*) AS k_eff
+                   FROM topk WHERE rn <= 16 GROUP BY source),
+            exact AS (SELECT source, count(DISTINCT token_id) AS exact_distinct
+                      FROM src GROUP BY source)
+            SELECT p.source,
+                   CAST(CASE WHEN k_eff < 16 THEN k_eff
+                             ELSE (15 * CAST(2147483647 AS BIGINT)) // kth
+                        END AS BIGINT) AS est_distinct,
+                   exact_distinct
+            FROM pg p JOIN exact USING (source)""",
+        "range_join_clicks": """
+            SELECT p.user_id, p.event_id,
+                   count(*) AS n_clicks,
+                   round(CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 6)
+                     AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+             AND epoch_us(c.ts) <= epoch_us(p.ts) - 1
+            GROUP BY p.user_id, p.event_id""",
         "tpch_q4": """
             SELECT o_orderpriority, count(*) AS order_count
             FROM orders o

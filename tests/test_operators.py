@@ -401,3 +401,59 @@ class TestAsofJoin:
         import re
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
         assert "CartesianProduct" not in plan
+
+
+class TestTimeseriesAndSketch:
+    def test_hypertable_day_equals_direct_day_agg(self, spark):
+        """The day grain computed FROM the hour rollup must equal a direct
+        day aggregation of raw events (lossless re-aggregation)."""
+        from saber_spark.operators.timeseries import (DAY_US,
+                                                      hypertable_rollup,
+                                                      _epoch_micros)
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        rolled = hypertable_rollup(events)
+        day_from_hour = {
+            (r["bucket_us"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in rolled.filter(F.col("grain") == "day").collect()}
+        us = _epoch_micros("ts")
+        direct = {
+            (r["bucket_us"], r["event_type"]): (r["n"], r["tv"])
+            for r in (events
+                      .select((F.floor(us / DAY_US) * DAY_US).alias("bucket_us"),
+                              "event_type",
+                              F.col("value").cast("decimal(18,2)").alias("v"))
+                      .groupBy("bucket_us", "event_type")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("v").cast("double").alias("tv"))).collect()}
+        assert day_from_hour == direct and len(direct) > 0
+
+    def test_kmv_exact_below_k_and_bounded_error_above(self, spark):
+        from saber_spark.operators.sketch import kmv_distinct
+        rows = ([("small", i) for i in range(7)]
+                + [("big", i * 37 + 5) for i in range(1000)])
+        df = spark.createDataFrame(rows, "grp string, vid long")
+        got = {r["grp"]: r for r in
+               kmv_distinct(df, "grp", "vid", k=16).collect()}
+        assert got["small"]["est_distinct"] == 7      # < k -> exact
+        assert got["small"]["exact_distinct"] == 7
+        err = abs(got["big"]["est_distinct"] - 1000) / 1000
+        assert err < 0.5, got["big"]                   # k=16 -> ~25% stderr
+
+    def test_range_join_window_semantics(self, spark):
+        from saber_spark.operators.rangejoin import range_join
+        import datetime
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        def t(mins):
+            return base + datetime.timedelta(minutes=mins)
+        left = spark.createDataFrame([(1, t(0), 10)],
+                                     "user_id long, ts timestamp_ntz, lid long")
+        right = spark.createDataFrame(
+            [(1, t(-61), 90), (1, t(-59), 91), (1, t(-1), 92),
+             (1, t(0), 93), (1, t(5), 94), (2, t(-5), 95)],
+            "user_id long, ts timestamp_ntz, rid long")
+        HOUR = 3_600_000_000
+        got = {r["r_rid"] for r in range_join(
+            left, right, ["user_id"], "ts", -HOUR, -1, ["rid"]).collect()}
+        # strictly-before window [-1h, -1us]: excludes t(-61) (too old),
+        # t(0) (not strictly before), t(5) (future), user 2
+        assert got == {91, 92}
