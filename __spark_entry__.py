@@ -600,6 +600,21 @@ def q_asof_join(spark, sf_dir):
                       "asof_value")
 
 
+def q_connected_components(spark, sf_dir):
+    """Iterative hash-min connected components over the entity co-occurrence
+    graph (DuckDB oracle: recursive-CTE min-reachable-node)."""
+    from saber_spark.operators.graph import connected_components
+    linked = _linked_spark(spark, sf_dir)
+    ents = linked.select("doc_id", "canonical_id").distinct()
+    a, b = ents.alias("a"), ents.alias("b")
+    edges = (a.join(b, "doc_id")
+             .filter(F.col("a.canonical_id") < F.col("b.canonical_id"))
+             .select(F.col("a.canonical_id").alias("src"),
+                     F.col("b.canonical_id").alias("dst"))
+             .distinct())
+    return connected_components(edges)
+
+
 def q_hypertable_rollup(spark, sf_dir):
     """Continuous aggregate: hour rollup from raw events, day rollup from
     the HOUR table (raw data scanned once however many grains exist)."""
@@ -818,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_clicks": q_range_join_clicks,
         "hypertable_rollup": q_hypertable_rollup,
         "kmv_distinct": q_kmv_distinct,
+        "connected_components": q_connected_components,
         "tpch_q4": q_tpch_q4,
         "moving_avg": q_moving_avg,
         "median_by_source": q_median_by_source,
@@ -1281,6 +1297,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "connected_components": f"""
+            WITH RECURSIVE {TOKENS_CTE}, {LINKED_CTE},
+            ents AS (SELECT DISTINCT doc_id, canonical_id FROM linked),
+            e AS (
+              SELECT a.canonical_id AS src, b.canonical_id AS dst
+              FROM ents a JOIN ents b
+                ON a.doc_id = b.doc_id AND a.canonical_id < b.canonical_id),
+            sym AS (SELECT src AS a, dst AS b FROM e
+                    UNION SELECT dst, src FROM e),
+            reach(node, root) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node)
+            SELECT node, min(root) AS component
+            FROM reach GROUP BY node""",
         "hypertable_rollup": """
             WITH hour AS (
               SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,

@@ -457,3 +457,27 @@ class TestTimeseriesAndSketch:
         # strictly-before window [-1h, -1us]: excludes t(-61) (too old),
         # t(0) (not strictly before), t(5) (future), user 2
         assert got == {91, 92}
+
+
+class TestConnectedComponents:
+    def test_multi_component_graph(self, spark):
+        from saber_spark.operators.graph import connected_components
+        # two chains + one isolated pair: {a-b-c-d}, {x-y}, {m-n}
+        edges = spark.createDataFrame(
+            [("b", "a"), ("c", "b"), ("c", "d"),
+             ("y", "x"), ("m", "n")], "src string, dst string")
+        got = {r["node"]: r["component"]
+               for r in connected_components(edges).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                       "x": "x", "y": "x", "m": "m", "n": "m"}
+
+    def test_long_chain_converges(self, spark):
+        """A 12-node path needs several propagation rounds (diameter), the
+        fixpoint loop must run them and stop."""
+        from saber_spark.operators.graph import connected_components
+        edges = spark.createDataFrame(
+            [(f"n{i:02d}", f"n{i+1:02d}") for i in range(11)],
+            "src string, dst string")
+        got = {r["node"]: r["component"]
+               for r in connected_components(edges).collect()}
+        assert set(got.values()) == {"n00"} and len(got) == 12
