@@ -212,3 +212,59 @@ class TestCheckpointResume:
         assert m["complete"] is True
         assert m["rows"] == sum(m["partitions"].values())
         assert m["rows"] > 0
+
+
+class TestRandomizedParity:
+    def test_random_corpus_distributed_equals_reference(self, spark):
+        """Fuzzed e2e: a randomized corpus (dictionary surfaces mixed with
+        noise words, punctuation, odd spacing, multi-sentence docs) must
+        produce IDENTICAL mentions from the distributed stages and the
+        row-by-row reference harness. Catches batching/offset/boundary bugs
+        fixtures can miss."""
+        import random
+        from saber_spark.fixtures.dictionary import surface_label_map
+        from saber_spark.reference_harness import annotate_document
+
+        rng = random.Random(20260816)
+        surfaces = [" ".join(k) for k in surface_label_map()]
+        noise = ["lorem", "ipsum", "qz", "42", "x9y", "the", "and"]
+        rows = []
+        for i in range(120):
+            words = []
+            for _ in range(rng.randint(0, 60)):
+                r = rng.random()
+                if r < 0.25:
+                    words.append(rng.choice(surfaces))
+                elif r < 0.35:
+                    words.append(rng.choice([",", "!", "?", "(", ")", ";"]))
+                else:
+                    words.append(rng.choice(noise))
+                if rng.random() < 0.12:
+                    words.append(". " if rng.random() < 0.7 else ".")
+            text = ("  " if i % 3 == 0 else "") + " ".join(words) + (
+                "\n\t" if i % 5 == 0 else "")
+            url = f"https://example.org/fuzz/{i}"
+            if i % 2 == 0:
+                rows.append((url, None, wrap_html(text).encode(), "en"))
+            else:
+                rows.append((url, text, None, "en"))
+
+        pages = spark.createDataFrame(
+            [(u, None, h, t, l) for (u, t, h, l) in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string")
+        bc = spark.sparkContext.broadcast(surface_label_map())
+        from saber_spark.operators.extract import extract_text
+        from saber_spark.operators.tagger import detect_mentions
+        got = {(r["url"], r["sent_id"], r["start"], r["end"], r["text"],
+                r["label"])
+               for r in detect_mentions(extract_text(pages), bc).collect()}
+
+        tagger = DictionaryTagger(surface_label_map())
+        expect = {
+            (m["url"], m["sent_id"], m["start"], m["end"], m["text"],
+             m["label"])
+            for (url, text, html, lang) in rows
+            for m in annotate_document(url, text, html, tagger,
+                                       _canonical_map())}
+        assert got == expect
+        assert len(expect) > 100  # the fuzz actually generated mentions
