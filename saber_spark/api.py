@@ -59,7 +59,10 @@ def annotate(text: str | bytes | None = None, title: str = "",
     if not doc_text:
         raise ValueError("Expected a non-empty document.")
 
-    enabled = {k for k, v in (ents or DEFAULT_ENTITIES).items() if v}
+    # NOT `ents or ...`: an explicit empty dict means "no types enabled"
+    # (absent => off, app_utils.py:117-142), not "use the defaults"
+    enabled = {k for k, v in
+               (ents if ents is not None else DEFAULT_ENTITIES).items() if v}
     if tagger is None:
         tagger = DictionaryTagger(surface_label_map())
     if coref:

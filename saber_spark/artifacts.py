@@ -22,14 +22,21 @@ import numpy as np
 
 MANIFEST = "model.json"
 EMBEDDINGS_NPZ = "embeddings.npz"
+WEIGHTS_NPZ = "weights.npz"
 
 
 def save_model_dir(path: str, *, kind: str,
                    surface_map: dict[tuple[str, ...], str],
                    word_to_idx: dict[str, int] | None = None,
                    embedding_matrix: np.ndarray | None = None,
+                   weights: dict[str, np.ndarray] | None = None,
                    config: dict | None = None) -> str:
-    """Write a model artifact directory; returns the manifest path."""
+    """Write a model artifact directory; returns the manifest path.
+
+    ``weights``: the fitted model matrices (viterbi: emissions,
+    transitions) — the HDF5-weights analogue (saber/base_model.py:23-52),
+    stored as one .npz so a reloaded model predicts identically.
+    """
     os.makedirs(path, exist_ok=True)
     manifest = {
         "format_version": 1,
@@ -39,12 +46,15 @@ def save_model_dir(path: str, *, kind: str,
         "word_to_idx": word_to_idx,
         "config": config or {},
         "has_embeddings": embedding_matrix is not None,
+        "has_weights": weights is not None,
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     if embedding_matrix is not None:
         np.savez_compressed(os.path.join(path, EMBEDDINGS_NPZ),
                             matrix=embedding_matrix)
+    if weights is not None:
+        np.savez_compressed(os.path.join(path, WEIGHTS_NPZ), **weights)
     return os.path.join(path, MANIFEST)
 
 
@@ -62,8 +72,13 @@ def load_model_payload(path: str) -> dict:
     if kind == "viterbi":
         if not manifest.get("word_to_idx"):
             raise ValueError("viterbi artifact requires word_to_idx")
-        return {"kind": "viterbi", "surface_map": surface_map,
-                "word_to_idx": manifest["word_to_idx"]}
+        payload = {"kind": "viterbi", "surface_map": surface_map,
+                   "word_to_idx": manifest["word_to_idx"],
+                   "config": manifest.get("config", {})}
+        if manifest.get("has_weights"):
+            with np.load(os.path.join(path, WEIGHTS_NPZ)) as npz:
+                payload["weights"] = {k: npz[k] for k in npz.files}
+        return payload
     raise ValueError(f"unknown model kind {kind!r}")
 
 

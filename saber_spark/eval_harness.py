@@ -126,11 +126,15 @@ def evaluate_distributed(spark: SparkSession, sf_dir: str) -> dict:
     P = TP/|pred|, R = TP/|gold|. At 100 TB this is three shuffled counts.
     """
     pages = build_pages_df(spark, sf_dir)
-    gold = gold_triples_df(pages)
-    pred = run_pipeline(spark, pages)["triples"].select(*TRIPLE_KEYS)
+    # both sides feed two actions each (their count + the semi-join):
+    # persist so the Python reference pass and the pipeline run ONCE
+    gold = gold_triples_df(pages).persist()
+    pred = run_pipeline(spark, pages)["triples"].select(*TRIPLE_KEYS).persist()
     n_gold = gold.count()
     n_pred = pred.count()
     tp = pred.join(gold, TRIPLE_KEYS, "left_semi").count()
+    gold.unpersist()
+    pred.unpersist()
     p = tp / n_pred if n_pred else 0.0
     r = tp / n_gold if n_gold else 0.0
     return {

@@ -76,7 +76,10 @@ def connected_components(edges: DataFrame, src: str = "src",
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
-            break
+            return labels.select("node", F.col("label").alias("component"))
         # cut the growing lineage so round k+1 doesn't recompute rounds 1..k
         labels = labels.localCheckpoint(eager=True)
-    return labels.select("node", F.col("label").alias("component"))
+    # returning unconverged labels would silently split components
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(graph diameter exceeds max_iter); raise max_iter")

@@ -18,12 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from saber_spark.operators.timeutil import epoch_micros as _epoch_micros
 
-def _epoch_micros(ts_col: str):
-    return F.timestamp_diff(
-        "MICROSECOND",
-        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-        F.col(ts_col))
+
 
 
 def range_join(left: DataFrame, right: DataFrame, keys: list[str],

@@ -14,21 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from saber_spark.operators.timeutil import epoch_micros as _epoch_micros
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 
-def _epoch_micros(ts_col: str):
-    """Microseconds since epoch of a TIMESTAMP_NTZ, timezone-INDEPENDENT.
-
-    ``unix_micros(cast(ts as timestamp))`` would interpret the naive value
-    in the SESSION timezone — a driver session not running UTC would shift
-    every boundary and break oracle parity. NTZ-to-NTZ timestampdiff has no
-    timezone in it at all, matching DuckDB's epoch_us on naive timestamps.
-    """
-    return F.timestamp_diff(
-        "MICROSECOND",
-        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-        F.col(ts_col).cast("timestamp_ntz"))
 
 
 def sessionize(events: DataFrame, user_col: str = "user_id",

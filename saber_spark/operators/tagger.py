@@ -127,6 +127,13 @@ def _build_model(payload):
     if isinstance(payload, dict) and payload.get("kind") == "viterbi":
         from saber_spark.models import ViterbiCRFTagger
 
+        weights = payload.get("weights")
+        if weights is not None:
+            # fully-fitted artifact (train.py --model-dir): restore the
+            # trained matrices instead of re-deriving from the dictionary
+            return ViterbiCRFTagger(
+                payload["word_to_idx"], payload["config"]["tags"],
+                weights["emissions"], weights["transitions"])
         return ViterbiCRFTagger.from_dictionary(
             payload["surface_map"], payload["word_to_idx"])
     return DictionaryTagger(payload)

@@ -17,15 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from saber_spark.operators.timeutil import epoch_micros as _epoch_micros
+
 HOUR_US = 3_600_000_000
 DAY_US = 24 * HOUR_US
 
 
-def _epoch_micros(ts_col: str):
-    return F.timestamp_diff(
-        "MICROSECOND",
-        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-        F.col(ts_col))
 
 
 def hypertable_rollup(events: DataFrame, ts_col: str = "ts",

@@ -110,7 +110,8 @@ def main() -> None:
     args = parser.parse_args()
 
     from saber_spark.session import get_spark
-    from saber_spark.sources.registry import read_table, write_table
+    from saber_spark.sources.registry import (DEFAULT_WRITE_FORMAT,
+                                              read_table, write_table)
 
     spark = get_spark("saber_spark.pipeline")
     pages = build_pages_df(spark, args.sf_dir)
@@ -120,7 +121,8 @@ def main() -> None:
     for name in ("nodes", "edges", "triples"):
         path = os.path.join(args.out, name)
         write_table(out[name], path, args.format)
-        stats[name] = read_table(spark, path, args.format or "parquet").count()
+        stats[name] = read_table(
+            spark, path, args.format or DEFAULT_WRITE_FORMAT).count()
     print(json.dumps({"out": args.out, "rows": stats}))
 
 

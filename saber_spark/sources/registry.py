@@ -105,18 +105,21 @@ def merge_upsert(target_path: str, updates: DataFrame, keys: list[str],
             WHEN NOT MATCHED THEN INSERT *""")
         return
 
+    import os
+
     from pyspark.sql import functions as F
-    try:
+    aggs = ([F.sum(c).alias(c) for c in sum_cols]
+            + [F.min(c).alias(c) for c in min_cols])
+    # updates may carry several rows per key within one batch: aggregate
+    # FIRST so the no-target path also honors the MERGE key contract
+    merged = updates.groupBy(*keys).agg(*aggs)
+    # explicit existence probe (local-FS sandbox; a cluster deploy swaps in
+    # the Hadoop FS API here). A transient READ failure on an existing table
+    # must propagate — catching it would silently reset accumulated counts
+    # to the current micro-batch.
+    if os.path.exists(target_path):
         existing = read_table(spark, target_path, fmt)
-    except Exception:
-        existing = None
-    if existing is not None:
-        merged = (existing.unionByName(updates)
-                  .groupBy(*keys)
-                  .agg(*([F.sum(c).alias(c) for c in sum_cols]
-                         + [F.min(c).alias(c) for c in min_cols])))
-    else:
-        merged = updates
+        merged = existing.unionByName(merged).groupBy(*keys).agg(*aggs)
     tmp = f"{target_path}__merge{'' if epoch_id is None else epoch_id}"
     write_table(merged, tmp, fmt)
     shutil.rmtree(target_path, ignore_errors=True)

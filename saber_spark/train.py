@@ -211,8 +211,12 @@ def main() -> None:
                    for lab, v in sorted(scores.items())},
     }
     if args.model_dir:
+        # full fitted state: vocab + tag set + emission/transition matrices
+        # (a reloaded model must predict identically, saber/base_model.py:23-52)
         save_model_dir(args.model_dir, kind="viterbi", surface_map={},
                        word_to_idx=model.word_to_idx,
+                       weights={"emissions": model.emissions,
+                                "transitions": model.transitions},
                        config={"tags": model.tags})
         report["model_dir"] = args.model_dir
     with open(args.out, "w") as f:

@@ -67,10 +67,13 @@ def render_mentions_df(docs, mentions):
     """
     from pyspark.sql import functions as F
 
+    # sort key (start ASC, end DESC): same-start overlaps must keep the
+    # LONGEST span, matching render_document_html's (start, -end) ordering
     m = (mentions
          .groupBy("url")
          .agg(F.array_sort(F.collect_list(F.struct(
-             "start", "end", "label"))).alias("spans")))
+             F.col("start"), (-F.col("end")).alias("neg_end"),
+             F.col("end"), F.col("label")))).alias("spans")))
     joined = docs.join(m, "url", "left")
     # fold spans left-to-right: state = struct(cursor, html). Offsets index
     # the UNESCAPED extracted text (markup already stripped by extract_text);
@@ -100,8 +103,8 @@ def render_mentions_df(docs, mentions):
 
     folded = F.aggregate(F.coalesce(F.col("spans"),
                                     F.array().cast(
-                                        "array<struct<start:int,end:int,"
-                                        "label:string>>")),
+                                        "array<struct<start:int,neg_end:int,"
+                                        "end:int,label:string>>")),
                          state0, step)
     tail = F.substring(F.col("doc_text"), folded["cursor"] + 1,
                        F.length("doc_text") - folded["cursor"])

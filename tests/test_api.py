@@ -63,3 +63,10 @@ class TestAnnotate:
         expect = {(e["start"], e["end"], e["text"], e["label"])
                   for e in annotate(self.TEXT)["ents"]}
         assert got == expect and len(expect) >= 3
+
+
+class TestAnnotateEdgeSemantics:
+    def test_empty_ents_dict_disables_everything(self):
+        """ents={} means NO types enabled (absent => off), not defaults."""
+        ann = annotate("spark binds vector.", ents={})
+        assert ann["ents"] == []

@@ -236,3 +236,19 @@ class TestRegistrySinks:
         df = spark.range(1)
         with pytest.raises(ValueError, match="Unsupported format"):
             write_table(df, "/tmp/nope", fmt="avro")
+
+
+class TestMergeUpsertContract:
+    def test_first_write_aggregates_duplicate_keys(self, spark, tmp_path):
+        """A batch carrying several rows for one key must land aggregated
+        even when the target does not exist yet (MERGE key contract)."""
+        from saber_spark.sources.registry import merge_upsert, read_table
+        path = str(tmp_path / "t")
+        upd = spark.createDataFrame(
+            [("a", "p", "b", 2, "u9"), ("a", "p", "b", 3, "u1")],
+            "subj string, pred string, obj string, n long, first string")
+        merge_upsert(path, upd, keys=["subj", "pred", "obj"],
+                     sum_cols=["n"], min_cols=["first"], epoch_id=0)
+        rows = read_table(spark, path).collect()
+        assert len(rows) == 1
+        assert rows[0]["n"] == 5 and rows[0]["first"] == "u1"

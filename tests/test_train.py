@@ -97,3 +97,29 @@ class TestTraining:
         rows = detect_mentions(extracted, bc).collect()
         got = {(r["text"], r["label"]) for r in rows}
         assert got == {("cancer of lung", "DISO")}
+
+
+class TestTrainedArtifactRoundtrip:
+    def test_saved_model_predicts_identically(self, spark, tmp_path):
+        """A trained Viterbi model saved with weights and rebuilt through
+        the tagger's payload factory must predict the same tags (the saved
+        artifact previously dropped the fitted matrices)."""
+        from saber_spark.artifacts import load_model_payload, save_model_dir
+        from saber_spark.operators.tagger import _build_model
+        from saber_spark.train import train_viterbi_tagger
+
+        rows = [(["p53", "binds", "dna"], ["B-PRGE", "O", "O"]),
+                (["cancer", "hurts"], ["B-DISO", "O"]),
+                (["p53", "and", "cancer"], ["B-PRGE", "O", "B-DISO"])] * 4
+        src = spark.createDataFrame(rows, "tokens array<string>, tags array<string>")
+        model = train_viterbi_tagger(src)
+        d = str(tmp_path / "m")
+        save_model_dir(d, kind="viterbi", surface_map={},
+                       word_to_idx=model.word_to_idx,
+                       weights={"emissions": model.emissions,
+                                "transitions": model.transitions},
+                       config={"tags": model.tags})
+        rebuilt = _build_model(load_model_payload(d))
+        probe = [["p53", "binds", "cancer"], ["totally", "new", "words"]]
+        assert rebuilt.predict_tags(probe) == model.predict_tags(probe)
+        assert rebuilt.predict_tags([["p53"]]) == [["B-PRGE"]]

@@ -63,6 +63,22 @@ class TestRenderDataFrame:
         assert got["u1"] == expect_u1
         assert got["u2"] == '<div class="entities">no entities</div>'
 
+    def test_overlap_tiebreak_matches_python_twin(self, spark):
+        """Same-start overlap keeps the LONGEST span on both paths."""
+        from saber_spark.visualize import render_mentions_df
+        text = "abcdefgh"
+        mentions_py = [{"start": 0, "end": 2, "label": "LIVB"},
+                       {"start": 0, "end": 5, "label": "CHED"},
+                       {"start": 3, "end": 7, "label": "DISO"}]  # overlaps
+        docs = spark.createDataFrame([("u", text)],
+                                     "url string, doc_text string")
+        mdf = spark.createDataFrame(
+            [("u", m["start"], m["end"], m["label"]) for m in mentions_py],
+            "url string, start int, end int, label string")
+        got = render_mentions_df(docs, mdf).first()["html"]
+        assert got == render_document_html(text, mentions_py)
+        assert ">abcde<span" in got and got.count("<mark") == 1
+
     def test_no_python_eval_in_plan(self, spark):
         from saber_spark.visualize import render_mentions_df
         docs = spark.createDataFrame([("u", "t")], "url string, doc_text string")
