@@ -600,6 +600,20 @@ def q_asof_join(spark, sf_dir):
                       "asof_value")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source data mixing: 80% of src0, 50% of src1,
+    none of src2, 20% of everything else — membership a pure hash of the
+    row id (reproducible, nested, engine-portable; no RNG)."""
+    from saber_spark.operators.splits import stratified_sample
+    sampled = stratified_sample(
+        _docs(spark, sf_dir), "source", "doc_id",
+        fractions={"src0": 0.8, "src1": 0.5, "src2": 0.0},
+        default_fraction=0.2)
+    return (sampled.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("doc_id").alias("min_id")))
+
+
 def q_connected_components(spark, sf_dir):
     """Iterative hash-min connected components over the entity co-occurrence
     graph (DuckDB oracle: recursive-CTE min-reachable-node)."""
@@ -836,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "kmv_distinct": q_kmv_distinct,
         "connected_components": q_connected_components,
+        "stratified_sample": q_stratified_sample,
         "tpch_q4": q_tpch_q4,
         "moving_avg": q_moving_avg,
         "median_by_source": q_median_by_source,
@@ -1299,6 +1314,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "stratified_sample": f"""
+            WITH sampled AS (
+              SELECT * FROM documents
+              WHERE ((doc_id * {KNUTH}) % {HASH_MOD}) % 1000000 <
+                    CASE source WHEN 'src0' THEN 800000
+                                WHEN 'src1' THEN 500000
+                                WHEN 'src2' THEN 0
+                                ELSE 200000 END)
+            SELECT source, count(*) AS n_kept, min(doc_id) AS min_id
+            FROM sampled GROUP BY source""",
         "connected_components": f"""
             WITH RECURSIVE {TOKENS_CTE}, {LINKED_CTE},
             ents AS (SELECT DISTINCT doc_id, canonical_id FROM linked),

@@ -34,6 +34,31 @@ def fold_assign(df: DataFrame, id_col: str, k: int,
     )
 
 
+def stratified_sample(df: DataFrame, group_col: str, id_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0,
+                      resolution: int = 1_000_000) -> DataFrame:
+    """Per-group deterministic sampling — the data-mixing primitive of a
+    training corpus ("keep 80% of web, 30% of forums, all of books").
+
+    Unlike sampleBy (RNG-seeded, engine-specific), membership is a pure
+    function of the row id: keep iff hash(id) % resolution < frac*resolution.
+    Reproducible across runs/engines, stable under repartitioning, and a
+    narrow filter Catalyst can push — no shuffle, no sampling state. The
+    same row keeps/drops consistently as fractions grow (nested samples:
+    a 10% sample is a subset of the 20% sample), which RNG sampling cannot
+    guarantee.
+    """
+    frac_map = F.create_map(
+        *[F.lit(x) for kv in fractions.items()
+          for x in (kv[0], int(kv[1] * resolution))])
+    threshold = F.coalesce(frac_map[F.col(group_col)],
+                           F.lit(int(default_fraction * resolution)))
+    bucket = F.pmod(F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH),
+                           F.lit(HASH_MOD)), F.lit(resolution))
+    return df.filter(bucket < threshold)
+
+
 def train_valid_split(df: DataFrame, id_col: str,
                       valid_fraction_denom: int = 10) -> tuple[DataFrame, DataFrame]:
     """~1/denom of rows to validation (reference: 10%)."""

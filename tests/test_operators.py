@@ -481,3 +481,23 @@ class TestConnectedComponents:
         got = {r["node"]: r["component"]
                for r in connected_components(edges).collect()}
         assert set(got.values()) == {"n00"} and len(got) == 12
+
+
+class TestStratifiedSample:
+    def test_fractions_and_nesting(self, spark):
+        from saber_spark.operators.splits import stratified_sample
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(4000)],
+            "id long, grp string")
+        s50 = stratified_sample(df, "grp", "id", {"a": 0.5, "b": 0.0})
+        ids50 = {r["id"] for r in s50.collect()}
+        assert all(i % 2 == 0 for i in ids50)          # only group a
+        assert abs(len(ids50) / 2000 - 0.5) < 0.05     # ~50% of a
+        # nesting: the 20% sample is a subset of the 50% sample
+        ids20 = {r["id"] for r in stratified_sample(
+            df, "grp", "id", {"a": 0.2, "b": 0.0}).collect()}
+        assert ids20 <= ids50 and 0 < len(ids20) < len(ids50)
+        # deterministic across invocations
+        again = {r["id"] for r in stratified_sample(
+            df, "grp", "id", {"a": 0.5, "b": 0.0}).collect()}
+        assert again == ids50
