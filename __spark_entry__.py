@@ -803,7 +803,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's correctness gate evaluates only the
+    # FIRST 50 entries (dict insertion order) — CORRECTNESS_r02.json was
+    # exactly entries 1-50. Entries past position 50 get no driver row, so:
+    #   * the first 50 slots hold every query that still needs (or has the
+    #     most valuable) driver evidence — including the flagship KG stages
+    #     (kg_mentions, kg_edges), multimodal, and the round-2 additions
+    #     that fell past the cap (cube/grouping-sets/set-ops/xml);
+    #   * the tail (51+) holds family-redundant queries that are ALREADY
+    #     driver-green in BOTH r1 and r2 (eval_prf_left, lsh_cosine_topk,
+    #     tpch_q3_top10, tpch_q6, token_bigrams, zscore_by_source,
+    #     customers_without_orders) — each has an in-cap sibling covering
+    #     the same operator family (eval_prf/eval_prf_right,
+    #     lsh_cosine_multiband, tpch_q1/q4/q5, tokenize_explode,
+    #     window_agg/moving_avg, exists_high_value).
+    # When adding a NEW query, insert it before the tail and demote another
+    # twice-green family-redundant entry; never let an unverified query sit
+    # past position 50.
     return {
+        # --- KG pipeline stages (flagship; kg_* had no driver row in r2) ---
         "scan_filter_project": q_scan_filter_project,
         "tokenize_explode": q_tokenize_explode,
         "token_freq": q_token_freq,
@@ -813,54 +831,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link": q_entity_link,
         "canonicalize_salted": q_canonicalize_salted,
         "triples_cooccur": q_triples_cooccur,
+        "kg_mentions": q_kg_mentions,
+        "kg_edges": q_kg_edges,
+        "multimodal_features": q_multimodal_features,
+        # --- evaluation / splits ---
         "eval_prf": q_eval_prf,
+        "eval_prf_right": q_eval_prf_right,
         "split_folds": q_split_folds,
         "top1_per_user": q_top1_per_user,
+        "stratified_sample": q_stratified_sample,
+        # --- relational / windows / grouping ---
         "sessionize": q_sessionize,
         "window_agg": q_window_agg,
+        "moving_avg": q_moving_avg,
+        "median_by_source": q_median_by_source,
         "tpch_q1": q_tpch_q1,
-        "tpch_q3_top10": q_tpch_q3_top10,
+        "tpch_q4": q_tpch_q4,
         "tpch_q5_nation": q_tpch_q5_nation,
+        "above_nation_avg": q_above_nation_avg,
+        "exists_high_value": q_exists_high_value,
+        "mentions_histogram": q_mentions_histogram,
+        "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "setops_active_customers": q_setops_active_customers,
+        "xml_articles": q_xml_articles,
+        "asof_join": q_asof_join,
+        "range_join_clicks": q_range_join_clicks,
+        "hypertable_rollup": q_hypertable_rollup,
+        "kmv_distinct": q_kmv_distinct,
+        "connected_components": q_connected_components,
+        # --- dedup / similarity family ---
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_candidates": q_minhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
-        "lsh_cosine_topk": q_lsh_cosine_topk,
         "lsh_cosine_multiband": q_lsh_cosine_multiband,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_cosine_topk": q_ivf_cosine_topk,
+        # --- text stats ---
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
-        "zscore_by_source": q_zscore_by_source,
+        # --------- position 51+: twice-green (r1+r2) family-redundant ---------
         "eval_prf_left": q_eval_prf_left,
-        "eval_prf_right": q_eval_prf_right,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "tpch_q3_top10": q_tpch_q3_top10,
         "tpch_q6": q_tpch_q6,
-        "above_nation_avg": q_above_nation_avg,
-        "exists_high_value": q_exists_high_value,
-        "customers_without_orders": q_customers_without_orders,
         "token_bigrams": q_token_bigrams,
-        "mentions_histogram": q_mentions_histogram,
-        "rollup_revenue": q_rollup_revenue,
-        "asof_join": q_asof_join,
-        "range_join_clicks": q_range_join_clicks,
-        "hypertable_rollup": q_hypertable_rollup,
-        "kmv_distinct": q_kmv_distinct,
-        "connected_components": q_connected_components,
-        "stratified_sample": q_stratified_sample,
-        "tpch_q4": q_tpch_q4,
-        "moving_avg": q_moving_avg,
-        "median_by_source": q_median_by_source,
-        "cube_revenue": q_cube_revenue,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "xml_articles": q_xml_articles,
-        "setops_active_customers": q_setops_active_customers,
-        "kg_mentions": q_kg_mentions,
-        "kg_edges": q_kg_edges,
-        "multimodal_features": q_multimodal_features,
+        "zscore_by_source": q_zscore_by_source,
+        "customers_without_orders": q_customers_without_orders,
     }
 
 
@@ -1346,8 +1369,11 @@ def oracle_sql() -> dict[str, str]:
                      sum(CAST(value AS DECIMAL(18,2))) AS total
               FROM events GROUP BY 1, 2),
             day AS (
+              -- CAST: DuckDB sum(BIGINT) -> HUGEINT -> float64 in pandas,
+              -- which hash-mismatched Spark's int64 in CORRECTNESS_r02.
               SELECT (bucket_us // 86400000000) * 86400000000 AS bucket_us,
-                     event_type, sum(n_events) AS n_events, sum(total) AS total
+                     event_type, CAST(sum(n_events) AS BIGINT) AS n_events,
+                     sum(total) AS total
               FROM hour GROUP BY 1, 2)
             SELECT 'hour' AS grain, bucket_us, event_type, n_events,
                    CAST(total AS DOUBLE) AS total_value
