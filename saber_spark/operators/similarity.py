@@ -190,6 +190,14 @@ def ivf_cosine_topk(embeddings: DataFrame, k: int = 3, n_centroids: int = 8,
     cent_rows = sorted(
         corpus.filter(F.col(id_col) < n_centroids).collect(),
         key=lambda r: r[id_col])
+    if len(cent_rows) != n_centroids:
+        # Non-contiguous / non-zero-based ids would silently yield fewer
+        # centroids, null scores[0] and degraded assignments — fail loudly.
+        raise ValueError(
+            f"ivf_cosine_topk: expected {n_centroids} rows with "
+            f"{id_col} < {n_centroids} to seed the coarse quantizer, found "
+            f"{len(cent_rows)}; corpus ids must be contiguous from 0 "
+            f"(or lower n_centroids)")
     # centroid array literal: struct(cid, q array<long>, norm2)
     cent_arr = F.array(*[
         F.struct(F.lit(int(r[id_col])).alias("cid"),

@@ -119,19 +119,38 @@ def replace_rare_tokens(sentences: DataFrame, count: int = 1) -> DataFrame:
     """Replace corpus-rare tokens with '<UNK>' inside the tokens arrays.
 
     Reference: replace_rare_tokens, NUM_RARE=1
-    (saber/preprocessor.py:229-257, saber/constants.py:27). Relational
-    form: explode -> groupBy count -> collect the (small) rare set -> a
-    broadcast array membership inside transform(). The rare set is bounded
-    by vocabulary size, not corpus size, so the local collect is safe.
+    (saber/preprocessor.py:229-257, saber/constants.py:27).
+
+    Fully distributed relational form — no driver collect, no plan-literal
+    array (rare tokens are the heavy TAIL of the vocabulary, so on a
+    web-scale corpus the former collect-into-literal shape would hold
+    millions of strings in the query plan and scan them per token):
+
+      posexplode(tokens) -> join the rare half of the freq table on token
+      -> conditional replace -> collect_list back by sentence id.
+
+    The rare-side join is a plain equi-join, so Catalyst/AQE broadcasts it
+    when small and shuffle-joins it when not; either way the plan size is
+    O(1) in |vocab|. Sentence identity uses monotonically_increasing_id,
+    which is stable across the two branches because both read the same
+    deterministic source with the same partitioning.
     """
-    freq = (sentences.select(F.explode("tokens").alias("token"))
-            .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
-    rare = [r["token"] for r in freq.filter(F.col("freq") <= count).collect()]
-    rare_arr = F.array(*[F.lit(t) for t in rare]) if rare else F.array().cast(
-        "array<string>")
-    return sentences.withColumn(
-        "tokens",
-        F.transform(
-            "tokens",
-            lambda t: F.when(F.array_contains(rare_arr, t),
-                             F.lit("<UNK>")).otherwise(t)))
+    sid = sentences.withColumn("_sid", F.monotonically_increasing_id())
+    toks = sid.select("_sid", F.posexplode("tokens").alias("pos", "token"))
+    rare = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") <= count)
+            .select("token", F.lit(True).alias("_rare")))
+    regrouped = (
+        toks.join(rare, "token", "left")
+        .select("_sid", "pos",
+                F.when(F.col("_rare"), F.lit("<UNK>"))
+                 .otherwise(F.col("token")).alias("token"))
+        .groupBy("_sid")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("pos", "token"))).alias("rows"))
+        .select("_sid",
+                F.transform("rows", lambda r: r["token"]).alias("_new_tokens"))
+    )
+    return (sid.join(regrouped, "_sid", "left")
+            .withColumn("tokens", F.coalesce("_new_tokens", "tokens"))
+            .drop("_sid", "_new_tokens"))

@@ -86,14 +86,35 @@ def merge_upsert(target_path: str, updates: DataFrame, keys: list[str],
     unmatched rows insert. On Iceberg this is literally MERGE INTO (one
     transactional commit, no table rewrite). On parquet — which has no
     transactional merge — the same semantics run as read-union-aggregate
-    into a tmp dir + atomic directory swap; per-epoch tmp naming keeps the
-    swap idempotent under micro-batch replay (exactly-once with the
-    streaming checkpoint).
+    into a tmp dir + atomic directory swap.
+
+    Replay semantics: a micro-batch replayed after a completed swap (crash
+    between the swap and the streaming checkpoint commit) must NOT re-sum.
+    With ``epoch_id`` set, the applied epoch is recorded in an
+    ``_applied_epoch`` file INSIDE the data directory — atomic with the
+    swap itself — and a replay of an already-applied epoch is a no-op, so
+    the parquet path is exactly-once end-to-end with the streaming
+    checkpoint. (Spark's parquet reader skips ``_``-prefixed files, so the
+    marker is invisible to scans.) The Iceberg path issues the MERGE only
+    after checking the table's ``saber.applied_epoch`` property and sets it
+    afterwards; property-set is a separate commit from the MERGE, so that
+    path is at-least-once with a worst-case double-count window of exactly
+    one micro-batch — acceptable where Iceberg WAP/branch commit isn't
+    configured, and noted here rather than claimed away.
     """
     fmt = fmt or DEFAULT_WRITE_FORMAT
     _check_fmt(fmt)
     spark = updates.sparkSession
     if fmt == "iceberg":
+        if epoch_id is not None:
+            applied = {
+                r["key"]: r["value"]
+                for r in spark.sql(
+                    f"SELECT key, value FROM {target_path}.properties"
+                ).collect()
+            }.get("saber.applied_epoch")
+            if applied is not None and int(applied) >= epoch_id:
+                return
         updates.createOrReplaceTempView("_merge_updates")
         on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
         sets = ", ".join(
@@ -103,9 +124,18 @@ def merge_upsert(target_path: str, updates: DataFrame, keys: list[str],
             MERGE INTO {target_path} t USING _merge_updates s ON {on}
             WHEN MATCHED THEN UPDATE SET {sets}
             WHEN NOT MATCHED THEN INSERT *""")
+        if epoch_id is not None:
+            spark.sql(f"ALTER TABLE {target_path} SET TBLPROPERTIES "
+                      f"('saber.applied_epoch' = '{epoch_id}')")
         return
 
     import os
+
+    marker = os.path.join(target_path, "_applied_epoch")
+    if epoch_id is not None and os.path.exists(marker):
+        with open(marker) as fh:
+            if int(fh.read().strip()) >= epoch_id:
+                return  # replayed micro-batch: already swapped in
 
     from pyspark.sql import functions as F
     aggs = ([F.sum(c).alias(c) for c in sum_cols]
@@ -122,5 +152,8 @@ def merge_upsert(target_path: str, updates: DataFrame, keys: list[str],
         merged = existing.unionByName(merged).groupBy(*keys).agg(*aggs)
     tmp = f"{target_path}__merge{'' if epoch_id is None else epoch_id}"
     write_table(merged, tmp, fmt)
+    if epoch_id is not None:
+        with open(os.path.join(tmp, "_applied_epoch"), "w") as fh:
+            fh.write(str(epoch_id))
     shutil.rmtree(target_path, ignore_errors=True)
     shutil.move(tmp, target_path)

@@ -372,6 +372,17 @@ class TestIVF:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_ivf_noncontiguous_ids_fail_loudly(self, spark):
+        """Sparse / non-zero-based ids would silently seed fewer centroids
+        and degrade every assignment — must raise instead."""
+        from saber_spark.operators.similarity import ivf_cosine_topk
+        rng = np.random.RandomState(7)
+        df = spark.createDataFrame(
+            [(i * 100, [float(x) for x in rng.randn(8)]) for i in range(50)],
+            "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="contiguous"):
+            ivf_cosine_topk(df, n_centroids=8, n_probe=2, n_queries=5)
+
 
 class TestAsofJoin:
     def test_latest_at_or_before_semantics(self, spark):

@@ -102,6 +102,42 @@ class TestConll:
         assert out[0] == ["x", "x", "<UNK>"]
         assert out[1] == ["x", "<UNK>"]
 
+    def test_replace_rare_keeps_empty_and_dup_rows(self, spark):
+        # Empty token arrays survive (posexplode drops them mid-plan) and
+        # duplicate sentence rows keep their multiplicity.
+        df = spark.createDataFrame(
+            [("d", "train", 0, [], []),
+             ("d", "train", 1, ["x", "q"], ["O", "O"]),
+             ("d", "train", 1, ["x", "q"], ["O", "O"])],
+            "doc_id string, partition string, sent_id int, "
+            "tokens array<string>, tags array<string>")
+        rows = replace_rare_tokens(df, count=1).collect()
+        assert len(rows) == 3
+        by_tokens = sorted(tuple(r["tokens"]) for r in rows)
+        # "x" appears twice corpus-wide -> kept; "q" twice -> kept too
+        assert by_tokens == [(), ("x", "q"), ("x", "q")]
+
+    def test_replace_rare_large_vocab_bounded_plan(self, spark):
+        # 50k distinct once-occurring tokens: the former implementation
+        # collected them into a plan-literal array (multi-MB plan + linear
+        # scan per token). The join formulation must keep the plan O(1)
+        # in |vocab| and still replace everything.
+        df = spark.range(5000).select(
+            F.col("id").alias("sent_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(9)),
+                lambda i: F.concat(F.lit("tok_"),
+                                   (F.col("id") * 10 + i).cast("string"))
+            ).alias("tokens"))
+        out = replace_rare_tokens(df, count=1)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert len(plan) < 100_000, f"plan blew up: {len(plan)} chars"
+        agg = out.select(
+            F.sum(F.size(F.filter("tokens",
+                                  lambda t: t == "<UNK>"))).alias("n_unk"),
+            F.sum(F.size("tokens")).alias("n_tot")).collect()[0]
+        assert agg["n_unk"] == agg["n_tot"] == 50_000
+
 
 class TestEmbeddings:
     @pytest.fixture(scope="class")
@@ -252,3 +288,34 @@ class TestMergeUpsertContract:
         rows = read_table(spark, path).collect()
         assert len(rows) == 1
         assert rows[0]["n"] == 5 and rows[0]["first"] == "u1"
+
+    def test_replayed_epoch_is_noop(self, spark, tmp_path):
+        """A micro-batch replayed after a completed swap (crash before the
+        streaming checkpoint commit) must not re-sum counts."""
+        from saber_spark.sources.registry import merge_upsert, read_table
+        path = str(tmp_path / "t")
+        schema = "subj string, pred string, obj string, n long, first string"
+        b0 = spark.createDataFrame([("a", "p", "b", 2, "u9")], schema)
+        b1 = spark.createDataFrame([("a", "p", "b", 3, "u1")], schema)
+        kw = dict(keys=["subj", "pred", "obj"],
+                  sum_cols=["n"], min_cols=["first"])
+        merge_upsert(path, b0, epoch_id=0, **kw)
+        merge_upsert(path, b1, epoch_id=1, **kw)
+        # replay both epochs out of a rewound checkpoint: no-ops
+        merge_upsert(path, b0, epoch_id=0, **kw)
+        merge_upsert(path, b1, epoch_id=1, **kw)
+        rows = read_table(spark, path).collect()
+        assert len(rows) == 1 and rows[0]["n"] == 5
+        # marker file is invisible to the parquet scan but present on disk
+        assert (tmp_path / "t" / "_applied_epoch").read_text() == "1"
+
+    def test_epoch_none_always_applies(self, spark, tmp_path):
+        from saber_spark.sources.registry import merge_upsert, read_table
+        path = str(tmp_path / "t")
+        schema = "subj string, pred string, obj string, n long, first string"
+        b = spark.createDataFrame([("a", "p", "b", 1, "u1")], schema)
+        kw = dict(keys=["subj", "pred", "obj"],
+                  sum_cols=["n"], min_cols=["first"])
+        merge_upsert(path, b, **kw)
+        merge_upsert(path, b, **kw)  # batch semantics: no epoch, re-applies
+        assert read_table(spark, path).collect()[0]["n"] == 2
