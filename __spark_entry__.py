@@ -387,10 +387,17 @@ def q_minhash_candidates(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     """Candidates + verify. The chain recomputes the narrow shingle lineage
-    per join branch; measured A/B at sf0.1 shows recompute INSIDE codegen
-    beats a persisted shingle cache (3.6s vs 7.4s) — narrow JVM recompute is
-    cheaper than a cache round-trip at this scale. At 100 TB the shared
-    shingle table is a materialized checkpoint stage instead: pass it via
+    per join branch; whether to share it instead is SCALE-DEPENDENT,
+    measured both ways (BENCH/ab_shingles.json, round 3):
+      - plain sf0.1 (5k docs, this query's bench shape): recompute inside
+        codegen wins, 3.2s vs 6.0s persisted — the cache round-trip costs
+        more than the narrow JVM recompute;
+      - sf0.1 x32 (160k docs, production xxhash64 ids): the shared stage
+        wins, persist 22.4s / parquet-materialized 22.5s vs 27.0s
+        recompute (no sample overlap across 3 interleaved rounds).
+    So the registered query keeps the recompute plan (it wins at the scale
+    the driver benches), and past the crossover — certainly at 100 TB —
+    callers pass a persisted/materialized doc_shingles() via
     ngram_jaccard(..., shingles=...)."""
     docs = _docs(spark, sf_dir)
     return ngram_jaccard(docs, minhash_candidates(docs, portable_ids=True))
