@@ -99,6 +99,74 @@ def token_counts(docs: DataFrame, text_col: str = "text",
     )
 
 
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 40, min_mean_len: float = 2.0,
+                   max_mean_len: float = 10.0,
+                   max_top_bigram_frac: float = 0.12,
+                   max_dup_trigram_frac: float = 0.30) -> DataFrame:
+    """Gopher/MassiveText-style repetition + shape filters per document.
+
+    -> (doc_id, n_words, mean_word_len, top_bigram_frac, dup_trigram_frac,
+        keep). All engine-portable built-ins:
+      top_bigram_frac  = occurrences of the most frequent word 2-gram
+                         / total 2-grams (repetition signal)
+      dup_trigram_frac = 1 - distinct/total word 3-grams (near-repetition)
+      keep             = within all thresholds (the corpus filter bit)
+
+    Words split on single spaces (the corpus layout), n-grams built with
+    higher-order array functions — narrow until the per-(doc, gram) count,
+    which is two hash aggregations with map-side partial combine. At 100 TB
+    each agg shuffles on (doc_id, gram): uniformly distributed keys, no
+    hub-key skew by construction (a gram key is doc-scoped).
+    """
+    words = F.split(F.trim(F.col(text_col)), " ")
+
+    def grams(n: int):
+        # positions 1..len-n+1 (element_at is 1-based)
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(" ", *[
+                    F.element_at(words, i + j) for j in range(n)])),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.round(
+            F.aggregate(words, F.lit(0).cast("long"),
+                        lambda acc, w: acc + F.length(w))
+            / F.greatest(F.size(words), F.lit(1)), 6).alias("mean_word_len"),
+    )
+    bi = (docs.select(F.col(id_col), F.explode(grams(2)).alias("g"))
+          .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+          .groupBy(id_col)
+          .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")))
+    tri = (docs.select(F.col(id_col), F.explode(grams(3)).alias("g"))
+           .groupBy(id_col)
+           .agg(F.round(
+               (F.count(F.lit(1)) - F.countDistinct("g"))
+               / F.count(F.lit(1)), 6).alias("dup_trigram_frac")))
+    return (
+        base.join(bi, id_col, "left").join(tri, id_col, "left")
+        .select(
+            id_col, "n_words", "mean_word_len",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)
+                       ).alias("dup_trigram_frac"),
+            ((F.col("n_words") >= min_words)
+             & (F.col("mean_word_len") >= min_mean_len)
+             & (F.col("mean_word_len") <= max_mean_len)
+             & (F.coalesce("top_bigram_frac", F.lit(0.0))
+                <= max_top_bigram_frac)
+             & (F.coalesce("dup_trigram_frac", F.lit(0.0))
+                <= max_dup_trigram_frac)).alias("keep"),
+        )
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Position-sensitive rolling-hash fingerprint per document.

@@ -512,3 +512,32 @@ class TestStratifiedSample:
         again = {r["id"] for r in stratified_sample(
             df, "grp", "id", {"a": 0.5, "b": 0.0}).collect()}
         assert again == ids50
+
+
+class TestGopherQuality:
+    def test_repetition_and_shape_filters(self, spark):
+        from saber_spark.operators.textstats import gopher_quality
+        normal = " ".join(f"w{i % 97} x{(i * 7) % 89}" for i in range(30))
+        spammy = " ".join(["spam"] * 61)
+        short = "just a few words here"
+        longwords = " ".join(["a" * 20] * 50)
+        df = spark.createDataFrame(
+            [(1, normal), (2, spammy), (3, short), (4, longwords)],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+        assert out[1]["keep"] is True
+        assert out[1]["n_words"] == 60
+        # 61 identical words: every bigram equal, trigrams all duplicates
+        assert out[2]["top_bigram_frac"] == 1.0
+        assert out[2]["dup_trigram_frac"] == round(58 / 59, 6)
+        assert out[2]["keep"] is False
+        assert out[3]["keep"] is False          # n_words < 40
+        assert out[4]["mean_word_len"] == 20.0  # mean len > 10
+        assert out[4]["keep"] is False
+
+    def test_single_word_doc_has_zero_gram_fracs(self, spark):
+        from saber_spark.operators.textstats import gopher_quality
+        df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+        r = gopher_quality(df).collect()[0]
+        assert r["top_bigram_frac"] == 0.0 and r["dup_trigram_frac"] == 0.0
+        assert r["keep"] is False
