@@ -199,6 +199,53 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
     )
 
 
+def dedup_clusters(docs: DataFrame, threshold: float = 0.5,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   rounds: int | None = None,
+                   portable_ids: bool = False,
+                   shingles: DataFrame | None = None) -> DataFrame:
+    """Near-dup dedup capstone: keep-list over transitive duplicate clusters.
+
+    LSH candidates -> exact Jaccard verify (>= threshold) -> connected
+    components over the verified pairs -> one row PER CORPUS DOC:
+    (doc_id, cluster_id, cluster_size, keep) with cluster_id = min doc in
+    the component (own id for singletons) and keep = doc is its cluster's
+    canonical representative. This is the decision table a training-data
+    pipeline joins back to drop duplicates while keeping one copy.
+
+    Transitivity is the point: A~B and B~C dedupe {A,B,C} to one doc even
+    when A~C is below threshold (chains of near-misses are how template
+    spam survives pairwise-only dedup). Scale: candidates are LSH-bounded
+    (never all-pairs), the verify runs only on candidates, and components
+    use hash-min propagation (one join + one agg per round); cluster
+    diameter is small in practice — pass ``rounds`` >= the expected
+    diameter to run propagation as one lazy job, or None for the
+    checkpointed fixpoint mode.
+    """
+    from saber_spark.operators.graph import connected_components
+
+    pairs = minhash_candidates(docs, text_col, id_col,
+                               portable_ids=portable_ids, shingles=shingles)
+    jac = (ngram_jaccard(docs, pairs, text_col, id_col, shingles=shingles)
+           .filter(F.col("jaccard") >= threshold)
+           .select("doc_a", "doc_b"))
+    comp = connected_components(jac, src="doc_a", dst="doc_b", rounds=rounds)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        docs.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .join(sizes, "component", "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            (F.col("component").isNull()
+             | (F.col(id_col) == F.col("component"))).alias("keep"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """-> (doc_id, simhash): b-bit SimHash over token-id multiset.

@@ -1,0 +1,59 @@
+"""Sequence packing: assign documents to fixed-token-budget training shards.
+
+LLM pretraining consumes the corpus as a stream of fixed-size context
+windows: documents are concatenated (within a shard) and cut every
+``window`` tokens. The pipeline-side operator is the assignment table —
+which bin each document lands in and at which token offset — so a
+downstream tokenizer/writer can materialize shard files without any global
+coordination.
+
+Relational form (engine-portable, oracle-checkable): a running token count
+per pack group via a window frame, bin = cumulative-before // window,
+offset = cumulative-before % window. Docs longer than ``window`` simply
+span bins, exactly like training-time packing.
+
+Scale: ONE shuffle on the pack group column. The running sum is sequential
+WITHIN a group, so the group column must have enough cardinality to spread
+work — at 10^12 docs pack by (source, shard) where shard =
+pmod(xxhash64(doc_id), K): training order is shuffled downstream anyway,
+so the within-group order (doc_id here, for determinism) carries no
+semantic weight, and K scales the parallelism. The testdata query packs by
+``source`` (4 groups) purely because the oracle corpus is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(docs: DataFrame, window: int = 512,
+                   group_col: str = "source", text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """-> (doc_id, <group_col>, n_tokens, bin_id, bin_offset).
+
+    bin_id / bin_offset locate the document's first token in the packed
+    stream of its group: tokens [cum_before, cum_before + n_tokens) cut
+    into ``window``-sized bins. Token count is the whitespace count (the
+    cheap budget estimate; swap in token_counts.n_re_tokens for the
+    BPE-ish budget — the packing math is identical).
+    """
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), " "))
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # bin split uses BIGINT `div`, not floor(double /): double rounding can
+    # cross a bin boundary once cumulative counts get large
+    return (
+        docs.select(F.col(id_col), F.col(group_col),
+                    n_tokens.cast("long").alias("n_tokens"))
+        .withColumn("_cum_before", cum_before.cast("long"))
+        .select(
+            id_col, group_col, "n_tokens",
+            F.expr(f"_cum_before div {int(window)}").alias("bin_id"),
+            F.pmod(F.col("_cum_before"), F.lit(int(window))
+                   ).cast("long").alias("bin_offset"),
+        )
+    )

@@ -541,3 +541,49 @@ class TestGopherQuality:
         r = gopher_quality(df).collect()[0]
         assert r["top_bigram_frac"] == 0.0 and r["dup_trigram_frac"] == 0.0
         assert r["keep"] is False
+
+
+class TestSequencePacking:
+    def test_bins_and_offsets(self, spark):
+        from saber_spark.operators.packing import pack_sequences
+        df = spark.createDataFrame(
+            [(1, "a", "t1 t2 t3"),            # 3 tokens -> bin 0 @ 0
+             (2, "a", "t1 t2 t3 t4"),         # cum 3    -> bin 0 @ 3
+             (3, "a", "t1 t2 t3 t4 t5"),      # cum 7    -> bin 1 @ 1
+             (4, "b", "t1 t2")],              # own group -> bin 0 @ 0
+            "doc_id long, source string, text string")
+        out = {r["doc_id"]: (r["bin_id"], r["bin_offset"], r["n_tokens"])
+               for r in pack_sequences(df, window=6).collect()}
+        assert out[1] == (0, 0, 3)
+        assert out[2] == (0, 3, 4)   # spans the bin 0/1 boundary
+        assert out[3] == (1, 1, 5)
+        assert out[4] == (0, 0, 2)
+
+    def test_bad_window_raises(self, spark):
+        from saber_spark.operators.packing import pack_sequences
+        with pytest.raises(ValueError, match="window"):
+            pack_sequences(spark.range(1), window=0)
+
+
+class TestDedupClusters:
+    def test_transitive_chain_collapses(self, spark):
+        """A~B and B~C above threshold, A~C below: transitivity must still
+        put all three in ONE cluster with a single keeper."""
+        from saber_spark.operators.dedup import dedup_clusters
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lam mu nu xi omicron pi rho sigma tau upsilon")
+        b = base.replace("gamma", "GAMMA")      # J(A,B) ~ 15/21 = 0.714
+        c = b.replace("sigma", "SIGMA")         # J(B,C) ~ 0.714, J(A,C) ~ 0.5
+        lone = "unrelated totally different words nothing shared here at all"
+        docs = spark.createDataFrame(
+            [(10, base), (11, b), (12, c), (13, lone)],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               dedup_clusters(docs, threshold=0.6, rounds=4).collect()}
+        assert out[10]["cluster_id"] == out[11]["cluster_id"] \
+            == out[12]["cluster_id"] == 10
+        assert out[10]["cluster_size"] == 3
+        assert out[10]["keep"] is True
+        assert out[11]["keep"] is False and out[12]["keep"] is False
+        assert out[13] and out[13]["cluster_size"] == 1
+        assert out[13]["keep"] is True and out[13]["cluster_id"] == 13
