@@ -221,6 +221,14 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5,
     diameter is small in practice — pass ``rounds`` >= the expected
     diameter to run propagation as one lazy job, or None for the
     checkpointed fixpoint mode.
+
+    The lazy-rounds plan repeats the edge-derivation subtree per round, but
+    Spark's exchange reuse (spark.sql.exchange.reuse, on by default)
+    computes each identical shuffle subtree ONCE per job — verified in
+    PLANS.md §dedup_clusters (ReusedExchange nodes). At 100 TB, materialize
+    the verified pairs to a checkpoint table first and run the component
+    step from that (the same shape the ``shingles=`` parameter enables for
+    the verify stage).
     """
     from saber_spark.operators.graph import connected_components
 

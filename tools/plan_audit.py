@@ -150,6 +150,61 @@ def main() -> None:
         sections[-1] = (sections[-1][0], sections[-1][1], plan_nd,
                         ["<no cartesian product>"], None)
 
+    # 9. sequence packing: the running count costs ONE exchange on the group
+    sp = e.q_sequence_packing(spark, SF_DIR)
+    plan_sp = formatted_plan(sp)
+    sections.append((
+        "sequence_packing (one-exchange running count)",
+        "The per-group running token count is a single window over "
+        "hashpartitioning(source): exactly one Exchange, everything else "
+        "narrow in codegen. More than one Exchange would mean the window "
+        "partitioning was not reused.",
+        plan_sp,
+        ["Window", "hashpartitioning(source"],
+        0,
+    ))
+    # node-detail headers only ("(3) Exchange"); BroadcastExchange and the
+    # duplicate tree-line mentions don't match
+    if len(re.findall(r"\(\d+\) Exchange", plan_sp)) != 1:
+        sections[-1] = (sections[-1][0], sections[-1][1], plan_sp,
+                        ["<exactly one Exchange>"], 0)
+
+    # 10. gopher repetition: gram counts are partial+final hash aggregates
+    gq = e.q_gopher_repetition(spark, SF_DIR)
+    sections.append((
+        "gopher_repetition (two-phase gram aggregation)",
+        "Bigram/trigram counts must be HashAggregate partial+final on "
+        "(doc_id, gram) — map-side combine bounds the shuffle by the "
+        "per-partition distinct grams; keys are doc-scoped so no hub-key "
+        "skew exists by construction. Zero Python anywhere.",
+        formatted_plan(gq),
+        ["HashAggregate"],
+        0,
+    ))
+
+    # 11. dedup_clusters: composite chain must stay equi-join end-to-end
+    dc = e.q_dedup_clusters(spark, SF_DIR)
+    plan_dc = formatted_plan(dc)
+    sections.append((
+        "dedup_clusters (bucketed chain, no all-pairs anywhere)",
+        "Candidates, Jaccard verify AND the component propagation rounds "
+        "are all equi-joins; a CartesianProduct/BroadcastNestedLoopJoin "
+        "anywhere in this composite would reintroduce the all-pairs shape "
+        "the whole dedup design avoids.",
+        plan_dc,
+        [],
+        0,
+    ))
+    # The ONLY nested-loop join allowed is the 8-row broadcast seeds
+    # constants crossJoin inside minhash_signatures (Cross BuildRight
+    # against a bounded literal table — dedup.py's documented shape). Any
+    # CartesianProduct, or a BNLJ that is not that shape, fails the audit.
+    bnlj_kinds = set(re.findall(
+        r"BroadcastNestedLoopJoin (\w+ \w+) \(\d+\)", plan_dc))
+    if "CartesianProduct" in plan_dc or bnlj_kinds - {"Cross BuildRight"}:
+        sections[-1] = (sections[-1][0], sections[-1][1], plan_dc,
+                        ["<no cartesian product>"], 0)
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
@@ -168,7 +223,13 @@ def main() -> None:
             f" python_eval_nodes={n_py}>max {max_py}" if too_many_py else "")
         if not ok:
             failures.append(title)
-        out_parts.append(f"\n## {title}  [{status}]\n\n{why}\n\n```\n{plan}```\n")
+        plan_out = plan
+        plan_lines = plan.splitlines()
+        if len(plan_lines) > 400:
+            plan_out = "\n".join(plan_lines[:400]) + (
+                f"\n... [{len(plan_lines) - 400} more lines truncated — "
+                "composite plan; checks above ran on the FULL text]\n")
+        out_parts.append(f"\n## {title}  [{status}]\n\n{why}\n\n```\n{plan_out}```\n")
         print(f"{title:45s} {status}")
 
     with open(args.out, "w") as f:
