@@ -222,13 +222,14 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5,
     diameter to run propagation as one lazy job, or None for the
     checkpointed fixpoint mode.
 
-    The lazy-rounds plan repeats the edge-derivation subtree per round, but
-    Spark's exchange reuse (spark.sql.exchange.reuse, on by default)
-    computes each identical shuffle subtree ONCE per job — verified in
-    PLANS.md §dedup_clusters (ReusedExchange nodes). At 100 TB, materialize
-    the verified pairs to a checkpoint table first and run the component
-    step from that (the same shape the ``shingles=`` parameter enables for
-    the verify stage).
+    The verified-pairs table is MATERIALIZED (localCheckpoint) before the
+    component rounds: each propagation round references the edge set, and
+    measured at sf0.01/sf0.1 the un-materialized plan re-derived the whole
+    LSH+verify chain per round (no static ReusedExchange appeared across
+    the rounds' subtrees) — 14.0s vs 0.9s for the component step at
+    sf0.01. The pairs table is tiny (candidates already LSH-bounded), so
+    the checkpoint is cheap at any scale; a 100 TB run writes it to a
+    durable checkpoint table instead (same shape, resumable).
     """
     from saber_spark.operators.graph import connected_components
 
@@ -236,7 +237,8 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5,
                                portable_ids=portable_ids, shingles=shingles)
     jac = (ngram_jaccard(docs, pairs, text_col, id_col, shingles=shingles)
            .filter(F.col("jaccard") >= threshold)
-           .select("doc_a", "doc_b"))
+           .select("doc_a", "doc_b")
+           .localCheckpoint(eager=True))
     comp = connected_components(jac, src="doc_a", dst="doc_b", rounds=rounds)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"))
