@@ -86,6 +86,8 @@ def main() -> None:
         "lang_id", "quality_score", "doc_fingerprint", "rollup_revenue",
         "above_nation_avg", "exists_high_value", "token_bigrams",
         "zscore_by_source", "eval_prf",
+        # added round 3 (new operators; excluded from r1/r2 totals)
+        "gopher_repetition", "sequence_packing", "dedup_clusters",
     ]
     for name in bench_queries:
         t0 = time.monotonic()
