@@ -31,6 +31,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import statistics
 import subprocess
 import sys
@@ -131,26 +132,32 @@ def main() -> None:
                          "median across pairs")
     args = ap.parse_args()
 
-    pages_dir = tempfile.mkdtemp(prefix="scst_pages_") + "/pages"
+    scratch = tempfile.mkdtemp(prefix="scst_pages_")
+    pages_dir = scratch + "/pages"
     ratio = args.n4 / args.n
     pair_rows = []
-    for i in range(args.pairs):
-        low = run_level(args.n, args.replicate, args.sf_dir, pages_dir,
-                        args.runs)
-        high = run_level(args.n4, args.replicate, args.sf_dir, pages_dir,
-                         args.runs)
-        stages = {}
-        for st in ("linked", "edges", "nodes"):
-            sp = low["median"][st] / high["median"][st]
-            stages[st] = {
-                "low_median_s": low["median"][st],
-                "high_median_s": high["median"][st],
-                "speedup": round(sp, 2),
-                "efficiency": round(sp / ratio, 3),
-            }
-        pair_rows.append({"pair": i, "low": low, "high": high,
-                          "stages": stages})
-        print(json.dumps({"pair": i, "stages": stages}))
+    try:
+        for i in range(args.pairs):
+            low = run_level(args.n, args.replicate, args.sf_dir, pages_dir,
+                            args.runs)
+            high = run_level(args.n4, args.replicate, args.sf_dir, pages_dir,
+                             args.runs)
+            stages = {}
+            for st in ("linked", "edges", "nodes"):
+                sp = low["median"][st] / high["median"][st]
+                stages[st] = {
+                    "low_median_s": low["median"][st],
+                    "high_median_s": high["median"][st],
+                    "speedup": round(sp, 2),
+                    "efficiency": round(sp / ratio, 3),
+                }
+            pair_rows.append({"pair": i, "low": low, "high": high,
+                              "stages": stages})
+            print(json.dumps({"pair": i, "stages": stages}))
+    finally:
+        # the replicated x20-length corpus is multi-GB; leaking one tree
+        # per run would let disk pressure perturb later measurements
+        shutil.rmtree(scratch, ignore_errors=True)
 
     summary = {
         st: {

@@ -492,9 +492,14 @@ def q_sequence_packing(spark, sf_dir):
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup dedup capstone: LSH candidates -> Jaccard>=0.5 verify ->
     connected components -> per-doc (cluster, size, keep) decision table.
-    Oracle: the same chain in SQL with a recursive-CTE component step."""
+    Oracle: the same chain in SQL with a recursive-CTE component step.
+    rounds=None = fixpoint mode: EXACT like the oracle's recursive CTE for
+    any chain length, and it raises rather than silently splitting a
+    cluster if propagation hasn't converged (a fixed rounds=K would
+    under-merge chains longer than K with no error). Cheap here because
+    the edge table is materialized and tiny."""
     from saber_spark.operators.dedup import dedup_clusters
-    return dedup_clusters(_docs(spark, sf_dir), threshold=0.5, rounds=6,
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.5, rounds=None,
                           portable_ids=True).select(
         "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"),
         F.col("cluster_size").cast("long").alias("cluster_size"), "keep")

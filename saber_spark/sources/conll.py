@@ -131,11 +131,18 @@ def replace_rare_tokens(sentences: DataFrame, count: int = 1) -> DataFrame:
 
     The rare-side join is a plain equi-join, so Catalyst/AQE broadcasts it
     when small and shuffle-joins it when not; either way the plan size is
-    O(1) in |vocab|. Sentence identity uses monotonically_increasing_id,
-    which is stable across the two branches because both read the same
-    deterministic source with the same partitioning.
+    O(1) in |vocab|. Sentence identity is a synthetic id FROZEN via
+    localCheckpoint before use: the id expression alone is nondeterministic
+    across re-evaluations when the input has shuffles upstream (a groupBy
+    feeds this from load_conll_dir), and it is referenced by two plan
+    branches (the explode and the join-back) — without materialization a
+    re-evaluation could silently pair sentence S with sentence T's rewritten
+    tokens. The materialization is corpus-sized; this is the training-corpus
+    path (reference semantics, saber corpora are small) — a web-scale caller
+    would durable-checkpoint the same stage.
     """
-    sid = sentences.withColumn("_sid", F.monotonically_increasing_id())
+    sid = (sentences.withColumn("_sid", F.monotonically_increasing_id())
+           .localCheckpoint(eager=True))
     toks = sid.select("_sid", F.posexplode("tokens").alias("pos", "token"))
     rare = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
             .filter(F.col("freq") <= count)

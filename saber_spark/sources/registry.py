@@ -95,7 +95,10 @@ def merge_upsert(target_path: str, updates: DataFrame, keys: list[str],
     swap itself — and a replay of an already-applied epoch is a no-op, so
     the parquet path is exactly-once end-to-end with the streaming
     checkpoint. (Spark's parquet reader skips ``_``-prefixed files, so the
-    marker is invisible to scans.) The Iceberg path issues the MERGE only
+    marker is invisible to scans.) The swap itself is crash-safe: the old
+    table is renamed aside, the new directory moved in, then the aside
+    copy dropped, with entry-time recovery for a crash between any two of
+    those steps (tested by simulating each window). The Iceberg path issues the MERGE only
     after checking the table's ``saber.applied_epoch`` property and sets it
     afterwards; property-set is a separate commit from the MERGE, so that
     path is at-least-once with a worst-case double-count window of exactly
@@ -107,11 +110,12 @@ def merge_upsert(target_path: str, updates: DataFrame, keys: list[str],
     spark = updates.sparkSession
     if fmt == "iceberg":
         if epoch_id is not None:
+            # table properties surface via SHOW TBLPROPERTIES (there is no
+            # `.properties` metadata table in Iceberg's Spark integration)
             applied = {
                 r["key"]: r["value"]
                 for r in spark.sql(
-                    f"SELECT key, value FROM {target_path}.properties"
-                ).collect()
+                    f"SHOW TBLPROPERTIES {target_path}").collect()
             }.get("saber.applied_epoch")
             if applied is not None and int(applied) >= epoch_id:
                 return
@@ -130,6 +134,17 @@ def merge_upsert(target_path: str, updates: DataFrame, keys: list[str],
         return
 
     import os
+
+    # Crash recovery for the three-step swap below (tmp -> rename target
+    # aside -> swap tmp in -> drop the aside copy). rmtree-before-move
+    # would lose the whole table if the process died between the two; the
+    # rename-aside protocol leaves every crash window recoverable:
+    prev = target_path + "__prev"
+    if os.path.exists(prev):
+        if os.path.exists(target_path):
+            shutil.rmtree(prev)           # died after swap-in: drop aside
+        else:
+            shutil.move(prev, target_path)  # died mid-swap: restore table
 
     marker = os.path.join(target_path, "_applied_epoch")
     if epoch_id is not None and os.path.exists(marker):
@@ -155,5 +170,7 @@ def merge_upsert(target_path: str, updates: DataFrame, keys: list[str],
     if epoch_id is not None:
         with open(os.path.join(tmp, "_applied_epoch"), "w") as fh:
             fh.write(str(epoch_id))
-    shutil.rmtree(target_path, ignore_errors=True)
+    if os.path.exists(target_path):
+        shutil.move(target_path, prev)
     shutil.move(tmp, target_path)
+    shutil.rmtree(prev, ignore_errors=True)

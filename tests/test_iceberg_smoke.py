@@ -25,8 +25,11 @@ import pytest
 
 import pyspark
 
-_JARS = glob.glob(os.path.join(
-    os.path.dirname(pyspark.__file__), "jars", "iceberg-spark-runtime*.jar"))
+_JAR_DIRS = [os.path.join(os.path.dirname(pyspark.__file__), "jars")]
+if os.environ.get("SPARK_HOME"):
+    _JAR_DIRS.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
+_JARS = [j for d in _JAR_DIRS
+         for j in glob.glob(os.path.join(d, "iceberg-spark-runtime*.jar"))]
 _EXTRA = os.environ.get("ICEBERG_JAR")
 HAVE_ICEBERG = bool(_JARS or (_EXTRA and os.path.exists(_EXTRA)))
 

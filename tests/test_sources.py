@@ -309,6 +309,34 @@ class TestMergeUpsertContract:
         # marker file is invisible to the parquet scan but present on disk
         assert (tmp_path / "t" / "_applied_epoch").read_text() == "1"
 
+    def test_crash_window_recovery(self, spark, tmp_path):
+        """Simulate each crash window of the rename-aside swap: the next
+        merge_upsert call must recover without losing accumulated counts."""
+        import shutil as sh
+
+        from saber_spark.sources.registry import merge_upsert, read_table
+        path = str(tmp_path / "t")
+        schema = "subj string, pred string, obj string, n long, first string"
+        kw = dict(keys=["subj", "pred", "obj"],
+                  sum_cols=["n"], min_cols=["first"])
+        b0 = spark.createDataFrame([("a", "p", "b", 2, "u9")], schema)
+        merge_upsert(path, b0, epoch_id=0, **kw)
+
+        # window 1: died between rename-aside and swap-in — target gone,
+        # __prev holds the authoritative table
+        sh.move(path, path + "__prev")
+        b1 = spark.createDataFrame([("a", "p", "b", 3, "u1")], schema)
+        merge_upsert(path, b1, epoch_id=1, **kw)
+        assert read_table(spark, path).collect()[0]["n"] == 5
+
+        # window 2: died after swap-in, before dropping the aside copy —
+        # stale __prev next to a live table must be discarded, not merged
+        sh.copytree(path, path + "__prev")
+        b2 = spark.createDataFrame([("a", "p", "b", 1, "u0")], schema)
+        merge_upsert(path, b2, epoch_id=2, **kw)
+        assert read_table(spark, path).collect()[0]["n"] == 6
+        assert not (tmp_path / "t__prev").exists()
+
     def test_epoch_none_always_applies(self, spark, tmp_path):
         from saber_spark.sources.registry import merge_upsert, read_table
         path = str(tmp_path / "t")
