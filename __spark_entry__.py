@@ -51,6 +51,7 @@ from saber_spark.operators.textstats import (
     doc_fingerprint,
     gopher_quality,
     lang_id,
+    pii_scrub,
     quality_score,
     token_counts,
 )
@@ -482,6 +483,13 @@ def q_gopher_repetition(spark, sf_dir):
         "mean_word_len", "top_bigram_frac", "dup_trigram_frac", "keep")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII masking (emails/IPv4/phones -> placeholder tokens) + density
+    counts; regex dialect restricted to the Java-regex/RE2 intersection so
+    the scrubbed bytes match DuckDB exactly."""
+    return pii_scrub(_docs(spark, sf_dir))
+
+
 def q_sequence_packing(spark, sf_dir):
     """Token-budget sequence packing: per-source running token count cut
     into 512-token bins (the LLM-pretraining shard-assignment table)."""
@@ -884,7 +892,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q4": q_tpch_q4,
         "above_nation_avg": q_above_nation_avg,
-        "exists_high_value": q_exists_high_value,
         "mentions_histogram": q_mentions_histogram,
         "rollup_revenue": q_rollup_revenue,
         "cube_revenue": q_cube_revenue,
@@ -914,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "gopher_repetition": q_gopher_repetition,
         "sequence_packing": q_sequence_packing,
+        "pii_scrub": q_pii_scrub,
         # --------- position 51+: twice-green (r1+r2) family-redundant ---------
         # (r3 demotions to make room for gopher_repetition/sequence_packing/
         #  dedup_clusters: moving_avg + sessionize [window family covered
@@ -930,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
         "tpch_q5_nation": q_tpch_q5_nation,
+        "exists_high_value": q_exists_high_value,
     }
 
 
@@ -1318,6 +1327,30 @@ def oracle_sql() -> dict[str, str]:
                      % {FP_MOD} AS BIGINT) AS fingerprint
             FROM tokens JOIN vocab USING (token)
             GROUP BY doc_id""",
+        "pii_scrub": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                       '(\+\d{7,15}|\b\d{3}-\d{3}-\d{4}\b)',
+                       '<PHONE>', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text,
+                       '(\+\d{7,15}|\b\d{3}-\d{3}-\d{4}\b)'))
+                        AS BIGINT) AS n_phones,
+                   (len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(text,
+                       '\b(\d{1,3}\.){3}\d{1,3}\b'))
+                    + len(regexp_extract_all(text,
+                       '(\+\d{7,15}|\b\d{3}-\d{3}-\d{4}\b)')) = 0
+                   ) AS clean
+            FROM documents""",
         "sequence_packing": """
             WITH t AS (
               SELECT doc_id, source,

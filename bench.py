@@ -87,7 +87,7 @@ def main() -> None:
         "above_nation_avg", "exists_high_value", "token_bigrams",
         "zscore_by_source", "eval_prf",
         # added round 3 (new operators; excluded from r1/r2 totals)
-        "gopher_repetition", "sequence_packing", "dedup_clusters",
+        "gopher_repetition", "sequence_packing", "dedup_clusters", "pii_scrub",
     ]
     for name in bench_queries:
         t0 = time.monotonic()

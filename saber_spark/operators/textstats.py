@@ -167,6 +167,42 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
     )
 
 
+# PII patterns: intersection of Java-regex (Spark) and RE2 (DuckDB) syntax —
+# no lookaround, no backrefs — so the scrub is engine-portable byte-for-byte.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"(\+\d{7,15}|\b\d{3}-\d{3}-\d{4}\b)"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Mask common PII surface forms before corpus release.
+
+    -> (doc_id, scrubbed, n_emails, n_ips, n_phones, clean). Emails, IPv4
+    addresses and phone-shaped numbers are replaced with <EMAIL>/<IP>/
+    <PHONE> tokens (the standard web-corpus release step); counts are kept
+    so downstream filters can drop PII-dense documents; ``clean`` = no
+    substitutions at all. Pure built-in regexp_replace/regexp_count chains
+    — JVM codegen, zero Python, narrow (no shuffle).
+    """
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    n_em = F.regexp_count(F.col(text_col), F.lit(PII_EMAIL))
+    n_ip = F.regexp_count(F.col(text_col), F.lit(PII_IPV4))
+    n_ph = F.regexp_count(F.col(text_col), F.lit(PII_PHONE))
+    return docs.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        n_em.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ips"),
+        n_ph.cast("long").alias("n_phones"),
+        ((n_em + n_ip + n_ph) == 0).alias("clean"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Position-sensitive rolling-hash fingerprint per document.
