@@ -161,3 +161,30 @@ def replace_rare_tokens(sentences: DataFrame, count: int = 1) -> DataFrame:
     return (sid.join(regrouped, "_sid", "left")
             .withColumn("tokens", F.coalesce("_new_tokens", "tokens"))
             .drop("_sid", "_new_tokens"))
+
+
+def write_conll_file(sentences: DataFrame, path: str) -> None:
+    """sentences DataFrame -> one CoNLL TSV (token<TAB>tag lines, blank
+    line between sentences) — the reference's corpus format, so corpora
+    produced by this engine (splits, rare-token variants, tagged silver
+    data) feed the reference toolchain unchanged.
+
+    Sentence blocks render distributed (zip tokens/tags -> per-sentence
+    concat, pure built-ins); the final file assembles on the driver —
+    corpus files are training-scale by the reference's own semantics (it
+    holds whole corpora in memory), so the collect is corpus-bounded, not
+    web-scale. A web-scale silver-data export would write the blocks
+    column through the multi-part text sink instead (one sentence block
+    per part row, no single-file contract).
+    """
+    body = sentences.select(
+        "doc_id", "sent_id",
+        F.concat_ws("\n", F.zip_with(
+            "tokens", "tags", lambda tok, tag: F.concat_ws("\t", tok, tag))
+        ).alias("block"))
+    rows = body.orderBy("doc_id", "sent_id").select("block").collect()
+    if not rows:
+        raise ValueError("write_conll_file: empty sentences DataFrame")
+    with open(path, "w") as out:
+        out.write("\n\n".join(r["block"] for r in rows))
+        out.write("\n")

@@ -78,3 +78,28 @@ def build_embedding_matrix(embeddings: DataFrame, vocab: DataFrame,
         if r["vector"] is not None and len(r["vector"]) == dim:
             matrix[r["token_id"]] = r["vector"]
     return matrix
+
+
+def write_word2vec_text(vectors: DataFrame, path: str) -> None:
+    """(word, vector) DataFrame -> word2vec text format (`V d` header,
+    then `word v1 .. vd` lines) — the reference's embedding artifact
+    (saber/embeddings.py:69 loads exactly this via gensim), so embeddings
+    filtered/derived by this engine round-trip into the reference.
+
+    Vector components render with repr-style minimal formatting matching
+    load_word2vec_text's float parse (roundtrip-tested). Embedding files
+    are vocabulary-bounded; the single-file write mirrors the format's
+    one-file contract.
+    """
+    rows = vectors.select(
+        "word",
+        F.concat_ws(" ", F.transform(
+            "vector", lambda x: x.cast("string"))).alias("vals"),
+    ).orderBy("word").collect()
+    if not rows:
+        raise ValueError("write_word2vec_text: empty vectors DataFrame")
+    dim = len(rows[0]["vals"].split(" "))
+    with open(path, "w") as out:
+        out.write(f"{len(rows)} {dim}\n")
+        for r in rows:
+            out.write(f"{r['word']} {r['vals']}\n")

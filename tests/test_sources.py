@@ -347,3 +347,50 @@ class TestMergeUpsertContract:
         merge_upsert(path, b, **kw)
         merge_upsert(path, b, **kw)  # batch semantics: no epoch, re-applies
         assert read_table(spark, path).collect()[0]["n"] == 2
+
+
+class TestWriters:
+    def test_conll_roundtrip(self, spark, tmp_path):
+        """write_conll_file output must load back identically through
+        load_conll_file — the reference-toolchain interchange contract."""
+        from saber_spark.sources.conll import (load_conll_file,
+                                               write_conll_file)
+        df = spark.createDataFrame(
+            [("train.tsv", "train", 0, ["Human", "APC2", "."],
+              ["O", "B-PRGE", "O"]),
+             ("train.tsv", "train", 1, ["Single", "cell"],
+              ["O", "O"])],
+            "doc_id string, partition string, sent_id int, "
+            "tokens array<string>, tags array<string>")
+        path = str(tmp_path / "train.tsv")
+        write_conll_file(df, path)
+        assert open(path).read() == (
+            "Human\tO\nAPC2\tB-PRGE\n.\tO\n\nSingle\tO\ncell\tO\n")
+        back = load_conll_file(spark, path)
+        got = {(r["sent_id"]): (r["tokens"], r["tags"])
+               for r in back.collect()}
+        assert got[0] == (["Human", "APC2", "."], ["O", "B-PRGE", "O"])
+        assert got[1] == (["Single", "cell"], ["O", "O"])
+
+    def test_conll_empty_raises(self, spark, tmp_path):
+        from saber_spark.sources.conll import write_conll_file
+        empty = spark.createDataFrame(
+            [], "doc_id string, partition string, sent_id int, "
+                "tokens array<string>, tags array<string>")
+        with pytest.raises(ValueError, match="empty"):
+            write_conll_file(empty, str(tmp_path / "x.tsv"))
+
+    def test_word2vec_roundtrip(self, spark, tmp_path):
+        from saber_spark.sources.embeddings import (load_word2vec_text,
+                                                    write_word2vec_text)
+        df = spark.createDataFrame(
+            [("cell", [0.5, -1.25, 3.0]), ("human", [1.0, 2.0, -0.125])],
+            "word string, vector array<float>")
+        path = str(tmp_path / "w2v.txt")
+        write_word2vec_text(df, path)
+        first = open(path).readline().strip()
+        assert first == "2 3"
+        back = {r["word"]: r["vector"]
+                for r in load_word2vec_text(spark, path).collect()}
+        assert back["cell"] == [0.5, -1.25, 3.0]
+        assert back["human"] == [1.0, 2.0, -0.125]
