@@ -497,6 +497,16 @@ def q_sequence_packing(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), window=512)
 
 
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id < 5 stand in for the
+    eval set; every other doc is flagged if it shares any word 5-gram
+    with them (broadcast n-gram semi-join + hit counts)."""
+    from saber_spark.operators.dedup import contamination_check
+    docs = _docs(spark, sf_dir)
+    return contamination_check(docs.filter(F.col("doc_id") >= 5),
+                               docs.filter(F.col("doc_id") < 5), n=5)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup dedup capstone: LSH candidates -> Jaccard>=0.5 verify ->
     connected components -> per-doc (cluster, size, keep) decision table.
@@ -893,7 +903,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "above_nation_avg": q_above_nation_avg,
         "mentions_histogram": q_mentions_histogram,
-        "rollup_revenue": q_rollup_revenue,
         "cube_revenue": q_cube_revenue,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "setops_active_customers": q_setops_active_customers,
@@ -906,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup / similarity family ---
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
+        "contamination_check": q_contamination_check,
         "minhash_signatures": q_minhash_signatures,
         "minhash_candidates": q_minhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
@@ -939,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "tpch_q5_nation": q_tpch_q5_nation,
         "exists_high_value": q_exists_high_value,
+        "rollup_revenue": q_rollup_revenue,
     }
 
 
@@ -1367,6 +1378,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tokens,
                    cb // 512 AS bin_id, cb % 512 AS bin_offset
             FROM c""",
+        "contamination_check": f"""
+            WITH {TOKENS_CTE},
+            g5 AS (
+              SELECT DISTINCT a.doc_id,
+                     a.token || ' ' || b.token || ' ' || c.token || ' '
+                       || d.token || ' ' || e.token AS g
+              FROM tokens a
+              JOIN tokens b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN tokens c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+              JOIN tokens d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+              JOIN tokens e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4),
+            ev AS (SELECT DISTINCT g FROM g5 WHERE doc_id < 5),
+            hits AS (
+              SELECT doc_id, count(*) AS n_hits
+              FROM (SELECT doc_id, g FROM g5 WHERE doc_id >= 5) x
+              JOIN ev USING (g)
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_eval_ngrams,
+                   (h.doc_id IS NOT NULL) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
+            LEFT JOIN hits h USING (doc_id)""",
         "dedup_clusters": f"""
             WITH RECURSIVE {TOKENS_CTE}, {SHINGLES_CTE}, {SIGS_CTE},
             {CANDIDATES_CTE},

@@ -88,6 +88,7 @@ def main() -> None:
         "zscore_by_source", "eval_prf",
         # added round 3 (new operators; excluded from r1/r2 totals)
         "gopher_repetition", "sequence_packing", "dedup_clusters", "pii_scrub",
+        "contamination_check",
     ]
     for name in bench_queries:
         t0 = time.monotonic()

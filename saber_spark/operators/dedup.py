@@ -256,6 +256,34 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5,
     )
 
 
+def contamination_check(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
+                        text_col: str = "text", id_col: str = "doc_id"
+                        ) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word n-gram
+    with an evaluation/benchmark set.
+
+    -> one row per corpus doc: (doc_id, n_eval_ngrams, contaminated).
+    Training corpora must not contain benchmark text; the standard check
+    (13-gram overlap in GPT-3's appendix, n configurable here) is exactly
+    an n-gram semi-join. Scale: the eval side is benchmark-sized — its
+    distinct n-grams BROADCAST, so the multi-TB corpus side never
+    shuffles for the probe; the only exchange is the per-doc hit count's
+    partial+final aggregation.
+    """
+    doc_g = doc_shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    eval_g = (doc_shingles(eval_docs, text_col=text_col, id_col=id_col, n=n)
+              .select("shingle").distinct())
+    hits = (doc_g.join(F.broadcast(eval_g), "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_eval_ngrams")))
+    return (docs.select(id_col).join(hits, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_eval_ngrams", F.lit(0))
+                 .cast("long").alias("n_eval_ngrams"),
+                F.col("n_eval_ngrams").isNotNull().alias("contaminated")))
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """-> (doc_id, simhash): b-bit SimHash over token-id multiset.

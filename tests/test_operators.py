@@ -631,3 +631,36 @@ class TestPiiScrub:
             "FROM documents", "FROM t")).fetchall()
         for doc_id, scrubbed, n_em, n_ip, n_ph, _clean in rows:
             assert got[doc_id] == (scrubbed, n_em, n_ip, n_ph), doc_id
+
+
+class TestContaminationCheck:
+    def test_flags_exact_and_embedded_overlap(self, spark):
+        from saber_spark.operators.dedup import contamination_check
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, "intro text the quick brown fox jumps over something"),
+             (2, "totally unrelated words with no benchmark overlap here"),
+             (3, "the quick brown fox jumps over the lazy dog verbatim")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               contamination_check(corpus, bench, n=5).collect()}
+        assert out[1]["contaminated"] is True   # embedded 5-gram
+        assert out[1]["n_eval_ngrams"] == 2     # two shared 5-grams
+        assert out[2]["contaminated"] is False
+        assert out[2]["n_eval_ngrams"] == 0
+        assert out[3]["contaminated"] is True
+        assert out[3]["n_eval_ngrams"] >= 4
+
+    def test_eval_side_broadcasts(self, spark):
+        """The probe join must broadcast the benchmark n-grams — a shuffle
+        of the corpus side for a benchmark-sized probe is the wrong plan."""
+        from saber_spark.operators.dedup import contamination_check
+        bench = spark.createDataFrame(
+            [(100, "a b c d e f")], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f g")], "doc_id long, text string")
+        plan = contamination_check(corpus, bench)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
