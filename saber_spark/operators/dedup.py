@@ -267,8 +267,13 @@ def contamination_check(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
     (13-gram overlap in GPT-3's appendix, n configurable here) is exactly
     an n-gram semi-join. Scale: the eval side is benchmark-sized — its
     distinct n-grams BROADCAST, so the multi-TB corpus side never
-    shuffles for the probe; the only exchange is the per-doc hit count's
-    partial+final aggregation.
+    shuffles for the PROBE. Two exchanges remain: the per-doc hit count's
+    partial+final aggregation, and the final outcome join of hits back to
+    the corpus id list — the hits table is bounded by the number of
+    contaminated docs (sparse in practice), so AQE downgrades that join
+    to a broadcast at runtime; under static planning with a pathological
+    fully-contaminated corpus it is a doc_id-keyed shuffle, which is the
+    correct fallback.
     """
     doc_g = doc_shingles(docs, text_col=text_col, id_col=id_col, n=n)
     eval_g = (doc_shingles(eval_docs, text_col=text_col, id_col=id_col, n=n)

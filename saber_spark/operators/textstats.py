@@ -184,15 +184,21 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
     so downstream filters can drop PII-dense documents; ``clean`` = no
     substitutions at all. Pure built-in regexp_replace/regexp_count chains
     — JVM codegen, zero Python, narrow (no shuffle).
+
+    Each count is computed on the SAME intermediate text its replacement
+    step sees, so counts equal substitutions made: a span like
+    "+14155552671@relay.example.com" is one email and zero phones (the
+    phone digits are consumed by the earlier email replacement), and a
+    phone reading that only materializes after an earlier substitution is
+    counted. Raw-text per-category counts would disagree with the scrub
+    on such overlaps.
     """
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
-            PII_IPV4, "<IP>"),
-        PII_PHONE, "<PHONE>")
+    after_email = F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    scrubbed = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
     n_em = F.regexp_count(F.col(text_col), F.lit(PII_EMAIL))
-    n_ip = F.regexp_count(F.col(text_col), F.lit(PII_IPV4))
-    n_ph = F.regexp_count(F.col(text_col), F.lit(PII_PHONE))
+    n_ip = F.regexp_count(after_email, F.lit(PII_IPV4))
+    n_ph = F.regexp_count(after_ip, F.lit(PII_PHONE))
     return docs.select(
         F.col(id_col),
         scrubbed.alias("scrubbed"),

@@ -176,7 +176,20 @@ def write_conll_file(sentences: DataFrame, path: str) -> None:
     web-scale. A web-scale silver-data export would write the blocks
     column through the multi-part text sink instead (one sentence block
     per part row, no single-file contract).
+
+    Malformed rows fail at WRITE time rather than corrupting the file:
+    ragged tokens/tags would render a tab-less line (zip_with null-pads,
+    concat_ws drops the null) that crashes the loader, and an empty
+    tokens array would render an empty block that silently vanishes on
+    reload — both raise here instead.
     """
+    bad = sentences.filter(
+        (F.size("tokens") != F.size("tags")) | (F.size("tokens") == 0)
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "write_conll_file: rows with size(tokens) != size(tags) or "
+            "empty tokens cannot render as valid CoNLL")
     body = sentences.select(
         "doc_id", "sent_id",
         F.concat_ws("\n", F.zip_with(

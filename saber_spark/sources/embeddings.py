@@ -90,15 +90,42 @@ def write_word2vec_text(vectors: DataFrame, path: str) -> None:
     load_word2vec_text's float parse (roundtrip-tested). Embedding files
     are vocabulary-bounded; the single-file write mirrors the format's
     one-file contract.
+
+    Malformed input fails at WRITE time instead of producing a file the
+    format cannot represent: words containing whitespace re-parse as a
+    different word + shifted components, null components silently shrink
+    a row (concat_ws drops nulls) making the header dim wrong, ragged
+    dims break the header contract, and dim < 2 is unloadable by the
+    header-skip heuristic (a data line needs >= 3 fields).
     """
-    rows = vectors.select(
+    checked = vectors.select(
+        "word", "vector",
+        F.size("vector").alias("_dim"),
+        (F.col("word").rlike(r"\s") | F.col("word").isNull()).alias("_badw"),
+        F.exists("vector", lambda x: x.isNull()).alias("_nullv"),
+    )
+    bad = checked.filter(F.col("_badw") | F.col("_nullv")).limit(1).count()
+    if bad:
+        raise ValueError(
+            "write_word2vec_text: words must be non-null without "
+            "whitespace and vectors must have no null components")
+    dims = [r["_dim"] for r in
+            checked.select("_dim").distinct().limit(3).collect()]
+    if len(dims) != 1:
+        raise ValueError(
+            f"write_word2vec_text: ragged vector dims {sorted(dims)}")
+    dim = dims[0]
+    if dim < 2:
+        raise ValueError(
+            "write_word2vec_text: dim must be >= 2 (the word2vec text "
+            "header-skip heuristic cannot round-trip 1-d vectors)")
+    rows = checked.select(
         "word",
         F.concat_ws(" ", F.transform(
             "vector", lambda x: x.cast("string"))).alias("vals"),
     ).orderBy("word").collect()
     if not rows:
         raise ValueError("write_word2vec_text: empty vectors DataFrame")
-    dim = len(rows[0]["vals"].split(" "))
     with open(path, "w") as out:
         out.write(f"{len(rows)} {dim}\n")
         for r in rows:

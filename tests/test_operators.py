@@ -664,3 +664,20 @@ class TestContaminationCheck:
         plan = contamination_check(corpus, bench)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+    def test_counts_match_substitutions_on_overlap(self, spark):
+        """A phone-shaped run inside an email must count as email only —
+        counts are computed on the same intermediate each replacement
+        step sees, so they always equal the substitutions made."""
+        from saber_spark.operators.textstats import pii_scrub
+        df = spark.createDataFrame(
+            [(1, "reach me at +14155552671@relay.example.com ok"),
+             (2, "host 1.2.3.4@files.example.org down")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert out[1]["scrubbed"] == "reach me at <EMAIL> ok"
+        assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) \
+            == (1, 0, 0)
+        assert out[2]["scrubbed"] == "host <EMAIL> down"
+        assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) \
+            == (1, 0, 0)

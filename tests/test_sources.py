@@ -394,3 +394,38 @@ class TestWriters:
                 for r in load_word2vec_text(spark, path).collect()}
         assert back["cell"] == [0.5, -1.25, 3.0]
         assert back["human"] == [1.0, 2.0, -0.125]
+
+    def test_conll_rejects_ragged_and_empty_rows(self, spark, tmp_path):
+        from saber_spark.sources.conll import write_conll_file
+        schema = ("doc_id string, partition string, sent_id int, "
+                  "tokens array<string>, tags array<string>")
+        ragged = spark.createDataFrame(
+            [("d", "train", 0, ["A", "B", "C"], ["O", "O"])], schema)
+        with pytest.raises(ValueError, match="size"):
+            write_conll_file(ragged, str(tmp_path / "r.tsv"))
+        with_empty = spark.createDataFrame(
+            [("d", "train", 0, ["A"], ["O"]),
+             ("d", "train", 1, [], [])], schema)
+        with pytest.raises(ValueError, match="empty tokens"):
+            write_conll_file(with_empty, str(tmp_path / "e.tsv"))
+
+    def test_word2vec_rejects_malformed(self, spark, tmp_path):
+        from saber_spark.sources.embeddings import write_word2vec_text
+        p = str(tmp_path / "w.txt")
+        bad_word = spark.createDataFrame(
+            [("new york", [1.0, 2.0])], "word string, vector array<float>")
+        with pytest.raises(ValueError, match="whitespace"):
+            write_word2vec_text(bad_word, p)
+        null_comp = spark.createDataFrame(
+            [("a", [1.0, None, 3.0])], "word string, vector array<float>")
+        with pytest.raises(ValueError, match="null components"):
+            write_word2vec_text(null_comp, p)
+        ragged = spark.createDataFrame(
+            [("a", [1.0, 2.0]), ("b", [1.0, 2.0, 3.0])],
+            "word string, vector array<float>")
+        with pytest.raises(ValueError, match="ragged"):
+            write_word2vec_text(ragged, p)
+        dim1 = spark.createDataFrame(
+            [("a", [1.0])], "word string, vector array<float>")
+        with pytest.raises(ValueError, match="dim"):
+            write_word2vec_text(dim1, p)
