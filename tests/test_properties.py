@@ -198,3 +198,28 @@ class TestRenderProperties:
         for m in ms:
             stripped = stripped.replace(m["label"], "", 1)
         assert stripped == text
+
+
+class TestPackingInvariants:
+    """pack_sequences is window arithmetic over a running count — its
+    invariants must hold for ANY token-count multiset, not just fixtures.
+    Spark-free check of the same math via a reference reimplementation;
+    the Spark formulation is pinned by test_operators.TestSequencePacking
+    and the sequence_packing DuckDB oracle."""
+
+    @given(st.lists(st.integers(min_value=1, max_value=50),
+                    min_size=1, max_size=60),
+           st.integers(min_value=1, max_value=64))
+    @settings(max_examples=200, deadline=None)
+    def test_offsets_bounded_and_contiguous(self, counts, window):
+        cum = 0
+        prev_end = 0
+        for n in counts:
+            bin_id, bin_offset = cum // window, cum % window
+            assert 0 <= bin_offset < window
+            # the packed stream is gapless: this doc starts exactly where
+            # the previous one ended
+            assert bin_id * window + bin_offset == prev_end
+            prev_end = bin_id * window + bin_offset + n
+            cum += n
+        assert cum == sum(counts)
