@@ -253,6 +253,42 @@ cand AS (
 
 STOP_VALUES_SQL = ", ".join(f"('{w}')" for w in EN_STOPWORDS)
 
+# entity co-occurrence graph (doc granularity) — shared by the graph
+# analytics oracles; `sym` is deduped by UNION set semantics
+ENTITY_EDGES_CTE = """
+ents AS (SELECT DISTINCT doc_id, canonical_id FROM linked),
+e AS (
+  SELECT DISTINCT a.canonical_id AS src, b.canonical_id AS dst
+  FROM ents a JOIN ents b
+    ON a.doc_id = b.doc_id AND a.canonical_id < b.canonical_id),
+sym AS (SELECT src AS a, dst AS b FROM e
+        UNION SELECT dst, src FROM e),
+outdeg AS (SELECT a, count(*) AS outdeg FROM sym GROUP BY a),
+nn AS (SELECT count(*) AS n FROM outdeg)
+"""
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled power iteration twin of operators/graph.py:pagerank —
+    one CTE per round, same (1-d)/N + d*sum(pr/outdeg) arithmetic in
+    DOUBLE, rounded to 6 at the end."""
+    rounds = "".join(f""",
+            pr{i} AS (
+              SELECT s.b AS node,
+                     CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                     + CAST(0.85 AS DOUBLE) * sum(p.pr / o.outdeg) AS pr
+              FROM sym s
+              JOIN pr{i - 1} p ON s.a = p.node
+              JOIN outdeg o ON o.a = s.a
+              GROUP BY s.b)""" for i in range(1, iterations + 1))
+    return f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE}, {ENTITY_EDGES_CTE},
+            pr0 AS (
+              SELECT a AS node,
+                     CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
+              FROM outdeg){rounds}
+            SELECT node, round(pr, 6) AS pr FROM pr{iterations}"""
+
 
 def _linked_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = tokenize_docs(_docs(spark, sf_dir))
@@ -687,6 +723,50 @@ def q_connected_components(spark, sf_dir):
     return connected_components(edges, rounds=8)
 
 
+def _entity_edges(spark, sf_dir):
+    """Shared entity co-occurrence edge derivation (doc granularity) for
+    the graph-analytics queries — same shape the CC oracle uses."""
+    linked = _linked_spark(spark, sf_dir)
+    ents = linked.select("doc_id", "canonical_id").distinct()
+    a, b = ents.alias("a"), ents.alias("b")
+    return (a.join(b, "doc_id")
+            .filter(F.col("a.canonical_id") < F.col("b.canonical_id"))
+            .select(F.col("a.canonical_id").alias("src"),
+                    F.col("b.canonical_id").alias("dst"))
+            .distinct())
+
+
+def q_pagerank_entities(spark, sf_dir):
+    """Entity centrality: 5 power iterations of PageRank over the
+    co-occurrence graph (oracle: unrolled CTE per iteration)."""
+    from saber_spark.operators.graph import pagerank
+    return pagerank(_entity_edges(spark, sf_dir), iterations=5)
+
+
+def q_triangle_entities(spark, sf_dir):
+    """Per-entity triangle counts (local clustering) over the
+    co-occurrence graph — degree-ordered orientation in Spark, plain
+    id-ordering in the oracle (the triangle set is orientation-free)."""
+    from saber_spark.operators.graph import triangle_count
+    return triangle_count(_entity_edges(spark, sf_dir))
+
+
+def q_edge_pmi(spark, sf_dir):
+    """PMI edge confidence for entity pairs (document granularity):
+    normalizes co-occurrence by marginal doc frequency so hub entities
+    don't dominate the KG edge weights."""
+    from saber_spark.operators.triples import pmi_weights
+    return pmi_weights(_linked_spark(spark, sf_dir))
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Classic tf·ln(N/df) term weighting over the corpus (unranked
+    score table; the ranked top-k API is pytest-covered — rank would
+    hinge on float ties across engines)."""
+    from saber_spark.operators.vocab import tfidf_scores
+    return tfidf_scores(tokenize_docs(_docs(spark, sf_dir)))
+
+
 def q_hypertable_rollup(spark, sf_dir):
     """Continuous aggregate: hour rollup from raw events, day rollup from
     the HOUR table (raw data scanned once however many grains exist)."""
@@ -869,9 +949,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * the tail (51+) holds only family-redundant queries already
     #     driver-green in prior rounds — each with an in-cap sibling
     #     covering the same operator family: eval_prf_left (eval_prf/
-    #     eval_prf_right), lsh_cosine_topk (lsh_cosine_multiband),
-    #     tpch_q3_top10 + tpch_q6 + tpch_q5_nation (tpch_q1/q4),
-    #     token_bigrams (tokenize_explode/gopher_repetition),
+    #     eval_prf_right), lsh_cosine_topk + cosine_topk
+    #     (lsh_cosine_multiband/ivf_cosine_topk), minhash_signatures
+    #     (minhash_candidates recomputes the signatures), tpch_q1 +
+    #     tpch_q3_top10 + tpch_q6 + tpch_q5_nation (tpch_q4 remains the
+    #     in-cap TPC-H rep), token_bigrams + token_counts
+    #     (tokenize_explode/gopher_repetition/lang_id/quality_score),
     #     zscore_by_source + moving_avg + sessionize (window_agg/
     #     median_by_source/sequence_packing), rollup_revenue
     #     (cube_revenue/grouping_sets_revenue), and the EXISTS/anti-join
@@ -880,6 +963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # When adding a NEW query, insert it before the tail and demote another
     # twice-green family-redundant entry; never let an unverified query sit
     # past position 50.
+    # r3 second batch: pagerank_entities, triangle_entities, edge_pmi,
+    # tfidf_topterms enter the cap; tpch_q1, minhash_signatures,
+    # cosine_topk, token_counts (all green in r1 AND r2) move to the tail.
     return {
         # --- KG pipeline stages (flagship; kg_* had no driver row in r2) ---
         "scan_filter_project": q_scan_filter_project,
@@ -891,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link": q_entity_link,
         "canonicalize_salted": q_canonicalize_salted,
         "triples_cooccur": q_triples_cooccur,
+        "edge_pmi": q_edge_pmi,
         "kg_mentions": q_kg_mentions,
         "kg_edges": q_kg_edges,
         "multimodal_features": q_multimodal_features,
@@ -903,7 +990,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- relational / windows / grouping ---
         "window_agg": q_window_agg,
         "median_by_source": q_median_by_source,
-        "tpch_q1": q_tpch_q1,
         "tpch_q4": q_tpch_q4,
         "above_nation_avg": q_above_nation_avg,
         "mentions_histogram": q_mentions_histogram,
@@ -916,22 +1002,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "kmv_distinct": q_kmv_distinct,
         "connected_components": q_connected_components,
+        "pagerank_entities": q_pagerank_entities,
+        "triangle_entities": q_triangle_entities,
         # --- dedup / similarity family ---
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "contamination_check": q_contamination_check,
-        "minhash_signatures": q_minhash_signatures,
         "minhash_candidates": q_minhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
-        "cosine_topk": q_cosine_topk,
         "lsh_cosine_multiband": q_lsh_cosine_multiband,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         # --- text stats ---
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
-        "token_counts": q_token_counts,
+        "tfidf_topterms": q_tfidf_topterms,
         "doc_fingerprint": q_doc_fingerprint,
         "gopher_repetition": q_gopher_repetition,
         "sequence_packing": q_sequence_packing,
@@ -944,6 +1030,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  in the ordering-contract comment above)
         "eval_prf_left": q_eval_prf_left,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "tpch_q1": q_tpch_q1,
+        "minhash_signatures": q_minhash_signatures,
+        "cosine_topk": q_cosine_topk,
+        "token_counts": q_token_counts,
         "tpch_q3_top10": q_tpch_q3_top10,
         "tpch_q6": q_tpch_q6,
         "token_bigrams": q_token_bigrams,
@@ -1583,6 +1673,59 @@ def oracle_sql() -> dict[str, str]:
               SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node)
             SELECT node, min(root) AS component
             FROM reach GROUP BY node""",
+        "pagerank_entities": _pagerank_oracle_sql(5),
+        "triangle_entities": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE}, {ENTITY_EDGES_CTE},
+            -- e is already id-oriented (src < dst) and distinct; the
+            -- triangle SET is orientation-independent, so this plain
+            -- ordering matches Spark's degree-ordered implementation
+            tri AS (
+              SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+              FROM e e1
+              JOIN e e2 ON e2.src = e1.dst
+              JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            corners AS (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri),
+            pern AS (SELECT node, count(*) AS n_triangles
+                     FROM corners GROUP BY node)
+            SELECT o.a AS node,
+                   CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles
+            FROM outdeg o LEFT JOIN pern p ON p.node = o.a""",
+        "edge_pmi": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            ents AS (SELECT DISTINCT doc_id, canonical_id FROM linked),
+            marg AS (SELECT canonical_id, count(*) AS c
+                     FROM ents GROUP BY canonical_id),
+            nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ents),
+            pairs AS (
+              SELECT a.canonical_id AS subj, b.canonical_id AS obj,
+                     count(*) AS c_ab
+              FROM ents a JOIN ents b
+                ON a.doc_id = b.doc_id AND a.canonical_id < b.canonical_id
+              GROUP BY 1, 2)
+            SELECT p.subj, p.obj, CAST(p.c_ab AS BIGINT) AS c_ab,
+                   round(ln(CAST(p.c_ab AS DOUBLE)
+                            * (SELECT n_docs FROM nn)
+                            / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE))),
+                         6) AS pmi
+            FROM pairs p
+            JOIN marg ma ON ma.canonical_id = p.subj
+            JOIN marg mb ON mb.canonical_id = p.obj""",
+        "tfidf_topterms": f"""
+            WITH {TOKENS_CTE},
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tokens GROUP BY doc_id, token),
+            dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf)
+            SELECT t.doc_id, t.token,
+                   CAST(t.tf AS BIGINT) AS tf,
+                   CAST(d.df AS BIGINT) AS df,
+                   round(CAST(t.tf AS DOUBLE)
+                         * ln(CAST((SELECT n FROM nn) AS DOUBLE) / d.df),
+                         6) AS tfidf
+            FROM tf t JOIN dfreq d USING (token)""",
         "hypertable_rollup": """
             WITH hour AS (
               SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,

@@ -89,6 +89,8 @@ def main() -> None:
         # added round 3 (new operators; excluded from r1/r2 totals)
         "gopher_repetition", "sequence_packing", "dedup_clusters", "pii_scrub",
         "contamination_check",
+        # added round 3, second batch (graph analytics + term weighting)
+        "pagerank_entities", "triangle_entities", "edge_pmi", "tfidf_topterms",
     ]
     for name in bench_queries:
         t0 = time.monotonic()

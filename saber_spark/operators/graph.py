@@ -1,4 +1,5 @@
-"""Graph analytics over the materialized KG: connected components.
+"""Graph analytics over the materialized KG: connected components,
+PageRank centrality, and triangle counting.
 
 Downstream of node/edge materialization, entity-resolution and QA workflows
 need component structure ("which entities are transitively connected?").
@@ -83,3 +84,95 @@ def connected_components(edges: DataFrame, src: str = "src",
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         f"(graph diameter exceeds max_iter); raise max_iter")
+
+
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(edges.select(F.col(dst).alias("a"),
+                                      F.col(src).alias("b")))
+            .distinct())
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iterations: int = 5, damping: float = 0.85,
+             checkpoint_every: int | None = None) -> DataFrame:
+    """Undirected edges -> (node, pr) after a fixed number of power
+    iterations: pr = (1-d)/N + d * sum_in(pr_u / outdeg_u).
+
+    Entity-importance ranking for the KG ("which canonical entities are
+    central?"). Scale shape mirrors connected_components: each round is ONE
+    join + ONE aggregation against an edge table that carries the source
+    outdegree (joined once, reused every round), so the per-round shuffle
+    key is the destination node and the rank vector is referenced exactly
+    once per round (linear logical-plan growth). Symmetrized input means
+    every node has outdeg >= 1 — no dangling-mass correction term needed.
+
+    iterations is fixed (not fixpoint) so the job is lazy end-to-end for
+    small K; pass checkpoint_every to cut lineage on long runs (same
+    localCheckpoint trade documented on connected_components). Final pr is
+    rounded to 6 decimals: the scores are O(1e-1)-scale sums of doubles, so
+    cross-engine/partition-order drift (~1e-15) never reaches the rounded
+    digit.
+    """
+    sym = _symmetrize(edges, src, dst)
+    outdeg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (a, b, outdeg-of-a): built once, reused by every iteration
+    contrib_edges = sym.join(outdeg, "a")
+    n_nodes = outdeg.count()  # one cheap action on the collapsed node set
+    pr = outdeg.select(F.col("a").alias("node"),
+                       F.lit(1.0 / n_nodes).alias("pr"))
+    base = (1.0 - damping) / n_nodes
+    for i in range(iterations):
+        pr = (contrib_edges.join(pr, contrib_edges.a == pr.node)
+              .groupBy(F.col("b").alias("node2"))
+              .agg((F.lit(base) + F.lit(damping)
+                    * F.sum(F.col("pr") / F.col("outdeg"))).alias("pr"))
+              .withColumnRenamed("node2", "node"))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            pr = pr.localCheckpoint(eager=True)
+    return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Undirected edges -> (node, n_triangles), zero-rows included.
+
+    Local clustering signal for KG QA (hub entities embedded in dense
+    cliques vs spurious star centers). Algorithm: orient every edge from
+    the LOWER-degree endpoint to the higher (ties by node id) — the
+    standard skew mitigation: a hub of degree D holds only its
+    higher-degree neighbors as out-edges, so the wedge expansion at the
+    hub is bounded by the arboricity, not D^2. Then one self-join builds
+    wedges (u->v, u->w) and one semi-join checks the closing edge. The
+    triangle SET is orientation-independent, so the DuckDB oracle may use
+    plain id-ordering while this implementation degree-orders.
+    """
+    sym = _symmetrize(edges, src, dst)
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # orientation key: (degree, id) — total order, so exactly one direction
+    # of each undirected edge survives
+    keyed = (sym.join(deg, "a")
+             .withColumnRenamed("deg", "deg_a")
+             .join(deg.select(F.col("a").alias("b"),
+                              F.col("deg").alias("deg_b")), "b"))
+    oriented = keyed.filter(
+        (F.col("deg_a") < F.col("deg_b"))
+        | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    ).select("a", "b", "deg_b")  # deg_b = degree of head, for wedge ordering
+    e1 = oriented.select(F.col("a").alias("u"), F.col("b").alias("v"),
+                         F.col("deg_b").alias("deg_v"))
+    e2 = oriented.select(F.col("a").alias("u"), F.col("b").alias("w"),
+                         F.col("deg_b").alias("deg_w"))
+    wedges = (e1.join(e2, "u")
+              .filter((F.col("deg_v") < F.col("deg_w"))
+                      | ((F.col("deg_v") == F.col("deg_w"))
+                         & (F.col("v") < F.col("w")))))
+    closing = oriented.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    triangles = wedges.join(closing, ["v", "w"], "semi").select("u", "v", "w")
+    per_node = (triangles
+                .select(F.explode(F.array("u", "v", "w")).alias("node"))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    nodes = deg.select(F.col("a").alias("node"))
+    return (nodes.join(per_node, "node", "left")
+            .select("node", F.coalesce("n_triangles", F.lit(0))
+                    .cast("long").alias("n_triangles")))

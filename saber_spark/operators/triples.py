@@ -66,6 +66,69 @@ def assemble_triples(linked: DataFrame) -> DataFrame:
     )
 
 
+def pmi_weights(linked: DataFrame, id_col: str = "doc_id",
+                entity_col: str = "canonical_id") -> DataFrame:
+    """Document-level pointwise mutual information for entity pairs:
+    pmi(a,b) = ln( c_ab * N / (c_a * c_b) ), rounded to 6.
+
+    Co-occurrence counts alone over-weight hub entities (a "water"-like
+    entity co-occurs with everything); PMI normalizes by marginal document
+    frequency, the standard edge-confidence weight for co-occurrence KGs.
+    All counts are exact integers computed distributively (distinct +
+    partial/final hash aggs); the only floating step is the final ln on an
+    exact rational, so a 6-decimal round is engine-portable.
+
+    Scale shape: pair expansion reuses the collect_set trick from
+    assemble_triples (ONE shuffle, per-row bounded); entity marginals are
+    |entities| rows — joined onto the pair table by key (Spark broadcasts
+    when small; at web scale both joins are shuffle-hash on subj/obj, no
+    skew because the pair table is already collapsed to distinct pairs).
+    """
+    ents = linked.select(id_col, entity_col).distinct()
+    marginals = (ents.groupBy(entity_col)
+                 .agg(F.count(F.lit(1)).alias("c")))
+    n_docs = ents.select(id_col).distinct() \
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (ents.groupBy(id_col)
+               .agg(F.array_sort(F.collect_set(entity_col)).alias("ents"))
+               .filter(F.size("ents") >= 2))
+    pairs = per_doc.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ents"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ents"),
+                            i + F.lit(2),
+                            F.size(F.col("ents")) - i - F.lit(1),
+                        ),
+                        lambda y: F.struct(x.alias("subj"), y.alias("obj")),
+                    ),
+                )
+            )
+        ).alias("pair"),
+    ).select(F.col("pair.subj").alias("subj"),
+             F.col("pair.obj").alias("obj"))
+    pair_counts = (pairs.groupBy("subj", "obj")
+                   .agg(F.count(F.lit(1)).alias("c_ab")))
+    return (pair_counts
+            .join(marginals.select(F.col(entity_col).alias("subj"),
+                                   F.col("c").alias("c_a")), "subj")
+            .join(marginals.select(F.col(entity_col).alias("obj"),
+                                   F.col("c").alias("c_b")), "obj")
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "subj", "obj",
+                F.col("c_ab").cast("long").alias("c_ab"),
+                F.round(
+                    F.log(F.col("c_ab").cast("double")
+                          * F.col("n_docs").cast("double")
+                          / (F.col("c_a").cast("double")
+                             * F.col("c_b").cast("double"))),
+                    6).alias("pmi")))
+
+
 def dedup_triples(triples: DataFrame) -> DataFrame:
     """(subj, pred, obj) edge table with occurrence weight + provenance.
 

@@ -681,3 +681,122 @@ class TestContaminationCheck:
         assert out[2]["scrubbed"] == "host <EMAIL> down"
         assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) \
             == (1, 0, 0)
+
+
+class TestPageRank:
+    @staticmethod
+    def _expected(adj, iterations=5, damping=0.85):
+        """Reference power iteration (plain Python) on a symmetric graph."""
+        nodes = sorted(adj)
+        n = len(nodes)
+        pr = {v: 1.0 / n for v in nodes}
+        base = (1.0 - damping) / n
+        for _ in range(iterations):
+            pr = {v: base + damping * sum(pr[u] / len(adj[u])
+                                          for u in adj[v])
+                  for v in nodes}
+        return {v: round(p, 6) for v, p in pr.items()}
+
+    def test_matches_reference_power_iteration(self, spark):
+        from saber_spark.operators.graph import pagerank
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["pr"] for r in pagerank(df).collect()}
+        assert got == self._expected(adj)
+        # symmetric graph: total mass conserved
+        assert abs(sum(got.values()) - 1.0) < 1e-4
+
+    def test_star_center_dominates(self, spark):
+        from saber_spark.operators.graph import pagerank
+        df = spark.createDataFrame(
+            [("hub", f"s{i}") for i in range(6)], "src string, dst string")
+        got = {r["node"]: r["pr"] for r in pagerank(df).collect()}
+        assert got["hub"] == max(got.values())
+        leaves = {v for k, v in got.items() if k != "hub"}
+        assert len(leaves) == 1  # all leaves identical by symmetry
+
+    def test_checkpointed_equals_lazy(self, spark):
+        from saber_spark.operators.graph import pagerank
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+            "src string, dst string")
+        lazy = {r["node"]: r["pr"] for r in pagerank(df, iterations=6).collect()}
+        ckpt = {r["node"]: r["pr"]
+                for r in pagerank(df, iterations=6, checkpoint_every=2).collect()}
+        assert lazy == ckpt
+
+
+class TestTriangleCount:
+    def test_k4_plus_pendant(self, spark):
+        from saber_spark.operators.graph import triangle_count
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"),
+              ("b", "c"), ("b", "d"), ("c", "d")]
+        df = spark.createDataFrame(k4 + [("d", "e")], "src string, dst string")
+        got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+        # K4 has 4 triangles; every K4 node sits in 3; the pendant in 0
+        assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+    def test_triangle_free_graph(self, spark):
+        from saber_spark.operators.graph import triangle_count
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+        got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+        assert got == {"a": 0, "b": 0, "c": 0, "d": 0}
+
+
+class TestPmiWeights:
+    def test_counts_and_log_ratio(self, spark):
+        import math
+        from saber_spark.operators.triples import pmi_weights
+        rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"),
+                (3, "A"), (3, "C"), (4, "B")]
+        df = spark.createDataFrame(rows, "doc_id long, canonical_id string")
+        got = {(r["subj"], r["obj"]): (r["c_ab"], r["pmi"])
+               for r in pmi_weights(df).collect()}
+        # N=4, c_A=3, c_B=3, c_C=1, c_AB=2, c_AC=1
+        assert got == {
+            ("A", "B"): (2, round(math.log(2 * 4 / (3 * 3)), 6)),
+            ("A", "C"): (1, round(math.log(1 * 4 / (3 * 1)), 6)),
+        }
+
+    def test_repeat_mentions_collapse(self, spark):
+        """PMI is over document presence, not mention multiplicity."""
+        from saber_spark.operators.triples import pmi_weights
+        df = spark.createDataFrame(
+            [(1, "A"), (1, "A"), (1, "B"), (1, "B"), (2, "A")],
+            "doc_id long, canonical_id string")
+        got = {(r["subj"], r["obj"]): r["c_ab"]
+               for r in pmi_weights(df).collect()}
+        assert got == {("A", "B"): 1}
+
+
+class TestTfidfTopk:
+    def test_scores_and_ranking(self, spark):
+        import math
+        from saber_spark.operators.vocab import tfidf_topk
+        # doc 1: common common rare1 ; doc 2: common rare2 rare2
+        rows = [(1, 0, "common"), (1, 1, "common"), (1, 2, "rare1"),
+                (2, 0, "common"), (2, 1, "rare2"), (2, 2, "rare2")]
+        df = spark.createDataFrame(rows, "doc_id long, pos long, token string")
+        got = {(r["doc_id"], r["rank"]): (r["token"], r["tf"], r["tfidf"])
+               for r in tfidf_topk(df, k=2).collect()}
+        ln2 = math.log(2.0)
+        # idf(common)=ln(2/2)=0, idf(rare*)=ln(2/1)
+        assert got == {
+            (1, 1): ("rare1", 1, round(1 * ln2, 6)),
+            (1, 2): ("common", 2, 0.0),
+            (2, 1): ("rare2", 2, round(2 * ln2, 6)),
+            (2, 2): ("common", 1, 0.0),
+        }
+
+    def test_tie_broken_by_token(self, spark):
+        from saber_spark.operators.vocab import tfidf_topk
+        rows = [(1, 0, "zz"), (1, 1, "aa"), (2, 0, "other")]
+        df = spark.createDataFrame(rows, "doc_id long, pos long, token string")
+        got = [(r["rank"], r["token"])
+               for r in tfidf_topk(df, k=2).filter("doc_id = 1").collect()]
+        assert sorted(got) == [(1, "aa"), (2, "zz")]

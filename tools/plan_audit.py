@@ -205,6 +205,42 @@ def main() -> None:
         sections[-1] = (sections[-1][0], sections[-1][1], plan_dc,
                         ["<no cartesian product>"], 0)
 
+    # 12. pagerank: every iteration is an equi-join + hash agg; the only
+    # nested-loop shape anywhere must be absent entirely (the 1-row N is a
+    # Python scalar, not a crossJoin)
+    pr = e.q_pagerank_entities(spark, SF_DIR)
+    plan_pr = formatted_plan(pr)
+    sections.append((
+        "pagerank_entities (5 rounds, equi-join + hash agg per round)",
+        "Each power iteration must compile to a shuffled equi-join against "
+        "the degree-carrying edge table plus ONE partial+final hash "
+        "aggregate on the destination key; no CartesianProduct or "
+        "BroadcastNestedLoopJoin may appear, and nothing Python-side.",
+        plan_pr,
+        ["HashAggregate"],
+        0,
+    ))
+    if "CartesianProduct" in plan_pr or "BroadcastNestedLoopJoin" in plan_pr:
+        sections[-1] = (sections[-1][0], sections[-1][1], plan_pr,
+                        ["<no cartesian/BNLJ in pagerank>"], 0)
+
+    # 13. triangle_count: wedge expansion + closing check stay equi-joins
+    tc = e.q_triangle_entities(spark, SF_DIR)
+    plan_tc = formatted_plan(tc)
+    sections.append((
+        "triangle_entities (degree-ordered wedges, equi-joins only)",
+        "The wedge self-join keys on the low-degree endpoint and the "
+        "closing-edge check is a LeftSemi equi-join on (v, w) — any "
+        "CartesianProduct here would be the all-pairs shape the "
+        "degree-ordering exists to avoid.",
+        plan_tc,
+        ["LeftSemi"],
+        0,
+    ))
+    if "CartesianProduct" in plan_tc:
+        sections[-1] = (sections[-1][0], sections[-1][1], plan_tc,
+                        ["<no cartesian product in triangle_count>"], 0)
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
