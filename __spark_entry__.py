@@ -710,24 +710,22 @@ def q_connected_components(spark, sf_dir):
     """Iterative hash-min connected components over the entity co-occurrence
     graph (DuckDB oracle: recursive-CTE min-reachable-node)."""
     from saber_spark.operators.graph import connected_components
-    linked = _linked_spark(spark, sf_dir)
-    ents = linked.select("doc_id", "canonical_id").distinct()
-    a, b = ents.alias("a"), ents.alias("b")
-    edges = (a.join(b, "doc_id")
-             .filter(F.col("a.canonical_id") < F.col("b.canonical_id"))
-             .select(F.col("a.canonical_id").alias("src"),
-                     F.col("b.canonical_id").alias("dst"))
-             .distinct())
     # 9-node fixture graph: diameter <= 8, so 8 lazy rounds run as ONE job
     # (the fixpoint mode pays per-round driver actions — wrong trade here)
-    return connected_components(edges, rounds=8)
+    return connected_components(_entity_edges(spark, sf_dir), rounds=8)
 
 
 def _entity_edges(spark, sf_dir):
     """Shared entity co-occurrence edge derivation (doc granularity) for
-    the graph-analytics queries — same shape the CC oracle uses."""
+    the graph-analytics queries — same shape the CC oracle uses.
+
+    The (doc, entity) table is materialized before the self-join: both
+    join branches otherwise re-evaluate the full tokenize+link lineage
+    (measured ~2x the query time at sf0.1). At 100 TB this table is the
+    pipeline's persisted mention output, not a recompute."""
     linked = _linked_spark(spark, sf_dir)
-    ents = linked.select("doc_id", "canonical_id").distinct()
+    ents = (linked.select("doc_id", "canonical_id").distinct()
+            .localCheckpoint(eager=True))
     a, b = ents.alias("a"), ents.alias("b")
     return (a.join(b, "doc_id")
             .filter(F.col("a.canonical_id") < F.col("b.canonical_id"))

@@ -67,7 +67,8 @@ def assemble_triples(linked: DataFrame) -> DataFrame:
 
 
 def pmi_weights(linked: DataFrame, id_col: str = "doc_id",
-                entity_col: str = "canonical_id") -> DataFrame:
+                entity_col: str = "canonical_id",
+                materialize: bool = True) -> DataFrame:
     """Document-level pointwise mutual information for entity pairs:
     pmi(a,b) = ln( c_ab * N / (c_a * c_b) ), rounded to 6.
 
@@ -78,6 +79,11 @@ def pmi_weights(linked: DataFrame, id_col: str = "doc_id",
     partial/final hash aggs); the only floating step is the final ln on an
     exact rational, so a 6-decimal round is engine-portable.
 
+    materialize=True localCheckpoints the distinct (doc, entity) table —
+    the plan consumes it three ways (marginals, corpus size, pair
+    expansion), so a derived ``linked`` input (the full extract+link
+    chain) would otherwise be recomputed per branch.
+
     Scale shape: pair expansion reuses the collect_set trick from
     assemble_triples (ONE shuffle, per-row bounded); entity marginals are
     |entities| rows — joined onto the pair table by key (Spark broadcasts
@@ -85,6 +91,8 @@ def pmi_weights(linked: DataFrame, id_col: str = "doc_id",
     skew because the pair table is already collapsed to distinct pairs).
     """
     ents = linked.select(id_col, entity_col).distinct()
+    if materialize:
+        ents = ents.localCheckpoint(eager=True)
     marginals = (ents.groupBy(entity_col)
                  .agg(F.count(F.lit(1)).alias("c")))
     n_docs = ents.select(id_col).distinct() \
