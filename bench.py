@@ -91,6 +91,7 @@ def main() -> None:
         "contamination_check",
         # added round 3, second batch (graph analytics + term weighting)
         "pagerank_entities", "triangle_entities", "edge_pmi", "tfidf_topterms",
+        "crossdoc_ngram_dup",
     ]
     for name in bench_queries:
         t0 = time.monotonic()

@@ -79,6 +79,48 @@ def doc_shingles(docs: DataFrame, text_col: str = "text",
             .distinct())
 
 
+def crossdoc_ngram_dup(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = SHINGLE_N,
+                       min_df: int = 2,
+                       shingles: DataFrame | None = None) -> DataFrame:
+    """Per-document EXACT cross-corpus duplication score: of the doc's
+    distinct word n-grams, the fraction occurring in >= min_df documents
+    corpus-wide -> (doc_id, n_grams, n_dup_grams, dup_frac).
+
+    The exact complement to the approximate MinHash family and to the
+    WITHIN-doc repetition stats in gopher_quality: boilerplate (headers,
+    license blurbs, templated spans) shows up as a high cross-document
+    n-gram duplication fraction even when no whole-document pair is a
+    near-duplicate. RefinedWeb/CCNet-style pipelines threshold on exactly
+    this score. Docs too short to form an n-gram get (0, 0, 0.0).
+
+    Scale shape: the shingle stage is a narrow JVM-only explode (pass
+    ``shingles=`` to share one materialized stage with the MinHash
+    family); gram document-frequency is a partial+final hash agg on the
+    shingle key; the join back is shuffle-hash on the same key; the
+    per-doc roll-up is another two-phase agg. Linear in corpus size,
+    no self-join anywhere.
+    """
+    sh = shingles if shingles is not None else doc_shingles(
+        docs, text_col=text_col, id_col=id_col, n=n)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per = (sh.join(dfc, "shingle")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_grams"),
+                F.count(F.when(F.col("df") >= min_df, 1))
+                .alias("n_dup_grams")))
+    return (docs.select(id_col).join(per, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+                F.coalesce("n_dup_grams", F.lit(0)).cast("long")
+                .alias("n_dup_grams"),
+                F.coalesce(
+                    F.round(F.col("n_dup_grams").cast("double")
+                            / F.col("n_grams").cast("double"), 6),
+                    F.lit(0.0)).alias("dup_frac")))
+
+
 def _doc_shingle_ids(docs: DataFrame, text_col: str, id_col: str,
                      portable_ids: bool = False,
                      shingles: DataFrame | None = None) -> DataFrame:

@@ -800,3 +800,29 @@ class TestTfidfTopk:
         got = [(r["rank"], r["token"])
                for r in tfidf_topk(df, k=2).filter("doc_id = 1").collect()]
         assert sorted(got) == [(1, "aa"), (2, "zz")]
+
+
+class TestCrossdocNgramDup:
+    def test_shared_and_unique_trigrams(self, spark):
+        from saber_spark.operators.dedup import crossdoc_ngram_dup
+        # docs 1 and 2 share the trigram "a b c"; doc 3 is disjoint;
+        # doc 4 is too short to form any trigram
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "z a b c"), (3, "p q r s"), (4, "x y")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_frac"])
+               for r in crossdoc_ngram_dup(df).collect()}
+        # doc 1 grams: {a b c, b c d}; doc 2: {z a b, a b c}; one dup each
+        assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5),
+                       3: (2, 0, 0.0), 4: (0, 0, 0.0)}
+
+    def test_min_df_threshold(self, spark):
+        from saber_spark.operators.dedup import crossdoc_ngram_dup
+        df = spark.createDataFrame(
+            [(i, "a b c") for i in range(3)], "doc_id long, text string")
+        strict = {r["doc_id"]: r["n_dup_grams"]
+                  for r in crossdoc_ngram_dup(df, min_df=4).collect()}
+        assert strict == {0: 0, 1: 0, 2: 0}   # df=3 < 4
+        loose = {r["doc_id"]: r["n_dup_grams"]
+                 for r in crossdoc_ngram_dup(df, min_df=3).collect()}
+        assert loose == {0: 1, 1: 1, 2: 1}
