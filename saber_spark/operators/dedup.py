@@ -281,7 +281,10 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5,
            .filter(F.col("jaccard") >= threshold)
            .select("doc_a", "doc_b")
            .localCheckpoint(eager=True))
-    comp = connected_components(jac, src="doc_a", dst="doc_b", rounds=rounds)
+    # materialize=False: jac is already checkpointed just above, so CC's
+    # internal edge materialization would store the same table twice
+    comp = connected_components(jac, src="doc_a", dst="doc_b", rounds=rounds,
+                                materialize=False)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"))
     return (

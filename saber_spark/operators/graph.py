@@ -21,6 +21,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(edges.select(F.col(dst).alias("a"),
+                                      F.col(src).alias("b")))
+            .distinct())
+
+
 def _propagate(sym_with_self: DataFrame, labels: DataFrame) -> DataFrame:
     """min label over the CLOSED neighborhood (self-loops included in the
     edge set), so ``labels`` is referenced exactly ONCE per round — the
@@ -62,10 +69,7 @@ def connected_components(edges: DataFrame, src: str = "src",
     A 100 TB run writes the edge set to a durable checkpoint table
     instead — same shape, resumable.
     """
-    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .unionByName(edges.select(F.col(dst).alias("a"),
-                                     F.col(src).alias("b")))
-           .distinct())
+    sym = _symmetrize(edges, src, dst)
     if materialize:
         sym = sym.localCheckpoint(eager=True)
     nodes = sym.select(F.col("a").alias("node")).distinct()
@@ -95,13 +99,6 @@ def connected_components(edges: DataFrame, src: str = "src",
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         f"(graph diameter exceeds max_iter); raise max_iter")
-
-
-def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    return (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .unionByName(edges.select(F.col(dst).alias("a"),
-                                      F.col(src).alias("b")))
-            .distinct())
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -139,6 +136,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # (a, b, outdeg-of-a): built once, reused by every iteration
     contrib_edges = sym.join(outdeg, "a")
     n_nodes = outdeg.count()  # one cheap action on the collapsed node set
+    if n_nodes == 0:
+        # empty graph: an empty (node, pr) result, not a ZeroDivisionError
+        return outdeg.select(F.col("a").alias("node"),
+                             F.lit(0.0).cast("double").alias("pr"))
     pr = outdeg.select(F.col("a").alias("node"),
                        F.lit(1.0 / n_nodes).alias("pr"))
     base = (1.0 - damping) / n_nodes

@@ -25,6 +25,23 @@ from pyspark.sql import functions as F
 PRED_COOCCURS = "cooccurs_with"
 
 
+def _ordered_pairs(ents_col):
+    """sorted entity array -> array of (subj, obj) structs with
+    subj < obj — every unordered pair exactly once, built with
+    higher-order array functions (pure JVM codegen, no extra shuffle).
+    Per-row cost is quadratic in the array length, which is bounded
+    (entities per sentence/document), never corpus-sized."""
+    return F.flatten(
+        F.transform(
+            ents_col,
+            lambda x, i: F.transform(
+                F.slice(ents_col, i + F.lit(2), F.size(ents_col) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("subj"), y.alias("obj")),
+            ),
+        )
+    )
+
+
 def assemble_triples(linked: DataFrame) -> DataFrame:
     """linked mentions -> one row per (subj, pred, obj, url, sent_id).
 
@@ -41,21 +58,7 @@ def assemble_triples(linked: DataFrame) -> DataFrame:
     pairs = ents.select(
         "url",
         "sent_id",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ents"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ents"),
-                            i + F.lit(2),
-                            F.size(F.col("ents")) - i - F.lit(1),
-                        ),
-                        lambda y: F.struct(x.alias("subj"), y.alias("obj")),
-                    ),
-                )
-            )
-        ).alias("pair"),
+        F.explode(_ordered_pairs(F.col("ents"))).alias("pair"),
     )
     return pairs.select(
         F.col("pair.subj").alias("subj"),
@@ -75,6 +78,8 @@ def pmi_weights(linked: DataFrame, id_col: str = "doc_id",
     Co-occurrence counts alone over-weight hub entities (a "water"-like
     entity co-occurs with everything); PMI normalizes by marginal document
     frequency, the standard edge-confidence weight for co-occurrence KGs.
+    N counts documents containing at least one entity (the event space the
+    marginals are drawn from), not the raw corpus size.
     All counts are exact integers computed distributively (distinct +
     partial/final hash aggs); the only floating step is the final ln on an
     exact rational, so a 6-decimal round is engine-portable.
@@ -101,21 +106,7 @@ def pmi_weights(linked: DataFrame, id_col: str = "doc_id",
                .agg(F.array_sort(F.collect_set(entity_col)).alias("ents"))
                .filter(F.size("ents") >= 2))
     pairs = per_doc.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ents"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ents"),
-                            i + F.lit(2),
-                            F.size(F.col("ents")) - i - F.lit(1),
-                        ),
-                        lambda y: F.struct(x.alias("subj"), y.alias("obj")),
-                    ),
-                )
-            )
-        ).alias("pair"),
+        F.explode(_ordered_pairs(F.col("ents"))).alias("pair"),
     ).select(F.col("pair.subj").alias("subj"),
              F.col("pair.obj").alias("obj"))
     pair_counts = (pairs.groupBy("subj", "obj")

@@ -58,7 +58,9 @@ def tfidf_scores(tokens: DataFrame) -> DataFrame:
     """(doc_id, pos, token) -> (doc_id, token, tf, df, tfidf).
 
     tfidf = tf * ln(N / df) with raw counts (tf = in-doc term count,
-    df = number of documents containing the term, N = corpus size) — the
+    df = number of documents containing the term, N = number of documents
+    with at least one token — docs whose text tokenizes to nothing are
+    outside the event space, so they count toward neither df nor N) — the
     classic smoothing-free formulation so the oracle is exact (integers
     everywhere except one final ln, rounded to 6).
 

@@ -729,6 +729,14 @@ class TestPageRank:
                 for r in pagerank(df, iterations=6, checkpoint_every=2).collect()}
         assert lazy == ckpt
 
+    def test_empty_graph_returns_empty(self, spark):
+        """A shard whose upstream filter yields zero edges must produce an
+        empty result, not a ZeroDivisionError at plan-construction time."""
+        from saber_spark.operators.graph import pagerank, triangle_count
+        empty = spark.createDataFrame([], "src string, dst string")
+        assert pagerank(empty).count() == 0
+        assert triangle_count(empty).count() == 0
+
 
 class TestTriangleCount:
     def test_k4_plus_pendant(self, spark):
