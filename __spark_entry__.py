@@ -773,6 +773,30 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_scores(tokenize_docs(_docs(spark, sf_dir)))
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(spark, sf_dir):
+    """Explicit-values pivot: per-user event-type count matrix (wide).
+    Passing the category list skips the distinct-value pre-pass job and
+    fixes the schema — the only pivot shape sane at scale."""
+    from saber_spark.operators.reshape import pivot_counts
+    return pivot_counts(_events(spark, sf_dir), "user_id", "event_type",
+                        EVENT_TYPES)
+
+
+def q_quality_buckets(spark, sf_dir):
+    """Per-source quality quartiles (curriculum/mixing buckets) without a
+    global ntile sort: exact percentile boundaries per group, broadcast
+    back, strict-> comparison fold."""
+    from saber_spark.operators.splits import quantile_buckets
+    docs = _docs(spark, sf_dir)
+    scored = (quality_score(docs).select("doc_id", "quality")
+              .join(docs.select("doc_id", "source"), "doc_id"))
+    return (quantile_buckets(scored, "quality", "source")
+            .select("doc_id", "source", "quality", "bucket"))
+
+
 def q_hypertable_rollup(spark, sf_dir):
     """Continuous aggregate: hour rollup from raw events, day rollup from
     the HOUR table (raw data scanned once however many grains exist)."""
@@ -970,9 +994,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # twice-green family-redundant entry; never let an unverified query sit
     # past position 50.
     # r3 second batch: pagerank_entities, triangle_entities, edge_pmi,
-    # tfidf_topterms, crossdoc_ngram_dup enter the cap; tpch_q1,
-    # minhash_signatures, simhash, cosine_topk, token_counts (all green in
-    # r1 AND r2) move to the tail.
+    # tfidf_topterms, crossdoc_ngram_dup, pivot_events, quality_buckets
+    # enter the cap; tpch_q1, minhash_signatures, simhash, cosine_topk,
+    # token_counts, lang_id, dedup_exact (all green in r1 AND r2) move to
+    # the tail — each has in-cap family siblings (TPC-H: tpch_q4; dedup:
+    # minhash_candidates/ngram_jaccard/crossdoc_ngram_dup/dedup_clusters;
+    # textstats: quality_score/gopher_repetition; ANN: lsh_cosine_multiband/
+    # ivf_cosine_topk).
     return {
         # --- KG pipeline stages (flagship; kg_* had no driver row in r2) ---
         "scan_filter_project": q_scan_filter_project,
@@ -997,6 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- relational / windows / grouping ---
         "window_agg": q_window_agg,
         "median_by_source": q_median_by_source,
+        "pivot_events": q_pivot_events,
+        "quality_buckets": q_quality_buckets,
         "tpch_q4": q_tpch_q4,
         "above_nation_avg": q_above_nation_avg,
         "mentions_histogram": q_mentions_histogram,
@@ -1012,7 +1042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_entities": q_pagerank_entities,
         "triangle_entities": q_triangle_entities,
         # --- dedup / similarity family ---
-        "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "contamination_check": q_contamination_check,
         "minhash_candidates": q_minhash_candidates,
@@ -1022,7 +1051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         # --- text stats ---
-        "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "tfidf_topterms": q_tfidf_topterms,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1042,6 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "dedup_exact": q_dedup_exact,
         "tpch_q3_top10": q_tpch_q3_top10,
         "tpch_q6": q_tpch_q6,
         "token_bigrams": q_token_bigrams,
@@ -1681,6 +1711,32 @@ def oracle_sql() -> dict[str, str]:
               SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node)
             SELECT node, min(root) AS component
             FROM reach GROUP BY node""",
+        "pivot_events": f"""
+            SELECT user_id,
+                   {", ".join(
+                       f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END)"
+                       f" AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
+            FROM events GROUP BY user_id""",
+        "quality_buckets": f"""
+            WITH {TOKENS_CTE},
+            base AS ({qualities}),
+            q AS (
+              SELECT b.doc_id, d.source,
+                     round(0.4 * least(b.n_tokens / 100.0, 1.0)
+                           + 0.3 * (1 - b.n_punct / greatest(b.n_tokens, 1)::DOUBLE)
+                           + 0.3 * least((b.n_stop / greatest(b.n_tokens, 1)::DOUBLE) / 0.05, 1.0),
+                           6) AS quality
+              FROM base b JOIN documents d USING (doc_id)),
+            bounds AS (
+              SELECT source,
+                     quantile_cont(quality, [0.25, 0.5, 0.75]) AS bs
+              FROM q GROUP BY source)
+            SELECT q.doc_id, q.source, q.quality,
+                   CAST(1 + (CASE WHEN q.quality > bs[1] THEN 1 ELSE 0 END)
+                          + (CASE WHEN q.quality > bs[2] THEN 1 ELSE 0 END)
+                          + (CASE WHEN q.quality > bs[3] THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM q JOIN bounds USING (source)""",
         "crossdoc_ngram_dup": f"""
             WITH {TOKENS_CTE}, {SHINGLES_CTE},
             dfc AS (SELECT shingle, count(*) AS df

@@ -91,7 +91,7 @@ def main() -> None:
         "contamination_check",
         # added round 3, second batch (graph analytics + term weighting)
         "pagerank_entities", "triangle_entities", "edge_pmi", "tfidf_topterms",
-        "crossdoc_ngram_dup",
+        "crossdoc_ngram_dup", "pivot_events", "quality_buckets",
     ]
     for name in bench_queries:
         t0 = time.monotonic()

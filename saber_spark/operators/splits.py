@@ -34,6 +34,31 @@ def fold_assign(df: DataFrame, id_col: str, k: int,
     )
 
 
+def quantile_buckets(df: DataFrame, score_col: str, group_col: str,
+                     probs: tuple[float, ...] = (0.25, 0.5, 0.75)
+                     ) -> DataFrame:
+    """Assign every row a per-group quantile bucket 1..len(probs)+1 —
+    curriculum/mixing bucketing (e.g. quality quartiles per source) without
+    a global sort.
+
+    The naive form is ntile() over a global ORDER BY — a single-partition
+    window that cannot scale. Here the exact interpolated boundaries are
+    ONE partial+final aggregation per group (percentile), broadcast back,
+    and the assignment is a narrow higher-order fold over the boundary
+    array: bucket = 1 + |{b : score > b}|. A row whose score equals a
+    boundary lands in the lower bucket on every engine (strict >).
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(score_col, F.array(*[F.lit(p) for p in probs]))
+        .alias("_bounds"))
+    bucket = F.lit(1) + F.aggregate(
+        F.col("_bounds"), F.lit(0),
+        lambda acc, b: acc + F.when(F.col(score_col) > b, 1).otherwise(0))
+    return (df.join(F.broadcast(bounds), group_col)
+            .withColumn("bucket", bucket.cast("long"))
+            .drop("_bounds"))
+
+
 def stratified_sample(df: DataFrame, group_col: str, id_col: str,
                       fractions: dict[str, float],
                       default_fraction: float = 0.0,

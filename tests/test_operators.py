@@ -834,3 +834,51 @@ class TestCrossdocNgramDup:
         loose = {r["doc_id"]: r["n_dup_grams"]
                  for r in crossdoc_ngram_dup(df, min_df=3).collect()}
         assert loose == {0: 1, 1: 1, 2: 1}
+
+
+class TestReshape:
+    def test_pivot_roundtrip(self, spark):
+        from saber_spark.operators.reshape import pivot_counts, unpivot_counts
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "b"), (2, "b"), (3, "c")],
+            "uid long, kind string")
+        wide = pivot_counts(df, "uid", "kind", ["a", "b", "c"])
+        got = {r["uid"]: (r["n_a"], r["n_b"], r["n_c"])
+               for r in wide.collect()}
+        # empty cells are 0, not null
+        assert got == {1: (2, 1, 0), 2: (0, 1, 0), 3: (0, 0, 1)}
+        # unpivot inverts back to long (id, key, n)
+        long = unpivot_counts(wide, "uid", ["n_a", "n_b", "n_c"])
+        back = {(r["uid"], r["key"]): r["n"] for r in long.collect()}
+        assert back[(1, "n_a")] == 2 and back[(2, "n_c")] == 0
+        assert len(back) == 9
+
+    def test_pivot_ignores_unlisted_values(self, spark):
+        from saber_spark.operators.reshape import pivot_counts
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "weird")], "uid long, kind string")
+        row = pivot_counts(df, "uid", "kind", ["a"]).collect()[0]
+        assert (row["n_a"],) == (1,)  # 'weird' simply absent from schema
+
+
+class TestQuantileBuckets:
+    def test_quartiles_and_boundary_rule(self, spark):
+        from saber_spark.operators.splits import quantile_buckets
+        # scores 1..8 in one group: quartile bounds 2.75 / 4.5 / 6.25
+        df = spark.createDataFrame(
+            [(i, "g", float(i)) for i in range(1, 9)],
+            "id long, grp string, score double")
+        got = {r["id"]: r["bucket"] for r in quantile_buckets(
+            df, "score", "grp").collect()}
+        assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+
+    def test_groups_bucketed_independently(self, spark):
+        from saber_spark.operators.splits import quantile_buckets
+        rows = [(i, "lo", float(i)) for i in range(4)] + \
+               [(10 + i, "hi", 1000.0 + i) for i in range(4)]
+        df = spark.createDataFrame(rows, "id long, grp string, score double")
+        got = {r["id"]: r["bucket"] for r in quantile_buckets(
+            df, "score", "grp").collect()}
+        # each group spans all four buckets despite disjoint score ranges
+        assert {got[i] for i in range(4)} == {1, 2, 3, 4}
+        assert {got[10 + i] for i in range(4)} == {1, 2, 3, 4}
