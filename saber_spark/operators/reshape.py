@@ -24,15 +24,15 @@ def pivot_counts(df: DataFrame, group_col: str, pivot_col: str,
     """group rows and spread ``pivot_col`` categories into count columns.
 
     -> (group_col, n_<v1>, ..., n_<vk>) with zero (not null) for empty
-    cells. One partial+final hash aggregation on group_col — the pivot
-    itself adds no extra shuffle over a plain groupBy.
+    cells. Compiled as conditional aggregation, NOT the built-in
+    ``DataFrame.pivot``: Spark's pivot lowers to a pre-aggregation keyed
+    on (group, pivot) plus a pivotfirst aggregation keyed on group — TWO
+    exchanges — whereas count-if over the explicit category list is one
+    partial+final hash agg on group_col (ONE exchange, map-side combined;
+    verified in PLANS.md). Same result, half the shuffles.
     """
-    wide = (df.groupBy(group_col)
-            .pivot(pivot_col, list(values))
-            .agg(F.count(F.lit(1))))
-    return wide.select(
-        group_col,
-        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(f"n_{v}")
+    return df.groupBy(group_col).agg(
+        *[F.count(F.when(F.col(pivot_col) == v, 1)).alias(f"n_{v}")
           for v in values])
 
 

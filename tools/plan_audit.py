@@ -241,6 +241,36 @@ def main() -> None:
         sections[-1] = (sections[-1][0], sections[-1][1], plan_tc,
                         ["<no cartesian product in triangle_count>"], 0)
 
+    # 14. pivot: explicit values -> ONE two-phase agg, no distinct pre-pass
+    pv = e.q_pivot_events(spark, SF_DIR)
+    plan_pv = formatted_plan(pv)
+    n_exchanges_pv = len(re.findall(r"\(\d+\) Exchange", plan_pv))
+    sections.append((
+        "pivot_events (explicit-values pivot, one exchange)",
+        "The explicit category list means no distinct-value pre-pass job "
+        "and a single partial+final hash aggregation on user_id — exactly "
+        "ONE Exchange in the whole plan.",
+        plan_pv,
+        ["HashAggregate"] + ([] if n_exchanges_pv == 1
+                             else [f"<1 exchange, saw {n_exchanges_pv}>"]),
+        0,
+    ))
+
+    # 15. quantile buckets: broadcast boundaries, no global sort anywhere
+    qb = e.q_quality_buckets(spark, SF_DIR)
+    plan_qb = formatted_plan(qb)
+    sections.append((
+        "quality_buckets (per-group percentile bounds, no ntile sort)",
+        "Bucket assignment must be a BroadcastHashJoin of the tiny "
+        "per-group boundary table plus a narrow fold — a global Sort or "
+        "Window here would be the single-partition ntile shape this "
+        "operator exists to avoid.",
+        plan_qb,
+        ["BroadcastHashJoin"]
+        + (["<no Window in plan>"] if "Window" in plan_qb else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
