@@ -737,6 +737,22 @@ class TestPageRank:
         assert pagerank(empty).count() == 0
         assert triangle_count(empty).count() == 0
 
+    def test_random_graph_matches_reference(self, spark):
+        """Seeded Erdos-Renyi graph: the distributed result must equal the
+        plain-Python power iteration node-for-node."""
+        from saber_spark.operators.graph import pagerank
+        rng = random.Random(29)
+        nodes = [f"n{i:02d}" for i in range(24)]
+        edges = sorted({(a, b) for a in nodes for b in nodes
+                        if a < b and rng.random() < 0.18})
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["pr"] for r in pagerank(df).collect()}
+        assert got == self._expected(adj)
+
 
 class TestTriangleCount:
     def test_k4_plus_pendant(self, spark):
@@ -754,6 +770,26 @@ class TestTriangleCount:
             [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
         got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
         assert got == {"a": 0, "b": 0, "c": 0, "d": 0}
+
+    def test_random_graph_matches_bruteforce(self, spark):
+        """Seeded random graph vs an O(n^3) enumeration — exercises the
+        degree-ordering tie-breaks that the crafted fixtures don't."""
+        from itertools import combinations
+        from saber_spark.operators.graph import triangle_count
+        rng = random.Random(41)
+        nodes = [f"v{i:02d}" for i in range(18)]
+        eset = {(a, b) for a in nodes for b in nodes
+                if a < b and rng.random() < 0.3}
+        expected = dict.fromkeys(nodes, 0)
+        for x, y, z in combinations(nodes, 3):
+            if {(x, y), (y, z), (x, z)} <= eset:
+                for v in (x, y, z):
+                    expected[v] += 1
+        df = spark.createDataFrame(sorted(eset), "src string, dst string")
+        got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+        # nodes that appear in no edge are absent from the operator's universe
+        touched = {v for e in eset for v in e}
+        assert got == {v: c for v, c in expected.items() if v in touched}
 
 
 class TestPmiWeights:
