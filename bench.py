@@ -92,6 +92,7 @@ def main() -> None:
         # added round 3, second batch (graph analytics + term weighting)
         "pagerank_entities", "triangle_entities", "edge_pmi", "tfidf_topterms",
         "crossdoc_ngram_dup", "pivot_events", "quality_buckets",
+        "json_extract_agg",
     ]
     for name in bench_queries:
         t0 = time.monotonic()
