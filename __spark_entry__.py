@@ -776,19 +776,24 @@ def q_tfidf_topterms(spark, sf_dir):
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
-def q_json_extract_agg(spark, sf_dir):
-    """Semi-structured path: typed JSON extraction from the events props
-    column (from_json with an explicit schema — JVM codegen, no Python,
-    malformed rows become null instead of failing) + per-type rollup.
-    At scale this is the schema-on-read pattern for raw event logs."""
-    ev = _events(spark, sf_dir)
+def json_props_agg(events: DataFrame) -> DataFrame:
+    """Typed JSON extraction from the props column (from_json with an
+    explicit schema — JVM codegen, no Python; malformed JSON, missing
+    keys, and non-integer-typed values all become NULL) + per-type
+    rollup. The oracle replicates exactly those semantics with a
+    json_valid + json_type guard (tested on dirty props in pytest)."""
     k = F.from_json("props", "k BIGINT").getField("k")
-    return (ev.select("event_type", k.alias("k"))
+    return (events.select("event_type", k.alias("k"))
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum("k").alias("sum_k"),
                  F.min("k").alias("min_k"),
                  F.max("k").alias("max_k")))
+
+
+def q_json_extract_agg(spark, sf_dir):
+    """Schema-on-read for raw event logs (see json_props_agg)."""
+    return json_props_agg(_events(spark, sf_dir))
 
 
 def q_pivot_events(spark, sf_dir):
@@ -805,9 +810,8 @@ def q_quality_buckets(spark, sf_dir):
     global ntile sort: exact percentile boundaries per group, broadcast
     back, strict-> comparison fold."""
     from saber_spark.operators.splits import quantile_buckets
-    docs = _docs(spark, sf_dir)
-    scored = (quality_score(docs).select("doc_id", "quality")
-              .join(docs.select("doc_id", "source"), "doc_id"))
+    scored = quality_score(_docs(spark, sf_dir), keep_cols=("source",)) \
+        .select("doc_id", "source", "quality")
     return (quantile_buckets(scored, "quality", "source")
             .select("doc_id", "source", "quality", "bucket"))
 
@@ -1729,15 +1733,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, min(root) AS component
             FROM reach GROUP BY node""",
         "json_extract_agg": """
+            WITH parsed AS (
+              -- faithful from_json(k BIGINT) twin: malformed JSON, a
+              -- missing key, or a non-integer-typed value (quoted "5",
+              -- 3.7) all become NULL instead of erroring/coercing
+              SELECT event_type,
+                     CASE WHEN json_valid(props)
+                               AND json_type(props, '$.k')
+                                   IN ('BIGINT', 'UBIGINT')
+                          THEN TRY_CAST(json_extract_string(props, '$.k')
+                                        AS BIGINT)
+                     END AS k
+              FROM events)
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                        AS BIGINT) AS sum_k,
-                   CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                        AS BIGINT) AS min_k,
-                   CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                        AS BIGINT) AS max_k
-            FROM events GROUP BY event_type""",
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM parsed GROUP BY event_type""",
         "pivot_events": f"""
             SELECT user_id,
                    {", ".join(
@@ -1759,10 +1772,13 @@ def oracle_sql() -> dict[str, str]:
                      quantile_cont(quality, [0.25, 0.5, 0.75]) AS bs
               FROM q GROUP BY source)
             SELECT q.doc_id, q.source, q.quality,
-                   CAST(1 + (CASE WHEN q.quality > bs[1] THEN 1 ELSE 0 END)
-                          + (CASE WHEN q.quality > bs[2] THEN 1 ELSE 0 END)
-                          + (CASE WHEN q.quality > bs[3] THEN 1 ELSE 0 END)
-                        AS BIGINT) AS bucket
+                   -- NULL score or NULL bounds -> NULL bucket (operator's
+                   -- documented semantics; unreachable on this data)
+                   CAST(CASE WHEN q.quality IS NULL OR bs IS NULL THEN NULL
+                        ELSE 1 + (CASE WHEN q.quality > bs[1] THEN 1 ELSE 0 END)
+                               + (CASE WHEN q.quality > bs[2] THEN 1 ELSE 0 END)
+                               + (CASE WHEN q.quality > bs[3] THEN 1 ELSE 0 END)
+                        END AS BIGINT) AS bucket
             FROM q JOIN bounds USING (source)""",
         "crossdoc_ngram_dup": f"""
             WITH {TOKENS_CTE}, {SHINGLES_CTE},

@@ -47,16 +47,26 @@ def quantile_buckets(df: DataFrame, score_col: str, group_col: str,
     and the assignment is a narrow higher-order fold over the boundary
     array: bucket = 1 + |{b : score > b}|. A row whose score equals a
     boundary lands in the lower bucket on every engine (strict >).
+
+    NULL semantics: a NULL group is its own group (null-safe join — rows
+    are never silently dropped); a row with a NULL score, or in a group
+    whose scores are all NULL (no boundaries computable), gets bucket
+    NULL.
     """
     bounds = df.groupBy(group_col).agg(
         F.percentile(score_col, F.array(*[F.lit(p) for p in probs]))
         .alias("_bounds"))
-    bucket = F.lit(1) + F.aggregate(
+    bucket = F.when(
+        F.col(score_col).isNull() | F.col("_bounds").isNull(),
+        F.lit(None),
+    ).otherwise(F.lit(1) + F.aggregate(
         F.col("_bounds"), F.lit(0),
-        lambda acc, b: acc + F.when(F.col(score_col) > b, 1).otherwise(0))
-    return (df.join(F.broadcast(bounds), group_col)
+        lambda acc, b: acc + F.when(F.col(score_col) > b, 1).otherwise(0)))
+    b_alias = bounds.withColumnRenamed(group_col, "_grp")
+    return (df.join(F.broadcast(b_alias),
+                    F.col(group_col).eqNullSafe(F.col("_grp")))
             .withColumn("bucket", bucket.cast("long"))
-            .drop("_bounds"))
+            .drop("_bounds", "_grp"))
 
 
 def stratified_sample(df: DataFrame, group_col: str, id_col: str,

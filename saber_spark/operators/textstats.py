@@ -44,19 +44,25 @@ def lang_id(docs: DataFrame, text_col: str = "text",
 
 
 def quality_score(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Document quality features + a composite score.
 
-    -> (doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
+    -> (doc_id, *keep_cols, n_chars, n_tokens, avg_token_len, punct_ratio,
         stopword_ratio, quality rounded 6).
     quality = 0.4*min(n_tokens/100,1) + 0.3*(1-punct_ratio) + 0.3*stopword_sat
     (stopword_sat = min(stopword_ratio/0.05, 1)): favors long, low-punct,
     natural-language docs — the standard web-corpus filter shape.
+
+    keep_cols passes metadata columns (source, url, ...) through the
+    projection so downstream grouping doesn't need a second scan + join on
+    the id just to reattach them.
     """
     toks = F.regexp_extract_all(F.col(text_col), F.lit(INFIX_PATTERN), F.lit(0))
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     base = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.length(text_col).alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         F.size(F.filter(toks, lambda t: t.rlike("^[0-9a-zA-Z]+$") == F.lit(False))
@@ -75,7 +81,7 @@ def quality_score(docs: DataFrame, text_col: str = "text",
         + 0.3 * F.least(stop_ratio / F.lit(0.05), F.lit(1.0))
     )
     return base.select(
-        id_col, "n_chars", "n_tokens",
+        id_col, *keep_cols, "n_chars", "n_tokens",
         F.round(F.col("tok_chars") / nt, 6).alias("avg_token_len"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),

@@ -918,3 +918,59 @@ class TestQuantileBuckets:
         # each group spans all four buckets despite disjoint score ranges
         assert {got[i] for i in range(4)} == {1, 2, 3, 4}
         assert {got[10 + i] for i in range(4)} == {1, 2, 3, 4}
+
+    def test_null_group_kept_null_score_unbucketed(self, spark):
+        """NULL group is its own group (no silent row drop); NULL scores
+        and all-NULL groups get bucket NULL."""
+        from saber_spark.operators.splits import quantile_buckets
+        rows = [(1, "g", 1.0), (2, "g", 2.0), (3, "g", 3.0), (4, "g", 4.0),
+                (5, "g", None),        # NULL score in a scored group
+                (6, None, 1.0), (7, None, 9.0),   # NULL group, scored
+                (8, "empty", None)]    # group with no non-null scores
+        df = spark.createDataFrame(rows, "id long, grp string, score double")
+        out = quantile_buckets(df, "score", "grp").collect()
+        assert len(out) == len(rows)   # nothing dropped
+        got = {r["id"]: r["bucket"] for r in out}
+        assert got[1] == 1 and got[4] == 4
+        assert got[5] is None and got[8] is None
+        assert got[6] == 1 and got[7] == 4   # NULL group bucketed normally
+
+
+class TestJsonPropsAgg:
+    DIRTY = [
+        (1, "click", '{"k": 69}'),        # clean integer
+        (2, "click", '{"k": "5"}'),       # quoted numeric -> NULL (typed)
+        (3, "click", '{"k": 3.7}'),       # non-integer -> NULL
+        (4, "error", "not json"),         # malformed -> NULL
+        (5, "error", '{"other": 1}'),     # missing key -> NULL
+        (6, "error", None),               # NULL props -> NULL
+        (7, "error", '{"k": -12}'),       # clean negative
+    ]
+
+    def test_spark_semantics_on_dirty_props(self, spark):
+        import __spark_entry__ as e
+        df = spark.createDataFrame(
+            self.DIRTY, "event_id long, event_type string, props string")
+        got = {r["event_type"]: (r["n_events"], r["sum_k"], r["min_k"],
+                                 r["max_k"])
+               for r in e.json_props_agg(df).collect()}
+        assert got == {"click": (3, 69, 69, 69),
+                       "error": (4, -12, -12, -12)}
+
+    def test_oracle_matches_spark_on_dirty_props(self, spark):
+        """The DuckDB oracle's json_valid+json_type guard must replicate
+        from_json's null-on-anything-unclean semantics row for row."""
+        import duckdb
+        import pandas as pd
+        import __spark_entry__ as e
+        events = pd.DataFrame(self.DIRTY,
+                              columns=["event_id", "event_type", "props"])
+        con = duckdb.connect()
+        con.register("events", events)
+        oracle = (con.sql(e.oracle_sql()["json_extract_agg"]).fetchdf()
+                  .sort_values("event_type").reset_index(drop=True))
+        df = spark.createDataFrame(
+            self.DIRTY, "event_id long, event_type string, props string")
+        mine = (e.json_props_agg(df).toPandas()
+                .sort_values("event_type").reset_index(drop=True))
+        assert oracle.to_dict("records") == mine.to_dict("records")

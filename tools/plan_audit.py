@@ -267,7 +267,10 @@ def main() -> None:
         "operator exists to avoid.",
         plan_qb,
         ["BroadcastHashJoin"]
-        + (["<no Window in plan>"] if "Window" in plan_qb else []),
+        + (["<no Window in plan>"] if "Window" in plan_qb else [])
+        + (["<no global sort shape>"]
+           if ("rangepartitioning" in plan_qb or "SortMergeJoin" in plan_qb)
+           else []),
         0,
     ))
 
