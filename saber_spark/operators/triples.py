@@ -95,7 +95,10 @@ def pmi_weights(linked: DataFrame, id_col: str = "doc_id",
     when small; at web scale both joins are shuffle-hash on subj/obj, no
     skew because the pair table is already collapsed to distinct pairs).
     """
-    ents = linked.select(id_col, entity_col).distinct()
+    # ungrounded mentions (NULL entity) are not entities — same rule as
+    # assemble_triples
+    ents = (linked.filter(F.col(entity_col).isNotNull())
+            .select(id_col, entity_col).distinct())
     if materialize:
         ents = ents.localCheckpoint(eager=True)
     marginals = (ents.groupBy(entity_col)

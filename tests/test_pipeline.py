@@ -268,3 +268,22 @@ class TestRandomizedParity:
                                        _canonical_map())}
         assert got == expect
         assert len(expect) > 100  # the fuzz actually generated mentions
+
+
+class TestEnrichedOutputs:
+    def test_enrich_adds_metrics_without_changing_rows(self, spark, pages,
+                                                       pipeline_out):
+        out = run_pipeline(spark, pages, enrich=True)
+        nodes, edges = out["nodes"], out["edges"]
+        assert {"pr", "n_triangles"} <= set(nodes.columns)
+        assert "pmi" in edges.columns
+        # enrichment only adds columns — same node/edge sets as the plain run
+        assert nodes.count() == pipeline_out["nodes"].count()
+        assert edges.count() == pipeline_out["edges"].count()
+        rows = nodes.collect()
+        connected = [r for r in rows if r["pr"] is not None]
+        # PageRank mass sums to ~1 over the connected nodes
+        assert connected and abs(sum(r["pr"] for r in connected) - 1.0) < 1e-3
+        assert all(r["n_triangles"] >= 0 for r in rows)
+        # every co-occurrence edge has a defined PMI confidence
+        assert edges.filter("pmi IS NULL").count() == 0
