@@ -1779,7 +1779,11 @@ def oracle_sql() -> dict[str, str]:
                                + (CASE WHEN q.quality > bs[2] THEN 1 ELSE 0 END)
                                + (CASE WHEN q.quality > bs[3] THEN 1 ELSE 0 END)
                         END AS BIGINT) AS bucket
-            FROM q JOIN bounds USING (source)""",
+            -- null-safe join: the operator keeps NULL-group rows (its own
+            -- group), so the oracle must too (no source is NULL here, but
+            -- the twin stays faithful on dirty data)
+            FROM q JOIN bounds b
+              ON q.source IS NOT DISTINCT FROM b.source""",
         "crossdoc_ngram_dup": f"""
             WITH {TOKENS_CTE}, {SHINGLES_CTE},
             dfc AS (SELECT shingle, count(*) AS df

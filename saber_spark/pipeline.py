@@ -105,10 +105,17 @@ def run_pipeline(
     if enrich:
         from saber_spark.operators.graph import pagerank, triangle_count
         from saber_spark.operators.triples import pmi_weights
-        edge_pairs = edges.select(F.col("subj").alias("src"),
-                                  F.col("obj").alias("dst"))
-        metrics = (pagerank(edge_pairs)
-                   .join(triangle_count(edge_pairs), "node", "outer")
+        # materialize the deduplicated pair set ONCE; both graph ops then
+        # skip their internal checkpoint (materialize=False) instead of
+        # re-deriving the triples chain eagerly twice. Enrichment launches
+        # jobs at call time (pagerank needs N); callers wanting lazy
+        # outputs keep the default enrich=False.
+        edge_pairs = (edges.select(F.col("subj").alias("src"),
+                                   F.col("obj").alias("dst"))
+                      .localCheckpoint(eager=True))
+        metrics = (pagerank(edge_pairs, materialize=False)
+                   .join(triangle_count(edge_pairs, materialize=False),
+                         "node", "outer")
                    .withColumnRenamed("node", "canonical_id"))
         # isolated nodes (no edge) keep pr NULL / 0 triangles
         nodes = (nodes.join(metrics, "canonical_id", "left")
