@@ -111,9 +111,11 @@ def run_pipeline(
         # jobs at call time (pagerank needs N); callers wanting lazy
         # outputs keep the default enrich=False.
         edge_pairs = (edges.select(F.col("subj").alias("src"),
-                                   F.col("obj").alias("dst"))
+                                   F.col("obj").alias("dst"),
+                                   "n_occurrences")
                       .localCheckpoint(eager=True))
-        metrics = (pagerank(edge_pairs, materialize=False)
+        metrics = (pagerank(edge_pairs, materialize=False,
+                            weight_col="n_occurrences")
                    .join(triangle_count(edge_pairs, materialize=False),
                          "node", "outer")
                    .withColumnRenamed("node", "canonical_id"))

@@ -974,3 +974,70 @@ class TestJsonPropsAgg:
         mine = (e.json_props_agg(df).toPandas()
                 .sort_values("event_type").reset_index(drop=True))
         assert oracle.to_dict("records") == mine.to_dict("records")
+
+
+class TestWeightedPageRank:
+    def test_uniform_weights_equal_unweighted(self, spark):
+        from saber_spark.operators.graph import pagerank
+        edges = [("a", "b", 3), ("b", "c", 3), ("c", "a", 3), ("c", "d", 3)]
+        wdf = spark.createDataFrame(edges, "src string, dst string, n long")
+        udf_ = wdf.select("src", "dst")
+        unweighted = {r["node"]: r["pr"] for r in pagerank(udf_).collect()}
+        uniform = {r["node"]: r["pr"]
+                   for r in pagerank(wdf, weight_col="n").collect()}
+        assert uniform == unweighted  # constant weights cancel exactly
+
+    def test_heavy_edge_pulls_mass(self, spark):
+        from saber_spark.operators.graph import pagerank
+        # star a-b, a-c; b-side edge 100x heavier
+        df = spark.createDataFrame(
+            [("a", "b", 100), ("a", "c", 1)], "src string, dst string, n long")
+        got = {r["node"]: r["pr"]
+               for r in pagerank(df, weight_col="n").collect()}
+        assert got["b"] > got["c"]
+        unweighted = {r["node"]: r["pr"]
+                      for r in pagerank(df.select("src", "dst")).collect()}
+        assert unweighted["b"] == unweighted["c"]  # topology alone is symmetric
+
+    def test_parallel_edges_summed(self, spark):
+        from saber_spark.operators.graph import pagerank
+        dup = spark.createDataFrame(
+            [("a", "b", 2), ("a", "b", 3), ("a", "c", 5)],
+            "src string, dst string, n long")
+        merged = spark.createDataFrame(
+            [("a", "b", 5), ("a", "c", 5)], "src string, dst string, n long")
+        got_dup = {r["node"]: r["pr"]
+                   for r in pagerank(dup, weight_col="n").collect()}
+        got_merged = {r["node"]: r["pr"]
+                      for r in pagerank(merged, weight_col="n").collect()}
+        assert got_dup == got_merged
+
+
+class TestGraphExport:
+    def test_edgelist_roundtrip(self, spark, tmp_path):
+        from saber_spark.sources.graph_export import write_edgelist
+        edges = spark.createDataFrame(
+            [("x", "y", 3), ("y", "z", 1)],
+            "subj string, obj string, n_occurrences long")
+        out = str(tmp_path / "el")
+        write_edgelist(edges, out)
+        lines = {tuple(r["value"].split("\t"))
+                 for r in spark.read.text(out).collect()}
+        assert lines == {("x", "y", "3"), ("y", "z", "1")}
+
+    def test_graphml_structure_and_bound(self, spark):
+        import xml.etree.ElementTree as ET
+        from saber_spark.sources.graph_export import GRAPHML_NS, to_graphml
+        nodes = spark.createDataFrame(
+            [("x", "PRGE"), ("y", "DISO")], "canonical_id string, label string")
+        edges = spark.createDataFrame(
+            [("x", "y", 7)], "subj string, obj string, n_occurrences long")
+        xml = to_graphml(nodes, edges)
+        root = ET.fromstring(xml)
+        ns = {"g": GRAPHML_NS}
+        assert len(root.findall(".//g:node", ns)) == 2
+        e = root.findall(".//g:edge", ns)
+        assert len(e) == 1 and e[0].get("source") == "x"
+        assert root.findall(".//g:edge/g:data", ns)[0].text == "7"
+        with pytest.raises(ValueError):
+            to_graphml(nodes, edges, max_nodes=1)
