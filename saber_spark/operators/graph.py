@@ -112,7 +112,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     weight_col=None is classic PageRank (w=1, strength=degree).
     weight_col='n_occurrences' rank-weights by co-occurrence strength —
     an entity connected by 100 shared documents pulls more mass than one
-    connected by 1 (parallel/duplicate weighted edges are summed).
+    connected by 1. Weights must be > 0 (validated). Parallel weighted
+    edges are SUMMED (the unweighted path deduplicates instead), so
+    uniform weights reproduce the unweighted result exactly when the
+    input lists each undirected edge once — the dedup_triples contract
+    (subj < obj, one row per pair).
 
     Entity-importance ranking for the KG ("which canonical entities are
     central?"). Scale shape mirrors connected_components: each round is ONE
@@ -141,9 +145,25 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         sym = _symmetrize(edges, src, dst).withColumn("w", F.lit(1.0))
     else:
         w = F.col(weight_col).cast("double").alias("w")
-        sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w)
-               .unionByName(edges.select(F.col(dst).alias("a"),
-                                         F.col(src).alias("b"), w))
+        base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w)
+        # a NULL weight would silently null the rank of every downstream
+        # node; a zero/negative weight yields zero or negative strength
+        # (DIVIDE_BY_ZERO under ANSI, nonsense ranks otherwise) — fail
+        # loudly instead (same write-time-guard convention as the writers)
+        bad = base.filter(F.col("w").isNull() | (F.col("w") <= 0)) \
+            .limit(1).count()
+        if bad:
+            raise ValueError(
+                f"pagerank: weight_col '{weight_col}' contains NULL or "
+                f"non-positive values; weights must be > 0")
+        # self-loops are emitted ONCE (the two-direction union would
+        # double their weight, breaking the uniform-weight == unweighted
+        # equivalence that distinct() gives the classic path)
+        sym = (base.filter(F.col("a") != F.col("b"))
+               .unionByName(base.filter(F.col("a") != F.col("b"))
+                            .select(F.col("b").alias("a"),
+                                    F.col("a").alias("b"), "w"))
+               .unionByName(base.filter(F.col("a") == F.col("b")))
                .groupBy("a", "b").agg(F.sum("w").alias("w")))
     if materialize:
         sym = sym.localCheckpoint(eager=True)

@@ -1012,6 +1012,29 @@ class TestWeightedPageRank:
                       for r in pagerank(merged, weight_col="n").collect()}
         assert got_dup == got_merged
 
+    def test_self_loop_uniform_equals_unweighted(self, spark):
+        """The two-direction union must not double self-loop weight —
+        uniform weights stay equivalent to the classic distinct() path."""
+        from saber_spark.operators.graph import pagerank
+        wdf = spark.createDataFrame(
+            [("a", "a", 1), ("a", "b", 1)], "src string, dst string, n long")
+        weighted = {r["node"]: r["pr"]
+                    for r in pagerank(wdf, weight_col="n").collect()}
+        plain = {r["node"]: r["pr"]
+                 for r in pagerank(wdf.select("src", "dst")).collect()}
+        assert weighted == plain
+
+    def test_invalid_weights_raise(self, spark):
+        from saber_spark.operators.graph import pagerank
+        null_w = spark.createDataFrame(
+            [("a", "b", None), ("a", "c", 1)], "src string, dst string, n long")
+        with pytest.raises(ValueError, match="NULL or non-positive"):
+            pagerank(null_w, weight_col="n")
+        zero_w = spark.createDataFrame(
+            [("a", "b", 0), ("a", "c", 1)], "src string, dst string, n long")
+        with pytest.raises(ValueError, match="NULL or non-positive"):
+            pagerank(zero_w, weight_col="n")
+
 
 class TestGraphExport:
     def test_edgelist_roundtrip(self, spark, tmp_path):
@@ -1039,5 +1062,38 @@ class TestGraphExport:
         e = root.findall(".//g:edge", ns)
         assert len(e) == 1 and e[0].get("source") == "x"
         assert root.findall(".//g:edge/g:data", ns)[0].text == "7"
-        with pytest.raises(ValueError):
+        with pytest.raises(ValueError, match="nodes"):
             to_graphml(nodes, edges, max_nodes=1)
+        with pytest.raises(ValueError, match="edges"):
+            to_graphml(nodes, edges, max_edges=0)
+
+    def test_graphml_types_and_nulls(self, spark):
+        """Weight attr.type follows the column's Spark type; NULL attrs
+        and weights are omitted, never serialized as the string 'None'."""
+        import xml.etree.ElementTree as ET
+        from saber_spark.sources.graph_export import GRAPHML_NS, to_graphml
+        nodes = spark.createDataFrame(
+            [("x", "PRGE"), ("y", None)], "canonical_id string, label string")
+        edges = spark.createDataFrame(
+            [("x", "y", 0.4305), ("x", "x", None)],
+            "subj string, obj string, pmi double")
+        xml = to_graphml(nodes, edges, weight="pmi")
+        assert "None" not in xml
+        root = ET.fromstring(xml)
+        ns = {"g": GRAPHML_NS}
+        wkey = [k for k in root.findall("g:key", ns) if k.get("id") == "w"][0]
+        assert wkey.get("attr.type") == "double"
+        # node y has no label data element; edge x-x has no weight element
+        ys = [n for n in root.findall(".//g:node", ns) if n.get("id") == "y"]
+        assert ys and len(ys[0]) == 0
+
+    def test_edgelist_rejects_nulls_and_delimiter(self, spark):
+        from saber_spark.sources.graph_export import write_edgelist
+        bad_null = spark.createDataFrame(
+            [("x", None, 3)], "subj string, obj string, n_occurrences long")
+        with pytest.raises(ValueError, match="NULL"):
+            write_edgelist(bad_null, "/tmp/_el_never")
+        bad_delim = spark.createDataFrame(
+            [("x\ty", "z", 3)], "subj string, obj string, n_occurrences long")
+        with pytest.raises(ValueError, match="delimiter"):
+            write_edgelist(bad_delim, "/tmp/_el_never")
