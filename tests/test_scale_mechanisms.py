@@ -123,3 +123,25 @@ class TestExplicitRepartition:
         ext = extract_text(pages).repartition(48, F.col("url"))
         plan = ext._jdf.queryExecution().executedPlan().toString()
         assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(url" in plan
+
+
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_scan(self, spark, tmp_path):
+        """Hive-partitioned output + an equality filter on the partition
+        column must prune at PLANNING time: the scan's PartitionFilters
+        carries the predicate and only the matching directory is read —
+        at 100 TB this is the difference between scanning one source and
+        scanning the lake."""
+        from saber_spark.sources.registry import write_table
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = str(tmp_path / "docs_by_source")
+        write_table(docs, out, partition_by=["source"])
+        got = spark.read.parquet(out).filter("source = 'src0'")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "src0" in plan
+        # the data filter must NOT degrade to a post-scan Filter on all rows
+        assert got.count() == docs.filter("source = 'src0'").count()
+        # physical proof: only the src0 directory's files feed the scan
+        files = [r["file"] for r in got.select(
+            F.input_file_name().alias("file")).distinct().collect()]
+        assert files and all("source=src0" in f for f in files)
