@@ -5,6 +5,7 @@ from saber_spark.sources.embeddings import (
     build_embedding_matrix,
     load_word2vec_text,
 )
+from saber_spark.sources.graph_export import to_graphml, write_edgelist
 from saber_spark.sources.registry import read_table
 
 __all__ = [
@@ -13,4 +14,6 @@ __all__ = [
     "load_word2vec_text",
     "build_embedding_matrix",
     "read_table",
+    "write_edgelist",
+    "to_graphml",
 ]
