@@ -389,6 +389,29 @@ def q_window_agg(spark, sf_dir):
     return tumbling_window_agg(_events(spark, sf_dir))
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """K-step ordered funnel (view -> click -> purchase) in ONE shuffle:
+    chained running-min windows over a single user_id sort; the oracle is
+    the equivalent K-way join formulation."""
+    from saber_spark.operators.funnel import funnel_conversion
+    return funnel_conversion(_events(spark, sf_dir))
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle over epoch-week indices (integer,
+    timezone-free); active-week sets stay partitioned by user via
+    collect_set, bounded by corpus lifetime in weeks."""
+    from saber_spark.operators.funnel import cohort_retention
+    return cohort_retention(_events(spark, sf_dir))
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) data-mixing weights per source —
+    the LLM-pretraining sampling-mixture table."""
+    from saber_spark.operators.splits import mixture_weights
+    return mixture_weights(_docs(spark, sf_dir))
+
+
 def q_tpch_q1(spark, sf_dir):
     return tpch.pricing_summary(tpch.load(spark, sf_dir, "lineitem"))
 
@@ -1039,17 +1062,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- evaluation / splits ---
         "eval_prf": q_eval_prf,
         "split_folds": q_split_folds,
-        "top1_per_user": q_top1_per_user,
         "stratified_sample": q_stratified_sample,
+        "mixture_weights": q_mixture_weights,
         # --- relational / windows / grouping ---
-        "window_agg": q_window_agg,
+        "funnel_conversion": q_funnel_conversion,
+        "cohort_retention": q_cohort_retention,
         "median_by_source": q_median_by_source,
         "pivot_events": q_pivot_events,
         "quality_buckets": q_quality_buckets,
         "json_extract_agg": q_json_extract_agg,
         "tpch_q4": q_tpch_q4,
         "above_nation_avg": q_above_nation_avg,
-        "mentions_histogram": q_mentions_histogram,
         "cube_revenue": q_cube_revenue,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "setops_active_customers": q_setops_active_customers,
@@ -1083,6 +1106,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  sessionize, tpch_q5_nation, exists_high_value, rollup_revenue —
         #  all driver-green in prior rounds, in-cap family siblings named
         #  in the ordering-contract comment above)
+        # (r3 third batch demotions making room for funnel_conversion /
+        #  cohort_retention / mixture_weights: top1_per_user, window_agg,
+        #  mentions_histogram — all green r1+r2; in-cap siblings
+        #  split_folds/median_by_source (windows), token_freq
+        #  (count-of-counts), sessionize-family batch twins.)
+        "top1_per_user": q_top1_per_user,
+        "window_agg": q_window_agg,
+        "mentions_histogram": q_mentions_histogram,
         "eval_prf_left": q_eval_prf_left,
         "eval_prf_right": q_eval_prf_right,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -1196,6 +1227,57 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2""",
+        "funnel_conversion": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+            u1 AS (SELECT user_id, min(us) AS t FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            u2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN u1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.us > u1.t GROUP BY e.user_id),
+            u3 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN u2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.us > u2.t GROUP BY e.user_id),
+            c AS (SELECT (SELECT count(*) FROM u1) AS n1,
+                         (SELECT count(*) FROM u2) AS n2,
+                         (SELECT count(*) FROM u3) AS n3)
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                   CAST(n1 AS BIGINT) AS n_users,
+                   round(n1 / greatest(n1, 1), 6) AS conv_rate FROM c
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'click', CAST(n2 AS BIGINT),
+                   round(n2 / greatest(n1, 1), 6) FROM c
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase', CAST(n3 AS BIGINT),
+                   round(n3 / greatest(n1, 1), 6) FROM c""",
+        "cohort_retention": """
+            WITH w AS (SELECT user_id,
+                              CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
+                       FROM events),
+            f AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY user_id),
+            a AS (SELECT DISTINCT w.user_id, f.cohort_week,
+                         w.wk - f.cohort_week AS week_offset
+                  FROM w JOIN f USING (user_id)),
+            c AS (SELECT cohort_week, week_offset,
+                         CAST(count(*) AS BIGINT) AS n_users
+                  FROM a GROUP BY 1, 2)
+            SELECT cohort_week, week_offset, n_users,
+                   round(n_users / max(CASE WHEN week_offset = 0 THEN n_users END)
+                                   OVER (PARTITION BY cohort_week), 6) AS retention
+            FROM c""",
+        "mixture_weights": """
+            WITH per AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                                   AS BIGINT)) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+            shares AS (
+              SELECT *,
+                     n_tokens / sum(n_tokens) OVER () AS share,
+                     pow(n_tokens / sum(n_tokens) OVER (), 0.5) AS raw
+              FROM per)
+            SELECT source, n_docs, n_tokens,
+                   round(share, 6) AS token_share,
+                   round(raw / sum(raw) OVER (), 6) AS weight,
+                   round((raw / sum(raw) OVER ()) / share, 6) AS oversample
+            FROM shares""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -93,10 +93,23 @@ def main() -> None:
         "pagerank_entities", "triangle_entities", "edge_pmi", "tfidf_topterms",
         "crossdoc_ngram_dup", "pivot_events", "quality_buckets",
         "json_extract_agg",
+        # added round 3, third batch (sequence analytics + data mixing)
+        "funnel_conversion", "cohort_retention", "mixture_weights",
     ]
+    # Each query is timed twice: the first execution pays one-off per-plan
+    # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real
+    # cluster amortizes over a 100 TB scan but at sf0.1 can dominate —
+    # measured 5.4 s -> 0.7 s on back-to-back sessionize runs on a cold VM.
+    # The steady-state run is the headline (same convention as the
+    # kg_pipeline cold/warm split above); first-run seconds are reported
+    # unedited in "first_run" so the one-off cost stays visible.
+    first_run: dict[str, float] = {}
     for name in bench_queries:
         t0 = time.monotonic()
         n = qs[name](spark, sf_dir).count()
+        first_run[name] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
         rows[name] = n
 
@@ -110,6 +123,8 @@ def main() -> None:
         "sf": sf,
         "docs_per_sec": round(docs_per_sec, 3),
         "total_seconds": round(total, 3),
+        "first_run": first_run,
+        "first_run_total_seconds": round(sum(first_run.values()), 3),
         "cpus": cpus,
         "rows": rows,
     }))

@@ -112,3 +112,37 @@ def top1_by(df: DataFrame, group_cols: list[str], order_col: str,
         F.col(order_col).desc(), F.col(tiebreak_col).asc())
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def mixture_weights(docs: DataFrame, group_col: str = "source",
+                    text_col: str = "text", alpha: float = 0.5) -> DataFrame:
+    """Temperature-scaled data-mixing weights per corpus source.
+
+    The standard LLM-pretraining mixture rule: a source holding share p_i
+    of the corpus tokens is sampled with weight p_i^alpha / sum_j p_j^alpha
+    (alpha=1 -> proportional, alpha->0 -> uniform; alpha≈0.3-0.7 upweights
+    small high-quality sources the way multilingual/web mixes do).
+
+    -> (source, n_docs, n_tokens, token_share, weight, oversample) with
+    token_share/weight/oversample rounded to 6; oversample = weight /
+    token_share is the effective epoch multiplier per source.
+
+    Scale: one partial+final hash agg over the corpus (token counts are a
+    narrow map — whitespace split size, no tokenizer UDF); the normalizing
+    sums run on the |sources|-row aggregate, so the unpartitioned windows
+    are bounded by source count, never corpus size. Portable: integer token
+    sums, pow on exact rationals, one final 6-decimal round.
+    """
+    n_toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per_src = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_toks.cast("long")).alias("n_tokens"))
+    w_all = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    raw = F.pow(share, F.lit(alpha))
+    weight = raw / F.sum(raw).over(w_all)
+    return per_src.select(
+        group_col, "n_docs", "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(weight, 6).alias("weight"),
+        F.round(weight / share, 6).alias("oversample"))

@@ -1,0 +1,117 @@
+"""funnel_conversion / cohort_retention / mixture_weights unit tests
+against hand-computed fixtures (the sf0.01 oracle cross-check lives in
+tests/oracle_check.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from saber_spark.operators.funnel import (WEEK_US, cohort_retention,
+                                          funnel_conversion)
+from saber_spark.operators.splits import mixture_weights
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz")
+
+
+class TestFunnel:
+    def test_hand_computed(self, spark):
+        rows = [
+            # u1 completes all three in order
+            (1, "view", _ts(1)), (1, "click", _ts(2)), (1, "purchase", _ts(3)),
+            # u2: click BEFORE view -> stops at step 1
+            (2, "click", _ts(1)), (2, "view", _ts(2)),
+            # u3: view+click, purchase before click -> stops at step 2
+            (3, "purchase", _ts(1)), (3, "view", _ts(2)), (3, "click", _ts(3)),
+            # u4 never views -> counted nowhere
+            (4, "click", _ts(1)), (4, "purchase", _ts(2)),
+        ]
+        out = {r["step"]: r for r in
+               funnel_conversion(_events(spark, rows)).collect()}
+        assert [out[k]["n_users"] for k in (1, 2, 3)] == [3, 2, 1]
+        assert out[3]["conv_rate"] == pytest.approx(1 / 3, abs=1e-6)
+        assert out[1]["event_type"] == "view"
+
+    def test_strict_order_ties_dont_count(self, spark):
+        # click at the SAME microsecond as view is not "after" it
+        rows = [(1, "view", _ts(1)), (1, "click", _ts(1))]
+        out = {r["step"]: r["n_users"] for r in
+               funnel_conversion(_events(spark, rows)).collect()}
+        assert out[1] == 1 and out[2] == 0
+
+    def test_earliest_witness_chain(self, spark):
+        # second view is earlier than the click; the first view already
+        # qualifies the click, so the user still converts
+        rows = [(1, "view", _ts(5)), (1, "click", _ts(6)),
+                (1, "view", _ts(1))]
+        out = {r["step"]: r["n_users"] for r in
+               funnel_conversion(_events(spark, rows)).collect()}
+        assert out[2] == 1
+
+    def test_empty_input(self, spark):
+        out = funnel_conversion(_events(spark, [])).collect()
+        assert [r["n_users"] for r in out] == [0, 0, 0]
+        assert [r["conv_rate"] for r in out] == [0.0, 0.0, 0.0]
+
+
+class TestCohortRetention:
+    def test_hand_computed(self, spark):
+        wk = dt.datetime(2024, 1, 1)  # a Monday, but the op only uses
+        # epoch-week floor, so any base works
+        rows = [
+            # u1 first seen week0, active weeks 0 and 1
+            (1, "view", wk), (1, "view", wk + dt.timedelta(days=8)),
+            # u2 first seen week0, only week 0
+            (2, "view", wk + dt.timedelta(days=2)),
+            # u3 first seen week1
+            (3, "view", wk + dt.timedelta(days=9)),
+        ]
+        out = cohort_retention(_events(spark, rows)).collect()
+        by_key = {(r["cohort_week"] - min(x["cohort_week"] for x in out),
+                   r["week_offset"]): r for r in out}
+        assert by_key[(0, 0)]["n_users"] == 2
+        assert by_key[(0, 1)]["n_users"] == 1
+        assert by_key[(0, 1)]["retention"] == pytest.approx(0.5)
+        assert by_key[(1, 0)]["n_users"] == 1
+        assert by_key[(0, 0)]["retention"] == pytest.approx(1.0)
+
+    def test_week_arithmetic_is_integer_epoch_weeks(self, spark):
+        rows = [(1, "view", dt.datetime(2024, 1, 1))]
+        r = cohort_retention(_events(spark, rows)).collect()[0]
+        expected = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+                       .timestamp() * 1_000_000) // WEEK_US
+        assert r["cohort_week"] == expected
+
+
+class TestMixtureWeights:
+    def test_hand_computed(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d", "big"), (2, "a b c d", "big"),
+             (3, "x y", "small")],
+            "doc_id long, text string, source string")
+        out = {r["source"]: r for r in mixture_weights(docs).collect()}
+        assert out["big"]["n_tokens"] == 8 and out["small"]["n_tokens"] == 2
+        # shares 0.8 / 0.2; alpha=0.5 -> raw sqrt(.8), sqrt(.2)
+        s_big, s_small = 0.8 ** 0.5, 0.2 ** 0.5
+        assert out["big"]["weight"] == pytest.approx(
+            s_big / (s_big + s_small), abs=1e-6)
+        assert out["small"]["oversample"] == pytest.approx(
+            (s_small / (s_big + s_small)) / 0.2, abs=1e-6)
+        # weights always sum to 1
+        assert sum(r["weight"] for r in out.values()) == pytest.approx(1.0)
+
+    def test_alpha_one_is_proportional(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b", "s1"), (2, "a b c d e f", "s2")],
+            "doc_id long, text string, source string")
+        out = {r["source"]: r for r in
+               mixture_weights(docs, alpha=1.0).collect()}
+        assert out["s1"]["weight"] == pytest.approx(0.25, abs=1e-6)
+        assert out["s1"]["oversample"] == pytest.approx(1.0, abs=1e-6)
