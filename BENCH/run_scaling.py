@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -136,14 +137,23 @@ def _burn(n: int) -> int:
 
 
 def run_level(cpus: int, replicate: int, sf_dir: str, pages_dir: str,
-              runs: int) -> dict:
+              runs: int, pin: bool = True) -> dict:
     env = dict(os.environ)
     # the persisted linking stage holds tens of millions of rows; an 8g heap
     # GC-thrashes under many task threads and poisons the high level's time
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # PIN the process tree to `cpus` physical cores. Without this,
+    # local[N] is not an N-core measurement: the JVM's GC/netty/parquet
+    # threads, codegen compilation, and the Python UDF workers all schedule
+    # onto the other 32-N cores, inflating the low level's throughput and
+    # understating efficiency — a real N-core executor is hard-bounded by
+    # its cgroup. taskset makes the sandbox behave like that cgroup.
+    prefix = []
+    if pin and shutil.which("taskset"):
+        prefix = ["taskset", "-c", f"0-{cpus - 1}"]
     with tempfile.TemporaryDirectory(prefix=f"scal{cpus}_") as out:
         proc = subprocess.run(
-            [sys.executable, "-c", WORKER % {"repo": REPO},
+            prefix + [sys.executable, "-c", WORKER % {"repo": REPO},
              str(cpus), str(replicate), sf_dir, out, pages_dir, str(runs)],
             capture_output=True, text=True, cwd=REPO, timeout=3600, env=env)
     if proc.returncode != 0:

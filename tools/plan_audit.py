@@ -274,6 +274,27 @@ def main() -> None:
         0,
     ))
 
+    # 16. funnel: all step windows share ONE exchange + ONE sort; the
+    # per-user aggregate reuses that partitioning (no extra exchange);
+    # only the K-long scalar gather may add a second exchange.
+    plan_fn = formatted_plan(e.queries()["funnel_conversion"](spark, SF_DIR))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan_fn))
+    n_sort = len(re.findall(r"\(\d+\) Sort", plan_fn))
+    n_win = len(re.findall(r"\(\d+\) Window", plan_fn))
+    sections.append((
+        "funnel_conversion (K chained windows, one data shuffle)",
+        "The K-step funnel must keep every running-min window pass on a "
+        "single user_id Exchange + Sort (Catalyst collapses same-spec "
+        "windows), and the per-user aggregate must reuse that partitioning "
+        "— at most 2 Exchanges total (data shuffle + the K-row scalar "
+        "gather). A join-based funnel would show K shuffled joins here.",
+        plan_fn,
+        ([f"<at most 2 exchanges, saw {n_ex}>"] if n_ex > 2 else [])
+        + ([f"<one shared sort, saw {n_sort}>"] if n_sort > 1 else [])
+        + ([f"<3 window passes, saw {n_win}>"] if n_win != 3 else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
