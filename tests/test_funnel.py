@@ -115,3 +115,49 @@ class TestMixtureWeights:
                mixture_weights(docs, alpha=1.0).collect()}
         assert out["s1"]["weight"] == pytest.approx(0.25, abs=1e-6)
         assert out["s1"]["oversample"] == pytest.approx(1.0, abs=1e-6)
+
+
+class TestFunnelRandomizedParity:
+    def test_matches_bruteforce_reference(self, spark):
+        """Randomized event logs vs an order-independent brute-force
+        reference: a user reaches step k iff an increasing witness chain
+        of step types exists (computed here by greedy earliest-completion
+        over the sorted events — provably equivalent to 'exists chain')."""
+        import random
+        rng = random.Random(42)
+        steps = ("view", "click", "purchase")
+        types = ["view", "click", "purchase", "signup", "error"]
+        rows = []
+        for u in range(60):
+            for _ in range(rng.randint(0, 12)):
+                rows.append((u, rng.choice(types),
+                             _ts(rng.randint(1, 27), rng.randint(0, 23),
+                                 rng.randint(0, 59))))
+
+        def brute(user_rows):
+            evs = sorted(user_rows)  # (ts, type); ties sort deterministically
+            reached = 0
+            t_prev = None
+            for k, step in enumerate(steps, start=1):
+                best = None
+                for ts, typ in evs:
+                    if typ == step and (t_prev is None or ts > t_prev):
+                        best = ts
+                        break
+                if best is None:
+                    break
+                reached, t_prev = k, best
+            return reached
+
+        per_user = {}
+        for u, typ, ts in rows:
+            per_user.setdefault(u, []).append((ts, typ))
+        expected = [0, 0, 0]
+        for evs in per_user.values():
+            r = brute(evs)
+            for k in range(r):
+                expected[k] += 1
+
+        out = {r["step"]: r["n_users"] for r in
+               funnel_conversion(_events(spark, rows)).collect()}
+        assert [out[1], out[2], out[3]] == expected
