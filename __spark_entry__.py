@@ -412,6 +412,14 @@ def q_mixture_weights(spark, sf_dir):
     return mixture_weights(_docs(spark, sf_dir))
 
 
+def q_table_profile(spark, sf_dir):
+    """ANALYZE-shape one-pass profiling of the documents table: stack K
+    columns wide-to-long, ONE grouped agg for nulls/distinct/min/max."""
+    from saber_spark.operators.profile import profile_table
+    return profile_table(_docs(spark, sf_dir),
+                         ["doc_id", "lang", "source", "n_chars"])
+
+
 def q_tpch_q1(spark, sf_dir):
     return tpch.pricing_summary(tpch.load(spark, sf_dir, "lineitem"))
 
@@ -1072,7 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": q_quality_buckets,
         "json_extract_agg": q_json_extract_agg,
         "tpch_q4": q_tpch_q4,
-        "above_nation_avg": q_above_nation_avg,
+        "table_profile": q_table_profile,
         "cube_revenue": q_cube_revenue,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "setops_active_customers": q_setops_active_customers,
@@ -1111,9 +1119,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  mentions_histogram — all green r1+r2; in-cap siblings
         #  split_folds/median_by_source (windows), token_freq
         #  (count-of-counts), sessionize-family batch twins.)
+        # (and above_nation_avg — green r1+r2, correlated-subquery family
+        #  represented in-cap by tpch_q4's EXISTS decorrelation — demoted
+        #  for table_profile.)
         "top1_per_user": q_top1_per_user,
         "window_agg": q_window_agg,
         "mentions_histogram": q_mentions_histogram,
+        "above_nation_avg": q_above_nation_avg,
         "eval_prf_left": q_eval_prf_left,
         "eval_prf_right": q_eval_prf_right,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -1227,6 +1239,22 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2""",
+        "table_profile": """
+            WITH stacked AS (
+              SELECT 'doc_id' AS column_name, CAST(doc_id AS VARCHAR) AS value FROM documents
+              UNION ALL
+              SELECT 'lang', CAST(lang AS VARCHAR) FROM documents
+              UNION ALL
+              SELECT 'source', CAST(source AS VARCHAR) FROM documents
+              UNION ALL
+              SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents)
+            SELECT column_name,
+                   count(*) AS n_rows,
+                   count(value) AS n_nonnull,
+                   CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM stacked GROUP BY column_name""",
         "funnel_conversion": """
             WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
             u1 AS (SELECT user_id, min(us) AS t FROM e

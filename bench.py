@@ -95,6 +95,7 @@ def main() -> None:
         "json_extract_agg",
         # added round 3, third batch (sequence analytics + data mixing)
         "funnel_conversion", "cohort_retention", "mixture_weights",
+        "table_profile",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

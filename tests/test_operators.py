@@ -1097,3 +1097,27 @@ class TestGraphExport:
             [("x\ty", "z", 3)], "subj string, obj string, n_occurrences long")
         with pytest.raises(ValueError, match="delimiter"):
             write_edgelist(bad_delim, "/tmp/_el_never")
+
+
+class TestProfileTable:
+    def test_nulls_distinct_minmax(self, spark):
+        from saber_spark.operators.profile import profile_table
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (4, "b")],
+            "id long, tag string")
+        out = {r["column_name"]: r
+               for r in profile_table(df, ["id", "tag"]).collect()}
+        assert out["id"]["n_rows"] == 4 and out["id"]["n_nonnull"] == 4
+        assert out["id"]["n_distinct"] == 4
+        assert out["tag"]["n_nonnull"] == 3
+        assert out["tag"]["n_distinct"] == 2
+        assert out["tag"]["min_value"] == "a"
+        assert out["tag"]["max_value"] == "b"
+        # string comparison semantics by design: "10" < "4" lexicographically
+        assert out["id"]["min_value"] == "1" and out["id"]["max_value"] == "4"
+
+    def test_approx_mode_runs(self, spark):
+        from saber_spark.operators.profile import profile_table
+        df = spark.range(100).withColumnRenamed("id", "x")
+        r = profile_table(df, ["x"], exact_distinct=False).collect()[0]
+        assert r["n_rows"] == 100 and 90 <= r["n_distinct"] <= 110
