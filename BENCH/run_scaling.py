@@ -107,24 +107,36 @@ print(json.dumps({"cpus": cpus, "docs": n_docs,
 """
 
 
-def hw_ceiling(procs: int, repeats: int = 3) -> float:
+def hw_ceiling(procs: int, repeats: int = 3, pin: bool = True) -> float:
     """Pure-multiprocessing throughput at `procs` workers (ops/sec).
 
     Measures what the MACHINE can deliver at this parallelism right now —
     the sandbox's vCPUs share physical cores (SMT) and suffer hypervisor
     steal, so raw N->4N numbers are bounded below 1.0 before Spark runs a
     single task. The job's intrinsic scaling = spark_eff / hw_eff.
+
+    `pin` must match run_level's pinning so the normalization divides
+    like by like: the probe's workers are confined to the same core set
+    the Spark level gets (children inherit the parent's affinity).
     """
     import multiprocessing as mp
 
     work = 400_000
-    best = None
-    for _ in range(repeats):
-        t0 = time.monotonic()
-        with mp.Pool(procs) as pool:
-            pool.map(_burn, [work] * procs)
-        dt = time.monotonic() - t0
-        best = dt if best is None else min(best, dt)
+    old_affinity = None
+    if pin and hasattr(os, "sched_setaffinity"):
+        old_affinity = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, set(range(procs)))
+    try:
+        best = None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            with mp.Pool(procs) as pool:
+                pool.map(_burn, [work] * procs)
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+    finally:
+        if old_affinity is not None:
+            os.sched_setaffinity(0, old_affinity)
     return procs * work / best
 
 
@@ -134,6 +146,13 @@ def _burn(n: int) -> int:
         for i in range(40):
             acc += (v * i) % 97
     return acc
+
+
+def _pin_tag(cpus: int) -> str:
+    """Protocol-string marker so every written JSON says whether its levels
+    were taskset-pinned (pinned vs unpinned records are not comparable)."""
+    return (f"PINNED taskset 0-{cpus - 1} " if shutil.which("taskset")
+            else "UNPINNED ")
 
 
 def run_level(cpus: int, replicate: int, sf_dir: str, pages_dir: str,
@@ -185,7 +204,8 @@ def main() -> None:
     hw_eff = hw_hi / ((args.n4 / args.n) * hw_lo)
     normalized = eff / hw_eff if hw_eff > 0 else 0.0
     report = {
-        "protocol": (f"local[{args.n}] vs local[{args.n4}], identical input; "
+        "protocol": (f"{_pin_tag(args.n)}local[{args.n}] vs "
+                     f"{_pin_tag(args.n4)}local[{args.n4}], identical input; "
                      f"{args.runs} timed runs per level, median reported"),
         "input": f"{args.sf_dir} pages x{args.replicate}",
         "estimator": "median",

@@ -28,7 +28,7 @@ import sys
 import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from run_scaling import REPO, run_level  # noqa: E402
+from run_scaling import REPO, _pin_tag, run_level  # noqa: E402
 
 
 def main() -> None:
@@ -55,7 +55,8 @@ def main() -> None:
 
     effs = [p["efficiency"] for p in pairs]
     report = {
-        "protocol": (f"PAIRED local[{args.n}] vs local[{args.n4}]: levels "
+        "protocol": (f"PAIRED {_pin_tag(args.n)}local[{args.n}] vs "
+                     f"{_pin_tag(args.n4)}local[{args.n4}]: levels "
                      f"alternate in time, {args.runs} timed runs per process "
                      f"(median), efficiency per adjacent pair, median of "
                      f"pair efficiencies reported"),

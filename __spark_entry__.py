@@ -1293,8 +1293,9 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights": """
             WITH per AS (
               SELECT source, count(*) AS n_docs,
-                     CAST(sum(CAST(length(regexp_split_to_array(trim(text), '\\s+'))
-                                   AS BIGINT)) AS BIGINT) AS n_tokens
+                     CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                              ELSE CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                                        AS BIGINT) END) AS BIGINT) AS n_tokens
               FROM documents GROUP BY source),
             shares AS (
               SELECT *,

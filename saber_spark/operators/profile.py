@@ -29,6 +29,12 @@ def profile_table(df: DataFrame, columns: Sequence[str],
     """-> (column_name, n_rows, n_nonnull, n_distinct, min_value, max_value)
     one row per profiled column; *_value are strings (NULLs excluded from
     distinct/min/max, counted via n_rows - n_nonnull)."""
+    for c in columns:
+        # names are interpolated into a generated stack() expression; a
+        # quote/backtick would break out of (or silently re-pair) it
+        if "'" in c or "`" in c:
+            raise ValueError(f"profile_table: column name {c!r} may not "
+                             "contain quotes or backticks")
     pairs = ", ".join(
         f"'{c}', cast(`{c}` as string)" for c in columns)
     stacked = df.select(

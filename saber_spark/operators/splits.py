@@ -133,7 +133,10 @@ def mixture_weights(docs: DataFrame, group_col: str = "source",
     are bounded by source count, never corpus size. Portable: integer token
     sums, pow on exact rationals, one final 6-decimal round.
     """
-    n_toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # split('') returns [''] (size 1) — guard so empty/whitespace-only docs
+    # contribute 0 tokens, not 1, to their source's share
+    n_toks = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
     per_src = docs.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_toks.cast("long")).alias("n_tokens"))
