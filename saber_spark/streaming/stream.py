@@ -158,3 +158,72 @@ def stream_sessionize(events_stream: DataFrame,
                 F.col("win.end").alias("session_end"), "n_events",
                 "total_value")
     )
+
+
+def stream_funnel(events_stream: DataFrame,
+                  steps: tuple[str, ...] = ("view", "click", "purchase"),
+                  per_step_cap: int = 4096) -> DataFrame:
+    """Stateful streaming twin of operators.funnel.funnel_conversion.
+
+    Emits, per user per micro-batch, the user's current funnel progress:
+    (user_id, max_step) where max_step is the longest ordered witness chain
+    view < click < purchase (strict event-time order) seen SO FAR — exactly
+    the batch operator's per-user semantics, maintained incrementally.
+
+    Out-of-order arrival is handled exactly: a later-arriving EARLIER
+    step-1 event can retroactively qualify an already-seen step-2 event, so
+    the state keeps each step's event times (sorted, deduplicated) and
+    re-derives the greedy chain per update — not just the running reach
+    times, which would silently miss such chains. State is bounded by
+    ``per_step_cap`` times per (user, step): beyond the cap the EARLIEST
+    times are kept, which preserves the greedy chain unless a chain needs a
+    time above the cap's horizon (with 4096 retained timestamps per step
+    that requires a pathological user; a production deployment also evicts
+    whole users via event-time timeout once the watermark passes them).
+    Only events whose type is one of ``steps`` enter state at all.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k_steps = len(steps)
+    state_schema = ", ".join(f"t{k} array<long>" for k in range(k_steps))
+    OUTPUT_SCHEMA = "user_id long, max_step long"
+    step_idx = {s: k for k, s in enumerate(steps)}
+
+    def update(key, pdf_iter, state: GroupState):
+        import bisect
+
+        import pandas as pd
+        times = ([list(a) for a in state.get] if state.exists
+                 else [[] for _ in range(k_steps)])
+        for pdf in pdf_iter:
+            # normalize to integer MICROseconds whatever pandas resolution
+            # Arrow handed us (datetime64[ns] or [us])
+            us = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+                  if pdf["ts"].dtype.kind == "M" else pdf["ts"].astype("int64"))
+            for typ, t in zip(pdf["event_type"], us):
+                k = step_idx.get(typ)
+                if k is None:
+                    continue
+                t = int(t)
+                pos = bisect.bisect_left(times[k], t)
+                if pos >= len(times[k]) or times[k][pos] != t:
+                    times[k].insert(pos, t)
+                    del times[k][per_step_cap:]
+        state.update(tuple(times))
+        reached, t_prev = 0, None
+        for k in range(k_steps):
+            pos = (0 if t_prev is None
+                   else bisect.bisect_right(times[k], t_prev))
+            if pos >= len(times[k]):
+                break
+            reached, t_prev = k + 1, times[k][pos]
+        yield pd.DataFrame({"user_id": [key[0]], "max_step": [reached]})
+
+    return (events_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -112,3 +112,60 @@ class TestStreamingDedup:
         got = spark.sql("select event_id from dedup_stream").collect()
         assert len(got) == 200
         assert len({r["event_id"] for r in got}) == 200
+
+
+class TestStreamingFunnel:
+    def test_out_of_order_parity_with_batch(self, spark, tmp_path):
+        """Per-user funnel progress from the stateful streaming operator ==
+        the batch funnel, even when a user's earlier step-1 event arrives in
+        a LATER micro-batch than the step-2 event it qualifies."""
+        import datetime as dt
+        import random
+
+        from saber_spark.operators.funnel import funnel_conversion
+        from saber_spark.streaming import stream_funnel
+
+        rng = random.Random(17)
+        types = ["view", "click", "purchase", "signup"]
+        rows = []
+        for u in range(40):
+            for _ in range(rng.randint(1, 10)):
+                rows.append((u, rng.choice(types),
+                             dt.datetime(2024, 1, rng.randint(1, 27),
+                                         rng.randint(0, 23),
+                                         rng.randint(0, 59))))
+        # u99 is the regression case: click arrives in batch 0, the earlier
+        # view that qualifies it only in batch 1 (out-of-order arrival)
+        late_view = [(99, "view", dt.datetime(2024, 1, 1))]
+        early_click = [(99, "click", dt.datetime(2024, 1, 5))]
+
+        schema = "user_id long, event_type string, ts timestamp_ntz"
+        src = str(tmp_path / "funnel_events")
+        # one parquet file per micro-batch, delivered in file order
+        spark.createDataFrame(rows[:len(rows) // 2] + early_click, schema) \
+            .coalesce(1).write.parquet(src)
+        spark.createDataFrame(rows[len(rows) // 2:] + late_view, schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+        stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream_funnel(stream)
+             .writeStream.format("memory").queryName("funnel_stream")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        # max_step is monotone non-decreasing, so max-per-user == the final
+        # state without assuming anything about sink row order
+        got_rows = spark.sql("select * from funnel_stream").collect()
+        final = {}
+        for r in got_rows:
+            final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                      r["max_step"])
+
+        batch = funnel_conversion(
+            spark.createDataFrame(rows + early_click + late_view, schema))
+        step_counts = {r["step"]: r["n_users"] for r in batch.collect()}
+        stream_counts = {k: sum(1 for v in final.values() if v >= k)
+                         for k in (1, 2, 3)}
+        assert stream_counts == step_counts
+        assert final[99] == 2  # the out-of-order chain was found
