@@ -108,9 +108,14 @@ def run_level(cpus: int, replicate: int, sf_dir: str, pages_dir: str,
               runs: int) -> dict:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # pin to the level's core budget (see run_scaling.run_level): without
+    # this, a local[N] JVM schedules GC/netty/Python workers onto the other
+    # cores and the low level is not an N-core measurement
+    prefix = (["taskset", "-c", f"0-{cpus - 1}"]
+              if shutil.which("taskset") else [])
     with tempfile.TemporaryDirectory(prefix=f"scst{cpus}_") as out:
         proc = subprocess.run(
-            [sys.executable, "-c", WORKER % {"repo": REPO},
+            prefix + [sys.executable, "-c", WORKER % {"repo": REPO},
              str(cpus), str(replicate), sf_dir, out, pages_dir, str(runs)],
             capture_output=True, text=True, cwd=REPO, timeout=3600, env=env)
     if proc.returncode != 0:
@@ -170,7 +175,9 @@ def main() -> None:
         for st in ("linked", "edges", "nodes")
     }
     report = {
-        "protocol": (f"PAIRED fresh-process levels local[{args.n}] vs "
+        "protocol": ((f"PINNED (taskset per level) "
+                      if shutil.which("taskset") else "UNPINNED ")
+                     + f"PAIRED fresh-process levels local[{args.n}] vs "
                      f"local[{args.n4}], alternating in time "
                      f"({args.pairs} pairs), identical input, untimed "
                      f"warmup + {args.runs} timed runs per process "
