@@ -161,3 +161,42 @@ class TestFunnelRandomizedParity:
         out = {r["step"]: r["n_users"] for r in
                funnel_conversion(_events(spark, rows)).collect()}
         assert [out[1], out[2], out[3]] == expected
+
+
+class TestCohortRandomizedParity:
+    def test_matches_bruteforce_reference(self, spark):
+        """Random event logs vs a brute-force cohort/retention reference."""
+        import random
+
+        from saber_spark.operators.funnel import WEEK_US
+
+        rng = random.Random(99)
+        rows = []
+        for u in range(50):
+            for _ in range(rng.randint(1, 8)):
+                rows.append((u, "view",
+                             _ts(rng.randint(1, 27), rng.randint(0, 23))))
+
+        def week(ts):
+            us = int(ts.replace(tzinfo=__import__("datetime").timezone.utc)
+                     .timestamp() * 1_000_000)
+            return us // WEEK_US
+
+        per_user = {}
+        for u, _, ts in rows:
+            per_user.setdefault(u, set()).add(week(ts))
+        counts = {}
+        for weeks in per_user.values():
+            cohort = min(weeks)
+            for w in weeks:
+                key = (cohort, w - cohort)
+                counts[key] = counts.get(key, 0) + 1
+
+        out = cohort_retention(_events(spark, rows)).collect()
+        got = {(r["cohort_week"], r["week_offset"]): r["n_users"] for r in out}
+        assert got == counts
+        for r in out:
+            denom = counts[(r["cohort_week"], 0)]
+            assert r["retention"] == pytest.approx(
+                counts[(r["cohort_week"], r["week_offset"])] / denom,
+                abs=1e-6)
