@@ -287,3 +287,20 @@ class TestEnrichedOutputs:
         assert all(r["n_triangles"] >= 0 for r in rows)
         # every co-occurrence edge has a defined PMI confidence
         assert edges.filter("pmi IS NULL").count() == 0
+
+
+class TestEmptyInput:
+    def test_pipeline_yields_empty_tables_without_error(self, spark):
+        """A crawl slice with zero matching pages (e.g. a lang partition
+        that filters everything) must flow through every stage — UDFs,
+        broadcast link, salted agg, pair expansion, dedup — and produce
+        empty, correctly-schemed outputs rather than crashing."""
+        from saber_spark.fixtures.pages import build_pages_df
+        from saber_spark.pipeline import run_pipeline
+
+        pages = build_pages_df(spark, SF_DIR).filter("lang = 'zz'")
+        out = run_pipeline(spark, pages)
+        assert {k: df.count() for k, df in out.items()} == {
+            "mentions": 0, "linked": 0, "nodes": 0, "triples": 0, "edges": 0}
+        assert [f.name for f in out["edges"].schema][:3] == [
+            "subj", "pred", "obj"]
