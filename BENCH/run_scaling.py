@@ -124,8 +124,16 @@ def hw_ceiling(procs: int, repeats: int = 3, pin: bool = True) -> float:
     work = 400_000
     old_affinity = None
     if pin and hasattr(os, "sched_setaffinity"):
-        old_affinity = os.sched_getaffinity(0)
-        os.sched_setaffinity(0, set(range(procs)))
+        # intersect with the current cpuset: under a restricted
+        # taskset/cgroup, cores 0..procs-1 may not be available and a blind
+        # sched_setaffinity(range(procs)) raises OSError (r3 ADVICE)
+        avail = sorted(os.sched_getaffinity(0))
+        if len(avail) >= procs:
+            old_affinity = set(avail)
+            os.sched_setaffinity(0, set(avail[:procs]))
+        else:
+            print(f"# UNPINNED: cpuset exposes only {len(avail)} cores "
+                  f"(< {procs}); hw ceiling runs unpinned", file=sys.stderr)
     try:
         best = None
         for _ in range(repeats):

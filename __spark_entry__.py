@@ -1299,14 +1299,21 @@ def oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY source),
             shares AS (
               SELECT *,
-                     n_tokens / sum(n_tokens) OVER () AS share,
-                     pow(n_tokens / sum(n_tokens) OVER (), 0.5) AS raw
-              FROM per)
+                     CASE WHEN sum(n_tokens) OVER () = 0 THEN 0.0
+                          ELSE n_tokens / sum(n_tokens) OVER () END AS share
+              FROM per),
+            raws AS (SELECT *, pow(share, 0.5) AS raw FROM shares),
+            weights AS (
+              SELECT *,
+                     CASE WHEN sum(raw) OVER () = 0 THEN 0.0
+                          ELSE raw / sum(raw) OVER () END AS weight
+              FROM raws)
             SELECT source, n_docs, n_tokens,
                    round(share, 6) AS token_share,
-                   round(raw / sum(raw) OVER (), 6) AS weight,
-                   round((raw / sum(raw) OVER ()) / share, 6) AS oversample
-            FROM shares""",
+                   round(weight, 6) AS weight,
+                   round(CASE WHEN share = 0 THEN 0.0
+                         ELSE weight / share END, 6) AS oversample
+            FROM weights""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -1,9 +1,26 @@
 """Benchmark harness: headline queries + full KG pipeline throughput.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line as the LAST line of stdout:
   {"metric": "kg_pipeline_docs_per_sec", "value": N, "unit": "sec",
-   "queries": {...per-query seconds...}, "sf": ..., "docs_per_sec": ...,
-   "cpus": N, "rows": {...}}
+   "queries": {...per-query FIRST-RUN seconds, 2dp...}, "sf": ...,
+   "docs_per_sec": ..., "total_seconds": ..., "steady_total_seconds": ...,
+   "cpus": N, "detail": "BENCH/bench_full.json"}
+
+The grading driver captures only the stdout TAIL (last ~2000 chars), so the
+headline line is size-guarded (< 1900 chars: values at 2dp; if the registry
+ever grows past what fits, per-query timings drop from stdout first). The
+complete record — steady-state per-query seconds, first-run seconds, row
+counts — is written to BENCH/bench_full.json (committed).
+
+Timing bases (round-over-round comparability):
+  total_seconds         sum of FIRST-execution per-query seconds + the warm
+                        kg_pipeline run — the same basis as the r1/r2
+                        records (includes one-off whole-stage-codegen
+                        compile per plan).
+  steady_total_seconds  sum of second-execution seconds + warm kg_pipeline —
+                        the basis r3 temporarily reported under
+                        "total_seconds"; renamed per round-3 ADVICE so the
+                        field name no longer silently changes meaning.
 
 Env:
   SPARK_GRAFT_SF_DIR   input dir   (default /root/testdata/sf0.1)
@@ -114,25 +131,58 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         rows[name] = n
 
-    # total_seconds sums the STEADY-STATE timings (cold-start excluded).
-    # Protocol note for round-over-round comparison: r1/r2 timed each query
-    # once (their totals include first-execution codegen cost); from r3 the
-    # headline is steady-state and the once-off cost is reported separately
-    # in first_run / first_run_total_seconds.
-    total = sum(v for k, v in timings.items() if k != "kg_pipeline_cold")
-    print(json.dumps({
+    # total_seconds = FIRST-execution basis (r1/r2-comparable: their total
+    # was sum(all queries) + warm kg_pipeline, excluding kg_pipeline_cold);
+    # steady_total_seconds = second-execution basis (r3's "total_seconds",
+    # renamed per round-3 ADVICE).
+    steady_total = (sum(v for k, v in timings.items()
+                        if k not in ("kg_pipeline_cold", "kg_pipeline"))
+                    + timings["kg_pipeline"])
+    first_total = sum(first_run.values()) + timings["kg_pipeline"]
+
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "bench_full.json")
+    detail = {
         "metric": "kg_pipeline_docs_per_sec",
         "value": round(docs_per_sec, 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
-        "docs_per_sec": round(docs_per_sec, 3),
-        "total_seconds": round(total, 3),
-        "first_run": first_run,
-        "first_run_total_seconds": round(sum(first_run.values()), 3),
         "cpus": cpus,
+        "docs_per_sec": round(docs_per_sec, 3),
+        "kg_pipeline": timings["kg_pipeline"],
+        "kg_pipeline_cold": timings["kg_pipeline_cold"],
+        "total_seconds": round(first_total, 3),
+        "steady_total_seconds": round(steady_total, 3),
+        "queries_steady": {k: v for k, v in timings.items()
+                           if k not in ("kg_pipeline", "kg_pipeline_cold")},
+        "queries_first_run": first_run,
         "rows": rows,
-    }))
+    }
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    headline = {
+        "metric": "kg_pipeline_docs_per_sec",
+        "value": round(docs_per_sec, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in first_run.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "docs_per_sec": round(docs_per_sec, 3),
+        "kg_pipeline": timings["kg_pipeline"],
+        "kg_pipeline_cold": timings["kg_pipeline_cold"],
+        "total_seconds": round(first_total, 3),
+        "steady_total_seconds": round(steady_total, 3),
+        "n_docs": n_docs,
+        "detail": "BENCH/bench_full.json",
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:  # driver tail-capture guard: shed detail, keep headline
+        headline.pop("queries")
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -132,6 +132,11 @@ def mixture_weights(docs: DataFrame, group_col: str = "source",
     sums run on the |sources|-row aggregate, so the unpartitioned windows
     are bounded by source count, never corpus size. Portable: integer token
     sums, pow on exact rationals, one final 6-decimal round.
+
+    Zero-token degeneracy is DEFINED, not NULL: a source with 0 tokens gets
+    share=weight=oversample=0.0 (downstream samplers simply never draw it),
+    and a corpus with 0 tokens total yields all-zero rows — no NULLs reach
+    the sampler either way.
     """
     # split('') returns [''] (size 1) — guard so empty/whitespace-only docs
     # contribute 0 tokens, not 1, to their source's share
@@ -141,11 +146,15 @@ def mixture_weights(docs: DataFrame, group_col: str = "source",
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_toks.cast("long")).alias("n_tokens"))
     w_all = Window.partitionBy()
-    share = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    total = F.sum("n_tokens").over(w_all)
+    share = (F.when(total == 0, F.lit(0.0))
+             .otherwise(F.col("n_tokens") / total))
     raw = F.pow(share, F.lit(alpha))
-    weight = raw / F.sum(raw).over(w_all)
+    sum_raw = F.sum(raw).over(w_all)
+    weight = F.when(sum_raw == 0, F.lit(0.0)).otherwise(raw / sum_raw)
+    oversample = F.when(share == 0, F.lit(0.0)).otherwise(weight / share)
     return per_src.select(
         group_col, "n_docs", "n_tokens",
         F.round(share, 6).alias("token_share"),
         F.round(weight, 6).alias("weight"),
-        F.round(weight / share, 6).alias("oversample"))
+        F.round(oversample, 6).alias("oversample"))

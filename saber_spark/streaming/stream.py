@@ -160,9 +160,19 @@ def stream_sessionize(events_stream: DataFrame,
     )
 
 
+def _duration_ms(s: str) -> int:
+    """'30 days' / '2 hours' / '10 minutes' / '45 seconds' -> milliseconds."""
+    n, unit = s.split()
+    mult = {"second": 1_000, "minute": 60_000,
+            "hour": 3_600_000, "day": 86_400_000}[unit.rstrip("s")]
+    return int(n) * mult
+
+
 def stream_funnel(events_stream: DataFrame,
                   steps: tuple[str, ...] = ("view", "click", "purchase"),
-                  per_step_cap: int = 4096) -> DataFrame:
+                  per_step_cap: int = 4096,
+                  watermark: str = "30 days",
+                  state_retention: str = "30 days") -> DataFrame:
     """Stateful streaming twin of operators.funnel.funnel_conversion.
 
     Emits, per user per micro-batch, the user's current funnel progress:
@@ -174,13 +184,22 @@ def stream_funnel(events_stream: DataFrame,
     step-1 event can retroactively qualify an already-seen step-2 event, so
     the state keeps each step's event times (sorted, deduplicated) and
     re-derives the greedy chain per update — not just the running reach
-    times, which would silently miss such chains. State is bounded by
-    ``per_step_cap`` times per (user, step): beyond the cap the EARLIEST
-    times are kept, which preserves the greedy chain unless a chain needs a
-    time above the cap's horizon (with 4096 retained timestamps per step
-    that requires a pathological user; a production deployment also evicts
-    whole users via event-time timeout once the watermark passes them).
-    Only events whose type is one of ``steps`` enter state at all.
+    times, which would silently miss such chains.
+
+    State is bounded in BOTH dimensions on an unbounded stream:
+      * per user: ``per_step_cap`` times per (user, step) — beyond the cap
+        the EARLIEST times are kept, which preserves the greedy chain
+        unless a chain needs a time above the cap's horizon (with 4096
+        retained timestamps per step that requires a pathological user);
+      * user count: event-time timeout — once the ``ts`` watermark
+        (``watermark`` delay) passes a user's last event plus
+        ``state_retention``, the user's state row is evicted, mirroring
+        ``stream_dedup_events``/``stream_sessionize``. Rows already
+        emitted for an evicted user stay in the sink, so max-per-user
+        funnel counts over the sink remain exact; a returning user
+        restarts from empty state.
+    Events whose type is not one of ``steps`` are filtered BEFORE the
+    groupBy, so they are never shuffled and never touch state.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -188,11 +207,16 @@ def stream_funnel(events_stream: DataFrame,
     state_schema = ", ".join(f"t{k} array<long>" for k in range(k_steps))
     OUTPUT_SCHEMA = "user_id long, max_step long"
     step_idx = {s: k for k, s in enumerate(steps)}
+    retention_ms = _duration_ms(state_retention)
 
     def update(key, pdf_iter, state: GroupState):
         import bisect
 
         import pandas as pd
+        if state.hasTimedOut:
+            # watermark passed last event + retention: evict the user
+            state.remove()
+            return
         times = ([list(a) for a in state.get] if state.exists
                  else [[] for _ in range(k_steps)])
         for pdf in pdf_iter:
@@ -210,6 +234,12 @@ def stream_funnel(events_stream: DataFrame,
                     times[k].insert(pos, t)
                     del times[k][per_step_cap:]
         state.update(tuple(times))
+        # evict once the watermark passes (last event + retention); the
+        # timestamp must be strictly above the current watermark or Spark
+        # rejects it, hence the clamp for stale-but-in-watermark updates
+        last_us = max((t[-1] for t in times if t), default=0)
+        state.setTimeoutTimestamp(max(last_us // 1000 + retention_ms,
+                                      state.getCurrentWatermarkMs() + 1))
         reached, t_prev = 0, None
         for k in range(k_steps):
             pos = (0 if t_prev is None
@@ -220,10 +250,13 @@ def stream_funnel(events_stream: DataFrame,
         yield pd.DataFrame({"user_id": [key[0]], "max_step": [reached]})
 
     return (events_stream
+            .filter(F.col("event_type").isin(list(steps)))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
             .groupBy("user_id")
             .applyInPandasWithState(
                 update,
                 outputStructType=OUTPUT_SCHEMA,
                 stateStructType=state_schema,
                 outputMode="update",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -107,6 +107,27 @@ class TestMixtureWeights:
         # weights always sum to 1
         assert sum(r["weight"] for r in out.values()) == pytest.approx(1.0)
 
+    def test_zero_token_source_gets_defined_zero_not_null(self, spark):
+        """ADVICE r3: a source whose docs are all empty must get
+        share=weight=oversample=0.0 (not NULL) so samplers never see NULL;
+        an all-empty corpus yields all-zero rows."""
+        docs = spark.createDataFrame(
+            [(1, "a b c d", "big"), (2, "", "empty"), (3, "   ", "empty")],
+            "doc_id long, text string, source string")
+        out = {r["source"]: r for r in mixture_weights(docs).collect()}
+        assert out["empty"]["n_tokens"] == 0
+        assert out["empty"]["token_share"] == 0.0
+        assert out["empty"]["weight"] == 0.0
+        assert out["empty"]["oversample"] == 0.0
+        assert out["big"]["weight"] == pytest.approx(1.0, abs=1e-6)
+
+        all_empty = spark.createDataFrame(
+            [(1, "", "s1"), (2, " ", "s2")],
+            "doc_id long, text string, source string")
+        for r in mixture_weights(all_empty).collect():
+            assert (r["token_share"], r["weight"], r["oversample"]) \
+                == (0.0, 0.0, 0.0)
+
     def test_alpha_one_is_proportional(self, spark):
         docs = spark.createDataFrame(
             [(1, "a b", "s1"), (2, "a b c d e f", "s2")],

@@ -169,3 +169,51 @@ class TestStreamingFunnel:
                          for k in (1, 2, 3)}
         assert stream_counts == step_counts
         assert final[99] == 2  # the out-of-order chain was found
+
+    def test_event_time_eviction_bounds_user_state(self, spark, tmp_path):
+        """Users the watermark has passed (last event + state_retention) are
+        EVICTED from the state store, while funnel counts stay exact — both
+        for the evicted users (their emitted rows remain in the sink) and
+        for live users. Guards against unbounded user-count state growth."""
+        import datetime as dt
+
+        from saber_spark.streaming import stream_funnel
+
+        schema = "user_id long, event_type string, ts timestamp_ntz"
+        src = str(tmp_path / "evict_events")
+        ckpt = str(tmp_path / "evict_ckpt")
+        jan = dt.datetime(2024, 1, 1, 12)
+        # batch 0: three old users complete view+click in January;
+        # user 42's funnel starts in January too
+        b0 = [(u, t, jan + dt.timedelta(hours=i))
+              for i, (u, t) in enumerate(
+                  [(1, "view"), (1, "click"), (2, "view"), (2, "click"),
+                   (3, "view"), (3, "click"), (42, "view")])]
+        # batch 1: user 42 resurfaces in June -> watermark jumps to ~May 31
+        b1 = [(42, "click", dt.datetime(2024, 6, 1))]
+        # batch 2: timeout check runs against the post-batch-1 watermark
+        # (May 31): users 1-3 (timeout Jan 1 + 2 days) are evicted; user 42
+        # (timeout Jun 1 + 2 days) survives and completes the funnel
+        b2 = [(42, "purchase", dt.datetime(2024, 6, 2))]
+        for i, batch in enumerate([b0, b1, b2]):
+            spark.createDataFrame(batch, schema).coalesce(1) \
+                .write.mode("append" if i else "overwrite").parquet(src)
+
+        stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream_funnel(stream, watermark="1 day",
+                           state_retention="2 days")
+             .writeStream.format("memory").queryName("evict_stream")
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        final = {}
+        for r in spark.sql("select * from evict_stream").collect():
+            final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                      r["max_step"])
+        assert final == {1: 2, 2: 2, 3: 2, 42: 3}
+
+        state = (spark.read.format("statestore").option("path", ckpt)
+                 .load().selectExpr("key.user_id").collect())
+        assert sorted(r["user_id"] for r in state) == [42]
