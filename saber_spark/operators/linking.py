@@ -42,6 +42,106 @@ def prepare_dictionary(dictionary: DataFrame) -> DataFrame:
     )
 
 
+def dict_ngram_mentions(tokens: DataFrame, dictionary: DataFrame,
+                        max_len: int = 2) -> DataFrame:
+    """Dictionary mention detection as pure DataFrame ops — the
+    SQL-expressible twin of the Arrow tagger's dictionary path
+    (operators/tagger.py), covering MULTI-token surfaces without a Python
+    boundary.
+
+    tokens: (doc_id, pos, token) from tokenize; dictionary: the grounding
+    dict (surface, label, ..., canonical_id). Returns
+    (doc_id, start_pos, n_tokens, surface, label, canonical_id).
+
+    Semantics (reference parity: exact case-sensitive surface keying,
+    saber/utils/grounding_utils.py:65-66; longest-match-wins like the
+    tagger's greedy n-gram scan): candidate n-gram surfaces (n ≤ max_len)
+    are formed with ``lead`` windows over (doc_id, pos), equi-joined
+    against the broadcast dictionary split by surface length, and a match
+    is suppressed when every one of its token positions is covered by some
+    strictly longer match — exact containment for max_len=2 (the
+    dictionary's longest surface), and the same covered-position rule the
+    oracle twin uses for any max_len. Equal-length overlapping matches are
+    all emitted.
+
+    Scale shape: unigram candidates come straight off the token stream (no
+    window at all); lengths ≥ 2 share ONE window pass over (doc_id, pos).
+    Each length joins its broadcast dictionary slice (BroadcastHashJoin —
+    the corpus-sized side never shuffles for matching). Suppression runs on
+    (doc_id, pos) equi-keys over the dictionary-FILTERED match sets, which
+    are orders of magnitude smaller than the corpus: a single anti-join for
+    unigrams, explode-containment only for middle lengths when max_len > 2.
+    No self-join of the token stream, no Python.
+    """
+    from pyspark.sql import Window
+
+    dict_rows = (dictionary
+                 .select("surface", "label", "canonical_id").distinct()
+                 .withColumn("_n", F.size(F.split("surface", " "))))
+
+    def matches_of_len(n: int) -> DataFrame:
+        if n == 1:
+            cand = tokens.select("doc_id",
+                                 F.col("pos").alias("start_pos"),
+                                 F.col("token").alias("surface"))
+        else:
+            w = Window.partitionBy("doc_id").orderBy("pos")
+            lead_cols = [F.lead("token", i).over(w).alias(f"_t{i}")
+                         for i in range(1, n)]
+            surf = F.concat_ws(" ", F.col("token"),
+                               *[F.col(f"_t{i}") for i in range(1, n)])
+            cand = (tokens.select("doc_id", "pos", "token", *lead_cols)
+                    .filter(F.col(f"_t{n-1}").isNotNull())
+                    .select("doc_id", F.col("pos").alias("start_pos"),
+                            surf.alias("surface")))
+        return (cand.join(F.broadcast(dict_rows.filter(F.col("_n") == n)
+                                      .drop("_n")), "surface")
+                .select("doc_id", F.col("start_pos").cast("long"),
+                        F.lit(n).cast("long").alias("n_tokens"),
+                        "surface", "label", "canonical_id"))
+
+    per_len = {n: matches_of_len(n) for n in range(1, max_len + 1)}
+
+    def covered_positions(min_len_exclusive: int) -> DataFrame | None:
+        frames = [per_len[m].select(
+            "doc_id",
+            F.explode(F.sequence(
+                F.col("start_pos"),
+                F.col("start_pos") + F.col("n_tokens") - 1)).alias("pos"))
+            for m in range(min_len_exclusive + 1, max_len + 1)]
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.distinct()
+
+    result: DataFrame | None = None
+    for n in reversed(range(1, max_len + 1)):
+        matched = per_len[n]
+        covered = covered_positions(n)
+        if covered is not None and n == 1:
+            # single-position match: containment == the position is covered
+            matched = matched.join(
+                covered.withColumnRenamed("pos", "start_pos"),
+                ["doc_id", "start_pos"], "left_anti")
+        elif covered is not None:
+            own_pos = matched.withColumn(
+                "_p", F.explode(F.sequence(
+                    F.col("start_pos"),
+                    F.col("start_pos") + F.col("n_tokens") - 1)))
+            uncovered = (own_pos
+                         .join(covered,
+                               on=[own_pos.doc_id == covered.doc_id,
+                                   own_pos._p == covered.pos],
+                               how="left_anti")
+                         .select("doc_id", "start_pos").distinct())
+            matched = matched.join(uncovered, ["doc_id", "start_pos"],
+                                   "semi")
+        result = matched if result is None else result.unionByName(matched)
+    return result
+
+
 def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
     """mentions ⋈ broadcast dict -> + canonical_id, xrefs array.
 

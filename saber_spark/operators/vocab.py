@@ -44,6 +44,41 @@ def tokenize_docs(docs: DataFrame, text_col: str = "text",
     )
 
 
+# Sentence boundary after [.!?] + whitespace (kernels.text._SENT_BOUNDARY_RE
+# = (?<=[.!?])\s+, parity saber/preprocessor.py:90-99), expressed
+# lookbehind-free (replace boundary with \x1e, then split) so the identical
+# construction runs on RE2 engines (the DuckDB oracle twin — RE2 has no
+# lookbehind). Whitespace is the Java∩RE2 ASCII class [ \t\n\r\f]; Python's
+# \s additionally matches \x0b and unicode spaces (testdata is ASCII).
+SENT_BOUNDARY_NOLB = r"([.!?])[ \t\n\r\f]+"
+_SENT_SEP = "\x1e"
+
+
+def split_sentences(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """documents -> (doc_id, sent_idx, sentence) via the rule-based splitter.
+
+    Sentences keep their terminal punctuation and drop the boundary
+    whitespace, exactly like kernels.text.sentence_spans; a trailing empty
+    fragment (text ending in punctuation+whitespace) is filtered, matching
+    the kernel's ``start < len`` guard. NULL text yields no rows.
+
+    Scale: narrow map (regexp_replace + split) + generator explode — no
+    shuffle, no Python, stays inside whole-stage codegen.
+    """
+    arr = F.split(
+        F.regexp_replace(F.col(text_col), SENT_BOUNDARY_NOLB,
+                         "$1" + _SENT_SEP),
+        _SENT_SEP)
+    return (docs
+            .select(F.col(id_col),
+                    F.posexplode(arr).alias("sent_idx", "sentence"))
+            .filter(F.col("sentence") != "")
+            .select(id_col,
+                    F.col("sent_idx").cast("long").alias("sent_idx"),
+                    "sentence"))
+
+
 def token_freq(tokens: DataFrame) -> DataFrame:
     """(.., token) -> (token, freq); partial+final hash aggregation."""
     return tokens.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
@@ -91,10 +126,12 @@ def tfidf_topk(tokens: DataFrame, k: int = 3) -> DataFrame:
     """Top-k terms per document by TF-IDF, ties broken by token ascending
     (deterministic). Output (doc_id, token, tf, tfidf, rank), rank 1..k.
 
-    The ranked form is the user API; the oracle-checked query uses
-    tfidf_scores instead because a score TIE between different (tf, df)
-    combinations (e.g. 2*ln(N/50) == ln(N/5²·…)) would make rank depend on
-    last-ulp libm differences across engines. The per-doc top-k window
+    Cross-engine determinism (oracle-checked since r4): the rank orders by
+    the 6-decimal-ROUNDED tfidf column — which the unranked oracle proves
+    byte-identical across engines — then token ascending, so a pre-round
+    last-ulp libm difference between near-tied (tf, df) combinations either
+    collapses to an exact tie (broken by token, identically) or rounds to
+    the same distinct values on both engines. The per-doc top-k window
     repartitions on doc_id — bounded partitions, never a global sort.
     """
     scored = tfidf_scores(tokens)

@@ -1121,3 +1121,74 @@ class TestProfileTable:
         df = spark.range(100).withColumnRenamed("id", "x")
         r = profile_table(df, ["x"], exact_distinct=False).collect()[0]
         assert r["n_rows"] == 100 and 90 <= r["n_distinct"] <= 110
+
+
+class TestDictNgramMentions:
+    def test_longest_match_suppresses_contained_unigrams(self, spark):
+        """'table' inside 'fast table' is consumed by the longer match
+        (greedy longest-match parity with the tagger's n-gram scan);
+        free-standing 'table' and 'spark' still fire."""
+        from saber_spark.fixtures.dictionary import grounding_dict_df
+        from saber_spark.operators.linking import dict_ngram_mentions
+        from saber_spark.operators.vocab import tokenize_docs
+
+        docs = spark.createDataFrame(
+            [(1, "fast table big data table spark runs")],
+            "doc_id long, text string")
+        out = dict_ngram_mentions(tokenize_docs(docs),
+                                  grounding_dict_df(spark))
+        got = sorted((r["start_pos"], r["n_tokens"], r["surface"],
+                      r["label"]) for r in out.collect())
+        assert got == [
+            (0, 2, "fast table", "CHED"),
+            (2, 2, "big data", "PRGE"),
+            (4, 1, "table", "PRGE"),
+            (5, 1, "spark", "PRGE"),
+        ]
+
+    def test_multi_xref_surface_emits_once(self, spark):
+        """'spark' has two xref rows in the dictionary (same canonical) —
+        the distinct on (surface, label, canonical_id) keeps the match 1:1."""
+        from saber_spark.fixtures.dictionary import grounding_dict_df
+        from saber_spark.operators.linking import dict_ngram_mentions
+        from saber_spark.operators.vocab import tokenize_docs
+
+        docs = spark.createDataFrame([(7, "spark")],
+                                     "doc_id long, text string")
+        out = dict_ngram_mentions(tokenize_docs(docs),
+                                  grounding_dict_df(spark)).collect()
+        assert len(out) == 1
+        assert out[0]["canonical_id"] == "PRGE:spark"
+
+
+class TestSplitSentences:
+    def test_parity_with_kernel_sentence_spans(self, spark):
+        """The relational splitter reproduces kernels.text.sentence_spans
+        text slices exactly (same boundary rule, lookbehind-free form)."""
+        from saber_spark.kernels.text import sentence_spans
+        from saber_spark.operators.vocab import split_sentences
+
+        texts = [
+            "One sentence. Two! Three? Four",
+            "No boundary here",
+            "Trailing punct. ",
+            "Multi  spaces.   Next.\nNewline! End.",
+            "",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        got: dict[int, list[tuple[int, str]]] = {}
+        for r in split_sentences(docs).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["sent_idx"], r["sentence"]))
+        for i, t in enumerate(texts):
+            expected = [t[s:e] for s, e in sentence_spans(t)]
+            sents = [s for _, s in sorted(got.get(i, []))]
+            assert sents == expected, f"doc {i}: {sents} != {expected}"
+
+    def test_null_text_yields_no_rows(self, spark):
+        from saber_spark.operators.vocab import split_sentences
+        docs = spark.createDataFrame([(1, None)],
+                                     "doc_id long, text string")
+        assert split_sentences(docs).count() == 0
