@@ -603,7 +603,13 @@ def q_dedup_clusters(spark, sf_dir):
     any chain length, and it raises rather than silently splitting a
     cluster if propagation hasn't converged (a fixed rounds=K would
     under-merge chains longer than K with no error). Cheap here because
-    the edge table is materialized and tiny."""
+    the edge table is materialized and tiny.
+    Shingle-stage A/B (BENCH/ab_clusters.json, r4): sharing a persisted/
+    materialized shingle stage across the candidate+verify branches is a
+    statistical tie for the FULL chain at x32 corpus scale (medians 33.3
+    vs 33.4 s) — the localCheckpointed pairs table already bounds
+    recomputation — so the default stays recompute; at 100 TB the
+    ``shingles=`` hook is for resumability, not latency."""
     from saber_spark.operators.dedup import dedup_clusters
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.5, rounds=None,
                           portable_ids=True).select(
@@ -832,6 +838,32 @@ def q_sentence_split(spark, sf_dir):
     saber/preprocessor.py:90-99 (lookbehind-free construction, see
     operators/vocab.split_sentences)."""
     return split_sentences(_docs(spark, sf_dir))
+
+
+def q_quality_filter(spark, sf_dir):
+    """RefinedWeb-style composite keep/drop decision table with per-doc
+    failure reasons (lang / low_quality / repetition) — the audit column a
+    production corpus filter materializes alongside the keep bit."""
+    from saber_spark.operators.textstats import quality_filter
+    return quality_filter(_docs(spark, sf_dir))
+
+
+def q_proximity_triples(spark, sf_dir):
+    """Token-window relation candidates: (subj, near_10, obj) for linked
+    mention pairs within 10 tokens, weighted by pair and doc counts —
+    the co-occurrence granularity between doc-level triples_cooccur and
+    sentence windows (this corpus has no sentence punctuation)."""
+    from saber_spark.operators.triples import proximity_triples
+    return proximity_triples(_linked_spark(spark, sf_dir), k=10)
+
+
+def q_degree_hist(spark, sf_dir):
+    """Degree distribution of the co-occurrence KG (graph health profile;
+    the heavy tail is the hub-entity skew signal the salted
+    canonicalization exists for)."""
+    from saber_spark.operators.graph import degree_histogram
+    return degree_histogram(q_triples_cooccur(spark, sf_dir),
+                            src="subj", dst="obj")
 
 
 def q_dict_mentions(spark, sf_dir):
@@ -1113,10 +1145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "sentence_split": q_sentence_split,
         "dict_mentions": q_dict_mentions,
+        "proximity_triples": q_proximity_triples,
+        "degree_hist": q_degree_hist,
         # --- evaluation / splits ---
         "eval_prf": q_eval_prf,
         "split_folds": q_split_folds,
-        "stratified_sample": q_stratified_sample,
         "mixture_weights": q_mixture_weights,
         # --- relational / windows / grouping ---
         "funnel_conversion": q_funnel_conversion,
@@ -1143,13 +1176,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "crossdoc_ngram_dup": q_crossdoc_ngram_dup,
         "lsh_cosine_multiband": q_lsh_cosine_multiband,
-        "embedding_near_dup": q_embedding_near_dup,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         # --- text stats ---
         "quality_score": q_quality_score,
+        "quality_filter": q_quality_filter,
         "tfidf_topterms": q_tfidf_topterms,
         "tfidf_ranked": q_tfidf_ranked,
-        "doc_fingerprint": q_doc_fingerprint,
         "gopher_repetition": q_gopher_repetition,
         "sequence_packing": q_sequence_packing,
         "pii_scrub": q_pii_scrub,
@@ -1160,6 +1192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asof_join — in-cap siblings listed in the rotation comment above.
         # Older tail entries are green r1+r2 with in-cap siblings per the
         # r3 ordering-contract notes (git history).
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_near_dup": q_embedding_near_dup,
+        "stratified_sample": q_stratified_sample,
         "median_by_source": q_median_by_source,
         "pivot_events": q_pivot_events,
         "json_extract_agg": q_json_extract_agg,
@@ -2011,6 +2046,99 @@ def oracle_sql() -> dict[str, str]:
                          * ln(CAST((SELECT n FROM nn) AS DOUBLE) / d.df),
                          6) AS tfidf
             FROM tf t JOIN dfreq d USING (token)""",
+        "quality_filter": f"""
+            WITH {TOKENS_CTE},
+            qbase AS ({qualities}),
+            narrow AS (
+              SELECT doc_id,
+                     (n_stop / greatest(n_tokens, 1)::DOUBLE) > 0.02
+                       AS lang_ok,
+                     round(0.4 * least(n_tokens / 100.0, 1.0)
+                           + 0.3 * (1 - n_punct / greatest(n_tokens, 1)::DOUBLE)
+                           + 0.3 * least((n_stop / greatest(n_tokens, 1)::DOUBLE) / 0.05, 1.0),
+                           6) >= 0.5 AS quality_ok
+              FROM qbase),
+            w AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS words
+              FROM documents),
+            gbase AS (
+              SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+                     round(list_sum(list_transform(words, x -> length(x)))
+                           / greatest(len(words), 1)::DOUBLE, 6
+                           ) AS mean_word_len
+              FROM w),
+            bi AS (
+              SELECT doc_id,
+                     round(max(c) / sum(c)::DOUBLE, 6) AS top_bigram_frac
+              FROM (SELECT doc_id, g, count(*) AS c
+                    FROM (SELECT doc_id,
+                                 unnest(list_transform(
+                                   range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i+1])) AS g
+                          FROM w)
+                    GROUP BY doc_id, g)
+              GROUP BY doc_id),
+            tri AS (
+              SELECT doc_id,
+                     round((count(*) - count(DISTINCT g))
+                           / count(*)::DOUBLE, 6) AS dup_trigram_frac
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             range(1, len(words) - 1),
+                             i -> words[i] || ' ' || words[i+1]
+                                  || ' ' || words[i+2])) AS g
+                    FROM w)
+              GROUP BY doc_id),
+            gopher AS (
+              SELECT b.doc_id,
+                     (b.n_words >= 40
+                      AND b.mean_word_len >= 2.0 AND b.mean_word_len <= 10.0
+                      AND coalesce(bi.top_bigram_frac, 0.0) <= 0.12
+                      AND coalesce(tri.dup_trigram_frac, 0.0) <= 0.30)
+                       AS gopher_ok
+              FROM gbase b
+              LEFT JOIN bi USING (doc_id)
+              LEFT JOIN tri USING (doc_id))
+            SELECT n.doc_id,
+                   (lang_ok AND quality_ok AND gopher_ok) AS keep,
+                   CAST((CASE WHEN lang_ok THEN 0 ELSE 1 END)
+                        + (CASE WHEN quality_ok THEN 0 ELSE 1 END)
+                        + (CASE WHEN gopher_ok THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_failed,
+                   concat_ws(',',
+                     CASE WHEN NOT lang_ok THEN 'lang' END,
+                     CASE WHEN NOT quality_ok THEN 'low_quality' END,
+                     CASE WHEN NOT gopher_ok THEN 'repetition' END)
+                     AS reasons
+            FROM narrow n JOIN gopher USING (doc_id)""",
+        "proximity_triples": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            pairs AS (
+              SELECT a.doc_id,
+                     least(a.canonical_id, b.canonical_id) AS subj,
+                     greatest(a.canonical_id, b.canonical_id) AS obj
+              FROM linked a JOIN linked b
+                ON a.doc_id = b.doc_id
+               AND a.pos < b.pos AND b.pos - a.pos <= 10
+               AND a.canonical_id <> b.canonical_id)
+            SELECT subj, 'near_10' AS pred, obj,
+                   CAST(count(*) AS BIGINT) AS n_cooccur,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM pairs GROUP BY subj, obj""",
+        "degree_hist": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            ents AS (SELECT DISTINCT doc_id, canonical_id FROM linked),
+            tri AS (SELECT a.canonical_id AS subj, b.canonical_id AS obj
+                    FROM ents a JOIN ents b
+                      ON a.doc_id = b.doc_id
+                     AND a.canonical_id < b.canonical_id
+                    GROUP BY a.canonical_id, b.canonical_id),
+            sym AS (SELECT subj AS a, obj AS b FROM tri
+                    UNION SELECT obj, subj FROM tri),
+            deg AS (SELECT a, CAST(count(*) AS BIGINT) AS degree
+                    FROM sym GROUP BY a)
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_entities
+            FROM deg GROUP BY degree""",
         "tfidf_ranked": f"""
             WITH {TOKENS_CTE},
             tf AS (SELECT doc_id, token, count(*) AS tf

@@ -240,3 +240,29 @@ def triangle_count(edges: DataFrame, src: str = "src",
     return (nodes.join(per_node, "node", "left")
             .select("node", F.coalesce("n_triangles", F.lit(0))
                     .cast("long").alias("n_triangles")))
+
+
+def degree_histogram(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Degree distribution of the undirected KG: (degree, n_entities).
+
+    Degree = number of DISTINCT neighbors (the edge table may carry
+    parallel/weighted rows; symmetrize + distinct collapses them, and
+    self-loops count once like any neighbor). The histogram is the
+    standard KG health profile — a heavy right tail flags hub entities
+    that need the salted-canonicalization / skew-join treatments.
+
+    Scale shape: symmetrize is a union + distinct (one shuffle on the
+    pair), the per-node degree is a count over rows already grouped by
+    that same key (map-side combinable), and the histogram aggregates the
+    |V|-sized degree table — two hash aggs total after the distinct, each
+    orders of magnitude smaller than the edge input. Hub skew hits only
+    the per-node count, which a combiner absorbs (counts, not lists).
+    """
+    sym = _symmetrize(edges, src, dst)
+    deg = sym.groupBy(F.col("a").alias("entity")).agg(
+        F.count(F.lit(1)).alias("degree"))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_entities"))
+            .select(F.col("degree").cast("long").alias("degree"),
+                    "n_entities"))

@@ -237,3 +237,61 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
         .groupBy(id_col)
         .agg(F.pmod(F.sum("term"), F.lit(FP_MOD)).alias("fingerprint"))
     )
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_quality: float = 0.5,
+                   lang_threshold: float = 0.02,
+                   **gopher_kwargs) -> DataFrame:
+    """Composite keep/drop decision table — the RefinedWeb/CCNet-style
+    per-document filter verdict combining the three heuristic families:
+
+      lang         stopword-ratio language ID (lang_id semantics:
+                   en_ratio > lang_threshold)
+      low_quality  composite quality score (quality_score formula,
+                   6dp-rounded) below min_quality
+      repetition   any Gopher/MassiveText shape or repetition threshold
+                   violated (gopher_quality keep bit)
+
+    -> (doc_id, keep, n_failed, reasons) with reasons a comma-joined list
+    in the fixed order lang,low_quality,repetition — the audit column a
+    production pipeline keeps so every dropped doc is explainable.
+
+    Scale shape: the lang + quality rules are ONE narrow projection over
+    the scan (no join between them — they share the tokenised array
+    expression, unlike joining lang_id ⋈ quality_score which would shuffle
+    the corpus twice); the only shuffles are gopher_quality's two doc-local
+    n-gram aggs and the final doc_id equi-join of the two branches.
+    Portability: the keep decision compares the 6dp-ROUNDED quality (the
+    value the oracle proves byte-identical), so the boundary doc sits on
+    the same side in both engines.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(INFIX_PATTERN),
+                                F.lit(0))
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    nt = F.greatest(F.size(toks), F.lit(1))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.size(F.filter(
+        toks, lambda t: t.rlike("^[0-9a-zA-Z]+$") == F.lit(False)))
+    stop_ratio = n_stop / nt
+    quality = F.round(
+        0.4 * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1 - n_punct / nt)
+        + 0.3 * F.least(stop_ratio / F.lit(0.05), F.lit(1.0)), 6)
+    narrow = docs.select(
+        F.col(id_col),
+        (stop_ratio > lang_threshold).alias("lang_ok"),
+        (quality >= min_quality).alias("quality_ok"))
+    gopher = (gopher_quality(docs, text_col, id_col, **gopher_kwargs)
+              .select(id_col, F.col("keep").alias("gopher_ok")))
+    fails = F.filter(
+        F.array(F.when(~F.col("lang_ok"), F.lit("lang")),
+                F.when(~F.col("quality_ok"), F.lit("low_quality")),
+                F.when(~F.col("gopher_ok"), F.lit("repetition"))),
+        lambda x: x.isNotNull())
+    return (narrow.join(gopher, id_col)
+            .select(id_col,
+                    (F.size(fails) == 0).alias("keep"),
+                    F.size(fails).cast("long").alias("n_failed"),
+                    F.concat_ws(",", fails).alias("reasons")))

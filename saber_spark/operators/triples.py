@@ -69,6 +69,62 @@ def assemble_triples(linked: DataFrame) -> DataFrame:
     )
 
 
+def proximity_triples(mentions: DataFrame, k: int = 10,
+                      id_col: str = "doc_id",
+                      pos_col: str = "pos",
+                      ent_col: str = "canonical_id",
+                      pred: str | None = None) -> DataFrame:
+    """Token-window relation extraction: weighted (subj, near_<k>, obj)
+    triples for mention pairs lying within ``k`` tokens of each other in
+    the same document (distinct positions, distinct entities).
+
+    The corpus here has no sentence punctuation, so position windows are
+    the meaningful co-occurrence granularity between doc-level
+    (assemble_triples on whole docs) and sentence-level; a token-distance
+    window is also the standard relation-candidate generator when no parse
+    is available.
+
+    -> (subj, pred, obj, n_cooccur, n_docs): n_cooccur = qualifying
+    mention-pair count, n_docs = distinct documents with ≥1 qualifying
+    pair.
+
+    Scale shape (same design as assemble_triples): ONE shuffle —
+    groupBy(doc).collect_list(struct(pos, ent)) sorted by position, then
+    higher-order pair expansion filtered to the window (pure JVM codegen;
+    per-doc mention counts are dictionary-bounded, so the per-row
+    quadratic never skews a reducer the way a positional self-join on a
+    hub doc would) — followed by the final (subj, obj) agg.
+    """
+    pred = pred or f"near_{k}"
+    ents = (mentions
+            .filter(F.col(ent_col).isNotNull())
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(F.struct(
+                F.col(pos_col).alias("pos"),
+                F.col(ent_col).alias("ent")))).alias("ms"))
+            .filter(F.size("ms") >= 2))
+    ms = F.col("ms")
+    pairs = F.flatten(F.transform(
+        ms,
+        lambda x, i: F.transform(
+            F.filter(
+                F.slice(ms, i + F.lit(2), F.size(ms) - i - F.lit(1)),
+                lambda y: (y["pos"] > x["pos"])
+                & (y["pos"] - x["pos"] <= k)
+                & (y["ent"] != x["ent"])),
+            lambda y: F.struct(
+                F.least(x["ent"], y["ent"]).alias("subj"),
+                F.greatest(x["ent"], y["ent"]).alias("obj")))))
+    exploded = (ents.select(F.col(id_col), F.explode(pairs).alias("p"))
+                .select(id_col, F.col("p.subj").alias("subj"),
+                        F.col("p.obj").alias("obj")))
+    return (exploded.groupBy("subj", "obj")
+            .agg(F.count(F.lit(1)).alias("n_cooccur"),
+                 F.countDistinct(id_col).alias("n_docs"))
+            .select("subj", F.lit(pred).alias("pred"), "obj",
+                    "n_cooccur", "n_docs"))
+
+
 def pmi_weights(linked: DataFrame, id_col: str = "doc_id",
                 entity_col: str = "canonical_id",
                 materialize: bool = True) -> DataFrame:

@@ -1192,3 +1192,68 @@ class TestSplitSentences:
         docs = spark.createDataFrame([(1, None)],
                                      "doc_id long, text string")
         assert split_sentences(docs).count() == 0
+
+
+class TestQualityFilter:
+    def test_reasons_and_keep(self, spark):
+        from saber_spark.operators.textstats import quality_filter
+        stops = ["the", "of", "and", "to", "in", "is"]
+        good = " ".join(f"word{i} {stops[i % 6]}" for i in range(60))
+        docs = spark.createDataFrame(
+            [(1, good),                       # passes everything
+             (2, "spam " * 50),               # repetition (one bigram dominates)
+             (3, "zz qq ww ee rr")],          # short + no stopwords
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+        assert out[1]["keep"] and out[1]["n_failed"] == 0
+        assert out[1]["reasons"] == ""
+        assert not out[2]["keep"]
+        assert "repetition" in out[2]["reasons"]
+        assert not out[3]["keep"]
+        assert out[3]["n_failed"] >= 2  # lang + low_quality at least
+        # fixed reason order: lang before low_quality before repetition
+        assert out[3]["reasons"].split(",")[0] == "lang"
+
+    def test_reason_order_is_fixed(self, spark):
+        from saber_spark.operators.textstats import quality_filter
+        docs = spark.createDataFrame([(1, "x y")],
+                                     "doc_id long, text string")
+        r = quality_filter(docs).collect()[0]
+        names = r["reasons"].split(",")
+        assert names == sorted(
+            names, key=["lang", "low_quality", "repetition"].index)
+
+
+class TestProximityTriples:
+    def test_window_and_ordering(self, spark):
+        from saber_spark.operators.triples import proximity_triples
+        # E1@0, E2@5, E3@20: (E1,E2) within k=10; (E2,E3) gap 15 > 10
+        m = spark.createDataFrame(
+            [(1, 0, "B"), (1, 5, "A"), (1, 20, "C"),
+             (2, 3, "A"), (2, 4, "B")],
+            "doc_id long, pos long, canonical_id string")
+        out = {(r["subj"], r["obj"]): r
+               for r in proximity_triples(m, k=10).collect()}
+        assert set(out) == {("A", "B")}  # least/greatest canonical order
+        assert out[("A", "B")]["n_cooccur"] == 2
+        assert out[("A", "B")]["n_docs"] == 2
+        assert out[("A", "B")]["pred"] == "near_10"
+
+    def test_same_entity_and_same_pos_excluded(self, spark):
+        from saber_spark.operators.triples import proximity_triples
+        m = spark.createDataFrame(
+            [(1, 0, "A"), (1, 1, "A"),      # same entity -> no pair
+             (2, 7, "A"), (2, 7, "B")],     # same position -> no pair
+            "doc_id long, pos long, canonical_id string")
+        assert proximity_triples(m, k=10).count() == 0
+
+
+class TestDegreeHistogram:
+    def test_distinct_neighbors_and_parallel_edges(self, spark):
+        from saber_spark.operators.graph import degree_histogram
+        # path a-b-c plus a parallel duplicate of a-b (must not double)
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string")
+        out = {r["degree"]: r["n_entities"]
+               for r in degree_histogram(edges).collect()}
+        assert out == {1: 2, 2: 1}  # a,c degree 1; b degree 2
