@@ -113,6 +113,9 @@ def main() -> None:
         # added round 3, third batch (sequence analytics + data mixing)
         "funnel_conversion", "cohort_retention", "mixture_weights",
         "table_profile",
+        # added round 4 (multi-token dictionary tagging, composite corpus
+        # filter, token-window relation candidates)
+        "dict_mentions", "quality_filter", "proximity_triples",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real
