@@ -840,6 +840,15 @@ def q_sentence_split(spark, sf_dir):
     return split_sentences(_docs(spark, sf_dir))
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-weighted corpus sampler: mixture_weights' oversample
+    turned into per-source deterministic hash membership (expected
+    target_fraction of corpus tokens kept, redistributed toward small
+    sources; saturated sources visible as keep_rate=1.0)."""
+    from saber_spark.operators.splits import mixture_sample
+    return mixture_sample(_docs(spark, sf_dir), target_fraction=0.5)
+
+
 def q_quality_filter(spark, sf_dir):
     """RefinedWeb-style composite keep/drop decision table with per-doc
     failure reasons (lang / low_quality / repetition) — the audit column a
@@ -1154,11 +1163,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- relational / windows / grouping ---
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention": q_cohort_retention,
+        "mixture_sample": q_mixture_sample,
         "quality_buckets": q_quality_buckets,
         "tpch_q4": q_tpch_q4,
         "table_profile": q_table_profile,
         "range_join_clicks": q_range_join_clicks,
-        "hypertable_rollup": q_hypertable_rollup,
         "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
         "rollup_revenue": q_rollup_revenue,
@@ -1192,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asof_join — in-cap siblings listed in the rotation comment above.
         # Older tail entries are green r1+r2 with in-cap siblings per the
         # r3 ordering-contract notes (git history).
+        "hypertable_rollup": q_hypertable_rollup,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
         "stratified_sample": q_stratified_sample,
@@ -1390,6 +1400,35 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN share = 0 THEN 0.0
                          ELSE weight / share END, 6) AS oversample
             FROM weights""",
+        "mixture_sample": f"""
+            WITH per AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                              ELSE CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                                        AS BIGINT) END) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+            shares AS (
+              SELECT *,
+                     CASE WHEN sum(n_tokens) OVER () = 0 THEN 0.0
+                          ELSE n_tokens / sum(n_tokens) OVER () END AS share
+              FROM per),
+            raws AS (SELECT *, pow(share, 0.5) AS raw FROM shares),
+            weights AS (
+              SELECT *,
+                     CASE WHEN sum(raw) OVER () = 0 THEN 0.0
+                          ELSE raw / sum(raw) OVER () END AS weight
+              FROM raws),
+            mix AS (
+              SELECT source,
+                     round(CASE WHEN share = 0 THEN 0.0
+                           ELSE weight / share END, 6) AS oversample
+              FROM weights)
+            SELECT d.doc_id, d.source,
+                   floor(least(1.0, 0.5 * m.oversample) * 1000000)
+                     / 1000000.0 AS keep_rate
+            FROM documents d JOIN mix m USING (source)
+            WHERE ((d.doc_id * {KNUTH}) % {HASH_MOD}) % 1000000
+                  < floor(least(1.0, 0.5 * m.oversample) * 1000000)""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

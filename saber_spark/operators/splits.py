@@ -94,6 +94,49 @@ def stratified_sample(df: DataFrame, group_col: str, id_col: str,
     return df.filter(bucket < threshold)
 
 
+def mixture_sample(docs: DataFrame, target_fraction: float = 0.5,
+                   alpha: float = 0.5, group_col: str = "source",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   resolution: int = 1_000_000) -> DataFrame:
+    """End-to-end data-mixing sampler: temperature weights -> per-source
+    keep rates -> deterministic hash membership. Closes the loop from
+    mixture_weights (the plan) to the actual sampled corpus (the table a
+    training run reads).
+
+    Per-source keep rate = min(1, target_fraction * oversample) where
+    oversample = weight/share from mixture_weights: in expectation the
+    sample holds target_fraction of the corpus TOKENS, redistributed
+    toward small sources per the temperature rule. Sources whose
+    oversample exceeds 1/target_fraction saturate at rate 1 (sampling
+    without replacement cannot up-weight past keeping everything; epoch
+    replication handles the remainder downstream — the saturated rate
+    makes that visible as keep_rate = 1.0).
+
+    Membership is the same engine-portable Knuth multiplicative hash as
+    stratified_sample: reproducible across runs/engines/partitionings,
+    nested under growing target_fraction, and a narrow filter after one
+    broadcast join with the |sources|-row weight table — the corpus never
+    shuffles. The rate is computed from the 6dp-ROUNDED oversample and
+    floored to an integer threshold so both engines make the identical
+    keep decision at the boundary; the reported keep_rate is that
+    threshold / resolution — the rate ACTUALLY used for membership, which
+    also sidesteps a second float-rounding boundary.
+
+    -> kept rows as (doc_id, source, keep_rate = threshold/resolution).
+    """
+    weights = mixture_weights(docs, group_col, text_col, alpha).select(
+        group_col, "oversample")
+    rate = F.least(F.lit(1.0), F.lit(target_fraction) * F.col("oversample"))
+    threshold = F.floor(rate * resolution)
+    bucket = F.pmod(F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH),
+                           F.lit(HASH_MOD)), F.lit(resolution))
+    return (docs.join(F.broadcast(weights), group_col)
+            .filter(bucket < threshold)
+            .select(id_col, group_col,
+                    (threshold.cast("double") / F.lit(float(resolution)))
+                    .alias("keep_rate")))
+
+
 def train_valid_split(df: DataFrame, id_col: str,
                       valid_fraction_denom: int = 10) -> tuple[DataFrame, DataFrame]:
     """~1/denom of rows to validation (reference: 10%)."""

@@ -221,3 +221,35 @@ class TestCohortRandomizedParity:
             assert r["retention"] == pytest.approx(
                 counts[(r["cohort_week"], r["week_offset"])] / denom,
                 abs=1e-6)
+
+
+class TestMixtureSample:
+    def test_saturation_and_determinism(self, spark):
+        from saber_spark.operators.splits import mixture_sample
+        # tiny source -> oversample >> 1 -> saturates at keep_rate 1.0
+        rows = [(i, "w" + " x" * 99, "web") for i in range(100)]
+        rows += [(1000, "a b c", "tiny")]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = mixture_sample(docs, target_fraction=0.5).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        assert by_src["tiny"][0]["keep_rate"] == 1.0  # saturated
+        assert len(by_src["tiny"]) == 1               # kept everything
+        # web keeps roughly half (deterministic hash, not RNG)
+        assert 30 <= len(by_src["web"]) <= 70
+        again = mixture_sample(docs, target_fraction=0.5).collect()
+        assert sorted(r["doc_id"] for r in again) == \
+            sorted(r["doc_id"] for r in out)
+
+    def test_nested_under_growing_target(self, spark):
+        from saber_spark.operators.splits import mixture_sample
+        docs = spark.createDataFrame(
+            [(i, "w " * 20, f"s{i % 3}") for i in range(300)],
+            "doc_id long, text string, source string")
+        small = {r["doc_id"] for r in
+                 mixture_sample(docs, target_fraction=0.2).collect()}
+        big = {r["doc_id"] for r in
+               mixture_sample(docs, target_fraction=0.6).collect()}
+        assert small <= big  # hash membership nests, RNG sampling wouldn't
