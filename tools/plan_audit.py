@@ -295,6 +295,102 @@ def main() -> None:
         0,
     ))
 
+    # 17. sentence_split: narrow replace+split+explode — ZERO exchanges,
+    # zero Python; the whole stage is codegen over the scan.
+    plan_ss = formatted_plan(e.queries()["sentence_split"](spark, SF_DIR))
+    n_ex_ss = len(re.findall(r"\(\d+\) Exchange", plan_ss))
+    sections.append((
+        "sentence_split (zero-shuffle codegen explode)",
+        "Rule-based sentence segmentation must stay a narrow map "
+        "(regexp_replace + split + posexplode) with NO Exchange and NO "
+        "Python anywhere — it runs inside whole-stage codegen directly "
+        "over the scan.",
+        plan_ss,
+        ["Generate", "codegen id"]
+        + ([f"<0 exchanges, saw {n_ex_ss}>"] if n_ex_ss else []),
+        0,
+    ))
+
+    # 18. dict_mentions: dictionary joins are broadcast; exactly ONE window
+    # (shared by the >=2-gram candidates; unigrams come straight off the
+    # token stream); no cartesian, no Python.
+    plan_dm = formatted_plan(e.queries()["dict_mentions"](spark, SF_DIR))
+    n_win_dm = len(re.findall(r"\(\d+\) Window", plan_dm))
+    specs_dm = {re.sub(r"#\d+L?", "", s) for s in re.findall(
+        r"windowspecdefinition\(([^)]*)\)", plan_dm)}
+    sections.append((
+        "dict_mentions (broadcast dictionary, one window SPEC)",
+        "Every dictionary match must be a BroadcastHashJoin (the corpus "
+        "side never shuffles for matching); unigram candidates come "
+        "straight off the token stream with no window. The single "
+        "(doc_id, pos) window spec appears as TWO plan nodes because the "
+        "bigram-match subtree feeds two consumers (coverage + output) and "
+        "predicate pushdown specializes each copy past exchange reuse — "
+        "acceptable here because the stream under the window is the "
+        "dictionary-FILTERED match set; a 100 TB run materializes that "
+        "match table between stages instead. A CartesianProduct anywhere "
+        "would be the all-pairs shape this construction avoids.",
+        plan_dm,
+        ["BroadcastHashJoin"]
+        + ([f"<1 window spec, saw {len(specs_dm)}>"]
+           if len(specs_dm) > 1 else [])
+        + ([f"<at most 2 window nodes, saw {n_win_dm}>"]
+           if n_win_dm > 2 else [])
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_dm
+           else []),
+        0,
+    ))
+
+    # 19. quality_filter: lang+quality fused in ONE narrow projection (no
+    # join between them); single doc_id join with the gopher branch.
+    plan_qf = formatted_plan(e.queries()["quality_filter"](spark, SF_DIR))
+    sections.append((
+        "quality_filter (fused narrow rules + one gopher join)",
+        "The lang and quality rules must be computed in one narrow "
+        "projection sharing the tokenised array (joining lang_id ⋈ "
+        "quality_score would shuffle the corpus twice); the only joins "
+        "are gopher_quality's internal left joins plus the final doc_id "
+        "join. Zero Python.",
+        plan_qf,
+        ["HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_qf
+           else []),
+        0,
+    ))
+
+    # 20. proximity_triples: NO positional self-join — one collect agg +
+    # higher-order pair expansion + final pair agg.
+    plan_pt = formatted_plan(e.queries()["proximity_triples"](spark, SF_DIR))
+    sections.append((
+        "proximity_triples (collect + array pair expansion, no self-join)",
+        "The window-k pair generation must be the collect_list + "
+        "higher-order-expansion shape (per-doc mention counts are "
+        "dictionary-bounded): a SortMergeJoin or CartesianProduct here "
+        "would be the positional self-join that skews on hub documents.",
+        plan_pt,
+        ["HashAggregate", "Generate"]
+        + (["<no sort-merge self-join>"] if "SortMergeJoin" in plan_pt
+           else [])
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_pt
+           else []),
+        0,
+    ))
+
+    # 21. mixture_sample: the corpus joins the |sources|-row weight table
+    # by BROADCAST and is otherwise untouched (narrow hash filter).
+    plan_mx = formatted_plan(e.queries()["mixture_sample"](spark, SF_DIR))
+    sections.append((
+        "mixture_sample (broadcast weight join, unshuffled corpus)",
+        "Sampling membership is a narrow Knuth-hash filter after ONE "
+        "BroadcastHashJoin with the tiny per-source weight table; a "
+        "SortMergeJoin would mean the corpus shuffled on source — the "
+        "shape this sampler exists to avoid.",
+        plan_mx,
+        ["BroadcastHashJoin"]
+        + (["<no sort-merge join>"] if "SortMergeJoin" in plan_mx else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
