@@ -875,6 +875,16 @@ def q_degree_hist(spark, sf_dir):
                             src="subj", dst="obj")
 
 
+def q_fuzzy_link(spark, sf_dir):
+    """Typo-tolerant grounding: tokens link to the nearest dictionary
+    surface within 1 Levenshtein edit (best = fewest edits, then smallest
+    surface). Vocabulary-level comparison vs the broadcast dictionary;
+    the corpus never shuffles."""
+    from saber_spark.operators.linking import fuzzy_link
+    return fuzzy_link(tokenize_docs(_docs(spark, sf_dir)),
+                      grounding_dict_df(spark))
+
+
 def q_dict_mentions(spark, sf_dir):
     """Dictionary mention detection incl. MULTI-token surfaces with
     longest-match suppression, as pure DataFrame ops with a SQL oracle —
@@ -1148,12 +1158,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link": q_entity_link,
         "canonicalize_salted": q_canonicalize_salted,
         "triples_cooccur": q_triples_cooccur,
-        "edge_pmi": q_edge_pmi,
         "kg_mentions": q_kg_mentions,
         "kg_edges": q_kg_edges,
         "multimodal_features": q_multimodal_features,
         "sentence_split": q_sentence_split,
         "dict_mentions": q_dict_mentions,
+        "fuzzy_link": q_fuzzy_link,
         "proximity_triples": q_proximity_triples,
         "degree_hist": q_degree_hist,
         # --- evaluation / splits ---
@@ -1201,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asof_join — in-cap siblings listed in the rotation comment above.
         # Older tail entries are green r1+r2 with in-cap siblings per the
         # r3 ordering-contract notes (git history).
+        "edge_pmi": q_edge_pmi,
         "hypertable_rollup": q_hypertable_rollup,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2211,6 +2222,24 @@ def oracle_sql() -> dict[str, str]:
                              chr(30)) AS arr
                     FROM documents))
             WHERE sentence <> ''""",
+        "fuzzy_link": f"""
+            WITH {TOKENS_CTE},
+            vocab AS (SELECT DISTINCT token FROM tokens),
+            cand AS (
+              SELECT v.token, g.surface, g.label, g.canonical_id,
+                     CAST(levenshtein(v.token, g.surface) AS BIGINT)
+                       AS n_edits
+              FROM vocab v
+              JOIN (VALUES {DICT_VALUES_SQL})
+                AS g(surface, label, canonical_id)
+                ON levenshtein(v.token, g.surface) <= 1),
+            best AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY token
+                        ORDER BY n_edits, surface) AS rn
+              FROM cand)
+            SELECT t.doc_id, t.pos, t.token, b.surface, b.label,
+                   b.canonical_id, b.n_edits
+            FROM tokens t JOIN best b ON t.token = b.token AND b.rn = 1""",
         "dict_mentions": f"""
             WITH {TOKENS_CTE},
             cand AS (

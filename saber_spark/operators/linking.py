@@ -142,6 +142,47 @@ def dict_ngram_mentions(tokens: DataFrame, dictionary: DataFrame,
     return result
 
 
+def fuzzy_link(tokens: DataFrame, dictionary: DataFrame,
+               max_edits: int = 1) -> DataFrame:
+    """Typo-tolerant dictionary linking: each token links to the nearest
+    single-token dictionary surface within ``max_edits`` Levenshtein edits
+    (best match per token: fewest edits, ties by lexicographically
+    smallest surface — deterministic). Exact matches are the n_edits=0
+    case, so this strictly extends the reference's exact-surface keying
+    (saber/utils/grounding_utils.py:65-66) the way a production grounding
+    service tolerates OCR/typo noise.
+
+    -> (doc_id, pos, token, surface, label, canonical_id, n_edits).
+
+    Scale shape: the Levenshtein comparison runs on the DISTINCT-token
+    VOCABULARY (one hash agg collapses the corpus to |V| rows) against the
+    broadcast dictionary — a BroadcastNestedLoopJoin over |V| x |dict|
+    rows, which is the documented cheap case (the dictionary is a
+    broadcast constant; the corpus-sized token stream never meets the
+    quadratic comparison). The winning matches (≤ |dict| x (max_edits+1)
+    distinct tokens in practice) broadcast-join back onto the stream, so
+    the corpus itself stays unshuffled end-to-end. For gazetteer-scale
+    dictionaries add length/prefix blocking keys before the comparison;
+    at 14 surfaces it would only add plan nodes.
+    """
+    from pyspark.sql import Window
+
+    dict_rows = (dictionary
+                 .filter(~F.col("surface").contains(" "))
+                 .select("surface", "label", "canonical_id").distinct())
+    vocab = tokens.select("token").distinct()
+    cand = (vocab.join(F.broadcast(dict_rows),
+                       F.levenshtein("token", "surface") <= max_edits)
+            .withColumn("n_edits",
+                        F.levenshtein("token", "surface").cast("long")))
+    w = Window.partitionBy("token").orderBy("n_edits", "surface")
+    best = (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+    return (tokens.join(F.broadcast(best), "token")
+            .select("doc_id", "pos", "token", "surface", "label",
+                    "canonical_id", "n_edits"))
+
+
 def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
     """mentions ⋈ broadcast dict -> + canonical_id, xrefs array.
 

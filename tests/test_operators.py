@@ -1257,3 +1257,33 @@ class TestDegreeHistogram:
         out = {r["degree"]: r["n_entities"]
                for r in degree_histogram(edges).collect()}
         assert out == {1: 2, 2: 1}  # a,c degree 1; b degree 2
+
+
+class TestFuzzyLink:
+    def test_typo_links_to_nearest_surface(self, spark):
+        from saber_spark.fixtures.dictionary import grounding_dict_df
+        from saber_spark.operators.linking import fuzzy_link
+        from saber_spark.operators.vocab import tokenize_docs
+        docs = spark.createDataFrame(
+            [(1, "spak runs on tble with merge")],  # spak->spark, tble->table
+            "doc_id long, text string")
+        out = {r["token"]: r for r in
+               fuzzy_link(tokenize_docs(docs),
+                          grounding_dict_df(spark)).collect()}
+        assert out["spak"]["surface"] == "spark"
+        assert out["spak"]["n_edits"] == 1
+        assert out["tble"]["surface"] == "table"
+        assert out["merge"]["n_edits"] == 0  # exact still wins trivially
+        assert "runs" not in out and "on" not in out  # beyond max_edits
+
+    def test_exact_beats_edit1_and_ties_break_lexicographically(self, spark):
+        from saber_spark.operators.linking import fuzzy_link
+        # dictionary with two surfaces both 1 edit from 'cot': 'cat' < 'cut'
+        d = spark.createDataFrame(
+            [("cat", "X", "X:cat"), ("cut", "X", "X:cut")],
+            "surface string, label string, canonical_id string")
+        toks = spark.createDataFrame(
+            [(1, 0, "cot"), (1, 1, "cat")], "doc_id long, pos long, token string")
+        out = {r["token"]: r for r in fuzzy_link(toks, d).collect()}
+        assert out["cot"]["surface"] == "cat"   # lexicographic tie-break
+        assert out["cat"]["n_edits"] == 0       # exact match preferred
