@@ -58,12 +58,14 @@ def run_variant(spark, docs, variant: str, scratch: str) -> dict:
         agg = out.agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum(F.col("keep").cast("long")).alias("kept")).collect()[0]
+        seconds = time.monotonic() - t0  # stop BEFORE cleanup: unpersist /
+        # rmtree are not part of the measured chain
     finally:
         if variant == "persist":
             sh.unpersist()
         if path:
             shutil.rmtree(path, ignore_errors=True)
-    return {"seconds": round(time.monotonic() - t0, 3),
+    return {"seconds": round(seconds, 3),
             "rows": agg["rows"], "kept": agg["kept"]}
 
 
@@ -92,6 +94,11 @@ def main() -> None:
     for _ in range(args.rounds):
         for v in variants:  # interleaved: drift hits all equally
             samples[v].append(run_variant(spark, docs, v, scratch))
+
+    # the three variants must compute the SAME result — otherwise the
+    # timing comparison is between non-equivalent plans
+    results = {(s["rows"], s["kept"]) for ss in samples.values() for s in ss}
+    assert len(results) == 1, f"variant results diverge: {results}"
 
     report = {
         "chain": "dedup_clusters (LSH -> jaccard>=0.5 -> CC -> keep table)",

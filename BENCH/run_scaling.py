@@ -156,10 +156,21 @@ def _burn(n: int) -> int:
     return acc
 
 
+def _pin_cores(cpus: int) -> list[int] | None:
+    """First `cpus` cores of the AVAILABLE cpuset (r3 ADVICE: a restricted
+    taskset/cgroup may not expose cores 0..cpus-1). None -> cannot pin."""
+    if not hasattr(os, "sched_getaffinity"):
+        return None
+    avail = sorted(os.sched_getaffinity(0))
+    return avail[:cpus] if len(avail) >= cpus else None
+
+
 def _pin_tag(cpus: int) -> str:
     """Protocol-string marker so every written JSON says whether its levels
     were taskset-pinned (pinned vs unpinned records are not comparable)."""
-    return (f"PINNED taskset 0-{cpus - 1} " if shutil.which("taskset")
+    cores = _pin_cores(cpus)
+    return (f"PINNED taskset {','.join(map(str, cores))} "
+            if cores is not None and shutil.which("taskset")
             else "UNPINNED ")
 
 
@@ -175,9 +186,13 @@ def run_level(cpus: int, replicate: int, sf_dir: str, pages_dir: str,
     # onto the other 32-N cores, inflating the low level's throughput and
     # understating efficiency — a real N-core executor is hard-bounded by
     # its cgroup. taskset makes the sandbox behave like that cgroup.
+    # same core-selection rule as hw_ceiling so the normalization divides
+    # like by like; under a cpuset too small to pin, run unpinned (the
+    # protocol tag records it)
     prefix = []
-    if pin and shutil.which("taskset"):
-        prefix = ["taskset", "-c", f"0-{cpus - 1}"]
+    cores = _pin_cores(cpus)
+    if pin and cores is not None and shutil.which("taskset"):
+        prefix = ["taskset", "-c", ",".join(map(str, cores))]
     with tempfile.TemporaryDirectory(prefix=f"scal{cpus}_") as out:
         proc = subprocess.run(
             prefix + [sys.executable, "-c", WORKER % {"repo": REPO},

@@ -2109,7 +2109,8 @@ def oracle_sql() -> dict[str, str]:
                            6) >= 0.5 AS quality_ok
               FROM qbase),
             w AS (
-              SELECT doc_id, string_split(trim(text), ' ') AS words
+              SELECT doc_id,
+                     string_split(trim(coalesce(text, '')), ' ') AS words
               FROM documents),
             gbase AS (
               SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,

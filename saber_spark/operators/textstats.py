@@ -19,6 +19,36 @@ FP_MULT = 31
 FP_OFFSET = 7
 
 
+def _quality_parts(text_col: str) -> dict:
+    """Shared column expressions for the text-quality family — the SINGLE
+    definition of the tokenisation, stopword/punct counts, and the
+    0.4/0.3/0.3 composite formula, so lang_id / quality_score /
+    quality_filter cannot drift apart (their oracles still carry the SQL
+    copies; tests/test_operators.py ties filter verdicts to score output).
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(INFIX_PATTERN),
+                                F.lit(0))
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    nt = F.greatest(F.size(toks), F.lit(1))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.size(F.filter(
+        toks, lambda t: t.rlike("^[0-9a-zA-Z]+$") == F.lit(False)))
+    stop_ratio = n_stop / nt
+    punct_ratio = n_punct / nt
+    quality = composite_quality(F.size(toks), punct_ratio, stop_ratio)
+    return {"toks": toks, "nt": nt, "n_stop": n_stop, "n_punct": n_punct,
+            "stop_ratio": stop_ratio, "punct_ratio": punct_ratio,
+            "quality": quality}
+
+
+def composite_quality(n_tokens, punct_ratio, stop_ratio):
+    """THE 0.4/0.3/0.3 composite quality formula (single definition):
+    favors long, low-punct, natural-language docs."""
+    return (0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+            + 0.3 * (1 - punct_ratio)
+            + 0.3 * F.least(stop_ratio / F.lit(0.05), F.lit(1.0)))
+
+
 def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", threshold: float = 0.02) -> DataFrame:
     """Stopword-ratio language heuristic.
@@ -26,13 +56,11 @@ def lang_id(docs: DataFrame, text_col: str = "text",
     -> (doc_id, n_tokens, n_stopwords, en_ratio rounded 6, pred_lang).
     pred_lang = 'en' iff ratio of English stopwords > threshold.
     """
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(INFIX_PATTERN), F.lit(0))
+    p = _quality_parts(text_col)
     return docs.select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))
-               ).alias("n_stopwords"),
+        F.size(p["toks"]).alias("n_tokens"),
+        p["n_stop"].alias("n_stopwords"),
     ).select(
         id_col, "n_tokens", "n_stopwords",
         F.round(F.col("n_stopwords") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
@@ -75,11 +103,7 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     nt = F.greatest(F.col("n_tokens"), F.lit(1))
     punct_ratio = F.col("n_punct") / nt
     stop_ratio = F.col("n_stop") / nt
-    quality = (
-        0.4 * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
-        + 0.3 * (1 - punct_ratio)
-        + 0.3 * F.least(stop_ratio / F.lit(0.05), F.lit(1.0))
-    )
+    quality = composite_quality(F.col("n_tokens"), punct_ratio, stop_ratio)
     return base.select(
         id_col, *keep_cols, "n_chars", "n_tokens",
         F.round(F.col("tok_chars") / nt, 6).alias("avg_token_len"),
@@ -265,24 +289,17 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
     n-gram aggs and the final doc_id equi-join of the two branches.
     Portability: the keep decision compares the 6dp-ROUNDED quality (the
     value the oracle proves byte-identical), so the boundary doc sits on
-    the same side in both engines.
+    the same side in both engines. NULL text is treated as empty — it
+    fails all three rules (keep=false, reasons lists every rule) instead
+    of NULL verdicts silently passing the filter under ANSI NULL
+    propagation.
     """
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(INFIX_PATTERN),
-                                F.lit(0))
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    nt = F.greatest(F.size(toks), F.lit(1))
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_punct = F.size(F.filter(
-        toks, lambda t: t.rlike("^[0-9a-zA-Z]+$") == F.lit(False)))
-    stop_ratio = n_stop / nt
-    quality = F.round(
-        0.4 * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
-        + 0.3 * (1 - n_punct / nt)
-        + 0.3 * F.least(stop_ratio / F.lit(0.05), F.lit(1.0)), 6)
+    docs = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    p = _quality_parts(text_col)
     narrow = docs.select(
         F.col(id_col),
-        (stop_ratio > lang_threshold).alias("lang_ok"),
-        (quality >= min_quality).alias("quality_ok"))
+        (p["stop_ratio"] > lang_threshold).alias("lang_ok"),
+        (F.round(p["quality"], 6) >= min_quality).alias("quality_ok"))
     gopher = (gopher_quality(docs, text_col, id_col, **gopher_kwargs)
               .select(id_col, F.col("keep").alias("gopher_ok")))
     fails = F.filter(

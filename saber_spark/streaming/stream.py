@@ -219,6 +219,7 @@ def stream_funnel(events_stream: DataFrame,
             return
         times = ([list(a) for a in state.get] if state.exists
                  else [[] for _ in range(k_steps)])
+        batch_max_us = 0
         for pdf in pdf_iter:
             # normalize to integer MICROseconds whatever pandas resolution
             # Arrow handed us (datetime64[ns] or [us])
@@ -229,15 +230,23 @@ def stream_funnel(events_stream: DataFrame,
                 if k is None:
                     continue
                 t = int(t)
+                if t > batch_max_us:
+                    batch_max_us = t
                 pos = bisect.bisect_left(times[k], t)
                 if pos >= len(times[k]) or times[k][pos] != t:
                     times[k].insert(pos, t)
                     del times[k][per_step_cap:]
         state.update(tuple(times))
-        # evict once the watermark passes (last event + retention); the
-        # timestamp must be strictly above the current watermark or Spark
-        # rejects it, hence the clamp for stale-but-in-watermark updates
+        # evict once the watermark passes (last event + retention). The
+        # base is the max of THIS batch's events and the retained state
+        # times — not the retained times alone, whose cap keeps the
+        # EARLIEST entries: a user streaming past per_step_cap would
+        # otherwise freeze their timeout at the old horizon and be evicted
+        # mid-activity. The timestamp must be strictly above the current
+        # watermark or Spark rejects it, hence the clamp for
+        # stale-but-in-watermark updates.
         last_us = max((t[-1] for t in times if t), default=0)
+        last_us = max(last_us, batch_max_us)
         state.setTimeoutTimestamp(max(last_us // 1000 + retention_ms,
                                       state.getCurrentWatermarkMs() + 1))
         reached, t_prev = 0, None

@@ -1287,3 +1287,67 @@ class TestFuzzyLink:
         out = {r["token"]: r for r in fuzzy_link(toks, d).collect()}
         assert out["cot"]["surface"] == "cat"   # lexicographic tie-break
         assert out["cat"]["n_edits"] == 0       # exact match preferred
+
+
+class TestQualityFilterNullText:
+    def test_null_text_fails_all_rules_and_matches_oracle(self, spark, tmp_path):
+        """NULL text must fail lang+quality+repetition (not silently pass
+        via NULL verdicts), and the DuckDB oracle must agree byte-for-byte
+        on a corpus CONTAINING NULLs (the driver corpus has none, so this
+        parity is pytest-guarded)."""
+        import duckdb
+
+        import __spark_entry__ as e
+        from saber_spark.operators.textstats import quality_filter
+
+        stops = ["the", "of", "and", "to", "in", "is"]
+        good = " ".join(f"word{i} {stops[i % 6]}" for i in range(60))
+        rows = [(1, good, "en", "src0", len(good)), (2, None, "en", "src0", 0)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+        out = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+        assert out[1]["keep"] and out[1]["n_failed"] == 0
+        assert not out[2]["keep"]
+        assert out[2]["n_failed"] == 3
+        assert out[2]["reasons"] == "lang,low_quality,repetition"
+
+        # cross-engine parity on the NULL-bearing corpus
+        pq = str(tmp_path / "docs_null.parquet")
+        docs.coalesce(1).write.parquet(pq)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{pq}/*.parquet')")
+        o = {int(r[0]): r for r in
+             con.sql(e.oracle_sql()["quality_filter"]).fetchall()}
+        for i in (1, 2):
+            s = out[i]
+            assert (bool(s["keep"]), int(s["n_failed"]), s["reasons"]) == \
+                (bool(o[i][1]), int(o[i][2]), o[i][3])
+
+
+class TestQualityFamilyConsistency:
+    def test_filter_verdicts_tie_to_score_and_lang_id(self, spark):
+        """quality_filter's rule bits must equal the standalone operators'
+        outputs (shared expression builders — this test pins them together
+        so a formula change cannot desynchronize the family)."""
+        from saber_spark.operators.textstats import (gopher_quality, lang_id,
+                                                     quality_filter,
+                                                     quality_score)
+        stops = ["the", "of", "and", "to", "in", "is"]
+        rows = [(1, " ".join(f"w{i} {stops[i % 6]}" for i in range(60))),
+                (2, "zz qq"), (3, "spam " * 60),
+                (4, "the of and to in is " * 12)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        filt = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+        score = {r["doc_id"]: r["quality"]
+                 for r in quality_score(docs).collect()}
+        lang = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+        gopher = {r["doc_id"]: r["keep"]
+                  for r in gopher_quality(docs).collect()}
+        for i in filt:
+            reasons = filt[i]["reasons"].split(",") if filt[i]["reasons"] \
+                else []
+            assert ("low_quality" in reasons) == (score[i] < 0.5), i
+            assert ("lang" in reasons) == (lang[i] != "en"), i
+            assert ("repetition" in reasons) == (not gopher[i]), i

@@ -217,3 +217,46 @@ class TestStreamingFunnel:
         state = (spark.read.format("statestore").option("path", ckpt)
                  .load().selectExpr("key.user_id").collect())
         assert sorted(r["user_id"] for r in state) == [42]
+
+
+class TestStreamingFunnelCapTimeout:
+    def test_active_user_past_cap_not_evicted(self, spark, tmp_path):
+        """The eviction timeout must follow the user's TRUE latest event,
+        not the cap-truncated state (which keeps the EARLIEST times): a
+        user still actively streaming past per_step_cap must survive a
+        watermark that has passed their old retained horizon."""
+        import datetime as dt
+
+        from saber_spark.streaming import stream_funnel
+
+        schema = "user_id long, event_type string, ts timestamp_ntz"
+        src = str(tmp_path / "cap_events")
+        ckpt = str(tmp_path / "cap_ckpt")
+        jan = dt.datetime(2024, 1, 1)
+        # b0: user 1 exceeds the cap (cap=2, three views) -> state retains
+        # the two EARLIEST views (Jan 1, Jan 2)
+        b0 = [(1, "view", jan + dt.timedelta(days=i)) for i in range(3)]
+        # b1: user 1 is STILL ACTIVE in June (event dropped by the cap but
+        # must refresh the timeout); user 2 advances the watermark
+        b1 = [(1, "view", dt.datetime(2024, 6, 1)),
+              (2, "view", dt.datetime(2024, 6, 1))]
+        # b2: timeout check runs against wm ≈ May 31: user 1's timeout must
+        # be Jun 1 + retention (survives), not Jan 2 + retention (evicted)
+        b2 = [(2, "view", dt.datetime(2024, 6, 2))]
+        for i, batch in enumerate([b0, b1, b2]):
+            spark.createDataFrame(batch, schema).coalesce(1) \
+                .write.mode("append" if i else "overwrite").parquet(src)
+
+        stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream_funnel(stream, per_step_cap=2, watermark="1 day",
+                           state_retention="2 days")
+             .writeStream.format("memory").queryName("cap_stream")
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        state = sorted(r["user_id"] for r in
+                       spark.read.format("statestore").option("path", ckpt)
+                       .load().selectExpr("key.user_id").collect())
+        assert state == [1, 2]  # user 1 NOT evicted despite frozen cap
