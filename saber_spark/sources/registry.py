@@ -47,6 +47,31 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
     return reader.load(path)
 
 
+def read_jsonl_corpus(spark: SparkSession, path: str, schema: str,
+                      corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """JSON-Lines corpus ingest with malformed-line QUARANTINE.
+
+    Web-text corpora ship as JSONL, and at 100 TB malformed lines are
+    DATA, not exceptions: PERMISSIVE mode keeps every unparseable line
+    verbatim in ``corrupt_col`` (parsed columns NULL) instead of failing
+    the job or silently dropping rows. Valid rows carry NULL there, so
+    the standard pattern downstream is
+
+        df = read_jsonl_corpus(spark, path, "doc_id BIGINT, text STRING")
+        clean = df.filter(F.col("_corrupt_record").isNull()).drop(...)
+        quarantine = df.filter(F.col("_corrupt_record").isNotNull())
+
+    (Spark requires the corrupt column to be DECLARED in the schema to be
+    referenced — this helper appends it, the one bit of ceremony it
+    exists to encapsulate.) Narrow scan, schema-pruned like any JSON
+    source; no Python.
+    """
+    return (spark.read.schema(f"{schema}, {corrupt_col} STRING")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .json(path))
+
+
 def write_table(df: DataFrame, path: str, fmt: str | None = None,
                 mode: str = "overwrite",
                 partition_by: list[str] | None = None,

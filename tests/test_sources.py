@@ -429,3 +429,29 @@ class TestWriters:
             [("a", [1.0])], "word string, vector array<float>")
         with pytest.raises(ValueError, match="dim"):
             write_word2vec_text(dim1, p)
+
+
+class TestJsonlCorpus:
+    def test_malformed_lines_quarantined_not_dropped(self, spark, tmp_path):
+        """PERMISSIVE JSONL ingest: broken lines land verbatim in
+        _corrupt_record (parsed cols NULL); valid rows parse with NULL
+        there. Nothing is dropped, nothing raises."""
+        from saber_spark.sources.registry import read_jsonl_corpus
+        p = str(tmp_path / "corpus.jsonl")
+        lines = ['{"doc_id": 1, "text": "alpha beta"}',
+                 '{"doc_id": 2, "text": "gamma"}',
+                 '{broken json!!',
+                 '{"doc_id": "not_a_number", "text": "delta"}']
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        df = read_jsonl_corpus(spark, p, "doc_id BIGINT, text STRING")
+        rows = df.collect()
+        assert len(rows) == 4
+        clean = [r for r in rows if r["_corrupt_record"] is None]
+        bad = [r for r in rows if r["_corrupt_record"] is not None]
+        assert sorted(r["doc_id"] for r in clean) == [1, 2]
+        assert len(bad) == 2  # syntax error + type mismatch both quarantined
+        assert "{broken json!!" in {r["_corrupt_record"] for r in bad}
+        # the type-mismatch line keeps its parseable columns
+        mism = [r for r in bad if r["_corrupt_record"] != "{broken json!!"][0]
+        assert mism["text"] == "delta" and mism["doc_id"] is None

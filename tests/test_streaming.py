@@ -260,3 +260,30 @@ class TestStreamingFunnelCapTimeout:
                        spark.read.format("statestore").option("path", ckpt)
                        .load().selectExpr("key.user_id").collect())
         assert state == [1, 2]  # user 1 NOT evicted despite frozen cap
+
+
+class TestStatelessOpsAreStreamingReady:
+    def test_pii_scrub_and_lang_id_run_unchanged_on_streams(self, spark, tmp_path):
+        """The narrow corpus-filter family (pii_scrub, lang_id — pure
+        projections, no agg) runs UNCHANGED on a streaming DataFrame in
+        append mode and emits byte-identical rows to the batch run; no
+        streaming twin needed, which is the point of keeping these
+        operators narrow."""
+        from saber_spark.operators.textstats import lang_id, pii_scrub
+        d = str(tmp_path / "docs")
+        docs = spark.createDataFrame(
+            [(1, "mail me at a@b.co or 10.0.0.1 the of and"),
+             (2, "zz qq ww"),
+             (3, "call 555-123-4567 now")],
+            "doc_id long, text string")
+        docs.write.parquet(d)
+        schema = spark.read.parquet(d).schema
+        for name, op in [("pii", pii_scrub), ("lang", lang_id)]:
+            stream = spark.readStream.schema(schema).parquet(d)
+            q = (op(stream)
+                 .writeStream.format("memory").queryName(f"{name}_s")
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            got = {tuple(r) for r in spark.sql(f"select * from {name}_s").collect()}
+            expected = {tuple(r) for r in op(spark.read.parquet(d)).collect()}
+            assert got == expected and len(got) == 3
