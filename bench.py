@@ -114,8 +114,10 @@ def main() -> None:
         "funnel_conversion", "cohort_retention", "mixture_weights",
         "table_profile",
         # added round 4 (multi-token dictionary tagging, composite corpus
-        # filter, token-window relation candidates)
+        # filter, token-window relation candidates, fuzzy grounding,
+        # weighted corpus sampling)
         "dict_mentions", "quality_filter", "proximity_triples",
+        "fuzzy_link", "mixture_sample",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real
