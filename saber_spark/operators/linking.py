@@ -56,90 +56,99 @@ def dict_ngram_mentions(tokens: DataFrame, dictionary: DataFrame,
     Semantics (reference parity: exact case-sensitive surface keying,
     saber/utils/grounding_utils.py:65-66; longest-match-wins like the
     tagger's greedy n-gram scan): candidate n-gram surfaces (n ≤ max_len)
-    are formed with ``lead`` windows over (doc_id, pos), equi-joined
-    against the broadcast dictionary split by surface length, and a match
-    is suppressed when every one of its token positions is covered by some
-    strictly longer match — exact containment for max_len=2 (the
-    dictionary's longest surface), and the same covered-position rule the
-    oracle twin uses for any max_len. Equal-length overlapping matches are
-    all emitted.
+    are formed with ``lead`` windows over (doc_id, pos) and matched by
+    broadcast left-joins against the dictionary split by surface length. A
+    match is suppressed when some strictly LONGER match contains its whole
+    span (classic longest-match; identical to the oracle twin's
+    covered-position rule for max_len = 2, the dictionary's longest
+    surface). Equal-length overlapping matches are all emitted; a surface
+    carrying several (label, canonical) entries emits one mention per
+    entry.
 
-    Scale shape: unigram candidates come straight off the token stream (no
-    window at all); lengths ≥ 2 share ONE window pass over (doc_id, pos).
-    Each length joins its broadcast dictionary slice (BroadcastHashJoin —
-    the corpus-sized side never shuffles for matching). Suppression runs on
-    (doc_id, pos) equi-keys over the dictionary-FILTERED match sets, which
-    are orders of magnitude smaller than the corpus: a single anti-join for
-    unigrams, explode-containment only for middle lengths when max_len > 2.
-    No self-join of the token stream, no Python.
+    Scale shape — ONE pass, zero self-joins: the token stream shuffles
+    ONCE on doc_id; the lead window, per-length broadcast left-joins
+    (1:1 — the dictionary is pre-grouped per surface), and the suppression
+    check all run on that same partitioning. Suppression is a windowed
+    frame aggregate, not a join: with L(q) = longest match length starting
+    at q, an n-gram at p is contained iff
+    max over q ∈ [p-max_len+1, p] of (q + L(q) when L(q) > n) ≥ p + n —
+    frame-row-only expressions, so it is a single max() over a bounded
+    ROWS frame (token positions are consecutive, so ROWS == RANGE).
+    Emission is one explode of the per-position surviving-match array.
+    No union of per-length branches, no anti-joins, no duplicated
+    subtrees, no Python.
     """
     from pyspark.sql import Window
 
     dict_rows = (dictionary
                  .select("surface", "label", "canonical_id").distinct()
                  .withColumn("_n", F.size(F.split("surface", " "))))
+    # one row per surface (1:1 join — a multi-entry surface must not
+    # duplicate token rows, which would corrupt the ROWS frame offsets)
+    dict_by_len = {
+        n: (dict_rows.filter(F.col("_n") == n)
+            .groupBy("surface")
+            .agg(F.array_sort(F.collect_list(F.struct(
+                F.col("label"), F.col("canonical_id")))).alias(f"_e{n}"))
+            .withColumnRenamed("surface", f"_s{n}"))
+        for n in range(1, max_len + 1)
+    }
 
-    def matches_of_len(n: int) -> DataFrame:
-        if n == 1:
-            cand = tokens.select("doc_id",
-                                 F.col("pos").alias("start_pos"),
-                                 F.col("token").alias("surface"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    base = tokens.select(
+        "doc_id", "pos", "token",
+        *[F.lead("token", i).over(w).alias(f"_t{i}")
+          for i in range(1, max_len)])
+    for n in range(1, max_len + 1):
+        surf_n = (F.col("token") if n == 1 else
+                  F.when(F.col(f"_t{n-1}").isNotNull(),
+                         F.concat_ws(" ", F.col("token"),
+                                     *[F.col(f"_t{i}")
+                                       for i in range(1, n)])))
+        base = base.join(F.broadcast(dict_by_len[n]),
+                         surf_n == F.col(f"_s{n}"), "left")
+
+    # L(p): longest match length starting at p (0 if none)
+    length_expr = F.greatest(*[
+        F.when(F.col(f"_s{n}").isNotNull(), F.lit(n)).otherwise(F.lit(0))
+        for n in range(1, max_len + 1)]) if max_len > 1 else (
+        F.when(F.col("_s1").isNotNull(), F.lit(1)).otherwise(F.lit(0)))
+    base = base.withColumn("_L", length_expr)
+
+    frame = w.rowsBetween(-(max_len - 1), 0)
+    survivors = []
+    for n in range(1, max_len + 1):
+        m = F.struct(
+            F.col("pos").cast("long").alias("start_pos"),
+            F.lit(n).cast("long").alias("n_tokens"),
+            F.col(f"_s{n}").alias("surface"),
+            F.col(f"_e{n}").alias("entries"))
+        if n == max_len:
+            survivors.append(F.when(F.col(f"_s{n}").isNotNull(), m))
         else:
-            w = Window.partitionBy("doc_id").orderBy("pos")
-            lead_cols = [F.lead("token", i).over(w).alias(f"_t{i}")
-                         for i in range(1, n)]
-            surf = F.concat_ws(" ", F.col("token"),
-                               *[F.col(f"_t{i}") for i in range(1, n)])
-            cand = (tokens.select("doc_id", "pos", "token", *lead_cols)
-                    .filter(F.col(f"_t{n-1}").isNotNull())
-                    .select("doc_id", F.col("pos").alias("start_pos"),
-                            surf.alias("surface")))
-        return (cand.join(F.broadcast(dict_rows.filter(F.col("_n") == n)
-                                      .drop("_n")), "surface")
-                .select("doc_id", F.col("start_pos").cast("long"),
-                        F.lit(n).cast("long").alias("n_tokens"),
-                        "surface", "label", "canonical_id"))
+            containing_end = F.max(
+                F.when(F.col("_L") > n, F.col("pos") + F.col("_L"))
+            ).over(frame)
+            suppressed = containing_end >= F.col("pos") + n
+            survivors.append(F.when(
+                F.col(f"_s{n}").isNotNull()
+                & ~F.coalesce(suppressed, F.lit(False)), m))
 
-    per_len = {n: matches_of_len(n) for n in range(1, max_len + 1)}
-
-    def covered_positions(min_len_exclusive: int) -> DataFrame | None:
-        frames = [per_len[m].select(
-            "doc_id",
-            F.explode(F.sequence(
-                F.col("start_pos"),
-                F.col("start_pos") + F.col("n_tokens") - 1)).alias("pos"))
-            for m in range(min_len_exclusive + 1, max_len + 1)]
-        if not frames:
-            return None
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out.distinct()
-
-    result: DataFrame | None = None
-    for n in reversed(range(1, max_len + 1)):
-        matched = per_len[n]
-        covered = covered_positions(n)
-        if covered is not None and n == 1:
-            # single-position match: containment == the position is covered
-            matched = matched.join(
-                covered.withColumnRenamed("pos", "start_pos"),
-                ["doc_id", "start_pos"], "left_anti")
-        elif covered is not None:
-            own_pos = matched.withColumn(
-                "_p", F.explode(F.sequence(
-                    F.col("start_pos"),
-                    F.col("start_pos") + F.col("n_tokens") - 1)))
-            uncovered = (own_pos
-                         .join(covered,
-                               on=[own_pos.doc_id == covered.doc_id,
-                                   own_pos._p == covered.pos],
-                               how="left_anti")
-                         .select("doc_id", "start_pos").distinct())
-            matched = matched.join(uncovered, ["doc_id", "start_pos"],
-                                   "semi")
-        result = matched if result is None else result.unionByName(matched)
-    return result
+    # windows must be evaluated over the FULL consecutive token stream
+    # (the ROWS frame assumes adjacent positions), so materialize the
+    # surviving-match array BEFORE pruning non-matching positions
+    base = base.withColumn(
+        "_kept", F.filter(F.array(*survivors), lambda x: x.isNotNull()))
+    return (base
+            .filter(F.size("_kept") > 0)
+            .select("doc_id", F.explode("_kept").alias("m"))
+            .select("doc_id", F.col("m.start_pos").alias("start_pos"),
+                    F.col("m.n_tokens").alias("n_tokens"),
+                    F.col("m.surface").alias("surface"),
+                    F.explode(F.col("m.entries")).alias("e"))
+            .select("doc_id", "start_pos", "n_tokens", "surface",
+                    F.col("e.label").alias("label"),
+                    F.col("e.canonical_id").alias("canonical_id")))
 
 
 def fuzzy_link(tokens: DataFrame, dictionary: DataFrame,

@@ -316,23 +316,31 @@ def main() -> None:
     # token stream); no cartesian, no Python.
     plan_dm = formatted_plan(e.queries()["dict_mentions"](spark, SF_DIR))
     n_win_dm = len(re.findall(r"\(\d+\) Window", plan_dm))
-    specs_dm = {re.sub(r"#\d+L?", "", s) for s in re.findall(
-        r"windowspecdefinition\(([^)]*)\)", plan_dm)}
+    # one (doc_id, pos) partitioning/ordering; frames may differ (lead vs
+    # the bounded suppression frame), so normalize the spec up to the frame
+    specs_dm = {re.sub(r"#\d+L?", "", s.split(", specifiedwindowframe")[0])
+                for s in re.findall(
+                    r"windowspecdefinition\(([^)]*)\)", plan_dm)}
+    n_scan_dm = len(re.findall(r"\(\d+\) Scan parquet", plan_dm))
+    n_ex_doc = len(re.findall(
+        r"Arguments: hashpartitioning\(doc_id", plan_dm))
     sections.append((
-        "dict_mentions (broadcast dictionary, one window SPEC)",
-        "Every dictionary match must be a BroadcastHashJoin (the corpus "
-        "side never shuffles for matching); unigram candidates come "
-        "straight off the token stream with no window. The single "
-        "(doc_id, pos) window spec appears as TWO plan nodes because the "
-        "bigram-match subtree feeds two consumers (coverage + output) and "
-        "predicate pushdown specializes each copy past exchange reuse — "
-        "acceptable here because the stream under the window is the "
-        "dictionary-FILTERED match set; a 100 TB run materializes that "
-        "match table between stages instead. A CartesianProduct anywhere "
-        "would be the all-pairs shape this construction avoids.",
+        "dict_mentions (one-pass windowed longest-match)",
+        "The corpus must be scanned ONCE and shuffled ONCE on doc_id: the "
+        "lead window, the per-length broadcast LEFT joins (dictionary "
+        "pre-grouped per surface so the join is 1:1), and the windowed "
+        "containment check (a max over a bounded ROWS frame — suppression "
+        "as a window aggregate, not a join) all share that partitioning, "
+        "and one explode emits the surviving matches. The r4-initial "
+        "union-of-branches form scanned the corpus 3x and shuffled it "
+        "2x for identical output. A CartesianProduct anywhere would be "
+        "the all-pairs shape this construction avoids.",
         plan_dm,
         ["BroadcastHashJoin"]
-        + ([f"<1 window spec, saw {len(specs_dm)}>"]
+        + ([f"<1 corpus scan, saw {n_scan_dm}>"] if n_scan_dm != 1 else [])
+        + ([f"<1 doc_id exchange, saw {n_ex_doc}>"] if n_ex_doc != 1
+           else [])
+        + ([f"<1 window partitioning spec, saw {len(specs_dm)}>"]
            if len(specs_dm) > 1 else [])
         + ([f"<at most 2 window nodes, saw {n_win_dm}>"]
            if n_win_dm > 2 else [])
