@@ -1083,6 +1083,19 @@ def q_kg_mentions(spark, sf_dir):
     return detect_mentions(extract_text(pages), bc)
 
 
+def q_curation_decision(spark, sf_dir):
+    """Corpus-curation flagship: the per-doc release decision table
+    (quality verdicts + near-dup keep-list + contamination flag ->
+    final_keep) from the resumable curate.py pipeline. Rows-only by
+    design: every COMPONENT verdict is independently oracle-checked
+    (quality_filter, dedup_clusters, contamination_check, pii_scrub);
+    the composition itself is pytest-verified end-to-end
+    (tests/test_curate.py), and dedup runs on the PII-masked text, which
+    has no single-statement SQL twin."""
+    from saber_spark.curate import run_curation
+    return run_curation(spark, _docs(spark, sf_dir))["decision"]
+
+
 def q_kg_edges(spark, sf_dir):
     from saber_spark.pipeline import run_pipeline
     pages = build_pages_df(spark, sf_dir)
@@ -1160,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_cooccur": q_triples_cooccur,
         "kg_mentions": q_kg_mentions,
         "kg_edges": q_kg_edges,
+        "curation_decision": q_curation_decision,
         "multimodal_features": q_multimodal_features,
         "sentence_split": q_sentence_split,
         "dict_mentions": q_dict_mentions,
@@ -1185,7 +1199,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_high_value": q_exists_high_value,
         "above_nation_avg": q_above_nation_avg,
         # --- graph analytics ---
-        "connected_components": q_connected_components,
         "pagerank_entities": q_pagerank_entities,
         "triangle_entities": q_triangle_entities,
         # --- dedup / similarity family ---
@@ -1211,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asof_join — in-cap siblings listed in the rotation comment above.
         # Older tail entries are green r1+r2 with in-cap siblings per the
         # r3 ordering-contract notes (git history).
+        "connected_components": q_connected_components,
         "edge_pmi": q_edge_pmi,
         "hypertable_rollup": q_hypertable_rollup,
         "doc_fingerprint": q_doc_fingerprint,

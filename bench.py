@@ -90,8 +90,33 @@ def main() -> None:
     timings["kg_pipeline"] = round(kg_seconds, 3)
     rows["kg_edges"] = spark.read.parquet(f"{out_dir}/edges").count()
     rows["docs"] = n_docs
-    shutil.rmtree(out_dir, ignore_errors=True)
     docs_per_sec = n_docs / kg_seconds if kg_seconds > 0 else 0.0
+
+    # ---- headline 1b: corpus-curation pipeline (same cold/steady split;
+    # excluded from total_seconds/steady_total_seconds for r1-r3
+    # comparability — reported as its own keys)
+    from saber_spark.curate import run_curation
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_raw = docs_tbl.count()
+    def run_curate_once(tag: str) -> tuple[float, int]:
+        t0 = time.monotonic()
+        cur = run_curation(spark, docs_tbl)
+        kept = cur["decision"].filter("final_keep").count()
+        cur["shards"].write.mode("overwrite").parquet(
+            f"{out_dir}/shards_{tag}")
+        secs = time.monotonic() - t0
+        cur["scrubbed"].unpersist()
+        cur["verdicts"].unpersist()
+        return secs, kept
+
+    cold_secs, _ = run_curate_once("cold")
+    timings["curate_pipeline_cold"] = round(cold_secs, 3)
+    cur_seconds, n_kept = run_curate_once("warm")
+    timings["curate_pipeline"] = round(cur_seconds, 3)
+    rows["curate_kept"] = n_kept
+    rows["curate_docs"] = n_raw
+    curate_docs_per_sec = n_raw / cur_seconds if cur_seconds > 0 else 0.0
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     # ---- headline 2: representative operator suite
     qs = e.queries()
@@ -141,7 +166,9 @@ def main() -> None:
     # steady_total_seconds = second-execution basis (r3's "total_seconds",
     # renamed per round-3 ADVICE).
     steady_total = (sum(v for k, v in timings.items()
-                        if k not in ("kg_pipeline_cold", "kg_pipeline"))
+                        if k not in ("kg_pipeline_cold", "kg_pipeline",
+                                     "curate_pipeline_cold",
+                                     "curate_pipeline"))
                     + timings["kg_pipeline"])
     first_total = sum(first_run.values()) + timings["kg_pipeline"]
 
@@ -156,10 +183,15 @@ def main() -> None:
         "docs_per_sec": round(docs_per_sec, 3),
         "kg_pipeline": timings["kg_pipeline"],
         "kg_pipeline_cold": timings["kg_pipeline_cold"],
+        "curate_pipeline": timings["curate_pipeline"],
+        "curate_pipeline_cold": timings["curate_pipeline_cold"],
+        "curate_docs_per_sec": round(curate_docs_per_sec, 3),
         "total_seconds": round(first_total, 3),
         "steady_total_seconds": round(steady_total, 3),
         "queries_steady": {k: v for k, v in timings.items()
-                           if k not in ("kg_pipeline", "kg_pipeline_cold")},
+                           if k not in ("kg_pipeline", "kg_pipeline_cold",
+                                        "curate_pipeline",
+                                        "curate_pipeline_cold")},
         "queries_first_run": first_run,
         "rows": rows,
     }
@@ -178,6 +210,8 @@ def main() -> None:
         "docs_per_sec": round(docs_per_sec, 3),
         "kg_pipeline": timings["kg_pipeline"],
         "kg_pipeline_cold": timings["kg_pipeline_cold"],
+        "curate_pipeline": timings["curate_pipeline"],
+        "curate_docs_per_sec": round(curate_docs_per_sec, 3),
         "total_seconds": round(first_total, 3),
         "steady_total_seconds": round(steady_total, 3),
         "n_docs": n_docs,

@@ -1,0 +1,92 @@
+"""Corpus-curation pipeline (saber_spark.curate): end-to-end invariants,
+checkpoint resume, and the decontamination path."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from saber_spark.curate import run_curation
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+class TestCurationEndToEnd:
+    def test_decision_table_invariants(self, spark, docs):
+        out = run_curation(spark, docs)
+        dec = out["decision"].collect()
+        n_docs = docs.count()
+        assert len(dec) == n_docs  # one row PER INPUT DOC, dropped or kept
+        assert len({r["doc_id"] for r in dec}) == n_docs
+        for r in dec:
+            if r["final_keep"]:
+                assert r["quality_keep"] and r["dup_keep"] \
+                    and not r["contaminated"]
+            if not r["quality_keep"]:
+                # never reached dedup -> no cluster assignment, never kept
+                assert r["dup_keep"] is None and not r["final_keep"]
+                assert r["reasons"] != ""
+        n_final = sum(1 for r in dec if r["final_keep"])
+        assert 0 < n_final < n_docs  # the filter actually discriminates
+
+        # weights/shards cover exactly the survivors
+        assert out["shards"].count() == n_final
+        w = out["weights"].agg(F.sum("n_docs")).collect()[0][0]
+        assert w == n_final
+
+    def test_scrubbed_text_is_the_release_text(self, spark):
+        """The masked text flows into dedup/packing: a planted email is
+        gone from the curated corpus."""
+        stops = ["the", "of", "and", "to", "in", "is"]
+        body = " ".join(f"w{i}x {stops[i % 6]}" for i in range(60))
+        docs = spark.createDataFrame(
+            [(1, body + " contact a@b.co now", "web"),
+             (2, body + " second doc distinct", "web")],
+            "doc_id long, text string, source string")
+        out = run_curation(spark, docs)
+        texts = {r["doc_id"]: r["text"] for r in
+                 out["scrubbed"].select("doc_id", "text").collect()}
+        assert "<EMAIL>" in texts[1] and "a@b.co" not in texts[1]
+
+
+class TestCurationContamination:
+    def test_planted_eval_doc_is_dropped(self, spark, docs):
+        eval_docs = docs.limit(3).select("doc_id", "text")
+        out = run_curation(spark, docs, eval_docs=eval_docs,
+                           contamination_n=5)
+        dec = {r["doc_id"]: r for r in out["decision"].collect()}
+        eval_ids = [r["doc_id"] for r in eval_docs.collect()]
+        flagged = [i for i in eval_ids
+                   if dec[i]["quality_keep"] and dec[i]["contaminated"]]
+        # every quality-surviving planted doc is flagged and dropped
+        for i in flagged:
+            assert not dec[i]["final_keep"]
+        assert any(dec[i]["contaminated"] for i in eval_ids
+                   if dec[i]["quality_keep"])
+
+
+class TestCurationResume:
+    def test_kill_and_resume_reuses_early_stages(self, spark, docs,
+                                                 tmp_path):
+        import shutil
+
+        ck = str(tmp_path / "ckpt")
+        first = run_curation(spark, docs, checkpoint_dir=ck)
+        expected = sorted(map(tuple, first["decision"].collect()))
+
+        # simulate a crash after the dedup stage: wipe everything later
+        for stage in ("decision", "weights", "shards"):
+            shutil.rmtree(os.path.join(ck, stage), ignore_errors=True)
+        early_mtime = os.path.getmtime(
+            os.path.join(ck, "keep_list", "_saber_manifest.json"))
+
+        second = run_curation(spark, docs, checkpoint_dir=ck)
+        assert sorted(map(tuple, second["decision"].collect())) == expected
+        # the expensive early stage was REPLAYED from parquet, not rerun
+        assert os.path.getmtime(
+            os.path.join(ck, "keep_list", "_saber_manifest.json")) == early_mtime
