@@ -5,11 +5,14 @@
 # on a real cluster) and submits pipeline.py against it. In this sandbox the
 # master is local[N]; on a cluster only --master/--deploy-mode change.
 #
-# Usage: tools/submit_pipeline.sh [cpus] [sf_dir] [out_dir]
+# Usage: tools/submit_pipeline.sh [cpus] [sf_dir] [out_dir] [job]
+#   job: pipeline (default, the KG build) | curate (the corpus-curation job)
 set -eu
 CPUS="${1:-8}"
 SF_DIR="${2:-/root/testdata/sf0.001}"
 OUT="${3:-/tmp/kg_submit_out}"
+JOB="${4:-pipeline}"
+case "$JOB" in pipeline|curate) ;; *) echo "unknown job: $JOB" >&2; exit 2;; esac
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 ZIP="/tmp/saber_spark_pkg.zip"
 
@@ -38,5 +41,5 @@ exec spark-submit \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.ui.enabled=false \
   --py-files "$ZIP" \
-  "$REPO/saber_spark/pipeline.py" \
+  "$REPO/saber_spark/$JOB.py" \
   --sf-dir "$SF_DIR" --out "$OUT"
