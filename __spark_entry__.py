@@ -402,6 +402,14 @@ def q_window_agg(spark, sf_dir):
     return tumbling_window_agg(_events(spark, sf_dir))
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition table over per-user event streams
+    (deterministic (ts, event_id) ordering) — the behavioral-analytics
+    complement of funnel/cohort."""
+    from saber_spark.operators.sessions import event_transitions
+    return event_transitions(_events(spark, sf_dir))
+
+
 def q_funnel_conversion(spark, sf_dir):
     """K-step ordered funnel (view -> click -> purchase) in ONE shuffle:
     chained running-min windows over a single user_id sort; the oracle is
@@ -1147,19 +1155,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # When adding a NEW query, insert it before the tail and demote another
     # twice-green family-redundant entry; never let an unverified query sit
     # past position 50.
-    # r4 rotation (VERDICT r3 #3): the r3-demoted tail queries whose driver
-    # evidence would otherwise go stale — moving_avg, sessionize,
-    # rollup_revenue, tpch_q5_nation, exists_high_value, above_nation_avg
-    # (all green r1+r2) — return inside the cap, plus the three NEW r4
-    # queries (sentence_split, dict_mentions, tfidf_ranked). Making room,
-    # nine r3-green singletons with in-cap family siblings move to the
-    # tail: median_by_source + pivot_events (windows/grouping — siblings
+    # r4 rotation (VERDICT r3 #3) — final slate. In the cap (first 50):
+    #   * the 11 NEW r4 queries needing first driver rows: sentence_split,
+    #     dict_mentions, fuzzy_link, proximity_triples, degree_hist,
+    #     tfidf_ranked, quality_filter, mixture_sample, event_transitions,
+    #     plus the rows-only curation_decision flagship;
+    #   * the six r3-demoted queries whose last driver rows were r2
+    #     (moving_avg, sessionize, rollup_revenue, tpch_q5_nation,
+    #     exists_high_value, above_nation_avg), rotated back for fresh
+    #     evidence;
+    #   * the r3-green flagship/family heads (KG stages, dedup chain, ANN,
+    #     graph, funnel/cohort, TPC-H rep, profiling).
+    # Tail (51+): every entry is driver-green in a prior round with an
+    # in-cap family sibling — r4 demotions (all hash-MATCH r3):
+    # median_by_source + pivot_events (windows/grouping — siblings
     # moving_avg/sessionize/quality_buckets), cube_revenue +
-    # grouping_sets_revenue (sibling rollup_revenue), setops_active_customers
-    # (EXISTS/anti family — sibling exists_high_value/tpch_q4),
-    # json_extract_agg + xml_articles (semi-structured extraction, both
-    # hash-MATCH r3), kmv_distinct (distinct-estimation sibling
-    # table_profile), asof_join (sibling range_join_clicks).
+    # grouping_sets_revenue (sibling rollup_revenue),
+    # setops_active_customers (sibling exists_high_value/tpch_q4),
+    # json_extract_agg + xml_articles (semi-structured extraction),
+    # kmv_distinct (sibling table_profile), asof_join (sibling
+    # range_join_clicks), hypertable_rollup (sibling rollup_revenue),
+    # doc_fingerprint (textstats family), embedding_near_dup (siblings
+    # lsh_cosine_multiband/ivf_cosine_topk), stratified_sample (siblings
+    # mixture_weights/mixture_sample), edge_pmi (triples family:
+    # triples_cooccur/proximity_triples), sequence_packing (exercised
+    # inside in-cap curation_decision), connected_components (exercised
+    # inside in-cap dedup_clusters' component step). Older tail entries
+    # are green r1+r2 per the r3 ordering-contract notes (git history).
+    # When adding a NEW query, insert it before the tail and demote a
+    # driver-green family-redundant entry; never let an unverified query
+    # sit past position 50.
     return {
         # --- KG pipeline stages (flagship) ---
         "scan_filter_project": q_scan_filter_project,
@@ -1187,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- relational / windows / grouping ---
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention": q_cohort_retention,
+        "event_transitions": q_event_transitions,
         "mixture_sample": q_mixture_sample,
         "quality_buckets": q_quality_buckets,
         "tpch_q4": q_tpch_q4,
@@ -1215,7 +1241,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "tfidf_ranked": q_tfidf_ranked,
         "gopher_repetition": q_gopher_repetition,
-        "sequence_packing": q_sequence_packing,
         "pii_scrub": q_pii_scrub,
         # --------- position 51+: driver-green, family-redundant ---------
         # r4 demotions (all hash-MATCH in r3): median_by_source,
@@ -1224,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asof_join — in-cap siblings listed in the rotation comment above.
         # Older tail entries are green r1+r2 with in-cap siblings per the
         # r3 ordering-contract notes (git history).
+        "sequence_packing": q_sequence_packing,
         "connected_components": q_connected_components,
         "edge_pmi": q_edge_pmi,
         "hypertable_rollup": q_hypertable_rollup,
@@ -1425,6 +1451,22 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN share = 0 THEN 0.0
                          ELSE weight / share END, 6) AS oversample
             FROM weights""",
+        "event_transitions": """
+            WITH pairs AS (
+              SELECT user_id, event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS to_type
+              FROM events),
+            agg AS (
+              SELECT from_type, to_type, count(*) AS n_transitions
+              FROM pairs WHERE to_type IS NOT NULL
+              GROUP BY from_type, to_type)
+            SELECT from_type, to_type,
+                   CAST(n_transitions AS BIGINT) AS n_transitions,
+                   round(n_transitions
+                         / sum(n_transitions) OVER (PARTITION BY from_type)::DOUBLE,
+                         6) AS p
+            FROM agg""",
         "mixture_sample": f"""
             WITH per AS (
               SELECT source, count(*) AS n_docs,

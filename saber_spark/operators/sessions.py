@@ -58,3 +58,37 @@ def tumbling_window_agg(events: DataFrame, window_minutes: int = 60) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
     )
+
+
+def event_transitions(events: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      ts_col: str = "ts",
+                      tiebreak_col: str = "event_id") -> DataFrame:
+    """Per-user consecutive event-type transition table — the first-order
+    Markov model of behavioral analytics ("what do users do after a
+    click?"), complementing the funnel/cohort operators.
+
+    -> (from_type, to_type, n_transitions, p) where p = n_transitions /
+    total transitions out of from_type, rounded 6. Ordering is total and
+    deterministic: (ts, tiebreak) — same-timestamp events order by the
+    tiebreak id, so the table is engine-portable.
+
+    Scale: ONE data shuffle — the lead window partitions on user_id and
+    the (from, to) aggregation's input is the same rows (partial+final
+    hash agg); the probability normalization is a window over the
+    |types|²-row aggregate, bounded by the event-type alphabet, never by
+    event count.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (events
+             .select(F.col(user_col),
+                     F.col(type_col).alias("from_type"),
+                     F.lead(type_col).over(w).alias("to_type"))
+             .filter(F.col("to_type").isNotNull()))
+    agg = (pairs.groupBy("from_type", "to_type")
+           .agg(F.count(F.lit(1)).alias("n_transitions")))
+    w_from = Window.partitionBy("from_type")
+    return agg.select(
+        "from_type", "to_type", "n_transitions",
+        F.round(F.col("n_transitions")
+                / F.sum("n_transitions").over(w_from), 6).alias("p"))

@@ -1351,3 +1351,143 @@ class TestQualityFamilyConsistency:
             assert ("low_quality" in reasons) == (score[i] < 0.5), i
             assert ("lang" in reasons) == (lang[i] != "en"), i
             assert ("repetition" in reasons) == (not gopher[i]), i
+
+
+class TestDictMentionsRandomizedParity:
+    def test_matches_bruteforce_longest_match(self, spark):
+        """Randomized token streams + a dictionary with 1/2/3-token
+        surfaces (incl. a multi-entry surface) vs a brute-force
+        longest-match reference: a match survives iff NO strictly longer
+        match contains its whole span. Exercises the general windowed
+        containment frame (max_len=3), not just the oracle's bigram case."""
+        import random
+
+        from saber_spark.operators.linking import dict_ngram_mentions
+
+        rng = random.Random(1234)
+        vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+        dict_rows = [
+            ("aa", "X", "X:aa"), ("aa", "Y", "Y:aa"),  # multi-entry surface
+            ("cc", "X", "X:cc"),
+            ("aa bb", "X", "X:aabb"), ("cc dd", "Y", "Y:ccdd"),
+            ("aa bb cc", "Z", "Z:aabbcc"), ("bb cc dd", "Z", "Z:bbccdd"),
+        ]
+        by_surface = {}
+        for s, l, c in dict_rows:
+            by_surface.setdefault(s, []).append((l, c))
+        max_len = 3
+
+        docs = {d: [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+                for d in range(40)}
+
+        expected = []
+        for d, toks in docs.items():
+            matches = []
+            for p in range(len(toks)):
+                for n in range(1, max_len + 1):
+                    if p + n <= len(toks):
+                        s = " ".join(toks[p:p + n])
+                        if s in by_surface:
+                            matches.append((p, n, s))
+            L = {}
+            for p, n, s in matches:
+                L[p] = max(L.get(p, 0), n)
+            for p, n, s in matches:
+                contained = any(
+                    q <= p and L.get(q, 0) > n and q + L.get(q, 0) >= p + n
+                    for q in range(max(0, p - max_len + 1), p + 1))
+                if not contained:
+                    for lab, can in by_surface[s]:
+                        expected.append((d, p, n, s, lab, can))
+
+        tok_rows = [(d, p, t) for d, toks in docs.items()
+                    for p, t in enumerate(toks)]
+        tokens = spark.createDataFrame(
+            tok_rows, "doc_id long, pos long, token string")
+        dictionary = spark.createDataFrame(
+            dict_rows, "surface string, label string, canonical_id string")
+        got = sorted(
+            (r["doc_id"], r["start_pos"], r["n_tokens"], r["surface"],
+             r["label"], r["canonical_id"])
+            for r in dict_ngram_mentions(tokens, dictionary,
+                                         max_len=max_len).collect())
+        assert got == sorted(expected)
+        assert len(got) > 20  # the random corpus actually exercised it
+
+
+class TestProximityTriplesRandomizedParity:
+    def test_matches_bruteforce_window_pairs(self, spark):
+        import random
+
+        from saber_spark.operators.triples import proximity_triples
+
+        rng = random.Random(99)
+        ents = ["E1", "E2", "E3", "E4"]
+        k = 7
+        rows = []
+        for d in range(30):
+            used = set()
+            for _ in range(rng.randint(0, 12)):
+                p = rng.randint(0, 40)
+                if p in used:
+                    continue
+                used.add(p)
+                rows.append((d, p, rng.choice(ents)))
+
+        expected = {}
+        by_doc = {}
+        for d, p, c in rows:
+            by_doc.setdefault(d, []).append((p, c))
+        for d, ms in by_doc.items():
+            ms.sort()
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    pa, ca = ms[i]
+                    pb, cb = ms[j]
+                    if pb - pa <= k and pb != pa and ca != cb:
+                        key = (min(ca, cb), max(ca, cb))
+                        cnt, dset = expected.get(key, (0, set()))
+                        dset.add(d)
+                        expected[key] = (cnt + 1, dset)
+
+        m = spark.createDataFrame(
+            rows, "doc_id long, pos long, canonical_id string")
+        got = {(r["subj"], r["obj"]): (r["n_cooccur"], r["n_docs"])
+               for r in proximity_triples(m, k=k).collect()}
+        assert got == {key: (c, len(ds))
+                       for key, (c, ds) in expected.items()}
+        assert len(got) >= 3
+
+
+class TestEventTransitions:
+    def test_hand_computed_counts_and_probabilities(self, spark):
+        import datetime as dt
+        from saber_spark.operators.sessions import event_transitions
+        t = dt.datetime(2024, 1, 1)
+        rows = [
+            # u1: view -> click -> view
+            (1, 1, "view", t), (2, 1, "click", t.replace(hour=1)),
+            (3, 1, "view", t.replace(hour=2)),
+            # u2: view -> purchase; cross-user boundary adds NO transition
+            (4, 2, "view", t), (5, 2, "purchase", t.replace(hour=3)),
+        ]
+        out = {(r["from_type"], r["to_type"]): r for r in event_transitions(
+            spark.createDataFrame(
+                rows, "event_id long, user_id long, event_type string, "
+                      "ts timestamp_ntz")).collect()}
+        assert out[("view", "click")]["n_transitions"] == 1
+        assert out[("view", "purchase")]["n_transitions"] == 1
+        assert out[("click", "view")]["n_transitions"] == 1
+        assert out[("view", "click")]["p"] == 0.5
+        assert out[("click", "view")]["p"] == 1.0
+        assert ("purchase", "view") not in out  # last events emit nothing
+
+    def test_same_timestamp_orders_by_tiebreak(self, spark):
+        import datetime as dt
+        from saber_spark.operators.sessions import event_transitions
+        t = dt.datetime(2024, 1, 1)
+        rows = [(2, 1, "b", t), (1, 1, "a", t)]  # same ts; event_id orders
+        out = event_transitions(spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+                  "ts timestamp_ntz")).collect()
+        assert [(r["from_type"], r["to_type"]) for r in out] == [("a", "b")]
