@@ -174,6 +174,28 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     )
 
 
+def band_buckets(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", rows_per_band: int = 2,
+                 portable_ids: bool = False,
+                 shingles: DataFrame | None = None) -> DataFrame:
+    """-> (doc_id, band, band_sig): the LSH band-bucket table.
+
+    The mergeable dedup STATE representation: two docs sharing a
+    (band, band_sig) row collide in that band. minhash_candidates
+    self-joins this table; the incremental streaming curation path
+    PERSISTS it as the corpus-history footprint (bounded: bands x docs
+    rows, no text/shingles retained)."""
+    sigs = minhash_signatures(docs, text_col, id_col, portable_ids, shingles)
+    return (
+        sigs.withColumn("band", (F.col("seed_id") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("seed_id"), F.col("minhash")))).alias("sig_parts"))
+        .select(id_col, "band",
+                F.concat_ws("|", F.col("sig_parts")).alias("band_sig"))
+    )
+
+
 def minhash_candidates(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", rows_per_band: int = 2,
                        portable_ids: bool = False,
@@ -183,15 +205,8 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text",
     Docs agreeing on EVERY minhash within at least one band become a
     candidate pair. Self-join happens per (band, signature) bucket.
     """
-    sigs = minhash_signatures(docs, text_col, id_col, portable_ids, shingles)
-    bands = (
-        sigs.withColumn("band", (F.col("seed_id") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("seed_id"), F.col("minhash")))).alias("sig_parts"))
-        .select(id_col, "band",
-                F.concat_ws("|", F.col("sig_parts")).alias("band_sig"))
-    )
+    bands = band_buckets(docs, text_col, id_col, rows_per_band,
+                         portable_ids, shingles)
     left = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
     right = bands.select(F.col(id_col).alias("doc_b"), "band", "band_sig")
     return (

@@ -124,6 +124,120 @@ def start_incremental_edges(pages_stream: DataFrame,
             .start())
 
 
+def start_incremental_curation(docs_stream: DataFrame,
+                               decisions_path: str,
+                               buckets_path: str,
+                               checkpoint_path: str,
+                               min_bands: int = 2,
+                               rows_per_band: int = 2):
+    """Incremental corpus curation: micro-batch documents -> quality
+    verdicts + near-dup check against the ACCUMULATED corpus history ->
+    idempotent decision-table and history merges (the streaming twin of
+    curate.run_curation's filter+dedup core).
+
+    Dup rule: a new doc is a near-dup if it shares >= ``min_bands`` LSH
+    band buckets with any prior FINALLY-KEPT doc (or with an earlier doc
+    of its own micro-batch). This signature-only rule lets history hold
+    just the band-bucket table ((doc_id, band, band_sig) — bands x kept
+    docs rows, mergeable via merge_upsert) instead of corpus text or
+    shingles. The batch chain's exact-Jaccard verify needs both docs'
+    shingles; the incremental path trades exactness for a bounded history
+    footprint — the standard streaming-dedup compromise, stated rather
+    than hidden (multi-band agreement >= 2 of 8 bands ~ high estimated
+    Jaccard; tune min_bands/rows_per_band for the precision target).
+
+    Exactly-once: decisions merge first, then the kept docs' buckets;
+    each merge is epoch-idempotent (registry._applied_epoch), so any
+    crash/replay window re-applies nothing and the dup flags stay
+    deterministic (history is read BEFORE this epoch's buckets land; a
+    replay after the buckets landed recomputes flags against the larger
+    history but both merges are already no-ops).
+
+    PII masking runs before bucketing, matching the batch pipeline:
+    near-identical docs differing only in masked spans collide.
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    from saber_spark.operators.dedup import band_buckets
+    from saber_spark.operators.textstats import pii_scrub, quality_filter
+    from saber_spark.sources.registry import merge_upsert, read_table
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        verdicts = quality_filter(batch_df).persist()
+        kept = batch_df.join(verdicts.filter("keep").select("doc_id"),
+                             "doc_id")
+        sc = pii_scrub(kept)
+        scrubbed = (kept.drop("text")
+                    .join(sc.withColumnRenamed("scrubbed", "text"),
+                          "doc_id"))
+        buckets = (band_buckets(scrubbed, rows_per_band=rows_per_band)
+                   .persist())
+
+        def hits(left, right, flag):
+            return (left.join(right, ["band", "band_sig"])
+                    .filter(F.col("doc_id") != F.col("prior_id"))
+                    .groupBy("doc_id", "prior_id")
+                    .agg(F.count(F.lit(1)).alias("nb"))
+                    .filter(F.col("nb") >= min_bands)
+                    .select("doc_id").distinct()
+                    .withColumn(flag, F.lit(True)))
+
+        if os.path.exists(buckets_path):
+            history = (read_table(spark, buckets_path)
+                       .withColumnRenamed("doc_id", "prior_id"))
+            hist_hits = hits(buckets, history, "dup_of_history")
+        else:
+            hist_hits = None
+        batch_prior = (buckets.select(F.col("doc_id").alias("prior_id"),
+                                      "band", "band_sig"))
+        batch_hits = (buckets.join(batch_prior, ["band", "band_sig"])
+                      .filter(F.col("prior_id") < F.col("doc_id"))
+                      .groupBy("doc_id", "prior_id")
+                      .agg(F.count(F.lit(1)).alias("nb"))
+                      .filter(F.col("nb") >= min_bands)
+                      .select("doc_id").distinct()
+                      .withColumn("dup_in_batch", F.lit(True)))
+
+        decisions = verdicts.withColumnRenamed("keep", "quality_keep")
+        if hist_hits is not None:
+            decisions = decisions.join(hist_hits, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn("dup_of_history",
+                                             F.lit(False))
+        decisions = (decisions.join(batch_hits, "doc_id", "left")
+                     .select(
+                         "doc_id", "quality_keep", "n_failed", "reasons",
+                         F.coalesce("dup_of_history", F.lit(False))
+                         .alias("dup_of_history"),
+                         F.coalesce("dup_in_batch", F.lit(False))
+                         .alias("dup_in_batch"))
+                     .withColumn(
+                         "final_keep",
+                         F.col("quality_keep") & ~F.col("dup_of_history")
+                         & ~F.col("dup_in_batch"))
+                     .persist())
+        merge_upsert(decisions_path, decisions, keys=["doc_id"],
+                     sum_cols=[],
+                     min_cols=["quality_keep", "n_failed", "reasons",
+                               "dup_of_history", "dup_in_batch",
+                               "final_keep"],
+                     epoch_id=epoch_id)
+        kept_buckets = buckets.join(
+            decisions.filter("final_keep").select("doc_id"), "doc_id")
+        merge_upsert(buckets_path, kept_buckets, keys=["doc_id", "band"],
+                     sum_cols=[], min_cols=["band_sig"], epoch_id=epoch_id)
+        for df in (verdicts, buckets, decisions):
+            df.unpersist()
+
+    return (docs_stream.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_dedup_events(events_stream: DataFrame,
                         keys: list[str] | None = None,
                         watermark: str = "10 minutes") -> DataFrame:

@@ -156,3 +156,71 @@ class TestStatefulLabelCounts:
                     batch.groupBy("label").agg(
                         F.count(F.lit(1)).alias("n")).collect()}
         assert got == expected
+
+
+class TestIncrementalCuration:
+    def test_new_docs_dedup_against_history(self, spark, tmp_path):
+        """Micro-batch 2's near-dup of a batch-1 doc is flagged against
+        the ACCUMULATED bucket history and dropped; fresh docs keep; a
+        quality-failing doc never reaches dedup. History holds buckets
+        only for finally-kept docs."""
+        from saber_spark.streaming import start_incremental_curation
+
+        stops = ["the", "of", "and", "to", "in", "is"]
+
+        def body(seed):
+            return " ".join(f"w{seed}x{i} {stops[i % 6]}" for i in range(60))
+
+        a = body("a")
+        near_a = a.replace("wax3", "changed", 1)   # ~0.97 shingle Jaccard
+        schema = "doc_id long, text string, source string"
+        src = str(tmp_path / "docs")
+        b0 = [(1, a, "web"), (2, body("b"), "web"), (3, "zz qq", "web")]
+        b1 = [(10, near_a, "web"), (11, body("c"), "web")]
+        for i, batch in enumerate([b0, b1]):
+            spark.createDataFrame(batch, schema).coalesce(1) \
+                .write.mode("append" if i else "overwrite").parquet(src)
+
+        dec_path = str(tmp_path / "decisions")
+        buck_path = str(tmp_path / "buckets")
+        stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_incremental_curation(
+            stream, dec_path, buck_path,
+            checkpoint_path=str(tmp_path / "ckpt"))
+        q.awaitTermination(240)
+
+        dec = {r["doc_id"]: r for r in
+               spark.read.parquet(dec_path).collect()}
+        assert len(dec) == 5
+        assert dec[1]["final_keep"] and dec[2]["final_keep"]
+        assert not dec[3]["quality_keep"] and not dec[3]["final_keep"]
+        assert dec[10]["quality_keep"] and dec[10]["dup_of_history"]
+        assert not dec[10]["final_keep"]
+        assert dec[11]["final_keep"] and not dec[11]["dup_of_history"]
+
+        hist_ids = {r["doc_id"] for r in
+                    spark.read.parquet(buck_path)
+                    .select("doc_id").distinct().collect()}
+        assert hist_ids == {1, 2, 11}  # kept docs only anchor the history
+
+    def test_within_batch_near_dup_earlier_doc_wins(self, spark, tmp_path):
+        from saber_spark.streaming import start_incremental_curation
+
+        stops = ["the", "of", "and", "to", "in", "is"]
+        base = " ".join(f"q{i}z {stops[i % 6]}" for i in range(60))
+        schema = "doc_id long, text string, source string"
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(5, base, "web"), (9, base.replace("q7z", "edited", 1), "web")],
+            schema).coalesce(1).write.parquet(src)
+        stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+                  .parquet(src))
+        q = start_incremental_curation(
+            stream, str(tmp_path / "dec"), str(tmp_path / "buck"),
+            checkpoint_path=str(tmp_path / "ck"))
+        q.awaitTermination(240)
+        dec = {r["doc_id"]: r for r in
+               spark.read.parquet(str(tmp_path / "dec")).collect()}
+        assert dec[5]["final_keep"] and not dec[5]["dup_in_batch"]
+        assert dec[9]["dup_in_batch"] and not dec[9]["final_keep"]
