@@ -1101,7 +1101,10 @@ def q_curation_decision(spark, sf_dir):
     (tests/test_curate.py), and dedup runs on the PII-masked text, which
     has no single-statement SQL twin."""
     from saber_spark.curate import run_curation
-    return run_curation(spark, _docs(spark, sf_dir))["decision"]
+    # persist=False: a query wrapper cannot unpersist after the driver
+    # materializes the frame — don't leak cached partitions per evaluation
+    return run_curation(spark, _docs(spark, sf_dir),
+                        persist=False)["decision"]
 
 
 def q_kg_edges(spark, sf_dir):

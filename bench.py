@@ -105,8 +105,8 @@ def main() -> None:
         cur["shards"].write.mode("overwrite").parquet(
             f"{out_dir}/shards_{tag}")
         secs = time.monotonic() - t0
-        cur["scrubbed"].unpersist()
-        cur["verdicts"].unpersist()
+        for name in ("scrubbed", "verdicts", "decision"):
+            cur[name].unpersist()
         return secs, kept
 
     cold_secs, _ = run_curate_once("cold")
@@ -142,7 +142,7 @@ def main() -> None:
         # filter, token-window relation candidates, fuzzy grounding,
         # weighted corpus sampling)
         "dict_mentions", "quality_filter", "proximity_triples",
-        "fuzzy_link", "mixture_sample",
+        "fuzzy_link", "mixture_sample", "event_transitions",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -31,11 +31,23 @@ def _manifest_path(path: str) -> str:
     return os.path.join(path, MANIFEST_NAME)
 
 
-def is_complete(path: str, stage: str) -> bool:
+def is_complete(path: str, stage: str,
+                config: dict | None = None) -> bool:
+    """A stage replays only if its manifest is complete AND was written
+    under the same ``config`` (a JSON-able dict of the parameters the
+    stage's output depends on). A config mismatch — e.g. rerunning
+    curation with a newly supplied eval set or a different dedup
+    threshold against an old checkpoint dir — must RECOMPUTE, not
+    silently serve stale output. Stages written before a config was
+    recorded (or checked without one) keep the old name-only behavior."""
     try:
         with open(_manifest_path(path)) as f:
             m = json.load(f)
-        return m.get("stage") == stage and m.get("complete") is True
+        if not (m.get("stage") == stage and m.get("complete") is True):
+            return False
+        if config is not None and m.get("config") is not None                 and m["config"] != config:
+            return False
+        return True
     except (OSError, json.JSONDecodeError):
         return False
 
@@ -43,7 +55,8 @@ def is_complete(path: str, stage: str) -> bool:
 def write_stage(df: DataFrame, path: str, stage: str,
                 partition_by: list[str] | None = None,
                 extra_metrics: dict | None = None,
-                fmt: str | None = None) -> DataFrame:
+                fmt: str | None = None,
+                config: dict | None = None) -> DataFrame:
     """Materialize a stage with lineage, write the manifest, return a reader.
 
     The lineage column records the physical partition that produced each row
@@ -72,6 +85,7 @@ def write_stage(df: DataFrame, path: str, stage: str,
         "partitions": part_counts,
         "write_seconds": round(elapsed, 3),
         "metrics": extra_metrics or {},
+        "config": config,
     }
     with open(_manifest_path(path), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
@@ -85,20 +99,23 @@ def read_stage(spark: SparkSession, path: str, fmt: str | None = None) -> DataFr
 
 
 def run_stage(spark: SparkSession, checkpoint_dir: str | None, stage: str,
-              compute, resume: bool = True) -> DataFrame:
+              compute, resume: bool = True,
+              config: dict | None = None) -> DataFrame:
     """Compute-or-load a stage.
 
     With no checkpoint_dir the stage stays lazy (pure DataFrame chaining);
     with one, the stage is materialized once and replayed from parquet on
     resume — killing the job after stage k and rerunning produces identical
-    final output without redoing stages 1..k.
+    final output without redoing stages 1..k. ``config`` pins the stage to
+    the parameters it was computed under: a rerun with a different config
+    recomputes instead of serving the stale checkpoint (see is_complete).
     """
     if checkpoint_dir is None:
         return compute()
     path = os.path.join(checkpoint_dir, stage)
-    if resume and is_complete(path, stage):
+    if resume and is_complete(path, stage, config):
         return read_stage(spark, path)
-    return write_stage(compute(), path, stage)
+    return write_stage(compute(), path, stage, config=config)
 
 
 def read_manifest(checkpoint_dir: str, stage: str) -> dict:

@@ -54,6 +54,7 @@ def run_curation(
     dedup_threshold: float = 0.5,
     pack_window: int = 512,
     contamination_n: int = 5,
+    persist: bool = True,
 ) -> dict[str, DataFrame]:
     """Full curation pass; returns
     {verdicts, scrubbed, keep_list, decision, weights, shards}.
@@ -67,17 +68,28 @@ def run_curation(
     standard order — RefinedWeb dedups after rule filtering, cutting the
     shingle volume by the reject rate); the decision table is built with
     doc_id equi-joins of per-stage verdict tables, each already
-    doc_id-sized or smaller. Without a checkpoint_dir the kept corpus is
-    persisted once so the three downstream consumers (dedup,
-    contamination, packing) don't recompute the filter chain.
+    doc_id-sized or smaller. Without a checkpoint_dir the multi-consumer
+    stages (verdicts, the kept corpus, the decision table) are persisted
+    once so downstream consumers don't recompute the filter chain;
+    ``persist=False`` disables that for one-shot callers (e.g. the driver
+    query wrapper) that would otherwise leak cached partitions they
+    cannot release.
+
+    Checkpoint stages are CONFIG-PINNED: rerunning against an existing
+    checkpoint_dir with a different dedup_threshold / pack_window /
+    eval set recomputes the affected stages instead of silently serving
+    the stale cache (checkpoint.is_complete).
     """
-    verdicts = ckpt.run_stage(
+    cfg = {"dedup_threshold": dedup_threshold,
+           "has_eval": eval_docs is not None,
+           "contamination_n": contamination_n}
+
+    def _persist(df: DataFrame) -> DataFrame:
+        return df.persist() if persist and checkpoint_dir is None else df
+
+    verdicts = _persist(ckpt.run_stage(
         spark, checkpoint_dir, "verdicts",
-        lambda: quality_filter(docs))
-    if checkpoint_dir is None:
-        # two consumers (kept-id filter, decision table) — avoid running
-        # the filter chain twice when stages aren't parquet-materialized
-        verdicts = verdicts.persist()
+        lambda: quality_filter(docs)))
 
     def compute_scrubbed() -> DataFrame:
         kept_ids = verdicts.filter("keep").select("doc_id")
@@ -87,22 +99,21 @@ def run_curation(
         return (kept.drop("text")
                 .join(sc.withColumnRenamed("scrubbed", "text"), "doc_id"))
 
-    scrubbed = ckpt.run_stage(spark, checkpoint_dir, "scrubbed",
-                              compute_scrubbed)
-    if checkpoint_dir is None:
-        # three consumers fan out from the scrubbed corpus
-        scrubbed = scrubbed.persist()
+    scrubbed = _persist(ckpt.run_stage(spark, checkpoint_dir, "scrubbed",
+                                       compute_scrubbed))
 
     keep_list = ckpt.run_stage(
         spark, checkpoint_dir, "keep_list",
         lambda: dedup_clusters(scrubbed, threshold=dedup_threshold,
-                               rounds=None))
+                               rounds=None),
+        config=cfg)
 
     if eval_docs is not None:
         contamination = ckpt.run_stage(
             spark, checkpoint_dir, "contamination",
             lambda: contamination_check(scrubbed, eval_docs,
-                                        n=contamination_n))
+                                        n=contamination_n),
+            config=cfg)
     else:
         contamination = None
 
@@ -128,8 +139,8 @@ def run_curation(
              & ~F.coalesce("contaminated", F.lit(False))
              ).alias("final_keep"))
 
-    decision = ckpt.run_stage(spark, checkpoint_dir, "decision",
-                              compute_decision)
+    decision = _persist(ckpt.run_stage(spark, checkpoint_dir, "decision",
+                                       compute_decision, config=cfg))
 
     def final_corpus() -> DataFrame:
         return scrubbed.join(
@@ -137,10 +148,11 @@ def run_curation(
 
     weights = ckpt.run_stage(
         spark, checkpoint_dir, "weights",
-        lambda: mixture_weights(final_corpus()))
+        lambda: mixture_weights(final_corpus()), config=cfg)
     shards = ckpt.run_stage(
         spark, checkpoint_dir, "shards",
-        lambda: pack_sequences(final_corpus(), window=pack_window))
+        lambda: pack_sequences(final_corpus(), window=pack_window),
+        config={**cfg, "pack_window": pack_window})
 
     return {"verdicts": verdicts, "scrubbed": scrubbed,
             "keep_list": keep_list, "decision": decision,

@@ -102,6 +102,26 @@ def write_table(df: DataFrame, path: str, fmt: str | None = None,
     writer.save(path)
 
 
+def recover_table(target_path: str) -> None:
+    """Crash recovery for merge_upsert's three-step swap (write tmp ->
+    rename target aside as ``__prev`` -> move tmp in -> drop the aside
+    copy). rmtree-before-move would lose the whole table if the process
+    died between the two; the rename-aside protocol leaves every crash
+    window recoverable. merge_upsert runs this on entry; any READER of a
+    merge-managed table (e.g. the incremental-curation history check) must
+    run it too, or a crash mid-swap makes the table look absent/stale.
+    No-op when no ``__prev`` directory exists.
+    """
+    import os
+
+    prev = target_path + "__prev"
+    if os.path.exists(prev):
+        if os.path.exists(target_path):
+            shutil.rmtree(prev)             # died after swap-in: drop aside
+        else:
+            shutil.move(prev, target_path)  # died mid-swap: restore table
+
+
 def merge_upsert(target_path: str, updates: DataFrame, keys: list[str],
                  sum_cols: list[str], min_cols: list[str],
                  fmt: str | None = None, epoch_id: int | None = None) -> None:
@@ -160,16 +180,8 @@ def merge_upsert(target_path: str, updates: DataFrame, keys: list[str],
 
     import os
 
-    # Crash recovery for the three-step swap below (tmp -> rename target
-    # aside -> swap tmp in -> drop the aside copy). rmtree-before-move
-    # would lose the whole table if the process died between the two; the
-    # rename-aside protocol leaves every crash window recoverable:
+    recover_table(target_path)
     prev = target_path + "__prev"
-    if os.path.exists(prev):
-        if os.path.exists(target_path):
-            shutil.rmtree(prev)           # died after swap-in: drop aside
-        else:
-            shutil.move(prev, target_path)  # died mid-swap: restore table
 
     marker = os.path.join(target_path, "_applied_epoch")
     if epoch_id is not None and os.path.exists(marker):

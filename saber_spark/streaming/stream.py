@@ -159,7 +159,8 @@ def start_incremental_curation(docs_stream: DataFrame,
     """
     from saber_spark.operators.dedup import band_buckets
     from saber_spark.operators.textstats import pii_scrub, quality_filter
-    from saber_spark.sources.registry import merge_upsert, read_table
+    from saber_spark.sources.registry import (merge_upsert, read_table,
+                                              recover_table)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         import os
@@ -175,30 +176,32 @@ def start_incremental_curation(docs_stream: DataFrame,
         buckets = (band_buckets(scrubbed, rows_per_band=rows_per_band)
                    .persist())
 
-        def hits(left, right, flag):
-            return (left.join(right, ["band", "band_sig"])
-                    .filter(F.col("doc_id") != F.col("prior_id"))
+        def hits(prior, pair_filter, flag):
+            return (buckets.join(prior, ["band", "band_sig"])
+                    .filter(pair_filter)
                     .groupBy("doc_id", "prior_id")
                     .agg(F.count(F.lit(1)).alias("nb"))
                     .filter(F.col("nb") >= min_bands)
                     .select("doc_id").distinct()
                     .withColumn(flag, F.lit(True)))
 
+        # a crash mid-swap leaves the history renamed aside (__prev);
+        # recover BEFORE the existence check or a replayed epoch would
+        # compute dup flags against an absent/stale table
+        recover_table(buckets_path)
         if os.path.exists(buckets_path):
             history = (read_table(spark, buckets_path)
                        .withColumnRenamed("doc_id", "prior_id"))
-            hist_hits = hits(buckets, history, "dup_of_history")
+            hist_hits = hits(history,
+                             F.col("doc_id") != F.col("prior_id"),
+                             "dup_of_history")
         else:
             hist_hits = None
         batch_prior = (buckets.select(F.col("doc_id").alias("prior_id"),
                                       "band", "band_sig"))
-        batch_hits = (buckets.join(batch_prior, ["band", "band_sig"])
-                      .filter(F.col("prior_id") < F.col("doc_id"))
-                      .groupBy("doc_id", "prior_id")
-                      .agg(F.count(F.lit(1)).alias("nb"))
-                      .filter(F.col("nb") >= min_bands)
-                      .select("doc_id").distinct()
-                      .withColumn("dup_in_batch", F.lit(True)))
+        batch_hits = hits(batch_prior,
+                          F.col("prior_id") < F.col("doc_id"),
+                          "dup_in_batch")
 
         decisions = verdicts.withColumnRenamed("keep", "quality_keep")
         if hist_hits is not None:

@@ -90,3 +90,35 @@ class TestCurationResume:
         # the expensive early stage was REPLAYED from parquet, not rerun
         assert os.path.getmtime(
             os.path.join(ck, "keep_list", "_saber_manifest.json")) == early_mtime
+
+
+class TestCurationConfigPinning:
+    def test_changed_config_recomputes_stale_stages(self, spark, docs,
+                                                    tmp_path):
+        """Rerunning against an existing checkpoint dir with a different
+        dedup threshold / a newly supplied eval set must RECOMPUTE the
+        affected stages, not silently serve the stale cache (r4 review
+        finding)."""
+        import os
+
+        ck = str(tmp_path / "ckpt")
+        run_curation(spark, docs, checkpoint_dir=ck)
+        manifest = os.path.join(ck, "keep_list", "_saber_manifest.json")
+        t_first = os.path.getmtime(manifest)
+        dec_manifest = os.path.join(ck, "decision", "_saber_manifest.json")
+        t_dec_first = os.path.getmtime(dec_manifest)
+
+        # same config -> replay, nothing recomputed
+        run_curation(spark, docs, checkpoint_dir=ck)
+        assert os.path.getmtime(manifest) == t_first
+
+        # different threshold -> keep_list + decision recompute
+        run_curation(spark, docs, checkpoint_dir=ck, dedup_threshold=0.9)
+        assert os.path.getmtime(manifest) > t_first
+        assert os.path.getmtime(dec_manifest) > t_dec_first
+
+        # newly supplied eval set -> decision recomputes with contamination
+        eval_docs = docs.limit(2).select("doc_id", "text")
+        out = run_curation(spark, docs, checkpoint_dir=ck,
+                           dedup_threshold=0.9, eval_docs=eval_docs)
+        assert out["decision"].filter("contaminated").count() >= 1
