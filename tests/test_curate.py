@@ -122,3 +122,29 @@ class TestCurationConfigPinning:
         out = run_curation(spark, docs, checkpoint_dir=ck,
                            dedup_threshold=0.9, eval_docs=eval_docs)
         assert out["decision"].filter("contaminated").count() >= 1
+
+
+class TestCurationEmptyCorpus:
+    def test_empty_input_yields_empty_tables_without_error(self, spark):
+        """An empty crawl slice (scheduling reality at 10^12 docs: some
+        partitions/days are empty) must produce empty-but-well-formed
+        tables through the WHOLE curation chain, not exceptions."""
+        empty = spark.createDataFrame(
+            [], "doc_id long, text string, source string")
+        out = run_curation(spark, empty)
+        for name in ("verdicts", "decision", "weights", "shards"):
+            assert out[name].count() == 0, name
+        assert "final_keep" in out["decision"].columns
+
+    def test_all_docs_filtered_yields_empty_survivor_tables(self, spark):
+        """Every doc failing quality: decision has one row per doc (all
+        drops), weights/shards are empty, dedup never sees a doc."""
+        docs = spark.createDataFrame(
+            [(1, "zz", "a"), (2, "qq ww", "b")],
+            "doc_id long, text string, source string")
+        out = run_curation(spark, docs)
+        dec = out["decision"].collect()
+        assert len(dec) == 2
+        assert all(not r["final_keep"] for r in dec)
+        assert out["weights"].count() == 0
+        assert out["shards"].count() == 0

@@ -1491,3 +1491,34 @@ class TestEventTransitions:
             rows, "event_id long, user_id long, event_type string, "
                   "ts timestamp_ntz")).collect()
         assert [(r["from_type"], r["to_type"]) for r in out] == [("a", "b")]
+
+
+class TestNewOperatorsEmptyInputs:
+    def test_dict_mentions_fuzzy_proximity_on_empty_and_trivial(self, spark):
+        from saber_spark.fixtures.dictionary import grounding_dict_df
+        from saber_spark.operators.linking import (dict_ngram_mentions,
+                                                   fuzzy_link)
+        from saber_spark.operators.triples import proximity_triples
+        d = grounding_dict_df(spark)
+        empty_toks = spark.createDataFrame(
+            [], "doc_id long, pos long, token string")
+        assert dict_ngram_mentions(empty_toks, d).count() == 0
+        assert fuzzy_link(empty_toks, d).count() == 0
+        empty_m = spark.createDataFrame(
+            [], "doc_id long, pos long, canonical_id string")
+        assert proximity_triples(empty_m).count() == 0
+        # single-token doc: no bigram window partner, unigram still fires
+        one = spark.createDataFrame([(1, 0, "spark")],
+                                    "doc_id long, pos long, token string")
+        assert dict_ngram_mentions(one, d).count() == 1
+
+    def test_event_transitions_single_event_user(self, spark):
+        import datetime as dt
+        from saber_spark.operators.sessions import event_transitions
+        one = spark.createDataFrame(
+            [(1, 1, "view", dt.datetime(2024, 1, 1))],
+            "event_id long, user_id long, event_type string, ts timestamp_ntz")
+        assert event_transitions(one).count() == 0
+        empty = spark.createDataFrame(
+            [], "event_id long, user_id long, event_type string, ts timestamp_ntz")
+        assert event_transitions(empty).count() == 0
