@@ -122,6 +122,42 @@ def recover_table(target_path: str) -> None:
             shutil.move(prev, target_path)  # died mid-swap: restore table
 
 
+def compact_table(spark: SparkSession, target_path: str,
+                  target_files: int = 8, fmt: str | None = None,
+                  partition_by: list[str] | None = None) -> None:
+    """Small-file compaction for append/streaming sinks.
+
+    Micro-batch sinks and repeated merges accumulate many small files;
+    at scale that degrades scan parallelism planning and metadata ops
+    (the classic small-file problem). This rewrites the table into
+    ``target_files`` files through the SAME crash-safe rename-aside swap
+    as merge_upsert (write tmp -> move target aside -> swap in -> drop
+    aside), preserving the ``_applied_epoch`` replay marker so an
+    exactly-once merge sink stays exactly-once across compactions. On
+    Iceberg, use the rewrite_data_files procedure instead — compaction
+    there is a metadata-transactional snapshot, not a directory swap.
+    """
+    import os
+
+    fmt = fmt or DEFAULT_WRITE_FORMAT
+    if fmt == "iceberg":
+        spark.sql(f"CALL system.rewrite_data_files(table => '{target_path}')")
+        return
+    recover_table(target_path)
+    df = read_table(spark, target_path, fmt).coalesce(target_files)
+    tmp = target_path + "__compact"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    write_table(df, tmp, fmt, partition_by=partition_by)
+    marker = os.path.join(target_path, "_applied_epoch")
+    if os.path.exists(marker):
+        shutil.copy(marker, os.path.join(tmp, "_applied_epoch"))
+    prev = target_path + "__prev"
+    shutil.move(target_path, prev)
+    shutil.move(tmp, target_path)
+    shutil.rmtree(prev, ignore_errors=True)
+
+
 def merge_upsert(target_path: str, updates: DataFrame, keys: list[str],
                  sum_cols: list[str], min_cols: list[str],
                  fmt: str | None = None, epoch_id: int | None = None) -> None:

@@ -455,3 +455,47 @@ class TestJsonlCorpus:
         # the type-mismatch line keeps its parseable columns
         mism = [r for r in bad if r["_corrupt_record"] != "{broken json!!"][0]
         assert mism["text"] == "delta" and mism["doc_id"] is None
+
+
+class TestCompaction:
+    def test_compacts_files_preserving_rows_and_epoch_marker(self, spark,
+                                                             tmp_path):
+        """32 small files -> target_files parquet parts with identical
+        rows; the merge sink's _applied_epoch replay marker survives so
+        exactly-once semantics hold across compactions."""
+        import os
+
+        from saber_spark.sources.registry import compact_table, read_table
+        p = str(tmp_path / "sink")
+        spark.range(1000).repartition(32).write.parquet(p)
+        with open(os.path.join(p, "_applied_epoch"), "w") as fh:
+            fh.write("7")
+        before = set(r["id"] for r in read_table(spark, p).collect())
+        n_before = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+        assert n_before >= 30
+
+        compact_table(spark, p, target_files=4)
+
+        after = set(r["id"] for r in read_table(spark, p).collect())
+        assert after == before
+        n_after = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+        assert n_after <= 4
+        with open(os.path.join(p, "_applied_epoch")) as fh:
+            assert fh.read().strip() == "7"
+        assert not os.path.exists(p + "__prev")
+        assert not os.path.exists(p + "__compact")
+
+    def test_recovers_interrupted_swap_before_compacting(self, spark,
+                                                         tmp_path):
+        """A table left renamed aside by a crashed merge (mid-swap) is
+        restored before compaction reads it."""
+        import os
+        import shutil as sh
+
+        from saber_spark.sources.registry import compact_table, read_table
+        p = str(tmp_path / "sink")
+        spark.range(100).repartition(8).write.parquet(p)
+        sh.move(p, p + "__prev")  # simulate death between the two moves
+        assert not os.path.exists(p)
+        compact_table(spark, p, target_files=2)
+        assert read_table(spark, p).count() == 100
