@@ -121,3 +121,34 @@ def run_stage(spark: SparkSession, checkpoint_dir: str | None, stage: str,
 def read_manifest(checkpoint_dir: str, stage: str) -> dict:
     with open(_manifest_path(os.path.join(checkpoint_dir, stage))) as f:
         return json.load(f)
+
+
+def lineage_report(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """All stage manifests of a checkpointed job as ONE queryable table:
+    (stage, partition_id, rows, stage_rows, write_seconds, config_json).
+
+    The audit surface the north_rule's per-partition lineage exists for:
+    "which partition of which stage produced how many rows, under what
+    config" answerable with a filter instead of opening JSON sidecars by
+    hand. Driver-side cost is O(stages) file reads — manifests are tiny
+    regardless of data scale.
+    """
+    recs = []
+    for stage in sorted(os.listdir(checkpoint_dir)):
+        mp = _manifest_path(os.path.join(checkpoint_dir, stage))
+        if not os.path.exists(mp):
+            continue
+        with open(mp) as fh:
+            m = json.load(fh)
+        cfg = json.dumps(m.get("config"), sort_keys=True) \
+            if m.get("config") is not None else None
+        for part, rows in sorted(m.get("partitions", {}).items()):
+            recs.append((m["stage"], int(part), int(rows),
+                         int(m.get("rows", 0)),
+                         float(m.get("write_seconds", 0.0)), cfg))
+        if not m.get("partitions"):
+            recs.append((m["stage"], None, None, int(m.get("rows", 0)),
+                         float(m.get("write_seconds", 0.0)), cfg))
+    return spark.createDataFrame(
+        recs, "stage string, partition_id int, rows int, stage_rows int, "
+              "write_seconds double, config_json string")

@@ -148,3 +148,30 @@ class TestCurationEmptyCorpus:
         assert all(not r["final_keep"] for r in dec)
         assert out["weights"].count() == 0
         assert out["shards"].count() == 0
+
+
+class TestLineageReport:
+    def test_manifests_become_one_queryable_table(self, spark, docs,
+                                                  tmp_path):
+        from pyspark.sql import functions as F
+
+        from saber_spark.checkpoint import lineage_report
+        ck = str(tmp_path / "ck")
+        out = run_curation(spark, docs, checkpoint_dir=ck)
+        rep = lineage_report(spark, ck)
+        stages = {r["stage"] for r in rep.select("stage").distinct().collect()}
+        assert {"verdicts", "scrubbed", "keep_list", "decision",
+                "weights", "shards"} <= stages
+        # per-partition rows sum to the stage total
+        sums = {r["stage"]: r["s"] for r in
+                rep.groupBy("stage").agg(F.sum("rows").alias("s")).collect()}
+        totals = {r["stage"]: r["stage_rows"] for r in
+                  rep.select("stage", "stage_rows").distinct().collect()}
+        for s in stages:
+            assert sums[s] == totals[s], s
+        # config-pinned stages carry their config
+        klcfg = rep.filter("stage = 'keep_list'") \
+            .select("config_json").first()["config_json"]
+        assert "dedup_threshold" in klcfg
+        # decision row count equals the input corpus
+        assert totals["decision"] == docs.count()
