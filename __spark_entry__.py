@@ -874,6 +874,18 @@ def q_proximity_triples(spark, sf_dir):
     return proximity_triples(_linked_spark(spark, sf_dir), k=10)
 
 
+def q_centroid_classify(spark, sf_dir):
+    """Nearest-centroid embedding classifier with closed-form distributed
+    training (one hash agg fits the model): held-out confusion counts on
+    hash-fold 0, trained on the rest — the embedding-side quality-
+    classifier shape of production corpus pipelines."""
+    from saber_spark.operators.classify import centroid_confusion
+    return (centroid_confusion(_embeddings(spark, sf_dir))
+            .select(F.col("true_label").cast("long").alias("true_label"),
+                    F.col("pred_label").cast("long").alias("pred_label"),
+                    "n_vecs"))
+
+
 def q_degree_hist(spark, sf_dir):
     """Degree distribution of the co-occurrence KG (graph health profile;
     the heavy tail is the hub-entity skew signal the salted
@@ -1232,12 +1244,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_entities": q_triangle_entities,
         # --- dedup / similarity family ---
         "dedup_clusters": q_dedup_clusters,
-        "contamination_check": q_contamination_check,
         "minhash_candidates": q_minhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "crossdoc_ngram_dup": q_crossdoc_ngram_dup,
         "lsh_cosine_multiband": q_lsh_cosine_multiband,
         "ivf_cosine_topk": q_ivf_cosine_topk,
+        "centroid_classify": q_centroid_classify,
         # --- text stats ---
         "quality_score": q_quality_score,
         "quality_filter": q_quality_filter,
@@ -1252,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asof_join — in-cap siblings listed in the rotation comment above.
         # Older tail entries are green r1+r2 with in-cap siblings per the
         # r3 ordering-contract notes (git history).
+        "contamination_check": q_contamination_check,
         "sequence_packing": q_sequence_packing,
         "connected_components": q_connected_components,
         "edge_pmi": q_edge_pmi,
@@ -2235,6 +2248,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_cooccur,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM pairs GROUP BY subj, obj""",
+        "centroid_classify": f"""
+            WITH q AS (
+              SELECT vec_id, label,
+                     ((vec_id * {KNUTH}) % {HASH_MOD}) % 5 AS fold,
+                     list_transform(embedding,
+                       x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            vals AS (
+              SELECT vec_id, label, fold,
+                     CAST(generate_subscripts(qv, 1) AS INT) AS dim,
+                     unnest(qv) AS v
+              FROM q),
+            cent AS (
+              SELECT label AS c_label, dim, sum(v) AS csum
+              FROM vals WHERE fold != 0 GROUP BY label, dim),
+            cnorm AS (
+              SELECT c_label, sum(csum * csum) AS cnorm2
+              FROM cent GROUP BY c_label),
+            dots AS (
+              SELECT t.vec_id, c.c_label, sum(t.v * c.csum) AS dot
+              FROM vals t JOIN cent c ON t.dim = c.dim
+              WHERE t.fold = 0
+              GROUP BY t.vec_id, c.c_label),
+            scored AS (
+              SELECT d.vec_id, d.c_label,
+                     d.dot / sqrt(n.cnorm2::DOUBLE) AS score
+              FROM dots d JOIN cnorm n USING (c_label)),
+            pred AS (
+              SELECT vec_id, c_label AS pred_label,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY score DESC, c_label ASC) AS rn
+              FROM scored)
+            SELECT CAST(t.label AS BIGINT) AS true_label,
+                   CAST(p.pred_label AS BIGINT) AS pred_label,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM pred p
+            JOIN (SELECT DISTINCT vec_id, label FROM q WHERE fold = 0) t
+              USING (vec_id)
+            WHERE p.rn = 1
+            GROUP BY t.label, p.pred_label""",
         "degree_hist": f"""
             WITH {TOKENS_CTE}, {LINKED_CTE},
             ents AS (SELECT DISTINCT doc_id, canonical_id FROM linked),

@@ -1522,3 +1522,40 @@ class TestNewOperatorsEmptyInputs:
         empty = spark.createDataFrame(
             [], "event_id long, user_id long, event_type string, ts timestamp_ntz")
         assert event_transitions(empty).count() == 0
+
+
+class TestCentroidClassifier:
+    def test_separable_clusters_classified_perfectly(self, spark):
+        """Three well-separated Gaussian-ish clusters -> the held-out
+        confusion matrix is purely diagonal."""
+        import random
+        rng = random.Random(7)
+        centers = {0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0],
+                   2: [0.0, 0.0, 1.0, 0.0]}
+        rows = []
+        for i in range(300):
+            lab = i % 3
+            vec = [c + rng.uniform(-0.05, 0.05) for c in centers[lab]]
+            rows.append((i, vec, lab))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        from saber_spark.operators.classify import centroid_confusion
+        conf = centroid_confusion(emb).collect()
+        assert len(conf) == 3
+        assert all(r["true_label"] == r["pred_label"] for r in conf)
+        assert sum(r["n_vecs"] for r in conf) > 0
+
+    def test_fit_predict_roundtrip_and_tiebreak(self, spark):
+        """A vector equidistant from two centroids predicts the SMALLER
+        label (deterministic tie-break)."""
+        from saber_spark.operators.classify import (centroid_fit,
+                                                    centroid_predict)
+        train = spark.createDataFrame(
+            [(1, [1.0, 0.0], 5), (2, [0.0, 1.0], 3)],
+            "vec_id long, embedding array<float>, label int")
+        cents = centroid_fit(train)
+        probe = spark.createDataFrame(
+            [(99, [1.0, 1.0])], "vec_id long, embedding array<float>")
+        out = centroid_predict(probe, cents).collect()
+        assert len(out) == 1
+        assert out[0]["pred_label"] == 3  # equal cosine -> smaller label
