@@ -143,6 +143,7 @@ def main() -> None:
         # weighted corpus sampling)
         "dict_mentions", "quality_filter", "proximity_triples",
         "fuzzy_link", "mixture_sample", "event_transitions",
+        "centroid_classify",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

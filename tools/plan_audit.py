@@ -399,6 +399,23 @@ def main() -> None:
         0,
     ))
 
+    # 22. centroid_classify: the model is a broadcast (labels x dims) table;
+    # fit is a hash agg; no cartesian anywhere.
+    plan_cc = formatted_plan(e.queries()["centroid_classify"](spark, SF_DIR))
+    sections.append((
+        "centroid_classify (broadcast model, hash-agg fit)",
+        "The centroid model must join the exploded test vectors as a "
+        "BroadcastHashJoin (it is labels x dims rows); training is "
+        "partial+final HashAggregate on (label, dim). A CartesianProduct "
+        "or a sort-merge join of the model would mean the embedding "
+        "table shuffled against a table that fits in one broadcast.",
+        plan_cc,
+        ["BroadcastHashJoin", "HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_cc
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
