@@ -150,5 +150,5 @@ def lineage_report(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
             recs.append((m["stage"], None, None, int(m.get("rows", 0)),
                          float(m.get("write_seconds", 0.0)), cfg))
     return spark.createDataFrame(
-        recs, "stage string, partition_id int, rows int, stage_rows int, "
+        recs, "stage string, partition_id int, rows long, stage_rows long, "
               "write_seconds double, config_json string")

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from saber_spark.operators.similarity import QUANT
-from saber_spark.operators.splits import HASH_MOD, KNUTH
+from saber_spark.operators.splits import fold_assign
 
 
 def _quantized_dims(embeddings: DataFrame, id_col: str, vec_col: str,
@@ -87,9 +87,7 @@ def centroid_confusion(embeddings: DataFrame, folds: int = 5,
     -> (true_label, pred_label, n_vecs) confusion counts. The fold
     assignment is the engine-portable Knuth hash (splits.fold_assign
     formula), so train/test membership is reproducible anywhere."""
-    fold = F.pmod(F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH),
-                         F.lit(HASH_MOD)), F.lit(folds))
-    with_fold = embeddings.withColumn("_fold", fold)
+    with_fold = fold_assign(embeddings, id_col, folds, "_fold")
     cents = centroid_fit(with_fold.filter("_fold != 0"),
                          label_col, id_col, vec_col)
     test = with_fold.filter("_fold = 0")

@@ -132,10 +132,24 @@ def compact_table(spark: SparkSession, target_path: str,
     (the classic small-file problem). This rewrites the table into
     ``target_files`` files through the SAME crash-safe rename-aside swap
     as merge_upsert (write tmp -> move target aside -> swap in -> drop
-    aside), preserving the ``_applied_epoch`` replay marker so an
-    exactly-once merge sink stays exactly-once across compactions. On
-    Iceberg, use the rewrite_data_files procedure instead — compaction
-    there is a metadata-transactional snapshot, not a directory swap.
+    aside). Layout and sidecars survive the rewrite:
+
+    - Hive-style partition directories (``col=value``) are auto-detected
+      when ``partition_by`` is None and re-applied, so partition pruning
+      for downstream readers is preserved (the detection read disables
+      partition-dtype inference so ``source=01`` round-trips byte-exact
+      instead of becoming ``source=1``).
+    - EVERY ``_``-prefixed sidecar file (``_applied_epoch`` replay
+      marker, ``_saber_manifest.json`` checkpoint lineage, ...) is
+      copied into the compacted directory, so exactly-once merge sinks
+      stay exactly-once and checkpoint resume/lineage stay intact.
+    - csv tables are written back with ``header=true`` to match
+      read_table's default, so the first data row is not consumed as a
+      header on the next read.
+
+    On Iceberg, use the rewrite_data_files procedure instead —
+    compaction there is a metadata-transactional snapshot, not a
+    directory swap.
     """
     import os
 
@@ -144,18 +158,50 @@ def compact_table(spark: SparkSession, target_path: str,
         spark.sql(f"CALL system.rewrite_data_files(table => '{target_path}')")
         return
     recover_table(target_path)
-    df = read_table(spark, target_path, fmt).coalesce(target_files)
-    tmp = target_path + "__compact"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    write_table(df, tmp, fmt, partition_by=partition_by)
-    marker = os.path.join(target_path, "_applied_epoch")
-    if os.path.exists(marker):
-        shutil.copy(marker, os.path.join(tmp, "_applied_epoch"))
+    if partition_by is None:
+        partition_by = _detect_partition_cols(target_path)
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    infer_prev = spark.conf.get(infer_key, "true")
+    options = {"header": "true"} if fmt == "csv" else {}
+    try:
+        if partition_by:
+            # keep partition values as written (strings), not re-inferred
+            spark.conf.set(infer_key, "false")
+        df = read_table(spark, target_path, fmt, **options).coalesce(
+            target_files)
+        tmp = target_path + "__compact"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        write_table(df, tmp, fmt, partition_by=partition_by, **options)
+    finally:
+        spark.conf.set(infer_key, infer_prev)
+    for name in os.listdir(target_path):
+        src = os.path.join(target_path, name)
+        dst = os.path.join(tmp, name)
+        if (name.startswith("_") and os.path.isfile(src)
+                and not os.path.exists(dst)):
+            shutil.copy(src, dst)
     prev = target_path + "__prev"
     shutil.move(target_path, prev)
     shutil.move(tmp, target_path)
     shutil.rmtree(prev, ignore_errors=True)
+
+
+def _detect_partition_cols(path: str) -> list[str]:
+    """Partition columns of a Hive-layout table directory, outermost
+    first, by walking the first ``col=value`` chain. Empty list for an
+    unpartitioned table."""
+    import os
+
+    cols: list[str] = []
+    cur = path
+    while True:
+        subs = [d for d in sorted(os.listdir(cur))
+                if "=" in d and os.path.isdir(os.path.join(cur, d))]
+        if not subs:
+            return cols
+        cols.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])
 
 
 def merge_upsert(target_path: str, updates: DataFrame, keys: list[str],

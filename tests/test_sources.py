@@ -499,3 +499,78 @@ class TestCompaction:
         assert not os.path.exists(p)
         compact_table(spark, p, target_files=2)
         assert read_table(spark, p).count() == 100
+
+    def test_compacts_csv_rewrites_header(self, spark, tmp_path):
+        """csv compaction must write header=true to match read_table's
+        read default — otherwise the next read eats a data row as the
+        header (round-4 review finding)."""
+        from saber_spark.sources.registry import (compact_table, read_table,
+                                                  write_table)
+        p = str(tmp_path / "csvsink")
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(50)], "doc_id int, text string")
+        write_table(df.repartition(8), p, "csv", header="true")
+        compact_table(spark, p, target_files=2, fmt="csv")
+        back = read_table(spark, p, "csv",
+                          schema="doc_id int, text string")
+        rows = {(r["doc_id"], r["text"]) for r in back.collect()}
+        assert rows == {(i, f"t{i}") for i in range(50)}
+
+    def test_compacts_partitioned_table_preserves_layout(self, spark,
+                                                         tmp_path):
+        """Default partition_by=None auto-detects Hive partition dirs and
+        re-applies them; string partition values like '01' round-trip
+        byte-exact (no dtype re-inference)."""
+        import os
+
+        from saber_spark.sources.registry import compact_table, write_table
+        p = str(tmp_path / "part_sink")
+        df = spark.createDataFrame(
+            [(i, "01" if i % 2 else "02") for i in range(40)],
+            "doc_id int, source string")
+        write_table(df.repartition(8), p, "parquet",
+                    partition_by=["source"])
+        compact_table(spark, p, target_files=2)
+        subs = sorted(d for d in os.listdir(p) if d.startswith("source="))
+        assert subs == ["source=01", "source=02"]
+        back = spark.read.parquet(p)
+        assert back.filter("source = '01'").count() == 20
+        assert back.filter("source = '02'").count() == 20
+
+    def test_compacts_checkpoint_stage_preserves_manifest(self, spark,
+                                                          tmp_path):
+        """Compacting a checkpointed stage keeps _saber_manifest.json, so
+        resume (is_complete) and lineage_report still see the stage."""
+        from saber_spark.checkpoint import is_complete, write_stage
+        from saber_spark.sources.registry import compact_table
+        ck = tmp_path / "ck"
+        p = str(ck / "stage_a")
+        write_stage(spark.range(100).repartition(8), p, "stage_a")
+        assert is_complete(p, "stage_a")
+        compact_table(spark, p, target_files=2)
+        assert is_complete(p, "stage_a")
+        assert spark.read.parquet(p).count() == 100
+
+
+class TestLineageReportScale:
+    def test_lineage_report_handles_rows_past_int32(self, spark, tmp_path):
+        """Manifests from trillion-row stages carry counts > 2^31-1; the
+        report schema must be BIGINT (round-4 review finding)."""
+        import json
+        import os
+
+        from saber_spark.checkpoint import MANIFEST_NAME, lineage_report
+        ck = tmp_path / "ck"
+        stage_dir = ck / "big_stage"
+        os.makedirs(stage_dir)
+        manifest = {
+            "stage": "big_stage", "complete": True,
+            "rows": 3_000_000_000,
+            "partitions": {"0": 2_500_000_000, "1": 500_000_000},
+            "write_seconds": 1.0, "metrics": {}, "config": None,
+        }
+        with open(stage_dir / MANIFEST_NAME, "w") as fh:
+            json.dump(manifest, fh)
+        rep = lineage_report(spark, str(ck)).collect()
+        assert {r["rows"] for r in rep} == {2_500_000_000, 500_000_000}
+        assert all(r["stage_rows"] == 3_000_000_000 for r in rep)
