@@ -1137,6 +1137,60 @@ def q_multimodal_features(spark, sf_dir):
              F.round(F.col("value").cast("double"), 6).alias("value"))
 
 
+# --- web-crawl URL analytics (operators/webstats.py; added late r4 —
+# tail-registered with local oracle evidence, rotate into the cap in r5) ---
+
+def _synth_pages_url(docs: DataFrame) -> DataFrame:
+    """Deterministic crawl-style URLs from documents (host varies by
+    source, mixed case proves host lowercasing)."""
+    return docs.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".Example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "doc_id", "source", "n_chars")
+
+
+def q_url_host_stats(spark, sf_dir):
+    """Per-host crawl profile (CCNet/RefinedWeb domain-stats stage):
+    host extraction is a narrow regexp map; count/sum/avg are algebraic,
+    so map-side combine absorbs head-domain skew."""
+    from saber_spark.operators.webstats import host_stats
+    return host_stats(_synth_pages_url(_docs(spark, sf_dir))).select(
+        "host", "n_docs", "total_chars", "avg_chars")
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-normalized exact dedup over two synthesized recrawl variants
+    per page (tracking params + fragment + trailing slash + host case):
+    each pair must collapse to ONE normalized url keeping the first
+    doc_id. One algebraic shuffle on norm_url."""
+    from saber_spark.operators.webstats import url_dedup
+    docs = _docs(spark, sf_dir)
+    clean = F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.org/doc/"),
+                     F.col("doc_id").cast("string"))
+    recrawl = F.concat(F.lit("HTTPS://"), F.col("source"),
+                       F.lit(".EXAMPLE.org/doc/"),
+                       F.col("doc_id").cast("string"),
+                       F.lit("/?utm_source=feed#top"))
+    pages = docs.select(F.explode(F.array(clean, recrawl)).alias("url"),
+                        "doc_id")
+    return url_dedup(pages)
+
+
+def q_host_blocklist(spark, sf_dir):
+    """Domain-blocklist filter: broadcast LEFT ANTI join against a
+    blocked-host list (corpus side never shuffles), then per-source kept
+    counts. Exact-host match here (oracle-portable); apex-domain matching
+    is pytest-covered."""
+    from saber_spark.operators.webstats import blocklist_filter
+    blocked = spark.createDataFrame(
+        [("src0.example.org",), ("src3.example.org",)], "blocked string")
+    pages = _synth_pages_url(_docs(spark, sf_dir))
+    kept = blocklist_filter(pages, blocked, match_apex=False)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -1299,6 +1353,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bigrams": q_token_bigrams,
         "zscore_by_source": q_zscore_by_source,
         "customers_without_orders": q_customers_without_orders,
+        # late-r4 web-crawl URL analytics: first driver rows due r5 when
+        # rotated into the cap; local oracle gate MATCH + pytest until then
+        "url_host_stats": q_url_host_stats,
+        "url_dedup": q_url_dedup,
+        "host_blocklist": q_host_blocklist,
     }
 
 
@@ -2484,4 +2543,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT custkey, 'active' AS status FROM (SELECT custkey FROM pos INTERSECT SELECT custkey FROM wo)
             UNION ALL
             SELECT custkey, 'dormant' AS status FROM (SELECT custkey FROM pos EXCEPT SELECT custkey FROM wo)""",
+        "url_host_stats": """
+            WITH pages AS (
+              SELECT 'https://' || source || '.Example.org/doc/' ||
+                     CAST(doc_id AS VARCHAR) AS url, n_chars
+              FROM documents)
+            SELECT lower(regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM pages GROUP BY 1""",
+        "url_dedup": """
+            WITH pages AS (
+              SELECT u.url, d.doc_id
+              FROM documents d, UNNEST([
+                'https://' || d.source || '.example.org/doc/' ||
+                  CAST(d.doc_id AS VARCHAR),
+                'HTTPS://' || d.source || '.EXAMPLE.org/doc/' ||
+                  CAST(d.doc_id AS VARCHAR) || '/?utm_source=feed#top'
+              ]) AS u(url)),
+            base AS (
+              SELECT regexp_replace(regexp_replace(url, '[?#].*$', ''),
+                                    '/+$', '') AS b,
+                     doc_id FROM pages),
+            canon AS (
+              SELECT lower(regexp_extract(b,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', 0)) ||
+                     substr(b, length(regexp_extract(b,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', 0)) + 1)
+                       AS norm_url,
+                     doc_id FROM base)
+            SELECT norm_url, min(doc_id) AS keep_id,
+                   count(*) AS n_variants
+            FROM canon GROUP BY norm_url""",
+        "host_blocklist": """
+            WITH pages AS (
+              SELECT 'https://' || source || '.Example.org/doc/' ||
+                     CAST(doc_id AS VARCHAR) AS url, source
+              FROM documents)
+            SELECT source, count(*) AS n_kept
+            FROM pages
+            WHERE lower(regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                  NOT IN ('src0.example.org', 'src3.example.org')
+            GROUP BY source""",
     }

@@ -1,0 +1,125 @@
+"""Web-crawl URL analytics (operators/webstats.py).
+
+The reference has no corpus-level URL stage (it ingests one document at a
+time, saber/saber.py:52-96); these operators belong to the
+training-data-pipeline addendum. Oracle twins cover url_host_stats /
+url_dedup / host_blocklist in __spark_entry__; this file covers the
+edge cases the oracles can't reach: normalization corner cases, apex-domain
+blocklist matching, and tie/ordering semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from saber_spark.operators.webstats import (
+    apex_domain,
+    blocklist_filter,
+    host_stats,
+    normalize_url,
+    url_dedup,
+    url_host,
+)
+
+
+def _norm(spark, url: str) -> str:
+    return (spark.range(1).select(normalize_url(F.lit(url)).alias("u"))
+            .first()["u"])
+
+
+class TestNormalizeUrl:
+    def test_strips_query_fragment_and_trailing_slash(self, spark):
+        assert (_norm(spark, "https://a.example.org/p/q/?utm=x#frag")
+                == "https://a.example.org/p/q")
+
+    def test_lowercases_scheme_and_host_but_not_path(self, spark):
+        assert (_norm(spark, "HTTPS://WWW.Example.ORG/CaseSensitive/Path")
+                == "https://www.example.org/CaseSensitive/Path")
+
+    def test_bare_host_and_root_path_collapse_together(self, spark):
+        # "https://h" and "https://h/" must normalize identically
+        assert _norm(spark, "https://h.org/") == _norm(spark, "https://h.org")
+
+    def test_port_is_part_of_the_lowercased_prefix(self, spark):
+        assert (_norm(spark, "http://Host.org:8080/A")
+                == "http://host.org:8080/A")
+
+    def test_only_first_query_or_fragment_marker_cuts(self, spark):
+        # everything after the FIRST ? or # goes, regardless of order
+        assert (_norm(spark, "https://h.org/a#frag?query")
+                == "https://h.org/a")
+
+
+class TestHostApex:
+    def test_host_drops_port_and_path(self, spark):
+        row = (spark.range(1)
+               .select(url_host(F.lit("https://A.B.Example.org:443/x?q")).alias("h"))
+               .first())
+        assert row["h"] == "a.b.example.org"
+
+    def test_apex_is_last_two_labels(self, spark):
+        row = (spark.range(1)
+               .select(apex_domain(F.lit("a.b.example.org")).alias("d"))
+               .first())
+        assert row["d"] == "example.org"
+
+    def test_apex_of_two_label_host_is_itself(self, spark):
+        row = (spark.range(1)
+               .select(apex_domain(F.lit("example.org")).alias("d"))
+               .first())
+        assert row["d"] == "example.org"
+
+
+class TestUrlDedup:
+    def test_recrawl_variants_collapse_keeping_first(self, spark):
+        df = spark.createDataFrame(
+            [("https://h.org/doc/1", 10),
+             ("HTTPS://H.ORG/doc/1/?utm_source=f#top", 3),
+             ("https://h.org/doc/2", 7)],
+            "url string, doc_id int")
+        out = {r["norm_url"]: (r["keep_id"], r["n_variants"])
+               for r in url_dedup(df).collect()}
+        assert out == {"https://h.org/doc/1": (3, 2),
+                       "https://h.org/doc/2": (7, 1)}
+
+    def test_case_sensitive_paths_do_not_collapse(self, spark):
+        df = spark.createDataFrame(
+            [("https://h.org/A", 1), ("https://h.org/a", 2)],
+            "url string, doc_id int")
+        assert url_dedup(df).count() == 2
+
+
+class TestBlocklist:
+    def _pages(self, spark):
+        return spark.createDataFrame(
+            [("https://www.bad.org/x", 1),
+             ("https://sub.deep.bad.org/y", 2),
+             ("https://good.org/z", 3),
+             ("https://bad.org.evil.net/w", 4)],  # bad.org as non-suffix
+            "url string, doc_id int")
+
+    def test_apex_match_blocks_all_subdomains(self, spark):
+        blocked = spark.createDataFrame([("bad.org",)], "blocked string")
+        kept = blocklist_filter(self._pages(spark), blocked, match_apex=True)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4]
+
+    def test_exact_match_blocks_only_that_host(self, spark):
+        blocked = spark.createDataFrame([("www.bad.org",)], "blocked string")
+        kept = blocklist_filter(self._pages(spark), blocked, match_apex=False)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4]
+
+    def test_helper_columns_are_dropped(self, spark):
+        blocked = spark.createDataFrame([("bad.org",)], "blocked string")
+        kept = blocklist_filter(self._pages(spark), blocked)
+        assert kept.columns == ["url", "doc_id"]
+
+
+class TestHostStats:
+    def test_counts_and_averages_per_host(self, spark):
+        df = spark.createDataFrame(
+            [("https://A.org/1", 10), ("https://a.org/2", 20),
+             ("https://b.org/1", 5)],
+            "url string, n_chars int")
+        out = {r["host"]: (r["n_docs"], r["total_chars"], r["avg_chars"])
+               for r in host_stats(df).collect()}
+        assert out == {"a.org": (2, 30, 15.0), "b.org": (1, 5, 5.0)}
