@@ -1191,6 +1191,21 @@ def q_host_blocklist(spark, sf_dir):
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style cross-doc line-level boilerplate removal: synthesize
+    line structure by breaking before three common words (portable
+    Java-cap-RE2 regexp), then drop every line appearing in >= 2 distinct
+    docs and reassemble survivors in order. The count agg keys on
+    xxhash64(line) (8-byte shuffle key); the removal join is LEFT ANTI on
+    the same key with the boilerplate side AQE-broadcastable."""
+    from saber_spark.operators.dedup import line_dedup
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r" (table|line|value)\b", "\n$1")
+        .alias("text"))
+    return line_dedup(docs, min_docs=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -1358,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_stats": q_url_host_stats,
         "url_dedup": q_url_dedup,
         "host_blocklist": q_host_blocklist,
+        "line_dedup_clean": q_line_dedup,
     }
 
 
@@ -2588,4 +2604,39 @@ def oracle_sql() -> dict[str, str]:
                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
                   NOT IN ('src0.example.org', 'src3.example.org')
             GROUP BY source""",
+        "line_dedup_clean": """
+            WITH d2 AS (
+              SELECT doc_id,
+                     regexp_replace(text, ' (table|line|value)\\b',
+                                    chr(10) || '\\1', 'g') AS text
+              FROM documents),
+            lines AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos,
+                     unnest(arr) AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS arr
+                    FROM d2)),
+            boiler AS (
+              SELECT line FROM (
+                SELECT line, count(DISTINCT doc_id) AS nd
+                FROM lines GROUP BY line)
+              WHERE nd >= 2),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM lines l LEFT JOIN boiler b ON l.line = b.line
+              WHERE b.line IS NULL),
+            totals AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, chr(10))) AS BIGINT)
+                       AS n_lines
+              FROM d2),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                   t.n_lines,
+                   t.n_lines - coalesce(r.n_kept, 0) AS n_removed
+            FROM totals t LEFT JOIN rebuilt r USING (doc_id)""",
     }

@@ -384,3 +384,59 @@ def simhash(docs: DataFrame, text_col: str = "text",
         .groupBy(id_col)
         .agg(F.sum("bitval").alias("simhash"))
     )
+
+
+def line_dedup(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", sep: str = "\n",
+               min_docs: int = 2) -> DataFrame:
+    """Cross-document line-level dedup (CCNet/RefinedWeb boilerplate pass):
+    drop every line that appears in >= ``min_docs`` DISTINCT documents
+    (nav bars, cookie banners, footers), reassembling the surviving lines
+    in original order.  The reference has no corpus-level pass at all
+    (one document at a time, saber/saber.py:52-96); this is the standard
+    web-corpus stage that runs before content-level near-dup.
+
+    -> (doc_id, clean_text, n_lines, n_removed); docs whose every line is
+    boilerplate survive with clean_text = ''.
+
+    Scale notes (10^12 docs):
+      * lines explode once; the duplicated-line count aggregates on
+        xxhash64(line) — an 8-byte shuffle key instead of the raw line
+        bytes.  countDistinct(doc) plans as partial-distinct + merge.
+        (64-bit collisions: ~10^10 distinct lines -> <0.3% chance any
+        single pair collides — the same trade CCNet's own hash dedup
+        makes; collisions only ever over-remove one extra line.)
+      * the removal join is LEFT ANTI on the same 8-byte key; the
+        boilerplate side is the (small) count>=min_docs slice, so AQE
+        turns it into a broadcast join when it fits.
+      * reassembly is ONE groupBy(doc) with collect_list(struct(pos,line))
+        + array_sort — per-doc state is bounded by document size; per-doc
+        line totals come from a NARROW size(split(text)) projection on the
+        source (no second aggregation over the exploded lines).
+    """
+    lines = (docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"))
+        .withColumn("lh", F.xxhash64("line")))
+    boiler = (lines.groupBy("lh")
+              .agg(F.countDistinct(id_col).alias("n_docs"))
+              .filter(F.col("n_docs") >= min_docs)
+              .select("lh"))
+    kept = lines.join(boiler, "lh", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.concat_ws(
+                        sep,
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"])).alias("clean_text"),
+                    F.count(F.lit(1)).alias("n_kept")))
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).cast("bigint").alias("n_lines"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.col("n_lines"),
+                    (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_removed")))

@@ -1559,3 +1559,40 @@ class TestCentroidClassifier:
         out = centroid_predict(probe, cents).collect()
         assert len(out) == 1
         assert out[0]["pred_label"] == 3  # equal cosine -> smaller label
+
+
+class TestLineDedup:
+    """Cross-doc line-level boilerplate removal (dedup.py::line_dedup)."""
+
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from saber_spark.operators.dedup import line_dedup
+        return {r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+                for r in line_dedup(df, **kw).collect()}
+
+    def test_shared_lines_removed_order_preserved(self, spark):
+        out = self._run(spark, [
+            (1, "unique one\ncookie banner\nunique two"),
+            (2, "cookie banner\nother text"),
+        ])
+        assert out[1] == ("unique one\nunique two", 3, 1)
+        assert out[2] == ("other text", 2, 1)
+
+    def test_fully_boilerplate_doc_survives_empty(self, spark):
+        out = self._run(spark, [
+            (1, "footer"), (2, "footer"), (3, "footer\nreal content"),
+        ])
+        assert out[1] == ("", 1, 1)
+        assert out[2] == ("", 1, 1)
+        assert out[3] == ("real content", 2, 1)
+
+    def test_within_doc_repeats_do_not_count_as_cross_doc(self, spark):
+        # "echo" twice in ONE doc: distinct-doc count is 1 < min_docs -> kept
+        out = self._run(spark, [(1, "echo\nmid\necho"), (2, "solo")])
+        assert out[1] == ("echo\nmid\necho", 3, 0)
+        assert out[2] == ("solo", 1, 0)
+
+    def test_min_docs_threshold(self, spark):
+        rows = [(1, "dup\na"), (2, "dup\nb"), (3, "dup\nc")]
+        assert self._run(spark, rows, min_docs=4)[1] == ("dup\na", 2, 0)
+        assert self._run(spark, rows, min_docs=3)[1] == ("a", 2, 1)
