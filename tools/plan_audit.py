@@ -416,6 +416,58 @@ def main() -> None:
         0,
     ))
 
+    # 23. url_dedup: normalization is a narrow regexp map; ONE exchange
+    # (the norm_url hash agg) and zero Python in the whole plan.
+    plan_ud = formatted_plan(e.queries()["url_dedup"](spark, SF_DIR))
+    n_ex_ud = len(re.findall(r"\(\d+\) Exchange", plan_ud))
+    sections.append((
+        "url_dedup (narrow normalization, one algebraic shuffle)",
+        "URL normalization must stay a narrow whole-stage-codegen regexp "
+        "projection at the scan; the only exchange is the norm_url hash "
+        "aggregate, whose partial (map-side) combine collapses recrawl "
+        "duplicates before any bytes hit the network — the property that "
+        "makes URL dedup nearly free at crawl scale.",
+        plan_ud,
+        ["HashAggregate", "Project"]
+        + ([f"<exactly 1 exchange, saw {n_ex_ud}>"] if n_ex_ud != 1 else [])
+        + (["<no join>"] if "Join" in plan_ud else []),
+        0,
+    ))
+
+    # 24. host_blocklist: broadcast LEFT ANTI — the corpus side must not
+    # shuffle for the blocklist membership test.
+    plan_hb = formatted_plan(e.queries()["host_blocklist"](spark, SF_DIR))
+    sections.append((
+        "host_blocklist (broadcast anti-join, unshuffled corpus)",
+        "The blocklist (thousands of rows at production scale) must reach "
+        "the corpus as a BroadcastHashJoin LeftAnti; a SortMergeJoin here "
+        "would shuffle 10^12 pages to test membership in a table that "
+        "fits in one broadcast.",
+        plan_hb,
+        ["BroadcastHashJoin"]
+        + (["<no sort-merge join>"] if "SortMergeJoin" in plan_hb else []),
+        0,
+    ))
+
+    # 25. line_dedup: everything keys on the 8-byte xxhash64(line); no
+    # cartesian anywhere and zero Python; reassembly is one doc_id agg.
+    plan_ld = formatted_plan(e.queries()["line_dedup_clean"](spark, SF_DIR))
+    sections.append((
+        "line_dedup_clean (hash-keyed boilerplate removal)",
+        "The duplicated-line count and the removal anti-join must both key "
+        "on xxhash64(line) (8-byte shuffle key, not raw line bytes); the "
+        "boilerplate side is the count>=min_docs slice, AQE-broadcastable "
+        "at runtime. Reassembly is a single collect_list+array_sort hash "
+        "aggregate on doc_id. A CartesianProduct would be the all-pairs "
+        "line comparison this construction exists to avoid; any Python "
+        "node would put string reassembly on the slow path.",
+        plan_ld,
+        ["HashAggregate", "xxhash64"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_ld
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
