@@ -144,6 +144,9 @@ def main() -> None:
         "dict_mentions", "quality_filter", "proximity_triples",
         "fuzzy_link", "mixture_sample", "event_transitions",
         "centroid_classify",
+        # added round 4, second batch (web-crawl URL analytics + CCNet
+        # line-level boilerplate removal)
+        "url_host_stats", "url_dedup", "host_blocklist", "line_dedup_clean",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real
