@@ -1191,6 +1191,29 @@ def q_host_blocklist(spark, sf_dir):
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def q_host_link_graph(spark, sf_dir):
+    """Web link-graph construction: synthesize pages whose html carries a
+    relative link (must be ignored), a same-host nav link (dropped by
+    drop_self) and one cross-host link (doc_id % 7 fan-out), then
+    extract_links (narrow regexp over decoded binary html) -> host_graph
+    (ONE algebraic shuffle on the host pair). The host edge table is what
+    feeds graph.pagerank for host authority."""
+    from saber_spark.operators.webstats import extract_links, host_graph
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><body><a href="/about">a</a>'
+              '<a href="https://'), F.col("source"),
+        F.lit('.example.org/nav">n</a> <a href="https://src'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example.org/doc/0">x</a></body></html>'))
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("html"))
+    return host_graph(extract_links(pages))
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet-style cross-doc line-level boilerplate removal: synthesize
     line structure by breaking before three common words (portable
@@ -1374,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "host_blocklist": q_host_blocklist,
         "line_dedup_clean": q_line_dedup,
+        "host_link_graph": q_host_link_graph,
     }
 
 
@@ -2639,4 +2663,31 @@ def oracle_sql() -> dict[str, str]:
                    t.n_lines,
                    t.n_lines - coalesce(r.n_kept, 0) AS n_removed
             FROM totals t LEFT JOIN rebuilt r USING (doc_id)""",
+        "host_link_graph": """
+            WITH pages AS (
+              SELECT 'https://' || source || '.example.org/doc/' ||
+                       CAST(doc_id AS VARCHAR) AS url,
+                     '<html><body><a href="/about">a</a><a href="https://'
+                       || source ||
+                       '.example.org/nav">n</a> <a href="https://src' ||
+                       CAST(doc_id % 7 AS VARCHAR) ||
+                       '.example.org/doc/0">x</a></body></html>' AS html
+              FROM documents),
+            links AS (
+              SELECT url AS src_url,
+                     unnest(regexp_extract_all(html,
+                       'href="(https?://[^"]*)"', 1)) AS dst_url
+              FROM pages),
+            hosts AS (
+              SELECT lower(regexp_extract(src_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS src_host,
+                     lower(regexp_extract(dst_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS dst_host
+              FROM links)
+            SELECT src_host, dst_host, count(*) AS n_links
+            FROM hosts
+            WHERE src_host <> dst_host
+            GROUP BY src_host, dst_host""",
     }

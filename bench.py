@@ -147,6 +147,7 @@ def main() -> None:
         # added round 4, second batch (web-crawl URL analytics + CCNet
         # line-level boilerplate removal)
         "url_host_stats", "url_dedup", "host_blocklist", "line_dedup_clean",
+        "host_link_graph",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -113,3 +113,41 @@ def blocklist_filter(df: DataFrame, blocklist: DataFrame,
     out = with_host.join(F.broadcast(blocklist),
                          F.col("_host") == F.col("blocked"), "left_anti")
     return out.drop("_host")
+
+
+_HREF_ABS = 'href="(https?://[^"]*)"'  # absolute http(s) links only
+
+
+def extract_links(pages: DataFrame, html_col: str = "html",
+                  url_col: str = "url") -> DataFrame:
+    """Hyperlink extraction: (src_url, dst_url) edge list from each page's
+    absolute http(s) hrefs. The crawl-side half of web-graph construction
+    (the reference has no link stage at all — it never looks past a single
+    document). Pure regexp_extract_all + explode — a narrow codegen map,
+    zero shuffle; relative-link resolution is a deliberate non-goal (a
+    production crawler resolves against <base> before this stage).
+
+    Accepts ``html`` as binary (decoded utf-8 here) or string.
+    """
+    html = F.col(html_col)
+    if dict(pages.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "utf-8")
+    return (pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(F.regexp_extract_all(html, F.lit(_HREF_ABS), 1))
+        .alias("dst_url")))
+
+
+def host_graph(links: DataFrame, drop_self: bool = True) -> DataFrame:
+    """Collapse a (src_url, dst_url) edge list to the host-level link graph
+    -> (src_host, dst_host, n_links). ONE algebraic shuffle on the host
+    pair; map-side combine absorbs the hub skew of popular destination
+    hosts. ``drop_self`` removes intra-site navigation edges — at crawl
+    scale they dominate the raw edge count and carry no cross-site signal.
+    The output feeds graph.pagerank directly (host authority)."""
+    pairs = links.select(url_host("src_url").alias("src_host"),
+                         url_host("dst_url").alias("dst_host"))
+    if drop_self:
+        pairs = pairs.filter(F.col("src_host") != F.col("dst_host"))
+    return (pairs.groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).alias("n_links")))

@@ -123,3 +123,67 @@ class TestHostStats:
         out = {r["host"]: (r["n_docs"], r["total_chars"], r["avg_chars"])
                for r in host_stats(df).collect()}
         assert out == {"a.org": (2, 30, 15.0), "b.org": (1, 5, 5.0)}
+
+
+class TestLinkGraph:
+    def _pages(self, spark, binary=False):
+        from pyspark.sql import functions as F
+        rows = [
+            ("https://a.org/1",
+             '<a href="/rel">r</a><a href="https://a.org/nav">n</a>'
+             '<a href="https://b.org/x">b</a><a href="https://b.org/y">b2</a>'),
+            ("https://a.org/2", '<a href="https://b.org/x">b</a>'),
+            ("https://c.org/1", '<a href="mailto:x@y.z">m</a>no links here'),
+        ]
+        df = spark.createDataFrame(rows, "url string, html string")
+        if binary:
+            df = df.select("url", F.encode("html", "utf-8").alias("html"))
+        return df
+
+    def test_extracts_absolute_http_links_only(self, spark):
+        from saber_spark.operators.webstats import extract_links
+        links = extract_links(self._pages(spark))
+        got = sorted((r["src_url"], r["dst_url"]) for r in links.collect())
+        assert got == [("https://a.org/1", "https://a.org/nav"),
+                       ("https://a.org/1", "https://b.org/x"),
+                       ("https://a.org/1", "https://b.org/y"),
+                       ("https://a.org/2", "https://b.org/x")]
+
+    def test_binary_html_decodes_identically(self, spark):
+        from saber_spark.operators.webstats import extract_links
+        a = sorted(map(tuple, extract_links(self._pages(spark)).collect()))
+        b = sorted(map(tuple,
+                       extract_links(self._pages(spark, binary=True)).collect()))
+        assert a == b
+
+    def test_host_graph_drops_self_and_counts(self, spark):
+        from saber_spark.operators.webstats import extract_links, host_graph
+        g = host_graph(extract_links(self._pages(spark)))
+        got = {(r["src_host"], r["dst_host"]): r["n_links"]
+               for r in g.collect()}
+        assert got == {("a.org", "b.org"): 3}
+
+    def test_host_graph_keep_self(self, spark):
+        from saber_spark.operators.webstats import extract_links, host_graph
+        g = host_graph(extract_links(self._pages(spark)), drop_self=False)
+        got = {(r["src_host"], r["dst_host"]): r["n_links"]
+               for r in g.collect()}
+        assert got == {("a.org", "b.org"): 3, ("a.org", "a.org"): 1}
+
+    def test_feeds_pagerank(self, spark):
+        # the composition the docstring promises: host edges -> authority.
+        # pagerank symmetrizes, so centrality = degree here: b.org (linked
+        # from both a.org and c.org) must outrank the two leaf hosts.
+        from saber_spark.operators.graph import pagerank
+        from saber_spark.operators.webstats import extract_links, host_graph
+        pages = spark.createDataFrame(
+            [("https://a.org/1", '<a href="https://b.org/x">b</a>'),
+             ("https://c.org/1", '<a href="https://b.org/y">b</a>')],
+            "url string, html string")
+        g = host_graph(extract_links(pages))
+        pr = pagerank(g.selectExpr("src_host as src", "dst_host as dst"),
+                      iterations=3)
+        cols = pr.columns
+        scores = {r[cols[0]]: r[cols[1]] for r in pr.collect()}
+        assert set(scores) == {"a.org", "b.org", "c.org"}
+        assert scores["b.org"] > scores["a.org"] == scores["c.org"]

@@ -468,6 +468,24 @@ def main() -> None:
         0,
     ))
 
+    # 26. host_link_graph: link extraction must be a narrow generate over
+    # the decoded html (no Python, no shuffle before the host-pair agg);
+    # the only exchange is the (src_host, dst_host) hash aggregate.
+    plan_lg = formatted_plan(e.queries()["host_link_graph"](spark, SF_DIR))
+    n_ex_lg = len(re.findall(r"\(\d+\) Exchange", plan_lg))
+    sections.append((
+        "host_link_graph (narrow link extraction, one host-pair shuffle)",
+        "regexp_extract_all + explode must run as a codegen Generate at "
+        "the scan; the host-pair count is the only exchange, with map-side "
+        "combine absorbing hub-destination skew. Any Python node would put "
+        "per-page HTML parsing on the slow path for 10^12 pages.",
+        plan_lg,
+        ["Generate", "HashAggregate"]
+        + ([f"<exactly 1 exchange, saw {n_ex_lg}>"] if n_ex_lg != 1 else [])
+        + (["<no join>"] if "Join" in plan_lg else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
