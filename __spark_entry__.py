@@ -1214,6 +1214,30 @@ def q_host_link_graph(spark, sf_dir):
     return host_graph(extract_links(pages))
 
 
+def q_snapshot_delta(spark, sf_dir):
+    """Crawl-to-crawl delta (added/removed/changed urls) driving
+    incremental KG re-extraction: new snapshot drops every 13th page,
+    rewrites every 10th, and adds fresh urls for every 17th. Both sides
+    reduce to (url, xxhash64(content)) narrowly before ONE co-partitioned
+    FULL OUTER join — the shuffle moves 16 bytes/row, never page bodies.
+    Oracle compares content strings directly (hash equality == string
+    equality modulo 2^-64)."""
+    from saber_spark.operators.webstats import snapshot_delta
+    docs = _docs(spark, sf_dir)
+    url = F.concat(F.lit("https://ex.org/"), F.col("doc_id").cast("string"))
+    old = docs.select(url.alias("url"), "text")
+    changed = docs.filter(F.col("doc_id") % 13 != 0).select(
+        url.alias("url"),
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"))
+    added = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.concat(F.lit("https://ex.org/new/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text")
+    return snapshot_delta(old, changed.unionByName(added))
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet-style cross-doc line-level boilerplate removal: synthesize
     line structure by breaking before three common words (portable
@@ -1398,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_blocklist": q_host_blocklist,
         "line_dedup_clean": q_line_dedup,
         "host_link_graph": q_host_link_graph,
+        "snapshot_delta": q_snapshot_delta,
     }
 
 
@@ -2690,4 +2715,29 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts
             WHERE src_host <> dst_host
             GROUP BY src_host, dst_host""",
+        # Oracle compares coalesced content strings directly; the Spark
+        # side compares xxhash64(content) (equal modulo 2^-64 collisions).
+        "snapshot_delta": """
+            WITH old AS (
+              SELECT 'https://ex.org/' || CAST(doc_id AS VARCHAR) AS url,
+                     coalesce(text, '') AS c
+              FROM documents),
+            new AS (
+              SELECT 'https://ex.org/' || CAST(doc_id AS VARCHAR) AS url,
+                     coalesce(CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                                   ELSE text END, '') AS c
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT 'https://ex.org/new/' || CAST(doc_id AS VARCHAR) AS url,
+                     coalesce(text, '') AS c
+              FROM documents WHERE doc_id % 17 = 0),
+            j AS (
+              SELECT coalesce(o.url, n.url) AS url, o.c AS oc, n.c AS nc
+              FROM old o FULL OUTER JOIN new n ON o.url = n.url)
+            SELECT url,
+                   CASE WHEN oc IS NULL THEN 'added'
+                        WHEN nc IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM j
+            WHERE oc IS NULL OR nc IS NULL OR oc <> nc""",
     }

@@ -187,3 +187,32 @@ class TestLinkGraph:
         scores = {r[cols[0]]: r[cols[1]] for r in pr.collect()}
         assert set(scores) == {"a.org", "b.org", "c.org"}
         assert scores["b.org"] > scores["a.org"] == scores["c.org"]
+
+
+class TestSnapshotDelta:
+    def _delta(self, spark, old_rows, new_rows):
+        from saber_spark.operators.webstats import snapshot_delta
+        old = spark.createDataFrame(old_rows, "url string, text string")
+        new = spark.createDataFrame(new_rows, "url string, text string")
+        return {r["url"]: r["status"]
+                for r in snapshot_delta(old, new).collect()}
+
+    def test_added_removed_changed_unchanged(self, spark):
+        got = self._delta(
+            spark,
+            [("u1", "same"), ("u2", "old body"), ("u3", "gone")],
+            [("u1", "same"), ("u2", "new body"), ("u4", "fresh")])
+        # u1 unchanged -> filtered out entirely
+        assert got == {"u2": "changed", "u3": "removed", "u4": "added"}
+
+    def test_null_content_equals_empty(self, spark):
+        # coalesce(content, '') on both sides: NULL vs '' is UNCHANGED,
+        # NULL vs non-empty is changed
+        got = self._delta(spark,
+                          [("u1", None), ("u2", None)],
+                          [("u1", ""), ("u2", "now has text")])
+        assert got == {"u2": "changed"}
+
+    def test_disjoint_snapshots(self, spark):
+        got = self._delta(spark, [("a", "x")], [("b", "y")])
+        assert got == {"a": "removed", "b": "added"}
