@@ -1214,16 +1214,11 @@ def q_host_link_graph(spark, sf_dir):
     return host_graph(extract_links(pages))
 
 
-def q_snapshot_delta(spark, sf_dir):
-    """Crawl-to-crawl delta (added/removed/changed urls) driving
-    incremental KG re-extraction: new snapshot drops every 13th page,
-    rewrites every 10th, and adds fresh urls for every 17th. Both sides
-    reduce to (url, xxhash64(content)) narrowly before ONE co-partitioned
-    FULL OUTER join — the shuffle moves 16 bytes/row, never page bodies.
-    Oracle compares content strings directly (hash equality == string
-    equality modulo 2^-64)."""
-    from saber_spark.operators.webstats import snapshot_delta
-    docs = _docs(spark, sf_dir)
+def _snapshots(docs):
+    """Deterministic two-crawl synthesis over documents: the new snapshot
+    drops every 13th page, rewrites every 10th (' v2' suffix), and adds
+    fresh urls for every 17th. Shared by snapshot_delta and
+    incremental_triples."""
     url = F.concat(F.lit("https://ex.org/"), F.col("doc_id").cast("string"))
     old = docs.select(url.alias("url"), "text")
     changed = docs.filter(F.col("doc_id") % 13 != 0).select(
@@ -1235,7 +1230,80 @@ def q_snapshot_delta(spark, sf_dir):
         F.concat(F.lit("https://ex.org/new/"),
                  F.col("doc_id").cast("string")).alias("url"),
         "text")
-    return snapshot_delta(old, changed.unionByName(added))
+    return old, changed.unionByName(added)
+
+
+def q_snapshot_delta(spark, sf_dir):
+    """Crawl-to-crawl delta (added/removed/changed urls) driving
+    incremental KG re-extraction. Both sides reduce to
+    (url, xxhash64(content)) narrowly before ONE co-partitioned FULL OUTER
+    join — the shuffle moves 16 bytes/row, never page bodies. Oracle
+    compares content strings directly (hash equality == string equality
+    modulo 2^-64)."""
+    from saber_spark.operators.webstats import snapshot_delta
+    old, new = _snapshots(_docs(spark, sf_dir))
+    return snapshot_delta(old, new)
+
+
+def q_incremental_triples(spark, sf_dir):
+    """Incremental KG maintenance composed end-to-end: snapshot delta ->
+    re-extract ONLY added/changed pages (upsert triples from new content)
+    + removed pages (retract triples from old content), via the same
+    dictionary mention+grounding stage the full build uses. The unchanged
+    corpus majority never re-enters extraction — the property that makes
+    a 10^12-page daily refresh affordable."""
+    from saber_spark.operators.triples import delta_triples
+    from saber_spark.operators.webstats import snapshot_delta
+    old, new = _snapshots(_docs(spark, sf_dir))
+    delta = snapshot_delta(old, new)
+    dict_df = spark.createDataFrame(
+        _SINGLE_DICT, "surface string, label string, canonical_id string")
+
+    def linker(docs):
+        toks = tokenize_docs(docs, id_col="url")
+        return (toks.join(F.broadcast(dict_df),
+                          toks["token"] == F.col("surface"))
+                .select("url", F.lit(0).alias("sent_id"), "canonical_id"))
+
+    return delta_triples(delta, old, new, linker)
+
+
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution via pointer doubling (3 rounds = cap 8):
+    synthetic redirect table u<d> -> u<d-1> for every doc_id not divisible
+    by 5 — chains of up to 4 hops ending at multiples of 5. Oracle follows
+    the same chains with a recursive CTE + depth cap."""
+    from saber_spark.operators.webstats import resolve_redirects
+    docs = _docs(spark, sf_dir)
+    edges = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+        .alias("src_url"),
+        F.concat(F.lit("u"), (F.col("doc_id") - 1).cast("string"))
+        .alias("dst_url"))
+    return resolve_redirects(edges, max_hops=8)
+
+
+def q_anchor_profile(spark, sf_dir):
+    """Anchor-text aggregation per destination host — the web-KG alias
+    source (how the web names a page): most frequent anchor + reference
+    counts, deterministic (count DESC, anchor ASC) tie-break."""
+    from saber_spark.operators.webstats import anchor_profile, extract_anchors
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://src"), (F.col("doc_id") % 3).cast("string"),
+                 F.lit(".example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit('<p><a href="https://e'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('.org/page" class="x">Entity '),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('</a> and <a href="https://e'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('.org/other">alias '),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit("</a></p>")).alias("html"))
+    return anchor_profile(extract_anchors(pages))
 
 
 def q_line_dedup(spark, sf_dir):
@@ -1423,6 +1491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_clean": q_line_dedup,
         "host_link_graph": q_host_link_graph,
         "snapshot_delta": q_snapshot_delta,
+        "incremental_triples": q_incremental_triples,
+        "resolve_redirects": q_resolve_redirects,
+        "anchor_profile": q_anchor_profile,
     }
 
 
@@ -2740,4 +2811,103 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status
             FROM j
             WHERE oc IS NULL OR nc IS NULL OR oc <> nc""",
+        # delta carries old/new content inline (oc/nc) instead of joining
+        # back to the snapshots — an independent derivation of the same
+        # upsert/retract sets the Spark side computes via joins.
+        "incremental_triples": f"""
+            WITH old AS (
+              SELECT 'https://ex.org/' || CAST(doc_id AS VARCHAR) AS url,
+                     coalesce(text, '') AS c
+              FROM documents),
+            new AS (
+              SELECT 'https://ex.org/' || CAST(doc_id AS VARCHAR) AS url,
+                     coalesce(CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                                   ELSE text END, '') AS c
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT 'https://ex.org/new/' || CAST(doc_id AS VARCHAR) AS url,
+                     coalesce(text, '') AS c
+              FROM documents WHERE doc_id % 17 = 0),
+            delta AS (
+              SELECT coalesce(o.url, n.url) AS url,
+                     CASE WHEN o.c IS NULL THEN 'added'
+                          WHEN n.c IS NULL THEN 'removed'
+                          ELSE 'changed' END AS status,
+                     o.c AS oc, n.c AS nc
+              FROM old o FULL OUTER JOIN new n ON o.url = n.url
+              WHERE o.c IS NULL OR n.c IS NULL OR o.c <> n.c),
+            docs2 AS (
+              SELECT url, nc AS text, 'upsert' AS op FROM delta
+              WHERE status IN ('added', 'changed')
+              UNION ALL
+              SELECT url, oc AS text, 'retract' AS op FROM delta
+              WHERE status = 'removed'),
+            tok AS (
+              SELECT op, url,
+                     unnest(regexp_extract_all(text, '{INFIX_PATTERN}', 0))
+                       AS token
+              FROM docs2),
+            linked AS (
+              SELECT DISTINCT t.op, t.url, g.canonical_id
+              FROM tok t
+              JOIN (VALUES {DICT_VALUES_SQL})
+                AS g(surface, label, canonical_id)
+                ON t.token = g.surface)
+            SELECT a.canonical_id AS subj, 'cooccurs_with' AS pred,
+                   b.canonical_id AS obj, a.op AS op, count(*) AS n_docs
+            FROM linked a JOIN linked b
+              ON a.url = b.url AND a.op = b.op
+             AND a.canonical_id < b.canonical_id
+            GROUP BY 1, 2, 3, 4""",
+        "resolve_redirects": """
+            WITH RECURSIVE edges AS (
+              SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+                     'u' || CAST(doc_id - 1 AS VARCHAR) AS dst
+              FROM documents WHERE doc_id % 5 <> 0),
+            r AS (
+              SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops FROM edges
+              UNION ALL
+              SELECT r.src, e.dst, r.hops + 1
+              FROM r JOIN edges e ON r.cur = e.src
+              WHERE r.hops < 8)
+            SELECT src AS src_url, cur AS final_url, hops AS n_hops
+            FROM (SELECT src, cur, hops,
+                         ROW_NUMBER() OVER (PARTITION BY src
+                                            ORDER BY hops DESC) AS rn
+                  FROM r)
+            WHERE rn = 1""",
+        "anchor_profile": """
+            WITH pages AS (
+              SELECT '<p><a href="https://e' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.org/page" class="x">Entity '
+                       || CAST(doc_id % 7 AS VARCHAR)
+                       || '</a> and <a href="https://e'
+                       || CAST(doc_id % 5 AS VARCHAR)
+                       || '.org/other">alias '
+                       || CAST(doc_id % 11 AS VARCHAR)
+                       || '</a></p>' AS html
+              FROM documents),
+            x AS (
+              SELECT regexp_extract_all(html,
+                       'href="(https?://[^"]*)"[^>]*>([^<]*)<', 1) AS hs,
+                     regexp_extract_all(html,
+                       'href="(https?://[^"]*)"[^>]*>([^<]*)<', 2) AS ts
+              FROM pages),
+            a AS (SELECT unnest(hs) AS dst_url, unnest(ts) AS anchor FROM x),
+            cnt AS (
+              SELECT lower(regexp_extract(dst_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS dst,
+                     trim(anchor) AS anchor, count(*) AS n
+              FROM a WHERE trim(anchor) <> ''
+              GROUP BY 1, 2)
+            SELECT dst, anchor AS top_anchor, n_refs, n_anchors_distinct
+            FROM (SELECT dst, anchor,
+                         ROW_NUMBER() OVER (PARTITION BY dst
+                                            ORDER BY n DESC, anchor) AS rn,
+                         CAST(SUM(n) OVER (PARTITION BY dst) AS BIGINT)
+                           AS n_refs,
+                         COUNT(*) OVER (PARTITION BY dst)
+                           AS n_anchors_distinct
+                  FROM cnt)
+            WHERE rn = 1""",
     }

@@ -200,3 +200,51 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
             F.min("url").alias("first_url"),
         )
     )
+
+
+def delta_triples(delta: DataFrame, old: DataFrame, new: DataFrame,
+                  linker, url_col: str = "url",
+                  text_col: str = "text") -> DataFrame:
+    """Incremental KG maintenance from a crawl snapshot delta
+    -> (subj, pred, obj, op, n_docs) with op in upsert | retract.
+
+    ``delta`` is webstats.snapshot_delta's (url, status) output; only the
+    delta set is re-extracted — at crawl scale the unchanged majority never
+    re-enters the tagger:
+      * added/changed pages: extract from the NEW content -> op='upsert'
+        (the downstream MERGE overwrites those urls' contributions);
+      * removed pages: extract from the OLD content -> op='retract' (the
+        MERGE subtracts their contributions from edge weights).
+
+    ``linker``: DataFrame(url, text) -> DataFrame(url, sent_id,
+    canonical_id) — the same mention+grounding stage the full pipeline
+    uses (dictionary or model-backed), injected so incremental and full
+    builds share one extraction path by construction.
+
+    Shape: the delta joins back to the snapshots on url (both sides
+    already hashed on url by snapshot_delta — with url-bucketed snapshot
+    tables the joins are shuffle-free), then ONE assemble_triples +
+    ONE grouped count per op branch; the union is a no-shuffle concat of
+    two small (delta-sized, not corpus-sized) legs.
+    """
+    # the delta descends from both snapshots, so joining it back is a
+    # self-join on shared lineage — qualify via DataFrame aliases
+    def back_join(statuses, snapshot):
+        return (delta.filter(F.col("status").isin(*statuses)).alias("d")
+                .join(snapshot.alias("s"),
+                      F.col("d.url") == F.col(f"s.{url_col}"))
+                .select(F.col(f"s.{url_col}").alias("url"),
+                        F.col(f"s.{text_col}").alias("text")))
+
+    upsert_docs = back_join(["added", "changed"], new)
+    retract_docs = back_join(["removed"], old)
+
+    def leg(docs: DataFrame, op: str) -> DataFrame:
+        triples = assemble_triples(linker(docs))
+        return (triples.groupBy("subj", "pred", "obj")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .withColumn("op", F.lit(op)))
+
+    return (leg(upsert_docs, "upsert")
+            .unionByName(leg(retract_docs, "retract"))
+            .select("subj", "pred", "obj", "op", "n_docs"))

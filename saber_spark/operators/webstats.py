@@ -183,3 +183,100 @@ def snapshot_delta(old: DataFrame, new: DataFrame, url_col: str = "url",
          .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
          .alias("status"))
         .filter(F.col("status").isNotNull()))
+
+
+def resolve_redirects(edges: DataFrame, src_col: str = "src_url",
+                      dst_col: str = "dst_url",
+                      max_hops: int = 8) -> DataFrame:
+    """Follow url->url redirect chains to their final target
+    -> (src_url, final_url, n_hops).
+
+    A crawl's redirect table (301/302/canonical-link edges) aliases many
+    urls to one canonical page; resolving chains BEFORE url_dedup collapses
+    the alias classes the plain normalizer can't see. The reference fetches
+    one article at a time and never sees redirects (saber/utils/
+    app_utils.py:19-46).
+
+    Pointer doubling: ceil(log2(max_hops)) self-joins, each ONE shuffle on
+    the current target — chains up to 2^k hops resolve in k rounds, so the
+    cap is rounded UP to the next power of two. A chain stops early at a
+    terminal (a target with no outgoing edge, left-join null). Cycles
+    cannot hang the job: a cyclic src simply reports the node sitting
+    exactly <effective cap> hops around the cycle, with n_hops == cap
+    flagging it (a terminal chain always lands at n_hops < cap or a final
+    url that is no src). Multiple targets for one src (a crawl artifact)
+    collapse to min(dst) first, keeping the map functional + deterministic.
+    """
+    cur = (edges.groupBy(F.col(src_col).alias("src"))
+           .agg(F.min(dst_col).alias("final"))
+           .withColumn("hops", F.lit(1).cast("bigint")))
+    rounds = 0
+    while (1 << rounds) < max_hops:
+        rounds += 1
+    for _ in range(rounds):
+        nxt = cur.select(F.col("src").alias("j_src"),
+                         F.col("final").alias("j_final"),
+                         F.col("hops").alias("j_hops"))
+        cur = (cur.join(nxt, cur["final"] == nxt["j_src"], "left")
+               .select(cur["src"],
+                       F.coalesce("j_final", "final").alias("final"),
+                       (cur["hops"] + F.coalesce("j_hops", F.lit(0)))
+                       .alias("hops")))
+    return cur.select(F.col("src").alias("src_url"),
+                      F.col("final").alias("final_url"),
+                      F.col("hops").alias("n_hops"))
+
+
+# href + visible anchor text; both groups pulled by scanning the SAME
+# pattern twice (group 1, group 2) so the arrays align positionally
+_HREF_ANCHOR = 'href="(https?://[^"]*)"[^>]*>([^<]*)<'
+
+
+def extract_anchors(pages: DataFrame, html_col: str = "html",
+                    url_col: str = "url") -> DataFrame:
+    """(src_url, dst_url, anchor) from each page's absolute http(s) links
+    with their visible anchor text. Anchor text is the classic web-scale
+    alias source for entity naming/linking — how the rest of the web
+    names a page. Narrow: two regexp_extract_all passes + arrays_zip +
+    explode, zero shuffle, zero Python; binary html decoded like
+    extract_links."""
+    html = F.col(html_col)
+    if dict(pages.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "utf-8")
+    hrefs = F.regexp_extract_all(html, F.lit(_HREF_ANCHOR), 1)
+    texts = F.regexp_extract_all(html, F.lit(_HREF_ANCHOR), 2)
+    return (pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(F.arrays_zip(hrefs.alias("dst_url"),
+                               texts.alias("anchor"))).alias("z"))
+        .select("src_url", F.col("z.dst_url").alias("dst_url"),
+                F.col("z.anchor").alias("anchor")))
+
+
+def anchor_profile(anchors: DataFrame, by_host: bool = True) -> DataFrame:
+    """Aggregate anchor texts per destination
+    -> (dst, top_anchor, n_refs, n_anchors_distinct).
+
+    top_anchor = the most frequent non-empty trimmed anchor pointing at the
+    destination (count DESC, anchor ASC tie-break — deterministic across
+    engines); n_refs counts all non-empty anchor references. TWO shuffles
+    total: one algebraic (dst, anchor) count (map-side combine absorbs
+    hub-destination skew), then ONE window pass over the already-aggregated
+    table computing rank + per-dst totals on a single sort — no
+    second groupBy, no join."""
+    from pyspark.sql import Window
+    dst = url_host("dst_url") if by_host else F.col("dst_url")
+    cnt = (anchors.select(dst.alias("dst"), F.trim("anchor").alias("anchor"))
+           .filter(F.col("anchor") != "")
+           .groupBy("dst", "anchor")
+           .agg(F.count(F.lit(1)).alias("n")))
+    part = Window.partitionBy("dst")
+    order = part.orderBy(F.desc("n"), F.asc("anchor"))
+    return (cnt.select(
+        "dst", "anchor",
+        F.row_number().over(order).alias("_rn"),
+        F.sum("n").over(part).alias("n_refs"),
+        F.count(F.lit(1)).over(part).alias("n_anchors_distinct"))
+        .filter(F.col("_rn") == 1)
+        .select("dst", F.col("anchor").alias("top_anchor"),
+                "n_refs", "n_anchors_distinct"))

@@ -216,3 +216,117 @@ class TestSnapshotDelta:
     def test_disjoint_snapshots(self, spark):
         got = self._delta(spark, [("a", "x")], [("b", "y")])
         assert got == {"a": "removed", "b": "added"}
+
+
+class TestResolveRedirects:
+    def _resolve(self, spark, edges, **kw):
+        from saber_spark.operators.webstats import resolve_redirects
+        df = spark.createDataFrame(edges, "src_url string, dst_url string")
+        return {r["src_url"]: (r["final_url"], r["n_hops"])
+                for r in resolve_redirects(df, **kw).collect()}
+
+    def test_chain_resolves_to_terminal_with_hop_count(self, spark):
+        got = self._resolve(spark, [("a", "b"), ("b", "c"), ("c", "t")])
+        assert got == {"a": ("t", 3), "b": ("t", 2), "c": ("t", 1)}
+
+    def test_cycle_reports_cap_hops(self, spark):
+        # 2-cycle: pointer doubling lands 8 (even) hops around -> self,
+        # n_hops == cap flags the unresolved chain
+        got = self._resolve(spark, [("a", "b"), ("b", "a")], max_hops=8)
+        assert got == {"a": ("a", 8), "b": ("b", 8)}
+
+    def test_chain_longer_than_cap_stops_at_cap(self, spark):
+        edges = [(f"n{i}", f"n{i+1}") for i in range(12)]
+        got = self._resolve(spark, edges, max_hops=4)
+        # cap rounds up to a power of two (4 -> 2 rounds -> 4 hops)
+        assert got["n0"] == ("n4", 4)
+        assert got["n9"] == ("n12", 3)  # reaches terminal inside the cap
+
+    def test_multiple_targets_collapse_to_min(self, spark):
+        got = self._resolve(spark, [("a", "z"), ("a", "b"), ("b", "t")])
+        assert got["a"] == ("t", 2)  # min("b","z")="b", then b->t
+
+
+class TestAnchors:
+    def _pages(self, spark, binary=False):
+        rows = [
+            ("https://s1.org/1",
+             '<a href="https://e.org/p">Acme Corp</a>'
+             '<a href="https://e.org/q" rel="x">Acme Corp</a>'
+             '<a href="https://f.org/r">  </a>'),
+            ("https://s2.org/1",
+             '<a href="https://e.org/p">ACME</a>'
+             '<a href="/rel">relative skipped</a>'),
+        ]
+        df = spark.createDataFrame(rows, "url string, html string")
+        if binary:
+            df = df.select("url", F.encode("html", "utf-8").alias("html"))
+        return df
+
+    def test_extract_pairs_href_with_text(self, spark):
+        from saber_spark.operators.webstats import extract_anchors
+        got = sorted(map(tuple,
+                         extract_anchors(self._pages(spark)).collect()))
+        assert got == [
+            ("https://s1.org/1", "https://e.org/p", "Acme Corp"),
+            ("https://s1.org/1", "https://e.org/q", "Acme Corp"),
+            ("https://s1.org/1", "https://f.org/r", "  "),
+            ("https://s2.org/1", "https://e.org/p", "ACME"),
+        ]
+
+    def test_binary_html_identical(self, spark):
+        from saber_spark.operators.webstats import extract_anchors
+        a = sorted(map(tuple, extract_anchors(self._pages(spark)).collect()))
+        b = sorted(map(tuple,
+                       extract_anchors(self._pages(spark, True)).collect()))
+        assert a == b
+
+    def test_profile_top_anchor_counts_and_blank_drop(self, spark):
+        from saber_spark.operators.webstats import (anchor_profile,
+                                                    extract_anchors)
+        prof = {r["dst"]: (r["top_anchor"], r["n_refs"],
+                           r["n_anchors_distinct"])
+                for r in anchor_profile(
+                    extract_anchors(self._pages(spark))).collect()}
+        # whitespace-only anchor dropped -> f.org absent entirely
+        assert prof == {"e.org": ("Acme Corp", 3, 2)}
+
+    def test_profile_tie_breaks_anchor_asc(self, spark):
+        from saber_spark.operators.webstats import anchor_profile
+        df = spark.createDataFrame(
+            [("s", "https://h.org/1", "beta"), ("s", "https://h.org/2", "alpha")],
+            "src_url string, dst_url string, anchor string")
+        row = anchor_profile(df).first()
+        assert (row["top_anchor"], row["n_refs"]) == ("alpha", 2)
+
+
+class TestDeltaTriples:
+    def test_upsert_and_retract_legs(self, spark):
+        from saber_spark.operators.triples import delta_triples
+        from saber_spark.operators.webstats import snapshot_delta
+        old = spark.createDataFrame(
+            [("u1", "x y"), ("u2", "a b kept"), ("u3", "a c dead")],
+            "url string, text string")
+        new = spark.createDataFrame(
+            [("u1", "a b fresh"), ("u2", "a b kept"), ("u4", "b c born")],
+            "url string, text string")
+        dict_df = spark.createDataFrame(
+            [("a", "E_A"), ("b", "E_B"), ("c", "E_C")],
+            "surface string, canonical_id string")
+
+        def linker(docs):
+            toks = docs.select(
+                "url", F.explode(F.split("text", " ")).alias("token"))
+            return (toks.join(F.broadcast(dict_df),
+                              toks["token"] == F.col("surface"))
+                    .select("url", F.lit(0).alias("sent_id"),
+                            "canonical_id"))
+
+        delta = snapshot_delta(old, new)
+        got = {(r["subj"], r["obj"], r["op"]): r["n_docs"]
+               for r in delta_triples(delta, old, new, linker).collect()}
+        # u1 changed -> upsert (E_A,E_B); u4 added -> upsert (E_B,E_C);
+        # u3 removed -> retract (E_A,E_C); u2 unchanged -> NOT re-extracted
+        assert got == {("E_A", "E_B", "upsert"): 1,
+                       ("E_B", "E_C", "upsert"): 1,
+                       ("E_A", "E_C", "retract"): 1}
