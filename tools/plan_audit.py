@@ -486,6 +486,69 @@ def main() -> None:
         0,
     ))
 
+    # 27. snapshot_delta: both snapshots must reduce to (url, xxhash64)
+    # BEFORE the full-outer join — the exchange moves 16 bytes/row, never
+    # page bodies; zero Python.
+    plan_sd = formatted_plan(e.queries()["snapshot_delta"](spark, SF_DIR))
+    sections.append((
+        "snapshot_delta (hash-narrow full-outer crawl diff)",
+        "xxhash64(content) must be computed below the join (project at the "
+        "scan side), so the url-keyed FullOuter exchange carries hashes, "
+        "not page bodies. With url-bucketed Iceberg snapshot tables the "
+        "exchange disappears entirely.",
+        plan_sd,
+        ["xxhash64", "FullOuter"],
+        0,
+    ))
+
+    # 28. resolve_redirects: ceil(log2(cap)) self-joins, no cartesian, no
+    # Python — each doubling round is one equi-join on the current target.
+    plan_rr = formatted_plan(e.queries()["resolve_redirects"](spark, SF_DIR))
+    sections.append((
+        "resolve_redirects (pointer doubling, 3 equi-join rounds)",
+        "Chains up to 8 hops resolve in 3 LeftOuter equi-joins (log, not "
+        "linear, in chain length); a CartesianProduct would mean the join "
+        "condition degenerated. Cycles terminate by construction (fixed "
+        "round count), so no fixpoint driver loop is needed.",
+        plan_rr,
+        ["Join LeftOuter"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_rr
+           else []),
+        0,
+    ))
+
+    # 29. anchor_profile: narrow zip+explode Generate, then exactly TWO
+    # exchanges — the algebraic (dst, anchor) count and the single window
+    # pass computing rank + per-dst totals on one sort.
+    plan_ap = formatted_plan(e.queries()["anchor_profile"](spark, SF_DIR))
+    n_ex_ap = len(re.findall(r"\(\d+\) Exchange", plan_ap))
+    sections.append((
+        "anchor_profile (narrow anchor extraction, agg + one window pass)",
+        "Anchor pairs come from a codegen Generate (arrays_zip + explode) "
+        "at the scan; the (dst, anchor) count is algebraic (map-side "
+        "combine absorbs hub destinations); rank and per-dst totals share "
+        "ONE window sort instead of a second groupBy + join.",
+        plan_ap,
+        ["Generate", "Window", "HashAggregate"]
+        + ([f"<exactly 2 exchanges, saw {n_ex_ap}>"] if n_ex_ap != 2
+           else []),
+        0,
+    ))
+
+    # 30. incremental_triples: the dictionary join must broadcast on both
+    # legs; delta membership and re-extraction stay JVM-side end-to-end.
+    plan_it = formatted_plan(e.queries()["incremental_triples"](spark, SF_DIR))
+    sections.append((
+        "incremental_triples (delta-bounded re-extraction)",
+        "Only delta pages re-enter tokenize/link/assemble; the grounding "
+        "dictionary is a BroadcastHashJoin on each leg; the snapshot diff "
+        "keys on xxhash64 like snapshot_delta. Zero Python: incremental "
+        "maintenance must not be slower per page than the full build.",
+        plan_it,
+        ["BroadcastHashJoin", "xxhash64"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
