@@ -148,6 +148,10 @@ def main() -> None:
         # line-level boilerplate removal)
         "url_host_stats", "url_dedup", "host_blocklist", "line_dedup_clean",
         "host_link_graph",
+        # added round 4, third batch (crawl snapshot diff, incremental KG
+        # maintenance, redirect resolution, anchor-text profiling)
+        "snapshot_delta", "incremental_triples", "resolve_redirects",
+        "anchor_profile",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real
