@@ -1355,16 +1355,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # twice-green family-redundant entry; never let an unverified query sit
     # past position 50.
     # r4 rotation (VERDICT r3 #3) — final slate. In the cap (first 50):
-    #   * the 11 NEW r4 queries needing first driver rows: sentence_split,
+    #   * the NEW r4 queries needing first driver rows: sentence_split,
     #     dict_mentions, fuzzy_link, proximity_triples, degree_hist,
     #     tfidf_ranked, quality_filter, mixture_sample, event_transitions,
-    #     plus the rows-only curation_decision flagship;
+    #     centroid_classify, the rows-only curation_decision flagship, AND
+    #     the late-r4 web-crawl slate (url_host_stats, url_dedup,
+    #     host_blocklist, line_dedup_clean, host_link_graph,
+    #     snapshot_delta, incremental_triples, resolve_redirects,
+    #     anchor_profile) — all local-oracle MATCH at sf0.01;
     #   * the six r3-demoted queries whose last driver rows were r2
     #     (moving_avg, sessionize, rollup_revenue, tpch_q5_nation,
     #     exists_high_value, above_nation_avg), rotated back for fresh
     #     evidence;
     #   * the r3-green flagship/family heads (KG stages, dedup chain, ANN,
-    #     graph, funnel/cohort, TPC-H rep, profiling).
+    #     graph, funnel, TPC-H rep, profiling).
+    # To make room for the web-crawl slate, nine r3 hash-MATCH entries with
+    # in-cap family siblings moved to the tail head: tfidf_topterms
+    # (sibling tfidf_ranked recomputes it + rank), quality_score +
+    # gopher_repetition (sibling quality_filter composes both signal
+    # families), minhash_candidates + ngram_jaccard + crossdoc_ngram_dup
+    # (sibling dedup_clusters runs the full LSH->jaccard->CC chain),
+    # triangle_entities (siblings pagerank_entities/degree_hist/
+    # host_link_graph), cohort_retention (siblings funnel_conversion/
+    # event_transitions), mixture_weights (sibling mixture_sample consumes
+    # the same weight table).
     # Tail (51+): every entry is driver-green in a prior round with an
     # in-cap family sibling — r4 demotions (all hash-MATCH r3):
     # median_by_source + pivot_events (windows/grouping — siblings
@@ -1404,13 +1418,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_link": q_fuzzy_link,
         "proximity_triples": q_proximity_triples,
         "degree_hist": q_degree_hist,
+        # --- web-crawl analytics (late-r4, first driver rows) ---
+        "url_host_stats": q_url_host_stats,
+        "url_dedup": q_url_dedup,
+        "host_blocklist": q_host_blocklist,
+        "line_dedup_clean": q_line_dedup,
+        "host_link_graph": q_host_link_graph,
+        "snapshot_delta": q_snapshot_delta,
+        "incremental_triples": q_incremental_triples,
+        "resolve_redirects": q_resolve_redirects,
+        "anchor_profile": q_anchor_profile,
         # --- evaluation / splits ---
         "eval_prf": q_eval_prf,
         "split_folds": q_split_folds,
-        "mixture_weights": q_mixture_weights,
         # --- relational / windows / grouping ---
         "funnel_conversion": q_funnel_conversion,
-        "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
         "mixture_sample": q_mixture_sample,
         "quality_buckets": q_quality_buckets,
@@ -1425,23 +1447,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_nation_avg": q_above_nation_avg,
         # --- graph analytics ---
         "pagerank_entities": q_pagerank_entities,
-        "triangle_entities": q_triangle_entities,
         # --- dedup / similarity family ---
         "dedup_clusters": q_dedup_clusters,
-        "minhash_candidates": q_minhash_candidates,
-        "ngram_jaccard": q_ngram_jaccard,
-        "crossdoc_ngram_dup": q_crossdoc_ngram_dup,
         "lsh_cosine_multiband": q_lsh_cosine_multiband,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "centroid_classify": q_centroid_classify,
         # --- text stats ---
-        "quality_score": q_quality_score,
         "quality_filter": q_quality_filter,
-        "tfidf_topterms": q_tfidf_topterms,
         "tfidf_ranked": q_tfidf_ranked,
-        "gopher_repetition": q_gopher_repetition,
         "pii_scrub": q_pii_scrub,
         # --------- position 51+: driver-green, family-redundant ---------
+        # r4 second-wave demotions (all hash-MATCH r3; in-cap siblings per
+        # the rotation comment above):
+        "tfidf_topterms": q_tfidf_topterms,
+        "quality_score": q_quality_score,
+        "gopher_repetition": q_gopher_repetition,
+        "minhash_candidates": q_minhash_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "crossdoc_ngram_dup": q_crossdoc_ngram_dup,
+        "triangle_entities": q_triangle_entities,
+        "cohort_retention": q_cohort_retention,
+        "mixture_weights": q_mixture_weights,
         # r4 demotions (all hash-MATCH in r3): median_by_source,
         # pivot_events, json_extract_agg, setops_active_customers,
         # cube_revenue, grouping_sets_revenue, xml_articles, kmv_distinct,
@@ -1483,17 +1509,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bigrams": q_token_bigrams,
         "zscore_by_source": q_zscore_by_source,
         "customers_without_orders": q_customers_without_orders,
-        # late-r4 web-crawl URL analytics: first driver rows due r5 when
-        # rotated into the cap; local oracle gate MATCH + pytest until then
-        "url_host_stats": q_url_host_stats,
-        "url_dedup": q_url_dedup,
-        "host_blocklist": q_host_blocklist,
-        "line_dedup_clean": q_line_dedup,
-        "host_link_graph": q_host_link_graph,
-        "snapshot_delta": q_snapshot_delta,
-        "incremental_triples": q_incremental_triples,
-        "resolve_redirects": q_resolve_redirects,
-        "anchor_profile": q_anchor_profile,
     }
 
 
