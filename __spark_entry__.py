@@ -218,6 +218,29 @@ _MULTI_DICT = sorted({
 MULTI_DICT_VALUES_SQL = ", ".join(
     f"('{s}', '{l}', '{c}')" for s, l, c in _MULTI_DICT)
 
+# ambiguous senses layered over the unambiguous base dictionary: two
+# frequent corpus surfaces each map to TWO canonical ids, exercising the
+# context-coherence disambiguator (the reference attaches every xref and
+# never picks, grounding_utils.py:53-66 — a KG build must pick one)
+AMBIG_DICT_ROWS = [
+    ("window", "PRGE", "PRGE:window"),
+    ("window", "CHED", "CHED:window"),
+    ("join",   "DISO", "DISO:join"),
+    ("join",   "LIVB", "LIVB:join"),
+]
+DISAMBIG_DICT = sorted(set(_SINGLE_DICT) | set(AMBIG_DICT_ROWS))
+DISAMBIG_VALUES_SQL = ", ".join(
+    f"('{s}', '{l}', '{c}')" for s, l, c in DISAMBIG_DICT)
+
+# is_a hierarchy over the dictionary's entity-type codes (stand-in for the
+# reference's grounding ontologies: Disease Ontology / NCBI Taxonomy /
+# PubChem are all is_a DAGs, saber/constants.py:74-80)
+TYPE_HIERARCHY_ROWS = [
+    ("PRGE", "BIOMOL"), ("CHED", "BIOMOL"), ("BIOMOL", "ENTITY"),
+    ("DISO", "PHEN"), ("PHEN", "ENTITY"), ("LIVB", "ENTITY"),
+]
+HIER_VALUES_SQL = ", ".join(f"('{c}', '{p}')" for c, p in TYPE_HIERARCHY_ROWS)
+
 LINKED_CTE = f"""
 linked AS (
   SELECT t.doc_id, t.pos, t.token, g.label, g.canonical_id
@@ -301,6 +324,36 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
                      CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
               FROM outdeg){rounds}
             SELECT node, round(pr, 6) AS pr FROM pr{iterations}"""
+
+
+def _label_propagation_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous-LPA twin of operators/graph.py:
+    label_propagation over the n_docs-weighted co-occurrence edges — one
+    vote CTE + one top-1 CTE per round, the same (weight DESC, label ASC)
+    total order."""
+    body = "".join(f""",
+            v{i} AS (SELECT s.a AS node, l.label, sum(s.w) AS ws
+                     FROM wsym s JOIN lp{i - 1} l ON s.b = l.node
+                     GROUP BY s.a, l.label),
+            lp{i} AS (SELECT node, label FROM v{i}
+                      QUALIFY row_number() OVER (
+                        PARTITION BY node
+                        ORDER BY ws DESC, label) = 1)""" for i in range(1, rounds + 1))
+    return f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            ents AS (SELECT DISTINCT doc_id, canonical_id FROM linked),
+            we AS (SELECT a.canonical_id AS src, b.canonical_id AS dst,
+                          count(*) AS nd
+                   FROM ents a JOIN ents b
+                     ON a.doc_id = b.doc_id
+                    AND a.canonical_id < b.canonical_id
+                   GROUP BY src, dst),
+            wsym AS (SELECT src AS a, dst AS b, CAST(nd AS DOUBLE) AS w
+                     FROM we
+                     UNION ALL
+                     SELECT dst, src, CAST(nd AS DOUBLE) FROM we),
+            lp0 AS (SELECT DISTINCT a AS node, a AS label FROM wsym){body}
+            SELECT node, label AS community FROM lp{rounds}"""
 
 
 def _linked_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -895,6 +948,78 @@ def q_degree_hist(spark, sf_dir):
                             src="subj", dst="obj")
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality signal: score hash-half 0 of the corpus
+    under an add-k bigram model fit on the other half. Bigrams are zipped
+    out of each doc's token array (narrow, no shuffle); the model is two
+    hash aggs; scoring is two equi-joins + one per-doc agg."""
+    from saber_spark.operators.lm import lm_cross_entropy
+    return lm_cross_entropy(_docs(spark, sf_dir), INFIX_PATTERN)
+
+
+def q_disambiguate_link(spark, sf_dir):
+    """Context-coherence sense disambiguation: ambiguous surfaces pick the
+    candidate that co-occurs most with the document's unambiguous
+    entities (argmax, ties by canonical_id) — the wikification step the
+    reference's attach-all-xrefs grounding leaves open."""
+    from saber_spark.operators.linking import disambiguate_link
+    dict_df = spark.createDataFrame(
+        DISAMBIG_DICT, "surface string, label string, canonical_id string")
+    return disambiguate_link(tokenize_docs(_docs(spark, sf_dir)), dict_df)
+
+
+def q_label_propagation(spark, sf_dir):
+    """Weighted community detection over the entity co-occurrence KG:
+    3 synchronous LPA rounds, deterministic (weight DESC, label ASC)
+    vote resolution — oracle is an unrolled CTE per round."""
+    from saber_spark.operators.graph import label_propagation
+    linked = _linked_spark(spark, sf_dir)
+    ents = (linked.select("doc_id", "canonical_id").distinct()
+            .localCheckpoint(eager=True))
+    a, b = ents.alias("a"), ents.alias("b")
+    wedges = (a.join(b, "doc_id")
+              .filter(F.col("a.canonical_id") < F.col("b.canonical_id"))
+              .groupBy(F.col("a.canonical_id").alias("src"),
+                       F.col("b.canonical_id").alias("dst"))
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    return label_propagation(wedges, weight_col="n_docs", rounds=3)
+
+
+def q_type_closure(spark, sf_dir):
+    """Ontology rollup: mention counts per entity type aggregated up the
+    is_a hierarchy via path-doubling transitive closure (log-depth
+    joins on the dimension side; the corpus shuffles once for its own
+    count agg). Oracle: recursive CTE."""
+    from saber_spark.operators.ontology import type_rollup
+    facts = (_linked_spark(spark, sf_dir)
+             .groupBy("label").agg(F.count(F.lit(1)).alias("n")))
+    hier = spark.createDataFrame(TYPE_HIERARCHY_ROWS,
+                                 "child string, parent string")
+    return type_rollup(facts, hier)
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Recrawl scheduling: top-3 priority URLs per host with
+    priority = (host in-degree + 1) * ln(1 + staleness). Pages/edges are
+    synthesized relationally from documents (hosts from source, fan-out
+    from doc_id % 7, capture ts = epoch + doc_id seconds) so the oracle
+    twin is pure SQL; host_link_graph covers the html-parsing path."""
+    from saber_spark.operators.webstats import crawl_frontier
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_add("SECOND", F.col("doc_id").cast("int"),
+                        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                        ).alias("warc_ts"))
+    edges = docs.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("src_host"),
+        F.concat(F.lit("src"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.org")).alias("dst_host")).distinct()
+    return crawl_frontier(pages, edges, k=3)
+
+
 def q_fuzzy_link(spark, sf_dir):
     """Typo-tolerant grounding: tokens link to the nearest dictionary
     surface within 1 Levenshtein edit (best = fewest edits, then smallest
@@ -1428,14 +1553,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_triples": q_incremental_triples,
         "resolve_redirects": q_resolve_redirects,
         "anchor_profile": q_anchor_profile,
-        # --- evaluation / splits ---
-        "eval_prf": q_eval_prf,
-        "split_folds": q_split_folds,
+        # --- KG enrichment / ontology (new this round, first driver rows)
+        "disambiguate_link": q_disambiguate_link,
+        "type_closure": q_type_closure,
+        "label_propagation": q_label_propagation,
+        "lm_perplexity": q_lm_perplexity,
+        "crawl_frontier": q_crawl_frontier,
         # --- relational / windows / grouping ---
-        "funnel_conversion": q_funnel_conversion,
         "event_transitions": q_event_transitions,
         "mixture_sample": q_mixture_sample,
-        "quality_buckets": q_quality_buckets,
         "tpch_q4": q_tpch_q4,
         "table_profile": q_table_profile,
         "range_join_clicks": q_range_join_clicks,
@@ -1449,7 +1575,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_entities": q_pagerank_entities,
         # --- dedup / similarity family ---
         "dedup_clusters": q_dedup_clusters,
-        "lsh_cosine_multiband": q_lsh_cosine_multiband,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "centroid_classify": q_centroid_classify,
         # --- text stats ---
@@ -1457,6 +1582,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_ranked": q_tfidf_ranked,
         "pii_scrub": q_pii_scrub,
         # --------- position 51+: driver-green, family-redundant ---------
+        # r4 third-wave demotions (all hash-MATCH r3) making room for the
+        # five new KG-enrichment queries: eval_prf (siblings
+        # eval_prf_left/right, green r1+r2), split_folds (sampling family
+        # sibling mixture_sample in-cap), quality_buckets (sibling
+        # quality_filter), funnel_conversion (sibling event_transitions),
+        # lsh_cosine_multiband (siblings ivf_cosine_topk +
+        # centroid_classify):
+        "eval_prf": q_eval_prf,
+        "split_folds": q_split_folds,
+        "quality_buckets": q_quality_buckets,
+        "funnel_conversion": q_funnel_conversion,
+        "lsh_cosine_multiband": q_lsh_cosine_multiband,
         # r4 second-wave demotions (all hash-MATCH r3; in-cap siblings per
         # the rotation comment above):
         "tfidf_topterms": q_tfidf_topterms,
@@ -2326,6 +2463,125 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_frac
             FROM documents d LEFT JOIN per p USING (doc_id)""",
         "pagerank_entities": _pagerank_oracle_sql(5),
+        "lm_perplexity": f"""
+            WITH {TOKENS_CTE},
+            bg AS (
+              SELECT t1.doc_id, t1.token AS w1, t2.token AS w2,
+                     ((t1.doc_id * {KNUTH}) % {HASH_MOD}) % 2 AS part
+              FROM tokens t1 JOIN tokens t2
+                ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg
+                    WHERE part <> 0 GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+                   FROM c12 GROUP BY w1),
+            v AS (SELECT count(DISTINCT w) AS v FROM (
+                    SELECT w2 AS w FROM bg WHERE part <> 0
+                    UNION ALL SELECT w1 FROM bg WHERE part <> 0)),
+            s AS (SELECT b.doc_id,
+                         -ln((coalesce(c12.c12, 0) + 0.5)
+                             / (coalesce(c1.c1, 0)
+                                + 0.5 * greatest((SELECT v FROM v), 1))
+                             ) AS nll
+                  FROM bg b
+                  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+                  LEFT JOIN c1 ON b.w1 = c1.w1
+                  WHERE b.part = 0)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(nll), 6) AS xent
+            FROM s GROUP BY doc_id""",
+        "disambiguate_link": f"""
+            WITH {TOKENS_CTE},
+            cand AS (
+              SELECT surface, canonical_id,
+                     count(*) OVER (PARTITION BY surface) AS n_cands
+              FROM (SELECT DISTINCT surface, canonical_id
+                    FROM (VALUES {DISAMBIG_VALUES_SQL})
+                         AS g(surface, label, canonical_id))),
+            sure AS (SELECT DISTINCT t.doc_id, c.canonical_id
+                     FROM tokens t
+                     JOIN cand c ON t.token = c.surface AND c.n_cands = 1),
+            cooc AS (SELECT a.canonical_id AS x, b.canonical_id AS y,
+                            count(*) AS n_docs
+                     FROM sure a JOIN sure b
+                       ON a.doc_id = b.doc_id
+                      AND a.canonical_id < b.canonical_id
+                     GROUP BY x, y),
+            coocs AS (SELECT x, y, n_docs FROM cooc
+                      UNION ALL SELECT y, x, n_docs FROM cooc),
+            amb AS (SELECT t.doc_id, t.pos, c.surface, c.canonical_id,
+                           c.n_cands
+                    FROM tokens t
+                    JOIN cand c ON t.token = c.surface AND c.n_cands > 1),
+            scored AS (
+              SELECT a.doc_id, a.pos, a.surface, a.canonical_id,
+                     a.n_cands, coalesce(sum(cs.n_docs), 0) AS score
+              FROM amb a
+              LEFT JOIN sure s ON s.doc_id = a.doc_id
+              LEFT JOIN coocs cs ON cs.x = a.canonical_id
+                                AND cs.y = s.canonical_id
+              GROUP BY a.doc_id, a.pos, a.surface, a.canonical_id,
+                       a.n_cands)
+            SELECT doc_id, pos, surface, canonical_id,
+                   CAST(score AS BIGINT) AS score,
+                   CAST(n_cands AS BIGINT) AS n_cands
+            FROM scored
+            QUALIFY row_number() OVER (
+              PARTITION BY doc_id, pos
+              ORDER BY score DESC, canonical_id) = 1""",
+        "label_propagation": _label_propagation_oracle_sql(3),
+        "type_closure": f"""
+            WITH RECURSIVE {TOKENS_CTE}, {LINKED_CTE},
+            hier(child, parent) AS (
+              SELECT * FROM (VALUES {HIER_VALUES_SQL}) h(c, p)),
+            closure(c, p) AS (
+              SELECT child, parent FROM hier
+              UNION
+              SELECT cl.c, h.parent FROM closure cl
+              JOIN hier h ON cl.p = h.child),
+            facts AS (SELECT label AS t, count(*) AS n
+                      FROM linked GROUP BY label),
+            allt AS (SELECT t FROM facts
+                     UNION SELECT c FROM closure
+                     UNION SELECT p FROM closure),
+            bridge AS (SELECT c AS t, p AS anc FROM closure
+                       UNION ALL SELECT t, t FROM allt)
+            SELECT anc AS ancestor_type,
+                   CAST(coalesce(sum(n), 0) AS BIGINT) AS n_total,
+                   CAST(coalesce(sum(CASE WHEN t = anc THEN n END), 0)
+                        AS BIGINT) AS n_direct,
+                   count(CASE WHEN n IS NOT NULL THEN 1 END) AS n_types
+            FROM bridge LEFT JOIN facts USING (t)
+            GROUP BY anc""",
+        "crawl_frontier": """
+            WITH pages AS (
+              SELECT source || '.example.org' AS host,
+                     'https://' || source || '.example.org/doc/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id
+              FROM documents),
+            edges AS (SELECT DISTINCT source || '.example.org' AS src_host,
+                             'src' || CAST(doc_id % 7 AS VARCHAR)
+                               || '.example.org' AS dst_host
+                      FROM documents),
+            indeg AS (SELECT dst_host AS host,
+                             count(DISTINCT src_host) AS in_deg
+                      FROM edges GROUP BY dst_host),
+            base AS (
+              SELECT h.host, h.url,
+                     CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+                     CAST((SELECT max(doc_id) FROM documents) - h.doc_id
+                          AS BIGINT) AS age_sec
+              FROM pages h LEFT JOIN indeg i USING (host)),
+            pri AS (SELECT *, round((in_deg + 1)
+                                    * ln(1 + CAST(age_sec AS DOUBLE)),
+                                    6) AS priority
+                    FROM base)
+            SELECT host, url, in_deg, age_sec, priority,
+                   CAST(row_number() OVER (
+                     PARTITION BY host
+                     ORDER BY priority DESC, url) AS BIGINT) AS rk
+            FROM pri
+            QUALIFY rk <= 3""",
         "triangle_entities": f"""
             WITH {TOKENS_CTE}, {LINKED_CTE}, {ENTITY_EDGES_CTE},
             -- e is already id-oriented (src < dst) and distinct; the

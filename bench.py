@@ -152,6 +152,11 @@ def main() -> None:
         # maintenance, redirect resolution, anchor-text profiling)
         "snapshot_delta", "incremental_triples", "resolve_redirects",
         "anchor_profile",
+        # added round 4, fourth batch (KG enrichment: sense disambiguation,
+        # ontology rollup, community detection, LM quality scoring,
+        # recrawl prioritization)
+        "disambiguate_link", "type_closure", "label_propagation",
+        "lm_perplexity", "crawl_frontier",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

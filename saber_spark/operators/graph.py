@@ -17,7 +17,7 @@ CTE computing min reachable node).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -266,3 +266,59 @@ def degree_histogram(edges: DataFrame, src: str = "src",
             .agg(F.count(F.lit(1)).alias("n_entities"))
             .select(F.col("degree").cast("long").alias("degree"),
                     "n_entities"))
+
+
+def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      weight_col: str | None = None, rounds: int = 3,
+                      checkpoint_every: int | None = None,
+                      materialize: bool = True) -> DataFrame:
+    """Synchronous weighted label propagation -> (node, community).
+
+    Community detection over the entity co-occurrence KG ("which entities
+    form topical clusters?") — the standard near-linear-time method
+    (Raghavan et al. 2007), deterministic variant: every node starts
+    labeled with itself; each round every node adopts the label with the
+    LARGEST total incident edge weight among its neighbors, ties broken by
+    the smallest label. Classic LPA breaks ties randomly; the total
+    (weight DESC, label ASC) order makes the result engine-portable, so
+    the DuckDB twin is an unrolled CTE per round.
+
+    rounds is FIXED (not fixpoint): synchronous LPA can 2-cycle on
+    bipartite subgraphs, so a change-count fixpoint need not terminate —
+    a bounded round count is the production formulation (GraphFrames'
+    LPA maxIter is mandatory for the same reason).
+
+    Scale shape: per round ONE equi-join (labels referenced exactly once —
+    linear plan growth, same discipline as _propagate) + ONE hash agg of
+    the votes + ONE top-1 window partitioned by node. The window processes
+    one row per (node, distinct neighbor label), already collapsed by the
+    agg — at 10^12 edges a hub's vote list is bounded by its community
+    fan-out, not its degree. weight_col=None counts each neighbor once
+    (w=1); parallel weighted edges are summed.
+    """
+    if weight_col is None:
+        sym = _symmetrize(edges, src, dst).withColumn("w", F.lit(1.0))
+    else:
+        w = F.col(weight_col).cast("double").alias("w")
+        base = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w)
+                .filter(F.col("a") != F.col("b")))
+        sym = (base.unionByName(base.select(F.col("b").alias("a"),
+                                            F.col("a").alias("b"), "w"))
+               .groupBy("a", "b").agg(F.sum("w").alias("w")))
+    if materialize:
+        sym = sym.localCheckpoint(eager=True)
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    win = Window.partitionBy("node2").orderBy(F.col("ws").desc(),
+                                              F.col("label").asc())
+    for i in range(rounds):
+        votes = (sym.join(labels, sym.b == labels.node)
+                 .groupBy(F.col("a").alias("node2"), "label")
+                 .agg(F.sum("w").alias("ws")))
+        labels = (votes
+                  .withColumn("rn", F.row_number().over(win))
+                  .filter(F.col("rn") == 1)
+                  .select(F.col("node2").alias("node"), "label"))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))

@@ -17,7 +17,7 @@ explicitly avoid at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -200,3 +200,76 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
     """
     return mentions.join(F.broadcast(prepare_dictionary(dictionary)),
                          on=["text", "label"], how="left")
+
+
+def disambiguate_link(tokens: DataFrame, dictionary: DataFrame,
+                      materialize: bool = True) -> DataFrame:
+    """Context-coherence disambiguation for AMBIGUOUS dictionary surfaces
+    -> (doc_id, pos, surface, canonical_id, score, n_cands).
+
+    The reference grounds by exact surface and, when EXTRACT returns
+    several xrefs, simply attaches all of them
+    (saber/utils/grounding_utils.py:53-66) — it never picks one. A KG
+    builder must: the standard document-coherence heuristic (Cucerzan
+    2007 and every wikification system since) scores each candidate
+    sense by how strongly it co-occurs with the document's UNambiguous
+    entities, then takes the argmax.
+
+    Deterministic formulation over a (surface, label, canonical_id)
+    dictionary where a surface may map to several canonical ids:
+      1. sure mentions  = tokens matching single-candidate surfaces;
+      2. coherence stats = entity co-occurrence counts (n_docs per
+         unordered pair) computed from the SURE mentions only;
+      3. each candidate of an ambiguous mention scores
+         sum(n_docs[cand, e]) over the doc's distinct sure entities e;
+      4. argmax per mention, ties by smallest canonical_id — total
+         order, so the DuckDB twin reproduces it exactly.
+    Candidates with no coherence evidence score 0 (kept: row 4's
+    tie-break still yields a deterministic sense).
+
+    Scale shape: the dictionary (and thus the candidate table and the
+    sure-pair co-occurrence stats, both bounded by dictionary size) is
+    broadcast; the corpus-side token table never shuffles to match
+    surfaces. The doc-coherence expansion is ONE doc_id equi-join
+    (ambiguous mentions x the doc's distinct sure entities — both sides
+    hash-partition on doc_id; fan-out bounded by dictionary size, not
+    corpus size), then a broadcast lookup into the coherence table, ONE
+    (doc, pos, cand) agg, and a top-1 window per mention whose vote list
+    is bounded by the dictionary's ambiguity degree.
+    """
+    cands = (dictionary.select("surface", "canonical_id").distinct()
+             .withColumn("n_cands",
+                         F.count(F.lit(1)).over(
+                             Window.partitionBy("surface"))))
+    sure = (tokens.join(F.broadcast(cands.filter(F.col("n_cands") == 1)),
+                        tokens.token == F.col("surface"))
+            .select("doc_id", "canonical_id"))
+    doc_ents = sure.distinct()
+    if materialize:
+        doc_ents = doc_ents.localCheckpoint(eager=True)
+    a, b = doc_ents.alias("a"), doc_ents.alias("b")
+    cooc = (a.join(b, "doc_id")
+            .filter(F.col("a.canonical_id") < F.col("b.canonical_id"))
+            .groupBy(F.col("a.canonical_id").alias("x"),
+                     F.col("b.canonical_id").alias("y"))
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+    cooc_sym = cooc.unionByName(cooc.select(F.col("y").alias("x"),
+                                            F.col("x").alias("y"), "n_docs"))
+    ambig = (tokens.join(F.broadcast(cands.filter(F.col("n_cands") > 1)),
+                         tokens.token == F.col("surface"))
+             .select("doc_id", "pos", "surface", "canonical_id", "n_cands"))
+    scored = (ambig
+              .join(doc_ents.withColumnRenamed("canonical_id", "ctx"),
+                    "doc_id", "left")
+              .join(F.broadcast(cooc_sym),
+                    (F.col("canonical_id") == F.col("x"))
+                    & (F.col("ctx") == F.col("y")), "left")
+              .groupBy("doc_id", "pos", "surface", "canonical_id", "n_cands")
+              .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("score")))
+    win = Window.partitionBy("doc_id", "pos").orderBy(
+        F.col("score").desc(), F.col("canonical_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "pos", "surface", "canonical_id",
+                    F.col("score").cast("long").alias("score"),
+                    F.col("n_cands").cast("long").alias("n_cands")))

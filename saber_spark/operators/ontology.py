@@ -1,0 +1,99 @@
+"""Ontology/type-hierarchy operators: transitive closure + descendant
+rollup.
+
+The reference grounds entities into real ontologies — Disease Ontology,
+NCBI Taxonomy, PubChem (saber/constants.py:74-80, grounding namespaces) —
+all of which are DAGs with is_a edges; "how many DISO mentions (including
+all disease SUBtypes)" is the canonical KG rollup query. Spark has no
+recursive CTE, so the scalable closure is iterated path-doubling: after k
+join rounds every ancestor within distance 2^k is materialized — log2
+(depth) shuffles total, vs depth shuffles for naive one-step expansion.
+
+Scale shape: ontologies are small (DO ~18k terms, NCBI Taxonomy ~2.5M) —
+the closure runs on the dimension side and the result broadcasts into the
+corpus-side mention-count rollup, so the multi-TB fact table shuffles
+exactly once (its own count agg). A >broadcast-threshold ontology
+(closure of NCBI Taxonomy is ~50M rows) degrades gracefully to a shuffle
+equi-join on the type key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(edges: DataFrame, child: str = "child",
+                       parent: str = "parent",
+                       max_depth: int = 64) -> DataFrame:
+    """(child, parent) direct edges -> (child, ancestor) full closure,
+    NOT including the reflexive (x, x) pairs.
+
+    Path-doubling: each round joins the current closure with itself, so
+    reachable distance doubles — ceil(log2(max_depth)) rounds cover any
+    DAG of depth <= max_depth. Each round is ONE self-join + distinct
+    (one shuffle); the loop is driver-side counting only. A cycle would
+    make the closure loop forever in depth terms but path-doubling still
+    converges to the finite pair set — the fixpoint test (no new pairs)
+    terminates either way.
+    """
+    paths = (edges.select(F.col(child).alias("c"), F.col(parent).alias("p"))
+             .filter(F.col("c") != F.col("p")).distinct()
+             .localCheckpoint(eager=True))
+    rounds = max(1, (max_depth - 1).bit_length())
+    for _ in range(rounds):
+        hops = (paths.alias("l")
+                .join(paths.alias("r"), F.col("l.p") == F.col("r.c"))
+                .select(F.col("l.c").alias("c"), F.col("r.p").alias("p")))
+        new_paths = (paths.unionByName(hops)
+                     .filter(F.col("c") != F.col("p")).distinct()
+                     .localCheckpoint(eager=True))
+        if new_paths.count() == paths.count():
+            paths = new_paths
+            break
+        paths = new_paths
+    return paths.select(F.col("c").alias(child), F.col("p").alias("ancestor"))
+
+
+def type_rollup(facts: DataFrame, hierarchy: DataFrame,
+                type_col: str = "label", count_col: str = "n",
+                child: str = "child", parent: str = "parent",
+                max_depth: int = 64) -> DataFrame:
+    """Roll fact counts up a type hierarchy -> (ancestor_type, n_total,
+    n_direct, n_types): every type's total INCLUDES all descendants.
+
+    facts: (type_col, count_col) — pre-aggregated per-type counts (the
+    corpus side has already been reduced by its own single hash agg).
+    hierarchy: (child, parent) direct is_a edges; types absent from the
+    hierarchy still appear in the output with n_total = n_direct.
+
+    The closure + the reflexive pairs form the bridge table; the rollup is
+    bridge ⋈ facts + one hash agg. Both sides are dimension-sized (one
+    row per type / type-pair) — the per-type facts side is explicitly
+    broadcast; n_types counts contributing DISTINCT descendant types with
+    nonzero facts.
+    """
+    closure = transitive_closure(hierarchy, child, parent, max_depth)
+    all_types = (facts.select(F.col(type_col).alias("t"))
+                 .unionByName(closure.select(F.col(child).alias("t")))
+                 .unionByName(closure.select(F.col("ancestor").alias("t")))
+                 .distinct())
+    bridge = (closure.select(F.col(child).alias("t"),
+                             F.col("ancestor").alias("anc"))
+              .unionByName(all_types.select("t", F.col("t").alias("anc"))))
+    joined = (bridge.join(
+        F.broadcast(facts.select(F.col(type_col).alias("t"),
+                                 F.col(count_col).alias("n"))),
+        "t", "left"))
+    return (joined.groupBy(F.col("anc").alias("ancestor_type"))
+            .agg(F.sum("n").alias("n_total"),
+                 F.sum(F.when(F.col("t") == F.col("anc"), F.col("n"))
+                       ).alias("n_direct"),
+                 F.count(F.when(F.col("n").isNotNull(), F.lit(1))
+                         ).alias("n_types"))
+            .select("ancestor_type",
+                    F.coalesce("n_total", F.lit(0)).cast("long")
+                    .alias("n_total"),
+                    F.coalesce("n_direct", F.lit(0)).cast("long")
+                    .alias("n_direct"),
+                    F.col("n_types").cast("long").alias("n_types")))

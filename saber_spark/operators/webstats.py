@@ -280,3 +280,48 @@ def anchor_profile(anchors: DataFrame, by_host: bool = True) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("dst", F.col("anchor").alias("top_anchor"),
                 "n_refs", "n_anchors_distinct"))
+
+
+def crawl_frontier(pages: DataFrame, host_edges: DataFrame, k: int = 3,
+                   url_col: str = "url", ts_col: str = "warc_ts") -> DataFrame:
+    """Recrawl scheduling: top-k priority URLs per host
+    -> (host, url, in_deg, age_sec, priority, rk).
+
+    A production crawler re-visits pages by authority x staleness (the
+    OPIC/Heritrix family): priority = (in_deg + 1) * ln(1 + age_sec),
+    where in_deg is the host's distinct referring hosts (link-graph
+    authority) and age_sec the URL's staleness against the newest capture
+    in the table. Deterministic: ties by url ASC; priority rounded to 6
+    (the repo's float-portability convention).
+
+    Scale shape: in_deg is ONE algebraic agg over the host edge list
+    (dimension-sized -> broadcast into the page side, the multi-TB
+    corpus never shuffles for it); staleness is a narrow timestamp map
+    against a 1-row max (broadcast scalar); the only corpus shuffle is
+    the per-host top-k window — hub hosts with millions of URLs are the
+    skew case, handled the standard way (rank cutoff k keeps the output
+    bounded; AQE splits the oversized partitions).
+    """
+    from pyspark.sql import Window
+
+    in_deg = (host_edges.groupBy(F.col("dst_host").alias("host"))
+              .agg(F.count_distinct("src_host").alias("in_deg")))
+    newest = pages.agg(F.max(ts_col).alias("max_ts"))
+    base = (pages.select(url_host(url_col).alias("host"), F.col(url_col),
+                         F.col(ts_col))
+            .crossJoin(F.broadcast(newest))
+            .join(F.broadcast(in_deg), "host", "left")
+            .select(
+                "host", url_col,
+                F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+                (F.unix_timestamp("max_ts") - F.unix_timestamp(ts_col))
+                .cast("long").alias("age_sec")))
+    pr = F.round((F.col("in_deg") + 1)
+                 * F.ln(1 + F.col("age_sec").cast("double")), 6)
+    win = Window.partitionBy("host").orderBy(F.col("priority").desc(),
+                                             F.col(url_col).asc())
+    return (base.withColumn("priority", pr)
+            .withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= k)
+            .select("host", url_col, "in_deg", "age_sec", "priority",
+                    F.col("rk").cast("long").alias("rk")))

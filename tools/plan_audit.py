@@ -549,6 +549,85 @@ def main() -> None:
         0,
     ))
 
+    # 31. lm_perplexity: bigrams come from a codegen Generate over the
+    # zipped token array (no (doc,pos) self-join); the 1-row vocab scalar
+    # joins as BroadcastNestedLoopJoin; zero Python.
+    plan_lm = formatted_plan(e.queries()["lm_perplexity"](spark, SF_DIR))
+    sections.append((
+        "lm_perplexity (narrow bigram extraction + model equi-joins)",
+        "Bigram extraction must be a narrow Generate (zip_with over the "
+        "token array), NOT a positional self-join — at 10^12 docs the "
+        "self-join would shuffle the token table twice. The vocab size is "
+        "a 1-row broadcast scalar; model joins are equi-joins (broadcast "
+        "here via AQE at sf0.01; shuffle-hash co-partitioned at scale).",
+        plan_lm,
+        ["Generate", "BroadcastNestedLoopJoin", "HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_lm
+           else []),
+        0,
+    ))
+
+    # 32. disambiguate_link: the dictionary legs broadcast; the doc-context
+    # expansion is the only shuffle join; the per-mention argmax compiles
+    # to WindowGroupLimit (top-1 pushed below the sort).
+    plan_dl = formatted_plan(e.queries()["disambiguate_link"](spark, SF_DIR))
+    sections.append((
+        "disambiguate_link (broadcast dictionary, windowed argmax)",
+        "Candidate/sure matching must be BroadcastHashJoin (corpus side "
+        "never shuffles for the dictionary); the doc_id coherence "
+        "expansion co-partitions on doc_id; the per-mention top-1 must "
+        "compile to WindowGroupLimit so reducers keep one row per "
+        "mention, not the full vote list.",
+        plan_dl,
+        ["BroadcastHashJoin", "WindowGroupLimit"],
+        0,
+    ))
+
+    # 33. label_propagation: per round ONE SMJ vote join + ONE hash agg +
+    # ONE WindowGroupLimit top-1; edges come from a materialized
+    # localCheckpoint so no per-round lineage recompute.
+    plan_lp = formatted_plan(e.queries()["label_propagation"](spark, SF_DIR))
+    sections.append((
+        "label_propagation (3 rounds: join + vote agg + top-1 window)",
+        "Each round references the label table exactly once (linear plan "
+        "growth); votes collapse in a partial+final HashAggregate before "
+        "the per-node argmax, which must compile to WindowGroupLimit — "
+        "a hub's reducer sees its distinct neighbor-label votes, not its "
+        "raw degree.",
+        plan_lp,
+        ["SortMergeJoin", "HashAggregate", "WindowGroupLimit"],
+        0,
+    ))
+
+    # 34. type_closure: the ontology closure runs dimension-side; the
+    # per-type facts broadcast into the bridge join; zero Python.
+    plan_tc = formatted_plan(e.queries()["type_closure"](spark, SF_DIR))
+    sections.append((
+        "type_closure (dimension-side doubling closure, broadcast rollup)",
+        "The corpus shuffles ONCE (its own label count agg); the "
+        "path-doubling closure and the bridge join run on dimension-sized "
+        "tables with the facts side explicitly broadcast.",
+        plan_tc,
+        ["BroadcastHashJoin", "HashAggregate"],
+        0,
+    ))
+
+    # 35. crawl_frontier: in-degree and the max-ts scalar broadcast into
+    # the page side; the only corpus shuffle is the per-host top-k window,
+    # which must compile to WindowGroupLimit (rank<=k below the sort).
+    plan_cf = formatted_plan(e.queries()["crawl_frontier"](spark, SF_DIR))
+    sections.append((
+        "crawl_frontier (broadcast authority + staleness, top-k window)",
+        "Host in-degree joins as BroadcastHashJoin and the newest-capture "
+        "scalar as BroadcastNestedLoopJoin (1 row), so the page table "
+        "shuffles only for the per-host top-k — and that window must "
+        "compile to WindowGroupLimit so hub hosts spill k rows, not "
+        "their full URL set.",
+        plan_cf,
+        ["BroadcastHashJoin", "BroadcastNestedLoopJoin", "WindowGroupLimit"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
