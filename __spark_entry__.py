@@ -288,6 +288,7 @@ cand AS (
 """
 
 STOP_VALUES_SQL = ", ".join(f"('{w}')" for w in EN_STOPWORDS)
+STOPWORDS_IN_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
 # entity co-occurrence graph (doc granularity) — shared by the graph
 # analytics oracles; `sym` is deduped by UNION set semantics
@@ -1020,6 +1021,39 @@ def q_crawl_frontier(spark, sf_dir):
     return crawl_frontier(pages, edges, k=3)
 
 
+def q_typed_triples(spark, sf_dir):
+    """Typed relation extraction: each in-window mention pair's predicate
+    is its most frequent non-stopword connecting token (OpenIE-style
+    no-parser typing; ties by token ASC). One corpus shuffle — pair
+    expansion and between-span slicing are higher-order array ops."""
+    from saber_spark.operators.triples import typed_triples
+    tokens = tokenize_docs(_docs(spark, sf_dir))
+    dict_df = spark.createDataFrame(
+        _SINGLE_DICT, "surface string, label string, canonical_id string")
+    tagged = (tokens.join(
+        F.broadcast(dict_df.select("surface", "canonical_id")),
+        tokens.token == F.col("surface"), "left")
+        .select("doc_id", "pos", "token", "canonical_id"))
+    return typed_triples(tagged, k=10, stopwords=list(EN_STOPWORDS))
+
+
+def q_triple_history(spark, sf_dir):
+    """Temporal-KG validity intervals: (user did event_type) facts per
+    epoch week, compacted into SCD-2 [valid_from, valid_to] runs via
+    single-shuffle array islands (oracle: row_number gaps-and-islands —
+    an independent derivation)."""
+    from saber_spark.operators.funnel import WEEK_US, _epoch_micros
+    from saber_spark.operators.triples import triple_history
+    obs = _events(spark, sf_dir).select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string"))
+        .alias("subj"),
+        F.lit("did").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.floor(_epoch_micros("ts") / F.lit(WEEK_US)).cast("long")
+        .alias("snap"))
+    return triple_history(obs)
+
+
 def q_fuzzy_link(spark, sf_dir):
     """Typo-tolerant grounding: tokens link to the nearest dictionary
     surface within 1 Levenshtein edit (best = fewest edits, then smallest
@@ -1559,6 +1593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "lm_perplexity": q_lm_perplexity,
         "crawl_frontier": q_crawl_frontier,
+        "typed_triples": q_typed_triples,
+        "triple_history": q_triple_history,
         # --- relational / windows / grouping ---
         "event_transitions": q_event_transitions,
         "mixture_sample": q_mixture_sample,
@@ -1571,11 +1607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_nation": q_tpch_q5_nation,
         "exists_high_value": q_exists_high_value,
         "above_nation_avg": q_above_nation_avg,
-        # --- graph analytics ---
-        "pagerank_entities": q_pagerank_entities,
         # --- dedup / similarity family ---
         "dedup_clusters": q_dedup_clusters,
-        "ivf_cosine_topk": q_ivf_cosine_topk,
         "centroid_classify": q_centroid_classify,
         # --- text stats ---
         "quality_filter": q_quality_filter,
@@ -1583,12 +1616,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         # --------- position 51+: driver-green, family-redundant ---------
         # r4 third-wave demotions (all hash-MATCH r3) making room for the
-        # five new KG-enrichment queries: eval_prf (siblings
+        # seven new KG-enrichment queries: eval_prf (siblings
         # eval_prf_left/right, green r1+r2), split_folds (sampling family
         # sibling mixture_sample in-cap), quality_buckets (sibling
         # quality_filter), funnel_conversion (sibling event_transitions),
-        # lsh_cosine_multiband (siblings ivf_cosine_topk +
-        # centroid_classify):
+        # lsh_cosine_multiband + ivf_cosine_topk (sibling
+        # centroid_classify), pagerank_entities (graph family siblings
+        # degree_hist / label_propagation / host_link_graph in-cap):
+        "pagerank_entities": q_pagerank_entities,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
         "eval_prf": q_eval_prf,
         "split_folds": q_split_folds,
         "quality_buckets": q_quality_buckets,
@@ -2529,6 +2565,49 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY doc_id, pos
               ORDER BY score DESC, canonical_id) = 1""",
         "label_propagation": _label_propagation_oracle_sql(3),
+        "typed_triples": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            pairs AS (
+              SELECT m1.doc_id, m1.canonical_id AS subj,
+                     m2.canonical_id AS obj, m1.pos AS p1, m2.pos AS p2
+              FROM linked m1 JOIN linked m2
+                ON m1.doc_id = m2.doc_id AND m2.pos > m1.pos
+               AND m2.pos - m1.pos <= 10
+               AND m2.canonical_id <> m1.canonical_id),
+            np AS (SELECT subj, obj, count(*) AS n_pairs,
+                          count(DISTINCT doc_id) AS n_docs
+                   FROM pairs GROUP BY subj, obj),
+            bet AS (SELECT p.subj, p.obj, t.token AS ptok
+                    FROM pairs p JOIN tokens t
+                      ON t.doc_id = p.doc_id
+                     AND t.pos > p.p1 AND t.pos < p.p2
+                    WHERE t.token NOT IN ({STOPWORDS_IN_SQL})),
+            tc AS (SELECT subj, obj, ptok, count(*) AS pred_freq
+                   FROM bet GROUP BY subj, obj, ptok),
+            top AS (SELECT * FROM tc
+                    QUALIFY row_number() OVER (
+                      PARTITION BY subj, obj
+                      ORDER BY pred_freq DESC, ptok) = 1)
+            SELECT t.subj, t.ptok AS pred, t.obj,
+                   CAST(n.n_pairs AS BIGINT) AS n_pairs,
+                   CAST(n.n_docs AS BIGINT) AS n_docs,
+                   CAST(t.pred_freq AS BIGINT) AS pred_freq
+            FROM top t JOIN np n ON t.subj = n.subj AND t.obj = n.obj""",
+        "triple_history": """
+            WITH obs AS (
+              SELECT DISTINCT
+                     'user:' || CAST(user_id AS VARCHAR) AS subj,
+                     'did' AS pred, event_type AS obj,
+                     CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT)
+                       AS snap
+              FROM events),
+            isl AS (SELECT *, snap - row_number() OVER (
+                      PARTITION BY subj, pred, obj ORDER BY snap) AS island
+                    FROM obs)
+            SELECT subj, pred, obj,
+                   min(snap) AS valid_from, max(snap) AS valid_to,
+                   CAST(count(*) AS BIGINT) AS n_snaps
+            FROM isl GROUP BY subj, pred, obj, island""",
         "type_closure": f"""
             WITH RECURSIVE {TOKENS_CTE}, {LINKED_CTE},
             hier(child, parent) AS (

@@ -19,7 +19,7 @@ per-row cheap and never skews a reducer the way a hub-key self-join would.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PRED_COOCCURS = "cooccurs_with"
@@ -248,3 +248,129 @@ def delta_triples(delta: DataFrame, old: DataFrame, new: DataFrame,
     return (leg(upsert_docs, "upsert")
             .unionByName(leg(retract_docs, "retract"))
             .select("subj", "pred", "obj", "op", "n_docs"))
+
+
+def typed_triples(tagged_tokens: DataFrame, k: int = 10,
+                  stopwords: list[str] | None = None,
+                  id_col: str = "doc_id", pos_col: str = "pos",
+                  tok_col: str = "token",
+                  ent_col: str = "canonical_id") -> DataFrame:
+    """Typed relation extraction: mine the PREDICATE from the tokens
+    between two mentions -> (subj, pred, obj, n_pairs, n_docs, pred_freq).
+
+    proximity_triples emits untyped near_<k> edges; the standard
+    no-parser upgrade (OpenIE/Reverb lineage) types each entity pair by
+    its most frequent connecting token: for every in-window, position-
+    ordered mention pair, collect the non-stopword tokens strictly
+    between them, then per (subj, obj) pick the token with the highest
+    corpus-wide count (ties by token ASC — total order, engine-portable).
+    Pairs whose spans contain only stopwords (or nothing) yield no typed
+    triple — they remain covered by the untyped co-occurrence table.
+
+    Input is the token stream LEFT-joined with the grounding dictionary
+    (ent_col NULL for non-mention tokens), so mention detection stays on
+    the broadcast-join path.
+
+    Scale shape: ONE corpus shuffle — groupBy(doc).collect the (pos,
+    token, ent) array — then pair expansion AND between-span slicing as
+    higher-order array functions (pure codegen; per-doc work bounded by
+    mention count x window k, never doc length squared). The final aggs
+    are algebraic on (subj, obj[, token]) keys and the per-pair argmax
+    compiles to WindowGroupLimit.
+    """
+    stop = F.array(*[F.lit(s) for s in (stopwords or [])])
+    grouped = (tagged_tokens
+               .groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(F.struct(
+                   F.col(pos_col).alias("pos"),
+                   F.col(tok_col).alias("token"),
+                   F.col(ent_col).alias("ent")))).alias("arr"))
+               .withColumn("ms", F.filter(
+                   F.col("arr"), lambda t: t["ent"].isNotNull()))
+               .filter(F.size("ms") >= 2))
+    ms = F.col("ms")
+    pairs = F.flatten(F.transform(
+        ms,
+        lambda x, i: F.transform(
+            F.filter(
+                F.slice(ms, i + F.lit(2), F.size(ms) - i - F.lit(1)),
+                lambda y: (y["pos"] - x["pos"] <= k)
+                & (y["ent"] != x["ent"])),
+            lambda y: F.struct(
+                x["ent"].alias("subj"), y["ent"].alias("obj"),
+                x["pos"].alias("p1"), y["pos"].alias("p2")))))
+    paired = (grouped.withColumn("pairs", pairs)
+              .filter(F.size("pairs") >= 1)
+              .select(id_col, "arr", "pairs")
+              .localCheckpoint(eager=True))
+    pair_occ = (paired.select(id_col, F.explode("pairs").alias("p"))
+                .groupBy(F.col("p.subj").alias("subj"),
+                         F.col("p.obj").alias("obj"))
+                .agg(F.count(F.lit(1)).alias("n_pairs"),
+                     F.countDistinct(id_col).alias("n_docs")))
+    arr = F.col("arr")
+    trip_toks = F.flatten(F.transform(
+        F.col("pairs"),
+        lambda p: F.transform(
+            F.filter(arr, lambda t: (t["pos"] > p["p1"])
+                     & (t["pos"] < p["p2"])
+                     & ~F.array_contains(stop, t["token"])),
+            lambda t: F.struct(p["subj"].alias("subj"),
+                               p["obj"].alias("obj"),
+                               t["token"].alias("ptok")))))
+    tok_counts = (paired.select(F.explode(trip_toks).alias("b"))
+                  .groupBy(F.col("b.subj").alias("subj"),
+                           F.col("b.obj").alias("obj"),
+                           F.col("b.ptok").alias("ptok"))
+                  .agg(F.count(F.lit(1)).alias("pred_freq")))
+    win = Window.partitionBy("subj", "obj").orderBy(
+        F.col("pred_freq").desc(), F.col("ptok").asc())
+    top = (tok_counts.withColumn("_rn", F.row_number().over(win))
+           .filter(F.col("_rn") == 1))
+    return (top.join(pair_occ, ["subj", "obj"])
+            .select("subj", F.col("ptok").alias("pred"), "obj",
+                    "n_pairs", "n_docs", "pred_freq"))
+
+
+def triple_history(observations: DataFrame,
+                   key_cols: tuple[str, ...] = ("subj", "pred", "obj"),
+                   snap_col: str = "snap") -> DataFrame:
+    """SCD-2 validity intervals for triples observed across an ordered
+    snapshot sequence -> key_cols + (valid_from, valid_to, n_snaps).
+
+    Input: one row per (triple, snapshot-index) observation; snapshot
+    indexes are consecutive integers when the triple persists (e.g. the
+    epoch-week convention of funnel.cohort_retention). A triple observed
+    in snapshots {3,4,5, 8,9} yields intervals [3,5] and [8,9] — the
+    temporal-KG record of when the web asserted the fact, with retraction
+    visible as a closed valid_to (north_star: incremental maintenance
+    over crawl snapshots).
+
+    Scale shape: ONE shuffle — groupBy(triple).collect_set(snap) (state
+    bounded by corpus lifetime in snapshots, like cohort_retention's
+    week sets, NOT by observation count) — then island splitting as
+    higher-order array functions: run starts are elements whose
+    predecessor isn't snap-1, run ends those whose successor isn't
+    snap+1 (F.get is 0-based and NULL out-of-bounds, so the array edges
+    need no branch), zipped positionally into intervals. The DuckDB twin
+    uses the classic row_number gaps-and-islands formulation — an
+    independent derivation of the same intervals.
+    """
+    grouped = (observations
+               .groupBy(*key_cols)
+               .agg(F.array_sort(F.collect_set(snap_col)).alias("snaps")))
+    a = F.col("snaps")
+    starts = F.filter(
+        a, lambda x, i: F.coalesce(F.get(a, i - 1) != x - 1, F.lit(True)))
+    ends = F.filter(
+        a, lambda x, i: F.coalesce(F.get(a, i + 1) != x + 1, F.lit(True)))
+    iv = F.zip_with(starts, ends,
+                    lambda s, e: F.struct(s.alias("valid_from"),
+                                          e.alias("valid_to")))
+    return (grouped
+            .select(*key_cols, F.explode(iv).alias("iv"))
+            .select(*key_cols,
+                    F.col("iv.valid_from").alias("valid_from"),
+                    F.col("iv.valid_to").alias("valid_to"),
+                    (F.col("iv.valid_to") - F.col("iv.valid_from") + 1)
+                    .cast("long").alias("n_snaps")))

@@ -241,3 +241,77 @@ class TestCrawlFrontier:
         # newest page has age 0 -> priority 0, ranked last
         assert [r.url for r in sorted(rows, key=lambda r: r.rk)] == [
             "https://lonely.org/x", "https://lonely.org/y"]
+
+
+class TestTypedTriples:
+    def _tagged(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, pos long, token string, canonical_id string")
+
+    def test_predicate_is_most_frequent_between_token(self, spark):
+        from saber_spark.operators.triples import typed_triples
+        # E1 .. binds .. E2 twice, E1 .. blocks .. E2 once
+        rows = []
+        for d, verb in [(1, "binds"), (2, "binds"), (3, "blocks")]:
+            rows += [(d, 0, "x", "E1"), (d, 1, verb, None), (d, 2, "y", "E2")]
+        out = typed_triples(self._tagged(spark, rows), k=5).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.subj, r.pred, r.obj) == ("E1", "binds", "E2")
+        assert r.n_pairs == 3 and r.n_docs == 3 and r.pred_freq == 2
+
+    def test_stopwords_excluded_and_tie_break(self, spark):
+        from saber_spark.operators.triples import typed_triples
+        rows = [(1, 0, "x", "E1"), (1, 1, "the", None), (1, 2, "aa", None),
+                (1, 3, "bb", None), (1, 4, "y", "E2")]
+        out = typed_triples(self._tagged(spark, rows), k=9,
+                            stopwords=["the"]).collect()
+        assert out[0].pred == "aa"  # tie between aa/bb at freq 1 -> min
+
+    def test_pair_without_content_tokens_emits_nothing(self, spark):
+        from saber_spark.operators.triples import typed_triples
+        rows = [(1, 0, "x", "E1"), (1, 1, "the", None), (1, 2, "y", "E2"),
+                (2, 0, "x", "E1"), (2, 1, "y", "E2")]
+        out = typed_triples(self._tagged(spark, rows), k=9,
+                            stopwords=["the"]).collect()
+        assert out == []
+
+    def test_window_limit_and_direction(self, spark):
+        from saber_spark.operators.triples import typed_triples
+        # E2 follows E1 beyond k -> no pair; reversed order makes E2 subj
+        rows = [(1, 0, "a", "E1")] + [(1, i, "w", None) for i in range(1, 12)] \
+            + [(1, 12, "b", "E2")] \
+            + [(2, 0, "b", "E2"), (2, 1, "rel", None), (2, 2, "a", "E1")]
+        out = typed_triples(self._tagged(spark, rows), k=10).collect()
+        assert len(out) == 1
+        assert (out[0].subj, out[0].obj) == ("E2", "E1")
+
+
+class TestTripleHistory:
+    def _obs(self, spark, snaps, key=("s", "p", "o")):
+        rows = [(key[0], key[1], key[2], s) for s in snaps]
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string, snap long")
+
+    def test_islands_split_on_gaps(self, spark):
+        from saber_spark.operators.triples import triple_history
+        out = sorted(
+            (r.valid_from, r.valid_to, r.n_snaps)
+            for r in triple_history(self._obs(spark, [3, 4, 5, 8, 9])).collect())
+        assert out == [(3, 5, 3), (8, 9, 2)]
+
+    def test_single_snapshot_and_duplicates(self, spark):
+        from saber_spark.operators.triples import triple_history
+        out = triple_history(self._obs(spark, [7, 7, 7])).collect()
+        assert [(r.valid_from, r.valid_to, r.n_snaps)
+                for r in out] == [(7, 7, 1)]
+
+    def test_multiple_keys_independent(self, spark):
+        from saber_spark.operators.triples import triple_history
+        df = spark.createDataFrame(
+            [("a", "p", "x", 1), ("a", "p", "x", 2),
+             ("b", "p", "x", 1), ("b", "p", "x", 3)],
+            "subj string, pred string, obj string, snap long")
+        out = {(r.subj, r.valid_from, r.valid_to)
+               for r in triple_history(df).collect()}
+        assert out == {("a", 1, 2), ("b", 1, 1), ("b", 3, 3)}
