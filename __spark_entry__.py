@@ -1021,6 +1021,39 @@ def q_crawl_frontier(spark, sf_dir):
     return crawl_frontier(pages, edges, k=3)
 
 
+def q_link_prediction(spark, sf_dir):
+    """Web-graph link prediction: top-20 non-adjacent HOST pairs by
+    Adamic-Adar (wedge join through the shared neighbor — no all-pairs;
+    anti-join drops existing edges). The host edges use a parity-varied
+    fan-out (even sources link to 7 hub hosts, odd to 3) so the graph is
+    sparse with differentiated common-neighbor structure — the entity
+    co-occurrence graph is complete on this corpus (every dictionary
+    pair co-occurs somewhere), which would make the candidate set empty."""
+    from saber_spark.operators.graph import link_prediction
+    docs = _docs(spark, sf_dir)
+    dst_k = F.when(F.col("doc_id") % 2 == 0, F.col("doc_id") % 7) \
+        .otherwise(F.col("doc_id") % 3)
+    edges = docs.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("src"),
+        F.concat(F.lit("src"), dst_k.cast("string"),
+                 F.lit(".example.org")).alias("dst")).distinct()
+    return link_prediction(edges, top_k=20)
+
+
+def q_trending_entities(spark, sf_dir):
+    """KG monitoring: week-over-week growth of per-node activity with
+    gap-aware lag (a reappearing node reports prev_n=0, growth NULL —
+    no invented rates over absence)."""
+    from saber_spark.operators.funnel import WEEK_US, _epoch_micros
+    from saber_spark.operators.graph import trending_nodes
+    obs = _events(spark, sf_dir).select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string"))
+        .alias("node"),
+        F.floor(_epoch_micros("ts") / F.lit(WEEK_US)).cast("long")
+        .alias("snap"))
+    return trending_nodes(obs, min_prev=1)
+
+
 def q_typed_triples(spark, sf_dir):
     """Typed relation extraction: each in-window mention pair's predicate
     is its most frequent non-stopword connecting token (OpenIE-style
@@ -1595,11 +1628,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "typed_triples": q_typed_triples,
         "triple_history": q_triple_history,
+        "link_prediction": q_link_prediction,
+        "trending_entities": q_trending_entities,
         # --- relational / windows / grouping ---
         "event_transitions": q_event_transitions,
         "mixture_sample": q_mixture_sample,
-        "tpch_q4": q_tpch_q4,
-        "table_profile": q_table_profile,
         "range_join_clicks": q_range_join_clicks,
         "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
@@ -1622,9 +1655,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality_filter), funnel_conversion (sibling event_transitions),
         # lsh_cosine_multiband + ivf_cosine_topk (sibling
         # centroid_classify), pagerank_entities (graph family siblings
-        # degree_hist / label_propagation / host_link_graph in-cap):
+        # degree_hist / label_propagation / host_link_graph in-cap),
+        # tpch_q4 (sibling tpch_q5_nation in-cap for the refresh),
+        # table_profile (profiling-shape sibling url_host_stats in-cap):
         "pagerank_entities": q_pagerank_entities,
         "ivf_cosine_topk": q_ivf_cosine_topk,
+        "tpch_q4": q_tpch_q4,
+        "table_profile": q_table_profile,
         "eval_prf": q_eval_prf,
         "split_folds": q_split_folds,
         "quality_buckets": q_quality_buckets,
@@ -2565,6 +2602,51 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY doc_id, pos
               ORDER BY score DESC, canonical_id) = 1""",
         "label_propagation": _label_propagation_oracle_sql(3),
+        "link_prediction": """
+            WITH edges AS (
+              SELECT DISTINCT source || '.example.org' AS src,
+                     'src' || CAST(CASE WHEN doc_id % 2 = 0
+                                        THEN doc_id % 7
+                                        ELSE doc_id % 3 END AS VARCHAR)
+                       || '.example.org' AS dst
+              FROM documents),
+            sym AS (SELECT src AS a, dst AS b FROM edges
+                    UNION SELECT dst, src FROM edges),
+            deg2 AS (SELECT a, count(*) AS deg FROM sym
+                     GROUP BY a HAVING count(*) >= 2),
+            nbr AS (SELECT s.a AS z, s.b AS n,
+                           1.0 / ln(CAST(d.deg AS DOUBLE)) AS w
+                    FROM sym s JOIN deg2 d ON d.a = s.a),
+            wed AS (SELECT l.n AS a, r.n AS b, count(*) AS n_common,
+                           round(sum(l.w), 6) AS aa_score
+                    FROM nbr l JOIN nbr r ON l.z = r.z AND l.n < r.n
+                    GROUP BY l.n, r.n),
+            cand AS (SELECT * FROM wed
+                     WHERE NOT EXISTS (SELECT 1 FROM sym s
+                                       WHERE s.a = wed.a AND s.b = wed.b))
+            SELECT a, b, CAST(n_common AS BIGINT) AS n_common, aa_score
+            FROM cand ORDER BY aa_score DESC, a, b LIMIT 20""",
+        "trending_entities": """
+            WITH obs AS (
+              SELECT 'user:' || CAST(user_id AS VARCHAR) AS node,
+                     CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT)
+                       AS snap
+              FROM events),
+            counts AS (SELECT node, snap, count(*) AS n
+                       FROM obs GROUP BY node, snap),
+            lagged AS (SELECT node, snap, n,
+                              lag(n) OVER (PARTITION BY node
+                                           ORDER BY snap) AS pn,
+                              lag(snap) OVER (PARTITION BY node
+                                              ORDER BY snap) AS ps
+                       FROM counts)
+            SELECT node, snap, CAST(n AS BIGINT) AS n,
+                   CAST(CASE WHEN ps = snap - 1 THEN pn ELSE 0 END
+                        AS BIGINT) AS prev_n,
+                   CASE WHEN ps = snap - 1 AND pn > 0
+                        THEN round(CAST(n AS DOUBLE) / pn, 6) END AS growth
+            FROM lagged
+            WHERE CASE WHEN ps = snap - 1 THEN pn ELSE 0 END >= 1""",
         "typed_triples": f"""
             WITH {TOKENS_CTE}, {LINKED_CTE},
             pairs AS (

@@ -157,7 +157,7 @@ def main() -> None:
         # recrawl prioritization)
         "disambiguate_link", "type_closure", "label_propagation",
         "lm_perplexity", "crawl_frontier", "typed_triples",
-        "triple_history",
+        "triple_history", "link_prediction", "trending_entities",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

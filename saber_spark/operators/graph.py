@@ -322,3 +322,82 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def link_prediction(edges: DataFrame, src: str = "src", dst: str = "dst",
+                    top_k: int = 20, materialize: bool = True) -> DataFrame:
+    """Common-neighbor link prediction -> (a, b, n_common, aa_score):
+    the top_k non-adjacent node pairs most likely to be a missing KG edge,
+    scored by Adamic-Adar (sum over common neighbors z of 1/ln(deg z)).
+
+    KG completion's standard first-order baseline (Liben-Nowell & Kleinberg
+    2003): two entities sharing many low-degree neighbors probably relate.
+    Deterministic: aa_score is a sum of exact-count-derived doubles rounded
+    to 6; global top_k ordered (aa_score DESC, a ASC, b ASC).
+
+    Scale shape: candidate pairs come from ONE wedge self-join through the
+    shared neighbor (z) — never an all-pairs product; the wedge expansion
+    at a hub z is its degree squared, the same skew triangle counting
+    handles by degree-ordering, here bounded instead by weighting hubs
+    down (1/ln deg) and by AQE skew-split on the z key. Existing edges
+    drop via a LEFT ANTI join; the global top_k is a single TakeOrdered —
+    no full sort materializes.
+    """
+    sym = _symmetrize(edges, src, dst)
+    if materialize:
+        sym = sym.localCheckpoint(eager=True)
+    # a deg-1 center z forms no wedge AND its weight 1/ln(1) would divide
+    # by zero under ANSI — filter deg >= 2 BEFORE the division exists in
+    # any projected expression
+    deg = (sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+           .filter(F.col("deg") >= 2))
+    # (z, neighbor, 1/ln(deg z)): weight attached once at the wedge center
+    nbr = (sym.select(F.col("a").alias("z"), F.col("b").alias("n"))
+           .join(deg.select(F.col("a").alias("z"),
+                            (1.0 / F.ln(F.col("deg").cast("double")))
+                            .alias("w")), "z"))
+    l, r = nbr.alias("l"), nbr.alias("r")
+    wedges = (l.join(r, "z")
+              .filter(F.col("l.n") < F.col("r.n"))
+              .groupBy(F.col("l.n").alias("a"), F.col("r.n").alias("b"))
+              .agg(F.count(F.lit(1)).alias("n_common"),
+                   F.round(F.sum("l.w"), 6).alias("aa_score")))
+    candidates = wedges.join(
+        sym.select(F.col("a"), F.col("b")), ["a", "b"], "anti")
+    return (candidates
+            .orderBy(F.col("aa_score").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(top_k))
+
+
+def trending_nodes(observations: DataFrame, node_col: str = "node",
+                   snap_col: str = "snap", min_prev: int = 0) -> DataFrame:
+    """Snapshot-over-snapshot growth -> (node, snap, n, prev_n, growth):
+    burst detection for KG monitoring ("which entities spiked this
+    crawl?"). growth = round(n / prev_n, 6) against the node's count in
+    the PRECEDING snapshot index (consecutive only — a gap means the
+    node was absent, and the reappearance row reports prev_n = 0 with
+    growth NULL rather than inventing a rate over the gap).
+
+    ONE count agg + ONE lag window per node (both key on node; the window
+    partition carries one row per (node, active snapshot) — bounded by
+    corpus lifetime, not observation count). min_prev filters established
+    nodes (prev_n >= min_prev) to suppress noise from singletons.
+    """
+    counts = (observations.groupBy(node_col, snap_col)
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy(node_col).orderBy(snap_col)
+    prev_n = F.lag("n").over(w)
+    prev_snap = F.lag(snap_col).over(w)
+    consec = prev_snap == F.col(snap_col) - 1
+    return (counts
+            .withColumn("prev_n",
+                        F.when(consec, prev_n).otherwise(F.lit(0))
+                        .cast("long"))
+            .withColumn("growth",
+                        F.when(consec & (prev_n > 0),
+                               F.round(F.col("n") / prev_n, 6)))
+            .filter(F.col("prev_n") >= min_prev)
+            .select(F.col(node_col).alias("node"),
+                    F.col(snap_col).alias("snap"),
+                    F.col("n").cast("long").alias("n"), "prev_n", "growth"))

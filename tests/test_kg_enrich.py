@@ -315,3 +315,60 @@ class TestTripleHistory:
         out = {(r.subj, r.valid_from, r.valid_to)
                for r in triple_history(df).collect()}
         assert out == {("a", 1, 2), ("b", 1, 1), ("b", 3, 3)}
+
+
+class TestLinkPrediction:
+    def test_adamic_adar_scores_and_anti_join(self, spark):
+        from saber_spark.operators.graph import link_prediction
+        # path a-z-b plus hub h connected to a,b,c,d: (a,b) share z (deg 2)
+        # and h (deg 4); (a,c) share only h
+        edges = spark.createDataFrame(
+            [("a", "z"), ("z", "b"),
+             ("h", "a"), ("h", "b"), ("h", "c"), ("h", "d")],
+            "src string, dst string")
+        out = {(r.a, r.b): (r.n_common, r.aa_score)
+               for r in link_prediction(edges, top_k=50).collect()}
+        import math
+        aa_z = 1 / math.log(2)
+        aa_h = 1 / math.log(4)
+        assert out[("a", "b")] == (2, round(aa_z + aa_h, 6))
+        assert out[("a", "c")] == (1, round(aa_h, 6))
+        # existing edges never appear as candidates
+        assert ("a", "z") not in out and ("h", "a") not in out
+
+    def test_top_k_and_ordering(self, spark):
+        from saber_spark.operators.graph import link_prediction
+        edges = spark.createDataFrame(
+            [("h", c) for c in "abcdefg"], "src string, dst string")
+        out = link_prediction(edges, top_k=3).collect()
+        assert len(out) == 3
+        # all pairs share exactly the hub -> equal scores -> (a ASC, b ASC)
+        assert [(r.a, r.b) for r in out] == [("a", "b"), ("a", "c"),
+                                             ("a", "d")]
+
+
+class TestTrendingNodes:
+    def _obs(self, spark, rows):
+        return spark.createDataFrame(rows, "node string, snap long")
+
+    def test_growth_on_consecutive_snaps(self, spark):
+        from saber_spark.operators.graph import trending_nodes
+        rows = [("e", 1)] * 2 + [("e", 2)] * 6 + [("e", 3)] * 3
+        out = {r.snap: (r.prev_n, r.growth)
+               for r in trending_nodes(self._obs(spark, rows)).collect()}
+        assert out[1] == (0, None)
+        assert out[2] == (2, 3.0)
+        assert out[3] == (6, 0.5)
+
+    def test_gap_reports_zero_prev_and_null_growth(self, spark):
+        from saber_spark.operators.graph import trending_nodes
+        rows = [("e", 1)] * 4 + [("e", 5)] * 8
+        out = {r.snap: (r.prev_n, r.growth)
+               for r in trending_nodes(self._obs(spark, rows)).collect()}
+        assert out[5] == (0, None)  # absent snaps 2-4: no invented rate
+
+    def test_min_prev_filters_new_nodes(self, spark):
+        from saber_spark.operators.graph import trending_nodes
+        rows = [("new", 2)] * 9 + [("old", 1)] * 2 + [("old", 2)] * 4
+        out = trending_nodes(self._obs(spark, rows), min_prev=1).collect()
+        assert [(r.node, r.snap, r.growth) for r in out] == [("old", 2, 2.0)]

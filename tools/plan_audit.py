@@ -666,6 +666,39 @@ def main() -> None:
         0,
     ))
 
+    # 38. link_prediction: wedge join through the shared neighbor — no
+    # all-pairs product; existing edges drop via LeftAnti; the global
+    # top-k is TakeOrdered, never a full sort.
+    plan_lk = formatted_plan(e.queries()["link_prediction"](spark, SF_DIR))
+    sections.append((
+        "link_prediction (Adamic-Adar wedges, anti-join, TakeOrdered)",
+        "Candidates come from one self-join keyed on the wedge center "
+        "(deg>=2 filtered BEFORE the 1/ln weight exists, so ANSI never "
+        "divides by zero); a CartesianProduct would mean all-pairs "
+        "scoring; the final top-k must be TakeOrderedAndProject.",
+        plan_lk,
+        ["LeftAnti", "TakeOrderedAndProject"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_lk
+           else []),
+        0,
+    ))
+
+    # 39. trending_entities: one count agg + one lag window, both keyed on
+    # the node — the window partition holds (node, active-snapshot) rows,
+    # bounded by corpus lifetime.
+    plan_tr = formatted_plan(e.queries()["trending_entities"](spark, SF_DIR))
+    n_ex_tr = len(re.findall(r"\(\d+\) Exchange", plan_tr))
+    sections.append((
+        "trending_entities (count agg + gap-aware lag window)",
+        "Two exchanges total: the (node, snap) count and the per-node lag "
+        "window; growth is computed gap-aware in the same projection.",
+        plan_tr,
+        ["Window", "HashAggregate"]
+        + ([f"<exactly 2 exchanges, saw {n_ex_tr}>"] if n_ex_tr != 2
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
