@@ -1054,6 +1054,58 @@ def q_trending_entities(spark, sf_dir):
     return trending_nodes(obs, min_prev=1)
 
 
+def q_robots_filter(spark, sf_dir):
+    """Crawl politeness: parse per-host robots.txt (User-agent: * group)
+    and anti-join the Disallow prefixes against the URL table. Fixture:
+    every host disallows /private, even-numbered hosts also /tmp; paths
+    cycle private/tmp/doc by doc_id%3 — the oracle reconstructs the keep
+    set relationally (parsing parity is pytest-covered)."""
+    from saber_spark.operators.webstats import robots_filter, robots_rules
+    docs = _docs(spark, sf_dir)
+    host = F.concat(F.col("source"), F.lit(".example.org"))
+    seg = F.when(F.col("doc_id") % 3 == 0, F.lit("/private/")) \
+        .when(F.col("doc_id") % 3 == 1, F.lit("/tmp/")) \
+        .otherwise(F.lit("/doc/"))
+    pages = docs.select(
+        F.concat(F.lit("https://"), host, seg,
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("doc_id"))
+    robots = (docs.select(
+        host.alias("host"),
+        (F.col("doc_id") % 20).alias("n")).distinct()
+        .select("host", F.concat(
+            F.lit("User-agent: archiver\nDisallow: /\n"
+                  "User-agent: *\nDisallow: /private\n"),
+            F.when(F.col("n") % 2 == 0, F.lit("Disallow: /tmp\n"))
+            .otherwise(F.lit("")),
+            F.lit("User-agent: indexer\nDisallow: /doc\n"))
+            .alias("robots_txt")))
+    return (robots_filter(pages, robots_rules(robots))
+            .select("url", "doc_id", "host", "path"))
+
+
+def q_sitemap_urls(spark, sf_dir):
+    """Crawl discovery: per-host sitemap XML (urlset/url/loc, built from
+    the host's own doc URLs in sorted order) exploded back to (host, loc)
+    via built-in xpath — zero Python; the oracle reconstructs the URL set
+    relationally."""
+    from saber_spark.operators.webstats import sitemap_urls
+    docs = _docs(spark, sf_dir)
+    host = F.concat(F.col("source"), F.lit(".example.org"))
+    url = F.concat(F.lit("https://"), host, F.lit("/doc/"),
+                   F.col("doc_id").cast("string"))
+    sitemaps = (docs.select(host.alias("host"), url.alias("u"))
+                .groupBy("host")
+                .agg(F.concat(
+                    F.lit("<urlset>"),
+                    F.array_join(F.transform(
+                        F.array_sort(F.collect_list("u")),
+                        lambda u: F.concat(F.lit("<url><loc>"), u,
+                                           F.lit("</loc></url>"))), ""),
+                    F.lit("</urlset>")).alias("xml")))
+    return sitemap_urls(sitemaps)
+
+
 def q_typed_triples(spark, sf_dir):
     """Typed relation extraction: each in-window mention pair's predicate
     is its most frequent non-stopword connecting token (OpenIE-style
@@ -1630,10 +1682,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_history": q_triple_history,
         "link_prediction": q_link_prediction,
         "trending_entities": q_trending_entities,
+        "robots_filter": q_robots_filter,
+        "sitemap_urls": q_sitemap_urls,
         # --- relational / windows / grouping ---
         "event_transitions": q_event_transitions,
         "mixture_sample": q_mixture_sample,
-        "range_join_clicks": q_range_join_clicks,
         "moving_avg": q_moving_avg,
         "sessionize": q_sessionize,
         "rollup_revenue": q_rollup_revenue,
@@ -1646,8 +1699,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text stats ---
         "quality_filter": q_quality_filter,
         "tfidf_ranked": q_tfidf_ranked,
-        "pii_scrub": q_pii_scrub,
         # --------- position 51+: driver-green, family-redundant ---------
+        # (also demoted for the crawl-discovery pair: range_join_clicks —
+        # r3 hash-MATCH, temporal-join family twin asof_join green r2 —
+        # and pii_scrub — r3 hash-MATCH, textstats sibling quality_filter
+        # in-cap)
+        "range_join_clicks": q_range_join_clicks,
+        "pii_scrub": q_pii_scrub,
         # r4 third-wave demotions (all hash-MATCH r3) making room for the
         # seven new KG-enrichment queries: eval_prf (siblings
         # eval_prf_left/right, green r1+r2), split_folds (sampling family
@@ -2647,6 +2705,28 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(CAST(n AS DOUBLE) / pn, 6) END AS growth
             FROM lagged
             WHERE CASE WHEN ps = snap - 1 THEN pn ELSE 0 END >= 1""",
+        "robots_filter": """
+            WITH pages AS (
+              SELECT 'https://' || source || '.example.org'
+                       || CASE WHEN doc_id % 3 = 0 THEN '/private/'
+                               WHEN doc_id % 3 = 1 THEN '/tmp/'
+                               ELSE '/doc/' END
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id,
+                     source || '.example.org' AS host,
+                     CASE WHEN doc_id % 3 = 0 THEN '/private/'
+                          WHEN doc_id % 3 = 1 THEN '/tmp/'
+                          ELSE '/doc/' END
+                       || CAST(doc_id AS VARCHAR) AS path
+              FROM documents)
+            SELECT url, doc_id, host, path FROM pages
+            WHERE doc_id % 3 = 2
+               OR (doc_id % 3 = 1 AND (doc_id % 20) % 2 = 1)""",
+        "sitemap_urls": """
+            SELECT source || '.example.org' AS host,
+                   'https://' || source || '.example.org/doc/'
+                     || CAST(doc_id AS VARCHAR) AS loc
+            FROM documents""",
         "typed_triples": f"""
             WITH {TOKENS_CTE}, {LINKED_CTE},
             pairs AS (

@@ -325,3 +325,63 @@ def crawl_frontier(pages: DataFrame, host_edges: DataFrame, k: int = 3,
             .filter(F.col("rk") <= k)
             .select("host", url_col, "in_deg", "age_sec", "priority",
                     F.col("rk").cast("long").alias("rk")))
+
+
+# robots.txt parsing patterns — Java∩RE2 dialect (no lookbehind, no
+# backreferences) so the same expressions run on DuckDB if an oracle ever
+# parses rather than reconstructs; [\s\S] stands in for dotall-dot
+_ROBOTS_STAR_GROUP = (r"(?i)User-agent:[ \t]*\*[ \t]*\r?\n"
+                      r"([\s\S]*?)(?:\r?\nUser-agent:|$)")
+_ROBOTS_DISALLOW = r"(?i)Disallow:[ \t]*(/[^\s#]*)"
+
+
+def robots_rules(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) -> (host, rule_path): the Disallow prefixes in
+    the `User-agent: *` group (the group every compliant crawler without
+    a dedicated section must honor, RFC 9309 §2.2.1).
+
+    Deterministic subset of RFC 9309: first `*` group only, Disallow
+    lines with a non-empty path; Allow overrides, wildcards inside paths,
+    and crawler-specific groups are deploy-time extensions. Pure regexp
+    projection + explode — narrow, zero Python, dimension-sized input
+    (one row per host).
+    """
+    star = F.regexp_extract(F.col(txt_col), _ROBOTS_STAR_GROUP, 1)
+    return (robots
+            .select(F.col(host_col).alias("host"),
+                    F.explode(F.regexp_extract_all(
+                        star, F.lit(_ROBOTS_DISALLOW), F.lit(1)))
+                    .alias("rule_path"))
+            .distinct())
+
+
+def robots_filter(pages: DataFrame, rules: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """Drop URLs whose path starts with a Disallow prefix for their host
+    -> the allowed subset of ``pages`` + (host, path) columns.
+
+    The rules table is dimension-sized (hosts x few prefixes) and
+    broadcasts into a LEFT ANTI join — equi on host, prefix test as the
+    residual condition — so the multi-TB page table never shuffles; the
+    crawl-politeness filter runs at the scan like blocklist_filter.
+    """
+    path = F.regexp_replace(F.col(url_col), _SCHEME_HOST, "")
+    tagged = pages.withColumn("host", url_host(url_col)) \
+                  .withColumn("path", path)
+    r = F.broadcast(rules.select(F.col("host").alias("_rhost"),
+                                 F.col("rule_path").alias("_rpath")))
+    cond = (tagged.host == r._rhost) & tagged.path.startswith(r._rpath)
+    return tagged.join(r, cond, "anti")
+
+
+def sitemap_urls(sitemaps: DataFrame, xml_col: str = "xml",
+                 host_col: str = "host") -> DataFrame:
+    """sitemap XML -> (host, loc): one row per <url><loc> entry, via the
+    built-in xpath (JVM codegen, zero Python) — the crawl-discovery twin
+    of the article-XML extraction (operators/articles.py). Narrow map +
+    Generate; a 50k-URL sitemap (the protocol cap) expands inside one
+    row's task, no shuffle."""
+    return sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.xpath(xml_col, F.lit("//url/loc/text()"))).alias("loc"))

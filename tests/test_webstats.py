@@ -330,3 +330,53 @@ class TestDeltaTriples:
         assert got == {("E_A", "E_B", "upsert"): 1,
                        ("E_B", "E_C", "upsert"): 1,
                        ("E_A", "E_C", "retract"): 1}
+
+
+class TestRobots:
+    def test_rules_parse_star_group_only(self, spark):
+        from saber_spark.operators.webstats import robots_rules
+        txt = ("User-agent: archiver\nDisallow: /\n"
+               "User-agent: *\nDisallow: /private\nDisallow: /tmp\n"
+               "Allow: /tmp/ok\n"   # Allow lines are not Disallow rules
+               "User-agent: indexer\nDisallow: /doc\n")
+        df = spark.createDataFrame([("h.org", txt)],
+                                   "host string, robots_txt string")
+        rules = {(r.host, r.rule_path) for r in robots_rules(df).collect()}
+        assert rules == {("h.org", "/private"), ("h.org", "/tmp")}
+
+    def test_rules_case_insensitive_and_crlf(self, spark):
+        from saber_spark.operators.webstats import robots_rules
+        txt = "user-AGENT: *\r\ndisallow: /x\r\n"
+        df = spark.createDataFrame([("h.org", txt)],
+                                   "host string, robots_txt string")
+        assert [r.rule_path for r in robots_rules(df).collect()] == ["/x"]
+
+    def test_no_star_group_means_no_rules(self, spark):
+        from saber_spark.operators.webstats import robots_rules
+        df = spark.createDataFrame(
+            [("h.org", "User-agent: other\nDisallow: /\n")],
+            "host string, robots_txt string")
+        assert robots_rules(df).count() == 0
+
+    def test_filter_is_per_host_prefix(self, spark):
+        from saber_spark.operators.webstats import robots_filter
+        pages = spark.createDataFrame(
+            [("https://a.org/private/1",), ("https://a.org/doc/1",),
+             ("https://b.org/private/1",)], "url string")
+        rules = spark.createDataFrame([("a.org", "/private")],
+                                      "host string, rule_path string")
+        kept = {r.url for r in robots_filter(pages, rules).collect()}
+        assert kept == {"https://a.org/doc/1", "https://b.org/private/1"}
+
+
+class TestSitemap:
+    def test_locs_exploded_per_host(self, spark):
+        from saber_spark.operators.webstats import sitemap_urls
+        xml = ("<urlset><url><loc>https://h.org/a</loc></url>"
+               "<url><loc>https://h.org/b</loc></url></urlset>")
+        df = spark.createDataFrame([("h.org", xml), ("empty.org",
+                                                     "<urlset></urlset>")],
+                                   "host string, xml string")
+        out = {(r.host, r.loc) for r in sitemap_urls(df).collect()}
+        assert out == {("h.org", "https://h.org/a"),
+                       ("h.org", "https://h.org/b")}

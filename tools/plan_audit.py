@@ -699,6 +699,32 @@ def main() -> None:
         0,
     ))
 
+    # 40. robots_filter: dimension-sized rule table broadcast into a LEFT
+    # ANTI join (equi host + prefix residual); the page table never
+    # shuffles; rule parsing is narrow regexp.
+    plan_rb = formatted_plan(e.queries()["robots_filter"](spark, SF_DIR))
+    sections.append((
+        "robots_filter (broadcast anti-join politeness filter)",
+        "The Disallow prefixes broadcast into BroadcastHashJoin LeftAnti "
+        "with the prefix test as residual; a shuffled anti-join or a "
+        "Python parser would put crawl politeness on the slow path.",
+        plan_rb,
+        ["BroadcastHashJoin", "LeftAnti"],
+        0,
+    ))
+
+    # 41. sitemap_urls: xpath + explode is a codegen Generate — no Python
+    # XML parsing in the plan.
+    plan_sm = formatted_plan(e.queries()["sitemap_urls"](spark, SF_DIR))
+    sections.append((
+        "sitemap_urls (built-in xpath Generate, zero Python)",
+        "Sitemap expansion must be the JVM xpath + Generate, one row's "
+        "task per sitemap (the protocol caps a sitemap at 50k URLs).",
+        plan_sm,
+        ["Generate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
