@@ -241,12 +241,18 @@ def disambiguate_link(tokens: DataFrame, dictionary: DataFrame,
              .withColumn("n_cands",
                          F.count(F.lit(1)).over(
                              Window.partitionBy("surface"))))
-    sure = (tokens.join(F.broadcast(cands.filter(F.col("n_cands") == 1)),
-                        tokens.token == F.col("surface"))
-            .select("doc_id", "canonical_id"))
-    doc_ents = sure.distinct()
+    # ONE pass over the corpus-side token stream: match ALL candidate
+    # surfaces, materialize the (small, dictionary-bounded) match set,
+    # then derive the sure/ambiguous halves from it — the split-first
+    # formulation re-derives the full tokenize lineage twice (measured
+    # ~2x the query time at sf0.1)
+    matched = tokens.join(F.broadcast(cands),
+                          tokens.token == F.col("surface")).select(
+        "doc_id", "pos", "surface", "canonical_id", "n_cands")
     if materialize:
-        doc_ents = doc_ents.localCheckpoint(eager=True)
+        matched = matched.localCheckpoint(eager=True)
+    doc_ents = (matched.filter(F.col("n_cands") == 1)
+                .select("doc_id", "canonical_id").distinct())
     a, b = doc_ents.alias("a"), doc_ents.alias("b")
     cooc = (a.join(b, "doc_id")
             .filter(F.col("a.canonical_id") < F.col("b.canonical_id"))
@@ -255,9 +261,7 @@ def disambiguate_link(tokens: DataFrame, dictionary: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_docs")))
     cooc_sym = cooc.unionByName(cooc.select(F.col("y").alias("x"),
                                             F.col("x").alias("y"), "n_docs"))
-    ambig = (tokens.join(F.broadcast(cands.filter(F.col("n_cands") > 1)),
-                         tokens.token == F.col("surface"))
-             .select("doc_id", "pos", "surface", "canonical_id", "n_cands"))
+    ambig = matched.filter(F.col("n_cands") > 1)
     scored = (ambig
               .join(doc_ents.withColumnRenamed("canonical_id", "ctx"),
                     "doc_id", "left")

@@ -103,13 +103,14 @@ def run_pipeline(
         spark, checkpoint_dir, "edges",
         lambda: dedup_triples(triples))
     if enrich:
-        from saber_spark.operators.graph import pagerank, triangle_count
+        from saber_spark.operators.graph import (label_propagation,
+                                                 pagerank, triangle_count)
         from saber_spark.operators.triples import pmi_weights
-        # materialize the deduplicated pair set ONCE; both graph ops then
+        # materialize the deduplicated pair set ONCE; the graph ops then
         # skip their internal checkpoint (materialize=False) instead of
-        # re-deriving the triples chain eagerly twice. Enrichment launches
-        # jobs at call time (pagerank needs N); callers wanting lazy
-        # outputs keep the default enrich=False.
+        # re-deriving the triples chain eagerly three times. Enrichment
+        # launches jobs at call time (pagerank needs N); callers wanting
+        # lazy outputs keep the default enrich=False.
         edge_pairs = (edges.select(F.col("subj").alias("src"),
                                    F.col("obj").alias("dst"),
                                    "n_occurrences")
@@ -117,6 +118,10 @@ def run_pipeline(
         metrics = (pagerank(edge_pairs, materialize=False,
                             weight_col="n_occurrences")
                    .join(triangle_count(edge_pairs, materialize=False),
+                         "node", "outer")
+                   .join(label_propagation(edge_pairs,
+                                           weight_col="n_occurrences",
+                                           rounds=3, materialize=False),
                          "node", "outer")
                    .withColumnRenamed("node", "canonical_id"))
         # isolated nodes (no edge) keep pr NULL / 0 triangles

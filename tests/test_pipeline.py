@@ -275,7 +275,7 @@ class TestEnrichedOutputs:
                                                        pipeline_out):
         out = run_pipeline(spark, pages, enrich=True)
         nodes, edges = out["nodes"], out["edges"]
-        assert {"pr", "n_triangles"} <= set(nodes.columns)
+        assert {"pr", "n_triangles", "community"} <= set(nodes.columns)
         assert "pmi" in edges.columns
         # enrichment only adds columns — same node/edge sets as the plain run
         assert nodes.count() == pipeline_out["nodes"].count()
@@ -285,6 +285,10 @@ class TestEnrichedOutputs:
         # PageRank mass sums to ~1 over the connected nodes
         assert connected and abs(sum(r["pr"] for r in connected) - 1.0) < 1e-3
         assert all(r["n_triangles"] >= 0 for r in rows)
+        # connected nodes carry a community label drawn from the node ids
+        node_ids = {r["canonical_id"] for r in rows}
+        communities = {r["community"] for r in rows if r["pr"] is not None}
+        assert communities and communities <= node_ids
         # every co-occurrence edge has a defined PMI confidence
         assert edges.filter("pmi IS NULL").count() == 0
 
