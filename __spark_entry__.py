@@ -1106,6 +1106,34 @@ def q_sitemap_urls(spark, sf_dir):
     return sitemap_urls(sitemaps)
 
 
+def q_warc_records(spark, sf_dir):
+    """WARC ingestion: synthesize one ISO-28500 record per document
+    (response type, Target-URI, Date, payload = text), parse with the
+    connector's column-level parser (narrow portable regexp, zero
+    Python), and emit tz-safe fields (the timestamp renders back through
+    the same session tz it was parsed in, so the string roundtrips
+    identically under any driver session timezone). The file-split path
+    (lineSep record delimiter) is pytest-covered with a real .warc file."""
+    from saber_spark.sources.warc import parse_warc_chunks
+    docs = _docs(spark, sf_dir)
+    ts_str = F.date_format(
+        F.timestamp_add("SECOND", F.col("doc_id").cast("int"),
+                        F.to_timestamp(F.lit("2024-01-01 00:00:00"))),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    chunk = F.concat(
+        F.lit("WARC-Type: response\r\nWARC-Target-URI: https://"),
+        F.col("source"), F.lit(".example.org/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: "), ts_str,
+        F.lit("\r\nContent-Type: text/plain\r\n\r\n"),
+        F.col("text"), F.lit("\r\n\r\n"))
+    out = parse_warc_chunks(docs.select(chunk.alias("value")))
+    return out.select(
+        "url", "rec_type",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.length("payload").cast("long").alias("n_payload"))
+
+
 def q_typed_triples(spark, sf_dir):
     """Typed relation extraction: each in-window mention pair's predicate
     is its most frequent non-stopword connecting token (OpenIE-style
@@ -1684,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_entities": q_trending_entities,
         "robots_filter": q_robots_filter,
         "sitemap_urls": q_sitemap_urls,
+        "warc_records": q_warc_records,
         # --- relational / windows / grouping ---
         "event_transitions": q_event_transitions,
         "mixture_sample": q_mixture_sample,
@@ -1692,7 +1721,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "tpch_q5_nation": q_tpch_q5_nation,
         "exists_high_value": q_exists_high_value,
-        "above_nation_avg": q_above_nation_avg,
         # --- dedup / similarity family ---
         "dedup_clusters": q_dedup_clusters,
         "centroid_classify": q_centroid_classify,
@@ -1703,9 +1731,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (also demoted for the crawl-discovery pair: range_join_clicks —
         # r3 hash-MATCH, temporal-join family twin asof_join green r2 —
         # and pii_scrub — r3 hash-MATCH, textstats sibling quality_filter
-        # in-cap)
+        # in-cap; and for warc_records: above_nation_avg — green r1+r2,
+        # correlated-subquery family sibling exists_high_value keeps the
+        # in-cap refresh slot)
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
+        "above_nation_avg": q_above_nation_avg,
         # r4 third-wave demotions (all hash-MATCH r3) making room for the
         # seven new KG-enrichment queries: eval_prf (siblings
         # eval_prf_left/right, green r1+r2), split_folds (sampling family
@@ -2726,6 +2757,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT source || '.example.org' AS host,
                    'https://' || source || '.example.org/doc/'
                      || CAST(doc_id AS VARCHAR) AS loc
+            FROM documents""",
+        "warc_records": """
+            SELECT 'https://' || source || '.example.org/doc/'
+                     || CAST(doc_id AS VARCHAR) AS url,
+                   'response' AS rec_type,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00'
+                            + doc_id * INTERVAL 1 SECOND,
+                            '%Y-%m-%d %H:%M:%S') AS ts_str,
+                   CAST(length(text) AS BIGINT) AS n_payload
             FROM documents""",
         "typed_triples": f"""
             WITH {TOKENS_CTE}, {LINKED_CTE},

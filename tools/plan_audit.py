@@ -725,6 +725,21 @@ def main() -> None:
         0,
     ))
 
+    # 42. warc_records: header parsing is narrow regexp in codegen; no
+    # Python, no shuffle — WARC ingestion is a pure scan-side map.
+    plan_wc = formatted_plan(e.queries()["warc_records"](spark, SF_DIR))
+    n_ex_wc = len(re.findall(r"\(\d+\) Exchange", plan_wc))
+    sections.append((
+        "warc_records (scan-side WARC record parsing, zero shuffle)",
+        "Record splitting happens at the text source (lineSep) and header "
+        "extraction is regexp in whole-stage codegen — ingestion of a "
+        "multi-TB crawl must be a narrow map, no exchange, no Python.",
+        plan_wc,
+        ([f"<exactly 0 exchanges, saw {n_ex_wc}>"] if n_ex_wc != 0
+         else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
