@@ -357,6 +357,62 @@ def _label_propagation_oracle_sql(rounds: int = 3) -> str:
             SELECT node, label AS community FROM lp{rounds}"""
 
 
+def _kmeans_oracle_sql(k: int = 4, iterations: int = 3) -> str:
+    """Unrolled Lloyd's twin of operators/cluster.py:kmeans_assign — one
+    (assign, sums, centroids) CTE triple per round, recomputed
+    RELATIONALLY (joins instead of the Spark side's broadcast-literal
+    centroids — an independent derivation). All arithmetic is exact
+    BIGINT: quantized components, integer squared distances, and the
+    same round-half-away-from-zero integer mean."""
+    rounds = "".join(f""",
+            a{r} AS (SELECT vec_id, cluster FROM (
+                SELECT d.vec_id, c.cluster,
+                       sum((d.qv - c.cq) * (d.qv - c.cq)) AS dist2
+                FROM dims d JOIN c{r - 1} c ON d.dim = c.dim
+                GROUP BY d.vec_id, c.cluster)
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist2, cluster) = 1),
+            s{r} AS (SELECT a.cluster, d.dim, sum(d.qv) AS s,
+                            count(*) AS n
+                     FROM a{r} a JOIN dims d USING (vec_id)
+                     GROUP BY a.cluster, d.dim),
+            c{r} AS (SELECT c.cluster, c.dim,
+                            COALESCE(CASE WHEN s.s >= 0
+                                          THEN (2 * s.s + s.n) // (2 * s.n)
+                                          ELSE -((-2 * s.s + s.n)
+                                                 // (2 * s.n)) END,
+                                     c.cq) AS cq
+                     FROM c{r - 1} c LEFT JOIN s{r} s
+                       ON s.cluster = c.cluster AND s.dim = c.dim)"""
+                     for r in range(1, iterations + 1))
+    return f"""
+            WITH q AS (SELECT vec_id,
+                              list_transform(embedding,
+                                x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)
+                              ) AS qv
+                       FROM embeddings),
+            dims AS (SELECT vec_id,
+                            CAST(generate_subscripts(qv, 1) - 1 AS BIGINT)
+                              AS dim,
+                            unnest(qv) AS qv
+                     FROM q),
+            seeds AS (SELECT vec_id,
+                             CAST(row_number() OVER (ORDER BY vec_id) - 1
+                                  AS BIGINT) AS cluster
+                      FROM (SELECT vec_id FROM embeddings
+                            ORDER BY vec_id LIMIT {k})),
+            c0 AS (SELECT s.cluster, d.dim, d.qv AS cq
+                   FROM seeds s JOIN dims d USING (vec_id)){rounds}
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+                   CAST(dist2 AS BIGINT) AS dist2 FROM (
+                SELECT d.vec_id, c.cluster,
+                       sum((d.qv - c.cq) * (d.qv - c.cq)) AS dist2
+                FROM dims d JOIN c{iterations} c ON d.dim = c.dim
+                GROUP BY d.vec_id, c.cluster)
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dist2, cluster) = 1"""
+
+
 def _linked_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = tokenize_docs(_docs(spark, sf_dir))
     dict_df = (spark.createDataFrame(
@@ -1106,6 +1162,16 @@ def q_sitemap_urls(spark, sf_dir):
     return sitemap_urls(sitemaps)
 
 
+def q_kmeans_embeddings(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=4, 3 centroid updates) over the
+    embedding column: per round one NARROW assignment map against
+    broadcast-literal centroids (zero joins) + one hash agg of
+    (cluster, dim) sums; exact-integer quantized arithmetic makes the
+    result bit-portable (oracle: unrolled relational rounds)."""
+    from saber_spark.operators.cluster import kmeans_assign
+    return kmeans_assign(_embeddings(spark, sf_dir), k=4, iterations=3)
+
+
 def q_warc_records(spark, sf_dir):
     """WARC ingestion: synthesize one ISO-28500 record per document
     (response type, Target-URI, Date, payload = text), parse with the
@@ -1713,11 +1779,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "sitemap_urls": q_sitemap_urls,
         "warc_records": q_warc_records,
+        "kmeans_embeddings": q_kmeans_embeddings,
         # --- relational / windows / grouping ---
         "event_transitions": q_event_transitions,
         "mixture_sample": q_mixture_sample,
         "moving_avg": q_moving_avg,
-        "sessionize": q_sessionize,
         "rollup_revenue": q_rollup_revenue,
         "tpch_q5_nation": q_tpch_q5_nation,
         "exists_high_value": q_exists_high_value,
@@ -1734,9 +1800,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-cap; and for warc_records: above_nation_avg — green r1+r2,
         # correlated-subquery family sibling exists_high_value keeps the
         # in-cap refresh slot)
+        # (and for kmeans_embeddings: sessionize — green r1+r2, window
+        # family siblings moving_avg in-cap + event_transitions new)
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "above_nation_avg": q_above_nation_avg,
+        "sessionize": q_sessionize,
         # r4 third-wave demotions (all hash-MATCH r3) making room for the
         # seven new KG-enrichment queries: eval_prf (siblings
         # eval_prf_left/right, green r1+r2), split_folds (sampling family
@@ -2758,6 +2827,7 @@ def oracle_sql() -> dict[str, str]:
                    'https://' || source || '.example.org/doc/'
                      || CAST(doc_id AS VARCHAR) AS loc
             FROM documents""",
+        "kmeans_embeddings": _kmeans_oracle_sql(4, 3),
         "warc_records": """
             SELECT 'https://' || source || '.example.org/doc/'
                      || CAST(doc_id AS VARCHAR) AS url,

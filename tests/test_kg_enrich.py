@@ -372,3 +372,50 @@ class TestTrendingNodes:
         rows = [("new", 2)] * 9 + [("old", 1)] * 2 + [("old", 2)] * 4
         out = trending_nodes(self._obs(spark, rows), min_prev=1).collect()
         assert [(r.node, r.snap, r.growth) for r in out] == [("old", 2, 2.0)]
+
+
+class TestKMeans:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_two_obvious_clusters(self, spark):
+        from saber_spark.operators.cluster import kmeans_assign
+        rows = ([(i, [10.0 + (i % 3) * 0.01, 10.0]) for i in range(6)]
+                + [(i, [-10.0, -10.0 - (i % 3) * 0.01])
+                   for i in range(6, 12)])
+        out = {r.vec_id: r.cluster
+               for r in kmeans_assign(self._emb(spark, rows), k=2,
+                                      iterations=3).collect()}
+        lo = {out[i] for i in range(6)}
+        hi = {out[i] for i in range(6, 12)}
+        assert len(lo) == 1 and len(hi) == 1 and lo != hi
+
+    def test_deterministic_across_runs(self, spark):
+        from saber_spark.operators.cluster import kmeans_assign
+        rows = [(i, [float((i * 7) % 5), float((i * 3) % 4),
+                     float(i % 3)]) for i in range(30)]
+        df = self._emb(spark, rows)
+        r1 = sorted(map(tuple, kmeans_assign(df, k=3, iterations=2).collect()))
+        r2 = sorted(map(tuple, kmeans_assign(df, k=3, iterations=2).collect()))
+        assert r1 == r2
+
+    def test_dist2_is_exact_integer(self, spark):
+        from saber_spark.operators.cluster import kmeans_assign
+        rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+                (3, [5.0, 5.0])]
+        out = kmeans_assign(self._emb(spark, rows), k=2,
+                            iterations=1).collect()
+        assert all(isinstance(r.dist2, int) and r.dist2 >= 0 for r in out)
+
+    def test_int_mean_rounding(self):
+        from saber_spark.operators.cluster import _int_mean
+        assert _int_mean(5, 2) == 3       # 2.5 -> 3 (half away from zero)
+        assert _int_mean(-5, 2) == -3     # -2.5 -> -3
+        assert _int_mean(4, 2) == 2
+        assert _int_mean(-7, 3) == -2     # -2.33 -> -2
+
+    def test_raises_when_fewer_than_k(self, spark):
+        from saber_spark.operators.cluster import kmeans_assign
+        with pytest.raises(ValueError):
+            kmeans_assign(self._emb(spark, [(0, [1.0])]), k=3,
+                          iterations=1).collect()

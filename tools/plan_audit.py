@@ -740,6 +740,23 @@ def main() -> None:
         0,
     ))
 
+    # 43. kmeans_embeddings: the final assignment is a NARROW map against
+    # broadcast-literal centroids — zero joins in the output plan; exact
+    # integer arithmetic (no float argmin boundary).
+    plan_km = formatted_plan(e.queries()["kmeans_embeddings"](spark, SF_DIR))
+    sections.append((
+        "kmeans_embeddings (literal-centroid narrow assignment)",
+        "Lloyd's on Spark keeps the k x d model on the driver: the "
+        "assignment must be a pure projection (zip_with distances + "
+        "array_position argmin) with NO join and NO exchange — a "
+        "centroid-table join per point would shuffle the embedding "
+        "table every round.",
+        plan_km,
+        (["<no join>"] if "Join" in plan_km else [])
+        + (["<no exchange>"] if "Exchange" in plan_km else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
