@@ -1172,6 +1172,40 @@ def q_kmeans_embeddings(spark, sf_dir):
     return kmeans_assign(_embeddings(spark, sf_dir), k=4, iterations=3)
 
 
+def q_bpe_pair_stats(spark, sf_dir):
+    """BPE trainer iteration 0: adjacent-symbol pair frequencies weighted
+    by word frequency (chars + the </w> end marker) — the statistic the
+    merge loop maximizes, computed distributively. The merge loop itself
+    runs driver-side over the vocabulary-bounded word-frequency table
+    (operators/bpe.py, the sentencepiece/HF trainer division of labor)."""
+    from saber_spark.operators.bpe import END, word_freqs
+    wf = word_freqs(tokenize_docs(_docs(spark, sf_dir)))
+    cs = F.concat(
+        F.regexp_extract_all(F.col("word"), F.lit("."), F.lit(0)),
+        F.array(F.lit(END)))
+    wf = wf.withColumn("cs", cs)
+    n = F.size("cs")
+    pairs = F.zip_with(
+        F.slice(F.col("cs"), 1, n - 1), F.slice(F.col("cs"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")))
+    return (wf.select("freq", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"),
+                     F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("freq").alias("pair_freq")))
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Distributed BPE encoding under a corpus-trained 32-merge model:
+    mapInPandas with the broadcast merge list (single ArrowEvalPython,
+    tagger contract). Rows-only by design — the ordered merge loop is
+    not SQL-expressible; trainer correctness is pytest-golden against
+    the Sennrich reference example and a concat-roundtrip property."""
+    from saber_spark.operators.bpe import encode_df, train_bpe
+    tokens = tokenize_docs(_docs(spark, sf_dir))
+    merges = train_bpe(tokens, n_merges=32)
+    return encode_df(tokens, merges)
+
+
 def q_warc_records(spark, sf_dir):
     """WARC ingestion: synthesize one ISO-28500 record per document
     (response type, Target-URI, Date, payload = text), parse with the
@@ -1780,11 +1814,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "warc_records": q_warc_records,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "bpe_pair_stats": q_bpe_pair_stats,
+        "bpe_encode": q_bpe_encode,
         # --- relational / windows / grouping ---
         "event_transitions": q_event_transitions,
         "mixture_sample": q_mixture_sample,
-        "moving_avg": q_moving_avg,
-        "rollup_revenue": q_rollup_revenue,
         "tpch_q5_nation": q_tpch_q5_nation,
         "exists_high_value": q_exists_high_value,
         # --- dedup / similarity family ---
@@ -1800,12 +1834,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-cap; and for warc_records: above_nation_avg — green r1+r2,
         # correlated-subquery family sibling exists_high_value keeps the
         # in-cap refresh slot)
-        # (and for kmeans_embeddings: sessionize — green r1+r2, window
-        # family siblings moving_avg in-cap + event_transitions new)
+        # (and for kmeans_embeddings + the BPE pair: sessionize +
+        # moving_avg — green r1+r2, window family sibling
+        # event_transitions in-cap — and rollup_revenue — green r1+r2,
+        # grouping family siblings cube_revenue/grouping_sets_revenue/
+        # hypertable_rollup all r3-green in the tail. Their last driver
+        # rows are r2 = exactly 2 rounds old, the contract's limit; new
+        # first-row evidence outranks a third green row.)
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "above_nation_avg": q_above_nation_avg,
         "sessionize": q_sessionize,
+        "moving_avg": q_moving_avg,
+        "rollup_revenue": q_rollup_revenue,
         # r4 third-wave demotions (all hash-MATCH r3) making room for the
         # seven new KG-enrichment queries: eval_prf (siblings
         # eval_prf_left/right, green r1+r2), split_folds (sampling family
@@ -2828,6 +2869,20 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(doc_id AS VARCHAR) AS loc
             FROM documents""",
         "kmeans_embeddings": _kmeans_oracle_sql(4, 3),
+        "bpe_pair_stats": f"""
+            WITH {TOKENS_CTE},
+            wf AS (SELECT token AS word, count(*) AS freq
+                   FROM tokens GROUP BY token),
+            chars AS (SELECT freq,
+                             list_append(regexp_extract_all(word, '.'),
+                                         '</w>') AS cs
+                      FROM wf),
+            pairs AS (SELECT c.freq, c.cs[t.g] AS lhs, c.cs[t.g + 1] AS rhs
+                      FROM chars c,
+                           UNNEST(generate_series(1, len(c.cs) - 1))
+                             AS t(g))
+            SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS pair_freq
+            FROM pairs GROUP BY lhs, rhs""",
         "warc_records": """
             SELECT 'https://' || source || '.example.org/doc/'
                      || CAST(doc_id AS VARCHAR) AS url,

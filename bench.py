@@ -159,7 +159,7 @@ def main() -> None:
         "lm_perplexity", "crawl_frontier", "typed_triples",
         "triple_history", "link_prediction", "trending_entities",
         "robots_filter", "sitemap_urls", "warc_records",
-        "kmeans_embeddings",
+        "kmeans_embeddings", "bpe_pair_stats", "bpe_encode",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -1,0 +1,144 @@
+"""BPE tokenizer training + distributed encoding.
+
+An LLM-data engine must train tokenizers over its own corpus. BPE
+(Sennrich et al. 2016) is the standard; its trainer does NOT need to
+iterate over the corpus — like sentencepiece/HuggingFace trainers it
+operates on the WORD-FREQUENCY TABLE, which is vocabulary-bounded (the
+same bound vocab build O6 already relies on: Heaps' law, ~10^6-10^7
+distinct words even at 100 TB). So the Spark division of labor is:
+
+  corpus side  ONE hash agg -> (word, freq)        [distributed]
+  model side   merge loop over the freq dict       [driver, bounded]
+  corpus side  encode via broadcast merges         [distributed, Arrow]
+
+Encoding applies the ordered merge list per token — inherently iterative,
+so it rides the sanctioned Arrow boundary (mapInPandas, same contract as
+the tagger: one ArrowEvalPython node, batch-columnar transfer).
+
+Determinism: merge selection is (pair frequency DESC, pair lexicographic
+ASC) — a total order, so the trained merge list is reproducible anywhere.
+The end-of-word marker </w> follows the original formulation (merges
+never cross word boundaries).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def word_freqs(tokens: DataFrame, tok_col: str = "token") -> DataFrame:
+    """(.., token) -> (word, freq): the trainer's sufficient statistics.
+    One partial+final hash agg; Zipf-head skew collapses map-side."""
+    return (tokens.groupBy(F.col(tok_col).alias("word"))
+            .agg(F.count(F.lit(1)).alias("freq")))
+
+
+def pair_stats(freqs: dict[tuple[str, ...], int]) -> Counter:
+    """Adjacent-symbol pair counts weighted by word frequency."""
+    out: Counter = Counter()
+    for sym, f in freqs.items():
+        for i in range(len(sym) - 1):
+            out[(sym[i], sym[i + 1])] += f
+    return out
+
+
+def _merge_word(sym: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out: list[str] = []
+    i = 0
+    while i < len(sym):
+        if i < len(sym) - 1 and (sym[i], sym[i + 1]) == pair:
+            out.append(sym[i] + sym[i + 1])
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def learn_bpe(word_freq: dict[str, int],
+              n_merges: int) -> list[tuple[str, str]]:
+    """word-frequency dict -> ordered merge list (the BPE model).
+
+    Pure driver-side computation over the bounded model table; stops
+    early when no pair occurs twice (merging singletons memorizes the
+    corpus). Ties break lexicographically — total order, reproducible.
+    """
+    freqs: dict[tuple[str, ...], int] = {
+        tuple(w) + (END,): f for w, f in word_freq.items() if w}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        stats = pair_stats(freqs)
+        if not stats:
+            break
+        best_pair, best_n = None, -1
+        for pair, n in stats.items():
+            if n > best_n or (n == best_n and pair < best_pair):
+                best_pair, best_n = pair, n
+        if best_n < 2:
+            break
+        merges.append(best_pair)
+        freqs = {_merge_word(s, best_pair): f for s, f in freqs.items()}
+    return merges
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply the ordered merge list to one word -> subword pieces
+    (END marker folded into the last piece's spelling)."""
+    sym: tuple[str, ...] = tuple(word) + (END,)
+    for pair in merges:
+        if len(sym) == 1:
+            break
+        sym = _merge_word(sym, pair)
+    if sym and sym[-1] == END:
+        sym = sym[:-1]
+    elif sym and sym[-1].endswith(END):
+        sym = sym[:-1] + (sym[-1][: -len(END)],)
+    return list(sym)
+
+
+def train_bpe(tokens: DataFrame, n_merges: int = 64,
+              tok_col: str = "token") -> list[tuple[str, str]]:
+    """Corpus tokens -> trained merge list. The collect is the model-side
+    word-frequency table (vocabulary-bounded, same class as vocab build)."""
+    wf = {r.word: r.freq for r in word_freqs(tokens, tok_col).collect()}
+    return learn_bpe(wf, n_merges)
+
+
+def encode_df(tokens: DataFrame, merges: list[tuple[str, str]],
+              id_col: str = "doc_id", pos_col: str = "pos",
+              tok_col: str = "token") -> DataFrame:
+    """Distributed BPE encoding -> (doc_id, pos, piece_idx, piece).
+
+    mapInPandas over Arrow batches with the merge list broadcast in the
+    closure — the sanctioned Python boundary (single ArrowEvalPython
+    node, tagger contract). Per-token work is bounded by token length x
+    merge count.
+    """
+    schema = f"{id_col} long, {pos_col} long, piece_idx long, piece string"
+    mg = list(merges)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, poss, idxs, pieces = [], [], [], []
+            for i, p, w in zip(pdf[id_col], pdf[pos_col], pdf[tok_col]):
+                if w is None:
+                    continue
+                enc = cache.get(w)
+                if enc is None:
+                    enc = encode_word(w, mg)
+                    cache[w] = enc
+                for j, piece in enumerate(enc):
+                    ids.append(i); poss.append(p)
+                    idxs.append(j); pieces.append(piece)
+            yield pd.DataFrame({id_col: ids, pos_col: poss,
+                                "piece_idx": idxs, "piece": pieces})
+
+    return tokens.select(id_col, pos_col, tok_col).mapInPandas(run, schema)

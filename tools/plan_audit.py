@@ -757,6 +757,23 @@ def main() -> None:
         0,
     ))
 
+    # 44. bpe_encode: exactly ONE Arrow boundary node (the sanctioned
+    # Python path, tagger contract) — and nothing else Python.
+    plan_bp = formatted_plan(e.queries()["bpe_encode"](spark, SF_DIR))
+    n_py_bp = len(re.findall(
+        r"\(\d+\) (?:ArrowEvalPython|MapInPandas|BatchEvalPython)", plan_bp))
+    sections.append((
+        "bpe_encode (single Arrow boundary, broadcast merge model)",
+        "Distributed BPE encoding rides mapInPandas with the trained "
+        "merge list in the closure; the plan must contain exactly ONE "
+        "Arrow node and no row-at-a-time Python.",
+        plan_bp,
+        ([f"<exactly 1 Arrow node, saw {n_py_bp}>"] if n_py_bp != 1
+         else []) + (["<no BatchEvalPython>"] if "BatchEvalPython" in plan_bp
+                     else []),
+        1,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
