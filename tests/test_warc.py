@@ -77,3 +77,31 @@ class TestReadWarc:
         # only the TRAILING record-separator CRLFs strip; interior blank
         # lines (paragraph breaks) survive in the payload
         assert row.payload == "para one\r\n\r\npara two"
+
+
+class TestStreamingWarc:
+    def test_readstream_ingests_records(self, spark, tmp_path):
+        """The WARC parse is stateless narrow ops, so the same parser runs
+        unchanged under Structured Streaming: drop files into a directory,
+        stream them through parse_warc_chunks, and the micro-batch emits
+        the same rows the batch reader produces."""
+        from pyspark.sql import functions as F
+
+        from saber_spark.sources.warc import (RECORD_DELIM,
+                                              parse_warc_chunks, read_warc)
+        d = tmp_path / "in"
+        d.mkdir()
+        (d / "a.warc").write_bytes((REC1 + REC3).encode())
+        raw = (spark.readStream.option("lineSep", RECORD_DELIM)
+               .schema("value string").text(str(d))
+               .filter(F.length(F.trim(F.col("value"))) > 0))
+        out = parse_warc_chunks(raw, "value")
+        q = (out.writeStream.format("memory").queryName("warc_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        got = {(r.url, r.rec_type)
+               for r in spark.sql("select * from warc_stream").collect()}
+        batch = {(r.url, r.rec_type)
+                 for r in read_warc(spark, str(d)).collect()}
+        assert got == batch == {("https://a.org/x", "response"),
+                                ("https://b.org/y", "conversion")}
