@@ -193,6 +193,16 @@ tokens AS (
         FROM documents))
 """
 
+HOST_EDGES_CTE = """
+hedges AS (
+  SELECT DISTINCT source || '.example.org' AS src,
+         'src' || CAST(CASE WHEN doc_id % 2 = 0
+                            THEN doc_id % 7
+                            ELSE doc_id % 3 END AS VARCHAR)
+           || '.example.org' AS dst
+  FROM documents)
+"""
+
 VOCAB_CTE = """
 vocab AS (
   SELECT token,
@@ -357,13 +367,15 @@ def _label_propagation_oracle_sql(rounds: int = 3) -> str:
             SELECT node, label AS community FROM lp{rounds}"""
 
 
-def _kmeans_oracle_sql(k: int = 4, iterations: int = 3) -> str:
-    """Unrolled Lloyd's twin of operators/cluster.py:kmeans_assign — one
-    (assign, sums, centroids) CTE triple per round, recomputed
-    RELATIONALLY (joins instead of the Spark side's broadcast-literal
-    centroids — an independent derivation). All arithmetic is exact
-    BIGINT: quantized components, integer squared distances, and the
-    same round-half-away-from-zero integer mean."""
+def _kmeans_with_clause(k: int = 4, iterations: int = 3) -> str:
+    """WITH-clause of the unrolled Lloyd's twin of
+    operators/cluster.py:kmeans_assign — one (assign, sums, centroids)
+    CTE triple per round, recomputed RELATIONALLY (joins instead of the
+    Spark side's broadcast-literal centroids — an independent
+    derivation). All arithmetic is exact BIGINT: quantized components,
+    integer squared distances, and the same round-half-away-from-zero
+    integer mean. Ends with ``afinal`` = the final (vec_id, cluster,
+    dist2) assignment, shared by the kmeans and semdedup oracles."""
     rounds = "".join(f""",
             a{r} AS (SELECT vec_id, cluster FROM (
                 SELECT d.vec_id, c.cluster,
@@ -402,15 +414,54 @@ def _kmeans_oracle_sql(k: int = 4, iterations: int = 3) -> str:
                       FROM (SELECT vec_id FROM embeddings
                             ORDER BY vec_id LIMIT {k})),
             c0 AS (SELECT s.cluster, d.dim, d.qv AS cq
-                   FROM seeds s JOIN dims d USING (vec_id)){rounds}
-            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
-                   CAST(dist2 AS BIGINT) AS dist2 FROM (
-                SELECT d.vec_id, c.cluster,
-                       sum((d.qv - c.cq) * (d.qv - c.cq)) AS dist2
-                FROM dims d JOIN c{iterations} c ON d.dim = c.dim
-                GROUP BY d.vec_id, c.cluster)
-            QUALIFY row_number() OVER (PARTITION BY vec_id
-                      ORDER BY dist2, cluster) = 1"""
+                   FROM seeds s JOIN dims d USING (vec_id)){rounds},
+            afinal AS (
+                SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+                       CAST(dist2 AS BIGINT) AS dist2 FROM (
+                    SELECT d.vec_id, c.cluster,
+                           sum((d.qv - c.cq) * (d.qv - c.cq)) AS dist2
+                    FROM dims d JOIN c{iterations} c ON d.dim = c.dim
+                    GROUP BY d.vec_id, c.cluster)
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dist2, cluster) = 1)"""
+
+
+def _kmeans_oracle_sql(k: int = 4, iterations: int = 3) -> str:
+    return (_kmeans_with_clause(k, iterations)
+            + "\n            SELECT vec_id, cluster, dist2 FROM afinal")
+
+
+def _semdedup_oracle_sql(k: int = 4, iterations: int = 2,
+                         threshold: float = 0.35) -> str:
+    """Twin of operators/cluster.py:semdedup — the kmeans assignment CTE
+    chain, then the within-cluster pairwise quantized cosine and the
+    lowest-id-wins drop rule (same dot/norm arithmetic as the
+    embedding_near_dup oracle)."""
+    return _kmeans_with_clause(k, iterations) + f""",
+            vals AS (SELECT vec_id,
+                            CAST(generate_subscripts(qv, 1) AS INT) AS i,
+                            unnest(qv) AS v
+                     FROM q),
+            norms AS (SELECT vec_id, sum(v * v) AS norm2
+                      FROM vals GROUP BY vec_id),
+            member AS (SELECT vec_id, cluster FROM afinal),
+            pairs AS (SELECT x.vec_id AS va, y.vec_id AS vb
+                      FROM member x JOIN member y
+                        ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+            dots AS (SELECT p.va, p.vb, sum(a.v * b.v) AS dot
+                     FROM pairs p
+                     JOIN vals a ON a.vec_id = p.va
+                     JOIN vals b ON b.vec_id = p.vb AND b.i = a.i
+                     GROUP BY p.va, p.vb),
+            dropped AS (SELECT DISTINCT d.vb
+                        FROM dots d
+                        JOIN norms na ON na.vec_id = d.va
+                        JOIN norms nb ON nb.vec_id = d.vb
+                        WHERE d.dot / sqrt(na.norm2::DOUBLE
+                                           * nb.norm2::DOUBLE)
+                              >= {threshold})
+            SELECT m.vec_id, m.cluster, (dr.vb IS NULL) AS keep
+            FROM member m LEFT JOIN dropped dr ON dr.vb = m.vec_id"""
 
 
 def _linked_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1077,23 +1128,49 @@ def q_crawl_frontier(spark, sf_dir):
     return crawl_frontier(pages, edges, k=3)
 
 
-def q_link_prediction(spark, sf_dir):
-    """Web-graph link prediction: top-20 non-adjacent HOST pairs by
-    Adamic-Adar (wedge join through the shared neighbor — no all-pairs;
-    anti-join drops existing edges). The host edges use a parity-varied
-    fan-out (even sources link to 7 hub hosts, odd to 3) so the graph is
-    sparse with differentiated common-neighbor structure — the entity
-    co-occurrence graph is complete on this corpus (every dictionary
-    pair co-occurs somewhere), which would make the candidate set empty."""
-    from saber_spark.operators.graph import link_prediction
+def _host_edges(spark, sf_dir):
+    """Synthetic host link graph shared by the graph-analytics queries
+    (link_prediction / hits / khop): parity-varied fan-out — even
+    sources link to 7 hub hosts, odd to 3 — so the graph is sparse with
+    differentiated neighbor structure. SQL twin: HOST_EDGES_CTE."""
     docs = _docs(spark, sf_dir)
     dst_k = F.when(F.col("doc_id") % 2 == 0, F.col("doc_id") % 7) \
         .otherwise(F.col("doc_id") % 3)
-    edges = docs.select(
+    return docs.select(
         F.concat(F.col("source"), F.lit(".example.org")).alias("src"),
         F.concat(F.lit("src"), dst_k.cast("string"),
                  F.lit(".example.org")).alias("dst")).distinct()
-    return link_prediction(edges, top_k=20)
+
+
+def q_link_prediction(spark, sf_dir):
+    """Web-graph link prediction: top-20 non-adjacent HOST pairs by
+    Adamic-Adar (wedge join through the shared neighbor — no all-pairs;
+    anti-join drops existing edges). Parity-varied host fan-out fixture
+    (_host_edges) — the entity co-occurrence graph is complete on this
+    corpus (every dictionary pair co-occurs somewhere), which would make
+    the candidate set empty."""
+    from saber_spark.operators.graph import link_prediction
+    return link_prediction(_host_edges(spark, sf_dir), top_k=20)
+
+
+def q_hits_hosts(spark, sf_dir):
+    """Hub/authority triage of the host link graph: 2 unnormalized HITS
+    power iterations in exact BIGINT arithmetic (graph.hits) — the
+    second centrality axis next to pagerank_entities (a crawl frontier
+    wants hub pages; KG QA wants authorities). Oracle: unrolled
+    half-round CTEs over the same edge fixture."""
+    from saber_spark.operators.graph import hits
+    return hits(_host_edges(spark, sf_dir), rounds=2)
+
+
+def q_khop_hosts(spark, sf_dir):
+    """Crawl scoping / KG neighborhood extraction: minimum directed-hop
+    distance from the seed host within 3 hops (level-synchronous
+    frontier BFS, graph.khop_distance). Oracle: depth-capped recursive
+    CTE + min(dist) — path enumeration equals BFS minima."""
+    from saber_spark.operators.graph import khop_distance
+    seeds = spark.createDataFrame([("src3.example.org",)], "node string")
+    return khop_distance(_host_edges(spark, sf_dir), seeds, k=3)
 
 
 def q_trending_entities(spark, sf_dir):
@@ -1170,6 +1247,40 @@ def q_kmeans_embeddings(spark, sf_dir):
     result bit-portable (oracle: unrolled relational rounds)."""
     from saber_spark.operators.cluster import kmeans_assign
     return kmeans_assign(_embeddings(spark, sf_dir), k=4, iterations=3)
+
+
+def q_semdedup(spark, sf_dir):
+    """Semantic dedup (SemDeDup, arXiv:2303.09540): k-means clusters as
+    the blocking key, within-cluster quantized cosine >= 0.35 drops the
+    higher id — the embedding-space sibling of dedup_clusters' MinHash
+    chain. k=4/iterations=2 keeps the unrolled oracle CTE chain short;
+    at 100 TB k scales with the corpus so cluster sizes stay bounded
+    (see operators/cluster.py:semdedup)."""
+    from saber_spark.operators.cluster import semdedup
+    return semdedup(_embeddings(spark, sf_dir), k=4, iterations=2,
+                    threshold=0.35)
+
+
+def q_bm25_search(spark, sf_dir):
+    """Lexical retrieval: Okapi BM25 top-15 documents for a 3-term query
+    (operators/retrieval.py) — integer tf/df/dl everywhere, one 6dp
+    rounding on the final score, deterministic (score DESC, doc_id ASC)
+    tie-break, TakeOrderedAndProject instead of a global sort."""
+    from saber_spark.operators.retrieval import bm25_topk
+    return bm25_topk(tokenize_docs(_docs(spark, sf_dir)),
+                     ["spark", "stream", "vector"], top_k=15)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """Domain-targeted data selection (DSIR, arXiv:2302.03169): hashed
+    bigram-bucket importance weights of each raw document against the
+    target subset (sources src0/src1), md5-portable feature hash,
+    Laplace-smoothed bucket probabilities (operators/splits.py)."""
+    from saber_spark.operators.splits import dsir_weights
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("source").isin("src0", "src1")) \
+        .select("doc_id")
+    return dsir_weights(tokenize_docs(docs), target, buckets=64)
 
 
 def q_bpe_pair_stats(spark, sf_dir):
@@ -1738,7 +1849,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * the six r3-demoted queries whose last driver rows were r2
     #     (moving_avg, sessionize, rollup_revenue, tpch_q5_nation,
     #     exists_high_value, above_nation_avg), rotated back for fresh
-    #     evidence;
+    #     evidence (the first four re-entered by demoting token_freq /
+    #     rare_tokens / vocab_ids / bio_chunks — r3 hash-MATCH, 1 round
+    #     old, exercised inside in-cap pipelines — see the tail comment);
     #   * the r3-green flagship/family heads (KG stages, dedup chain, ANN,
     #     graph, funnel, TPC-H rep, profiling).
     # To make room for the web-crawl slate, nine r3 hash-MATCH entries with
@@ -1773,14 +1886,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- KG pipeline stages (flagship) ---
         "scan_filter_project": q_scan_filter_project,
-        "tokenize_explode": q_tokenize_explode,
-        "token_freq": q_token_freq,
-        "rare_tokens": q_rare_tokens,
-        "vocab_ids": q_vocab_ids,
-        "bio_chunks": q_bio_chunks,
-        "entity_link": q_entity_link,
-        "canonicalize_salted": q_canonicalize_salted,
-        "triples_cooccur": q_triples_cooccur,
         "kg_mentions": q_kg_mentions,
         "kg_edges": q_kg_edges,
         "curation_decision": q_curation_decision,
@@ -1790,6 +1895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_link": q_fuzzy_link,
         "proximity_triples": q_proximity_triples,
         "degree_hist": q_degree_hist,
+        "hits_hosts": q_hits_hosts,
+        "khop_hosts": q_khop_hosts,
         # --- web-crawl analytics (late-r4, first driver rows) ---
         "url_host_stats": q_url_host_stats,
         "url_dedup": q_url_dedup,
@@ -1821,32 +1928,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "tpch_q5_nation": q_tpch_q5_nation,
         "exists_high_value": q_exists_high_value,
-        # --- dedup / similarity family ---
-        "dedup_clusters": q_dedup_clusters,
-        "centroid_classify": q_centroid_classify,
-        # --- text stats ---
-        "quality_filter": q_quality_filter,
-        "tfidf_ranked": q_tfidf_ranked,
-        # --------- position 51+: driver-green, family-redundant ---------
-        # (also demoted for the crawl-discovery pair: range_join_clicks —
-        # r3 hash-MATCH, temporal-join family twin asof_join green r2 —
-        # and pii_scrub — r3 hash-MATCH, textstats sibling quality_filter
-        # in-cap; and for warc_records: above_nation_avg — green r1+r2,
-        # correlated-subquery family sibling exists_high_value keeps the
-        # in-cap refresh slot)
-        # (and for kmeans_embeddings + the BPE pair: sessionize +
-        # moving_avg — green r1+r2, window family sibling
-        # event_transitions in-cap — and rollup_revenue — green r1+r2,
-        # grouping family siblings cube_revenue/grouping_sets_revenue/
-        # hypertable_rollup all r3-green in the tail. Their last driver
-        # rows are r2 = exactly 2 rounds old, the contract's limit; new
-        # first-row evidence outranks a third green row.)
-        "range_join_clicks": q_range_join_clicks,
-        "pii_scrub": q_pii_scrub,
         "above_nation_avg": q_above_nation_avg,
         "sessionize": q_sessionize,
         "moving_avg": q_moving_avg,
         "rollup_revenue": q_rollup_revenue,
+        # --- dedup / similarity family ---
+        "semdedup": q_semdedup,
+        "centroid_classify": q_centroid_classify,
+        # --- text stats ---
+        "quality_filter": q_quality_filter,
+        "tfidf_ranked": q_tfidf_ranked,
+        "bm25_search": q_bm25_search,
+        "dsir_weights": q_dsir_weights,
+        # --------- position 51+: driver-green, family-redundant ---------
+        # (also demoted for the crawl-discovery pair: range_join_clicks —
+        # r3 hash-MATCH, temporal-join family twin asof_join green r2 —
+        # and pii_scrub — r3 hash-MATCH, textstats sibling quality_filter
+        # in-cap)
+        # (token_freq / rare_tokens / vocab_ids / bio_chunks — all r3
+        # hash-MATCH, 1 round old — ceded their cap slots to the four
+        # r2-vintage rotations above (above_nation_avg, sessionize,
+        # moving_avg, rollup_revenue, last rows exactly at the 2-round
+        # contract limit). The four demoted stage oracles remain
+        # exercised inside in-cap pipelines: token_freq/vocab_ids inside
+        # bpe_pair_stats' pair-count aggregation shape, rare_tokens'
+        # join-based replacement inside kg_mentions' vocab path, and
+        # bio_chunks' window decode inside kg_mentions/dict_mentions.)
+        # (tokenize_explode / entity_link / canonicalize_salted /
+        # triples_cooccur / dedup_clusters — all r3 hash-MATCH, 1 round
+        # old — ceded their cap slots to the five late-r4 queries
+        # (semdedup, hits_hosts, khop_hosts, bm25_search, dsir_weights)
+        # that need FIRST driver rows. Each demoted stage keeps live
+        # in-cap coverage: the tokenize->link->canonicalize->triples
+        # chain runs end-to-end inside the rows-only kg_mentions/kg_edges
+        # flagship rows, and dedup_clusters' LSH->jaccard->CC chain has
+        # in-cap siblings url_dedup/line_dedup_clean plus the new
+        # embedding-space sibling semdedup.)
+        "range_join_clicks": q_range_join_clicks,
+        "pii_scrub": q_pii_scrub,
+        "token_freq": q_token_freq,
+        "rare_tokens": q_rare_tokens,
+        "vocab_ids": q_vocab_ids,
+        "bio_chunks": q_bio_chunks,
+        "tokenize_explode": q_tokenize_explode,
+        "entity_link": q_entity_link,
+        "canonicalize_salted": q_canonicalize_salted,
+        "triples_cooccur": q_triples_cooccur,
+        "dedup_clusters": q_dedup_clusters,
         # r4 third-wave demotions (all hash-MATCH r3) making room for the
         # seven new KG-enrichment queries: eval_prf (siblings
         # eval_prf_left/right, green r1+r2), split_folds (sampling family
@@ -2869,6 +2997,108 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(doc_id AS VARCHAR) AS loc
             FROM documents""",
         "kmeans_embeddings": _kmeans_oracle_sql(4, 3),
+        "semdedup": _semdedup_oracle_sql(4, 2, 0.35),
+        "hits_hosts": f"""
+            WITH {HOST_EDGES_CTE.strip()},
+            nodes AS (SELECT src AS node FROM hedges
+                      UNION SELECT dst FROM hedges),
+            -- h0 = 1 everywhere, so auth after half-round 1 = in-degree
+            a1 AS (SELECT n.node,
+                          COALESCE(x.a, 0) AS a
+                   FROM nodes n LEFT JOIN (
+                     SELECT dst AS node, CAST(count(*) AS BIGINT) AS a
+                     FROM hedges GROUP BY dst) x USING (node)),
+            h1 AS (SELECT n.node, COALESCE(x.h, 0) AS h
+                   FROM nodes n LEFT JOIN (
+                     SELECT e.src AS node, sum(a1.a) AS h
+                     FROM hedges e JOIN a1 ON a1.node = e.dst
+                     GROUP BY e.src) x USING (node)),
+            a2 AS (SELECT n.node, COALESCE(x.a, 0) AS a
+                   FROM nodes n LEFT JOIN (
+                     SELECT e.dst AS node, sum(h1.h) AS a
+                     FROM hedges e JOIN h1 ON h1.node = e.src
+                     GROUP BY e.dst) x USING (node)),
+            h2 AS (SELECT n.node, COALESCE(x.h, 0) AS h
+                   FROM nodes n LEFT JOIN (
+                     SELECT e.src AS node, sum(a2.a) AS h
+                     FROM hedges e JOIN a2 ON a2.node = e.dst
+                     GROUP BY e.src) x USING (node))
+            SELECT n.node, CAST(h2.h AS BIGINT) AS hub,
+                   CAST(a2.a AS BIGINT) AS auth
+            FROM nodes n JOIN h2 USING (node) JOIN a2 USING (node)""",
+        "khop_hosts": f"""
+            WITH RECURSIVE {HOST_EDGES_CTE.strip()},
+            walk (node, dist) AS (
+              SELECT 'src3.example.org', 0
+              UNION ALL
+              SELECT e.dst, w.dist + 1
+              FROM walk w JOIN hedges e ON e.src = w.node
+              WHERE w.dist < 3)
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY node""",
+        "bm25_search": f"""
+            WITH {TOKENS_CTE},
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tokens GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, count(*) AS dl
+                   FROM tokens GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            qt AS (SELECT unnest(['spark', 'stream', 'vector']) AS token),
+            hits AS (SELECT tf.* FROM tf JOIN qt USING (token)),
+            dfq AS (SELECT token, count(*) AS df FROM hits GROUP BY token),
+            scored AS (
+              SELECT h.doc_id, count(*) AS n_hits,
+                     round(sum(
+                       ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * h.tf * 2.2
+                       / (h.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                     ), 6) AS score
+              FROM hits h
+              JOIN dfq d USING (token)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats s
+              GROUP BY h.doc_id)
+            SELECT doc_id, n_hits, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM scored
+            ORDER BY score DESC, doc_id
+            LIMIT 15""",
+        "dsir_weights": f"""
+            WITH {TOKENS_CTE},
+            grams AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(token || ' ' || nxt), 1, 8)
+                          AS BIGINT) % 64 AS bucket
+              FROM (SELECT doc_id, token,
+                           lead(token) OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS nxt
+                    FROM tokens)
+              WHERE nxt IS NOT NULL),
+            tgt AS (SELECT g.* FROM grams g
+                    WHERE g.doc_id IN (SELECT doc_id FROM documents
+                                       WHERE source IN ('src0', 'src1'))),
+            hist AS (
+              SELECT r.bucket, r.n_raw, COALESCE(t.n_tgt, 0) AS n_tgt
+              FROM (SELECT bucket, count(*) AS n_raw
+                    FROM grams GROUP BY bucket) r
+              LEFT JOIN (SELECT bucket, count(*) AS n_tgt
+                         FROM tgt GROUP BY bucket) t USING (bucket)),
+            totals AS (SELECT sum(n_raw) AS tot_raw, sum(n_tgt) AS tot_tgt
+                       FROM hist),
+            scored AS (
+              SELECT g.doc_id, count(*) AS n_features,
+                     round(sum(
+                       ln((h.n_tgt + 1)::DOUBLE / (t.tot_tgt + 64))
+                       - ln((h.n_raw + 1)::DOUBLE / (t.tot_raw + 64))
+                     ), 6) AS logw
+              FROM grams g JOIN hist h USING (bucket) CROSS JOIN totals t
+              GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(s.n_features, 0) AS n_features,
+                   COALESCE(s.logw, 0.0) AS logw
+            FROM (SELECT DISTINCT doc_id FROM tokens) d
+            LEFT JOIN scored s USING (doc_id)""",
         "bpe_pair_stats": f"""
             WITH {TOKENS_CTE},
             wf AS (SELECT token AS word, count(*) AS freq

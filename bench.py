@@ -160,6 +160,10 @@ def main() -> None:
         "triple_history", "link_prediction", "trending_entities",
         "robots_filter", "sitemap_urls", "warc_records",
         "kmeans_embeddings", "bpe_pair_stats", "bpe_encode",
+        # added round 4, fifth batch (retrieval, importance resampling,
+        # semantic dedup, hub/authority + BFS graph analytics)
+        "bm25_search", "dsir_weights", "semdedup", "hits_hosts",
+        "khop_hosts",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real
@@ -228,6 +232,11 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in first_run.items()},
     }
     print(json.dumps(detail_line, separators=(",", ":")))
+    # The contract names a "queries" key; the full registry no longer fits
+    # the tail capture, so the headline carries the 20 slowest first-run
+    # entries (the ones that matter for regression triage) and the detail
+    # file carries all of them.
+    slowest20 = dict(sorted(first_run.items(), key=lambda kv: -kv[1])[:20])
     headline = {
         "metric": "kg_pipeline_docs_per_sec",
         "value": round(docs_per_sec, 3),
@@ -243,9 +252,16 @@ def main() -> None:
         "steady_total_seconds": round(steady_total, 3),
         "n_docs": n_docs,
         "n_queries": len(first_run),
+        "queries": {k: round(v, 2) for k, v in slowest20.items()},
+        "queries_note": "20 slowest of n_queries; full set in detail file",
         "detail": "BENCH/bench_full.json",
     }
-    print(json.dumps(headline, separators=(",", ":")))
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail capture
+        headline.pop("queries", None)
+        headline["queries_note"] = "see detail file"
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

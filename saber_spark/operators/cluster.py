@@ -94,3 +94,60 @@ def kmeans_assign(embeddings: DataFrame, k: int = 4, iterations: int = 3,
         cents = new_cents
 
     return assigned().select(id_col, "cluster", "dist2")
+
+
+def semdedup(embeddings: DataFrame, k: int = 4, iterations: int = 3,
+             threshold: float = 0.35, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): k-means clusters as the BLOCKING key, pairwise
+    cosine only WITHIN a cluster, drop every vector that has a
+    lower-id near-duplicate (cosine >= threshold) in its cluster.
+
+    -> (vec_id, cluster, keep) — one row per input vector, keep=false
+    for the dropped near-duplicates.
+
+    This is the embedding-space sibling of the MinHash dedup_clusters
+    chain: where LSH bands block lexical near-dups, the k-means
+    assignment blocks SEMANTIC near-dups, so the pairwise verify is
+    quadratic only in the largest cluster, never in the corpus. At
+    100 TB the published recipe scales k with the corpus
+    (k ~ N / target_cluster_size, same knob as derive_n_planes for the
+    sign-LSH path) so cluster sizes — and therefore the per-cluster
+    self-join fan-out — stay bounded; the assignment itself is the
+    narrow broadcast-literal map from kmeans_assign (zero joins).
+
+    Drop rule: SemDeDup keeps one representative per near-dup
+    neighborhood; "lowest id wins" is the deterministic, engine-portable
+    choice (the paper keeps a random member). Cosine is computed on the
+    same quantized-BIGINT dot/norms as operators/similarity.py so the
+    DuckDB twin agrees bit-for-bit before the final 6dp rounding.
+    """
+    from saber_spark.operators.similarity import _dot, _quantized
+
+    assign = kmeans_assign(embeddings, k=k, iterations=iterations,
+                           id_col=id_col, vec_col=vec_col)
+    quant = _quantized(embeddings, id_col, vec_col)
+    member = (assign.select(id_col, "cluster")
+              .join(quant, id_col)
+              .localCheckpoint(eager=True))  # reused by both join sides
+    a = member.select(F.col("cluster"),
+                      F.col(id_col).alias("vec_a"),
+                      F.col("q").alias("q_a"),
+                      F.col("norm2").alias("norm2_a"))
+    b = member.select(F.col("cluster"),
+                      F.col(id_col).alias("vec_b"),
+                      F.col("q").alias("q_b"),
+                      F.col("norm2").alias("norm2_b"))
+    dropped = (a.join(b, "cluster")
+               .filter(F.col("vec_a") < F.col("vec_b"))
+               .filter((_dot(F.col("q_a"), F.col("q_b")) /
+                        F.sqrt(F.col("norm2_a").cast("double") *
+                               F.col("norm2_b").cast("double")))
+                       >= threshold)
+               .select(F.col("vec_b").alias("dropped_id"))
+               .distinct())
+    return (member.select(id_col, "cluster")
+            .join(dropped, member[id_col] == dropped.dropped_id, "left")
+            .select(id_col, "cluster",
+                    F.col("dropped_id").isNull().alias("keep")))

@@ -401,3 +401,96 @@ def trending_nodes(observations: DataFrame, node_col: str = "node",
             .select(F.col(node_col).alias("node"),
                     F.col(snap_col).alias("snap"),
                     F.col("n").cast("long").alias("n"), "prev_n", "growth"))
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         rounds: int = 2, materialize: bool = True) -> DataFrame:
+    """DIRECTED edges -> (node, hub, auth) after ``rounds`` unnormalized
+    HITS power iterations (Kleinberg 1999) in exact BIGINT arithmetic.
+
+    h_0 = 1 everywhere; each round: auth(v) = sum of h(u) over in-edges
+    u->v, then hub(u) = sum of auth(v) over out-edges u->v. Skipping the
+    usual L2 normalization keeps every intermediate an exact integer —
+    the RANKING is identical (normalization is a positive scalar per
+    round) and the oracle twin matches bit-for-bit with no float-drift
+    caveats. Nodes with no in-edges report auth=0, no out-edges hub=0.
+
+    Overflow bound: values grow <= (max_degree^2)^rounds; at rounds=2
+    even a 10^4-degree hub stays ~10^16 < 2^63. For deeper runs switch
+    to normalized doubles (pagerank's rounding contract) — at web scale
+    2-3 rounds is the published use (hub/authority triage of a crawl
+    frontier, complementing pagerank's single authority axis).
+
+    Scale shape mirrors pagerank: per half-round ONE equi-join of the
+    score vector against the (deduplicated, materialized) edge table +
+    ONE hash agg keyed by the receiving endpoint; linear plan growth,
+    no all-pairs anywhere.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+         .distinct())
+    if materialize:
+        e = e.localCheckpoint(eager=True)
+    nodes = (e.select(F.col("u").alias("node"))
+             .union(e.select("v")).distinct())
+    if materialize:
+        nodes = nodes.localCheckpoint(eager=True)
+    hub = nodes.select("node", F.lit(1).cast("long").alias("h"))
+    auth = None
+    for _ in range(rounds):
+        auth = (e.join(hub, e.u == hub.node)
+                .groupBy(F.col("v").alias("node2"))
+                .agg(F.sum("h").alias("a"))
+                .withColumnRenamed("node2", "node"))
+        auth = (nodes.join(auth, "node", "left")
+                .select("node", F.coalesce("a", F.lit(0)).alias("a")))
+        hub = (e.join(auth, e.v == auth.node)
+               .groupBy(F.col("u").alias("node2"))
+               .agg(F.sum("a").alias("h"))
+               .withColumnRenamed("node2", "node"))
+        hub = (nodes.join(hub, "node", "left")
+               .select("node", F.coalesce("h", F.lit(0)).alias("h")))
+    return (nodes.join(hub, "node").join(auth, "node")
+            .select("node", F.col("h").alias("hub"),
+                    F.col("a").alias("auth")))
+
+
+def khop_distance(edges: DataFrame, seeds: DataFrame, k: int = 3,
+                  src: str = "src", dst: str = "dst",
+                  seed_col: str = "node") -> DataFrame:
+    """Multi-source BFS: -> (node, dist) = minimum number of DIRECTED
+    hops from any seed, for every node reachable within k hops
+    (seeds themselves report dist 0).
+
+    KG/crawl neighborhood expansion: "everything within 3 clicks of the
+    seed hosts" (crawl scoping) or "entities within 2 hops of a query
+    entity" (KG subgraph extraction for retrieval). Level-synchronous
+    frontier BFS — the MapReduce-era standard shape: round r joins ONLY
+    the current frontier (not the whole visited set) against the edge
+    table, anti-joins the visited set, and localCheckpoints the new
+    frontier so lineage stays flat across rounds. Per round: one
+    equi-join keyed on the frontier node + one anti-join; shuffle volume
+    is proportional to the frontier's out-edge count, never the graph.
+
+    Early exit: an empty frontier ends the loop (count() per round on
+    the checkpointed frontier is the bounded driver action, same
+    contract as pagerank's node count).
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+         .distinct()
+         .localCheckpoint(eager=True))
+    frontier = (seeds.select(F.col(seed_col).alias("node")).distinct()
+                .localCheckpoint(eager=True))
+    visited = frontier.select("node", F.lit(0).cast("long").alias("dist"))
+    for r in range(1, k + 1):
+        nxt = (e.join(frontier, e.u == frontier.node)
+               .select(F.col("v").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(r).cast("long").alias("dist")))
+        frontier = nxt
+    return visited

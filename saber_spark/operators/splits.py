@@ -201,3 +201,74 @@ def mixture_weights(docs: DataFrame, group_col: str = "source",
         F.round(share, 6).alias("token_share"),
         F.round(weight, 6).alias("weight"),
         F.round(oversample, 6).alias("oversample"))
+
+
+def dsir_weights(tokens: DataFrame, target_ids: DataFrame,
+                 buckets: int = 256, id_col: str = "doc_id",
+                 token_col: str = "token") -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): per-document log importance weight of a hashed
+    bigram bag-of-ngrams model, target distribution vs raw corpus.
+
+    -> (doc_id, n_features, logw) where
+       logw = sum over the doc's bigram features f of
+              ln p_target(bucket(f)) - ln p_raw(bucket(f))
+    with Laplace-smoothed bucket probabilities
+       p(b) = (count(b) + 1) / (total + buckets)
+    estimated from the TARGET subset (``target_ids``: one id column
+    naming the target docs, e.g. a trusted high-quality source) and
+    from the FULL raw corpus respectively. Documents with high logw
+    "look like" the target distribution; resampling the raw corpus by
+    these weights is the published recipe for domain-targeted
+    pretraining selection. Docs with < 2 tokens have no bigram and
+    report n_features=0, logw=0.0 (defined, not NULL — the
+    mixture_weights degeneracy convention).
+
+    Portability: the feature hash is the first 8 hex chars of
+    md5(tok1||' '||tok2) mod ``buckets`` — md5 is bit-identical in every
+    engine (the dedup_exact precedent), so the DuckDB twin reproduces
+    bucket ids, counts, and the final 6dp-rounded log weight exactly.
+
+    Scale shape: bigrams are a self-join-free window lead (one shuffle
+    on doc_id, already the tokens table's natural key); the two bucket
+    histograms are hash aggs over at most ``buckets`` rows, broadcast
+    back into a narrow scoring join — the raw corpus is never shuffled
+    by anything wider than its own doc_id. buckets is the published
+    10^4-ish knob at 100 TB; the histogram stays broadcastable at any
+    corpus size because its row count is bounded by the bucket count.
+    """
+    w = Window.partitionBy(id_col).orderBy("pos")
+    nxt = F.lead(token_col).over(w)
+    grams = (tokens
+             .withColumn("nxt", nxt)
+             .filter(F.col("nxt").isNotNull())
+             .select(F.col(id_col),
+                     ((F.conv(F.substring(
+                         F.md5(F.concat_ws(" ", token_col, "nxt")), 1, 8),
+                         16, 10).cast("long")) % buckets).alias("bucket")))
+    tgt = grams.join(F.broadcast(target_ids.select(id_col).distinct()),
+                     id_col, "left_semi")
+    raw_hist = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_raw"))
+    tgt_hist = tgt.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tgt"))
+    hist = (raw_hist.join(tgt_hist, "bucket", "left")
+            .select("bucket",
+                    "n_raw",
+                    F.coalesce("n_tgt", F.lit(0)).alias("n_tgt")))
+    totals = hist.agg(F.sum("n_raw").alias("tot_raw"),
+                      F.sum("n_tgt").alias("tot_tgt"))
+    log_ratio = (F.log((F.col("n_tgt") + 1).cast("double")
+                       / (F.col("tot_tgt") + buckets))
+                 - F.log((F.col("n_raw") + 1).cast("double")
+                         / (F.col("tot_raw") + buckets)))
+    scored = (grams
+              .join(F.broadcast(hist.crossJoin(totals)), "bucket")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_features"),
+                   F.round(F.sum(log_ratio), 6).alias("logw")))
+    all_docs = tokens.select(id_col).distinct()
+    return (all_docs.join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_features", F.lit(0)).alias("n_features"),
+                    F.coalesce("logw", F.lit(0.0)).alias("logw")))

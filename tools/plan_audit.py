@@ -774,6 +774,83 @@ def main() -> None:
         1,
     ))
 
+    # 45. hits_hosts: per half-round ONE equi-join of the score vector
+    # against the edge table + ONE hash agg — never a cartesian product.
+    plan_ht = formatted_plan(e.queries()["hits_hosts"](spark, SF_DIR))
+    sections.append((
+        "hits_hosts (per-half-round equi-join + hash agg)",
+        "Unnormalized HITS power iteration: each half-round must be an "
+        "equi-join keyed on the transmitting endpoint plus a partial+"
+        "final hash aggregate on the receiving endpoint; a "
+        "CartesianProduct would mean all-pairs score mixing.",
+        plan_ht,
+        ["HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_ht
+           else []),
+        0,
+    ))
+
+    # 46. khop_hosts: level-synchronous BFS — frontier equi-join + anti-
+    # join against the visited set; the returned plan is the union of the
+    # per-round checkpointed frontiers (flat lineage by construction).
+    plan_kh = formatted_plan(e.queries()["khop_hosts"](spark, SF_DIR))
+    sections.append((
+        "khop_hosts (frontier BFS: scans of checkpointed frontiers)",
+        "Each BFS round localCheckpoints its frontier, so the final plan "
+        "must be a flat union over materialized round results (Scan "
+        "ExistingRDD), not a 2^k-deep join tree — the lineage-growth "
+        "guard for iterative graph ops.",
+        plan_kh,
+        ["Union"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_kh
+           else []),
+        0,
+    ))
+
+    # 47. semdedup: the pairwise verify must be an EQUI self-join keyed on
+    # the k-means cluster (the blocking key) — never all-pairs.
+    plan_sd = formatted_plan(e.queries()["semdedup"](spark, SF_DIR))
+    sections.append((
+        "semdedup (cluster-blocked pairwise cosine, no all-pairs)",
+        "SemDeDup's whole point is that the quadratic verify is confined "
+        "inside a cluster: the plan must join the two member sides on the "
+        "cluster key (equi join) with the id inequality + cosine as "
+        "residual; a CartesianProduct means the blocking failed.",
+        plan_sd,
+        (["<no cartesian product>"] if "CartesianProduct" in plan_sd
+         else []),
+        0,
+    ))
+
+    # 48. bm25_search: query terms broadcast-semi-filter the postings
+    # BEFORE anything wide; the global top-k is TakeOrderedAndProject.
+    plan_bm = formatted_plan(e.queries()["bm25_search"](spark, SF_DIR))
+    sections.append((
+        "bm25_search (broadcast query join, TakeOrdered top-k)",
+        "The tens-of-terms query must broadcast into the postings join so "
+        "only matching (doc, term) rows survive; the final top-k must be "
+        "TakeOrderedAndProject (per-partition heap), never a global Sort "
+        "of all scored documents.",
+        plan_bm,
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        0,
+    ))
+
+    # 49. dsir_weights: bigrams from ONE lead window keyed on doc_id; the
+    # bucket histogram (<= buckets rows) broadcasts back into the scoring
+    # join — the corpus is never shuffled wider than its own doc_id.
+    plan_ds = formatted_plan(e.queries()["dsir_weights"](spark, SF_DIR))
+    sections.append((
+        "dsir_weights (doc-keyed lead window, broadcast histogram)",
+        "Hashed-bigram features come from a lead() window partitioned by "
+        "doc_id; the Laplace-smoothed bucket table is bounded by the "
+        "bucket count so it must enter the scoring join as a "
+        "BroadcastHashJoin; zero Python anywhere.",
+        plan_ds,
+        ["Window", "BroadcastHashJoin"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
