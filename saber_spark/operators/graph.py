@@ -494,3 +494,125 @@ def khop_distance(edges: DataFrame, seeds: DataFrame, k: int = 3,
             nxt.select("node", F.lit(r).cast("long").alias("dist")))
         frontier = nxt
     return visited
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          src: str = "src", dst: str = "dst",
+                          seed_col: str = "node", iterations: int = 4,
+                          damping: float = 0.85,
+                          materialize: bool = True) -> DataFrame:
+    """Personalized PageRank: power iteration whose teleport returns to
+    the SEED set instead of the uniform vector — pr measures proximity
+    to the seeds, the standard KG-retrieval/GraphRAG subgraph scorer
+    ("rank entities around the query entities") and the crawl scoper's
+    weighted counterpart to khop_distance's hard hop cutoff.
+
+    pr_0 = s;  pr_{r+1}(v) = (1-d)*s(v) + d * sum_in pr(u)/outdeg(u),
+    with s uniform over the seeds. Edges are symmetrized and
+    deduplicated like classic pagerank (so no dangling-mass term);
+    unreachable nodes report pr 0.0 rather than dropping, keeping the
+    output a total scoring of the node set.
+
+    Scale shape: identical to pagerank — the degree-carrying edge table
+    is built once and localCheckpointed; each round is ONE equi-join of
+    the rank vector + ONE hash agg on the destination, then a LEFT join
+    back to the (materialized) node set to re-add teleport mass; the
+    rank vector is referenced once per round (linear plan growth). The
+    seed table enters as a broadcast (it is query-sized, not
+    corpus-sized). Final pr rounded to 6dp (pagerank's cross-engine
+    contract).
+    """
+    sym = _symmetrize(edges, src, dst)
+    if materialize:
+        sym = sym.localCheckpoint(eager=True)
+    outdeg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
+    contrib_edges = sym.join(outdeg, "a")
+    nodes = outdeg.select(F.col("a").alias("node"))
+    if materialize:
+        nodes = nodes.localCheckpoint(eager=True)
+    seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+    s = (nodes.join(F.broadcast(seed_nodes.withColumn(
+            "s", F.lit(1.0 / n_seeds))), "node", "left")
+         .select("node", F.coalesce("s", F.lit(0.0)).alias("s")))
+    if materialize:
+        s = s.localCheckpoint(eager=True)
+    pr = s.select("node", F.col("s").alias("pr"))
+    for _ in range(iterations):
+        contrib = (contrib_edges.join(pr, contrib_edges.a == pr.node)
+                   .groupBy(F.col("b").alias("node2"))
+                   .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
+                   .withColumnRenamed("node2", "node"))
+        pr = (s.join(contrib, "node", "left")
+              .select("node",
+                      (F.lit(1.0 - damping) * F.col("s")
+                       + F.lit(damping)
+                       * F.coalesce("c", F.lit(0.0))).alias("pr")))
+    return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
+def random_walks(edges: DataFrame, walk_len: int = 4,
+                 walks_per_node: int = 2, src: str = "src",
+                 dst: str = "dst") -> DataFrame:
+    """DeepWalk-style walk corpus over the symmetrized graph:
+    ``walks_per_node`` walks of ``walk_len`` steps start at every node.
+
+    -> (walk_id, start, step, node): step 0 is the start node itself;
+    a walk that reaches a node with no neighbors (impossible after
+    symmetrization, kept for safety) simply ends early.
+
+    The "random" next hop is DETERMINISTIC: at step t the walk at node v
+    picks the neighbor whose dense per-node rank equals
+    md5(start|walk|t|v) % degree(v) — reproducible across runs,
+    partitionings, and engines (the weighted_sample / dsir_weights
+    portability precedent), which is what makes a 100 TB walk corpus —
+    the training input for DeepWalk/node2vec-class graph embeddings —
+    auditable and resumable instead of RNG-state-dependent.
+
+    Scale shape: the neighbor table carries a precomputed (row_number
+    per node, degree) — built ONCE with one window over the edge list,
+    localCheckpointed; each step is then ONE equi-join of the frontier
+    against that table on (node, picked_rank) — the join key includes
+    the rank, so each walk row matches exactly one neighbor row (no
+    fan-out, no skew beyond the graph's own degree distribution). Plan
+    growth is linear in walk_len; the result is the union of per-step
+    checkpointed frontiers (the khop_distance contract).
+    """
+    sym = _symmetrize(edges, src, dst).filter(F.col("a") != F.col("b"))
+    w = Window.partitionBy("a").orderBy("b")
+    nbr = (sym.select("a", "b",
+                      (F.row_number().over(w) - 1).alias("rnk"))
+           .localCheckpoint(eager=True))
+    degs = nbr.groupBy("a").agg(F.count(F.lit(1)).alias("deg")) \
+        .localCheckpoint(eager=True)
+    nodes = degs.select(F.col("a").alias("start"))
+    cur = (nodes.crossJoin(
+        F.broadcast(edges.sparkSession.range(walks_per_node)
+                    .select(F.col("id").alias("walk"))))
+        .select("start", "walk", F.col("start").alias("node")))
+    out = cur.select("start", "walk",
+                     F.lit(0).cast("long").alias("step"), "node")
+    for t in range(1, walk_len + 1):
+        pick = (F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.col("start"), F.col("walk"), F.lit(str(t)),
+            F.col("node"))), 1, 8), 16, 10).cast("long"))
+        # 1:1 degree join first (picked_rank needs deg), then 1:1
+        # equi-join on (node, picked_rank) — NO per-neighbor fan-out:
+        # a degree-10^6 hub never expands a walk row 10^6 ways
+        picked = (cur.join(degs, cur.node == degs.a)
+                  .select("start", "walk", "node",
+                          (pick % F.col("deg")).alias("prnk")))
+        stepped = (picked
+                   .join(nbr, (picked.node == nbr.a)
+                         & (picked.prnk == nbr.rnk))
+                   .select("start", "walk", F.col("b").alias("node"))
+                   .localCheckpoint(eager=True))
+        out = out.unionByName(
+            stepped.select("start", "walk",
+                           F.lit(t).cast("long").alias("step"), "node"))
+        cur = stepped
+    return (out.select(
+        F.concat_ws("#", F.col("start"), F.col("walk")).alias("walk_id"),
+        "start", "step", "node"))

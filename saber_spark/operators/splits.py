@@ -272,3 +272,42 @@ def dsir_weights(tokens: DataFrame, target_ids: DataFrame,
             .select(id_col,
                     F.coalesce("n_features", F.lit(0)).alias("n_features"),
                     F.coalesce("logw", F.lit(0.0)).alias("logw")))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES, 2006): each row draws key = u^(1/w) with
+    u uniform in (0,1); the k largest keys are the sample — provably
+    distributed as sequential weighted draws without replacement.
+
+    -> (id, weight, key rounded 6, rank). "Random" u is a deterministic
+    md5 hash of the row id (the dsir_weights portability precedent), so
+    the sample is reproducible across runs, partitionings, AND engines —
+    the property that makes a 100 TB curation run auditable. Weights
+    must be > 0 (validated — a zero weight would put u^inf == 0 keys in
+    the tail legitimately, but a NULL/negative one is a data bug).
+
+    Scale shape: key assignment is a narrow map (md5 + pow — no shuffle,
+    no Python); the global top-k is TakeOrderedAndProject (per-partition
+    heaps + a k-row driver merge) on the ROUNDED key with id tie-break,
+    never a full sort. This is the one-pass distributed replacement for
+    sequential reservoir sampling.
+    """
+    bad = df.filter(F.col(weight_col).isNull()
+                    | (F.col(weight_col) <= 0)).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"weighted_sample: weight_col '{weight_col}' contains NULL "
+            f"or non-positive values")
+    # u in (0,1): 32-bit md5 prefix scaled by 2^-32, +1 ulp-ish offset so
+    # u is never exactly 0 (ln(0) guard not needed; pow(0, x) edge avoided)
+    u = ((F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                 16, 10).cast("double") + 0.5) / F.lit(4294967296.0))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    keyed = df.select(F.col(id_col), F.col(weight_col).alias("weight"),
+                      F.round(key, 6).alias("key"))
+    top = keyed.orderBy(F.col("key").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("key").desc(), F.col(id_col).asc())
+    return top.select(id_col, "weight", "key",
+                      F.row_number().over(w).cast("long").alias("rank"))

@@ -244,3 +244,161 @@ class TestSemdedup:
         kept = {r.cluster for r in res if r.keep}
         assert kept == clusters  # lowest id in each cluster always kept
         assert len(res) == 16   # one row per input vector
+
+
+class TestPersonalizedPagerank:
+    def test_matches_bruteforce(self, spark):
+        from saber_spark.operators.graph import personalized_pagerank
+        rng = random.Random(5)
+        edges = _rand_graph(rng, n_nodes=10, n_edges=22)
+        seeds = ["n1", "n4"]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+        got = {r.node: r.pr
+               for r in personalized_pagerank(df, sdf,
+                                              iterations=3).collect()}
+        sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+        nodes = sorted({a for a, _ in sym})
+        outdeg = {n: sum(1 for a, _ in sym if a == n) for n in nodes}
+        s = {n: (0.5 if n in seeds else 0.0) for n in nodes}
+        pr = dict(s)
+        for _ in range(3):
+            contrib = {n: 0.0 for n in nodes}
+            for a, b in sym:
+                contrib[b] += pr[a] / outdeg[a]
+            pr = {n: 0.15 * s[n] + 0.85 * contrib[n] for n in nodes}
+        assert got == {n: round(pr[n], 6) for n in nodes}
+
+    def test_mass_stays_in_seed_component(self, spark):
+        from saber_spark.operators.graph import personalized_pagerank
+        # two disconnected components; seed in the first: ALL rank mass
+        # stays there (sum == 1 — teleport + damping conserve mass) and
+        # the unseeded component reports exactly 0.0 for every node
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z")],
+            "src string, dst string")
+        sdf = spark.createDataFrame([("a",)], "node string")
+        got = {r.node: r.pr
+               for r in personalized_pagerank(df, sdf,
+                                              iterations=4).collect()}
+        assert got["x"] == got["y"] == got["z"] == 0.0
+        assert all(got[n] > 0 for n in ("a", "b", "c"))
+        assert abs(sum(got.values()) - 1.0) < 1e-5
+
+    def test_empty_seed_raises(self, spark):
+        from saber_spark.operators.graph import personalized_pagerank
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        sdf = spark.createDataFrame([], "node string")
+        with pytest.raises(ValueError):
+            personalized_pagerank(df, sdf)
+
+
+class TestWeightedSample:
+    def test_matches_bruteforce_aes_keys(self, spark):
+        import hashlib
+
+        from saber_spark.operators.splits import weighted_sample
+        rows = [(i, (i % 7) + 1) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = [(r.doc_id, r.weight, r.key, r.rank)
+               for r in weighted_sample(df, "w", k=10).collect()]
+
+        def key(i, w):
+            u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                 + 0.5) / 2**32
+            return round(u ** (1.0 / w), 6)
+
+        brute = sorted(((i, w, key(i, w)) for i, w in rows),
+                       key=lambda t: (-t[2], t[0]))[:10]
+        assert got == [(i, w, k, r + 1)
+                       for r, (i, w, k) in enumerate(brute)]
+
+    def test_rejects_nonpositive_weights(self, spark):
+        from saber_spark.operators.splits import weighted_sample
+        df = spark.createDataFrame([(1, 0)], "doc_id long, w long")
+        with pytest.raises(ValueError):
+            weighted_sample(df, "w", k=1)
+
+
+class TestNgramContainment:
+    def test_subset_doc_scores_full_containment(self, spark):
+        from saber_spark.operators.dedup import ngram_containment
+        short = "alpha beta gamma delta epsilon"
+        long = short + " zeta eta theta iota kappa lam mu nu xi omicron"
+        docs = spark.createDataFrame([(1, short), (2, long)],
+                                     "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        r = ngram_containment(docs, pairs).first()
+        assert r.cont_a == 1.0          # every shingle of short is in long
+        assert r.cont_b < 1.0
+        assert r.n_common == r.n_a
+
+    def test_counts_match_manual_sets(self, spark):
+        from saber_spark.operators.dedup import ngram_containment
+
+        def sh(words, n=3):
+            w = words.split()
+            return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+        a = "one two three four five six"
+        b = "zero one two three four nine eight"
+        docs = spark.createDataFrame([(1, a), (2, b)],
+                                     "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        r = ngram_containment(docs, pairs).first()
+        inter = sh(a) & sh(b)
+        assert (r.n_common, r.n_a, r.n_b) == (len(inter), len(sh(a)),
+                                              len(sh(b)))
+        assert r.cont_a == round(len(inter) / len(sh(a)), 6)
+
+
+class TestRandomWalks:
+    def test_matches_bruteforce_hash_walks(self, spark):
+        import hashlib
+
+        from saber_spark.operators.graph import random_walks
+        rng = random.Random(17)
+        edges = _rand_graph(rng, n_nodes=8, n_edges=14)
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {(r.walk_id, r.step): r.node
+               for r in random_walks(df, walk_len=3,
+                                     walks_per_node=2).collect()}
+        sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+        adj = {}
+        for a, b in sorted(sym):
+            adj.setdefault(a, []).append(b)
+        want = {}
+        for start in adj:
+            for walk in range(2):
+                node = start
+                want[(f"{start}#{walk}", 0)] = node
+                for t in range(1, 4):
+                    h = int(hashlib.md5(
+                        f"{start}|{walk}|{t}|{node}".encode())
+                        .hexdigest()[:8], 16)
+                    node = adj[node][h % len(adj[node])]
+                    want[(f"{start}#{walk}", t)] = node
+        assert got == want
+
+    def test_walks_are_reproducible(self, spark):
+        from saber_spark.operators.graph import random_walks
+        df = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")],
+                                   "src string, dst string")
+        r1 = sorted(map(tuple, random_walks(df, 4, 1).collect()))
+        r2 = sorted(map(tuple, random_walks(df, 4, 1).collect()))
+        assert r1 == r2 and len(r1) == 3 * 5
+
+    def test_steps_follow_edges(self, spark):
+        from saber_spark.operators.graph import random_walks
+        df = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                   "src string, dst string")
+        rows = random_walks(df, walk_len=5, walks_per_node=1).collect()
+        sym = {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")}
+        byw = {}
+        for r in rows:
+            byw.setdefault(r.walk_id, {})[r.step] = r.node
+        for wid, steps in byw.items():
+            assert len(steps) == 6
+            for t in range(1, 6):
+                assert (steps[t - 1], steps[t]) in sym

@@ -851,6 +851,68 @@ def main() -> None:
         0,
     ))
 
+    # 50. ppr_hosts: same per-round shape as pagerank — one equi-join +
+    # one hash agg, teleport re-added via a LEFT join to the materialized
+    # node set; the seed table is broadcast.
+    plan_pp = formatted_plan(e.queries()["ppr_hosts"](spark, SF_DIR))
+    sections.append((
+        "ppr_hosts (seed-teleport power iteration, pagerank shape)",
+        "Each round must be an equi-join of the rank vector against the "
+        "degree-carrying edge table plus one hash agg; the teleport "
+        "vector re-enters via a join against the checkpointed seed-mass "
+        "table — no cartesian product anywhere.",
+        plan_pp,
+        ["HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_pp
+           else []),
+        0,
+    ))
+
+    # 51. ngram_containment: candidates-only verify (same contract as
+    # ngram_jaccard) — the shingle join is keyed, never all-pairs.
+    plan_nc = formatted_plan(e.queries()["ngram_containment"](spark, SF_DIR))
+    sections.append((
+        "ngram_containment (candidates-only asymmetric verify)",
+        "Containment runs ONLY on LSH candidate pairs: the common-shingle "
+        "count joins on (doc, shingle) keys and the sizes join is an "
+        "equi-join; a CartesianProduct would mean all-pairs verification.",
+        plan_nc,
+        ["HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_nc
+           else []),
+        0,
+    ))
+
+    # 52. weighted_sample: key assignment is a narrow map; the global
+    # top-k must be TakeOrderedAndProject, never a full sort.
+    plan_ws = formatted_plan(e.queries()["weighted_sample"](spark, SF_DIR))
+    sections.append((
+        "weighted_sample (narrow A-ES keys, TakeOrdered top-k)",
+        "Efraimidis-Spirakis keys are md5+pow projections (no shuffle, no "
+        "Python); the k-row sample must come from TakeOrderedAndProject "
+        "per-partition heaps.",
+        plan_ws,
+        ["TakeOrderedAndProject"],
+        0,
+    ))
+
+    # 53. random_walks: each step must be two 1:1 equi-joins (degree,
+    # then (node, picked_rank)) — never a per-neighbor fan-out — and the
+    # final plan a flat union of checkpointed steps.
+    plan_rw = formatted_plan(e.queries()["random_walks"](spark, SF_DIR))
+    sections.append((
+        "random_walks (1:1 rank-keyed steps, flat union)",
+        "The md5-picked next hop joins on (node, picked_rank) so a "
+        "degree-10^6 hub never expands a walk row a million ways; steps "
+        "are localCheckpointed (Scan ExistingRDD under a Union), the "
+        "khop lineage contract.",
+        plan_rw,
+        ["Union"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_rw
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
