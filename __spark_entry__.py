@@ -1931,6 +1931,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # take the FIRST r5 cap slots. Currently in that state:
     # ngram_containment / ppr_hosts / weighted_sample / random_walks
     # (positions 51-54).
+    #
+    # r5 rotation plan (for the final round's slate): cap priority is
+    # (1) the four tail-head newest above (no driver row yet);
+    # (2) every query whose last driver row is r2 — 3 rounds old by r5:
+    #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
+    #     (*already in the r4 cap — drop from this list if r4 lands
+    #     green), cosine_topk, customers_without_orders, dedup_exact,
+    #     eval_prf_left, eval_prf_right, lang_id, lsh_cosine_topk,
+    #     mentions_histogram, minhash_signatures, simhash, token_bigrams,
+    #     token_counts, top1_per_user, tpch_q1, tpch_q3_top10, tpch_q6,
+    #     window_agg, zscore_by_source;
+    # (3) r3-green entries (2 rounds old by r5), oldest families first;
+    # keep the rows-only flagships (kg_mentions, kg_edges,
+    # curation_decision, multimodal_features) in-cap every round — they
+    # have no other driver-evidence channel.
     return {
         # --- KG pipeline stages (flagship) ---
         "scan_filter_project": q_scan_filter_project,

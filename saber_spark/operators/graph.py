@@ -426,6 +426,8 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     ONE hash agg keyed by the receiving endpoint; linear plan growth,
     no all-pairs anywhere.
     """
+    if rounds < 1:
+        raise ValueError(f"hits: rounds must be >= 1, got {rounds}")
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
          .distinct())
@@ -534,6 +536,14 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     n_seeds = seed_nodes.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: empty seed set")
+    # a seed absent from the graph would silently shrink total teleport
+    # mass below 1 (its 1/n_seeds share lands nowhere) — fail loudly,
+    # same guard convention as pagerank's weight validation
+    n_absent = seed_nodes.join(nodes, "node", "left_anti").limit(1).count()
+    if n_absent:
+        raise ValueError(
+            "personalized_pagerank: seed(s) not present in the graph's "
+            "node set")
     s = (nodes.join(F.broadcast(seed_nodes.withColumn(
             "s", F.lit(1.0 / n_seeds))), "node", "left")
          .select("node", F.coalesce("s", F.lit(0.0)).alias("s")))

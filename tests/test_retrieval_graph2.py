@@ -402,3 +402,17 @@ class TestRandomWalks:
             assert len(steps) == 6
             for t in range(1, 6):
                 assert (steps[t - 1], steps[t]) in sym
+
+
+class TestGuards:
+    def test_hits_rejects_zero_rounds(self, spark):
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pytest.raises(ValueError):
+            hits(df, rounds=0)
+
+    def test_ppr_rejects_absent_seed(self, spark):
+        from saber_spark.operators.graph import personalized_pagerank
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        sdf = spark.createDataFrame([("zz",)], "node string")
+        with pytest.raises(ValueError):
+            personalized_pagerank(df, sdf)
