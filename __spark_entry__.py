@@ -688,6 +688,15 @@ def q_random_walks(spark, sf_dir):
                         walks_per_node=2)
 
 
+def q_scrub_dup_spans(spark, sf_dir):
+    """Cross-document duplicate-SPAN removal (Lee et al. 2022 rewrite
+    counterpart of crossdoc_ngram_dup's score): positions covered by a
+    5-gram appearing in >= 2 docs are deleted, survivors reassemble in
+    order; fully-duplicated docs survive with clean_text = ''."""
+    from saber_spark.operators.dedup import scrub_dup_spans
+    return scrub_dup_spans(_docs(spark, sf_dir), n=5, min_df=2)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic Efraimidis–Spirakis weighted sampling without
     replacement (top-25 by u^(1/w), u = md5-hash uniform): reproducible
@@ -1929,11 +1938,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unverified-new or a scheduled rotation): then the newest additions
     # head the tail carrying local-gate evidence (both comparators) and
     # take the FIRST r5 cap slots. Currently in that state:
-    # ngram_containment / ppr_hosts / weighted_sample / random_walks
-    # (positions 51-54).
+    # ngram_containment / ppr_hosts / weighted_sample / random_walks /
+    # scrub_dup_spans (positions 51-55).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the four tail-head newest above (no driver row yet);
+    # (1) the five tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2033,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_hosts": q_ppr_hosts,
         "weighted_sample": q_weighted_sample,
         "random_walks": q_random_walks,
+        "scrub_dup_spans": q_scrub_dup_spans,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -2428,6 +2438,40 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY s.b) c USING (node))""" for i in range(1, 5))
         + """
             SELECT node, round(pr, 6) AS pr FROM pr4""",
+        "scrub_dup_spans": f"""
+            WITH {TOKENS_CTE},
+            g0 AS (SELECT doc_id, pos, token,
+                          lead(token, 1) OVER w AS t1,
+                          lead(token, 2) OVER w AS t2,
+                          lead(token, 3) OVER w AS t3,
+                          lead(token, 4) OVER w AS t4
+                   FROM tokens
+                   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            grams AS (SELECT doc_id, pos,
+                             concat_ws(' ', token, t1, t2, t3, t4) AS gram
+                      FROM g0 WHERE t4 IS NOT NULL),
+            dup AS (SELECT gram FROM (
+                      SELECT gram, count(DISTINCT doc_id) AS df
+                      FROM grams GROUP BY gram)
+                    WHERE df >= 2),
+            cov AS (SELECT DISTINCT g.doc_id, g.pos + u.i AS pos
+                    FROM grams g JOIN dup USING (gram)
+                    CROSS JOIN (SELECT unnest(range(5)) AS i) u),
+            kept AS (SELECT t.doc_id, t.pos, t.token
+                     FROM tokens t
+                     LEFT JOIN cov c
+                       ON c.doc_id = t.doc_id AND c.pos = t.pos
+                     WHERE c.pos IS NULL),
+            stats AS (SELECT doc_id, count(*) AS n_tokens
+                      FROM tokens GROUP BY doc_id),
+            reb AS (SELECT doc_id, count(*) AS n_kept,
+                           string_agg(token, ' ' ORDER BY pos)
+                             AS clean_text
+                    FROM kept GROUP BY doc_id)
+            SELECT s.doc_id, s.n_tokens,
+                   s.n_tokens - COALESCE(r.n_kept, 0) AS n_removed,
+                   COALESCE(r.clean_text, '') AS clean_text
+            FROM stats s LEFT JOIN reb r USING (doc_id)""",
         "random_walks": f"""
             WITH {HOST_EDGES_CTE.strip()},
             sym AS (SELECT src AS a, dst AS b FROM hedges WHERE src <> dst

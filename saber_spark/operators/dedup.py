@@ -479,3 +479,68 @@ def ngram_containment(docs: DataFrame, pairs: DataFrame,
                     .alias("cont_a"),
                     F.round(F.col("n_common") / F.col("n_b"), 6)
                     .alias("cont_b")))
+
+
+def scrub_dup_spans(docs: DataFrame, n: int = 5, min_df: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Cross-document duplicate-SPAN removal (the rewrite counterpart of
+    crossdoc_ngram_dup's score — Lee et al. 2022, arXiv:2107.06499:
+    deleting duplicated spans from training data, not just flagging
+    docs): every token position covered by an n-gram that appears in
+    >= min_df distinct documents is deleted; the survivors reassemble
+    in order.
+
+    -> (doc_id, n_tokens, n_removed, clean_text) — one row per doc with
+    >= 1 token (the tfidf event-space convention); a fully-duplicated
+    doc survives with clean_text = '' (the line_dedup contract), so
+    downstream joins never lose rows.
+
+    Scale shape: positional n-grams come from n-1 lead() windows over
+    the tokens table's natural (doc_id, pos) key — ONE shuffle; the
+    gram document-frequency is two hash aggs (distinct (doc, gram)
+    collapses first, so the df agg never sees positional duplicates);
+    covered positions expand by the CONSTANT factor n (sequence +
+    explode, narrow); reassembly is one ordered collect per doc. The
+    duplicated-gram table joins back by gram — at 100 TB this is the
+    same shuffle key the df agg already used, and min_df>=2 keeps the
+    table a small fraction of the gram space (true Lee-et-al deployments
+    push n to ~50 tokens, making matches rarer still).
+    """
+    from pyspark.sql import Window
+    from saber_spark.operators.vocab import tokenize_docs
+
+    tokens = tokenize_docs(docs.select(id_col, text_col))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gram_cols = [F.col("token")] + [F.lead("token", j).over(w)
+                                    for j in range(1, n)]
+    grams = (tokens
+             .select(id_col, "pos",
+                     F.concat_ws(" ", *gram_cols).alias("gram"),
+                     F.lead("token", n - 1).over(w).alias("_last"))
+             .filter(F.col("_last").isNotNull())
+             .drop("_last"))
+    dup = (grams.select(id_col, "gram").distinct()
+           .groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") >= min_df)
+           .select("gram"))
+    covered = (grams.join(dup, "gram")
+               .select(id_col,
+                       F.explode(F.sequence(
+                           F.col("pos"),
+                           F.col("pos") + n - 1)).alias("pos"))
+               .distinct())
+    kept = tokens.join(covered, [id_col, "pos"], "left_anti")
+    stats = tokens.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "token"))),
+                        lambda s: s.token), " ").alias("clean_text")))
+    return (stats.join(rebuilt, id_col, "left")
+            .select(id_col, "n_tokens",
+                    (F.col("n_tokens")
+                     - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))

@@ -416,3 +416,51 @@ class TestGuards:
         sdf = spark.createDataFrame([("zz",)], "node string")
         with pytest.raises(ValueError):
             personalized_pagerank(df, sdf)
+
+
+class TestScrubDupSpans:
+    def test_matches_bruteforce(self, spark):
+        from saber_spark.operators.dedup import scrub_dup_spans
+        rng = random.Random(29)
+        vocab = ["aa", "bb", "cc", "dd", "ee"]
+        docs = {i: [rng.choice(vocab) for _ in range(rng.randrange(1, 15))]
+                for i in range(25)}
+        df = spark.createDataFrame(
+            [(i, " ".join(d)) for i, d in docs.items()],
+            "doc_id long, text string")
+        N = 3
+        got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+               for r in scrub_dup_spans(df, n=N, min_df=2).collect()}
+        gram_docs = {}
+        for i, d in docs.items():
+            for j in range(len(d) - N + 1):
+                gram_docs.setdefault(tuple(d[j:j + N]), set()).add(i)
+        dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+        want = {}
+        for i, d in docs.items():
+            cov = set()
+            for j in range(len(d) - N + 1):
+                if tuple(d[j:j + N]) in dup:
+                    cov.update(range(j, j + N))
+            kept = [t for p, t in enumerate(d) if p not in cov]
+            want[i] = (len(d), len(d) - len(kept), " ".join(kept))
+        assert got == want
+
+    def test_unique_doc_untouched_and_dup_doc_emptied(self, spark):
+        from saber_spark.operators.dedup import scrub_dup_spans
+        dup_text = "one two three four five"
+        df = spark.createDataFrame(
+            [(1, dup_text), (2, dup_text), (3, "six seven eight nine ten")],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.n_removed, r.clean_text)
+               for r in scrub_dup_spans(df, n=5, min_df=2).collect()}
+        assert got[1] == (5, "") and got[2] == (5, "")
+        assert got[3] == (0, "six seven eight nine ten")
+
+    def test_short_docs_have_no_grams(self, spark):
+        from saber_spark.operators.dedup import scrub_dup_spans
+        df = spark.createDataFrame([(1, "hi there"), (2, "hi there")],
+                                   "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+               for r in scrub_dup_spans(df, n=5, min_df=2).collect()}
+        assert got == {1: (2, 0, "hi there"), 2: (2, 0, "hi there")}

@@ -913,6 +913,23 @@ def main() -> None:
         0,
     ))
 
+    # 54. scrub_dup_spans: positional grams from lead() windows on the
+    # tokens table's own (doc_id, pos) key — one shuffle; coverage
+    # expansion is a constant-factor Generate; no cartesian, no Python.
+    plan_sc = formatted_plan(e.queries()["scrub_dup_spans"](spark, SF_DIR))
+    sections.append((
+        "scrub_dup_spans (lead-window grams, constant-factor coverage)",
+        "Duplicate-span removal must stay keyed on the tokens table's "
+        "natural key: lead windows for grams, two hash aggs for the "
+        "df >= 2 table, a sequence+explode Generate for coverage, a "
+        "LeftAnti to drop covered positions.",
+        plan_sc,
+        ["Window", "LeftAnti", "Generate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_sc
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
