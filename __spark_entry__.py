@@ -688,6 +688,23 @@ def q_random_walks(spark, sf_dir):
                         walks_per_node=2)
 
 
+def q_kcore_hosts(spark, sf_dir):
+    """4-core of the host link graph (graph.kcore_nodes): the classic
+    crawl-graph pruning pass — peeling drops dangling subtrees before
+    expensive analytics. Oracle: unrolled peel rounds (monotone, so
+    extra rounds past convergence are no-ops)."""
+    from saber_spark.operators.graph import kcore_nodes
+    return kcore_nodes(_host_edges(spark, sf_dir), k=4)
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease per doc (textstats.readability_scores): the
+    classic heuristic quality signal next to the Gopher shape rules —
+    one narrow projection, two regexp counts + a split size."""
+    from saber_spark.operators.textstats import readability_scores
+    return readability_scores(_docs(spark, sf_dir))
+
+
 def q_scrub_dup_spans(spark, sf_dir):
     """Cross-document duplicate-SPAN removal (Lee et al. 2022 rewrite
     counterpart of crossdoc_ngram_dup's score): positions covered by a
@@ -1939,10 +1956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # head the tail carrying local-gate evidence (both comparators) and
     # take the FIRST r5 cap slots. Currently in that state:
     # ngram_containment / ppr_hosts / weighted_sample / random_walks /
-    # scrub_dup_spans (positions 51-55).
+    # scrub_dup_spans / kcore_hosts / readability (positions 51-57).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the five tail-head newest above (no driver row yet);
+    # (1) the seven tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2043,6 +2060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "random_walks": q_random_walks,
         "scrub_dup_spans": q_scrub_dup_spans,
+        "kcore_hosts": q_kcore_hosts,
+        "readability": q_readability,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -2438,6 +2457,45 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY s.b) c USING (node))""" for i in range(1, 5))
         + """
             SELECT node, round(pr, 6) AS pr FROM pr4""",
+        "kcore_hosts": f"""
+            WITH {HOST_EDGES_CTE.strip()},
+            sym AS (SELECT src AS a, dst AS b FROM hedges WHERE src <> dst
+                    UNION
+                    SELECT dst AS a, src AS b FROM hedges WHERE src <> dst),
+            n0 AS (SELECT DISTINCT a AS node FROM sym)"""
+        + "".join(f""",
+            n{i} AS (SELECT s.a AS node FROM sym s
+                     JOIN n{i - 1} x ON x.node = s.a
+                     JOIN n{i - 1} y ON y.node = s.b
+                     GROUP BY s.a HAVING count(*) >= 4)"""
+                  for i in range(1, 7))
+        + """
+            SELECT s.a AS node, count(*) AS core_deg
+            FROM sym s
+            JOIN n6 x ON x.node = s.a
+            JOIN n6 y ON y.node = s.b
+            GROUP BY s.a""",
+        "readability": """
+            SELECT doc_id,
+                   CASE WHEN nw = 0 THEN 0 ELSE ns END AS n_sentences,
+                   nw AS n_words,
+                   CASE WHEN nw = 0 THEN 0 ELSE nsy END AS n_syllables,
+                   CASE WHEN nw = 0 THEN 0.0
+                        ELSE round(206.835
+                                   - 1.015 * (nw::DOUBLE / ns)
+                                   - 84.6 * (nsy::DOUBLE / nw), 6)
+                   END AS flesch
+            FROM (SELECT doc_id,
+                         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                              ELSE len(regexp_split_to_array(
+                                     trim(text), '\\s+')) END::BIGINT AS nw,
+                         len(regexp_extract_all(
+                               lower(coalesce(text, '')),
+                               '[aeiouy]+'))::BIGINT AS nsy,
+                         greatest(1, len(regexp_extract_all(
+                               coalesce(text, ''),
+                               '[.!?]+')))::BIGINT AS ns
+                  FROM documents)""",
         "scrub_dup_spans": f"""
             WITH {TOKENS_CTE},
             g0 AS (SELECT doc_id, pos, token,

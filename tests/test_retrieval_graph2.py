@@ -464,3 +464,63 @@ class TestScrubDupSpans:
         got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
                for r in scrub_dup_spans(df, n=5, min_df=2).collect()}
         assert got == {1: (2, 0, "hi there"), 2: (2, 0, "hi there")}
+
+
+class TestKcore:
+    def test_matches_bruteforce_peeling(self, spark):
+        from saber_spark.operators.graph import kcore_nodes
+        rng = random.Random(31)
+        edges = [(a, b) for a, b in _rand_graph(rng, 14, 40) if a != b]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        K = 3
+        got = {r.node: r.core_deg for r in kcore_nodes(df, k=K).collect()}
+        sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+        alive = {a for a, _ in sym}
+        while True:
+            deg = {n: sum(1 for a, b in sym
+                          if a == n and b in alive and a in alive)
+                   for n in alive}
+            nxt = {n for n in alive if deg[n] >= K}
+            if nxt == alive:
+                break
+            alive = nxt
+        assert got == {n: deg[n] for n in alive}
+
+    def test_tree_has_empty_2core(self, spark):
+        from saber_spark.operators.graph import kcore_nodes
+        df = spark.createDataFrame(
+            [("r", "a"), ("r", "b"), ("a", "c"), ("a", "d")],
+            "src string, dst string")
+        assert kcore_nodes(df, k=2).count() == 0
+
+    def test_triangle_with_tail_peels_tail(self, spark):
+        from saber_spark.operators.graph import kcore_nodes
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "tail")],
+            "src string, dst string")
+        got = {r.node: r.core_deg for r in kcore_nodes(df, k=2).collect()}
+        assert got == {"a": 2, "b": 2, "c": 2}
+
+
+class TestReadability:
+    def test_formula_and_counts(self, spark):
+        from saber_spark.operators.textstats import readability_scores
+        text = "The cat sat. It purred loudly!"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = readability_scores(df).first()
+        # words: 6; sentences: 2; vowel-group runs in lowercase text:
+        # e/a/a/i/u/e/ou/y -> 8
+        assert (r.n_sentences, r.n_words, r.n_syllables) == (2, 6, 8)
+        import math
+        want = 206.835 - 1.015 * (6 / 2) - 84.6 * (8 / 6)
+        assert math.isclose(r.flesch, round(want, 6))
+
+    def test_empty_and_null_are_defined(self, spark):
+        from saber_spark.operators.textstats import readability_scores
+        df = spark.createDataFrame([(1, ""), (2, None), (3, "   ")],
+                                   "doc_id long, text string")
+        rows = {r.doc_id: (r.n_sentences, r.n_words, r.n_syllables,
+                           r.flesch)
+                for r in readability_scores(df).collect()}
+        assert rows == {1: (0, 0, 0, 0.0), 2: (0, 0, 0, 0.0),
+                        3: (0, 0, 0, 0.0)}

@@ -930,6 +930,37 @@ def main() -> None:
         0,
     ))
 
+    # 55. kcore_hosts: each peel round is two LeftSemi joins of the edge
+    # table against the checkpointed survivor set + one degree agg.
+    plan_kc = formatted_plan(e.queries()["kcore_hosts"](spark, SF_DIR))
+    sections.append((
+        "kcore_hosts (semi-join peel rounds over checkpointed survivors)",
+        "kcore_nodes localCheckpoints each round's survivor table (the "
+        "per-round LeftSemi+agg runs eagerly inside the loop), so the "
+        "RETURNED plan must be just the materialized converged result — "
+        "Scan ExistingRDD, flat lineage, no cartesian.",
+        plan_kc,
+        ["Scan ExistingRDD"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_kc
+           else []),
+        0,
+    ))
+
+    # 56. readability: one narrow projection — zero exchanges, zero
+    # Python, whole-stage codegen.
+    plan_rd = formatted_plan(e.queries()["readability"](spark, SF_DIR))
+    n_ex_rd = len(re.findall(r"\(\d+\) Exchange", plan_rd))
+    sections.append((
+        "readability (single narrow projection)",
+        "Flesch scoring must be a pure map over the scan: regexp counts "
+        "+ split size + arithmetic, no exchange anywhere; '[codegen id' "
+        "is the formatted-mode whole-stage-codegen marker.",
+        plan_rd,
+        ["[codegen id"]
+        + ([f"<zero exchanges, saw {n_ex_rd}>"] if n_ex_rd != 0 else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
