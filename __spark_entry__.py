@@ -1133,6 +1133,15 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_cross_entropy(_docs(spark, sf_dir), INFIX_PATTERN)
 
 
+def q_lm_backoff(spark, sf_dir):
+    """Stupid-backoff trigram scoring (Brants et al. 2007 — the
+    web-scale distributed-counting LM recipe) one order above
+    lm_perplexity: c123/c12, backing off through alpha*c23/c2 to an
+    add-1 unigram floor; same hash-half train/score split."""
+    from saber_spark.operators.lm import trigram_backoff_xent
+    return trigram_backoff_xent(_docs(spark, sf_dir), INFIX_PATTERN)
+
+
 def q_disambiguate_link(spark, sf_dir):
     """Context-coherence sense disambiguation: ambiguous surfaces pick the
     candidate that co-occurs most with the document's unambiguous
@@ -1956,10 +1965,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # head the tail carrying local-gate evidence (both comparators) and
     # take the FIRST r5 cap slots. Currently in that state:
     # ngram_containment / ppr_hosts / weighted_sample / random_walks /
-    # scrub_dup_spans / kcore_hosts / readability (positions 51-57).
+    # scrub_dup_spans / kcore_hosts / readability / lm_backoff
+    # (positions 51-58).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the seven tail-head newest above (no driver row yet);
+    # (1) the eight tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2062,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_dup_spans": q_scrub_dup_spans,
         "kcore_hosts": q_kcore_hosts,
         "readability": q_readability,
+        "lm_backoff": q_lm_backoff,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -3120,6 +3131,50 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_frac
             FROM documents d LEFT JOIN per p USING (doc_id)""",
         "pagerank_entities": _pagerank_oracle_sql(5),
+        "lm_backoff": f"""
+            WITH {TOKENS_CTE},
+            tg AS (
+              SELECT t1.doc_id, t1.token AS w1, t2.token AS w2,
+                     t3.token AS w3,
+                     ((t1.doc_id * {KNUTH}) % {HASH_MOD}) % 2 AS part
+              FROM tokens t1
+              JOIN tokens t2 ON t1.doc_id = t2.doc_id
+                            AND t2.pos = t1.pos + 1
+              JOIN tokens t3 ON t1.doc_id = t3.doc_id
+                            AND t3.pos = t1.pos + 2),
+            c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg
+                     WHERE part <> 0 GROUP BY w1, w2, w3),
+            c12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12
+                    FROM c123 GROUP BY w1, w2),
+            c23 AS (SELECT w2, w3, count(*) AS c23 FROM tg
+                    WHERE part <> 0 GROUP BY w2, w3),
+            c2 AS (SELECT w2, CAST(sum(c23) AS BIGINT) AS c2
+                   FROM c23 GROUP BY w2),
+            c3 AS (SELECT w3, count(*) AS c3 FROM tg
+                   WHERE part <> 0 GROUP BY w3),
+            nv AS (SELECT count(*) AS n, count(DISTINCT w3) AS v
+                   FROM tg WHERE part <> 0),
+            s AS (SELECT b.doc_id,
+                         -ln(CASE
+                           WHEN coalesce(c123.c123, 0) > 0
+                             THEN c123.c123 / c12.c12::DOUBLE
+                           WHEN coalesce(c23.c23, 0) > 0
+                             THEN 0.4 * c23.c23 / c2.c2::DOUBLE
+                           ELSE 0.16 * (coalesce(c3.c3, 0) + 1)
+                                / (nv.n + greatest(nv.v, 1))::DOUBLE
+                         END) AS nll
+                  FROM tg b
+                  LEFT JOIN c123 ON b.w1 = c123.w1 AND b.w2 = c123.w2
+                               AND b.w3 = c123.w3
+                  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+                  LEFT JOIN c23 ON b.w2 = c23.w2 AND b.w3 = c23.w3
+                  LEFT JOIN c2 ON b.w2 = c2.w2
+                  LEFT JOIN c3 ON b.w3 = c3.w3
+                  CROSS JOIN nv
+                  WHERE b.part = 0)
+            SELECT doc_id, count(*) AS n_trigrams,
+                   round(avg(nll), 6) AS xent
+            FROM s GROUP BY doc_id""",
         "lm_perplexity": f"""
             WITH {TOKENS_CTE},
             bg AS (

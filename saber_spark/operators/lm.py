@@ -117,3 +117,77 @@ def lm_cross_entropy(docs: DataFrame, pattern: str,
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.round(F.avg("nll"), 6).alias("xent")))
+
+
+def doc_trigrams(docs: DataFrame, pattern: str,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """documents -> (doc_id, w1, w2, w3): adjacent token triples, zero
+    shuffle (transform over an index sequence inside the row, then one
+    explode — the doc_bigrams contract at order 3). Documents with < 3
+    tokens emit no rows."""
+    arr = F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+    d = docs.select(F.col(id_col), arr.alias("arr"))
+    idx = F.sequence(F.lit(1), F.size("arr") - 2)
+    tris = F.transform(idx, lambda i: F.struct(
+        F.element_at(F.col("arr"), i).alias("w1"),
+        F.element_at(F.col("arr"), i + 1).alias("w2"),
+        F.element_at(F.col("arr"), i + 2).alias("w3")))
+    return (d.filter(F.size("arr") >= 3)
+            .select(id_col, F.explode(tris).alias("tg"))
+            .select(id_col, F.col("tg.w1").alias("w1"),
+                    F.col("tg.w2").alias("w2"),
+                    F.col("tg.w3").alias("w3")))
+
+
+def trigram_backoff_xent(docs: DataFrame, pattern: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         alpha: float = 0.4) -> DataFrame:
+    """Stupid-backoff trigram scoring (Brants et al. 2007, the web-scale
+    LM recipe: no normalization, a fixed backoff factor — built for
+    exactly this MapReduce-style distributed counting setting). Scores
+    hash-half 0 under counts from the other half:
+
+        S(w3|w1 w2) = c123/c12                 if c123 > 0
+                    = alpha * c23/c2           else if c23 > 0
+                    = alpha^2 * (c3+1)/(N+V)   else (add-1 unigram floor,
+                                                     always defined)
+
+    -> (doc_id, n_trigrams, xent) with xent = -mean ln S, rounded 6.
+    The sibling of lm_cross_entropy one order up: trigram context halves
+    the perplexity gap to KenLM-class filters while every stage stays
+    the same shape — three hash aggs for the count tables (c123 derives
+    c12; c23 derives c2 and c3 the same way, so raw trigrams are
+    aggregated ONCE), then three left equi-joins + one per-doc agg.
+    N/V ride in as a broadcast 1-row aggregate.
+    """
+    tg = train_split(doc_trigrams(docs, pattern, text_col, id_col), id_col)
+    train = tg.filter(F.col("part") != 0)
+    c123 = (train.groupBy("w1", "w2", "w3")
+            .agg(F.count(F.lit(1)).alias("c123")))
+    c12 = c123.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
+    c23 = (train.groupBy("w2", "w3")
+           .agg(F.count(F.lit(1)).alias("c23")))
+    c2 = c23.groupBy("w2").agg(F.sum("c23").alias("c2"))
+    c3 = (train.groupBy("w3").agg(F.count(F.lit(1)).alias("c3")))
+    nv = train.agg(F.count(F.lit(1)).alias("n"),
+                   F.count_distinct("w3").alias("v"))
+    score = tg.filter(F.col("part") == 0)
+    s = (F.when(F.coalesce(F.col("c123"), F.lit(0)) > 0,
+                F.col("c123") / F.col("c12"))
+         .when(F.coalesce(F.col("c23"), F.lit(0)) > 0,
+               F.lit(alpha) * F.col("c23") / F.col("c2"))
+         .otherwise(F.lit(alpha * alpha)
+                    * (F.coalesce(F.col("c3"), F.lit(0)) + 1)
+                    / (F.col("n") + F.greatest(F.col("v"), F.lit(1)))))
+    return (score
+            .join(c123, ["w1", "w2", "w3"], "left")
+            .join(c12, ["w1", "w2"], "left")
+            .join(c23, ["w2", "w3"], "left")
+            .join(c2, ["w2"], "left")
+            .join(c3, ["w3"], "left")
+            .crossJoin(F.broadcast(nv))
+            .select(id_col, (-F.ln(s)).alias("nll"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                 F.round(F.avg("nll"), 6).alias("xent")))

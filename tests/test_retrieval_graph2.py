@@ -524,3 +524,78 @@ class TestReadability:
                 for r in readability_scores(df).collect()}
         assert rows == {1: (0, 0, 0, 0.0), 2: (0, 0, 0, 0.0),
                         3: (0, 0, 0, 0.0)}
+
+
+class TestTrigramBackoff:
+    def test_matches_bruteforce(self, spark):
+        import math
+
+        from saber_spark.operators.lm import trigram_backoff_xent
+        from saber_spark.operators.splits import HASH_MOD, KNUTH
+        rng = random.Random(13)
+        vocab = ["a", "b", "c", "d", "e"]
+        docs = {i: [rng.choice(vocab) for _ in range(rng.randrange(0, 12))]
+                for i in range(40)}
+        df = spark.createDataFrame(
+            [(i, " ".join(d)) for i, d in docs.items()],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.n_trigrams, r.xent)
+               for r in trigram_backoff_xent(df, r"\S+").collect()}
+        part = {i: ((i * KNUTH) % HASH_MOD) % 2 for i in docs}
+        tris = {i: [tuple(d[j:j + 3]) for j in range(len(d) - 2)]
+                for i, d in docs.items()}
+        c123, c23, c3 = {}, {}, {}
+        n = 0
+        vset = set()
+        for i, ts in tris.items():
+            if part[i] == 0:
+                continue
+            for t in ts:
+                c123[t] = c123.get(t, 0) + 1
+                c23[t[1:]] = c23.get(t[1:], 0) + 1
+                c3[t[2]] = c3.get(t[2], 0) + 1
+                n += 1
+                vset.add(t[2])
+        c12 = {}
+        for t, c in c123.items():
+            c12[t[:2]] = c12.get(t[:2], 0) + c
+        c2 = {}
+        for t, c in c23.items():
+            c2[t[0]] = c2.get(t[0], 0) + c
+        V = max(len(vset), 1)
+        want = {}
+        for i, ts in tris.items():
+            if part[i] != 0 or not ts:
+                continue
+            nll = []
+            for t in ts:
+                if c123.get(t, 0) > 0:
+                    s = c123[t] / c12[t[:2]]
+                elif c23.get(t[1:], 0) > 0:
+                    s = 0.4 * c23[t[1:]] / c2[t[1]]
+                else:
+                    s = 0.16 * (c3.get(t[2], 0) + 1) / (n + V)
+                nll.append(-math.log(s))
+            want[i] = (len(ts), round(sum(nll) / len(nll), 6))
+        assert got == want
+
+    def test_seen_trigrams_score_better_than_garbage(self, spark):
+        from saber_spark.operators.lm import trigram_backoff_xent
+        from saber_spark.operators.splits import HASH_MOD, KNUTH
+
+        def part(i):
+            return ((i * KNUTH) % HASH_MOD) % 2
+
+        # many docs repeating one phrase; a garbage doc placed in the
+        # SCORE half (part 0) so both kinds are actually scored
+        rows = [(i, "the quick brown fox jumps") for i in range(30)]
+        garbage_id = next(i for i in range(100, 200) if part(i) == 0)
+        rows.append((garbage_id, "zz qq xx ww vv"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        res = {r.doc_id: r.xent
+               for r in trigram_backoff_xent(df, r"\S+").collect()}
+        phrase_scores = [v for k, v in res.items() if k != garbage_id]
+        assert garbage_id in res and phrase_scores
+        # unseen trigrams fall through to the unigram floor -> much
+        # higher cross-entropy than the memorized phrase
+        assert res[garbage_id] > max(phrase_scores)

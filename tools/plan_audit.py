@@ -961,6 +961,21 @@ def main() -> None:
         0,
     ))
 
+    # 57. lm_backoff: trigram extraction narrow (no positional
+    # self-join); counts are hash aggs; scoring joins are equi-joins.
+    plan_lb = formatted_plan(e.queries()["lm_backoff"](spark, SF_DIR))
+    sections.append((
+        "lm_backoff (narrow trigram zip, equi-join scoring)",
+        "Trigrams must come from in-row array ops (Generate over the "
+        "transformed index sequence), never a (doc, pos) self-join; the "
+        "count tables are partial+final hash aggs; no cartesian.",
+        plan_lb,
+        ["Generate", "HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_lb
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
