@@ -337,6 +337,49 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
             SELECT node, round(pr, 6) AS pr FROM pr{iterations}"""
 
 
+def _textrank_oracle_sql(iterations: int = 3, window: int = 2,
+                         top_k: int = 3, damping: float = 0.85) -> str:
+    """Unrolled per-doc TextRank twin of operators/graph.py:textrank —
+    one CTE per round with doc_id carried through every key; the
+    damping literals are interpolated from the SAME Python floats the
+    Spark side uses (1.0 - damping is not the double nearest 0.15), so
+    both engines compute bit-identical update arithmetic."""
+    dm, om = damping, 1.0 - damping
+    rounds = "".join(f""",
+            tr{i} AS (
+              SELECT ef.doc_id, ef.b AS node,
+                     {om!r} + {dm!r} * sum(ef.frac * p.pr) AS pr
+              FROM ef JOIN tr{i - 1} p
+                ON ef.doc_id = p.doc_id AND ef.a = p.node
+              GROUP BY ef.doc_id, ef.b)""" for i in range(1, iterations + 1))
+    pair_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, token AS a,
+                   lead(token, {d}) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS b
+            FROM tokens""" for d in range(1, window + 1))
+    return f"""
+            WITH {TOKENS_CTE},
+            rawp AS ({pair_selects}),
+            rawf AS (SELECT * FROM rawp WHERE b IS NOT NULL AND a <> b),
+            und AS (SELECT doc_id, a, b FROM rawf
+                    UNION ALL SELECT doc_id, b, a FROM rawf),
+            e AS (SELECT doc_id, a, b, count(*) AS cw
+                  FROM und GROUP BY doc_id, a, b),
+            wdeg AS (SELECT doc_id, a, sum(cw) AS wdeg
+                     FROM e GROUP BY doc_id, a),
+            ef AS (SELECT e.doc_id, e.a, e.b, e.cw / wdeg.wdeg::DOUBLE AS frac
+                   FROM e JOIN wdeg
+                     ON e.doc_id = wdeg.doc_id AND e.a = wdeg.a),
+            tr0 AS (SELECT doc_id, a AS node, CAST(1.0 AS DOUBLE) AS pr
+                    FROM wdeg){rounds}
+            SELECT doc_id, node AS token, score, CAST(rnk AS BIGINT) AS rank
+            FROM (SELECT doc_id, node, round(pr, 6) AS score,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY round(pr, 6) DESC, node) AS rnk
+                  FROM tr{iterations})
+            WHERE rnk <= {top_k}"""
+
+
 def _label_propagation_oracle_sql(rounds: int = 3) -> str:
     """Unrolled synchronous-LPA twin of operators/graph.py:
     label_propagation over the n_docs-weighted co-occurrence edges — one
@@ -1140,6 +1183,83 @@ def q_lm_backoff(spark, sf_dir):
     add-1 unigram floor; same hash-half train/score split."""
     from saber_spark.operators.lm import trigram_backoff_xent
     return trigram_backoff_xent(_docs(spark, sf_dir), INFIX_PATTERN)
+
+
+def q_clustering_entities(spark, sf_dir):
+    """Local clustering coefficient per KG entity (2T/deg(deg-1)):
+    star-center vs clique-embedded triage one step past raw triangle
+    counts — the over-merged-canonical-id symptom detector. Same
+    degree-oriented wedge join as triangle_entities plus one
+    distinct-neighbor degree agg."""
+    from saber_spark.operators.graph import clustering_coefficient
+    return clustering_coefficient(_entity_edges(spark, sf_dir))
+
+
+def q_textrank_keywords(spark, sf_dir):
+    """Per-document TextRank salience (Mihalcea & Tarau 2004): 3 weighted
+    PageRank rounds over the window-2 token co-occurrence graph, all
+    documents' graphs riding one (doc_id, token) keyspace; top-3 tokens
+    per doc by 6dp-rounded score (token ASC tie-break — the
+    tfidf_ranked portable-ranking convention). Oracle: unrolled CTE per
+    round with doc_id carried through."""
+    from saber_spark.operators.graph import textrank
+    return textrank(tokenize_docs(_docs(spark, sf_dir)),
+                    window=2, iterations=3, top_k=3)
+
+
+def q_tagger_agreement(spark, sf_dir):
+    """Cohen's kappa between the declared lang column (binarized
+    en/other) and the stopword-ratio lang_id prediction — the
+    annotation-agreement statistic run as rater-vs-model drift check;
+    chance-corrected, so the en-heavy base rate doesn't inflate it."""
+    from saber_spark.operators.evaluation import cohens_kappa
+    docs = _docs(spark, sf_dir)
+    declared = F.when(F.col("lang") == "en", F.lit("en")) \
+        .otherwise(F.lit("other")).alias("declared")
+    rated = (lang_id(docs).select("doc_id", "pred_lang")
+             .join(docs.select("doc_id", declared), "doc_id"))
+    return cohens_kappa(rated, "declared", "pred_lang")
+
+
+def q_auc_doclen(spark, sf_dir):
+    """Per-source ROC-AUC of document length (n_chars) as a predictor of
+    lang='en' — the score-calibration statistic every quality/importance
+    scorer in this repo should be audited with. Histogram (tie-exact
+    Mann-Whitney) form: the window runs over distinct scores per group,
+    never corpus rows."""
+    from saber_spark.operators.evaluation import roc_auc
+    docs = _docs(spark, sf_dir).select(
+        "source", "n_chars", (F.col("lang") == "en").alias("is_en"))
+    return roc_auc(docs, "is_en", "n_chars", "source")
+
+
+def q_cms_tokens(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the token stream: the
+    depth*width counter grid is broadcastable at any corpus size, CMS
+    never underestimates (every true heavy hitter survives), and the
+    exact verify count rides alongside the estimate so sketch error is
+    visible in the result (the kmv_distinct honesty convention)."""
+    from saber_spark.operators.sketch import cms_heavy_hitters
+    return cms_heavy_hitters(tokenize_docs(_docs(spark, sf_dir)),
+                             "token", width=64, depth=3,
+                             support_denom=100).withColumnRenamed(
+        "value", "token")
+
+
+def q_rrf_search(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    top-15 for the 3-term lexical query with the dense cosine top-15
+    around vec 0 (vec_id aligns with doc_id on this corpus) — the
+    production RAG combiner; rank-based, so the two scorers need no
+    calibration against each other."""
+    from saber_spark.operators.retrieval import bm25_topk, rrf_fuse
+    lexical = bm25_topk(tokenize_docs(_docs(spark, sf_dir)),
+                        ["spark", "stream", "vector"], top_k=15)
+    emb = _embeddings(spark, sf_dir)
+    dense = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=15) \
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse({"bm25": lexical.select("doc_id", "rank"),
+                     "dense": dense}, rrf_k=60, top_k=10)
 
 
 def q_disambiguate_link(spark, sf_dir):
@@ -1965,11 +2085,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # head the tail carrying local-gate evidence (both comparators) and
     # take the FIRST r5 cap slots. Currently in that state:
     # ngram_containment / ppr_hosts / weighted_sample / random_walks /
-    # scrub_dup_spans / kcore_hosts / readability / lm_backoff
-    # (positions 51-58).
+    # scrub_dup_spans / kcore_hosts / readability / lm_backoff /
+    # clustering_entities / textrank_keywords / tagger_agreement /
+    # auc_doclen / cms_tokens / rrf_search (positions 51-64).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the eight tail-head newest above (no driver row yet);
+    # (1) the fourteen tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2073,6 +2194,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_hosts": q_kcore_hosts,
         "readability": q_readability,
         "lm_backoff": q_lm_backoff,
+        "clustering_entities": q_clustering_entities,
+        "textrank_keywords": q_textrank_keywords,
+        "tagger_agreement": q_tagger_agreement,
+        "auc_doclen": q_auc_doclen,
+        "cms_tokens": q_cms_tokens,
+        "rrf_search": q_rrf_search,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -3175,6 +3302,184 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_trigrams,
                    round(avg(nll), 6) AS xent
             FROM s GROUP BY doc_id""",
+        "clustering_entities": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE}, {ENTITY_EDGES_CTE},
+            tri AS (
+              SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+              FROM e e1
+              JOIN e e2 ON e2.src = e1.dst
+              JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            corners AS (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri),
+            pern AS (SELECT node, count(*) AS n_triangles
+                     FROM corners GROUP BY node)
+            SELECT o.a AS node,
+                   CAST(o.outdeg AS BIGINT) AS degree,
+                   CAST(coalesce(p.n_triangles, 0) AS BIGINT)
+                     AS n_triangles,
+                   CASE WHEN o.outdeg >= 2
+                        THEN round(2.0 * coalesce(p.n_triangles, 0)
+                                   / (o.outdeg * (o.outdeg - 1)), 6)
+                        ELSE 0.0 END AS lcc
+            FROM outdeg o LEFT JOIN pern p ON p.node = o.a""",
+        "textrank_keywords": _textrank_oracle_sql(3, 2, 3),
+        "tagger_agreement": f"""
+            WITH {TOKENS_CTE},
+            counts AS (
+              SELECT d.doc_id, count(t.token) AS n_tokens,
+                     count(s.w) AS n_stopwords
+              FROM documents d
+              LEFT JOIN tokens t ON d.doc_id = t.doc_id
+              LEFT JOIN (VALUES {STOP_VALUES_SQL}) AS s(w) ON t.token = s.w
+              GROUP BY d.doc_id),
+            rated AS (
+              SELECT d.doc_id,
+                     CASE WHEN d.lang = 'en' THEN 'en'
+                          ELSE 'other' END AS ra,
+                     CASE WHEN c.n_stopwords
+                               / greatest(c.n_tokens, 1)::DOUBLE > 0.02
+                          THEN 'en' ELSE 'other' END AS rb
+              FROM documents d JOIN counts c USING (doc_id)),
+            tot AS (SELECT count(*) AS n,
+                           sum(CASE WHEN ra = rb THEN 1 ELSE 0 END)
+                             AS n_agree
+                    FROM rated),
+            ma AS (SELECT ra AS cat, count(*) AS ca FROM rated GROUP BY ra),
+            mb AS (SELECT rb AS cat, count(*) AS cb FROM rated GROUP BY rb),
+            pe_t AS (SELECT sum(ca::DOUBLE * cb) AS pe_num
+                     FROM ma JOIN mb USING (cat))
+            SELECT n, CAST(n_agree AS BIGINT) AS n_agree,
+                   round(n_agree / n::DOUBLE, 6) AS po,
+                   round(coalesce(pe_num, 0) / (n::DOUBLE * n), 6) AS pe,
+                   round(CASE WHEN coalesce(pe_num, 0) / (n::DOUBLE * n)
+                                   >= 1.0
+                              THEN CASE WHEN n_agree = n
+                                        THEN 1.0 ELSE 0.0 END
+                              ELSE (n_agree / n::DOUBLE
+                                    - coalesce(pe_num, 0) / (n::DOUBLE * n))
+                                   / (1.0 - coalesce(pe_num, 0)
+                                            / (n::DOUBLE * n)) END,
+                         6) AS kappa
+            FROM tot CROSS JOIN pe_t""",
+        "auc_doclen": """
+            WITH hist AS (
+              SELECT source AS grp, n_chars AS score,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS n_pos_s,
+                     sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                       AS n_neg_s
+              FROM documents GROUP BY source, n_chars),
+            c AS (SELECT grp, n_pos_s, n_neg_s,
+                         coalesce(sum(n_neg_s) OVER (
+                           PARTITION BY grp ORDER BY score
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum_neg
+                  FROM hist),
+            g AS (SELECT grp, sum(n_pos_s) AS n_pos, sum(n_neg_s) AS n_neg,
+                         sum(n_pos_s * cum_neg::DOUBLE
+                             + 0.5 * n_pos_s * n_neg_s) AS conc
+                  FROM c GROUP BY grp)
+            SELECT grp AS source,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN round(conc / (n_pos::DOUBLE * n_neg), 6)
+                   END AS auc
+            FROM g""",
+        "cms_tokens": f"""
+            WITH {TOKENS_CTE},
+            vals AS (SELECT token AS value FROM tokens),
+            nt AS (SELECT count(*) AS n_total FROM vals),
+            db AS (
+              SELECT value, d,
+                     CAST('0x' || substr(md5(CAST(d AS VARCHAR)
+                                             || ':' || value), 1, 8)
+                          AS BIGINT) % 64 AS bucket
+              FROM vals CROSS JOIN (VALUES (0), (1), (2)) AS dd(d)),
+            grid AS (SELECT d, bucket, count(*) AS c
+                     FROM db GROUP BY d, bucket),
+            cdb AS (SELECT DISTINCT value, d, bucket FROM db),
+            est AS (SELECT c2.value, min(g.c) AS est
+                    FROM cdb c2 JOIN grid g USING (d, bucket)
+                    GROUP BY c2.value),
+            surv AS (SELECT value, est FROM est CROSS JOIN nt
+                     WHERE est >= n_total // 100),
+            ex AS (SELECT v.value, count(*) AS exact
+                   FROM vals v
+                   JOIN (SELECT value FROM surv) s USING (value)
+                   GROUP BY v.value)
+            SELECT s.value AS token, CAST(s.est AS BIGINT) AS est,
+                   CAST(e.exact AS BIGINT) AS exact
+            FROM surv s JOIN ex e USING (value)""",
+        "rrf_search": f"""
+            WITH {TOKENS_CTE},
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tokens GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, count(*) AS dl
+                   FROM tokens GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            qt AS (SELECT unnest(['spark', 'stream', 'vector']) AS token),
+            hits AS (SELECT tf.* FROM tf JOIN qt USING (token)),
+            dfq AS (SELECT token, count(*) AS df FROM hits GROUP BY token),
+            bscored AS (
+              SELECT h.doc_id,
+                     round(sum(
+                       ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * h.tf * 2.2
+                       / (h.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                     ), 6) AS score
+              FROM hits h
+              JOIN dfq d USING (token)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats s
+              GROUP BY h.doc_id),
+            bmr AS (SELECT doc_id, rnk AS rank FROM
+                      (SELECT doc_id,
+                              row_number() OVER (ORDER BY score DESC,
+                                                 doc_id) AS rnk
+                       FROM bscored)
+                    WHERE rnk <= 15),
+            q AS (SELECT vec_id, list_transform(embedding,
+                         x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+                  FROM embeddings),
+            evals AS (SELECT vec_id,
+                             CAST(generate_subscripts(qv, 1) AS INT) AS i,
+                             unnest(qv) AS v
+                      FROM q),
+            norms AS (SELECT vec_id, sum(v * v) AS norm2
+                      FROM evals GROUP BY vec_id),
+            dots AS (SELECT b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+                     FROM evals a JOIN evals b
+                       ON a.i = b.i AND b.vec_id <> 0
+                     WHERE a.vec_id = 0
+                     GROUP BY b.vec_id),
+            dscore AS (SELECT d.neighbor_id,
+                              d.dot / sqrt(n0.norm2::DOUBLE
+                                           * nn.norm2::DOUBLE) AS cosv
+                       FROM dots d
+                       JOIN norms nn ON nn.vec_id = d.neighbor_id
+                       CROSS JOIN (SELECT norm2 FROM norms
+                                   WHERE vec_id = 0) AS n0(norm2)),
+            den AS (SELECT neighbor_id AS doc_id, rnk AS rank FROM
+                      (SELECT neighbor_id,
+                              row_number() OVER (ORDER BY cosv DESC,
+                                                 neighbor_id) AS rnk
+                       FROM dscore)
+                    WHERE rnk <= 15),
+            allr AS (SELECT doc_id, 1.0 / (60 + rank) AS rr FROM bmr
+                     UNION ALL
+                     SELECT doc_id, 1.0 / (60 + rank) FROM den),
+            fused AS (SELECT doc_id,
+                             CAST(count(*) AS BIGINT) AS n_rankers,
+                             round(sum(rr), 6) AS rrf
+                      FROM allr GROUP BY doc_id)
+            SELECT doc_id, n_rankers, rrf,
+                   CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM fused ORDER BY rrf DESC, doc_id
+            LIMIT 10""",
         "lm_perplexity": f"""
             WITH {TOKENS_CTE},
             bg AS (

@@ -165,7 +165,8 @@ def main() -> None:
         "bm25_search", "dsir_weights", "semdedup", "hits_hosts",
         "khop_hosts", "ngram_containment", "ppr_hosts", "weighted_sample",
         "random_walks", "scrub_dup_spans", "kcore_hosts", "readability",
-        "lm_backoff",
+        "lm_backoff", "clustering_entities", "textrank_keywords",
+        "tagger_agreement", "auc_doclen", "cms_tokens", "rrf_search",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -19,7 +19,7 @@ derivable from this output; the driver-facing query emits per-label rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,3 +71,107 @@ def evaluate_chunks(gold: DataFrame, pred: DataFrame, criteria: str = "exact",
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Two categorical label columns -> ONE row
+    (n, n_agree, po, pe, kappa): Cohen's chance-corrected agreement
+    kappa = (po - pe) / (1 - pe), po = observed agreement rate,
+    pe = sum_k p_a(k) * p_b(k) expected-by-chance rate.
+
+    The standard annotation-quality statistic for NER/IE pipelines
+    (Artstein & Poesio 2008): here "rater A" can be a gold column and
+    "rater B" a model's prediction, or two model variants against each
+    other (tagger drift detection between pipeline versions). NULL
+    labels are kept as their own category via a sentinel (two NULLs
+    agree — pandas/sklearn drop them instead, so this is documented
+    behavior, not an accident).
+
+    Degeneracy is DEFINED: pe = 1 (both raters constant and identical)
+    gives kappa = 1.0 if po = 1 else 0.0 rather than 0/0. Rounded to 6.
+
+    Scale shape: ONE corpus-wide partial+final agg for (n, n_agree) +
+    two category-bounded marginal aggs joined on the label space —
+    nothing shuffles more than |categories| rows after the first
+    map-side combine; safe at any corpus size.
+    """
+    NULL_SENTINEL = "\x00<null>"
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit(NULL_SENTINEL))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit(NULL_SENTINEL))
+    pairs = df.select(a.alias("ra"), b.alias("rb"))
+    totals = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0))
+        .cast("long").alias("n_agree"))
+    ma = pairs.groupBy(F.col("ra").alias("cat")).agg(
+        F.count(F.lit(1)).alias("ca"))
+    mb = pairs.groupBy(F.col("rb").alias("cat")).agg(
+        F.count(F.lit(1)).alias("cb"))
+    pe_tbl = (ma.join(mb, "cat")
+              .agg(F.sum(F.col("ca").cast("double")
+                         * F.col("cb")).alias("pe_num")))
+    out = totals.crossJoin(F.broadcast(pe_tbl))
+    po = F.col("n_agree") / F.col("n")
+    pe = F.coalesce(F.col("pe_num"), F.lit(0.0)) \
+        / (F.col("n").cast("double") * F.col("n"))
+    kappa = F.when(pe >= 1.0,
+                   F.when(po >= 1.0, F.lit(1.0)).otherwise(F.lit(0.0))) \
+        .otherwise((po - pe) / (F.lit(1.0) - pe))
+    return out.select(
+        "n", "n_agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"))
+
+
+def roc_auc(df: DataFrame, label_col: str, score_col: str,
+            group_col: str) -> DataFrame:
+    """Per-group ROC-AUC of a numeric score against a boolean/0-1 label
+    -> (group, n_pos, n_neg, auc), tie-exact Mann-Whitney form.
+
+    The calibration statistic for every scoring stage in this repo
+    (quality_score, dsir_weights, lm cross-entropy, link-prediction
+    Adamic-Adar): does the score actually rank positives above
+    negatives? AUC = P(score_pos > score_neg) + 0.5 * P(tie).
+
+    Computed on the SCORE HISTOGRAM, not per-row ranks: one agg to
+    (group, score, n_pos, n_neg), then a running negative-count window
+    over the distinct-score table and
+        concordant = sum_s n_pos(s) * cum_neg(<s) + 0.5*n_pos(s)*n_neg(s)
+        auc        = concordant / (P * N)
+    This is exactly the tie-averaged rank-sum estimator, but the window
+    runs over |distinct scores| rows per group instead of the corpus —
+    at 10^12 rows the raw-rank formulation would sort the world; the
+    histogram form shuffles each group's rows once (map-side combinable
+    count agg) and windows over the bounded score table. Heavily-tied
+    scores (rounded quality buckets) make the histogram SMALLER.
+
+    A group with no positives or no negatives has undefined AUC ->
+    emitted as NULL with the n_pos/n_neg evidence alongside (an eval
+    statistic should refuse to invent 0.5 for a degenerate group; no
+    sampler consumes this downstream — the documented exception to the
+    defined-not-NULL convention). Rounded to 6.
+    """
+    lab = F.col(label_col).cast("boolean").cast("int")
+    hist = (df.select(F.col(group_col).alias("grp"),
+                      F.col(score_col).alias("score"), lab.alias("y"))
+            .groupBy("grp", "score")
+            .agg(F.sum("y").cast("long").alias("n_pos_s"),
+                 F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_neg_s")))
+    w = (Window.partitionBy("grp").orderBy("score")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_neg = F.coalesce(F.sum("n_neg_s").over(w), F.lit(0))
+    conc = (F.col("n_pos_s") * cum_neg.cast("double")
+            + 0.5 * F.col("n_pos_s") * F.col("n_neg_s"))
+    per_group = (hist
+                 .select("grp", "n_pos_s", "n_neg_s", conc.alias("conc"))
+                 .groupBy("grp")
+                 .agg(F.sum("n_pos_s").alias("n_pos"),
+                      F.sum("n_neg_s").alias("n_neg"),
+                      F.sum("conc").alias("conc")))
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(F.col("conc")
+                / (F.col("n_pos").cast("double") * F.col("n_neg")), 6))
+    return per_group.select(
+        F.col("grp").alias(group_col), "n_pos", "n_neg", auc.alias("auc"))

@@ -675,3 +675,116 @@ def kcore_nodes(edges: DataFrame, k: int = 2, max_rounds: int = 30,
     raise RuntimeError(
         f"kcore_nodes: did not converge within {max_rounds} rounds "
         f"(k={k}); raise max_rounds")
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "src",
+                           dst: str = "dst") -> DataFrame:
+    """Undirected edges -> (node, degree, n_triangles, lcc): local
+    clustering coefficient lcc = 2*T(v) / (deg(v) * (deg(v) - 1)).
+
+    KG quality triage one step past raw triangle counts: a high-degree
+    entity with lcc ~ 0 is a star center (the classic symptom of an
+    over-merged canonical id or a stop-word-like surface that linked
+    everything), while lcc ~ 1 marks clique-embedded entities whose
+    co-occurrence edges corroborate each other. Degree counts DISTINCT
+    neighbors with self-loops dropped (a self-loop can close no
+    triangle and would silently shift every denominator).
+
+    Degenerate cases are DEFINED, not NULL (the mixture_weights
+    convention): deg <= 1 -> lcc = 0.0. Rounded to 6 (portable).
+
+    Scale shape: triangle_count's degree-oriented wedge join (bounded by
+    arboricity, not deg^2 — hub-skew safe) plus ONE extra distinct-
+    neighbor degree agg and a node-keyed join; nothing here is wider
+    than the triangle pass an operator like this already pays for.
+    """
+    clean = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+             .filter(F.col("s") != F.col("d")))
+    tri = triangle_count(clean, "s", "d")
+    deg = (_symmetrize(clean, "s", "d")
+           .groupBy(F.col("a").alias("node"))
+           .agg(F.count(F.lit(1)).alias("degree")))
+    lcc = F.when(
+        F.col("degree") >= 2,
+        F.round(2.0 * F.col("n_triangles")
+                / (F.col("degree") * (F.col("degree") - F.lit(1))), 6)
+    ).otherwise(F.lit(0.0))
+    return (tri.join(deg, "node")
+            .select("node", F.col("degree").cast("long").alias("degree"),
+                    "n_triangles", lcc.alias("lcc")))
+
+
+def textrank(tokens: DataFrame, window: int = 2, iterations: int = 3,
+             top_k: int = 3, damping: float = 0.85,
+             id_col: str = "doc_id", token_col: str = "token",
+             pos_col: str = "pos", materialize: bool = True) -> DataFrame:
+    """Per-document TextRank keyword salience (Mihalcea & Tarau 2004)
+    -> top-k (doc_id, token, score, rank) per document.
+
+    The unsupervised salience signal between raw TF-IDF and the tagger:
+    tokens vote for the neighbors they co-occur with (positions within
+    ``window``), and ``iterations`` rounds of the weighted PageRank
+    update  pr(v) = (1-d) + d * sum_u w(u,v)/wdeg(u) * pr(u)  (classic
+    unnormalized form, pr0 = 1.0) concentrate score on tokens embedded
+    in dense co-occurrence neighborhoods — for KG triage, the
+    entity-bearing tokens worth grounding first.
+
+    All per-doc graphs ride ONE keyspace (doc_id, token): co-occurrence
+    pairs come from lead() windows over the tokens table's natural
+    (doc_id, pos) sort — no positional self-join — and every iteration
+    is one equi-join + one hash agg keyed (doc_id, token), exactly the
+    pagerank() per-round contract with the doc id carried through. The
+    edge table is localCheckpointed before the loop (referenced every
+    round + for wdeg). 10^12 docs just means more keys, never a wider
+    plan; within-doc state is bounded by doc length.
+
+    Determinism: rank orders by the 6dp-ROUNDED score (token ASC
+    tie-break) — the tfidf_ranked convention that makes a float ranking
+    engine-portable. Tokens with no co-occurrence edge (docs shorter
+    than 2 distinct tokens in any window) emit no rows.
+    """
+    w = Window.partitionBy(id_col).orderBy(pos_col)
+    # all lead distances in ONE projection -> a single Window exec (one
+    # shuffle+sort on the tokens table's natural key), then the pair
+    # explode runs on plain columns (generators can't nest windows)
+    led = tokens.select(
+        F.col(id_col).alias("did"), F.col(token_col).alias("a"),
+        *[F.lead(token_col, d).over(w).alias(f"b{d}")
+          for d in range(1, window + 1)])
+    pair_structs = F.array(*[
+        F.struct(F.col("a").alias("a"), F.col(f"b{d}").alias("b"))
+        for d in range(1, window + 1)])
+    raw = (led
+           .select("did", F.explode(pair_structs).alias("p"))
+           .select("did", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+           .filter(F.col("b").isNotNull() & (F.col("a") != F.col("b"))))
+    und = raw.unionByName(
+        raw.select("did", F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = und.groupBy("did", "a", "b").agg(F.count(F.lit(1)).alias("cw"))
+    if materialize:
+        # referenced every round + for wdeg; materialize=False exposes the
+        # full lineage for plan audits
+        edges = edges.localCheckpoint(eager=True)
+    wdeg = edges.groupBy("did", "a").agg(F.sum("cw").alias("wdeg"))
+    frac_edges = (edges.join(wdeg, ["did", "a"])
+                  .select("did", "a", "b",
+                          (F.col("cw") / F.col("wdeg").cast("double"))
+                          .alias("frac")))
+    pr = wdeg.select("did", F.col("a").alias("node"),
+                     F.lit(1.0).alias("pr"))
+    for _ in range(iterations):
+        contrib = frac_edges.join(
+            pr.withColumnRenamed("node", "a"), ["did", "a"])
+        pr = (contrib.groupBy("did", F.col("b").alias("node"))
+              .agg(F.sum(F.col("frac") * F.col("pr")).alias("s"))
+              .select("did", "node",
+                      (F.lit(1.0 - damping)
+                       + F.lit(damping) * F.col("s")).alias("pr")))
+    ranked = pr.select("did", "node", F.round("pr", 6).alias("score"))
+    wtop = Window.partitionBy("did").orderBy(
+        F.col("score").desc(), F.col("node").asc())
+    return (ranked
+            .withColumn("rank", F.row_number().over(wtop).cast("long"))
+            .filter(F.col("rank") <= top_k)
+            .select(F.col("did").alias(id_col),
+                    F.col("node").alias(token_col), "score", "rank"))

@@ -75,3 +75,49 @@ def bm25_topk(tokens: DataFrame, query_terms: list[str], top_k: int = 10,
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return top.select("doc_id", "n_hits", "score",
                       F.row_number().over(w).cast("long").alias("rank"))
+
+
+def rrf_fuse(rankings: dict[str, DataFrame], rrf_k: int = 60,
+             top_k: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of named rank lists
+    -> top-k (doc_id, n_rankers, rrf, rank).
+
+        rrf(d) = sum over rankers r listing d of 1 / (rrf_k + rank_r(d))
+
+    THE standard hybrid-retrieval combiner (lexical BM25 + dense cosine
+    in every production RAG stack): rank-based, so the rankers' scores
+    need no calibration against each other; rrf_k=60 is the published
+    constant. Documents missing from a ranker's list contribute nothing
+    for that ranker (the truncated-list semantics of the paper).
+    n_rankers = how many lists the doc appeared in (coordination
+    evidence, the bm25 n_hits convention).
+
+    Ties broken (rounded rrf DESC, doc_id ASC) — deterministic and
+    engine-portable. rrf is rounded to 6dp AFTER summing exact
+    1/(k+rank) rationals in DOUBLE; rank inputs are integers, so both
+    engines compute bit-identical doubles.
+
+    Scale shape: each input list is already top-k-truncated (tens to
+    thousands of rows), so the union + groupBy runs on ranker-bounded
+    data no matter the corpus size; the final top-k is the bm25
+    TakeOrderedAndProject shape (per-partition heap, k-row driver
+    merge), never a global sort.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
+    parts = [
+        df.select(F.col(id_col),
+                  (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias("rr"))
+        for _, df in sorted(rankings.items())
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    fused = (allr.groupBy(id_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rankers"),
+                  F.round(F.sum("rr"), 6).alias("rrf")))
+    top = (fused.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+           .limit(top_k))
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return top.select(id_col, "n_rankers", "rrf",
+                      F.row_number().over(w).cast("long").alias("rank"))

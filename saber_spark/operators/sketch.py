@@ -57,3 +57,67 @@ def kmv_distinct(df: DataFrame, group_col: str, id_col: str,
     return (per_group.join(exact, group_col)
             .select(group_col, est.cast("long").alias("est_distinct"),
                     "exact_distinct"))
+
+
+def _cms_buckets(col, width: int, depth: int):
+    """array<struct<d, bucket>>: row d's bucket = first 8 md5 hex chars of
+    'd:value' mod width — the DSIR portable string-hash family, one
+    independent permutation per sketch row."""
+    return F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            (F.conv(F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(d)), col)), 1, 8),
+                16, 10).cast("long") % width).alias("bucket"))
+        for d in range(depth)])
+
+
+def cms_heavy_hitters(df: DataFrame, value_col: str, width: int = 256,
+                      depth: int = 4, support_denom: int = 200) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    -> (value, est, exact) for every distinct value whose CMS estimate
+    reaches total/support_denom (integer threshold: N div denom).
+
+    The streaming/distributed answer to "which tokens / hosts / entities
+    exceed phi-fraction frequency" when the raw domain is too large to
+    count exactly: the sketch is a depth x width counter grid (update:
+    +1 at one bucket per row; query: MIN over the depth rows), mergeable
+    across partitions and bounded at depth*width longs no matter the
+    corpus size. CMS never underestimates, so the candidate set provably
+    contains every true heavy hitter; `exact` sits alongside `est` so the
+    overestimate is visible in the result itself (the kmv_distinct
+    honesty convention).
+
+    Scale shape: the grid is ONE partial+final hash agg to depth*width
+    rows (broadcastable at any corpus size); estimates need only the
+    DISTINCT value set (vocab-bounded, never corpus-bounded) joined
+    against the broadcast grid; the exact verify re-aggregates only rows
+    matching surviving candidates (broadcast semi-join pushdown). Integer
+    threshold arithmetic (`div`) — no float boundary to disagree across
+    engines.
+    """
+    vals = df.select(F.col(value_col).alias("value"))
+    n_total = vals.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = (vals
+            .select(F.explode(_cms_buckets(F.col("value"), width, depth))
+                    .alias("db"))
+            .groupBy(F.col("db.d").alias("d"),
+                     F.col("db.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    cand = (vals.distinct()
+            .select("value",
+                    F.explode(_cms_buckets(F.col("value"), width, depth))
+                    .alias("db"))
+            .select("value", F.col("db.d").alias("d"),
+                    F.col("db.bucket").alias("bucket")))
+    est = (cand.join(F.broadcast(grid), ["d", "bucket"])
+           .groupBy("value").agg(F.min("c").alias("est")))
+    survivors = (est.crossJoin(F.broadcast(n_total))
+                 .filter(F.col("est")
+                         >= F.expr(f"n_total div {support_denom}"))
+                 .select("value", "est"))
+    exact = (df.select(F.col(value_col).alias("value"))
+             .join(F.broadcast(survivors.select("value")), "value",
+                   "left_semi")
+             .groupBy("value").agg(F.count(F.lit(1)).alias("exact")))
+    return survivors.join(exact, "value").select("value", "est", "exact")

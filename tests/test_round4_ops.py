@@ -1,0 +1,273 @@
+"""Round-4 operator batch: clustering coefficient, TextRank salience,
+Cohen's kappa, histogram ROC-AUC, count-min heavy hitters, RRF fusion.
+
+Each operator gets brute-force parity on randomized input plus its edge
+cases — the test strategy of SURVEY §5 (golden/randomized twins, no
+oracle-only coverage)."""
+
+import random
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+
+
+def _r6(x: float) -> float:
+    """Spark's round(): HALF_UP on the shortest decimal repr
+    (BigDecimal.valueOf semantics) — Python's round() is banker's and
+    disagrees exactly at the .xxxxxx5 boundary."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def _lcc_brute(edges):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for v, nb in adj.items():
+        deg = len(nb)
+        tri = sum(1 for x in nb for y in nb
+                  if x < y and y in adj.get(x, ()))
+        lcc = _r6(2.0 * tri / (deg * (deg - 1))) if deg >= 2 else 0.0
+        out[v] = (deg, tri, lcc)
+    return out
+
+
+class TestClusteringCoefficient:
+    def test_matches_bruteforce(self, spark):
+        from saber_spark.operators.graph import clustering_coefficient
+        rng = random.Random(7)
+        nodes = [f"n{i}" for i in range(20)]
+        edges = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                        for _ in range(60)})
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: (r.degree, r.n_triangles, r.lcc)
+               for r in clustering_coefficient(df).collect()}
+        assert got == _lcc_brute(edges)
+
+    def test_self_loops_dropped_and_low_degree_defined(self, spark):
+        from saber_spark.operators.graph import clustering_coefficient
+        # triangle a-b-c plus pendant d and a self-loop on a
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("a", "a")],
+            "src string, dst string")
+        got = {r.node: (r.degree, r.n_triangles, r.lcc)
+               for r in clustering_coefficient(df).collect()}
+        assert got["a"] == (2, 1, 1.0)
+        assert got["b"] == (2, 1, 1.0)
+        assert got["c"] == (3, 1, _r6(1 / 3))
+        assert got["d"] == (1, 0, 0.0)  # deg<2 -> defined 0.0, not NULL
+
+
+def _textrank_brute(docs, window=2, iterations=3, damping=0.85):
+    out = {}
+    for doc_id, toks in docs.items():
+        w = {}
+        for i, a in enumerate(toks):
+            for d in range(1, window + 1):
+                if i + d < len(toks) and toks[i + d] != a:
+                    b = toks[i + d]
+                    w[(a, b)] = w.get((a, b), 0) + 1
+                    w[(b, a)] = w.get((b, a), 0) + 1
+        if not w:
+            continue
+        wdeg = {}
+        for (a, _), c in w.items():
+            wdeg[a] = wdeg.get(a, 0) + c
+        pr = {v: 1.0 for v in wdeg}
+        for _ in range(iterations):
+            nxt = {}
+            for (a, b), c in w.items():
+                nxt[b] = nxt.get(b, 0.0) + (c / wdeg[a]) * pr[a]
+            pr = {v: (1.0 - damping) + damping * s for v, s in nxt.items()}
+        ranked = sorted(((_r6(s), v) for v, s in pr.items()),
+                        key=lambda t: (-t[0], t[1]))
+        out[doc_id] = [(v, s, i + 1) for i, (s, v) in enumerate(ranked[:3])]
+    return out
+
+
+class TestTextrank:
+    def test_matches_bruteforce(self, spark):
+        from saber_spark.operators.graph import textrank
+        rng = random.Random(11)
+        vocab = list("abcdefg")
+        docs = {i: [rng.choice(vocab) for _ in range(rng.randrange(0, 15))]
+                for i in range(25)}
+        rows = [(i, p, t) for i, ts in docs.items()
+                for p, t in enumerate(ts)]
+        df = spark.createDataFrame(rows, "doc_id long, pos int, token string")
+        got = {}
+        for r in textrank(df).collect():
+            got.setdefault(r.doc_id, []).append((r.token, r.score, r.rank))
+        got = {k: sorted(v, key=lambda t: t[2]) for k, v in got.items()}
+        want = _textrank_brute(docs)
+        assert got == want
+
+    def test_short_docs_emit_nothing(self, spark):
+        from saber_spark.operators.graph import textrank
+        df = spark.createDataFrame(
+            [(1, 0, "only"), (2, 0, "same"), (2, 1, "same")],
+            "doc_id long, pos int, token string")
+        assert textrank(df).count() == 0
+
+
+class TestCohensKappa:
+    @staticmethod
+    def _brute(pairs):
+        n = len(pairs)
+        po = sum(1 for a, b in pairs if a == b) / n
+        cats = {c for p in pairs for c in p}
+        pe = sum((sum(1 for a, _ in pairs if a == c) / n)
+                 * (sum(1 for _, b in pairs if b == c) / n) for c in cats)
+        k = (1.0 if po >= 1 else 0.0) if pe >= 1 \
+            else (po - pe) / (1 - pe)
+        return _r6(po), _r6(pe), _r6(k)
+
+    def test_matches_bruteforce(self, spark):
+        from saber_spark.operators.evaluation import cohens_kappa
+        rng = random.Random(3)
+        pairs = [(rng.choice("xyz"), rng.choice("xyz")) for _ in range(200)]
+        df = spark.createDataFrame(pairs, "ra string, rb string")
+        row = cohens_kappa(df, "ra", "rb").collect()[0]
+        po, pe, k = self._brute(pairs)
+        assert (row.n, row.po, row.pe, row.kappa) == (200, po, pe, k)
+        assert row.n_agree == sum(1 for a, b in pairs if a == b)
+
+    def test_perfect_and_degenerate(self, spark):
+        from saber_spark.operators.evaluation import cohens_kappa
+        same = spark.createDataFrame([("x", "x")] * 5 + [("y", "y")] * 5,
+                                     "ra string, rb string")
+        assert cohens_kappa(same, "ra", "rb").collect()[0].kappa == 1.0
+        # both raters constant + identical: pe = 1 -> defined kappa = 1.0
+        const = spark.createDataFrame([("x", "x")] * 4,
+                                      "ra string, rb string")
+        assert cohens_kappa(const, "ra", "rb").collect()[0].kappa == 1.0
+        # both constant but different: pe = 0 (no shared category), po = 0
+        diff = spark.createDataFrame([("x", "y")] * 4,
+                                     "ra string, rb string")
+        assert cohens_kappa(diff, "ra", "rb").collect()[0].kappa == 0.0
+
+    def test_nulls_are_a_category(self, spark):
+        from saber_spark.operators.evaluation import cohens_kappa
+        df = spark.createDataFrame(
+            [(None, None), (None, None), ("x", "x"), ("x", None)],
+            "ra string, rb string")
+        row = cohens_kappa(df, "ra", "rb").collect()[0]
+        assert row.n_agree == 3  # two NULL-NULL agreements + one x-x
+
+
+class TestRocAuc:
+    @staticmethod
+    def _brute(rows):
+        # tie-aware pair counting per group
+        groups = {}
+        for g, y, s in rows:
+            groups.setdefault(g, []).append((y, s))
+        out = {}
+        for g, items in groups.items():
+            pos = [s for y, s in items if y]
+            neg = [s for y, s in items if not y]
+            if not pos or not neg:
+                out[g] = (len(pos), len(neg), None)
+                continue
+            c = sum(1.0 if p > q else 0.5 if p == q else 0.0
+                    for p in pos for q in neg)
+            out[g] = (len(pos), len(neg), _r6(c / (len(pos) * len(neg))))
+        return out
+
+    def test_matches_bruteforce_with_ties(self, spark):
+        from saber_spark.operators.evaluation import roc_auc
+        rng = random.Random(5)
+        rows = [(f"g{i % 3}", rng.random() < 0.4, float(rng.randrange(10)))
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "grp string, y boolean, s double")
+        got = {r.grp: (r.n_pos, r.n_neg, r.auc)
+               for r in roc_auc(df, "y", "s", "grp").collect()}
+        assert got == self._brute(rows)
+
+    def test_degenerate_group_is_null(self, spark):
+        from saber_spark.operators.evaluation import roc_auc
+        df = spark.createDataFrame(
+            [("a", True, 1.0), ("a", True, 2.0), ("b", True, 1.0),
+             ("b", False, 0.0)],
+            "grp string, y boolean, s double")
+        got = {r.grp: r.auc for r in roc_auc(df, "y", "s", "grp").collect()}
+        assert got == {"a": None, "b": 1.0}
+
+    def test_perfect_and_inverted(self, spark):
+        from saber_spark.operators.evaluation import roc_auc
+        rows = [("g", i >= 5, float(i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "grp string, y boolean, s double")
+        assert roc_auc(df, "y", "s", "grp").collect()[0].auc == 1.0
+        inv = [("g", i >= 5, float(-i)) for i in range(10)]
+        df2 = spark.createDataFrame(inv, "grp string, y boolean, s double")
+        assert roc_auc(df2, "y", "s", "grp").collect()[0].auc == 0.0
+
+
+class TestCmsHeavyHitters:
+    def test_overestimate_and_completeness(self, spark):
+        from saber_spark.operators.sketch import cms_heavy_hitters
+        rng = random.Random(9)
+        # Zipf-ish: token t_i appears ~ 300/(i+1) times
+        vals = [f"t{i}" for i in range(40) for _ in range(300 // (i + 1))]
+        rng.shuffle(vals)
+        df = spark.createDataFrame([(v,) for v in vals], "value string")
+        n = len(vals)
+        denom = 50
+        rows = cms_heavy_hitters(df, "value", width=32, depth=3,
+                                 support_denom=denom).collect()
+        exact = {}
+        for v in vals:
+            exact[v] = exact.get(v, 0) + 1
+        got = {r.value: (r.est, r.exact) for r in rows}
+        for v, (est, ex) in got.items():
+            assert est >= ex == exact[v]  # CMS never underestimates
+        # every TRUE heavy hitter must be in the result (no false negatives)
+        for v, c in exact.items():
+            if c >= n // denom:
+                assert v in got
+
+    def test_wide_sketch_is_exact(self, spark):
+        from saber_spark.operators.sketch import cms_heavy_hitters
+        vals = ["a"] * 10 + ["b"] * 5 + ["c"] * 1
+        df = spark.createDataFrame([(v,) for v in vals], "value string")
+        rows = cms_heavy_hitters(df, "value", width=4096, depth=4,
+                                 support_denom=4).collect()
+        got = {r.value: (r.est, r.exact) for r in rows}
+        assert got == {"a": (10, 10), "b": (5, 5)}  # c below 16//4
+
+
+class TestRrfFuse:
+    def test_formula_and_missing_docs(self, spark):
+        from saber_spark.operators.retrieval import rrf_fuse
+        a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                                  "doc_id long, rank long")
+        b = spark.createDataFrame([(2, 1), (4, 2)],
+                                  "doc_id long, rank long")
+        rows = rrf_fuse({"a": a, "b": b}, rrf_k=60, top_k=10).collect()
+        got = {r.doc_id: (r.n_rankers, r.rrf, r.rank) for r in rows}
+        exp = {
+            2: (2, _r6(1 / 62 + 1 / 61)),
+            1: (1, _r6(1 / 61)),
+            4: (1, _r6(1 / 62)),
+            3: (1, _r6(1 / 63)),
+        }
+        order = sorted(exp, key=lambda d: (-exp[d][1], d))
+        for rank, d in enumerate(order, 1):
+            assert got[d] == (exp[d][0], exp[d][1], rank)
+
+    def test_topk_truncates_and_ties_break_on_id(self, spark):
+        from saber_spark.operators.retrieval import rrf_fuse
+        a = spark.createDataFrame([(i, 1) for i in range(5)],
+                                  "doc_id long, rank long")
+        rows = rrf_fuse({"only": a}, top_k=3).collect()
+        assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] \
+            == [0, 1, 2]
+
+    def test_empty_rankings_raise(self, spark):
+        from saber_spark.operators.retrieval import rrf_fuse
+        with pytest.raises(ValueError):
+            rrf_fuse({})

@@ -976,6 +976,97 @@ def main() -> None:
         0,
     ))
 
+    # 58. clustering_entities: the triangle pass's degree-oriented wedge
+    # join (equi-joins only) + one extra degree agg; no cartesian.
+    plan_ce = formatted_plan(e.queries()["clustering_entities"](spark,
+                                                                SF_DIR))
+    sections.append((
+        "clustering_entities (wedge equi-joins, no cartesian)",
+        "LCC must reuse the triangle shape: SortMergeJoin/ShuffledHashJoin "
+        "equi-joins for wedges + hash aggs for degrees — never an all-pairs "
+        "neighbor product.",
+        plan_ce,
+        ["HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_ce
+           else []),
+        0,
+    ))
+
+    # 59. textrank_keywords: ONE Window exec for all lead distances (no
+    # positional self-join), per-round equi-joins keyed (doc_id, token).
+    # materialize=False: the production path localCheckpoints the edge
+    # table (plan truncation is the point); audit the full lineage
+    from saber_spark.operators.graph import textrank as _textrank
+    plan_tk = formatted_plan(_textrank(
+        e.tokenize_docs(e._docs(spark, SF_DIR)),
+        window=2, iterations=3, top_k=3, materialize=False))
+    sections.append((
+        "textrank_keywords (single-window pair gen, equi-join rounds)",
+        "Co-occurrence pairs must come from lead() windows over the tokens "
+        "table's own (doc_id, pos) sort — exactly one Window node feeding "
+        "the pair Generate — and every PageRank round is an equi-join + "
+        "hash agg keyed (doc_id, token); no cartesian.",
+        plan_tk,
+        ["Window", "Generate", "HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_tk
+           else []),
+        0,
+    ))
+
+    # 60. tagger_agreement: marginals are category-bounded aggs; the
+    # 1-row pe table rides in as a broadcast.
+    plan_ka = formatted_plan(e.queries()["tagger_agreement"](spark, SF_DIR))
+    sections.append((
+        "tagger_agreement (category-bounded aggs, broadcast combine)",
+        "Kappa must be two corpus aggs + two category-bounded marginal aggs "
+        "with the 1-row expected-agreement table broadcast — nothing wider "
+        "than |categories| shuffles after the map-side combine.",
+        plan_ka,
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
+    # 61. auc_doclen: the window must run over the (group, score)
+    # HISTOGRAM (agg BEFORE window), never raw corpus rows.
+    plan_auc = formatted_plan(e.queries()["auc_doclen"](spark, SF_DIR))
+    sections.append((
+        "auc_doclen (histogram-then-window AUC)",
+        "The cumulative-negatives window must consume the (group, score) "
+        "histogram aggregate, so the sort is bounded by distinct scores per "
+        "group — HashAggregate upstream of Window in the plan.",
+        plan_auc,
+        ["HashAggregate", "Window"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_auc
+           else []),
+        0,
+    ))
+
+    # 62. cms_tokens: the depth x width grid and the total ride in as
+    # broadcasts; candidate estimates join the grid by (d, bucket).
+    plan_cms = formatted_plan(e.queries()["cms_tokens"](spark, SF_DIR))
+    sections.append((
+        "cms_tokens (broadcast sketch grid)",
+        "The CMS grid (depth*width rows) must BROADCAST into the candidate "
+        "estimate join; the exact verify re-aggregates only surviving "
+        "candidates via a broadcast semi-join.",
+        plan_cms,
+        ["BroadcastHashJoin", "HashAggregate"],
+        0,
+    ))
+
+    # 63. rrf_search: both rank lists are top-k truncated before fusion;
+    # the final top-k is a TakeOrderedAndProject, not a global sort.
+    plan_rrf = formatted_plan(e.queries()["rrf_search"](spark, SF_DIR))
+    sections.append((
+        "rrf_search (top-k fusion, no global sort)",
+        "Fusion consumes already-truncated rank lists (TakeOrderedAndProject "
+        "in both branches) and the fused top-k is itself a "
+        "TakeOrderedAndProject — no full-corpus Sort after the union.",
+        plan_rrf,
+        ["TakeOrderedAndProject", "HashAggregate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
