@@ -1262,6 +1262,60 @@ def q_rrf_search(spark, sf_dir):
                      "dense": dense}, rrf_k=60, top_k=10)
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5 denoising-objective sample prep (Raffel et al. 2020): hash-
+    masked non-overlapping 3-token blocks (expected rate 1/7) replaced
+    by <extra_id_k> sentinels in the input; target = sentinel + masked
+    tokens per block. Deterministic (splits.py portable hash), so a
+    10^12-doc run is reproducible; reassembly is the scrub_dup_spans
+    ordered-collect pattern (one shuffle on doc_id)."""
+    from saber_spark.operators.samples import span_corruption
+    return span_corruption(tokenize_docs(_docs(spark, sf_dir)))
+
+
+def q_skipgram_pairs(spark, sf_dir):
+    """word2vec SGNS training pairs (Mikolov et al. 2013): window-2
+    positives in both directions + 2 deterministic hash negatives per
+    positive resolved against the broadcast vocab id table — the
+    embedding-bootstrap data prep upstream of the reference's own
+    word2vec load (saber/utils/data_utils.py)."""
+    from saber_spark.operators.samples import skipgram_pairs
+    return skipgram_pairs(tokenize_docs(_docs(spark, sf_dir)),
+                          window=2, neg_k=2)
+
+
+def q_skew_canonical(spark, sf_dir):
+    """Key-skew diagnostics over the linked mentions' canonical_id — the
+    pre-flight audit for the hub-entity skew that the salted
+    canonicalization groupBy exists to absorb (skew_factor = max/mean
+    key load; entropy vs ln(n_keys) = uniformity)."""
+    from saber_spark.operators.profile import skew_profile
+    return skew_profile(_linked_spark(spark, sf_dir), "canonical_id")
+
+
+def q_link_fd_check(spark, sf_dir):
+    """Functional-dependency audit surface -> canonical_id over the
+    ambiguity-carrying dictionary: each violation row is a surface the
+    disambiguator must resolve (empty result would mean the dictionary
+    is ambiguity-free). The KG-QA twin of disambiguate_link."""
+    from saber_spark.operators.profile import fd_violations
+    dict_df = spark.createDataFrame(
+        DISAMBIG_DICT, "surface string, label string, canonical_id string")
+    linked = tokenize_docs(_docs(spark, sf_dir)).join(
+        F.broadcast(dict_df),
+        F.col("token") == F.col("surface")).select("token", "canonical_id")
+    return fd_violations(linked, "token", "canonical_id")
+
+
+def q_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per doc: the gibberish/
+    base64/minified-JS detector quality_score can't see — natural
+    language sits in a narrow entropy band, machine blobs near the
+    uniform ceiling. Empty docs defined all-zero."""
+    from saber_spark.operators.textstats import char_entropy
+    return char_entropy(_docs(spark, sf_dir))
+
+
 def q_disambiguate_link(spark, sf_dir):
     """Context-coherence sense disambiguation: ambiguous surfaces pick the
     candidate that co-occurs most with the document's unambiguous
@@ -2087,10 +2141,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ngram_containment / ppr_hosts / weighted_sample / random_walks /
     # scrub_dup_spans / kcore_hosts / readability / lm_backoff /
     # clustering_entities / textrank_keywords / tagger_agreement /
-    # auc_doclen / cms_tokens / rrf_search (positions 51-64).
+    # auc_doclen / cms_tokens / rrf_search / span_corruption /
+    # skipgram_pairs / skew_canonical / link_fd_check / char_entropy
+    # (positions 51-69).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the fourteen tail-head newest above (no driver row yet);
+    # (1) the nineteen tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2200,6 +2256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_doclen": q_auc_doclen,
         "cms_tokens": q_cms_tokens,
         "rrf_search": q_rrf_search,
+        "span_corruption": q_span_corruption,
+        "skipgram_pairs": q_skipgram_pairs,
+        "skew_canonical": q_skew_canonical,
+        "link_fd_check": q_link_fd_check,
+        "char_entropy": q_char_entropy,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -3480,6 +3541,139 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rank
             FROM fused ORDER BY rrf DESC, doc_id
             LIMIT 10""",
+        "span_corruption": f"""
+            WITH {TOKENS_CTE},
+            toks AS (
+              SELECT doc_id, pos, token, pos // 3 AS block,
+                     ((doc_id * {KNUTH}) % {HASH_MOD} * 31 + pos // 3)
+                       % {HASH_MOD} % 7 = 0 AS masked
+              FROM tokens),
+            blocks AS (SELECT doc_id, block, min(pos) AS bpos
+                       FROM toks WHERE masked GROUP BY doc_id, block),
+            sent AS (SELECT doc_id, block, bpos,
+                            '<extra_id_' || CAST(row_number() OVER (
+                              PARTITION BY doc_id ORDER BY block) - 1
+                              AS VARCHAR) || '>' AS sentinel
+                     FROM blocks),
+            inp AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY spos, flag)
+                             AS input_text
+                    FROM (SELECT doc_id, pos AS spos, 1 AS flag,
+                                 token AS tok
+                          FROM toks WHERE NOT masked
+                          UNION ALL
+                          SELECT doc_id, bpos, 0, sentinel FROM sent)
+                    GROUP BY doc_id),
+            tgt AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY spos, flag)
+                             AS target_text
+                    FROM (SELECT t.doc_id, t.pos AS spos, 1 AS flag,
+                                 t.token AS tok
+                          FROM toks t JOIN sent s
+                            ON t.doc_id = s.doc_id AND t.block = s.block
+                          WHERE t.masked
+                          UNION ALL
+                          SELECT doc_id, bpos, 0, sentinel FROM sent)
+                    GROUP BY doc_id),
+            stats AS (SELECT doc_id, count(*) AS n_tokens,
+                             sum(CASE WHEN masked THEN 1 ELSE 0 END)
+                               AS n_masked
+                      FROM toks GROUP BY doc_id)
+            SELECT s.doc_id, s.n_tokens,
+                   CAST(s.n_masked AS BIGINT) AS n_masked,
+                   coalesce(i.input_text, '') AS input_text,
+                   coalesce(t.target_text, '') AS target_text
+            FROM stats s
+            LEFT JOIN inp i USING (doc_id)
+            LEFT JOIN tgt t USING (doc_id)""",
+        "skipgram_pairs": f"""
+            WITH {TOKENS_CTE},
+            led AS (SELECT doc_id, pos AS cpos, token AS tok,
+                           lead(token, 1) OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS n1,
+                           lead(token, 2) OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS n2
+                    FROM tokens),
+            pairs AS (
+              SELECT doc_id, cpos AS pos, tok AS center, n1 AS context,
+                     1 AS dist, 0 AS dir
+              FROM led WHERE n1 IS NOT NULL
+              UNION ALL
+              SELECT doc_id, cpos + 1, n1, tok, 1, 1
+              FROM led WHERE n1 IS NOT NULL
+              UNION ALL
+              SELECT doc_id, cpos, tok, n2, 2, 0
+              FROM led WHERE n2 IS NOT NULL
+              UNION ALL
+              SELECT doc_id, cpos + 2, n2, tok, 2, 1
+              FROM led WHERE n2 IS NOT NULL),
+            vocab AS (SELECT token AS context,
+                             CAST(row_number() OVER (ORDER BY token)
+                                  AS BIGINT) AS vid
+                      FROM (SELECT DISTINCT token FROM tokens)),
+            vs AS (SELECT count(*) AS n_vocab FROM vocab),
+            negs AS (SELECT p.doc_id, p.pos, p.center,
+                            CAST('0x' || substr(md5(
+                              p.doc_id || ':' || p.pos || ':'
+                              || p.dist || ':' || p.dir || ':' || j),
+                              1, 8) AS BIGINT) % n_vocab + 1 AS vid
+                     FROM pairs p
+                     CROSS JOIN (VALUES (1), (2)) AS js(j)
+                     CROSS JOIN vs)
+            SELECT doc_id, pos, center, context, 1 AS label FROM pairs
+            UNION ALL
+            SELECT n.doc_id, n.pos, n.center, v.context, 0
+            FROM negs n JOIN vocab v USING (vid)""",
+        "skew_canonical": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            hist AS (SELECT CAST(canonical_id AS VARCHAR) AS k,
+                            count(*) AS c
+                     FROM linked GROUP BY 1),
+            topk AS (SELECT k, c FROM hist
+                     ORDER BY c DESC, k DESC LIMIT 1),
+            agg AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                           count(*) AS n_keys,
+                           sum(c * ln(c::DOUBLE)) AS clnc
+                    FROM hist)
+            SELECT a.n_rows, a.n_keys, t.k AS top_key,
+                   CAST(t.c AS BIGINT) AS max_count,
+                   round(t.c / a.n_rows::DOUBLE, 6) AS max_share,
+                   round(t.c * a.n_keys / a.n_rows::DOUBLE, 6)
+                     AS skew_factor,
+                   round(ln(a.n_rows::DOUBLE) - a.clnc / a.n_rows, 6)
+                     AS entropy
+            FROM agg a CROSS JOIN topk t""",
+        "link_fd_check": f"""
+            WITH {TOKENS_CTE},
+            dl AS (SELECT t.token, g.canonical_id
+                   FROM tokens t
+                   JOIN (VALUES {DISAMBIG_VALUES_SQL})
+                     AS g(surface, label, canonical_id)
+                     ON t.token = g.surface)
+            SELECT token,
+                   count(DISTINCT canonical_id) AS n_distinct_rhs,
+                   count(*) AS n_rows
+            FROM dl GROUP BY token
+            HAVING count(DISTINCT canonical_id) > 1""",
+        "char_entropy": """
+            WITH chars AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '(?s).', 0)) AS ch
+              FROM documents),
+            hist AS (SELECT doc_id, ch, count(*) AS c
+                     FROM chars GROUP BY doc_id, ch),
+            per AS (SELECT doc_id,
+                           CAST(sum(c) AS BIGINT) AS n_chars_total,
+                           count(*) AS n_distinct_chars,
+                           round(ln(sum(c)::DOUBLE)
+                                 - sum(c * ln(c::DOUBLE)) / sum(c), 6)
+                             AS entropy
+                    FROM hist GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_chars_total, 0) AS n_chars_total,
+                   coalesce(p.n_distinct_chars, 0) AS n_distinct_chars,
+                   coalesce(p.entropy, 0.0) AS entropy
+            FROM documents d LEFT JOIN per p USING (doc_id)""",
         "lm_perplexity": f"""
             WITH {TOKENS_CTE},
             bg AS (

@@ -48,3 +48,60 @@ def profile_table(df: DataFrame, columns: Sequence[str],
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     ))
+
+
+def skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-distribution skew diagnostics -> ONE row (n_rows, n_keys,
+    top_key, max_count, max_share, skew_factor, entropy).
+
+    The pre-flight check for every groupBy/join key in this repo: the
+    heavy right tail this reports is exactly what the salted
+    canonicalization, AQE skew-join, and broadcast decisions exist for.
+    skew_factor = max_count / mean_count (1.0 = perfectly uniform);
+    entropy = Shannon entropy of the key distribution in nats
+    (ln(n_keys) = uniform). NULL keys count as a key (they hash to one
+    reducer like any other — the exact skew hazard this profiles).
+
+    Scale shape: one partial+final hash agg to the key histogram, then
+    one agg over |keys| rows (entropy via H = ln N - sum(c ln c)/N, a
+    single pass, no per-key probability materialization); top_key via
+    max(struct(count, key)) — a total order, so ties break
+    deterministically toward the larger key string. Rounded to 6.
+    """
+    hist = (df.groupBy(F.col(key_col).cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    agg = hist.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max(F.struct(F.col("c"), F.col("k"))).alias("top"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("clnc"))
+    return agg.select(
+        "n_rows", "n_keys",
+        F.col("top.k").alias("top_key"),
+        F.col("top.c").alias("max_count"),
+        F.round(F.col("top.c") / F.col("n_rows").cast("double"), 6)
+        .alias("max_share"),
+        F.round(F.col("top.c") * F.col("n_keys")
+                / F.col("n_rows").cast("double"), 6).alias("skew_factor"),
+        F.round(F.log(F.col("n_rows").cast("double"))
+                - F.col("clnc") / F.col("n_rows"), 6).alias("entropy"))
+
+
+def fd_violations(df: DataFrame, lhs_col: str, rhs_col: str) -> DataFrame:
+    """Functional-dependency audit lhs -> rhs: every lhs value bound to
+    MORE than one distinct rhs, as (lhs, n_distinct_rhs, n_rows).
+
+    KG quality gate: surface -> canonical_id should be functional after
+    disambiguation (a violation row = an ambiguity the linker must
+    resolve); canonical_id -> label must be functional after
+    harmonization (a violation = a type conflict the fanout missed).
+    Empty result = the dependency HOLDS.
+
+    Scale shape: one partial+final agg on lhs (count distinct rhs is
+    Spark's two-phase Expand plan — still one logical pass); the filter
+    prunes to violations before anything leaves the aggregation.
+    """
+    return (df.groupBy(F.col(lhs_col))
+            .agg(F.count_distinct(F.col(rhs_col)).alias("n_distinct_rhs"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .filter(F.col("n_distinct_rhs") > 1))

@@ -1,0 +1,169 @@
+"""Training-sample preparation: T5-style span corruption and word2vec
+skip-gram pairs with deterministic negative sampling.
+
+The step between a curated corpus and a training loop: denoising
+objectives (T5/UL2) need (input, target) pairs with masked spans
+replaced by sentinels; embedding training (word2vec SGNS, and the
+reference's own embedding bootstrap — saber/utils/data_utils.py loads
+pre-trained word2vec) needs (center, context, label) pairs with k
+negatives per positive. Both are deterministic here — hash-derived
+masking/negatives — so a 10^12-doc run is reproducible and
+engine-portable (the stratified_sample convention: no RNG state to
+coordinate across executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from saber_spark.operators.splits import HASH_MOD, KNUTH
+
+
+def span_corruption(tokens: DataFrame, span_len: int = 3,
+                    mask_denom: int = 7, id_col: str = "doc_id",
+                    pos_col: str = "pos",
+                    token_col: str = "token") -> DataFrame:
+    """(doc_id, pos, token) -> (doc_id, n_tokens, n_masked, input_text,
+    target_text): the T5 denoising objective (Raffel et al. 2020).
+
+    Documents are cut into fixed ``span_len`` token blocks; a block is
+    masked iff hash(doc_id, block) % mask_denom == 0 (expected
+    corruption rate = 1/mask_denom; blocks are non-overlapping by
+    construction, unlike iid position sampling which must merge
+    adjacent spans). The input replaces each masked block with
+    ``<extra_id_k>`` (k = 0-based order of the block within the doc);
+    the target is the concatenation of sentinel + masked tokens per
+    block. Docs with no masked block keep input_text = original and
+    target_text = '' (defined, not NULL — the mixture_weights
+    convention; no final closing sentinel is emitted, documented
+    simplification).
+
+    Scale shape: the mask decision is per-row arithmetic on
+    (doc_id, pos div span_len) using the splits.py portable hash; the
+    sentinel index is ONE window over the doc's masked blocks (state
+    bounded by doc length); both texts reassemble with the
+    scrub_dup_spans ordered-collect pattern — one shuffle on doc_id,
+    per-doc memory bounded by the doc itself.
+    """
+    block = (F.col(pos_col).cast("long") / span_len).cast("long")
+    h = F.pmod(F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH),
+                      F.lit(HASH_MOD)) * 31 + F.col("block"),
+               F.lit(HASH_MOD))
+    toks = (tokens
+            .select(id_col, pos_col, token_col, block.alias("block"))
+            .withColumn("masked", F.pmod(h, F.lit(mask_denom)) == 0))
+    blocks = (toks.filter("masked")
+              .groupBy(id_col, "block")
+              .agg(F.min(pos_col).alias("bpos")))
+    wk = Window.partitionBy(id_col).orderBy("block")
+    blocks = blocks.withColumn(
+        "sentinel",
+        F.concat(F.lit("<extra_id_"),
+                 (F.row_number().over(wk) - 1).cast("string"), F.lit(">")))
+
+    def _assemble(rows, out_col):
+        return (rows.groupBy(id_col)
+                .agg(F.array_join(F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("spos", "flag", "tok"))),
+                    lambda s: s.tok), " ").alias(out_col)))
+
+    keep = toks.filter(~F.col("masked")).select(
+        id_col, F.col(pos_col).alias("spos"), F.lit(1).alias("flag"),
+        F.col(token_col).alias("tok"))
+    sent_in = blocks.select(
+        id_col, F.col("bpos").alias("spos"), F.lit(0).alias("flag"),
+        F.col("sentinel").alias("tok"))
+    inp = _assemble(keep.unionByName(sent_in), "input_text")
+
+    masked_toks = (toks.filter("masked")
+                   .join(blocks.select(id_col, "block", "sentinel"),
+                         [id_col, "block"])
+                   .select(id_col, F.col(pos_col).alias("spos"),
+                           F.lit(1).alias("flag"),
+                           F.col(token_col).alias("tok")))
+    sent_tgt = blocks.select(
+        id_col, F.col("bpos").alias("spos"), F.lit(0).alias("flag"),
+        F.col("sentinel").alias("tok"))
+    tgt = _assemble(masked_toks.unionByName(sent_tgt), "target_text")
+
+    stats = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("masked").cast("long")).alias("n_masked"))
+    return (stats
+            .join(inp, id_col, "left")
+            .join(tgt, id_col, "left")
+            .select(id_col, "n_tokens", "n_masked",
+                    F.coalesce("input_text", F.lit("")).alias("input_text"),
+                    F.coalesce("target_text", F.lit(""))
+                    .alias("target_text")))
+
+
+def skipgram_pairs(tokens: DataFrame, window: int = 2, neg_k: int = 2,
+                   id_col: str = "doc_id", pos_col: str = "pos",
+                   token_col: str = "token") -> DataFrame:
+    """(doc_id, pos, token) -> (doc_id, pos, center, context, label):
+    word2vec skip-gram-with-negative-sampling training pairs (Mikolov
+    et al. 2013), deterministic.
+
+    Positives (label=1): both directions of every token pair within
+    ``window`` positions. Negatives (label=0): ``neg_k`` per positive,
+    the context replaced by the vocab token at index
+    md5(doc:pos:dist:dir:j) % V — the DSIR portable hash family, so a
+    rerun (or another engine) derives the identical sample. Hash
+    negatives may occasionally collide with the true context — the same
+    label noise the standard unigram-table sampler carries; documented,
+    not hidden. ``pos`` is the CENTER token's position.
+
+    Scale shape: all lead distances come from ONE window projection
+    over the tokens table's natural (doc_id, pos) sort (the textrank
+    pair contract); negatives explode by the constant factor neg_k and
+    resolve through a BROADCAST join against the vocab id table
+    (vocab-bounded, never corpus-bounded). No shuffle wider than the
+    tokens table's own key anywhere.
+    """
+    w = Window.partitionBy(id_col).orderBy(pos_col)
+    led = tokens.select(
+        F.col(id_col), F.col(pos_col).cast("long").alias("cpos"),
+        F.col(token_col).alias("tok"),
+        *[F.lead(token_col, d).over(w).alias(f"n{d}")
+          for d in range(1, window + 1)])
+    pairs = None
+    for d in range(1, window + 1):
+        fwd = (led.filter(F.col(f"n{d}").isNotNull())
+               .select(id_col, F.col("cpos").alias("pos"),
+                       F.col("tok").alias("center"),
+                       F.col(f"n{d}").alias("context"),
+                       F.lit(d).alias("dist"), F.lit(0).alias("dir")))
+        bwd = (led.filter(F.col(f"n{d}").isNotNull())
+               .select(id_col, (F.col("cpos") + d).alias("pos"),
+                       F.col(f"n{d}").alias("center"),
+                       F.col("tok").alias("context"),
+                       F.lit(d).alias("dist"), F.lit(1).alias("dir")))
+        both = fwd.unionByName(bwd)
+        pairs = both if pairs is None else pairs.unionByName(both)
+    vocab = (tokens.select(F.col(token_col).alias("context")).distinct()
+             .select("context",
+                     (F.row_number().over(Window.orderBy("context")))
+                     .cast("long").alias("vid")))
+    # vocab size rides in as a broadcast 1-row aggregate (the bm25
+    # stats convention) — no driver action, one lazy plan end-to-end
+    vsize = vocab.agg(F.count(F.lit(1)).alias("n_vocab"))
+    neg_id = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.col("pos").cast("string"),
+        F.col("dist").cast("string"), F.col("dir").cast("string"),
+        F.col("j").cast("string"))), 1, 8), 16, 10).cast("long")
+        % F.col("n_vocab") + 1)
+    negs = (pairs
+            .select(id_col, "pos", "center", "dist", "dir",
+                    F.explode(F.sequence(F.lit(1), F.lit(neg_k)))
+                    .alias("j"))
+            .crossJoin(F.broadcast(vsize))
+            .select(id_col, "pos", "center", neg_id.alias("vid"))
+            .join(F.broadcast(vocab), "vid")
+            .select(id_col, "pos", "center", "context",
+                    F.lit(0).alias("label")))
+    pos_rows = pairs.select(id_col, "pos", "center", "context",
+                            F.lit(1).alias("label"))
+    return pos_rows.unionByName(negs)

@@ -351,3 +351,43 @@ def readability_scores(docs: DataFrame, text_col: str = "text",
         .alias("n_syllables"),
         F.when(n_words == 0, F.lit(0.0)).otherwise(F.round(flesch, 6))
         .alias("flesch"))
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document character-distribution statistics -> (doc_id,
+    n_chars_total, n_distinct_chars, entropy): Shannon entropy of the
+    character histogram in nats.
+
+    The gibberish detector quality_score can't see: base64 blobs,
+    minified JS, and key-mash spam have near-uniform character
+    distributions (entropy -> ln alphabet), while natural language sits
+    in a narrow band (~2.8-3.2 nats for English); both tails are drop
+    candidates a production web filter cuts on. Empty/NULL docs are
+    DEFINED all-zero (the readability convention).
+
+    Scale shape: characters come from one in-row regexp split
+    ((?s). — Java and RE2 agree) + explode, then two partial+final hash
+    aggs: (doc, char) counts, then the per-doc reduction via
+    H = ln n - sum(c ln c)/n — one pass, no per-char probability
+    column. Alphabet size bounds the first agg's post-combine width.
+    """
+    chars = docs.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col),
+                                       F.lit(r"(?s)."), F.lit(0)))
+        .alias("ch"))
+    hist = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = hist.groupBy(id_col).agg(
+        F.sum("c").alias("n_chars_total"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.round(F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+                / F.sum("c"), 6).alias("entropy"))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_chars_total", F.lit(0))
+                    .alias("n_chars_total"),
+                    F.coalesce("n_distinct_chars", F.lit(0))
+                    .alias("n_distinct_chars"),
+                    F.coalesce("entropy", F.lit(0.0)).alias("entropy")))

@@ -1,0 +1,179 @@
+"""Round-4 batch 2: span corruption, skip-gram pairs, skew profile,
+FD audit, char entropy — brute-force parity + edge cases."""
+
+import math
+import random
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+from saber_spark.operators.splits import HASH_MOD, KNUTH
+
+
+def _r6(x: float) -> float:
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def _masked(doc_id: int, block: int, denom: int = 7) -> bool:
+    return ((doc_id * KNUTH) % HASH_MOD * 31 + block) % HASH_MOD % denom == 0
+
+
+def _corrupt_brute(doc_id, toks, span_len=3):
+    blocks = sorted({p // span_len for p, _ in enumerate(toks)
+                     if _masked(doc_id, p // span_len)})
+    sentinel = {b: f"<extra_id_{k}>" for k, b in enumerate(blocks)}
+    inp, tgt, n_masked = [], [], 0
+    for p, t in enumerate(toks):
+        b = p // span_len
+        if b in sentinel:
+            n_masked += 1
+            if p == min(q for q in range(len(toks)) if q // span_len == b):
+                inp.append(sentinel[b])
+        else:
+            inp.append(t)
+    for b in blocks:
+        tgt.append(sentinel[b])
+        tgt.extend(t for p, t in enumerate(toks) if p // span_len == b)
+    return (len(toks), n_masked, " ".join(inp), " ".join(tgt))
+
+
+class TestSpanCorruption:
+    def test_matches_bruteforce(self, spark):
+        from saber_spark.operators.samples import span_corruption
+        rng = random.Random(21)
+        vocab = list("abcdefgh")
+        docs = {i: [rng.choice(vocab) for _ in range(rng.randrange(1, 30))]
+                for i in range(60)}
+        rows = [(i, p, t) for i, ts in docs.items()
+                for p, t in enumerate(ts)]
+        df = spark.createDataFrame(rows, "doc_id long, pos int, token string")
+        got = {r.doc_id: (r.n_tokens, r.n_masked, r.input_text,
+                          r.target_text)
+               for r in span_corruption(df).collect()}
+        want = {i: _corrupt_brute(i, ts) for i, ts in docs.items()}
+        assert got == want
+        # at least one doc should actually be masked at denom=7 over 60 docs
+        assert any(v[1] > 0 for v in want.values())
+
+    def test_unmasked_doc_keeps_text_and_empty_target(self, spark):
+        from saber_spark.operators.samples import span_corruption
+        doc_id = next(i for i in range(1000)
+                      if not _masked(i, 0) and not _masked(i, 1))
+        rows = [(doc_id, p, t) for p, t in enumerate("u v w x y z".split())]
+        df = spark.createDataFrame(rows, "doc_id long, pos int, token string")
+        r = span_corruption(df).collect()[0]
+        assert (r.n_masked, r.input_text, r.target_text) == \
+            (0, "u v w x y z", "")
+
+    def test_fully_masked_doc(self, spark):
+        from saber_spark.operators.samples import span_corruption
+        doc_id = next(i for i in range(1000) if _masked(i, 0))
+        rows = [(doc_id, 0, "a"), (doc_id, 1, "b"), (doc_id, 2, "c")]
+        df = spark.createDataFrame(rows, "doc_id long, pos int, token string")
+        r = span_corruption(df).collect()[0]
+        assert (r.n_masked, r.input_text, r.target_text) == \
+            (3, "<extra_id_0>", "<extra_id_0> a b c")
+
+
+class TestSkipgramPairs:
+    def test_positives_match_bruteforce_and_negatives_counted(self, spark):
+        from saber_spark.operators.samples import skipgram_pairs
+        rng = random.Random(2)
+        vocab = list("pqrstu")
+        docs = {i: [rng.choice(vocab) for _ in range(rng.randrange(0, 10))]
+                for i in range(20)}
+        rows = [(i, p, t) for i, ts in docs.items()
+                for p, t in enumerate(ts)]
+        df = spark.createDataFrame(rows, "doc_id long, pos int, token string")
+        out = skipgram_pairs(df, window=2, neg_k=2).collect()
+        pos = Counter((r.doc_id, r.pos, r.center, r.context)
+                      for r in out if r.label == 1)
+        want = Counter()
+        for i, ts in docs.items():
+            for p, t in enumerate(ts):
+                for d in (1, 2):
+                    if p + d < len(ts):
+                        want[(i, p, t, ts[p + d])] += 1
+                        want[(i, p + d, ts[p + d], t)] += 1
+        assert pos == want
+        negs = [r for r in out if r.label == 0]
+        assert len(negs) == 2 * sum(want.values())
+        corpus_vocab = {t for ts in docs.values() for t in ts}
+        assert all(r.context in corpus_vocab for r in negs)
+
+    def test_deterministic_across_runs(self, spark):
+        from saber_spark.operators.samples import skipgram_pairs
+        df = spark.createDataFrame(
+            [(1, p, t) for p, t in enumerate("a b c d e".split())],
+            "doc_id long, pos int, token string")
+        a = sorted(map(tuple, skipgram_pairs(df).collect()))
+        b = sorted(map(tuple, skipgram_pairs(df).collect()))
+        assert a == b and len(a) > 0
+
+
+class TestSkewProfile:
+    def test_matches_bruteforce(self, spark):
+        from saber_spark.operators.profile import skew_profile
+        rng = random.Random(4)
+        keys = [f"k{min(rng.randrange(1, 8), rng.randrange(1, 8))}"
+                for _ in range(500)]
+        df = spark.createDataFrame([(k,) for k in keys], "key string")
+        r = skew_profile(df, "key").collect()[0]
+        c = Counter(keys)
+        n = len(keys)
+        top = max(c.items(), key=lambda kv: (kv[1], kv[0]))
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        assert (r.n_rows, r.n_keys, r.top_key, r.max_count) == \
+            (n, len(c), top[0], top[1])
+        assert r.max_share == _r6(top[1] / n)
+        assert r.skew_factor == _r6(top[1] * len(c) / n)
+        assert r.entropy == _r6(h)
+
+    def test_uniform_keys(self, spark):
+        from saber_spark.operators.profile import skew_profile
+        df = spark.createDataFrame(
+            [(f"k{i % 4}",) for i in range(40)], "key string")
+        r = skew_profile(df, "key").collect()[0]
+        assert r.skew_factor == 1.0
+        assert r.entropy == _r6(math.log(4))
+
+    def test_null_keys_are_counted(self, spark):
+        from saber_spark.operators.profile import skew_profile
+        df = spark.createDataFrame([("a",), (None,), (None,)], "key string")
+        r = skew_profile(df, "key").collect()[0]
+        assert r.n_keys == 2 and r.max_count == 2
+
+
+class TestFdViolations:
+    def test_holds_and_violations(self, spark):
+        from saber_spark.operators.profile import fd_violations
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "x"), ("b", "y"), ("b", "z"), ("b", "z"),
+             ("c", "x")],
+            "lhs string, rhs string")
+        got = {r.lhs: (r.n_distinct_rhs, r.n_rows)
+               for r in fd_violations(df, "lhs", "rhs").collect()}
+        assert got == {"b": (2, 3)}
+        clean = df.filter("lhs <> 'b'")
+        assert fd_violations(clean, "lhs", "rhs").count() == 0
+
+
+class TestCharEntropy:
+    def test_matches_bruteforce(self, spark):
+        from saber_spark.operators.textstats import char_entropy
+        texts = {1: "aaaa", 2: "abab", 3: "abcd", 4: "", 5: None,
+                 6: "hello world"}
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+        got = {r.doc_id: (r.n_chars_total, r.n_distinct_chars, r.entropy)
+               for r in char_entropy(df).collect()}
+        for i, t in texts.items():
+            if not t:
+                assert got[i] == (0, 0, 0.0)
+                continue
+            c = Counter(t)
+            n = len(t)
+            h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+            assert got[i] == (n, len(c), _r6(h))
+        assert got[1][2] == 0.0          # single-char text: zero entropy
+        assert got[3][2] == _r6(math.log(4))  # uniform: ln(alphabet)

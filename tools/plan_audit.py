@@ -1067,6 +1067,59 @@ def main() -> None:
         0,
     ))
 
+    # 64. span_corruption: mask decision is per-row arithmetic; both
+    # texts reassemble via ordered collect (SortAggregate/ObjectHashAgg
+    # on doc_id) — no per-row Python, no cartesian.
+    plan_sc = formatted_plan(e.queries()["span_corruption"](spark, SF_DIR))
+    sections.append((
+        "span_corruption (hash mask, ordered-collect reassembly)",
+        "The sentinel index is one Window over masked blocks; reassembly "
+        "aggregates structs per doc_id; zero Python nodes.",
+        plan_sc,
+        ["Window", "HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_sc
+           else []),
+        0,
+    ))
+
+    # 65. skipgram_pairs: lead-window pair generation; negatives resolve
+    # through BROADCAST joins (vocab + its 1-row size aggregate).
+    plan_sg = formatted_plan(e.queries()["skipgram_pairs"](spark, SF_DIR))
+    sections.append((
+        "skipgram_pairs (window pairs, broadcast vocab negatives)",
+        "Pairs come from lead() windows (no positional self-join); the "
+        "negative id resolves against a BroadcastHashJoin on the "
+        "vocab-bounded id table.",
+        plan_sg,
+        ["Window", "BroadcastHashJoin"],
+        0,
+    ))
+
+    # 66. skew_canonical: histogram agg then a 1-row reduction; the
+    # top-key pick must be an aggregate (max over struct), not a sort.
+    plan_sk = formatted_plan(e.queries()["skew_canonical"](spark, SF_DIR))
+    sections.append((
+        "skew_canonical (histogram reduction, no global sort)",
+        "The key histogram is a partial+final hash agg; the summary row "
+        "reduces |keys| rows in one agg (max(struct) for the top key) — "
+        "no Sort node over the histogram.",
+        plan_sk,
+        ["HashAggregate"],
+        0,
+    ))
+
+    # 67. char_entropy: narrow regexp explode + two-phase aggs, zero
+    # Python.
+    plan_che = formatted_plan(e.queries()["char_entropy"](spark, SF_DIR))
+    sections.append((
+        "char_entropy (in-row split, two-phase aggs)",
+        "Characters come from one Generate over regexp_extract_all; both "
+        "aggregations are partial+final hash aggs; zero Python nodes.",
+        plan_che,
+        ["Generate", "HashAggregate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
