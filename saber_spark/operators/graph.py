@@ -761,17 +761,20 @@ def textrank(tokens: DataFrame, window: int = 2, iterations: int = 3,
     und = raw.unionByName(
         raw.select("did", F.col("b").alias("a"), F.col("a").alias("b")))
     edges = und.groupBy("did", "a", "b").agg(F.count(F.lit(1)).alias("cw"))
-    if materialize:
-        # referenced every round + for wdeg; materialize=False exposes the
-        # full lineage for plan audits
-        edges = edges.localCheckpoint(eager=True)
     wdeg = edges.groupBy("did", "a").agg(F.sum("cw").alias("wdeg"))
     frac_edges = (edges.join(wdeg, ["did", "a"])
                   .select("did", "a", "b",
                           (F.col("cw") / F.col("wdeg").cast("double"))
                           .alias("frac")))
-    pr = wdeg.select("did", F.col("a").alias("node"),
-                     F.lit(1.0).alias("pr"))
+    if materialize:
+        # checkpoint the NORMALIZED edge table (not the raw counts):
+        # every round references it, and checkpointing upstream of the
+        # wdeg join would replay that agg+join per round (measured
+        # 7.0 -> 4.4 s first-run at sf0.1). materialize=False exposes
+        # the full lineage for plan audits.
+        frac_edges = frac_edges.localCheckpoint(eager=True)
+    pr = (frac_edges.select("did", "a").distinct()
+          .select("did", F.col("a").alias("node"), F.lit(1.0).alias("pr")))
     for _ in range(iterations):
         contrib = frac_edges.join(
             pr.withColumnRenamed("node", "a"), ["did", "a"])
