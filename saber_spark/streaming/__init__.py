@@ -2,6 +2,7 @@
 
 from saber_spark.streaming.stream import (
     start_incremental_curation,
+    stream_cms_grid,
     stream_dedup_events,
     stream_funnel,
     stream_mentions,
@@ -9,6 +10,6 @@ from saber_spark.streaming.stream import (
     stream_windowed_counts,
 )
 
-__all__ = ["start_incremental_curation", "stream_dedup_events",
-           "stream_funnel", "stream_mentions", "stream_sessionize",
-           "stream_windowed_counts"]
+__all__ = ["start_incremental_curation", "stream_cms_grid",
+           "stream_dedup_events", "stream_funnel", "stream_mentions",
+           "stream_sessionize", "stream_windowed_counts"]

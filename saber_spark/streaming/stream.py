@@ -386,3 +386,38 @@ def stream_funnel(events_stream: DataFrame,
                 stateStructType=state_schema,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def stream_cms_grid(events_stream: DataFrame, value_col: str = "event_type",
+                    width: int = 64, depth: int = 3,
+                    window: str = "1 hour",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Streaming count-min sketch: per tumbling window, the depth x width
+    counter grid over ``value_col`` -> (window_start, d, bucket, c).
+
+    The streaming half of sketch.cms_heavy_hitters: heavy-hitter queries
+    at 10^12 events/day can't keep per-value state, but the CMS grid is
+    CONSTANT-size per window (depth*width counters) and mergeable, so
+    state is bounded by (windows in flight) x depth x width no matter
+    the value cardinality — the exact property that makes sketches the
+    production answer for streaming top-k. Estimates read MIN over the
+    d rows downstream (same query contract as the batch operator, same
+    DSIR-family md5 bucket hash, so a batch recompute verifies any
+    window's grid bit-for-bit).
+
+    Watermark bounds both late data and state eviction (the
+    stream_windowed_counts contract).
+    """
+    from saber_spark.operators.sketch import _cms_buckets
+    return (events_stream
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .select("ts",
+                    F.explode(_cms_buckets(F.col(value_col), width, depth))
+                    .alias("db"))
+            .groupBy(F.window("ts", window).alias("win"),
+                     F.col("db.d").alias("d"),
+                     F.col("db.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.col("win.start").alias("window_start"),
+                    "d", "bucket", "c"))

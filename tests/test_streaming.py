@@ -287,3 +287,56 @@ class TestStatelessOpsAreStreamingReady:
             got = {tuple(r) for r in spark.sql(f"select * from {name}_s").collect()}
             expected = {tuple(r) for r in op(spark.read.parquet(d)).collect()}
             assert got == expected and len(got) == 3
+
+
+class TestStreamCmsGrid:
+    @pytest.fixture(scope="class")
+    def events_dir(self, spark, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("cms_ev") / "events")
+        spark.read.parquet(f"{SF_DIR}/events.parquet").write.parquet(d)
+        return d
+
+    def test_grid_matches_batch_sketch_per_window(self, spark, events_dir):
+        """Each window's streaming CMS grid must equal the batch grid
+        computed over that window's events — the sketch is deterministic,
+        so the streaming path is verifiable bit-for-bit."""
+        from saber_spark.operators.sketch import _cms_buckets
+        from saber_spark.streaming import stream_cms_grid
+        schema = spark.read.parquet(events_dir).schema
+        stream = spark.readStream.schema(schema).parquet(events_dir)
+        q = (stream_cms_grid(stream, width=16, depth=2)
+             .writeStream.format("memory").queryName("cms_stream")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["window_start"], r["d"], r["bucket"]): r["c"]
+               for r in spark.sql("select * from cms_stream").collect()}
+        batch = (spark.read.parquet(events_dir)
+                 .select(F.window(F.col("ts").cast("timestamp"), "1 hour")
+                         .alias("win"),
+                         F.explode(_cms_buckets(F.col("event_type"),
+                                                16, 2)).alias("db"))
+                 .groupBy(F.col("win.start").alias("ws"),
+                          F.col("db.d").alias("d"),
+                          F.col("db.bucket").alias("bucket"))
+                 .agg(F.count(F.lit(1)).alias("c")))
+        want = {(r["ws"], r["d"], r["bucket"]): r["c"]
+                for r in batch.collect()}
+        assert got == want and len(got) > 0
+
+    def test_state_is_grid_bounded(self, spark, events_dir):
+        """The grid has at most depth*width rows per window regardless of
+        value cardinality — the property that makes it safe at 10^12
+        events."""
+        from saber_spark.streaming import stream_cms_grid
+        schema = spark.read.parquet(events_dir).schema
+        stream = spark.readStream.schema(schema).parquet(events_dir)
+        q = (stream_cms_grid(stream, value_col="user_id", width=8, depth=2)
+             .writeStream.format("memory").queryName("cms_bound")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("select * from cms_bound").collect()
+        per_window = {}
+        for r in rows:
+            per_window.setdefault(r["window_start"], 0)
+            per_window[r["window_start"]] += 1
+        assert per_window and all(v <= 16 for v in per_window.values())
