@@ -177,3 +177,60 @@ class TestCharEntropy:
             assert got[i] == (n, len(c), _r6(h))
         assert got[1][2] == 0.0          # single-char text: zero entropy
         assert got[3][2] == _r6(math.log(4))  # uniform: ln(alphabet)
+
+
+class TestRound4Properties:
+    def test_auc_invariant_under_monotone_transform(self, spark):
+        """AUC depends only on the score ORDER — exp() of the scores must
+        give the identical result (rank statistics property)."""
+        from pyspark.sql import functions as F
+
+        from saber_spark.operators.evaluation import roc_auc
+        rng = random.Random(17)
+        rows = [("g", rng.random() < 0.5, rng.uniform(-3, 3))
+                for _ in range(200)]
+        df = spark.createDataFrame(rows, "grp string, y boolean, s double")
+        base = roc_auc(df, "y", "s", "grp").collect()[0]
+        trans = roc_auc(df.withColumn("s", F.exp("s")),
+                        "y", "s", "grp").collect()[0]
+        assert (base.n_pos, base.n_neg, base.auc) == \
+            (trans.n_pos, trans.n_neg, trans.auc)
+
+    def test_kappa_symmetric_in_raters(self, spark):
+        from saber_spark.operators.evaluation import cohens_kappa
+        rng = random.Random(19)
+        pairs = [(rng.choice("abc"), rng.choice("ab")) for _ in range(150)]
+        df = spark.createDataFrame(pairs, "ra string, rb string")
+        ab = cohens_kappa(df, "ra", "rb").collect()[0]
+        ba = cohens_kappa(df, "rb", "ra").collect()[0]
+        assert (ab.n, ab.n_agree, ab.po, ab.pe, ab.kappa) == \
+            (ba.n, ba.n_agree, ba.po, ba.pe, ba.kappa)
+
+    def test_span_corruption_roundtrip_reconstructs_original(self, spark):
+        """Interleaving input_text and target_text on the sentinels must
+        reconstruct the original token stream exactly — the property that
+        makes (input, target) a lossless denoising pair."""
+        from saber_spark.operators.samples import span_corruption
+        rng = random.Random(23)
+        vocab = list("abcdefgh")
+        docs = {i: [rng.choice(vocab) for _ in range(rng.randrange(1, 40))]
+                for i in range(80)}
+        rows = [(i, p, t) for i, ts in docs.items()
+                for p, t in enumerate(ts)]
+        df = spark.createDataFrame(rows, "doc_id long, pos int, token string")
+        for r in span_corruption(df).collect():
+            spans = {}
+            cur = None
+            for tok in r.target_text.split():
+                if tok.startswith("<extra_id_"):
+                    cur = tok
+                    spans[cur] = []
+                else:
+                    spans[cur].append(tok)
+            rebuilt = []
+            for tok in r.input_text.split():
+                if tok.startswith("<extra_id_"):
+                    rebuilt.extend(spans[tok])
+                else:
+                    rebuilt.append(tok)
+            assert rebuilt == docs[r.doc_id], r.doc_id
