@@ -1307,6 +1307,31 @@ def q_link_fd_check(spark, sf_dir):
     return fd_violations(linked, "token", "canonical_id")
 
 
+def q_abbrev_aliases(spark, sf_dir):
+    """Schwartz-Hearst-style abbreviation harvesting (initial-letter
+    subset — precision-first) over a deterministic fixture: even docs
+    get a VALID trailing "w1 w2 (INITIALS)" definition built from their
+    own first two tokens, odd docs a NON-matching "(ZZ)" — the
+    extractor must accept exactly the valid sites. The alias table this
+    emits is how a web-scale build widens the verbatim grounding
+    dictionary (saber/utils/grounding_utils.py:53-66)."""
+    from saber_spark.operators.linking import abbrev_aliases
+    docs = _docs(spark, sf_dir)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    w1, w2 = F.element_at(ws, 1), F.element_at(ws, 2)
+    pos_abbr = F.upper(F.concat(F.substring(w1, 1, 1),
+                                F.substring(w2, 1, 1)))
+    aug = F.when(
+        F.size(ws) >= 2,
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.col("text"), F.lit(" "), w1, F.lit(" "), w2,
+                        F.lit(" ("), pos_abbr, F.lit(")")))
+        .otherwise(F.concat(F.col("text"), F.lit(" "), w1, F.lit(" "),
+                            w2, F.lit(" (ZZ)")))
+    ).otherwise(F.col("text"))
+    return abbrev_aliases(docs.select("doc_id", aug.alias("text")))
+
+
 def q_char_entropy(spark, sf_dir):
     """Character-distribution Shannon entropy per doc: the gibberish/
     base64/minified-JS detector quality_score can't see — natural
@@ -2142,11 +2167,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scrub_dup_spans / kcore_hosts / readability / lm_backoff /
     # clustering_entities / textrank_keywords / tagger_agreement /
     # auc_doclen / cms_tokens / rrf_search / span_corruption /
-    # skipgram_pairs / skew_canonical / link_fd_check / char_entropy
-    # (positions 51-69).
+    # skipgram_pairs / skew_canonical / link_fd_check / char_entropy /
+    # abbrev_aliases (positions 51-70).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the nineteen tail-head newest above (no driver row yet);
+    # (1) the twenty tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2261,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_canonical": q_skew_canonical,
         "link_fd_check": q_link_fd_check,
         "char_entropy": q_char_entropy,
+        "abbrev_aliases": q_abbrev_aliases,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -3655,6 +3681,41 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM dl GROUP BY token
             HAVING count(DISTINCT canonical_id) > 1""",
+        "abbrev_aliases": """
+            WITH aug AS (
+              SELECT doc_id,
+                CASE WHEN len(ws) >= 2 THEN
+                  CASE WHEN doc_id % 2 = 0
+                    THEN text || ' ' || ws[1] || ' ' || ws[2] || ' ('
+                         || upper(left(ws[1], 1) || left(ws[2], 1)) || ')'
+                    ELSE text || ' ' || ws[1] || ' ' || ws[2] || ' (ZZ)'
+                  END
+                ELSE text END AS text
+              FROM (SELECT doc_id, text,
+                           regexp_split_to_array(trim(text), '\\s+') AS ws
+                    FROM documents)),
+            m AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                       '((?:[A-Za-z]+ ){1,8})\\(([A-Z]{2,8})\\)', 1)) AS lf,
+                     unnest(regexp_extract_all(text,
+                       '((?:[A-Za-z]+ ){1,8})\\(([A-Z]{2,8})\\)', 2)) AS ab
+              FROM aug),
+            w AS (SELECT doc_id, string_split(trim(lf), ' ') AS words,
+                         ab AS abbr
+                  FROM m),
+            c AS (SELECT doc_id, abbr,
+                         list_slice(words, len(words) - len(abbr) + 1,
+                                    len(words)) AS cand
+                  FROM w WHERE len(words) >= len(abbr)),
+            ok AS (SELECT doc_id, abbr,
+                          lower(array_to_string(cand, ' ')) AS long_form,
+                          array_to_string(list_transform(cand,
+                            x -> upper(x[1])), '') AS ini
+                   FROM c)
+            SELECT abbr, long_form, count(DISTINCT doc_id) AS n_docs
+            FROM ok WHERE ini = abbr
+            GROUP BY abbr, long_form""",
         "char_entropy": """
             WITH chars AS (
               SELECT doc_id,

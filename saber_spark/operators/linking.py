@@ -277,3 +277,59 @@ def disambiguate_link(tokens: DataFrame, dictionary: DataFrame,
             .select("doc_id", "pos", "surface", "canonical_id",
                     F.col("score").cast("long").alias("score"),
                     F.col("n_cands").cast("long").alias("n_cands")))
+
+
+# candidate long form: 1-8 alpha words immediately before "(ABBR)" with a
+# 2-8 uppercase-letter abbreviation — the Schwartz-Hearst candidate window
+# (len(abbr) .. 2*len(abbr) words) widened to a fixed 8; no lookbehind, so
+# the identical pattern runs on Java regex and RE2 (the pii_scrub dialect
+# convention)
+ABBREV_PATTERN = r"((?:[A-Za-z]+ ){1,8})\(([A-Z]{2,8})\)"
+
+
+def abbrev_aliases(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Abbreviation/long-form alias harvesting -> (abbr, long_form,
+    n_docs): the deterministic initial-letter subset of Schwartz &
+    Hearst 2003 (the algorithm behind every biomedical abbreviation
+    dictionary; reference context: saber grounds surfaces verbatim,
+    saber/utils/grounding_utils.py:53-66, so harvested aliases are how
+    a web-scale build widens that dictionary).
+
+    Rule: for each textual "long form (ABBR)" site, take the |ABBR|
+    words immediately before the paren; ACCEPT iff their upper-cased
+    initials spell ABBR exactly. Long forms are lower-cased for alias-
+    table dedup. The full Schwartz-Hearst inner-character matcher
+    accepts more (letters may match mid-word); this subset never
+    accepts a wrong pair — precision-first, the right trade for
+    auto-extending a grounding dictionary.
+
+    Scale shape: candidate sites come from ONE in-row
+    regexp_extract_all pass (both capture groups zipped, no join);
+    word slicing/initials are array ops inside codegen; the only
+    shuffle is the final (abbr, long_form) count-distinct agg, keyed on
+    the alias space (vocab-like, not corpus-like). Zero Python.
+    """
+    g1 = F.regexp_extract_all(F.col(text_col), F.lit(ABBREV_PATTERN),
+                              F.lit(1))
+    g2 = F.regexp_extract_all(F.col(text_col), F.lit(ABBREV_PATTERN),
+                              F.lit(2))
+    m = (docs
+         .select(F.col(id_col),
+                 F.explode(F.arrays_zip(g1.alias("lf"), g2.alias("ab")))
+                 .alias("z"))
+         .select(id_col,
+                 F.split(F.trim(F.col("z.lf")), " ").alias("words"),
+                 F.col("z.ab").alias("abbr")))
+    n = F.length("abbr")
+    sized = m.filter(F.size("words") >= n)
+    cand = F.slice("words", F.size("words") - n + 1, n)
+    initials = F.array_join(
+        F.transform(cand, lambda w: F.upper(F.substring(w, 1, 1))), "")
+    ok = (sized
+          .select(id_col, "abbr",
+                  F.lower(F.array_join(cand, " ")).alias("long_form"),
+                  initials.alias("ini"))
+          .filter(F.col("ini") == F.col("abbr")))
+    return (ok.groupBy("abbr", "long_form")
+            .agg(F.count_distinct(F.col(id_col)).alias("n_docs")))

@@ -234,3 +234,38 @@ class TestRound4Properties:
                 else:
                     rebuilt.append(tok)
             assert rebuilt == docs[r.doc_id], r.doc_id
+
+
+class TestAbbrevAliases:
+    def _run(self, spark, rows):
+        from saber_spark.operators.linking import abbrev_aliases
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {(r.abbr, r.long_form): r.n_docs
+                for r in abbrev_aliases(df).collect()}
+
+    def test_accepts_only_initial_matches(self, spark):
+        got = self._run(spark, [
+            (1, "the World Health Organization (WHO) said"),
+            (2, "a Big Fish (BF) swam"),
+            (3, "not matching words (XYZ) here"),
+            (4, "too few (ABCDE) words"),
+        ])
+        assert got == {("WHO", "world health organization"): 1,
+                       ("BF", "big fish"): 1}
+
+    def test_counts_distinct_docs_and_multiple_sites(self, spark):
+        got = self._run(spark, [
+            (1, "knowledge graph (KG) and knowledge graph (KG) again"),
+            (2, "a knowledge graph (KG) too"),
+            (3, "machine learning (ML) here"),
+        ])
+        assert got == {("KG", "knowledge graph"): 2,
+                       ("ML", "machine learning"): 1}
+
+    def test_window_takes_last_n_words(self, spark):
+        # 4 words precede the paren; only the last two must be used
+        got = self._run(spark, [(1, "we like Entity Linking (EL) a lot")])
+        assert got == {("EL", "entity linking"): 1}
+
+    def test_single_letter_abbrs_rejected_by_pattern(self, spark):
+        assert self._run(spark, [(1, "alpha (A) beta")]) == {}

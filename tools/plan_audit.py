@@ -1120,6 +1120,22 @@ def main() -> None:
         0,
     ))
 
+    # 68. abbrev_aliases: candidate sites from one in-row regexp pass
+    # (Generate over the zipped capture groups); the only shuffle is the
+    # alias-space agg; zero Python, no cartesian.
+    plan_ab = formatted_plan(e.queries()["abbrev_aliases"](spark, SF_DIR))
+    sections.append((
+        "abbrev_aliases (in-row extraction, alias-space agg)",
+        "Both capture groups come from one regexp_extract_all pass zipped "
+        "in-row; word slicing/initials are codegen array ops; the only "
+        "exchange feeds the (abbr, long_form) count-distinct agg.",
+        plan_ab,
+        ["Generate", "HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_ab
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
