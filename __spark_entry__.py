@@ -1307,6 +1307,17 @@ def q_link_fd_check(spark, sf_dir):
     return fd_violations(linked, "token", "canonical_id")
 
 
+def q_kge_negatives(spark, sf_dir):
+    """KG-embedding training pairs (TransE, Bordes et al. 2013) over the
+    co-occurrence triples: 2 deterministic hash-corrupted negatives per
+    positive (Bernoulli head/tail pick), FILTERED — corruptions that
+    reproduce a true triple are anti-joined away, never mislabeled. The
+    triple-level sibling of skipgram_pairs; together they cover the two
+    embedding-training preps a KG build feeds."""
+    from saber_spark.operators.samples import kge_negatives
+    return kge_negatives(q_triples_cooccur(spark, sf_dir), neg_k=2)
+
+
 def q_abbrev_aliases(spark, sf_dir):
     """Schwartz-Hearst-style abbreviation harvesting (initial-letter
     subset — precision-first) over a deterministic fixture: even docs
@@ -2168,10 +2179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # clustering_entities / textrank_keywords / tagger_agreement /
     # auc_doclen / cms_tokens / rrf_search / span_corruption /
     # skipgram_pairs / skew_canonical / link_fd_check / char_entropy /
-    # abbrev_aliases (positions 51-70).
+    # abbrev_aliases / kge_negatives (positions 51-71).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the twenty tail-head newest above (no driver row yet);
+    # (1) the twenty-one tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2287,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_fd_check": q_link_fd_check,
         "char_entropy": q_char_entropy,
         "abbrev_aliases": q_abbrev_aliases,
+        "kge_negatives": q_kge_negatives,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -3681,6 +3693,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM dl GROUP BY token
             HAVING count(DISTINCT canonical_id) > 1""",
+        "kge_negatives": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            ents0 AS (SELECT DISTINCT doc_id, canonical_id FROM linked),
+            pos AS (SELECT DISTINCT a.canonical_id AS subj,
+                           'cooccurs_with' AS pred,
+                           b.canonical_id AS obj
+                    FROM ents0 a JOIN ents0 b
+                      ON a.doc_id = b.doc_id
+                     AND a.canonical_id < b.canonical_id),
+            e AS (SELECT e, CAST(row_number() OVER (ORDER BY e) AS BIGINT)
+                           AS vid
+                  FROM (SELECT DISTINCT subj AS e FROM pos
+                        UNION SELECT obj FROM pos)),
+            es AS (SELECT count(*) AS n_ents FROM e),
+            base AS (SELECT subj, pred, obj, j
+                     FROM pos CROSS JOIN (VALUES (1), (2)) AS js(j)),
+            hashes AS (SELECT subj, pred, obj,
+                              CAST('0x' || substr(md5(subj || ':' || pred
+                                || ':' || obj || ':' || j), 1, 8)
+                                AS BIGINT) AS sh,
+                              CAST('0x' || substr(md5(subj || ':' || pred
+                                || ':' || obj || ':' || j || ':e'), 1, 8)
+                                AS BIGINT) AS eh
+                       FROM base),
+            corr AS (SELECT h.subj AS s0, h.pred, h.obj AS o0,
+                            (h.sh % 2 = 0) AS ct, e.e
+                     FROM hashes h
+                     CROSS JOIN es
+                     JOIN e ON e.vid = h.eh % es.n_ents + 1),
+            cand AS (SELECT CASE WHEN ct THEN s0 ELSE e END AS subj,
+                            pred,
+                            CASE WHEN ct THEN e ELSE o0 END AS obj
+                     FROM corr),
+            negs AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+                       SELECT 1 FROM pos p
+                       WHERE p.subj = c.subj AND p.pred = c.pred
+                         AND p.obj = c.obj))
+            SELECT subj, pred, obj, 1 AS label FROM pos
+            UNION ALL
+            SELECT subj, pred, obj, 0 FROM negs""",
         "abbrev_aliases": """
             WITH aug AS (
               SELECT doc_id,

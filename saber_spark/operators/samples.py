@@ -167,3 +167,60 @@ def skipgram_pairs(tokens: DataFrame, window: int = 2, neg_k: int = 2,
     pos_rows = pairs.select(id_col, "pos", "center", "context",
                             F.lit(1).alias("label"))
     return pos_rows.unionByName(negs)
+
+
+def kge_negatives(triples: DataFrame, neg_k: int = 2,
+                  subj_col: str = "subj", pred_col: str = "pred",
+                  obj_col: str = "obj") -> DataFrame:
+    """Deduplicated (subj, pred, obj) triples -> (subj, pred, obj, label):
+    knowledge-graph-embedding training pairs with ``neg_k`` FILTERED
+    negatives per positive (Bordes et al. 2013, TransE).
+
+    Negative j corrupts the tail if md5(s:p:o:j) is even, else the head
+    (the Bernoulli-style side pick, deterministic), replacing it with
+    the entity at index md5(s:p:o:j:e) % |E| — and the corrupted triple
+    is then ANTI-JOINED against the positive set, the "filtered"
+    evaluation convention: a sampled corruption that happens to be a
+    TRUE triple is dropped, never mislabeled. Corruptions that
+    reproduce the original entity are also dropped by the same
+    anti-join. So per positive: exactly neg_k candidates, minus
+    collisions — count visible per triple downstream.
+
+    Scale shape: the entity table is |E|-bounded (broadcast, with its
+    size as a broadcast 1-row aggregate — the skipgram_pairs contract);
+    negatives explode by the constant neg_k; the filter is ONE
+    left-anti equi-join on the triple key. Determinism = reproducible
+    10^12-triple epochs with no RNG coordination.
+    """
+    pos = triples.select(F.col(subj_col).alias("subj"),
+                         F.col(pred_col).alias("pred"),
+                         F.col(obj_col).alias("obj"))
+    ents = (pos.select(F.col("subj").alias("e"))
+            .unionByName(pos.select(F.col("obj").alias("e")))
+            .distinct()
+            .select("e", F.row_number().over(Window.orderBy("e"))
+                    .cast("long").alias("vid")))
+    esize = ents.agg(F.count(F.lit(1)).alias("n_ents"))
+    base = pos.select(
+        "subj", "pred", "obj",
+        F.explode(F.sequence(F.lit(1), F.lit(neg_k))).alias("j"))
+    key = F.concat_ws(":", "subj", "pred", "obj", F.col("j").cast("string"))
+    side_hash = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    ent_hash = F.conv(F.substring(F.md5(F.concat_ws(":", key, F.lit("e"))),
+                                  1, 8), 16, 10).cast("long")
+    corrupted = (base
+                 .crossJoin(F.broadcast(esize))
+                 .select("subj", "pred", "obj",
+                         (side_hash % 2 == 0).alias("corrupt_tail"),
+                         (ent_hash % F.col("n_ents") + 1).alias("vid"))
+                 .join(F.broadcast(ents), "vid")
+                 .select(
+                     F.when(F.col("corrupt_tail"), F.col("subj"))
+                     .otherwise(F.col("e")).alias("subj"),
+                     F.col("pred"),
+                     F.when(F.col("corrupt_tail"), F.col("e"))
+                     .otherwise(F.col("obj")).alias("obj")))
+    negs = (corrupted.join(pos, ["subj", "pred", "obj"], "left_anti")
+            .select("subj", "pred", "obj", F.lit(0).alias("label")))
+    return (pos.select("subj", "pred", "obj", F.lit(1).alias("label"))
+            .unionByName(negs))

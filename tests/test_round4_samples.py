@@ -269,3 +269,31 @@ class TestAbbrevAliases:
 
     def test_single_letter_abbrs_rejected_by_pattern(self, spark):
         assert self._run(spark, [(1, "alpha (A) beta")]) == {}
+
+
+class TestKgeNegatives:
+    def test_structure_and_filtering(self, spark):
+        from saber_spark.operators.samples import kge_negatives
+        pos = [("a", "r", "b"), ("b", "r", "c"), ("a", "r", "c"),
+               ("c", "r", "d")]
+        df = spark.createDataFrame(pos, "subj string, pred string, obj string")
+        out = kge_negatives(df, neg_k=3).collect()
+        got_pos = {(r.subj, r.pred, r.obj) for r in out if r.label == 1}
+        assert got_pos == set(pos)
+        negs = [(r.subj, r.pred, r.obj) for r in out if r.label == 0]
+        # filtered setting: no negative may be a true triple
+        assert not set(negs) & set(pos)
+        # each negative shares exactly one endpoint column with a positive
+        ents = {e for t in pos for e in (t[0], t[2])}
+        for s, p, o in negs:
+            assert p == "r" and s in ents and o in ents
+        assert 0 < len(negs) <= 3 * len(pos)
+
+    def test_deterministic(self, spark):
+        from saber_spark.operators.samples import kge_negatives
+        df = spark.createDataFrame(
+            [("x", "p", "y"), ("y", "p", "z")],
+            "subj string, pred string, obj string")
+        a = sorted(map(tuple, kge_negatives(df).collect()))
+        b = sorted(map(tuple, kge_negatives(df).collect()))
+        assert a == b

@@ -1136,6 +1136,19 @@ def main() -> None:
         0,
     ))
 
+    # 69. kge_negatives: entity table + its size ride as broadcasts; the
+    # filtered setting is ONE left-anti equi-join on the triple key.
+    plan_kn = formatted_plan(e.queries()["kge_negatives"](spark, SF_DIR))
+    sections.append((
+        "kge_negatives (broadcast entities, anti-join filter)",
+        "Corruption resolves through BroadcastHashJoins (entity ids + the "
+        "1-row size aggregate); the filtered-negatives check is an anti "
+        "equi-join, never a cartesian.",
+        plan_kn,
+        ["BroadcastHashJoin", "LeftAnti"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
