@@ -380,6 +380,52 @@ def _textrank_oracle_sql(iterations: int = 3, window: int = 2,
             WHERE rnk <= {top_k}"""
 
 
+# triangle-strip gadget for the k-truss fixture: inner (i, i+2) chords sit
+# in exactly ONE triangle (peeled by k=4 in round 1), after which the
+# (i, i+1) path edges lose all their triangles and peel in round 2 — a
+# guaranteed multi-round cascade the dense host/entity graphs don't have
+STRIP_EDGE_ROWS = ([(f"strip{i:02d}", f"strip{i + 1:02d}")
+                    for i in range(9)]
+                   + [(f"strip{i:02d}", f"strip{i + 2:02d}")
+                      for i in range(8)])
+STRIP_VALUES_SQL = ", ".join(f"('{a}', '{b}')" for a, b in STRIP_EDGE_ROWS)
+
+
+def _ktruss_oracle_sql(rounds: int = 4, k: int = 4) -> str:
+    """Unrolled peel twin of operators/graph.py:ktruss_edges over the
+    host graph + triangle strip — one (triangles, supports, filter) CTE
+    triple per round; peeling is monotone, so rounds past convergence
+    are no-ops; the final support is recomputed on the stable set."""
+    body = ""
+    for i in range(1, rounds + 2):
+        body += f""",
+            t{i} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                     FROM e{i - 1} e1
+                     JOIN e{i - 1} e2 ON e2.a = e1.b
+                     JOIN e{i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+            s{i} AS (SELECT a, b, count(*) AS c FROM (
+                       SELECT x AS a, y AS b FROM t{i}
+                       UNION ALL SELECT y, z FROM t{i}
+                       UNION ALL SELECT x, z FROM t{i})
+                     GROUP BY a, b)"""
+        if i <= rounds:
+            body += f""",
+            e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{i - 1} e
+                     LEFT JOIN s{i} s USING (a, b)
+                     WHERE coalesce(s.c, 0) >= {k - 2})"""
+    return f"""
+            WITH {HOST_EDGES_CTE},
+            alledges AS (SELECT src, dst FROM hedges
+                         UNION ALL
+                         SELECT * FROM (VALUES {STRIP_VALUES_SQL})
+                           AS st(src, dst)),
+            e0 AS MATERIALIZED (
+                   SELECT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM alledges WHERE src <> dst GROUP BY 1, 2){body}
+            SELECT e.a, e.b, CAST(coalesce(s.c, 0) AS BIGINT) AS support
+            FROM e{rounds} e LEFT JOIN s{rounds + 1} s USING (a, b)"""
+
+
 def _label_propagation_oracle_sql(rounds: int = 3) -> str:
     """Unrolled synchronous-LPA twin of operators/graph.py:
     label_propagation over the n_docs-weighted co-occurrence edges — one
@@ -1307,6 +1353,20 @@ def q_link_fd_check(spark, sf_dir):
     return fd_violations(linked, "token", "canonical_id")
 
 
+def q_ktruss_hosts(spark, sf_dir):
+    """k-truss decomposition (Cohen 2008, k=4) over the host link graph
+    plus the triangle-strip gadget (STRIP_EDGE_ROWS): every surviving
+    edge must sit in >= 2 triangles of the SURVIVING subgraph — the
+    edge-wise sibling of kcore_hosts and the dense-community prefilter
+    that cuts one-off co-occurrence links. The strip guarantees a real
+    multi-round cascade (chords peel in round 1, stranded path edges in
+    round 2); oracle: unrolled peel rounds with the final support
+    recomputed on the stable set."""
+    from saber_spark.operators.graph import ktruss_edges
+    strip = spark.createDataFrame(STRIP_EDGE_ROWS, "src string, dst string")
+    return ktruss_edges(_host_edges(spark, sf_dir).unionByName(strip), k=4)
+
+
 def q_kge_negatives(spark, sf_dir):
     """KG-embedding training pairs (TransE, Bordes et al. 2013) over the
     co-occurrence triples: 2 deterministic hash-corrupted negatives per
@@ -2179,10 +2239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # clustering_entities / textrank_keywords / tagger_agreement /
     # auc_doclen / cms_tokens / rrf_search / span_corruption /
     # skipgram_pairs / skew_canonical / link_fd_check / char_entropy /
-    # abbrev_aliases / kge_negatives (positions 51-71).
+    # abbrev_aliases / kge_negatives / ktruss_hosts (positions 51-72).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the twenty-one tail-head newest above (no driver row yet);
+    # (1) the twenty-two tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2299,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "abbrev_aliases": q_abbrev_aliases,
         "kge_negatives": q_kge_negatives,
+        "ktruss_hosts": q_ktruss_hosts,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -3693,6 +3754,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM dl GROUP BY token
             HAVING count(DISTINCT canonical_id) > 1""",
+        "ktruss_hosts": _ktruss_oracle_sql(4, 4),
         "kge_negatives": f"""
             WITH {TOKENS_CTE}, {LINKED_CTE},
             ents0 AS (SELECT DISTINCT doc_id, canonical_id FROM linked),

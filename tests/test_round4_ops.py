@@ -271,3 +271,53 @@ class TestRrfFuse:
         from saber_spark.operators.retrieval import rrf_fuse
         with pytest.raises(ValueError):
             rrf_fuse({})
+
+
+def _ktruss_brute(edges, k):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        nodes = {v for e in es for v in e}
+        adj = {v: set() for v in nodes}
+        for a, b in es:
+            adj[a].add(b)
+            adj[b].add(a)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in es}
+        nxt = {e for e in es if sup[e] >= k - 2}
+        if nxt == es:
+            return {e: sup[e] for e in es}
+        es = nxt
+
+
+class TestKtruss:
+    def test_matches_bruteforce(self, spark):
+        from saber_spark.operators.graph import ktruss_edges
+        rng = random.Random(31)
+        nodes = [f"n{i}" for i in range(14)]
+        edges = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                        for _ in range(40)})
+        df = spark.createDataFrame(edges, "src string, dst string")
+        for k in (3, 4):
+            got = {(r.a, r.b): r.support
+                   for r in ktruss_edges(df, k=k).collect()}
+            assert got == _ktruss_brute(edges, k)
+
+    def test_strip_cascade(self, spark):
+        """Chords of a triangle strip peel first; the stranded path edges
+        peel in the NEXT round — the multi-round dependency a one-shot
+        support filter would get wrong."""
+        from saber_spark.operators.graph import ktruss_edges
+        strip = [(f"s{i}", f"s{i+1}") for i in range(6)] + \
+                [(f"s{i}", f"s{i+2}") for i in range(5)]
+        df = spark.createDataFrame(strip, "src string, dst string")
+        assert ktruss_edges(df, k=4).count() == 0
+        # k=3 keeps the whole strip (every edge sits in >= 1 triangle)
+        assert ktruss_edges(df, k=3).count() == len(strip)
+
+    def test_clique_survives(self, spark):
+        from saber_spark.operators.graph import ktruss_edges
+        nodes = [f"c{i}" for i in range(5)]
+        clique = [(a, b) for i, a in enumerate(nodes)
+                  for b in nodes[i + 1:]]
+        df = spark.createDataFrame(clique, "src string, dst string")
+        got = ktruss_edges(df, k=5).collect()
+        assert len(got) == 10 and all(r.support == 3 for r in got)

@@ -1149,6 +1149,21 @@ def main() -> None:
         0,
     ))
 
+    # 70. ktruss_hosts: each peel round's triangle pass must be
+    # equi-joins (degree-oriented wedges) — no cartesian; the audited
+    # plan is the final round's (upstream rounds are checkpointed).
+    plan_kt = formatted_plan(e.queries()["ktruss_hosts"](spark, SF_DIR))
+    sections.append((
+        "ktruss_hosts (equi-join peel rounds)",
+        "Per-round triangle support = degree-oriented wedge equi-joins + "
+        "one support agg + one edge-keyed join; no cartesian anywhere.",
+        plan_kt,
+        ["HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_kt
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
