@@ -23,9 +23,17 @@ sys.path.insert(0, "/root/repo/tests")
 
 from oracle_check import SF_DIR, TABLES, frame_hash  # noqa: E402
 
+# default slate: the r4 tail-head additions (r5 cap candidates) plus the
+# r4-slate heads — the queries most recently added or rotated
 R4_SLATE = [
     "sentence_split", "dict_mentions", "tfidf_ranked", "quality_filter",
     "proximity_triples", "degree_hist", "mixture_sample", "mixture_weights",
+    "ngram_containment", "ppr_hosts", "weighted_sample", "random_walks",
+    "scrub_dup_spans", "kcore_hosts", "readability", "lm_backoff",
+    "clustering_entities", "textrank_keywords", "tagger_agreement",
+    "auc_doclen", "cms_tokens", "rrf_search", "span_corruption",
+    "skipgram_pairs", "skew_canonical", "link_fd_check", "char_entropy",
+    "abbrev_aliases", "kge_negatives", "ktruss_hosts",
 ]
 
 
