@@ -1353,6 +1353,21 @@ def q_link_fd_check(spark, sf_dir):
     return fd_violations(linked, "token", "canonical_id")
 
 
+def q_wl_fingerprint(spark, sf_dir):
+    """Weisfeiler-Lehman structural fingerprint of the host link graph:
+    the color histogram after 2 refinement rounds (graph.wl_colors) —
+    the snapshot-diff signature that detects neighborhood-structure
+    change without row-by-row edge comparison, and the structural twin
+    of the surface-based doc_fingerprint. Host graph, not the entity
+    graph: the dictionary co-occurrence KG is near-complete on this
+    corpus, so 1-WL collapses it to one color (the link_prediction
+    fixture note) while the parity-varied host fan-out refines into a
+    real spectrum."""
+    from saber_spark.operators.graph import wl_colors
+    return (wl_colors(_host_edges(spark, sf_dir), rounds=2)
+            .groupBy("wl").agg(F.count(F.lit(1)).alias("n_nodes")))
+
+
 def q_ktruss_hosts(spark, sf_dir):
     """k-truss decomposition (Cohen 2008, k=4) over the host link graph
     plus the triangle-strip gadget (STRIP_EDGE_ROWS): every surviving
@@ -2239,10 +2254,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # clustering_entities / textrank_keywords / tagger_agreement /
     # auc_doclen / cms_tokens / rrf_search / span_corruption /
     # skipgram_pairs / skew_canonical / link_fd_check / char_entropy /
-    # abbrev_aliases / kge_negatives / ktruss_hosts (positions 51-72).
+    # abbrev_aliases / kge_negatives / ktruss_hosts / wl_fingerprint
+    # (positions 51-73).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the twenty-two tail-head newest above (no driver row yet);
+    # (1) the twenty-three tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2360,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abbrev_aliases": q_abbrev_aliases,
         "kge_negatives": q_kge_negatives,
         "ktruss_hosts": q_ktruss_hosts,
+        "wl_fingerprint": q_wl_fingerprint,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -3755,6 +3772,26 @@ def oracle_sql() -> dict[str, str]:
             FROM dl GROUP BY token
             HAVING count(DISTINCT canonical_id) > 1""",
         "ktruss_hosts": _ktruss_oracle_sql(4, 4),
+        "wl_fingerprint": f"""
+            WITH {HOST_EDGES_CTE},
+            sym AS (SELECT src AS a, dst AS b FROM hedges WHERE src <> dst
+                    UNION
+                    SELECT dst, src FROM hedges WHERE src <> dst),
+            c0 AS (SELECT a AS node, CAST(count(*) AS VARCHAR) AS wl
+                   FROM sym GROUP BY a),
+            nb1 AS (SELECT s.a AS node,
+                           string_agg(c.wl, ',' ORDER BY c.wl) AS nbs
+                    FROM sym s JOIN c0 c ON c.node = s.b GROUP BY s.a),
+            c1 AS (SELECT c0.node,
+                          substr(md5(c0.wl || ',' || nb1.nbs), 1, 16) AS wl
+                   FROM c0 JOIN nb1 USING (node)),
+            nb2 AS (SELECT s.a AS node,
+                           string_agg(c.wl, ',' ORDER BY c.wl) AS nbs
+                    FROM sym s JOIN c1 c ON c.node = s.b GROUP BY s.a),
+            c2 AS (SELECT c1.node,
+                          substr(md5(c1.wl || ',' || nb2.nbs), 1, 16) AS wl
+                   FROM c1 JOIN nb2 USING (node))
+            SELECT wl, count(*) AS n_nodes FROM c2 GROUP BY wl""",
         "kge_negatives": f"""
             WITH {TOKENS_CTE}, {LINKED_CTE},
             ents0 AS (SELECT DISTINCT doc_id, canonical_id FROM linked),

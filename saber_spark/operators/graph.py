@@ -881,3 +881,48 @@ def ktruss_edges(edges: DataFrame, k: int = 3, max_rounds: int = 30,
     raise RuntimeError(
         f"ktruss_edges: did not converge within {max_rounds} rounds "
         f"(k={k}); raise max_rounds")
+
+
+def wl_colors(edges: DataFrame, rounds: int = 2, src: str = "src",
+              dst: str = "dst") -> DataFrame:
+    """Weisfeiler-Lehman color refinement -> (node, wl): after
+    ``rounds`` iterations of  color' = md5(color | sorted neighbor
+    colors), truncated to 16 hex chars.
+
+    The classic graph-canonization primitive (1-WL): two nodes get the
+    same final color iff their depth-``rounds`` neighborhood trees are
+    indistinguishable, so the color HISTOGRAM is a structural
+    fingerprint of the whole graph — the KG-diff signature that detects
+    "this snapshot's neighborhood structure changed" without comparing
+    edges row-by-row, and the entity-context signature for structural
+    (rather than surface) entity matching. Initial color = degree.
+
+    Determinism/portability: colors are md5 over a canonical string
+    (own color + ',' + comma-joined SORTED neighbor colors) — the DSIR
+    hash family, bit-identical in any engine; 16 hex chars keep
+    collision odds negligible (64 bits) while halving state.
+
+    Scale shape: each round is ONE join (edge table against the color
+    vector, exactly once — linear plan growth) + ONE sorted-collect agg
+    per node; per-node state is bounded by degree, and a production run
+    on a hub-skewed graph caps the collected list the same way the
+    tagger caps batch size (here the KG graphs are canonicalized first,
+    which is what bounds hubs). Edges are localCheckpointed once.
+    """
+    sym = (_symmetrize(edges, src, dst)
+           .filter(F.col("a") != F.col("b"))
+           .localCheckpoint(eager=True))
+    colors = (sym.groupBy(F.col("a").alias("node"))
+              .agg(F.count(F.lit(1)).cast("string").alias("wl")))
+    for _ in range(rounds):
+        nb = (sym
+              .join(colors.select(F.col("node").alias("b"),
+                                  F.col("wl").alias("nb_wl")), "b")
+              .groupBy(F.col("a").alias("node"))
+              .agg(F.array_join(F.array_sort(F.collect_list("nb_wl")), ",")
+                   .alias("nbs")))
+        colors = (colors.join(nb, "node")
+                  .select("node",
+                          F.substring(F.md5(F.concat_ws(",", "wl", "nbs")),
+                                      1, 16).alias("wl")))
+    return colors

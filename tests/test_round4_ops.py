@@ -321,3 +321,55 @@ class TestKtruss:
         df = spark.createDataFrame(clique, "src string, dst string")
         got = ktruss_edges(df, k=5).collect()
         assert len(got) == 10 and all(r.support == 3 for r in got)
+
+
+def _wl_brute(edges, rounds):
+    import hashlib
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    col = {v: str(len(nb)) for v, nb in adj.items()}
+    for _ in range(rounds):
+        col = {v: hashlib.md5(
+            (col[v] + "," + ",".join(sorted(col[u] for u in adj[v])))
+            .encode()).hexdigest()[:16] for v in adj}
+    return col
+
+
+class TestWlColors:
+    def test_matches_bruteforce(self, spark):
+        from saber_spark.operators.graph import wl_colors
+        rng = random.Random(41)
+        nodes = [f"n{i}" for i in range(18)]
+        edges = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                        for _ in range(35)})
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.wl for r in wl_colors(df, rounds=3).collect()}
+        assert got == _wl_brute(edges, 3)
+
+    def test_isomorphic_graphs_same_histogram(self, spark):
+        from collections import Counter
+
+        from saber_spark.operators.graph import wl_colors
+        # path P4 under two different labelings
+        g1 = [("a", "b"), ("b", "c"), ("c", "d")]
+        g2 = [("x", "w"), ("w", "y"), ("y", "z")]
+        h = []
+        for g in (g1, g2):
+            df = spark.createDataFrame(g, "src string, dst string")
+            h.append(Counter(r.wl for r in wl_colors(df, 2).collect()))
+        assert h[0] == h[1]
+
+    def test_distinguishes_path_from_star(self, spark):
+        from collections import Counter
+
+        from saber_spark.operators.graph import wl_colors
+        path = [("a", "b"), ("b", "c"), ("c", "d")]
+        star = [("h", "l1"), ("h", "l2"), ("h", "l3")]
+        hp, hs = (Counter(r.wl for r in wl_colors(
+            spark.createDataFrame(g, "src string, dst string"), 2).collect())
+            for g in (path, star))
+        assert hp != hs

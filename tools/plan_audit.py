@@ -1164,6 +1164,23 @@ def main() -> None:
         0,
     ))
 
+    # 71. wl_fingerprint: each refinement round is ONE equi-join of the
+    # color vector against the checkpointed edges + one sorted-collect
+    # agg — linear plan growth, zero Python.
+    plan_wl = formatted_plan(e.queries()["wl_fingerprint"](spark, SF_DIR))
+    sections.append((
+        "wl_fingerprint (one join + one agg per WL round)",
+        "Color refinement must join the edge table against the color "
+        "vector exactly once per round (SortMergeJoin/ShuffledHashJoin "
+        "equi-join) with the neighbor multiset built by a sorted collect "
+        "agg; no cartesian, zero Python.",
+        plan_wl,
+        ["HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_wl
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
