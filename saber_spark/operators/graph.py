@@ -884,7 +884,7 @@ def ktruss_edges(edges: DataFrame, k: int = 3, max_rounds: int = 30,
 
 
 def wl_colors(edges: DataFrame, rounds: int = 2, src: str = "src",
-              dst: str = "dst") -> DataFrame:
+              dst: str = "dst", materialize: bool = True) -> DataFrame:
     """Weisfeiler-Lehman color refinement -> (node, wl): after
     ``rounds`` iterations of  color' = md5(color | sorted neighbor
     colors), truncated to 16 hex chars.
@@ -914,7 +914,7 @@ def wl_colors(edges: DataFrame, rounds: int = 2, src: str = "src",
            .localCheckpoint(eager=True))
     colors = (sym.groupBy(F.col("a").alias("node"))
               .agg(F.count(F.lit(1)).cast("string").alias("wl")))
-    for _ in range(rounds):
+    for i in range(rounds):
         nb = (sym
               .join(colors.select(F.col("node").alias("b"),
                                   F.col("wl").alias("nb_wl")), "b")
@@ -925,4 +925,10 @@ def wl_colors(edges: DataFrame, rounds: int = 2, src: str = "src",
                   .select("node",
                           F.substring(F.md5(F.concat_ws(",", "wl", "nbs")),
                                       1, 16).alias("wl")))
+        # the color vector is referenced TWICE per round (neighbor join +
+        # own-color join), so the un-cut plan doubles per round — the
+        # _propagate analyzer-blowup class; cut lineage between rounds
+        # (final round stays lazy so consumers/plan audits see the shape)
+        if materialize and i < rounds - 1:
+            colors = colors.localCheckpoint(eager=True)
     return colors
