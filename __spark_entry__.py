@@ -1353,6 +1353,17 @@ def q_link_fd_check(spark, sf_dir):
     return fd_violations(linked, "token", "canonical_id")
 
 
+def q_entity_centroids(spark, sf_dir):
+    """Entity context-embedding centroids: integer quantized component
+    sums of the embeddings of documents mentioning each canonical
+    entity (distinct doc per entity) — the KG<->embedding bridge that
+    SemDeDup-style entity merging and alias suggestion consume.
+    vec_id aligns with doc_id on this corpus (the rrf_search note)."""
+    from saber_spark.operators.classify import entity_centroids
+    return entity_centroids(_linked_spark(spark, sf_dir),
+                            _embeddings(spark, sf_dir))
+
+
 def q_wl_fingerprint(spark, sf_dir):
     """Weisfeiler-Lehman structural fingerprint of the host link graph:
     the color histogram after 2 refinement rounds (graph.wl_colors) —
@@ -2254,11 +2265,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # clustering_entities / textrank_keywords / tagger_agreement /
     # auc_doclen / cms_tokens / rrf_search / span_corruption /
     # skipgram_pairs / skew_canonical / link_fd_check / char_entropy /
-    # abbrev_aliases / kge_negatives / ktruss_hosts / wl_fingerprint
-    # (positions 51-73).
+    # abbrev_aliases / kge_negatives / ktruss_hosts / wl_fingerprint /
+    # entity_centroids (positions 51-74).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the twenty-three tail-head newest above (no driver row yet);
+    # (1) the twenty-four tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2377,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kge_negatives": q_kge_negatives,
         "ktruss_hosts": q_ktruss_hosts,
         "wl_fingerprint": q_wl_fingerprint,
+        "entity_centroids": q_entity_centroids,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -3772,6 +3784,24 @@ def oracle_sql() -> dict[str, str]:
             FROM dl GROUP BY token
             HAVING count(DISTINCT canonical_id) > 1""",
         "ktruss_hosts": _ktruss_oracle_sql(4, 4),
+        "entity_centroids": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            ed AS (SELECT DISTINCT canonical_id AS entity,
+                          doc_id AS d
+                   FROM linked),
+            dims AS (SELECT vec_id AS d,
+                            CAST(generate_subscripts(qv, 1) - 1 AS INT)
+                              AS dim,
+                            unnest(qv) AS qv
+                     FROM (SELECT vec_id, list_transform(embedding,
+                                  x -> CAST(round(x::DOUBLE * 1000)
+                                            AS BIGINT)) AS qv
+                           FROM embeddings))
+            SELECT ed.entity AS canonical_id, dims.dim,
+                   CAST(sum(dims.qv) AS BIGINT) AS csum,
+                   count(DISTINCT ed.d) AS n_docs
+            FROM ed JOIN dims USING (d)
+            GROUP BY 1, 2""",
         "wl_fingerprint": f"""
             WITH {HOST_EDGES_CTE},
             sym AS (SELECT src AS a, dst AS b FROM hedges WHERE src <> dst

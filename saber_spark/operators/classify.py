@@ -97,3 +97,40 @@ def centroid_confusion(embeddings: DataFrame, folds: int = 5,
                        id_col)
             .groupBy("true_label", "pred_label")
             .agg(F.count(F.lit(1)).alias("n_vecs")))
+
+
+def entity_centroids(linked: DataFrame, embeddings: DataFrame,
+                     ent_col: str = "canonical_id",
+                     doc_col: str = "doc_id", id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Linked mentions + document embeddings -> (canonical_id, dim,
+    csum, n_docs): exact integer sufficient statistics of each
+    entity's CONTEXT centroid — the component sums of the quantized
+    embeddings of the documents that mention it (distinct doc per
+    entity, so a 50-mention doc votes once).
+
+    The KG<->embedding bridge artifact: entity context centroids are
+    what SemDeDup-style semantic entity merging, embedding-based alias
+    suggestion, and type-induction clustering all consume. Integer
+    quantized sums (the centroid_fit convention) keep the table
+    engine-portable and mergeable — a second corpus shard's sums just
+    add.
+
+    Scale shape: distinct (entity, doc) collapses mention multiplicity
+    FIRST (one hash agg keyed like the linked table), then one
+    equi-join against the embeddings table on the doc key and one
+    partial+final agg on (entity, dim) — hub entities fan out over
+    docs, absorbed by the map-side combine on the |E| x dims keyspace.
+    """
+    ent_docs = (linked.select(F.col(ent_col).alias("entity"),
+                              F.col(doc_col).alias("d"))
+                .distinct())
+    dims = _quantized_dims(
+        embeddings.select(F.col(id_col).alias("d"), vec_col),
+        "d", vec_col)
+    return (ent_docs.join(dims, "d")
+            .groupBy("entity", "dim")
+            .agg(F.sum("qv").alias("csum"),
+                 F.count_distinct("d").alias("n_docs"))
+            .select(F.col("entity").alias(ent_col), "dim", "csum",
+                    "n_docs"))

@@ -297,3 +297,41 @@ class TestKgeNegatives:
         a = sorted(map(tuple, kge_negatives(df).collect()))
         b = sorted(map(tuple, kge_negatives(df).collect()))
         assert a == b
+
+
+class TestEntityCentroids:
+    def test_matches_bruteforce_and_votes_once_per_doc(self, spark):
+        from saber_spark.operators.classify import entity_centroids
+        linked = spark.createDataFrame(
+            # entity E1 mentioned TWICE in doc 0 (must vote once)
+            [(0, "E1"), (0, "E1"), (1, "E1"), (1, "E2")],
+            "doc_id long, canonical_id string")
+        emb = spark.createDataFrame(
+            [(0, [0.1, -0.2]), (1, [0.3, 0.4])],
+            "vec_id long, embedding array<float>")
+        got = {(r.canonical_id, r.dim): (r.csum, r.n_docs)
+               for r in entity_centroids(linked, emb).collect()}
+        # quantized: doc0 -> [100, -200], doc1 -> [300, 400]
+        assert got == {
+            ("E1", 0): (400, 2), ("E1", 1): (200, 2),
+            ("E2", 0): (300, 1), ("E2", 1): (400, 1),
+        }
+
+    def test_mergeable_across_shards(self, spark):
+        """Sums from two disjoint doc shards must add to the full-corpus
+        sums — the property that makes the table incrementally
+        maintainable."""
+        from saber_spark.operators.classify import entity_centroids
+        linked = spark.createDataFrame(
+            [(i, "E") for i in range(6)], "doc_id long, canonical_id string")
+        emb = spark.createDataFrame(
+            [(i, [float(i)]) for i in range(6)],
+            "vec_id long, embedding array<float>")
+        full = {(r.dim): r.csum
+                for r in entity_centroids(linked, emb).collect()}
+        parts = []
+        for pred in ("doc_id < 3", "doc_id >= 3"):
+            parts.append({r.dim: r.csum for r in entity_centroids(
+                linked.filter(pred), emb).collect()})
+        assert full == {d: parts[0].get(d, 0) + parts[1].get(d, 0)
+                        for d in full}

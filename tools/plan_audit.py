@@ -1181,6 +1181,22 @@ def main() -> None:
         0,
     ))
 
+    # 72. entity_centroids: mention multiplicity collapses BEFORE the
+    # embeddings join; sums are partial+final aggs on (entity, dim).
+    plan_ec = formatted_plan(e.queries()["entity_centroids"](spark,
+                                                             SF_DIR))
+    sections.append((
+        "entity_centroids (distinct-first, two-phase sums)",
+        "The (entity, doc) distinct runs before the embeddings equi-join "
+        "so mention multiplicity never multiplies vector rows; the "
+        "component sums are map-side-combined hash aggs.",
+        plan_ec,
+        ["HashAggregate", "Generate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_ec
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
