@@ -33,7 +33,8 @@ R4_SLATE = [
     "clustering_entities", "textrank_keywords", "tagger_agreement",
     "auc_doclen", "cms_tokens", "rrf_search", "span_corruption",
     "skipgram_pairs", "skew_canonical", "link_fd_check", "char_entropy",
-    "abbrev_aliases", "kge_negatives", "ktruss_hosts",
+    "abbrev_aliases", "kge_negatives", "ktruss_hosts", "wl_fingerprint",
+    "entity_centroids",
 ]
 
 
