@@ -1353,6 +1353,22 @@ def q_link_fd_check(spark, sf_dir):
     return fd_violations(linked, "token", "canonical_id")
 
 
+def q_sssp_hosts(spark, sf_dir):
+    """Weighted shortest paths (distributed Bellman-Ford) from the seed
+    host over the directed host graph with deterministic integer edge
+    costs (1 + md5(src:dst) % 5 — the portable hash family): the COST
+    upgrade of khop_hosts' hop counts. Exact integer min/+ arithmetic;
+    oracle: unrolled relaxation rounds (monotone, so post-convergence
+    rounds are no-ops)."""
+    from saber_spark.operators.graph import sssp_weighted
+    e = _host_edges(spark, sf_dir)
+    cost = (F.conv(F.substring(F.md5(F.concat_ws(":", "src", "dst")),
+                               1, 8), 16, 10).cast("long") % 5 + 1)
+    seeds = spark.createDataFrame([("src3.example.org",)], "node string")
+    return sssp_weighted(e.select("src", "dst", cost.alias("cost")),
+                         seeds)
+
+
 def q_entity_centroids(spark, sf_dir):
     """Entity context-embedding centroids: integer quantized component
     sums of the embeddings of documents mentioning each canonical
@@ -2266,10 +2282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # auc_doclen / cms_tokens / rrf_search / span_corruption /
     # skipgram_pairs / skew_canonical / link_fd_check / char_entropy /
     # abbrev_aliases / kge_negatives / ktruss_hosts / wl_fingerprint /
-    # entity_centroids (positions 51-74).
+    # entity_centroids / sssp_hosts (positions 51-75).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the twenty-four tail-head newest above (no driver row yet);
+    # (1) the twenty-five tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2389,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_hosts": q_ktruss_hosts,
         "wl_fingerprint": q_wl_fingerprint,
         "entity_centroids": q_entity_centroids,
+        "sssp_hosts": q_sssp_hosts,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -3784,6 +3801,47 @@ def oracle_sql() -> dict[str, str]:
             FROM dl GROUP BY token
             HAVING count(DISTINCT canonical_id) > 1""",
         "ktruss_hosts": _ktruss_oracle_sql(4, 4),
+        "sssp_hosts": f"""
+            WITH {HOST_EDGES_CTE},
+            base AS (SELECT src AS u, dst AS v,
+                            CAST('0x' || substr(md5(src || ':' || dst),
+                                                1, 8) AS BIGINT) % 5 + 1
+                              AS w
+                     FROM hedges),
+            dedup AS (SELECT u, v, min(w) AS w FROM base GROUP BY u, v),
+            nodes AS (SELECT DISTINCT u AS node FROM dedup
+                      UNION SELECT v FROM dedup),
+            es AS MATERIALIZED (
+              SELECT u, v, w FROM dedup
+              UNION ALL
+              SELECT node, node, CAST(0 AS BIGINT) FROM nodes),
+            d0 AS (SELECT 'src3.example.org' AS node,
+                          CAST(0 AS BIGINT) AS dist),
+            d1 AS MATERIALIZED (
+              SELECT v AS node, min(dist + w) AS dist
+              FROM es JOIN d0 d ON es.u = d.node
+              GROUP BY v),
+            d2 AS MATERIALIZED (
+              SELECT v AS node, min(dist + w) AS dist
+              FROM es JOIN d1 d ON es.u = d.node
+              GROUP BY v),
+            d3 AS MATERIALIZED (
+              SELECT v AS node, min(dist + w) AS dist
+              FROM es JOIN d2 d ON es.u = d.node
+              GROUP BY v),
+            d4 AS MATERIALIZED (
+              SELECT v AS node, min(dist + w) AS dist
+              FROM es JOIN d3 d ON es.u = d.node
+              GROUP BY v),
+            d5 AS MATERIALIZED (
+              SELECT v AS node, min(dist + w) AS dist
+              FROM es JOIN d4 d ON es.u = d.node
+              GROUP BY v),
+            d6 AS MATERIALIZED (
+              SELECT v AS node, min(dist + w) AS dist
+              FROM es JOIN d5 d ON es.u = d.node
+              GROUP BY v)
+            SELECT node, CAST(dist AS BIGINT) AS dist FROM d6""",
         "entity_centroids": f"""
             WITH {TOKENS_CTE}, {LINKED_CTE},
             ed AS (SELECT DISTINCT canonical_id AS entity,

@@ -932,3 +932,68 @@ def wl_colors(edges: DataFrame, rounds: int = 2, src: str = "src",
         if materialize and i < rounds - 1:
             colors = colors.localCheckpoint(eager=True)
     return colors
+
+
+def sssp_weighted(edges: DataFrame, seeds: DataFrame,
+                  weight_col: str = "cost", max_rounds: int = 30,
+                  src: str = "src", dst: str = "dst",
+                  seed_col: str = "node") -> DataFrame:
+    """Multi-source single-source-shortest-path over DIRECTED weighted
+    edges -> (node, dist): minimum total edge cost from any seed, for
+    every reachable node (seeds report 0). Distributed Bellman-Ford —
+    the Pregel-standard SSSP: round r relaxes every edge once,
+    dist'(v) = min(dist(v), min over edges u->v of dist(u) + w(u, v)),
+    converging in <= longest-shortest-path-hops rounds.
+
+    The weighted upgrade of khop_distance: hop counts scope a crawl,
+    but KG relatedness and routing want COST (e.g. -log PMI as edge
+    length, so short paths = strongly associated entity chains).
+    Weights must be NON-NEGATIVE integers (validated): integer min/+
+    arithmetic is engine-exact, the same reason hits() is exact-BIGINT
+    — no float accumulation to drift across engines.
+
+    Scale shape per round: ONE equi-join of the CURRENT distance table
+    against the (checkpointed) edge list + one min-agg, the
+    connected_components per-round contract; the distance table is
+    referenced once per round via the closed-neighborhood trick
+    (self-edges with cost 0 fold "keep my current dist" into the same
+    join, linear plan growth) and localCheckpointed between rounds.
+    Early exit on the first round with no improvement; RuntimeError
+    past max_rounds (negative-cycle-impossible here, so non-convergence
+    means max_rounds is too small — loud, never silent).
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                      F.col(weight_col).cast("long").alias("w"))
+         .filter(F.col("u").isNotNull() & F.col("v").isNotNull()))
+    bad = e.filter(F.col("w").isNull() | (F.col("w") < 0)).limit(1).count()
+    if bad:
+        raise ValueError("sssp_weighted: weights must be non-negative "
+                         "integers (NULL or negative cost found)")
+    e = e.groupBy("u", "v").agg(F.min("w").alias("w"))
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node"))).distinct())
+    # closed neighborhood: zero-cost self-edges mean each round is ONE
+    # join + ONE agg with dist referenced exactly once
+    e_self = (e.unionByName(nodes.select(F.col("node").alias("u"),
+                                         F.col("node").alias("v"),
+                                         F.lit(0).cast("long").alias("w")))
+              .localCheckpoint(eager=True))
+    dist = (seeds.select(F.col(seed_col).alias("node")).distinct()
+            .select("node", F.lit(0).cast("long").alias("dist"))
+            .localCheckpoint(eager=True))
+    n_reached, total = dist.count(), -1
+    for _ in range(max_rounds):
+        relaxed = (e_self.join(dist, e_self.u == dist.node)
+                   .groupBy(F.col("v").alias("node2"))
+                   .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+                   .withColumnRenamed("node2", "node")
+                   .localCheckpoint(eager=True))
+        stats = relaxed.agg(F.count(F.lit(1)).alias("n"),
+                            F.sum("dist").alias("s")).collect()[0]
+        if (stats["n"], stats["s"]) == (n_reached, total):
+            return relaxed
+        n_reached, total = stats["n"], stats["s"]
+        dist = relaxed
+    raise RuntimeError(
+        f"sssp_weighted: did not converge within {max_rounds} rounds; "
+        "raise max_rounds")

@@ -373,3 +373,64 @@ class TestWlColors:
             spark.createDataFrame(g, "src string, dst string"), 2).collect())
             for g in (path, star))
         assert hp != hs
+
+
+def _sssp_brute(edges, seeds):
+    import heapq
+    adj = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+    dist = {s: 0 for s in seeds}
+    pq = [(0, s) for s in seeds]
+    heapq.heapify(pq)
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+class TestSsspWeighted:
+    def test_matches_dijkstra(self, spark):
+        from saber_spark.operators.graph import sssp_weighted
+        rng = random.Random(47)
+        nodes = [f"n{i}" for i in range(15)]
+        edges = sorted({(rng.choice(nodes), rng.choice(nodes))
+                        for _ in range(45)})
+        edges = [(u, v, rng.randrange(1, 9)) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src string, dst string, cost int")
+        seeds = spark.createDataFrame([("n0",), ("n7",)], "node string")
+        got = {r.node: r.dist for r in sssp_weighted(df, seeds).collect()}
+        assert got == _sssp_brute(edges, ["n0", "n7"])
+
+    def test_cheap_long_path_beats_heavy_direct_edge(self, spark):
+        from saber_spark.operators.graph import sssp_weighted
+        df = spark.createDataFrame(
+            [("a", "z", 10), ("a", "b", 1), ("b", "c", 1), ("c", "z", 1)],
+            "src string, dst string, cost int")
+        seeds = spark.createDataFrame([("a",)], "node string")
+        got = {r.node: r.dist for r in sssp_weighted(df, seeds).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2, "z": 3}
+
+    def test_negative_weight_rejected(self, spark):
+        import pytest as _pytest
+
+        from saber_spark.operators.graph import sssp_weighted
+        df = spark.createDataFrame([("a", "b", -1)],
+                                   "src string, dst string, cost int")
+        seeds = spark.createDataFrame([("a",)], "node string")
+        with _pytest.raises(ValueError):
+            sssp_weighted(df, seeds)
+
+    def test_unreachable_absent(self, spark):
+        from saber_spark.operators.graph import sssp_weighted
+        df = spark.createDataFrame([("a", "b", 2), ("x", "y", 1)],
+                                   "src string, dst string, cost int")
+        seeds = spark.createDataFrame([("a",)], "node string")
+        got = {r.node: r.dist for r in sssp_weighted(df, seeds).collect()}
+        assert got == {"a": 0, "b": 2}

@@ -1197,6 +1197,22 @@ def main() -> None:
         0,
     ))
 
+    # 73. sssp_hosts: each relaxation round is one equi-join + one
+    # min-agg (distance table referenced once via self-edges); the
+    # returned plan is the converged round over checkpointed inputs.
+    plan_ss = formatted_plan(e.queries()["sssp_hosts"](spark, SF_DIR))
+    sections.append((
+        "sssp_hosts (one join + one min-agg per relaxation)",
+        "Bellman-Ford rounds must be equi-join + hash min-agg (no "
+        "cartesian); integer cost arithmetic keeps the result "
+        "engine-exact.",
+        plan_ss,
+        []
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_ss
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
