@@ -1353,6 +1353,18 @@ def q_link_fd_check(spark, sf_dir):
     return fd_violations(linked, "token", "canonical_id")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping sliding-window chunking (window 8, stride 4) — the
+    RAG/embedding-index chunker: no span is cut at a hard boundary
+    without appearing intact in a neighbor chunk. Membership is per-row
+    integer arithmetic + a constant-factor explode; reassembly keys on
+    (doc, chunk), finer than doc_id, so long docs spread across
+    reducers."""
+    from saber_spark.operators.packing import chunk_documents
+    return chunk_documents(tokenize_docs(_docs(spark, sf_dir)),
+                           window=8, stride=4)
+
+
 def q_sssp_hosts(spark, sf_dir):
     """Weighted shortest paths (distributed Bellman-Ford) from the seed
     host over the directed host graph with deterministic integer edge
@@ -2282,10 +2294,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # auc_doclen / cms_tokens / rrf_search / span_corruption /
     # skipgram_pairs / skew_canonical / link_fd_check / char_entropy /
     # abbrev_aliases / kge_negatives / ktruss_hosts / wl_fingerprint /
-    # entity_centroids / sssp_hosts (positions 51-75).
+    # entity_centroids / sssp_hosts / chunk_documents
+    # (positions 51-76).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the twenty-five tail-head newest above (no driver row yet);
+    # (1) the twenty-six tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2406,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_fingerprint": q_wl_fingerprint,
         "entity_centroids": q_entity_centroids,
         "sssp_hosts": q_sssp_hosts,
+        "chunk_documents": q_chunk_documents,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -3801,6 +3815,20 @@ def oracle_sql() -> dict[str, str]:
             FROM dl GROUP BY token
             HAVING count(DISTINCT canonical_id) > 1""",
         "ktruss_hosts": _ktruss_oracle_sql(4, 4),
+        "chunk_documents": f"""
+            WITH {TOKENS_CTE},
+            assigned AS (
+              SELECT doc_id, pos, token,
+                     unnest(generate_series(
+                       CASE WHEN pos - 8 + 1 <= 0 THEN 0
+                            ELSE (pos - 8 + 4) // 4 END,
+                       pos // 4)) AS k
+              FROM tokens)
+            SELECT doc_id, k AS chunk_id,
+                   CAST(k * 4 AS BIGINT) AS chunk_start,
+                   count(*) AS n_tokens,
+                   string_agg(token, ' ' ORDER BY pos) AS chunk_text
+            FROM assigned GROUP BY doc_id, k""",
         "sssp_hosts": f"""
             WITH {HOST_EDGES_CTE},
             base AS (SELECT src AS u, dst AS v,

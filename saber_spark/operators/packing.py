@@ -57,3 +57,50 @@ def pack_sequences(docs: DataFrame, window: int = 512,
                    ).cast("long").alias("bin_offset"),
         )
     )
+
+
+def chunk_documents(tokens: DataFrame, window: int = 8, stride: int = 4,
+                    id_col: str = "doc_id", pos_col: str = "pos",
+                    token_col: str = "token") -> DataFrame:
+    """(doc_id, pos, token) -> (doc_id, chunk_id, chunk_start, n_tokens,
+    chunk_text): overlapping sliding-window chunks — window ``window``
+    tokens, a new chunk every ``stride`` (stride < window = overlap).
+
+    The RAG/embedding-index chunker (and the long-doc pretraining
+    shard): sequence_packing fits WHOLE docs into token budgets; this
+    splits LONG docs into overlapping windows so no span is cut at a
+    hard boundary without also appearing intact in a neighbor chunk.
+    chunk_id = k means the chunk covering positions
+    [k*stride, k*stride + window); trailing chunks are shorter, and a
+    doc emits chunks only for windows it reaches (a 5-token doc at
+    window 8 emits exactly chunk 0).
+
+    Scale shape: chunk membership is per-row integer arithmetic + one
+    explode by the CONSTANT factor ceil(window/stride) (each token sits
+    in at most that many chunks); reassembly is the scrub_dup_spans
+    ordered collect keyed (doc, chunk) — one shuffle on a key finer
+    than doc_id, so long docs spread across reducers instead of
+    hot-spotting one.
+    """
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("chunk_documents: need 0 < stride <= window")
+    p = F.col(pos_col).cast("long")
+    # first chunk index covering pos: ceil((pos-window+1)/stride),
+    # clamped at 0 — the piecewise form keeps the integer division on a
+    # NON-NEGATIVE numerator, where Spark `div` and DuckDB `//` agree
+    k_min = F.when(p - window + 1 <= 0, F.lit(0)).otherwise(
+        F.expr(f"({pos_col} - {window} + {stride}) div {stride}"))
+    k_max = F.expr(f"{pos_col} div {stride}")
+    assigned = (tokens
+                .select(F.col(id_col), p.alias("p"),
+                        F.col(token_col).alias("tok"),
+                        F.explode(F.sequence(k_min, k_max)).alias("k")))
+    return (assigned
+            .groupBy(id_col, F.col("k").alias("chunk_id"))
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.array_join(F.transform(
+                     F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                     lambda s: s.tok), " ").alias("chunk_text"))
+            .select(id_col, "chunk_id",
+                    (F.col("chunk_id") * stride).alias("chunk_start"),
+                    "n_tokens", "chunk_text"))

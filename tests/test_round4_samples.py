@@ -335,3 +335,58 @@ class TestEntityCentroids:
                 linked.filter(pred), emb).collect()})
         assert full == {d: parts[0].get(d, 0) + parts[1].get(d, 0)
                         for d in full}
+
+
+class TestChunkDocuments:
+    @staticmethod
+    def _brute(toks, w, s):
+        out = {}
+        n = len(toks)
+        k = 0
+        while k * s < n:
+            seg = toks[k * s:k * s + w]
+            out[k] = (k * s, len(seg), " ".join(seg))
+            k += 1
+        return out
+
+    def test_matches_bruteforce(self, spark):
+        from saber_spark.operators.packing import chunk_documents
+        rng = random.Random(53)
+        docs = {i: [f"t{rng.randrange(20)}"
+                    for _ in range(rng.randrange(1, 30))]
+                for i in range(40)}
+        rows = [(i, p, t) for i, ts in docs.items()
+                for p, t in enumerate(ts)]
+        df = spark.createDataFrame(rows, "doc_id long, pos int, token string")
+        got = {}
+        for r in chunk_documents(df, window=8, stride=4).collect():
+            got.setdefault(r.doc_id, {})[r.chunk_id] = \
+                (r.chunk_start, r.n_tokens, r.chunk_text)
+        want = {i: self._brute(ts, 8, 4) for i, ts in docs.items()}
+        assert got == want
+
+    def test_every_window_span_is_intact_somewhere(self, spark):
+        """The overlap guarantee: any span of <= stride+1 consecutive
+        tokens appears UNCUT in at least one chunk."""
+        from saber_spark.operators.packing import chunk_documents
+        toks = [f"w{i}" for i in range(20)]
+        df = spark.createDataFrame(
+            [(1, p, t) for p, t in enumerate(toks)],
+            "doc_id long, pos int, token string")
+        chunks = [r.chunk_text for r in
+                  chunk_documents(df, window=8, stride=4).collect()]
+        for start in range(0, 20 - 4):
+            span = " ".join(toks[start:start + 5])
+            assert any(span in c for c in chunks), span
+
+    def test_short_doc_single_chunk_and_bad_params(self, spark):
+        import pytest as _pytest
+
+        from saber_spark.operators.packing import chunk_documents
+        df = spark.createDataFrame(
+            [(1, p, t) for p, t in enumerate("a b c".split())],
+            "doc_id long, pos int, token string")
+        rows = chunk_documents(df, window=8, stride=4).collect()
+        assert len(rows) == 1 and rows[0].chunk_text == "a b c"
+        with _pytest.raises(ValueError):
+            chunk_documents(df, window=4, stride=5)

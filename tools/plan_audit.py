@@ -1213,6 +1213,21 @@ def main() -> None:
         0,
     ))
 
+    # 74. chunk_documents: membership is per-row arithmetic + constant-
+    # factor Generate; reassembly aggregates on (doc, chunk).
+    plan_cd = formatted_plan(e.queries()["chunk_documents"](spark, SF_DIR))
+    sections.append((
+        "chunk_documents (constant-factor explode, chunk-keyed agg)",
+        "Chunk membership must be a Generate over an in-row integer "
+        "sequence (never a chunk-table join); reassembly is one hash agg "
+        "keyed (doc, chunk) — finer than doc_id, long docs spread.",
+        plan_cd,
+        ["Generate", "HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_cd
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
