@@ -1353,6 +1353,16 @@ def q_link_fd_check(spark, sf_dir):
     return fd_violations(linked, "token", "canonical_id")
 
 
+def q_linkpred_auc(spark, sf_dir):
+    """Held-out link-prediction evaluation over the host graph: md5
+    hash-split edges 50/50, Adamic-Adar scores from the TRAIN half,
+    tie-exact ROC-AUC of the candidate scores against TEST membership —
+    the eval harness that says whether link_prediction's ranking is any
+    good (the eval_prf of KG completion)."""
+    from saber_spark.operators.graph import link_prediction_eval
+    return link_prediction_eval(_host_edges(spark, sf_dir))
+
+
 def q_chunk_documents(spark, sf_dir):
     """Overlapping sliding-window chunking (window 8, stride 4) — the
     RAG/embedding-index chunker: no span is cut at a hard boundary
@@ -2294,11 +2304,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # auc_doclen / cms_tokens / rrf_search / span_corruption /
     # skipgram_pairs / skew_canonical / link_fd_check / char_entropy /
     # abbrev_aliases / kge_negatives / ktruss_hosts / wl_fingerprint /
-    # entity_centroids / sssp_hosts / chunk_documents
-    # (positions 51-76).
+    # entity_centroids / sssp_hosts / chunk_documents / linkpred_auc
+    # (positions 51-77).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the twenty-six tail-head newest above (no driver row yet);
+    # (1) the twenty-seven tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2420,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_centroids": q_entity_centroids,
         "sssp_hosts": q_sssp_hosts,
         "chunk_documents": q_chunk_documents,
+        "linkpred_auc": q_linkpred_auc,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -3815,6 +3826,65 @@ def oracle_sql() -> dict[str, str]:
             FROM dl GROUP BY token
             HAVING count(DISTINCT canonical_id) > 1""",
         "ktruss_hosts": _ktruss_oracle_sql(4, 4),
+        "linkpred_auc": """
+            WITH edges0 AS (
+              SELECT DISTINCT source || '.example.org' AS src,
+                     'src' || CAST(CASE WHEN doc_id % 2 = 0
+                                        THEN doc_id % 7
+                                        ELSE doc_id % 3 END AS VARCHAR)
+                       || '.example.org' AS dst
+              FROM documents),
+            norm AS (SELECT DISTINCT least(src, dst) AS a,
+                            greatest(src, dst) AS b
+                     FROM edges0 WHERE src <> dst),
+            hashed AS (SELECT a, b,
+                              CAST('0x' || substr(md5(a || ':' || b),
+                                                  1, 8) AS BIGINT) % 2
+                                AS h
+                       FROM norm),
+            train AS (SELECT a, b FROM hashed WHERE h <> 0),
+            test AS (SELECT a, b FROM hashed WHERE h = 0),
+            sym AS (SELECT a, b FROM train
+                    UNION ALL SELECT b, a FROM train),
+            deg2 AS (SELECT a, count(*) AS deg FROM sym
+                     GROUP BY a HAVING count(*) >= 2),
+            nbr AS (SELECT s.a AS z, s.b AS n,
+                           1.0 / ln(CAST(d.deg AS DOUBLE)) AS w
+                    FROM sym s JOIN deg2 d ON d.a = s.a),
+            wed AS (SELECT l.n AS a, r.n AS b,
+                           round(sum(l.w), 6) AS aa_score
+                    FROM nbr l JOIN nbr r ON l.z = r.z AND l.n < r.n
+                    GROUP BY l.n, r.n),
+            cand AS (SELECT * FROM wed
+                     WHERE NOT EXISTS (SELECT 1 FROM sym s
+                                       WHERE s.a = wed.a
+                                         AND s.b = wed.b)),
+            lab AS (SELECT c.aa_score AS score,
+                           EXISTS (SELECT 1 FROM test t
+                                   WHERE t.a = c.a AND t.b = c.b)
+                             AS lbl
+                    FROM cand c),
+            hist AS (SELECT score,
+                            sum(CASE WHEN lbl THEN 1 ELSE 0 END)
+                              AS n_pos_s,
+                            sum(CASE WHEN lbl THEN 0 ELSE 1 END)
+                              AS n_neg_s
+                     FROM lab GROUP BY score),
+            c AS (SELECT n_pos_s, n_neg_s,
+                         coalesce(sum(n_neg_s) OVER (ORDER BY score
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum_neg
+                  FROM hist),
+            g AS (SELECT sum(n_pos_s) AS n_pos, sum(n_neg_s) AS n_neg,
+                         sum(n_pos_s * cum_neg::DOUBLE
+                             + 0.5 * n_pos_s * n_neg_s) AS conc
+                  FROM c)
+            SELECT CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN round(conc / (n_pos::DOUBLE * n_neg), 6)
+                   END AS auc
+            FROM g""",
         "chunk_documents": f"""
             WITH {TOKENS_CTE},
             assigned AS (

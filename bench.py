@@ -169,7 +169,7 @@ def main() -> None:
         "tagger_agreement", "auc_doclen", "cms_tokens", "rrf_search",
         "span_corruption", "skipgram_pairs", "skew_canonical",
         "link_fd_check", "char_entropy", "abbrev_aliases", "kge_negatives",
-        "ktruss_hosts", "wl_fingerprint", "entity_centroids", "sssp_hosts", "chunk_documents",
+        "ktruss_hosts", "wl_fingerprint", "entity_centroids", "sssp_hosts", "chunk_documents", "linkpred_auc",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -34,7 +34,7 @@ R4_SLATE = [
     "auc_doclen", "cms_tokens", "rrf_search", "span_corruption",
     "skipgram_pairs", "skew_canonical", "link_fd_check", "char_entropy",
     "abbrev_aliases", "kge_negatives", "ktruss_hosts", "wl_fingerprint",
-    "entity_centroids", "sssp_hosts", "chunk_documents",
+    "entity_centroids", "sssp_hosts", "chunk_documents", "linkpred_auc",
 ]
 
 

@@ -1228,6 +1228,21 @@ def main() -> None:
         0,
     ))
 
+    # 75. linkpred_auc: the AA candidate wedge join + the histogram AUC
+    # window; never all-pairs.
+    plan_lp = formatted_plan(e.queries()["linkpred_auc"](spark, SF_DIR))
+    sections.append((
+        "linkpred_auc (wedge candidates, histogram AUC)",
+        "Candidate scoring is the shared wedge equi-join; labels are one "
+        "left join against the test half; the AUC window runs over the "
+        "distinct-score histogram. No cartesian.",
+        plan_lp,
+        ["HashAggregate", "Window"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_lp
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
