@@ -1353,6 +1353,21 @@ def q_link_fd_check(spark, sf_dir):
     return fd_violations(linked, "token", "canonical_id")
 
 
+def q_calibration_quality(spark, sf_dir):
+    """Reliability diagram of the composite quality score against
+    lang='en' (10 equal-width buckets): AUC's sibling — auc_doclen says
+    a score RANKS, this says whether its VALUES mean what they claim
+    before anyone thresholds on them. One bucket-keyed hash agg."""
+    from saber_spark.operators.evaluation import calibration_curve
+    docs = _docs(spark, sf_dir)
+    scored = (quality_score(docs)
+              .select("doc_id", "quality")
+              .join(docs.select("doc_id",
+                                (F.col("lang") == "en").alias("is_en")),
+                    "doc_id"))
+    return calibration_curve(scored, "is_en", "quality", n_buckets=10)
+
+
 def q_linkpred_auc(spark, sf_dir):
     """Held-out link-prediction evaluation over the host graph: md5
     hash-split edges 50/50, Adamic-Adar scores from the TRAIN half,
@@ -2304,11 +2319,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # auc_doclen / cms_tokens / rrf_search / span_corruption /
     # skipgram_pairs / skew_canonical / link_fd_check / char_entropy /
     # abbrev_aliases / kge_negatives / ktruss_hosts / wl_fingerprint /
-    # entity_centroids / sssp_hosts / chunk_documents / linkpred_auc
-    # (positions 51-77).
+    # entity_centroids / sssp_hosts / chunk_documents / linkpred_auc /
+    # calibration_quality (positions 51-78).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the twenty-seven tail-head newest above (no driver row yet);
+    # (1) the twenty-eight tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2431,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_hosts": q_sssp_hosts,
         "chunk_documents": q_chunk_documents,
         "linkpred_auc": q_linkpred_auc,
+        "calibration_quality": q_calibration_quality,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -3826,6 +3842,28 @@ def oracle_sql() -> dict[str, str]:
             FROM dl GROUP BY token
             HAVING count(DISTINCT canonical_id) > 1""",
         "ktruss_hosts": _ktruss_oracle_sql(4, 4),
+        "calibration_quality": f"""
+            WITH {TOKENS_CTE},
+            base AS ({qualities}),
+            scored AS (
+              SELECT b.doc_id,
+                     round(0.4 * least(b.n_tokens / 100.0, 1.0)
+                           + 0.3 * (1 - b.n_punct
+                                    / greatest(b.n_tokens, 1)::DOUBLE)
+                           + 0.3 * least((b.n_stop
+                                    / greatest(b.n_tokens, 1)::DOUBLE)
+                                   / 0.05, 1.0), 6) AS quality,
+                     (d.lang = 'en') AS is_en
+              FROM base b JOIN documents d USING (doc_id))
+            SELECT CAST(least(greatest(floor(quality * 10), 0), 9)
+                        AS BIGINT) AS bucket,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos,
+                   round(avg(CASE WHEN is_en THEN 1 ELSE 0 END), 6)
+                     AS frac_pos,
+                   round(avg(quality), 6) AS mean_score
+            FROM scored GROUP BY 1""",
         "linkpred_auc": """
             WITH edges0 AS (
               SELECT DISTINCT source || '.example.org' AS src,

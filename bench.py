@@ -170,6 +170,7 @@ def main() -> None:
         "span_corruption", "skipgram_pairs", "skew_canonical",
         "link_fd_check", "char_entropy", "abbrev_aliases", "kge_negatives",
         "ktruss_hosts", "wl_fingerprint", "entity_centroids", "sssp_hosts", "chunk_documents", "linkpred_auc",
+        "calibration_quality",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

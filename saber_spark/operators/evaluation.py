@@ -175,3 +175,37 @@ def roc_auc(df: DataFrame, label_col: str, score_col: str,
                 / (F.col("n_pos").cast("double") * F.col("n_neg")), 6))
     return per_group.select(
         F.col("grp").alias(group_col), "n_pos", "n_neg", auc.alias("auc"))
+
+
+def calibration_curve(df: DataFrame, label_col: str, score_col: str,
+                      n_buckets: int = 10,
+                      lo: float = 0.0, hi: float = 1.0) -> DataFrame:
+    """Reliability diagram -> (bucket, n, n_pos, frac_pos, mean_score):
+    equal-width score buckets over [lo, hi) with the observed positive
+    rate per bucket — AUC's sibling: AUC says the RANKING works,
+    calibration says the score VALUES mean what they claim (a 0.8
+    quality score should be right ~80% of the time before anyone
+    thresholds on it).
+
+    Bucketing is integer arithmetic on the scaled score (floor, clamped
+    to [0, n_buckets-1] so hi lands in the last bucket); frac_pos and
+    mean_score round to 6. Empty buckets emit no row (the histogram
+    convention — a plotting layer outer-joins the bucket range).
+
+    Scale shape: ONE partial+final hash agg keyed by bucket (bounded by
+    n_buckets after the map-side combine) — the cheapest evaluation
+    statistic in the repo.
+    """
+    if n_buckets <= 0 or not hi > lo:
+        raise ValueError("calibration_curve: need n_buckets > 0, hi > lo")
+    scaled = (F.col(score_col).cast("double") - lo) / (hi - lo) * n_buckets
+    bucket = F.least(F.greatest(F.floor(scaled).cast("long"), F.lit(0)),
+                     F.lit(n_buckets - 1))
+    y = F.col(label_col).cast("boolean").cast("int")
+    return (df.select(bucket.alias("bucket"), y.alias("y"),
+                      F.col(score_col).cast("double").alias("s"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("y").cast("long").alias("n_pos"),
+                 F.round(F.avg("y"), 6).alias("frac_pos"),
+                 F.round(F.avg("s"), 6).alias("mean_score")))

@@ -35,6 +35,7 @@ R4_SLATE = [
     "skipgram_pairs", "skew_canonical", "link_fd_check", "char_entropy",
     "abbrev_aliases", "kge_negatives", "ktruss_hosts", "wl_fingerprint",
     "entity_centroids", "sssp_hosts", "chunk_documents", "linkpred_auc",
+    "calibration_quality",
 ]
 
 

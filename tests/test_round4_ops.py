@@ -491,3 +491,36 @@ class TestLinkPredictionEval:
             c = sum(1.0 if p > q else 0.5 if p == q else 0.0
                     for p in pos for q in neg)
             assert row.auc == _r6(c / (len(pos) * len(neg)))
+
+
+class TestCalibrationCurve:
+    def test_matches_bruteforce(self, spark):
+        from collections import defaultdict
+
+        from saber_spark.operators.evaluation import calibration_curve
+        rng = random.Random(71)
+        rows = [(rng.random() < 0.5, rng.random()) for _ in range(300)]
+        df = spark.createDataFrame(rows, "y boolean, s double")
+        got = {r.bucket: (r.n, r.n_pos, r.frac_pos, r.mean_score)
+               for r in calibration_curve(df, "y", "s", 10).collect()}
+        agg = defaultdict(list)
+        for y, s in rows:
+            agg[min(max(int(s * 10), 0), 9)].append((y, s))
+        want = {b: (len(v), sum(y for y, _ in v),
+                    _r6(sum(y for y, _ in v) / len(v)),
+                    _r6(sum(s for _, s in v) / len(v)))
+                for b, v in agg.items()}
+        assert got == want
+
+    def test_out_of_range_clamped_and_bad_params(self, spark):
+        import pytest as _pytest
+
+        from saber_spark.operators.evaluation import calibration_curve
+        df = spark.createDataFrame(
+            [(True, -0.5), (False, 1.5), (True, 0.55)],
+            "y boolean, s double")
+        got = {r.bucket: r.n
+               for r in calibration_curve(df, "y", "s", 10).collect()}
+        assert got == {0: 1, 9: 1, 5: 1}
+        with _pytest.raises(ValueError):
+            calibration_curve(df, "y", "s", 0)

@@ -1243,6 +1243,18 @@ def main() -> None:
         0,
     ))
 
+    # 76. calibration_quality: one bucket-keyed two-phase agg.
+    plan_cq = formatted_plan(e.queries()["calibration_quality"](spark,
+                                                                SF_DIR))
+    sections.append((
+        "calibration_quality (bucket-keyed two-phase agg)",
+        "The reliability diagram must reduce to one partial+final hash "
+        "agg keyed by the integer bucket; zero Python.",
+        plan_cq,
+        ["HashAggregate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
