@@ -251,6 +251,16 @@ TYPE_HIERARCHY_ROWS = [
 ]
 HIER_VALUES_SQL = ", ".join(f"('{c}', '{p}')" for c, p in TYPE_HIERARCHY_ROWS)
 
+# NegEx pre-scope cue list (operators/linking.py:NEGATION_CUES) plus two
+# corpus stand-in cues: the synthetic vocabulary contains no real English
+# negation term, so the fixture adds two frequent corpus tokens as cues to
+# exercise the window join with nonzero rates (the operator default stays
+# the real clinical list). Single source of truth for Spark + oracle.
+from saber_spark.operators.linking import NEGATION_CUES  # noqa: E402
+
+FIXTURE_NEG_CUES = NEGATION_CUES + ("slow", "scan")
+NEG_CUES_SQL = ("(" + ", ".join(f"'{c}'" for c in FIXTURE_NEG_CUES) + ")")
+
 LINKED_CTE = f"""
 linked AS (
   SELECT t.doc_id, t.pos, t.token, g.label, g.canonical_id
@@ -426,12 +436,12 @@ def _ktruss_oracle_sql(rounds: int = 4, k: int = 4) -> str:
             FROM e{rounds} e LEFT JOIN s{rounds + 1} s USING (a, b)"""
 
 
-def _label_propagation_oracle_sql(rounds: int = 3) -> str:
-    """Unrolled synchronous-LPA twin of operators/graph.py:
-    label_propagation over the n_docs-weighted co-occurrence edges — one
-    vote CTE + one top-1 CTE per round, the same (weight DESC, label ASC)
-    total order."""
-    body = "".join(f""",
+def _lpa_rounds_body(rounds: int) -> str:
+    """The per-round vote/top-1 CTE pairs of the unrolled synchronous-LPA
+    twin (operators/graph.py:label_propagation) — requires ``wsym``
+    (a, b, w) and ``lp0`` (node, label) upstream; ends at ``lp{rounds}``.
+    Shared by the label_propagation and community_modularity oracles."""
+    return "".join(f""",
             v{i} AS (SELECT s.a AS node, l.label, sum(s.w) AS ws
                      FROM wsym s JOIN lp{i - 1} l ON s.b = l.node
                      GROUP BY s.a, l.label),
@@ -439,6 +449,11 @@ def _label_propagation_oracle_sql(rounds: int = 3) -> str:
                       QUALIFY row_number() OVER (
                         PARTITION BY node
                         ORDER BY ws DESC, label) = 1)""" for i in range(1, rounds + 1))
+
+
+def _lpa_with_clause(rounds: int = 3) -> str:
+    """WITH-clause of the unrolled-LPA twin over the n_docs-weighted
+    entity co-occurrence edges; ends at ``lp{rounds}`` = (node, label)."""
     return f"""
             WITH {TOKENS_CTE}, {LINKED_CTE},
             ents AS (SELECT DISTINCT doc_id, canonical_id FROM linked),
@@ -452,8 +467,80 @@ def _label_propagation_oracle_sql(rounds: int = 3) -> str:
                      FROM we
                      UNION ALL
                      SELECT dst, src, CAST(nd AS DOUBLE) FROM we),
-            lp0 AS (SELECT DISTINCT a AS node, a AS label FROM wsym){body}
+            lp0 AS (SELECT DISTINCT a AS node, a AS label FROM wsym)\
+{_lpa_rounds_body(rounds)}"""
+
+
+def _label_propagation_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous-LPA twin (see _lpa_with_clause)."""
+    return f"""{_lpa_with_clause(rounds)}
             SELECT node, label AS community FROM lp{rounds}"""
+
+
+# community gadget for the modularity fixture: two 5-cliques joined by a
+# single bridge — the host graph alone LPA-collapses to one community
+# (dense hub structure), so without this the modularity evidence would be
+# the degenerate Q=0 single row
+GADGET_EDGE_ROWS = (
+    [(f"cliqA{i:02d}", f"cliqA{j:02d}")
+     for i in range(5) for j in range(i + 1, 5)]
+    + [(f"cliqB{i:02d}", f"cliqB{j:02d}")
+       for i in range(5) for j in range(i + 1, 5)]
+    + [("cliqA00", "cliqB00")])
+GADGET_VALUES_SQL = ", ".join(f"('{a}', '{b}')" for a, b in GADGET_EDGE_ROWS)
+
+
+def _modularity_oracle_sql(rounds: int = 3) -> str:
+    """Twin of operators/graph.py:modularity over label_propagation's
+    partition of the UNWEIGHTED host graph + two-clique gadget: reciprocal
+    directed edges collapse to one undirected w=1 edge (the Spark side's
+    weight_col=None distinct), then the unrolled-LPA body and pure-SQL
+    degree / intra-community-weight aggs; the Newman per-community
+    q_contrib = w_in/m - (degsum/2m)^2 in the same double op order as
+    the Spark side."""
+    lp = f"lp{rounds}"
+    return f"""
+            WITH {HOST_EDGES_CTE},
+            alledges AS (SELECT src, dst FROM hedges
+                         UNION ALL
+                         SELECT * FROM (VALUES {GADGET_VALUES_SQL})
+                           AS g(src, dst)),
+            we AS (SELECT least(src, dst) AS src,
+                          greatest(src, dst) AS dst, 1 AS nd
+                   FROM alledges WHERE src <> dst GROUP BY 1, 2, 3),
+            wsym AS (SELECT src AS a, dst AS b, CAST(nd AS DOUBLE) AS w
+                     FROM we
+                     UNION ALL
+                     SELECT dst, src, CAST(nd AS DOUBLE) FROM we),
+            lp0 AS (SELECT DISTINCT a AS node, a AS label FROM wsym)\
+{_lpa_rounds_body(rounds)},
+            und AS (SELECT src AS a, dst AS b, nd AS w FROM we),
+            mt AS (SELECT sum(w) AS m FROM und),
+            deg AS (SELECT n, sum(w) AS deg FROM (
+                      SELECT a AS n, w FROM und
+                      UNION ALL SELECT b, w FROM und)
+                    GROUP BY n),
+            comm AS (SELECT l.label AS c, count(*) AS n_nodes,
+                            sum(d.deg) AS degree_sum
+                     FROM {lp} l JOIN deg d ON l.node = d.n
+                     GROUP BY c),
+            win AS (SELECT la.label AS c, sum(e.w) AS w_in
+                    FROM und e
+                    JOIN {lp} la ON e.a = la.node
+                    JOIN {lp} lb ON e.b = lb.node
+                               AND la.label = lb.label
+                    GROUP BY c)
+            SELECT comm.c AS community,
+                   CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(coalesce(w_in, 0) AS BIGINT) AS internal_weight,
+                   CAST(degree_sum AS BIGINT) AS degree_sum,
+                   round(CAST(coalesce(w_in, 0) AS DOUBLE)
+                           / CAST(m AS DOUBLE)
+                         - (CAST(degree_sum AS DOUBLE)
+                            / (CAST(m AS DOUBLE) * 2.0))
+                         * (CAST(degree_sum AS DOUBLE)
+                            / (CAST(m AS DOUBLE) * 2.0)), 6) AS q_contrib
+            FROM comm LEFT JOIN win ON comm.c = win.c CROSS JOIN mt"""
 
 
 def _kmeans_with_clause(k: int = 4, iterations: int = 3) -> str:
@@ -1376,6 +1463,65 @@ def q_linkpred_auc(spark, sf_dir):
     good (the eval_prf of KG completion)."""
     from saber_spark.operators.graph import link_prediction_eval
     return link_prediction_eval(_host_edges(spark, sf_dir))
+
+
+def q_graph_summary(spark, sf_dir):
+    """One-row structural profile of the directed host link graph
+    (graph.graph_summary): node/edge counts, reciprocity, density, hub
+    extremes, out-in degree assortativity — the ANALYZE-TABLE a crawl
+    runs on a fresh edge snapshot before pointing PageRank/LPA at it.
+    All counts exact BIGINT; the three ratios are single double
+    expressions rounded to 6, so the DuckDB twin is byte-parity."""
+    from saber_spark.operators.graph import graph_summary
+    return graph_summary(_host_edges(spark, sf_dir))
+
+
+def q_community_modularity(spark, sf_dir):
+    """Partition quality of label_propagation's communities on the
+    unweighted host graph + two-clique gadget (GADGET_EDGE_ROWS — the
+    host graph alone LPA-collapses to one community): per-community
+    Newman modularity contributions (graph.modularity); sum(q_contrib)
+    is the global Q the KG build alerts on when a data change degrades
+    its community structure. Oracle: the unrolled-LPA CTE body shared
+    with label_propagation plus pure-SQL degree/intra-weight aggs."""
+    from saber_spark.operators.graph import label_propagation, modularity
+    gadget = spark.createDataFrame(GADGET_EDGE_ROWS,
+                                   "src string, dst string")
+    edges = (_host_edges(spark, sf_dir).unionByName(gadget)
+             .localCheckpoint(eager=True))
+    labels = label_propagation(edges, rounds=3)
+    return modularity(edges, labels)
+
+
+def q_entity_salience(spark, sf_dir):
+    """Entity aboutness per (doc, entity): mention frequency + first/last
+    position + salience = n_mentions * (1 - first_pos/doc_len)
+    (linking.entity_salience; Dunietz & Gillick 2014 feature set). The
+    signal that separates what a page is ABOUT from background mentions
+    before triples inherit confidence. One agg + one doc_id join."""
+    from saber_spark.operators.linking import entity_salience
+    linked = _linked_spark(spark, sf_dir)
+    doc_lens = (tokenize_docs(_docs(spark, sf_dir))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("doc_len")))
+    return entity_salience(linked, doc_lens)
+
+
+def q_negation_scope(spark, sf_dir):
+    """NegEx-style pre-scope negation rates per entity
+    (linking.negation_flags, Chapman et al. 2001): a mention preceded by
+    a cue token within 5 tokens in the same document counts negated;
+    output (canonical_id, n_mentions, n_negated, neg_rate). The
+    asserted-vs-negated split the reference's UMLS linking lacks
+    entirely (grounding_utils.py attaches every match). Per-document
+    blocking keeps the cue join linear. Fixture cue list = the real
+    NegEx cues + two corpus stand-ins (FIXTURE_NEG_CUES: the synthetic
+    vocabulary has no English negation term)."""
+    from saber_spark.operators.linking import negation_flags
+    linked = _linked_spark(spark, sf_dir)
+    tokens = tokenize_docs(_docs(spark, sf_dir))
+    return negation_flags(linked, tokens, window=5,
+                          cues=FIXTURE_NEG_CUES)
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -2320,10 +2466,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # skipgram_pairs / skew_canonical / link_fd_check / char_entropy /
     # abbrev_aliases / kge_negatives / ktruss_hosts / wl_fingerprint /
     # entity_centroids / sssp_hosts / chunk_documents / linkpred_auc /
-    # calibration_quality (positions 51-78).
+    # calibration_quality / graph_summary / community_modularity /
+    # entity_salience / negation_scope (positions 51-82).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the twenty-eight tail-head newest above (no driver row yet);
+    # (1) the thirty-two tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2447,6 +2594,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "linkpred_auc": q_linkpred_auc,
         "calibration_quality": q_calibration_quality,
+        "graph_summary": q_graph_summary,
+        "community_modularity": q_community_modularity,
+        "entity_salience": q_entity_salience,
+        "negation_scope": q_negation_scope,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -3864,6 +4015,83 @@ def oracle_sql() -> dict[str, str]:
                      AS frac_pos,
                    round(avg(quality), 6) AS mean_score
             FROM scored GROUP BY 1""",
+        "graph_summary": f"""
+            WITH {HOST_EDGES_CTE},
+            e AS (SELECT DISTINCT src AS s, dst AS d FROM hedges
+                  WHERE src <> dst),
+            od AS (SELECT s, count(*) AS x FROM e GROUP BY s),
+            idg AS (SELECT d, count(*) AS y FROM e GROUP BY d),
+            xy AS (SELECT e.s, e.d, od.x, idg.y
+                   FROM e JOIN od USING (s) JOIN idg USING (d)),
+            sums AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                            sum(x * x) AS sxx, sum(y * y) AS syy,
+                            sum(x * y) AS sxy
+                     FROM xy),
+            nn AS (SELECT count(DISTINCT n) AS n_nodes FROM (
+                     SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+            rc AS (SELECT count(*) AS n_recip FROM e
+                   WHERE EXISTS (SELECT 1 FROM e r
+                                 WHERE r.s = e.d AND r.d = e.s)),
+            mo AS (SELECT max(x) AS max_out FROM od),
+            mi AS (SELECT max(y) AS max_in FROM idg)
+            SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(m AS BIGINT) AS n_edges,
+                   CAST(n_recip AS BIGINT) AS n_reciprocal,
+                   round(CAST(n_recip AS DOUBLE) / m, 6) AS reciprocity,
+                   round(CASE WHEN n_nodes < 2 THEN 0.0
+                         ELSE CAST(m AS DOUBLE)
+                              / (CAST(n_nodes AS DOUBLE)
+                                 * CAST(n_nodes - 1 AS DOUBLE)) END, 6)
+                     AS density,
+                   CAST(max_out AS BIGINT) AS max_out_degree,
+                   CAST(max_in AS BIGINT) AS max_in_degree,
+                   round(CASE WHEN m * sxx - sx * sx = 0
+                               OR m * syy - sy * sy = 0 THEN 0.0
+                         ELSE CAST(m * sxy - sx * sy AS DOUBLE)
+                              / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                                     * CAST(m * syy - sy * sy AS DOUBLE))
+                         END, 6) AS assortativity
+            FROM sums CROSS JOIN nn CROSS JOIN rc
+            CROSS JOIN mo CROSS JOIN mi""",
+        "community_modularity": _modularity_oracle_sql(3),
+        "entity_salience": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            dl AS (SELECT doc_id, count(*) AS doc_len FROM tokens
+                   GROUP BY doc_id),
+            per AS (SELECT doc_id, canonical_id,
+                           count(*) AS n_mentions,
+                           CAST(min(pos) AS BIGINT) AS first_pos,
+                           CAST(max(pos) AS BIGINT) AS last_pos
+                    FROM linked GROUP BY doc_id, canonical_id)
+            SELECT per.doc_id, canonical_id,
+                   CAST(n_mentions AS BIGINT) AS n_mentions,
+                   first_pos, last_pos,
+                   last_pos - first_pos AS spread,
+                   CAST(doc_len AS BIGINT) AS doc_len,
+                   round(CAST(n_mentions AS DOUBLE)
+                         * (1.0 - CAST(first_pos AS DOUBLE)
+                                  / CAST(doc_len AS DOUBLE)), 6)
+                     AS salience
+            FROM per JOIN dl USING (doc_id)""",
+        "negation_scope": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            cues AS (SELECT doc_id AS cd, pos AS cp FROM tokens
+                     WHERE lower(token) IN {NEG_CUES_SQL}),
+            per AS (SELECT canonical_id, count(*) AS n_mentions
+                    FROM linked GROUP BY canonical_id),
+            neg AS (SELECT canonical_id, count(*) AS n_negated
+                    FROM linked m
+                    WHERE EXISTS (SELECT 1 FROM cues c
+                                  WHERE c.cd = m.doc_id
+                                    AND c.cp < m.pos
+                                    AND c.cp >= m.pos - 5)
+                    GROUP BY canonical_id)
+            SELECT per.canonical_id,
+                   CAST(n_mentions AS BIGINT) AS n_mentions,
+                   CAST(coalesce(n_negated, 0) AS BIGINT) AS n_negated,
+                   round(CAST(coalesce(n_negated, 0) AS DOUBLE)
+                         / n_mentions, 6) AS neg_rate
+            FROM per LEFT JOIN neg USING (canonical_id)""",
         "linkpred_auc": """
             WITH edges0 AS (
               SELECT DISTINCT source || '.example.org' AS src,

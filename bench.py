@@ -171,6 +171,10 @@ def main() -> None:
         "link_fd_check", "char_entropy", "abbrev_aliases", "kge_negatives",
         "ktruss_hosts", "wl_fingerprint", "entity_centroids", "sssp_hosts", "chunk_documents", "linkpred_auc",
         "calibration_quality",
+        # added round 4, sixth batch (graph structural profile, community
+        # quality, entity salience, negation scoping)
+        "graph_summary", "community_modularity", "entity_salience",
+        "negation_scope",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -1048,3 +1048,146 @@ def link_prediction_eval(edges: DataFrame, split_denom: int = 2,
                        "aa_score", F.lit("all").alias("grp")))
     return (roc_auc(labeled, "lbl", "aa_score", "grp")
             .select("n_pos", "n_neg", "auc"))
+
+
+def graph_summary(edges: DataFrame, src: str = "src",
+                  dst: str = "dst") -> DataFrame:
+    """One-row structural profile of a directed graph:
+    (n_nodes, n_edges, n_reciprocal, reciprocity, density,
+    max_out_degree, max_in_degree, assortativity).
+
+    The ANALYZE-TABLE of the KG/web-graph layer: before pointing PageRank
+    or community detection at a new edge table, a pipeline wants its shape
+    — reciprocity (what fraction of directed edges are mutual; near-zero
+    on the web host graph, near-one on a co-occurrence graph fed both
+    orientations), density, hub extremes, and out-in degree assortativity
+    (Newman 2002, Phys. Rev. Lett. 89.208701: the Pearson correlation
+    between out-degree(src) and in-degree(dst) over edges — negative on
+    web-like graphs where many small hosts link a few hubs).
+
+    Determinism: all sums are exact BIGINT over distinct self-loop-free
+    edges; reciprocity / density / assortativity are single double
+    expressions over those integers, rounded to 6 — engine-portable the
+    same way edge_pmi is. Zero-variance degenerate cases are DEFINED:
+    assortativity = 0.0 (not NULL/NaN), density over n_nodes<2 = 0.0.
+
+    Scale shape: distinct edges (one shuffle), out-/in-degree aggs on the
+    edge table's own keys (map-side combinable), a self-equi-join on the
+    reversed pair for reciprocity, two degree joins to annotate each edge
+    with (outdeg(src), indeg(dst)), then ONE global agg of six running
+    sums. No window over the full edge set, no collect; the only
+    unpartitioned step is the final 1-row reduce.
+    """
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s") != F.col("d")).distinct()
+         .localCheckpoint(eager=True))
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = e.join(rev, ["s", "d"], "left_semi")
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("x"))
+    indeg = e.groupBy("d").agg(F.count(F.lit(1)).alias("y"))
+    xy = e.join(outdeg, "s").join(indeg, "d")
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    nodes = (e.select(F.col("s").alias("n"))
+             .unionByName(e.select(F.col("d").alias("n")))
+             .agg(F.countDistinct("n").alias("n_nodes")))
+    scalars = (sums.crossJoin(nodes)
+               .crossJoin(recip.agg(F.count(F.lit(1)).alias("n_recip")))
+               .crossJoin(outdeg.agg(F.max("x").alias("max_out")))
+               .crossJoin(indeg.agg(F.max("y").alias("max_in"))))
+    varx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    assort = F.when((varx == 0) | (vary == 0), F.lit(0.0)).otherwise(
+        cov.cast("double")
+        / F.sqrt(varx.cast("double") * vary.cast("double")))
+    dens = F.when(F.col("n_nodes") < 2, F.lit(0.0)).otherwise(
+        F.col("m").cast("double")
+        / (F.col("n_nodes").cast("double")
+           * (F.col("n_nodes") - F.lit(1)).cast("double")))
+    return scalars.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("m").cast("long").alias("n_edges"),
+        F.col("n_recip").cast("long").alias("n_reciprocal"),
+        F.round(F.col("n_recip").cast("double") / F.col("m"), 6)
+         .alias("reciprocity"),
+        F.round(dens, 6).alias("density"),
+        F.col("max_out").cast("long").alias("max_out_degree"),
+        F.col("max_in").cast("long").alias("max_in_degree"),
+        F.round(assort, 6).alias("assortativity"))
+
+
+def modularity(edges: DataFrame, labels: DataFrame,
+               src: str = "src", dst: str = "dst",
+               weight_col: str | None = None,
+               node_col: str = "node",
+               community_col: str = "community") -> DataFrame:
+    """Newman modularity per community -> (community, n_nodes,
+    internal_weight, degree_sum, q_contrib); sum(q_contrib) is the
+    partition's global Q.
+
+    The quality gate for label_propagation's output (Newman & Girvan 2004,
+    Phys. Rev. E 69.026113): Q = sum_c [ W_in(c)/m - (D(c)/2m)^2 ] over an
+    undirected weighted graph with total edge weight m, intra-community
+    weight W_in(c) and community degree mass D(c). A KG build runs LPA,
+    scores the partition with Q, and alerts when a data change drops it —
+    without this the community table has no health metric.
+
+    Determinism: edges are canonicalized (least,greatest) and summed as
+    exact BIGINT weights, so W_in / D / m are integer-exact; q_contrib is
+    one double expression per community row, rounded to 6.
+
+    Scale shape: canonicalize + weight-sum is one shuffle; degrees are the
+    symmetrized agg; W_in needs the labels table joined to BOTH endpoints
+    — two equi-joins on node ids (labels is |V|-sized, typically
+    broadcast-eligible after AQE stats); the per-community aggs run on
+    |V|- and |E_intra|-sized inputs. No all-pairs anywhere.
+    """
+    if weight_col is None:
+        # unweighted: a graph EDGE exists or it doesn't — reciprocal /
+        # parallel input rows collapse to one undirected edge of w=1
+        und = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                            F.greatest(F.col(src), F.col(dst)).alias("b"))
+               .filter(F.col("a") != F.col("b"))
+               .distinct()
+               .withColumn("w", F.lit(1))
+               .localCheckpoint(eager=True))
+    else:
+        und = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                            F.greatest(F.col(src), F.col(dst)).alias("b"),
+                            F.col(weight_col).cast("long").alias("w"))
+               .filter(F.col("a") != F.col("b"))
+               .groupBy("a", "b").agg(F.sum("w").alias("w"))
+               .localCheckpoint(eager=True))
+    lab = labels.select(F.col(node_col).alias("n"),
+                        F.col(community_col).alias("c"))
+    deg = (und.select(F.col("a").alias("n"), "w")
+           .unionByName(und.select(F.col("b").alias("n"), "w"))
+           .groupBy("n").agg(F.sum("w").alias("deg")))
+    comm = (lab.join(deg, "n")
+            .groupBy("c").agg(F.count(F.lit(1)).alias("n_nodes"),
+                              F.sum("deg").alias("degree_sum")))
+    la = lab.select(F.col("n").alias("a"), F.col("c").alias("ca"))
+    lb = lab.select(F.col("n").alias("b"), F.col("c").alias("cb"))
+    win = (und.join(la, "a").join(lb, "b")
+           .filter(F.col("ca") == F.col("cb"))
+           .groupBy(F.col("ca").alias("c"))
+           .agg(F.sum("w").alias("internal_weight")))
+    m_total = und.agg(F.sum("w").alias("m"))
+    two_m = F.col("m").cast("double") * 2.0
+    return (comm.join(win, "c", "left").crossJoin(m_total)
+            .select(F.col("c").alias("community"),
+                    "n_nodes",
+                    F.coalesce("internal_weight", F.lit(0)).cast("long")
+                     .alias("internal_weight"),
+                    F.col("degree_sum").cast("long").alias("degree_sum"),
+                    F.round(
+                        F.coalesce("internal_weight", F.lit(0))
+                         .cast("double") / F.col("m").cast("double")
+                        - (F.col("degree_sum").cast("double") / two_m)
+                        * (F.col("degree_sum").cast("double") / two_m),
+                        6).alias("q_contrib")))

@@ -336,3 +336,93 @@ def abbrev_aliases(docs: DataFrame, text_col: str = "text",
           .filter(F.col("ini") == F.col("abbr")))
     return (ok.groupBy("abbr", "long_form")
             .agg(F.count_distinct(F.col(id_col)).alias("n_docs")))
+
+
+def entity_salience(linked: DataFrame, doc_lens: DataFrame,
+                    id_col: str = "doc_id", pos_col: str = "pos",
+                    entity_col: str = "canonical_id") -> DataFrame:
+    """Per-(doc, entity) salience features -> (doc_id, canonical_id,
+    n_mentions, first_pos, last_pos, spread, doc_len, salience).
+
+    The standard entity-salience signal set (Dunietz & Gillick 2014, EACL:
+    frequency + first-mention position are the two dominant features): an
+    entity mentioned often and early is what the document is ABOUT; one
+    mentioned once near the end is background. A KG build attaches
+    salience to every (page, entity) pair so triple confidence can weight
+    aboutness — the reference attaches every match indiscriminately
+    (saber/utils/grounding_utils.py:53-66); at web scale that drowns the
+    graph in background noise.
+
+    salience = n_mentions * (1 - first_pos / doc_len), rounded to 6 —
+    integer inputs, one double expression, engine-portable.
+
+    doc_lens is (doc_id, doc_len) = token count per document, computed
+    once by the caller from the token table (the same agg the vocab stage
+    already runs). Scale: ONE hash agg over the linked-mentions table
+    (map-side combinable) + ONE equi-join on doc_id against the |docs|-
+    sized length table. No windows, no Python.
+    """
+    per = (linked.groupBy(id_col, entity_col)
+           .agg(F.count(F.lit(1)).alias("n_mentions"),
+                F.min(pos_col).cast("long").alias("first_pos"),
+                F.max(pos_col).cast("long").alias("last_pos")))
+    return (per.join(doc_lens, id_col)
+            .select(id_col, entity_col, "n_mentions", "first_pos",
+                    "last_pos",
+                    (F.col("last_pos") - F.col("first_pos"))
+                    .alias("spread"),
+                    F.col("doc_len").cast("long").alias("doc_len"),
+                    F.round(
+                        F.col("n_mentions").cast("double")
+                        * (F.lit(1.0) - F.col("first_pos").cast("double")
+                           / F.col("doc_len").cast("double")),
+                        6).alias("salience")))
+
+
+NEGATION_CUES = ("no", "not", "without", "never", "absence", "absent",
+                 "denies", "denied", "negative", "neither", "nor")
+
+
+def negation_flags(linked: DataFrame, tokens: DataFrame, window: int = 5,
+                   id_col: str = "doc_id", pos_col: str = "pos",
+                   entity_col: str = "canonical_id",
+                   cues: tuple[str, ...] = NEGATION_CUES) -> DataFrame:
+    """NegEx-style pre-scope negation detection -> per-entity rates:
+    (canonical_id, n_mentions, n_negated, neg_rate).
+
+    Clinical/biomedical KG construction MUST separate asserted from
+    negated mentions ("no evidence of carcinoma" is not a carcinoma
+    triple) — the NegEx algorithm (Chapman et al. 2001, J. Biomed.
+    Inform. 34:301-310) flags a concept negated when a cue term precedes
+    it within a fixed token window. This is the deterministic pre-scope
+    half (cue within `window` tokens BEFORE the mention, same document);
+    the reference pipeline has no negation handling at all, which is a
+    correctness gap for its own UMLS linking use case.
+
+    Scale shape: cue positions are a narrow filter of the token table
+    (pushdown-eligible); mentions join cues on the doc_id equi-key with
+    the window inequality as a residual — per-document blocking, so the
+    join never goes all-pairs (a document's cue count is bounded by its
+    length). Two hash aggs after the join. neg_rate is one double
+    division over exact counts, rounded to 6.
+    """
+    cue_pos = (tokens.filter(F.lower(F.col("token")).isin(*cues))
+               .select(F.col(id_col).alias("cd"),
+                       F.col(pos_col).alias("cp")))
+    m = linked.select(id_col, pos_col, entity_col)
+    negated = (m.join(cue_pos,
+                      (m[id_col] == cue_pos.cd)
+                      & (cue_pos.cp < m[pos_col])
+                      & (cue_pos.cp >= m[pos_col] - window),
+                      "left_semi")
+               .groupBy(entity_col)
+               .agg(F.count(F.lit(1)).alias("n_negated")))
+    per = (m.groupBy(entity_col)
+           .agg(F.count(F.lit(1)).alias("n_mentions")))
+    return (per.join(negated, entity_col, "left")
+            .select(entity_col, "n_mentions",
+                    F.coalesce("n_negated", F.lit(0)).cast("long")
+                     .alias("n_negated"),
+                    F.round(F.coalesce("n_negated", F.lit(0))
+                            .cast("double") / F.col("n_mentions"), 6)
+                     .alias("neg_rate")))

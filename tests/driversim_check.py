@@ -35,7 +35,8 @@ R4_SLATE = [
     "skipgram_pairs", "skew_canonical", "link_fd_check", "char_entropy",
     "abbrev_aliases", "kge_negatives", "ktruss_hosts", "wl_fingerprint",
     "entity_centroids", "sssp_hosts", "chunk_documents", "linkpred_auc",
-    "calibration_quality",
+    "calibration_quality", "graph_summary", "community_modularity",
+    "entity_salience", "negation_scope",
 ]
 
 
