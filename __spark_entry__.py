@@ -1524,6 +1524,63 @@ def q_negation_scope(spark, sf_dir):
                           cues=FIXTURE_NEG_CUES)
 
 
+def q_entity_resolution(spark, sf_dir):
+    """Blocked fuzzy entity resolution (canonicalize.resolve_entities):
+    cluster surface forms within first-character blocks at edit
+    distance <= 1, transitive closure via hash-min CC, canonical = min
+    name per cluster; singletons keep themselves. Fixture names = the
+    corpus vocabulary plus an 's'-suffixed variant of every token, so
+    real merge edges exist. Oracle: DuckDB levenshtein + recursive-CTE
+    closure (the connected_components oracle pattern)."""
+    from saber_spark.operators.canonicalize import resolve_entities
+    toks = (tokenize_docs(_docs(spark, sf_dir))
+            .select(F.lower("token").alias("name")).distinct())
+    names = toks.unionByName(
+        toks.select(F.concat("name", F.lit("s")).alias("name"))).distinct()
+    return resolve_entities(names, max_edits=1, block_chars=1)
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-source length-outlier profile via median absolute
+    deviation (groupstats.mad_outliers, Iglewicz-Hoaglin modified
+    z-score > 3.5) — zscore_by_source's outlier-resistant sibling; the
+    form web-corpus length filters actually use. The synthetic corpus is
+    uniform-length, so the fixture injects deterministic boilerplate
+    mega-pages (doc_id % 97 -> 50x length, mirrored in the oracle) to
+    exercise nonzero flag counts."""
+    from saber_spark.operators.groupstats import mad_outliers
+    docs = _docs(spark, sf_dir).withColumn(
+        "len", F.when(F.col("doc_id") % 97 == 0,
+                      F.col("n_chars") * 50).otherwise(F.col("n_chars")))
+    return mad_outliers(docs, "len", "source")
+
+
+def q_date_mentions(spark, sf_dir):
+    """Temporal-expression extraction for timestamped KG assembly
+    (textstats.extract_dates): ISO dates in page text -> validated
+    (doc_id, date_str, month) mentions, rolled up to per-month counts.
+    The corpus has no dates, so the fixture appends one deterministic
+    'published YYYY-MM-DD' stamp per doc (doc_id-derived; every 11th doc
+    gets an INVALID month 13 that validation must drop) — mirrored in
+    the oracle via the same concat."""
+    from saber_spark.operators.textstats import extract_dates
+    docs = _docs(spark, sf_dir)
+    mm = F.when(F.col("doc_id") % 11 == 0, F.lit(13)).otherwise(
+        F.col("doc_id") % 12 + 1)
+    date_str = F.concat(
+        (F.col("doc_id") % 5 + 2020).cast("string"), F.lit("-"),
+        F.lpad(mm.cast("string"), 2, "0"), F.lit("-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+    stamped = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" published "), date_str)
+        .alias("text"))
+    return (extract_dates(stamped)
+            .groupBy("month")
+            .agg(F.count(F.lit(1)).alias("n_mentions"),
+                 F.countDistinct("doc_id").alias("n_docs")))
+
+
 def q_chunk_documents(spark, sf_dir):
     """Overlapping sliding-window chunking (window 8, stride 4) — the
     RAG/embedding-index chunker: no span is cut at a hard boundary
@@ -2467,10 +2524,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # abbrev_aliases / kge_negatives / ktruss_hosts / wl_fingerprint /
     # entity_centroids / sssp_hosts / chunk_documents / linkpred_auc /
     # calibration_quality / graph_summary / community_modularity /
-    # entity_salience / negation_scope (positions 51-82).
+    # entity_salience / negation_scope / entity_resolution /
+    # mad_outliers / date_mentions (positions 51-85).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the thirty-two tail-head newest above (no driver row yet);
+    # (1) the thirty-five tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2598,6 +2656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_modularity": q_community_modularity,
         "entity_salience": q_entity_salience,
         "negation_scope": q_negation_scope,
+        "entity_resolution": q_entity_resolution,
+        "mad_outliers": q_mad_outliers,
+        "date_mentions": q_date_mentions,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -4092,6 +4153,80 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(coalesce(n_negated, 0) AS DOUBLE)
                          / n_mentions, 6) AS neg_rate
             FROM per LEFT JOIN neg USING (canonical_id)""",
+        "entity_resolution": f"""
+            WITH RECURSIVE {TOKENS_CTE},
+            base AS (SELECT DISTINCT lower(token) AS name FROM tokens),
+            names AS (SELECT name FROM base
+                      UNION SELECT name || 's' FROM base),
+            e AS (SELECT a.name AS src, b.name AS dst
+                  FROM names a JOIN names b
+                    ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+                   AND a.name < b.name
+                   AND levenshtein(a.name, b.name) <= 1),
+            sym AS (SELECT src AS a, dst AS b FROM e
+                    UNION SELECT dst, src FROM e),
+            reach(node, root) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node),
+            comp AS (SELECT node, min(root) AS component
+                     FROM reach GROUP BY node)
+            SELECT n.name, coalesce(c.component, n.name) AS canonical
+            FROM names n LEFT JOIN comp c ON n.name = c.node""",
+        "mad_outliers": """
+            WITH base AS (
+              SELECT source,
+                     CASE WHEN doc_id % 97 = 0 THEN n_chars * 50
+                          ELSE n_chars END AS len
+              FROM documents),
+            med AS (SELECT source, quantile_cont(len, 0.5) AS median_val,
+                           count(*) AS n_rows
+                    FROM base GROUP BY source),
+            dev AS (SELECT b.source,
+                           abs(CAST(b.len AS DOUBLE) - m.median_val)
+                             AS absdev,
+                           m.median_val, m.n_rows
+                    FROM base b JOIN med m USING (source)),
+            mad AS (SELECT source, median_val, n_rows,
+                           quantile_cont(absdev, 0.5) AS mad
+                    FROM dev GROUP BY source, median_val, n_rows),
+            ag AS (SELECT d.source,
+                          sum(CASE WHEN m2.mad > 0
+                                    AND 0.6745 * d.absdev > 3.5 * m2.mad
+                                   THEN 1 ELSE 0 END) AS n_outliers
+                   FROM dev d
+                   JOIN (SELECT source, mad FROM mad) m2 USING (source)
+                   GROUP BY d.source)
+            SELECT mad.source, median_val, mad, n_rows,
+                   CAST(n_outliers AS BIGINT) AS n_outliers,
+                   round(CAST(n_outliers AS DOUBLE) / n_rows, 6)
+                     AS outlier_rate
+            FROM mad JOIN ag USING (source)""",
+        "date_mentions": """
+            WITH stamped AS (
+              SELECT doc_id,
+                     text || ' published '
+                       || CAST(doc_id % 5 + 2020 AS VARCHAR) || '-'
+                       || lpad(CAST(CASE WHEN doc_id % 11 = 0 THEN 13
+                                         ELSE doc_id % 12 + 1 END
+                                    AS VARCHAR), 2, '0') || '-'
+                       || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       AS text
+              FROM documents),
+            hits AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(
+                       text, '[0-9]{4}-[0-9]{2}-[0-9]{2}', 0)) AS date_str
+              FROM stamped),
+            valid AS (
+              SELECT doc_id, date_str,
+                     substr(date_str, 1, 7) AS month
+              FROM hits
+              WHERE TRY_CAST(date_str AS DATE) IS NOT NULL)
+            SELECT month,
+                   CAST(count(*) AS BIGINT) AS n_mentions,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM valid GROUP BY month""",
         "linkpred_auc": """
             WITH edges0 AS (
               SELECT DISTINCT source || '.example.org' AS src,

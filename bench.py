@@ -174,7 +174,8 @@ def main() -> None:
         # added round 4, sixth batch (graph structural profile, community
         # quality, entity salience, negation scoping)
         "graph_summary", "community_modularity", "entity_salience",
-        "negation_scope",
+        "negation_scope", "entity_resolution", "mad_outliers",
+        "date_mentions",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -72,3 +72,54 @@ def canonicalize_nodes(linked: DataFrame,
     )
 
     return mention_counts.join(doc_counts, on="canonical_id", how="inner")
+
+
+def resolve_entities(names: DataFrame, name_col: str = "name",
+                     max_edits: int = 1, block_chars: int = 1,
+                     cc_rounds: int | None = 8) -> DataFrame:
+    """Fuzzy entity resolution -> (name, canonical): cluster surface forms
+    whose edit distance is <= max_edits, canonical = min name per cluster.
+
+    The record-linkage step between exact-surface linking and the KG node
+    table: "p53" / "p53s" / "tp53" style variants must collapse to one
+    node or the graph fragments (the reference links exact surfaces only,
+    saber/utils/grounding_utils.py:65-66). Classic blocked formulation
+    (Fellegi-Sunter blocking, standard ER practice):
+
+      1. block on the first `block_chars` characters — candidate pairs
+         form ONLY within a block, so the join is an equi-join on the
+         block key plus a<b; never all-pairs. Recall limitation is the
+         textbook one (a first-character typo crosses blocks and is
+         missed) — documented, not hidden; production stacks add a second
+         blocking pass (e.g. soundex) and union the edges.
+      2. verify pairs with levenshtein(a, b) <= max_edits — JVM built-in,
+         identical semantics in DuckDB for the oracle.
+      3. transitive closure via connected_components (hash-min), so
+         a~b, b~c clusters a,b,c together even when lev(a,c) > max_edits
+         — the standard ER convention (clusters are closures, not
+         cliques).
+      4. singletons (no fuzzy partner) keep themselves as canonical.
+
+    Scale shape: block sizes follow the name distribution — for real
+    corpora block on more characters (block_chars=2-3) or a
+    length-banded key to bound the quadratic-within-block term; the
+    verify filter runs inside the join, so only surviving edges shuffle
+    into the CC loop. cc_rounds bounds the lazy CC propagation (cluster
+    diameter in HOPS, not string length; edit-chains longer than 2^8 are
+    not a thing in surface-form data); pass None for the fixpoint mode.
+    """
+    from saber_spark.operators.graph import connected_components
+
+    n = (names.select(F.col(name_col).alias("name")).distinct()
+         .withColumn("blk", F.substring("name", 1, block_chars))
+         .localCheckpoint(eager=True))
+    a = n.select(F.col("blk"), F.col("name").alias("src"))
+    b = n.select(F.col("blk"), F.col("name").alias("dst"))
+    pairs = (a.join(b, "blk")
+             .filter((F.col("src") < F.col("dst"))
+                     & (F.levenshtein("src", "dst") <= max_edits))
+             .select("src", "dst"))
+    comp = connected_components(pairs, rounds=cc_rounds)
+    return (n.join(comp, n.name == comp.node, "left")
+            .select("name",
+                    F.coalesce("component", "name").alias("canonical")))

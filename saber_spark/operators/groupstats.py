@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 ZSCORE_SCHEMA = "doc_id long, source string, n_chars long, zscore double"
 
@@ -41,3 +42,52 @@ def zscore_by_group(docs: DataFrame, group_col: str = "source",
 
     return docs.select("doc_id", group_col, value_col).groupBy(
         group_col).applyInPandas(score, schema=ZSCORE_SCHEMA)
+
+
+def mad_outliers(df: DataFrame, value_col: str, group_col: str = "source",
+                 threshold: float = 3.5) -> DataFrame:
+    """Robust per-group outlier profile via median absolute deviation ->
+    (group, median_val, mad, n_rows, n_outliers, outlier_rate).
+
+    zscore_by_group's robust sibling: mean/stddev are themselves dragged
+    by the outliers they are supposed to flag, so curation pipelines use
+    the modified z-score M = 0.6745*|x - median| / MAD and flag |M| >
+    3.5 (Iglewicz & Hoaglin 1993, "How to Detect and Handle Outliers").
+    A boilerplate page 40x longer than its host's median moves the MAD
+    barely at all — exactly why web-corpus length filters use this form.
+
+    MAD = median(|x - median(x)|). Degenerate MAD = 0 (over half the
+    group identical) is DEFINED: no finite threshold, so n_outliers = 0.
+
+    Exactness: percentile() is the exact sort-based variant (DuckDB twin
+    quantile_cont); the flag compares 0.6745*absdev against
+    threshold*mad — both sides exact-input doubles with one
+    multiplication each, no division, so the boundary is engine-portable
+    (and rates are counts/count, rounded to 6, not float sums).
+
+    Scale shape: two grouped percentile aggs (sort within group — for
+    the 100-TB path swap percentile for approx_percentile, same plan
+    shape) + one broadcast-eligible join of the |groups|-sized stats
+    back to the rows + one final grouped count agg.
+    """
+    x = F.col(value_col).cast("double")
+    med = (df.groupBy(group_col)
+           .agg(F.expr(f"percentile({value_col}, 0.5)").alias("median_val"),
+                F.count(F.lit(1)).alias("n_rows")))
+    with_dev = (df.join(F.broadcast(med), group_col)
+                .withColumn("absdev", F.abs(x - F.col("median_val"))))
+    mad = (with_dev.groupBy(group_col, "median_val", "n_rows")
+           .agg(F.expr("percentile(absdev, 0.5)").alias("mad")))
+    flagged = (with_dev.join(
+        F.broadcast(mad.select(group_col, "mad")), group_col)
+        .withColumn("is_outlier",
+                    (F.col("mad") > 0)
+                    & (F.lit(0.6745) * F.col("absdev")
+                       > F.lit(threshold) * F.col("mad"))))
+    agg = (flagged.groupBy(group_col)
+           .agg(F.sum(F.col("is_outlier").cast("long")).alias("n_outliers")))
+    return (mad.join(agg, group_col)
+            .select(group_col, "median_val", "mad", "n_rows",
+                    F.col("n_outliers").cast("long").alias("n_outliers"),
+                    F.round(F.col("n_outliers").cast("double")
+                            / F.col("n_rows"), 6).alias("outlier_rate")))

@@ -391,3 +391,40 @@ def char_entropy(docs: DataFrame, text_col: str = "text",
                     F.coalesce("n_distinct_chars", F.lit(0))
                     .alias("n_distinct_chars"),
                     F.coalesce("entropy", F.lit(0.0)).alias("entropy")))
+
+
+# ISO-8601 calendar date; the character-class form is the Java-regex /
+# RE2 / DuckDB common dialect (same discipline as pii_scrub's patterns)
+ISO_DATE_PATTERN = "[0-9]{4}-[0-9]{2}-[0-9]{2}"
+
+
+def extract_dates(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Temporal-expression extraction -> (doc_id, date_str, month) per
+    VALID ISO date mention (invalid calendar strings like 2024-13-40 are
+    dropped, leap-day aware via a real date-parse round-trip).
+
+    Timestamped KG assembly needs the WHEN next to the WHO/WHAT: a triple
+    observed on a page carrying '2023-07-14' can be interval-stamped
+    (feeding the SCD-2 triple-history table) instead of dateless. This is
+    the deterministic ISO half of temporal tagging (a production system
+    layers natural-language dates on top — e.g. a HeidelTime-style rule
+    cascade; those rules are locale data, not new dataflow).
+
+    Validation is TRY-parse semantics: try_to_date round-trips the
+    string; a non-date keeps date_str NULL and is filtered — no ANSI-mode
+    exception on garbage, identical to DuckDB TRY_CAST(.. AS DATE).
+    month = the first 7 chars, the standard rollup key.
+
+    Scale: one regexp_extract_all + posexplode (narrow, zero Python,
+    pushdown-eligible upstream); validation is an expression, no join.
+    """
+    hits = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"regexp_extract_all({text_col}, '{ISO_DATE_PATTERN}', 0)"))
+        .alias("date_str"))
+    return (hits
+            .filter(F.try_to_date("date_str", "yyyy-MM-dd").isNotNull())
+            .select(id_col, "date_str",
+                    F.substring("date_str", 1, 7).alias("month")))

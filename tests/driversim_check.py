@@ -36,7 +36,8 @@ R4_SLATE = [
     "abbrev_aliases", "kge_negatives", "ktruss_hosts", "wl_fingerprint",
     "entity_centroids", "sssp_hosts", "chunk_documents", "linkpred_auc",
     "calibration_quality", "graph_summary", "community_modularity",
-    "entity_salience", "negation_scope",
+    "entity_salience", "negation_scope", "entity_resolution",
+    "mad_outliers", "date_mentions",
 ]
 
 

@@ -183,3 +183,62 @@ class TestNegationFlags:
         tokens = spark.createDataFrame([(1, 1, "no"), (2, 3, "word")],
                                        "doc_id long, pos long, token string")
         assert negation_flags(linked, tokens).collect()[0]["n_negated"] == 0
+
+
+class TestResolveEntities:
+    def test_transitive_chain_and_blocking(self, spark):
+        from saber_spark.operators.canonicalize import resolve_entities
+        names = spark.createDataFrame(
+            [("ab",), ("abc",), ("abcd",),   # chain: ab~abc~abcd
+             ("xyz",), ("qyz",),             # first-char typo: NOT merged
+             ("solo",)],                     # singleton
+            "name string")
+        got = {r["name"]: r["canonical"]
+               for r in resolve_entities(names, max_edits=1).collect()}
+        assert got["ab"] == got["abc"] == got["abcd"] == "ab"
+        assert got["xyz"] == "xyz" and got["qyz"] == "qyz"
+        assert got["solo"] == "solo"
+
+    def test_max_edits_two_merges_wider(self, spark):
+        from saber_spark.operators.canonicalize import resolve_entities
+        names = spark.createDataFrame([("p53",), ("p534x",)], "name string")
+        one = {r["name"]: r["canonical"]
+               for r in resolve_entities(names, max_edits=1).collect()}
+        two = {r["name"]: r["canonical"]
+               for r in resolve_entities(names, max_edits=2).collect()}
+        assert one["p534x"] == "p534x"      # lev=2 > 1
+        assert two["p534x"] == "p53"
+
+
+class TestMadOutliers:
+    def test_flags_injected_outlier_only(self, spark):
+        from saber_spark.operators.groupstats import mad_outliers
+        rows = [(i, "s", 100 + (i % 5)) for i in range(20)] + [(99, "s", 5000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, v long")
+        r = mad_outliers(df, "v", "source").collect()[0]
+        assert r["n_rows"] == 21 and r["n_outliers"] == 1
+        assert r["median_val"] == 102.0
+        assert r["outlier_rate"] == round(1 / 21, 6)
+
+    def test_zero_mad_group_defined(self, spark):
+        from saber_spark.operators.groupstats import mad_outliers
+        df = spark.createDataFrame([(i, "s", 7) for i in range(10)],
+                                   "doc_id long, source string, v long")
+        r = mad_outliers(df, "v", "source").collect()[0]
+        assert r["mad"] == 0.0 and r["n_outliers"] == 0
+        assert r["outlier_rate"] == 0.0
+
+
+class TestExtractDates:
+    def test_valid_invalid_and_leap(self, spark):
+        from saber_spark.operators.textstats import extract_dates
+        df = spark.createDataFrame(
+            [(1, "seen 2023-07-14 and bogus 2023-13-40 ok"),
+             (2, "leap 2024-02-29 valid"),
+             (3, "nonleap 2023-02-29 invalid"),
+             (4, "no dates here")],
+            "doc_id long, text string")
+        got = {(r["doc_id"], r["date_str"], r["month"])
+               for r in extract_dates(df).collect()}
+        assert got == {(1, "2023-07-14", "2023-07"),
+                       (2, "2024-02-29", "2024-02")}
