@@ -1581,6 +1581,54 @@ def q_date_mentions(spark, sf_dir):
                  F.countDistinct("doc_id").alias("n_docs")))
 
 
+def q_triple_audit(spark, sf_dir):
+    """Per-predicate cardinality-constraint audit of the co-occurrence
+    triple table (triples.triple_cardinality_audit): distinct-object
+    fan-out per subject vs a max-cardinality expectation — the
+    Wikidata-property-constraint-style QA gate that catches linking
+    noise / escaped hub surfaces before the graph ships."""
+    from saber_spark.operators.triples import (assemble_triples,
+                                               triple_cardinality_audit)
+    linked = _linked_spark(spark, sf_dir).select(
+        F.col("doc_id").alias("url"), F.lit(0).alias("sent_id"),
+        "canonical_id")
+    return triple_cardinality_audit(assemble_triples(linked), max_card=3)
+
+
+def q_vocab_profile(spark, sf_dir):
+    """One-row corpus vocabulary health profile (vocab.vocab_profile):
+    token/type counts, hapax share, type-token ratio, top-1 token share
+    — the Zipf/Herdan first-look stats a tokenizer-training run checks
+    before spending compute. Two hash aggs, ratios rounded to 6."""
+    from saber_spark.operators.vocab import vocab_profile
+    return vocab_profile(tokenize_docs(_docs(spark, sf_dir)))
+
+
+def q_distance_histogram(spark, sf_dir):
+    """Reachability profile of the host graph from the seed host: BFS
+    minimum-hop distances within 3 hops (graph.khop_distance) rolled up
+    to (dist, n_nodes, cum_nodes, cum_share) — the distance distribution
+    whose 90th percentile is the effective diameter, the crawl-depth
+    planning stat. Oracle: the khop recursive CTE + a window cumsum."""
+    from pyspark.sql import Window
+    from saber_spark.operators.graph import khop_distance
+    seeds = spark.createDataFrame([("src3.example.org",)], "node string")
+    dists = khop_distance(_host_edges(spark, sf_dir), seeds, k=3)
+    hist = dists.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+    # the unpartitioned window runs on the <=k+1-row histogram, never the
+    # node table; total arrives via a 1-row crossJoin to stay lazy
+    w = (Window.orderBy("dist")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = dists.agg(F.count(F.lit(1)).alias("_total"))
+    return (hist
+            .withColumn("cum_nodes", F.sum("n_nodes").over(w).cast("long"))
+            .crossJoin(tot)
+            .select("dist", "n_nodes", "cum_nodes",
+                    F.round(F.col("cum_nodes").cast("double")
+                            / F.col("_total").cast("double"), 6)
+                    .alias("cum_share")))
+
+
 def q_chunk_documents(spark, sf_dir):
     """Overlapping sliding-window chunking (window 8, stride 4) — the
     RAG/embedding-index chunker: no span is cut at a hard boundary
@@ -2525,10 +2573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entity_centroids / sssp_hosts / chunk_documents / linkpred_auc /
     # calibration_quality / graph_summary / community_modularity /
     # entity_salience / negation_scope / entity_resolution /
-    # mad_outliers / date_mentions (positions 51-85).
+    # mad_outliers / date_mentions / triple_audit / vocab_profile /
+    # distance_histogram (positions 51-88).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the thirty-five tail-head newest above (no driver row yet);
+    # (1) the thirty-eight tail-head newest above (no driver row yet);
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2659,6 +2708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution": q_entity_resolution,
         "mad_outliers": q_mad_outliers,
         "date_mentions": q_date_mentions,
+        "triple_audit": q_triple_audit,
+        "vocab_profile": q_vocab_profile,
+        "distance_histogram": q_distance_histogram,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -4227,6 +4279,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_mentions,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM valid GROUP BY month""",
+        "triple_audit": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            ents AS (SELECT DISTINCT doc_id, canonical_id FROM linked),
+            t AS (SELECT DISTINCT a.canonical_id AS s,
+                         'cooccurs_with' AS p, b.canonical_id AS o
+                  FROM ents a JOIN ents b
+                    ON a.doc_id = b.doc_id
+                   AND a.canonical_id < b.canonical_id),
+            fan AS (SELECT p, s, count(*) AS n_obj FROM t GROUP BY p, s),
+            po AS (SELECT p, count(*) AS n_triples,
+                          count(DISTINCT o) AS n_objects
+                   FROM t GROUP BY p),
+            ps AS (SELECT p, count(*) AS n_subjects,
+                          CAST(max(n_obj) AS BIGINT) AS max_fanout,
+                          sum(CASE WHEN n_obj > 3 THEN 1 ELSE 0 END)
+                            AS n_violating_subjects
+                   FROM fan GROUP BY p)
+            SELECT po.p AS pred,
+                   CAST(n_triples AS BIGINT) AS n_triples,
+                   CAST(n_subjects AS BIGINT) AS n_subjects,
+                   CAST(n_objects AS BIGINT) AS n_objects,
+                   max_fanout,
+                   CAST(n_violating_subjects AS BIGINT)
+                     AS n_violating_subjects,
+                   round(CAST(n_violating_subjects AS DOUBLE)
+                         / n_subjects, 6) AS violation_rate
+            FROM po JOIN ps USING (p)""",
+        "vocab_profile": f"""
+            WITH {TOKENS_CTE},
+            freq AS (SELECT token, count(*) AS n FROM tokens
+                     GROUP BY token),
+            agg AS (SELECT sum(n) AS n_tokens, count(*) AS n_types,
+                           sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                             AS n_hapax,
+                           max(n) AS top1
+                    FROM freq)
+            SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_types AS BIGINT) AS n_types,
+                   CAST(n_hapax AS BIGINT) AS n_hapax,
+                   round(CAST(n_hapax AS DOUBLE) / n_types, 6)
+                     AS hapax_ratio,
+                   round(CAST(n_types AS DOUBLE) / n_tokens, 6)
+                     AS type_token_ratio,
+                   round(CAST(top1 AS DOUBLE) / n_tokens, 6)
+                     AS top1_share
+            FROM agg""",
+        "distance_histogram": f"""
+            WITH RECURSIVE {HOST_EDGES_CTE.strip()},
+            walk (node, dist) AS (
+              SELECT 'src3.example.org', 0
+              UNION ALL
+              SELECT e.dst, w.dist + 1
+              FROM walk w JOIN hedges e ON e.src = w.node
+              WHERE w.dist < 3),
+            mind AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist
+                     FROM walk GROUP BY node),
+            hist AS (SELECT dist, count(*) AS n_nodes FROM mind
+                     GROUP BY dist),
+            tot AS (SELECT count(*) AS total FROM mind)
+            SELECT dist,
+                   CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(sum(n_nodes) OVER (ORDER BY dist
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS cum_nodes,
+                   round(CAST(sum(n_nodes) OVER (ORDER BY dist
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS DOUBLE)
+                         / CAST(total AS DOUBLE), 6) AS cum_share
+            FROM hist CROSS JOIN tot""",
         "linkpred_auc": """
             WITH edges0 AS (
               SELECT DISTINCT source || '.example.org' AS src,

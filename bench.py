@@ -175,7 +175,8 @@ def main() -> None:
         # quality, entity salience, negation scoping)
         "graph_summary", "community_modularity", "entity_salience",
         "negation_scope", "entity_resolution", "mad_outliers",
-        "date_mentions",
+        "date_mentions", "triple_audit", "vocab_profile",
+        "distance_histogram",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

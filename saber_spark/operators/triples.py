@@ -374,3 +374,44 @@ def triple_history(observations: DataFrame,
                     F.col("iv.valid_to").alias("valid_to"),
                     (F.col("iv.valid_to") - F.col("iv.valid_from") + 1)
                     .cast("long").alias("n_snaps")))
+
+
+def triple_cardinality_audit(triples: DataFrame, max_card: int = 3,
+                             subj_col: str = "subj", pred_col: str = "pred",
+                             obj_col: str = "obj") -> DataFrame:
+    """Per-predicate KG constraint audit -> (pred, n_triples, n_subjects,
+    n_objects, max_fanout, n_violating_subjects, violation_rate).
+
+    The ontology-side twin of link_fd_check: most predicates carry a
+    max-cardinality expectation (a protein has ONE canonical species, a
+    page ONE publication date), and a subject whose distinct-object
+    fan-out exceeds it is the classic symptom of linking noise or a hub
+    surface that escaped canonicalization. Auditing fan-out per predicate
+    is how production KG builds (Wikidata-style property constraints)
+    catch this before the graph ships.
+
+    Scale shape: one distinct over (subj, pred, obj), one
+    (pred, subj)-keyed count agg, one pred-keyed final agg — all
+    map-side combinable; the violation flag is an integer compare.
+    violation_rate = violators / subjects, rounded to 6.
+    """
+    t = (triples.select(F.col(subj_col).alias("s"),
+                        F.col(pred_col).alias("p"),
+                        F.col(obj_col).alias("o"))
+         .distinct())
+    fan = (t.groupBy("p", "s")
+           .agg(F.count(F.lit(1)).alias("n_obj")))
+    per_obj = (t.groupBy("p")
+               .agg(F.count(F.lit(1)).alias("n_triples"),
+                    F.countDistinct("o").alias("n_objects")))
+    per_subj = (fan.groupBy("p")
+                .agg(F.count(F.lit(1)).alias("n_subjects"),
+                     F.max("n_obj").cast("long").alias("max_fanout"),
+                     F.sum((F.col("n_obj") > max_card).cast("long"))
+                     .alias("n_violating_subjects")))
+    return (per_obj.join(per_subj, "p")
+            .select(F.col("p").alias("pred"), "n_triples", "n_subjects",
+                    "n_objects", "max_fanout", "n_violating_subjects",
+                    F.round(F.col("n_violating_subjects").cast("double")
+                            / F.col("n_subjects"), 6)
+                    .alias("violation_rate")))

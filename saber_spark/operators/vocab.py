@@ -155,3 +155,35 @@ def vocab_ids(tokens: DataFrame) -> DataFrame:
         "token",
         (F.row_number().over(w) + FIRST_DATA_ID - 1).alias("token_id"),
     )
+
+
+def vocab_profile(tokens: DataFrame, token_col: str = "token") -> DataFrame:
+    """One-row corpus vocabulary health profile -> (n_tokens, n_types,
+    n_hapax, hapax_ratio, type_token_ratio, top1_share).
+
+    The table_profile of the token layer: a web corpus whose
+    type/token ratio collapses (template spam), whose hapax share spikes
+    (OCR noise, encoding damage) or whose top-1 token share balloons
+    (boilerplate) fails downstream tokenizer/LM training in ways
+    document-level stats miss — these three ratios are the standard
+    first-look quantities of corpus linguistics (Zipf/Herdan lineage).
+
+    Scale: ONE (token)-keyed count agg (map-side combinable) + one
+    global agg of its |V|-sized result. Ratios are single double
+    divisions over exact BIGINT counts, rounded to 6.
+    """
+    freq = tokens.groupBy(token_col).agg(F.count(F.lit(1)).alias("n"))
+    return (freq.agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("n") == 1).cast("long")).alias("n_hapax"),
+        F.max("n").alias("_top1"))
+        .select(F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.col("n_types").cast("long").alias("n_types"),
+                F.col("n_hapax").cast("long").alias("n_hapax"),
+                F.round(F.col("n_hapax").cast("double")
+                        / F.col("n_types"), 6).alias("hapax_ratio"),
+                F.round(F.col("n_types").cast("double")
+                        / F.col("n_tokens"), 6).alias("type_token_ratio"),
+                F.round(F.col("_top1").cast("double")
+                        / F.col("n_tokens"), 6).alias("top1_share")))

@@ -37,7 +37,8 @@ R4_SLATE = [
     "entity_centroids", "sssp_hosts", "chunk_documents", "linkpred_auc",
     "calibration_quality", "graph_summary", "community_modularity",
     "entity_salience", "negation_scope", "entity_resolution",
-    "mad_outliers", "date_mentions",
+    "mad_outliers", "date_mentions", "triple_audit", "vocab_profile",
+    "distance_histogram",
 ]
 
 

@@ -242,3 +242,31 @@ class TestExtractDates:
                for r in extract_dates(df).collect()}
         assert got == {(1, "2023-07-14", "2023-07"),
                        (2, "2024-02-29", "2024-02")}
+
+
+class TestTripleCardinalityAudit:
+    def test_fanout_and_violations(self, spark):
+        from saber_spark.operators.triples import triple_cardinality_audit
+        rows = ([("s1", "p", f"o{i}") for i in range(5)]   # fan-out 5
+                + [("s2", "p", "o0"), ("s2", "p", "o0")]   # dup collapses
+                + [("s3", "q", "o1")])
+        t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+        got = {r["pred"]: r
+               for r in triple_cardinality_audit(t, max_card=3).collect()}
+        p = got["p"]
+        assert (p["n_triples"], p["n_subjects"], p["max_fanout"],
+                p["n_violating_subjects"]) == (6, 2, 5, 1)
+        assert p["violation_rate"] == 0.5
+        assert got["q"]["n_violating_subjects"] == 0
+
+
+class TestVocabProfile:
+    def test_hand_example(self, spark):
+        from saber_spark.operators.vocab import vocab_profile
+        toks = spark.createDataFrame(
+            [("a",), ("a",), ("a",), ("b",), ("c",)], "token string")
+        r = vocab_profile(toks).collect()[0]
+        assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (5, 3, 2)
+        assert r["hapax_ratio"] == round(2 / 3, 6)
+        assert r["type_token_ratio"] == 0.6
+        assert r["top1_share"] == 0.6
