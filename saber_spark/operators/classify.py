@@ -26,6 +26,8 @@ is ever collected to the driver.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -97,6 +99,129 @@ def centroid_confusion(embeddings: DataFrame, folds: int = 5,
                        id_col)
             .groupBy("true_label", "pred_label")
             .agg(F.count(F.lit(1)).alias("n_vecs")))
+
+
+def nb_fit(tokens: DataFrame, doc_labels: DataFrame,
+           id_col: str = "doc_id", tok_col: str = "token",
+           label_col: str = "label"
+           ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Multinomial Naive Bayes sufficient statistics from a token stream
+    plus per-doc labels -> (model, label_stats, sizes).
+
+    The token-side sibling of centroid_fit and the classic fastText-era
+    corpus-quality / language classifier (CCNet and the GPT-3 appendix A
+    filter are linear classifiers of exactly this complexity class). All
+    three outputs are EXACT INTEGER count tables, so the model is
+    engine-portable and mergeable across corpus shards (sums add):
+
+      model       (label, token, c_wt)    per-class token counts
+      label_stats (label, n_docs, c_total) doc prior + token mass
+      sizes       1 row (n_train_docs, v)  corpus size + vocab size
+
+    Scale shape: one hash agg per table — (label, token) keyed with
+    map-side combine absorbing Zipf head skew, then algebraic rollups.
+    Nothing is collected to the driver; the reference trains one
+    in-memory Keras model per process (saber/train_utils.py), this is
+    the distributed-counting replacement.
+    """
+    tt = (tokens.select(id_col, tok_col)
+          .join(doc_labels.select(id_col, label_col), id_col))
+    model = (tt.groupBy(label_col, tok_col)
+             .agg(F.count(F.lit(1)).alias("c_wt")))
+    label_stats = (model.groupBy(label_col)
+                   .agg(F.sum("c_wt").alias("c_total"))
+                   .join(doc_labels.groupBy(label_col)
+                         .agg(F.count(F.lit(1)).alias("n_docs")),
+                         label_col)
+                   .select(label_col, "n_docs", "c_total"))
+    sizes = (tt.agg(F.count_distinct(id_col).alias("n_train_docs"),
+                    F.count_distinct(tok_col).alias("v")))
+    return model, label_stats, sizes
+
+
+def nb_predict(tokens: DataFrame, model: DataFrame,
+               label_stats: DataFrame, sizes: DataFrame,
+               add_k: float = 0.5, id_col: str = "doc_id",
+               tok_col: str = "token",
+               label_col: str = "label") -> DataFrame:
+    """Score a token stream under an nb_fit model -> (doc_id,
+    pred_label, score): argmax over labels of
+
+      ln(n_docs_L / N) + sum_t tf_t * ln((c_Lt + k) / (c_L + kV))
+
+    decomposed so UNSEEN tokens never need a (token x label) expansion:
+    the per-label base ln(k / (c_L + kV)) applies to ALL T_d tokens via
+    one small cross join, and only MATCHED (token, label) pairs add the
+    correction tf * (ln(c_Lt + k) - ln(k)) through one inner equi-join
+    against the model. Scores round to 6dp before the argmax (the
+    textrank ranking convention); ties break label ASC.
+
+    Scale shape: tf and doc-length aggs are doc-keyed; the correction
+    join is token-keyed (model broadcast at dictionary scale,
+    shuffle-join with AQE skew handling once the vocabulary exceeds
+    broadcast range — the lm_cross_entropy note); the label cross join
+    multiplies rows only by the label count (bounded, e.g. languages).
+    """
+    lnk = float(math.log(add_k))
+    tf = (tokens.select(id_col, tok_col)
+          .groupBy(id_col, tok_col)
+          .agg(F.count(F.lit(1)).alias("tf")))
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("t_total"))
+    mod = model.withColumnRenamed(label_col, "_l")
+    corr = (tf.join(mod, tok_col)
+            .groupBy(id_col, "_l")
+            .agg(F.sum(F.col("tf")
+                       * (F.ln(F.col("c_wt") + F.lit(float(add_k)))
+                          - F.lit(lnk))).alias("corr")))
+    # per-label constants: prior + the all-tokens-unseen base rate
+    consts = (label_stats.withColumnRenamed(label_col, "_l")
+              .crossJoin(F.broadcast(sizes))
+              .select(
+                  "_l",
+                  (F.ln(F.col("n_docs"))
+                   - F.ln(F.col("n_train_docs"))).alias("prior"),
+                  (F.lit(lnk)
+                   - F.ln(F.col("c_total")
+                          + F.lit(float(add_k))
+                          * F.greatest(F.col("v"), F.lit(1))))
+                  .alias("base")))
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                           F.col("_l").asc())
+    return (doclen.crossJoin(F.broadcast(consts))
+            .join(corr, [id_col, "_l"], "left")
+            .withColumn(
+                "score",
+                F.round(F.col("prior")
+                        + F.col("t_total") * F.col("base")
+                        + F.coalesce(F.col("corr"), F.lit(0.0)), 6))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, F.col("_l").alias("pred_label"), "score"))
+
+
+def nb_confusion(tokens: DataFrame, doc_labels: DataFrame,
+                 parts: int = 2, add_k: float = 0.5,
+                 id_col: str = "doc_id", tok_col: str = "token",
+                 label_col: str = "label") -> DataFrame:
+    """Held-out NB evaluation on the repo's deterministic hash split:
+    fit on hash-parts != 0, score part 0 -> (true_label, pred_label,
+    n_docs) confusion counts (the centroid_confusion contract for the
+    token-side classifier)."""
+    from saber_spark.operators.lm import train_split
+
+    labeled = train_split(doc_labels, id_col, parts)
+    train_ids = labeled.filter(F.col("part") != 0).drop("part")
+    test_ids = labeled.filter(F.col("part") == 0).drop("part")
+    tok_train = tokens.join(train_ids.select(id_col), id_col, "left_semi")
+    tok_test = tokens.join(test_ids.select(id_col), id_col, "left_semi")
+    model, stats, sizes = nb_fit(tok_train, train_ids,
+                                 id_col, tok_col, label_col)
+    preds = nb_predict(tok_test, model, stats, sizes, add_k,
+                       id_col, tok_col, label_col)
+    return (preds.join(test_ids.select(
+                id_col, F.col(label_col).alias("true_label")), id_col)
+            .groupBy("true_label", "pred_label")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
 def entity_centroids(linked: DataFrame, embeddings: DataFrame,

@@ -121,3 +121,80 @@ def cms_heavy_hitters(df: DataFrame, value_col: str, width: int = 256,
                    "left_semi")
              .groupBy("value").agg(F.count(F.lit(1)).alias("exact")))
     return survivors.join(exact, "value").select("value", "est", "exact")
+
+
+def bloom_bits(values: DataFrame, value_col: str, m: int = 8192,
+               k: int = 3) -> DataFrame:
+    """Distinct Bloom-filter bit positions of a value set -> (bit).
+
+    Hash family: bit_i(v) = first-8-hex-chars of md5('i:v') mod m — the
+    _cms_buckets / DSIR portable string-hash family, so any engine
+    reproduces the filter bit-for-bit. This relational table IS the
+    Bloom filter (<= m rows however large the input); in a production
+    job it packs into an m/8-byte broadcast bitset, the form that makes
+    Bloom the standard 100-TB membership primitive: a 10M-entry eval
+    set at k=3 / 1% FP rate is a ~12 MB broadcast, where the raw n-gram
+    strings it replaces are gigabytes.
+    """
+    return (values
+            .select(F.explode(_cms_buckets(F.col(value_col), m, k))
+                    .alias("db"))
+            .select(F.col("db.bucket").alias("bit"))
+            .distinct())
+
+
+def bloom_decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
+                        m: int = 8192, k: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination via a Bloom membership probe, with the
+    exact answer alongside -> one row per corpus doc:
+    (doc_id, n_bloom_hits, n_exact, bloom_flagged, exact_contaminated).
+
+    The sketch-membership sibling of dedup.contamination_check: a corpus
+    word n-gram is bloom-flagged iff ALL k of its bit positions are set
+    by the eval set's n-grams. Bloom filters never produce false
+    negatives, so n_bloom_hits >= n_exact and bloom_flagged covers every
+    exact_contaminated doc — the safe direction for decontamination
+    (over-drop, never under-drop); the exact columns keep the
+    false-positive cost visible in the result itself (the kmv_distinct
+    honesty convention).
+
+    Scale shape: the filter build is one explode + distinct over
+    benchmark-sized input (<= m rows out); the probe joins corpus gram
+    bits against the BROADCAST bit table and needs bits_hit == k — one
+    (doc, gram)-keyed agg. The corpus side never shuffles for
+    membership; the per-doc rollup is the same sparse-hits aggregation
+    contamination_check documents.
+    """
+    from saber_spark.operators.dedup import doc_shingles
+
+    eval_g = (doc_shingles(eval_docs, text_col=text_col, id_col=id_col,
+                           n=n).select("shingle").distinct())
+    bits = bloom_bits(eval_g, "shingle", m, k)
+    doc_g = doc_shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    probe = (doc_g
+             .select(id_col, "shingle",
+                     F.explode(_cms_buckets(F.col("shingle"), m, k))
+                     .alias("db"))
+             .join(F.broadcast(bits),
+                   F.col("db.bucket") == F.col("bit"))
+             .groupBy(id_col, "shingle")
+             .agg(F.count(F.lit(1)).alias("bits_hit")))
+    bloom_hits = (probe.filter(F.col("bits_hit") == k)
+                  .groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("n_bloom_hits")))
+    exact_hits = (doc_g.join(F.broadcast(eval_g), "shingle")
+                  .groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("n_exact")))
+    return (docs.select(id_col)
+            .join(bloom_hits, id_col, "left")
+            .join(exact_hits, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_bloom_hits", F.lit(0))
+                 .cast("long").alias("n_bloom_hits"),
+                F.coalesce("n_exact", F.lit(0))
+                 .cast("long").alias("n_exact"),
+                F.col("n_bloom_hits").isNotNull().alias("bloom_flagged"),
+                F.col("n_exact").isNotNull().alias("exact_contaminated")))

@@ -311,3 +311,45 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
     w = Window.orderBy(F.col("key").desc(), F.col(id_col).asc())
     return top.select(id_col, "weight", "key",
                       F.row_number().over(w).cast("long").alias("rank"))
+
+
+def grouped_split(df: DataFrame, group_col: str, folds: int = 5,
+                  fold_col: str = "fold") -> DataFrame:
+    """Group-exclusive fold assignment: every row of a group lands in the
+    SAME fold — fold = (first-8-hex of md5(group)) mod folds, the
+    weighted_sample/DSIR portable string-hash family.
+
+    fold_assign hashes the ROW id, which silently leaks near-duplicate
+    rows of one origin across train/test: pages from one host, sentences
+    from one document, and recrawls of one site correlate, so a row-level
+    split overstates held-out performance (the group-k-fold lesson).
+    Hashing the GROUP key makes exclusivity a property of the formula —
+    no shuffle, no coordination, reproducible on any engine at any
+    partitioning, exactly what a 10^12-row split needs (a global
+    group->fold assignment table would itself be a big-data join).
+    """
+    h = F.conv(F.substring(F.md5(F.col(group_col).cast("string")), 1, 8),
+               16, 10).cast("long")
+    return df.withColumn(fold_col, (h % folds).cast("long"))
+
+
+def grouped_split_audit(df: DataFrame, group_col: str, folds: int = 5,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Audit table of a grouped_split -> one row per fold:
+    (fold, n_groups, n_docs, largest_group_docs).
+
+    n_groups/n_docs expose fold balance (group-hash splits are balanced
+    in expectation, not by construction — a skewed group-size
+    distribution shows up here before it poisons an eval);
+    largest_group_docs flags the single-hub-dominates-a-fold failure.
+    Group exclusivity needs no audit row: one group hashes to one fold
+    by construction. Scale: one (fold, group) agg + one fold agg, both
+    algebraic.
+    """
+    per_group = (grouped_split(df, group_col, folds)
+                 .groupBy("fold", group_col)
+                 .agg(F.count(F.lit(1)).alias("n_rows")))
+    return (per_group.groupBy("fold")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum("n_rows").alias("n_docs"),
+                 F.max("n_rows").alias("largest_group_docs")))

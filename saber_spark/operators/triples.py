@@ -415,3 +415,51 @@ def triple_cardinality_audit(triples: DataFrame, max_card: int = 3,
                     F.round(F.col("n_violating_subjects").cast("double")
                             / F.col("n_subjects"), 6)
                     .alias("violation_rate")))
+
+
+def metapath_counts(triples: DataFrame, subj_col: str = "subj",
+                    pred_col: str = "pred", obj_col: str = "obj",
+                    max_mid_degree: int = 1000) -> DataFrame:
+    """2-hop predicate-composition profile (AMIE-style path support)
+    -> (pred1, pred2, n_paths, n_mids): for every ordered predicate pair,
+    how many distinct (a)-[pred1]->(m)-[pred2]->(b) paths the KG holds
+    (a != b — the returning a->m->a walk says nothing about composition)
+    and through how many distinct mid entities.
+
+    Path support over predicate pairs is the first statistic of every
+    KG rule miner (AMIE/AnyBURL lineage: 'born_in . capital_of' paths
+    are evidence for a 'citizen_of' rule) and the schema-health view of
+    how relations chain — computable long before any embedding exists.
+
+    Scale shape: one distinct over the triple table, then ONE equi-join
+    of it with itself on the mid entity (obj side hash-partitions once,
+    subj side likewise — co-partitioned on the shared key), then one
+    algebraic agg on (pred1, pred2). Mid entities joining more than
+    ``max_mid_degree`` triples on EITHER side are excluded up front
+    (two count aggs + semi-join): a hub mid contributes in_deg*out_deg
+    pairs — quadratic blowup with no per-rule information (every rule
+    'fires' through a hub), the same stopword argument host_mirrors
+    makes for popular paths. Exclusions are a visible parameter, not a
+    silent cap.
+    """
+    t = (triples.select(F.col(subj_col).alias("s"),
+                        F.col(pred_col).alias("p"),
+                        F.col(obj_col).alias("o"))
+         .distinct())
+    in_ok = (t.groupBy("o").agg(F.count(F.lit(1)).alias("d"))
+             .filter(F.col("d") <= max_mid_degree).select("o"))
+    out_ok = (t.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+              .filter(F.col("d") <= max_mid_degree).select("s"))
+    mids = (in_ok.join(out_ok, in_ok.o == out_ok.s, "inner")
+            .select(F.col("o").alias("m")))
+    left = (t.join(mids, t.o == mids.m, "left_semi")
+            .select(F.col("s").alias("a"), F.col("p").alias("pred1"),
+                    F.col("o").alias("m")))
+    right = (t.join(mids, t.s == mids.m, "left_semi")
+             .select(F.col("s").alias("m"), F.col("p").alias("pred2"),
+                     F.col("o").alias("b")))
+    return (left.join(right, "m")
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("pred1", "pred2")
+            .agg(F.count(F.lit(1)).alias("n_paths"),
+                 F.count_distinct("m").alias("n_mids")))

@@ -385,3 +385,58 @@ def sitemap_urls(sitemaps: DataFrame, xml_col: str = "xml",
     return sitemaps.select(
         F.col(host_col).alias("host"),
         F.explode(F.xpath(xml_col, F.lit("//url/loc/text()"))).alias("loc"))
+
+
+def host_mirrors(pages: DataFrame, url_col: str = "url",
+                 tau: float = 0.5,
+                 max_hosts_per_path: int = 100) -> DataFrame:
+    """Mirror-site detection: host pairs whose PATH SETS overlap with
+    Jaccard >= tau -> (host_a, host_b, n_shared, n_a, n_b, jaccard).
+
+    URL-level dedup (url_dedup) collapses recrawls of ONE url; it cannot
+    see two hosts serving the same site under different names — the
+    mirror/CDN-alias/parked-domain shape that inflates crawl corpora at
+    the host level. Path-set Jaccard is the containment signal: mirrors
+    share their URL structure even when page bytes differ by host-name
+    substitutions that defeat content hashing.
+
+    Scale shape (the ngram_jaccard candidates-only discipline, with the
+    PATH as the blocking key): hosts pair up ONLY through a shared path
+    — one equi-join on the distinct (host, path) table, never an
+    all-pairs host cross join. Paths present on more than
+    ``max_hosts_per_path`` hosts (the '/', '/index.html' stopword
+    analogues — every host has them, so they generate quadratic pairs
+    and carry no mirror signal) are dropped from PAIR GENERATION but
+    still count in each host's set size, so their removal only lowers
+    measured Jaccard — it never invents a mirror. Counts are exact
+    integers; the single double (jaccard, 6dp) follows the repo float
+    convention. host_a < host_b gives each pair one row.
+    """
+    hp = (pages.select(url_host(url_col).alias("host"),
+                       F.regexp_replace(F.col(url_col), _SCHEME_HOST, "")
+                        .alias("path"))
+          .distinct())
+    sizes = hp.groupBy("host").agg(F.count(F.lit(1)).alias("n_paths"))
+    rare = (hp.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_hosts"))
+            .filter(F.col("n_hosts") <= max_hosts_per_path)
+            .select("path"))
+    blocked = hp.join(rare, "path", "left_semi")
+    a = blocked.select(F.col("host").alias("host_a"), "path")
+    b = blocked.select(F.col("host").alias("host_b"), "path")
+    inter = (a.join(b, "path")
+             .filter(F.col("host_a") < F.col("host_b"))
+             .groupBy("host_a", "host_b")
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (inter
+            .join(sizes.select(F.col("host").alias("host_a"),
+                               F.col("n_paths").alias("n_a")), "host_a")
+            .join(sizes.select(F.col("host").alias("host_b"),
+                               F.col("n_paths").alias("n_b")), "host_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_shared")
+                                / (F.col("n_a") + F.col("n_b")
+                                   - F.col("n_shared")), 6))
+            .filter(F.col("jaccard") >= tau)
+            .select("host_a", "host_b", "n_shared", "n_a", "n_b",
+                    "jaccard"))

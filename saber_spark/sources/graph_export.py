@@ -115,3 +115,40 @@ def to_graphml(nodes: DataFrame, edges: DataFrame,
             d = ET.SubElement(el, "data", key="w")
             d.text = str(row[weight])
     return ET.tostring(root, encoding="unicode")
+
+
+def write_ntriples(edges: DataFrame, path: str, subj: str = "subj",
+                   pred: str = "pred", obj: str = "obj",
+                   base_iri: str = "http://example.org/kg/") -> None:
+    """Write the triple table as W3C N-Triples lines
+    (``<s> <p> <o> .``), DISTRIBUTED (``df.write.text`` — the
+    write_edgelist path, fine at any triple count).
+
+    N-Triples is the line-oriented RDF serialization — the one RDF form
+    that maps 1:1 onto a distributed text sink, which is why public KG
+    dumps (Wikidata, DBpedia) ship in it. Terms become IRIs under
+    ``base_iri`` with RFC 3987-unsafe bytes percent-encoded
+    (space, <>"{}|^\\` and controls — the N-Triples IRIREF exclusion
+    set), pure built-in regexp/URL encoding, zero Python in the row
+    path. NULL terms raise at write time (the write_edgelist contract:
+    a silently dropped field would corrupt the line format).
+    """
+    def iri(col: str):
+        c = F.col(col).cast("string")
+        # url_encode percent-escapes everything non-alphanumeric
+        # (application/x-www-form-urlencoded); '+' means space there,
+        # so rewrite it to %20 for IRI semantics
+        return F.concat(F.lit("<"), F.lit(base_iri),
+                        F.regexp_replace(F.url_encode(c), r"\+", "%20"),
+                        F.lit(">"))
+
+    cols = [F.col(subj), F.col(pred), F.col(obj)]
+    bad = edges.filter(cols[0].isNull() | cols[1].isNull()
+                       | cols[2].isNull()).limit(1).count()
+    if bad:
+        raise ValueError(
+            "write_ntriples: NULL subj/pred/obj cannot render as a "
+            "valid N-Triples line")
+    (edges.select(F.concat_ws(" ", iri(subj), iri(pred), iri(obj),
+                              F.lit(".")).alias("value"))
+     .write.mode("overwrite").text(path))
