@@ -2481,6 +2481,150 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(docs, min_docs=2)
 
 
+def q_nb_lang_confusion(spark, sf_dir):
+    """Multinomial Naive Bayes held-out confusion: fit the token-count
+    model on hash-half != 0 with the declared lang as the label, score
+    half 0, -> (true_label, pred_label, n_docs). The fastText-era
+    corpus-quality/language classifier as three integer count aggs +
+    one token equi-join; scores round to 6dp before the argmax (ties
+    label ASC) so the winner is engine-portable."""
+    from saber_spark.operators.classify import nb_confusion
+    docs = _docs(spark, sf_dir)
+    return nb_confusion(tokenize_docs(docs),
+                        docs.select("doc_id",
+                                    F.col("lang").alias("label")))
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (docs with doc_id < 5 as the eval
+    set, the contamination_check fixture): a corpus word 5-gram is
+    flagged iff all k=3 md5 bit positions land in the eval set's m=4096
+    filter. No false negatives by construction — n_bloom_hits >=
+    n_exact on every row, and the exact twin rides alongside so the
+    false-positive cost is visible in the result itself."""
+    from saber_spark.operators.sketch import bloom_decontaminate
+    docs = _docs(spark, sf_dir)
+    return bloom_decontaminate(docs.filter(F.col("doc_id") >= 5),
+                               docs.filter(F.col("doc_id") < 5),
+                               n=5, m=4096, k=3)
+
+
+def q_host_mirrors(spark, sf_dir):
+    """Mirror-site detection over a two-variant recrawl fixture: each
+    source serves /{source}/p/{doc_id mod 37} on <source>.org and (for
+    doc_id mod 10 != 0) on <source>-m.org — the mirror pair shares
+    ~90% of its path set, cross-source hosts share nothing. Hosts pair
+    ONLY through a shared path (equi-join, never host cross-join);
+    popular paths are excluded from pair generation by the
+    max_hosts_per_path stopword rule."""
+    from saber_spark.operators.webstats import host_mirrors
+    docs = _docs(spark, sf_dir)
+    path = F.concat(F.lit("/"), F.col("source"), F.lit("/p/"),
+                    (F.col("doc_id") % 37).cast("string"))
+    main = F.concat(F.lit("https://"), F.col("source"), F.lit(".org"),
+                    path)
+    mirror = F.when(
+        F.col("doc_id") % 10 != 0,
+        F.concat(F.lit("https://"), F.col("source"), F.lit("-m.org"),
+                 path))
+    pages = (docs.select(F.explode(F.array(main, mirror)).alias("url"))
+             .filter(F.col("url").isNotNull()))
+    return host_mirrors(pages, tau=0.5)
+
+
+def q_metapath_counts(spark, sf_dir):
+    """KG rule-mining profile: 2-hop predicate-composition counts over
+    the typed relation table (the typed_triples chain feeds directly
+    in) -> (pred1, pred2, n_paths, n_mids). One self-equi-join on the
+    mid entity with hub mids excluded up front — the AMIE path-support
+    statistic, computable before any embedding exists."""
+    from saber_spark.operators.triples import metapath_counts
+    return metapath_counts(q_typed_triples(spark, sf_dir))
+
+
+def q_grouped_split_audit(spark, sf_dir):
+    """Leakage-safe grouped split audit: docs fold by md5(source) — all
+    docs of one source land in ONE fold by the hash formula itself (no
+    shuffle, no assignment table) — then per-fold balance stats
+    (n_groups, n_docs, largest_group_docs). The group-k-fold discipline
+    a host-correlated web corpus needs before any held-out number is
+    believable."""
+    from saber_spark.operators.splits import grouped_split_audit
+    return grouped_split_audit(_docs(spark, sf_dir), "source", folds=3)
+
+
+def q_hearst_hypernyms(spark, sf_dir):
+    """Taxonomy induction via Hearst patterns (triples.hearst_hypernyms,
+    Hearst COLING 1992): 'X such as Y' / 'X including Y' / 'Y and other
+    X' regex sweeps -> (hypernym, hyponym, pattern, n_mentions) — the
+    is-a harvesting step Saber's UMLS grounding assumes already exists.
+    The corpus has no such phrases, so the fixture appends ONE chained
+    deterministic clause per doc (' grpA such as entB and other catC
+    including subD', letters doc_id-derived) that exercises all three
+    patterns — mirrored verbatim in the oracle; the sweep itself runs
+    over the full stamped text in both engines."""
+    from saber_spark.operators.triples import hearst_hypernyms
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def let(m):
+        return F.substring(F.lit(alpha),
+                           (F.col("doc_id") % m + 1).cast("int"), 1)
+
+    stamped = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" grp"), let(7), F.lit(" such as ent"), let(13),
+                 F.lit(" and other cat"), let(5),
+                 F.lit(" including sub"), let(3)).alias("text"))
+    return hearst_hypernyms(stamped)
+
+
+def q_domain_range_audit(spark, sf_dir):
+    """SHACL-style schema conformance over a typed triple store
+    (triples.domain_range_audit): per predicate, the modal
+    (domain, range) type signature and the count of violating triples —
+    triple_audit's type-signature sibling. Fixture KG from TPC-H:
+    (cust)-[placed]->(order) and (order)-[contains]->(part) facts, with
+    every 13th order's 'placed' object corrupted to the customer itself
+    (a real ingestion bug shape: id column swap), so the audit reports
+    nonzero violations; the type table is the entity prefix."""
+    from saber_spark.operators.triples import domain_range_audit
+    orders = tpch.load(spark, sf_dir, "orders")
+    li = tpch.load(spark, sf_dir, "lineitem")
+    cust = F.concat(F.lit("cust:"), F.col("o_custkey").cast("string"))
+    placed = orders.select(
+        cust.alias("subj"), F.lit("placed").alias("pred"),
+        F.when(F.col("o_orderkey") % 13 == 0, cust)
+        .otherwise(F.concat(F.lit("order:"),
+                            F.col("o_orderkey").cast("string")))
+        .alias("obj"))
+    contains = li.select(
+        F.concat(F.lit("order:"), F.col("l_orderkey").cast("string"))
+        .alias("subj"),
+        F.lit("contains").alias("pred"),
+        F.concat(F.lit("part:"), F.col("l_partkey").cast("string"))
+        .alias("obj"))
+    triples = placed.unionByName(contains)
+    types = (triples.select(F.col("subj").alias("entity"))
+             .unionByName(triples.select(F.col("obj").alias("entity")))
+             .distinct()
+             .select("entity",
+                     F.split_part(F.col("entity"), F.lit(":"), F.lit(1))
+                     .alias("etype")))
+    return domain_range_audit(triples, types)
+
+
+def q_linkpred_mrr(spark, sf_dir):
+    """MRR + Hits@{1,3,10} ranking evaluation of Adamic-Adar link
+    prediction on the host graph (graph.link_prediction_ranking) — the
+    metric pair KG-completion papers report, over the SAME deterministic
+    md5 edge split linkpred_auc scores with AUC. Rank ties are
+    engine-portable because aa_score is 6dp-rounded in the shared
+    scorer and ties break on candidate id ASC."""
+    from saber_spark.operators.graph import link_prediction_ranking
+    return link_prediction_ranking(_host_edges(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -2793,6 +2937,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bigrams": q_token_bigrams,
         "zscore_by_source": q_zscore_by_source,
         "customers_without_orders": q_customers_without_orders,
+        # newest additions (this batch; cap saturated — local-gate
+        # evidence in both comparators; candidates for the next cap
+        # rotation alongside the batch above):
+        "nb_lang_confusion": q_nb_lang_confusion,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "host_mirrors": q_host_mirrors,
+        "metapath_counts": q_metapath_counts,
+        "grouped_split_audit": q_grouped_split_audit,
+        "hearst_hypernyms": q_hearst_hypernyms,
+        "domain_range_audit": q_domain_range_audit,
+        "linkpred_mrr": q_linkpred_mrr,
     }
 
 
@@ -5548,4 +5703,329 @@ def oracle_sql() -> dict[str, str]:
                            AS n_anchors_distinct
                   FROM cnt)
             WHERE rn = 1""",
+        "nb_lang_confusion": f"""
+            WITH {TOKENS_CTE},
+            lab AS (SELECT doc_id, lang AS label,
+                           ((doc_id * {KNUTH}) % {HASH_MOD}) % 2 AS part
+                    FROM documents),
+            tt AS (SELECT t.doc_id, t.token, l.label
+                   FROM tokens t JOIN lab l USING (doc_id)
+                   WHERE l.part <> 0),
+            model AS (SELECT label, token, count(*) AS c_wt
+                      FROM tt GROUP BY label, token),
+            stats AS (SELECT m.label,
+                             CAST(sum(m.c_wt) AS BIGINT) AS c_total,
+                             nd.n_docs
+                      FROM model m
+                      JOIN (SELECT label, count(*) AS n_docs FROM lab
+                            WHERE part <> 0 GROUP BY label) nd
+                        USING (label)
+                      GROUP BY m.label, nd.n_docs),
+            sizes AS (SELECT count(DISTINCT doc_id) AS n,
+                             count(DISTINCT token) AS v FROM tt),
+            tf AS (SELECT t.doc_id, t.token, count(*) AS tf
+                   FROM tokens t JOIN lab l USING (doc_id)
+                   WHERE l.part = 0 GROUP BY t.doc_id, t.token),
+            doclen AS (SELECT doc_id, sum(tf) AS t_total
+                       FROM tf GROUP BY doc_id),
+            corr AS (SELECT f.doc_id, m.label,
+                            sum(f.tf * (ln(m.c_wt + 0.5) - ln(0.5)))
+                              AS corr
+                     FROM tf f JOIN model m USING (token)
+                     GROUP BY f.doc_id, m.label),
+            consts AS (SELECT s.label,
+                              ln(s.n_docs) - ln(z.n) AS prior,
+                              ln(0.5) - ln(s.c_total
+                                           + 0.5 * greatest(z.v, 1))
+                                AS base
+                       FROM stats s CROSS JOIN sizes z),
+            scored AS (SELECT d.doc_id, c.label,
+                              round(c.prior + d.t_total * c.base
+                                    + coalesce(r.corr, 0.0), 6) AS score
+                       FROM doclen d CROSS JOIN consts c
+                       LEFT JOIN corr r ON r.doc_id = d.doc_id
+                                       AND r.label = c.label),
+            pred AS (SELECT doc_id, label AS pred_label FROM scored
+                     QUALIFY row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, label) = 1)
+            SELECT l.label AS true_label, p.pred_label,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM pred p JOIN lab l USING (doc_id)
+            GROUP BY 1, 2""",
+        "bloom_decontaminate": f"""
+            WITH {TOKENS_CTE},
+            g5 AS (
+              SELECT DISTINCT a.doc_id,
+                     a.token || ' ' || b.token || ' ' || c.token || ' '
+                       || d.token || ' ' || e.token AS g
+              FROM tokens a
+              JOIN tokens b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN tokens c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+              JOIN tokens d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+              JOIN tokens e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4),
+            ev AS (SELECT DISTINCT g FROM g5 WHERE doc_id < 5),
+            ds AS (SELECT unnest([0, 1, 2]) AS d),
+            bits AS (SELECT DISTINCT
+                       CAST('0x' || substr(md5(CAST(d AS VARCHAR)
+                              || ':' || g), 1, 8) AS BIGINT) % 4096
+                         AS bit
+                     FROM ev CROSS JOIN ds),
+            probe AS (
+              SELECT doc_id, g, count(*) AS bits_hit
+              FROM (SELECT x.doc_id, x.g,
+                           CAST('0x' || substr(md5(CAST(d AS VARCHAR)
+                                  || ':' || g), 1, 8) AS BIGINT) % 4096
+                             AS bit
+                    FROM (SELECT doc_id, g FROM g5 WHERE doc_id >= 5) x
+                    CROSS JOIN ds) y
+              JOIN bits USING (bit)
+              GROUP BY doc_id, g),
+            bh AS (SELECT doc_id, count(*) AS n_bloom FROM probe
+                   WHERE bits_hit = 3 GROUP BY doc_id),
+            eh AS (SELECT doc_id, count(*) AS n_exact
+                   FROM (SELECT doc_id, g FROM g5 WHERE doc_id >= 5) x
+                   JOIN ev USING (g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(b.n_bloom, 0) AS BIGINT)
+                     AS n_bloom_hits,
+                   CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
+                   (b.doc_id IS NOT NULL) AS bloom_flagged,
+                   (e.doc_id IS NOT NULL) AS exact_contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
+            LEFT JOIN bh b USING (doc_id)
+            LEFT JOIN eh e USING (doc_id)""",
+        "host_mirrors": """
+            WITH hp AS (
+              SELECT DISTINCT host, path FROM (
+                SELECT source || '.org' AS host,
+                       '/' || source || '/p/'
+                         || CAST(doc_id % 37 AS VARCHAR) AS path
+                FROM documents
+                UNION ALL
+                SELECT source || '-m.org',
+                       '/' || source || '/p/'
+                         || CAST(doc_id % 37 AS VARCHAR)
+                FROM documents WHERE doc_id % 10 <> 0)),
+            sizes AS (SELECT host, count(*) AS n_paths
+                      FROM hp GROUP BY host),
+            rare AS (SELECT path FROM hp GROUP BY path
+                     HAVING count(*) <= 100),
+            b AS (SELECT hp.* FROM hp JOIN rare USING (path)),
+            inter AS (SELECT a.host AS host_a, c.host AS host_b,
+                             count(*) AS n_shared
+                      FROM b a JOIN b c
+                        ON a.path = c.path AND a.host < c.host
+                      GROUP BY 1, 2)
+            SELECT host_a, host_b, n_shared, n_a, n_b, jaccard
+            FROM (SELECT i.host_a, i.host_b,
+                         CAST(i.n_shared AS BIGINT) AS n_shared,
+                         CAST(sa.n_paths AS BIGINT) AS n_a,
+                         CAST(sb.n_paths AS BIGINT) AS n_b,
+                         round(CAST(i.n_shared AS DOUBLE)
+                               / (sa.n_paths + sb.n_paths - i.n_shared),
+                               6) AS jaccard
+                  FROM inter i
+                  JOIN sizes sa ON sa.host = i.host_a
+                  JOIN sizes sb ON sb.host = i.host_b)
+            WHERE jaccard >= 0.5""",
+        "metapath_counts": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            pairs AS (
+              SELECT m1.doc_id, m1.canonical_id AS subj,
+                     m2.canonical_id AS obj, m1.pos AS p1, m2.pos AS p2
+              FROM linked m1 JOIN linked m2
+                ON m1.doc_id = m2.doc_id AND m2.pos > m1.pos
+               AND m2.pos - m1.pos <= 10
+               AND m2.canonical_id <> m1.canonical_id),
+            bet AS (SELECT p.subj, p.obj, t.token AS ptok
+                    FROM pairs p JOIN tokens t
+                      ON t.doc_id = p.doc_id
+                     AND t.pos > p.p1 AND t.pos < p.p2
+                    WHERE t.token NOT IN ({STOPWORDS_IN_SQL})),
+            tc AS (SELECT subj, obj, ptok, count(*) AS pred_freq
+                   FROM bet GROUP BY subj, obj, ptok),
+            typed AS (SELECT subj AS s, ptok AS p, obj AS o FROM tc
+                      QUALIFY row_number() OVER (
+                        PARTITION BY subj, obj
+                        ORDER BY pred_freq DESC, ptok) = 1),
+            t AS (SELECT DISTINCT s, p, o FROM typed),
+            iok AS (SELECT o FROM t GROUP BY o
+                    HAVING count(*) <= 1000),
+            ook AS (SELECT s FROM t GROUP BY s
+                    HAVING count(*) <= 1000),
+            mids AS (SELECT iok.o AS m FROM iok
+                     JOIN ook ON iok.o = ook.s),
+            l AS (SELECT t.s AS a, t.p AS pred1, t.o AS m FROM t
+                  WHERE t.o IN (SELECT m FROM mids)),
+            r AS (SELECT t.s AS m, t.p AS pred2, t.o AS b FROM t
+                  WHERE t.s IN (SELECT m FROM mids))
+            SELECT pred1, pred2, CAST(count(*) AS BIGINT) AS n_paths,
+                   CAST(count(DISTINCT m) AS BIGINT) AS n_mids
+            FROM l JOIN r USING (m)
+            WHERE a <> b
+            GROUP BY 1, 2""",
+        "grouped_split_audit": """
+            WITH g AS (
+              SELECT doc_id, source,
+                     CAST('0x' || substr(md5(source), 1, 8) AS BIGINT)
+                       % 3 AS fold
+              FROM documents),
+            pg AS (SELECT fold, source, count(*) AS n_rows
+                   FROM g GROUP BY 1, 2)
+            SELECT fold, CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(n_rows) AS BIGINT) AS n_docs,
+                   CAST(max(n_rows) AS BIGINT) AS largest_group_docs
+            FROM pg GROUP BY fold""",
+        # \\b is escaped because this is a regular (non-raw) Python
+        # string: the SQL engine must see the two-char sequence \b
+        # (RE2 word boundary), not a backspace.
+        "hearst_hypernyms": """
+            WITH stamped AS (
+              SELECT lower(text
+                || ' grp' || substr('abcdefghijklmnopqrstuvwxyz',
+                                    CAST(doc_id % 7 AS INT) + 1, 1)
+                || ' such as ent' || substr('abcdefghijklmnopqrstuvwxyz',
+                                    CAST(doc_id % 13 AS INT) + 1, 1)
+                || ' and other cat' || substr('abcdefghijklmnopqrstuvwxyz',
+                                    CAST(doc_id % 5 AS INT) + 1, 1)
+                || ' including sub' || substr('abcdefghijklmnopqrstuvwxyz',
+                                    CAST(doc_id % 3 AS INT) + 1, 1))
+                AS t
+              FROM documents),
+            m1 AS (SELECT unnest(regexp_extract_all(t,
+                     '\\b([a-z]+) such as ([a-z]+)\\b')) AS m
+                   FROM stamped),
+            p1 AS (SELECT
+                     regexp_extract(m, '\\b([a-z]+) such as ([a-z]+)\\b',
+                                    1) AS hypernym,
+                     regexp_extract(m, '\\b([a-z]+) such as ([a-z]+)\\b',
+                                    2) AS hyponym,
+                     'such_as' AS pattern
+                   FROM m1),
+            m2 AS (SELECT unnest(regexp_extract_all(t,
+                     '\\b([a-z]+) including ([a-z]+)\\b')) AS m
+                   FROM stamped),
+            p2 AS (SELECT
+                     regexp_extract(m,
+                       '\\b([a-z]+) including ([a-z]+)\\b', 1)
+                       AS hypernym,
+                     regexp_extract(m,
+                       '\\b([a-z]+) including ([a-z]+)\\b', 2)
+                       AS hyponym,
+                     'including' AS pattern
+                   FROM m2),
+            m3 AS (SELECT unnest(regexp_extract_all(t,
+                     '\\b([a-z]+) and other ([a-z]+)\\b')) AS m
+                   FROM stamped),
+            p3 AS (SELECT
+                     regexp_extract(m,
+                       '\\b([a-z]+) and other ([a-z]+)\\b', 2)
+                       AS hypernym,
+                     regexp_extract(m,
+                       '\\b([a-z]+) and other ([a-z]+)\\b', 1)
+                       AS hyponym,
+                     'and_other' AS pattern
+                   FROM m3),
+            allm AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                     UNION ALL SELECT * FROM p3)
+            SELECT hypernym, hyponym, pattern,
+                   count(*) AS n_mentions
+            FROM allm GROUP BY 1, 2, 3""",
+        # type lookup shortcut: every entity's type IS its prefix, so
+        # split_part on the triple columns is exactly the Spark side's
+        # (distinct-entities -> prefix) type-table join
+        "domain_range_audit": """
+            WITH placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj,
+                     'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR)
+                     END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS subj,
+                     'contains' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            t AS (SELECT * FROM placed
+                  UNION ALL SELECT * FROM contains_t),
+            typed AS (SELECT pred AS p,
+                             split_part(subj, ':', 1) AS s_type,
+                             split_part(obj, ':', 1) AS o_type
+                      FROM t),
+            sig AS (SELECT p, s_type, o_type, count(*) AS n
+                    FROM typed GROUP BY 1, 2, 3),
+            modal AS (SELECT p, s_type, o_type, n,
+                             row_number() OVER (PARTITION BY p
+                               ORDER BY n DESC, s_type, o_type) AS rk
+                      FROM sig),
+            pp AS (SELECT p, sum(n) AS n_triples FROM sig GROUP BY p)
+            SELECT pp.p AS pred,
+                   CAST(pp.n_triples AS BIGINT) AS n_triples,
+                   m.s_type AS domain_type, m.o_type AS range_type,
+                   CAST(m.n AS BIGINT) AS n_conform,
+                   CAST(pp.n_triples - m.n AS BIGINT) AS n_violations,
+                   round((pp.n_triples - m.n)::DOUBLE / pp.n_triples, 6)
+                     AS violation_rate
+            FROM pp JOIN modal m ON m.p = pp.p AND m.rk = 1""",
+        # shares the linkpred_auc CTE chain through the candidate set,
+        # then ranks per query node instead of histogramming scores
+        "linkpred_mrr": """
+            WITH edges0 AS (
+              SELECT DISTINCT source || '.example.org' AS src,
+                     'src' || CAST(CASE WHEN doc_id % 2 = 0
+                                        THEN doc_id % 7
+                                        ELSE doc_id % 3 END AS VARCHAR)
+                       || '.example.org' AS dst
+              FROM documents),
+            norm AS (SELECT DISTINCT least(src, dst) AS a,
+                            greatest(src, dst) AS b
+                     FROM edges0 WHERE src <> dst),
+            hashed AS (SELECT a, b,
+                              CAST('0x' || substr(md5(a || ':' || b),
+                                                  1, 8) AS BIGINT) % 2
+                                AS h
+                       FROM norm),
+            train AS (SELECT a, b FROM hashed WHERE h <> 0),
+            test AS (SELECT a, b FROM hashed WHERE h = 0),
+            sym AS (SELECT a, b FROM train
+                    UNION ALL SELECT b, a FROM train),
+            deg2 AS (SELECT a, count(*) AS deg FROM sym
+                     GROUP BY a HAVING count(*) >= 2),
+            nbr AS (SELECT s.a AS z, s.b AS n,
+                           1.0 / ln(CAST(d.deg AS DOUBLE)) AS w
+                    FROM sym s JOIN deg2 d ON d.a = s.a),
+            wed AS (SELECT l.n AS a, r.n AS b,
+                           round(sum(l.w), 6) AS aa_score
+                    FROM nbr l JOIN nbr r ON l.z = r.z AND l.n < r.n
+                    GROUP BY l.n, r.n),
+            cand AS (SELECT * FROM wed
+                     WHERE NOT EXISTS (SELECT 1 FROM sym s
+                                       WHERE s.a = wed.a
+                                         AND s.b = wed.b)),
+            lab AS (SELECT c.a, c.b, c.aa_score,
+                           EXISTS (SELECT 1 FROM test t
+                                   WHERE t.a = c.a AND t.b = c.b)
+                             AS lbl
+                    FROM cand c),
+            rk AS (SELECT a, lbl,
+                          row_number() OVER (PARTITION BY a
+                            ORDER BY aa_score DESC, b) AS rk
+                   FROM lab),
+            best AS (SELECT a, min(rk) AS best_rk
+                     FROM rk WHERE lbl GROUP BY a)
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   round(avg(1.0::DOUBLE / best_rk), 6) AS mrr,
+                   CAST(coalesce(sum(CASE WHEN best_rk <= 1
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS hits_1,
+                   CAST(coalesce(sum(CASE WHEN best_rk <= 3
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS hits_3,
+                   CAST(coalesce(sum(CASE WHEN best_rk <= 10
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS hits_10
+            FROM best""",
     }

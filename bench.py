@@ -177,6 +177,12 @@ def main() -> None:
         "negation_scope", "entity_resolution", "mad_outliers",
         "date_mentions", "triple_audit", "vocab_profile",
         "distance_histogram",
+        # added round 4, seventh batch (NB classifier, Bloom membership,
+        # host-mirror dedup, KG metapaths, leakage-safe split)
+        "nb_lang_confusion", "bloom_decontaminate", "host_mirrors",
+        "metapath_counts", "grouped_split_audit",
+        # eighth batch (Hearst taxonomy induction, schema audit, MRR)
+        "hearst_hypernyms", "domain_range_audit", "linkpred_mrr",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

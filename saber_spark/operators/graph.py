@@ -1191,3 +1191,62 @@ def modularity(edges: DataFrame, labels: DataFrame,
                         - (F.col("degree_sum").cast("double") / two_m)
                         * (F.col("degree_sum").cast("double") / two_m),
                         6).alias("q_contrib")))
+
+
+def link_prediction_ranking(edges: DataFrame, split_denom: int = 2,
+                            ks=(1, 3, 10), src: str = "src",
+                            dst: str = "dst") -> DataFrame:
+    """Ranking-form evaluation of Adamic-Adar link prediction -> ONE row
+    (n_queries, mrr, hits_1, hits_3, hits_10): the MRR/Hits@k view of
+    the SAME held-out experiment link_prediction_eval scores with AUC —
+    the metric pair every KG-completion paper reports (Bordes et al.
+    2013 lineage), here over the deterministic md5 edge split.
+
+    Semantics: candidates are _aa_candidates over the TRAIN half; each
+    candidate pair's QUERY is its smaller endpoint ``a`` (id-ordered
+    pairs, so every query's candidate list is well-defined); within a
+    query, rank by aa_score DESC then b ASC (aa_score is 6dp-rounded in
+    the shared scorer, so ties — and therefore ranks — are
+    engine-portable); a query participates iff >= 1 of its candidates
+    is a held-out test edge; its reciprocal rank is 1/rank of its BEST
+    positive. MRR = mean over participating queries (6dp); hits_k =
+    COUNT of queries whose best positive ranks <= k (exact BIGINT).
+
+    Scale shape: split is per-row arithmetic; scoring is the shared
+    wedge join (never all-pairs); the rank window partitions by query
+    node whose candidate list is bounded by its 2-hop neighborhood;
+    the final agg is one row.
+    """
+    norm = (edges
+            .select(F.least(F.col(src), F.col(dst)).alias("a"),
+                    F.greatest(F.col(src), F.col(dst)).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", "a", "b")), 1, 8),
+               16, 10).cast("long") % split_denom
+    train = norm.filter(h != 0)
+    test = norm.filter(h == 0)
+    sym = (train.unionByName(train.select(F.col("b").alias("a"),
+                                          F.col("a").alias("b")))
+           .localCheckpoint(eager=True))
+    labeled = (_aa_candidates(sym)
+               .join(test.withColumn("lbl", F.lit(True)), ["a", "b"],
+                     "left")
+               .select("a", "b", "aa_score",
+                       F.coalesce("lbl", F.lit(False)).alias("lbl")))
+    w = Window.partitionBy("a").orderBy(F.col("aa_score").desc(),
+                                        F.col("b").asc())
+    best = (labeled.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("lbl"))
+            .groupBy("a")
+            .agg(F.min("rk").alias("best_rk")))
+    aggs = [F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg(F.lit(1.0) / F.col("best_rk")), 6)
+            .alias("mrr")]
+    for k in ks:
+        # coalesce: zero participating queries -> hits are exactly 0
+        # (mrr stays NULL, the linkpred_auc NULL-auc convention)
+        aggs.append(F.coalesce(
+            F.sum((F.col("best_rk") <= k).cast("long")),
+            F.lit(0).cast("long")).alias(f"hits_{k}"))
+    return best.agg(*aggs)

@@ -463,3 +463,105 @@ def metapath_counts(triples: DataFrame, subj_col: str = "subj",
             .groupBy("pred1", "pred2")
             .agg(F.count(F.lit(1)).alias("n_paths"),
                  F.count_distinct("m").alias("n_mids")))
+
+
+# Hearst (1992) lexico-syntactic hypernym patterns, regex-only (no
+# parser): each entry is (pattern, hypernym_group, hyponym_group, name).
+# Patterns stay inside the RE2-compatible subset (no lookaround, no
+# backreferences) so a SQL engine running the same regex sees the same
+# non-overlapping leftmost matches.
+HEARST_PATTERNS = (
+    (r"\b([a-z]+) such as ([a-z]+)\b", 1, 2, "such_as"),
+    (r"\b([a-z]+) including ([a-z]+)\b", 1, 2, "including"),
+    (r"\b([a-z]+) and other ([a-z]+)\b", 2, 1, "and_other"),
+)
+
+
+def hearst_hypernyms(docs: DataFrame, text_col: str = "text",
+                     patterns=HEARST_PATTERNS) -> DataFrame:
+    """Taxonomy induction from raw page text via Hearst patterns ->
+    (hypernym, hyponym, pattern, n_mentions): the classic no-training
+    is-a harvester ('NP such as NP', 'NP including NP', 'NP and other
+    NP') that seeds the type hierarchy a web-scale KG build needs before
+    any embedding or tagger exists (Hearst, COLING 1992).
+
+    Reference parity: Saber grounds mentions to an existing ontology
+    (saber/utils/grounding_utils.py) but never LEARNS the is-a edges;
+    this supplies the induction step the reference's UMLS assumes.
+
+    Scale shape: the regex sweep is per-row JVM codegen
+    (regexp_extract_all + explode — no Python, no shuffle); match counts
+    per page are bounded by page length, so the explode cannot skew.
+    The ONLY shuffle is the final (hypernym, hyponym, pattern) agg,
+    map-side combinable. Per-pattern legs union WITHOUT a barrier —
+    Catalyst fuses the scans of the same source.
+    """
+    from functools import reduce
+    low = F.lower(F.col(text_col))
+    legs = []
+    for pat, hyper_g, hypo_g, name in patterns:
+        legs.append(
+            docs.select(F.explode(
+                F.regexp_extract_all(low, F.lit(pat), F.lit(0)))
+                .alias("m"))
+            .select(F.regexp_extract("m", pat, hyper_g).alias("hypernym"),
+                    F.regexp_extract("m", pat, hypo_g).alias("hyponym"),
+                    F.lit(name).alias("pattern")))
+    return (reduce(DataFrame.unionByName, legs)
+            .groupBy("hypernym", "hyponym", "pattern")
+            .agg(F.count(F.lit(1)).alias("n_mentions")))
+
+
+def domain_range_audit(triples: DataFrame, types: DataFrame,
+                       subj_col: str = "subj", pred_col: str = "pred",
+                       obj_col: str = "obj", entity_col: str = "entity",
+                       type_col: str = "etype") -> DataFrame:
+    """SHACL-style schema-conformance audit -> one row per predicate:
+    (pred, n_triples, domain_type, range_type, n_conform, n_violations,
+    violation_rate). domain/range = the MODAL (subject-type,
+    object-type) signature of the predicate's triples (ties broken by
+    count DESC, then type ASC/ASC); every triple off the modal
+    signature counts as a violation — the induced-schema health check
+    (SHACL/ShEx lineage) a KG build runs before publishing, sibling to
+    triple_cardinality_audit's fan-out check. Entities missing from the
+    type table audit as 'unknown' (a real violation signal, not a drop).
+
+    Scale shape: two equi-joins against the type table (AQE broadcasts
+    it at dictionary scale), ONE corpus-size map-side-combinable agg to
+    (pred, s_type, o_type) counts; the modal window and the per-pred
+    rollup both run on that tiny signature table, never on the corpus.
+    """
+    t = triples.select(F.col(subj_col).alias("s"),
+                       F.col(pred_col).alias("p"),
+                       F.col(obj_col).alias("o"))
+    ty = types.select(F.col(entity_col).alias("e"),
+                      F.col(type_col).alias("t"))
+    typed = (t
+             .join(ty.select(F.col("e").alias("s"),
+                             F.col("t").alias("s_type")), "s", "left")
+             .join(ty.select(F.col("e").alias("o"),
+                             F.col("t").alias("o_type")), "o", "left")
+             .select("p",
+                     F.coalesce("s_type", F.lit("unknown"))
+                     .alias("s_type"),
+                     F.coalesce("o_type", F.lit("unknown"))
+                     .alias("o_type")))
+    sig = (typed.groupBy("p", "s_type", "o_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("p").orderBy(F.col("n").desc(),
+                                        F.col("s_type").asc(),
+                                        F.col("o_type").asc())
+    modal = (sig.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") == 1)
+             .select("p", F.col("s_type").alias("domain_type"),
+                     F.col("o_type").alias("range_type"),
+                     F.col("n").alias("n_conform")))
+    per_pred = sig.groupBy("p").agg(F.sum("n").alias("n_triples"))
+    return (per_pred.join(modal, "p")
+            .select(F.col("p").alias("pred"), "n_triples",
+                    "domain_type", "range_type", "n_conform",
+                    (F.col("n_triples") - F.col("n_conform"))
+                    .alias("n_violations"),
+                    F.round((F.col("n_triples") - F.col("n_conform"))
+                            .cast("double") / F.col("n_triples"), 6)
+                    .alias("violation_rate")))

@@ -39,6 +39,9 @@ R4_SLATE = [
     "entity_salience", "negation_scope", "entity_resolution",
     "mad_outliers", "date_mentions", "triple_audit", "vocab_profile",
     "distance_histogram",
+    "nb_lang_confusion", "bloom_decontaminate", "host_mirrors",
+    "metapath_counts", "grouped_split_audit",
+    "hearst_hypernyms", "domain_range_audit", "linkpred_mrr",
 ]
 
 
