@@ -2579,16 +2579,11 @@ def q_hearst_hypernyms(spark, sf_dir):
     return hearst_hypernyms(stamped)
 
 
-def q_domain_range_audit(spark, sf_dir):
-    """SHACL-style schema conformance over a typed triple store
-    (triples.domain_range_audit): per predicate, the modal
-    (domain, range) type signature and the count of violating triples —
-    triple_audit's type-signature sibling. Fixture KG from TPC-H:
+def _schema_kg(spark, sf_dir):
+    """Fixture KG from TPC-H for the schema-QA queries:
     (cust)-[placed]->(order) and (order)-[contains]->(part) facts, with
     every 13th order's 'placed' object corrupted to the customer itself
-    (a real ingestion bug shape: id column swap), so the audit reports
-    nonzero violations; the type table is the entity prefix."""
-    from saber_spark.operators.triples import domain_range_audit
+    (a real ingestion bug shape: id column swap)."""
     orders = tpch.load(spark, sf_dir, "orders")
     li = tpch.load(spark, sf_dir, "lineitem")
     cust = F.concat(F.lit("cust:"), F.col("o_custkey").cast("string"))
@@ -2604,7 +2599,18 @@ def q_domain_range_audit(spark, sf_dir):
         F.lit("contains").alias("pred"),
         F.concat(F.lit("part:"), F.col("l_partkey").cast("string"))
         .alias("obj"))
-    triples = placed.unionByName(contains)
+    return placed.unionByName(contains)
+
+
+def q_domain_range_audit(spark, sf_dir):
+    """SHACL-style schema conformance over a typed triple store
+    (triples.domain_range_audit): per predicate, the modal
+    (domain, range) type signature and the count of violating triples —
+    triple_audit's type-signature sibling, over the corrupted _schema_kg
+    fixture so the audit reports nonzero violations; the type table is
+    the entity prefix."""
+    from saber_spark.operators.triples import domain_range_audit
+    triples = _schema_kg(spark, sf_dir)
     types = (triples.select(F.col("subj").alias("entity"))
              .unionByName(triples.select(F.col("obj").alias("entity")))
              .distinct()
@@ -2612,6 +2618,72 @@ def q_domain_range_audit(spark, sf_dir):
                      F.split_part(F.col("entity"), F.lit(":"), F.lit(1))
                      .alias("etype")))
     return domain_range_audit(triples, types)
+
+
+def q_bcubed_resolution(spark, sf_dir):
+    """B-cubed evaluation of the blocked fuzzy entity resolver
+    (evaluation.bcubed_eval over the entity_resolution chain): gold
+    clusters = each surface's base token (the fixture derives an
+    's'-suffixed variant from every corpus token; a name derivable two
+    ways takes min(gold) deterministically), predicted = the resolver's
+    edit-distance-1 components. The resolver also merges true typo
+    neighbors ('cat'/'car'), so precision is genuinely < 1 — the metric
+    is exercised, not saturated."""
+    from saber_spark.operators.canonicalize import resolve_entities
+    from saber_spark.operators.evaluation import bcubed_eval
+    base = (tokenize_docs(_docs(spark, sf_dir))
+            .select(F.lower("token").alias("name")).distinct())
+    names = base.unionByName(
+        base.select(F.concat("name", F.lit("s")).alias("name"))).distinct()
+    resolved = resolve_entities(names, max_edits=1, block_chars=1)
+    gold = (base.select("name", F.col("name").alias("gold"))
+            .unionByName(base.select(
+                F.concat("name", F.lit("s")).alias("name"),
+                F.col("name").alias("gold")))
+            .groupBy("name").agg(F.min("gold").alias("gold")))
+    assign = (resolved.join(gold, "name")
+              .select(F.col("name").alias("item"),
+                      F.col("canonical").alias("pred_cluster"),
+                      F.col("gold").alias("gold_cluster")))
+    return bcubed_eval(assign)
+
+
+def q_resolve_conflicts(spark, sf_dir):
+    """Knowledge-fusion majority vote (triples.resolve_conflicts) over
+    three simulated feeds asserting each order's status: feedA/feedC
+    report the true o_orderstatus, feedB corrupts every 7th order to
+    'X' — the resolved value recovers the truth at confidence 2/3 on
+    conflicted slots, 1.0 on clean ones."""
+    from saber_spark.operators.triples import resolve_conflicts
+    orders = tpch.load(spark, sf_dir, "orders")
+    subj = F.concat(F.lit("order:"), F.col("o_orderkey").cast("string"))
+
+    def leg(obj_col, src):
+        return orders.select(subj.alias("subj"),
+                             F.lit("status").alias("pred"),
+                             obj_col.alias("obj"),
+                             F.lit(src).alias("source"))
+
+    truth = F.col("o_orderstatus")
+    obs = (leg(truth, "feedA")
+           .unionByName(leg(F.when(F.col("o_orderkey") % 7 == 0,
+                                   F.lit("X")).otherwise(truth), "feedB"))
+           .unionByName(leg(truth, "feedC")))
+    return resolve_conflicts(obs)
+
+
+def q_infer_types(spark, sf_dir):
+    """Predicate-signature type completion (triples.infer_entity_types)
+    over the corrupted _schema_kg fixture with the curated schema
+    (placed: cust->order, contains: order->part): every triple votes
+    types into its subject/object slots; customers receiving corrupted
+    'placed' objects collect dissenting 'order' votes, so vote_share
+    is genuinely < 1 on touched entities."""
+    from saber_spark.operators.triples import infer_entity_types
+    sig = spark.createDataFrame(
+        [("placed", "cust", "order"), ("contains", "order", "part")],
+        "pred string, domain_type string, range_type string")
+    return infer_entity_types(_schema_kg(spark, sf_dir), sig)
 
 
 def q_linkpred_mrr(spark, sf_dir):
@@ -2948,6 +3020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hearst_hypernyms": q_hearst_hypernyms,
         "domain_range_audit": q_domain_range_audit,
         "linkpred_mrr": q_linkpred_mrr,
+        "bcubed_resolution": q_bcubed_resolution,
+        "resolve_conflicts": q_resolve_conflicts,
+        "infer_types": q_infer_types,
     }
 
 
@@ -6028,4 +6103,125 @@ def oracle_sql() -> dict[str, str]:
                                           THEN 1 ELSE 0 END), 0)
                         AS BIGINT) AS hits_10
             FROM best""",
+        # shares the entity_resolution resolver chain, then scores the
+        # predicted components against base-token gold clusters with B3
+        "bcubed_resolution": f"""
+            WITH RECURSIVE {TOKENS_CTE},
+            base AS (SELECT DISTINCT lower(token) AS name FROM tokens),
+            names AS (SELECT name FROM base
+                      UNION SELECT name || 's' FROM base),
+            e AS (SELECT a.name AS src, b.name AS dst
+                  FROM names a JOIN names b
+                    ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+                   AND a.name < b.name
+                   AND levenshtein(a.name, b.name) <= 1),
+            sym AS (SELECT src AS a, dst AS b FROM e
+                    UNION SELECT dst, src FROM e),
+            reach(node, root) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node),
+            comp AS (SELECT node, min(root) AS component
+                     FROM reach GROUP BY node),
+            resolved AS (
+              SELECT n.name, coalesce(c.component, n.name) AS canonical
+              FROM names n LEFT JOIN comp c ON n.name = c.node),
+            goldmap AS (
+              SELECT name, min(gold) AS gold FROM (
+                SELECT name, name AS gold FROM base
+                UNION ALL SELECT name || 's' AS name, name AS gold
+                FROM base) u
+              GROUP BY name),
+            assign AS (SELECT r.canonical AS c, g.gold AS g
+                       FROM resolved r JOIN goldmap g USING (name)),
+            cells AS (SELECT c, g, count(*) AS n FROM assign
+                      GROUP BY c, g),
+            nc AS (SELECT c, sum(n) AS nc FROM cells GROUP BY c),
+            ng AS (SELECT g, sum(n) AS ng FROM cells GROUP BY g),
+            agg AS (SELECT sum(n) AS n_items,
+                           sum(n * n / nc::DOUBLE) AS pm,
+                           sum(n * n / ng::DOUBLE) AS rm
+                    FROM cells JOIN nc USING (c) JOIN ng USING (g))
+            SELECT CAST(n_items AS BIGINT) AS n_items,
+                   round(pm / n_items, 6) AS bcubed_precision,
+                   round(rm / n_items, 6) AS bcubed_recall,
+                   round(CASE WHEN pm + rm > 0 THEN
+                           2 * (pm / n_items) * (rm / n_items)
+                           / (pm / n_items + rm / n_items) END, 6)
+                     AS bcubed_f1
+            FROM agg""",
+        "resolve_conflicts": """
+            WITH obs AS (
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS subj,
+                     'status' AS pred, o_orderstatus AS obj,
+                     'feedA' AS source
+              FROM orders
+              UNION ALL
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR),
+                     'status',
+                     CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                          ELSE o_orderstatus END,
+                     'feedB'
+              FROM orders
+              UNION ALL
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR),
+                     'status', o_orderstatus, 'feedC'
+              FROM orders),
+            votes AS (SELECT subj, pred, obj,
+                             count(DISTINCT source) AS n_supporting
+                      FROM obs GROUP BY 1, 2, 3),
+            totals AS (SELECT subj, pred,
+                              sum(n_supporting) AS n_votes,
+                              count(*) AS n_values
+                       FROM votes GROUP BY 1, 2),
+            w AS (SELECT subj, pred, obj, n_supporting,
+                         row_number() OVER (PARTITION BY subj, pred
+                           ORDER BY n_supporting DESC, obj) AS rk
+                  FROM votes)
+            SELECT w.subj, w.pred, w.obj AS resolved_obj,
+                   CAST(t.n_values AS BIGINT) AS n_values,
+                   CAST(t.n_votes AS BIGINT) AS n_votes,
+                   CAST(w.n_supporting AS BIGINT) AS n_supporting,
+                   round(w.n_supporting::DOUBLE / t.n_votes, 6)
+                     AS confidence
+            FROM w JOIN totals t USING (subj, pred)
+            WHERE w.rk = 1""",
+        "infer_types": """
+            WITH placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj,
+                     'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR)
+                     END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS subj,
+                     'contains' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            t AS (SELECT * FROM placed
+                  UNION ALL SELECT * FROM contains_t),
+            sig(pred, domain_type, range_type) AS (
+              VALUES ('placed', 'cust', 'order'),
+                     ('contains', 'order', 'part')),
+            tj AS (SELECT t.subj, t.obj, s.domain_type, s.range_type
+                   FROM t JOIN sig s ON s.pred = t.pred),
+            v AS (SELECT entity, vote, count(*) AS n FROM (
+                    SELECT subj AS entity, domain_type AS vote FROM tj
+                    UNION ALL
+                    SELECT obj AS entity, range_type AS vote FROM tj) u
+                  GROUP BY 1, 2),
+            tot AS (SELECT entity, sum(n) AS n_votes FROM v
+                    GROUP BY 1),
+            r AS (SELECT entity, vote, n,
+                         row_number() OVER (PARTITION BY entity
+                           ORDER BY n DESC, vote) AS rk
+                  FROM v)
+            SELECT r.entity, r.vote AS inferred_type,
+                   CAST(r.n AS BIGINT) AS n_for,
+                   CAST(t2.n_votes AS BIGINT) AS n_votes,
+                   round(r.n::DOUBLE / t2.n_votes, 6) AS vote_share
+            FROM r JOIN tot t2 USING (entity)
+            WHERE rk = 1""",
     }

@@ -183,6 +183,9 @@ def main() -> None:
         "metapath_counts", "grouped_split_audit",
         # eighth batch (Hearst taxonomy induction, schema audit, MRR)
         "hearst_hypernyms", "domain_range_audit", "linkpred_mrr",
+        # ninth batch (B-cubed cluster eval, knowledge fusion, type
+        # completion)
+        "bcubed_resolution", "resolve_conflicts", "infer_types",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -209,3 +209,51 @@ def calibration_curve(df: DataFrame, label_col: str, score_col: str,
                  F.sum("y").cast("long").alias("n_pos"),
                  F.round(F.avg("y"), 6).alias("frac_pos"),
                  F.round(F.avg("s"), 6).alias("mean_score")))
+
+
+def bcubed_eval(assign: DataFrame, item_col: str = "item",
+                pred_col: str = "pred_cluster",
+                gold_col: str = "gold_cluster") -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998) -> ONE row
+    (n_items, bcubed_precision, bcubed_recall, bcubed_f1): the standard
+    coreference/entity-resolution cluster metric, computed from the
+    (pred, gold) contingency table. Per-item precision is
+    |C(i) & G(i)| / |C(i)|, so over a cell of n co-assigned items the
+    precision mass is n^2/|C| and the recall mass n^2/|G|; B3 P/R are
+    those masses summed over cells divided by N, F1 their harmonic
+    mean. Closes the eval loop for resolve_entities/dedup the way
+    eval_prf closes it for the tagger and linkpred_mrr for completion.
+
+    Scale shape: ONE corpus-size map-side-combinable agg to contingency
+    cells; cluster/gold size tables and the final one-row agg all
+    derive from that tiny cell table (two re-aggs + two equi-joins on
+    it) — the corpus is never touched again.
+
+    Expects one row per item; duplicate items inflate N as they would
+    in the textbook definition.
+    """
+    cells = (assign
+             .select(F.col(item_col).alias("i"),
+                     F.col(pred_col).alias("c"),
+                     F.col(gold_col).alias("g"))
+             .groupBy("c", "g")
+             .agg(F.count(F.lit(1)).alias("n")))
+    nc = cells.groupBy("c").agg(F.sum("n").alias("nc"))
+    ng = cells.groupBy("g").agg(F.sum("n").alias("ng"))
+    scored = (cells.join(nc, "c").join(ng, "g")
+              .select("n",
+                      (F.col("n") * F.col("n") /
+                       F.col("nc").cast("double")).alias("p_mass"),
+                      (F.col("n") * F.col("n") /
+                       F.col("ng").cast("double")).alias("r_mass")))
+    agg = scored.agg(F.sum("n").alias("n_items"),
+                     F.sum("p_mass").alias("pm"),
+                     F.sum("r_mass").alias("rm"))
+    p = F.col("pm") / F.col("n_items")
+    r = F.col("rm") / F.col("n_items")
+    return agg.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.round(p, 6).alias("bcubed_precision"),
+        F.round(r, 6).alias("bcubed_recall"),
+        F.round(F.when(p + r > 0, 2.0 * p * r / (p + r)), 6)
+        .alias("bcubed_f1"))

@@ -565,3 +565,94 @@ def domain_range_audit(triples: DataFrame, types: DataFrame,
                     F.round((F.col("n_triples") - F.col("n_conform"))
                             .cast("double") / F.col("n_triples"), 6)
                     .alias("violation_rate")))
+
+
+def resolve_conflicts(observations: DataFrame, subj_col: str = "subj",
+                      pred_col: str = "pred", obj_col: str = "obj",
+                      source_col: str = "source") -> DataFrame:
+    """Knowledge-fusion majority vote for functional predicates
+    (Dong et al., 'Knowledge Vault' lineage) -> one row per (subj,
+    pred): (subj, pred, resolved_obj, n_values, n_votes, n_supporting,
+    confidence). Multiple feeds assert object values for the same fact
+    slot; the resolved value is the one with the most DISTINCT
+    supporting sources (ties: obj ASC), confidence = its share of all
+    votes. A source asserting two different objects for one slot casts
+    two votes — dissent within a source is still dissent.
+
+    Reference parity: Saber's multi-model fan-out unions per-type
+    annotations (saber/cli/app.py:60-85) but never reconciles
+    disagreement; this is the reconciliation step a multi-source KG
+    build needs before publishing functional attributes.
+
+    Scale shape: ONE corpus-size agg to (subj, pred, obj) distinct-
+    source counts (map-side combinable); the winner window partitions
+    on (subj, pred) whose value fan-out is bounded by the number of
+    feeds; the totals re-agg runs on the already-reduced vote table.
+    """
+    votes = (observations
+             .select(F.col(subj_col).alias("subj"),
+                     F.col(pred_col).alias("pred"),
+                     F.col(obj_col).alias("obj"),
+                     F.col(source_col).alias("src"))
+             .groupBy("subj", "pred", "obj")
+             .agg(F.count_distinct("src").alias("n_supporting")))
+    totals = (votes.groupBy("subj", "pred")
+              .agg(F.sum("n_supporting").alias("n_votes"),
+                   F.count(F.lit(1)).alias("n_values")))
+    w = Window.partitionBy("subj", "pred").orderBy(
+        F.col("n_supporting").desc(), F.col("obj").asc())
+    winner = (votes.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") == 1)
+              .select("subj", "pred", F.col("obj").alias("resolved_obj"),
+                      "n_supporting"))
+    return (winner.join(totals, ["subj", "pred"])
+            .select("subj", "pred", "resolved_obj",
+                    F.col("n_values").cast("long").alias("n_values"),
+                    F.col("n_votes").cast("long").alias("n_votes"),
+                    F.col("n_supporting").cast("long")
+                    .alias("n_supporting"),
+                    F.round(F.col("n_supporting").cast("double") /
+                            F.col("n_votes"), 6).alias("confidence")))
+
+
+def infer_entity_types(triples: DataFrame, signatures: DataFrame,
+                       subj_col: str = "subj", pred_col: str = "pred",
+                       obj_col: str = "obj") -> DataFrame:
+    """Predicate-signature type completion -> one row per entity:
+    (entity, inferred_type, n_for, n_votes, vote_share). Every triple
+    votes its predicate's domain type for the subject slot and range
+    type for the object slot (``signatures``: pred, domain_type,
+    range_type — e.g. domain_range_audit's modal output or a curated
+    schema); an entity's inferred type is its modal vote (ties: type
+    ASC). The type-completion step that bootstraps untyped tail
+    entities from KG structure alone. Predicates absent from the
+    signature table cast no votes; entities appearing only under such
+    predicates are absent from the output (no guessed rows).
+
+    Scale shape: the signature table is schema-sized (AQE broadcasts
+    both joins); ONE corpus-size agg to (entity, vote) counts
+    (map-side combinable); the modal window partitions per entity over
+    at most |distinct types| aggregated rows.
+    """
+    sig = signatures.select(F.col("pred").alias("p"),
+                            "domain_type", "range_type")
+    t = triples.select(F.col(subj_col).alias("s"),
+                       F.col(pred_col).alias("p"),
+                       F.col(obj_col).alias("o")).join(sig, "p")
+    votes = (t.select(F.col("s").alias("entity"),
+                      F.col("domain_type").alias("vote"))
+             .unionByName(t.select(F.col("o").alias("entity"),
+                                   F.col("range_type").alias("vote")))
+             .groupBy("entity", "vote")
+             .agg(F.count(F.lit(1)).alias("n")))
+    totals = votes.groupBy("entity").agg(F.sum("n").alias("n_votes"))
+    w = Window.partitionBy("entity").orderBy(F.col("n").desc(),
+                                             F.col("vote").asc())
+    return (votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .join(totals, "entity")
+            .select("entity", F.col("vote").alias("inferred_type"),
+                    F.col("n").cast("long").alias("n_for"),
+                    F.col("n_votes").cast("long").alias("n_votes"),
+                    F.round(F.col("n").cast("double") / F.col("n_votes"),
+                            6).alias("vote_share")))

@@ -42,6 +42,7 @@ R4_SLATE = [
     "nb_lang_confusion", "bloom_decontaminate", "host_mirrors",
     "metapath_counts", "grouped_split_audit",
     "hearst_hypernyms", "domain_range_audit", "linkpred_mrr",
+    "bcubed_resolution", "resolve_conflicts", "infer_types",
 ]
 
 
