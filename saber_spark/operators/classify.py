@@ -246,16 +246,28 @@ def entity_centroids(linked: DataFrame, embeddings: DataFrame,
     equi-join against the embeddings table on the doc key and one
     partial+final agg on (entity, dim) — hub entities fan out over
     docs, absorbed by the map-side combine on the |E| x dims keyspace.
+    n_docs is counted per ENTITY on the pre-explosion (entity, doc)
+    table and joined onto the |E| x dims result — a count_distinct per
+    (entity, dim) would recompute the same number dims times through a
+    distinct-expand of the largest intermediate (the dim-exploded
+    join), the one shape this plan exists to avoid.
     """
     ent_docs = (linked.select(F.col(ent_col).alias("entity"),
                               F.col(doc_col).alias("d"))
                 .distinct())
+    # only docs that actually carry an embedding count toward n_docs
+    # (identical to the old per-(entity, dim) count_distinct semantics)
+    n_docs = (ent_docs
+              .join(embeddings.select(F.col(id_col).alias("d")).distinct(),
+                    "d", "left_semi")
+              .groupBy("entity")
+              .agg(F.count(F.lit(1)).alias("n_docs")))
     dims = _quantized_dims(
         embeddings.select(F.col(id_col).alias("d"), vec_col),
         "d", vec_col)
     return (ent_docs.join(dims, "d")
             .groupBy("entity", "dim")
-            .agg(F.sum("qv").alias("csum"),
-                 F.count_distinct("d").alias("n_docs"))
+            .agg(F.sum("qv").alias("csum"))
+            .join(n_docs, "entity")
             .select(F.col("entity").alias(ent_col), "dim", "csum",
                     "n_docs"))
