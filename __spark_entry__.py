@@ -2648,13 +2648,11 @@ def q_bcubed_resolution(spark, sf_dir):
     return bcubed_eval(assign)
 
 
-def q_resolve_conflicts(spark, sf_dir):
-    """Knowledge-fusion majority vote (triples.resolve_conflicts) over
-    three simulated feeds asserting each order's status: feedA/feedC
+def _feed_obs(spark, sf_dir):
+    """Three simulated feeds asserting each order's status: feedA/feedC
     report the true o_orderstatus, feedB corrupts every 7th order to
-    'X' — the resolved value recovers the truth at confidence 2/3 on
-    conflicted slots, 1.0 on clean ones."""
-    from saber_spark.operators.triples import resolve_conflicts
+    'X' — the multi-source observation fixture for the knowledge-fusion
+    queries."""
     orders = tpch.load(spark, sf_dir, "orders")
     subj = F.concat(F.lit("order:"), F.col("o_orderkey").cast("string"))
 
@@ -2665,11 +2663,45 @@ def q_resolve_conflicts(spark, sf_dir):
                              F.lit(src).alias("source"))
 
     truth = F.col("o_orderstatus")
-    obs = (leg(truth, "feedA")
-           .unionByName(leg(F.when(F.col("o_orderkey") % 7 == 0,
-                                   F.lit("X")).otherwise(truth), "feedB"))
-           .unionByName(leg(truth, "feedC")))
-    return resolve_conflicts(obs)
+    return (leg(truth, "feedA")
+            .unionByName(leg(F.when(F.col("o_orderkey") % 7 == 0,
+                                    F.lit("X")).otherwise(truth),
+                             "feedB"))
+            .unionByName(leg(truth, "feedC")))
+
+
+def q_resolve_conflicts(spark, sf_dir):
+    """Knowledge-fusion majority vote (triples.resolve_conflicts) over
+    the _feed_obs fixture — the resolved value recovers the truth at
+    confidence 2/3 on conflicted slots, 1.0 on clean ones."""
+    from saber_spark.operators.triples import resolve_conflicts
+    return resolve_conflicts(_feed_obs(spark, sf_dir))
+
+
+def q_source_reliability(spark, sf_dir):
+    """Truth-discovery feed scorecard (triples.source_reliability) over
+    the same _feed_obs fixture: feedA/feedC score 1.0; feedB's
+    reliability is exactly the share of orders NOT hit by its every-7th
+    corruption — the per-source prior the next voting round would
+    weight by."""
+    from saber_spark.operators.triples import source_reliability
+    return source_reliability(_feed_obs(spark, sf_dir))
+
+
+def q_taxonomy_cycles(spark, sf_dir):
+    """Bounded cycle QA for hierarchy tables (graph.cycle_edges):
+    is-a edges t(doc_id%9) -> t((2*doc_id+1)%9) — a deterministic
+    functional graph whose 9 distinct edges contain a self-loop
+    (cycle_len 1), a 2-ring, and a 6-ring invisible at max_len=4
+    (NULL), exercising found/shortest/bounded in one result. The check
+    type_closure assumes has already passed."""
+    from saber_spark.operators.graph import cycle_edges
+    e = _docs(spark, sf_dir).select(
+        F.concat(F.lit("t"), (F.col("doc_id") % 9).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("t"), ((F.col("doc_id") * 2 + 1) % 9)
+                 .cast("string")).alias("dst"))
+    return cycle_edges(e, max_len=4)
 
 
 def q_infer_types(spark, sf_dir):
@@ -3023,6 +3055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcubed_resolution": q_bcubed_resolution,
         "resolve_conflicts": q_resolve_conflicts,
         "infer_types": q_infer_types,
+        "source_reliability": q_source_reliability,
+        "taxonomy_cycles": q_taxonomy_cycles,
     }
 
 
@@ -6224,4 +6258,62 @@ def oracle_sql() -> dict[str, str]:
                    round(r.n::DOUBLE / t2.n_votes, 6) AS vote_share
             FROM r JOIN tot t2 USING (entity)
             WHERE rk = 1""",
+        "source_reliability": """
+            WITH obs AS (
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS subj,
+                     'status' AS pred, o_orderstatus AS obj,
+                     'feedA' AS source
+              FROM orders
+              UNION ALL
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR),
+                     'status',
+                     CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                          ELSE o_orderstatus END,
+                     'feedB'
+              FROM orders
+              UNION ALL
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR),
+                     'status', o_orderstatus, 'feedC'
+              FROM orders),
+            claims AS (SELECT DISTINCT subj, pred, obj, source
+                       FROM obs),
+            votes AS (SELECT subj, pred, obj,
+                             count(DISTINCT source) AS n_supporting
+                      FROM obs GROUP BY 1, 2, 3),
+            w AS (SELECT subj, pred, obj,
+                         row_number() OVER (PARTITION BY subj, pred
+                           ORDER BY n_supporting DESC, obj) AS rk
+                  FROM votes),
+            winners AS (SELECT subj, pred, obj AS resolved_obj
+                        FROM w WHERE rk = 1)
+            SELECT c.source,
+                   CAST(count(*) AS BIGINT) AS n_claims,
+                   CAST(sum(CASE WHEN c.obj = wi.resolved_obj
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_correct,
+                   round(sum(CASE WHEN c.obj = wi.resolved_obj
+                                  THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 6) AS reliability
+            FROM claims c JOIN winners wi USING (subj, pred)
+            GROUP BY c.source""",
+        "taxonomy_cycles": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT
+                     't' || CAST(doc_id % 9 AS VARCHAR) AS a,
+                     't' || CAST((doc_id * 2 + 1) % 9 AS VARCHAR) AS b
+              FROM documents),
+            reach(start, node, hops) AS (
+              SELECT a, b, 1 FROM e
+              UNION ALL
+              SELECT r.start, e2.b, r.hops + 1
+              FROM reach r JOIN e e2 ON e2.a = r.node
+              WHERE r.hops < 3),
+            mins AS (SELECT start, node, min(hops) AS hops
+                     FROM reach GROUP BY 1, 2)
+            SELECT e.a AS src, e.b AS dst,
+                   CAST(CASE WHEN e.a = e.b THEN 1
+                             WHEN m.hops + 1 <= 4 THEN m.hops + 1
+                        END AS INT) AS cycle_len
+            FROM e LEFT JOIN mins m
+              ON m.start = e.b AND m.node = e.a""",
     }

@@ -186,6 +186,8 @@ def main() -> None:
         # ninth batch (B-cubed cluster eval, knowledge fusion, type
         # completion)
         "bcubed_resolution", "resolve_conflicts", "infer_types",
+        # tenth batch (truth-discovery scorecard, taxonomy cycle QA)
+        "source_reliability", "taxonomy_cycles",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -1250,3 +1250,55 @@ def link_prediction_ranking(edges: DataFrame, split_denom: int = 2,
             F.sum((F.col("best_rk") <= k).cast("long")),
             F.lit(0).cast("long")).alias(f"hits_{k}"))
     return best.agg(*aggs)
+
+
+def cycle_edges(edges: DataFrame, max_len: int = 4, src: str = "src",
+                dst: str = "dst") -> DataFrame:
+    """Bounded cycle detection for hierarchy QA -> the input's distinct
+    edges flagged (src, dst, cycle_len): cycle_len = length of the
+    SHORTEST cycle (<= max_len) the edge lies on, NULL when it closes
+    none. An is-a/subclass-of table must be a DAG; edges this flags are
+    the ingestion bugs (mutual hypernymy, A<B<C<A rings) a taxonomy
+    build repairs before computing closures — the cycle-QA sibling of
+    type_closure, which ASSUMES acyclicity.
+
+    Semantics: edge (a, b) lies on a k-cycle iff b reaches a in k-1
+    hops (k=1 self-loop). Bounded by max_len — unbounded reachability
+    is a different operator (connected_components on the condensation);
+    short rings are where real taxonomy bugs live.
+
+    Scale shape: distinct edges first (ONE corpus-size agg); then
+    max_len-1 equi-joins growing a (start, node, hops) frontier with
+    min-hop dedup per round and localCheckpoint cutting lineage (the
+    pagerank iteration discipline). Frontier size is bounded by
+    |E| x avg-out-degree^hops — at taxonomy fan-outs (tree-ish, near-1)
+    it stays linear; it is NOT the plan for a dense social graph.
+    """
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    # frontier: b reaches node in `hops` steps (hops >= 1)
+    frontier = e.select(F.col("a").alias("start"),
+                        F.col("b").alias("node"),
+                        F.lit(1).alias("hops"))
+    reach = frontier
+    for _ in range(max_len - 1):
+        step = (frontier.join(e, frontier.node == e.a)
+                .select("start", F.col("b").alias("node"),
+                        (F.col("hops") + 1).alias("hops")))
+        reach = (reach.unionByName(step)
+                 .groupBy("start", "node")
+                 .agg(F.min("hops").alias("hops"))
+                 .localCheckpoint(eager=True))
+        frontier = reach
+    # edge (a,b): shortest cycle = 1 + shortest b->a path; self-loop = 1
+    back = reach.select(F.col("start").alias("b2"),
+                        F.col("node").alias("a2"), "hops")
+    return (e.join(back, (e.a == F.col("a2")) & (e.b == F.col("b2")),
+                   "left")
+            .select(F.col("a").alias(src), F.col("b").alias(dst),
+                    F.when(e.a == e.b, F.lit(1))
+                    .otherwise(
+                        F.when(F.col("hops") + 1 <= max_len,
+                               F.col("hops") + 1))
+                    .cast("int").alias("cycle_len")))

@@ -656,3 +656,40 @@ def infer_entity_types(triples: DataFrame, signatures: DataFrame,
                     F.col("n_votes").cast("long").alias("n_votes"),
                     F.round(F.col("n").cast("double") / F.col("n_votes"),
                             6).alias("vote_share")))
+
+
+def source_reliability(observations: DataFrame, subj_col: str = "subj",
+                       pred_col: str = "pred", obj_col: str = "obj",
+                       source_col: str = "source") -> DataFrame:
+    """Truth-discovery source scoring (TruthFinder/Knowledge-Vault
+    lineage, one voting round) -> one row per source: (source,
+    n_claims, n_correct, reliability). A claim is a distinct (subj,
+    pred, obj) assertion by the source; it is correct when its object
+    equals resolve_conflicts' majority value for that slot; reliability
+    = n_correct / n_claims (6dp). The feed scorecard a multi-source KG
+    ingest publishes alongside the fused table — and the prior the
+    NEXT voting round would weight by.
+
+    Scale shape: resolve_conflicts' one corpus agg + bounded window,
+    then ONE equi-join of distinct claims against the (subj, pred)
+    winners (co-partitioned on the same key) and one per-source agg —
+    sources are few, but the agg is map-side combinable so a hub feed
+    cannot skew a reducer.
+    """
+    claims = (observations
+              .select(F.col(subj_col).alias("subj"),
+                      F.col(pred_col).alias("pred"),
+                      F.col(obj_col).alias("obj"),
+                      F.col(source_col).alias("source"))
+              .distinct())
+    winners = resolve_conflicts(
+        observations, subj_col, pred_col, obj_col, source_col
+    ).select("subj", "pred", "resolved_obj")
+    return (claims.join(winners, ["subj", "pred"])
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_claims"),
+                 F.sum((F.col("obj") == F.col("resolved_obj"))
+                       .cast("long")).alias("n_correct"))
+            .select("source", "n_claims", "n_correct",
+                    F.round(F.col("n_correct").cast("double") /
+                            F.col("n_claims"), 6).alias("reliability")))

@@ -43,6 +43,7 @@ R4_SLATE = [
     "metapath_counts", "grouped_split_audit",
     "hearst_hypernyms", "domain_range_audit", "linkpred_mrr",
     "bcubed_resolution", "resolve_conflicts", "infer_types",
+    "source_reliability", "taxonomy_cycles",
 ]
 
 
