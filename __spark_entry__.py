@@ -2822,10 +2822,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # calibration_quality / graph_summary / community_modularity /
     # entity_salience / negation_scope / entity_resolution /
     # mad_outliers / date_mentions / triple_audit / vocab_profile /
-    # distance_histogram (positions 51-88).
+    # distance_histogram / nb_lang_confusion / bloom_decontaminate /
+    # host_mirrors / metapath_counts / grouped_split_audit /
+    # hearst_hypernyms / domain_range_audit / linkpred_mrr /
+    # bcubed_resolution / resolve_conflicts / infer_types /
+    # source_reliability / taxonomy_cycles (positions 51-101).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the thirty-eight tail-head newest above (no driver row yet);
+    # (1) the fifty-one tail-head newest above (no driver row yet) —
+    #     more than the 50-slot cap, so the r5 cap should hold the
+    #     rows-only flagships plus the oldest-family representatives of
+    #     this list first, and the list's own family-redundant members
+    #     (e.g. one of linkpred_auc/linkpred_mrr) can wait for r5's tail;
     # (2) every query whose last driver row is r2 — 3 rounds old by r5:
     #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
     #     (*already in the r4 cap — drop from this list if r4 lands
@@ -2959,6 +2967,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_audit": q_triple_audit,
         "vocab_profile": q_vocab_profile,
         "distance_histogram": q_distance_histogram,
+        # newest additions (batches 7-10; cap saturated — local-gate
+        # evidence in both comparators; first r5 cap candidates per the
+        # rotation plan above):
+        "nb_lang_confusion": q_nb_lang_confusion,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "host_mirrors": q_host_mirrors,
+        "metapath_counts": q_metapath_counts,
+        "grouped_split_audit": q_grouped_split_audit,
+        "hearst_hypernyms": q_hearst_hypernyms,
+        "domain_range_audit": q_domain_range_audit,
+        "linkpred_mrr": q_linkpred_mrr,
+        "bcubed_resolution": q_bcubed_resolution,
+        "resolve_conflicts": q_resolve_conflicts,
+        "infer_types": q_infer_types,
+        "source_reliability": q_source_reliability,
+        "taxonomy_cycles": q_taxonomy_cycles,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -3041,22 +3065,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bigrams": q_token_bigrams,
         "zscore_by_source": q_zscore_by_source,
         "customers_without_orders": q_customers_without_orders,
-        # newest additions (this batch; cap saturated — local-gate
-        # evidence in both comparators; candidates for the next cap
-        # rotation alongside the batch above):
-        "nb_lang_confusion": q_nb_lang_confusion,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "host_mirrors": q_host_mirrors,
-        "metapath_counts": q_metapath_counts,
-        "grouped_split_audit": q_grouped_split_audit,
-        "hearst_hypernyms": q_hearst_hypernyms,
-        "domain_range_audit": q_domain_range_audit,
-        "linkpred_mrr": q_linkpred_mrr,
-        "bcubed_resolution": q_bcubed_resolution,
-        "resolve_conflicts": q_resolve_conflicts,
-        "infer_types": q_infer_types,
-        "source_reliability": q_source_reliability,
-        "taxonomy_cycles": q_taxonomy_cycles,
     }
 
 

@@ -197,7 +197,16 @@ def main() -> None:
     # kg_pipeline cold/warm split above); first-run seconds are reported
     # unedited in "first_run" so the one-off cost stays visible.
     first_run: dict[str, float] = {}
+    # JMH-style inter-query hygiene, OUTSIDE the timed windows: eagerly
+    # localCheckpointed blocks from earlier queries stay pinned until the
+    # JVM collects their dereferenced RDD handles, and with a large heap
+    # that collection may not happen for dozens of queries — the storage
+    # pressure then contaminates later checkpoint-heavy queries (r4 saw
+    # ktruss_hosts read 67 s in-bench vs 6.5 s standalone). A JVM GC per
+    # query lets ContextCleaner unpin them before the next measurement.
+    jvm_gc = spark.sparkContext._jvm.System.gc
     for name in bench_queries:
+        jvm_gc()
         t0 = time.monotonic()
         n = qs[name](spark, sf_dir).count()
         first_run[name] = round(time.monotonic() - t0, 3)
