@@ -585,9 +585,10 @@ def resolve_conflicts(observations: DataFrame, subj_col: str = "subj",
     build needs before publishing functional attributes.
 
     Scale shape: ONE corpus-size agg to (subj, pred, obj) distinct-
-    source counts (map-side combinable); the winner window partitions
-    on (subj, pred) whose value fan-out is bounded by the number of
-    feeds; the totals re-agg runs on the already-reduced vote table.
+    source counts (map-side combinable), then ONE (subj, pred) agg
+    where min(struct(-n_supporting, obj)) picks the winner (max
+    support, ties obj ASC) alongside the vote/value totals in the same
+    pass — no per-slot window sort, no winner-vs-totals self-join.
     """
     votes = (observations
              .select(F.col(subj_col).alias("subj"),
@@ -596,23 +597,19 @@ def resolve_conflicts(observations: DataFrame, subj_col: str = "subj",
                      F.col(source_col).alias("src"))
              .groupBy("subj", "pred", "obj")
              .agg(F.count_distinct("src").alias("n_supporting")))
-    totals = (votes.groupBy("subj", "pred")
-              .agg(F.sum("n_supporting").alias("n_votes"),
-                   F.count(F.lit(1)).alias("n_values")))
-    w = Window.partitionBy("subj", "pred").orderBy(
-        F.col("n_supporting").desc(), F.col("obj").asc())
-    winner = (votes.withColumn("rk", F.row_number().over(w))
-              .filter(F.col("rk") == 1)
-              .select("subj", "pred", F.col("obj").alias("resolved_obj"),
-                      "n_supporting"))
-    return (winner.join(totals, ["subj", "pred"])
-            .select("subj", "pred", "resolved_obj",
-                    F.col("n_values").cast("long").alias("n_values"),
-                    F.col("n_votes").cast("long").alias("n_votes"),
-                    F.col("n_supporting").cast("long")
-                    .alias("n_supporting"),
-                    F.round(F.col("n_supporting").cast("double") /
-                            F.col("n_votes"), 6).alias("confidence")))
+    best = (votes.groupBy("subj", "pred")
+            .agg(F.min(F.struct(
+                    (-F.col("n_supporting")).alias("neg_n"),
+                    F.col("obj").alias("obj"))).alias("b"),
+                 F.sum("n_supporting").alias("n_votes"),
+                 F.count(F.lit(1)).alias("n_values")))
+    return best.select(
+        "subj", "pred", F.col("b.obj").alias("resolved_obj"),
+        F.col("n_values").cast("long").alias("n_values"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+        (-F.col("b.neg_n")).cast("long").alias("n_supporting"),
+        F.round((-F.col("b.neg_n")).cast("double") /
+                F.col("n_votes"), 6).alias("confidence"))
 
 
 def infer_entity_types(triples: DataFrame, signatures: DataFrame,
@@ -630,32 +627,35 @@ def infer_entity_types(triples: DataFrame, signatures: DataFrame,
     predicates are absent from the output (no guessed rows).
 
     Scale shape: the signature table is schema-sized (AQE broadcasts
-    both joins); ONE corpus-size agg to (entity, vote) counts
-    (map-side combinable); the modal window partitions per entity over
-    at most |distinct types| aggregated rows.
+    the join); ONE scan — both slot votes come from a 2-element
+    inline() per triple, not a two-branch union re-scan — then ONE
+    corpus-size agg to (entity, vote) counts (map-side combinable) and
+    ONE entity agg where min(struct(-n, vote)) picks the modal vote
+    (max n, ties type ASC) and sum(n) the total in the same pass — no
+    per-entity window sort, no totals self-join.
     """
     sig = signatures.select(F.col("pred").alias("p"),
                             "domain_type", "range_type")
     t = triples.select(F.col(subj_col).alias("s"),
                        F.col(pred_col).alias("p"),
                        F.col(obj_col).alias("o")).join(sig, "p")
-    votes = (t.select(F.col("s").alias("entity"),
-                      F.col("domain_type").alias("vote"))
-             .unionByName(t.select(F.col("o").alias("entity"),
-                                   F.col("range_type").alias("vote")))
+    votes = (t.select(F.inline(F.array(
+                F.struct(F.col("s").alias("entity"),
+                         F.col("domain_type").alias("vote")),
+                F.struct(F.col("o").alias("entity"),
+                         F.col("range_type").alias("vote")))))
              .groupBy("entity", "vote")
              .agg(F.count(F.lit(1)).alias("n")))
-    totals = votes.groupBy("entity").agg(F.sum("n").alias("n_votes"))
-    w = Window.partitionBy("entity").orderBy(F.col("n").desc(),
-                                             F.col("vote").asc())
-    return (votes.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .join(totals, "entity")
-            .select("entity", F.col("vote").alias("inferred_type"),
-                    F.col("n").cast("long").alias("n_for"),
-                    F.col("n_votes").cast("long").alias("n_votes"),
-                    F.round(F.col("n").cast("double") / F.col("n_votes"),
-                            6).alias("vote_share")))
+    best = (votes.groupBy("entity")
+            .agg(F.min(F.struct((-F.col("n")).alias("neg_n"),
+                                F.col("vote").alias("vote"))).alias("b"),
+                 F.sum("n").alias("n_votes")))
+    return best.select(
+        "entity", F.col("b.vote").alias("inferred_type"),
+        (-F.col("b.neg_n")).cast("long").alias("n_for"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+        F.round((-F.col("b.neg_n")).cast("double") / F.col("n_votes"),
+                6).alias("vote_share"))
 
 
 def source_reliability(observations: DataFrame, subj_col: str = "subj",
