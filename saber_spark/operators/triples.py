@@ -528,8 +528,10 @@ def domain_range_audit(triples: DataFrame, types: DataFrame,
 
     Scale shape: two equi-joins against the type table (AQE broadcasts
     it at dictionary scale), ONE corpus-size map-side-combinable agg to
-    (pred, s_type, o_type) counts; the modal window and the per-pred
-    rollup both run on that tiny signature table, never on the corpus.
+    (pred, s_type, o_type) counts, then ONE per-pred agg on that tiny
+    signature table where min(struct(-n, s_type, o_type)) picks the
+    modal signature (max count, ties ASC/ASC) alongside the triple
+    total in the same pass — no window sort, no modal-vs-totals join.
     """
     t = triples.select(F.col(subj_col).alias("s"),
                        F.col(pred_col).alias("p"),
@@ -548,23 +550,21 @@ def domain_range_audit(triples: DataFrame, types: DataFrame,
                      .alias("o_type")))
     sig = (typed.groupBy("p", "s_type", "o_type")
            .agg(F.count(F.lit(1)).alias("n")))
-    w = Window.partitionBy("p").orderBy(F.col("n").desc(),
-                                        F.col("s_type").asc(),
-                                        F.col("o_type").asc())
-    modal = (sig.withColumn("rk", F.row_number().over(w))
-             .filter(F.col("rk") == 1)
-             .select("p", F.col("s_type").alias("domain_type"),
-                     F.col("o_type").alias("range_type"),
-                     F.col("n").alias("n_conform")))
-    per_pred = sig.groupBy("p").agg(F.sum("n").alias("n_triples"))
-    return (per_pred.join(modal, "p")
-            .select(F.col("p").alias("pred"), "n_triples",
-                    "domain_type", "range_type", "n_conform",
-                    (F.col("n_triples") - F.col("n_conform"))
-                    .alias("n_violations"),
-                    F.round((F.col("n_triples") - F.col("n_conform"))
-                            .cast("double") / F.col("n_triples"), 6)
-                    .alias("violation_rate")))
+    best = (sig.groupBy("p")
+            .agg(F.min(F.struct((-F.col("n")).alias("neg_n"),
+                                F.col("s_type").alias("s_type"),
+                                F.col("o_type").alias("o_type")))
+                 .alias("b"),
+                 F.sum("n").alias("n_triples")))
+    n_conform = -F.col("b.neg_n")
+    return best.select(
+        F.col("p").alias("pred"), "n_triples",
+        F.col("b.s_type").alias("domain_type"),
+        F.col("b.o_type").alias("range_type"),
+        n_conform.alias("n_conform"),
+        (F.col("n_triples") - n_conform).alias("n_violations"),
+        F.round((F.col("n_triples") - n_conform).cast("double") /
+                F.col("n_triples"), 6).alias("violation_rate"))
 
 
 def resolve_conflicts(observations: DataFrame, subj_col: str = "subj",
