@@ -2688,6 +2688,40 @@ def q_source_reliability(spark, sf_dir):
     return source_reliability(_feed_obs(spark, sf_dir))
 
 
+def q_resolve_weighted(spark, sf_dir):
+    """TruthFinder round 2 (triples.resolve_weighted) over the same
+    _feed_obs fixture: claims re-weighted by round-1 source
+    reliability, so feedB's corrupted 'X' votes carry ~0.857 mass
+    against the 2.0 the two clean feeds stack on the truth —
+    weight_share on conflicted slots is genuinely the weighted margin,
+    not a vote count."""
+    from saber_spark.operators.triples import resolve_weighted
+    return resolve_weighted(_feed_obs(spark, sf_dir))
+
+
+def q_rule_confidence(spark, sf_dir):
+    """AMIE rule mining (triples.rule_confidence) over _schema_kg plus
+    a 'bought' leg (cust->part for parts with l_partkey % 3 != 0):
+    mines (placed . contains => bought) at confidence ~2/3 — the
+    missing third of parts is genuine negative evidence — and the
+    corrupted self-loop placed edges surface the degenerate
+    (placed . placed => placed) / (placed . bought => bought) rules at
+    1.0, exercising multi-rule output and conf < 1 in one result."""
+    from saber_spark.operators.triples import rule_confidence
+    orders = tpch.load(spark, sf_dir, "orders")
+    li = tpch.load(spark, sf_dir, "lineitem")
+    bought = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+              .filter(F.col("l_partkey") % 3 != 0)
+              .select(F.concat(F.lit("cust:"),
+                               F.col("o_custkey").cast("string"))
+                      .alias("subj"),
+                      F.lit("bought").alias("pred"),
+                      F.concat(F.lit("part:"),
+                               F.col("l_partkey").cast("string"))
+                      .alias("obj")))
+    return rule_confidence(_schema_kg(spark, sf_dir).unionByName(bought))
+
+
 def q_taxonomy_cycles(spark, sf_dir):
     """Bounded cycle QA for hierarchy tables (graph.cycle_edges):
     is-a edges t(doc_id%9) -> t((2*doc_id+1)%9) — a deterministic
@@ -2826,10 +2860,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # host_mirrors / metapath_counts / grouped_split_audit /
     # hearst_hypernyms / domain_range_audit / linkpred_mrr /
     # bcubed_resolution / resolve_conflicts / infer_types /
-    # source_reliability / taxonomy_cycles (positions 51-101).
+    # source_reliability / taxonomy_cycles / resolve_weighted /
+    # rule_confidence (positions 51-103).
     #
     # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the fifty-one tail-head newest above (no driver row yet) —
+    # (1) the fifty-three tail-head newest above (no driver row yet) —
     #     more than the 50-slot cap, so the r5 cap should hold the
     #     rows-only flagships plus the oldest-family representatives of
     #     this list first, and the list's own family-redundant members
@@ -2983,6 +3018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_types": q_infer_types,
         "source_reliability": q_source_reliability,
         "taxonomy_cycles": q_taxonomy_cycles,
+        "resolve_weighted": q_resolve_weighted,
+        "rule_confidence": q_rule_confidence,
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -6304,6 +6341,109 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS reliability
             FROM claims c JOIN winners wi USING (subj, pred)
             GROUP BY c.source""",
+        "resolve_weighted": """
+            WITH obs AS (
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS subj,
+                     'status' AS pred, o_orderstatus AS obj,
+                     'feedA' AS source
+              FROM orders
+              UNION ALL
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR),
+                     'status',
+                     CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                          ELSE o_orderstatus END,
+                     'feedB'
+              FROM orders
+              UNION ALL
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR),
+                     'status', o_orderstatus, 'feedC'
+              FROM orders),
+            claims AS (SELECT DISTINCT subj, pred, obj, source
+                       FROM obs),
+            votes AS (SELECT subj, pred, obj,
+                             count(DISTINCT source) AS n_supporting
+                      FROM obs GROUP BY 1, 2, 3),
+            w AS (SELECT subj, pred, obj,
+                         row_number() OVER (PARTITION BY subj, pred
+                           ORDER BY n_supporting DESC, obj) AS rk
+                  FROM votes),
+            winners AS (SELECT subj, pred, obj AS resolved_obj
+                        FROM w WHERE rk = 1),
+            rel AS (SELECT c.source,
+                           round(sum(CASE WHEN c.obj = wi.resolved_obj
+                                          THEN 1 ELSE 0 END)::DOUBLE
+                                 / count(*), 6) AS reliability
+                    FROM claims c JOIN winners wi USING (subj, pred)
+                    GROUP BY c.source),
+            wv AS (SELECT c.subj, c.pred, c.obj,
+                          count(*) AS n_sources,
+                          sum(CAST(r.reliability AS DECIMAL(18,6)))
+                            AS wt
+                   FROM claims c JOIN rel r ON c.source = r.source
+                   GROUP BY 1, 2, 3),
+            tot AS (SELECT subj, pred, sum(wt) AS total_w
+                    FROM wv GROUP BY 1, 2),
+            w2 AS (SELECT subj, pred, obj, n_sources, wt,
+                          row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY wt DESC, obj) AS rk
+                   FROM wv)
+            SELECT w2.subj, w2.pred, w2.obj AS resolved_obj,
+                   CAST(w2.n_sources AS BIGINT) AS n_sources,
+                   round(CAST(w2.wt AS DOUBLE), 6) AS weight,
+                   round(CAST(w2.wt AS DOUBLE)
+                         / CAST(t2.total_w AS DOUBLE), 6)
+                     AS weight_share
+            FROM w2 JOIN tot t2 USING (subj, pred)
+            WHERE w2.rk = 1""",
+        "rule_confidence": """
+            WITH kg AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj,
+                     'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR)
+                     END AS obj
+              FROM orders
+              UNION ALL
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR),
+                     'contains',
+                     'part:' || CAST(l_partkey AS VARCHAR)
+              FROM lineitem
+              UNION ALL
+              SELECT 'cust:' || CAST(o.o_custkey AS VARCHAR),
+                     'bought',
+                     'part:' || CAST(l.l_partkey AS VARCHAR)
+              FROM orders o JOIN lineitem l
+                ON o.o_orderkey = l.l_orderkey
+              WHERE l.l_partkey % 3 <> 0),
+            t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o
+                  FROM kg),
+            iok AS (SELECT o FROM t GROUP BY o
+                    HAVING count(*) <= 1000),
+            ook AS (SELECT s FROM t GROUP BY s
+                    HAVING count(*) <= 1000),
+            mids AS (SELECT iok.o AS m FROM iok
+                     JOIN ook ON iok.o = ook.s),
+            l AS (SELECT s AS a, p AS pred1, o AS m FROM t
+                  WHERE o IN (SELECT m FROM mids)),
+            r AS (SELECT s AS m, p AS pred2, o AS b FROM t
+                  WHERE s IN (SELECT m FROM mids)),
+            body AS (SELECT DISTINCT pred1, pred2, a, b
+                     FROM l JOIN r USING (m) WHERE a <> b),
+            bn AS (SELECT pred1, pred2,
+                          count(*) AS n_body_pairs
+                   FROM body GROUP BY 1, 2),
+            supp AS (SELECT b.pred1, b.pred2, h.p AS head_pred,
+                            count(*) AS n_support
+                     FROM body b JOIN t h
+                       ON h.s = b.a AND h.o = b.b
+                     GROUP BY 1, 2, 3)
+            SELECT s.pred1, s.pred2, s.head_pred,
+                   CAST(bn.n_body_pairs AS BIGINT) AS n_body_pairs,
+                   CAST(s.n_support AS BIGINT) AS n_support,
+                   round(s.n_support::DOUBLE / bn.n_body_pairs, 6)
+                     AS confidence
+            FROM supp s JOIN bn USING (pred1, pred2)""",
         "taxonomy_cycles": """
             WITH RECURSIVE e AS (
               SELECT DISTINCT

@@ -693,3 +693,124 @@ def source_reliability(observations: DataFrame, subj_col: str = "subj",
             .select("source", "n_claims", "n_correct",
                     F.round(F.col("n_correct").cast("double") /
                             F.col("n_claims"), 6).alias("reliability")))
+
+
+def rule_confidence(triples: DataFrame, subj_col: str = "subj",
+                    pred_col: str = "pred", obj_col: str = "obj",
+                    max_mid_degree: int = 1000) -> DataFrame:
+    """AMIE-style 2-hop rule mining (Galarraga et al. 2013 lineage) ->
+    one row per instantiated rule body+head: (pred1, pred2, head_pred,
+    n_body_pairs, n_support, confidence). A rule
+    ``pred1(a,m) ^ pred2(m,b) => head_pred(a,b)`` is supported by every
+    DISTINCT endpoint pair (a, b) that both satisfies the body (some
+    mid m chains them, a != b) and carries a direct head_pred edge;
+    n_body_pairs counts ALL distinct body pairs for (pred1, pred2), so
+    confidence = n_support / n_body_pairs is the standard (closed-world)
+    confidence a rule miner ranks candidate inference rules by. Head
+    predicates with zero support are absent (no zero rows); when the
+    body contains a self-loop first hop (a == m) the head edge may
+    coincide with the second body edge — counted, as AMIE does.
+
+    Builds directly on metapath_counts' path statistic: that operator
+    reports body support per predicate pair; this one closes the loop
+    against head edges so (placed . contains => bought)-shaped rules
+    get a rankable confidence before any embedding exists.
+
+    Scale shape: same hub-mid exclusion as metapath_counts (a hub mid
+    contributes in_deg*out_deg body pairs with no per-rule signal),
+    ONE mid-keyed self-equi-join, one distinct on (pred1, pred2, a, b)
+    — body pairs, not paths, so multi-mid fan-in collapses before the
+    head join — then ONE (a, b)-keyed equi-join against the distinct
+    triple table and two map-side-combinable aggs. No all-pairs shape;
+    exclusions are a visible parameter, not a silent cap.
+    """
+    t = (triples.select(F.col(subj_col).alias("s"),
+                        F.col(pred_col).alias("p"),
+                        F.col(obj_col).alias("o"))
+         .distinct())
+    in_ok = (t.groupBy("o").agg(F.count(F.lit(1)).alias("d"))
+             .filter(F.col("d") <= max_mid_degree).select("o"))
+    out_ok = (t.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+              .filter(F.col("d") <= max_mid_degree).select("s"))
+    mids = (in_ok.join(out_ok, in_ok.o == out_ok.s, "inner")
+            .select(F.col("o").alias("m")))
+    left = (t.join(mids, t.o == mids.m, "left_semi")
+            .select(F.col("s").alias("a"), F.col("p").alias("pred1"),
+                    F.col("o").alias("m")))
+    right = (t.join(mids, t.s == mids.m, "left_semi")
+             .select(F.col("s").alias("m"), F.col("p").alias("pred2"),
+                     F.col("o").alias("b")))
+    body = (left.join(right, "m")
+            .filter(F.col("a") != F.col("b"))
+            .select("pred1", "pred2", "a", "b")
+            .distinct())
+    body_n = (body.groupBy("pred1", "pred2")
+              .agg(F.count(F.lit(1)).alias("n_body_pairs")))
+    heads = t.select(F.col("s").alias("a"),
+                     F.col("p").alias("head_pred"),
+                     F.col("o").alias("b"))
+    supp = (body.join(heads, ["a", "b"])
+            .groupBy("pred1", "pred2", "head_pred")
+            .agg(F.count(F.lit(1)).alias("n_support")))
+    return (supp.join(body_n, ["pred1", "pred2"])
+            .select("pred1", "pred2", "head_pred",
+                    F.col("n_body_pairs").cast("long")
+                    .alias("n_body_pairs"),
+                    F.col("n_support").cast("long").alias("n_support"),
+                    F.round(F.col("n_support").cast("double") /
+                            F.col("n_body_pairs"), 6)
+                    .alias("confidence")))
+
+
+def resolve_weighted(observations: DataFrame, subj_col: str = "subj",
+                     pred_col: str = "pred", obj_col: str = "obj",
+                     source_col: str = "source") -> DataFrame:
+    """Reliability-weighted knowledge fusion (TruthFinder's second
+    voting round) -> one row per (subj, pred): (subj, pred,
+    resolved_obj, n_sources, weight, weight_share). Round 1 scores each
+    source with source_reliability; round 2 re-resolves every fact slot
+    with each distinct claim weighted by the SUM of its supporting
+    sources' reliabilities instead of a raw count (ties: obj ASC) —
+    the step where a feed that lost round-1 votes also loses the power
+    to outvote trusted feeds. weight is the winner's reliability mass,
+    weight_share its fraction of the slot's total mass.
+
+    Reliabilities are summed as DECIMAL(18,6) (they are 6dp-rounded
+    scores), so the mass — and therefore the winner and the 6dp-rounded
+    double outputs — is exact and engine-portable; float summation
+    order can never flip a tie.
+
+    Scale shape: source_reliability's bounded plan, then one
+    corpus-size distinct-claims agg joined against the source-count-
+    sized reliability table (AQE broadcasts it) and ONE (subj, pred)
+    agg where min(struct(-weight, obj)) picks the winner alongside the
+    total mass — the same no-window no-self-join shape as
+    resolve_conflicts.
+    """
+    rel = source_reliability(
+        observations, subj_col, pred_col, obj_col, source_col
+    ).select(F.col("source").alias("src"),
+             F.col("reliability").cast("decimal(18,6)").alias("rw"))
+    claims = (observations
+              .select(F.col(subj_col).alias("subj"),
+                      F.col(pred_col).alias("pred"),
+                      F.col(obj_col).alias("obj"),
+                      F.col(source_col).alias("src"))
+              .distinct())
+    wv = (claims.join(rel, "src")
+          .groupBy("subj", "pred", "obj")
+          .agg(F.count(F.lit(1)).alias("n_sources"),
+               F.sum("rw").alias("wt")))
+    best = (wv.groupBy("subj", "pred")
+            .agg(F.min(F.struct(
+                    (-F.col("wt")).alias("neg_w"),
+                    F.col("obj").alias("obj"),
+                    F.col("n_sources").alias("ns"))).alias("b"),
+                 F.sum("wt").alias("total_w")))
+    win_w = (-F.col("b.neg_w")).cast("double")
+    return best.select(
+        "subj", "pred", F.col("b.obj").alias("resolved_obj"),
+        F.col("b.ns").cast("long").alias("n_sources"),
+        F.round(win_w, 6).alias("weight"),
+        F.round(win_w / F.col("total_w").cast("double"), 6)
+        .alias("weight_share"))

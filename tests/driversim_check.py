@@ -44,6 +44,7 @@ R4_SLATE = [
     "hearst_hypernyms", "domain_range_audit", "linkpred_mrr",
     "bcubed_resolution", "resolve_conflicts", "infer_types",
     "source_reliability", "taxonomy_cycles",
+    "resolve_weighted", "rule_confidence",
 ]
 
 
