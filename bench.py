@@ -188,6 +188,8 @@ def main() -> None:
         "bcubed_resolution", "resolve_conflicts", "infer_types",
         # tenth batch (truth-discovery scorecard, taxonomy cycle QA)
         "source_reliability", "taxonomy_cycles",
+        # eleventh batch (AMIE rule confidence, weighted fusion)
+        "rule_confidence", "resolve_weighted",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

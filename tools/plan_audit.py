@@ -1255,6 +1255,37 @@ def main() -> None:
         0,
     ))
 
+    # 77. rule_confidence: mid-keyed self-join -> distinct body pairs ->
+    # (a, b)-keyed head join; hub exclusion; never all-pairs.
+    plan_rc = formatted_plan(e.queries()["rule_confidence"](spark, SF_DIR))
+    sections.append((
+        "rule_confidence (body-pair dedup before head join)",
+        "Body pairs must be DISTINCT (pred1, pred2, a, b) — multi-mid "
+        "fan-in collapses before the head equi-join — and both the body "
+        "self-join and the head join are hash equi-joins with the hub-mid "
+        "semi-join filter up front. No cartesian.",
+        plan_rc,
+        ["HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_rc
+           else []),
+        0,
+    ))
+
+    # 78. resolve_weighted: decimal mass agg + struct-min winner, no
+    # window sort, reliability table broadcast-sized.
+    plan_rw = formatted_plan(e.queries()["resolve_weighted"](spark, SF_DIR))
+    sections.append((
+        "resolve_weighted (decimal mass, struct-min winner)",
+        "Round-2 fusion must be two hash aggs (claim mass, then per-slot "
+        "struct-min winner + total) with NO per-slot window sort; the "
+        "round-1 reliability table joins at source cardinality.",
+        plan_rw,
+        ["HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_rw
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
