@@ -697,7 +697,8 @@ def source_reliability(observations: DataFrame, subj_col: str = "subj",
 
 def rule_confidence(triples: DataFrame, subj_col: str = "subj",
                     pred_col: str = "pred", obj_col: str = "obj",
-                    max_mid_degree: int = 1000) -> DataFrame:
+                    max_mid_degree: int = 1000,
+                    materialize: bool = False) -> DataFrame:
     """AMIE-style 2-hop rule mining (Galarraga et al. 2013 lineage) ->
     one row per instantiated rule body+head: (pred1, pred2, head_pred,
     n_body_pairs, n_support, confidence). A rule
@@ -723,11 +724,23 @@ def rule_confidence(triples: DataFrame, subj_col: str = "subj",
     head join — then ONE (a, b)-keyed equi-join against the distinct
     triple table and two map-side-combinable aggs. No all-pairs shape;
     exclusions are a visible parameter, not a silent cap.
+
+    ``materialize=True`` localCheckpoints the distinct triple table,
+    which this plan references five times (degree filters, both join
+    legs, heads). A/B at sf0.1/local[32] is a statistical tie inside
+    this VM's noise band (plain 20.9/10.0 s vs ckpt 10.0/13.2 s
+    alternating), so recompute stays the default (zero cache memory,
+    zero extra I/O — the dedup_clusters decision); at 100 TB the
+    distinct table should be materialized ANYWAY (amortizes five scans
+    of the raw store and gives the rule miner a durable restart point),
+    which this flag provides.
     """
     t = (triples.select(F.col(subj_col).alias("s"),
                         F.col(pred_col).alias("p"),
                         F.col(obj_col).alias("o"))
          .distinct())
+    if materialize:
+        t = t.localCheckpoint(eager=True)
     in_ok = (t.groupBy("o").agg(F.count(F.lit(1)).alias("d"))
              .filter(F.col("d") <= max_mid_degree).select("o"))
     out_ok = (t.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
