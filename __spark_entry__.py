@@ -2773,203 +2773,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate evaluates only the
-    # FIRST 50 entries (dict insertion order) — CORRECTNESS_r02.json was
-    # exactly entries 1-50. Entries past position 50 get no driver row, so:
-    #   * the first 50 slots hold every query that still needs (or has the
-    #     most valuable) driver evidence — including the flagship KG stages
-    #     (kg_mentions, kg_edges), multimodal, and the round-2 additions
-    #     that fell past the cap (cube/grouping-sets/set-ops/xml);
-    #   * the tail (51+) holds only family-redundant queries already
-    #     driver-green in prior rounds — each with an in-cap sibling
-    #     covering the same operator family: eval_prf_left (eval_prf/
-    #     eval_prf_right), lsh_cosine_topk + cosine_topk
-    #     (lsh_cosine_multiband/ivf_cosine_topk), minhash_signatures
-    #     (minhash_candidates recomputes the signatures), tpch_q1 +
-    #     tpch_q3_top10 + tpch_q6 + tpch_q5_nation (tpch_q4 remains the
-    #     in-cap TPC-H rep), token_bigrams + token_counts
-    #     (tokenize_explode/gopher_repetition/lang_id/quality_score),
-    #     zscore_by_source + moving_avg + sessionize (window_agg/
-    #     median_by_source/sequence_packing), rollup_revenue
-    #     (cube_revenue/grouping_sets_revenue), and the EXISTS/anti-join
-    #     pair exists_high_value + customers_without_orders (tpch_q4's
-    #     EXISTS semi-join is the in-cap sibling for both).
-    # When adding a NEW query, insert it before the tail and demote another
-    # twice-green family-redundant entry; never let an unverified query sit
-    # past position 50.
-    # r4 rotation (VERDICT r3 #3) — final slate. In the cap (first 50):
-    #   * the NEW r4 queries needing first driver rows: sentence_split,
-    #     dict_mentions, fuzzy_link, proximity_triples, degree_hist,
-    #     tfidf_ranked, quality_filter, mixture_sample, event_transitions,
-    #     centroid_classify, the rows-only curation_decision flagship, AND
-    #     the late-r4 web-crawl slate (url_host_stats, url_dedup,
-    #     host_blocklist, line_dedup_clean, host_link_graph,
-    #     snapshot_delta, incremental_triples, resolve_redirects,
-    #     anchor_profile) — all local-oracle MATCH at sf0.01;
-    #   * the six r3-demoted queries whose last driver rows were r2
-    #     (moving_avg, sessionize, rollup_revenue, tpch_q5_nation,
-    #     exists_high_value, above_nation_avg), rotated back for fresh
-    #     evidence (the first four re-entered by demoting token_freq /
-    #     rare_tokens / vocab_ids / bio_chunks — r3 hash-MATCH, 1 round
-    #     old, exercised inside in-cap pipelines — see the tail comment);
-    #   * the r3-green flagship/family heads (KG stages, dedup chain, ANN,
-    #     graph, funnel, TPC-H rep, profiling).
-    # To make room for the web-crawl slate, nine r3 hash-MATCH entries with
-    # in-cap family siblings moved to the tail head: tfidf_topterms
-    # (sibling tfidf_ranked recomputes it + rank), quality_score +
-    # gopher_repetition (sibling quality_filter composes both signal
-    # families), minhash_candidates + ngram_jaccard + crossdoc_ngram_dup
-    # (sibling dedup_clusters runs the full LSH->jaccard->CC chain),
-    # triangle_entities (siblings pagerank_entities/degree_hist/
-    # host_link_graph), cohort_retention (siblings funnel_conversion/
-    # event_transitions), mixture_weights (sibling mixture_sample consumes
-    # the same weight table).
-    # Tail (51+): every entry is driver-green in a prior round with an
-    # in-cap family sibling — r4 demotions (all hash-MATCH r3):
-    # median_by_source + pivot_events (windows/grouping — siblings
-    # moving_avg/sessionize/quality_buckets), cube_revenue +
-    # grouping_sets_revenue (sibling rollup_revenue),
-    # setops_active_customers (sibling exists_high_value/tpch_q4),
-    # json_extract_agg + xml_articles (semi-structured extraction),
-    # kmv_distinct (sibling table_profile), asof_join (sibling
-    # range_join_clicks), hypertable_rollup (sibling rollup_revenue),
-    # doc_fingerprint (textstats family), embedding_near_dup (siblings
-    # lsh_cosine_multiband/ivf_cosine_topk), stratified_sample (siblings
-    # mixture_weights/mixture_sample), edge_pmi (triples family:
-    # triples_cooccur/proximity_triples), sequence_packing (exercised
-    # inside in-cap curation_decision), connected_components (exercised
-    # inside in-cap dedup_clusters' component step). Older tail entries
-    # are green r1+r2 per the r3 ordering-contract notes (git history).
-    # When adding a NEW query, insert it before the tail and demote a
-    # driver-green family-redundant entry; never let an unverified query
-    # sit past position 50 — EXCEPT when the cap is already saturated
-    # with never-evaluated entries (every in-cap row is either
-    # unverified-new or a scheduled rotation): then the newest additions
-    # head the tail carrying local-gate evidence (both comparators) and
-    # take the FIRST r5 cap slots. Currently in that state:
-    # ngram_containment / ppr_hosts / weighted_sample / random_walks /
-    # scrub_dup_spans / kcore_hosts / readability / lm_backoff /
-    # clustering_entities / textrank_keywords / tagger_agreement /
-    # auc_doclen / cms_tokens / rrf_search / span_corruption /
-    # skipgram_pairs / skew_canonical / link_fd_check / char_entropy /
-    # abbrev_aliases / kge_negatives / ktruss_hosts / wl_fingerprint /
-    # entity_centroids / sssp_hosts / chunk_documents / linkpred_auc /
-    # calibration_quality / graph_summary / community_modularity /
-    # entity_salience / negation_scope / entity_resolution /
-    # mad_outliers / date_mentions / triple_audit / vocab_profile /
-    # distance_histogram / nb_lang_confusion / bloom_decontaminate /
-    # host_mirrors / metapath_counts / grouped_split_audit /
-    # hearst_hypernyms / domain_range_audit / linkpred_mrr /
-    # bcubed_resolution / resolve_conflicts / infer_types /
-    # source_reliability / taxonomy_cycles / resolve_weighted /
-    # rule_confidence (positions 51-103).
+    # FIRST 50 entries (dict insertion order); entries past position 50 get
+    # no driver row. Full rationale + rotation history: git log on this
+    # block (r2-r4 slates) and the r4 comment at commit b875eba^.
     #
-    # r5 rotation plan (for the final round's slate): cap priority is
-    # (1) the fifty-three tail-head newest above (no driver row yet) —
-    #     more than the 50-slot cap, so the r5 cap should hold the
-    #     rows-only flagships plus the oldest-family representatives of
-    #     this list first, and the list's own family-redundant members
-    #     (e.g. one of linkpred_auc/linkpred_mrr) can wait for r5's tail;
-    # (2) every query whose last driver row is r2 — 3 rounds old by r5:
-    #     above_nation_avg*, sessionize*, moving_avg*, rollup_revenue*
-    #     (*already in the r4 cap — drop from this list if r4 lands
-    #     green), cosine_topk, customers_without_orders, dedup_exact,
-    #     eval_prf_left, eval_prf_right, lang_id, lsh_cosine_topk,
-    #     mentions_histogram, minhash_signatures, simhash, token_bigrams,
-    #     token_counts, top1_per_user, tpch_q1, tpch_q3_top10, tpch_q6,
-    #     window_agg, zscore_by_source;
-    # (3) r3-green entries (2 rounds old by r5), oldest families first;
-    # keep the rows-only flagships (kg_mentions, kg_edges,
-    # curation_decision, multimodal_features) in-cap every round — they
-    # have no other driver-evidence channel.
+    # r5 slate (FINAL round) — cap priority per the r4-written plan:
+    #   * the four rows-only flagships stay in-cap (kg_mentions, kg_edges,
+    #     curation_decision, multimodal_features) — they have no other
+    #     driver-evidence channel;
+    #   * the remaining 46 slots go to the r4 tail-head backlog: the 53
+    #     never-driver-evaluated r4 additions minus seven family-redundant
+    #     sit-outs that keep local-gate evidence only (both comparators,
+    #     tests/driversim_check.py + tests/oracle_check.py; sweep artifact
+    #     BENCH/driversim_sweep_r5.json):
+    #       linkpred_mrr      (in-cap sibling linkpred_auc — same held-out
+    #                          split + ranking machinery),
+    #       resolve_conflicts (in-cap siblings resolve_weighted, which
+    #                          generalizes its majority vote, and
+    #                          source_reliability),
+    #       kcore_hosts       (in-cap sibling ktruss_hosts — same iterative
+    #                          peel; graph_summary reports degeneracy),
+    #       char_entropy      (in-cap siblings readability/vocab_profile),
+    #       grouped_split_audit (driver-green family: split_folds r3,
+    #                          mixture_sample r4),
+    #       weighted_sample   (driver-green siblings mixture_sample r4,
+    #                          stratified_sample r2/r3),
+    #       random_walks      (in-cap sibling ppr_hosts — same walk/
+    #                          transition machinery; metapath_counts too).
+    #   * every r4-cap entry is driver-green in CORRECTNESS_r04 (45
+    #     hash-MATCH + rows-only flagships clean) and moves to the tail
+    #     head with that 1-round-old evidence.
+    # New r5 queries displace the most family-redundant remaining backlog
+    # entries (displacement noted inline below when it happens).
     return {
-        # --- KG pipeline stages (flagship) ---
-        "scan_filter_project": q_scan_filter_project,
+        # --- rows-only flagships (no other driver channel) ---
         "kg_mentions": q_kg_mentions,
         "kg_edges": q_kg_edges,
         "curation_decision": q_curation_decision,
         "multimodal_features": q_multimodal_features,
-        "sentence_split": q_sentence_split,
-        "dict_mentions": q_dict_mentions,
-        "fuzzy_link": q_fuzzy_link,
-        "proximity_triples": q_proximity_triples,
-        "degree_hist": q_degree_hist,
-        "hits_hosts": q_hits_hosts,
-        "khop_hosts": q_khop_hosts,
-        # --- web-crawl analytics (late-r4, first driver rows) ---
-        "url_host_stats": q_url_host_stats,
-        "url_dedup": q_url_dedup,
-        "host_blocklist": q_host_blocklist,
-        "line_dedup_clean": q_line_dedup,
-        "host_link_graph": q_host_link_graph,
-        "snapshot_delta": q_snapshot_delta,
-        "incremental_triples": q_incremental_triples,
-        "resolve_redirects": q_resolve_redirects,
-        "anchor_profile": q_anchor_profile,
-        # --- KG enrichment / ontology (new this round, first driver rows)
-        "disambiguate_link": q_disambiguate_link,
-        "type_closure": q_type_closure,
-        "label_propagation": q_label_propagation,
-        "lm_perplexity": q_lm_perplexity,
-        "crawl_frontier": q_crawl_frontier,
-        "typed_triples": q_typed_triples,
-        "triple_history": q_triple_history,
-        "link_prediction": q_link_prediction,
-        "trending_entities": q_trending_entities,
-        "robots_filter": q_robots_filter,
-        "sitemap_urls": q_sitemap_urls,
-        "warc_records": q_warc_records,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "bpe_pair_stats": q_bpe_pair_stats,
-        "bpe_encode": q_bpe_encode,
-        # --- relational / windows / grouping ---
-        "event_transitions": q_event_transitions,
-        "mixture_sample": q_mixture_sample,
-        "tpch_q5_nation": q_tpch_q5_nation,
-        "exists_high_value": q_exists_high_value,
-        "above_nation_avg": q_above_nation_avg,
-        "sessionize": q_sessionize,
-        "moving_avg": q_moving_avg,
-        "rollup_revenue": q_rollup_revenue,
-        # --- dedup / similarity family ---
-        "semdedup": q_semdedup,
-        "centroid_classify": q_centroid_classify,
-        # --- text stats ---
-        "quality_filter": q_quality_filter,
-        "tfidf_ranked": q_tfidf_ranked,
-        "bm25_search": q_bm25_search,
-        "dsir_weights": q_dsir_weights,
-        # --------- position 51+: driver-green, family-redundant ---------
-        # (also demoted for the crawl-discovery pair: range_join_clicks —
-        # r3 hash-MATCH, temporal-join family twin asof_join green r2 —
-        # and pii_scrub — r3 hash-MATCH, textstats sibling quality_filter
-        # in-cap)
-        # (token_freq / rare_tokens / vocab_ids / bio_chunks — all r3
-        # hash-MATCH, 1 round old — ceded their cap slots to the four
-        # r2-vintage rotations above (above_nation_avg, sessionize,
-        # moving_avg, rollup_revenue, last rows exactly at the 2-round
-        # contract limit). The four demoted stage oracles remain
-        # exercised inside in-cap pipelines: token_freq/vocab_ids inside
-        # bpe_pair_stats' pair-count aggregation shape, rare_tokens'
-        # join-based replacement inside kg_mentions' vocab path, and
-        # bio_chunks' window decode inside kg_mentions/dict_mentions.)
-        # (tokenize_explode / entity_link / canonicalize_salted /
-        # triples_cooccur / dedup_clusters — all r3 hash-MATCH, 1 round
-        # old — ceded their cap slots to the five late-r4 queries
-        # (semdedup, hits_hosts, khop_hosts, bm25_search, dsir_weights)
-        # that need FIRST driver rows. Each demoted stage keeps live
-        # in-cap coverage: the tokenize->link->canonicalize->triples
-        # chain runs end-to-end inside the rows-only kg_mentions/kg_edges
-        # flagship rows, and dedup_clusters' LSH->jaccard->CC chain has
-        # in-cap siblings url_dedup/line_dedup_clean plus the new
-        # embedding-space sibling semdedup.)
-        # newest additions (cap saturated — local-gate evidence both
-        # comparators; first in line for the r5 cap):
+        # --- r4 tail-head backlog: first driver rows this round ---
         "ngram_containment": q_ngram_containment,
         "ppr_hosts": q_ppr_hosts,
-        "weighted_sample": q_weighted_sample,
-        "random_walks": q_random_walks,
         "scrub_dup_spans": q_scrub_dup_spans,
-        "kcore_hosts": q_kcore_hosts,
         "readability": q_readability,
         "lm_backoff": q_lm_backoff,
         "clustering_entities": q_clustering_entities,
@@ -2982,7 +2827,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": q_skipgram_pairs,
         "skew_canonical": q_skew_canonical,
         "link_fd_check": q_link_fd_check,
-        "char_entropy": q_char_entropy,
         "abbrev_aliases": q_abbrev_aliases,
         "kge_negatives": q_kge_negatives,
         "ktruss_hosts": q_ktruss_hosts,
@@ -3002,24 +2846,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_audit": q_triple_audit,
         "vocab_profile": q_vocab_profile,
         "distance_histogram": q_distance_histogram,
-        # newest additions (batches 7-10; cap saturated — local-gate
-        # evidence in both comparators; first r5 cap candidates per the
-        # rotation plan above):
         "nb_lang_confusion": q_nb_lang_confusion,
         "bloom_decontaminate": q_bloom_decontaminate,
         "host_mirrors": q_host_mirrors,
         "metapath_counts": q_metapath_counts,
-        "grouped_split_audit": q_grouped_split_audit,
         "hearst_hypernyms": q_hearst_hypernyms,
         "domain_range_audit": q_domain_range_audit,
-        "linkpred_mrr": q_linkpred_mrr,
         "bcubed_resolution": q_bcubed_resolution,
-        "resolve_conflicts": q_resolve_conflicts,
         "infer_types": q_infer_types,
         "source_reliability": q_source_reliability,
         "taxonomy_cycles": q_taxonomy_cycles,
         "resolve_weighted": q_resolve_weighted,
         "rule_confidence": q_rule_confidence,
+        # ------- position 51+: tail (driver-green or local-gate) -------
+        # seven family-redundant sit-outs (local-gate evidence only;
+        # siblings named in the contract comment above):
+        "linkpred_mrr": q_linkpred_mrr,
+        "resolve_conflicts": q_resolve_conflicts,
+        "kcore_hosts": q_kcore_hosts,
+        "char_entropy": q_char_entropy,
+        "grouped_split_audit": q_grouped_split_audit,
+        "weighted_sample": q_weighted_sample,
+        "random_walks": q_random_walks,
+        # r5 demotions: the full r4 cap, all driver-green in
+        # CORRECTNESS_r04 (1 round old):
+        "scan_filter_project": q_scan_filter_project,
+        "sentence_split": q_sentence_split,
+        "dict_mentions": q_dict_mentions,
+        "fuzzy_link": q_fuzzy_link,
+        "proximity_triples": q_proximity_triples,
+        "degree_hist": q_degree_hist,
+        "hits_hosts": q_hits_hosts,
+        "khop_hosts": q_khop_hosts,
+        "url_host_stats": q_url_host_stats,
+        "url_dedup": q_url_dedup,
+        "host_blocklist": q_host_blocklist,
+        "line_dedup_clean": q_line_dedup,
+        "host_link_graph": q_host_link_graph,
+        "snapshot_delta": q_snapshot_delta,
+        "incremental_triples": q_incremental_triples,
+        "resolve_redirects": q_resolve_redirects,
+        "anchor_profile": q_anchor_profile,
+        "disambiguate_link": q_disambiguate_link,
+        "type_closure": q_type_closure,
+        "label_propagation": q_label_propagation,
+        "lm_perplexity": q_lm_perplexity,
+        "crawl_frontier": q_crawl_frontier,
+        "typed_triples": q_typed_triples,
+        "triple_history": q_triple_history,
+        "link_prediction": q_link_prediction,
+        "trending_entities": q_trending_entities,
+        "robots_filter": q_robots_filter,
+        "sitemap_urls": q_sitemap_urls,
+        "warc_records": q_warc_records,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "bpe_pair_stats": q_bpe_pair_stats,
+        "bpe_encode": q_bpe_encode,
+        "event_transitions": q_event_transitions,
+        "mixture_sample": q_mixture_sample,
+        "tpch_q5_nation": q_tpch_q5_nation,
+        "exists_high_value": q_exists_high_value,
+        "above_nation_avg": q_above_nation_avg,
+        "sessionize": q_sessionize,
+        "moving_avg": q_moving_avg,
+        "rollup_revenue": q_rollup_revenue,
+        "semdedup": q_semdedup,
+        "centroid_classify": q_centroid_classify,
+        "quality_filter": q_quality_filter,
+        "tfidf_ranked": q_tfidf_ranked,
+        "bm25_search": q_bm25_search,
+        "dsir_weights": q_dsir_weights,
+        # older tail: driver-green r1-r3 with in-cap or driver-green
+        # family siblings per the r2-r4 ordering-contract notes (git log):
         "range_join_clicks": q_range_join_clicks,
         "pii_scrub": q_pii_scrub,
         "token_freq": q_token_freq,
@@ -3031,16 +2929,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize_salted": q_canonicalize_salted,
         "triples_cooccur": q_triples_cooccur,
         "dedup_clusters": q_dedup_clusters,
-        # r4 third-wave demotions (all hash-MATCH r3) making room for the
-        # seven new KG-enrichment queries: eval_prf (siblings
-        # eval_prf_left/right, green r1+r2), split_folds (sampling family
-        # sibling mixture_sample in-cap), quality_buckets (sibling
-        # quality_filter), funnel_conversion (sibling event_transitions),
-        # lsh_cosine_multiband + ivf_cosine_topk (sibling
-        # centroid_classify), pagerank_entities (graph family siblings
-        # degree_hist / label_propagation / host_link_graph in-cap),
-        # tpch_q4 (sibling tpch_q5_nation in-cap for the refresh),
-        # table_profile (profiling-shape sibling url_host_stats in-cap):
         "pagerank_entities": q_pagerank_entities,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "tpch_q4": q_tpch_q4,
@@ -3050,8 +2938,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": q_quality_buckets,
         "funnel_conversion": q_funnel_conversion,
         "lsh_cosine_multiband": q_lsh_cosine_multiband,
-        # r4 second-wave demotions (all hash-MATCH r3; in-cap siblings per
-        # the rotation comment above):
         "tfidf_topterms": q_tfidf_topterms,
         "quality_score": q_quality_score,
         "gopher_repetition": q_gopher_repetition,
@@ -3061,12 +2947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_entities": q_triangle_entities,
         "cohort_retention": q_cohort_retention,
         "mixture_weights": q_mixture_weights,
-        # r4 demotions (all hash-MATCH in r3): median_by_source,
-        # pivot_events, json_extract_agg, setops_active_customers,
-        # cube_revenue, grouping_sets_revenue, xml_articles, kmv_distinct,
-        # asof_join — in-cap siblings listed in the rotation comment above.
-        # Older tail entries are green r1+r2 with in-cap siblings per the
-        # r3 ordering-contract notes (git history).
         "contamination_check": q_contamination_check,
         "sequence_packing": q_sequence_packing,
         "connected_components": q_connected_components,
