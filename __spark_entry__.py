@@ -2763,6 +2763,99 @@ def q_linkpred_mrr(spark, sf_dir):
     return link_prediction_ranking(_host_edges(spark, sf_dir))
 
 
+def q_jsonld_triples(spark, sf_dir):
+    """Structured-data harvesting (structured.jsonld_triples): pull the
+    schema.org JSON-LD block out of each page's html and emit
+    publisher-asserted (url, pred, obj) triples — the free, exact triple
+    source real Common-Crawl KG construction runs BEFORE any tagger
+    (the reference has no markup-triple path at all; its only markup
+    handling is the PubMed XML pull, saber/utils/app_utils.py:63-80).
+    Fixture pages synthesize the block with to_json so escaping is real
+    (fixtures/pages.py:build_pages_with_jsonld); the oracle re-derives
+    every field from documents independently, so a parse/round-trip bug
+    on either side breaks the hash. JVM-only: regexp + from_json inside
+    codegen, no Python, no shuffle."""
+    from saber_spark.fixtures.pages import build_pages_with_jsonld
+    from saber_spark.operators.structured import jsonld_triples
+    return jsonld_triples(build_pages_with_jsonld(spark, sf_dir))
+
+
+def q_hashed_ngram_score(spark, sf_dir):
+    """fastText-style hashed-trigram linear quality scorer
+    (classify.hashed_linear_score, Joulin et al. 2016 hashing trick):
+    bucket = polynomial hash of each char trigram mod 1024, weight =
+    Knuth-mixed bucket in [-8, 8], doc score = sum — the CCNet
+    classifier shape with a deterministic weight table so the scores
+    are oracle-checkable. ZERO-shuffle: the trigram sweep is a
+    higher-order aggregate over a position sequence inside whole-stage
+    codegen (no explode, no groupBy, no Python) — at 100 TB scoring
+    runs at scan speed."""
+    from saber_spark.operators.classify import hashed_linear_score
+    return hashed_linear_score(_docs(spark, sf_dir))
+
+
+def q_blocking_metrics(spark, sf_dir):
+    """Blocking-quality evaluation for entity resolution
+    (canonicalize.blocking_metrics, Christen 2012 ch. 7): reduction
+    ratio + pair completeness for a first-char and a last-char blocking
+    scheme over the resolution fixture names. Variants: even-length
+    names get an 's' suffix (first-char block keeps them, last-char
+    loses them), odd-length names get their first char uppercased
+    (the reverse) — so BOTH schemes land strictly between 0 and 1 and
+    the trade-off is visible. Candidate counts are algebraic
+    (sum nb*(nb-1)/2 over one hash agg) — the quadratic pair space is
+    never materialized."""
+    from saber_spark.operators.canonicalize import blocking_metrics
+    base = (tokenize_docs(_docs(spark, sf_dir))
+            .select(F.lower("token").alias("name")).distinct())
+    variant = F.when(F.length("name") % 2 == 0,
+                     F.concat("name", F.lit("s"))) \
+        .otherwise(F.concat(F.upper(F.substring("name", 1, 1)),
+                            F.expr("substring(name, 2)")))
+    pairs = (base.select(F.col("name").alias("a"), variant.alias("b"))
+             .filter(F.col("a") != F.col("b")))
+    records = (base.unionByName(pairs.select(F.col("b").alias("name")))
+               .distinct())
+    return blocking_metrics(records, pairs)
+
+
+def q_anf_reach(spark, sf_dir):
+    """Approximate neighborhood function (graph.anf_reach — ANF KDD'02 /
+    HyperBall): per-node 2-hop reach estimated from a Flajolet-Martin
+    bitstring that each round ORs in its out-neighbors' sketches. ONE
+    int64 per node replaces the per-node frontier SET exact k-hop
+    carries — the only per-node-reach shape that survives 10^12 edges.
+    Fixture: a 2-level page graph (page -> two mod-211 hub pages) so
+    reach varies by node; md5-prefix hash keeps the sketch itself (not
+    just the estimate) engine-reproducible, and the oracle replays both
+    OR-rounds."""
+    from saber_spark.operators.graph import anf_reach
+    page = F.concat(F.lit("p"), F.col("doc_id").cast("string"))
+    docs = _docs(spark, sf_dir)
+    edges = (docs.select(
+        page.alias("src"),
+        F.concat(F.lit("p"), (F.col("doc_id") % 211).cast("string"))
+        .alias("dst"))
+        .unionByName(docs.select(
+            page.alias("src"),
+            F.concat(F.lit("p"), ((F.col("doc_id") * 7) % 211)
+                     .cast("string")).alias("dst")))
+        .filter(F.col("src") != F.col("dst")))
+    return anf_reach(edges, rounds=2)
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """MOSS winnowing digest per document (dedup.winnow_fingerprints,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): min 5-gram hash per 4-window
+    guarantees any shared substring of length >= 8 shares a fingerprint
+    — POSITIONAL overlap detection, the property MinHash's whole-doc
+    signature cannot give (in-cap dedup siblings cover the set-similarity
+    side). Per-document only: explode + one ROWS-frame window min + one
+    agg, no cross-doc shuffle."""
+    from saber_spark.operators.dedup import winnow_fingerprints
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -2811,6 +2904,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "curation_decision": q_curation_decision,
         "multimodal_features": q_multimodal_features,
+        # --- NEW r5 operators (first driver rows; displaced the
+        # family-redundant backlog entries auc_doclen, mad_outliers,
+        # cms_tokens, span_corruption, skew_canonical to the tail
+        # head below) ---
+        "jsonld_triples": q_jsonld_triples,
+        "hashed_ngram_score": q_hashed_ngram_score,
+        "blocking_metrics": q_blocking_metrics,
+        "anf_reach": q_anf_reach,
+        "winnow_fingerprint": q_winnow_fingerprint,
         # --- r4 tail-head backlog: first driver rows this round ---
         "ngram_containment": q_ngram_containment,
         "ppr_hosts": q_ppr_hosts,
@@ -2820,12 +2922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_entities": q_clustering_entities,
         "textrank_keywords": q_textrank_keywords,
         "tagger_agreement": q_tagger_agreement,
-        "auc_doclen": q_auc_doclen,
-        "cms_tokens": q_cms_tokens,
         "rrf_search": q_rrf_search,
-        "span_corruption": q_span_corruption,
         "skipgram_pairs": q_skipgram_pairs,
-        "skew_canonical": q_skew_canonical,
         "link_fd_check": q_link_fd_check,
         "abbrev_aliases": q_abbrev_aliases,
         "kge_negatives": q_kge_negatives,
@@ -2841,7 +2939,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_salience": q_entity_salience,
         "negation_scope": q_negation_scope,
         "entity_resolution": q_entity_resolution,
-        "mad_outliers": q_mad_outliers,
         "date_mentions": q_date_mentions,
         "triple_audit": q_triple_audit,
         "vocab_profile": q_vocab_profile,
@@ -2868,6 +2965,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_split_audit": q_grouped_split_audit,
         "weighted_sample": q_weighted_sample,
         "random_walks": q_random_walks,
+        # r5 displacements for the five new operators above — all
+        # local-gate MATCH in both comparators; in-cap siblings:
+        # auc_doclen (linkpred_auc/calibration_quality AUC family),
+        # mad_outliers (distance_histogram/vocab_profile robust
+        # stats), cms_tokens (bloom_decontaminate sketch family),
+        # span_corruption (chunk_documents/sequence-masking family),
+        # skew_canonical (canonicalize family: salted two-phase agg
+        # runs inside the kg_edges flagship row):
+        "auc_doclen": q_auc_doclen,
+        "mad_outliers": q_mad_outliers,
+        "cms_tokens": q_cms_tokens,
+        "span_corruption": q_span_corruption,
+        "skew_canonical": q_skew_canonical,
         # r5 demotions: the full r4 cap, all driver-green in
         # CORRECTNESS_r04 (1 round old):
         "scan_filter_project": q_scan_filter_project,
@@ -3003,6 +3113,159 @@ def oracle_sql() -> dict[str, str]:
         "scan_filter_project": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE lang = 'en' AND text IS NOT NULL""",
+        # oracle re-derives every JSON-LD field from documents directly —
+        # a synthesis/parse round-trip bug on the Spark side breaks the hash
+        "jsonld_triples": r"""
+            WITH base AS (
+              SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     substr(text, 1, 40) AS headline, lang,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                          AS BIGINT) AS wc
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> '')
+            SELECT url, pred, obj FROM (
+              SELECT url, 'rdf:type' AS pred, 'Article' AS obj FROM base
+              UNION ALL SELECT url, 'schema:headline', headline FROM base
+              UNION ALL SELECT url, 'schema:inLanguage', lang FROM base
+              UNION ALL SELECT url, 'schema:wordCount', CAST(wc AS VARCHAR)
+                        FROM base)
+            WHERE obj IS NOT NULL""",
+        "hashed_ngram_score": r"""
+            WITH clean AS (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g')
+                       AS c
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     ((ascii(substring(c, i, 1)) * 961
+                       + ascii(substring(c, i + 1, 1)) * 31
+                       + ascii(substring(c, i + 2, 1))) % 1024) AS b
+              FROM clean,
+                   unnest(range(1, greatest(length(c) - 1, 1))) AS u(i))
+            SELECT c.doc_id,
+                   CAST(greatest(length(c.c) - 2, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(
+                     sum((b * 2654435761 % 1000003) % 17 - 8), 0)
+                     AS BIGINT) AS score,
+                   CASE WHEN coalesce(
+                     sum((b * 2654435761 % 1000003) % 17 - 8), 0) > 0
+                        THEN 'keep' ELSE 'drop' END AS label
+            FROM clean c LEFT JOIN grams g USING (doc_id)
+            GROUP BY c.doc_id, length(c.c)""",
+        "blocking_metrics": f"""
+            WITH {TOKENS_CTE},
+            base AS (SELECT DISTINCT lower(token) AS name FROM tokens),
+            tp AS (SELECT * FROM (
+                     SELECT name AS a,
+                            CASE WHEN length(name) % 2 = 0 THEN name || 's'
+                                 ELSE upper(substr(name, 1, 1))
+                                      || substr(name, 2) END AS b
+                     FROM base) WHERE a <> b),
+            records AS (SELECT name FROM base UNION SELECT b FROM tp),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM records),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM tp),
+            fc AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                          CAST(sum(nb * (nb - 1) / 2) AS BIGINT)
+                            AS n_cand_pairs
+                   FROM (SELECT substr(name, 1, 1) AS blk,
+                                count(*) AS nb
+                         FROM records GROUP BY 1)),
+            fct AS (SELECT CAST(count(*) AS BIGINT) AS n_true_cand FROM tp
+                    WHERE substr(a, 1, 1) = substr(b, 1, 1)),
+            lc AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                          CAST(sum(nb * (nb - 1) / 2) AS BIGINT)
+                            AS n_cand_pairs
+                   FROM (SELECT substr(name, -1, 1) AS blk,
+                                count(*) AS nb
+                         FROM records GROUP BY 1)),
+            lct AS (SELECT CAST(count(*) AS BIGINT) AS n_true_cand FROM tp
+                    WHERE substr(a, -1, 1) = substr(b, -1, 1))
+            SELECT 'first_char' AS scheme, n_records, n_blocks,
+                   n_cand_pairs, n_true_pairs, n_true_cand,
+                   round(CAST(n_true_cand AS DOUBLE) / n_true_pairs, 6)
+                     AS pair_completeness,
+                   round(1 - n_cand_pairs
+                           / (n_records * (n_records - 1) / 2.0), 6)
+                     AS reduction_ratio
+            FROM n, nt, fc, fct
+            UNION ALL
+            SELECT 'last_char', n_records, n_blocks, n_cand_pairs,
+                   n_true_pairs, n_true_cand,
+                   round(CAST(n_true_cand AS DOUBLE) / n_true_pairs, 6),
+                   round(1 - n_cand_pairs
+                           / (n_records * (n_records - 1) / 2.0), 6)
+            FROM n, nt, lc, lct""",
+        "anf_reach": """
+            WITH e AS (
+              SELECT DISTINCT s, d FROM (
+                SELECT 'p' || CAST(doc_id AS VARCHAR) AS s,
+                       'p' || CAST(doc_id % 211 AS VARCHAR) AS d
+                FROM documents
+                UNION ALL
+                SELECT 'p' || CAST(doc_id AS VARCHAR),
+                       'p' || CAST((doc_id * 7) % 211 AS VARCHAR)
+                FROM documents)
+              WHERE s <> d),
+            nodes AS (SELECT DISTINCT s AS node FROM e
+                      UNION SELECT DISTINCT d FROM e),
+            init AS (
+              SELECT node,
+                     (CAST(1 AS BIGINT)
+                      << least(bit_count((h & -h) - 1), 24)) AS sketch
+              FROM (SELECT node,
+                           CAST('0x' || substr(md5(node), 1, 8) AS BIGINT)
+                             AS h
+                    FROM nodes)),
+            r1 AS (
+              SELECT i.node, i.sketch | coalesce(bit_or(n.sketch), 0)
+                       AS sketch
+              FROM init i LEFT JOIN e ON e.s = i.node
+              LEFT JOIN init n ON n.node = e.d
+              GROUP BY i.node, i.sketch),
+            r2 AS (
+              SELECT i.node, i.sketch | coalesce(bit_or(n.sketch), 0)
+                       AS sketch
+              FROM r1 i LEFT JOIN e ON e.s = i.node
+              LEFT JOIN r1 n ON n.node = e.d
+              GROUP BY i.node, i.sketch)
+            SELECT node, sketch,
+                   CAST(bit_count(xor(sketch, sketch + 1)) - 1 AS INT)
+                     AS fm_bit,
+                   pow(CAST(2 AS DOUBLE),
+                       bit_count(xor(sketch, sketch + 1)) - 1) / 0.77351
+                     AS est_reach
+            FROM r2""",
+        "winnow_fingerprint": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_replace(lower(coalesce(text, '')),
+                                    '[^ -~]', '', 'g') AS c
+              FROM documents),
+            b2 AS (SELECT doc_id, c,
+                          CAST(length(c) - 7 AS BIGINT) AS n_windows
+                   FROM base WHERE length(c) >= 8),
+            grams AS (
+              SELECT doc_id, n_windows, i AS pos,
+                     (ascii(substring(c, i, 1)) * 923521
+                      + ascii(substring(c, i + 1, 1)) * 29791
+                      + ascii(substring(c, i + 2, 1)) * 961
+                      + ascii(substring(c, i + 3, 1)) * 31
+                      + ascii(substring(c, i + 4, 1))) % 1048573 AS gh
+              FROM b2, unnest(range(1, length(c) - 3)) AS u(i)),
+            fps AS (
+              SELECT doc_id, n_windows, pos,
+                     min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW
+                                   AND 3 FOLLOWING) AS fp
+              FROM grams)
+            SELECT doc_id, n_windows,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_fps,
+                   min(fp) AS min_fp,
+                   CAST(sum(DISTINCT fp) AS BIGINT) AS fp_sum
+            FROM fps WHERE pos <= n_windows
+            GROUP BY doc_id, n_windows""",
         "tokenize_explode": f"""
             WITH {TOKENS_CTE}
             SELECT doc_id, pos, token FROM tokens""",

@@ -190,6 +190,10 @@ def main() -> None:
         "source_reliability", "taxonomy_cycles",
         # eleventh batch (AMIE rule confidence, weighted fusion)
         "rule_confidence", "resolve_weighted",
+        # round 5 (JSON-LD structured triples, hashed-trigram scorer,
+        # ER blocking metrics, ANF reach sketches, winnowing digests)
+        "jsonld_triples", "hashed_ngram_score", "blocking_metrics",
+        "anf_reach", "winnow_fingerprint",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -51,3 +51,37 @@ def build_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 2 == 1, F.col("text")).alias("text"),
         F.col("lang"),
     )
+
+
+def build_pages_with_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> pages whose html carries a schema.org JSON-LD
+    block (url, html) — the structured-data variant of the page fixture.
+
+    The ld+json payload is synthesized with ``to_json(struct(...))`` so
+    string escaping is real JSON escaping (the extraction query must
+    round-trip it exactly): @type Article, headline = first 40 chars of
+    the text, inLanguage = lang, wordCount = whitespace token count.
+    Pages with NULL/blank text carry no block (the no-structured-data
+    case the extractor must drop). Narrow map over the scan — no UDF,
+    no shuffle.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.to_json(F.struct(
+        F.lit("Article").alias("@type"),
+        F.substring("text", 1, 40).alias("headline"),
+        F.col("lang").alias("inLanguage"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("wordCount")))
+    block = F.when(
+        F.col("text").isNotNull() & (F.trim("text") != ""),
+        F.concat(F.lit('<script type="application/ld+json">'), payload,
+                 F.lit("</script>"))).otherwise(F.lit(""))
+    return docs.select(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><head>"), block,
+                     F.lit("</head>\n<body><p>"), F.coalesce("text", F.lit("")),
+                     F.lit("</p></body></html>")),
+            "utf-8").alias("html"),
+    )

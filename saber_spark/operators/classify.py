@@ -271,3 +271,62 @@ def entity_centroids(linked: DataFrame, embeddings: DataFrame,
             .join(n_docs, "entity")
             .select(F.col("entity").alias(ent_col), "dim", "csum",
                     "n_docs"))
+
+
+# fastText-style hashed-feature linear scorer: buckets, weights and the
+# decision rule are pure integer arithmetic so any engine reproduces the
+# scores bit-exactly (the md5/Knuth portability convention).
+HASHED_DIM = 1024
+HASHED_WEIGHT_MULT = 2654435761   # Knuth multiplicative constant
+HASHED_WEIGHT_MOD = 1000003
+HASHED_WEIGHT_RANGE = 17          # weights land in [-8, 8]
+
+
+def hashed_linear_score(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        dim: int = HASHED_DIM) -> DataFrame:
+    """Linear quality scorer over hashed character trigrams
+    (docs -> doc_id, n_grams, score, label).
+
+    The fastText / CCNet classifier shape (Joulin et al. 2016: bag of
+    hashed n-grams x a weight vector) with a deterministic weight table:
+    bucket = polynomial hash of the trigram mod ``dim``, weight =
+    ((bucket * Knuth) mod 1000003) mod 17 - 8. Real deployments broadcast
+    a trained weight array; the hash-derived table keeps the engine
+    surface identical while staying oracle-checkable.
+
+    Scale shape: the trigram sweep is a per-row ``aggregate`` over a
+    ``sequence`` of positions — a higher-order function inside whole-stage
+    codegen, so scoring is a ZERO-SHUFFLE narrow map (no explode, no
+    groupBy, no Python). At 100 TB this runs at scan speed; the classic
+    explode->groupBy formulation would shuffle ~len(text) rows per doc.
+
+    Non-ASCII is stripped first: ``ascii()`` dialects differ on multibyte
+    input, and byte-level trigrams over [0x20,0x7e] are what the hashing
+    trick actually uses.
+    """
+    clean = F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                             "[^ -~]", "")
+    # sequence(1, 0) steps DESCENDING in Spark ([1, 0]), so docs shorter
+    # than one trigram must bypass the sweep entirely
+    swept = F.aggregate(
+        F.sequence(F.lit(1), F.length("_c") - 2),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + (
+            (((F.ascii(F.col("_c").substr(i, F.lit(1))) * 961
+               + F.ascii(F.col("_c").substr(i + 1, F.lit(1))) * 31
+               + F.ascii(F.col("_c").substr(i + 2, F.lit(1)))) % dim)
+             * HASHED_WEIGHT_MULT % HASHED_WEIGHT_MOD)
+            % HASHED_WEIGHT_RANGE - (HASHED_WEIGHT_RANGE // 2))
+    )
+    score = F.when(F.length("_c") >= 3, swept).otherwise(F.lit(0).cast("long"))
+    return (docs
+            .select(F.col(id_col), clean.alias("_c"))
+            .select(
+                id_col,
+                F.greatest(F.length("_c") - 2, F.lit(0)).cast("long")
+                .alias("n_grams"),
+                score.alias("score"))
+            .withColumn("label", F.when(F.col("score") > 0, F.lit("keep"))
+                        .otherwise(F.lit("drop")))
+            .drop("_c"))

@@ -544,3 +544,69 @@ def scrub_dup_spans(docs: DataFrame, n: int = 5, min_df: int = 2,
                     (F.col("n_tokens")
                      - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
                     F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03) parameters: k-gram size,
+# window width, and the polynomial char-hash modulus. The hash is plain
+# integer arithmetic over ASCII codes so any engine reproduces the
+# fingerprints bit-exactly.
+WINNOW_K = 5
+WINNOW_W = 4
+WINNOW_MOD = 1048573  # largest prime < 2^20
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = WINNOW_K,
+                        w: int = WINNOW_W, digest: bool = True) -> DataFrame:
+    """MOSS-style winnowing digest per document ->
+    (doc_id, n_windows, n_fps, min_fp, fp_sum).
+
+    The local-fingerprint family MinHash does not cover: winnowing keeps
+    the MINIMUM k-gram hash of every w-wide window, guaranteeing (unlike
+    MinHash's whole-document signature) that any shared substring of
+    length >= k + w - 1 contributes at least one shared fingerprint —
+    the property plagiarism/boilerplate detectors need for POSITIONAL
+    overlap, not set similarity. Output is the per-doc digest (distinct
+    fingerprint count, min, order-independent sum); the cross-doc join
+    on fingerprint is downstream and identical in shape to the LSH
+    bucket join.
+
+    Scale shape: entirely per-document — an explode over char positions,
+    one window min partitioned by doc (ROWS frame, single pass), one
+    two-level agg. Partitioning by doc_id means NO cross-doc shuffle
+    beyond the initial hash partition; at 100 TB each partition winnows
+    its own documents at memory-bandwidth speed. Non-ASCII is stripped
+    (ascii() dialect portability), text lowercased first.
+    """
+    from pyspark.sql import Window
+
+    clean = F.regexp_replace(F.lower(F.coalesce(F.col(text_col),
+                                                F.lit(""))), "[^ -~]", "")
+    base = (docs.select(F.col(id_col), clean.alias("_c"))
+            .filter(F.length("_c") >= k + w - 1))
+    # one row per k-gram start position
+    grams = base.select(
+        id_col,
+        (F.length("_c") - (k + w - 2)).cast("long").alias("n_windows"),
+        F.posexplode(F.sequence(F.lit(1), F.length("_c") - (k - 1)))
+        .alias("_i", "pos"),
+        F.col("_c"),
+    ).select(
+        id_col, "n_windows", "pos",
+        (sum((F.ascii(F.col("_c").substr(F.col("pos") + j, F.lit(1)))
+              * (31 ** (k - 1 - j)) for j in range(k)), F.lit(0))
+         .cast("long") % WINNOW_MOD).alias("gh"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos") \
+        .rowsBetween(0, w - 1)
+    fps = (grams
+           .withColumn("fp", F.min("gh").over(win))
+           .filter(F.col("pos") <= F.col("n_windows")))
+    if not digest:
+        # raw (doc, window position, fingerprint) rows — the input to a
+        # cross-doc fingerprint equi-join (same shape as the LSH bucket join)
+        return fps.select(id_col, "pos", "fp")
+    return (fps.groupBy(id_col, "n_windows")
+            .agg(F.count_distinct("fp").cast("long").alias("n_fps"),
+                 F.min("fp").alias("min_fp"),
+                 F.sum_distinct("fp").cast("long").alias("fp_sum")))

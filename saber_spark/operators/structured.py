@@ -1,0 +1,61 @@
+"""Structured-data (schema.org JSON-LD) extraction from web pages.
+
+The web-native complement to the text-side KG stages: real Common-Crawl
+pages carry machine-readable triples in ``<script type="application/ld+
+json">`` blocks, and a KG-construction pipeline harvests those *before*
+running any tagger (they are free, exact, and publisher-asserted). The
+reference has no markup-triple path at all (its only markup handling is
+the PubMed XML title/abstract pull, saber/utils/app_utils.py:63-80) — this
+operator is the web-scale generalization the north-star table shape
+(url, warc_ts, html, text, lang) calls for.
+
+Scale shape: one narrow regexp over the decoded html (no shuffle), one
+``from_json`` projection (JVM Jackson parse, whole-stage codegen — NO
+Python), then an ``inline`` of the per-field triple structs. At 100 TB
+this is scan-bound: filters on ``lang`` and the script-tag presence push
+into the parquet/Iceberg scan, and pages without a block are dropped
+before the JSON parse ever runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Non-greedy DOTALL body match: page text may contain newlines; the block
+# never contains a nested </script>.
+_LDJSON_RE = r'(?s)<script type="application/ld\+json">(.*?)</script>'
+
+# Parsed with a typed schema (not get_json_object) so wordCount lands as
+# BIGINT without a per-field JSON re-walk; backticks because @type is not
+# an identifier.
+_LDJSON_SCHEMA = "`@type` STRING, headline STRING, inLanguage STRING, wordCount BIGINT"
+
+
+def jsonld_triples(pages: DataFrame, html_col: str = "html",
+                   url_col: str = "url") -> DataFrame:
+    """pages(url, html:binary, ...) -> (url, pred, obj) JSON-LD triples.
+
+    Emits one row per (page, known schema.org property): rdf:type,
+    schema:headline, schema:inLanguage, schema:wordCount (stringified so
+    the triple table stays a uniform string column, matching the text-side
+    triple tables). Pages without an ld+json block produce no rows.
+    """
+    block = F.regexp_extract(F.decode(F.col(html_col), "utf-8"),
+                             _LDJSON_RE, 1)
+    parsed = (pages
+              .select(F.col(url_col).alias("url"), block.alias("block"))
+              .filter(F.col("block") != "")
+              .select("url", F.from_json("block", _LDJSON_SCHEMA).alias("j")))
+    triples = F.array(
+        F.struct(F.lit("rdf:type").alias("pred"),
+                 F.col("j.`@type`").alias("obj")),
+        F.struct(F.lit("schema:headline").alias("pred"),
+                 F.col("j.headline").alias("obj")),
+        F.struct(F.lit("schema:inLanguage").alias("pred"),
+                 F.col("j.inLanguage").alias("obj")),
+        F.struct(F.lit("schema:wordCount").alias("pred"),
+                 F.col("j.wordCount").cast("string").alias("obj")),
+    )
+    return (parsed.select("url", F.inline(triples))
+            .filter(F.col("obj").isNotNull()))

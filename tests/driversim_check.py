@@ -45,6 +45,8 @@ R4_SLATE = [
     "bcubed_resolution", "resolve_conflicts", "infer_types",
     "source_reliability", "taxonomy_cycles",
     "resolve_weighted", "rule_confidence",
+    "jsonld_triples", "hashed_ngram_score", "blocking_metrics",
+    "anf_reach", "winnow_fingerprint",
 ]
 
 
