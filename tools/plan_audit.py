@@ -1286,6 +1286,75 @@ def main() -> None:
         0,
     ))
 
+    # r5: JSON-LD structured-triple extraction — pure narrow JVM map
+    plan_jt = formatted_plan(e.q_jsonld_triples(spark, SF_DIR))
+    sections.append((
+        "jsonld_triples (schema.org block -> triples)",
+        "Structured-data harvesting must be a ZERO-shuffle narrow map: "
+        "regexp extract + from_json + inline all inside codegen, no Python "
+        "eval, no Exchange — at 100 TB this stage runs at scan speed.",
+        plan_jt,
+        ["Generate"]
+        + (["<no exchange>"] if "Exchange" in plan_jt else []),
+        0,
+    ))
+
+    # r5: hashed-trigram linear scorer — higher-order aggregate, no explode
+    plan_hs = formatted_plan(e.q_hashed_ngram_score(spark, SF_DIR))
+    sections.append((
+        "hashed_ngram_score (fastText-style linear scorer)",
+        "The trigram sweep is a per-row higher-order aggregate over a "
+        "position sequence — NO explode, NO shuffle, NO Python. The classic "
+        "explode->groupBy formulation would shuffle ~len(text) rows/doc.",
+        plan_hs,
+        ["Project"]
+        + (["<no exchange>"] if "Exchange" in plan_hs else []),
+        0,
+    ))
+
+    # r5: blocking metrics — algebraic pair counts, never the pair space
+    plan_bm = formatted_plan(e.q_blocking_metrics(spark, SF_DIR))
+    sections.append((
+        "blocking_metrics (ER blocking quality)",
+        "Candidate-pair counts must come from one hash agg per scheme "
+        "(sum nb*(nb-1)/2) — the quadratic candidate space is NEVER "
+        "materialized and no cartesian product appears.",
+        plan_bm,
+        ["HashAggregate"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_bm
+           else []),
+        0,
+    ))
+
+    # r5: ANF reach — per-round equi-join + bit_or partial agg
+    plan_ar = formatted_plan(e.q_anf_reach(spark, SF_DIR))
+    sections.append((
+        "anf_reach (HyperBall FM-sketch reach)",
+        "Each OR-round must be one equi-join + one partial+final bit_or "
+        "hash aggregate; the node state is a single int64 sketch (never a "
+        "frontier set) and no cartesian product appears. (At sf0.01 the "
+        "joins resolve to broadcast; at scale AQE picks shuffle hash/SMJ "
+        "on the same logical plan.)",
+        plan_ar,
+        ["HashAggregate", "Join"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_ar
+           else []),
+        0,
+    ))
+
+    # r5: winnowing — per-doc window min, one doc-keyed exchange chain
+    plan_wf = formatted_plan(e.q_winnow_fingerprint(spark, SF_DIR))
+    sections.append((
+        "winnow_fingerprint (MOSS winnowing digest)",
+        "Winnowing is per-document: the k-gram explode feeds ONE "
+        "doc_id-partitioned ROWS-frame window min, and the digest groupBy "
+        "reuses the same doc_id partitioning (no second cross-doc "
+        "shuffle shape). No Python eval.",
+        plan_wf,
+        ["Window", "HashAggregate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
