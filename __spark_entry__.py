@@ -2856,6 +2856,96 @@ def q_winnow_fingerprint(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def q_html_tables(spark, sf_dir):
+    """WebTables-style markup-table extraction (structured.html_tables):
+    every <table>/<tr>/<td> cell becomes a relational (url, table_idx,
+    row_idx, col_idx, cell) tuple — the other publisher-structured fact
+    source besides JSON-LD (a large share of web-harvested KG facts
+    originate as table cells). Fixture pages carry a 2x2 metadata table
+    per doc plus a second single-cell table on every 4th doc (multi-table
+    indexing must be right). Three nested regexp+posexplode passes, zero
+    shuffle, zero Python."""
+    from saber_spark.operators.structured import html_tables
+    docs = _docs(spark, sf_dir)
+    extra = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("<table><tr><td>extra "),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit("</td></tr></table>"))).otherwise(F.lit(""))
+    pages = docs.select(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit("<html><body><table><tr><td>doc "),
+            F.col("doc_id").cast("string"), F.lit("</td><td>"),
+            F.col("lang"), F.lit("</td></tr><tr><td>"),
+            F.col("source"), F.lit("</td><td>"),
+            F.col("n_chars").cast("string"),
+            F.lit("</td></tr></table>"), extra,
+            F.lit("</body></html>")).alias("html"))
+    return html_tables(pages)
+
+
+def q_anchor_commonness(spark, sf_dir):
+    """Entity-linking commonness prior p(target | anchor text)
+    (webstats.anchor_commonness, Milne-Witten): per (anchor, dst_host)
+    reference counts, the per-anchor total, the prior, and the argmax
+    flag — the no-context sense prior every web-scale EL stack
+    precomputes from anchor text. Same two-link page fixture as
+    anchor_profile (anchors 'Entity k' fan over e{k}.org hosts)."""
+    from saber_spark.operators.webstats import (anchor_commonness,
+                                                extract_anchors)
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://src"), (F.col("doc_id") % 3).cast("string"),
+                 F.lit(".example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit('<p><a href="https://e'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('.org/page" class="x">Entity '),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('</a> and <a href="https://e'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('.org/other">alias '),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit("</a></p>")).alias("html"))
+    return anchor_commonness(extract_anchors(pages))
+
+
+def q_host_boilerplate(spark, sf_dir):
+    """Host-scoped boilerplate profile (webstats.host_boilerplate): the
+    CCNet within-site template signal — a line is boilerplate on its host
+    when it appears on >= 50% of that host's pages; the per-host rate is
+    the curation down-weight. Fixture stamps a per-host footer line on
+    every page (always boilerplate) and a 'privacy policy' line on even
+    doc_ids (sits exactly at the 50% threshold), on top of the mostly
+    unique content lines. Line counts key on xxhash64 in Spark; the
+    oracle groups raw lines (the line_dedup collision convention)."""
+    from saber_spark.operators.webstats import host_boilerplate
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.col("text"), F.lit("\n(c) "), F.col("source"),
+            F.lit(" footer"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("\nprivacy policy"))
+            .otherwise(F.lit(""))).alias("text"))
+    return host_boilerplate(pages)
+
+
+def q_cocitation_hosts(spark, sf_dir):
+    """Co-citation + bibliographic coupling over the host link graph
+    (graph.cocitation, Small 1973 / Kessler 1963): shared-in-neighbor and
+    shared-out-neighbor counts per canonical host pair — the classic
+    relatedness priors next to Adamic-Adar, via the triangle-counting
+    wedge-join shape (never all-pairs)."""
+    from saber_spark.operators.graph import cocitation
+    return cocitation(_host_edges(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -2913,15 +3003,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_metrics": q_blocking_metrics,
         "anf_reach": q_anf_reach,
         "winnow_fingerprint": q_winnow_fingerprint,
+        # batch 2 (displaced lm_backoff — driver-green sibling
+        # lm_perplexity r4 — and tagger_agreement — eval-family
+        # siblings bcubed_resolution/calibration_quality in-cap):
+        "html_tables": q_html_tables,
+        "anchor_commonness": q_anchor_commonness,
         # --- r4 tail-head backlog: first driver rows this round ---
         "ngram_containment": q_ngram_containment,
         "ppr_hosts": q_ppr_hosts,
         "scrub_dup_spans": q_scrub_dup_spans,
         "readability": q_readability,
-        "lm_backoff": q_lm_backoff,
         "clustering_entities": q_clustering_entities,
         "textrank_keywords": q_textrank_keywords,
-        "tagger_agreement": q_tagger_agreement,
         "rrf_search": q_rrf_search,
         "skipgram_pairs": q_skipgram_pairs,
         "link_fd_check": q_link_fd_check,
@@ -2978,6 +3071,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_tokens": q_cms_tokens,
         "span_corruption": q_span_corruption,
         "skew_canonical": q_skew_canonical,
+        "lm_backoff": q_lm_backoff,
+        "tagger_agreement": q_tagger_agreement,
+        # r5 batch-2 tail-only additions (local-gate evidence in both
+        # comparators; in-cap family siblings host_mirrors /
+        # line_dedup_clean-via-url_dedup and link_prediction /
+        # triangle_entities wedge joins):
+        "host_boilerplate": q_host_boilerplate,
+        "cocitation_hosts": q_cocitation_hosts,
         # r5 demotions: the full r4 cap, all driver-green in
         # CORRECTNESS_r04 (1 round old):
         "scan_filter_project": q_scan_filter_project,
@@ -3237,6 +3338,125 @@ def oracle_sql() -> dict[str, str]:
                        bit_count(xor(sketch, sketch + 1)) - 1) / 0.77351
                      AS est_reach
             FROM r2""",
+        "html_tables": """
+            WITH pages AS (
+              SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     '<html><body><table><tr><td>doc '
+                     || CAST(doc_id AS VARCHAR) || '</td><td>' || lang
+                     || '</td></tr><tr><td>' || source || '</td><td>'
+                     || CAST(n_chars AS VARCHAR) || '</td></tr></table>'
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN '<table><tr><td>extra '
+                                  || CAST(doc_id % 7 AS VARCHAR)
+                                  || '</td></tr></table>'
+                             ELSE '' END
+                     || '</body></html>' AS html
+              FROM documents),
+            t1 AS (
+              SELECT url, generate_subscripts(a, 1) - 1 AS table_idx,
+                     unnest(a) AS tbl
+              FROM (SELECT url, regexp_extract_all(html,
+                             '(?s)<table>(.*?)</table>', 1) AS a
+                    FROM pages)),
+            t2 AS (
+              SELECT url, table_idx,
+                     generate_subscripts(r, 1) - 1 AS row_idx,
+                     unnest(r) AS rw
+              FROM (SELECT url, table_idx, regexp_extract_all(tbl,
+                             '(?s)<tr>(.*?)</tr>', 1) AS r
+                    FROM t1)),
+            t3 AS (
+              SELECT url, table_idx, row_idx,
+                     generate_subscripts(c, 1) - 1 AS col_idx,
+                     unnest(c) AS cell
+              FROM (SELECT url, table_idx, row_idx, regexp_extract_all(rw,
+                             '(?s)<td>(.*?)</td>', 1) AS c
+                    FROM t2))
+            SELECT url, CAST(table_idx AS BIGINT) AS table_idx,
+                   CAST(row_idx AS BIGINT) AS row_idx,
+                   CAST(col_idx AS BIGINT) AS col_idx, cell
+            FROM t3""",
+        "anchor_commonness": """
+            WITH pages AS (
+              SELECT '<p><a href="https://e' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.org/page" class="x">Entity '
+                       || CAST(doc_id % 7 AS VARCHAR)
+                       || '</a> and <a href="https://e'
+                       || CAST(doc_id % 5 AS VARCHAR)
+                       || '.org/other">alias '
+                       || CAST(doc_id % 11 AS VARCHAR)
+                       || '</a></p>' AS html
+              FROM documents),
+            x AS (
+              SELECT regexp_extract_all(html,
+                       'href="(https?://[^"]*)"[^>]*>([^<]*)<', 1) AS hs,
+                     regexp_extract_all(html,
+                       'href="(https?://[^"]*)"[^>]*>([^<]*)<', 2) AS ts
+              FROM pages),
+            a AS (SELECT unnest(hs) AS dst_url, unnest(ts) AS anchor FROM x),
+            cnt AS (
+              SELECT trim(anchor) AS anchor,
+                     lower(regexp_extract(dst_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
+                       AS dst_host,
+                     CAST(count(*) AS BIGINT) AS n_refs
+              FROM a WHERE trim(anchor) <> ''
+              GROUP BY 1, 2)
+            SELECT anchor, dst_host, n_refs,
+                   CAST(sum(n_refs) OVER (PARTITION BY anchor) AS BIGINT)
+                     AS n_anchor_total,
+                   round(CAST(n_refs AS DOUBLE)
+                         / sum(n_refs) OVER (PARTITION BY anchor), 6)
+                     AS prior,
+                   (ROW_NUMBER() OVER (PARTITION BY anchor
+                                       ORDER BY n_refs DESC, dst_host) = 1)
+                     AS is_top
+            FROM cnt""",
+        "host_boilerplate": """
+            WITH pages AS (
+              SELECT source || '.example.org' AS host,
+                     'https://' || source || '.example.org/doc/'
+                       || CAST(doc_id AS VARCHAR) AS u,
+                     text || chr(10) || '(c) ' || source || ' footer'
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN chr(10) || 'privacy policy'
+                               ELSE '' END AS text
+              FROM documents),
+            np AS (SELECT host, CAST(count(DISTINCT u) AS BIGINT) AS n_pages
+                   FROM pages GROUP BY host),
+            lines AS (
+              SELECT host, u, unnest(string_split(text, chr(10))) AS line
+              FROM pages),
+            pl AS (SELECT host, line, count(DISTINCT u) AS n_docs
+                   FROM lines WHERE line <> '' GROUP BY host, line)
+            SELECT pl.host, np.n_pages,
+                   CAST(count(*) AS BIGINT) AS n_distinct_lines,
+                   CAST(sum(CASE WHEN n_docs >= ceil(0.5 * n_pages)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_boiler_lines,
+                   round(sum(CASE WHEN n_docs >= ceil(0.5 * n_pages)
+                                  THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS boiler_rate
+            FROM pl JOIN np USING (host)
+            GROUP BY pl.host, np.n_pages""",
+        "cocitation_hosts": f"""
+            WITH {HOST_EDGES_CTE.strip()},
+            e AS (SELECT DISTINCT src AS s, dst AS d FROM hedges),
+            co AS (SELECT x.d AS a, y.d AS b,
+                          CAST(count(*) AS BIGINT) AS n_cocited
+                   FROM e x JOIN e y ON x.s = y.s AND x.d < y.d
+                   GROUP BY 1, 2),
+            bc AS (SELECT x.s AS a, y.s AS b,
+                          CAST(count(*) AS BIGINT) AS n_coupled
+                   FROM e x JOIN e y ON x.d = y.d AND x.s < y.s
+                   GROUP BY 1, 2)
+            SELECT coalesce(co.a, bc.a) AS a, coalesce(co.b, bc.b) AS b,
+                   coalesce(n_cocited, 0) AS n_cocited,
+                   coalesce(n_coupled, 0) AS n_coupled
+            FROM co FULL OUTER JOIN bc ON co.a = bc.a AND co.b = bc.b
+            WHERE coalesce(n_cocited, 0) >= 1
+               OR coalesce(n_coupled, 0) >= 1""",
         "winnow_fingerprint": r"""
             WITH base AS (
               SELECT doc_id,

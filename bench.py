@@ -194,6 +194,10 @@ def main() -> None:
         # ER blocking metrics, ANF reach sketches, winnowing digests)
         "jsonld_triples", "hashed_ngram_score", "blocking_metrics",
         "anf_reach", "winnow_fingerprint",
+        # round 5 batch 2 (markup-table cells, EL commonness priors,
+        # host boilerplate rate, co-citation similarity)
+        "html_tables", "anchor_commonness", "host_boilerplate",
+        "cocitation_hosts",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -1350,3 +1350,43 @@ def anf_reach(edges: DataFrame, rounds: int = 2, src: str = "src",
         "CAST(bit_count(sketch ^ (sketch + 1)) - 1 AS INT) AS fm_bit",
         "pow(CAST(2 AS DOUBLE), bit_count(sketch ^ (sketch + 1)) - 1)"
         " / 0.77351 AS est_reach")
+
+
+def cocitation(edges: DataFrame, src: str = "src", dst: str = "dst",
+               min_count: int = 1) -> DataFrame:
+    """Co-citation + bibliographic coupling similarity over a directed
+    graph -> (a, b, n_cocited, n_coupled) for unordered node pairs.
+
+    The two classic citation-similarity measures (Small 1973 /
+    Kessler 1963), the web-graph twins of item-item co-occurrence:
+    n_cocited(a,b) = how many pages cite BOTH a and b (shared
+    in-neighbors — a strong relatedness prior for entity pages);
+    n_coupled(a,b) = how many pages both a and b cite (shared
+    out-neighbors). Pairs are canonical (a < b); pairs scoring zero on
+    both measures are absent.
+
+    Scale shape: two wedge self-joins through the shared endpoint (the
+    triangle-counting join pattern — never all-pairs: a node of degree d
+    contributes C(d,2) wedges, so hub caps bound the blow-up upstream),
+    each collapsed by one partial+final hash agg, merged with one
+    full-outer equi-join on the canonical pair.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    co = (e.alias("x").join(e.alias("y"),
+                            (F.col("x.s") == F.col("y.s"))
+                            & (F.col("x.d") < F.col("y.d")))
+          .groupBy(F.col("x.d").alias("a"), F.col("y.d").alias("b"))
+          .agg(F.count(F.lit(1)).alias("n_cocited")))
+    bc = (e.alias("x").join(e.alias("y"),
+                            (F.col("x.d") == F.col("y.d"))
+                            & (F.col("x.s") < F.col("y.s")))
+          .groupBy(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+          .agg(F.count(F.lit(1)).alias("n_coupled")))
+    return (co.join(bc, ["a", "b"], "full_outer")
+            .select("a", "b",
+                    F.coalesce("n_cocited", F.lit(0)).cast("long")
+                    .alias("n_cocited"),
+                    F.coalesce("n_coupled", F.lit(0)).cast("long")
+                    .alias("n_coupled"))
+            .filter((F.col("n_cocited") >= min_count)
+                    | (F.col("n_coupled") >= min_count)))

@@ -59,3 +59,52 @@ def jsonld_triples(pages: DataFrame, html_col: str = "html",
     )
     return (parsed.select("url", F.inline(triples))
             .filter(F.col("obj").isNotNull()))
+
+
+# DOTALL non-greedy markup scans (cell text may span lines); RE2-compatible
+# so the DuckDB oracle runs the same patterns.
+_TABLE_RE = "(?s)<table>(.*?)</table>"
+_TR_RE = "(?s)<tr>(.*?)</tr>"
+_TD_RE = "(?s)<td>(.*?)</td>"
+
+
+def html_tables(pages: DataFrame, html_col: str = "html",
+                url_col: str = "url") -> DataFrame:
+    """pages(url, html) -> one row per table cell:
+    (url, table_idx, row_idx, col_idx, cell) — all indices 0-based.
+
+    The OTHER machine-readable triple source on real web pages besides
+    JSON-LD: relational facts published as markup tables (WebTables /
+    DBpedia-from-Wikipedia lineage — a large share of web-harvested KG
+    facts originate as table cells keyed by header row + entity column).
+    This stage turns the markup into a relational (page, table, row, col,
+    value) tuple table the downstream triple assembler can pivot.
+
+    Scale shape: three nested regexp_extract_all + posexplode passes, all
+    narrow (zero shuffle, zero Python, codegen regexp) — output cardinality
+    is the total cell count, reached without ever shuffling the html. The
+    regexes are deliberately strict (bare <table>/<tr>/<td> as produced by
+    the fixture/normalizer); attribute-carrying markup is normalized
+    upstream by the extraction kernel family.
+    """
+    html = F.col(html_col)
+    if dict(pages.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "utf-8")
+    return (pages
+            .select(F.col(url_col).alias("url"),
+                    F.posexplode(F.regexp_extract_all(html, F.lit(_TABLE_RE),
+                                                      F.lit(1)))
+                    .alias("table_idx", "tbl"))
+            .select("url", "table_idx",
+                    F.posexplode(F.regexp_extract_all("tbl", F.lit(_TR_RE),
+                                                      F.lit(1)))
+                    .alias("row_idx", "row"))
+            .select("url", "table_idx", "row_idx",
+                    F.posexplode(F.regexp_extract_all("row", F.lit(_TD_RE),
+                                                      F.lit(1)))
+                    .alias("col_idx", "cell"))
+            .select("url",
+                    F.col("table_idx").cast("long").alias("table_idx"),
+                    F.col("row_idx").cast("long").alias("row_idx"),
+                    F.col("col_idx").cast("long").alias("col_idx"),
+                    "cell"))

@@ -440,3 +440,88 @@ def host_mirrors(pages: DataFrame, url_col: str = "url",
             .filter(F.col("jaccard") >= tau)
             .select("host_a", "host_b", "n_shared", "n_a", "n_b",
                     "jaccard"))
+
+
+def anchor_commonness(anchors: DataFrame) -> DataFrame:
+    """(src_url, dst_url, anchor) -> the entity-linking commonness prior
+    p(target | anchor): one row per (anchor, dst_host) with
+    (anchor, dst_host, n_refs, n_anchor_total, prior, is_top).
+
+    The Milne-Witten / Medelyan "commonness" table: across the web, the
+    fraction of times a surface string links to each target is the single
+    strongest no-context disambiguation signal, and every large-scale EL
+    stack (Wikipedia-based or web-based) precomputes it. ``is_top`` marks
+    the argmax target per anchor (count DESC, host ASC tie-break) — the
+    sense-prior the context-coherence disambiguator backs off to.
+
+    Scale shape: one (anchor, host) hash agg with map-side combine, one
+    anchor-total agg derived FROM the pair counts (never re-scanning the
+    anchor table), one window over the (already small) per-anchor group.
+    """
+    from pyspark.sql import Window
+
+    pairs = (anchors
+             .select(F.trim("anchor").alias("anchor"), "dst_url")
+             .filter(F.col("anchor") != "")
+             .groupBy("anchor", url_host("dst_url").alias("dst_host"))
+             .agg(F.count(F.lit(1)).alias("n_refs")))
+    w_tot = Window.partitionBy("anchor")
+    w_rank = Window.partitionBy("anchor").orderBy(
+        F.col("n_refs").desc(), F.col("dst_host"))
+    return (pairs
+            .withColumn("n_anchor_total",
+                        F.sum("n_refs").over(w_tot).cast("long"))
+            .withColumn("prior", F.round(F.col("n_refs")
+                                         / F.col("n_anchor_total"), 6))
+            .withColumn("is_top",
+                        (F.row_number().over(w_rank) == 1).cast("boolean"))
+            .select("anchor", "dst_host",
+                    F.col("n_refs").cast("long").alias("n_refs"),
+                    "n_anchor_total", "prior", "is_top"))
+
+
+def host_boilerplate(pages: DataFrame, url_col: str = "url",
+                     text_col: str = "text", sep: str = "\n",
+                     min_share: float = 0.5) -> DataFrame:
+    """Per-host boilerplate profile -> (host, n_pages, n_distinct_lines,
+    n_boiler_lines, boiler_rate): a line is boilerplate on its host when
+    it appears on >= ``min_share`` of that host's pages.
+
+    The host-scoped complement of the corpus-wide line dedup
+    (dedup.line_dedup): CCNet removes nav bars/footers WITHIN a site
+    because a template line is near-universal on its own host while rare
+    corpus-wide. The rate is the curation signal (hosts that are mostly
+    template get down-weighted before content filters run).
+
+    Scale shape: lines explode once; the per-(host, line) distinct-page
+    count keys on (host, xxhash64(line)) — an 8-byte line key, the
+    line_dedup convention (collisions only ever over-count one line) —
+    then ONE host-keyed agg joins the per-host page counts computed from
+    a narrow projection. Host is the natural partition key, so at 100 TB
+    the heavy agg co-partitions with every other host-keyed stage.
+    """
+    host = url_host(F.col(url_col)).alias("host")
+    n_pages = (pages.select(host, F.col(url_col).alias("u"))
+               .groupBy("host")
+               .agg(F.count_distinct("u").alias("n_pages")))
+    lines = (pages
+             .select(host, F.col(url_col).alias("u"),
+                     F.explode(F.split(F.col(text_col), sep)).alias("line"))
+             .filter(F.col("line") != "")
+             .select("host", "u", F.xxhash64("line").alias("lh")))
+    per_line = (lines.groupBy("host", "lh")
+                .agg(F.count_distinct("u").alias("n_docs")))
+    return (per_line.join(n_pages, "host")
+            .groupBy("host", "n_pages")
+            .agg(F.count(F.lit(1)).alias("n_distinct_lines"),
+                 F.sum(F.when(F.col("n_docs")
+                              >= F.ceil(F.lit(min_share) * F.col("n_pages")),
+                              1).otherwise(0)).alias("n_boiler_lines"))
+            .select("host", F.col("n_pages").cast("long").alias("n_pages"),
+                    F.col("n_distinct_lines").cast("long")
+                    .alias("n_distinct_lines"),
+                    F.col("n_boiler_lines").cast("long")
+                    .alias("n_boiler_lines"),
+                    F.round(F.col("n_boiler_lines")
+                            / F.col("n_distinct_lines"), 6)
+                    .alias("boiler_rate")))

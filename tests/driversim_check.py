@@ -47,6 +47,8 @@ R4_SLATE = [
     "resolve_weighted", "rule_confidence",
     "jsonld_triples", "hashed_ngram_score", "blocking_metrics",
     "anf_reach", "winnow_fingerprint",
+    "html_tables", "anchor_commonness", "host_boilerplate",
+    "cocitation_hosts",
 ]
 
 

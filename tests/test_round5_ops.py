@@ -171,3 +171,85 @@ def test_winnow_digest_shape_and_short_doc_dropped(spark):
     # n_windows = len - 7; fingerprints are window minima so n_fps <= windows
     assert r.n_windows == len("long enough text here") - 7
     assert 1 <= r.n_fps <= r.n_windows
+
+
+# ------------------------------------------------------ html tables
+
+
+def test_html_tables_indices_and_multiline_cells(spark):
+    from saber_spark.operators.structured import html_tables
+    html = ("<html><table><tr><td>a</td><td>b\nb2</td></tr>"
+            "<tr><td>c</td></tr></table>"
+            "<table><tr><td>x</td></tr></table></html>")
+    pages = spark.createDataFrame([("u", html)], "url string, html string")
+    rows = {(r.table_idx, r.row_idx, r.col_idx): r.cell
+            for r in html_tables(pages).collect()}
+    assert rows == {(0, 0, 0): "a", (0, 0, 1): "b\nb2",
+                    (0, 1, 0): "c", (1, 0, 0): "x"}
+
+
+def test_html_tables_binary_html_and_no_tables(spark):
+    from saber_spark.operators.structured import html_tables
+    from pyspark.sql import functions as F
+    pages = spark.createDataFrame(
+        [("u1", "<table><tr><td>v</td></tr></table>"), ("u2", "<p>no</p>")],
+        "url string, h string").select(
+        "url", F.encode("h", "utf-8").alias("html"))
+    out = html_tables(pages).collect()
+    assert [(r.url, r.cell) for r in out] == [("u1", "v")]
+
+
+# ------------------------------------------------ anchor commonness
+
+
+def test_anchor_commonness_priors_and_argmax(spark):
+    from saber_spark.operators.webstats import anchor_commonness
+    anchors = spark.createDataFrame(
+        [("s", "https://a.org/1", "apple"),
+         ("s", "https://a.org/2", "apple"),
+         ("s", "https://b.org/1", "apple"),
+         ("s", "https://b.org/1", " pear ")],
+        "src_url string, dst_url string, anchor string")
+    out = {(r.anchor, r.dst_host): r
+           for r in anchor_commonness(anchors).collect()}
+    a_a = out[("apple", "a.org")]
+    assert (a_a.n_refs, a_a.n_anchor_total) == (2, 3)
+    assert a_a.prior == pytest.approx(2 / 3, abs=1e-6) and a_a.is_top
+    assert not out[("apple", "b.org")].is_top
+    assert out[("pear", "b.org")].prior == 1.0  # trimmed
+
+
+# ------------------------------------------------ host boilerplate
+
+
+def test_host_boilerplate_threshold_inclusive(spark):
+    from saber_spark.operators.webstats import host_boilerplate
+    # host h: 4 pages; "foot" on all 4, "半" stripped? no — ASCII only in
+    # fixture; "privacy" on exactly 2 (= ceil(0.5*4)) -> boilerplate;
+    # "only1" on 1 page -> content
+    rows = [(f"https://h.org/{i}",
+             "foot" + ("\nprivacy" if i < 2 else "") +
+             (f"\nonly{i}" if i == 0 else "")) for i in range(4)]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    r = host_boilerplate(pages).collect()[0]
+    assert (r.host, r.n_pages) == ("h.org", 4)
+    assert r.n_distinct_lines == 3 and r.n_boiler_lines == 2
+    assert r.boiler_rate == pytest.approx(2 / 3, abs=1e-6)
+
+
+# ----------------------------------------------------- cocitation
+
+
+def test_cocitation_and_coupling_counts(spark):
+    from saber_spark.operators.graph import cocitation
+    # p1 cites a,b ; p2 cites a,b ; p3 cites a  -> cocited(a,b)=2
+    # a is cited by p1,p2,p3; b by p1,p2       -> coupled(p1,p2)=2 etc.
+    edges = spark.createDataFrame(
+        [("p1", "a"), ("p1", "b"), ("p2", "a"), ("p2", "b"), ("p3", "a")],
+        "src string, dst string")
+    out = {(r.a, r.b): (r.n_cocited, r.n_coupled)
+           for r in cocitation(edges).collect()}
+    assert out[("a", "b")] == (2, 0)
+    assert out[("p1", "p2")] == (0, 2)
+    assert out[("p1", "p3")] == (0, 1)
+    assert ("p3", "b") not in out and ("b", "p3") not in out
