@@ -1355,6 +1355,57 @@ def main() -> None:
         0,
     ))
 
+    # r5 batch 2: markup tables — three narrow generate passes, no shuffle
+    plan_ht = formatted_plan(e.q_html_tables(spark, SF_DIR))
+    sections.append((
+        "html_tables (markup-table cell tuples)",
+        "Three nested regexp_extract_all + posexplode passes must stay "
+        "narrow: no Exchange, no Python — output cardinality is the cell "
+        "count, reached without shuffling the html.",
+        plan_ht,
+        ["Generate"]
+        + (["<no exchange>"] if "Exchange" in plan_ht else []),
+        0,
+    ))
+
+    # r5 batch 2: commonness prior — one pair agg + per-anchor windows
+    plan_ac = formatted_plan(e.q_anchor_commonness(spark, SF_DIR))
+    sections.append((
+        "anchor_commonness (EL sense prior)",
+        "One (anchor, host) hash agg with map-side combine; the per-anchor "
+        "total and argmax run as windows over the ALREADY-AGGREGATED pair "
+        "table (never the raw anchors), sharing the anchor partitioning.",
+        plan_ac,
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
+    # r5 batch 2: host boilerplate — hashed line keys, host co-partition
+    plan_hb = formatted_plan(e.q_host_boilerplate(spark, SF_DIR))
+    sections.append((
+        "host_boilerplate (site template rate)",
+        "Line counts key on (host, xxhash64(line)) — an 8-byte line key; "
+        "the per-line and per-host aggregates are partial+final hash aggs "
+        "and the page-count join is host-keyed. No Python.",
+        plan_hb,
+        ["HashAggregate", "xxhash64"],
+        0,
+    ))
+
+    # r5 batch 2: co-citation — wedge joins, never all-pairs
+    plan_cc = formatted_plan(e.q_cocitation_hosts(spark, SF_DIR))
+    sections.append((
+        "cocitation_hosts (co-citation + coupling)",
+        "Both measures come from wedge self-joins through the shared "
+        "endpoint (the triangle-join shape) + one full-outer pair merge — "
+        "no cartesian product anywhere.",
+        plan_cc,
+        ["HashAggregate", "Join"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_cc
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
