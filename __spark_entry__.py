@@ -2946,6 +2946,35 @@ def q_cocitation_hosts(spark, sf_dir):
     return cocitation(_host_edges(spark, sf_dir))
 
 
+def q_table_triples(spark, sf_dir):
+    """Table-to-triple recovery (structured.table_triples, WebTables /
+    Cafarella VLDB'08): header row + entity rows -> (url, subj, pred,
+    obj) facts — the downstream half of html_tables that turns markup
+    cells into KG assertions. Fixture tables carry a (name, lang,
+    source) header and one entity row per doc, plus a second
+    header-only table on every 4th doc (must contribute nothing).
+    Two broadcastable equi-joins on (url, table, col/row)."""
+    from saber_spark.operators.structured import html_tables, table_triples
+    docs = _docs(spark, sf_dir)
+    extra = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit("<table><tr><td>k</td><td>v</td></tr></table>")) \
+        .otherwise(F.lit(""))
+    pages = docs.select(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit("<html><body><table>"
+                  "<tr><td>name</td><td>lang</td><td>source</td></tr>"
+                  "<tr><td>doc "),
+            F.col("doc_id").cast("string"), F.lit("</td><td>"),
+            F.col("lang"), F.lit("</td><td>"),
+            F.col("source"),
+            F.lit("</td></tr></table>"), extra,
+            F.lit("</body></html>")).alias("html"))
+    return table_triples(html_tables(pages))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -3008,6 +3037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # siblings bcubed_resolution/calibration_quality in-cap):
         "html_tables": q_html_tables,
         "anchor_commonness": q_anchor_commonness,
+        # (table_triples displaced skipgram_pairs — sampling-family
+        # sibling kge_negatives in-cap):
+        "table_triples": q_table_triples,
         # --- r4 tail-head backlog: first driver rows this round ---
         "ngram_containment": q_ngram_containment,
         "ppr_hosts": q_ppr_hosts,
@@ -3016,7 +3048,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_entities": q_clustering_entities,
         "textrank_keywords": q_textrank_keywords,
         "rrf_search": q_rrf_search,
-        "skipgram_pairs": q_skipgram_pairs,
         "link_fd_check": q_link_fd_check,
         "abbrev_aliases": q_abbrev_aliases,
         "kge_negatives": q_kge_negatives,
@@ -3073,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_canonical": q_skew_canonical,
         "lm_backoff": q_lm_backoff,
         "tagger_agreement": q_tagger_agreement,
+        "skipgram_pairs": q_skipgram_pairs,
         # r5 batch-2 tail-only additions (local-gate evidence in both
         # comparators; in-cap family siblings host_mirrors /
         # line_dedup_clean-via-url_dedup and link_prediction /
@@ -3457,6 +3489,16 @@ def oracle_sql() -> dict[str, str]:
             FROM co FULL OUTER JOIN bc ON co.a = bc.a AND co.b = bc.b
             WHERE coalesce(n_cocited, 0) >= 1
                OR coalesce(n_coupled, 0) >= 1""",
+        # oracle asserts the recovered facts equal the source columns the
+        # fixture published into the table (independent re-derivation, like
+        # jsonld_triples); the header-only second table must add nothing
+        "table_triples": """
+            SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   'doc ' || CAST(doc_id AS VARCHAR) AS subj, pred, obj
+            FROM documents,
+                 LATERAL (VALUES ('lang', lang), ('source', source))
+                   AS t(pred, obj)""",
         "winnow_fingerprint": r"""
             WITH base AS (
               SELECT doc_id,

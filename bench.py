@@ -197,7 +197,7 @@ def main() -> None:
         # round 5 batch 2 (markup-table cells, EL commonness priors,
         # host boilerplate rate, co-citation similarity)
         "html_tables", "anchor_commonness", "host_boilerplate",
-        "cocitation_hosts",
+        "cocitation_hosts", "table_triples",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

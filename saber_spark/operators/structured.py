@@ -108,3 +108,32 @@ def html_tables(pages: DataFrame, html_col: str = "html",
                     F.col("row_idx").cast("long").alias("row_idx"),
                     F.col("col_idx").cast("long").alias("col_idx"),
                     "cell"))
+
+
+def table_triples(cells: DataFrame) -> DataFrame:
+    """html_tables output -> (url, subj, pred, obj) entity-attribute
+    triples, reading each table as header row + entity rows.
+
+    The WebTables relation-recovery convention (Cafarella et al. VLDB'08):
+    row 0 is the attribute header, column 0 of each later row names the
+    entity, and every other cell asserts (entity, header_j, cell_ij) —
+    how DBpedia-style fact extraction reads an infobox-like table. Tables
+    without at least one data row and two columns contribute nothing.
+
+    Scale shape: two equi-joins keyed (url, table_idx, col_idx) /
+    (url, table_idx, row_idx) against the header and entity-column
+    slices — both slices are narrow filters of the same cell table and
+    AQE-broadcastable per shard (headers are one row per table). No
+    window, no Python, no all-pairs.
+    """
+    headers = (cells.filter((F.col("row_idx") == 0) & (F.col("col_idx") > 0))
+               .select("url", "table_idx", "col_idx",
+                       F.col("cell").alias("pred")))
+    subjects = (cells.filter((F.col("row_idx") > 0) & (F.col("col_idx") == 0))
+                .select("url", "table_idx", "row_idx",
+                        F.col("cell").alias("subj")))
+    values = cells.filter((F.col("row_idx") > 0) & (F.col("col_idx") > 0))
+    return (values
+            .join(headers, ["url", "table_idx", "col_idx"])
+            .join(subjects, ["url", "table_idx", "row_idx"])
+            .select("url", "subj", "pred", F.col("cell").alias("obj")))

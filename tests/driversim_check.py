@@ -48,7 +48,7 @@ R4_SLATE = [
     "jsonld_triples", "hashed_ngram_score", "blocking_metrics",
     "anf_reach", "winnow_fingerprint",
     "html_tables", "anchor_commonness", "host_boilerplate",
-    "cocitation_hosts",
+    "cocitation_hosts", "table_triples",
 ]
 
 

@@ -253,3 +253,26 @@ def test_cocitation_and_coupling_counts(spark):
     assert out[("p1", "p2")] == (0, 2)
     assert out[("p1", "p3")] == (0, 1)
     assert ("p3", "b") not in out and ("b", "p3") not in out
+
+
+# --------------------------------------------------- table triples
+
+
+def test_table_triples_header_entity_recovery(spark):
+    from saber_spark.operators.structured import html_tables, table_triples
+    html = ("<table><tr><td>name</td><td>pop</td><td>lang</td></tr>"
+            "<tr><td>oslo</td><td>700k</td><td>no</td></tr>"
+            "<tr><td>bern</td><td>140k</td><td>de</td></tr></table>"
+            "<table><tr><td>headeronly</td><td>x</td></tr></table>")
+    pages = spark.createDataFrame([("u", html)], "url string, html string")
+    out = {(r.subj, r.pred): r.obj
+           for r in table_triples(html_tables(pages)).collect()}
+    assert out == {("oslo", "pop"): "700k", ("oslo", "lang"): "no",
+                   ("bern", "pop"): "140k", ("bern", "lang"): "de"}
+
+
+def test_table_triples_single_column_contributes_nothing(spark):
+    from saber_spark.operators.structured import html_tables, table_triples
+    html = "<table><tr><td>only</td></tr><tr><td>col</td></tr></table>"
+    pages = spark.createDataFrame([("u", html)], "url string, html string")
+    assert table_triples(html_tables(pages)).count() == 0
