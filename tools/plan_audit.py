@@ -1406,6 +1406,20 @@ def main() -> None:
         0,
     ))
 
+    # r5: table->triple recovery — two equi-joins on table-local keys
+    plan_tt = formatted_plan(e.q_table_triples(spark, SF_DIR))
+    sections.append((
+        "table_triples (WebTables fact recovery)",
+        "Header and entity-column slices join back on (url, table_idx, "
+        "col/row) — plain equi-joins (broadcastable per shard), no window, "
+        "no Python, no cartesian product.",
+        plan_tt,
+        ["Join"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_tt
+           else []),
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
