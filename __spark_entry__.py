@@ -2763,6 +2763,55 @@ def q_linkpred_mrr(spark, sf_dir):
     return link_prediction_ranking(_host_edges(spark, sf_dir))
 
 
+def _schema_kg3(spark, sf_dir):
+    """Distinct triple STORE for the read-side KG queries: _schema_kg's
+    (cust)-[placed]->(order)-[contains]->(part) facts plus a third
+    (supp)-[supplies]->(part) relation from lineitem, deduplicated —
+    BGP evaluation is defined over set-semantics stores, and the third
+    relation gives the pattern queries a genuine 3-way join shape."""
+    li = tpch.load(spark, sf_dir, "lineitem")
+    supplies = li.select(
+        F.concat(F.lit("supp:"), F.col("l_suppkey").cast("string"))
+        .alias("subj"),
+        F.lit("supplies").alias("pred"),
+        F.concat(F.lit("part:"), F.col("l_partkey").cast("string"))
+        .alias("obj"))
+    return _schema_kg(spark, sf_dir).unionByName(supplies).distinct()
+
+
+def q_bgp_query(spark, sf_dir):
+    """SPARQL basic-graph-pattern evaluation (triples.bgp_match) — the
+    READ side of the constructed KG: conjunctive pattern
+    ``?c placed ?o . ?o contains ?p . ?s supplies ?p`` with
+    ``FILTER NOT EXISTS { ?c placed ?c }`` (drops the customers the
+    _schema_kg fixture corrupts with id-swap self-loops), bindings then
+    rolled up per customer -> (customer, n_bindings, n_orders, n_parts,
+    n_suppliers). Each pattern is one pushed-down scan of the store;
+    the conjunction is a selectivity-ordered equi-join chain; the NOT
+    EXISTS is an anti-join — zero Python anywhere."""
+    from saber_spark.operators.triples import bgp_match
+    b = bgp_match(_schema_kg3(spark, sf_dir),
+                  [("?c", "placed", "?o"), ("?o", "contains", "?p"),
+                   ("?s", "supplies", "?p")],
+                  anti=[("?c", "placed", "?c")])
+    return (b.groupBy(F.col("c").alias("customer"))
+            .agg(F.count(F.lit(1)).alias("n_bindings"),
+                 F.count_distinct("o").alias("n_orders"),
+                 F.count_distinct("p").alias("n_parts"),
+                 F.count_distinct("s").alias("n_suppliers")))
+
+
+def q_entity_card(spark, sf_dir):
+    """Per-entity lookup card (triples.entity_card): for every entity,
+    direction and predicate over the 3-relation store — triple count,
+    distinct-neighbor count, and the modal neighbor (struct-min inside
+    the agg; ties ASC) -> the concise-bounded-description skeleton a KG
+    serves for entity pages. Two map-side-combinable aggs, no window,
+    no self-join."""
+    from saber_spark.operators.triples import entity_card
+    return entity_card(_schema_kg3(spark, sf_dir))
+
+
 def q_jsonld_triples(spark, sf_dir):
     """Structured-data harvesting (structured.jsonld_triples): pull the
     schema.org JSON-LD block out of each page's html and emit
@@ -3080,6 +3129,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_weighted": q_resolve_weighted,
         "rule_confidence": q_rule_confidence,
         # ------- position 51+: tail (driver-green or local-gate) -------
+        # late-r5 read-side KG operators (local-gate evidence: both
+        # comparators + the refreshed sweep artifact; added after the
+        # r5 cap slate was frozen, so they do not displace the
+        # never-driver-evaluated backlog above):
+        "bgp_query": q_bgp_query,
+        "entity_card": q_entity_card,
         # seven family-redundant sit-outs (local-gate evidence only;
         # siblings named in the contract comment above):
         "linkpred_mrr": q_linkpred_mrr,
@@ -6529,6 +6584,94 @@ def oracle_sql() -> dict[str, str]:
                    round((pp.n_triples - m.n)::DOUBLE / pp.n_triples, 6)
                      AS violation_rate
             FROM pp JOIN modal m ON m.p = pp.p AND m.rk = 1""",
+        # the three-relation distinct store (_schema_kg3) re-derived in
+        # SQL; the BGP is literal joins + NOT IN for the anti pattern
+        "bgp_query": """
+            WITH placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj,
+                     'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR)
+                     END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS subj,
+                     'contains' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            supplies_t AS (
+              SELECT 'supp:' || CAST(l_suppkey AS VARCHAR) AS subj,
+                     'supplies' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            t AS (SELECT DISTINCT * FROM (
+                    SELECT * FROM placed
+                    UNION ALL SELECT * FROM contains_t
+                    UNION ALL SELECT * FROM supplies_t)),
+            loops AS (SELECT DISTINCT subj FROM t
+                      WHERE pred = 'placed' AND subj = obj)
+            SELECT t1.subj AS customer,
+                   CAST(count(*) AS BIGINT) AS n_bindings,
+                   CAST(count(DISTINCT t1.obj) AS BIGINT) AS n_orders,
+                   CAST(count(DISTINCT t2.obj) AS BIGINT) AS n_parts,
+                   CAST(count(DISTINCT t3.subj) AS BIGINT) AS n_suppliers
+            FROM t t1
+            JOIN t t2 ON t2.subj = t1.obj
+            JOIN t t3 ON t3.obj = t2.obj
+            WHERE t1.pred = 'placed' AND t2.pred = 'contains'
+              AND t3.pred = 'supplies'
+              AND t1.subj NOT IN (SELECT subj FROM loops)
+            GROUP BY 1""",
+        # same store; modal neighbor via row_number (n DESC, nbr ASC)
+        # twinning Spark's min(struct(-n, nbr)) tie-break
+        "entity_card": """
+            WITH placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj,
+                     'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR)
+                     END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS subj,
+                     'contains' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            supplies_t AS (
+              SELECT 'supp:' || CAST(l_suppkey AS VARCHAR) AS subj,
+                     'supplies' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            t AS (SELECT DISTINCT * FROM (
+                    SELECT * FROM placed
+                    UNION ALL SELECT * FROM contains_t
+                    UNION ALL SELECT * FROM supplies_t)),
+            both_dir AS (
+              SELECT subj AS entity, 'out' AS direction, pred, obj AS nbr
+              FROM t
+              UNION ALL
+              SELECT obj AS entity, 'in' AS direction, pred, subj AS nbr
+              FROM t),
+            per_nbr AS (SELECT entity, direction, pred, nbr,
+                               count(*) AS n
+                        FROM both_dir GROUP BY 1, 2, 3, 4),
+            ranked AS (SELECT entity, direction, pred, nbr,
+                              row_number() OVER (
+                                PARTITION BY entity, direction, pred
+                                ORDER BY n DESC, nbr) AS rk
+                       FROM per_nbr),
+            tot AS (SELECT entity, direction, pred,
+                           CAST(sum(n) AS BIGINT) AS n_triples,
+                           CAST(count(*) AS BIGINT) AS n_neighbors
+                    FROM per_nbr GROUP BY 1, 2, 3)
+            SELECT tot.entity, tot.direction, tot.pred, tot.n_triples,
+                   tot.n_neighbors, r.nbr AS top_neighbor
+            FROM tot
+            JOIN ranked r ON r.entity = tot.entity
+              AND r.direction = tot.direction AND r.pred = tot.pred
+              AND r.rk = 1""",
         # shares the linkpred_auc CTE chain through the candidate set,
         # then ranks per query node instead of histogramming scores
         "linkpred_mrr": """

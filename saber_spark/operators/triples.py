@@ -827,3 +827,157 @@ def resolve_weighted(observations: DataFrame, subj_col: str = "subj",
         F.round(win_w, 6).alias("weight"),
         F.round(win_w / F.col("total_w").cast("double"), 6)
         .alias("weight_share"))
+
+
+def _bgp_leg(t: DataFrame, pattern, cols3):
+    """One (s, p, o) triple pattern -> a filtered scan projecting the
+    pattern's variables under their names.
+
+    Constants become equality predicates on the raw columns — written
+    BEFORE the projection so Catalyst pushes them into the triple-store
+    scan (PushedFilters; at 100 TB that is the difference between
+    reading one predicate's partition and reading the whole store).
+    A variable repeated inside one pattern (e.g. ``(?x, p, ?x)``)
+    becomes an intra-row equality filter on the same scan.
+    """
+    sel, seen = [], {}
+    cond = None
+    for col, term in zip(cols3, pattern):
+        if isinstance(term, str) and term.startswith("?"):
+            var = term[1:]
+            if not var:
+                raise ValueError("empty variable name in pattern %r" % (pattern,))
+            if var in seen:
+                c = F.col(col) == F.col(seen[var])
+                cond = c if cond is None else cond & c
+            else:
+                seen[var] = col
+                sel.append(F.col(col).alias(var))
+        else:
+            c = F.col(col) == F.lit(term)
+            cond = c if cond is None else cond & c
+    if not seen:
+        raise ValueError(
+            "pattern %r binds no variables; constant-only existence "
+            "guards are not supported" % (pattern,))
+    if cond is not None:
+        t = t.filter(cond)
+    return t.select(*sel), frozenset(seen)
+
+
+def bgp_match(triples: DataFrame, patterns, optionals=(), anti=(),
+              subj_col: str = "subj", pred_col: str = "pred",
+              obj_col: str = "obj") -> DataFrame:
+    """SPARQL-style basic-graph-pattern evaluation over a triple table
+    -> one column per variable, one row per binding (bag semantics,
+    exactly SPARQL's): the READ side of the constructed KG. ``patterns``
+    is a sequence of (s, p, o) terms where a leading ``?`` marks a
+    variable and anything else is a constant; ``optionals`` are
+    left-joined after the required patterns (SPARQL OPTIONAL — unbound
+    new variables surface as NULL); ``anti`` patterns are anti-joined
+    (FILTER NOT EXISTS).
+
+    Reference parity: Saber only EMITS annotations (saber/saber.py:
+    52-128); the KG it feeds is then queried by exactly this operator
+    class — conjunctive triple patterns are the workhorse of every
+    SPARQL engine's BGP stage.
+
+    Scale shape: each pattern is ONE filtered scan of the (bucketable)
+    triple table with constants pushed down, and the conjunction is a
+    chain of equi-joins on the shared variables — hash-partitioned on
+    binding keys, AQE-eligible, no Python anywhere. Join order is
+    greedy most-selective-first: start from the pattern with the most
+    constants, then repeatedly attach the connected pattern with the
+    most constants, so the smallest intermediate binding sets flow
+    into the later joins (textbook BGP ordering; a cost-model reorder
+    can substitute the heuristic without touching callers). A pattern
+    sharing NO variable with the bindings accumulated so far would be
+    a Cartesian product — that is a query-shape error at 10^12 triples,
+    so it raises instead of silently exploding.
+    """
+    cols3 = (subj_col, pred_col, obj_col)
+    t = triples.select(*cols3)
+    if not patterns:
+        raise ValueError("bgp_match needs at least one required pattern")
+    legs = []
+    for p in patterns:
+        df, pvars = _bgp_leg(t, p, cols3)
+        n_const = 3 - sum(1 for x in p
+                          if isinstance(x, str) and x.startswith("?"))
+        legs.append((df, pvars, n_const, p))
+    legs.sort(key=lambda l: -l[2])
+    acc, bound = legs[0][0], set(legs[0][1])
+    todo = legs[1:]
+    while todo:
+        nxt = None
+        for i, leg in enumerate(todo):
+            if leg[1] & bound and (nxt is None or leg[2] > todo[nxt][2]):
+                nxt = i
+        if nxt is None:
+            raise ValueError(
+                "pattern %r shares no variable with the patterns joined "
+                "so far — a Cartesian product; reorder or connect the "
+                "pattern" % (todo[0][3],))
+        df, pvars, _, _ = todo.pop(nxt)
+        acc = acc.join(df, sorted(pvars & bound), "inner")
+        bound |= pvars
+    for p in optionals:
+        df, pvars = _bgp_leg(t, p, cols3)
+        shared = pvars & bound
+        if not shared:
+            raise ValueError("OPTIONAL pattern %r shares no variable "
+                             "with the required patterns" % (p,))
+        acc = acc.join(df, sorted(shared), "left")
+        bound |= pvars
+    for p in anti:
+        df, pvars = _bgp_leg(t, p, cols3)
+        shared = pvars & bound
+        if not shared:
+            raise ValueError("NOT EXISTS pattern %r shares no variable "
+                             "with the required patterns" % (p,))
+        acc = acc.join(df.select(*sorted(shared)), sorted(shared),
+                       "left_anti")
+    return acc
+
+
+def entity_card(triples: DataFrame, subj_col: str = "subj",
+                pred_col: str = "pred", obj_col: str = "obj") -> DataFrame:
+    """Concise-bounded-description profile per entity -> (entity,
+    direction, pred, n_triples, n_neighbors, top_neighbor): for every
+    entity and each predicate in each direction, how many triples and
+    distinct neighbors it has and which neighbor is modal (ties broken
+    ASC for determinism). The 'entity card' a KG serves for lookups —
+    linked-data CBD (concise bounded description) reduced to its
+    aggregate skeleton.
+
+    Scale shape: one unionByName of the two direction projections of
+    the SAME scan (Catalyst fuses them), then two map-side-combinable
+    hash aggs: per-(entity, direction, pred, neighbor) counts, then the
+    card roll-up where ``min(struct(-n, nbr))`` picks the modal
+    neighbor inside the agg itself — the struct-min idiom (no window,
+    no self-join; see BENCH/BASELINE.md r4 'struct-min modal
+    aggregation'). Hub entities are wide but each reducer key is
+    (entity, direction, pred) — the neighbor dimension is already
+    collapsed by the first agg, so hub skew is bounded by distinct
+    neighbors, not triple count.
+    """
+    t = triples.select(F.col(subj_col).alias("s"),
+                       F.col(pred_col).alias("p"),
+                       F.col(obj_col).alias("o"))
+    both = (t.select(F.col("s").alias("entity"),
+                     F.lit("out").alias("direction"),
+                     F.col("p").alias("pred"), F.col("o").alias("nbr"))
+            .unionByName(
+                t.select(F.col("o").alias("entity"),
+                         F.lit("in").alias("direction"),
+                         F.col("p").alias("pred"),
+                         F.col("s").alias("nbr"))))
+    per_nbr = (both.groupBy("entity", "direction", "pred", "nbr")
+               .agg(F.count(F.lit(1)).alias("n")))
+    return (per_nbr.groupBy("entity", "direction", "pred")
+            .agg(F.sum("n").cast("long").alias("n_triples"),
+                 F.count(F.lit(1)).alias("n_neighbors"),
+                 F.min(F.struct((-F.col("n")).alias("neg"),
+                                F.col("nbr").alias("nbr"))).alias("_m"))
+            .select("entity", "direction", "pred", "n_triples",
+                    "n_neighbors", F.col("_m.nbr").alias("top_neighbor")))

@@ -1,0 +1,119 @@
+"""Round-5 KG read-side operators: basic-graph-pattern matching
+(bgp_match) and entity cards (entity_card)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from saber_spark.operators.triples import bgp_match, entity_card
+
+
+def _kg(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_bgp_two_hop_bindings(spark):
+    t = _kg(spark, [
+        ("a", "placed", "o1"), ("b", "placed", "o2"),
+        ("o1", "contains", "p1"), ("o1", "contains", "p2"),
+        ("o2", "contains", "p1"),
+        ("x", "other", "y"),
+    ])
+    got = {(r.c, r.o, r.p)
+           for r in bgp_match(t, [("?c", "placed", "?o"),
+                                  ("?o", "contains", "?p")]).collect()}
+    assert got == {("a", "o1", "p1"), ("a", "o1", "p2"), ("b", "o2", "p1")}
+
+
+def test_bgp_constant_subject_and_repeated_var(spark):
+    t = _kg(spark, [
+        ("a", "knows", "a"), ("a", "knows", "b"), ("b", "knows", "b"),
+    ])
+    # constant subject
+    got = {r.v for r in bgp_match(t, [("a", "knows", "?v")]).collect()}
+    assert got == {"a", "b"}
+    # repeated variable = intra-pattern equality (self-loops only)
+    loops = {r.x for r in bgp_match(t, [("?x", "knows", "?x")]).collect()}
+    assert loops == {"a", "b"}
+
+
+def test_bgp_optional_leaves_null_when_unbound(spark):
+    t = _kg(spark, [
+        ("a", "placed", "o1"), ("b", "placed", "o2"),
+        ("o1", "shipped_by", "s9"),
+    ])
+    rows = {(r.c, r.o, r.s)
+            for r in bgp_match(t, [("?c", "placed", "?o")],
+                               optionals=[("?o", "shipped_by", "?s")])
+            .collect()}
+    assert rows == {("a", "o1", "s9"), ("b", "o2", None)}
+
+
+def test_bgp_anti_removes_bindings(spark):
+    t = _kg(spark, [
+        ("a", "placed", "o1"), ("b", "placed", "o2"),
+        ("b", "placed", "b"),          # self-loop: b must be excluded
+        ("o1", "contains", "p1"), ("o2", "contains", "p1"),
+    ])
+    got = {r.c for r in bgp_match(t, [("?c", "placed", "?o"),
+                                      ("?o", "contains", "?p")],
+                                  anti=[("?c", "placed", "?c")]).collect()}
+    assert got == {"a"}
+
+
+def test_bgp_bag_semantics_keeps_duplicates(spark):
+    t = _kg(spark, [
+        ("a", "placed", "o1"), ("a", "placed", "o1"),
+        ("o1", "contains", "p1"),
+    ])
+    assert bgp_match(t, [("?c", "placed", "?o"),
+                         ("?o", "contains", "?p")]).count() == 2
+
+
+def test_bgp_disconnected_pattern_raises(spark):
+    t = _kg(spark, [("a", "p", "b")])
+    with pytest.raises(ValueError, match="Cartesian"):
+        bgp_match(t, [("?x", "p", "?y"), ("?u", "p", "?v")])
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        bgp_match(t, [("?x", "p", "?y")], optionals=[("?u", "p", "?v")])
+    with pytest.raises(ValueError, match="NOT EXISTS"):
+        bgp_match(t, [("?x", "p", "?y")], anti=[("?u", "p", "?v")])
+    with pytest.raises(ValueError, match="constant-only"):
+        bgp_match(t, [("a", "p", "b")])
+
+
+def test_bgp_join_order_prefers_constants_first(spark):
+    # the most-selective (2-constant) pattern must anchor the join tree:
+    # verify via the result only — ordering is a plan property, but a
+    # wrong greedy walk would raise the Cartesian error here because the
+    # middle pattern is the only bridge between the two others.
+    t = _kg(spark, [
+        ("a", "placed", "o1"), ("o1", "contains", "p1"),
+        ("p1", "made_by", "m1"),
+    ])
+    got = bgp_match(t, [("?p", "made_by", "?m"),
+                        ("?o", "contains", "?p"),
+                        ("a", "placed", "?o")]).collect()
+    assert [(r.o, r.p, r.m) for r in got] == [("o1", "p1", "m1")]
+
+
+def test_entity_card_counts_and_modal_neighbor(spark):
+    t = _kg(spark, [
+        ("a", "likes", "x"), ("a", "likes", "x"), ("a", "likes", "y"),
+        ("b", "likes", "x"),
+    ])
+    rows = {(r.entity, r.direction, r.pred):
+            (r.n_triples, r.n_neighbors, r.top_neighbor)
+            for r in entity_card(t).collect()}
+    assert rows[("a", "out", "likes")] == (3, 2, "x")
+    assert rows[("x", "in", "likes")] == (3, 2, "a")  # tie a/b -> ASC
+    assert rows[("y", "in", "likes")] == (1, 1, "a")
+    assert rows[("b", "out", "likes")] == (1, 1, "x")
+    assert len(rows) == 4
+
+
+def test_bgp_constant_filter_is_pushed_down(spark):
+    t = _kg(spark, [("a", "placed", "o1"), ("o1", "contains", "p1")])
+    plan = (bgp_match(t, [("?c", "placed", "?o"),
+                          ("?o", "contains", "?p")])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "pythonUDF" not in plan.lower()

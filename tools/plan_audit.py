@@ -1420,6 +1420,36 @@ def main() -> None:
         0,
     ))
 
+    # r5 read-side KG: BGP = pushed-down scans + equi-join chain + anti
+    plan_bgp = formatted_plan(e.q_bgp_query(spark, SF_DIR))
+    sections.append((
+        "bgp_query (SPARQL BGP: pushdown + equi-join chain + anti-join)",
+        "Every triple pattern is ONE scan with its predicate constant "
+        "pushed as a filter; the conjunction is a selectivity-ordered "
+        "equi-join chain on binding variables; FILTER NOT EXISTS is a "
+        "LeftAnti join. No cartesian product (bgp_match raises on "
+        "disconnected patterns instead of emitting one), no Python.",
+        plan_bgp,
+        ["Join", "LeftAnti"]
+        + (["<no cartesian product>"] if "CartesianProduct" in plan_bgp
+           else []),
+        0,
+    ))
+
+    # r5 read-side KG: entity cards = two map-side-combinable aggs
+    plan_card = formatted_plan(e.q_entity_card(spark, SF_DIR))
+    sections.append((
+        "entity_card (CBD skeleton: struct-min modal agg, no window)",
+        "Both direction projections of the SAME store scan union without "
+        "a barrier, then two hash aggs (partial before each Exchange): "
+        "per-neighbor counts, then the card roll-up whose min(struct(-n, "
+        "nbr)) picks the modal neighbor inside the agg — no window, no "
+        "self-join, no Python.",
+        plan_card,
+        ["HashAggregate", "hashpartitioning"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
