@@ -198,6 +198,8 @@ def main() -> None:
         # host boilerplate rate, co-citation similarity)
         "html_tables", "anchor_commonness", "host_boilerplate",
         "cocitation_hosts", "table_triples",
+        # round 5 batch 3 (read side of the KG: SPARQL BGP + entity cards)
+        "bgp_query", "entity_card",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real
