@@ -950,28 +950,32 @@ def entity_card(triples: DataFrame, subj_col: str = "subj",
     linked-data CBD (concise bounded description) reduced to its
     aggregate skeleton.
 
-    Scale shape: one unionByName of the two direction projections of
-    the SAME scan (Catalyst fuses them), then two map-side-combinable
-    hash aggs: per-(entity, direction, pred, neighbor) counts, then the
-    card roll-up where ``min(struct(-n, nbr))`` picks the modal
-    neighbor inside the agg itself — the struct-min idiom (no window,
-    no self-join; see BENCH/BASELINE.md r4 'struct-min modal
-    aggregation'). Hub entities are wide but each reducer key is
-    (entity, direction, pred) — the neighbor dimension is already
-    collapsed by the first agg, so hub skew is bounded by distinct
-    neighbors, not triple count.
+    Scale shape: the two direction views come from ONE scan of the
+    store — a per-row explode of a 2-struct array, NOT a self-union
+    (a union duplicates the upstream subtree in the DAG, and exchange
+    reuse does not reliably dedupe it: measured 6 scans + double
+    distinct on the union form vs 3 scans on this one) — then two
+    map-side-combinable hash aggs: per-(entity, direction, pred,
+    neighbor) counts, then the card roll-up where ``min(struct(-n,
+    nbr))`` picks the modal neighbor inside the agg itself — the
+    struct-min idiom (no window, no self-join; see BENCH/BASELINE.md
+    r4 'struct-min modal aggregation'). Hub entities are wide but each
+    reducer key is (entity, direction, pred) — the neighbor dimension
+    is already collapsed by the first agg, so hub skew is bounded by
+    distinct neighbors, not triple count.
     """
     t = triples.select(F.col(subj_col).alias("s"),
                        F.col(pred_col).alias("p"),
                        F.col(obj_col).alias("o"))
-    both = (t.select(F.col("s").alias("entity"),
-                     F.lit("out").alias("direction"),
-                     F.col("p").alias("pred"), F.col("o").alias("nbr"))
-            .unionByName(
-                t.select(F.col("o").alias("entity"),
-                         F.lit("in").alias("direction"),
-                         F.col("p").alias("pred"),
-                         F.col("s").alias("nbr"))))
+    both = (t.select(F.explode(F.array(
+        F.struct(F.col("s").alias("entity"),
+                 F.lit("out").alias("direction"),
+                 F.col("p").alias("pred"), F.col("o").alias("nbr")),
+        F.struct(F.col("o").alias("entity"),
+                 F.lit("in").alias("direction"),
+                 F.col("p").alias("pred"), F.col("s").alias("nbr"))))
+        .alias("x"))
+        .select("x.entity", "x.direction", "x.pred", "x.nbr"))
     per_nbr = (both.groupBy("entity", "direction", "pred", "nbr")
                .agg(F.count(F.lit(1)).alias("n")))
     return (per_nbr.groupBy("entity", "direction", "pred")
