@@ -2812,6 +2812,55 @@ def q_entity_card(spark, sf_dir):
     return entity_card(_schema_kg3(spark, sf_dir))
 
 
+def q_char_sets(spark, sf_dir):
+    """Characteristic sets (triples.characteristic_sets, Neumann &
+    Moerkotte ICDE 2011): entities grouped by their exact predicate
+    set -> (char_set, n_entities, n_triples) — the RDF-store statistic
+    behind star-BGP cardinality estimation and emergent schema
+    discovery. Store: the rule_confidence fixture (placed/contains +
+    the partial 'bought' leg, so customers split into {bought, placed}
+    vs {placed} shapes), set semantics."""
+    from saber_spark.operators.triples import characteristic_sets
+    orders = tpch.load(spark, sf_dir, "orders")
+    li = tpch.load(spark, sf_dir, "lineitem")
+    bought = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+              .filter(F.col("l_partkey") % 3 != 0)
+              .select(F.concat(F.lit("cust:"),
+                               F.col("o_custkey").cast("string"))
+                      .alias("subj"),
+                      F.lit("bought").alias("pred"),
+                      F.concat(F.lit("part:"),
+                               F.col("l_partkey").cast("string"))
+                      .alias("obj")))
+    store = _schema_kg(spark, sf_dir).unionByName(bought).distinct()
+    return characteristic_sets(store)
+
+
+def q_kg_timetravel(spark, sf_dir):
+    """Temporal-KG snapshot delta (triples.kg_snapshot_diff) computed
+    from the SCD-2 interval table ALONE — no second scan of raw
+    observations: per triple, ONE bool_or agg of interval-covers-s1 /
+    covers-s2 -> status in {added, retracted, unchanged}. Snapshots are
+    derived from the data (s1 = min valid_from via a broadcast one-row
+    cross join, s2 = s1+1), so no driver-side collect and no magic
+    constants. History: the q_triple_history chain (user-did-event
+    facts per epoch week)."""
+    from saber_spark.operators.funnel import WEEK_US, _epoch_micros
+    from saber_spark.operators.triples import (kg_snapshot_diff,
+                                               triple_history)
+    obs = _events(spark, sf_dir).select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string"))
+        .alias("subj"),
+        F.lit("did").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.floor(_epoch_micros("ts") / F.lit(WEEK_US)).cast("long")
+        .alias("snap"))
+    h = triple_history(obs)
+    m = h.groupBy().agg(F.min("valid_from").alias("_s1"))
+    return kg_snapshot_diff(h.crossJoin(F.broadcast(m)),
+                            F.col("_s1"), F.col("_s1") + 1)
+
+
 def q_jsonld_triples(spark, sf_dir):
     """Structured-data harvesting (structured.jsonld_triples): pull the
     schema.org JSON-LD block out of each page's html and emit
@@ -3135,6 +3184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-evaluated backlog above):
         "bgp_query": q_bgp_query,
         "entity_card": q_entity_card,
+        "char_sets": q_char_sets,
+        "kg_timetravel": q_kg_timetravel,
         # seven family-redundant sit-outs (local-gate evidence only;
         # siblings named in the contract comment above):
         "linkpred_mrr": q_linkpred_mrr,
@@ -6584,6 +6635,66 @@ def oracle_sql() -> dict[str, str]:
                    round((pp.n_triples - m.n)::DOUBLE / pp.n_triples, 6)
                      AS violation_rate
             FROM pp JOIN modal m ON m.p = pp.p AND m.rk = 1""",
+        # rule_confidence's store re-derived; per-subject predicate sets
+        # via list_sort(list(DISTINCT ...)) twin array_sort(collect_set)
+        "char_sets": """
+            WITH kg AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj,
+                     'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR)
+                     END AS obj
+              FROM orders
+              UNION ALL
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR),
+                     'contains',
+                     'part:' || CAST(l_partkey AS VARCHAR)
+              FROM lineitem
+              UNION ALL
+              SELECT 'cust:' || CAST(o.o_custkey AS VARCHAR),
+                     'bought',
+                     'part:' || CAST(l.l_partkey AS VARCHAR)
+              FROM orders o JOIN lineitem l
+                ON o.o_orderkey = l.l_orderkey
+              WHERE l.l_partkey % 3 <> 0),
+            t AS (SELECT DISTINCT subj, pred, obj FROM kg),
+            per AS (SELECT subj, count(*) AS n_t,
+                           list_sort(list(DISTINCT pred)) AS preds
+                    FROM t GROUP BY subj)
+            SELECT array_to_string(preds, ',') AS char_set,
+                   CAST(count(*) AS BIGINT) AS n_entities,
+                   CAST(sum(n_t) AS BIGINT) AS n_triples
+            FROM per GROUP BY 1""",
+        # the triple_history gaps-and-islands chain, then the diff is a
+        # per-triple bool_or of interval coverage at s1 / s1+1
+        "kg_timetravel": """
+            WITH obs AS (
+              SELECT DISTINCT
+                     'user:' || CAST(user_id AS VARCHAR) AS subj,
+                     'did' AS pred, event_type AS obj,
+                     CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT)
+                       AS snap
+              FROM events),
+            isl AS (SELECT *, snap - row_number() OVER (
+                      PARTITION BY subj, pred, obj ORDER BY snap) AS island
+                    FROM obs),
+            hist AS (SELECT subj, pred, obj,
+                            min(snap) AS valid_from, max(snap) AS valid_to
+                     FROM isl GROUP BY subj, pred, obj, island),
+            m AS (SELECT min(valid_from) AS s1 FROM hist),
+            per AS (SELECT subj, pred, obj,
+                           bool_or(valid_from <= s1 AND valid_to >= s1)
+                             AS in1,
+                           bool_or(valid_from <= s1 + 1
+                                   AND valid_to >= s1 + 1) AS in2
+                    FROM hist CROSS JOIN m
+                    GROUP BY subj, pred, obj)
+            SELECT subj, pred, obj,
+                   CASE WHEN in1 AND in2 THEN 'unchanged'
+                        WHEN in2 THEN 'added'
+                        ELSE 'retracted' END AS status
+            FROM per WHERE in1 OR in2""",
         # the three-relation distinct store (_schema_kg3) re-derived in
         # SQL; the BGP is literal joins + NOT IN for the anti pattern
         "bgp_query": """

@@ -200,6 +200,8 @@ def main() -> None:
         "cocitation_hosts", "table_triples",
         # round 5 batch 3 (read side of the KG: SPARQL BGP + entity cards)
         "bgp_query", "entity_card",
+        # round 5 batch 4 (characteristic sets + temporal snapshot diff)
+        "char_sets", "kg_timetravel",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

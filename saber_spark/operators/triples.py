@@ -19,7 +19,7 @@ per-row cheap and never skews a reducer the way a hub-key self-join would.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 PRED_COOCCURS = "cooccurs_with"
@@ -985,3 +985,72 @@ def entity_card(triples: DataFrame, subj_col: str = "subj",
                                 F.col("nbr").alias("nbr"))).alias("_m"))
             .select("entity", "direction", "pred", "n_triples",
                     "n_neighbors", F.col("_m.nbr").alias("top_neighbor")))
+
+
+def characteristic_sets(triples: DataFrame, subj_col: str = "subj",
+                        pred_col: str = "pred") -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011) ->
+    (char_set, n_entities, n_triples): group entities by the exact SET
+    of predicates they carry and count members and triples per set —
+    the RDF store statistic that drives join-cardinality estimation for
+    star-shaped BGPs (how many subjects have {placed, bought}?) and
+    doubles as emergent schema discovery over a schemaless triple dump.
+
+    Scale shape: two map-side-combinable hash aggs. Per-subject state
+    in the first agg is the DISTINCT predicate set — schema-sized
+    (dozens), never triple-count-sized; the second agg keys on the
+    joined set string, whose cardinality is the number of distinct
+    entity shapes (small by the paper's core observation). No window,
+    no join, no Python.
+    """
+    per_subj = (triples.groupBy(F.col(subj_col).alias("entity"))
+                .agg(F.count(F.lit(1)).alias("n_t"),
+                     F.array_sort(F.collect_set(pred_col)).alias("preds")))
+    return (per_subj
+            .groupBy(F.array_join("preds", ",").alias("char_set"))
+            .agg(F.count(F.lit(1)).alias("n_entities"),
+                 F.sum("n_t").cast("long").alias("n_triples")))
+
+
+def kg_asof(history: DataFrame, snap,
+            key_cols: tuple[str, ...] = ("subj", "pred", "obj")) -> DataFrame:
+    """Point-in-time read over the SCD-2 interval table triple_history
+    emits: the set of triples the KG asserted at snapshot ``snap`` —
+    time-travel without re-scanning raw observations (intervals per
+    triple are disjoint by construction, so this is a pure filter +
+    project over the compact history table; on a snapshot-partitioned
+    store the predicate prunes partitions)."""
+    s = snap if isinstance(snap, Column) else F.lit(snap)
+    return (history
+            .filter((F.col("valid_from") <= s) & (F.col("valid_to") >= s))
+            .select(*key_cols))
+
+
+def kg_snapshot_diff(history: DataFrame, s1, s2,
+                     key_cols: tuple[str, ...] = ("subj", "pred", "obj"),
+                     ) -> DataFrame:
+    """Temporal-KG delta between two snapshots, computed from the SCD-2
+    interval table alone -> key_cols + status in {'added', 'retracted',
+    'unchanged'} for every triple present at either snapshot ('added' =
+    asserted at s2 but not s1, 'retracted' = the reverse).
+
+    Scale shape: ONE hash agg over the (already compact) interval
+    table — per triple, bool_or of interval-covers-s1 / covers-s2 —
+    then a narrow case projection. No join against a second as-of read
+    (the naive two-read formulation shuffles the store twice and
+    full-outer-joins; this shuffles the interval table once).
+    ``s1``/``s2`` accept Columns so callers can derive the snapshots
+    from the data (e.g. min(valid_from) via a broadcast one-row cross
+    join) without a driver-side collect."""
+    c1 = s1 if isinstance(s1, Column) else F.lit(s1)
+    c2 = s2 if isinstance(s2, Column) else F.lit(s2)
+    covers = lambda s: ((F.col("valid_from") <= s)
+                        & (F.col("valid_to") >= s))  # noqa: E731
+    per = (history.groupBy(*key_cols)
+           .agg(F.max(covers(c1)).alias("_in1"),
+                F.max(covers(c2)).alias("_in2")))
+    return (per.filter(F.col("_in1") | F.col("_in2"))
+            .select(*key_cols,
+                    F.when(F.col("_in1") & F.col("_in2"), "unchanged")
+                    .when(F.col("_in2"), "added")
+                    .otherwise("retracted").alias("status")))

@@ -117,3 +117,66 @@ def test_bgp_constant_filter_is_pushed_down(spark):
                           ("?o", "contains", "?p")])
             ._jdf.queryExecution().executedPlan().toString())
     assert "pythonUDF" not in plan.lower()
+
+
+# ----------------------------- characteristic sets / time travel
+
+
+def test_characteristic_sets_counts(spark):
+    from saber_spark.operators.triples import characteristic_sets
+    t = _kg(spark, [
+        ("a", "placed", "o1"), ("a", "bought", "p1"), ("a", "bought", "p2"),
+        ("b", "placed", "o2"),
+        ("o1", "contains", "p1"),
+    ])
+    rows = {r.char_set: (r.n_entities, r.n_triples)
+            for r in characteristic_sets(t).collect()}
+    assert rows == {"bought,placed": (1, 3), "placed": (1, 1),
+                    "contains": (1, 1)}
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, "
+              "valid_from long, valid_to long, n_snaps long")
+
+
+def test_kg_asof_reads_point_in_time(spark):
+    from saber_spark.operators.triples import kg_asof
+    h = _hist(spark, [
+        ("a", "p", "x", 1, 3, 3), ("a", "p", "x", 6, 7, 2),
+        ("b", "p", "y", 2, 2, 1),
+    ])
+    at4 = {tuple(r) for r in kg_asof(h, 4).collect()}
+    assert at4 == set()                       # gap between islands
+    at2 = {tuple(r) for r in kg_asof(h, 2).collect()}
+    assert at2 == {("a", "p", "x"), ("b", "p", "y")}
+    at6 = {tuple(r) for r in kg_asof(h, 6).collect()}
+    assert at6 == {("a", "p", "x")}
+
+
+def test_kg_snapshot_diff_statuses(spark):
+    from saber_spark.operators.triples import kg_snapshot_diff
+    h = _hist(spark, [
+        ("keep", "p", "x", 1, 5, 5),          # covers both -> unchanged
+        ("gone", "p", "y", 1, 2, 2),          # only s1 -> retracted
+        ("new", "p", "z", 3, 4, 2),           # only s2 -> added
+        ("off", "p", "w", 8, 9, 2),           # neither -> absent
+        ("back", "p", "v", 1, 2, 2),          # two islands: s1 and s2
+        ("back", "p", "v", 3, 3, 1),          #   -> unchanged via bool_or
+    ])
+    got = {(r.subj, r.status)
+           for r in kg_snapshot_diff(h, 2, 3).collect()}
+    assert got == {("keep", "unchanged"), ("gone", "retracted"),
+                   ("new", "added"), ("back", "unchanged")}
+
+
+def test_kg_snapshot_diff_accepts_columns(spark):
+    from saber_spark.operators.triples import kg_snapshot_diff
+    h = _hist(spark, [("a", "p", "x", 1, 1, 1), ("b", "p", "y", 2, 2, 1)])
+    m = h.groupBy().agg(F.min("valid_from").alias("_s1"))
+    hj = h.crossJoin(F.broadcast(m))
+    got = {(r.subj, r.status)
+           for r in kg_snapshot_diff(hj, F.col("_s1"),
+                                     F.col("_s1") + 1).collect()}
+    assert got == {("a", "retracted"), ("b", "added")}

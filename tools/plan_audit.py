@@ -1436,6 +1436,34 @@ def main() -> None:
         0,
     ))
 
+    # r5 read-side KG: characteristic sets = two hash aggs, no join
+    plan_cs = formatted_plan(e.q_char_sets(spark, SF_DIR))
+    sections.append((
+        "char_sets (characteristic sets: two aggs, schema-sized state)",
+        "Per-subject collect_set(pred) state is schema-sized (distinct "
+        "predicates, dozens), never triple-count-sized; the set-shape "
+        "roll-up keys on the joined set string. Two partial+final hash "
+        "aggs, no window, no join above the store derivation, no Python.",
+        plan_cs,
+        ["HashAggregate", "collect_set"],
+        0,
+    ))
+
+    # r5 temporal KG: snapshot diff = one bool_or agg over the compact
+    # interval table (no second as-of read, no full-outer join)
+    plan_tt2 = formatted_plan(e.q_kg_timetravel(spark, SF_DIR))
+    sections.append((
+        "kg_timetravel (snapshot diff from the SCD-2 interval table)",
+        "The delta between two snapshots is ONE bool_or aggregate over "
+        "the interval table (covers-s1 / covers-s2 per triple) — not two "
+        "as-of reads full-outer-joined (which would shuffle the store "
+        "twice); the min-snapshot anchor arrives via a broadcast one-row "
+        "cross join, no driver collect.",
+        plan_tt2,
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
     # r5 read-side KG: entity cards = two map-side-combinable aggs
     plan_card = formatted_plan(e.q_entity_card(spark, SF_DIR))
     sections.append((
