@@ -2861,6 +2861,16 @@ def q_kg_timetravel(spark, sf_dir):
                             F.col("_s1"), F.col("_s1") + 1)
 
 
+def q_void_stats(spark, sf_dir):
+    """W3C VoID property partitions (triples.void_profile): per
+    predicate, triple count + distinct subject/object counts over the
+    3-relation store — the statistics table bgp_match's cost-based
+    join ordering consumes (via triples.bgp_stats) and the first QA
+    view of a triple dump. ONE schema-sized hash agg."""
+    from saber_spark.operators.triples import void_profile
+    return void_profile(_schema_kg3(spark, sf_dir))
+
+
 def q_jsonld_triples(spark, sf_dir):
     """Structured-data harvesting (structured.jsonld_triples): pull the
     schema.org JSON-LD block out of each page's html and emit
@@ -3186,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_card": q_entity_card,
         "char_sets": q_char_sets,
         "kg_timetravel": q_kg_timetravel,
+        "void_stats": q_void_stats,
         # seven family-redundant sit-outs (local-gate evidence only;
         # siblings named in the contract comment above):
         "linkpred_mrr": q_linkpred_mrr,
@@ -6635,6 +6646,37 @@ def oracle_sql() -> dict[str, str]:
                    round((pp.n_triples - m.n)::DOUBLE / pp.n_triples, 6)
                      AS violation_rate
             FROM pp JOIN modal m ON m.p = pp.p AND m.rk = 1""",
+        # _schema_kg3 store; one grouped agg with exact distincts
+        "void_stats": """
+            WITH placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj,
+                     'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR)
+                     END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS subj,
+                     'contains' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            supplies_t AS (
+              SELECT 'supp:' || CAST(l_suppkey AS VARCHAR) AS subj,
+                     'supplies' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            t AS (SELECT DISTINCT * FROM (
+                    SELECT * FROM placed
+                    UNION ALL SELECT * FROM contains_t
+                    UNION ALL SELECT * FROM supplies_t))
+            SELECT pred,
+                   CAST(count(*) AS BIGINT) AS n_triples,
+                   CAST(count(DISTINCT subj) AS BIGINT)
+                     AS n_distinct_subj,
+                   CAST(count(DISTINCT obj) AS BIGINT)
+                     AS n_distinct_obj
+            FROM t GROUP BY pred""",
         # rule_confidence's store re-derived; per-subject predicate sets
         # via list_sort(list(DISTINCT ...)) twin array_sort(collect_set)
         "char_sets": """

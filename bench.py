@@ -202,6 +202,8 @@ def main() -> None:
         "bgp_query", "entity_card",
         # round 5 batch 4 (characteristic sets + temporal snapshot diff)
         "char_sets", "kg_timetravel",
+        # round 5 batch 5 (VoID statistics table for the BGP cost model)
+        "void_stats",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -865,9 +865,72 @@ def _bgp_leg(t: DataFrame, pattern, cols3):
     return t.select(*sel), frozenset(seen)
 
 
+def _bgp_vars(p):
+    return frozenset(x[1:] for x in p
+                     if isinstance(x, str) and x.startswith("?"))
+
+
+def _bgp_estimate(p, stats, total: float) -> float:
+    """Estimated result cardinality of one triple pattern from VoID
+    per-predicate statistics (RDF-3X-lineage selectivity): a constant
+    predicate looks up its triple count and divides by distinct
+    subjects/objects for each further bound term; an unknown constant
+    predicate estimates 0 (it matches nothing in the profiled store);
+    a variable predicate starts from the store size with a fixed 1/10
+    discount per bound term (the System-R default-selectivity
+    fallback, since no per-term statistic applies)."""
+    s, pr, o = p
+    var = lambda x: isinstance(x, str) and x.startswith("?")  # noqa: E731
+    if not var(pr):
+        if pr not in stats:
+            return 0.0
+        n, ns, no = stats[pr]
+        est = float(n)
+        if not var(s):
+            est /= max(float(ns), 1.0)
+        if not var(o):
+            est /= max(float(no), 1.0)
+        return est
+    est = float(total)
+    if not var(s):
+        est /= 10.0
+    if not var(o):
+        est /= 10.0
+    return est
+
+
+def _bgp_order(patterns, sel_key):
+    """Greedy connectivity-respecting join order: anchor on the most
+    selective pattern (min sel_key), then repeatedly attach the most
+    selective pattern sharing a variable with those already placed.
+    Ties keep input order (sort is stable; the scan keeps the first).
+    Raises on a disconnected pattern — a Cartesian product at store
+    scale is an outage, not a plan choice."""
+    idx = sorted(range(len(patterns)), key=lambda i: sel_key(patterns[i]))
+    order = [idx[0]]
+    bound = set(_bgp_vars(patterns[idx[0]]))
+    rest = idx[1:]
+    while rest:
+        nxt = None
+        for i in rest:
+            if _bgp_vars(patterns[i]) & bound and (
+                    nxt is None
+                    or sel_key(patterns[i]) < sel_key(patterns[nxt])):
+                nxt = i
+        if nxt is None:
+            raise ValueError(
+                "pattern %r shares no variable with the patterns joined "
+                "so far — a Cartesian product; reorder or connect the "
+                "pattern" % (patterns[rest[0]],))
+        rest.remove(nxt)
+        order.append(nxt)
+        bound |= _bgp_vars(patterns[nxt])
+    return order
+
+
 def bgp_match(triples: DataFrame, patterns, optionals=(), anti=(),
               subj_col: str = "subj", pred_col: str = "pred",
-              obj_col: str = "obj") -> DataFrame:
+              obj_col: str = "obj", stats: dict | None = None) -> DataFrame:
     """SPARQL-style basic-graph-pattern evaluation over a triple table
     -> one column per variable, one row per binding (bag semantics,
     exactly SPARQL's): the READ side of the constructed KG. ``patterns``
@@ -893,34 +956,35 @@ def bgp_match(triples: DataFrame, patterns, optionals=(), anti=(),
     can substitute the heuristic without touching callers). A pattern
     sharing NO variable with the bindings accumulated so far would be
     a Cartesian product — that is a query-shape error at 10^12 triples,
-    so it raises instead of silently exploding.
+    so it raises instead of silently exploding. ``stats`` (optional)
+    is the VoID per-predicate profile as a dict {pred: (n_triples,
+    n_distinct_subj, n_distinct_obj)} — see ``void_profile`` /
+    ``bgp_stats`` — and switches the greedy order from the
+    constants-count heuristic to estimated pattern cardinality
+    (RDF-3X-style), the textbook upgrade path the heuristic seat was
+    reserved for; the dict is predicate-vocabulary-bounded, never
+    corpus-sized.
     """
     cols3 = (subj_col, pred_col, obj_col)
     t = triples.select(*cols3)
     if not patterns:
         raise ValueError("bgp_match needs at least one required pattern")
-    legs = []
-    for p in patterns:
-        df, pvars = _bgp_leg(t, p, cols3)
-        n_const = 3 - sum(1 for x in p
-                          if isinstance(x, str) and x.startswith("?"))
-        legs.append((df, pvars, n_const, p))
-    legs.sort(key=lambda l: -l[2])
-    acc, bound = legs[0][0], set(legs[0][1])
-    todo = legs[1:]
-    while todo:
-        nxt = None
-        for i, leg in enumerate(todo):
-            if leg[1] & bound and (nxt is None or leg[2] > todo[nxt][2]):
-                nxt = i
-        if nxt is None:
-            raise ValueError(
-                "pattern %r shares no variable with the patterns joined "
-                "so far — a Cartesian product; reorder or connect the "
-                "pattern" % (todo[0][3],))
-        df, pvars, _, _ = todo.pop(nxt)
-        acc = acc.join(df, sorted(pvars & bound), "inner")
-        bound |= pvars
+    patterns = list(patterns)
+    if stats is not None:
+        total = float(sum(v[0] for v in stats.values())) or 1.0
+        sel_key = lambda p: _bgp_estimate(p, stats, total)  # noqa: E731
+    else:
+        sel_key = lambda p: -sum(  # noqa: E731
+            1 for x in p if not (isinstance(x, str) and x.startswith("?")))
+    order = _bgp_order(patterns, sel_key)
+    acc, bound = None, set()
+    for i in order:
+        df, pvars = _bgp_leg(t, patterns[i], cols3)
+        if acc is None:
+            acc, bound = df, set(pvars)
+        else:
+            acc = acc.join(df, sorted(pvars & bound), "inner")
+            bound |= pvars
     for p in optionals:
         df, pvars = _bgp_leg(t, p, cols3)
         shared = pvars & bound
@@ -1054,3 +1118,37 @@ def kg_snapshot_diff(history: DataFrame, s1, s2,
                     F.when(F.col("_in1") & F.col("_in2"), "unchanged")
                     .when(F.col("_in2"), "added")
                     .otherwise("retracted").alias("status")))
+
+
+def void_profile(triples: DataFrame, subj_col: str = "subj",
+                 pred_col: str = "pred", obj_col: str = "obj",
+                 exact: bool = True) -> DataFrame:
+    """VoID-style per-predicate dataset description (W3C VoID property
+    partitions) -> (pred, n_triples, n_distinct_subj, n_distinct_obj):
+    the statistics table every triple store publishes and every BGP
+    optimizer consumes (it feeds ``bgp_match(stats=...)`` via
+    ``bgp_stats``), and the first QA view of a fresh triple dump
+    (predicates with n_distinct_obj == 1 are constants, n_triples ==
+    n_distinct_subj means functional, ...).
+
+    Scale shape: ONE hash agg keyed on the predicate — schema-sized
+    output. ``exact=True`` uses exact count_distinct (two-phase
+    partial/final expand under the hood); at 100 TB pass
+    ``exact=False`` for approx_count_distinct (HLL, fully map-side
+    mergeable) — the same switch table_profile carries.
+    """
+    cd = F.count_distinct if exact else F.approx_count_distinct
+    return (triples.groupBy(F.col(pred_col).alias("pred"))
+            .agg(F.count(F.lit(1)).alias("n_triples"),
+                 cd(F.col(subj_col)).alias("n_distinct_subj"),
+                 cd(F.col(obj_col)).alias("n_distinct_obj")))
+
+
+def bgp_stats(void_df: DataFrame) -> dict:
+    """Collect a void_profile result into the {pred: (n_triples,
+    n_subj, n_obj)} dict ``bgp_match(stats=...)`` consumes. The collect
+    is predicate-vocabulary-bounded (schema-sized, like the vocab and
+    grounding-dictionary collects), never corpus-sized."""
+    return {r["pred"]: (r["n_triples"], r["n_distinct_subj"],
+                        r["n_distinct_obj"])
+            for r in void_df.collect()}

@@ -180,3 +180,69 @@ def test_kg_snapshot_diff_accepts_columns(spark):
            for r in kg_snapshot_diff(hj, F.col("_s1"),
                                      F.col("_s1") + 1).collect()}
     assert got == {("a", "retracted"), ("b", "added")}
+
+
+# ----------------------------- VoID stats + cost-ordered BGP
+
+
+def test_void_profile_counts(spark):
+    from saber_spark.operators.triples import void_profile
+    t = _kg(spark, [
+        ("a", "p", "x"), ("a", "p", "y"), ("b", "p", "x"),
+        ("a", "q", "x"),
+    ])
+    rows = {r.pred: (r.n_triples, r.n_distinct_subj, r.n_distinct_obj)
+            for r in void_profile(t).collect()}
+    assert rows == {"p": (3, 2, 2), "q": (1, 1, 1)}
+
+
+def test_bgp_stats_roundtrip(spark):
+    from saber_spark.operators.triples import bgp_stats, void_profile
+    t = _kg(spark, [("a", "p", "x"), ("b", "q", "y")])
+    assert bgp_stats(void_profile(t)) == {"p": (1, 1, 1), "q": (1, 1, 1)}
+
+
+def test_bgp_estimate_selectivity():
+    from saber_spark.operators.triples import _bgp_estimate
+    stats = {"rare": (10, 5, 5), "common": (1000, 100, 100)}
+    total = 1010.0
+    # constant predicate: its triple count; bound terms divide
+    assert _bgp_estimate(("?s", "rare", "?o"), stats, total) == 10.0
+    assert _bgp_estimate(("c", "rare", "?o"), stats, total) == 2.0
+    assert _bgp_estimate(("c", "rare", "d"), stats, total) == 0.4
+    # unknown constant predicate matches nothing in the profiled store
+    assert _bgp_estimate(("?s", "absent", "?o"), stats, total) == 0.0
+    # variable predicate: store size with 1/10 per bound term
+    assert _bgp_estimate(("?s", "?p", "?o"), stats, total) == total
+    assert _bgp_estimate(("c", "?p", "?o"), stats, total) == total / 10
+
+
+def test_bgp_order_uses_stats_over_constant_count():
+    from saber_spark.operators.triples import _bgp_estimate, _bgp_order
+    stats = {"rare": (2, 2, 2), "common": (1000, 10, 10)}
+    patterns = [("c1", "common", "?x"),        # 2 constants, est 100
+                ("?x", "rare", "?y")]          # 1 constant, est 2
+    order = _bgp_order(
+        patterns, lambda p: _bgp_estimate(p, stats, 1002.0))
+    assert order == [1, 0]                     # stats flip the anchor
+    # constants-count heuristic picks the other anchor
+    n_const = lambda p: -sum(  # noqa: E731
+        1 for x in p if not (isinstance(x, str) and x.startswith("?")))
+    assert _bgp_order(patterns, n_const) == [0, 1]
+
+
+def test_bgp_match_with_stats_same_bindings(spark):
+    from saber_spark.operators.triples import (bgp_match, bgp_stats,
+                                               void_profile)
+    t = _kg(spark, [
+        ("a", "placed", "o1"), ("b", "placed", "o2"),
+        ("o1", "contains", "p1"), ("o1", "contains", "p2"),
+        ("o2", "contains", "p1"),
+    ])
+    pats = [("?c", "placed", "?o"), ("?o", "contains", "?p")]
+    plain = {(r.c, r.o, r.p) for r in bgp_match(t, pats).collect()}
+    st = bgp_stats(void_profile(t))
+    costed = {(r.c, r.o, r.p)
+              for r in bgp_match(t, pats, stats=st).collect()}
+    assert plain == costed == {("a", "o1", "p1"), ("a", "o1", "p2"),
+                               ("b", "o2", "p1")}

@@ -1464,6 +1464,21 @@ def main() -> None:
         0,
     ))
 
+    # r5 read-side KG: VoID stats = one schema-sized agg (expand for
+    # the two exact distincts), no join, no Python
+    plan_void = formatted_plan(e.q_void_stats(spark, SF_DIR))
+    sections.append((
+        "void_stats (VoID property partitions: one grouped agg)",
+        "Per-predicate triple + distinct subject/object counts in one "
+        "grouped aggregation keyed on the predicate (expand + two-phase "
+        "partial/final for the exact distincts; exact=False swaps in "
+        "HLL). Output is schema-sized. No join above the store "
+        "derivation, no window, no Python.",
+        plan_void,
+        ["HashAggregate", "Expand"],
+        0,
+    ))
+
     # r5 read-side KG: entity cards = two map-side-combinable aggs
     plan_card = formatted_plan(e.q_entity_card(spark, SF_DIR))
     sections.append((
