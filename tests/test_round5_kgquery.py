@@ -246,3 +246,85 @@ def test_bgp_match_with_stats_same_bindings(spark):
               for r in bgp_match(t, pats, stats=st).collect()}
     assert plain == costed == {("a", "o1", "p1"), ("a", "o1", "p2"),
                                ("b", "o2", "p1")}
+
+
+# ----------------------------- randomized brute-force parity
+
+
+def _brute_bgp(rows, patterns):
+    """Reference BGP evaluation by nested loops over the triple list
+    (bag semantics), independent of any join machinery."""
+    def unify(binding, pattern, triple):
+        b = dict(binding)
+        for term, val in zip(pattern, triple):
+            if isinstance(term, str) and term.startswith("?"):
+                v = term[1:]
+                if b.get(v, val) != val:
+                    return None
+                b[v] = val
+            elif term != val:
+                return None
+        return b
+
+    out = [{}]
+    for p in patterns:
+        nxt = []
+        for b in out:
+            for tr in rows:
+                u = unify(b, p, tr)
+                if u is not None:
+                    nxt.append(u)
+        out = nxt
+    return out
+
+
+def test_bgp_randomized_parity_with_bruteforce(spark):
+    import random
+    rnd = random.Random(20260819)
+    ents = [f"e{i}" for i in range(6)]
+    preds = ["p", "q", "r"]
+    shapes = [
+        [("?a", "p", "?b"), ("?b", "q", "?c")],
+        [("?a", "p", "?b"), ("?b", "q", "?c"), ("?c", "r", "?d")],
+        [("?a", "p", "?b"), ("?a", "q", "?c")],          # star
+        [("e0", "p", "?b"), ("?b", "q", "?c")],          # constant anchor
+        [("?a", "p", "?a")],                             # self-loop
+    ]
+    for trial in range(8):
+        rows = [(rnd.choice(ents), rnd.choice(preds), rnd.choice(ents))
+                for _ in range(rnd.randint(5, 25))]
+        t = _kg(spark, rows)
+        pats = shapes[trial % len(shapes)]
+        expected = _brute_bgp(rows, pats)
+        varnames = sorted({x[1:] for p in pats for x in p
+                           if isinstance(x, str) and x.startswith("?")})
+        exp = sorted(tuple(b[v] for v in varnames) for b in expected)
+        got = sorted(tuple(getattr(r, v) for v in varnames)
+                     for r in bgp_match(t, pats).collect())
+        assert got == exp, (trial, pats)
+
+
+def test_kg_snapshot_diff_randomized_parity_with_raw_sets(spark):
+    import random
+    from saber_spark.operators.triples import (kg_snapshot_diff,
+                                               triple_history)
+    rnd = random.Random(42)
+    for trial in range(5):
+        obs = sorted({(f"s{rnd.randint(0, 3)}", "p", f"o{rnd.randint(0, 2)}",
+                       rnd.randint(0, 9)) for _ in range(rnd.randint(8, 30))})
+        s1, s2 = rnd.randint(0, 8), rnd.randint(0, 9)
+        df = spark.createDataFrame(
+            obs, "subj string, pred string, obj string, snap long")
+        got = {(r.subj, r.pred, r.obj): r.status
+               for r in kg_snapshot_diff(triple_history(df), s1, s2)
+               .collect()}
+        # brute force straight from the raw observation sets
+        keys = {(s, p, o) for s, p, o, _ in obs}
+        exp = {}
+        for k in keys:
+            snaps = {sn for s, p, o, sn in obs if (s, p, o) == k}
+            in1, in2 = s1 in snaps, s2 in snaps
+            if in1 or in2:
+                exp[k] = ("unchanged" if in1 and in2
+                          else "added" if in2 else "retracted")
+        assert got == exp, (trial, s1, s2)
