@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--n4", type=int, default=16)
     ap.add_argument("--pairs", type=int, default=3)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--out", default="scaling_paired.json",
+                    help="output filename inside BENCH/")
     args = ap.parse_args()
 
     pages_dir = tempfile.mkdtemp(prefix="scalp_pages_") + "/pages"
@@ -67,7 +69,7 @@ def main() -> None:
         "target": 0.8,
         "pass": statistics.median(effs) >= 0.8,
     }
-    with open(os.path.join(REPO, "BENCH", "scaling_paired.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", args.out), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({k: report[k] for k in
                       ("pair_efficiencies", "scaling_efficiency", "pass")}))

@@ -2871,6 +2871,33 @@ def q_void_stats(spark, sf_dir):
     return void_profile(_schema_kg3(spark, sf_dir))
 
 
+def q_ntriples_roundtrip(spark, sf_dir):
+    """RDF N-Triples serialize -> parse round-trip
+    (sources/ntriples.py): the 3-relation entity store plus a literal
+    leg whose strings contain EVERY spec ECHAR (quote, backslash, LF,
+    CR, TAB) is rendered to spec N-Triples lines and parsed back; the
+    oracle reconstructs the store directly, so the hash match proves
+    serialize∘parse = identity on real data INCLUDING the escaping
+    corner cases — a no-op on either side, a wrong escape order, or a
+    regexp_replace backslash bug all break it. Both directions are
+    JVM literal-replace/regex chains at scan speed (no Python, no
+    shuffle beyond the store's own distinct)."""
+    from saber_spark.sources.ntriples import parse_ntriples, to_ntriples
+    ents = _schema_kg3(spark, sf_dir).withColumn("is_lit", F.lit(False))
+    lits = (_events(spark, sf_dir)
+            .select(F.concat(F.lit("user:"),
+                             F.col("user_id").cast("string")).alias("subj"),
+                    F.lit("noted").alias("pred"),
+                    F.concat(F.col("event_type"), F.lit('"'), F.lit("\\"),
+                             F.lit("\n"), F.lit("\r"), F.lit("\t"),
+                             F.lit("x")).alias("obj"),
+                    F.lit(True).alias("is_lit"))
+            .distinct())
+    lines = to_ntriples(ents.unionByName(lits), literal_col="is_lit",
+                        validate=False)
+    return parse_ntriples(lines, validate=False)
+
+
 def q_jsonld_triples(spark, sf_dir):
     """Structured-data harvesting (structured.jsonld_triples): pull the
     schema.org JSON-LD block out of each page's html and emit
@@ -3197,6 +3224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_sets": q_char_sets,
         "kg_timetravel": q_kg_timetravel,
         "void_stats": q_void_stats,
+        "ntriples_roundtrip": q_ntriples_roundtrip,
         # seven family-redundant sit-outs (local-gate evidence only;
         # siblings named in the contract comment above):
         "linkpred_mrr": q_linkpred_mrr,
@@ -6677,6 +6705,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT obj) AS BIGINT)
                      AS n_distinct_obj
             FROM t GROUP BY pred""",
+        # serialize->parse round-trip identity: the oracle reconstructs
+        # the store DIRECTLY (3-relation entity legs + the every-ECHAR
+        # literal leg built from the same SQL expressions), so any
+        # escape/unescape defect on the Spark side breaks the hash.
+        # DuckDB default strings are standard-SQL (no backslash escapes):
+        # '\' IS one backslash; chr() supplies LF/CR/TAB.
+        "ntriples_roundtrip": """
+            WITH placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj,
+                     'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR)
+                     END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS subj,
+                     'contains' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            supplies_t AS (
+              SELECT 'supp:' || CAST(l_suppkey AS VARCHAR) AS subj,
+                     'supplies' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            ent AS (SELECT DISTINCT * FROM (
+                      SELECT * FROM placed
+                      UNION ALL SELECT * FROM contains_t
+                      UNION ALL SELECT * FROM supplies_t)),
+            lits AS (
+              SELECT DISTINCT
+                     'user:' || CAST(user_id AS VARCHAR) AS subj,
+                     'noted' AS pred,
+                     event_type || '"' || '\\' || chr(10) || chr(13)
+                       || chr(9) || 'x' AS obj
+              FROM events)
+            SELECT subj, pred, obj, FALSE AS is_literal FROM ent
+            UNION ALL
+            SELECT subj, pred, obj, TRUE AS is_literal FROM lits""",
         # rule_confidence's store re-derived; per-subject predicate sets
         # via list_sort(list(DISTINCT ...)) twin array_sort(collect_set)
         "char_sets": """
