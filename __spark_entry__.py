@@ -2871,6 +2871,23 @@ def q_void_stats(spark, sf_dir):
     return void_profile(_schema_kg3(spark, sf_dir))
 
 
+def q_construct_triples(spark, sf_dir):
+    """SPARQL CONSTRUCT (triples.construct): materialize the derived
+    (cust)-[bought_from]->(supp) and inverse (supp)-[sold_to]->(cust)
+    relations over every placed/contains/supplies chain in the
+    3-relation store, excluding the id-swap self-loop corruption via
+    FILTER NOT EXISTS — the rule-APPLICATION twin of rule_confidence's
+    rule MINING. Set semantics (a CONSTRUCT result is a graph):
+    bgp_match's join chain + two template Projects + one distinct."""
+    from saber_spark.operators.triples import construct
+    return construct(_schema_kg3(spark, sf_dir),
+                     [("?c", "placed", "?o"), ("?o", "contains", "?p"),
+                      ("?s", "supplies", "?p")],
+                     [("?c", "bought_from", "?s"),
+                      ("?s", "sold_to", "?c")],
+                     anti=[("?c", "placed", "?c")])
+
+
 def q_ntriples_roundtrip(spark, sf_dir):
     """RDF N-Triples serialize -> parse round-trip
     (sources/ntriples.py): the 3-relation entity store plus a literal
@@ -3225,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_timetravel": q_kg_timetravel,
         "void_stats": q_void_stats,
         "ntriples_roundtrip": q_ntriples_roundtrip,
+        "construct_triples": q_construct_triples,
         # seven family-redundant sit-outs (local-gate evidence only;
         # siblings named in the contract comment above):
         "linkpred_mrr": q_linkpred_mrr,
@@ -6843,6 +6861,44 @@ def oracle_sql() -> dict[str, str]:
               AND t3.pred = 'supplies'
               AND t1.subj NOT IN (SELECT subj FROM loops)
             GROUP BY 1""",
+        # CONSTRUCT = the same BGP join chain, then both templates
+        # instantiated per binding and collapsed to set semantics
+        "construct_triples": """
+            WITH placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj,
+                     'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR)
+                     END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS subj,
+                     'contains' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            supplies_t AS (
+              SELECT 'supp:' || CAST(l_suppkey AS VARCHAR) AS subj,
+                     'supplies' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            t AS (SELECT DISTINCT * FROM (
+                    SELECT * FROM placed
+                    UNION ALL SELECT * FROM contains_t
+                    UNION ALL SELECT * FROM supplies_t)),
+            loops AS (SELECT DISTINCT subj FROM t
+                      WHERE pred = 'placed' AND subj = obj),
+            b AS (SELECT t1.subj AS c, t3.subj AS s
+                  FROM t t1
+                  JOIN t t2 ON t2.subj = t1.obj
+                  JOIN t t3 ON t3.obj = t2.obj
+                  WHERE t1.pred = 'placed' AND t2.pred = 'contains'
+                    AND t3.pred = 'supplies'
+                    AND t1.subj NOT IN (SELECT subj FROM loops))
+            SELECT DISTINCT subj, pred, obj FROM (
+              SELECT c AS subj, 'bought_from' AS pred, s AS obj FROM b
+              UNION ALL
+              SELECT s AS subj, 'sold_to' AS pred, c AS obj FROM b)""",
         # same store; modal neighbor via row_number (n DESC, nbr ASC)
         # twinning Spark's min(struct(-n, nbr)) tie-break
         "entity_card": """

@@ -1004,6 +1004,55 @@ def bgp_match(triples: DataFrame, patterns, optionals=(), anti=(),
     return acc
 
 
+def construct(triples: DataFrame, patterns, templates, optionals=(),
+              anti=(), subj_col: str = "subj", pred_col: str = "pred",
+              obj_col: str = "obj", stats: dict | None = None) -> DataFrame:
+    """SPARQL CONSTRUCT: evaluate a basic graph pattern (bgp_match) and
+    instantiate ``templates`` — (s, p, o) terms, ``?``-prefixed =
+    binding variable, else constant — once per binding, returning a new
+    (subj, pred, obj) graph with SET semantics (a CONSTRUCT result is a
+    graph, so duplicates collapse; SPARQL 1.1 §16.2).
+
+    This is the rule-APPLICATION half of KG enrichment: rule_confidence
+    MINES ``body => head`` rules from the store, construct MATERIALIZES
+    a rule's head over every body match (e.g. derive (cust,
+    bought_from, supp) from placed/contains/supplies chains). A
+    template slot bound to NULL (an OPTIONAL variable that did not
+    match) would not form a triple, so those rows are dropped per spec.
+
+    Scale shape: bgp_match's pushed-down scans + selectivity-ordered
+    equi-join chain, then one Project per template and a union — the
+    only added shuffle is the final set-semantics distinct, keyed on
+    the whole (subj, pred, obj), i.e. exactly the dedup_triples
+    partitioning the store itself uses.
+    """
+    if not templates:
+        raise ValueError("construct needs at least one template triple")
+    b = bgp_match(triples, patterns, optionals=optionals, anti=anti,
+                  subj_col=subj_col, pred_col=pred_col, obj_col=obj_col,
+                  stats=stats)
+    bound = set(b.columns)
+
+    def term(x):
+        if isinstance(x, str) and x.startswith("?"):
+            v = x[1:]
+            if v not in bound:
+                raise ValueError("template variable %s is not bound by "
+                                 "the pattern" % x)
+            return F.col(v)
+        return F.lit(x)
+
+    out = None
+    for s, p, o in templates:
+        g = b.select(term(s).alias("subj"), term(p).alias("pred"),
+                     term(o).alias("obj"))
+        out = g if out is None else out.unionByName(g)
+    return (out.filter(F.col("subj").isNotNull()
+                       & F.col("pred").isNotNull()
+                       & F.col("obj").isNotNull())
+            .distinct())
+
+
 def entity_card(triples: DataFrame, subj_col: str = "subj",
                 pred_col: str = "pred", obj_col: str = "obj") -> DataFrame:
     """Concise-bounded-description profile per entity -> (entity,

@@ -132,23 +132,19 @@ def write_ntriples(edges: DataFrame, path: str, subj: str = "subj",
     set), pure built-in regexp/URL encoding, zero Python in the row
     path. NULL terms raise at write time (the write_edgelist contract:
     a silently dropped field would corrupt the line format).
-    """
-    def iri(col: str):
-        c = F.col(col).cast("string")
-        # url_encode percent-escapes everything non-alphanumeric
-        # (application/x-www-form-urlencoded); '+' means space there,
-        # so rewrite it to %20 for IRI semantics
-        return F.concat(F.lit("<"), F.lit(base_iri),
-                        F.regexp_replace(F.url_encode(c), r"\+", "%20"),
-                        F.lit(">"))
 
-    cols = [F.col(subj), F.col(pred), F.col(obj)]
-    bad = edges.filter(cols[0].isNull() | cols[1].isNull()
-                       | cols[2].isNull()).limit(1).count()
-    if bad:
+    Thin policy wrapper over the canonical serializer
+    (sources/ntriples.py::to_ntriples with ``encode_iris=True``); that
+    module also parses dumps back (``read_ntriples(decode_iris=True)``
+    inverts this writer) and handles string literals with spec ECHAR
+    escaping.
+    """
+    from saber_spark.sources.ntriples import to_ntriples
+    try:
+        lines = to_ntriples(edges, base=base_iri, subj=subj, pred=pred,
+                            obj=obj, encode_iris=True, validate=True)
+    except ValueError as exc:
         raise ValueError(
             "write_ntriples: NULL subj/pred/obj cannot render as a "
-            "valid N-Triples line")
-    (edges.select(F.concat_ws(" ", iri(subj), iri(pred), iri(obj),
-                              F.lit(".")).alias("value"))
-     .write.mode("overwrite").text(path))
+            "valid N-Triples line") from exc
+    lines.write.mode("overwrite").text(path)

@@ -37,13 +37,22 @@ DEFAULT_BASE = "http://kg.example/"
 #: (spec: not U+0000..U+0020 and none of <>"{}|^` and backslash)
 _IRI_FORBIDDEN_RE = r'[\x00-\x20<>"{}|^`\\]'
 
-#: structural line regex (Java flavor, used via regexp_extract):
-#: groups 1=subj IRI, 2=pred IRI, 3=obj IRI (or empty), 4=obj literal
-#: body (or empty). The literal body admits only non-quote/non-backslash
-#: characters or complete escape pairs, so an unterminated escape or a
-#: bare quote fails the whole line rather than mis-parsing.
-NT_LINE_RE = (r'^<([^>]*)> <([^>]*)> '
-              r'(?:<([^>]*)>|"((?:[^"\\]|\\.)*)") \.$')
+#: structural line regex (Java flavor, used via regexp_extract).
+#: Subjects and objects admit IRIs and blank-node labels; objects also
+#: admit string literals with an optional language tag or ^^<datatype>
+#: suffix (the Wikidata/DBpedia dump vocabulary). Groups:
+#:   1=subj IRI   2=subj bnode label
+#:   3=pred IRI
+#:   4=obj IRI    5=obj bnode label
+#:   6=obj literal body   7=language tag   8=datatype IRI
+#: The literal body admits only non-quote/non-backslash characters or
+#: complete escape pairs, so an unterminated escape or a bare quote
+#: fails the whole line rather than mis-parsing.
+_BNODE = r'_:([A-Za-z0-9][A-Za-z0-9._-]*)'
+NT_LINE_RE = (r'^(?:<([^>]*)>|' + _BNODE + r') <([^>]*)> '
+              r'(?:<([^>]*)>|' + _BNODE +
+              r'|"((?:[^"\\]|\\.)*)"'
+              r'(?:@([a-zA-Z][a-zA-Z0-9-]*)|\^\^<([^>]*)>)?) \.$')
 
 _NUL = "\x00"
 
@@ -69,88 +78,150 @@ def _unescape_literal(c: Column) -> Column:
     return c
 
 
-def _iri(term: Column, base: str) -> Column:
+_BNODE_OK_RE = r'^_:[A-Za-z0-9][A-Za-z0-9._-]*$'
+
+
+def _iri(term: Column, base: str, encode: bool) -> Column:
+    if encode:
+        # url_encode percent-escapes everything non-alphanumeric
+        # (form-encoding); '+' means space there, so rewrite to %20 for
+        # IRI semantics — covers the whole IRIREF exclusion set
+        term = F.regexp_replace(F.url_encode(term), r"\+", "%20")
     return F.concat(F.lit("<" + base), term, F.lit(">"))
+
+
+def _node(term: Column, base: str, encode: bool) -> Column:
+    """IRI-or-blank-node rendering: ``_:``-prefixed terms are blank-node
+    labels and pass through verbatim (never base-prefixed, never
+    percent-encoded — spec BLANK_NODE_LABEL); everything else is an IRI.
+    """
+    return F.when(term.startswith("_:"), term
+                  ).otherwise(_iri(term, base, encode))
 
 
 def to_ntriples(triples: DataFrame, base: str = DEFAULT_BASE,
                 subj: str = "subj", pred: str = "pred", obj: str = "obj",
                 literal_col: str | None = None,
+                encode_iris: bool = False,
                 validate: bool = True) -> DataFrame:
     """Triple rows -> one-column ``line`` DataFrame of N-Triples lines.
 
     ``literal_col`` optionally names a boolean column: where true the
-    object renders as an escaped string literal, else as an IRI. Terms
-    destined for IRI position are validated (NULL or raw IRI-forbidden
-    characters raise at serialize time, same fail-at-write contract as
-    graph_export.write_edgelist — a bad id must not corrupt the dump);
-    literal bodies accept anything non-NULL (escaping handles it).
+    object renders as an escaped string literal, else as an IRI.
+
+    Two IRI policies:
+      * ``encode_iris=False`` (default): terms are trusted identifiers;
+        a NULL or a raw IRI-forbidden character raises at serialize
+        time (the graph_export.write_edgelist fail-at-write contract —
+        a bad id must not corrupt the dump).
+      * ``encode_iris=True``: arbitrary ids are percent-encoded into
+        safe IRIs (the policy of graph_export.write_ntriples, which
+        delegates here); only NULLs raise. Parse back with
+        ``decode_iris=True`` for the round-trip.
+
+    Literal bodies accept anything non-NULL (escaping handles it).
     """
     is_lit = (F.col(literal_col) if literal_col is not None
               else F.lit(False))
+    s, p, o = (F.col(subj).cast("string"), F.col(pred).cast("string"),
+               F.col(obj).cast("string"))
     if validate:
-        iri_cols = [F.col(subj), F.col(pred)]
-        bad = (F.col(subj).isNull() | F.col(pred).isNull()
-               | F.col(obj).isNull()
-               | (~is_lit & F.col(obj).rlike(_IRI_FORBIDDEN_RE)))
-        for c in iri_cols:
-            bad = bad | c.rlike(_IRI_FORBIDDEN_RE)
+        def bad_node(c, may_be_lit=None):
+            # a _:-prefixed term must be a well-formed blank-node label;
+            # any other term is an IRI (charset-checked unless encoding)
+            b = c.startswith("_:") & ~c.rlike(_BNODE_OK_RE)
+            if not encode_iris:
+                b = b | (~c.startswith("_:")
+                         & c.rlike(_IRI_FORBIDDEN_RE))
+            if may_be_lit is not None:
+                b = ~may_be_lit & b
+            return b
+
+        bad_pred = p.startswith("_:")   # predicates are IRIs, never bnodes
+        if not encode_iris:
+            bad_pred = bad_pred | p.rlike(_IRI_FORBIDDEN_RE)
+        bad = (s.isNull() | p.isNull() | o.isNull()
+               | bad_node(s) | bad_pred | bad_node(o, is_lit))
         if triples.filter(bad).limit(1).count():
             raise ValueError(
-                "to_ntriples: NULL terms or raw IRI-forbidden characters "
-                "(U+0000..U+0020, <>\"{}|^` or backslash) cannot render "
-                "as a valid N-Triples line")
+                "to_ntriples: NULL terms, malformed _: blank-node "
+                "labels, or raw IRI-forbidden characters (U+0000.."
+                "U+0020, <>\"{}|^` or backslash) cannot render as a "
+                "valid N-Triples line")
     obj_term = F.when(
         is_lit,
-        F.concat(F.lit('"'), _escape_literal(F.col(obj)), F.lit('"'))
-    ).otherwise(_iri(F.col(obj), base))
+        F.concat(F.lit('"'), _escape_literal(o), F.lit('"'))
+    ).otherwise(_node(o, base, encode_iris))
     return triples.select(
-        F.concat(_iri(F.col(subj), base), F.lit(" "),
-                 _iri(F.col(pred), base), F.lit(" "),
+        F.concat(_node(s, base, encode_iris), F.lit(" "),
+                 _iri(p, base, encode_iris), F.lit(" "),
                  obj_term, F.lit(" .")).alias("line"))
 
 
 def parse_ntriples(lines: DataFrame, base: str | None = DEFAULT_BASE,
                    line_col: str = "line",
+                   decode_iris: bool = False,
+                   with_meta: bool = False,
                    validate: bool = True) -> DataFrame:
     """N-Triples lines -> (subj, pred, obj, is_literal) rows.
 
-    IRIs are returned with ``base`` stripped when they carry it (so the
-    round-trip with to_ntriples is the identity); literals are
-    unescaped. With ``validate`` (default) a line that fails the
-    structural regex raises; with ``validate=False`` such lines are
-    silently dropped (the salvage mode for a third-party dump).
+    Accepts the full public-dump vocabulary: IRI terms, ``_:`` blank
+    nodes (kept verbatim, never base-stripped), plain string literals,
+    ``"..."@lang`` language-tagged literals, and ``"..."^^<dt>`` typed
+    literals. IRIs are returned with ``base`` stripped when they carry
+    it (so the round-trip with to_ntriples is the identity); with
+    ``decode_iris=True`` they are additionally percent-decoded (the
+    inverse of ``to_ntriples(encode_iris=True)``). Literal bodies are
+    unescaped; the lang/datatype suffix is dropped from ``obj``
+    (Wikidata-"truthy" reading) unless ``with_meta=True`` adds ``lang``
+    and ``datatype`` columns (NULL when absent or not a literal).
+    With ``validate`` (default) a line that fails the structural regex
+    raises; with ``validate=False`` such lines are silently dropped
+    (the salvage mode for a third-party dump).
     """
     c = F.col(line_col)
     if validate:
         if lines.filter(~c.rlike(NT_LINE_RE)).limit(1).count():
             raise ValueError(
                 "parse_ntriples: input contains lines that are not "
-                "valid <s> <p> <o|\"literal\"> . statements")
+                "valid <s> <p> <o|\"literal\"|_:b> . statements")
         ok = lines
     else:
         ok = lines.filter(c.rlike(NT_LINE_RE))
 
     def strip_base(col: Column) -> Column:
-        if base is None:
-            return col
-        n = len(base)
-        return F.when(col.startswith(base),
-                      col.substr(F.lit(n + 1), F.length(col))
-                      ).otherwise(col)
+        if base is not None:
+            n = len(base)
+            col = F.when(col.startswith(base),
+                         col.substr(F.lit(n + 1), F.length(col))
+                         ).otherwise(col)
+        if decode_iris:
+            col = F.url_decode(col)
+        return col
 
-    obj_iri = F.regexp_extract(c, NT_LINE_RE, 3)
-    obj_lit = F.regexp_extract(c, NT_LINE_RE, 4)
-    # regexp_extract returns '' for a non-participating group, so the
-    # IRI-vs-literal discriminator is the raw line shape (group 3 may be
-    # legitimately empty for the relative IRI <>)
-    is_literal = c.rlike(r'"((?:[^"\\]|\\.)*)" \.$')
-    return ok.select(
-        strip_base(F.regexp_extract(c, NT_LINE_RE, 1)).alias("subj"),
-        strip_base(F.regexp_extract(c, NT_LINE_RE, 2)).alias("pred"),
-        F.when(is_literal, _unescape_literal(obj_lit))
-        .otherwise(strip_base(obj_iri)).alias("obj"),
-        is_literal.alias("is_literal"))
+    def g(i: int) -> Column:
+        return F.regexp_extract(c, NT_LINE_RE, i)
+
+    # regexp_extract returns '' for a non-participating group, and ''
+    # is also a legitimate IRI (<>), so term KIND comes from the raw
+    # line shape, never from group emptiness
+    subj_bnode = c.rlike(r'^_:')
+    is_literal = c.rlike(r'"(?:@[a-zA-Z][a-zA-Z0-9-]*|\^\^<[^>]*>)? \.$')
+    obj_bnode = ~is_literal & c.rlike(r' _:[^ ]+ \.$')
+    subj = F.when(subj_bnode, F.concat(F.lit("_:"), g(2))
+                  ).otherwise(strip_base(g(1)))
+    obj = (F.when(is_literal, _unescape_literal(g(6)))
+           .when(obj_bnode, F.concat(F.lit("_:"), g(5)))
+           .otherwise(strip_base(g(4))))
+    cols = [subj.alias("subj"), strip_base(g(3)).alias("pred"),
+            obj.alias("obj"), is_literal.alias("is_literal")]
+    if with_meta:
+        lang, dt = g(7), g(8)
+        cols += [F.when(is_literal & (lang != ""), lang)
+                 .alias("lang"),
+                 F.when(is_literal & (dt != ""), dt)
+                 .alias("datatype")]
+    return ok.select(*cols)
 
 
 def write_ntriples(triples: DataFrame, path: str, **kwargs) -> None:

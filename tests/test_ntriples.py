@@ -78,6 +78,19 @@ def test_parse_validation_and_salvage(spark):
         ("a", "p", "b", False)]
 
 
+def test_encode_iris_roundtrip(spark):
+    rows = [("alice smith", "works<at>", "acme|corp", False),
+            ("a+b", "p", 'say "hi"\n', True)]
+    df = _store(spark, rows)
+    lines = to_ntriples(df, literal_col="is_lit", encode_iris=True)
+    for ln in (r.line for r in lines.collect()):
+        head = ln.split('"')[0] if '"' in ln else ln
+        assert " <" in head and "|" not in head and "{" not in head
+    back = parse_ntriples(lines, decode_iris=True)
+    got = {(r.subj, r.pred, r.obj, r.is_literal) for r in back.collect()}
+    assert got == set(rows)
+
+
 def test_parse_keeps_foreign_base(spark):
     lines = spark.createDataFrame(
         [("<http://other.org/x> <http://other.org/p> \"v\" .",)],
@@ -85,3 +98,40 @@ def test_parse_keeps_foreign_base(spark):
     r = parse_ntriples(lines).collect()[0]
     assert (r.subj, r.pred, r.obj, r.is_literal) == (
         "http://other.org/x", "http://other.org/p", "v", True)
+
+
+def test_bnode_roundtrip_and_rules(spark):
+    rows = [("_:b0", "p", "o1", False),       # bnode subject
+            ("s1", "p", "_:b1.x-2", False),   # bnode object, full charset
+            ("_:b0", "p", "_:b0", False)]     # bnode both ends
+    df = _store(spark, rows)
+    lines = {r.line for r in to_ntriples(df, literal_col="is_lit").collect()}
+    assert f"<{B}s1> <{B}p> _:b1.x-2 ." in lines      # verbatim, no base
+    back = parse_ntriples(to_ntriples(df, literal_col="is_lit"))
+    got = {(r.subj, r.pred, r.obj, r.is_literal) for r in back.collect()}
+    assert got == set(rows)
+    # malformed label and bnode-as-predicate both raise
+    for bad in [("_:", "p", "o", False), ("_:b 0", "p", "o", False),
+                ("s", "_:b0", "o", False)]:
+        with pytest.raises(ValueError, match="to_ntriples"):
+            to_ntriples(_store(spark, [bad]), literal_col="is_lit").collect()
+
+
+def test_parse_lang_and_datatype_literals(spark):
+    lines = spark.createDataFrame(
+        [(f'<{B}s> <{B}p> "bonjour"@fr .',),
+         (f'<{B}s> <{B}p> "42"^^<http://www.w3.org/2001/XMLSchema#int> .',),
+         (f'<{B}s> <{B}p> "plain" .',),
+         (f'<{B}s> <{B}p> <{B}o> .',)],
+        "line string")
+    # truthy reading: suffix dropped, body kept
+    got = {(r.obj, r.is_literal) for r in parse_ntriples(lines).collect()}
+    assert got == {("bonjour", True), ("42", True), ("plain", True),
+                   ("o", False)}
+    # with_meta exposes the suffix
+    meta = {(r.obj, r.lang, r.datatype)
+            for r in parse_ntriples(lines, with_meta=True).collect()}
+    assert meta == {
+        ("bonjour", "fr", None),
+        ("42", None, "http://www.w3.org/2001/XMLSchema#int"),
+        ("plain", None, None), ("o", None, None)}

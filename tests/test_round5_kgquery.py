@@ -328,3 +328,51 @@ def test_kg_snapshot_diff_randomized_parity_with_raw_sets(spark):
                 exp[k] = ("unchanged" if in1 and in2
                           else "added" if in2 else "retracted")
         assert got == exp, (trial, s1, s2)
+
+
+# ---------------------------------------------------------------- CONSTRUCT
+
+
+class TestConstruct:
+    def _kg(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string")
+
+    def test_construct_materializes_templates_set_semantics(self, spark):
+        from saber_spark.operators.triples import construct
+        t = self._kg(spark, [
+            ("c1", "placed", "o1"), ("o1", "contains", "p1"),
+            ("o1", "contains", "p2"),
+            ("s1", "supplies", "p1"), ("s1", "supplies", "p2"),
+            ("s2", "supplies", "p2"),
+        ])
+        got = {(r.subj, r.pred, r.obj)
+               for r in construct(
+                   t,
+                   [("?c", "placed", "?o"), ("?o", "contains", "?p"),
+                    ("?s", "supplies", "?p")],
+                   [("?c", "bought_from", "?s"),
+                    ("?s", "sold_to", "?c")]).collect()}
+        # (c1,s1) matches via p1 AND p2 -> ONE triple each way (set)
+        assert got == {("c1", "bought_from", "s1"),
+                       ("c1", "bought_from", "s2"),
+                       ("s1", "sold_to", "c1"), ("s2", "sold_to", "c1")}
+
+    def test_construct_drops_null_optional_slots(self, spark):
+        from saber_spark.operators.triples import construct
+        t = self._kg(spark, [
+            ("c1", "placed", "o1"), ("c2", "placed", "o2"),
+            ("o1", "shipped_by", "s9"),
+        ])
+        got = {(r.subj, r.pred, r.obj)
+               for r in construct(
+                   t, [("?c", "placed", "?o")],
+                   [("?c", "shipper", "?s")],
+                   optionals=[("?o", "shipped_by", "?s")]).collect()}
+        assert got == {("c1", "shipper", "s9")}   # c2's NULL slot dropped
+
+    def test_construct_unbound_template_var_raises(self, spark):
+        from saber_spark.operators.triples import construct
+        t = self._kg(spark, [("a", "p", "b")])
+        with pytest.raises(ValueError, match="not bound"):
+            construct(t, [("?x", "p", "?y")], [("?x", "q", "?z")])

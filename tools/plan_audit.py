@@ -1493,6 +1493,23 @@ def main() -> None:
         0,
     ))
 
+    # r5 RDF interop: serialize -> parse must stay pure codegen'd
+    # string Projects over the store (no Python, no extra shuffle —
+    # the only exchanges belong to the store's own distinct)
+    plan_nt = formatted_plan(e.q_ntriples_roundtrip(spark, SF_DIR))
+    sections.append((
+        "ntriples_roundtrip (RDF dump serialize+parse: scan-speed Projects)",
+        "Both N-Triples directions (ECHAR escape via literal "
+        "StringReplace chains, structural regexp_extract parse) must "
+        "compile to Project nodes inside WholeStageCodegen stacked on "
+        "the store derivation — zero Python eval nodes and no shuffle "
+        "beyond the store's set-semantics distinct, so a 10^12-triple "
+        "dump serializes at scan speed.",
+        plan_nt,
+        ["Project", "HashAggregate", "WholeStageCodegen"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
