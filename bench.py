@@ -204,6 +204,8 @@ def main() -> None:
         "char_sets", "kg_timetravel",
         # round 5 batch 5 (VoID statistics table for the BGP cost model)
         "void_stats",
+        # round 5 batch 6 (RDF dump round-trip + SPARQL CONSTRUCT)
+        "ntriples_roundtrip", "construct_triples",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -1501,12 +1501,14 @@ def main() -> None:
         "ntriples_roundtrip (RDF dump serialize+parse: scan-speed Projects)",
         "Both N-Triples directions (ECHAR escape via literal "
         "StringReplace chains, structural regexp_extract parse) must "
-        "compile to Project nodes inside WholeStageCodegen stacked on "
-        "the store derivation — zero Python eval nodes and no shuffle "
-        "beyond the store's set-semantics distinct, so a 10^12-triple "
-        "dump serializes at scan speed.",
+        "collapse to plain Project nodes stacked directly on the store "
+        "derivation (codegen'd at execution; AQE formatted output does "
+        "not print WholeStageCodegen markers) — zero Python eval nodes "
+        "and no shuffle beyond the store's set-semantics distinct "
+        "(HashAggregate pair per union branch), so a 10^12-triple dump "
+        "serializes at scan speed.",
         plan_nt,
-        ["Project", "HashAggregate", "WholeStageCodegen"],
+        ["Project", "HashAggregate", "Union"],
         0,
     ))
 
