@@ -2871,6 +2871,21 @@ def q_void_stats(spark, sf_dir):
     return void_profile(_schema_kg3(spark, sf_dir))
 
 
+def q_microdata_triples(spark, sf_dir):
+    """Schema.org MICRODATA harvesting (structured.microdata_triples):
+    the third publisher-asserted triple syntax next to jsonld_triples
+    and table_triples — the WebDataCommons extraction triad complete.
+    The fixture entity-escapes every value on the way in (the publisher
+    constant carries all four entities) and the extractor decodes
+    (&amp; last), while the oracle re-derives every field from
+    documents RAW — so a missing/mis-ordered escape or decode on either
+    side breaks the hash. JVM-only: regexp scans + posexplode inside
+    codegen, no Python, no shuffle."""
+    from saber_spark.fixtures.pages import build_pages_with_microdata
+    from saber_spark.operators.structured import microdata_triples
+    return microdata_triples(build_pages_with_microdata(spark, sf_dir))
+
+
 def q_construct_triples(spark, sf_dir):
     """SPARQL CONSTRUCT (triples.construct): materialize the derived
     (cust)-[bought_from]->(supp) and inverse (supp)-[sold_to]->(cust)
@@ -3243,6 +3258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "void_stats": q_void_stats,
         "ntriples_roundtrip": q_ntriples_roundtrip,
         "construct_triples": q_construct_triples,
+        "microdata_triples": q_microdata_triples,
         # seven family-redundant sit-outs (local-gate evidence only;
         # siblings named in the contract comment above):
         "linkpred_mrr": q_linkpred_mrr,
@@ -3427,6 +3443,29 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT url, 'schema:wordCount', CAST(wc AS VARCHAR)
                         FROM base)
             WHERE obj IS NOT NULL""",
+        # microdata twin of the jsonld oracle: every field re-derived
+        # from documents RAW (no escaping) — the Spark side must
+        # entity-escape into the fixture html and decode back out, so
+        # the hash proves escape∘decode = identity including the
+        # all-entities publisher constant
+        "microdata_triples": r"""
+            WITH base AS (
+              SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     substr(text, 1, 40) AS headline,
+                     coalesce(lang, '') AS lang,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                          AS BIGINT) AS wc
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> '')
+            SELECT url, pred, obj FROM (
+              SELECT url, 'rdf:type' AS pred, 'Article' AS obj FROM base
+              UNION ALL SELECT url, 'schema:headline', headline FROM base
+              UNION ALL SELECT url, 'schema:inLanguage', lang FROM base
+              UNION ALL SELECT url, 'schema:wordCount', CAST(wc AS VARCHAR)
+                        FROM base
+              UNION ALL SELECT url, 'schema:publisher', 'p<q & "r"'
+                        FROM base)""",
         "hashed_ngram_score": r"""
             WITH clean AS (
               SELECT doc_id,

@@ -85,3 +85,60 @@ def build_pages_with_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit("</p></body></html>")),
             "utf-8").alias("html"),
     )
+
+
+# HTML entity escape/decode pair for microdata values: encode & FIRST,
+# decode it LAST — the standard order that keeps escape∘decode = identity
+# even for pre-escaped-looking payloads ("&amp;lt;" round-trips to "&lt;",
+# never "<").
+def _entity_escape(col):
+    col = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    col = F.replace(col, F.lit("<"), F.lit("&lt;"))
+    col = F.replace(col, F.lit(">"), F.lit("&gt;"))
+    col = F.replace(col, F.lit('"'), F.lit("&quot;"))
+    return col
+
+
+#: publisher constant carrying every escaped entity — forces the
+#: extractor's decode path to do real work on every page
+MICRODATA_PUBLISHER = 'p<q & "r"'
+
+
+def build_pages_with_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> pages whose html carries a schema.org
+    MICRODATA block (url, html) — the third structured-data syntax next
+    to JSON-LD and markup tables (the WebDataCommons extraction triad).
+
+    Values are HTML-entity-escaped on the way in (& first), so the
+    extractor's decode has real work on every page: the publisher
+    constant carries all four entities, and any document text containing
+    markup characters escapes too. Pages with NULL/blank text carry no
+    block (the no-structured-data case). Narrow map over the scan — no
+    UDF, no shuffle.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wc = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    block = F.when(
+        F.col("text").isNotNull() & (F.trim("text") != ""),
+        F.concat(
+            F.lit('<div itemscope itemtype="https://schema.org/Article">'),
+            F.lit('<span itemprop="headline">'),
+            _entity_escape(F.substring("text", 1, 40)),
+            F.lit("</span>"),
+            F.lit('<meta itemprop="inLanguage" content="'),
+            _entity_escape(F.coalesce(F.col("lang"), F.lit(""))),
+            F.lit('">'),
+            F.lit('<span itemprop="wordCount">'),
+            wc.cast("string"), F.lit("</span>"),
+            F.lit('<meta itemprop="publisher" content="'),
+            _entity_escape(F.lit(MICRODATA_PUBLISHER)), F.lit('">'),
+            F.lit("</div>"))).otherwise(F.lit(""))
+    return docs.select(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><head></head>\n<body>"), block,
+                     F.lit("<p>"), F.coalesce("text", F.lit("")),
+                     F.lit("</p></body></html>")),
+            "utf-8").alias("html"),
+    )

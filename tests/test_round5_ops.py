@@ -276,3 +276,54 @@ def test_table_triples_single_column_contributes_nothing(spark):
     html = "<table><tr><td>only</td></tr><tr><td>col</td></tr></table>"
     pages = spark.createDataFrame([("u", html)], "url string, html string")
     assert table_triples(html_tables(pages)).count() == 0
+
+
+# ------------------------------------------------------------- microdata
+
+
+class TestMicrodata:
+    def _page(self, spark, url, body):
+        return (spark.createDataFrame([(url,)], "url string")
+                .select("url", F.encode(F.concat(
+                    F.lit("<html><body>"), F.lit(body),
+                    F.lit("</body></html>")), "utf-8").alias("html")))
+
+    def test_extracts_type_span_and_meta_props(self, spark):
+        from saber_spark.operators.structured import microdata_triples
+        body = ('<div itemscope itemtype="https://schema.org/Article">'
+                '<span itemprop="headline">Big news</span>'
+                '<meta itemprop="inLanguage" content="en">'
+                "</div>")
+        got = {(r.pred, r.obj)
+               for r in microdata_triples(
+                   self._page(spark, "u1", body)).collect()}
+        assert got == {("rdf:type", "Article"),
+                       ("schema:headline", "Big news"),
+                       ("schema:inLanguage", "en")}
+
+    def test_entity_decode_order(self, spark):
+        from saber_spark.operators.structured import microdata_triples
+        body = ('<div itemscope itemtype="https://schema.org/Thing">'
+                '<span itemprop="a">p&lt;q &amp; &quot;r&quot;</span>'
+                '<span itemprop="b">&amp;lt;</span>'   # pre-escaped: -> &lt;
+                "</div>")
+        got = {r.pred: r.obj
+               for r in microdata_triples(
+                   self._page(spark, "u1", body)).collect()
+               if r.pred != "rdf:type"}
+        assert got == {"schema:a": 'p<q & "r"', "schema:b": "&lt;"}
+
+    def test_page_without_itemscope_emits_nothing(self, spark):
+        from saber_spark.operators.structured import microdata_triples
+        assert microdata_triples(
+            self._page(spark, "u1", "<p>plain</p>")).count() == 0
+
+    def test_fixture_escape_extract_identity(self, spark):
+        from saber_spark.fixtures.pages import (MICRODATA_PUBLISHER,
+                                                build_pages_with_microdata)
+        from saber_spark.operators.structured import microdata_triples
+        out = microdata_triples(
+            build_pages_with_microdata(spark, SF_DIR_001))
+        pubs = {r.obj for r in
+                out.filter(F.col("pred") == "schema:publisher").collect()}
+        assert pubs == {MICRODATA_PUBLISHER}
