@@ -3142,6 +3142,71 @@ def q_table_triples(spark, sf_dir):
     return table_triples(html_tables(pages))
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode (similarity.pq_codes, Jégou et al.
+    TPAMI 2011): each embedding splits into 4 contiguous subvectors,
+    each replaced by its nearest codeword id from a deterministic
+    8-entry per-subspace codebook — the memory-side ANN component next
+    to ivf_cosine_topk (cell routing) and lsh_cosine_topk (hash
+    routing); at 10^12 vectors PQ is what makes the re-rank candidate
+    set RAM-resident. Exact integer L2 on the quantized components, so
+    the oracle's argmin agrees bit-for-bit; assignment is a NARROW
+    higher-order argmin over a broadcast-literal codebook (no shuffle,
+    no crossJoin, no Python)."""
+    from saber_spark.operators.similarity import pq_codes
+    return pq_codes(_embeddings(spark, sf_dir), m=4, n_codes=8)
+
+
+def q_quote_attribution(spark, sf_dir):
+    """Reported-speech harvesting (structured.quote_attribution,
+    Quotebank-style who-said-what extraction): direct ``X said "..."``
+    and inverted ``"...," said|replied X`` frames pulled with two JVM
+    regexp_extract_all passes and positional arrays_zip — quote/claim
+    edges are the web-KG triple family the tagger path cannot see.
+    The fixture synthesizes both frames deterministically from each
+    document's own words (fixtures/pages.py:build_docs_with_quotes)
+    and the oracle re-derives the text AND re-runs the identical
+    RE2/Java-portable pattern from documents RAW, so a regex or zip
+    bug on either side breaks the hash. No Python, no shuffle."""
+    from saber_spark.fixtures.pages import build_docs_with_quotes
+    from saber_spark.operators.structured import quote_attribution
+    return quote_attribution(build_docs_with_quotes(spark, sf_dir))
+
+
+def q_ndcg_eval(spark, sf_dir):
+    """Ranking-quality evaluation (retrieval.ndcg_eval, Järvelin &
+    Kekäläinen TOIS 2002): nDCG@10 for three term queries over
+    documents — the graded-judgment eval metric next to linkpred's
+    MRR/AUC; system ranking by query-term tf, graded relevance derived
+    independently from a paired relevance term (grades 0..3), DCG with
+    the (2^rel-1)/log2(rank+1) gain, IDCG by re-ranking the same
+    candidates. ONE scan: queries ride in as an exploded broadcast
+    literal, tf/rel are higher-order filters inside codegen, and the
+    only exchange is the per-query ranking window."""
+    from saber_spark.operators.retrieval import ndcg_eval
+    return ndcg_eval(_docs(spark, sf_dir),
+                     [("join", "merge"), ("stream", "window"),
+                      ("filter", "scan")], k=10)
+
+
+def q_fd_mining(spark, sf_dir):
+    """Approximate functional-dependency mining (profile.fd_mine,
+    TANE/Pyro-style g3 error, Kivinen & Mannila 1995): for four
+    candidate lhs -> rhs pairs over orders, the fraction of rows that
+    must be deleted for the FD to hold — the schema-DISCOVERY
+    generalization of link_fd_check's single-FD audit, run before
+    resolve_conflicts assumes a predicate is functional. The slate
+    spans the spectrum: o_orderkey -> o_custkey holds exactly (key),
+    the rest fail at three distinct error levels. One (lhs, rhs) hash
+    agg per candidate with map-side combine; each result is one row."""
+    from saber_spark.operators.profile import fd_mine
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return fd_mine(orders, [("o_orderkey", "o_custkey"),
+                            ("o_custkey", "o_orderstatus"),
+                            ("o_orderstatus", "o_orderpriority"),
+                            ("o_orderdate", "o_orderstatus")])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -3404,6 +3469,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bigrams": q_token_bigrams,
         "zscore_by_source": q_zscore_by_source,
         "customers_without_orders": q_customers_without_orders,
+        # added post-freeze in round 5 (tail — the r5 cap slate above is
+        # frozen; these carry local-gate + pytest evidence this round):
+        "pq_codes": q_pq_codes,
+        "quote_attribution": q_quote_attribution,
+        "ndcg_eval": q_ndcg_eval,
+        "fd_mining": q_fd_mining,
     }
 
 
@@ -7327,4 +7398,149 @@ def oracle_sql() -> dict[str, str]:
                         END AS INT) AS cycle_len
             FROM e LEFT JOIN mins m
               ON m.start = e.b AND m.node = e.a""",
+        # --- round-5 post-freeze tail ---
+        "pq_codes": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding,
+                     x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            vals AS (
+              SELECT vec_id, CAST(generate_subscripts(qv, 1) AS INT) AS i,
+                     unnest(qv) AS v
+              FROM q),
+            sv AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS sub_id, i, v
+                   FROM vals),
+            d AS (
+              SELECT a.vec_id, a.sub_id, c.vec_id AS code,
+                     sum((a.v - c.v) * (a.v - c.v)) AS dist2
+              FROM sv a JOIN sv c ON c.i = a.i AND c.vec_id < 8
+              GROUP BY a.vec_id, a.sub_id, c.vec_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY dist2, code) AS rn
+                  FROM d)
+            SELECT vec_id, sub_id, CAST(code AS INT) AS code,
+                   CAST(dist2 AS BIGINT) AS dist2
+            FROM r WHERE rn = 1""",
+        "quote_attribution": r"""
+            WITH cast_list AS (
+              SELECT ['Dr. Chen','Prof. Okafor','Ms. Ito','Mr. Alvarez',
+                      'Dean Park'] AS cs),
+            t AS (
+              SELECT doc_id,
+                     coalesce(text, '') ||
+                     CASE WHEN text IS NOT NULL AND trim(text) != ''
+                          THEN ' ' || cs[CAST(doc_id % 5 AS INT) + 1]
+                               || ' said "' || substr(trim(text), 1, 30)
+                               || '." "' || substr(trim(text), 31, 24)
+                               || '," replied '
+                               || cs[CAST((doc_id + 2) % 5 AS INT) + 1] || '.'
+                          ELSE '' END AS text
+              FROM documents, cast_list),
+            direct AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                       '((?:[A-Z][A-Za-z.]* )*[A-Z][A-Za-z]*) said "([^"]+)"',
+                       1)) AS speaker,
+                     unnest(regexp_extract_all(text,
+                       '((?:[A-Z][A-Za-z.]* )*[A-Z][A-Za-z]*) said "([^"]+)"',
+                       2)) AS quote,
+                     'said' AS cue, 'direct' AS frame
+              FROM t),
+            inv AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                       '"([^"]+)," (said|replied) ((?:[A-Z][A-Za-z.]* )*[A-Z][A-Za-z]*)',
+                       3)) AS speaker,
+                     unnest(regexp_extract_all(text,
+                       '"([^"]+)," (said|replied) ((?:[A-Z][A-Za-z.]* )*[A-Z][A-Za-z]*)',
+                       1)) AS quote,
+                     unnest(regexp_extract_all(text,
+                       '"([^"]+)," (said|replied) ((?:[A-Z][A-Za-z.]* )*[A-Z][A-Za-z]*)',
+                       2)) AS cue,
+                     'inverted' AS frame
+              FROM t)
+            SELECT doc_id, speaker, quote, cue, frame FROM direct
+            UNION ALL
+            SELECT doc_id, speaker, quote, cue, frame FROM inv""",
+        "ndcg_eval": r"""
+            WITH qs AS (SELECT * FROM (VALUES ('join', 'merge'),
+                        ('stream', 'window'), ('filter', 'scan'))
+                        AS v(term, rel_term)),
+            scored AS (
+              SELECT d.doc_id, q.term,
+                     len(list_filter(regexp_split_to_array(trim(d.text),
+                         '\s+'), x -> x = q.term)) AS tf,
+                     least(len(list_filter(regexp_split_to_array(
+                         trim(d.text), '\s+'), x -> x = q.rel_term)),
+                         3)::BIGINT AS rel
+              FROM documents d CROSS JOIN qs q
+              WHERE len(list_filter(regexp_split_to_array(trim(d.text),
+                        '\s+'), x -> x = q.term)) > 0),
+            ranked AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY term
+                       ORDER BY tf DESC, doc_id) AS sys_rank,
+                     ROW_NUMBER() OVER (PARTITION BY term
+                       ORDER BY rel DESC, doc_id) AS ideal_rank
+              FROM scored),
+            agg AS (
+              SELECT term AS query_term, count(*) AS n_candidates,
+                     sum(CASE WHEN sys_rank <= 10 THEN
+                         (pow(2.0, rel) - 1) / log2(sys_rank + 1.0)
+                         ELSE 0.0 END) AS dcg_raw,
+                     sum(CASE WHEN ideal_rank <= 10 THEN
+                         (pow(2.0, rel) - 1) / log2(ideal_rank + 1.0)
+                         ELSE 0.0 END) AS idcg_raw
+              FROM ranked GROUP BY term)
+            SELECT query_term, n_candidates,
+                   round(dcg_raw, 6) AS dcg, round(idcg_raw, 6) AS idcg,
+                   round(CASE WHEN idcg_raw > 0 THEN dcg_raw / idcg_raw
+                         ELSE 0.0 END, 6) AS ndcg
+            FROM agg""",
+        "fd_mining": """
+            WITH
+            c1 AS (SELECT o_orderkey AS l, o_custkey AS r, count(*) AS c
+                   FROM orders GROUP BY 1, 2),
+            p1 AS (SELECT l, max(c) AS keep, sum(c) AS tot FROM c1 GROUP BY l),
+            a1 AS (SELECT 'o_orderkey' AS lhs_col, 'o_custkey' AS rhs_col,
+                          count(*) AS n_groups,
+                          CAST(sum(tot) AS BIGINT) AS n_rows,
+                          round(1.0 - sum(keep)::DOUBLE / sum(tot)::DOUBLE,
+                                6) AS g3_error
+                   FROM p1),
+            c2 AS (SELECT o_custkey AS l, o_orderstatus AS r, count(*) AS c
+                   FROM orders GROUP BY 1, 2),
+            p2 AS (SELECT l, max(c) AS keep, sum(c) AS tot FROM c2 GROUP BY l),
+            a2 AS (SELECT 'o_custkey' AS lhs_col, 'o_orderstatus' AS rhs_col,
+                          count(*) AS n_groups,
+                          CAST(sum(tot) AS BIGINT) AS n_rows,
+                          round(1.0 - sum(keep)::DOUBLE / sum(tot)::DOUBLE,
+                                6) AS g3_error
+                   FROM p2),
+            c3 AS (SELECT o_orderstatus AS l, o_orderpriority AS r,
+                          count(*) AS c
+                   FROM orders GROUP BY 1, 2),
+            p3 AS (SELECT l, max(c) AS keep, sum(c) AS tot FROM c3 GROUP BY l),
+            a3 AS (SELECT 'o_orderstatus' AS lhs_col,
+                          'o_orderpriority' AS rhs_col,
+                          count(*) AS n_groups,
+                          CAST(sum(tot) AS BIGINT) AS n_rows,
+                          round(1.0 - sum(keep)::DOUBLE / sum(tot)::DOUBLE,
+                                6) AS g3_error
+                   FROM p3),
+            c4 AS (SELECT o_orderdate AS l, o_orderstatus AS r, count(*) AS c
+                   FROM orders GROUP BY 1, 2),
+            p4 AS (SELECT l, max(c) AS keep, sum(c) AS tot FROM c4 GROUP BY l),
+            a4 AS (SELECT 'o_orderdate' AS lhs_col,
+                          'o_orderstatus' AS rhs_col,
+                          count(*) AS n_groups,
+                          CAST(sum(tot) AS BIGINT) AS n_rows,
+                          round(1.0 - sum(keep)::DOUBLE / sum(tot)::DOUBLE,
+                                6) AS g3_error
+                   FROM p4)
+            SELECT lhs_col, rhs_col, n_groups, n_rows, g3_error,
+                   g3_error <= 0.0 AS holds
+            FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+                  UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4)
+            ORDER BY lhs_col, rhs_col""",
     }

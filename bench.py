@@ -206,6 +206,10 @@ def main() -> None:
         "void_stats",
         # round 5 batch 6 (RDF dump round-trip + SPARQL CONSTRUCT)
         "ntriples_roundtrip", "construct_triples",
+        # round 5 batch 7 (schema.org microdata harvest)
+        "microdata_triples",
+        # round 5 final batch (PQ encode, quote attribution, nDCG, FD mining)
+        "pq_codes", "quote_attribution", "ndcg_eval", "fd_mining",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

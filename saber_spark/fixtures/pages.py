@@ -142,3 +142,35 @@ def build_pages_with_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit("</p></body></html>")),
             "utf-8").alias("html"),
     )
+
+
+QUOTE_SPEAKERS = ["Dr. Chen", "Prof. Okafor", "Ms. Ito", "Mr. Alvarez",
+                  "Dean Park"]
+
+
+def build_docs_with_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> (doc_id, text) where each non-blank document
+    gains two deterministic reported-speech sentences built from its own
+    words: a speaker-BEFORE direct quote (``X said "..."``) and a
+    speaker-AFTER inverted quote (``"...," replied Y``). Speakers rotate
+    through a fixed cast keyed on doc_id, so attribution is re-derivable
+    from documents RAW in any engine. Documents whose text is shorter than
+    the second slice keep only the direct quote (the inverted pattern
+    cannot match an empty body) — the no-second-quote case is real, not
+    padded. Narrow map over the scan; no UDF, no shuffle.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cast_arr = F.array(*[F.lit(s) for s in QUOTE_SPEAKERS])
+    n = len(QUOTE_SPEAKERS)
+    s1 = F.element_at(cast_arr, (F.col("doc_id") % n).cast("int") + 1)
+    s2 = F.element_at(cast_arr, ((F.col("doc_id") + 2) % n).cast("int") + 1)
+    body = F.trim(F.col("text"))
+    speech = F.when(
+        F.col("text").isNotNull() & (body != ""),
+        F.concat(F.lit(" "), s1, F.lit(' said "'),
+                 F.substring(body, 1, 30), F.lit('." "'),
+                 F.substring(body, 31, 24), F.lit('," replied '),
+                 s2, F.lit("."))).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), speech).alias("text"))

@@ -105,3 +105,47 @@ def fd_violations(df: DataFrame, lhs_col: str, rhs_col: str) -> DataFrame:
             .agg(F.count_distinct(F.col(rhs_col)).alias("n_distinct_rhs"),
                  F.count(F.lit(1)).alias("n_rows"))
             .filter(F.col("n_distinct_rhs") > 1))
+
+
+def fd_mine(df: DataFrame, pairs: Sequence[tuple[str, str]],
+            eps: float = 0.0) -> DataFrame:
+    """Approximate functional-dependency MINING over candidate column
+    pairs — the discovery generalization of fd_violations' single-FD
+    audit (TANE/pyro-style g3 error, Kivinen & Mannila 1995): for each
+    candidate lhs -> rhs, the g3 error is the fraction of rows that must
+    be deleted for the FD to hold exactly,
+
+        g3 = 1 - sum_over_lhs_groups(max rhs-value count) / N.
+
+    Schema-profiling stage of KG ingestion: run over a harvested
+    attribute table to learn which predicates are (nearly) functional
+    before resolve_conflicts/link_fd_check assume they are.
+
+    Scale shape: one partial+final hash agg on (lhs, rhs) per candidate,
+    then a tiny agg on lhs — each candidate is an independent Spark job
+    over the same scan, unioned as |pairs| one-row results (|pairs| is a
+    schema-sized constant; at 10^12 rows the (lhs, rhs) agg is the only
+    wide stage and map-side combine collapses it). NULLs group as a
+    value (SQL GROUP BY semantics), matching the oracle.
+
+    -> (lhs_col, rhs_col, n_groups, n_rows, g3_error 6dp, holds) ordered
+    by (lhs_col, rhs_col); holds = g3 <= eps.
+    """
+    legs = []
+    for lhs, rhs in pairs:
+        counts = (df.groupBy(F.col(lhs).alias("_l"), F.col(rhs).alias("_r"))
+                  .agg(F.count(F.lit(1)).alias("c")))
+        per_lhs = counts.groupBy("_l").agg(F.max("c").alias("keep"),
+                                           F.sum("c").alias("tot"))
+        legs.append(per_lhs.agg(
+            F.lit(lhs).alias("lhs_col"),
+            F.lit(rhs).alias("rhs_col"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("tot").alias("n_rows"),
+            F.round(1.0 - F.sum("keep").cast("double")
+                    / F.sum("tot").cast("double"), 6).alias("g3_error"),
+        ).withColumn("holds", F.col("g3_error") <= eps))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("lhs_col", "rhs_col")

@@ -334,3 +334,78 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 3,
         .select("query_id", "neighbor_id",
                 F.round(F.col("cos"), 6).alias("cosine"), "rank")
     )
+
+
+def pq_codes(embeddings: DataFrame, m: int = 4, n_codes: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> DataFrame:
+    """Product-quantization encode — the memory-side ANN component next to
+    IVF (cell routing) and sign-LSH (hash routing): split each quantized
+    vector into ``m`` contiguous subvectors and replace every subvector
+    with the id of its nearest codeword, turning a d-dim float vector into
+    ``m`` small codes (the PQ code of Jégou et al., TPAMI 2011). At 10^12
+    docs this is what makes the candidate set RAM-resident: 64 floats
+    (256 B) become m codes (m bytes at n_codes<=256).
+
+    Codebook: per subspace, the subvectors of the first ``n_codes`` corpus
+    vectors (deterministic + engine-portable, same convention as
+    ivf_cosine_topk's coarse quantizer; production swaps in per-subspace
+    k-means trained offline — the assignment plan below is unchanged).
+    Assignment is a NARROW argmin per subspace over a broadcast-literal
+    codeword array (higher-order zip_with/aggregate, exact integer L2 on
+    the quantized components) — no shuffle, no crossJoin, no Python; the
+    only job besides the scan is the bounded codebook collect.
+
+    -> (vec_id, sub_id, code, dist2): one row per (vector, subspace) with
+    the chosen codeword and its exact squared quantization error.
+    Tie-break: dist2 ASC, code ASC (array_sort on the struct).
+    """
+    corpus = _quantized(embeddings, id_col, vec_col)
+    cb_rows = sorted(
+        corpus.filter(F.col(id_col) < n_codes).collect(),
+        key=lambda r: r[id_col])
+    if len(cb_rows) != n_codes:
+        raise ValueError(
+            f"pq_codes: expected {n_codes} rows with {id_col} < {n_codes} "
+            f"to seed the codebook, found {len(cb_rows)}; corpus ids must "
+            f"be contiguous from 0 (or lower n_codes)")
+    dim = len(cb_rows[0]["q"])
+    if dim % m:
+        raise ValueError(f"pq_codes: dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+
+    per_sub = []
+    for s in range(m):
+        codewords = F.array(*[
+            F.struct(
+                F.lit(int(r[id_col])).alias("code"),
+                F.array(*[F.lit(int(x))
+                          for x in r["q"][s * sub_dim:(s + 1) * sub_dim]]
+                        ).alias("cw"))
+            for r in cb_rows])
+        sub_q = F.slice(F.col("q"), s * sub_dim + 1, sub_dim)
+        # exact integer L2^2 against every codeword; array_sort on the
+        # (dist2, code) struct = argmin with the deterministic tie-break
+
+        def dist_struct(c):
+            return F.struct(
+                F.aggregate(
+                    F.zip_with(sub_q, c["cw"],
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x
+                ).alias("dist2"),
+                c["code"].alias("code"))
+
+        scored = F.array_sort(F.transform(codewords, dist_struct))
+        per_sub.append(F.struct(
+            F.lit(s).cast("int").alias("sub_id"),
+            scored[0]["code"].alias("code"),
+            scored[0]["dist2"].alias("dist2")))
+
+    return (corpus
+            .select(F.col(id_col).alias("vec_id"),
+                    F.explode(F.array(*per_sub)).alias("pq"))
+            .select("vec_id",
+                    F.col("pq.sub_id").alias("sub_id"),
+                    F.col("pq.code").alias("code"),
+                    F.col("pq.dist2").alias("dist2")))

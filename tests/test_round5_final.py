@@ -1,0 +1,178 @@
+"""Round-5 final batch: product-quantization codes, quote attribution,
+nDCG ranking eval, approximate FD mining."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_001
+
+
+class TestPQCodes:
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+
+    def test_codebook_vectors_encode_to_themselves(self, spark):
+        from saber_spark.operators.similarity import pq_codes
+        # 4 codebook vectors, dim 8, m=2 -> each codebook vector's best
+        # codeword in every subspace is itself at dist2 = 0
+        vecs = [[i + 0.1 * j for j in range(8)] for i in range(4)]
+        out = pq_codes(self._emb(spark, vecs), m=2, n_codes=4).collect()
+        assert len(out) == 4 * 2
+        for r in out:
+            if r.vec_id < 4:
+                assert r.code == r.vec_id and r.dist2 == 0
+
+    def test_assignment_is_nearest_and_tiebreak_lowest_code(self, spark):
+        from saber_spark.operators.similarity import pq_codes
+        # codewords 0/1 differ only in the first component (0 vs 10);
+        # vector 2 sits at exactly 5 -> equidistant -> code 0 wins the tie
+        vecs = [[0.0, 0, 0, 0], [10.0, 0, 0, 0], [5.0, 0, 0, 0],
+                [9.0, 0, 0, 0]]
+        got = {(r.vec_id, r.code) for r in
+               pq_codes(self._emb(spark, vecs), m=1, n_codes=2).collect()}
+        assert (2, 0) in got      # tie -> lowest code
+        assert (3, 1) in got      # nearest (9 closer to 10)
+
+    def test_dim_not_divisible_raises(self, spark):
+        import pytest
+
+        from saber_spark.operators.similarity import pq_codes
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_codes(self._emb(spark, [[1.0, 2, 3], [4.0, 5, 6]]),
+                     m=2, n_codes=2)
+
+    def test_non_contiguous_ids_raise(self, spark):
+        import pytest
+
+        from saber_spark.operators.similarity import pq_codes
+        df = spark.createDataFrame([(5, [1.0, 2.0])],
+                                   "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="contiguous"):
+            pq_codes(df, m=1, n_codes=2)
+
+    def test_row_shape_on_testdata(self, spark):
+        from saber_spark.operators.similarity import pq_codes
+        emb = spark.read.parquet(f"{SF_DIR_001}/embeddings.parquet")
+        out = pq_codes(emb, m=4, n_codes=8)
+        n = emb.count()
+        assert out.count() == n * 4
+        assert out.columns == ["vec_id", "sub_id", "code", "dist2"]
+
+
+class TestQuoteAttribution:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_both_frames(self, spark):
+        from saber_spark.operators.structured import quote_attribution
+        txt = ('Dr. Chen said "the model converged." '
+               '"we shipped it," replied Dean Park.')
+        rows = quote_attribution(self._docs(spark, [(1, txt)])).collect()
+        by_frame = {r.frame: r for r in rows}
+        d = by_frame["direct"]
+        assert (d.speaker, d.quote, d.cue) == (
+            "Dr. Chen", "the model converged.", "said")
+        i = by_frame["inverted"]
+        # sentence-final period stays OUTSIDE the speaker capture
+        assert (i.speaker, i.quote, i.cue) == (
+            "Dean Park", "we shipped it", "replied")
+
+    def test_multiple_quotes_zip_positionally(self, spark):
+        from saber_spark.operators.structured import quote_attribution
+        txt = ('Ms. Ito said "alpha." Mr. Alvarez said "beta."')
+        rows = sorted(
+            quote_attribution(self._docs(spark, [(1, txt)])).collect(),
+            key=lambda r: r.quote)
+        assert [(r.speaker, r.quote) for r in rows] == [
+            ("Ms. Ito", "alpha."), ("Mr. Alvarez", "beta.")]
+
+    def test_lowercase_prose_matches_nothing(self, spark):
+        from saber_spark.operators.structured import quote_attribution
+        out = quote_attribution(self._docs(
+            spark, [(1, 'he said "nothing" and left'), (2, None)]))
+        assert out.count() == 0
+
+    def test_fixture_short_docs_keep_only_direct_frame(self, spark):
+        from saber_spark.fixtures.pages import build_docs_with_quotes
+        from saber_spark.operators.structured import quote_attribution
+        docs = build_docs_with_quotes(spark, SF_DIR_001)
+        out = quote_attribution(docs)
+        counts = dict(out.groupBy("frame").count().collect())
+        # every non-blank doc has the direct frame; the inverted frame
+        # drops out only for docs shorter than the second slice
+        assert counts["direct"] >= counts.get("inverted", 0) > 0
+
+
+class TestNdcgEval:
+    def test_perfect_agreement_gives_ndcg_one(self, spark):
+        from saber_spark.operators.retrieval import ndcg_eval
+        # tf(q) and rel-term counts rank the docs identically
+        docs = spark.createDataFrame(
+            [(1, "q q q r r r"), (2, "q q r r"), (3, "q r")],
+            "doc_id long, text string")
+        row = ndcg_eval(docs, [("q", "r")], k=10).collect()[0]
+        assert row.ndcg == 1.0 and row.n_candidates == 3
+
+    def test_known_inversion(self, spark):
+        import math
+
+        from saber_spark.operators.retrieval import ndcg_eval
+        # system ranks doc1 first (tf 2 vs 1) but doc2 is the relevant one
+        docs = spark.createDataFrame(
+            [(1, "q q"), (2, "q r")], "doc_id long, text string")
+        row = ndcg_eval(docs, [("q", "r")], k=10).collect()[0]
+        dcg = 0.0 / math.log2(2) + 1.0 / math.log2(3)
+        idcg = 1.0 / math.log2(2)
+        assert abs(row.ndcg - round(dcg / idcg, 6)) < 1e-9
+
+    def test_zero_idcg_yields_zero(self, spark):
+        from saber_spark.operators.retrieval import ndcg_eval
+        docs = spark.createDataFrame([(1, "q only")],
+                                     "doc_id long, text string")
+        row = ndcg_eval(docs, [("q", "absent")], k=10).collect()[0]
+        assert row.ndcg == 0.0 and row.idcg == 0.0
+
+    def test_grade_cap_at_three(self, spark):
+        from saber_spark.operators.retrieval import ndcg_eval
+        docs = spark.createDataFrame(
+            [(1, "q r r r r r r r")], "doc_id long, text string")
+        row = ndcg_eval(docs, [("q", "r")], k=10).collect()[0]
+        assert row.idcg == 7.0  # (2^3 - 1) / log2(2)
+
+
+class TestFdMine:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [("a", 1, "x"), ("a", 1, "x"), ("a", 2, "x"),
+             ("b", 3, "y"), ("b", 3, "z")],
+            "k string, v int, w string")
+
+    def test_exact_fd_holds(self, spark):
+        from saber_spark.operators.profile import fd_mine
+        rows = {(r.lhs_col, r.rhs_col): r for r in
+                fd_mine(self._df(spark), [("v", "k"), ("k", "v")]).collect()}
+        assert rows[("v", "k")].holds and rows[("v", "k")].g3_error == 0.0
+
+    def test_g3_error_counts_minimum_deletions(self, spark):
+        from saber_spark.operators.profile import fd_mine
+        rows = {(r.lhs_col, r.rhs_col): r for r in
+                fd_mine(self._df(spark),
+                        [("k", "v"), ("k", "w")]).collect()}
+        # k=a: keep 2 of 3; k=b: keep 2 of 2 -> g3 = 1 - 4/5
+        assert rows[("k", "v")].g3_error == 0.2
+        assert not rows[("k", "v")].holds
+        # k=a: keep 3 of 3; k=b: keep 1 of 2 -> g3 = 1 - 4/5
+        assert rows[("k", "w")].g3_error == 0.2
+
+    def test_eps_tolerance(self, spark):
+        from saber_spark.operators.profile import fd_mine
+        rows = fd_mine(self._df(spark), [("k", "v")], eps=0.25).collect()
+        assert rows[0].holds
+
+    def test_null_groups_as_value(self, spark):
+        from saber_spark.operators.profile import fd_mine
+        df = spark.createDataFrame(
+            [(None, 1), (None, 1), ("a", 2)], "k string, v int")
+        row = fd_mine(df, [("k", "v")]).collect()[0]
+        assert row.n_groups == 2 and row.g3_error == 0.0

@@ -1512,6 +1512,53 @@ def main() -> None:
         0,
     ))
 
+    # round-5 final batch: PQ encode, quote harvesting, nDCG, FD mining
+    pq = e.q_pq_codes(spark, SF_DIR)
+    sections.append((
+        "pq_codes (narrow codebook argmin)",
+        "PQ assignment must be a NARROW map: the broadcast-literal codebook "
+        "argmin runs as higher-order expressions feeding one Generate "
+        "(explode of the m per-subspace structs) — zero Python nodes; the "
+        "only other job is the bounded codebook collect at build time.",
+        formatted_plan(pq),
+        ["Generate"],
+        0,
+    ))
+
+    qa = e.q_quote_attribution(spark, SF_DIR)
+    sections.append((
+        "quote_attribution (JVM regex harvest)",
+        "Both reported-speech frames are regexp_extract_all + arrays_zip "
+        "inside codegen feeding Generate explodes, unioned — no Python "
+        "node anywhere, no shuffle introduced by the operator itself.",
+        formatted_plan(qa),
+        ["Union", "Generate"],
+        0,
+    ))
+
+    nd = e.q_ndcg_eval(spark, SF_DIR)
+    sections.append((
+        "ndcg_eval (single-scan ranking windows)",
+        "Queries ride in as an exploded broadcast literal over ONE scan; "
+        "tf/rel are higher-order filters in codegen; the two rankings are "
+        "row_number windows on the same (term) partitioning feeding one "
+        "hash agg — the per-term exchange is the only wide stage.",
+        formatted_plan(nd),
+        ["Window", "HashAggregate"],
+        0,
+    ))
+
+    fdm = e.q_fd_mining(spark, SF_DIR)
+    sections.append((
+        "fd_mining (per-candidate two-phase aggs)",
+        "Each candidate FD is an independent (lhs, rhs) partial+final hash "
+        "agg over the same scan collapsing to one row, unioned — map-side "
+        "combine bounds every shuffle by the attribute cardinality.",
+        formatted_plan(fdm),
+        ["HashAggregate", "Union"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
