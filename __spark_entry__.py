@@ -3207,6 +3207,58 @@ def q_fd_mining(spark, sf_dir):
                             ("o_orderdate", "o_orderstatus")])
 
 
+RDFS_DOMAIN_ROWS = [("placed", "Customer"), ("contains", "Order"),
+                    ("supplies", "Supplier")]
+RDFS_RANGE_ROWS = [("placed", "Order"), ("contains", "Part"),
+                   ("supplies", "Part")]
+RDFS_SUBCLASS_ROWS = [("Customer", "Agent"), ("Supplier", "Agent"),
+                      ("Order", "Record"), ("Part", "Artifact"),
+                      ("Record", "Thing"), ("Artifact", "Thing"),
+                      ("Agent", "Thing")]
+
+
+def q_rdfs_entailment(spark, sf_dir):
+    """RDFS type-entailment materialization (ontology.rdfs_entail, W3C
+    RDF 1.1 Semantics §9.2 rules rdfs2/rdfs3/rdfs9): domain/range
+    declarations type every subject/object of the 3-relation store and
+    the subClassOf closure (path-doubling) lifts each assertion up a
+    depth-2 hierarchy — the inference stage between triple assembly and
+    domain_range_audit's QA. The fixture's id-swap self-loops surface
+    as genuine type CONFLICTS (a cust: node typed Order via
+    range(placed)) rather than being cleaned away. Schema tables are
+    broadcast; the store shuffles only for the final set-semantics
+    distinct. Oracle: recursive CTE closure + the same rule joins."""
+    from saber_spark.operators.ontology import rdfs_entail
+    return rdfs_entail(
+        _schema_kg3(spark, sf_dir),
+        spark.createDataFrame(RDFS_DOMAIN_ROWS, "pred string, cls string"),
+        spark.createDataFrame(RDFS_RANGE_ROWS, "pred string, cls string"),
+        spark.createDataFrame(RDFS_SUBCLASS_ROWS,
+                              "child string, parent string"))
+
+
+def q_optional_bgp(spark, sf_dir):
+    """SPARQL OPTIONAL evaluation (triples.bgp_match optionals= leg):
+    ``?c placed ?o OPTIONAL { ?o contains ?p }`` over the 3-relation
+    store — the left-join half of the BGP surface that bgp_query
+    (inner+anti) and construct_triples (anti) don't exercise. The
+    fixture's id-swap self-loops make the OPTIONAL genuinely partial:
+    a cust: object is never a contains-subject, so those bindings
+    surface with ?p unbound (NULL) exactly as SPARQL prescribes.
+    Rolled up per customer -> (customer, n_bindings, n_orders,
+    n_part_bindings, n_unbound)."""
+    from saber_spark.operators.triples import bgp_match
+    b = bgp_match(_schema_kg3(spark, sf_dir),
+                  [("?c", "placed", "?o")],
+                  optionals=[("?o", "contains", "?p")])
+    return (b.groupBy(F.col("c").alias("customer"))
+            .agg(F.count(F.lit(1)).alias("n_bindings"),
+                 F.count_distinct("o").alias("n_orders"),
+                 F.count("p").alias("n_part_bindings"),
+                 F.sum(F.when(F.col("p").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_unbound")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -3475,6 +3527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quote_attribution": q_quote_attribution,
         "ndcg_eval": q_ndcg_eval,
         "fd_mining": q_fd_mining,
+        "rdfs_entailment": q_rdfs_entailment,
+        "optional_bgp": q_optional_bgp,
     }
 
 
@@ -7543,4 +7597,87 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
                   UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4)
             ORDER BY lhs_col, rhs_col""",
+        "rdfs_entailment": """
+            WITH RECURSIVE placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj,
+                     'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR)
+                     END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS subj,
+                     'contains' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            supplies_t AS (
+              SELECT 'supp:' || CAST(l_suppkey AS VARCHAR) AS subj,
+                     'supplies' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            t AS (SELECT DISTINCT * FROM (
+                    SELECT * FROM placed
+                    UNION ALL SELECT * FROM contains_t
+                    UNION ALL SELECT * FROM supplies_t)),
+            dom AS (SELECT * FROM (VALUES ('placed', 'Customer'),
+                      ('contains', 'Order'), ('supplies', 'Supplier'))
+                    AS v(pred, cls)),
+            rng AS (SELECT * FROM (VALUES ('placed', 'Order'),
+                      ('contains', 'Part'), ('supplies', 'Part'))
+                    AS v(pred, cls)),
+            sub AS (SELECT * FROM (VALUES ('Customer', 'Agent'),
+                      ('Supplier', 'Agent'), ('Order', 'Record'),
+                      ('Part', 'Artifact'), ('Record', 'Thing'),
+                      ('Artifact', 'Thing'), ('Agent', 'Thing'))
+                    AS v(child, parent)),
+            clos(child, anc) AS (
+              SELECT child, parent FROM sub
+              UNION
+              SELECT c.child, s.parent
+              FROM clos c JOIN sub s ON s.child = c.anc),
+            base AS (
+              SELECT t.subj AS entity, d.cls
+              FROM t JOIN dom d ON d.pred = t.pred
+              UNION ALL
+              SELECT t.obj AS entity, r.cls
+              FROM t JOIN rng r ON r.pred = t.pred),
+            inh AS (
+              SELECT b.entity, c.anc AS cls
+              FROM base b JOIN clos c ON c.child = b.cls)
+            SELECT DISTINCT entity, cls AS type
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM inh)""",
+        "optional_bgp": """
+            WITH placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj,
+                     'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR)
+                     END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS subj,
+                     'contains' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            supplies_t AS (
+              SELECT 'supp:' || CAST(l_suppkey AS VARCHAR) AS subj,
+                     'supplies' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            t AS (SELECT DISTINCT * FROM (
+                    SELECT * FROM placed
+                    UNION ALL SELECT * FROM contains_t
+                    UNION ALL SELECT * FROM supplies_t))
+            SELECT t1.subj AS customer,
+                   CAST(count(*) AS BIGINT) AS n_bindings,
+                   CAST(count(DISTINCT t1.obj) AS BIGINT) AS n_orders,
+                   CAST(count(t2.obj) AS BIGINT) AS n_part_bindings,
+                   CAST(sum(CASE WHEN t2.obj IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unbound
+            FROM (SELECT * FROM t WHERE pred = 'placed') t1
+            LEFT JOIN (SELECT * FROM t WHERE pred = 'contains') t2
+              ON t2.subj = t1.obj
+            GROUP BY t1.subj""",
     }

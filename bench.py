@@ -210,6 +210,8 @@ def main() -> None:
         "microdata_triples",
         # round 5 final batch (PQ encode, quote attribution, nDCG, FD mining)
         "pq_codes", "quote_attribution", "ndcg_eval", "fd_mining",
+        # round 5 final batch 2 (RDFS inference + SPARQL OPTIONAL)
+        "rdfs_entailment", "optional_bgp",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -97,3 +97,46 @@ def type_rollup(facts: DataFrame, hierarchy: DataFrame,
                     F.coalesce("n_direct", F.lit(0)).cast("long")
                     .alias("n_direct"),
                     F.col("n_types").cast("long").alias("n_types")))
+
+
+def rdfs_entail(triples: DataFrame, domains: DataFrame, ranges: DataFrame,
+                subclass: DataFrame, subj_col: str = "subj",
+                pred_col: str = "pred", obj_col: str = "obj",
+                max_depth: int = 64) -> DataFrame:
+    """RDFS type entailment materialization — the inference stage between
+    triple assembly and domain_range_audit: apply the three type rules of
+    the RDFS semantics (W3C RDF 1.1 Semantics §9.2) and materialize every
+    entailed (entity, type) assertion as a set:
+
+        rdfs2   (p domain C) + (s p o)        => (s type C)
+        rdfs3   (p range  C) + (s p o)        => (o type C)
+        rdfs9   (s type C) + (C subClassOf* D) => (s type D)
+
+    domains/ranges: (pred, cls) schema rows; subclass: (child, parent)
+    direct edges — all schema-sized, broadcast into the instance joins.
+    rdfs9 runs through the path-doubling ``transitive_closure``, so deep
+    hierarchies cost log(depth) dimension-side shuffles, and the fact
+    table is touched exactly twice (the two broadcast joins) plus one
+    distinct — no iteration ever touches corpus-scale data.
+
+    -> (entity, type) DISTINCT (RDFS entailment is defined on the triple
+    SET; conflicting types from dirty data — e.g. a self-loop subject
+    typed as both Customer and Order — surface as two rows and feed the
+    domain_range_audit QA stage downstream).
+    """
+    t = triples.select(subj_col, pred_col, obj_col)
+    base = (t.join(F.broadcast(domains.select(
+                F.col("pred").alias(pred_col), F.col("cls"))), pred_col)
+            .select(F.col(subj_col).alias("entity"), F.col("cls"))
+            .unionByName(
+                t.join(F.broadcast(ranges.select(
+                    F.col("pred").alias(pred_col), F.col("cls"))), pred_col)
+                .select(F.col(obj_col).alias("entity"), F.col("cls"))))
+    closure = transitive_closure(subclass, "child", "parent", max_depth)
+    inherited = (base.join(
+        F.broadcast(closure.select(F.col("child").alias("cls"),
+                                   F.col("ancestor"))), "cls")
+        .select("entity", F.col("ancestor").alias("cls")))
+    return (base.unionByName(inherited)
+            .select("entity", F.col("cls").alias("type"))
+            .distinct())

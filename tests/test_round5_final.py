@@ -176,3 +176,63 @@ class TestFdMine:
             [(None, 1), (None, 1), ("a", 2)], "k string, v int")
         row = fd_mine(df, [("k", "v")]).collect()[0]
         assert row.n_groups == 2 and row.g3_error == 0.0
+
+
+class TestRdfsEntail:
+    def _schema(self, spark):
+        dom = spark.createDataFrame([("p", "C")], "pred string, cls string")
+        rng = spark.createDataFrame([("p", "D")], "pred string, cls string")
+        sub = spark.createDataFrame(
+            [("C", "B"), ("B", "A"), ("D", "A")],
+            "child string, parent string")
+        return dom, rng, sub
+
+    def test_rules_and_closure(self, spark):
+        from saber_spark.operators.ontology import rdfs_entail
+        t = spark.createDataFrame([("s", "p", "o")],
+                                  "subj string, pred string, obj string")
+        got = {(r.entity, r.type) for r in
+               rdfs_entail(t, *self._schema(spark)).collect()}
+        # rdfs2: s:C, rdfs9 up the chain: s:B, s:A; rdfs3: o:D, rdfs9: o:A
+        assert got == {("s", "C"), ("s", "B"), ("s", "A"),
+                       ("o", "D"), ("o", "A")}
+
+    def test_set_semantics_no_duplicates(self, spark):
+        from saber_spark.operators.ontology import rdfs_entail
+        # two triples typing the same entity the same way -> one row
+        t = spark.createDataFrame(
+            [("s", "p", "o1"), ("s", "p", "o2")],
+            "subj string, pred string, obj string")
+        out = rdfs_entail(t, *self._schema(spark))
+        assert out.count() == out.distinct().count()
+        assert out.filter("entity = 's' AND type = 'C'").count() == 1
+
+    def test_undeclared_predicate_entails_nothing(self, spark):
+        from saber_spark.operators.ontology import rdfs_entail
+        t = spark.createDataFrame([("s", "unknown", "o")],
+                                  "subj string, pred string, obj string")
+        assert rdfs_entail(t, *self._schema(spark)).count() == 0
+
+
+class TestOptionalBgp:
+    def test_unbound_optional_yields_null(self, spark):
+        from saber_spark.operators.triples import bgp_match
+        t = spark.createDataFrame(
+            [("c1", "placed", "o1"), ("c2", "placed", "o2"),
+             ("o1", "contains", "p1")],
+            "subj string, pred string, obj string")
+        rows = {r.c: r for r in bgp_match(
+            t, [("?c", "placed", "?o")],
+            optionals=[("?o", "contains", "?p")]).collect()}
+        assert rows["c1"].p == "p1"
+        assert rows["c2"].p is None
+
+    def test_disconnected_optional_raises(self, spark):
+        import pytest
+
+        from saber_spark.operators.triples import bgp_match
+        t = spark.createDataFrame(
+            [("a", "p", "b")], "subj string, pred string, obj string")
+        with pytest.raises(ValueError, match="OPTIONAL"):
+            bgp_match(t, [("?x", "p", "?y")],
+                      optionals=[("?q", "p", "?r")])

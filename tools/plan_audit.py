@@ -1559,6 +1559,30 @@ def main() -> None:
         0,
     ))
 
+    rd = e.q_rdfs_entailment(spark, SF_DIR)
+    sections.append((
+        "rdfs_entailment (broadcast rule joins + dimension closure)",
+        "The domain/range schema tables and the subClassOf closure are "
+        "BROADCAST into the instance joins (the store is the only "
+        "corpus-scale side, touched twice plus one distinct); the "
+        "path-doubling closure iterates on dimension-sized data only.",
+        formatted_plan(rd),
+        ["BroadcastHashJoin", "HashAggregate"],
+        0,
+    ))
+
+    ob = e.q_optional_bgp(spark, SF_DIR)
+    sections.append((
+        "optional_bgp (SPARQL OPTIONAL as left join)",
+        "The OPTIONAL pattern must evaluate as a LEFT OUTER equi-join on "
+        "the shared binding variable — unbound ?p survives as NULL into "
+        "the per-customer rollup; constants are pushed into both pattern "
+        "scans.",
+        formatted_plan(ob),
+        ["LeftOuter", "HashAggregate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
