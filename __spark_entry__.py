@@ -3259,6 +3259,23 @@ def q_optional_bgp(spark, sf_dir):
                  .cast("long").alias("n_unbound")))
 
 
+def q_schema_matching(spark, sf_dir):
+    """Instance-based schema matching (profile.schema_match, Rahm &
+    Bernstein VLDB J. 2001): align customer columns to supplier columns
+    by distinct-value-set overlap — the integration step that decides
+    which KG predicate a NEW source's column feeds before its
+    table_triples/microdata facts merge in. Jaccard ranks the nationkey
+    pair above the accidental key overlap; containment flags subset
+    matches. The value equi-join on pre-deduped sides is the only
+    corpus-wide exchange; no column×column cross join exists anywhere."""
+    from saber_spark.operators.profile import schema_match
+    return schema_match(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+        ["s_suppkey", "s_name", "s_nationkey"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -3529,6 +3546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_mining": q_fd_mining,
         "rdfs_entailment": q_rdfs_entailment,
         "optional_bgp": q_optional_bgp,
+        "schema_matching": q_schema_matching,
     }
 
 
@@ -7680,4 +7698,44 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM t WHERE pred = 'contains') t2
               ON t2.subj = t1.obj
             GROUP BY t1.subj""",
+        "schema_matching": """
+            WITH ua AS (
+              SELECT DISTINCT 'c_custkey' AS col,
+                     CAST(c_custkey AS VARCHAR) AS val
+              FROM customer WHERE c_custkey IS NOT NULL
+              UNION
+              SELECT DISTINCT 'c_name', c_name
+              FROM customer WHERE c_name IS NOT NULL
+              UNION
+              SELECT DISTINCT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+              FROM customer WHERE c_nationkey IS NOT NULL
+              UNION
+              SELECT DISTINCT 'c_mktsegment', c_mktsegment
+              FROM customer WHERE c_mktsegment IS NOT NULL),
+            ub AS (
+              SELECT DISTINCT 's_suppkey' AS col,
+                     CAST(s_suppkey AS VARCHAR) AS val
+              FROM supplier WHERE s_suppkey IS NOT NULL
+              UNION
+              SELECT DISTINCT 's_name', s_name
+              FROM supplier WHERE s_name IS NOT NULL
+              UNION
+              SELECT DISTINCT 's_nationkey', CAST(s_nationkey AS VARCHAR)
+              FROM supplier WHERE s_nationkey IS NOT NULL),
+            na AS (SELECT col, count(*) AS n_a FROM ua GROUP BY col),
+            nb AS (SELECT col, count(*) AS n_b FROM ub GROUP BY col),
+            common AS (
+              SELECT ua.col AS col_a, ub.col AS col_b,
+                     count(*) AS n_common
+              FROM ua JOIN ub ON ub.val = ua.val
+              GROUP BY 1, 2)
+            SELECT c.col_a, c.col_b, na.n_a, nb.n_b, c.n_common,
+                   round(c.n_common::DOUBLE /
+                         (na.n_a + nb.n_b - c.n_common)::DOUBLE,
+                         6) AS jaccard,
+                   round(c.n_common::DOUBLE /
+                         least(na.n_a, nb.n_b)::DOUBLE, 6) AS containment
+            FROM common c
+            JOIN na ON na.col = c.col_a
+            JOIN nb ON nb.col = c.col_b""",
     }

@@ -212,6 +212,8 @@ def main() -> None:
         "pq_codes", "quote_attribution", "ndcg_eval", "fd_mining",
         # round 5 final batch 2 (RDFS inference + SPARQL OPTIONAL)
         "rdfs_entailment", "optional_bgp",
+        # round 5 final batch 3 (instance-based schema matching)
+        "schema_matching",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

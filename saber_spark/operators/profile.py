@@ -149,3 +149,58 @@ def fd_mine(df: DataFrame, pairs: Sequence[tuple[str, str]],
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("lhs_col", "rhs_col")
+
+
+def schema_match(a: DataFrame, b: DataFrame, a_cols: Sequence[str],
+                 b_cols: Sequence[str]) -> DataFrame:
+    """Instance-based schema matching (Rahm & Bernstein VLDB J. 2001 §4.2):
+    score every column pair across two tables by the overlap of their
+    DISTINCT value sets — the data-integration step before table_triples /
+    microdata facts from a new source merge into the KG (which predicate
+    of ours is this table's column?).
+
+    Values compare as strings (NULLs dropped). For each (col_a, col_b)
+    with any overlap: jaccard = |A∩B| / |A∪B| and containment =
+    |A∩B| / min(|A|,|B|) — containment catches subset matches jaccard
+    dilutes (a sample of a key column still scores 1.0).
+
+    Scale shape: each side unpivots via one explode of a schema-sized
+    struct array (narrow) into (col, val), deduped by a partial+final
+    hash agg; the only corpus-wide exchange is the value equi-join on the
+    ALREADY-DISTINCT sides, and the per-column cardinalities ride in as
+    broadcast joins. Never a column×column cross join — pairs that share
+    no value never materialize.
+
+    -> (col_a, col_b, n_a, n_b, n_common, jaccard 6dp, containment 6dp).
+    """
+    def unpivot(df, cols):
+        pairs = F.array(*[
+            F.struct(F.lit(c).alias("col"),
+                     F.col(c).cast("string").alias("val"))
+            for c in cols])
+        return (df.select(F.explode(pairs).alias("cv"))
+                .select(F.col("cv.col").alias("col"),
+                        F.col("cv.val").alias("val"))
+                .filter(F.col("val").isNotNull())
+                .distinct())
+
+    ua = unpivot(a, a_cols)
+    ub = unpivot(b, b_cols)
+    na = ua.groupBy("col").agg(F.count(F.lit(1)).alias("n_a"))
+    nb = ub.groupBy("col").agg(F.count(F.lit(1)).alias("n_b"))
+    common = (ua.join(ub.select(F.col("col").alias("col_b"), "val"), "val")
+              .groupBy(F.col("col").alias("col_a"), "col_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    return (common
+            .join(F.broadcast(na.select(F.col("col").alias("col_a"), "n_a")),
+                  "col_a")
+            .join(F.broadcast(nb.select(F.col("col").alias("col_b"), "n_b")),
+                  "col_b")
+            .select(
+                "col_a", "col_b", "n_a", "n_b", "n_common",
+                F.round(F.col("n_common").cast("double") /
+                        (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                        .cast("double"), 6).alias("jaccard"),
+                F.round(F.col("n_common").cast("double") /
+                        F.least("n_a", "n_b").cast("double"), 6)
+                .alias("containment")))

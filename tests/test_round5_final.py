@@ -236,3 +236,34 @@ class TestOptionalBgp:
         with pytest.raises(ValueError, match="OPTIONAL"):
             bgp_match(t, [("?x", "p", "?y")],
                       optionals=[("?q", "p", "?r")])
+
+
+class TestSchemaMatch:
+    def test_overlap_scores(self, spark):
+        from saber_spark.operators.profile import schema_match
+        a = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "z")], "id int, nm string")
+        b = spark.createDataFrame(
+            [(2, "p"), (3, "q"), (4, "r")], "ref int, tag string")
+        rows = {(r.col_a, r.col_b): r for r in
+                schema_match(a, b, ["id", "nm"], ["ref", "tag"]).collect()}
+        m = rows[("id", "ref")]
+        # {1,2,3} vs {2,3,4}: 2 common of 4 union
+        assert (m.n_a, m.n_b, m.n_common) == (3, 3, 2)
+        assert m.jaccard == 0.5 and m.containment == round(2 / 3, 6)
+        # disjoint pairs never materialize
+        assert ("nm", "tag") not in rows
+
+    def test_subset_containment_full(self, spark):
+        from saber_spark.operators.profile import schema_match
+        a = spark.createDataFrame([(i,) for i in range(10)], "k int")
+        b = spark.createDataFrame([(i,) for i in range(3)], "s int")
+        m = schema_match(a, b, ["k"], ["s"]).collect()[0]
+        assert m.containment == 1.0 and m.jaccard == 0.3
+
+    def test_nulls_and_duplicates_dropped(self, spark):
+        from saber_spark.operators.profile import schema_match
+        a = spark.createDataFrame([("x",), ("x",), (None,)], "v string")
+        b = spark.createDataFrame([("x",), (None,)], "w string")
+        m = schema_match(a, b, ["v"], ["w"]).collect()[0]
+        assert (m.n_a, m.n_b, m.n_common, m.jaccard) == (1, 1, 1, 1.0)

@@ -1583,6 +1583,19 @@ def main() -> None:
         0,
     ))
 
+    sm = e.q_schema_matching(spark, SF_DIR)
+    sections.append((
+        "schema_matching (value-overlap column alignment)",
+        "Each side unpivots via ONE narrow explode then dedupes with a "
+        "partial+final hash agg; the only corpus-wide exchange is the "
+        "value equi-join of the already-distinct sides; per-column "
+        "cardinalities join back as broadcasts — no column-pair cross "
+        "join anywhere.",
+        formatted_plan(sm),
+        ["Generate", "HashAggregate", "BroadcastHashJoin"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
