@@ -3276,6 +3276,34 @@ def q_schema_matching(spark, sf_dir):
         ["s_suppkey", "s_name", "s_nationkey"])
 
 
+def q_transe_score(spark, sf_dir):
+    """KG-embedding triple plausibility (kge.transe_score, Bordes et al.
+    NeurIPS 2013): exact-integer L1 TransE energy |q(h)+q(r)-q(t)| over
+    the 3-relation store, entities resolved to embedding rows by a
+    deterministic arithmetic id and relation vectors riding in as a
+    broadcast literal — the post-construction fact-validation /
+    completion signal that pairs with kge_negatives' training sampler.
+    Top-5 most plausible triples per relation. Two equi-joins against
+    the quantized embedding table are the only shuffles; the energy is
+    a higher-order zip/aggregate inside codegen."""
+    from saber_spark.operators.kge import transe_score
+    return transe_score(
+        _schema_kg3(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        {"placed": 100, "contains": 101, "supplies": 102}, top_k=5)
+
+
+def q_fact_ranking(spark, sf_dir):
+    """Entity summarization by fact self-information
+    (triples.fact_ranking, RELIN/FACES family): each subject's top-3
+    facts ranked by -log2(n_po/N) of the (pred, obj) value — the
+    ranked upgrade of entity_card's modal-value skeleton; hub objects
+    score low, rare values make the summary. One global (pred, obj)
+    agg, one join back, N as a broadcast 1-row aggregate, one window."""
+    from saber_spark.operators.triples import fact_ranking
+    return fact_ranking(_schema_kg3(spark, sf_dir), k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -3547,6 +3575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_entailment": q_rdfs_entailment,
         "optional_bgp": q_optional_bgp,
         "schema_matching": q_schema_matching,
+        "transe_score": q_transe_score,
+        "fact_ranking": q_fact_ranking,
     }
 
 
@@ -7738,4 +7768,84 @@ def oracle_sql() -> dict[str, str]:
             FROM common c
             JOIN na ON na.col = c.col_a
             JOIN nb ON nb.col = c.col_b""",
+        "transe_score": """
+            WITH placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj, 'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0 THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR) END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR), 'contains', 'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+            supplies_t AS (
+              SELECT 'supp:' || CAST(l_suppkey AS VARCHAR), 'supplies', 'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+            t AS (SELECT DISTINCT * FROM (SELECT * FROM placed UNION ALL SELECT * FROM contains_t UNION ALL SELECT * FROM supplies_t)),
+            q AS MATERIALIZED (
+              SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv FROM embeddings),
+            vals AS MATERIALIZED (
+              SELECT vec_id, CAST(generate_subscripts(qv, 1) AS INT) AS i, unnest(qv) AS v FROM q),
+            nv AS (SELECT count(*) AS n FROM embeddings),
+            tt AS MATERIALIZED (
+              SELECT subj, pred, obj,
+                     (CAST(regexp_extract(subj, '([0-9]+)', 1) AS BIGINT)
+                      + CASE WHEN subj LIKE 'cust:%' THEN 0 WHEN subj LIKE 'order:%' THEN 7
+                             WHEN subj LIKE 'part:%' THEN 13 WHEN subj LIKE 'supp:%' THEN 29 ELSE 0 END)
+                       % (SELECT n FROM nv) AS hid,
+                     (CAST(regexp_extract(obj, '([0-9]+)', 1) AS BIGINT)
+                      + CASE WHEN obj LIKE 'cust:%' THEN 0 WHEN obj LIKE 'order:%' THEN 7
+                             WHEN obj LIKE 'part:%' THEN 13 WHEN obj LIKE 'supp:%' THEN 29 ELSE 0 END)
+                       % (SELECT n FROM nv) AS tid,
+                     CASE pred WHEN 'placed' THEN 100 WHEN 'contains' THEN 101 WHEN 'supplies' THEN 102 END AS rid
+              FROM t),
+            hr AS MATERIALIZED (
+              SELECT h.vec_id AS hid, r.vec_id AS rid, h.i, h.v + r.v AS hv
+              FROM vals h JOIN vals r ON r.i = h.i AND r.vec_id IN (100, 101, 102)),
+            ids AS MATERIALIZED (SELECT DISTINCT hid, rid, tid FROM tt),
+            en AS MATERIALIZED (
+              SELECT e.hid, e.rid, e.tid, sum(abs(hr.hv - ta.v)) AS energy
+              FROM ids e
+              JOIN hr ON hr.hid = e.hid AND hr.rid = e.rid
+              JOIN vals ta ON ta.vec_id = e.tid AND ta.i = hr.i
+              GROUP BY 1, 2, 3)
+            SELECT subj, pred, obj, CAST(energy AS BIGINT) AS energy, CAST(rank AS BIGINT) AS rank
+            FROM (SELECT tt.subj, tt.pred, tt.obj, en.energy,
+                         ROW_NUMBER() OVER (PARTITION BY tt.pred ORDER BY en.energy, tt.subj, tt.obj) AS rank
+                  FROM tt JOIN en ON en.hid = tt.hid AND en.rid = tt.rid AND en.tid = tt.tid)
+            WHERE rank <= 5""",
+        "fact_ranking": """
+            WITH placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj,
+                     'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR)
+                     END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS subj,
+                     'contains' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            supplies_t AS (
+              SELECT 'supp:' || CAST(l_suppkey AS VARCHAR) AS subj,
+                     'supplies' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            t AS (SELECT DISTINCT * FROM (
+                    SELECT * FROM placed
+                    UNION ALL SELECT * FROM contains_t
+                    UNION ALL SELECT * FROM supplies_t)),
+            po AS (SELECT pred, obj, count(*) AS n_po
+                   FROM t GROUP BY 1, 2),
+            tot AS (SELECT count(*) AS n FROM t),
+            scored AS (
+              SELECT t.subj, t.pred, t.obj, po.n_po,
+                     round(-log2(po.n_po::DOUBLE
+                                 / (SELECT n FROM tot)::DOUBLE),
+                           6) AS info
+              FROM t JOIN po USING (pred, obj))
+            SELECT subj, pred, obj, n_po, info, CAST(rank AS BIGINT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY subj
+                        ORDER BY info DESC, pred, obj) AS rank
+                  FROM scored)
+            WHERE rank <= 3""",
     }

@@ -214,6 +214,8 @@ def main() -> None:
         "rdfs_entailment", "optional_bgp",
         # round 5 final batch 3 (instance-based schema matching)
         "schema_matching",
+        # round 5 final batch 4 (TransE plausibility + fact ranking)
+        "transe_score", "fact_ranking",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

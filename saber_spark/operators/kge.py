@@ -1,0 +1,101 @@
+"""Knowledge-graph-embedding scoring: TransE triple plausibility.
+
+The scoring counterpart of samples.kge_negatives (which builds the
+corrupted training pairs): given entity embeddings and per-relation
+translation vectors, the TransE energy ||h + r - t|| (Bordes et al.,
+NeurIPS 2013) ranks how plausible each stored triple is under the
+embedding geometry — the standard KG-completion / fact-validation signal
+that runs AFTER construction to flag dubious assertions and propose
+missing ones.
+
+Engine-portability: the same integer-quantization contract as
+operators/similarity.py — components round to int(x * 1000) and the L1
+energy is an exact integer sum, so any engine agrees bit-for-bit.
+
+Scale shape: entities map to embedding rows by a deterministic
+arithmetic id (digits of the entity iri + a namespace offset, mod the
+table size — production swaps in a real entity->row index with the same
+join shape); head and tail each resolve with ONE equi-join against the
+quantized embedding table, the per-relation vectors ride in as a
+broadcast literal (relation vocabularies are schema-sized), and the
+energy is a higher-order zip/aggregate inside codegen. The per-relation
+top-k is a window on pred. No Python, no cross join, two shuffles
+(the two embedding joins) regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from saber_spark.operators.similarity import _quantized
+
+#: entity-iri namespace -> additive offset, decorrelating namespaces that
+#: share numeric ids (cust:5 must not collide with order:5).
+NAMESPACE_OFFSETS = {"cust": 0, "order": 7, "part": 13, "supp": 29}
+
+
+def _entity_row_id(col, n_vecs: int):
+    num = F.coalesce(
+        F.regexp_extract(col, r"([0-9]+)", 1).cast("long"), F.lit(0))
+    off = F.lit(0).cast("long")
+    for ns, o in NAMESPACE_OFFSETS.items():
+        off = F.when(col.startswith(ns + ":"), F.lit(o).cast("long")) \
+            .otherwise(off)
+    return (num + off) % n_vecs
+
+
+def transe_score(triples: DataFrame, embeddings: DataFrame,
+                 pred_vec_ids: dict[str, int], top_k: int = 20,
+                 subj_col: str = "subj", pred_col: str = "pred",
+                 obj_col: str = "obj", id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Score every (s, p, o) with the exact-integer L1 TransE energy
+    sum|q(h) + q(r) - q(t)| and keep each relation's top_k most
+    plausible (LOWEST energy) triples.
+
+    pred_vec_ids maps each relation to the embedding row serving as its
+    translation vector (deterministic stand-in for trained relation
+    embeddings; the join shape is what production reuses).
+
+    -> (subj, pred, obj, energy, rank), rank 1 = most plausible; ties
+    broken (subj ASC, obj ASC).
+    """
+    n_vecs = embeddings.count()
+    quant = _quantized(embeddings, id_col, vec_col)
+
+    rel_rows = {int(r[id_col]): list(r["q"]) for r in quant.filter(
+        F.col(id_col).isin(*[int(v) for v in pred_vec_ids.values()]))
+        .collect()}
+    missing = [p for p, v in pred_vec_ids.items() if int(v) not in rel_rows]
+    if missing:
+        raise ValueError(
+            f"transe_score: no embedding row for relation vec ids of "
+            f"{missing} (need {id_col} in {sorted(pred_vec_ids.values())})")
+    # relation -> literal vector, as a when-chain keyed on pred (the first
+    # relation's vector is the chain base; every pred is filtered to the
+    # mapping's keys below, so the base never misfires)
+    rel_vec = None
+    for p, v in pred_vec_ids.items():
+        arr = F.array(*[F.lit(int(x)) for x in rel_rows[int(v)]])
+        rel_vec = arr if rel_vec is None else \
+            F.when(F.col(pred_col) == F.lit(p), arr).otherwise(rel_vec)
+
+    t = (triples.select(subj_col, pred_col, obj_col)
+         .filter(F.col(pred_col).isin(*pred_vec_ids.keys()))
+         .withColumn("_hid", _entity_row_id(F.col(subj_col), n_vecs))
+         .withColumn("_tid", _entity_row_id(F.col(obj_col), n_vecs)))
+    head = quant.select(F.col(id_col).alias("_hid"), F.col("q").alias("qh"))
+    tail = quant.select(F.col(id_col).alias("_tid"), F.col("q").alias("qt"))
+    scored = (t.join(head, "_hid").join(tail, "_tid")
+              .withColumn("_hr", F.zip_with("qh", rel_vec,
+                                            lambda x, y: x + y))
+              .withColumn("energy", F.aggregate(
+                  F.zip_with("_hr", F.col("qt"),
+                             lambda x, y: F.abs(x - y)),
+                  F.lit(0).cast("long"), lambda acc, x: acc + x)))
+    w = Window.partitionBy(pred_col).orderBy(
+        F.col("energy").asc(), F.col(subj_col).asc(), F.col(obj_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select(subj_col, pred_col, obj_col, "energy", "rank"))

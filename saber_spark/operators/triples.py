@@ -1201,3 +1201,36 @@ def bgp_stats(void_df: DataFrame) -> dict:
     return {r["pred"]: (r["n_triples"], r["n_distinct_subj"],
                         r["n_distinct_obj"])
             for r in void_df.collect()}
+
+
+def fact_ranking(triples: DataFrame, k: int = 3, subj_col: str = "subj",
+                 pred_col: str = "pred", obj_col: str = "obj") -> DataFrame:
+    """Entity summarization by fact informativeness (RELIN/FACES family,
+    Cheng et al. ISWC 2011): keep each subject's top-k facts ranked by
+    the self-information of the (pred, obj) value, -log2(n_po / N) — a
+    fact shared by millions of entities (a hub object) says little; a
+    rare value is what a summary card should show. The ranked upgrade of
+    entity_card's modal-value CBD skeleton.
+
+    Scale shape: one (pred, obj) hash agg for the global value counts
+    (map-side combine; hub values collapse), one equi-join back on the
+    same keys, N rides in as a broadcast 1-row aggregate, and the per-
+    subject top-k is a window on subj — no driver action, no cross join.
+
+    -> (subj, pred, obj, n_po, info 6dp, rank), rank 1 = most informative;
+    ties broken (pred ASC, obj ASC) for engine-portable determinism.
+    """
+    t = triples.select(subj_col, pred_col, obj_col)
+    po = (t.groupBy(pred_col, obj_col)
+          .agg(F.count(F.lit(1)).alias("n_po")))
+    total = t.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (t.join(po, [pred_col, obj_col])
+              .crossJoin(F.broadcast(total))
+              .withColumn("info", F.round(
+                  -F.log2(F.col("n_po").cast("double") /
+                          F.col("n_total").cast("double")), 6)))
+    w = Window.partitionBy(subj_col).orderBy(
+        F.col("info").desc(), F.col(pred_col).asc(), F.col(obj_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(subj_col, pred_col, obj_col, "n_po", "info", "rank"))

@@ -267,3 +267,75 @@ class TestSchemaMatch:
         b = spark.createDataFrame([("x",), (None,)], "w string")
         m = schema_match(a, b, ["v"], ["w"]).collect()[0]
         assert (m.n_a, m.n_b, m.n_common, m.jaccard) == (1, 1, 1, 1.0)
+
+
+class TestTranseScore:
+    def _emb(self, spark, n=8, dim=4):
+        # vec i = [i, i, i, i] -> q = [1000i]*4
+        return spark.createDataFrame(
+            [(i, [float(i)] * dim) for i in range(n)],
+            "vec_id long, embedding array<float>")
+
+    def test_energy_is_exact_integer_l1(self, spark):
+        from saber_spark.operators.kge import transe_score
+        # cust:1 -placed-> order:2 with n=8: hid=1, tid=(2+7)%8=1,
+        # rel vec = row 3 -> energy = sum|1000*1 + 1000*3 - 1000*1| * 4
+        t = spark.createDataFrame([("cust:1", "placed", "order:2")],
+                                  "subj string, pred string, obj string")
+        row = transe_score(t, self._emb(spark), {"placed": 3}).collect()[0]
+        assert row.energy == 4 * 3000 and row.rank == 1
+
+    def test_plausibility_ranking(self, spark):
+        from saber_spark.operators.kge import transe_score
+        # rel vec row 0 = zero translation: energy = L1(h - t);
+        # cust:1->cust:1 is a perfect match (energy 0), cust:1->cust:5 isn't
+        t = spark.createDataFrame(
+            [("cust:1", "placed", "cust:1"), ("cust:1", "placed", "cust:5")],
+            "subj string, pred string, obj string")
+        rows = sorted(transe_score(t, self._emb(spark),
+                                   {"placed": 0}).collect(),
+                      key=lambda r: r.rank)
+        assert rows[0].obj == "cust:1" and rows[0].energy == 0
+        assert rows[1].energy == 4 * 4000
+
+    def test_missing_relation_row_raises(self, spark):
+        import pytest
+
+        from saber_spark.operators.kge import transe_score
+        t = spark.createDataFrame([("cust:1", "placed", "order:2")],
+                                  "subj string, pred string, obj string")
+        with pytest.raises(ValueError, match="no embedding row"):
+            transe_score(t, self._emb(spark, n=4), {"placed": 99})
+
+    def test_unmapped_predicates_filtered(self, spark):
+        from saber_spark.operators.kge import transe_score
+        t = spark.createDataFrame(
+            [("cust:1", "placed", "order:2"), ("cust:1", "weird", "part:3")],
+            "subj string, pred string, obj string")
+        out = transe_score(t, self._emb(spark), {"placed": 3})
+        assert out.count() == 1
+
+
+class TestFactRanking:
+    def test_rare_value_outranks_hub(self, spark):
+        from saber_spark.operators.triples import fact_ranking
+        t = spark.createDataFrame(
+            [("s1", "p", "hub"), ("s2", "p", "hub"), ("s3", "p", "hub"),
+             ("s1", "q", "rare")],
+            "subj string, pred string, obj string")
+        rows = {(r.subj, r.rank): r for r in fact_ranking(t, k=2).collect()}
+        assert rows[("s1", 1)].obj == "rare"      # info 2.0 beats 0.415
+        assert rows[("s1", 2)].obj == "hub"
+        assert rows[("s1", 1)].n_po == 1
+
+    def test_k_bounds_output(self, spark):
+        from saber_spark.operators.triples import fact_ranking
+        t = spark.createDataFrame(
+            [("s", "p", f"o{i}") for i in range(5)],
+            "subj string, pred string, obj string")
+        out = fact_ranking(t, k=3)
+        assert out.count() == 3
+        # equal info -> tie-break obj ASC
+        assert [r.obj for r in sorted(out.collect(),
+                                      key=lambda r: r.rank)] == \
+            ["o0", "o1", "o2"]

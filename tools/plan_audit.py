@@ -1596,6 +1596,31 @@ def main() -> None:
         0,
     ))
 
+    ke = e.q_transe_score(spark, SF_DIR)
+    sections.append((
+        "transe_score (two embedding joins + codegen energy)",
+        "Head and tail entities each resolve with ONE equi-join against "
+        "the quantized embedding table; relation vectors are a broadcast "
+        "when-chain literal and the L1 energy is a higher-order "
+        "zip/aggregate inside codegen — no Python, no cross join; the "
+        "per-relation top-k is the only window.",
+        formatted_plan(ke),
+        ["Window", "HashAggregate"],
+        0,
+    ))
+
+    fr2 = e.q_fact_ranking(spark, SF_DIR)
+    sections.append((
+        "fact_ranking (global value counts + per-subject window)",
+        "One (pred, obj) partial+final hash agg for the global value "
+        "counts, one equi-join back on the same keys, N as a broadcast "
+        "1-row aggregate, and the per-subject top-k window — hub objects "
+        "collapse in the map-side combine before any shuffle.",
+        formatted_plan(fr2),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
