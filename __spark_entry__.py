@@ -3304,6 +3304,62 @@ def q_fact_ranking(spark, sf_dir):
     return fact_ranking(_schema_kg3(spark, sf_dir), k=3)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted-index build (retrieval.inverted_index): the
+    Lucene-segment-shaped posting table — (token, doc) rows with sorted
+    occurrence positions and per-token document frequency — that the
+    bm25/ndcg ranking stack would be served from at 10^12 docs. ONE
+    (token, doc) hash agg with in-agg position collection (array_sort,
+    never a window), a second agg of the already-reduced postings for
+    df, one join back on the token key."""
+    from saber_spark.operators.retrieval import inverted_index
+    from saber_spark.operators.vocab import tokenize_docs
+    idx = inverted_index(tokenize_docs(_docs(spark, sf_dir)))
+    # positions project as CSV for the comparator (array hashing differs
+    # between the pandas-path and driver-default comparators); the
+    # operator itself keeps the real array<long> column
+    return idx.select("token", "doc_id", "doc_freq", "n_occ",
+                      F.array_join("positions", ",").alias("positions_csv"))
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact positional phrase search (retrieval.phrase_search): the
+    posting-intersection consumer of the inverted index — each phrase
+    term is one filtered pushed-down scan projected to (doc, pos - i),
+    conjoined by equi-joins on the shared (doc, anchor) key (the BGP
+    join shape applied to positions). Phrase: "batch batch" — repeated
+    tokens make overlap handling visible (three in a row = two
+    anchors)."""
+    from saber_spark.operators.retrieval import phrase_search
+    from saber_spark.operators.vocab import tokenize_docs
+    hits = phrase_search(tokenize_docs(_docs(spark, sf_dir)),
+                         ["batch", "batch"])
+    return hits.select("doc_id", "n_matches",
+                       F.array_join("match_positions", ",")
+                       .alias("match_positions_csv"))
+
+
+def q_expectations_check(spark, sf_dir):
+    """Deequ-style declarative data-quality gate
+    (profile.expectations_check, Schelter et al. VLDB 2018): five
+    constraints over orders — key uniqueness, FK completeness, a price
+    floor, and two accepted-values domains, one of which (priorities
+    restricted to the top-3 urgency classes) FAILS with real violation
+    counts so the verdict table exercises both outcomes. Each check is
+    one aggregate over the same scan; verdicts union as single rows."""
+    from saber_spark.operators.profile import expectations_check
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return expectations_check(orders, [
+        ("custkey_not_null", "not_null", "o_custkey", None),
+        ("orderkey_unique", "unique", "o_orderkey", None),
+        ("priority_top3_only", "accepted_values", "o_orderpriority",
+         ["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+        ("status_domain", "accepted_values", "o_orderstatus",
+         ["O", "F", "P"]),
+        ("totalprice_floor", "min", "o_totalprice", 0.0),
+    ])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -3577,6 +3633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_matching": q_schema_matching,
         "transe_score": q_transe_score,
         "fact_ranking": q_fact_ranking,
+        "inverted_index": q_inverted_index,
+        "phrase_search": q_phrase_search,
+        "expectations_check": q_expectations_check,
     }
 
 
@@ -7848,4 +7907,79 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY info DESC, pred, obj) AS rank
                   FROM scored)
             WHERE rank <= 3""",
+        "inverted_index": r"""
+            WITH tokens AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos,
+                     unnest(arr) AS token
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text,
+                             '[0-9a-zA-Z]+|[^0-9a-zA-Z\s]', 0) AS arr
+                    FROM documents)),
+            postings AS (
+              SELECT token, doc_id, count(*) AS n_occ,
+                     array_to_string(list_sort(list(pos)), ',')
+                       AS positions_csv
+              FROM tokens GROUP BY 1, 2),
+            dfq AS (SELECT token, count(*) AS doc_freq
+                    FROM postings GROUP BY 1)
+            SELECT p.token, p.doc_id, d.doc_freq, p.n_occ, p.positions_csv
+            FROM postings p JOIN dfq d USING (token)""",
+        "phrase_search": r"""
+            WITH tokens AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos,
+                     unnest(arr) AS token
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text,
+                             '[0-9a-zA-Z]+|[^0-9a-zA-Z\s]', 0) AS arr
+                    FROM documents)),
+            l0 AS (SELECT doc_id, pos AS anchor FROM tokens
+                   WHERE token = 'batch'),
+            l1 AS (SELECT doc_id, pos - 1 AS anchor FROM tokens
+                   WHERE token = 'batch'),
+            hits AS (SELECT l0.doc_id, l0.anchor
+                     FROM l0 JOIN l1 USING (doc_id, anchor))
+            SELECT doc_id, count(*) AS n_matches,
+                   array_to_string(list_sort(list(anchor)), ',')
+                     AS match_positions_csv
+            FROM hits GROUP BY doc_id""",
+        "expectations_check": """
+            WITH nn AS (
+              SELECT 'custkey_not_null' AS check_name, 'not_null' AS kind,
+                     'o_custkey' AS "column", count(*) AS n_rows,
+                     CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_violations
+              FROM orders),
+            uq AS (
+              SELECT 'orderkey_unique', 'unique', 'o_orderkey',
+                     CAST(sum(c) AS BIGINT),
+                     CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
+            pr AS (
+              SELECT 'priority_top3_only', 'accepted_values',
+                     'o_orderpriority', count(*),
+                     CAST(sum(CASE WHEN o_orderpriority IN
+                              ('1-URGENT', '2-HIGH', '3-MEDIUM')
+                              THEN 0 ELSE 1 END) AS BIGINT)
+              FROM orders),
+            st AS (
+              SELECT 'status_domain', 'accepted_values', 'o_orderstatus',
+                     count(*),
+                     CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                              THEN 0 ELSE 1 END) AS BIGINT)
+              FROM orders),
+            fl AS (
+              SELECT 'totalprice_floor', 'min', 'o_totalprice', count(*),
+                     CAST(sum(CASE WHEN o_totalprice IS NULL
+                                     OR o_totalprice < 0.0
+                              THEN 1 ELSE 0 END) AS BIGINT)
+              FROM orders)
+            SELECT check_name, kind, "column", n_rows, n_violations,
+                   n_violations = 0 AS passed
+            FROM (SELECT * FROM nn UNION ALL SELECT * FROM uq
+                  UNION ALL SELECT * FROM pr UNION ALL SELECT * FROM st
+                  UNION ALL SELECT * FROM fl)
+            ORDER BY check_name""",
     }

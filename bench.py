@@ -216,6 +216,8 @@ def main() -> None:
         "schema_matching",
         # round 5 final batch 4 (TransE plausibility + fact ranking)
         "transe_score", "fact_ranking",
+        # round 5 final batch 5 (positional index, phrase search, Deequ gate)
+        "inverted_index", "phrase_search", "expectations_check",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

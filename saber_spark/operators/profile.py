@@ -204,3 +204,61 @@ def schema_match(a: DataFrame, b: DataFrame, a_cols: Sequence[str],
                 F.round(F.col("n_common").cast("double") /
                         F.least("n_a", "n_b").cast("double"), 6)
                 .alias("containment")))
+
+
+def expectations_check(df: DataFrame, checks: Sequence[tuple]) -> DataFrame:
+    """Deequ-style declarative data-quality expectations: run a list of
+    (name, kind, column, param) constraints over one table and emit a
+    one-row verdict per check — the CI gate a 100 TB ingest runs before
+    publishing a snapshot (Schelter et al., VLDB 2018's unit-test-for-
+    data shape). Kinds:
+
+        not_null          no NULLs in column            (param ignored)
+        unique            no duplicated values          (param ignored)
+        min / max         column min >= / max <= param
+        accepted_values   every value in param (list)
+
+    Scale shape: every check is ONE aggregate over the same scan —
+    violations count map-side (sum of codegen'd predicates; uniqueness
+    is the lone two-phase (value) agg) — and the verdicts union as
+    |checks| single rows. Nothing corpus-sized survives any stage.
+
+    -> (check_name, kind, column, n_rows, n_violations, passed) ordered
+    by check_name.
+    """
+    legs = []
+    for name, kind, column, param in checks:
+        c = F.col(column)
+        if kind == "not_null":
+            leg = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(c.isNull(), 1).otherwise(0))
+                .cast("long").alias("n_violations"))
+        elif kind == "unique":
+            grouped = df.groupBy(c.alias("_v")).agg(
+                F.count(F.lit(1)).alias("_c"))
+            leg = grouped.agg(
+                F.sum("_c").cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("_c") > 1, F.col("_c") - 1)
+                      .otherwise(0)).cast("long").alias("n_violations"))
+        elif kind in ("min", "max"):
+            bad = (c < F.lit(param)) if kind == "min" else (c > F.lit(param))
+            leg = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(c.isNull() | bad, 1).otherwise(0))
+                .cast("long").alias("n_violations"))
+        elif kind == "accepted_values":
+            leg = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(c.isin(*param), 0).otherwise(1))
+                .cast("long").alias("n_violations"))
+        else:
+            raise ValueError(f"expectations_check: unknown kind {kind!r}")
+        legs.append(leg.select(
+            F.lit(name).alias("check_name"), F.lit(kind).alias("kind"),
+            F.lit(column).alias("column"), "n_rows", "n_violations",
+            (F.col("n_violations") == 0).alias("passed")))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("check_name")

@@ -194,3 +194,60 @@ def ndcg_eval(docs: DataFrame, query_pairs: list[tuple[str, str]],
         F.round(F.when(F.col("idcg_raw") > 0,
                        F.col("dcg_raw") / F.col("idcg_raw"))
                 .otherwise(F.lit(0.0)), 6).alias("ndcg"))
+
+
+def inverted_index(tokens: DataFrame, id_col: str = "doc_id",
+                   pos_col: str = "pos", token_col: str = "token"
+                   ) -> DataFrame:
+    """Positional inverted-index construction — the index-build half of
+    the retrieval stack (bm25_topk/ndcg_eval consume rankings; this is
+    the Lucene-segment-shaped posting table they'd be served from at
+    scale): one row per (token, doc) posting carrying the document's
+    sorted occurrence positions and the token's document frequency.
+
+    Scale shape: ONE (token, doc) hash agg builds the postings
+    (map-side combine collapses within-partition repeats; positions
+    collect inside the agg and sort with array_sort — never a window),
+    then the doc-frequency side is a second agg of the ALREADY-reduced
+    posting table joined back on the token key. Postings for one token
+    land co-partitioned — exactly the layout a phrase/intersection
+    query wants to consume.
+
+    -> (token, doc_id, doc_freq, n_occ, positions array<long> sorted).
+    """
+    postings = (tokens.groupBy(F.col(token_col).alias("token"),
+                               F.col(id_col).alias("doc_id"))
+                .agg(F.count(F.lit(1)).alias("n_occ"),
+                     F.array_sort(F.collect_list(
+                         F.col(pos_col).cast("long"))).alias("positions")))
+    df_tbl = postings.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"))
+    return (postings.join(df_tbl, "token")
+            .select("token", "doc_id", "doc_freq", "n_occ", "positions"))
+
+
+def phrase_search(tokens: DataFrame, phrase: list[str],
+                  id_col: str = "doc_id", pos_col: str = "pos",
+                  token_col: str = "token") -> DataFrame:
+    """Exact positional phrase search (the classic posting-list
+    intersection): find every document position where the terms of
+    ``phrase`` occur consecutively. Each term's postings are ONE
+    filtered, pushed-down scan projected to (doc, pos - i) — aligning
+    all terms of one phrase occurrence to the same anchor — and the
+    conjunction is a chain of equi-joins on (doc, anchor), the BGP
+    shape applied to positions. Aggregated per document.
+
+    -> (doc_id, n_matches, match_positions array<long> sorted anchors).
+    """
+    if not phrase:
+        raise ValueError("phrase_search needs at least one term")
+    acc = None
+    for i, term in enumerate(phrase):
+        leg = (tokens.filter(F.col(token_col) == term)
+               .select(F.col(id_col).alias("doc_id"),
+                       (F.col(pos_col).cast("long") - i).alias("anchor")))
+        acc = leg if acc is None else acc.join(leg, ["doc_id", "anchor"])
+    return (acc.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.array_sort(F.collect_list("anchor"))
+                 .alias("match_positions")))

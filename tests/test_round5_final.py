@@ -339,3 +339,88 @@ class TestFactRanking:
         assert [r.obj for r in sorted(out.collect(),
                                       key=lambda r: r.rank)] == \
             ["o0", "o1", "o2"]
+
+
+class TestInvertedIndex:
+    def _toks(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, pos long, token string")
+
+    def test_postings_positions_and_df(self, spark):
+        from saber_spark.operators.retrieval import inverted_index
+        idx = {(r.token, r.doc_id): r for r in inverted_index(self._toks(
+            spark, [(1, 0, "a"), (1, 2, "a"), (1, 1, "b"),
+                    (2, 0, "a")])).collect()}
+        p = idx[("a", 1)]
+        assert p.positions == [0, 2] and p.n_occ == 2 and p.doc_freq == 2
+        assert idx[("b", 1)].doc_freq == 1
+
+    def test_positions_sorted_regardless_of_input_order(self, spark):
+        from saber_spark.operators.retrieval import inverted_index
+        rows = inverted_index(self._toks(
+            spark, [(1, 5, "x"), (1, 1, "x"), (1, 3, "x")])).collect()
+        assert rows[0].positions == [1, 3, 5]
+
+
+class TestPhraseSearch:
+    def _toks(self, spark, words, doc_id=1):
+        return spark.createDataFrame(
+            [(doc_id, i, w) for i, w in enumerate(words)],
+            "doc_id long, pos long, token string")
+
+    def test_consecutive_match_only(self, spark):
+        from saber_spark.operators.retrieval import phrase_search
+        t = self._toks(spark, ["big", "data", "x", "data", "big"])
+        rows = phrase_search(t, ["big", "data"]).collect()
+        assert len(rows) == 1
+        assert rows[0].match_positions == [0] and rows[0].n_matches == 1
+
+    def test_repeated_token_overlaps(self, spark):
+        from saber_spark.operators.retrieval import phrase_search
+        # "b b b" -> anchors 0 and 1 for phrase "b b"
+        t = self._toks(spark, ["b", "b", "b"])
+        rows = phrase_search(t, ["b", "b"]).collect()
+        assert rows[0].match_positions == [0, 1]
+
+    def test_three_term_phrase_and_empty_raise(self, spark):
+        import pytest
+
+        from saber_spark.operators.retrieval import phrase_search
+        t = self._toks(spark, ["a", "b", "c", "a", "b"])
+        rows = phrase_search(t, ["a", "b", "c"]).collect()
+        assert rows[0].match_positions == [0]
+        with pytest.raises(ValueError, match="at least one"):
+            phrase_search(t, [])
+
+
+class TestExpectationsCheck:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "O", 10.0), (2, "O", -5.0), (2, "X", None), (3, None, 7.0)],
+            "k long, status string, price double")
+
+    def test_all_kinds(self, spark):
+        from saber_spark.operators.profile import expectations_check
+        out = {r.check_name: r for r in expectations_check(self._df(spark), [
+            ("k_unique", "unique", "k", None),
+            ("status_not_null", "not_null", "status", None),
+            ("status_domain", "accepted_values", "status", ["O", "F"]),
+            ("price_floor", "min", "price", 0.0),
+        ]).collect()}
+        # k=2 appears twice -> 1 row must go
+        assert out["k_unique"].n_violations == 1 and not out["k_unique"].passed
+        assert out["status_not_null"].n_violations == 1
+        # 'X' and NULL both fall outside the domain
+        assert out["status_domain"].n_violations == 2
+        # -5.0 below floor, NULL counts as violating
+        assert out["price_floor"].n_violations == 2
+        assert all(r.n_rows == 4 for r in out.values())
+
+    def test_passing_and_unknown_kind(self, spark):
+        import pytest
+
+        from saber_spark.operators.profile import expectations_check
+        row = expectations_check(self._df(spark), [
+            ("k_nn", "not_null", "k", None)]).collect()[0]
+        assert row.passed and row.n_violations == 0
+        with pytest.raises(ValueError, match="unknown kind"):
+            expectations_check(self._df(spark), [("x", "nope", "k", None)])

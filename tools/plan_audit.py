@@ -1621,6 +1621,42 @@ def main() -> None:
         0,
     ))
 
+    ii = e.q_inverted_index(spark, SF_DIR)
+    sections.append((
+        "inverted_index (in-agg posting build)",
+        "Postings build in ONE (token, doc) hash agg with positions "
+        "collected and array_sorted INSIDE the aggregate (no window, no "
+        "per-doc explode-back); doc frequency is a second agg of the "
+        "already-reduced posting table joined back on the token key.",
+        formatted_plan(ii),
+        ["HashAggregate", "hashpartitioning"],
+        0,
+    ))
+
+    ph = e.q_phrase_search(spark, SF_DIR)
+    sections.append((
+        "phrase_search (anchored posting intersection)",
+        "Each phrase term is one filtered scan projected to (doc, "
+        "pos - i); the conjunction is an equi-join on the shared (doc, "
+        "anchor) key — the BGP join shape applied to positions; one "
+        "final per-doc agg.",
+        formatted_plan(ph),
+        ["HashAggregate"],
+        0,
+    ))
+
+    ec = e.q_expectations_check(spark, SF_DIR)
+    sections.append((
+        "expectations_check (one aggregate per constraint)",
+        "Every expectation is ONE aggregate over the same scan — "
+        "violations count as codegen'd predicate sums (uniqueness is "
+        "the lone two-phase value agg) — unioned as single-row "
+        "verdicts; nothing corpus-sized survives any stage.",
+        formatted_plan(ec),
+        ["HashAggregate", "Union"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
