@@ -3360,6 +3360,45 @@ def q_expectations_check(spark, sf_dir):
     ])
 
 
+def q_measurements(spark, sf_dir):
+    """Quantity extraction + SI normalization (structured.measurements):
+    numeric attribute-value harvesting ("spans 12 km" -> (doc, 12.0,
+    km, 12000.0, m)) — the measurement analog of the microdata/table
+    triple paths; numeric object literals are how a web KG gets its
+    quantitative facts. One JVM regexp pass zipped positionally, the
+    unit->SI table a codegen'd when-chain; the fixture keeps values
+    binary-exact (x.0 / x.5) so conversion is engine-identical and the
+    oracle re-derives the sentence from documents RAW."""
+    from saber_spark.fixtures.pages import build_docs_with_measurements
+    from saber_spark.operators.structured import measurements
+    return measurements(build_docs_with_measurements(spark, sf_dir))
+
+
+def q_citation_spans(spark, sf_dir):
+    """Bracketed-citation harvesting (structured.citation_spans):
+    "see [n] and [n+1,n+2]" -> one row per referenced number with its
+    0-based group index — the (doc, ref) edge table scholarly-webtext
+    reference resolution starts from. Two nested codegen explodes
+    (groups via regexp_extract_all, members via split); no Python, no
+    shuffle."""
+    from saber_spark.fixtures.pages import build_docs_with_measurements
+    from saber_spark.operators.structured import citation_spans
+    return citation_spans(build_docs_with_measurements(spark, sf_dir))
+
+
+def q_cusum_changepoints(spark, sf_dir):
+    """Page's CUSUM changepoint monitor (timeseries.cusum_changepoints,
+    Biometrika 1954) over per-type daily event counts — the drift
+    alarm a continuously-ingesting pipeline runs on its own extraction
+    metrics. Upper CUSUM via the cumsum identity (running sum minus
+    running min — two windows on ONE (key, day) partitioning, no
+    recursion); day buckets are tz-free epoch-microsecond floors (the
+    hypertable_rollup convention); mean/stddev derive from exact
+    integer sums so both engines agree."""
+    from saber_spark.operators.timeseries import cusum_changepoints
+    return cusum_changepoints(_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -3636,6 +3675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "expectations_check": q_expectations_check,
+        "measurements": q_measurements,
+        "citation_spans": q_citation_spans,
+        "cusum_changepoints": q_cusum_changepoints,
     }
 
 
@@ -7982,4 +8024,94 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT * FROM pr UNION ALL SELECT * FROM st
                   UNION ALL SELECT * FROM fl)
             ORDER BY check_name""",
+        "measurements": r"""
+            WITH us AS (SELECT ['km', 'kg', 'ms', 'mb'] AS u),
+            t AS (
+              SELECT doc_id,
+                     coalesce(text, '') ||
+                     CASE WHEN text IS NOT NULL AND trim(text) != ''
+                          THEN ' spans ' || CAST(doc_id % 97 AS VARCHAR)
+                               || ' ' || u[CAST(doc_id % 4 AS INT) + 1]
+                               || ' and weighs '
+                               || CAST((doc_id + 3) % 41 AS VARCHAR) || '.5'
+                               || ' ' || u[CAST((doc_id + 1) % 4 AS INT) + 1]
+                               || ', see [' || CAST(doc_id % 8 + 1 AS VARCHAR)
+                               || '] and [' || CAST(doc_id % 8 + 2 AS VARCHAR)
+                               || ',' || CAST(doc_id % 8 + 3 AS VARCHAR)
+                               || '].'
+                          ELSE '' END AS text
+              FROM documents, us),
+            m AS (
+              SELECT doc_id,
+                     CAST(unnest(regexp_extract_all(text,
+                       '([0-9]+(?:\.[0-9]+)?) (km|kg|ms|mb)', 1))
+                       AS DOUBLE) AS quantity,
+                     unnest(regexp_extract_all(text,
+                       '([0-9]+(?:\.[0-9]+)?) (km|kg|ms|mb)', 2)) AS unit
+              FROM t)
+            SELECT doc_id, quantity, unit,
+                   round(quantity * CASE unit WHEN 'km' THEN 1000.0
+                         WHEN 'kg' THEN 1000.0 WHEN 'ms' THEN 0.001
+                         WHEN 'mb' THEN 1048576.0 END, 6) AS si_value,
+                   CASE unit WHEN 'km' THEN 'm' WHEN 'kg' THEN 'g'
+                        WHEN 'ms' THEN 's' WHEN 'mb' THEN 'b' END AS si_unit
+            FROM m""",
+        "citation_spans": r"""
+            WITH us AS (SELECT ['km', 'kg', 'ms', 'mb'] AS u),
+            t AS (
+              SELECT doc_id,
+                     coalesce(text, '') ||
+                     CASE WHEN text IS NOT NULL AND trim(text) != ''
+                          THEN ' spans ' || CAST(doc_id % 97 AS VARCHAR)
+                               || ' ' || u[CAST(doc_id % 4 AS INT) + 1]
+                               || ' and weighs '
+                               || CAST((doc_id + 3) % 41 AS VARCHAR) || '.5'
+                               || ' ' || u[CAST((doc_id + 1) % 4 AS INT) + 1]
+                               || ', see [' || CAST(doc_id % 8 + 1 AS VARCHAR)
+                               || '] and [' || CAST(doc_id % 8 + 2 AS VARCHAR)
+                               || ',' || CAST(doc_id % 8 + 3 AS VARCHAR)
+                               || '].'
+                          ELSE '' END AS text
+              FROM documents, us),
+            groups AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(g, 1) - 1 AS INT) AS group_idx,
+                     unnest(g) AS grp
+              FROM (SELECT doc_id, regexp_extract_all(text,
+                      '\[([0-9]+(?:,[0-9]+)*)\]', 1) AS g FROM t))
+            SELECT doc_id, group_idx,
+                   CAST(unnest(string_split(grp, ',')) AS BIGINT) AS ref_num
+            FROM groups""",
+        "cusum_changepoints": """
+            WITH daily AS (
+              SELECT event_type AS key,
+                     (epoch_us(ts) // 86400000000) * 86400000000 AS day,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2),
+            stats AS (
+              SELECT key, sum(n_events) AS s1,
+                     sum(n_events * n_events) AS s2, count(*) AS nd
+              FROM daily GROUP BY key),
+            m AS (
+              SELECT d.key, d.day, d.n_events,
+                     s.s1::DOUBLE / s.nd AS mean,
+                     s.s2::DOUBLE / s.nd
+                       - (s.s1::DOUBLE / s.nd) * (s.s1::DOUBLE / s.nd) AS var
+              FROM daily d JOIN stats s USING (key)),
+            wc AS (
+              SELECT *, sum(n_events::DOUBLE - mean)
+                     OVER (PARTITION BY key ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS c
+              FROM m),
+            wd AS (
+              SELECT *, c - min(c)
+                     OVER (PARTITION BY key ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS d
+              FROM wc)
+            SELECT key, day, CAST(n_events AS BIGINT) AS n_events,
+                   round(d, 6) AS cusum,
+                   d > 3.0 * sqrt(greatest(var, 0.0)) AS flagged
+            FROM wd""",
     }

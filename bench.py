@@ -218,6 +218,8 @@ def main() -> None:
         "transe_score", "fact_ranking",
         # round 5 final batch 5 (positional index, phrase search, Deequ gate)
         "inverted_index", "phrase_search", "expectations_check",
+        # round 5 final batch 6 (measurements, citations, CUSUM monitor)
+        "measurements", "citation_spans", "cusum_changepoints",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

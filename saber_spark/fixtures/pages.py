@@ -174,3 +174,38 @@ def build_docs_with_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.concat(F.coalesce(F.col("text"), F.lit("")), speech).alias("text"))
+
+
+MEASURE_UNITS = ["km", "kg", "ms", "mb"]
+
+
+def build_docs_with_measurements(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """documents.parquet -> (doc_id, text) where each non-blank document
+    gains a deterministic measurement sentence built from its own id:
+    two quantities (one integral, one x.5 — exact in binary, so SI
+    conversion is bit-identical in any engine) with units rotating
+    through MEASURE_UNITS, plus a citation-style reference group
+    ("see [n] and [n+1,n+2]"). Feeds quantity extraction + citation
+    harvesting; the oracle re-derives the same sentence from documents
+    RAW. Narrow map, no UDF, no shuffle.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    units = F.array(*[F.lit(u) for u in MEASURE_UNITS])
+    n = len(MEASURE_UNITS)
+    u1 = F.element_at(units, (F.col("doc_id") % n).cast("int") + 1)
+    u2 = F.element_at(units, ((F.col("doc_id") + 1) % n).cast("int") + 1)
+    v1 = (F.col("doc_id") % 97).cast("string")
+    v2 = F.concat(((F.col("doc_id") + 3) % 41).cast("string"), F.lit(".5"))
+    r1 = (F.col("doc_id") % 8 + 1).cast("string")
+    r2 = (F.col("doc_id") % 8 + 2).cast("string")
+    r3 = (F.col("doc_id") % 8 + 3).cast("string")
+    extra = F.when(
+        F.col("text").isNotNull() & (F.trim("text") != ""),
+        F.concat(F.lit(" spans "), v1, F.lit(" "), u1,
+                 F.lit(" and weighs "), v2, F.lit(" "), u2,
+                 F.lit(", see ["), r1, F.lit("] and ["),
+                 r2, F.lit(","), r3, F.lit("]."))).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), extra).alias("text"))

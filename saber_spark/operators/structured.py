@@ -265,3 +265,68 @@ def quote_attribution(docs: DataFrame, id_col: str = "doc_id",
                 F.col("m.cu").alias("cue"),
                 F.lit("inverted").alias("frame")))
     return direct.unionByName(inverted)
+
+
+# number + unit, RE2∩Java-portable; unit list fixed so the SI map is total
+MEASURE_RE = r"([0-9]+(?:\.[0-9]+)?) (km|kg|ms|mb)"
+#: unit -> (SI factor, SI unit) — broadcast-literal normalization table
+SI_TABLE = {"km": (1000.0, "m"), "kg": (1000.0, "g"),
+            "ms": (0.001, "s"), "mb": (1048576.0, "b")}
+CITATION_RE = r"\[([0-9]+(?:,[0-9]+)*)\]"
+
+
+def measurements(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Quantity extraction + SI normalization — the attribute-value half
+    of web-KG harvesting (numeric object literals: "spans 12 km" ->
+    (doc, 12.0, km, 12000.0, m)), the measurement analog of the
+    microdata/table triple paths. One JVM regexp_extract_all pass per
+    group zipped positionally; the unit->SI conversion is a codegen'd
+    when-chain over the fixed unit vocabulary (schema-sized, literal —
+    no join, no Python). Values parse as doubles; the fixture keeps
+    them binary-exact so normalization is engine-identical.
+
+    -> (doc_id, quantity, unit, si_value, si_unit).
+    """
+    t = F.col(text_col)
+    base = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.arrays_zip(
+            F.regexp_extract_all(t, F.lit(MEASURE_RE), 1).alias("v"),
+            F.regexp_extract_all(t, F.lit(MEASURE_RE), 2).alias("u"),
+        )).alias("m"))
+        .select("doc_id",
+                F.col("m.v").cast("double").alias("quantity"),
+                F.col("m.u").alias("unit")))
+    factor, si_unit = None, None
+    for u, (f_, s_) in SI_TABLE.items():
+        cond = F.col("unit") == u
+        factor = F.when(cond, F.lit(f_)) if factor is None else \
+            F.when(cond, F.lit(f_)).otherwise(factor)
+        si_unit = F.when(cond, F.lit(s_)) if si_unit is None else \
+            F.when(cond, F.lit(s_)).otherwise(si_unit)
+    return base.select(
+        "doc_id", "quantity", "unit",
+        F.round(F.col("quantity") * factor, 6).alias("si_value"),
+        si_unit.alias("si_unit"))
+
+
+def citation_spans(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Bracketed-citation harvesting ("see [1] and [2,3]") -> one row per
+    referenced number with its group index — the reference-resolution
+    input of scholarly webtext processing (the (doc, ref) edges feed the
+    same co-citation analytics the host graph uses). Two nested explodes
+    inside codegen: groups by regexp_extract_all, members by split —
+    no Python, no shuffle.
+
+    -> (doc_id, group_idx, ref_num) with group_idx 0-based per doc.
+    """
+    t = F.col(text_col)
+    return (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.regexp_extract_all(t, F.lit(CITATION_RE), 1)))
+        .select(F.col("doc_id"), F.col("pos").alias("group_idx"),
+                F.explode(F.split(F.col("col"), ",")).alias("_r"))
+        .select("doc_id", "group_idx",
+                F.col("_r").cast("long").alias("ref_num")))

@@ -14,7 +14,7 @@ TZ-safety: bucket arithmetic on timezone-independent epoch microseconds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from saber_spark.operators.timeutil import epoch_micros as _epoch_micros
@@ -58,3 +58,58 @@ def hypertable_rollup(events: DataFrame, ts_col: str = "ts",
             F.lit(name).alias("grain"), "bucket_us", key_col, "n_events",
             F.col("_total").cast("double").alias("total_value")))
     return out
+
+
+def cusum_changepoints(events: DataFrame, ts_col: str = "ts",
+                       key_col: str = "event_type",
+                       threshold_sigma: float = 3.0) -> DataFrame:
+    """Page's CUSUM changepoint detection over per-key daily counts
+    (Page, Biometrika 1954) — the monitoring stage a continuously-
+    ingesting KG pipeline runs over its own extraction metrics (a level
+    shift in mentions/day per type = a crawl or extractor regression).
+
+    Upper CUSUM via the cumulative-sum identity: with c_i = running sum
+    of (x_i - mean), the statistic d_i = c_i - min(c_1..c_i) equals the
+    classic recursive s_i = max(0, s_{i-1} + x_i - mean) — two window
+    functions over ONE (key, day ASC) partitioning, no iteration, no
+    Python. A day flags when d_i > threshold_sigma * stddev.
+
+    Determinism: mean/stddev are per-key population moments computed
+    from exact integer counts (sum/sumsq), so both engines derive the
+    same doubles; d and the flag round/compare identically.
+
+    Day buckets are tz-free epoch-microsecond floors (the
+    hypertable_rollup convention), engine- and session-tz-portable.
+
+    -> (key, day, n_events, cusum 6dp, flagged) — one row per (key, day).
+    """
+    day_us = 86_400_000_000
+    daily = (events
+             .select(F.col(key_col).alias("key"),
+                     F.col(ts_col).cast("timestamp_ntz").alias("_ts"))
+             .select("key",
+                     ((_epoch_micros("_ts") / day_us).cast("long")
+                      * day_us).alias("day"))
+             .groupBy("key", "day")
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    stats = daily.groupBy("key").agg(
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+        F.count(F.lit(1)).alias("nd"))
+    withm = (daily.join(F.broadcast(stats), "key")
+             .withColumn("mean", F.col("s1").cast("double") / F.col("nd"))
+             .withColumn("var", F.col("s2").cast("double") / F.col("nd")
+                         - F.col("mean") * F.col("mean")))
+    w = Window.partitionBy("key").orderBy("day") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    # materialize c before the min-over window (nested window expressions
+    # are not allowed); both windows share the one (key) partitioning
+    withc = withm.withColumn(
+        "c", F.sum(F.col("n_events").cast("double") - F.col("mean")).over(w))
+    return (withc
+            .withColumn("cusum_raw", F.col("c") - F.min("c").over(w))
+            .select("key", "day", "n_events",
+                    F.round("cusum_raw", 6).alias("cusum"),
+                    (F.col("cusum_raw") >
+                     threshold_sigma * F.sqrt(F.greatest(
+                         F.col("var"), F.lit(0.0)))).alias("flagged")))

@@ -424,3 +424,79 @@ class TestExpectationsCheck:
         assert row.passed and row.n_violations == 0
         with pytest.raises(ValueError, match="unknown kind"):
             expectations_check(self._df(spark), [("x", "nope", "k", None)])
+
+
+class TestMeasurements:
+    def test_extraction_and_si(self, spark):
+        from saber_spark.operators.structured import measurements
+        docs = spark.createDataFrame(
+            [(1, "route spans 12 km and takes 2.5 ms today")],
+            "doc_id long, text string")
+        rows = {r.unit: r for r in measurements(docs).collect()}
+        assert rows["km"].si_value == 12000.0 and rows["km"].si_unit == "m"
+        assert rows["ms"].si_value == 0.0025 and rows["ms"].si_unit == "s"
+        assert rows["km"].quantity == 12.0
+
+    def test_unknown_units_ignored(self, spark):
+        from saber_spark.operators.structured import measurements
+        docs = spark.createDataFrame(
+            [(1, "5 furlongs and 3 zz"), (2, None)],
+            "doc_id long, text string")
+        assert measurements(docs).count() == 0
+
+
+class TestCitationSpans:
+    def test_groups_and_members(self, spark):
+        from saber_spark.operators.structured import citation_spans
+        docs = spark.createDataFrame(
+            [(1, "see [4] and [7,9] plus [12]")],
+            "doc_id long, text string")
+        rows = sorted(citation_spans(docs).collect(),
+                      key=lambda r: (r.group_idx, r.ref_num))
+        assert [(r.group_idx, r.ref_num) for r in rows] == [
+            (0, 4), (1, 7), (1, 9), (2, 12)]
+
+    def test_plain_brackets_without_numbers_ignored(self, spark):
+        from saber_spark.operators.structured import citation_spans
+        docs = spark.createDataFrame([(1, "array[i] and [a,b]")],
+                                     "doc_id long, text string")
+        assert citation_spans(docs).count() == 0
+
+
+class TestCusumChangepoints:
+    def _events(self, spark, counts, key="k"):
+        # counts[i] events on day i
+        rows = []
+        eid = 0
+        for day, n in enumerate(counts):
+            for _ in range(n):
+                rows.append((eid, f"2024-01-{day+1:02d} 00:00:00", key))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string")
+
+    def test_level_shift_flags_after_shift(self, spark):
+        from saber_spark.operators.timeseries import cusum_changepoints
+        ev = self._events(spark, [5, 5, 5, 5, 5, 20, 20, 20])
+        rows = sorted(cusum_changepoints(ev, threshold_sigma=1.0).collect(),
+                      key=lambda r: r.day)
+        assert [r.flagged for r in rows[:5]] == [False] * 5
+        assert rows[-1].flagged  # sustained shift accumulates past 1 sigma
+
+    def test_stationary_series_never_flags(self, spark):
+        from saber_spark.operators.timeseries import cusum_changepoints
+        ev = self._events(spark, [5] * 10)
+        out = cusum_changepoints(ev).collect()
+        assert all(not r.flagged for r in out)
+        assert all(r.cusum == 0.0 for r in out)
+
+    def test_cumsum_identity_matches_recursive_cusum(self, spark):
+        from saber_spark.operators.timeseries import cusum_changepoints
+        counts = [3, 9, 1, 7, 2, 8, 4]
+        ev = self._events(spark, counts)
+        rows = sorted(cusum_changepoints(ev).collect(), key=lambda r: r.day)
+        mean = sum(counts) / len(counts)
+        s = 0.0
+        for r, x in zip(rows, counts):
+            s = max(0.0, s + (x - mean))
+            assert abs(r.cusum - s) < 1e-6

@@ -1657,6 +1657,28 @@ def main() -> None:
         0,
     ))
 
+    ms = e.q_measurements(spark, SF_DIR)
+    sections.append((
+        "measurements (regexp harvest + literal SI table)",
+        "One regexp_extract_all pass per group zipped positionally into a "
+        "Generate; the unit->SI conversion is a codegen'd when-chain over "
+        "the fixed unit vocabulary — no join, no Python, no shuffle.",
+        formatted_plan(ms),
+        ["Generate"],
+        0,
+    ))
+
+    cu = e.q_cusum_changepoints(spark, SF_DIR)
+    sections.append((
+        "cusum_changepoints (two windows, one partitioning)",
+        "Daily counts reduce in a partial+final hash agg; the running sum "
+        "and running min share ONE (key, day) window partitioning; per-key "
+        "moments ride in as a broadcast join of a schema-sized aggregate.",
+        formatted_plan(cu),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
