@@ -3399,6 +3399,33 @@ def q_cusum_changepoints(spark, sf_dir):
     return cusum_changepoints(_events(spark, sf_dir))
 
 
+def q_gini_concentration(spark, sf_dir):
+    """Gini concentration of mention mass per label
+    (groupstats.gini_concentration): how unequally a label's mentions
+    distribute over its canonical entities — the hub-entity diagnostic
+    run before trusting per-label statistics (one entity holding 90%
+    of DISO means the label's numbers are that entity's). Sorted-rank
+    identity over exact integer counts: one (label, entity) agg, one
+    rank window over the already-reduced counts, one final agg."""
+    from saber_spark.operators.groupstats import gini_concentration
+    return gini_concentration(_linked_spark(spark, sf_dir),
+                              "label", "canonical_id")
+
+
+def q_analogy_eval(spark, sf_dir):
+    """word2vec analogy probe (kge.analogy_eval, Mikolov NAACL 2013:
+    b - a + c): three quadruples against the embedding table — the
+    intrinsic geometry check run on trained embeddings before they
+    gate linking/dedup decisions. Targets are a broadcast literal;
+    each corpus row scores all targets via dim scalar codegen terms
+    (exact integer dot against the integer target); top-1 per quad via
+    a WindowGroupLimit-pruned window, a/b/c excluded per protocol."""
+    from saber_spark.operators.kge import analogy_eval
+    return analogy_eval(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        [(0, 1, 2), (3, 4, 5), (10, 20, 30)])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -3678,6 +3705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measurements": q_measurements,
         "citation_spans": q_citation_spans,
         "cusum_changepoints": q_cusum_changepoints,
+        "gini_concentration": q_gini_concentration,
+        "analogy_eval": q_analogy_eval,
     }
 
 
@@ -8114,4 +8143,62 @@ def oracle_sql() -> dict[str, str]:
                    round(d, 6) AS cusum,
                    d > 3.0 * sqrt(greatest(var, 0.0)) AS flagged
             FROM wd""",
+        "gini_concentration": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            counts AS (
+              SELECT label AS grp, canonical_id AS key, count(*) AS x
+              FROM linked GROUP BY 1, 2),
+            ranked AS (
+              SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                             ORDER BY x, key) AS BIGINT) AS i
+              FROM counts)
+            SELECT grp AS label, count(*) AS n_keys,
+                   CAST(sum(x) AS BIGINT) AS total,
+                   round(2.0 * sum(i * x)::DOUBLE
+                           / (count(*) * sum(x))::DOUBLE
+                         - (count(*) + 1)::DOUBLE / count(*)::DOUBLE,
+                         6) AS gini
+            FROM ranked GROUP BY grp""",
+        "analogy_eval": """
+            WITH q AS MATERIALIZED (
+              SELECT vec_id, list_transform(embedding,
+                     x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            vals AS MATERIALIZED (
+              SELECT vec_id, CAST(generate_subscripts(qv, 1) AS INT) AS i,
+                     unnest(qv) AS v
+              FROM q),
+            norms AS (SELECT vec_id, sum(v * v) AS norm2
+                      FROM vals GROUP BY vec_id),
+            quads(quad_id, a, b, c) AS (
+              SELECT * FROM (VALUES (0, 0, 1, 2), (1, 3, 4, 5),
+                                    (2, 10, 20, 30))),
+            tv AS MATERIALIZED (
+              SELECT qd.quad_id, vb.i, vb.v - va.v + vc.v AS tv
+              FROM quads qd
+              JOIN vals va ON va.vec_id = qd.a
+              JOIN vals vb ON vb.vec_id = qd.b AND vb.i = va.i
+              JOIN vals vc ON vc.vec_id = qd.c AND vc.i = va.i),
+            tn AS (SELECT quad_id, sum(tv * tv) AS tn FROM tv GROUP BY 1),
+            scores AS (
+              SELECT t.quad_id, x.vec_id AS predicted, sum(x.v * t.tv) AS dot
+              FROM tv t JOIN vals x ON x.i = t.i
+              GROUP BY 1, 2),
+            cos AS (
+              SELECT s.quad_id, qd.a, qd.b, qd.c, s.predicted,
+                     s.dot::DOUBLE / sqrt(n.norm2::DOUBLE * tn.tn::DOUBLE)
+                       AS cosv
+              FROM scores s
+              JOIN quads qd ON qd.quad_id = s.quad_id
+              JOIN norms n ON n.vec_id = s.predicted
+              JOIN tn ON tn.quad_id = s.quad_id
+              WHERE s.predicted NOT IN (qd.a, qd.b, qd.c))
+            SELECT CAST(quad_id AS INT) AS quad_id,
+                   CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   CAST(c AS BIGINT) AS c, predicted,
+                   round(cosv, 6) AS cosine
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY quad_id
+                          ORDER BY cosv DESC, predicted) AS rk
+                  FROM cos)
+            WHERE rk = 1""",
     }

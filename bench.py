@@ -220,6 +220,8 @@ def main() -> None:
         "inverted_index", "phrase_search", "expectations_check",
         # round 5 final batch 6 (measurements, citations, CUSUM monitor)
         "measurements", "citation_spans", "cusum_changepoints",
+        # round 5 final batch 7 (concentration diagnostic, analogy probe)
+        "gini_concentration", "analogy_eval",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -14,7 +14,7 @@ module exists to cover the API and to verify the two paths agree.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ZSCORE_SCHEMA = "doc_id long, source string, n_chars long, zscore double"
@@ -91,3 +91,43 @@ def mad_outliers(df: DataFrame, value_col: str, group_col: str = "source",
                     F.col("n_outliers").cast("long").alias("n_outliers"),
                     F.round(F.col("n_outliers").cast("double")
                             / F.col("n_rows"), 6).alias("outlier_rate")))
+
+
+def gini_concentration(df: DataFrame, group_col: str, key_col: str
+                       ) -> DataFrame:
+    """Gini coefficient of per-key mass within each group — the
+    concentration diagnostic a corpus/KG pipeline runs before trusting
+    aggregate counts (one hub entity holding 90% of a label's mentions
+    means the label's statistics are really that entity's; same for one
+    host dominating a source). Computed from the sorted-rank identity
+
+        G = (2 * sum(i * x_(i))) / (n * sum(x)) - (n + 1) / n
+
+    with x ascending, i = 1..n — exact integer sums feeding one double
+    expression (the edge_pmi portability convention), no pair joins.
+
+    Scale shape: one (group, key) hash agg (map-side combinable), one
+    rank window per group over the ALREADY-reduced key counts, one
+    final agg. n = distinct keys per group, so the window input is
+    key-cardinality-sized, never row-sized.
+
+    -> (group, n_keys, total, gini 6dp) — gini 0 = uniform, -> 1 =
+    concentrated; single-key groups are 0 by the identity.
+    """
+    counts = (df.groupBy(F.col(group_col).alias("grp"),
+                         F.col(key_col).alias("key"))
+              .agg(F.count(F.lit(1)).alias("x")))
+    w = Window.partitionBy("grp").orderBy(F.col("x").asc(),
+                                          F.col("key").asc())
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return (ranked.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum("x").alias("total"),
+                 F.sum(F.col("i") * F.col("x")).alias("ix"))
+            .select(F.col("grp").alias(group_col),
+                    "n_keys", "total",
+                    F.round(
+                        2.0 * F.col("ix").cast("double") /
+                        (F.col("n_keys") * F.col("total")).cast("double")
+                        - (F.col("n_keys") + 1).cast("double") /
+                        F.col("n_keys").cast("double"), 6).alias("gini")))

@@ -102,3 +102,63 @@ def transe_score(triples: DataFrame, embeddings: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k)
             .select(subj_col, pred_col, obj_col, "energy", "rank"))
+
+
+def analogy_eval(embeddings: DataFrame, quads: list[tuple[int, int, int]],
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """word2vec-style analogy probe (Mikolov NAACL 2013: b - a + c ≈ d):
+    for each (a, b, c) query, rank every corpus vector by quantized
+    cosine against the target t = q(b) - q(a) + q(c) (exact integer
+    arithmetic; a/b/c excluded per the standard protocol) and return
+    the top-1 — the intrinsic geometry check run on trained entity/word
+    embeddings before they gate linking or dedup decisions.
+
+    Scale shape: the query targets are a |quads|-row broadcast literal
+    crossed against ONE scan of the quantized corpus (narrow — each
+    corpus row scores |quads| targets inside codegen via dim scalar
+    terms); the top-1 per quad is a WindowGroupLimit-pruned window.
+    No joins on the corpus side, no Python.
+
+    -> (quad_id, a, b, c, predicted, cosine 6dp).
+    """
+    n_needed = sorted({i for q in quads for i in q})
+    quant = _quantized(embeddings, id_col, vec_col)
+    rows = {int(r[id_col]): list(r["q"]) for r in
+            quant.filter(F.col(id_col).isin(*n_needed)).collect()}
+    missing = [i for i in n_needed if i not in rows]
+    if missing:
+        raise ValueError(f"analogy_eval: no embedding rows for {missing}")
+    dim = len(next(iter(rows.values())))
+
+    targets = []
+    for qi, (a, b, c) in enumerate(quads):
+        t = [rows[b][i] - rows[a][i] + rows[c][i] for i in range(dim)]
+        tn = sum(x * x for x in t)
+        targets.append((qi, a, b, c, t, tn))
+
+    legs = []
+    for qi, a, b, c, t, tn in targets:
+        dot = None
+        for i, ti in enumerate(t):
+            term = F.col("q")[i] * F.lit(int(ti))
+            dot = term if dot is None else dot + term
+        leg = (quant
+               .filter(~F.col(id_col).isin(a, b, c))
+               .select(F.lit(qi).cast("int").alias("quad_id"),
+                       F.lit(a).cast("long").alias("a"),
+                       F.lit(b).cast("long").alias("b"),
+                       F.lit(c).cast("long").alias("c"),
+                       F.col(id_col).alias("predicted"),
+                       (dot / F.sqrt(F.col("norm2").cast("double")
+                                     * float(tn))).alias("cos")))
+        legs.append(leg)
+    scored = legs[0]
+    for leg in legs[1:]:
+        scored = scored.unionByName(leg)
+    w = Window.partitionBy("quad_id").orderBy(
+        F.col("cos").desc(), F.col("predicted").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("quad_id", "a", "b", "c", "predicted",
+                    F.round("cos", 6).alias("cosine")))

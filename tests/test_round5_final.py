@@ -500,3 +500,58 @@ class TestCusumChangepoints:
         for r, x in zip(rows, counts):
             s = max(0.0, s + (x - mean))
             assert abs(r.cusum - s) < 1e-6
+
+
+class TestGiniConcentration:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "grp string, key string")
+
+    def test_uniform_is_zero(self, spark):
+        from saber_spark.operators.groupstats import gini_concentration
+        df = self._df(spark, [("g", "a")] * 3 + [("g", "b")] * 3
+                      + [("g", "c")] * 3)
+        row = gini_concentration(df, "grp", "key").collect()[0]
+        assert row.gini == 0.0 and row.n_keys == 3 and row.total == 9
+
+    def test_concentration_raises_gini(self, spark):
+        from saber_spark.operators.groupstats import gini_concentration
+        # counts 1,1,8: G = 2*(1*1+2*1+3*8)/(3*10) - 4/3 = 54/30 - 40/30
+        df = self._df(spark, [("g", "a")] + [("g", "b")]
+                      + [("g", "c")] * 8)
+        row = gini_concentration(df, "grp", "key").collect()[0]
+        assert row.gini == round(14 / 30, 6)
+
+    def test_single_key_group_is_zero(self, spark):
+        from saber_spark.operators.groupstats import gini_concentration
+        row = gini_concentration(self._df(spark, [("g", "a")] * 5),
+                                 "grp", "key").collect()[0]
+        assert row.gini == 0.0
+
+
+class TestAnalogyEval:
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+
+    def test_exact_analogy_recovered(self, spark):
+        from saber_spark.operators.kge import analogy_eval
+        # b - a + c = exactly vec 3: (1,0)-(0,0)+(0,1) = (1,1)
+        vecs = [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0],
+                [-1.0, -1.0]]
+        row = analogy_eval(self._emb(spark, vecs), [(0, 1, 2)]).collect()[0]
+        assert row.predicted == 3 and row.cosine == 1.0
+
+    def test_query_vectors_excluded(self, spark):
+        from saber_spark.operators.kge import analogy_eval
+        # without exclusion, b (identical direction) would win
+        vecs = [[0.0, 1.0], [2.0, 0.0], [1.0, 0.0], [0.9, 0.1]]
+        row = analogy_eval(self._emb(spark, vecs), [(0, 1, 2)]).collect()[0]
+        assert row.predicted == 3
+
+    def test_missing_row_raises(self, spark):
+        import pytest
+
+        from saber_spark.operators.kge import analogy_eval
+        with pytest.raises(ValueError, match="no embedding rows"):
+            analogy_eval(self._emb(spark, [[1.0, 0.0]]), [(0, 1, 2)])

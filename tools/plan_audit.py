@@ -1679,6 +1679,28 @@ def main() -> None:
         0,
     ))
 
+    gi = e.q_gini_concentration(spark, SF_DIR)
+    sections.append((
+        "gini_concentration (rank window over reduced counts)",
+        "The (group, key) counts reduce in a partial+final hash agg "
+        "BEFORE the rank window, so the window input is key-cardinality-"
+        "sized; the final agg is one row per group.",
+        formatted_plan(gi),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
+    ae = e.q_analogy_eval(spark, SF_DIR)
+    sections.append((
+        "analogy_eval (broadcast targets, WindowGroupLimit top-1)",
+        "Targets are literal legs over ONE corpus scan (dim scalar "
+        "codegen terms per row); the per-quad top-1 prunes map-side via "
+        "WindowGroupLimit before the exchange.",
+        formatted_plan(ae),
+        ["WindowGroupLimit", "Union"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
