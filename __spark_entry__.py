@@ -3426,6 +3426,76 @@ def q_analogy_eval(spark, sf_dir):
         [(0, 1, 2), (3, 4, 5), (10, 20, 30)])
 
 
+SHACL_SHAPES = [
+    ("Customer", "in_nation", 1, 1),
+    ("Customer", "placed", 1, 4),
+    ("Customer", "in_segment", 1, 1),
+]
+SHACL_SHAPES_SQL = ", ".join(
+    f"('{c}', '{p}', {lo}, {hi})" for c, p, lo, hi in SHACL_SHAPES)
+
+
+def q_shacl_validate(spark, sf_dir):
+    """SHACL-style shape validation (ontology.shacl_validate): minCount /
+    maxCount / closed violations for Customer node shapes over facts
+    derived from customer+orders — the constraint gate a KG publishes
+    behind. Fixture facts: in_nation and in_segment (exactly one each —
+    clean), placed (urgent orders only; missing -> minCount, >4 ->
+    maxCount), vip_flag (custkey % 97 == 0; unlisted -> closed). One
+    fact-side hash agg; shapes are broadcast literals."""
+    from saber_spark.operators.ontology import shacl_validate
+    cust = tpch.load(spark, sf_dir, "customer")
+    orders = tpch.load(spark, sf_dir, "orders")
+    subj = F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))
+    facts = (cust.select(subj.alias("subj"),
+                         F.lit("in_nation").alias("pred"),
+                         F.concat(F.lit("nation:"),
+                                  F.col("c_nationkey").cast("string"))
+                         .alias("obj"))
+             .unionByName(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.concat(F.lit("cust:"),
+                         F.col("o_custkey").cast("string")).alias("subj"),
+                F.lit("placed").alias("pred"),
+                F.concat(F.lit("order:"),
+                         F.col("o_orderkey").cast("string")).alias("obj")))
+             .unionByName(
+        cust.select(subj.alias("subj"),
+                    F.lit("in_segment").alias("pred"),
+                    F.col("c_mktsegment").alias("obj")))
+             .unionByName(
+        cust.filter(F.col("c_custkey") % 97 == 0)
+        .select(subj.alias("subj"), F.lit("vip_flag").alias("pred"),
+                F.lit("true").alias("obj"))))
+    types = cust.select(subj.alias("subj"), F.lit("Customer").alias("cls"))
+    shapes = spark.createDataFrame(
+        SHACL_SHAPES, "cls string, pred string, min_count int, max_count int")
+    return shacl_validate(facts, types, shapes,
+                          closed_classes=["Customer"])
+
+
+def q_ppjoin_similarity(spark, sf_dir):
+    """Exact-Jaccard set-similarity self-join >= 0.95 via prefix filtering
+    (dedup.ppjoin_similarity; AllPairs/PPJoin) — the no-false-negative
+    counterpart to the MinHash/LSH path for auditable dedup policies.
+    Candidates join only on frequency-ascending token prefixes; the
+    oracle is an INDEPENDENT brute-force all-pairs derivation, so the
+    match evidences the prefix filter's losslessness."""
+    from saber_spark.operators.dedup import ppjoin_similarity
+    return ppjoin_similarity(_docs(spark, sf_dir), threshold=0.95)
+
+
+def q_texttiling(spark, sf_dir):
+    """TextTiling topic segmentation (textstats.texttiling, Hearst CL
+    1997): adjacent 10-token-block cosine per gap + immediate-neighbor
+    depth score; boundaries at sharp strict local cohesion minima —
+    the topic-aware passage splitter upstream of fixed-stride chunking.
+    Dot/norms are exact integer aggs; cosine/depth are single double
+    expressions; one per-doc window over gap-cardinality rows."""
+    from saber_spark.operators.textstats import texttiling
+    return texttiling(_docs(spark, sf_dir), window=10, cutoff=0.1)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -3707,6 +3777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": q_cusum_changepoints,
         "gini_concentration": q_gini_concentration,
         "analogy_eval": q_analogy_eval,
+        "shacl_validate": q_shacl_validate,
+        "ppjoin_similarity": q_ppjoin_similarity,
+        "texttiling": q_texttiling,
     }
 
 
@@ -8201,4 +8274,98 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY cosv DESC, predicted) AS rk
                   FROM cos)
             WHERE rk = 1""",
+        "shacl_validate": f"""
+            WITH facts AS (
+              SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS subj,
+                     'in_nation' AS pred FROM customer
+              UNION ALL
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR), 'placed'
+              FROM orders WHERE o_orderpriority = '1-URGENT'
+              UNION ALL
+              SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'in_segment'
+              FROM customer
+              UNION ALL
+              SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'vip_flag'
+              FROM customer WHERE c_custkey % 97 = 0),
+            types AS (
+              SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS subj,
+                     'Customer' AS cls FROM customer),
+            shapes(cls, pred, min_count, max_count) AS (
+              SELECT * FROM (VALUES {SHACL_SHAPES_SQL})),
+            counts AS (
+              SELECT f.subj, f.pred, t.cls, count(*) AS n
+              FROM facts f JOIN types t ON t.subj = f.subj
+              GROUP BY f.subj, f.pred, t.cls)
+            SELECT c.subj, c.cls, c.pred, 'maxCount' AS violation,
+                   CAST(s.max_count AS BIGINT) AS expected,
+                   CAST(c.n AS BIGINT) AS actual
+            FROM counts c JOIN shapes s
+              ON s.cls = c.cls AND s.pred = c.pred
+            WHERE s.max_count IS NOT NULL AND c.n > s.max_count
+            UNION ALL
+            SELECT t.subj, t.cls, s.pred, 'minCount',
+                   CAST(s.min_count AS BIGINT),
+                   CAST(COALESCE(c.n, 0) AS BIGINT)
+            FROM types t
+            JOIN shapes s ON s.cls = t.cls AND s.min_count > 0
+            LEFT JOIN counts c ON c.subj = t.subj AND c.pred = s.pred
+            WHERE COALESCE(c.n, 0) < s.min_count
+            UNION ALL
+            SELECT c.subj, c.cls, c.pred, 'closed',
+                   CAST(0 AS BIGINT), CAST(c.n AS BIGINT)
+            FROM counts c LEFT JOIN shapes s
+              ON s.cls = c.cls AND s.pred = c.pred
+            WHERE c.cls IN ('Customer') AND s.pred IS NULL""",
+        "ppjoin_similarity": f"""
+            WITH {TOKENS_CTE},
+            ts AS (SELECT DISTINCT doc_id, token FROM tokens),
+            sz AS (SELECT doc_id, count(*) AS sz FROM ts GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS inter
+              FROM ts a JOIN ts b
+                ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+                   CAST(sa.sz AS BIGINT) AS size_a,
+                   CAST(sb.sz AS BIGINT) AS size_b,
+                   round(i.inter::DOUBLE
+                         / (sa.sz + sb.sz - i.inter)::DOUBLE, 6) AS jaccard
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.doc_a
+            JOIN sz sb ON sb.doc_id = i.doc_b
+            WHERE i.inter * 20 >= 19 * (sa.sz + sb.sz - i.inter)""",
+        "texttiling": f"""
+            WITH {TOKENS_CTE},
+            blocks AS (
+              SELECT doc_id, pos // 10 AS blk, token, count(*) AS n
+              FROM tokens GROUP BY 1, 2, 3),
+            norms AS (
+              SELECT doc_id, blk, sum(n * n) AS norm2
+              FROM blocks GROUP BY 1, 2),
+            dots AS (
+              SELECT a.doc_id, a.blk AS gap, sum(a.n * b.n) AS dot
+              FROM blocks a JOIN blocks b
+                ON a.doc_id = b.doc_id AND b.blk = a.blk + 1
+               AND a.token = b.token
+              GROUP BY 1, 2),
+            gaps AS (
+              SELECT l.doc_id, l.blk AS gap,
+                     COALESCE(d.dot, 0)::DOUBLE
+                       / sqrt(l.norm2::DOUBLE * r.norm2::DOUBLE) AS cos
+              FROM norms l
+              JOIN norms r ON r.doc_id = l.doc_id AND r.blk = l.blk + 1
+              LEFT JOIN dots d ON d.doc_id = l.doc_id AND d.gap = l.blk),
+            scored AS (
+              SELECT doc_id, gap, cos,
+                     lag(cos) OVER w AS lagc, lead(cos) OVER w AS leadc
+              FROM gaps
+              WINDOW w AS (PARTITION BY doc_id ORDER BY gap))
+            SELECT doc_id, CAST(gap AS BIGINT) AS gap,
+                   round(cos, 6) + 0.0 AS cosine,
+                   round((lagc - cos) + (leadc - cos), 6) + 0.0 AS depth,
+                   (lagc IS NOT NULL AND leadc IS NOT NULL
+                    AND (lagc - cos) + (leadc - cos) > 0.1
+                    AND cos < lagc AND cos < leadc) AS boundary
+            FROM scored""",
     }

@@ -222,6 +222,8 @@ def main() -> None:
         "measurements", "citation_spans", "cusum_changepoints",
         # round 5 final batch 7 (concentration diagnostic, analogy probe)
         "gini_concentration", "analogy_eval",
+        # round 5 final batch 8 (SHACL shapes, exact PPJoin, TextTiling)
+        "shacl_validate", "ppjoin_similarity", "texttiling",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

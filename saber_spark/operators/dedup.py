@@ -610,3 +610,85 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
             .agg(F.count_distinct("fp").cast("long").alias("n_fps"),
                  F.min("fp").alias("min_fp"),
                  F.sum_distinct("fp").cast("long").alias("fp_sum")))
+
+
+def ppjoin_similarity(docs: DataFrame, threshold: float = 0.6,
+                      text_col: str = "text", id_col: str = "doc_id"
+                      ) -> DataFrame:
+    """Exact token-set Jaccard self-join >= threshold via prefix
+    filtering (AllPairs, Bayardo WWW'07; PPJoin, Xiao ICDE'08) — the
+    EXACT counterpart to the MinHash/LSH probabilistic path: no false
+    negatives, no signature tuning, the right tool when the dedup
+    policy must be auditable ("every pair above t, provably").
+
+    Prefix filter: order every doc's distinct tokens by global document
+    frequency ascending (rarest first, ties by token ASC); any pair with
+    Jaccard >= t = num/den must share a token within each side's first
+    p = |d| - ceil(t*|d|) + 1 tokens, so candidate generation joins ONLY
+    prefix tokens — the frequent-token quadratic blowup never enters the
+    join. A symmetric length filter (den*min_size >= num*max_size)
+    prunes before verification; survivors verify with an exact
+    intersection count over full sets. All threshold comparisons are
+    integer (inter*den >= num*union) — no float boundary misses; the
+    threshold is snapped to a rational via Fraction.limit_denominator.
+
+    Scale shape: df-rank is a vocabulary-sized window broadcast back via
+    an equi-join; prefix selection is one per-doc window over distinct
+    (doc, token) rows; candidates shuffle on prefix tokens only (rare by
+    construction — the frequency-ascending order is WHY this scales);
+    verification touches candidate pairs, never all pairs.
+
+    -> (doc_a, doc_b, inter, size_a, size_b, jaccard 6dp), doc_a < doc_b.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    fr = Fraction(threshold).limit_denominator(1_000)
+    num, den = fr.numerator, fr.denominator
+
+    toks = (tokenize_docs(docs, text_col=text_col)
+            .select(F.col(id_col).alias("doc"), "token").distinct())
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    rank = dfreq.select(
+        "token", F.row_number().over(
+            Window.orderBy(F.col("df").asc(), F.col("token").asc()))
+        .alias("trank"))
+
+    ranked = (toks.join(rank, "token").join(sizes, "doc")
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("doc").orderBy("trank")))
+              .filter(F.col("rn") <= F.col("sz")
+                      - F.floor((num * F.col("sz") + den - 1) / den) + 1)
+              .select("doc", "token", "sz"))
+
+    cand = (ranked.alias("a").join(ranked.alias("b"), "token")
+            .filter((F.col("a.doc") < F.col("b.doc"))
+                    & (den * F.least("a.sz", "b.sz")
+                       >= num * F.greatest("a.sz", "b.sz")))
+            .select(F.col("a.doc").alias("doc_a"),
+                    F.col("b.doc").alias("doc_b"))
+            .distinct())
+
+    inter = (cand
+             .join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc"))
+             .join(toks.alias("tb"),
+                   (F.col("doc_b") == F.col("tb.doc"))
+                   & (F.col("ta.token") == F.col("tb.token")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+
+    return (inter
+            .join(sizes.select(F.col("doc").alias("doc_a"),
+                               F.col("sz").alias("size_a")), "doc_a")
+            .join(sizes.select(F.col("doc").alias("doc_b"),
+                               F.col("sz").alias("size_b")), "doc_b")
+            .filter(F.col("inter") * den
+                    >= num * (F.col("size_a") + F.col("size_b")
+                              - F.col("inter")))
+            .select("doc_a", "doc_b", "inter", "size_a", "size_b",
+                    F.round(F.col("inter").cast("double")
+                            / (F.col("size_a") + F.col("size_b")
+                               - F.col("inter")).cast("double"), 6)
+                    .alias("jaccard")))

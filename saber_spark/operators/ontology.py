@@ -140,3 +140,75 @@ def rdfs_entail(triples: DataFrame, domains: DataFrame, ranges: DataFrame,
     return (base.unionByName(inherited)
             .select("entity", F.col("cls").alias("type"))
             .distinct())
+
+
+def shacl_validate(triples: DataFrame, types: DataFrame, shapes: DataFrame,
+                   closed_classes: list[str] | None = None,
+                   subj_col: str = "subj", pred_col: str = "pred"
+                   ) -> DataFrame:
+    """SHACL-style node-shape validation (W3C SHACL: sh:minCount /
+    sh:maxCount / sh:closed) over a triple table — the constraint gate a
+    KG build runs before publishing an extraction batch. The reference
+    emits annotations with no schema check at all (its grounding attaches
+    every xref unconditionally, saber/utils/grounding_utils.py:53-66); at
+    web scale a shape report is how extraction regressions surface
+    (a parser change that drops `in_nation` facts shows up as a minCount
+    spike, a dedup bug as a maxCount spike).
+
+    Inputs: `triples` (subj, pred, obj) facts; `types` (subj, cls) class
+    assignments; `shapes` (cls, pred, min_count, max_count) property
+    shapes — NULL max_count = unbounded. `closed_classes`: classes whose
+    subjects may only use predicates their shape lists (sh:closed).
+
+    -> (subj, cls, pred, violation, expected, actual) with violation in
+    {'minCount', 'maxCount', 'closed'} — one row per violation; a clean
+    batch is an empty frame.
+
+    Scale shape: one (subj, pred) hash agg over the fact table (map-side
+    combinable), one equi-join with the entity-cardinality `types` table,
+    then three dimension-side broadcast joins against `shapes` (shape
+    tables are schema-sized). The minCount branch expands `types` by at
+    most preds-per-class (a dimension-bounded multiplier over entities,
+    never over facts). No windows, no collect.
+    """
+    closed = closed_classes or []
+    counts = (triples.groupBy(F.col(subj_col).alias("subj"),
+                              F.col(pred_col).alias("pred"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .join(types.select(F.col(subj_col).alias("subj"), "cls"),
+                    "subj"))
+    sh = shapes.select("cls", "pred",
+                       F.col("min_count").cast("long").alias("min_count"),
+                       F.col("max_count").cast("long").alias("max_count"))
+
+    maxv = (counts.join(F.broadcast(sh), ["cls", "pred"])
+            .filter(F.col("max_count").isNotNull()
+                    & (F.col("n") > F.col("max_count")))
+            .select("subj", "cls", "pred",
+                    F.lit("maxCount").alias("violation"),
+                    F.col("max_count").alias("expected"),
+                    F.col("n").cast("long").alias("actual")))
+
+    required = (types.select(F.col(subj_col).alias("subj"), "cls")
+                .join(F.broadcast(sh.filter(F.col("min_count") > 0)),
+                      "cls"))
+    minv = (required.join(counts.select("subj", "pred", "n"),
+                          ["subj", "pred"], "left")
+            .filter(F.coalesce(F.col("n"), F.lit(0))
+                    < F.col("min_count"))
+            .select("subj", "cls", "pred",
+                    F.lit("minCount").alias("violation"),
+                    F.col("min_count").alias("expected"),
+                    F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                    .alias("actual")))
+
+    closedv = (counts.filter(F.col("cls").isin(*closed) if closed
+                             else F.lit(False))
+               .join(F.broadcast(sh.select("cls", "pred")),
+                     ["cls", "pred"], "left_anti")
+               .select("subj", "cls", "pred",
+                       F.lit("closed").alias("violation"),
+                       F.lit(0).cast("long").alias("expected"),
+                       F.col("n").cast("long").alias("actual")))
+
+    return maxv.unionByName(minv).unionByName(closedv)

@@ -428,3 +428,76 @@ def extract_dates(docs: DataFrame, text_col: str = "text",
             .filter(F.try_to_date("date_str", "yyyy-MM-dd").isNotNull())
             .select(id_col, "date_str",
                     F.substring("date_str", 1, 7).alias("month")))
+
+
+def texttiling(docs: DataFrame, window: int = 10, cutoff: float = 0.1,
+               text_col: str = "text", id_col: str = "doc_id"
+               ) -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst CL 1997): score every
+    gap between adjacent fixed-size token blocks by term-vector cosine,
+    then mark boundaries at sharp local cohesion minima — the
+    passage-splitting stage a web corpus runs BEFORE chunking long pages
+    into training/retrieval units, so chunk edges land on topic shifts
+    instead of mid-argument (fixed-stride chunking, packing.py:
+    chunk_documents, is the downstream consumer).
+
+    Per gap g (between block g and g+1): cosine of the two blocks' term
+    count vectors — dot and squared norms are EXACT integer aggregates;
+    the cosine is one double expression over them. Depth score is the
+    simplified immediate-neighbor form (lag(cos) - cos) + (lead(cos) -
+    cos); a boundary needs depth > cutoff AND a strict local minimum.
+    Edge gaps (no lag or no lead) are never boundaries — depth is NULL.
+
+    Scale shape: one (doc, block, token) hash agg (map-side combinable),
+    one adjacent-block equi-join on (doc, block+1, token) — never a doc-
+    level self-join — and one per-doc window over gap-cardinality rows
+    (tokens/window per doc, not tokens). All narrow in the doc key, so a
+    10^12-page corpus tiles embarrassingly parallel.
+
+    -> (doc_id, gap, cosine 6dp, depth 6dp, boundary) — gap g separates
+    blocks g and g+1.
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize_docs(docs, text_col=text_col)
+    blocks = (toks.select(F.col(id_col).alias("doc"),
+                          F.floor(F.col("pos") / window).alias("blk"),
+                          "token")
+              .groupBy("doc", "blk", "token")
+              .agg(F.count(F.lit(1)).alias("n")))
+    norms = (blocks.groupBy("doc", "blk")
+             .agg(F.sum(F.col("n") * F.col("n")).alias("norm2")))
+    dots = (blocks.alias("a")
+            .join(blocks.alias("b"),
+                  (F.col("a.doc") == F.col("b.doc"))
+                  & (F.col("b.blk") == F.col("a.blk") + 1)
+                  & (F.col("a.token") == F.col("b.token")))
+            .groupBy(F.col("a.doc").alias("doc"),
+                     F.col("a.blk").alias("gap"))
+            .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("dot")))
+    gaps = (norms.alias("l")
+            .join(norms.alias("r"),
+                  (F.col("l.doc") == F.col("r.doc"))
+                  & (F.col("r.blk") == F.col("l.blk") + 1))
+            .select(F.col("l.doc").alias("doc"),
+                    F.col("l.blk").alias("gap"),
+                    F.col("l.norm2").alias("nl"),
+                    F.col("r.norm2").alias("nr"))
+            .join(dots, ["doc", "gap"], "left")
+            .select("doc", "gap",
+                    (F.coalesce(F.col("dot"), F.lit(0)).cast("double")
+                     / F.sqrt(F.col("nl").cast("double")
+                              * F.col("nr").cast("double"))).alias("cos")))
+    w = Window.partitionBy("doc").orderBy("gap")
+    lagc, leadc = F.lag("cos").over(w), F.lead("cos").over(w)
+    depth = (lagc - F.col("cos")) + (leadc - F.col("cos"))
+    return (gaps.select(
+        F.col("doc").alias(id_col),
+        F.col("gap").cast("long").alias("gap"),
+        # + 0.0 collapses IEEE -0.0 to +0.0 (round keeps the sign bit on
+        # tiny negatives; engines disagree on it while agreeing on value)
+        (F.round("cos", 6) + F.lit(0.0)).alias("cosine"),
+        (F.round(depth, 6) + F.lit(0.0)).alias("depth"),
+        (depth.isNotNull() & (depth > cutoff)
+         & (F.col("cos") < lagc) & (F.col("cos") < leadc))
+        .alias("boundary")))

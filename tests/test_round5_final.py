@@ -555,3 +555,113 @@ class TestAnalogyEval:
         from saber_spark.operators.kge import analogy_eval
         with pytest.raises(ValueError, match="no embedding rows"):
             analogy_eval(self._emb(spark, [[1.0, 0.0]]), [(0, 1, 2)])
+
+
+class TestShaclValidate:
+    def _run(self, spark, facts, shapes, closed=("C",)):
+        from saber_spark.operators.ontology import shacl_validate
+        f = spark.createDataFrame(facts, "subj string, pred string, obj string")
+        t = spark.createDataFrame(
+            [(s,) for s in {r[0] for r in facts}],
+            "subj string").selectExpr("subj", "'C' AS cls")
+        sh = spark.createDataFrame(
+            shapes, "cls string, pred string, min_count int, max_count int")
+        return {(r.subj, r.violation): (r.expected, r.actual)
+                for r in shacl_validate(f, t, sh,
+                                        closed_classes=list(closed)).collect()}
+
+    def test_min_max_closed(self, spark):
+        facts = ([("a", "p", "x")] + [("b", "p", f"x{i}") for i in range(3)]
+                 + [("b", "q", "y")])
+        out = self._run(spark, facts, [("C", "p", 2, 2)])
+        # a has 1 p (minCount 2), b has 3 p (maxCount 2) and unlisted q
+        assert out[("a", "minCount")] == (2, 1)
+        assert out[("b", "maxCount")] == (2, 3)
+        assert out[("b", "closed")] == (0, 1)
+        assert len(out) == 3
+
+    def test_clean_batch_is_empty(self, spark):
+        facts = [("a", "p", "x"), ("b", "p", "y")]
+        assert self._run(spark, facts, [("C", "p", 1, 1)]) == {}
+
+    def test_null_max_is_unbounded_and_open_when_not_closed(self, spark):
+        facts = [("a", "p", f"x{i}") for i in range(5)] + [("a", "q", "y")]
+        out = self._run(spark, facts, [("C", "p", 1, None)], closed=())
+        assert out == {}
+
+
+class TestPpjoinSimilarity:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def test_exact_pairs_at_boundary(self, spark):
+        from saber_spark.operators.dedup import ppjoin_similarity
+        # docs 0/1: jaccard 3/5 = 0.6 exactly (integer test must KEEP it);
+        # doc 2 disjoint
+        docs = self._docs(spark, ["a b c d", "a b c e", "x y z"])
+        out = ppjoin_similarity(docs, threshold=0.6).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.doc_a, r.doc_b, r.inter, r.jaccard) == (0, 1, 3, 0.6)
+
+    def test_matches_brute_force(self, spark):
+        import itertools
+        import random
+
+        from saber_spark.operators.dedup import ppjoin_similarity
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng.sample(vocab, rng.randint(4, 12)))
+                 for _ in range(25)]
+        sets = [set(t.split()) for t in texts]
+        want = {}
+        for a, b in itertools.combinations(range(25), 2):
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if i * 2 >= u:  # threshold 0.5
+                want[(a, b)] = i
+        got = {(r.doc_a, r.doc_b): r.inter
+               for r in ppjoin_similarity(
+                   self._docs(spark, texts), threshold=0.5).collect()}
+        assert got == want
+
+    def test_length_filter_prunes_size_mismatch(self, spark):
+        from saber_spark.operators.dedup import ppjoin_similarity
+        # subset containment but |a|=2 vs |b|=8: jaccard 0.25 < 0.5
+        docs = self._docs(spark, ["a b", "a b c d e f g h"])
+        assert ppjoin_similarity(docs, threshold=0.5).count() == 0
+
+
+class TestTexttiling:
+    def _one(self, spark, text, window=4, cutoff=0.1):
+        from saber_spark.operators.textstats import texttiling
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return sorted(texttiling(docs, window=window, cutoff=cutoff)
+                      .collect(), key=lambda r: r.gap)
+
+    def test_topic_shift_is_boundary(self, spark):
+        # blocks: [a a a a][a a a a][x x x x][x x x x] -> gap 1 is the
+        # cohesion minimum (cos 0) between two perfectly cohesive sides
+        text = " ".join(["alpha"] * 8 + ["omega"] * 8)
+        rows = self._one(spark, text)
+        assert [r.gap for r in rows] == [0, 1, 2]
+        assert rows[1].cosine == 0.0 and rows[1].boundary
+        assert rows[1].depth == 2.0
+        # edge gaps: NULL depth, never boundaries
+        assert rows[0].depth is None and not rows[0].boundary
+        assert rows[2].depth is None and not rows[2].boundary
+
+    def test_uniform_doc_has_no_boundary(self, spark):
+        rows = self._one(spark, " ".join(["tok"] * 20))
+        assert all(not r.boundary for r in rows)
+        assert all(r.cosine == 1.0 for r in rows)
+
+    def test_depth_requires_strict_local_min(self, spark):
+        # monotone decreasing cohesion: gap may clear the cutoff on one
+        # side only -> no strict local minimum, no boundary
+        text = " ".join(["a"] * 8 + ["a", "b", "a", "b"] + ["b"] * 4)
+        rows = self._one(spark, text)
+        for r in rows:
+            if r.boundary:
+                assert r.depth > 0.1

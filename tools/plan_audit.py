@@ -1701,6 +1701,40 @@ def main() -> None:
         0,
     ))
 
+    sv = e.q_shacl_validate(spark, SF_DIR)
+    sections.append((
+        "shacl_validate (one fact agg, broadcast shape joins)",
+        "The fact table reduces in ONE (subj, pred) hash agg; all three "
+        "constraint branches join broadcast shape literals; the minCount "
+        "branch expands the entity-side types table by preds-per-class, "
+        "never the fact table.",
+        formatted_plan(sv),
+        ["HashAggregate", "BroadcastHashJoin", "Union"],
+        0,
+    ))
+
+    pj = e.q_ppjoin_similarity(spark, SF_DIR)
+    sections.append((
+        "ppjoin_similarity (prefix-filtered candidates, exact verify)",
+        "Candidates join only frequency-ascending token prefixes (window "
+        "prunes to p = |d| - ceil(t|d|) + 1 rows per doc); the length "
+        "filter prunes before the exact-intersection verification joins.",
+        formatted_plan(pj),
+        ["Window", "BroadcastHashJoin", "HashAggregate"],
+        0,
+    ))
+
+    tt = e.q_texttiling(spark, SF_DIR)
+    sections.append((
+        "texttiling (adjacent-block equi-join, gap-sized window)",
+        "Block term counts reduce map-side; the cosine comes from an "
+        "equi-join on (doc, blk+1, token) — no doc-level self-join — and "
+        "the boundary window runs over gap-cardinality rows per doc.",
+        formatted_plan(tt),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
