@@ -3496,6 +3496,65 @@ def q_texttiling(spark, sf_dir):
     return texttiling(_docs(spark, sf_dir), window=10, cutoff=0.1)
 
 
+def _linkage_pairs(spark, sf_dir):
+    """Shared fixture for the record-linkage queries: candidate pairs over
+    the corpus vocabulary with a comparison vector and ground truth.
+    Matches are (t, t || 's') suffix variants; non-matches are
+    (t, reverse(t) || 'qq') — so the three agreement fields (first char,
+    length-within-1, 3-char prefix) genuinely separate the classes.
+    labeled = even-length(a) marks the deterministic training half."""
+    toks = (tokenize_docs(_docs(spark, sf_dir))
+            .select(F.lower("token").alias("a")).distinct())
+    m = toks.select("a", F.concat("a", F.lit("s")).alias("b"),
+                    F.lit(True).alias("is_match"))
+    u = toks.select("a", F.concat(F.reverse("a"), F.lit("qq")).alias("b"),
+                    F.lit(False).alias("is_match"))
+    return (m.unionByName(u)
+            .withColumn("f_first",
+                        F.substring("a", 1, 1) == F.substring("b", 1, 1))
+            .withColumn("f_len",
+                        F.abs(F.length("a") - F.length("b")) <= 1)
+            .withColumn("f_pre3",
+                        F.substring("a", 1, 3) == F.substring("b", 1, 3))
+            .withColumn("labeled", F.length("a") % 2 == 0))
+
+
+def q_fellegi_sunter(spark, sf_dir):
+    """Probabilistic record linkage (canonicalize.fellegi_sunter, Fellegi
+    & Sunter JASA 1969 / Splink's model): m/u probabilities estimated
+    from the labeled pair half with Laplace smoothing, every pair scored
+    with the log2 likelihood-ratio match weight + posterior probability,
+    and classified by the FS three-way rule (link / possible-link /
+    non-link). One hash agg estimates the parameters; scoring is a
+    broadcast of the 1-row parameter table — the pair stream never
+    shuffles. Oracle replays the exact Laplace arithmetic in SQL."""
+    from saber_spark.operators.canonicalize import fellegi_sunter
+    pairs = _linkage_pairs(spark, sf_dir)
+    return fellegi_sunter(pairs, ["f_first", "f_len", "f_pre3"],
+                          upper=2.0, lower=-2.0) \
+        .select("a", "b", "match_weight", "match_probability", "decision")
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    """Multi-pass sorted-neighborhood candidate generation
+    (canonicalize.sorted_neighborhood, Hernandez & Stolfo SIGMOD'95):
+    vocabulary sorted by the name and by its reversal, pairs within a
+    rank window of 3 per pass — linear candidate volume, and the
+    reversed pass recovers first-character typos that key-equality
+    blocking (blocking_metrics) structurally misses. Ranks come from the
+    distributed range-partition + offset construction, not a single-task
+    window; the oracle derives the same pairs via lead() over each sort
+    order."""
+    from saber_spark.operators.canonicalize import sorted_neighborhood
+    toks = (tokenize_docs(_docs(spark, sf_dir))
+            .select(F.lower("token").alias("name")).distinct())
+    return sorted_neighborhood(
+        toks,
+        {"fwd": lambda c: F.col(c),
+         "rev": lambda c: F.reverse(F.col(c))},
+        window=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -3605,6 +3664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comparators + the refreshed sweep artifact; added after the
         # r5 cap slate was frozen, so they do not displace the
         # never-driver-evaluated backlog above):
+        "fellegi_sunter": q_fellegi_sunter,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "bgp_query": q_bgp_query,
         "entity_card": q_entity_card,
         "char_sets": q_char_sets,
@@ -3908,6 +3969,80 @@ def oracle_sql() -> dict[str, str]:
                    round(1 - n_cand_pairs
                            / (n_records * (n_records - 1) / 2.0), 6)
             FROM n, nt, lc, lct""",
+        # replays the exact Laplace m/u arithmetic and the left-assoc
+        # weight sum so the double-precision result matches to 1e-6
+        "fellegi_sunter": f"""
+            WITH {TOKENS_CTE},
+            base AS (SELECT DISTINCT lower(token) AS a FROM tokens),
+            pairs AS (
+              SELECT a, a || 's' AS b, TRUE AS is_match FROM base
+              UNION ALL
+              SELECT a, reverse(a) || 'qq', FALSE FROM base),
+            g AS (
+              SELECT a, b, is_match,
+                     CAST(substr(a, 1, 1) = substr(b, 1, 1) AS INT)
+                       AS f_first,
+                     CAST(abs(length(a) - length(b)) <= 1 AS INT) AS f_len,
+                     CAST(substr(a, 1, 3) = substr(b, 1, 3) AS INT)
+                       AS f_pre3,
+                     (length(a) % 2 = 0) AS labeled
+              FROM pairs),
+            p AS (
+              SELECT sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS nm,
+                     sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS nu,
+                     sum(CASE WHEN is_match THEN f_first ELSE 0 END) AS maf,
+                     sum(CASE WHEN is_match THEN 0 ELSE f_first END) AS uaf,
+                     sum(CASE WHEN is_match THEN f_len ELSE 0 END) AS mal,
+                     sum(CASE WHEN is_match THEN 0 ELSE f_len END) AS ual,
+                     sum(CASE WHEN is_match THEN f_pre3 ELSE 0 END) AS map3,
+                     sum(CASE WHEN is_match THEN 0 ELSE f_pre3 END) AS uap3
+              FROM g WHERE labeled),
+            w AS (
+              SELECT a, b,
+                     log2((nm + 1) / CAST(nu + 1 AS DOUBLE))
+                     + CASE WHEN f_first = 1
+                         THEN log2(((maf + 1) / CAST(nm + 2 AS DOUBLE))
+                                   / ((uaf + 1) / CAST(nu + 2 AS DOUBLE)))
+                         ELSE log2((1 - (maf + 1) / CAST(nm + 2 AS DOUBLE))
+                                   / (1 - (uaf + 1)
+                                          / CAST(nu + 2 AS DOUBLE))) END
+                     + CASE WHEN f_len = 1
+                         THEN log2(((mal + 1) / CAST(nm + 2 AS DOUBLE))
+                                   / ((ual + 1) / CAST(nu + 2 AS DOUBLE)))
+                         ELSE log2((1 - (mal + 1) / CAST(nm + 2 AS DOUBLE))
+                                   / (1 - (ual + 1)
+                                          / CAST(nu + 2 AS DOUBLE))) END
+                     + CASE WHEN f_pre3 = 1
+                         THEN log2(((map3 + 1) / CAST(nm + 2 AS DOUBLE))
+                                   / ((uap3 + 1) / CAST(nu + 2 AS DOUBLE)))
+                         ELSE log2((1 - (map3 + 1) / CAST(nm + 2 AS DOUBLE))
+                                   / (1 - (uap3 + 1)
+                                          / CAST(nu + 2 AS DOUBLE))) END
+                       AS wt
+              FROM g, p)
+            SELECT a, b, round(wt, 6) AS match_weight,
+                   round(1 / (1 + pow(2.0, -wt)), 6) AS match_probability,
+                   CASE WHEN round(wt, 6) >= 2.0 THEN 'link'
+                        WHEN round(wt, 6) <= -2.0 THEN 'non-link'
+                        ELSE 'possible-link' END AS decision
+            FROM w""",
+        "sorted_neighborhood": f"""
+            WITH {TOKENS_CTE},
+            base AS (SELECT DISTINCT lower(token) AS name FROM tokens),
+            fwd AS (SELECT name, lead(name, 1) OVER w AS b1,
+                           lead(name, 2) OVER w AS b2
+                    FROM base WINDOW w AS (ORDER BY name)),
+            rev AS (SELECT name, lead(name, 1) OVER w AS b1,
+                           lead(name, 2) OVER w AS b2
+                    FROM base WINDOW w AS (ORDER BY reverse(name), name))
+            SELECT 'fwd' AS pass, name AS a, b1 AS b,
+                   CAST(1 AS BIGINT) AS gap FROM fwd WHERE b1 IS NOT NULL
+            UNION ALL SELECT 'fwd', name, b2, CAST(2 AS BIGINT)
+                      FROM fwd WHERE b2 IS NOT NULL
+            UNION ALL SELECT 'rev', name, b1, CAST(1 AS BIGINT)
+                      FROM rev WHERE b1 IS NOT NULL
+            UNION ALL SELECT 'rev', name, b2, CAST(2 AS BIGINT)
+                      FROM rev WHERE b2 IS NOT NULL""",
         "anf_reach": """
             WITH e AS (
               SELECT DISTINCT s, d FROM (

@@ -224,6 +224,9 @@ def main() -> None:
         "gini_concentration", "analogy_eval",
         # round 5 final batch 8 (SHACL shapes, exact PPJoin, TextTiling)
         "shacl_validate", "ppjoin_similarity", "texttiling",
+        # round 5 final batch 9 (FS probabilistic linkage, sorted-
+        # neighborhood blocking)
+        "fellegi_sunter", "sorted_neighborhood",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -186,3 +186,136 @@ def blocking_metrics(records: DataFrame, true_pairs: DataFrame,
                    .alias("reduction_ratio")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def fellegi_sunter(pairs: DataFrame, fields: list[str],
+                   label_col: str = "is_match",
+                   labeled_col: str = "labeled",
+                   upper: float = 2.0, lower: float = -2.0) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969; the Splink /
+    census-linkage model) -> every candidate pair scored and classified:
+    (pair columns..., match_weight, match_probability, decision).
+
+    ``pairs`` carries one row per candidate pair with boolean agreement
+    columns ``fields`` (the comparison vector gamma), a boolean
+    ``labeled_col`` mask selecting the training subset, and ``label_col``
+    ground truth valid where labeled. Parameters are estimated from the
+    labeled subset with add-one (Laplace) smoothing so no field ever
+    yields a zero/one probability:
+
+        m_k = P(gamma_k = 1 | match)      = (agree_k_in_M + 1) / (|M| + 2)
+        u_k = P(gamma_k = 1 | non-match)  = (agree_k_in_U + 1) / (|U| + 2)
+
+    Each pair's match weight is the log2 likelihood ratio
+    sum_k [ gamma_k * log2(m_k/u_k) + (1-gamma_k) * log2((1-m_k)/(1-u_k)) ]
+    plus the prior log-odds log2(P(M)/P(U)) (also Laplace-smoothed), and
+    match_probability = 1 / (1 + 2^-weight). The decision implements the
+    FS three-way rule: 'link' above ``upper``, 'non-link' below ``lower``,
+    'possible-link' (clerical review band) between.
+
+    This is the record-linkage step the reference sidesteps by linking
+    exact surfaces only (saber/utils/grounding_utils.py:65-66); at
+    web scale fuzzy coreference between surface variants needs a
+    calibrated matcher, and FS weights are the standard one.
+
+    Scale shape: parameter estimation is ONE hash agg over the labeled
+    subset reduced to a single row; scoring is a broadcast crossJoin of
+    that 1-row parameter table onto the pair stream — the pairs
+    themselves never shuffle. Works unchanged on 10^12 candidate pairs
+    because everything per-pair is narrow.
+    """
+    g = lambda c: F.col(c).cast("int")
+    lab = pairs.filter(F.col(labeled_col))
+    is_m = F.col(label_col).cast("int")
+    aggs = [F.sum(is_m).alias("_nm"),
+            F.sum(1 - is_m).alias("_nu")]
+    for k in fields:
+        aggs.append(F.sum(is_m * g(k)).alias(f"_ma_{k}"))
+        aggs.append(F.sum((1 - is_m) * g(k)).alias(f"_ua_{k}"))
+    params = lab.agg(*aggs)
+    mcol = lambda k: (F.col(f"_ma_{k}") + 1) / (F.col("_nm") + 2)
+    ucol = lambda k: (F.col(f"_ua_{k}") + 1) / (F.col("_nu") + 2)
+
+    scored = F.broadcast(params).crossJoin(pairs)
+    prior = F.log2((F.col("_nm") + 1) / (F.col("_nu") + 1))
+    w = prior
+    for k in fields:
+        w = w + F.when(g(k) == 1, F.log2(mcol(k) / ucol(k))) \
+            .otherwise(F.log2((1 - mcol(k)) / (1 - ucol(k))))
+    keep = [c for c in pairs.columns]
+    return (scored
+            .withColumn("match_weight", F.round(w, 6))
+            .withColumn("match_probability",
+                        F.round(F.lit(1) / (F.lit(1) + F.pow(F.lit(2.0),
+                                                             -w)), 6))
+            .withColumn("decision",
+                        F.when(F.col("match_weight") >= upper, "link")
+                        .when(F.col("match_weight") <= lower, "non-link")
+                        .otherwise("possible-link"))
+            .select(*keep, "match_weight", "match_probability", "decision"))
+
+
+def sorted_neighborhood(records: DataFrame, key_exprs: dict,
+                        window: int = 3, name_col: str = "name",
+                        num_ranges: int = 32) -> DataFrame:
+    """Multi-pass sorted-neighborhood candidate generation (Hernandez &
+    Stolfo SIGMOD'95) -> (pass, a, b, gap): for each pass, sort the
+    records by that pass's key and emit every pair whose rank distance
+    is < ``window``.
+
+    The other classic blocking family next to key-equality blocking
+    (``blocking_metrics``): sorting tolerates typos that equality blocks
+    miss (adjacent-in-order strings co-window even when their block keys
+    differ), and multi-pass with a second key (e.g. the reversed string)
+    recovers first-character errors. Candidate volume is exactly
+    n*(window-1) - boundary per pass — linear, never quadratic.
+
+    ``key_exprs`` maps pass name -> function (record column name ->
+    sort-key Column). Ranks must be unique per pass, so the sort key is
+    tie-broken by the record itself; records should be distinct on
+    ``name_col``.
+
+    Scale shape: the global sort is a range repartition (sampled
+    boundaries), NOT a single-task window — ranks come from
+    per-partition row_numbers plus broadcast partition offsets (the
+    standard distributed-rank construction), so no stage ever sees more
+    than one partition's rows. Pairing is explode(1..window-1) + an
+    equi-join on rank — a co-partitioned shuffle join, linear in n.
+    Rank values are globally well-defined by the (unique) sort key, so
+    the output is independent of the sampled range boundaries.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    out = None
+    for pass_name, key_of in key_exprs.items():
+        base = (records
+                .select(F.col(name_col).alias("a"),
+                        key_of(name_col).alias("_k"))
+                .repartitionByRange(num_ranges, F.col("_k"), F.col("a")))
+        from pyspark.sql import Window
+        pid = base.withColumn("_pid", F.spark_partition_id())
+        wloc = Window.partitionBy("_pid").orderBy("_k", "a")
+        local = pid.withColumn("_rn", F.row_number().over(wloc))
+        sizes = local.groupBy("_pid").agg(F.max("_rn").alias("_np"))
+        woff = Window.orderBy("_pid") \
+            .rowsBetween(Window.unboundedPreceding, -1)
+        offs = sizes.withColumn(
+            "_off", F.coalesce(F.sum("_np").over(woff), F.lit(0)))
+        ranked = (local.join(F.broadcast(offs.select("_pid", "_off")),
+                             "_pid")
+                  .select("a", (F.col("_rn") + F.col("_off")).alias("_r")))
+        probes = ranked.select(
+            F.col("a"),
+            F.explode(F.sequence(
+                F.col("_r") + 1,
+                F.col("_r") + window - 1)).alias("_r2"),
+            (F.col("_r")).alias("_r1"))
+        cand = (probes.join(ranked.select(F.col("a").alias("b"),
+                                          F.col("_r").alias("_r2")),
+                            "_r2")
+                .select(F.lit(pass_name).alias("pass"),
+                        "a", "b",
+                        (F.col("_r2") - F.col("_r1")).cast("long")
+                        .alias("gap")))
+        out = cand if out is None else out.unionByName(cand)
+    return out

@@ -1,0 +1,145 @@
+"""Round-5 continuation batch: Fellegi-Sunter probabilistic record
+linkage and multi-pass sorted-neighborhood blocking."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestFellegiSunter:
+    def _pairs(self, spark, rows):
+        # (a, b, f1, f2, labeled, is_match)
+        return spark.createDataFrame(
+            rows, "a string, b string, f1 boolean, f2 boolean, "
+                  "labeled boolean, is_match boolean")
+
+    def test_weights_match_hand_computation(self, spark):
+        from saber_spark.operators.canonicalize import fellegi_sunter
+        # labeled: 2 matches (f1 agree both; f2 agree once),
+        #          2 non-matches (f1 agree once; f2 never)
+        rows = [
+            ("m1a", "m1b", True, True, True, True),
+            ("m2a", "m2b", True, False, True, True),
+            ("u1a", "u1b", True, False, True, False),
+            ("u2a", "u2b", False, False, True, False),
+            ("x1a", "x1b", True, True, False, False),   # scored only
+        ]
+        out = {r.a: r for r in fellegi_sunter(
+            self._pairs(spark, rows), ["f1", "f2"]).collect()}
+        # Laplace: m1=(2+1)/4, u1=(1+1)/4, m2=(1+1)/4, u2=(0+1)/4
+        m1, u1, m2, u2 = 3 / 4, 2 / 4, 2 / 4, 1 / 4
+        prior = math.log2((2 + 1) / (2 + 1))  # 0
+        w_x1 = prior + math.log2(m1 / u1) + math.log2(m2 / u2)
+        assert out["x1a"].match_weight == pytest.approx(
+            round(w_x1, 6), abs=1e-6)
+        p = 1 / (1 + 2 ** -w_x1)
+        assert out["x1a"].match_probability == pytest.approx(
+            round(p, 6), abs=1e-6)
+        # disagreement weights on the all-false pair
+        w_u2 = prior + math.log2((1 - m1) / (1 - u1)) \
+            + math.log2((1 - m2) / (1 - u2))
+        assert out["u2a"].match_weight == pytest.approx(
+            round(w_u2, 6), abs=1e-6)
+
+    def test_three_way_decision_bands(self, spark):
+        from saber_spark.operators.canonicalize import fellegi_sunter
+        # strong agreement evidence -> link; strong disagreement ->
+        # non-link; pick thresholds so the mixed pair lands in review
+        rows = [("m%da" % i, "m%db" % i, True, True, True, True)
+                for i in range(8)]
+        rows += [("u%da" % i, "u%db" % i, False, False, True, False)
+                 for i in range(8)]
+        rows += [("q1", "q2", True, True, False, False),
+                 ("q3", "q4", False, False, False, False),
+                 ("q5", "q6", True, False, False, False)]
+        out = {r.a: r.decision for r in fellegi_sunter(
+            self._pairs(spark, rows), ["f1", "f2"],
+            upper=2.0, lower=-2.0).collect()}
+        assert out["q1"] == "link"
+        assert out["q3"] == "non-link"
+        assert out["q5"] == "possible-link"
+
+    def test_all_pairs_scored_including_labeled(self, spark):
+        from saber_spark.operators.canonicalize import fellegi_sunter
+        rows = [("a", "b", True, True, True, True),
+                ("c", "d", False, False, True, False),
+                ("e", "f", True, False, False, False)]
+        out = fellegi_sunter(self._pairs(spark, rows), ["f1", "f2"])
+        assert out.count() == 3
+        assert set(out.columns) == {"a", "b", "f1", "f2", "labeled",
+                                    "is_match", "match_weight",
+                                    "match_probability", "decision"}
+
+    def test_laplace_smoothing_keeps_weights_finite(self, spark):
+        from saber_spark.operators.canonicalize import fellegi_sunter
+        # f2 agrees on NO labeled pair -> u2 would be 0 without
+        # smoothing -> infinite weight; Laplace keeps it finite
+        rows = [("a", "b", True, False, True, True),
+                ("c", "d", False, False, True, False),
+                ("e", "f", True, True, False, False)]
+        out = {r.a: r for r in fellegi_sunter(
+            self._pairs(spark, rows), ["f1", "f2"]).collect()}
+        assert math.isfinite(out["e"].match_weight)
+        assert 0.0 < out["e"].match_probability < 1.0
+
+
+class TestSortedNeighborhood:
+    def _recs(self, spark, names):
+        return spark.createDataFrame([(n,) for n in names], "name string")
+
+    def test_window_pairs_on_sorted_order(self, spark):
+        from saber_spark.operators.canonicalize import sorted_neighborhood
+        names = ["apple", "apply", "banana", "cherry", "date"]
+        out = sorted_neighborhood(
+            self._recs(spark, names),
+            {"fwd": lambda c: F.col(c)}, window=3).collect()
+        got = {(r.a, r.b, r.gap) for r in out}
+        # sorted order is the list order; window=3 -> gaps 1 and 2
+        expect = set()
+        for i in range(len(names)):
+            for d in (1, 2):
+                if i + d < len(names):
+                    expect.add((names[i], names[i + d], d))
+        assert got == expect
+
+    def test_multi_pass_reversed_key_recovers_first_char_typo(self, spark):
+        from saber_spark.operators.canonicalize import sorted_neighborhood
+        # "zpple" is a first-char typo of "apple": far away in forward
+        # order (with enough separators between) but adjacent reversed
+        names = ["apple", "banana", "cherry", "mango", "zpple"]
+        out = sorted_neighborhood(
+            self._recs(spark, names),
+            {"fwd": lambda c: F.col(c),
+             "rev": lambda c: F.reverse(F.col(c))}, window=2)
+        rev_pairs = {(r.a, r.b) for r in out.collect() if r["pass"] == "rev"}
+        assert ("apple", "zpple") in rev_pairs or \
+            ("zpple", "apple") in rev_pairs
+        fwd_pairs = {(r.a, r.b) for r in out.collect() if r["pass"] == "fwd"}
+        assert ("apple", "zpple") not in fwd_pairs
+
+    def test_candidate_volume_is_linear(self, spark):
+        from saber_spark.operators.canonicalize import sorted_neighborhood
+        names = [f"n{i:04d}" for i in range(200)]
+        out = sorted_neighborhood(self._recs(spark, names),
+                                  {"fwd": lambda c: F.col(c)}, window=4)
+        # gap-d pairs number n-d, d = 1..w-1 -> n*(w-1) - sum(1..w-1)
+        assert out.count() == 200 * 3 - (1 + 2 + 3)
+
+    def test_rank_independent_of_partitioning(self, spark):
+        from saber_spark.operators.canonicalize import sorted_neighborhood
+        names = [f"x{i:03d}" for i in range(50)]
+        a = sorted_neighborhood(self._recs(spark, names).repartition(7),
+                                {"p": lambda c: F.col(c)}, window=3,
+                                num_ranges=3)
+        b = sorted_neighborhood(self._recs(spark, names).coalesce(1),
+                                {"p": lambda c: F.col(c)}, window=3,
+                                num_ranges=13)
+        assert {tuple(r) for r in a.collect()} == \
+            {tuple(r) for r in b.collect()}
+
+    def test_window_one_raises(self, spark):
+        from saber_spark.operators.canonicalize import sorted_neighborhood
+        with pytest.raises(ValueError, match="window"):
+            sorted_neighborhood(self._recs(spark, ["a"]),
+                                {"p": lambda c: F.col(c)}, window=1)
