@@ -1735,6 +1735,30 @@ def main() -> None:
         0,
     ))
 
+    fs = e.q_fellegi_sunter(spark, SF_DIR)
+    sections.append((
+        "fellegi_sunter (1-row parameter broadcast, no pair shuffle)",
+        "The m/u parameter estimate reduces the labeled pairs to ONE row "
+        "via a partial+final hash aggregate; scoring applies that row to "
+        "every candidate pair through a broadcast nested-loop join "
+        "(1-row build side), so the pair stream itself never exchanges.",
+        formatted_plan(fs),
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
+    sn = e.q_sorted_neighborhood(spark, SF_DIR)
+    sections.append((
+        "sorted_neighborhood (distributed rank, rank equi-join)",
+        "Ranks come from a range repartition + per-partition row_number "
+        "plus broadcast partition offsets — the record-level Window is "
+        "partitioned by _pid (no single-task global sort over records); "
+        "pairing is an equi-join on the rank key.",
+        formatted_plan(sn),
+        ["Window", "BroadcastHashJoin"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
