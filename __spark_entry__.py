@@ -3535,6 +3535,24 @@ def q_fellegi_sunter(spark, sf_dir):
         .select("a", "b", "match_weight", "match_probability", "decision")
 
 
+def q_fellegi_sunter_em(spark, sf_dir):
+    """UNSUPERVISED Fellegi-Sunter via 2 EM rounds
+    (canonicalize.fellegi_sunter_em, Winkler 1988 — the Splink training
+    loop): m/u/lambda learned from the pair comparison vectors alone (the
+    fixture's labels are never read), then the same log2-likelihood
+    scoring + FS three-way decision as the supervised twin. Each M-step
+    is one hash agg reduced to a single parameter row (driver collects
+    the model only, kmeans-style); scoring is a narrow literal map.
+    Oracle unrolls both EM rounds as chained CTEs with op-identical
+    arithmetic."""
+    from saber_spark.operators.canonicalize import fellegi_sunter_em
+    pairs = _linkage_pairs(spark, sf_dir) \
+        .select("a", "b", "f_first", "f_len", "f_pre3")
+    return fellegi_sunter_em(pairs, ["f_first", "f_len", "f_pre3"],
+                             iterations=2, upper=2.0, lower=-2.0) \
+        .select("a", "b", "match_weight", "match_probability", "decision")
+
+
 def q_sorted_neighborhood(spark, sf_dir):
     """Multi-pass sorted-neighborhood candidate generation
     (canonicalize.sorted_neighborhood, Hernandez & Stolfo SIGMOD'95):
@@ -3665,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 cap slate was frozen, so they do not displace the
         # never-driver-evaluated backlog above):
         "fellegi_sunter": q_fellegi_sunter,
+        "fellegi_sunter_em": q_fellegi_sunter_em,
         "sorted_neighborhood": q_sorted_neighborhood,
         "bgp_query": q_bgp_query,
         "entity_card": q_entity_card,
@@ -4020,6 +4039,107 @@ def oracle_sql() -> dict[str, str]:
                                           / CAST(nu + 2 AS DOUBLE))) END
                        AS wt
               FROM g, p)
+            SELECT a, b, round(wt, 6) AS match_weight,
+                   round(1 / (1 + pow(2.0, -wt)), 6) AS match_probability,
+                   CASE WHEN round(wt, 6) >= 2.0 THEN 'link'
+                        WHEN round(wt, 6) <= -2.0 THEN 'non-link'
+                        ELSE 'possible-link' END AS decision
+            FROM w""",
+        # unrolls both EM rounds with op-identical arithmetic: init
+        # constants appear as (1 - 0.8)-style expressions because the
+        # Spark side computes them the same way (python 1-m), and the
+        # left-assoc product/sum orders mirror the operator's exprs
+        "fellegi_sunter_em": f"""
+            WITH {TOKENS_CTE},
+            base AS (SELECT DISTINCT lower(token) AS a FROM tokens),
+            pairs AS (
+              SELECT a, a || 's' AS b FROM base
+              UNION ALL
+              SELECT a, reverse(a) || 'qq' FROM base),
+            g AS (
+              SELECT a, b,
+                     CAST(substr(a, 1, 1) = substr(b, 1, 1) AS INT) AS f1,
+                     CAST(abs(length(a) - length(b)) <= 1 AS INT) AS f2,
+                     CAST(substr(a, 1, 3) = substr(b, 1, 3) AS INT) AS f3
+              FROM pairs),
+            e1 AS (
+              SELECT g.*,
+                     (0.5 * (((CASE WHEN f1 = 1 THEN 0.8
+                                    ELSE (1 - 0.8) END)
+                              * (CASE WHEN f2 = 1 THEN 0.8
+                                      ELSE (1 - 0.8) END))
+                             * (CASE WHEN f3 = 1 THEN 0.8
+                                     ELSE (1 - 0.8) END)))
+                     / ((0.5 * (((CASE WHEN f1 = 1 THEN 0.8
+                                       ELSE (1 - 0.8) END)
+                                 * (CASE WHEN f2 = 1 THEN 0.8
+                                         ELSE (1 - 0.8) END))
+                                * (CASE WHEN f3 = 1 THEN 0.8
+                                        ELSE (1 - 0.8) END)))
+                        + ((1 - 0.5)
+                           * (((CASE WHEN f1 = 1 THEN 0.2
+                                     ELSE (1 - 0.2) END)
+                               * (CASE WHEN f2 = 1 THEN 0.2
+                                       ELSE (1 - 0.2) END))
+                              * (CASE WHEN f3 = 1 THEN 0.2
+                                      ELSE (1 - 0.2) END)))) AS r
+              FROM g),
+            p1 AS (
+              SELECT (sum(r) + 1) / (count(*) + 2) AS lam,
+                     (sum(r * f1) + 1) / (sum(r) + 2) AS m1,
+                     (sum(f1) - sum(r * f1) + 1)
+                       / ((count(*) - sum(r)) + 2) AS u1,
+                     (sum(r * f2) + 1) / (sum(r) + 2) AS m2,
+                     (sum(f2) - sum(r * f2) + 1)
+                       / ((count(*) - sum(r)) + 2) AS u2,
+                     (sum(r * f3) + 1) / (sum(r) + 2) AS m3,
+                     (sum(f3) - sum(r * f3) + 1)
+                       / ((count(*) - sum(r)) + 2) AS u3
+              FROM e1),
+            e2 AS (
+              SELECT g.*,
+                     (lam * (((CASE WHEN f1 = 1 THEN m1
+                                    ELSE (1 - m1) END)
+                              * (CASE WHEN f2 = 1 THEN m2
+                                      ELSE (1 - m2) END))
+                             * (CASE WHEN f3 = 1 THEN m3
+                                     ELSE (1 - m3) END)))
+                     / ((lam * (((CASE WHEN f1 = 1 THEN m1
+                                       ELSE (1 - m1) END)
+                                 * (CASE WHEN f2 = 1 THEN m2
+                                         ELSE (1 - m2) END))
+                                * (CASE WHEN f3 = 1 THEN m3
+                                        ELSE (1 - m3) END)))
+                        + ((1 - lam)
+                           * (((CASE WHEN f1 = 1 THEN u1
+                                     ELSE (1 - u1) END)
+                               * (CASE WHEN f2 = 1 THEN u2
+                                       ELSE (1 - u2) END))
+                              * (CASE WHEN f3 = 1 THEN u3
+                                      ELSE (1 - u3) END)))) AS r
+              FROM g, p1),
+            p2 AS (
+              SELECT (sum(r) + 1) / (count(*) + 2) AS lam,
+                     (sum(r * f1) + 1) / (sum(r) + 2) AS m1,
+                     (sum(f1) - sum(r * f1) + 1)
+                       / ((count(*) - sum(r)) + 2) AS u1,
+                     (sum(r * f2) + 1) / (sum(r) + 2) AS m2,
+                     (sum(f2) - sum(r * f2) + 1)
+                       / ((count(*) - sum(r)) + 2) AS u2,
+                     (sum(r * f3) + 1) / (sum(r) + 2) AS m3,
+                     (sum(f3) - sum(r * f3) + 1)
+                       / ((count(*) - sum(r)) + 2) AS u3
+              FROM e2),
+            w AS (
+              SELECT a, b,
+                     log2(lam / (1 - lam))
+                     + CASE WHEN f1 = 1 THEN log2(m1 / u1)
+                            ELSE log2((1 - m1) / (1 - u1)) END
+                     + CASE WHEN f2 = 1 THEN log2(m2 / u2)
+                            ELSE log2((1 - m2) / (1 - u2)) END
+                     + CASE WHEN f3 = 1 THEN log2(m3 / u3)
+                            ELSE log2((1 - m3) / (1 - u3)) END AS wt
+              FROM g, p2)
             SELECT a, b, round(wt, 6) AS match_weight,
                    round(1 / (1 + pow(2.0, -wt)), 6) AS match_probability,
                    CASE WHEN round(wt, 6) >= 2.0 THEN 'link'

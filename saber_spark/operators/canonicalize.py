@@ -319,3 +319,81 @@ def sorted_neighborhood(records: DataFrame, key_exprs: dict,
                         .alias("gap")))
         out = cand if out is None else out.unionByName(cand)
     return out
+
+
+def fellegi_sunter_em(pairs: DataFrame, fields: list[str],
+                      iterations: int = 2, init_lambda: float = 0.5,
+                      init_m: float = 0.8, init_u: float = 0.2,
+                      upper: float = 2.0, lower: float = -2.0) -> DataFrame:
+    """UNSUPERVISED Fellegi-Sunter via expectation-maximization (the
+    Splink training loop; Winkler 1988) -> every candidate pair scored
+    and classified with parameters learned from the pairs alone — no
+    labels anywhere.
+
+    Per EM round:
+      E-step: responsibility r = lam*P(gamma|M) / (lam*P(gamma|M) +
+              (1-lam)*P(gamma|U)) with class-conditional independence
+              across ``fields`` (the naive-Bayes FS likelihood);
+      M-step: lam   = (sum r + 1) / (n + 2)
+              m_k   = (sum r*gamma_k + 1) / (sum r + 2)
+              u_k   = (sum (1-r)*gamma_k + 1) / (sum (1-r) + 2)
+              (add-one smoothed so a perfectly separating field can
+              never drive a weight to +-infinity).
+
+    After ``iterations`` rounds the pairs are scored exactly like the
+    supervised variant: match_weight = log2(lam/(1-lam)) + the log2
+    likelihood ratio, match_probability = 1/(1+2^-w), and the FS
+    three-way decision.
+
+    Scale shape: the pair stream is localCheckpointed once (EM makes
+    iterations+1 passes; at corpus scale swap for a disk persist), each
+    M-step is ONE partial+final hash agg reduced to a single row, and the
+    driver collects only that parameter row per round (schema-sized,
+    like kmeans' k x d model — never data rows). Scoring is a narrow
+    map with the learned parameters as literals: zero joins, zero
+    shuffles on the pairs.
+    """
+    base = pairs.localCheckpoint(eager=True)
+    g = lambda c: F.col(c).cast("int")
+    lam, m, u = init_lambda, dict.fromkeys(fields, init_m), \
+        dict.fromkeys(fields, init_u)
+
+    def _resp():
+        pm, pu = F.lit(1.0), F.lit(1.0)
+        for k in fields:
+            pm = pm * F.when(g(k) == 1, F.lit(m[k])) \
+                .otherwise(F.lit(1 - m[k]))
+            pu = pu * F.when(g(k) == 1, F.lit(u[k])) \
+                .otherwise(F.lit(1 - u[k]))
+        return (F.lit(lam) * pm) / ((F.lit(lam) * pm)
+                                    + (F.lit(1 - lam) * pu))
+
+    for _ in range(iterations):
+        aggs = [F.sum(_resp()).alias("_sr"),
+                F.count(F.lit(1)).alias("_n")]
+        for k in fields:
+            aggs.append(F.sum(_resp() * g(k)).alias(f"_srg_{k}"))
+            aggs.append(F.sum(g(k)).alias(f"_tg_{k}"))
+        row = base.agg(*aggs).collect()[0]
+        sr, n = float(row["_sr"]), int(row["_n"])
+        lam = (sr + 1) / (n + 2)
+        for k in fields:
+            srg, tg = float(row[f"_srg_{k}"]), float(row[f"_tg_{k}"])
+            m[k] = (srg + 1) / (sr + 2)
+            u[k] = (tg - srg + 1) / ((n - sr) + 2)
+
+    w = F.log2(F.lit(lam) / F.lit(1 - lam))
+    for k in fields:
+        w = w + F.when(g(k) == 1, F.log2(F.lit(m[k]) / F.lit(u[k]))) \
+            .otherwise(F.log2(F.lit(1 - m[k]) / F.lit(1 - u[k])))
+    keep = [c for c in pairs.columns]
+    return (base
+            .withColumn("match_weight", F.round(w, 6))
+            .withColumn("match_probability",
+                        F.round(F.lit(1) / (F.lit(1) + F.pow(F.lit(2.0),
+                                                             -w)), 6))
+            .withColumn("decision",
+                        F.when(F.col("match_weight") >= upper, "link")
+                        .when(F.col("match_weight") <= lower, "non-link")
+                        .otherwise("possible-link"))
+            .select(*keep, "match_weight", "match_probability", "decision"))

@@ -143,3 +143,65 @@ class TestSortedNeighborhood:
         with pytest.raises(ValueError, match="window"):
             sorted_neighborhood(self._recs(spark, ["a"]),
                                 {"p": lambda c: F.col(c)}, window=1)
+
+
+class TestFellegiSunterEM:
+    def _pairs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "a string, b string, f1 boolean, f2 boolean")
+
+    def test_em_separates_bimodal_pairs(self, spark):
+        from saber_spark.operators.canonicalize import fellegi_sunter_em
+        rows = [("m%d" % i, "m%dx" % i, True, True) for i in range(10)]
+        rows += [("u%d" % i, "u%dx" % i, False, False) for i in range(10)]
+        out = {r.a: r for r in fellegi_sunter_em(
+            self._pairs(spark, rows), ["f1", "f2"],
+            iterations=3).collect()}
+        assert all(out["m%d" % i].decision == "link" for i in range(10))
+        assert all(out["u%d" % i].decision == "non-link"
+                   for i in range(10))
+        assert out["m0"].match_probability > 0.9
+        assert out["u0"].match_probability < 0.1
+
+    def test_one_iteration_matches_hand_em(self, spark):
+        from saber_spark.operators.canonicalize import fellegi_sunter_em
+        # 3 pairs, one field; replicate the E/M arithmetic in python
+        rows = [("a", "b", True, True), ("c", "d", True, True),
+                ("e", "f", False, False)]
+        out = {r.a: r.match_weight for r in fellegi_sunter_em(
+            self._pairs(spark, rows), ["f1"], iterations=1).collect()}
+        lam, m, u = 0.5, 0.8, 0.2
+        rs = []
+        for g in (1, 1, 0):
+            pm = m if g else 1 - m
+            pu = u if g else 1 - u
+            rs.append((lam * pm) / ((lam * pm) + ((1 - lam) * pu)))
+        sr, n = sum(rs), 3
+        lam2 = (sr + 1) / (n + 2)
+        srg = rs[0] + rs[1]
+        tg = 2
+        m2 = (srg + 1) / (sr + 2)
+        u2 = (tg - srg + 1) / ((n - sr) + 2)
+        w_agree = math.log2(lam2 / (1 - lam2)) + math.log2(m2 / u2)
+        assert out["a"] == pytest.approx(round(w_agree, 6), abs=2e-6)
+        w_dis = math.log2(lam2 / (1 - lam2)) \
+            + math.log2((1 - m2) / (1 - u2))
+        assert out["e"] == pytest.approx(round(w_dis, 6), abs=2e-6)
+
+    def test_no_label_columns_required(self, spark):
+        from saber_spark.operators.canonicalize import fellegi_sunter_em
+        out = fellegi_sunter_em(
+            self._pairs(spark, [("a", "b", True, False)]), ["f1", "f2"])
+        assert set(out.columns) == {"a", "b", "f1", "f2", "match_weight",
+                                    "match_probability", "decision"}
+
+    def test_partitioning_invariance(self, spark):
+        from saber_spark.operators.canonicalize import fellegi_sunter_em
+        rows = [("p%d" % i, "q%d" % i, i % 2 == 0, i % 3 == 0)
+                for i in range(30)]
+        a = fellegi_sunter_em(self._pairs(spark, rows).repartition(8),
+                              ["f1", "f2"], iterations=2)
+        b = fellegi_sunter_em(self._pairs(spark, rows).coalesce(1),
+                              ["f1", "f2"], iterations=2)
+        assert {tuple(r) for r in a.collect()} == \
+            {tuple(r) for r in b.collect()}

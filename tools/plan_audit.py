@@ -1747,6 +1747,19 @@ def main() -> None:
         0,
     ))
 
+    fse = e.q_fellegi_sunter_em(spark, SF_DIR)
+    sections.append((
+        "fellegi_sunter_em (literal learned params, narrow scoring)",
+        "After the EM rounds (each one hash agg collected as a 1-row "
+        "model, not visible in this scoring plan), the learned m/u/lambda "
+        "are literals: scoring is a narrow projection over the "
+        "checkpointed pairs — no join, no exchange introduced by the "
+        "matcher itself.",
+        formatted_plan(fse),
+        ["Project"],
+        0,
+    ))
+
     sn = e.q_sorted_neighborhood(spark, SF_DIR)
     sections.append((
         "sorted_neighborhood (distributed rank, rank equi-join)",
