@@ -3553,6 +3553,21 @@ def q_fellegi_sunter_em(spark, sf_dir):
         .select("a", "b", "match_weight", "match_probability", "decision")
 
 
+def q_rendezvous_shards(spark, sf_dir):
+    """Rendezvous/HRW stable sharding with resize-churn audit
+    (packing.rendezvous_shards, Thaler-Ravishankar 1998): every doc
+    assigned to 8 shards by md5 highest-random-weight, re-assigned at 9,
+    moved flag per doc — the minimal-movement bucketing an incremental
+    recrawl pipeline needs (pmod hashing would remap ~8/9 of keys).
+    Narrow per-row argmax over literal legs: zero joins, zero shuffles,
+    zero Python; md5 keeps the weights engine-portable so the oracle
+    replays them exactly."""
+    from saber_spark.operators.packing import rendezvous_shards
+    return rendezvous_shards(_docs(spark, sf_dir), n_shards=8,
+                             compare_shards=9) \
+        .select("doc_id", "shard", "shard_resized", "moved")
+
+
 def q_sorted_neighborhood(spark, sf_dir):
     """Multi-pass sorted-neighborhood candidate generation
     (canonicalize.sorted_neighborhood, Hernandez & Stolfo SIGMOD'95):
@@ -3685,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fellegi_sunter": q_fellegi_sunter,
         "fellegi_sunter_em": q_fellegi_sunter_em,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "rendezvous_shards": q_rendezvous_shards,
         "bgp_query": q_bgp_query,
         "entity_card": q_entity_card,
         "char_sets": q_char_sets,
@@ -4146,6 +4162,34 @@ def oracle_sql() -> dict[str, str]:
                         WHEN round(wt, 6) <= -2.0 THEN 'non-link'
                         ELSE 'possible-link' END AS decision
             FROM w""",
+        "rendezvous_shards": """
+            WITH w8 AS (
+              SELECT doc_id, s,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                              || '#'
+                                              || CAST(s AS VARCHAR)),
+                                         1, 8) AS BIGINT) AS wt
+              FROM documents, unnest(range(0, 8)) AS u(s)),
+            a AS (
+              SELECT doc_id, CAST(s AS BIGINT) AS shard FROM (
+                SELECT doc_id, s, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY wt DESC, s ASC) AS rn
+                FROM w8) WHERE rn = 1),
+            w9 AS (
+              SELECT doc_id, s,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                              || '#'
+                                              || CAST(s AS VARCHAR)),
+                                         1, 8) AS BIGINT) AS wt
+              FROM documents, unnest(range(0, 9)) AS u(s)),
+            b AS (
+              SELECT doc_id, CAST(s AS BIGINT) AS shard_resized FROM (
+                SELECT doc_id, s, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY wt DESC, s ASC) AS rn
+                FROM w9) WHERE rn = 1)
+            SELECT a.doc_id, a.shard, b.shard_resized,
+                   a.shard <> b.shard_resized AS moved
+            FROM a JOIN b USING (doc_id)""",
         "sorted_neighborhood": f"""
             WITH {TOKENS_CTE},
             base AS (SELECT DISTINCT lower(token) AS name FROM tokens),

@@ -104,3 +104,62 @@ def chunk_documents(tokens: DataFrame, window: int = 8, stride: int = 4,
             .select(id_col, "chunk_id",
                     (F.col("chunk_id") * stride).alias("chunk_start"),
                     "n_tokens", "chunk_text"))
+
+
+def rendezvous_shards(docs: DataFrame, n_shards: int,
+                      compare_shards: int | None = None,
+                      key_col: str = "doc_id") -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding (Thaler-Ravishankar
+    1998) -> one row per key: (key, shard[, shard_resized, moved]).
+
+    The stable output-bucketing layer of an INCREMENTAL corpus pipeline:
+    shard = argmax over shards of hash(key, shard). Unlike
+    ``pmod(hash(key), N)`` — which remaps ~(N-1)/N of all keys when N
+    changes — rendezvous moves only ~1/(N+1) of keys when a shard is
+    added, so a recrawl that grows the shard count invalidates only that
+    slice of downstream per-shard artifacts (indexes, dedup state,
+    tokenized shard files). With ``compare_shards`` the resized
+    assignment and a ``moved`` flag are emitted alongside, making the
+    churn directly auditable.
+
+    The per-(key, shard) weight is the first 8 hex chars of
+    md5(key || '#' || shard) as an integer — engine-portable (identical
+    in DuckDB for the oracle; the anf_reach convention), uniform enough
+    for balance, and NOT a Spark-internal hash, so assignments are
+    reproducible outside the JVM. Ties (astronomically rare at 32 bits)
+    break toward the lower shard id via the (weight, -shard) struct max.
+
+    Scale shape: the argmax is a narrow per-row expression over
+    ``n_shards`` literal legs — zero joins, zero shuffles, zero Python;
+    cost is O(N_shards) per row map-side. For thousands of shards swap
+    the literal legs for a posexploded shard dimension + one
+    max_by(shard, weight) agg (one shuffle on the key) — same result,
+    documented trade-off.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(key_col).cast("string")
+
+    def weight(s: int):
+        return F.conv(F.substring(
+            F.md5(F.concat(key, F.lit("#"), F.lit(str(s)))), 1, 8),
+            16, 10).cast("long")
+
+    def argmax(n: int):
+        best = F.greatest(*[F.struct(weight(s).alias("w"),
+                                     F.lit(-s).alias("neg"))
+                            for s in range(n)]) if n > 1 \
+            else F.struct(weight(0).alias("w"), F.lit(0).alias("neg"))
+        return (-best["neg"]).cast("long")
+
+    out = docs.select(F.col(key_col),
+                      argmax(n_shards).alias("shard"))
+    if compare_shards is not None:
+        if compare_shards < 1:
+            raise ValueError("compare_shards must be >= 1, "
+                             f"got {compare_shards}")
+        out = (out
+               .withColumn("shard_resized", argmax(compare_shards))
+               .withColumn("moved",
+                           F.col("shard") != F.col("shard_resized")))
+    return out

@@ -205,3 +205,55 @@ class TestFellegiSunterEM:
                               ["f1", "f2"], iterations=2)
         assert {tuple(r) for r in a.collect()} == \
             {tuple(r) for r in b.collect()}
+
+
+class TestRendezvousShards:
+    def _docs(self, spark, n):
+        return spark.createDataFrame([(i,) for i in range(n)],
+                                     "doc_id long")
+
+    def test_assignment_matches_reference_md5_argmax(self, spark):
+        import hashlib
+
+        from saber_spark.operators.packing import rendezvous_shards
+        out = {r.doc_id: r.shard for r in rendezvous_shards(
+            self._docs(spark, 20), n_shards=4).collect()}
+
+        def ref_shard(key, n):
+            ws = [(int(hashlib.md5(f"{key}#{s}".encode())
+                       .hexdigest()[:8], 16), -s) for s in range(n)]
+            return -max(ws)[1]
+
+        for k in range(20):
+            assert out[k] == ref_shard(k, 4)
+
+    def test_all_shards_used_and_roughly_balanced(self, spark):
+        from saber_spark.operators.packing import rendezvous_shards
+        out = rendezvous_shards(self._docs(spark, 2000), n_shards=4) \
+            .groupBy("shard").count().collect()
+        counts = {r.shard: r["count"] for r in out}
+        assert set(counts) == {0, 1, 2, 3}
+        assert min(counts.values()) > 2000 / 4 * 0.7
+        assert max(counts.values()) < 2000 / 4 * 1.3
+
+    def test_resize_moves_about_one_over_n_plus_one(self, spark):
+        from saber_spark.operators.packing import rendezvous_shards
+        out = rendezvous_shards(self._docs(spark, 3000), n_shards=4,
+                                compare_shards=5)
+        rows = out.collect()
+        moved = sum(1 for r in rows if r.moved)
+        # expected fraction exactly 1/5 in distribution; loose band
+        assert 0.12 < moved / 3000 < 0.28
+        # every move is INTO the new shard (HRW property: an existing
+        # key only moves if the new shard wins it)
+        assert all(r.shard_resized == 4 for r in rows if r.moved)
+        # unmoved keys keep their shard
+        assert all(r.shard == r.shard_resized
+                   for r in rows if not r.moved)
+
+    def test_single_shard_and_validation(self, spark):
+        from saber_spark.operators.packing import rendezvous_shards
+        out = rendezvous_shards(self._docs(spark, 5), n_shards=1).collect()
+        assert all(r.shard == 0 for r in out)
+        with pytest.raises(ValueError, match="n_shards"):
+            rendezvous_shards(self._docs(spark, 5), n_shards=0)

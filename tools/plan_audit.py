@@ -1772,6 +1772,17 @@ def main() -> None:
         0,
     ))
 
+    rz = e.q_rendezvous_shards(spark, SF_DIR)
+    sections.append((
+        "rendezvous_shards (narrow argmax, no join/shuffle)",
+        "Both HRW assignments (8 and 9 shards) plus the moved flag are "
+        "one narrow projection over the scan — no Exchange, no join, no "
+        "Python; the md5 weight legs all fold into whole-stage codegen.",
+        formatted_plan(rz),
+        ["Project", "codegen id"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
