@@ -3553,6 +3553,57 @@ def q_fellegi_sunter_em(spark, sf_dir):
         .select("a", "b", "match_weight", "match_probability", "decision")
 
 
+def q_kg_align(spark, sf_dir):
+    """Cross-KG instance alignment (triples.kg_align, PARIS-style exact-
+    fact Jaccard + mutual-best): an existing customer KG vs a 'crawled'
+    twin with renamed entities (w<k>, every 3rd customer missing), a
+    dropped segment fact for every 5th, and a near-unique acct_band fact
+    (mod 211) making true pairs distinctive. Candidates only from the
+    shared-(pred,obj) equi-join — never all-pairs; mutual-best argmax
+    compiles to two WindowGroupLimit passes."""
+    from saber_spark.operators.triples import kg_align
+    cust = tpch.load(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    facts = lambda src, ent: (
+        src.select(ent.alias("subj"), F.lit("in_nation").alias("pred"),
+                   F.concat(F.lit("nation:"),
+                            F.col("c_nationkey").cast("string"))
+                   .alias("obj"))
+        .unionByName(src.select(
+            ent.alias("subj"), F.lit("acct_band").alias("pred"),
+            F.concat(F.lit("band:"), (ck % 211).cast("string"))
+            .alias("obj"))))
+    seg = lambda src, ent: src.select(
+        ent.alias("subj"), F.lit("in_segment").alias("pred"),
+        F.col("c_mktsegment").alias("obj"))
+    ent_a = F.concat(F.lit("c"), ck.cast("string"))
+    ent_b = F.concat(F.lit("w"), ck.cast("string"))
+    cust_b = cust.filter(ck % 3 != 0)
+    kg_a = facts(cust, ent_a).unionByName(seg(cust, ent_a))
+    kg_b = facts(cust_b, ent_b).unionByName(
+        seg(cust_b.filter(ck % 5 != 0), ent_b))
+    return kg_align(kg_a, kg_b, threshold=0.5, mutual=True)
+
+
+def q_partition_quality(spark, sf_dir):
+    """Graph-partitioning quality audit (graph.partition_quality) over
+    the host link graph at k=4: md5-hash vs range (ntile) node
+    partitioning compared on edge-cut fraction and load imbalance — the
+    measurement that decides the node-key layout before iterative KG
+    analytics (every pagerank/CC round pays cut_fraction in cross-
+    partition traffic). Node->part is one projection; the cut is two
+    dimension joins + one agg."""
+    from saber_spark.operators.graph import partition_quality
+    docs = _docs(spark, sf_dir)
+    edges = docs.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("src"),
+        F.concat(F.lit("src"),
+                 F.when(F.col("doc_id") % 2 == 0, F.col("doc_id") % 7)
+                 .otherwise(F.col("doc_id") % 3).cast("string"),
+                 F.lit(".example.org")).alias("dst")).distinct()
+    return partition_quality(edges, k=4)
+
+
 def q_rendezvous_shards(spark, sf_dir):
     """Rendezvous/HRW stable sharding with resize-churn audit
     (packing.rendezvous_shards, Thaler-Ravishankar 1998): every doc
@@ -3701,6 +3752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fellegi_sunter_em": q_fellegi_sunter_em,
         "sorted_neighborhood": q_sorted_neighborhood,
         "rendezvous_shards": q_rendezvous_shards,
+        "kg_align": q_kg_align,
+        "partition_quality": q_partition_quality,
         "bgp_query": q_bgp_query,
         "entity_card": q_entity_card,
         "char_sets": q_char_sets,
@@ -4162,6 +4215,103 @@ def oracle_sql() -> dict[str, str]:
                         WHEN round(wt, 6) <= -2.0 THEN 'non-link'
                         ELSE 'possible-link' END AS decision
             FROM w""",
+        "kg_align": """
+            WITH ka AS (
+              SELECT 'c' || CAST(c_custkey AS VARCHAR) AS ent_a,
+                     pred, obj
+              FROM (SELECT c_custkey, 'in_nation' AS pred,
+                           'nation:' || CAST(c_nationkey AS VARCHAR)
+                             AS obj FROM customer
+                    UNION ALL
+                    SELECT c_custkey, 'acct_band',
+                           'band:' || CAST(c_custkey % 211 AS VARCHAR)
+                    FROM customer
+                    UNION ALL
+                    SELECT c_custkey, 'in_segment', c_mktsegment
+                    FROM customer)),
+            kb AS (
+              SELECT 'w' || CAST(c_custkey AS VARCHAR) AS ent_b,
+                     pred, obj
+              FROM (SELECT c_custkey, 'in_nation' AS pred,
+                           'nation:' || CAST(c_nationkey AS VARCHAR)
+                             AS obj FROM customer
+                    UNION ALL
+                    SELECT c_custkey, 'acct_band',
+                           'band:' || CAST(c_custkey % 211 AS VARCHAR)
+                    FROM customer
+                    UNION ALL
+                    SELECT c_custkey, 'in_segment', c_mktsegment
+                    FROM customer WHERE c_custkey % 5 <> 0)
+              WHERE c_custkey % 3 <> 0),
+            fa AS (SELECT DISTINCT * FROM ka),
+            fb AS (SELECT DISTINCT * FROM kb),
+            na AS (SELECT ent_a, CAST(count(*) AS BIGINT) AS n_a
+                   FROM fa GROUP BY 1),
+            nb AS (SELECT ent_b, CAST(count(*) AS BIGINT) AS n_b
+                   FROM fb GROUP BY 1),
+            sh AS (SELECT ent_a, ent_b,
+                          CAST(count(*) AS BIGINT) AS n_shared
+                   FROM fa JOIN fb USING (pred, obj) GROUP BY 1, 2),
+            sc AS (SELECT sh.ent_a, sh.ent_b, n_shared, n_a, n_b,
+                          n_shared / (n_a + n_b - n_shared) AS j
+                   FROM sh JOIN na USING (ent_a) JOIN nb USING (ent_b)
+                   WHERE n_shared / (n_a + n_b - n_shared) >= 0.5),
+            m AS (SELECT *,
+                         row_number() OVER (PARTITION BY ent_a
+                           ORDER BY j DESC, ent_b ASC) AS ra,
+                         row_number() OVER (PARTITION BY ent_b
+                           ORDER BY j DESC, ent_a ASC) AS rb
+                  FROM sc)
+            SELECT ent_a, ent_b, n_shared, n_a, n_b,
+                   round(j, 6) AS jaccard
+            FROM m WHERE ra = 1 AND rb = 1""",
+        "partition_quality": f"""
+            WITH {HOST_EDGES_CTE},
+            nodes AS (SELECT src AS node FROM hedges
+                      UNION SELECT dst FROM hedges),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes
+                    FROM nodes),
+            te AS (SELECT CAST(count(*) AS BIGINT) AS n_edges
+                   FROM hedges),
+            hp AS (SELECT node,
+                          CAST('0x' || substr(md5(node), 1, 8) AS BIGINT)
+                            % 4 AS part
+                   FROM nodes),
+            rp AS (SELECT node,
+                          CAST(ntile(4) OVER (ORDER BY node) - 1
+                               AS BIGINT) AS part
+                   FROM nodes),
+            hcut AS (SELECT CAST(sum(CASE WHEN p1.part <> p2.part
+                                          THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_cut
+                     FROM hedges e JOIN hp p1 ON e.src = p1.node
+                                   JOIN hp p2 ON e.dst = p2.node),
+            rcut AS (SELECT CAST(sum(CASE WHEN p1.part <> p2.part
+                                          THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_cut
+                     FROM hedges e JOIN rp p1 ON e.src = p1.node
+                                   JOIN rp p2 ON e.dst = p2.node),
+            hload AS (SELECT CAST(max(nl) AS BIGINT) AS max_load,
+                             CAST(min(nl) AS BIGINT) AS min_load
+                      FROM (SELECT count(*) AS nl FROM hp
+                            GROUP BY part)),
+            rload AS (SELECT CAST(max(nl) AS BIGINT) AS max_load,
+                             CAST(min(nl) AS BIGINT) AS min_load
+                      FROM (SELECT count(*) AS nl FROM rp
+                            GROUP BY part))
+            SELECT 'hash' AS strategy, CAST(4 AS BIGINT) AS k,
+                   n_nodes, n_edges, n_cut,
+                   round(n_cut / CAST(n_edges AS DOUBLE), 6)
+                     AS cut_fraction,
+                   max_load, min_load,
+                   round(max_load / (n_nodes / 4.0), 6) AS imbalance
+            FROM tot, te, hcut, hload
+            UNION ALL
+            SELECT 'range', CAST(4 AS BIGINT), n_nodes, n_edges, n_cut,
+                   round(n_cut / CAST(n_edges AS DOUBLE), 6),
+                   max_load, min_load,
+                   round(max_load / (n_nodes / 4.0), 6)
+            FROM tot, te, rcut, rload""",
         "rendezvous_shards": """
             WITH w8 AS (
               SELECT doc_id, s,

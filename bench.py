@@ -227,7 +227,7 @@ def main() -> None:
         # round 5 final batch 9 (FS probabilistic linkage, sorted-
         # neighborhood blocking)
         "fellegi_sunter", "fellegi_sunter_em", "sorted_neighborhood",
-        "rendezvous_shards",
+        "rendezvous_shards", "kg_align", "partition_quality",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

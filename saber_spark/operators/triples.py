@@ -1234,3 +1234,73 @@ def fact_ranking(triples: DataFrame, k: int = 3, subj_col: str = "subj",
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(subj_col, pred_col, obj_col, "n_po", "info", "rank"))
+
+
+def kg_align(kg_a: DataFrame, kg_b: DataFrame, threshold: float = 0.5,
+             mutual: bool = True, max_df: int | None = None,
+             subj_col: str = "subj", pred_col: str = "pred",
+             obj_col: str = "obj") -> DataFrame:
+    """Cross-KG instance alignment by shared-fact Jaccard (the PARIS /
+    instance-matching shape, Suchanek VLDB 2012 simplified to exact
+    facts) -> (ent_a, ent_b, n_shared, n_a, n_b, jaccard): candidate
+    entity pairs across two triple stores that share at least one exact
+    (pred, obj) fact, scored by Jaccard over their deduplicated fact
+    sets, thresholded, and optionally reduced to MUTUAL best matches
+    (each side's argmax, ties by score DESC then partner ASC — a total
+    order, so the alignment is deterministic).
+
+    This is the step that fuses a freshly crawled KG into an existing
+    one: sameAs candidates come only from shared evidence, never from
+    an all-pairs comparison. Entities with identical fact sets are
+    intrinsically ambiguous under exact-fact Jaccard — the mutual-best
+    filter picks the deterministic representative; PARIS proper breaks
+    such ties with inverse-functionality weights.
+
+    Scale shape: the candidate join is an equi-join on (pred, obj) —
+    pair volume is sum over fact keys of df_a*df_b, so hub facts
+    ("type: person") dominate; ``max_df`` drops fact keys whose df
+    exceeds the cap on EITHER side before the join AND before the
+    per-entity counts (scores stay consistent on the pruned fact sets)
+    — the df-cut every production matcher applies. Per-entity counts
+    are map-side-combinable aggs; the mutual-best argmax compiles to
+    two WindowGroupLimit passes.
+    """
+    fa = (kg_a.select(F.col(subj_col).alias("ent_a"),
+                      F.col(pred_col).alias("pred"),
+                      F.col(obj_col).alias("obj")).distinct())
+    fb = (kg_b.select(F.col(subj_col).alias("ent_b"),
+                      F.col(pred_col).alias("pred"),
+                      F.col(obj_col).alias("obj")).distinct())
+    if max_df is not None:
+        dfa = fa.groupBy("pred", "obj").agg(
+            F.count(F.lit(1)).alias("_dfa"))
+        dfb = fb.groupBy("pred", "obj").agg(
+            F.count(F.lit(1)).alias("_dfb"))
+        keep = (dfa.join(dfb, ["pred", "obj"], "outer")
+                .filter((F.coalesce("_dfa", F.lit(0)) <= max_df)
+                        & (F.coalesce("_dfb", F.lit(0)) <= max_df))
+                .select("pred", "obj"))
+        fa = fa.join(keep, ["pred", "obj"])
+        fb = fb.join(keep, ["pred", "obj"])
+    na = fa.groupBy("ent_a").agg(F.count(F.lit(1)).alias("n_a"))
+    nb = fb.groupBy("ent_b").agg(F.count(F.lit(1)).alias("n_b"))
+    shared = (fa.join(fb, ["pred", "obj"])
+              .groupBy("ent_a", "ent_b")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    scored = (shared.join(na, "ent_a").join(nb, "ent_b")
+              .withColumn(
+                  "jaccard",
+                  F.col("n_shared")
+                  / (F.col("n_a") + F.col("n_b") - F.col("n_shared")))
+              .filter(F.col("jaccard") >= threshold))
+    if mutual:
+        wa = Window.partitionBy("ent_a").orderBy(
+            F.col("jaccard").desc(), F.col("ent_b").asc())
+        wb = Window.partitionBy("ent_b").orderBy(
+            F.col("jaccard").desc(), F.col("ent_a").asc())
+        scored = (scored
+                  .withColumn("_ra", F.row_number().over(wa))
+                  .withColumn("_rb", F.row_number().over(wb))
+                  .filter((F.col("_ra") == 1) & (F.col("_rb") == 1)))
+    return scored.select("ent_a", "ent_b", "n_shared", "n_a", "n_b",
+                         F.round("jaccard", 6).alias("jaccard"))

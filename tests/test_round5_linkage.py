@@ -257,3 +257,108 @@ class TestRendezvousShards:
         assert all(r.shard == 0 for r in out)
         with pytest.raises(ValueError, match="n_shards"):
             rendezvous_shards(self._docs(spark, 5), n_shards=0)
+
+
+class TestKGAlign:
+    def _kg(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string")
+
+    def test_recovers_known_alignment(self, spark):
+        from saber_spark.operators.triples import kg_align
+        a = self._kg(spark, [
+            ("c1", "nation", "de"), ("c1", "band", "b7"),
+            ("c2", "nation", "fr"), ("c2", "band", "b9"),
+            ("c3", "nation", "de"), ("c3", "band", "b4")])
+        b = self._kg(spark, [
+            ("w1", "nation", "de"), ("w1", "band", "b7"),
+            ("w2", "nation", "fr"), ("w2", "band", "b9"),
+            ("w2", "host", "h1")])
+        got = {(r.ent_a, r.ent_b): r for r in
+               kg_align(a, b, threshold=0.5).collect()}
+        assert set(got) == {("c1", "w1"), ("c2", "w2")}
+        assert got[("c1", "w1")].jaccard == 1.0
+        # c2: shared 2, n_a 2, n_b 3 -> 2/3
+        assert got[("c2", "w2")].jaccard == pytest.approx(
+            round(2 / 3, 6), abs=1e-6)
+
+    def test_mutual_best_drops_one_sided_matches(self, spark):
+        from saber_spark.operators.triples import kg_align
+        # both a1 and a2 match b1 equally; mutual-best keeps only the
+        # deterministic (score DESC, partner ASC) winner a1
+        a = self._kg(spark, [("a1", "p", "x"), ("a2", "p", "x")])
+        b = self._kg(spark, [("b1", "p", "x")])
+        got = kg_align(a, b, threshold=0.1).collect()
+        assert [(r.ent_a, r.ent_b) for r in got] == [("a1", "b1")]
+        loose = kg_align(a, b, threshold=0.1, mutual=False).collect()
+        assert len(loose) == 2
+
+    def test_threshold_filters(self, spark):
+        from saber_spark.operators.triples import kg_align
+        a = self._kg(spark, [("a1", "p", "x"), ("a1", "p", "y"),
+                             ("a1", "p", "z"), ("a1", "p", "w")])
+        b = self._kg(spark, [("b1", "p", "x"), ("b1", "q", "q1")])
+        # jaccard = 1 / (4 + 2 - 1) = 0.2
+        assert kg_align(a, b, threshold=0.5).count() == 0
+        assert kg_align(a, b, threshold=0.2).count() == 1
+
+    def test_max_df_drops_hub_facts_consistently(self, spark):
+        from saber_spark.operators.triples import kg_align
+        # 'type person' is shared by everyone -> df over the cap on the
+        # a-side; with the cut, scores use only the distinctive facts
+        a = self._kg(spark, [("a%d" % i, "type", "person")
+                             for i in range(5)]
+                     + [("a0", "born", "1970")])
+        b = self._kg(spark, [("b0", "type", "person"),
+                             ("b0", "born", "1970")])
+        got = kg_align(a, b, threshold=0.5, max_df=3).collect()
+        assert [(r.ent_a, r.ent_b, r.n_shared, r.n_a, r.n_b)
+                for r in got] == [("a0", "b0", 1, 1, 1)]
+
+
+class TestPartitionQuality:
+    def test_range_strategy_hand_computed(self, spark):
+        from saber_spark.operators.graph import partition_quality
+        # nodes sorted: n1 n2 n3 n4 -> ntile(2): {n1,n2}=0, {n3,n4}=1
+        edges = spark.createDataFrame(
+            [("n1", "n2"), ("n3", "n4"), ("n1", "n3"), ("n2", "n4")],
+            "src string, dst string")
+        rows = {r.strategy: r for r in
+                partition_quality(edges, k=2).collect()}
+        rng = rows["range"]
+        assert rng.n_nodes == 4 and rng.n_edges == 4
+        assert rng.n_cut == 2 and rng.cut_fraction == 0.5
+        assert rng.max_load == 2 and rng.min_load == 2
+        assert rng.imbalance == 1.0
+
+    def test_hash_strategy_matches_reference_md5(self, spark):
+        import hashlib
+
+        from saber_spark.operators.graph import partition_quality
+        edges = spark.createDataFrame(
+            [("x%d" % i, "x%d" % ((i + 1) % 6)) for i in range(6)],
+            "src string, dst string")
+
+        def part(n):
+            return int(hashlib.md5(n.encode()).hexdigest()[:8], 16) % 3
+
+        expect_cut = sum(
+            1 for i in range(6)
+            if part("x%d" % i) != part("x%d" % ((i + 1) % 6)))
+        got = {r.strategy: r for r in
+               partition_quality(edges, k=3).collect()}
+        assert got["hash"].n_cut == expect_cut
+
+    def test_custom_strategy(self, spark):
+        from saber_spark.operators.graph import partition_quality
+        edges = spark.createDataFrame(
+            [("a.h1", "b.h1"), ("a.h1", "c.h2"), ("b.h1", "d.h2")],
+            "src string, dst string")
+        out = partition_quality(
+            edges, k=2,
+            strategies={"host": lambda c: F.when(
+                F.substring_index(c, ".", -1) == "h1",
+                F.lit(0)).otherwise(F.lit(1))}).collect()
+        assert out[0].strategy == "host"
+        # only the two cross-host edges are cut
+        assert out[0].n_cut == 2

@@ -1783,6 +1783,30 @@ def main() -> None:
         0,
     ))
 
+    kga = e.q_kg_align(spark, SF_DIR)
+    sections.append((
+        "kg_align (shared-fact equi-join, WindowGroupLimit argmax)",
+        "Candidate pairs come ONLY from the (pred, obj) equi-join — "
+        "never an entity cross join; per-entity counts are partial+final "
+        "hash aggs; the mutual-best filter compiles to WindowGroupLimit "
+        "passes (map-side top-1 pruning).",
+        formatted_plan(kga),
+        ["HashAggregate", "WindowGroupLimit"],
+        0,
+    ))
+
+    pq = e.q_partition_quality(spark, SF_DIR)
+    sections.append((
+        "partition_quality (dimension joins, k-row load agg)",
+        "node->part is one projection over the distinct nodes (the ntile "
+        "window runs on the node dimension, not the corpus); the cut "
+        "count is two equi-joins of edges against that map plus one "
+        "aggregate.",
+        formatted_plan(pq),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
