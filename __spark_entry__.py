@@ -3604,6 +3604,26 @@ def q_partition_quality(spark, sf_dir):
     return partition_quality(edges, k=4)
 
 
+def q_logreg_quality(spark, sf_dir):
+    """Trainable corpus-quality filter via full-batch gradient descent
+    (classify.logreg_fit_predict, the CCNet/fastText linear-classifier
+    shape): 2 GD steps over (bias, scaled length, mod-3 signal) features
+    with a deterministic mod-3 label — each step ONE hash agg collected
+    as a |features|-row gradient (kmeans convention), scoring a narrow
+    literal map. Oracle unrolls both steps with op-identical arithmetic
+    (zero-init makes step 1's sigmoid exactly 0.5)."""
+    from saber_spark.operators.classify import logreg_fit_predict
+    feats = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lit(1.0).alias("x_bias"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x_len"),
+        ((F.col("doc_id") % 3) / F.lit(2.0)).alias("x_mod"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("y"))
+    return logreg_fit_predict(feats, ["x_bias", "x_len", "x_mod"],
+                              label_col="y", lr=2.0, steps=2,
+                              id_cols=["doc_id"])
+
+
 def q_rendezvous_shards(spark, sf_dir):
     """Rendezvous/HRW stable sharding with resize-churn audit
     (packing.rendezvous_shards, Thaler-Ravishankar 1998): every doc
@@ -3754,6 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": q_rendezvous_shards,
         "kg_align": q_kg_align,
         "partition_quality": q_partition_quality,
+        "logreg_quality": q_logreg_quality,
         "bgp_query": q_bgp_query,
         "entity_card": q_entity_card,
         "char_sets": q_char_sets,
@@ -4312,6 +4333,58 @@ def oracle_sql() -> dict[str, str]:
                    max_load, min_load,
                    round(max_load / (n_nodes / 4.0), 6)
             FROM tot, te, rcut, rload""",
+        # unrolls both GD steps; margins are written in the operator's
+        # left-assoc order and the zero-init step-1 sigmoid is the
+        # exact constant 0.5
+        "logreg_quality": """
+            WITH g AS (
+              SELECT doc_id, 1.0 AS x_bias, n_chars / 1000.0 AS x_len,
+                     (doc_id % 3) / 2.0 AS x_mod,
+                     CAST(doc_id % 3 = 0 AS INT) AS y
+              FROM documents),
+            s1 AS (
+              SELECT count(*) AS n,
+                     sum((CAST(y AS DOUBLE) - 0.5) * x_bias) AS g1,
+                     sum((CAST(y AS DOUBLE) - 0.5) * x_len) AS g2,
+                     sum((CAST(y AS DOUBLE) - 0.5) * x_mod) AS g3
+              FROM g),
+            w1 AS (
+              SELECT 0.0 + 2.0 * (g1 / n) AS w_bias,
+                     0.0 + 2.0 * (g2 / n) AS w_len,
+                     0.0 + 2.0 * (g3 / n) AS w_mod
+              FROM s1),
+            s2 AS (
+              SELECT count(*) AS n,
+                     sum((CAST(y AS DOUBLE)
+                          - 1.0 / (1.0 + exp(-(((0.0 + w_bias * x_bias)
+                                                + w_len * x_len)
+                                               + w_mod * x_mod))))
+                         * x_bias) AS g1,
+                     sum((CAST(y AS DOUBLE)
+                          - 1.0 / (1.0 + exp(-(((0.0 + w_bias * x_bias)
+                                                + w_len * x_len)
+                                               + w_mod * x_mod))))
+                         * x_len) AS g2,
+                     sum((CAST(y AS DOUBLE)
+                          - 1.0 / (1.0 + exp(-(((0.0 + w_bias * x_bias)
+                                                + w_len * x_len)
+                                               + w_mod * x_mod))))
+                         * x_mod) AS g3
+              FROM g, w1),
+            w2 AS (
+              SELECT w_bias + 2.0 * (g1 / n) AS w_bias,
+                     w_len + 2.0 * (g2 / n) AS w_len,
+                     w_mod + 2.0 * (g3 / n) AS w_mod
+              FROM s2, w1),
+            sc AS (
+              SELECT g.*,
+                     1.0 / (1.0 + exp(-(((0.0 + w_bias * x_bias)
+                                         + w_len * x_len)
+                                        + w_mod * x_mod))) AS p
+              FROM g, w2)
+            SELECT doc_id, x_bias, x_len, x_mod, y,
+                   round(p, 6) AS p_hat, p >= 0.5 AS pred
+            FROM sc""",
         "rendezvous_shards": """
             WITH w8 AS (
               SELECT doc_id, s,

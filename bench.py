@@ -228,6 +228,7 @@ def main() -> None:
         # neighborhood blocking)
         "fellegi_sunter", "fellegi_sunter_em", "sorted_neighborhood",
         "rendezvous_shards", "kg_align", "partition_quality",
+        "logreg_quality",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -330,3 +330,62 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
             .withColumn("label", F.when(F.col("score") > 0, F.lit("keep"))
                         .otherwise(F.lit("drop")))
             .drop("_c"))
+
+
+def logreg_fit_predict(feats: DataFrame, feature_cols: list[str],
+                       label_col: str = "y", lr: float = 1.0,
+                       steps: int = 2, id_cols: list[str] | None = None
+                       ) -> DataFrame:
+    """Distributed logistic-regression quality classifier -> every row
+    scored after ``steps`` full-batch gradient-descent steps:
+    (id_cols..., feature_cols..., label, p_hat, pred).
+
+    The TRAINABLE corpus-quality filter shape (CCNet's fastText
+    classifier / GPT-3 appendix A): a linear model over cheap document
+    features, trained by gradient descent where each step is ONE
+    aggregation. Weights start at zero (so step 1's sigmoid is exactly
+    0.5 — deterministic, no RNG); each step computes the full-batch
+    gradient of the log-likelihood
+
+        w_{t+1}[j] = w_t[j] + lr * sum_i (y_i - sigmoid(w_t . x_i))
+                                   * x_i[j] / n
+
+    (no bias term unless the caller includes a constant-1 feature
+    column). After training, every row gets p_hat = sigmoid(w . x)
+    rounded to 6 and pred = p_hat >= 0.5.
+
+    Scale shape: the kmeans/EM convention — the feature table is
+    localCheckpointed once, each GD step is one partial+final hash agg
+    collapsing to a single gradient row (the driver collects only the
+    |features|-sized model, never data rows), and scoring is a narrow
+    literal map: zero joins, zero shuffles, zero Python on the corpus
+    path. steps+1 linear scans total.
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    base = feats.localCheckpoint(eager=True)
+    w = dict.fromkeys(feature_cols, 0.0)
+
+    def margin():
+        z = F.lit(0.0)
+        for j in feature_cols:
+            z = z + F.lit(w[j]) * F.col(j)
+        return z
+
+    sig = lambda z: F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    for _ in range(steps):
+        resid = F.col(label_col).cast("double") - sig(margin())
+        row = base.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(resid * F.col(j)).alias(f"_g_{j}")
+              for j in feature_cols]).collect()[0]
+        n = int(row["_n"])
+        for j in feature_cols:
+            w[j] = w[j] + lr * (float(row[f"_g_{j}"]) / n)
+
+    out_cols = (id_cols or []) + feature_cols + [label_col]
+    p = sig(margin())
+    return base.select(
+        *out_cols,
+        F.round(p, 6).alias("p_hat"),
+        (p >= 0.5).alias("pred"))

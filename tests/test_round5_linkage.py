@@ -362,3 +362,53 @@ class TestPartitionQuality:
         assert out[0].strategy == "host"
         # only the two cross-host edges are cut
         assert out[0].n_cut == 2
+
+
+class TestLogregQuality:
+    def _feats(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc long, x1 double, x2 double, y int")
+
+    def test_one_step_matches_hand_gradient(self, spark):
+        from saber_spark.operators.classify import logreg_fit_predict
+        rows = [(0, 1.0, 2.0, 1), (1, 1.0, -1.0, 0), (2, 1.0, 0.5, 1)]
+        out = {r.doc: r for r in logreg_fit_predict(
+            self._feats(spark, rows), ["x1", "x2"], label_col="y",
+            lr=1.0, steps=1, id_cols=["doc"]).collect()}
+        # w starts 0 -> sigmoid = 0.5; grad_j = sum((y-0.5)*x_j)/n
+        w1 = ((1 - 0.5) * 1.0 + (0 - 0.5) * 1.0 + (1 - 0.5) * 1.0) / 3
+        w2 = ((1 - 0.5) * 2.0 + (0 - 0.5) * -1.0 + (1 - 0.5) * 0.5) / 3
+        for doc, x1, x2, y in rows:
+            z = w1 * x1 + w2 * x2
+            p = 1.0 / (1.0 + math.exp(-z))
+            assert out[doc].p_hat == pytest.approx(round(p, 6), abs=1e-6)
+            assert out[doc].pred == (p >= 0.5)
+
+    def test_separable_data_classified_after_steps(self, spark):
+        from saber_spark.operators.classify import logreg_fit_predict
+        rows = [(i, 1.0, 1.0 if i % 2 == 0 else -1.0, 1 if i % 2 == 0
+                 else 0) for i in range(40)]
+        out = logreg_fit_predict(self._feats(spark, rows), ["x1", "x2"],
+                                 label_col="y", lr=2.0, steps=5,
+                                 id_cols=["doc"]).collect()
+        assert all((r.pred and r.y == 1) or (not r.pred and r.y == 0)
+                   for r in out)
+
+    def test_partitioning_invariance(self, spark):
+        from saber_spark.operators.classify import logreg_fit_predict
+        rows = [(i, 1.0, float(i % 5) - 2.0, i % 3 % 2)
+                for i in range(30)]
+        a = logreg_fit_predict(self._feats(spark, rows).repartition(8),
+                               ["x1", "x2"], label_col="y", steps=3,
+                               id_cols=["doc"])
+        b = logreg_fit_predict(self._feats(spark, rows).coalesce(1),
+                               ["x1", "x2"], label_col="y", steps=3,
+                               id_cols=["doc"])
+        assert {(r.doc, r.p_hat, r.pred) for r in a.collect()} == \
+            {(r.doc, r.p_hat, r.pred) for r in b.collect()}
+
+    def test_empty_features_raise(self, spark):
+        from saber_spark.operators.classify import logreg_fit_predict
+        with pytest.raises(ValueError, match="feature_cols"):
+            logreg_fit_predict(self._feats(spark, [(0, 1.0, 1.0, 1)]),
+                               [], label_col="y")

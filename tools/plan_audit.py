@@ -1807,6 +1807,18 @@ def main() -> None:
         0,
     ))
 
+    lq = e.q_logreg_quality(spark, SF_DIR)
+    sections.append((
+        "logreg_quality (literal learned weights, narrow scoring)",
+        "After the GD steps (each one hash agg collected as a "
+        "|features|-row gradient, not visible here), the learned weights "
+        "are literals: scoring is a narrow projection over the "
+        "checkpointed features — no join, no exchange, no Python.",
+        formatted_plan(lq),
+        ["Project"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
