@@ -3768,6 +3768,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comparators + the refreshed sweep artifact; added after the
         # r5 cap slate was frozen, so they do not displace the
         # never-driver-evaluated backlog above):
+        # r5-continuation additions (local-gate evidence: both
+        # comparators MATCH, sweep artifact refreshed; added after the
+        # frozen r5 cap slate, so they sit in the tail like the other
+        # late-r5 entries): probabilistic record linkage (supervised +
+        # EM), sorted-neighborhood blocking, HRW sharding, cross-KG
+        # alignment, partition-layout audit, GD logistic regression
         "fellegi_sunter": q_fellegi_sunter,
         "fellegi_sunter_em": q_fellegi_sunter_em,
         "sorted_neighborhood": q_sorted_neighborhood,
