@@ -56,6 +56,7 @@ from saber_spark.operators.textstats import (
     token_counts,
 )
 from saber_spark.operators.linking import dict_ngram_mentions
+from saber_spark.operators.openie import OPENIE_PATTERN
 from saber_spark.operators.vocab import (
     SENT_BOUNDARY_NOLB,
     rare_tokens,
@@ -3659,6 +3660,62 @@ def q_sorted_neighborhood(spark, sf_dir):
         window=3)
 
 
+def q_rdfa_triples(spark, sf_dir):
+    """RDFa Lite harvesting (structured.rdfa_triples): the fourth
+    publisher-asserted triple syntax next to jsonld_triples,
+    table_triples and microdata_triples — the WebDataCommons extraction
+    quartet complete. Same adversarial fixture convention as microdata:
+    every value is entity-escaped on the way in (the publisher constant
+    carries all four entities) and the extractor decodes (&amp; last),
+    while the oracle re-derives every field from documents RAW — a
+    missing or mis-ordered escape/decode on either side breaks the hash.
+    JVM-only: regexp scans + explode inside codegen, no Python, no
+    shuffle."""
+    from saber_spark.fixtures.pages import build_pages_with_rdfa
+    from saber_spark.operators.structured import rdfa_triples
+    return rdfa_triples(build_pages_with_rdfa(spark, sf_dir))
+
+
+def q_openie_triples(spark, sf_dir):
+    """Open information extraction (openie.openie_triples, ReVerb-lite):
+    capitalized-subject verb-frame scan with copula->isA / possession->has
+    relation normalization, grouped to (subj, pred, obj, freq, support).
+    Input is the relations fixture — deterministic clauses injected AFTER
+    each document's lowercase word-salad body, so the pattern must not
+    fire on the body (capitalized-subject guard) and fires exactly three
+    times per non-blank doc. The oracle re-derives the injected clauses
+    from documents RAW (person/org/verb wheels keyed on doc_id) and runs
+    the IDENTICAL Java-cap-RE2 pattern via regexp_extract_all. One
+    corpus shuffle (the triple groupBy with map-side partials)."""
+    from saber_spark.fixtures.pages import build_docs_with_relations
+    from saber_spark.operators.openie import openie_triples
+    return openie_triples(build_docs_with_relations(spark, sf_dir))
+
+
+def q_good_turing(spark, sf_dir):
+    """Good-Turing count-of-counts smoothing (lm.good_turing): frequency
+    histogram n_r over the token stream plus the simple-GT smoothed
+    count r* = (r+1) n_{r+1}/n_r (NULL at histogram gaps — honest, not
+    padded), the unseen-mass/backoff estimator next to lm_backoff's
+    Katz-style trigram chain. Corpus touches exactly one shuffle (the
+    type-frequency agg); everything after runs on the hundreds-row
+    histogram."""
+    from saber_spark.operators.lm import good_turing
+    return good_turing(tokenize_docs(_docs(spark, sf_dir)))
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency OLS (vocab.zipf_fit): ln(freq) ~ ln(rank)
+    slope/intercept/R^2 in closed form — the corpus-health scalar next
+    to vocab_profile and gini_concentration. Deterministic rank
+    (freq DESC, token ASC); the global rank window is vocabulary-bounded
+    (the vocab_ids convention) and the moment agg reduces map-side to
+    one row. Oracle replays the identical arithmetic in DuckDB, both
+    sides rounded to 6."""
+    from saber_spark.operators.vocab import zipf_fit
+    return zipf_fit(tokenize_docs(_docs(spark, sf_dir)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -3956,6 +4013,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_validate": q_shacl_validate,
         "ppjoin_similarity": q_ppjoin_similarity,
         "texttiling": q_texttiling,
+        # r5-continuation batch 2 (local-gate MATCH in both comparators;
+        # tail like the other post-freeze entries): RDFa harvesting
+        # (completes the WebDataCommons markup quartet), ReVerb-lite
+        # OpenIE verb frames, Good-Turing smoothing, Zipf OLS fit
+        "rdfa_triples": q_rdfa_triples,
+        "openie_triples": q_openie_triples,
+        "good_turing": q_good_turing,
+        "zipf_fit": q_zipf_fit,
     }
 
 
@@ -8896,4 +8961,90 @@ def oracle_sql() -> dict[str, str]:
                     AND (lagc - cos) + (leadc - cos) > 0.1
                     AND cos < lagc AND cos < leadc) AS boundary
             FROM scored""",
+        "rdfa_triples": r"""
+            WITH base AS (
+              SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     substr(text, 1, 40) AS headline,
+                     coalesce(lang, '') AS lang,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                          AS BIGINT) AS wc
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> '')
+            SELECT url, pred, obj FROM (
+              SELECT url, 'rdf:type' AS pred, 'Article' AS obj FROM base
+              UNION ALL SELECT url, 'schema:headline', headline FROM base
+              UNION ALL SELECT url, 'schema:inLanguage', lang FROM base
+              UNION ALL SELECT url, 'schema:wordCount', CAST(wc AS VARCHAR)
+                        FROM base
+              UNION ALL SELECT url, 'schema:publisher', 'p<q & "r"'
+                        FROM base)""",
+        "openie_triples": f"""
+            WITH wheeled AS (
+              SELECT doc_id, text,
+                list_element(['Alice','Bob','Carol','Dave','Erin','Frank'],
+                             CAST(doc_id % 6 AS INT) + 1) AS p,
+                list_element(['Acme','Globex','Initech','Umbrella','Hooli'],
+                             CAST((doc_id + 1) % 5 AS INT) + 1) AS o,
+                list_element(['founded','acquired','owns','leads','runs'],
+                             CAST((doc_id + 2) % 5 AS INT) + 1) AS v,
+                regexp_extract(trim(coalesce(text, '')), '^(\S+)', 1) AS w1
+              FROM documents),
+            base AS (
+              SELECT doc_id,
+                     coalesce(text, '') ||
+                     CASE WHEN text IS NOT NULL AND trim(text) <> ''
+                          THEN ' ' || p || ' ' || v || ' ' || o || '. '
+                               || o || ' is a ' || w1 || '. '
+                               || p || ' has a ' || w1 || '.'
+                          ELSE '' END AS text
+              FROM wheeled),
+            m AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                            '{OPENIE_PATTERN}', 0)) AS m
+              FROM base),
+            t AS (
+              SELECT doc_id,
+                     regexp_extract(m, '{OPENIE_PATTERN}', 1) AS subj,
+                     regexp_extract(m, '{OPENIE_PATTERN}', 2) AS verb,
+                     regexp_extract(m, '{OPENIE_PATTERN}', 3) AS obj
+              FROM m)
+            SELECT subj,
+                   CASE WHEN verb IN ('is','was','are','were') THEN 'isA'
+                        WHEN verb IN ('has','have','had') THEN 'has'
+                        ELSE verb END AS pred,
+                   obj, count(*) AS freq,
+                   count(DISTINCT doc_id) AS support
+            FROM t GROUP BY 1, 2, 3""",
+        "good_turing": f"""
+            WITH {TOKENS_CTE},
+            freqs AS (SELECT token, count(*) AS r FROM tokens
+                      GROUP BY token),
+            nr AS (SELECT r, count(*) AS n_r FROM freqs GROUP BY r)
+            SELECT n.r, n.n_r,
+                   round((n.r + 1) * x.n_r / n.n_r, 6) AS r_star
+            FROM nr n LEFT JOIN nr x ON x.r = n.r + 1""",
+        "zipf_fit": f"""
+            WITH {TOKENS_CTE},
+            freqs AS (SELECT token, count(*) AS freq FROM tokens
+                      GROUP BY token),
+            xy AS (SELECT ln(row_number() OVER
+                            (ORDER BY freq DESC, token ASC)) AS x,
+                          ln(freq) AS y
+                   FROM freqs),
+            a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy
+                  FROM xy)
+            SELECT CAST(n AS BIGINT) AS n_types,
+                   round((n * sxy - sx * sy)
+                         / nullif(n * sxx - sx * sx, 0), 6) AS slope,
+                   round((sy - (n * sxy - sx * sy)
+                          / nullif(n * sxx - sx * sx, 0) * sx) / n, 6)
+                     AS intercept,
+                   round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                         / nullif((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy), 0), 6) AS r2
+            FROM a""",
     }

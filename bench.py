@@ -229,6 +229,9 @@ def main() -> None:
         "fellegi_sunter", "fellegi_sunter_em", "sorted_neighborhood",
         "rendezvous_shards", "kg_align", "partition_quality",
         "logreg_quality",
+        # round 5 continuation (RDFa markup harvest, ReVerb-lite OpenIE,
+        # Good-Turing smoothing, Zipf OLS fit)
+        "rdfa_triples", "openie_triples", "good_turing", "zipf_fit",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

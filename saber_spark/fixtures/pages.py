@@ -209,3 +209,80 @@ def build_docs_with_measurements(spark: SparkSession, sf_dir: str
     return docs.select(
         "doc_id",
         F.concat(F.coalesce(F.col("text"), F.lit("")), extra).alias("text"))
+
+
+def build_pages_with_rdfa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> pages whose html carries an RDFa Lite block
+    (url, html) — the fourth structured-data syntax next to JSON-LD,
+    markup tables and microdata (completing the WebDataCommons quartet).
+
+    Same conventions as the microdata fixture: values are
+    HTML-entity-escaped on the way in (& first) so the extractor's
+    decode has real work on every page — the publisher constant carries
+    all four entities — and pages with NULL/blank text carry no block.
+    Narrow map over the scan; no UDF, no shuffle.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wc = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    block = F.when(
+        F.col("text").isNotNull() & (F.trim("text") != ""),
+        F.concat(
+            F.lit('<div vocab="https://schema.org/" typeof="Article">'),
+            F.lit('<span property="headline">'),
+            _entity_escape(F.substring("text", 1, 40)),
+            F.lit("</span>"),
+            F.lit('<meta property="inLanguage" content="'),
+            _entity_escape(F.coalesce(F.col("lang"), F.lit(""))),
+            F.lit('">'),
+            F.lit('<span property="wordCount">'),
+            wc.cast("string"), F.lit("</span>"),
+            F.lit('<meta property="publisher" content="'),
+            _entity_escape(F.lit(MICRODATA_PUBLISHER)), F.lit('">'),
+            F.lit("</div>"))).otherwise(F.lit(""))
+    return docs.select(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><head></head>\n<body>"), block,
+                     F.lit("<p>"), F.coalesce("text", F.lit("")),
+                     F.lit("</p></body></html>")),
+            "utf-8").alias("html"),
+    )
+
+
+#: rotating cast/org/verb wheels for the OpenIE fixture — keyed on doc_id
+#: so every field is re-derivable from documents RAW in any engine.
+OPENIE_PEOPLE = ["Alice", "Bob", "Carol", "Dave", "Erin", "Frank"]
+OPENIE_ORGS = ["Acme", "Globex", "Initech", "Umbrella", "Hooli"]
+OPENIE_VERBS = ["founded", "acquired", "owns", "leads", "runs"]
+
+
+def build_docs_with_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> (doc_id, text) where each non-blank document
+    gains three deterministic relational sentences built from its own id
+    and first word: ``X <verb> Org.``, ``Org is a <w1>.`` and ``X has a
+    <w1>.`` with person/org/verb rotating through fixed wheels keyed on
+    doc_id — the OpenIE extraction input. The original word-salad body is
+    kept in front of the injected clauses, so the extractor's pattern scan
+    does real work over full-length pages and must not fire on the
+    lowercase body. Narrow map over the scan; no UDF, no shuffle.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def wheel(vals, shift):
+        arr = F.array(*[F.lit(v) for v in vals])
+        return F.element_at(
+            arr, ((F.col("doc_id") + shift) % len(vals)).cast("int") + 1)
+
+    person, org, verb = (wheel(OPENIE_PEOPLE, 0), wheel(OPENIE_ORGS, 1),
+                         wheel(OPENIE_VERBS, 2))
+    w1 = F.regexp_extract(F.trim("text"), r"^(\S+)", 1)
+    clause = F.when(
+        F.col("text").isNotNull() & (F.trim("text") != ""),
+        F.concat(F.lit(" "), person, F.lit(" "), verb, F.lit(" "), org,
+                 F.lit(". "), org, F.lit(" is a "), w1,
+                 F.lit(". "), person, F.lit(" has a "), w1, F.lit("."))
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), clause).alias("text"))

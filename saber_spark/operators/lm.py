@@ -191,3 +191,27 @@ def trigram_backoff_xent(docs: DataFrame, pattern: str,
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_trigrams"),
                  F.round(F.avg("nll"), 6).alias("xent")))
+
+
+def good_turing(tokens: DataFrame, token_col: str = "token") -> DataFrame:
+    """Good-Turing count-of-counts smoothing table over a token stream.
+
+    -> (r, n_r, r_star): for every observed frequency r, the number of
+    types n_r seen exactly r times and the smoothed count
+    r* = (r+1) * n_{r+1} / n_r (NULL where n_{r+1} = 0 — the standard
+    simple-GT gap; production estimators regress log n_r ~ log r to fill
+    it, which `zipf_fit`'s OLS machinery covers for the rank law). The
+    unseen-mass estimate p_0 = n_1 / N falls out of the r = 1 row.
+
+    Scale shape: the type-frequency agg is the only corpus-sized shuffle
+    (map-side partial counts); the count-of-counts agg and the r+1
+    self-join run over the ~hundreds-of-rows frequency histogram.
+    """
+    freqs = tokens.groupBy(token_col).agg(F.count(F.lit(1)).alias("r"))
+    nr = freqs.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    nxt = nr.select((F.col("r") - F.lit(1)).alias("r"),
+                    F.col("n_r").alias("_n_r1"))
+    return (nr.join(nxt, "r", "left")
+            .select("r", "n_r",
+                    F.round((F.col("r") + 1) * F.col("_n_r1")
+                            / F.col("n_r"), 6).alias("r_star")))

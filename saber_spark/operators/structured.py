@@ -330,3 +330,64 @@ def citation_spans(docs: DataFrame, id_col: str = "doc_id",
                 F.explode(F.split(F.col("col"), ",")).alias("_r"))
         .select("doc_id", "group_idx",
                 F.col("_r").cast("long").alias("ref_num")))
+
+
+# RDFa Lite attribute markup (the FOURTH publisher-asserted triple syntax
+# next to JSON-LD blocks, markup tables and microdata — WebDataCommons
+# splits its harvested quads across exactly these four extractors).
+# Java∩RE2 dialect so the DuckDB oracle runs the identical patterns.
+_RDFA_TYPEOF_RE = '<div vocab="[^"]*" typeof="([^"]*)">'
+_RDFA_BODY_RE = '(?s)<div vocab="[^"]*" typeof="[^"]*">(.*?)</div>'
+_RDFA_SPAN_RE = '(?s)<span property="[^"]*">.*?</span>'
+_RDFA_META_RE = '<meta property="[^"]*" content="[^"]*">'
+_RDFA_NAME_RE = 'property="([^"]*)"'
+
+
+def rdfa_triples(pages: DataFrame, html_col: str = "html",
+                 url_col: str = "url") -> DataFrame:
+    """pages(url, html) -> (url, pred, obj) RDFa Lite triples.
+
+    Harvests ``vocab``/``typeof``/``property`` attribute markup — the
+    remaining publisher-asserted syntax after jsonld_triples,
+    table_triples and microdata_triples. Emits one ``rdf:type`` row per
+    typeof scope plus one ``schema:<name>`` row per ``<span property>``
+    element body and per ``<meta property content>`` attribute, HTML
+    entities decoded (&amp; last — the order that inverts the standard
+    escape). Shares value-regex conventions with microdata_triples; the
+    reference has no markup path at all (its only markup handling is the
+    PubMed XML pull, saber/utils/app_utils.py:63-80).
+
+    Scale shape: narrow regexp scans + explode over the decoded html
+    (zero shuffle, zero Python, codegen regexp); pages without a typeof
+    scope are dropped before any element scan runs.
+    """
+    html = F.col(html_col)
+    if dict(pages.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "utf-8")
+    scoped = (pages
+              .select(F.col(url_col).alias("url"),
+                      F.regexp_extract(html, _RDFA_TYPEOF_RE, 1)
+                      .alias("typeof"),
+                      F.regexp_extract(html, _RDFA_BODY_RE, 1)
+                      .alias("body"))
+              .filter(F.col("typeof") != ""))
+    type_rows = scoped.select(
+        "url", F.lit("rdf:type").alias("pred"), F.col("typeof").alias("obj"))
+
+    def prop_rows(elem_re: str, value_re: str) -> DataFrame:
+        return (scoped
+                .select("url",
+                        F.explode(F.regexp_extract_all(
+                            "body", F.lit(elem_re), F.lit(0)))
+                        .alias("elem"))
+                .select("url",
+                        F.concat(F.lit("schema:"),
+                                 F.regexp_extract("elem", _RDFA_NAME_RE, 1))
+                        .alias("pred"),
+                        _entity_decode(
+                            F.regexp_extract("elem", value_re, 1))
+                        .alias("obj")))
+
+    return type_rows.unionByName(
+        prop_rows(_RDFA_SPAN_RE, _SPAN_VALUE_RE)).unionByName(
+        prop_rows(_RDFA_META_RE, _META_VALUE_RE))

@@ -187,3 +187,46 @@ def vocab_profile(tokens: DataFrame, token_col: str = "token") -> DataFrame:
                         / F.col("n_tokens"), 6).alias("type_token_ratio"),
                 F.round(F.col("_top1").cast("double")
                         / F.col("n_tokens"), 6).alias("top1_share")))
+
+
+def zipf_fit(tokens: DataFrame, token_col: str = "token") -> DataFrame:
+    """Zipf's-law OLS fit over the token frequency spectrum.
+
+    Ranks types by frequency (ties broken token-ASC so the rank is
+    deterministic), then fits ln(freq) = intercept + slope * ln(rank) by
+    closed-form least squares — the corpus-health diagnostic next to
+    vocab_profile/gini_concentration (natural text sits near slope -1;
+    template/boilerplate-heavy crawls flatten, spam sharpens).
+
+    -> one row (n_types, slope, intercept, r2), floats rounded to 6.
+
+    Scale shape: the type-frequency agg is the only corpus-sized shuffle;
+    the rank window is global but VOCABULARY-bounded (the vocab_ids
+    convention — types, not tokens), and the moment agg that follows is
+    a single map-side-partial reduction to one row.
+    """
+    freqs = tokens.groupBy(token_col).agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc(token_col))
+    xy = freqs.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"))
+    agg = xy.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum(F.col("y") * F.col("y")).alias("syy"))
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # nullif-guarded denominators: a single-type or flat (all-freq-equal)
+    # spectrum has zero variance on one axis — the fit is undefined, so
+    # emit NULL rather than tripping the ANSI divide-by-zero error
+    var_x = F.nullif(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                     F.lit(0.0))
+    var_y = F.nullif(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"),
+                     F.lit(0.0))
+    slope = cov_n / var_x
+    return agg.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"))

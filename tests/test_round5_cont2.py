@@ -1,0 +1,163 @@
+"""Round-5 continuation batch 2: RDFa harvesting, ReVerb-lite OpenIE,
+Good-Turing smoothing, Zipf OLS fit."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_001
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+class TestRdfaTriples:
+    def test_extracts_types_spans_and_metas(self, spark):
+        from saber_spark.operators.structured import rdfa_triples
+        html = ('<html><body>'
+                '<div vocab="https://schema.org/" typeof="Article">'
+                '<span property="headline">Tom &amp; Jerry</span>'
+                '<meta property="inLanguage" content="en">'
+                '<span property="wordCount">7</span>'
+                '<meta property="publisher" content="p&lt;q &amp; &quot;r&quot;">'
+                '</div><p>body</p></body></html>')
+        out = rdfa_triples(_pages(spark, [("u1", html)])).collect()
+        got = {(r.pred, r.obj) for r in out}
+        assert got == {
+            ("rdf:type", "Article"),
+            ("schema:headline", "Tom & Jerry"),
+            ("schema:inLanguage", "en"),
+            ("schema:wordCount", "7"),
+            ("schema:publisher", 'p<q & "r"'),
+        }
+        assert all(r.url == "u1" for r in out)
+
+    def test_page_without_scope_drops(self, spark):
+        from saber_spark.operators.structured import rdfa_triples
+        out = rdfa_triples(_pages(
+            spark, [("u1", "<html><body><p>plain</p></body></html>")]))
+        assert out.count() == 0
+
+    def test_double_escaped_value_round_trips_once(self, spark):
+        # "&amp;lt;" must decode to "&lt;", never "<" (decode order)
+        from saber_spark.operators.structured import rdfa_triples
+        html = ('<div vocab="v" typeof="T">'
+                '<span property="x">&amp;lt;</span></div>')
+        out = rdfa_triples(_pages(spark, [("u", html)])).collect()
+        assert {r.obj for r in out if r.pred == "schema:x"} == {"&lt;"}
+
+    def test_fixture_round_trip(self, spark):
+        # extractor(fixture) recovers the raw document fields exactly
+        from saber_spark.fixtures.pages import build_pages_with_rdfa
+        from saber_spark.operators.structured import rdfa_triples
+        docs = spark.read.parquet(f"{SF_DIR_001}/documents.parquet")
+        n_live = docs.filter(
+            F.col("text").isNotNull() & (F.trim("text") != "")).count()
+        out = rdfa_triples(build_pages_with_rdfa(spark, SF_DIR_001))
+        per_pred = {r["pred"]: r["n"] for r in
+                    out.groupBy("pred").agg(F.count("*").alias("n"))
+                    .collect()}
+        assert per_pred["rdf:type"] == n_live
+        assert per_pred["schema:headline"] == n_live
+        assert per_pred["schema:publisher"] == n_live
+        heads = (out.filter(F.col("pred") == "schema:headline")
+                 .withColumn("doc_id",
+                             F.regexp_extract("url", r"(\d+)$", 1)
+                             .cast("long"))
+                 .join(docs.select("doc_id",
+                                   F.substring("text", 1, 40).alias("want")),
+                       "doc_id"))
+        assert heads.filter(F.col("obj") != F.col("want")).count() == 0
+
+
+class TestOpenIE:
+    def test_core_frame_and_normalization(self, spark):
+        from saber_spark.operators.openie import openie_triples
+        docs = spark.createDataFrame(
+            [(1, "Alice founded Acme. Acme is a company."),
+             (2, "Alice founded Acme. Bob has a plan."),
+             (3, "lowercase founded acme never matches.")],
+            "doc_id long, text string")
+        out = {(r.subj, r.pred, r.obj): (r.freq, r.support)
+               for r in openie_triples(docs).collect()}
+        assert out[("Alice", "founded", "Acme")] == (2, 2)
+        assert out[("Acme", "isA", "company")] == (1, 1)
+        assert out[("Bob", "has", "plan")] == (1, 1)
+        assert len(out) == 3  # nothing fired on the lowercase body
+
+    def test_article_variants_and_tenses(self, spark):
+        from saber_spark.operators.openie import openie_triples
+        docs = spark.createDataFrame(
+            [(1, "Rome was an empire. Paris is the capital. "
+                 "Team had an idea.")],
+            "doc_id long, text string")
+        got = {(r.subj, r.pred, r.obj)
+               for r in openie_triples(docs).collect()}
+        assert got == {("Rome", "isA", "empire"),
+                       ("Paris", "isA", "capital"),
+                       ("Team", "has", "idea")}
+
+    def test_relations_fixture_fires_three_per_live_doc(self, spark):
+        from saber_spark.fixtures.pages import build_docs_with_relations
+        from saber_spark.operators.openie import openie_triples
+        docs = spark.read.parquet(f"{SF_DIR_001}/documents.parquet")
+        n_live = docs.filter(
+            F.col("text").isNotNull() & (F.trim("text") != "")).count()
+        out = openie_triples(build_docs_with_relations(spark, SF_DIR_001))
+        assert out.agg(F.sum("freq")).first()[0] == 3 * n_live
+
+
+class TestGoodTuring:
+    def test_hand_computed_histogram(self, spark):
+        from saber_spark.operators.lm import good_turing
+        # counts: a=3, b=1, c=1, d=2  ->  n_1=2, n_2=1, n_3=1
+        toks = spark.createDataFrame(
+            [("a",)] * 3 + [("b",), ("c",)] + [("d",)] * 2,
+            "token string")
+        rows = {r.r: r for r in good_turing(toks).collect()}
+        assert {r: rows[r].n_r for r in rows} == {1: 2, 2: 1, 3: 1}
+        # r*=1 -> 2*n_2/n_1 = 1.0 ; r*=2 -> 3*n_3/n_2 = 3.0 ; r=3 gap
+        assert rows[1].r_star == pytest.approx(1.0)
+        assert rows[2].r_star == pytest.approx(3.0)
+        assert rows[3].r_star is None
+
+    def test_unseen_mass_from_r1_row(self, spark):
+        from saber_spark.operators.lm import good_turing
+        toks = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("c",)], "token string")
+        rows = {r.r: r for r in good_turing(toks).collect()}
+        # p0 = n_1 / N = 2 / 4
+        assert rows[1].n_r / 4 == pytest.approx(0.5)
+
+
+class TestZipfFit:
+    def test_geometric_spectrum_fits_negative_slope(self, spark):
+        from saber_spark.operators.vocab import zipf_fit
+        # freqs 64,32,16,8 over ranks 1..4: log-linear in rank, not in
+        # ln(rank), so the fit is negative with high-but-not-perfect R^2
+        rows = ([("t1",)] * 64 + [("t2",)] * 32 + [("t3",)] * 16
+                + [("t4",)] * 8)
+        r = zipf_fit(spark.createDataFrame(rows, "token string")).first()
+        assert r.n_types == 4
+        assert r.slope < 0 and r.r2 > 0.93
+
+    def test_exact_fit_on_true_zipf(self, spark):
+        from saber_spark.operators.vocab import zipf_fit
+        # freq = 24/rank for ranks 1,2,3,4 -> 24,12,8,6: exact slope -1
+        rows = ([("a",)] * 24 + [("b",)] * 12 + [("c",)] * 8
+                + [("d",)] * 6)
+        r = zipf_fit(spark.createDataFrame(rows, "token string")).first()
+        assert r.slope == pytest.approx(-1.0, abs=1e-6)
+        assert r.intercept == pytest.approx(round(math.log(24), 6),
+                                            abs=1e-6)
+        assert r.r2 == pytest.approx(1.0, abs=1e-6)
+
+    def test_tie_break_is_deterministic(self, spark):
+        from saber_spark.operators.vocab import zipf_fit
+        rows = [("b",), ("a",), ("c",)]  # all freq 1 — ranks by token ASC
+        r1 = zipf_fit(spark.createDataFrame(rows, "token string")).first()
+        r2 = zipf_fit(spark.createDataFrame(
+            list(reversed(rows)), "token string")).first()
+        assert (r1.slope, r1.intercept) == (r2.slope, r2.intercept)
