@@ -1819,6 +1819,55 @@ def main() -> None:
         0,
     ))
 
+    rdfa = e.q_rdfa_triples(spark, SF_DIR)
+    sections.append((
+        "rdfa_triples (narrow regexp scans, zero exchange)",
+        "All three branches (typeof, span properties, meta properties) "
+        "are narrow regexp projections over the same page scan unioned "
+        "together — no Exchange, no Python; the element explode is a "
+        "codegen Generate and scope-less pages are filtered before any "
+        "element scan runs.",
+        formatted_plan(rdfa),
+        ["Union", "Generate"],
+        0,
+    ))
+
+    oie = e.q_openie_triples(spark, SF_DIR)
+    sections.append((
+        "openie_triples (codegen regexp explode, one grouped agg)",
+        "The verb-frame scan is regexp_extract_all + Generate inside "
+        "whole-stage codegen (no Python); the only corpus-sized exchange "
+        "is the partial-count agg keyed on (triple, doc_id) — the "
+        "distinct-doc support then reduces over ALREADY-aggregated rows "
+        "in the second, triple-keyed exchange (classic two-phase "
+        "distinct aggregation).",
+        formatted_plan(oie),
+        ["Generate", "HashAggregate", "partial_count(distinct"],
+        0,
+    ))
+
+    gt = e.q_good_turing(spark, SF_DIR)
+    sections.append((
+        "good_turing (one corpus shuffle, histogram-sized join)",
+        "The type-frequency agg is the only corpus-sized exchange "
+        "(partial+final); the count-of-counts agg and the r+1 self-join "
+        "operate on the histogram (~tens of rows).",
+        formatted_plan(gt),
+        ["HashAggregate"],
+        0,
+    ))
+
+    zf = e.q_zipf_fit(spark, SF_DIR)
+    sections.append((
+        "zipf_fit (vocab-bounded rank window, 1-row moment agg)",
+        "The corpus reduces in one type-frequency agg; the global rank "
+        "window runs over the VOCABULARY (vocab_ids convention) and the "
+        "moment aggregate reduces map-side to a single row.",
+        formatted_plan(zf),
+        ["Window", "HashAggregate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
