@@ -3716,6 +3716,42 @@ def q_zipf_fit(spark, sf_dir):
     return zipf_fit(tokenize_docs(_docs(spark, sf_dir)))
 
 
+def q_temporal_conflicts(spark, sf_dir):
+    """Temporal functional-predicate audit (triples.temporal_conflicts):
+    overlapping-validity interval pairs with different objects over the
+    q_triple_history SCD-2 chain, treating 'did' as functional — the
+    temporal twin of link_fd_check/domain_range_audit (the web asserts
+    contradictory facts; maintenance must surface them). Self-join
+    co-partitions on (subj, pred) in ONE exchange; per-key rows bounded
+    by the snapshot horizon. Oracle: the row_number gaps-and-islands
+    history (independent derivation) + the same overlap join."""
+    from saber_spark.operators.funnel import WEEK_US, _epoch_micros
+    from saber_spark.operators.triples import (temporal_conflicts,
+                                               triple_history)
+    obs = _events(spark, sf_dir).select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string"))
+        .alias("subj"),
+        F.lit("did").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.floor(_epoch_micros("ts") / F.lit(WEEK_US)).cast("long")
+        .alias("snap"))
+    return temporal_conflicts(triple_history(obs), ["did"])
+
+
+def q_phonetic_blocking(spark, sf_dir):
+    """Phonetic blocking keys (canonicalize.phonetic_blocking): the
+    classic third ER blocking strategy next to key-equality
+    (blocking_metrics) and rank windows (sorted_neighborhood) — a
+    Soundex-style 4-char key from a portable regexp_replace chain (no
+    backreferences, so RE2 replays it identically), assignments plus
+    block sizes over the distinct lowered vocabulary. Key derivation is
+    narrow codegen; the size agg is vocabulary-bounded."""
+    from saber_spark.operators.canonicalize import phonetic_blocking
+    names = (tokenize_docs(_docs(spark, sf_dir))
+             .select(F.lower("token").alias("name")).distinct())
+    return phonetic_blocking(names)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4021,7 +4057,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "openie_triples": q_openie_triples,
         "good_turing": q_good_turing,
         "zipf_fit": q_zipf_fit,
+        # r5-continuation batch 3: temporal functional-conflict audit,
+        # phonetic blocking keys
+        "temporal_conflicts": q_temporal_conflicts,
+        "phonetic_blocking": q_phonetic_blocking,
     }
+
+
+def _phonetic_sql(expr: str) -> str:
+    """DuckDB twin of canonicalize.phonetic_key — the identical
+    regexp_replace chain ('g' flag: DuckDB replaces first match by
+    default, Spark replaces all)."""
+    from saber_spark.operators.canonicalize import SOUNDEX_CLASSES
+    s = f"substr({expr}, 2)"
+    for pat, rep in SOUNDEX_CLASSES:
+        s = f"regexp_replace({s}, '{pat}', '{rep}', 'g')"
+    s = f"regexp_replace({s}, '[^1-6]', '', 'g')"
+    for d in "123456":
+        s = f"regexp_replace({s}, '{d}{{2,}}', '{d}', 'g')"
+    return (f"rpad(substr(substr({expr}, 1, 1) || {s}, 1, 4), 4, '0')")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9047,4 +9101,36 @@ def oracle_sql() -> dict[str, str]:
                          / nullif((n * sxx - sx * sx)
                                   * (n * syy - sy * sy), 0), 6) AS r2
             FROM a""",
+        "temporal_conflicts": """
+            WITH obs AS (
+              SELECT DISTINCT
+                     'user:' || CAST(user_id AS VARCHAR) AS subj,
+                     'did' AS pred, event_type AS obj,
+                     CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT)
+                       AS snap
+              FROM events),
+            isl AS (SELECT *, snap - row_number() OVER (
+                      PARTITION BY subj, pred, obj ORDER BY snap) AS island
+                    FROM obs),
+            hist AS (
+              SELECT subj, pred, obj,
+                     min(snap) AS valid_from, max(snap) AS valid_to
+              FROM isl GROUP BY subj, pred, obj, island)
+            SELECT a.subj, a.pred, a.obj AS obj_a, b.obj AS obj_b,
+                   greatest(a.valid_from, b.valid_from) AS overlap_from,
+                   least(a.valid_to, b.valid_to) AS overlap_to
+            FROM hist a
+            JOIN hist b ON a.subj = b.subj AND a.pred = b.pred
+                       AND a.obj < b.obj
+            WHERE a.valid_from <= b.valid_to
+              AND b.valid_from <= a.valid_to""",
+        "phonetic_blocking": f"""
+            WITH {TOKENS_CTE},
+            names AS (SELECT DISTINCT lower(token) AS name FROM tokens),
+            keyed AS (SELECT name, {_phonetic_sql('name')} AS pkey
+                      FROM names),
+            sizes AS (SELECT pkey, count(*) AS block_size FROM keyed
+                      GROUP BY pkey)
+            SELECT k.name, k.pkey, s.block_size
+            FROM keyed k JOIN sizes s USING (pkey)""",
     }

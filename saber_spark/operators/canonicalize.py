@@ -397,3 +397,51 @@ def fellegi_sunter_em(pairs: DataFrame, fields: list[str],
                         .when(F.col("match_weight") <= lower, "non-link")
                         .otherwise("possible-link"))
             .select(*keep, "match_weight", "match_probability", "decision"))
+
+
+#: Soundex consonant classes (Russell 1918) — patterns are Java∩RE2 so
+#: the DuckDB oracle replays the identical chain
+SOUNDEX_CLASSES = [("[bfpv]", "1"), ("[cgjkqsxz]", "2"), ("[dt]", "3"),
+                   ("l", "4"), ("[mn]", "5"), ("r", "6")]
+
+
+def phonetic_key(col) -> "F.Column":
+    """Soundex-STYLE phonetic blocking key (not byte-exact Soundex: the
+    run-collapse happens after vowel removal, so vowel-separated repeats
+    collapse too, and the kept first character is never class-merged
+    with the first tail code — simplifications that keep the whole chain
+    inside portable regexp_replace calls with no backreferences, which
+    RE2 lacks). 4 chars, zero-padded: first letter + up to three
+    consonant-class digits with adjacent runs collapsed.
+    """
+    s = F.lower(col)
+    tail = F.substring(s, 2, 1 << 30)
+    for pat, rep in SOUNDEX_CLASSES:
+        tail = F.regexp_replace(tail, pat, rep)
+    tail = F.regexp_replace(tail, "[^1-6]", "")
+    for d in "123456":
+        tail = F.regexp_replace(tail, d + "{2,}", d)
+    return F.rpad(F.substring(F.concat(F.substring(s, 1, 1), tail), 1, 4),
+                  4, "0")
+
+
+def phonetic_blocking(names: DataFrame, name_col: str = "name"
+                      ) -> DataFrame:
+    """Phonetic blocking-key assignment for entity resolution
+    -> (name, pkey, block_size).
+
+    The classic third blocking strategy next to key-equality
+    (blocking_metrics) and sorted-neighborhood windows: names that sound
+    alike share a key, so typo'd and variantly-romanized surfaces land
+    in the same candidate block without any pair enumeration. Pair the
+    blocks downstream exactly like blocking_metrics does.
+
+    Scale shape: the key is a narrow codegen regexp chain (no Python,
+    no join); block_size is one partial+final hash agg on the key joined
+    back — both bounded by the NAME DIMENSION (vocabulary), not the
+    corpus, per the sorted_neighborhood convention.
+    """
+    keyed = names.select(F.col(name_col).alias("name"),
+                         phonetic_key(F.col(name_col)).alias("pkey"))
+    sizes = keyed.groupBy("pkey").agg(F.count(F.lit(1)).alias("block_size"))
+    return keyed.join(sizes, "pkey").select("name", "pkey", "block_size")

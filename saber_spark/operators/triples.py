@@ -1304,3 +1304,47 @@ def kg_align(kg_a: DataFrame, kg_b: DataFrame, threshold: float = 0.5,
                   .filter((F.col("_ra") == 1) & (F.col("_rb") == 1)))
     return scored.select("ent_a", "ent_b", "n_shared", "n_a", "n_b",
                          F.round("jaccard", 6).alias("jaccard"))
+
+
+def temporal_conflicts(history: DataFrame,
+                       functional_preds: list[str],
+                       subj_col: str = "subj", pred_col: str = "pred",
+                       obj_col: str = "obj") -> DataFrame:
+    """Temporal functional-predicate conflicts over an SCD-2 interval
+    table -> (subj, pred, obj_a, obj_b, overlap_from, overlap_to).
+
+    A predicate declared functional may bind ONE object per subject at
+    any instant; a conflict is a pair of validity intervals for the same
+    (subj, pred) with different objects that overlap in time — the
+    temporal twin of the static domain_range_audit / link_fd_check QA
+    gates (the web asserts contradictory facts; incremental KG
+    maintenance must surface, not silently merge, them). Canonical pair
+    order obj_a < obj_b; one row per overlapping interval pair with the
+    overlap window.
+
+    Scale shape: the self-join keys on (subj, pred) so both sides
+    co-partition on one exchange; per-key row counts are bounded by the
+    snapshot horizon (intervals per triple <= snapshots / 2), so the
+    join is quadratic only in a subject's own interval count. Hub
+    subjects with thousands of contradicting objects are exactly the
+    rows this audit exists to flag — cap them upstream with
+    triple_cardinality_audit before enabling a predicate here.
+    """
+    h = (history.filter(F.col(pred_col).isin(*functional_preds))
+         .select(F.col(subj_col).alias("subj"),
+                 F.col(pred_col).alias("pred"),
+                 F.col(obj_col).alias("obj"),
+                 "valid_from", "valid_to"))
+    a = h.select("subj", "pred", F.col("obj").alias("obj_a"),
+                 F.col("valid_from").alias("from_a"),
+                 F.col("valid_to").alias("to_a"))
+    b = h.select("subj", "pred", F.col("obj").alias("obj_b"),
+                 F.col("valid_from").alias("from_b"),
+                 F.col("valid_to").alias("to_b"))
+    return (a.join(b, ["subj", "pred"])
+            .filter((F.col("obj_a") < F.col("obj_b"))
+                    & (F.col("from_a") <= F.col("to_b"))
+                    & (F.col("from_b") <= F.col("to_a")))
+            .select("subj", "pred", "obj_a", "obj_b",
+                    F.greatest("from_a", "from_b").alias("overlap_from"),
+                    F.least("to_a", "to_b").alias("overlap_to")))

@@ -161,3 +161,68 @@ class TestZipfFit:
         r2 = zipf_fit(spark.createDataFrame(
             list(reversed(rows)), "token string")).first()
         assert (r1.slope, r1.intercept) == (r2.slope, r2.intercept)
+
+
+class TestTemporalConflicts:
+    def _hist(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string, "
+                  "valid_from long, valid_to long")
+
+    def test_overlap_detection_and_window(self, spark):
+        from saber_spark.operators.triples import temporal_conflicts
+        rows = [
+            ("e1", "hasCEO", "alice", 0, 5),
+            ("e1", "hasCEO", "bob", 4, 9),     # overlaps alice on [4,5]
+            ("e1", "hasCEO", "carol", 6, 9),   # overlaps bob only
+            ("e2", "hasCEO", "dan", 0, 3),
+            ("e2", "hasCEO", "erin", 4, 8),    # adjacent, NO overlap
+        ]
+        out = {(r.subj, r.obj_a, r.obj_b): (r.overlap_from, r.overlap_to)
+               for r in temporal_conflicts(
+                   self._hist(spark, rows), ["hasCEO"]).collect()}
+        assert out == {("e1", "alice", "bob"): (4, 5),
+                       ("e1", "bob", "carol"): (6, 9)}
+
+    def test_non_functional_pred_ignored(self, spark):
+        from saber_spark.operators.triples import temporal_conflicts
+        rows = [("e1", "likes", "x", 0, 9), ("e1", "likes", "y", 0, 9)]
+        assert temporal_conflicts(
+            self._hist(spark, rows), ["hasCEO"]).count() == 0
+
+    def test_same_object_reassertion_is_not_a_conflict(self, spark):
+        from saber_spark.operators.triples import temporal_conflicts
+        rows = [("e1", "hasCEO", "alice", 0, 2),
+                ("e1", "hasCEO", "alice", 5, 9)]
+        assert temporal_conflicts(
+            self._hist(spark, rows), ["hasCEO"]).count() == 0
+
+
+class TestPhoneticBlocking:
+    def test_sound_alike_names_share_a_key(self, spark):
+        from saber_spark.operators.canonicalize import phonetic_blocking
+        names = spark.createDataFrame(
+            [("robert",), ("rupert",), ("smith",), ("smyth",),
+             ("ashcraft",)], "name string")
+        out = {r.name: (r.pkey, r.block_size)
+               for r in phonetic_blocking(names).collect()}
+        assert out["robert"][0] == out["rupert"][0] == "r163"
+        assert out["smith"][0] == out["smyth"][0]
+        assert out["smith"][1] == 2
+        assert out["ashcraft"][1] == 1
+
+    def test_key_shape_short_name_zero_padded(self, spark):
+        from saber_spark.operators.canonicalize import phonetic_blocking
+        names = spark.createDataFrame([("lee",), ("lu",)], "name string")
+        out = {r.name: r.pkey for r in phonetic_blocking(names).collect()}
+        assert out["lee"] == "l000"
+        assert out["lu"] == "l000"
+
+    def test_run_collapse_and_truncation(self, spark):
+        from saber_spark.operators.canonicalize import phonetic_key
+        import pyspark.sql.functions as SF
+        df = spark.range(1).select(
+            phonetic_key(SF.lit("pfisterschmidt")).alias("k"))
+        # tail codes 1,2,3,6,2,2,5,3,3 -> runs collapse -> 1236253,
+        # key p1236253 truncates to 4 chars
+        assert df.first().k == "p123"

@@ -1868,6 +1868,29 @@ def main() -> None:
         0,
     ))
 
+    tc = e.q_temporal_conflicts(spark, SF_DIR)
+    sections.append((
+        "temporal_conflicts (co-partitioned interval self-join)",
+        "Both join legs share the one (subj, pred) exchange of the "
+        "history build; the overlap predicate is a post-join filter over "
+        "snapshot-horizon-bounded per-key rows — no cartesian, no "
+        "Python.",
+        formatted_plan(tc),
+        ["HashAggregate"],
+        0,
+    ))
+
+    pb = e.q_phonetic_blocking(spark, SF_DIR)
+    sections.append((
+        "phonetic_blocking (codegen key chain, vocab-sized agg)",
+        "The Soundex-style key is a narrow regexp_replace chain inside "
+        "whole-stage codegen; the block-size agg and join back are "
+        "bounded by the name dimension (vocabulary), not the corpus.",
+        formatted_plan(pb),
+        ["HashAggregate", "regexp_replace"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
