@@ -3752,6 +3752,17 @@ def q_phonetic_blocking(spark, sf_dir):
     return phonetic_blocking(names)
 
 
+def q_entity_hindex(spark, sf_dir):
+    """Hirsch-index entity salience (linking.entity_hindex): h = max h
+    with >= h docs of >= h mentions — the breadth-AND-depth scalar next
+    to entity_salience's per-doc aboutness (one viral page and a
+    thousand drive-by mentions both score h=1). One (label, doc) agg,
+    per-label rank window over the REDUCED counts (gini convention),
+    one final agg. Oracle replays the identical sorted-rank identity."""
+    from saber_spark.operators.linking import entity_hindex
+    return entity_hindex(_linked_spark(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4061,6 +4072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # phonetic blocking keys
         "temporal_conflicts": q_temporal_conflicts,
         "phonetic_blocking": q_phonetic_blocking,
+        "entity_hindex": q_entity_hindex,
     }
 
 
@@ -9133,4 +9145,17 @@ def oracle_sql() -> dict[str, str]:
                       GROUP BY pkey)
             SELECT k.name, k.pkey, s.block_size
             FROM keyed k JOIN sizes s USING (pkey)""",
+        "entity_hindex": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            pd AS (SELECT label, doc_id, count(*) AS n
+                   FROM linked GROUP BY 1, 2),
+            rk AS (SELECT label, n,
+                          least(row_number() OVER (
+                                  PARTITION BY label
+                                  ORDER BY n DESC, doc_id ASC), n) AS hc
+                   FROM pd)
+            SELECT label, CAST(max(hc) AS BIGINT) AS h_index,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS total_mentions
+            FROM rk GROUP BY label""",
     }

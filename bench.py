@@ -232,7 +232,7 @@ def main() -> None:
         # round 5 continuation (RDFa markup harvest, ReVerb-lite OpenIE,
         # Good-Turing smoothing, Zipf OLS fit)
         "rdfa_triples", "openie_triples", "good_turing", "zipf_fit",
-        "temporal_conflicts", "phonetic_blocking",
+        "temporal_conflicts", "phonetic_blocking", "entity_hindex",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -226,3 +226,28 @@ class TestPhoneticBlocking:
         # tail codes 1,2,3,6,2,2,5,3,3 -> runs collapse -> 1236253,
         # key p1236253 truncates to 4 chars
         assert df.first().k == "p123"
+
+
+class TestEntityHindex:
+    def test_hand_computed_h(self, spark):
+        from saber_spark.operators.linking import entity_hindex
+        # e1: docs with mention counts [5, 3, 3, 1] -> h = 3
+        # e2: one doc with 10 mentions -> h = 1 (depth without breadth)
+        # e3: four docs with 1 mention -> h = 1 (breadth without depth)
+        rows = ([("e1", 1)] * 5 + [("e1", 2)] * 3 + [("e1", 3)] * 3
+                + [("e1", 4)] + [("e2", 9)] * 10
+                + [("e3", 1), ("e3", 2), ("e3", 3), ("e3", 4)])
+        linked = spark.createDataFrame(rows, "label string, doc_id long")
+        out = {r.label: r for r in entity_hindex(linked).collect()}
+        assert out["e1"].h_index == 3
+        assert out["e1"].n_docs == 4
+        assert out["e1"].total_mentions == 12
+        assert out["e2"].h_index == 1
+        assert out["e3"].h_index == 1
+
+    def test_h_equals_docs_when_square(self, spark):
+        from saber_spark.operators.linking import entity_hindex
+        # 3 docs x 3 mentions -> h = 3 exactly
+        rows = [("e", d) for d in (1, 2, 3) for _ in range(3)]
+        linked = spark.createDataFrame(rows, "label string, doc_id long")
+        assert entity_hindex(linked).first().h_index == 3

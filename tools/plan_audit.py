@@ -1891,6 +1891,17 @@ def main() -> None:
         0,
     ))
 
+    eh = e.q_entity_hindex(spark, SF_DIR)
+    sections.append((
+        "entity_hindex (reduced-counts rank window, two aggs)",
+        "The (label, doc) mention agg reduces the corpus map-side; the "
+        "per-label rank window runs over the REDUCED doc counts (gini "
+        "convention) and the final h/max agg is map-side combinable.",
+        formatted_plan(eh),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
