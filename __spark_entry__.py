@@ -3763,6 +3763,30 @@ def q_entity_hindex(spark, sf_dir):
     return entity_hindex(_linked_spark(spark, sf_dir))
 
 
+def q_url_templates(spark, sf_dir):
+    """URL path-template mining (webstats.url_templates): hex runs ->
+    {h} then digit runs -> {d} in the path, profiled per (host,
+    template) — the frontier-shaping / spider-trap signal next to
+    url_dedup's exact normalization and crawl_frontier's scheduling.
+    Fixture synthesizes two real template families per corpus: dated
+    article paths /news/{d}/{d}/doc{d} and hash-addressed /p/{h} pages
+    (md5 prefixes — identical hex in both engines). One hash agg on
+    (host, template); distinct paths ride the same key two-phase."""
+    from saber_spark.operators.webstats import url_templates
+    docs = _docs(spark, sf_dir)
+    dated = F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.org/news/2024/"),
+                     (F.col("doc_id") % 12 + 1).cast("string"),
+                     F.lit("/doc"), F.col("doc_id").cast("string"))
+    hashed = F.concat(F.lit("https://cdn.example.org/p/"),
+                      F.substring(F.md5(F.col("doc_id").cast("string")),
+                                  1, 12))
+    pages = docs.select(
+        F.when(F.col("doc_id") % 3 == 0, hashed).otherwise(dated)
+        .alias("url"))
+    return url_templates(pages)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4073,6 +4097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_conflicts": q_temporal_conflicts,
         "phonetic_blocking": q_phonetic_blocking,
         "entity_hindex": q_entity_hindex,
+        "url_templates": q_url_templates,
     }
 
 
@@ -9158,4 +9183,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n) AS BIGINT) AS total_mentions
             FROM rk GROUP BY label""",
+        "url_templates": """
+            WITH pages AS (
+              SELECT CASE WHEN doc_id % 3 = 0
+                     THEN 'https://cdn.example.org/p/'
+                          || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                     ELSE 'https://' || source || '.example.org/news/2024/'
+                          || CAST(doc_id % 12 + 1 AS VARCHAR)
+                          || '/doc' || CAST(doc_id AS VARCHAR)
+                     END AS url
+              FROM documents),
+            parts AS (
+              SELECT lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                     regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1)
+                       AS path
+              FROM pages),
+            t AS (
+              SELECT host, path,
+                     regexp_replace(regexp_replace(path,
+                       '[0-9a-f]{8,}', '{h}', 'g'), '[0-9]+', '{d}', 'g')
+                       AS template
+              FROM parts)
+            SELECT host, template, count(*) AS n_pages,
+                   count(DISTINCT path) AS n_paths
+            FROM t GROUP BY host, template""",
     }

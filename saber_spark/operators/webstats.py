@@ -525,3 +525,36 @@ def host_boilerplate(pages: DataFrame, url_col: str = "url",
                     F.round(F.col("n_boiler_lines")
                             / F.col("n_distinct_lines"), 6)
                     .alias("boiler_rate")))
+
+
+#: path portion of a URL (no query/fragment) — Java∩RE2 portable
+_URL_PATH = "^[a-z]+://[^/?#]+(/[^?#]*)"
+
+
+def url_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL path-template mining -> (host, template, n_pages, n_paths).
+
+    Collapses long hex runs to ``{h}`` (content hashes, session ids) and
+    digit runs to ``{d}`` (article ids, dates) in the URL PATH, then
+    profiles each (host, template) family: page volume and distinct
+    concrete paths. The crawl-ops signal behind frontier shaping and
+    structural dedup — a template with 10^6 pages and 10^6 distinct
+    paths is a content archive worth crawling; 10^6 pages over 10^2
+    paths is a parameter trap / calendar spider-hole. Hex collapses
+    BEFORE digits (hex runs contain digits).
+
+    Scale shape: host/path/template are narrow codegen regexps; the
+    profile is ONE hash agg on (host, template) with map-side partials
+    plus an exact distinct-path count riding the same key (two-phase
+    distinct agg — template families are the natural partition).
+    """
+    url = F.col(url_col)
+    host = url_host(url)
+    path = F.regexp_extract(url, _URL_PATH, 1)
+    tmpl = F.regexp_replace(
+        F.regexp_replace(path, "[0-9a-f]{8,}", "{h}"), "[0-9]+", "{d}")
+    return (df.select(host.alias("host"), path.alias("path"),
+                      tmpl.alias("template"))
+            .groupBy("host", "template")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("path").alias("n_paths")))

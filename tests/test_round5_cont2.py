@@ -251,3 +251,28 @@ class TestEntityHindex:
         rows = [("e", d) for d in (1, 2, 3) for _ in range(3)]
         linked = spark.createDataFrame(rows, "label string, doc_id long")
         assert entity_hindex(linked).first().h_index == 3
+
+
+class TestUrlTemplates:
+    def test_template_families_and_path_counts(self, spark):
+        from saber_spark.operators.webstats import url_templates
+        pages = spark.createDataFrame([
+            ("https://a.org/news/2024/5/doc11",),
+            ("https://a.org/news/2023/12/doc900",),
+            ("https://a.org/news/2024/5/doc11",),   # duplicate path
+            ("https://cdn.org/p/deadbeef1234",),    # 12-char hex run
+            ("https://cdn.org/p/cafe1234cafe",),
+        ], "url string")
+        out = {(r.host, r.template): (r.n_pages, r.n_paths)
+               for r in url_templates(pages).collect()}
+        assert out[("a.org", "/news/{d}/{d}/doc{d}")] == (3, 2)
+        assert out[("cdn.org", "/p/{h}")] == (2, 2)
+
+    def test_hex_collapses_before_digits(self, spark):
+        from saber_spark.operators.webstats import url_templates
+        # a 10-digit run is also a >=8-char hex run -> {h}, not {d}
+        pages = spark.createDataFrame(
+            [("https://x.org/id/1234567890",),
+             ("https://x.org/v/12",)], "url string")
+        got = {r.template for r in url_templates(pages).collect()}
+        assert got == {"/id/{h}", "/v/{d}"}

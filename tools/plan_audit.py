@@ -1902,6 +1902,18 @@ def main() -> None:
         0,
     ))
 
+    ut = e.q_url_templates(spark, SF_DIR)
+    sections.append((
+        "url_templates (narrow template regexps, one keyed agg)",
+        "Host/path/template are codegen regexps over the scan; the "
+        "profile is one (host, template) hash agg with map-side "
+        "partials, the distinct-path count riding the same key via the "
+        "two-phase distinct plan.",
+        formatted_plan(ut),
+        ["HashAggregate", "partial_count(distinct"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
