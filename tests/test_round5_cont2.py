@@ -276,3 +276,41 @@ class TestUrlTemplates:
              ("https://x.org/v/12",)], "url string")
         got = {r.template for r in url_templates(pages).collect()}
         assert got == {"/id/{h}", "/v/{d}"}
+
+
+class TestKgAlignDfFrac:
+    def test_relative_cut_drops_hub_keeps_rare(self, spark):
+        from saber_spark.operators.triples import kg_align
+        # 10 entities per side: hub fact shared by ALL (df=10 > 0.5*10),
+        # rare fact unique per entity pair (df=1 <= 5)
+        a = spark.createDataFrame(
+            [(f"a{i}", "type", "thing") for i in range(10)]
+            + [(f"a{i}", "key", f"k{i}") for i in range(10)],
+            "subj string, pred string, obj string")
+        b = spark.createDataFrame(
+            [(f"b{i}", "type", "thing") for i in range(10)]
+            + [(f"b{i}", "key", f"k{i}") for i in range(10)],
+            "subj string, pred string, obj string")
+        out = kg_align(a, b, threshold=0.5, max_df_frac=0.5)
+        rows = {(r.ent_a, r.ent_b): r for r in out.collect()}
+        # hub 'type' pruned -> each entity keeps only its unique key
+        # fact, so the true pairs align at jaccard 1.0 and n_a = n_b = 1
+        assert set(rows) == {(f"a{i}", f"b{i}") for i in range(10)}
+        assert all(r.jaccard == 1.0 and r.n_a == 1 for r in rows.values())
+
+    def test_without_cut_hub_dilutes_scores(self, spark):
+        from saber_spark.operators.triples import kg_align
+        a = spark.createDataFrame(
+            [(f"a{i}", "type", "thing") for i in range(10)]
+            + [(f"a{i}", "key", f"k{i}") for i in range(10)],
+            "subj string, pred string, obj string")
+        b = spark.createDataFrame(
+            [(f"b{i}", "type", "thing") for i in range(10)]
+            + [(f"b{i}", "key", f"k{i}") for i in range(10)],
+            "subj string, pred string, obj string")
+        out = {(r.ent_a, r.ent_b): r
+               for r in kg_align(a, b, threshold=0.5).collect()}
+        # un-cut: true pairs share 2 of 2 facts (jaccard 1.0) but the
+        # candidate set also carried the 100 hub-only pairs upstream
+        assert out[("a3", "b3")].n_shared == 2
+        assert out[("a3", "b3")].jaccard == 1.0

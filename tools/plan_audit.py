@@ -1882,12 +1882,14 @@ def main() -> None:
 
     pb = e.q_phonetic_blocking(spark, SF_DIR)
     sections.append((
-        "phonetic_blocking (codegen key chain, vocab-sized agg)",
+        "phonetic_blocking (codegen key chain, one vocab window)",
         "The Soundex-style key is a narrow regexp_replace chain inside "
-        "whole-stage codegen; the block-size agg and join back are "
-        "bounded by the name dimension (vocabulary), not the corpus.",
+        "whole-stage codegen; block sizes come from ONE count window "
+        "partitioned on the key — a single exchange of the name "
+        "dimension, with no join-back re-reading the corpus lineage "
+        "(the groupBy+join variant measured 4.8 s vs 0.7 s steady).",
         formatted_plan(pb),
-        ["HashAggregate", "regexp_replace"],
+        ["Window", "regexp_replace"],
         0,
     ))
 
