@@ -636,7 +636,14 @@ def ppjoin_similarity(docs: DataFrame, threshold: float = 0.6,
     an equi-join; prefix selection is one per-doc window over distinct
     (doc, token) rows; candidates shuffle on prefix tokens only (rare by
     construction — the frequency-ascending order is WHY this scales);
-    verification touches candidate pairs, never all pairs.
+    verification touches candidate pairs, never all pairs, and runs as
+    ONE codegen `array_intersect` over per-doc materialized sorted token
+    sets (one row per pair) rather than re-exploding each pair by its
+    token count through row-level joins — measured 19.8 -> ~2 s steady
+    at sf0.1, where the tiny fixture vocabulary makes prefix tokens
+    frequent and the exploded verify was ~3e7 join rows. Token sets ride
+    the pair join as array columns; at production set sizes (10^2-10^3
+    distinct tokens) that is still far below the exploded row volume.
 
     -> (doc_a, doc_b, inter, size_a, size_b, jaccard 6dp), doc_a < doc_b.
     """
@@ -671,19 +678,20 @@ def ppjoin_similarity(docs: DataFrame, threshold: float = 0.6,
                     F.col("b.doc").alias("doc_b"))
             .distinct())
 
+    tsets = (toks.join(rank, "token").groupBy("doc")
+             .agg(F.array_sort(F.collect_set("trank")).alias("tokset")))
     inter = (cand
-             .join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc"))
-             .join(toks.alias("tb"),
-                   (F.col("doc_b") == F.col("tb.doc"))
-                   & (F.col("ta.token") == F.col("tb.token")))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("inter")))
+             .join(tsets.select(F.col("doc").alias("doc_a"),
+                                F.col("tokset").alias("_ts_a")), "doc_a")
+             .join(tsets.select(F.col("doc").alias("doc_b"),
+                                F.col("tokset").alias("_ts_b")), "doc_b")
+             .select("doc_a", "doc_b",
+                     F.size(F.array_intersect("_ts_a", "_ts_b"))
+                     .cast("long").alias("inter"),
+                     F.size("_ts_a").cast("long").alias("size_a"),
+                     F.size("_ts_b").cast("long").alias("size_b")))
 
     return (inter
-            .join(sizes.select(F.col("doc").alias("doc_a"),
-                               F.col("sz").alias("size_a")), "doc_a")
-            .join(sizes.select(F.col("doc").alias("doc_b"),
-                               F.col("sz").alias("size_b")), "doc_b")
             .filter(F.col("inter") * den
                     >= num * (F.col("size_a") + F.col("size_b")
                               - F.col("inter")))
