@@ -74,6 +74,13 @@ def transe_score(triples: DataFrame, embeddings: DataFrame,
             f"{missing} (need {id_col} in {sorted(pred_vec_ids.values())})")
     head = quant.select(F.col(id_col).alias("_hid"), F.col("q").alias("qh"))
     tail = quant.select(F.col(id_col).alias("_tid"), F.col("q").alias("qt"))
+    triples = triples.select(subj_col, pred_col, obj_col)
+    if len(pred_vec_ids) > 1:
+        # one leg per relation re-reads the store lineage; materialize it
+        # once so an expensive upstream derivation (joins/distinct) is
+        # paid once, not per relation (at 100 TB the store is a
+        # materialized Iceberg table and this is a no-op by construction)
+        triples = triples.localCheckpoint(eager=True)
     # One leg per relation: the pred constant pushes below the store's
     # distinct into the source scans, and the relation vector FOLDS INTO
     # dim scalar |qh[i] + c_i - qt[i]| terms that whole-stage codegen
@@ -84,7 +91,7 @@ def transe_score(triples: DataFrame, embeddings: DataFrame,
     legs = []
     for p, v in pred_vec_ids.items():
         rv = rel_rows[int(v)]
-        leg = (triples.select(subj_col, pred_col, obj_col)
+        leg = (triples
                .filter(F.col(pred_col) == F.lit(p))
                .withColumn("_hid", _entity_row_id(F.col(subj_col), n_vecs))
                .withColumn("_tid", _entity_row_id(F.col(obj_col), n_vecs))
