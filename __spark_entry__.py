@@ -3796,6 +3796,27 @@ def q_url_templates(spark, sf_dir):
     return url_templates(pages)
 
 
+def q_subprop_entailment(spark, sf_dir):
+    """Sub-property + inverse entailment (ontology.subprop_entail):
+    rdfs5/rdfs7 plus owl:inverseOf over the 3-relation store —
+    the RELATION half of the RDFS rule set next to rdfs_entailment's
+    TYPE rules. Property schema: placed/supplies under commercial_rel
+    under related_to (a 2-deep chain exercising the rdfs5 closure),
+    contains under structural_rel; inverses placed<->placed_by and
+    contains<->contained_in. Facts touched by two broadcast joins and
+    ONE distinct; the closure is schema-sized path doubling. Oracle:
+    recursive-CTE closure + the same unions."""
+    from saber_spark.operators.ontology import subprop_entail
+    subprops = spark.createDataFrame(
+        [("placed", "commercial_rel"), ("supplies", "commercial_rel"),
+         ("commercial_rel", "related_to"), ("contains", "structural_rel")],
+        "child string, parent string")
+    inverses = spark.createDataFrame(
+        [("placed", "placed_by"), ("contains", "contained_in")],
+        "pred string, inverse string")
+    return subprop_entail(_schema_kg3(spark, sf_dir), subprops, inverses)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4107,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_blocking": q_phonetic_blocking,
         "entity_hindex": q_entity_hindex,
         "url_templates": q_url_templates,
+        "subprop_entailment": q_subprop_entailment,
     }
 
 
@@ -9230,4 +9252,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, template, count(*) AS n_pages,
                    count(DISTINCT path) AS n_paths
             FROM t GROUP BY host, template""",
+        "subprop_entailment": """
+            WITH RECURSIVE placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj,
+                     'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR)
+                     END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS subj,
+                     'contains' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            supplies_t AS (
+              SELECT 'supp:' || CAST(l_suppkey AS VARCHAR) AS subj,
+                     'supplies' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            t AS (SELECT DISTINCT * FROM (
+                    SELECT * FROM placed
+                    UNION ALL SELECT * FROM contains_t
+                    UNION ALL SELECT * FROM supplies_t)),
+            sub AS (SELECT * FROM (VALUES
+                      ('placed', 'commercial_rel'),
+                      ('supplies', 'commercial_rel'),
+                      ('commercial_rel', 'related_to'),
+                      ('contains', 'structural_rel'))
+                    AS v(child, parent)),
+            clos(child, anc) AS (
+              SELECT child, parent FROM sub
+              UNION
+              SELECT c.child, s.parent
+              FROM clos c JOIN sub s ON s.child = c.anc),
+            inv AS (SELECT * FROM (VALUES
+                      ('placed', 'placed_by'),
+                      ('contains', 'contained_in'))
+                    AS v(pred, inverse)),
+            e1 AS (
+              SELECT * FROM t
+              UNION ALL
+              SELECT t.subj, c.anc AS pred, t.obj
+              FROM t JOIN clos c ON c.child = t.pred),
+            flipped AS (
+              SELECT e1.obj AS subj, i.inverse AS pred, e1.subj AS obj
+              FROM e1 JOIN inv i ON i.pred = e1.pred)
+            SELECT DISTINCT subj, pred, obj FROM (
+              SELECT * FROM e1
+              UNION ALL SELECT * FROM flipped
+              UNION ALL
+              SELECT f.subj, c.anc AS pred, f.obj
+              FROM flipped f JOIN clos c ON c.child = f.pred)""",
     }

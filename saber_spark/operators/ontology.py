@@ -212,3 +212,55 @@ def shacl_validate(triples: DataFrame, types: DataFrame, shapes: DataFrame,
                        F.col("n").cast("long").alias("actual")))
 
     return maxv.unionByName(minv).unionByName(closedv)
+
+
+def subprop_entail(triples: DataFrame, subprops: DataFrame,
+                   inverses: DataFrame | None = None,
+                   subj_col: str = "subj", pred_col: str = "pred",
+                   obj_col: str = "obj", max_depth: int = 64) -> DataFrame:
+    """Sub-property + inverse entailment materialization — the RELATION
+    rules of the RDFS/OWL-RL core, completing rdfs_entail's TYPE rules
+    (rdfs2/rdfs3/rdfs9):
+
+        rdfs5  (p subPropertyOf q) + (q subPropertyOf r)
+                                        => (p subPropertyOf r)
+        rdfs7  (p subPropertyOf* q) + (s p o)  => (s q o)
+        inv    (p inverseOf q) + (s p o)       => (o q s)
+
+    subprops: (child, parent) direct property edges; inverses:
+    (pred, inverse) rows applied AS GIVEN (declare both directions for
+    symmetric materialization). Application order is one
+    subproperty -> inverse -> subproperty alternation, which is the
+    fixpoint whenever no inverse-produced predicate is itself declared
+    inverse of something new (double inversion reproduces rows the
+    distinct absorbs); deeper alternating schemas re-enter the operator
+    with its own output.
+
+    Scale shape: the subPropertyOf closure is schema-sized path doubling
+    (``transitive_closure``); the fact table is touched by two broadcast
+    joins (ancestor expansion, inverse map) and ONE final distinct — no
+    iteration ever reaches corpus-scale data, mirroring rdfs_entail.
+
+    -> (subj, pred, obj) DISTINCT: the entailed store, ready for
+    bgp_match / shacl_validate / domain_range_audit downstream.
+    """
+    t = triples.select(subj_col, pred_col, obj_col)
+    closure = transitive_closure(subprops, "child", "parent", max_depth)
+    anc = F.broadcast(closure.select(F.col("child").alias(pred_col),
+                                     F.col("ancestor")))
+
+    def expand(facts: DataFrame) -> DataFrame:
+        return (facts.join(anc, pred_col)
+                .select(subj_col, F.col("ancestor").alias(pred_col),
+                        obj_col))
+
+    e1 = t.unionByName(expand(t))
+    if inverses is not None:
+        inv = F.broadcast(inverses.select(F.col("pred").alias(pred_col),
+                                          F.col("inverse")))
+        flipped = (e1.join(inv, pred_col)
+                   .select(F.col(obj_col).alias(subj_col),
+                           F.col("inverse").alias(pred_col),
+                           F.col(subj_col).alias(obj_col)))
+        e1 = e1.unionByName(flipped).unionByName(expand(flipped))
+    return e1.distinct()

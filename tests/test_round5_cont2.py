@@ -314,3 +314,51 @@ class TestKgAlignDfFrac:
         # candidate set also carried the 100 hub-only pairs upstream
         assert out[("a3", "b3")].n_shared == 2
         assert out[("a3", "b3")].jaccard == 1.0
+
+
+class TestSubpropEntail:
+    def _schema(self, spark):
+        sub = spark.createDataFrame(
+            [("knows", "related"), ("related", "linked")],
+            "child string, parent string")
+        inv = spark.createDataFrame(
+            [("knows", "known_by")], "pred string, inverse string")
+        return sub, inv
+
+    def test_rdfs7_over_rdfs5_chain(self, spark):
+        from saber_spark.operators.ontology import subprop_entail
+        sub, _ = self._schema(spark)
+        t = spark.createDataFrame([("a", "knows", "b")],
+                                  "subj string, pred string, obj string")
+        got = {(r.subj, r.pred, r.obj)
+               for r in subprop_entail(t, sub).collect()}
+        # 2-deep chain: knows -> related -> linked all materialize
+        assert got == {("a", "knows", "b"), ("a", "related", "b"),
+                       ("a", "linked", "b")}
+
+    def test_inverse_then_expansion(self, spark):
+        from saber_spark.operators.ontology import subprop_entail
+        sub = spark.createDataFrame(
+            [("known_by", "mentioned_by")], "child string, parent string")
+        inv = spark.createDataFrame(
+            [("knows", "known_by")], "pred string, inverse string")
+        t = spark.createDataFrame([("a", "knows", "b")],
+                                  "subj string, pred string, obj string")
+        got = {(r.subj, r.pred, r.obj)
+               for r in subprop_entail(t, sub, inv).collect()}
+        # flipped fact (b known_by a) expands along the inverse's OWN
+        # super-property
+        assert got == {("a", "knows", "b"), ("b", "known_by", "a"),
+                       ("b", "mentioned_by", "a")}
+
+    def test_set_semantics_absorbs_double_declaration(self, spark):
+        from saber_spark.operators.ontology import subprop_entail
+        sub, inv = self._schema(spark)
+        both = spark.createDataFrame(
+            [("knows", "known_by"), ("known_by", "knows")],
+            "pred string, inverse string")
+        t = spark.createDataFrame(
+            [("a", "knows", "b"), ("b", "known_by", "a")],
+            "subj string, pred string, obj string")
+        out = subprop_entail(t, sub, both).collect()
+        assert len(out) == len({(r.subj, r.pred, r.obj) for r in out})

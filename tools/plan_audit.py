@@ -1916,6 +1916,18 @@ def main() -> None:
         0,
     ))
 
+    se = e.q_subprop_entailment(spark, SF_DIR)
+    sections.append((
+        "subprop_entailment (broadcast rule joins, one distinct)",
+        "The subPropertyOf closure is schema-sized path doubling; the "
+        "fact table is touched by BROADCAST ancestor/inverse joins and "
+        "one final distinct — no corpus-scale iteration, mirroring "
+        "rdfs_entailment.",
+        formatted_plan(se),
+        ["BroadcastHashJoin", "HashAggregate", "Union"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
