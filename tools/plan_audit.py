@@ -1598,14 +1598,16 @@ def main() -> None:
 
     ke = e.q_transe_score(spark, SF_DIR)
     sections.append((
-        "transe_score (two embedding joins + codegen energy)",
-        "Head and tail entities each resolve with ONE equi-join against "
-        "the quantized embedding table; relation vectors are a broadcast "
-        "when-chain literal and the L1 energy is a higher-order "
-        "zip/aggregate inside codegen — no Python, no cross join; the "
-        "per-relation top-k is the only window.",
+        "transe_score (broadcast embedding joins + codegen energy)",
+        "The store is localCheckpointed ONCE across relation legs (its "
+        "derivation joins/distinct are paid before this plan starts — "
+        "the scan here is the materialized RDD); head and tail entities "
+        "each resolve with a BROADCAST equi-join against the quantized "
+        "embedding table per leg, the relation vector folds into dim "
+        "scalar codegen terms, and the per-relation top-k prunes "
+        "map-side via WindowGroupLimit before the single exchange.",
         formatted_plan(ke),
-        ["Window", "HashAggregate"],
+        ["BroadcastHashJoin", "WindowGroupLimit", "Window"],
         0,
     ))
 
