@@ -3817,6 +3817,51 @@ def q_subprop_entailment(spark, sf_dir):
     return subprop_entail(_schema_kg3(spark, sf_dir), subprops, inverses)
 
 
+def q_sameas_rewrite(spark, sf_dir):
+    """owl:sameAs fusion (triples.sameas_rewrite): the step AFTER
+    kg_align — transitive closure of sameAs pairs via connected
+    components, min-id canonical representatives, store rewritten
+    through the canon map with collapsing facts deduplicated. Fixture:
+    the 3-relation store with placed-subjects aliased to dup:<k>
+    (every 4th customer) and dup2:<k> (every 8th — a 2-link chain the
+    CC must close), sameAs pairs declared accordingly; the rewrite must
+    restore the fully-canonical store ('cust:' sorts below 'dup:', so
+    min-id lands on the real entity). CC runs on the sameAs edge
+    dimension (rounds=4 lazy mode); the store sees two canon joins +
+    one distinct. Oracle: recursive-CTE reachability CC + same joins."""
+    from saber_spark.operators.triples import sameas_rewrite
+    li = tpch.load(spark, sf_dir, "lineitem")
+    orders = tpch.load(spark, sf_dir, "orders")
+    ck = F.col("o_custkey")
+    alias_subj = (F.when(ck % 8 == 0,
+                         F.concat(F.lit("dup2:"), ck.cast("string")))
+                  .when(ck % 4 == 0,
+                        F.concat(F.lit("dup:"), ck.cast("string")))
+                  .otherwise(F.concat(F.lit("cust:"), ck.cast("string"))))
+    placed = orders.select(
+        alias_subj.alias("subj"), F.lit("placed").alias("pred"),
+        F.when(F.col("o_orderkey") % 13 == 0,
+               F.concat(F.lit("cust:"), ck.cast("string")))
+        .otherwise(F.concat(F.lit("order:"),
+                            F.col("o_orderkey").cast("string")))
+        .alias("obj"))
+    contains = li.select(
+        F.concat(F.lit("order:"), F.col("l_orderkey").cast("string"))
+        .alias("subj"),
+        F.lit("contains").alias("pred"),
+        F.concat(F.lit("part:"), F.col("l_partkey").cast("string"))
+        .alias("obj"))
+    store = placed.unionByName(contains).distinct()
+    custs = orders.select(ck.alias("k")).distinct()
+    pairs = (custs.filter(F.col("k") % 4 == 0).select(
+        F.concat(F.lit("dup:"), F.col("k").cast("string")).alias("a"),
+        F.concat(F.lit("cust:"), F.col("k").cast("string")).alias("b"))
+        .unionByName(custs.filter(F.col("k") % 8 == 0).select(
+            F.concat(F.lit("dup2:"), F.col("k").cast("string")).alias("a"),
+            F.concat(F.lit("dup:"), F.col("k").cast("string")).alias("b"))))
+    return sameas_rewrite(store, pairs, rounds=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4129,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_hindex": q_entity_hindex,
         "url_templates": q_url_templates,
         "subprop_entailment": q_subprop_entailment,
+        "sameas_rewrite": q_sameas_rewrite,
     }
 
 
@@ -9304,4 +9350,51 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT f.subj, c.anc AS pred, f.obj
               FROM flipped f JOIN clos c ON c.child = f.pred)""",
+        "sameas_rewrite": """
+            WITH RECURSIVE placed AS (
+              SELECT CASE WHEN o_custkey % 8 = 0
+                          THEN 'dup2:' || CAST(o_custkey AS VARCHAR)
+                          WHEN o_custkey % 4 = 0
+                          THEN 'dup:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'cust:' || CAST(o_custkey AS VARCHAR)
+                     END AS subj,
+                     'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR)
+                     END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS subj,
+                     'contains' AS pred,
+                     'part:' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem),
+            t AS (SELECT DISTINCT * FROM (
+                    SELECT * FROM placed
+                    UNION ALL SELECT * FROM contains_t)),
+            ks AS (SELECT DISTINCT o_custkey AS k FROM orders),
+            pairs AS (
+              SELECT 'dup:' || CAST(k AS VARCHAR) AS a,
+                     'cust:' || CAST(k AS VARCHAR) AS b
+              FROM ks WHERE k % 4 = 0
+              UNION ALL
+              SELECT 'dup2:' || CAST(k AS VARCHAR),
+                     'dup:' || CAST(k AS VARCHAR)
+              FROM ks WHERE k % 8 = 0),
+            sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            reach(node, root) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node),
+            canon AS (
+              SELECT node AS ent, min(root) AS canon
+              FROM reach GROUP BY node
+              HAVING node <> min(root))
+            SELECT DISTINCT
+                   coalesce(cs.canon, t.subj) AS subj,
+                   t.pred,
+                   coalesce(co.canon, t.obj) AS obj
+            FROM t
+            LEFT JOIN canon cs ON cs.ent = t.subj
+            LEFT JOIN canon co ON co.ent = t.obj""",
     }

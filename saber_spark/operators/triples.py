@@ -1370,3 +1370,48 @@ def temporal_conflicts(history: DataFrame,
             .select("subj", "pred", "obj_a", "obj_b",
                     F.greatest("from_a", "from_b").alias("overlap_from"),
                     F.least("to_a", "to_b").alias("overlap_to")))
+
+
+def sameas_rewrite(triples: DataFrame, sameas: DataFrame,
+                   subj_col: str = "subj", pred_col: str = "pred",
+                   obj_col: str = "obj", a_col: str = "a", b_col: str = "b",
+                   rounds: int | None = None) -> DataFrame:
+    """owl:sameAs fusion — rewrite a triple store onto canonical entity
+    representatives -> (subj, pred, obj) DISTINCT.
+
+    The step AFTER alignment: kg_align (or any linker) emits sameAs
+    pairs; this operator closes them transitively (connected components
+    over the undirected sameAs graph — chains and merges of merges
+    resolve in one pass), picks the MIN entity id per component as the
+    canonical representative (deterministic, the CC convention), and
+    rewrites every subject and object through that map, deduplicating
+    facts that collapse together. This is the owl:sameAs rewriting rule
+    of OWL-RL applied as one materialization rather than per-query.
+
+    Scale shape: the CC fixpoint runs on the sameAs EDGE dimension
+    (alignment output — entity-scale, not fact-scale); the store is
+    touched by two canon-map joins + one distinct. The canon map is
+    broadcastable while alignments fit an executor; beyond that the
+    joins hash-partition on subj/obj, which is the store's natural key
+    anyway. ``rounds`` forwards to connected_components (set it to a
+    known chain-length bound to run the closure as one lazy job).
+    """
+    from saber_spark.operators.graph import connected_components
+
+    canon = (connected_components(
+        sameas.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+        rounds=rounds)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("_ent"),
+                F.col("component").alias("_canon")))
+    t = triples.select(subj_col, pred_col, obj_col)
+    rewritten = (t
+                 .join(canon.withColumnRenamed("_ent", subj_col), subj_col,
+                       "left")
+                 .withColumn(subj_col, F.coalesce("_canon", subj_col))
+                 .drop("_canon")
+                 .join(canon.withColumnRenamed("_ent", obj_col), obj_col,
+                       "left")
+                 .withColumn(obj_col, F.coalesce("_canon", obj_col))
+                 .drop("_canon"))
+    return rewritten.select(subj_col, pred_col, obj_col).distinct()

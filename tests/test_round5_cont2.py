@@ -362,3 +362,44 @@ class TestSubpropEntail:
             "subj string, pred string, obj string")
         out = subprop_entail(t, sub, both).collect()
         assert len(out) == len({(r.subj, r.pred, r.obj) for r in out})
+
+
+class TestSameasRewrite:
+    def test_chain_closes_and_facts_collapse(self, spark):
+        from saber_spark.operators.triples import sameas_rewrite
+        t = spark.createDataFrame(
+            [("dup2:1", "placed", "order:9"),
+             ("dup:1", "placed", "order:9"),   # collapses with the above
+             ("cust:2", "placed", "order:8"),
+             ("order:9", "contains", "part:7")],
+            "subj string, pred string, obj string")
+        pairs = spark.createDataFrame(
+            [("dup:1", "cust:1"), ("dup2:1", "dup:1")],
+            "a string, b string")
+        got = {(r.subj, r.pred, r.obj)
+               for r in sameas_rewrite(t, pairs, rounds=4).collect()}
+        assert got == {("cust:1", "placed", "order:9"),
+                       ("cust:2", "placed", "order:8"),
+                       ("order:9", "contains", "part:7")}
+
+    def test_objects_rewrite_too(self, spark):
+        from saber_spark.operators.triples import sameas_rewrite
+        t = spark.createDataFrame(
+            [("a", "knows", "dup:x")], "subj string, pred string, obj string")
+        pairs = spark.createDataFrame(
+            [("dup:x", "canon:x")], "a string, b string")
+        out = sameas_rewrite(t, pairs, rounds=2).collect()
+        assert [(r.subj, r.pred, r.obj) for r in out] \
+            == [("a", "knows", "canon:x")]
+
+    def test_merge_of_merges(self, spark):
+        from saber_spark.operators.triples import sameas_rewrite
+        # two alignment rounds produced (x, y) and (y, z): all three ids
+        # must land on the same representative
+        t = spark.createDataFrame(
+            [("x", "p", "o1"), ("y", "p", "o1"), ("z", "p", "o1")],
+            "subj string, pred string, obj string")
+        pairs = spark.createDataFrame(
+            [("x", "y"), ("y", "z")], "a string, b string")
+        out = sameas_rewrite(t, pairs, rounds=4).collect()
+        assert [(r.subj, r.pred, r.obj) for r in out] == [("x", "p", "o1")]

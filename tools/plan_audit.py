@@ -1930,6 +1930,17 @@ def main() -> None:
         0,
     ))
 
+    sr = e.q_sameas_rewrite(spark, SF_DIR)
+    sections.append((
+        "sameas_rewrite (edge-dimension CC, two canon joins)",
+        "The sameAs closure runs on the alignment-output edge dimension "
+        "(lazy bounded rounds here); the store is touched by two canon "
+        "left joins + one distinct — no fact-scale iteration.",
+        formatted_plan(sr),
+        ["HashAggregate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
