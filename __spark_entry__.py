@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from saber_spark.kernels.text import INFIX_PATTERN
@@ -3862,6 +3862,57 @@ def q_sameas_rewrite(spark, sf_dir):
     return sameas_rewrite(store, pairs, rounds=4)
 
 
+def q_noisyor_confidence(spark, sf_dir):
+    """Noisy-OR evidence fusion (triples.noisyor_confidence, the
+    Knowledge-Vault/NELL combination rule): per (user did event_type)
+    triple, fuse one deterministic per-day extractor confidence
+    (((user*37+day) %% 90)/100 + 0.05) into conf = 1 - prod(1-c_i),
+    computed in log space as ONE map-side-combinable agg — the
+    belief-RAISING complement to resolve_conflicts' belief-PICKING
+    votes. No joins, no window, no Python."""
+    from saber_spark.operators.funnel import _epoch_micros
+    from saber_spark.operators.triples import noisyor_confidence
+    day = F.floor(_epoch_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    ev = (_events(spark, sf_dir)
+          .select(F.concat(F.lit("user:"), F.col("user_id").cast("string"))
+                  .alias("subj"),
+                  F.lit("did").alias("pred"),
+                  F.col("event_type").alias("obj"),
+                  F.col("user_id"), day.alias("day"))
+          .distinct()
+          .withColumn("conf",
+                      ((F.col("user_id") * 37 + F.col("day")) % 90)
+                      / F.lit(100.0) + F.lit(0.05)))
+    return noisyor_confidence(ev)
+
+
+def q_transitive_property(spark, sf_dir):
+    """owl:TransitiveProperty materialization at INSTANCE scale
+    (ontology.transitive_closure applied to corpus-side facts, not
+    schema): per-customer order chains (order_k -> next order by key,
+    a lead() window) closed to every (earlier, later) precedes+ pair —
+    the rule rdfs_entailment/subprop_entailment leave to fact-scale
+    path doubling, each round ONE self-join + distinct, log(depth)
+    rounds. Oracle: recursive CTE over the identical lead()-derived
+    edges."""
+    from saber_spark.operators.ontology import transitive_closure
+    orders = tpch.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (orders
+             .select("o_custkey", "o_orderkey",
+                     F.lead("o_orderkey").over(w).alias("_next"))
+             .filter(F.col("_next").isNotNull())
+             .select(F.concat(F.lit("order:"),
+                              F.col("o_orderkey").cast("string"))
+                     .alias("child"),
+                     F.concat(F.lit("order:"),
+                              F.col("_next").cast("string"))
+                     .alias("parent")))
+    return (transitive_closure(edges, "child", "parent", max_depth=64)
+            .select(F.col("child").alias("earlier"),
+                    F.col("ancestor").alias("later")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4175,6 +4226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "subprop_entailment": q_subprop_entailment,
         "sameas_rewrite": q_sameas_rewrite,
+        "noisyor_confidence": q_noisyor_confidence,
+        "transitive_property": q_transitive_property,
     }
 
 
@@ -9397,4 +9450,35 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             LEFT JOIN canon cs ON cs.ent = t.subj
             LEFT JOIN canon co ON co.ent = t.obj""",
+        "noisyor_confidence": """
+            WITH ev AS (
+              SELECT DISTINCT
+                     'user:' || CAST(user_id AS VARCHAR) AS subj,
+                     'did' AS pred, event_type AS obj, user_id,
+                     CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                       AS day
+              FROM events),
+            conf AS (
+              SELECT subj, pred, obj,
+                     ((user_id * 37 + day) % 90) / 100.0 + 0.05 AS c
+              FROM ev)
+            SELECT subj, pred, obj,
+                   CAST(count(*) AS BIGINT) AS n_sources,
+                   round(1.0 - exp(sum(ln(1.0
+                     - least(greatest(c, 0.0), 1.0 - 1e-9)))), 6) AS conf
+            FROM conf GROUP BY subj, pred, obj""",
+        "transitive_property": """
+            WITH RECURSIVE e AS (
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS child,
+                     'order:' || CAST(lead(o_orderkey) OVER (
+                         PARTITION BY o_custkey ORDER BY o_orderkey)
+                       AS VARCHAR) AS parent
+              FROM orders
+              QUALIFY parent IS NOT NULL),
+            clos(child, anc) AS (
+              SELECT child, parent FROM e
+              UNION
+              SELECT c.child, e.parent
+              FROM clos c JOIN e ON e.child = c.anc)
+            SELECT child AS earlier, anc AS later FROM clos""",
     }

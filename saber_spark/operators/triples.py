@@ -1415,3 +1415,34 @@ def sameas_rewrite(triples: DataFrame, sameas: DataFrame,
                  .withColumn(obj_col, F.coalesce("_canon", obj_col))
                  .drop("_canon"))
     return rewritten.select(subj_col, pred_col, obj_col).distinct()
+
+
+def noisyor_confidence(evidence: DataFrame,
+                       subj_col: str = "subj", pred_col: str = "pred",
+                       obj_col: str = "obj", conf_col: str = "conf",
+                       eps: float = 1e-9) -> DataFrame:
+    """Noisy-OR confidence fusion per triple
+    -> (subj, pred, obj, n_sources, conf).
+
+    The Knowledge-Vault / NELL combination rule for independent
+    extractor evidence: conf = 1 - prod(1 - c_i) over the sources that
+    asserted the triple — each additional weak assertion RAISES belief,
+    unlike the majority/weighted votes of resolve_conflicts /
+    resolve_weighted which pick among CONFLICTING objects. Computed in
+    log space (sum of ln(1-c), one map-side-combinable agg) so a
+    thousand sources neither underflow nor need a product aggregate;
+    per-source confidences clamp to [0, 1-eps] so a single c = 1.0
+    asserts certainty without ln(0).
+
+    Scale shape: ONE hash agg keyed on the triple (partial sums
+    map-side); no joins, no window, no Python.
+    """
+    c = F.least(F.greatest(F.col(conf_col).cast("double"), F.lit(0.0)),
+                F.lit(1.0 - eps))
+    return (evidence
+            .select(subj_col, pred_col, obj_col,
+                    F.log(F.lit(1.0) - c).alias("_l"))
+            .groupBy(subj_col, pred_col, obj_col)
+            .agg(F.count(F.lit(1)).alias("n_sources"),
+                 F.round(F.lit(1.0) - F.exp(F.sum("_l")), 6)
+                 .alias("conf")))

@@ -403,3 +403,35 @@ class TestSameasRewrite:
             [("x", "y"), ("y", "z")], "a string, b string")
         out = sameas_rewrite(t, pairs, rounds=4).collect()
         assert [(r.subj, r.pred, r.obj) for r in out] == [("x", "p", "o1")]
+
+
+class TestNoisyOr:
+    def test_hand_computed_fusion(self, spark):
+        from saber_spark.operators.triples import noisyor_confidence
+        ev = spark.createDataFrame(
+            [("s", "p", "o", 0.5), ("s", "p", "o", 0.5),
+             ("s", "p", "x", 0.9)],
+            "subj string, pred string, obj string, conf double")
+        out = {(r.subj, r.pred, r.obj): (r.n_sources, r.conf)
+               for r in noisyor_confidence(ev).collect()}
+        # 1 - 0.5*0.5 = 0.75 ; single source passes through
+        assert out[("s", "p", "o")] == (2, 0.75)
+        assert out[("s", "p", "x")] == (1, 0.9)
+
+    def test_certainty_and_clamping(self, spark):
+        from saber_spark.operators.triples import noisyor_confidence
+        ev = spark.createDataFrame(
+            [("s", "p", "o", 1.0), ("s", "p", "o", 0.1),
+             ("t", "p", "o", -0.3)],
+            "subj string, pred string, obj string, conf double")
+        out = {r.subj: r.conf for r in noisyor_confidence(ev).collect()}
+        assert out["s"] == 1.0        # c=1.0 clamps to 1-eps -> rounds to 1
+        assert out["t"] == 0.0        # negative conf clamps to 0
+
+    def test_belief_monotone_in_sources(self, spark):
+        from saber_spark.operators.triples import noisyor_confidence
+        rows = [("s", "p", "o", 0.3)] * 5
+        ev = spark.createDataFrame(
+            rows, "subj string, pred string, obj string, conf double")
+        c5 = noisyor_confidence(ev).first().conf
+        assert abs(c5 - (1 - 0.7 ** 5)) < 1e-6

@@ -1941,6 +1941,31 @@ def main() -> None:
         0,
     ))
 
+    no = e.q_noisyor_confidence(spark, SF_DIR)
+    sections.append((
+        "noisyor_confidence (one triple-keyed agg, log-space product)",
+        "The fusion is ONE hash agg keyed on the triple with map-side "
+        "partial sums of ln(1-c) — no joins, no window, no Python; the "
+        "product never materializes.",
+        formatted_plan(no),
+        ["HashAggregate", "partial_sum"],
+        0,
+    ))
+
+    tp = e.q_transitive_property(spark, SF_DIR)
+    sections.append((
+        "transitive_property (fact-scale path doubling)",
+        "Instance-level closure: log(depth) rounds of ONE self-join + "
+        "distinct over the chain edges, each round lineage-cut with "
+        "localCheckpoint (transitive_closure's convention) — so the "
+        "final plan is a narrow projection over the LAST materialized "
+        "round; the per-round join/distinct plans were audited when "
+        "the operator landed (ontology.transitive_closure).",
+        formatted_plan(tp),
+        ["Scan ExistingRDD", "Project"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
