@@ -3913,6 +3913,28 @@ def q_transitive_property(spark, sf_dir):
                     F.col("ancestor").alias("later")))
 
 
+def q_allen_relations(spark, sf_dir):
+    """Allen interval-algebra classification (triples.allen_relations,
+    Allen CACM 1983, discrete adaptation): every same-(subj, pred)
+    interval pair over the q_triple_history SCD-2 chain named with
+    exactly one of the 13 relations — the temporal-reasoning layer
+    above temporal_conflicts' boolean overlap. Same co-partitioned
+    (subj, pred) self-join; the classification is a narrow codegen
+    CASE. Oracle: the gaps-and-islands history + the identical
+    mutually-exclusive CASE chain."""
+    from saber_spark.operators.funnel import WEEK_US, _epoch_micros
+    from saber_spark.operators.triples import (allen_relations,
+                                               triple_history)
+    obs = _events(spark, sf_dir).select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string"))
+        .alias("subj"),
+        F.lit("did").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.floor(_epoch_micros("ts") / F.lit(WEEK_US)).cast("long")
+        .alias("snap"))
+    return allen_relations(triple_history(obs))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4228,6 +4250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sameas_rewrite": q_sameas_rewrite,
         "noisyor_confidence": q_noisyor_confidence,
         "transitive_property": q_transitive_property,
+        "allen_relations": q_allen_relations,
     }
 
 
@@ -9481,4 +9504,47 @@ def oracle_sql() -> dict[str, str]:
               SELECT c.child, e.parent
               FROM clos c JOIN e ON e.child = c.anc)
             SELECT child AS earlier, anc AS later FROM clos""",
+        "allen_relations": """
+            WITH obs AS (
+              SELECT DISTINCT
+                     'user:' || CAST(user_id AS VARCHAR) AS subj,
+                     'did' AS pred, event_type AS obj,
+                     CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT)
+                       AS snap
+              FROM events),
+            isl AS (SELECT *, snap - row_number() OVER (
+                      PARTITION BY subj, pred, obj ORDER BY snap) AS island
+                    FROM obs),
+            hist AS (
+              SELECT subj, pred, obj,
+                     min(snap) AS valid_from, max(snap) AS valid_to
+              FROM isl GROUP BY subj, pred, obj, island)
+            SELECT a.subj, a.pred, a.obj AS obj_a, b.obj AS obj_b,
+                   a.valid_from AS from_a, a.valid_to AS to_a,
+                   b.valid_from AS from_b, b.valid_to AS to_b,
+                   CASE
+                     WHEN a.valid_from = b.valid_from
+                          AND a.valid_to = b.valid_to THEN 'equals'
+                     WHEN a.valid_to < b.valid_from - 1 THEN 'precedes'
+                     WHEN a.valid_to = b.valid_from - 1 THEN 'meets'
+                     WHEN a.valid_from > b.valid_to + 1
+                       THEN 'preceded_by'
+                     WHEN a.valid_from = b.valid_to + 1 THEN 'met_by'
+                     WHEN a.valid_from = b.valid_from
+                          AND a.valid_to < b.valid_to THEN 'starts'
+                     WHEN a.valid_from = b.valid_from THEN 'started_by'
+                     WHEN a.valid_to = b.valid_to
+                          AND a.valid_from > b.valid_from
+                       THEN 'finishes'
+                     WHEN a.valid_to = b.valid_to THEN 'finished_by'
+                     WHEN a.valid_from > b.valid_from
+                          AND a.valid_to < b.valid_to THEN 'during'
+                     WHEN a.valid_from < b.valid_from
+                          AND a.valid_to > b.valid_to THEN 'contains'
+                     WHEN a.valid_from < b.valid_from THEN 'overlaps'
+                     ELSE 'overlapped_by'
+                   END AS relation
+            FROM hist a
+            JOIN hist b ON a.subj = b.subj AND a.pred = b.pred
+                       AND a.obj < b.obj""",
     }

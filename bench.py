@@ -234,7 +234,7 @@ def main() -> None:
         "rdfa_triples", "openie_triples", "good_turing", "zipf_fit",
         "temporal_conflicts", "phonetic_blocking", "entity_hindex",
         "url_templates", "subprop_entailment", "sameas_rewrite",
-        "noisyor_confidence", "transitive_property",
+        "noisyor_confidence", "transitive_property", "allen_relations",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -1446,3 +1446,63 @@ def noisyor_confidence(evidence: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_sources"),
                  F.round(F.lit(1.0) - F.exp(F.sum("_l")), 6)
                  .alias("conf")))
+
+
+#: the 13 Allen (1983) interval relations, DISCRETE adaptation: snapshots
+#: are integers, so "meets" is adjacency (to_a + 1 = from_b) and "precedes"
+#: requires a gap — the continuous endpoint-equality forms don't exist on
+#: integer validity intervals
+def _allen_case():
+    fa, ta = F.col("from_a"), F.col("to_a")
+    fb, tb = F.col("from_b"), F.col("to_b")
+    return (F.when((fa == fb) & (ta == tb), "equals")
+            .when(ta < fb - 1, "precedes")
+            .when(ta == fb - 1, "meets")
+            .when(fa > tb + 1, "preceded_by")
+            .when(fa == tb + 1, "met_by")
+            .when((fa == fb) & (ta < tb), "starts")
+            .when(fa == fb, "started_by")
+            .when((ta == tb) & (fa > fb), "finishes")
+            .when(ta == tb, "finished_by")
+            .when((fa > fb) & (ta < tb), "during")
+            .when((fa < fb) & (ta > tb), "contains")
+            .when(fa < fb, "overlaps")
+            .otherwise("overlapped_by"))
+
+
+def allen_relations(history: DataFrame,
+                    subj_col: str = "subj", pred_col: str = "pred",
+                    obj_col: str = "obj") -> DataFrame:
+    """Allen interval-algebra classification over an SCD-2 triple history
+    -> (subj, pred, obj_a, obj_b, from_a, to_a, from_b, to_b, relation).
+
+    For every same-(subj, pred) pair of validity intervals with
+    different objects (canonical obj_a < obj_b), name the temporal
+    relation of A relative to B from Allen's 13 (Allen, CACM 1983) in
+    the discrete adaptation (integer snapshots: meets = adjacency,
+    precedes = gap). This is the full temporal-reasoning layer above
+    temporal_conflicts' boolean overlap test — 'did X meet, precede, or
+    contain doing Y' is the query class temporal KGs answer with exactly
+    this classification; the CASE chain is total and mutually exclusive,
+    so every pair gets exactly one relation.
+
+    Scale shape: identical to temporal_conflicts — the self-join
+    co-partitions on (subj, pred) in ONE exchange, per-key volume
+    bounded by the snapshot horizon, and the classification is a narrow
+    codegen CASE over the joined row.
+    """
+    h = history.select(F.col(subj_col).alias("subj"),
+                       F.col(pred_col).alias("pred"),
+                       F.col(obj_col).alias("obj"),
+                       "valid_from", "valid_to")
+    a = h.select("subj", "pred", F.col("obj").alias("obj_a"),
+                 F.col("valid_from").alias("from_a"),
+                 F.col("valid_to").alias("to_a"))
+    b = h.select("subj", "pred", F.col("obj").alias("obj_b"),
+                 F.col("valid_from").alias("from_b"),
+                 F.col("valid_to").alias("to_b"))
+    return (a.join(b, ["subj", "pred"])
+            .filter(F.col("obj_a") < F.col("obj_b"))
+            .select("subj", "pred", "obj_a", "obj_b",
+                    "from_a", "to_a", "from_b", "to_b",
+                    _allen_case().alias("relation")))

@@ -435,3 +435,38 @@ class TestNoisyOr:
             rows, "subj string, pred string, obj string, conf double")
         c5 = noisyor_confidence(ev).first().conf
         assert abs(c5 - (1 - 0.7 ** 5)) < 1e-6
+
+
+class TestAllenRelations:
+    def _hist(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string, "
+                  "valid_from long, valid_to long")
+
+    def test_all_thirteen_relations(self, spark):
+        from saber_spark.operators.triples import allen_relations
+        # obj_a = 'a' always sorts before obj_b = 'b'; B fixed [10, 20]
+        cases = {
+            (10, 20): "equals",
+            (0, 8): "precedes",      (0, 9): "meets",
+            (23, 30): "preceded_by", (21, 30): "met_by",
+            (10, 15): "starts",      (10, 25): "started_by",
+            (15, 20): "finishes",    (5, 20): "finished_by",
+            (12, 18): "during",      (5, 25): "contains",
+            (5, 15): "overlaps",     (15, 25): "overlapped_by",
+        }
+        rows = []
+        for i, (fa, ta) in enumerate(cases):
+            rows += [(f"s{i}", "p", "a", fa, ta),
+                     (f"s{i}", "p", "b", 10, 20)]
+        out = {(r.from_a, r.to_a): r.relation
+               for r in allen_relations(self._hist(spark, rows)).collect()}
+        assert out == cases
+
+    def test_exactly_one_relation_per_pair(self, spark):
+        from saber_spark.operators.triples import allen_relations
+        rows = [("s", "p", "a", 0, 5), ("s", "p", "b", 3, 9),
+                ("s", "p", "c", 6, 7)]
+        out = allen_relations(self._hist(spark, rows)).collect()
+        assert len(out) == 3  # C(3,2) pairs, one row each
+        assert all(r.relation for r in out)

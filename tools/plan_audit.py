@@ -1966,6 +1966,17 @@ def main() -> None:
         0,
     ))
 
+    ar = e.q_allen_relations(spark, SF_DIR)
+    sections.append((
+        "allen_relations (co-partitioned pair join, codegen CASE)",
+        "Same shape as temporal_conflicts: one (subj, pred) exchange "
+        "feeds the interval self-join; the 13-way classification is a "
+        "narrow mutually-exclusive CASE inside codegen.",
+        formatted_plan(ar),
+        ["HashAggregate", "CASE WHEN"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
