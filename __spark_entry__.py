@@ -3935,6 +3935,81 @@ def q_allen_relations(spark, sf_dir):
     return allen_relations(triple_history(obs))
 
 
+def q_distmult_score(spark, sf_dir):
+    """DistMult bilinear triple plausibility (kge.distmult_score, Yang
+    et al. ICLR 2015): exact-integer trilinear score sum h_i*r_i*t_i
+    over the 3-relation store — the multiplicative sibling of
+    transe_score (same entity-resolution joins, same relation-vector
+    literal folding into codegen, opposite ranking direction: HIGHEST
+    score wins). Top-5 most plausible per relation."""
+    from saber_spark.operators.kge import distmult_score
+    return distmult_score(
+        _schema_kg3(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        {"placed": 100, "contains": 101, "supplies": 102}, top_k=5)
+
+
+def q_property_paths(spark, sf_dir):
+    """SPARQL 1.1 property-path evaluation (triples.property_path, spec
+    §9): the navigational path ((placed/contains)|supplies)/^supplies —
+    every entity (customer via its orders' parts, or supplier directly)
+    connected to a supplier through a shared part — exercising sequence
+    (midpoint equi-joins), alternation (union) and inverse (endpoint
+    swap) in one expression, then rolled up to (src, dst, n_paths) path
+    counts (bag semantics per the spec's BGP translation). Each atomic
+    leg is a predicate-constant pushed-down scan of the store."""
+    from saber_spark.operators.triples import property_path
+    path = ("seq",
+            ("alt", ("seq", "placed", "contains"), "supplies"),
+            ("inv", "supplies"))
+    return (property_path(_schema_kg3(spark, sf_dir), path)
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_paths")))
+
+
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined-chunking dedup (dedup.cdc_chunk_dedup, the
+    LBFS/FastCDC boundary idea at token granularity): chunk boundaries
+    fire where md5-hash(token) % 8 == 0, so shared runs re-align after
+    any single-token edit — the shift-robust complement of the
+    fixed-width shingle dedups. Cross-document duplicated chunks with
+    doc/occurrence counts; one per-doc running-sum window + two hash
+    aggs, no Python."""
+    from saber_spark.operators.dedup import cdc_chunk_dedup
+    return cdc_chunk_dedup(_docs(spark, sf_dir), divisor=8, min_docs=2)
+
+
+def q_label_noise(spark, sf_dir):
+    """Confident-learning label-noise audit (classify.label_noise,
+    Northcutt JAIR 2021): the confident-joint matrix over the labeled
+    embedding table with leave-fold-out centroid scores computed by
+    subtraction (K-fold out-of-sample for two aggregations) and
+    exact-integer threshold tests (si * n_c >= ssum_c) so no float-sum
+    ordering can flip a cell on any engine. Off-diagonal mass =
+    estimated mislabeled examples per (given, guessed) class pair."""
+    from saber_spark.operators.classify import label_noise
+    return (label_noise(_embeddings(spark, sf_dir), folds=5)
+            .select(F.col("true_label").cast("long").alias("true_label"),
+                    F.col("guessed_label").cast("long")
+                    .alias("guessed_label"),
+                    "n_vecs"))
+
+
+def q_dp_release(spark, sf_dir):
+    """Differentially-private grouped-count release
+    (profile.dp_release_counts, Korolova WWW'09 thresholding shape):
+    per-(source, lang) doc counts + seeded inverse-CDF Laplace(1/0.5)
+    noise, suppressing groups whose noisy count misses the threshold —
+    the release rule for publishing corpus statistics over
+    user-contributed keys. Noise derives from the md5-portable hash so
+    the release replays bit-identically (production swaps one
+    expression for a secure RNG draw)."""
+    from saber_spark.operators.profile import dp_release_counts
+    docs = _docs(spark, sf_dir).withColumn(
+        "grp", F.concat_ws("|", "source", "lang"))
+    return dp_release_counts(docs, "grp", epsilon=0.5, threshold=5.0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4251,6 +4326,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "noisyor_confidence": q_noisyor_confidence,
         "transitive_property": q_transitive_property,
         "allen_relations": q_allen_relations,
+        # r5 final-session additions (local-gate evidence in both
+        # comparators; tail like the other post-freeze entries):
+        # DistMult scoring, SPARQL property paths, CDC chunk dedup,
+        # confident-learning label noise, DP count release
+        "distmult_score": q_distmult_score,
+        "property_paths": q_property_paths,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "label_noise": q_label_noise,
+        "dp_release": q_dp_release,
     }
 
 
@@ -9236,7 +9320,7 @@ def oracle_sql() -> dict[str, str]:
                         FROM base
               UNION ALL SELECT url, 'schema:publisher', 'p<q & "r"'
                         FROM base)""",
-        "openie_triples": f"""
+        "openie_triples": rf"""
             WITH wheeled AS (
               SELECT doc_id, text,
                 list_element(['Alice','Bob','Carol','Dave','Erin','Frank'],
@@ -9547,4 +9631,158 @@ def oracle_sql() -> dict[str, str]:
             FROM hist a
             JOIN hist b ON a.subj = b.subj AND a.pred = b.pred
                        AND a.obj < b.obj""",
+        "distmult_score": """
+            WITH placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj, 'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0 THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR) END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR), 'contains', 'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+            supplies_t AS (
+              SELECT 'supp:' || CAST(l_suppkey AS VARCHAR), 'supplies', 'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+            t AS (SELECT DISTINCT * FROM (SELECT * FROM placed UNION ALL SELECT * FROM contains_t UNION ALL SELECT * FROM supplies_t)),
+            q AS MATERIALIZED (
+              SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv FROM embeddings),
+            vals AS MATERIALIZED (
+              SELECT vec_id, CAST(generate_subscripts(qv, 1) AS INT) AS i, unnest(qv) AS v FROM q),
+            nv AS (SELECT count(*) AS n FROM embeddings),
+            tt AS MATERIALIZED (
+              SELECT subj, pred, obj,
+                     (CAST(regexp_extract(subj, '([0-9]+)', 1) AS BIGINT)
+                      + CASE WHEN subj LIKE 'cust:%' THEN 0 WHEN subj LIKE 'order:%' THEN 7
+                             WHEN subj LIKE 'part:%' THEN 13 WHEN subj LIKE 'supp:%' THEN 29 ELSE 0 END)
+                       % (SELECT n FROM nv) AS hid,
+                     (CAST(regexp_extract(obj, '([0-9]+)', 1) AS BIGINT)
+                      + CASE WHEN obj LIKE 'cust:%' THEN 0 WHEN obj LIKE 'order:%' THEN 7
+                             WHEN obj LIKE 'part:%' THEN 13 WHEN obj LIKE 'supp:%' THEN 29 ELSE 0 END)
+                       % (SELECT n FROM nv) AS tid,
+                     CASE pred WHEN 'placed' THEN 100 WHEN 'contains' THEN 101 WHEN 'supplies' THEN 102 END AS rid
+              FROM t),
+            hr AS MATERIALIZED (
+              SELECT h.vec_id AS hid, r.vec_id AS rid, h.i, h.v * r.v AS hv
+              FROM vals h JOIN vals r ON r.i = h.i AND r.vec_id IN (100, 101, 102)),
+            ids AS MATERIALIZED (SELECT DISTINCT hid, rid, tid FROM tt),
+            en AS MATERIALIZED (
+              SELECT e.hid, e.rid, e.tid, sum(hr.hv * ta.v) AS score
+              FROM ids e
+              JOIN hr ON hr.hid = e.hid AND hr.rid = e.rid
+              JOIN vals ta ON ta.vec_id = e.tid AND ta.i = hr.i
+              GROUP BY 1, 2, 3)
+            SELECT subj, pred, obj, CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+            FROM (SELECT tt.subj, tt.pred, tt.obj, en.score,
+                         ROW_NUMBER() OVER (PARTITION BY tt.pred ORDER BY en.score DESC, tt.subj, tt.obj) AS rank
+                  FROM tt JOIN en ON en.hid = tt.hid AND en.rid = tt.rid AND en.tid = tt.tid)
+            WHERE rank <= 5""",
+        "property_paths": """
+            WITH placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj, 'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0 THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR) END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR), 'contains', 'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+            supplies_t AS (
+              SELECT 'supp:' || CAST(l_suppkey AS VARCHAR), 'supplies', 'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+            t AS (SELECT DISTINCT * FROM (SELECT * FROM placed UNION ALL SELECT * FROM contains_t UNION ALL SELECT * FROM supplies_t)),
+            -- (placed/contains) | supplies  : bag semantics, src -> part
+            leg1 AS (
+              SELECT a.subj AS src, b.obj AS mid
+              FROM t a JOIN t b ON a.pred = 'placed' AND b.pred = 'contains'
+                              AND a.obj = b.subj
+              UNION ALL
+              SELECT subj, obj FROM t WHERE pred = 'supplies'),
+            -- ... / ^supplies : part -> supplier via inverse
+            paths AS (
+              SELECT l.src, s.subj AS dst
+              FROM leg1 l JOIN t s ON s.pred = 'supplies' AND s.obj = l.mid)
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS n_paths
+            FROM paths GROUP BY src, dst""",
+        "cdc_chunk_dedup": f"""
+            WITH {TOKENS_CTE},
+            fl AS (
+              SELECT doc_id, pos, token,
+                     CASE WHEN CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 8 = 0
+                          THEN 1 ELSE 0 END AS b
+              FROM tokens),
+            cid AS (
+              SELECT doc_id, pos, token,
+                     COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+              FROM fl),
+            ch AS (
+              SELECT doc_id, chunk_id,
+                     md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_md5,
+                     CAST(count(*) AS BIGINT) AS tok_len
+              FROM cid GROUP BY doc_id, chunk_id)
+            SELECT chunk_md5, min(tok_len) AS tok_len,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occ
+            FROM ch GROUP BY chunk_md5
+            HAVING count(DISTINCT doc_id) >= 2""",
+        "label_noise": f"""
+            WITH q AS (
+              SELECT vec_id, label,
+                     ((vec_id * {KNUTH}) % {HASH_MOD}) % 5 AS fold,
+                     list_transform(embedding,
+                       x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            vals AS MATERIALIZED (
+              SELECT vec_id, label, fold,
+                     CAST(generate_subscripts(qv, 1) AS INT) AS dim,
+                     unnest(qv) AS v
+              FROM q),
+            total AS (SELECT label AS c_label, dim, sum(v) AS csum
+                      FROM vals GROUP BY 1, 2),
+            perfold AS (SELECT fold, label AS c_label, dim, sum(v) AS fsum
+                        FROM vals GROUP BY 1, 2, 3),
+            folds AS (SELECT DISTINCT fold FROM q),
+            loo AS MATERIALIZED (
+              SELECT f.fold, t.c_label, t.dim,
+                     t.csum - COALESCE(p.fsum, 0) AS lsum
+              FROM total t CROSS JOIN folds f
+              LEFT JOIN perfold p ON p.fold = f.fold
+                   AND p.c_label = t.c_label AND p.dim = t.dim),
+            cnorm AS (SELECT fold, c_label, sum(lsum * lsum) AS cnorm2
+                      FROM loo GROUP BY 1, 2),
+            dots AS (
+              SELECT t.vec_id, t.label, t.fold, l.c_label,
+                     sum(t.v * l.lsum) AS dot
+              FROM vals t JOIN loo l ON l.fold = t.fold AND l.dim = t.dim
+              GROUP BY 1, 2, 3, 4),
+            scored AS (
+              SELECT d.vec_id, d.label, d.c_label,
+                     CAST(round(1000000.0 * d.dot
+                                / sqrt(n.cnorm2::DOUBLE)) AS BIGINT) AS si
+              FROM dots d JOIN cnorm n ON n.fold = d.fold
+                   AND n.c_label = d.c_label),
+            thr AS (SELECT c_label, sum(si) AS ssum, count(*) AS n_c
+                    FROM scored WHERE label = c_label GROUP BY 1),
+            qual AS (SELECT s.* FROM scored s JOIN thr t USING (c_label)
+                     WHERE s.si * t.n_c >= t.ssum),
+            pick AS (SELECT vec_id, label, c_label,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY si DESC, c_label ASC) AS rn
+                     FROM qual)
+            SELECT CAST(label AS BIGINT) AS true_label,
+                   CAST(c_label AS BIGINT) AS guessed_label,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM pick WHERE rn = 1 GROUP BY 1, 2""",
+        "dp_release": """
+            WITH g AS (
+              SELECT source || '|' || lang AS grp, count(*) AS n
+              FROM documents GROUP BY 1),
+            u AS (
+              SELECT grp, n,
+                     ((CAST('0x' || substr(md5('dp0:' || grp), 1, 8)
+                            AS BIGINT) % 1048576)::DOUBLE + 0.5)
+                       / 1048576.0 AS uu
+              FROM g),
+            noised AS (
+              SELECT grp,
+                     round(n + (-(1.0 / 0.5) * sign(uu - 0.5)
+                                * ln(1.0 - 2.0 * abs(uu - 0.5))), 6)
+                       AS noisy_n
+              FROM u)
+            SELECT grp, noisy_n FROM noised WHERE noisy_n >= 5.0""",
     }

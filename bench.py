@@ -235,6 +235,10 @@ def main() -> None:
         "temporal_conflicts", "phonetic_blocking", "entity_hindex",
         "url_templates", "subprop_entailment", "sameas_rewrite",
         "noisyor_confidence", "transitive_property", "allen_relations",
+        # round 5 final session (DistMult, property paths, CDC dedup,
+        # label noise, DP release)
+        "distmult_score", "property_paths", "cdc_chunk_dedup",
+        "label_noise", "dp_release",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

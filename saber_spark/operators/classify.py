@@ -389,3 +389,75 @@ def logreg_fit_predict(feats: DataFrame, feature_cols: list[str],
         *out_cols,
         F.round(p, 6).alias("p_hat"),
         (p >= 0.5).alias("pred"))
+
+
+def label_noise(embeddings: DataFrame, folds: int = 5,
+                label_col: str = "label", id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Confident-learning label-noise estimation (Northcutt et al., JAIR
+    2021 / cleanlab): the confident-joint matrix -> (true_label,
+    guessed_label, n_vecs); off-diagonal mass is the estimated count of
+    MISLABELED examples per (given, actual) class pair — the
+    label-quality audit a production corpus runs before trusting its
+    quality-classifier training labels.
+
+    Out-of-sample scores come from leave-fold-out centroids computed BY
+    SUBTRACTION: one global (label, dim) sum plus one (fold, label, dim)
+    sum give every fold's held-out centroid as csum - fsum — K-fold
+    cross-validation for the price of two aggregations, no K model fits.
+
+    Confident-joint rule, exact-integer edition: per-example class score
+    si = round(1e6 * dot(x, loo_centroid_c) / |loo_centroid_c|) as a
+    LONG; class threshold = mean si over examples GIVEN label c (kept as
+    the exact pair (ssum_c, n_c) — the qualifying test si * n_c >=
+    ssum_c is pure integer arithmetic, so no float-sum ordering can flip
+    a membership decision on any engine). Each example lands in cell
+    (given_label, argmax over qualifying classes); examples qualifying
+    nowhere are dropped per the published estimator.
+
+    Scale shape: two (label, dim)-keyed aggs for the centroids (the
+    second also keyed by fold — folds is a small constant), broadcast of
+    the (folds x labels x dims) centroid table, one (vec, class) dot
+    agg, a (labels)-row broadcast threshold join, one argmax window per
+    vec, one final matrix agg. The embedding table shuffles once on
+    vec_id; everything joined INTO it is bounded by labels x dims.
+    """
+    with_fold = fold_assign(embeddings, id_col, folds, "_fold")
+    dims = _quantized_dims(with_fold, id_col, vec_col, label_col, "_fold")
+
+    total = (dims.groupBy(F.col(label_col).alias("_c_label"), "dim")
+             .agg(F.sum("qv").alias("csum")))
+    per_fold = (dims.groupBy("_fold",
+                             F.col(label_col).alias("_c_label"), "dim")
+                .agg(F.sum("qv").alias("fsum")))
+    all_folds = with_fold.select("_fold").distinct()
+    loo = (total.crossJoin(F.broadcast(all_folds))
+           .join(per_fold, ["_fold", "_c_label", "dim"], "left")
+           .select("_fold", "_c_label", "dim",
+                   (F.col("csum") - F.coalesce("fsum", F.lit(0)))
+                   .alias("lsum")))
+    cnorm = (loo.groupBy("_fold", "_c_label")
+             .agg(F.sum(F.col("lsum") * F.col("lsum")).alias("cnorm2")))
+
+    dots = (dims.join(F.broadcast(loo), ["_fold", "dim"])
+            .groupBy(id_col, label_col, "_fold", "_c_label")
+            .agg(F.sum(F.col("qv") * F.col("lsum")).alias("dot")))
+    scored = (dots.join(F.broadcast(cnorm), ["_fold", "_c_label"])
+              .select(id_col, label_col, "_c_label",
+                      F.round(F.lit(1000000.0) * F.col("dot")
+                              / F.sqrt(F.col("cnorm2").cast("double")))
+                      .cast("long").alias("si")))
+
+    thr = (scored.filter(F.col(label_col) == F.col("_c_label"))
+           .groupBy("_c_label")
+           .agg(F.sum("si").alias("ssum"),
+                F.count(F.lit(1)).alias("n_c")))
+    qual = (scored.join(F.broadcast(thr), "_c_label")
+            .filter(F.col("si") * F.col("n_c") >= F.col("ssum")))
+    w = Window.partitionBy(id_col).orderBy(F.col("si").desc(),
+                                           F.col("_c_label").asc())
+    return (qual.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .groupBy(F.col(label_col).alias("true_label"),
+                     F.col("_c_label").alias("guessed_label"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs")))

@@ -700,3 +700,62 @@ def ppjoin_similarity(docs: DataFrame, threshold: float = 0.6,
                             / (F.col("size_a") + F.col("size_b")
                                - F.col("inter")).cast("double"), 6)
                     .alias("jaccard")))
+
+
+def cdc_chunk_dedup(docs: DataFrame, divisor: int = 8, min_docs: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id"
+                    ) -> DataFrame:
+    """Content-defined-chunking dedup at token granularity -> the
+    cross-document duplicated-CHUNK table (chunk_md5, tok_len, n_docs,
+    n_occ), n_docs >= min_docs.
+
+    Fixed-width shingles (scrub_dup_spans, crossdoc_ngram_dup) miss a
+    duplicate once a single token is inserted before it — every
+    downstream window shifts. Content-defined chunking (the LBFS/FastCDC
+    idea, Muthitacharoen SOSP'01) cuts the token stream where a rolling
+    CONTENT condition fires — here: md5-hash(token) % divisor == 0 closes
+    the chunk after that token — so chunk boundaries re-synchronize right
+    after any edit and shared runs between documents still align
+    chunk-for-chunk. Expected chunk length = ``divisor`` tokens;
+    production adds min/max length clamps via the same running-flag
+    window (documented, not needed for the testdata's token entropy).
+
+    Portability: the boundary hash is the md5-8-hex-chars integer
+    (dsir_weights convention), the chunk key is md5 of the
+    space-joined token run — bit-identical in any engine.
+
+    Scale shape: entirely per-document until the final agg — tokenize
+    (narrow), ONE running-sum window partitioned by doc (ROWS frame,
+    single pass over each doc's tokens), one (doc, chunk) agg with
+    in-agg ordered collection (array_sort of (pos, token) structs — the
+    inverted_index convention, never a second window), then ONE global
+    agg keyed on the 128-bit chunk hash with map-side partial
+    aggregation collapsing each partition's repeats before the exchange.
+    Boilerplate chunks (every page's nav bar) are exactly the hub keys
+    partial agg absorbs; AQE handles residue. No Python, no self-join.
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize_docs(docs, text_col=text_col, id_col=id_col)
+    bflag = F.when(
+        (F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+         .cast("long") % divisor) == 0, F.lit(1)).otherwise(F.lit(0))
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    chunks = (toks
+              .withColumn("_b", bflag)
+              .withColumn("chunk_id",
+                          F.coalesce(F.sum("_b").over(w), F.lit(0)))
+              .groupBy(id_col, "chunk_id")
+              .agg(F.md5(F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("pos", "token"))),
+                           lambda s: s.token), " ")).alias("chunk_md5"),
+                   F.count(F.lit(1)).cast("long").alias("tok_len")))
+    return (chunks.groupBy("chunk_md5")
+            .agg(F.min("tok_len").alias("tok_len"),
+                 F.count_distinct(F.col(id_col)).cast("long")
+                 .alias("n_docs"),
+                 F.count(F.lit(1)).cast("long").alias("n_occ"))
+            .filter(F.col("n_docs") >= min_docs))

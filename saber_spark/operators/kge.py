@@ -111,6 +111,77 @@ def transe_score(triples: DataFrame, embeddings: DataFrame,
             .select(subj_col, pred_col, obj_col, "energy", "rank"))
 
 
+def distmult_score(triples: DataFrame, embeddings: DataFrame,
+                   pred_vec_ids: dict[str, int], top_k: int = 20,
+                   subj_col: str = "subj", pred_col: str = "pred",
+                   obj_col: str = "obj", id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """DistMult bilinear triple plausibility (Yang et al., ICLR 2015):
+    score(h, r, t) = sum_i h_i * r_i * t_i — the multiplicative
+    counterpart of transe_score's additive energy, and the score family
+    (DistMult/ComplEx) that dominates published KG-completion baselines
+    for symmetric relations. Keeps each relation's top_k HIGHEST-scoring
+    triples (higher = more plausible, the opposite sign convention of
+    TransE energy).
+
+    Exact-integer contract: components quantize via round(x * 1000)
+    (similarity-module convention) and the trilinear sum is an exact
+    integer — any engine agrees bit-for-bit. Per-dimension magnitudes
+    are ~(10^3)^3 = 10^9 and dims are bounded (embedding width), so the
+    sum stays far below 2^63.
+
+    Scale shape: identical to transe_score — entities resolve with ONE
+    equi-join per side against the quantized embedding table, relation
+    vectors fold in as per-dimension integer literals that whole-stage
+    codegen JITs (h_i * c_i * t_i), the triple store is materialized
+    once across relation legs, and the per-relation top-k is a
+    WindowGroupLimit-pruned window. No Python, no cross join.
+
+    -> (subj, pred, obj, score, rank), rank 1 = most plausible; ties
+    broken (subj ASC, obj ASC).
+    """
+    n_vecs = embeddings.count()
+    quant = _quantized(embeddings, id_col, vec_col)
+
+    rel_rows = {int(r[id_col]): list(r["q"]) for r in quant.filter(
+        F.col(id_col).isin(*[int(v) for v in pred_vec_ids.values()]))
+        .collect()}
+    missing = [p for p, v in pred_vec_ids.items() if int(v) not in rel_rows]
+    if missing:
+        raise ValueError(
+            f"distmult_score: no embedding row for relation vec ids of "
+            f"{missing} (need {id_col} in {sorted(pred_vec_ids.values())})")
+    head = quant.select(F.col(id_col).alias("_hid"), F.col("q").alias("qh"))
+    tail = quant.select(F.col(id_col).alias("_tid"), F.col("q").alias("qt"))
+    triples = triples.select(subj_col, pred_col, obj_col)
+    if len(pred_vec_ids) > 1:
+        # materialize the store once across relation legs (transe_score
+        # precedent: at 100 TB the store is a durable Iceberg table and
+        # this is a no-op by construction)
+        triples = triples.localCheckpoint(eager=True)
+    legs = []
+    for p, v in pred_vec_ids.items():
+        rv = rel_rows[int(v)]
+        leg = (triples
+               .filter(F.col(pred_col) == F.lit(p))
+               .withColumn("_hid", _entity_row_id(F.col(subj_col), n_vecs))
+               .withColumn("_tid", _entity_row_id(F.col(obj_col), n_vecs))
+               .join(head, "_hid").join(tail, "_tid"))
+        score = None
+        for i, c in enumerate(rv):
+            term = F.col("qh")[i] * F.lit(int(c)) * F.col("qt")[i]
+            score = term if score is None else score + term
+        legs.append(leg.withColumn("score", score))
+    scored = legs[0]
+    for leg in legs[1:]:
+        scored = scored.unionByName(leg)
+    w = Window.partitionBy(pred_col).orderBy(
+        F.col("score").desc(), F.col(subj_col).asc(), F.col(obj_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select(subj_col, pred_col, obj_col, "score", "rank"))
+
+
 def analogy_eval(embeddings: DataFrame, quads: list[tuple[int, int, int]],
                  id_col: str = "vec_id", vec_col: str = "embedding"
                  ) -> DataFrame:

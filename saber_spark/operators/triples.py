@@ -1053,6 +1053,86 @@ def construct(triples: DataFrame, patterns, templates, optionals=(),
             .distinct())
 
 
+def property_path(triples: DataFrame, path, subj_col: str = "subj",
+                  pred_col: str = "pred", obj_col: str = "obj",
+                  max_iter: int = 30) -> DataFrame:
+    """SPARQL 1.1 property-path evaluation (§9) over the triple store
+    -> (src, dst) endpoint pairs. Completes the read-side SPARQL family
+    next to bgp_match (BGP + OPTIONAL + NOT EXISTS) and construct:
+    paths are the navigational queries — supply chains, citation
+    chains, type lattices — that pure BGPs cannot express concisely.
+
+    ``path`` grammar (nested tuples):
+      "p"                 atomic predicate (a pushed-down filtered scan)
+      ("inv", path)       inverse path  ^p   (swap endpoints — free)
+      ("seq", p1, p2, …)  sequence      p1/p2 (equi-join chain on the
+                          shared midpoint; bag semantics per the spec's
+                          translation to triple patterns, §9.3)
+      ("alt", p1, p2, …)  alternation   p1|p2 (union, bag semantics)
+      ("plus", path)      one-or-more   p+    (SET semantics per spec —
+                          arbitrary-length paths return DISTINCT nodes):
+                          semi-naive fixpoint — each round joins only
+                          the NEW frontier against the base step and
+                          anti-joins the closure, localCheckpoint per
+                          round to keep the plan linear in rounds;
+                          raises past ``max_iter`` rounds instead of
+                          silently truncating the closure (the
+                          connected-components convention).
+
+    Scale shape: every atomic leg is a predicate-constant scan filter
+    (PushedFilters at the store scan — one predicate's partition, not
+    the store); seq shuffles on the midpoint key only; alt is a
+    zero-shuffle union; plus shuffles per round on the frontier (which
+    shrinks monotonically). No Python, no cartesian products.
+    """
+    def ev(spec) -> DataFrame:
+        if isinstance(spec, str):
+            return (triples.filter(F.col(pred_col) == F.lit(spec))
+                    .select(F.col(subj_col).alias("src"),
+                            F.col(obj_col).alias("dst")))
+        op, *args = spec
+        if op == "inv":
+            return ev(args[0]).select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst"))
+        if op == "seq":
+            out = ev(args[0])
+            for nxt in args[1:]:
+                right = ev(nxt).select(F.col("src").alias("_mid"),
+                                       F.col("dst").alias("dst"))
+                out = (out.select("src", F.col("dst").alias("_mid"))
+                       .join(right, "_mid").select("src", "dst"))
+            return out
+        if op == "alt":
+            out = ev(args[0])
+            for nxt in args[1:]:
+                out = out.unionByName(ev(nxt))
+            return out
+        if op == "plus":
+            base = ev(args[0]).distinct().localCheckpoint(eager=True)
+            closure = base
+            frontier = base
+            for _ in range(max_iter):
+                step = (frontier.select("src", F.col("dst").alias("_mid"))
+                        .join(base.select(F.col("src").alias("_mid"),
+                                          F.col("dst").alias("dst")),
+                              "_mid")
+                        .select("src", "dst").distinct()
+                        .join(closure, ["src", "dst"], "left_anti")
+                        .localCheckpoint(eager=True))
+                if step.isEmpty():
+                    return closure
+                closure = closure.unionByName(step) \
+                    .localCheckpoint(eager=True)
+                frontier = step
+            raise RuntimeError(
+                f"property_path: '+' closure did not converge within "
+                f"{max_iter} rounds — raise max_iter (diameter bound) "
+                f"rather than returning a truncated closure")
+        raise ValueError(f"unknown path operator {op!r} in {spec!r}")
+
+    return ev(path)
+
+
 def entity_card(triples: DataFrame, subj_col: str = "subj",
                 pred_col: str = "pred", obj_col: str = "obj") -> DataFrame:
     """Concise-bounded-description profile per entity -> (entity,
