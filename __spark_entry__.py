@@ -4010,6 +4010,81 @@ def q_dp_release(spark, sf_dir):
     return dp_release_counts(docs, "grp", epsilon=0.5, threshold=5.0)
 
 
+def q_complex_score(spark, sf_dir):
+    """ComplEx triple plausibility (kge.complex_score, Trouillon et al.
+    ICML 2016): exact-integer Re(<h, r, conj(t)>) over the 3-relation
+    store with embeddings read as complex vectors (first half Re,
+    second half Im) — the ANTISYMMETRY-capable member of the
+    transe/distmult scoring family (it can rank a directed fact above
+    its reversal, which the DistMult diagonal cannot). Same two
+    entity-resolution equi-joins, relation halves folded into codegen
+    literals, top-5 HIGHEST per relation."""
+    from saber_spark.operators.kge import complex_score
+    return complex_score(
+        _schema_kg3(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        {"placed": 100, "contains": 101, "supplies": 102}, top_k=5)
+
+
+def q_harmonic_hosts(spark, sf_dir):
+    """Landmark-sampled harmonic centrality of the host link graph
+    (graph.harmonic_centrality, Boldi-Vigna 2014 axioms; Eppstein-Wang
+    landmark estimation): est_harmonic(v) = avg over 3 hub landmarks of
+    1/d(l, v) — the unreachable-robust centrality for crawl host graphs
+    that are nowhere near strongly connected (1/inf = 0 instead of
+    closeness' poisoned mean). ONE multi-source BFS carrying
+    (landmark, node) state, frontier-proportional shuffles. Oracle:
+    recursive CTE shortest-hop distances over the same edge fixture."""
+    from saber_spark.operators.graph import harmonic_centrality
+    landmarks = spark.createDataFrame(
+        [("src0.example.org",), ("src1.example.org",),
+         ("src2.example.org",)], "node string")
+    return harmonic_centrality(_host_edges(spark, sf_dir), landmarks,
+                               max_depth=4)
+
+
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyphrase extraction (textstats.rake_keywords, Rose et al.
+    2010): stopword/punctuation-delimited candidate phrases scored by
+    sum of member-word deg/freq — the graph-free one-pass keyphrase
+    signal next to textrank_keywords' iterative PageRank (RAKE triages
+    at full corpus scale; textrank refines where it matters). Candidate
+    construction is a narrow map; all shuffles key on doc_id. Top-3
+    phrases per document."""
+    from saber_spark.operators.textstats import rake_keywords
+    return rake_keywords(_docs(spark, sf_dir), max_words=4, top_k=3)
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity release audit
+    (profile.k_anonymity_audit, Sweeney 2002; Machanavajjhala 2006):
+    equivalence classes over the (nation, acctbal-bucket) quasi-
+    identifier with mktsegment as the sensitive attribute — the
+    privacy gate a pipeline runs before publishing per-group corpus
+    statistics, auditing what dp_release_counts would instead noise.
+    One class-building agg + one summary agg; returns the ONE verdict
+    row."""
+    from saber_spark.operators.profile import k_anonymity_audit
+    cust = tpch.load(spark, sf_dir, "customer").withColumn(
+        "acct_bucket", F.floor(F.col("c_acctbal") / 1000).cast("long"))
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "acct_bucket"], "c_mktsegment", k=5, ell=2)
+
+
+def q_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram smoothing (lm.kneser_ney_bigrams,
+    Kneser-Ney 1995 / Chen-Goodman 1998) — the KenLM model class behind
+    CCNet's perplexity filter, completing the smoothing ladder above
+    lm_perplexity's add-k and lm_backoff's stupid backoff: continuation
+    counts N1+(*, w2) weight words by context diversity, not frequency.
+    ONE corpus-scale pair agg; every other statistic reduces from it.
+    Top-20 bigrams by count with their full count/continuation
+    breakdown."""
+    from saber_spark.operators.lm import kneser_ney_bigrams
+    return kneser_ney_bigrams(_docs(spark, sf_dir), INFIX_PATTERN,
+                              discount=0.75, top_k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4335,6 +4410,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "label_noise": q_label_noise,
         "dp_release": q_dp_release,
+        # r5 final-session batch 2 (local-gate evidence in both
+        # comparators; tail like the other post-freeze entries):
+        # ComplEx scoring, landmark harmonic centrality, RAKE
+        # keyphrases, k-anonymity audit, Kneser-Ney smoothing
+        "complex_score": q_complex_score,
+        "harmonic_hosts": q_harmonic_hosts,
+        "rake_keywords": q_rake_keywords,
+        "k_anonymity": q_k_anonymity,
+        "kneser_ney": q_kneser_ney,
     }
 
 
@@ -9785,4 +9869,168 @@ def oracle_sql() -> dict[str, str]:
                        AS noisy_n
               FROM u)
             SELECT grp, noisy_n FROM noised WHERE noisy_n >= 5.0""",
+        "complex_score": """
+            WITH placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj, 'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0 THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR) END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR), 'contains', 'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+            supplies_t AS (
+              SELECT 'supp:' || CAST(l_suppkey AS VARCHAR), 'supplies', 'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+            t AS (SELECT DISTINCT * FROM (SELECT * FROM placed UNION ALL SELECT * FROM contains_t UNION ALL SELECT * FROM supplies_t)),
+            q AS MATERIALIZED (
+              SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv FROM embeddings),
+            dm AS (SELECT CAST(len(qv) / 2 AS INT) AS h FROM q LIMIT 1),
+            vals AS MATERIALIZED (
+              SELECT vec_id, CAST(generate_subscripts(qv, 1) AS INT) AS i, unnest(qv) AS v FROM q),
+            -- complex packing: dim i pairs Re = component i, Im = component i + half
+            cx AS MATERIALIZED (
+              SELECT a.vec_id, a.i, a.v AS re, b.v AS im
+              FROM vals a JOIN vals b ON b.vec_id = a.vec_id
+                                     AND b.i = a.i + (SELECT h FROM dm)
+              WHERE a.i <= (SELECT h FROM dm)),
+            nv AS (SELECT count(*) AS n FROM embeddings),
+            tt AS MATERIALIZED (
+              SELECT subj, pred, obj,
+                     (CAST(regexp_extract(subj, '([0-9]+)', 1) AS BIGINT)
+                      + CASE WHEN subj LIKE 'cust:%' THEN 0 WHEN subj LIKE 'order:%' THEN 7
+                             WHEN subj LIKE 'part:%' THEN 13 WHEN subj LIKE 'supp:%' THEN 29 ELSE 0 END)
+                       % (SELECT n FROM nv) AS hid,
+                     (CAST(regexp_extract(obj, '([0-9]+)', 1) AS BIGINT)
+                      + CASE WHEN obj LIKE 'cust:%' THEN 0 WHEN obj LIKE 'order:%' THEN 7
+                             WHEN obj LIKE 'part:%' THEN 13 WHEN obj LIKE 'supp:%' THEN 29 ELSE 0 END)
+                       % (SELECT n FROM nv) AS tid,
+                     CASE pred WHEN 'placed' THEN 100 WHEN 'contains' THEN 101 WHEN 'supplies' THEN 102 END AS rid
+              FROM t),
+            hr AS MATERIALIZED (
+              SELECT h.vec_id AS hid, r.vec_id AS rid, h.i,
+                     h.re, h.im, r.re AS rr, r.im AS ri
+              FROM cx h JOIN cx r ON r.i = h.i AND r.vec_id IN (100, 101, 102)),
+            ids AS MATERIALIZED (SELECT DISTINCT hid, rid, tid FROM tt),
+            en AS MATERIALIZED (
+              SELECT e.hid, e.rid, e.tid,
+                     sum(hr.re * hr.rr * ta.re + hr.im * hr.rr * ta.im
+                         + hr.re * hr.ri * ta.im - hr.im * hr.ri * ta.re) AS score
+              FROM ids e
+              JOIN hr ON hr.hid = e.hid AND hr.rid = e.rid
+              JOIN cx ta ON ta.vec_id = e.tid AND ta.i = hr.i
+              GROUP BY 1, 2, 3)
+            SELECT subj, pred, obj, CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+            FROM (SELECT tt.subj, tt.pred, tt.obj, en.score,
+                         ROW_NUMBER() OVER (PARTITION BY tt.pred ORDER BY en.score DESC, tt.subj, tt.obj) AS rank
+                  FROM tt JOIN en ON en.hid = tt.hid AND en.rid = tt.rid AND en.tid = tt.tid)
+            WHERE rank <= 5""",
+        "harmonic_hosts": f"""
+            WITH RECURSIVE {HOST_EDGES_CTE},
+            lm(lmark) AS (VALUES ('src0.example.org'), ('src1.example.org'),
+                                 ('src2.example.org')),
+            walk(lmark, node, dist) AS (
+              SELECT lmark, lmark, 0 FROM lm
+              UNION
+              SELECT w.lmark, e.dst, w.dist + 1
+              FROM walk w JOIN hedges e ON e.src = w.node
+              WHERE w.dist < 4),
+            mind AS (
+              SELECT lmark, node, min(dist) AS dist
+              FROM walk GROUP BY 1, 2)
+            SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+                   round(sum(1.0 / dist) / 3, 6) AS est_harmonic
+            FROM mind WHERE dist > 0 GROUP BY node""",
+        "rake_keywords": f"""
+            WITH ph AS (
+              SELECT doc_id, trim(p) AS phrase
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(
+                             array_to_string(list_transform(
+                               regexp_extract_all(lower(text),
+                                                  '{INFIX_PATTERN}', 0),
+                               t -> CASE WHEN regexp_matches(t, '^[0-9a-zA-Z]+$')
+                                          AND t NOT IN ({STOPWORDS_IN_SQL})
+                                         THEN t ELSE '|' END), ' '),
+                             '\\|')) AS p
+                    FROM documents)),
+            occ AS (
+              SELECT doc_id, phrase,
+                     len(string_split(phrase, ' ')) AS n_words
+              FROM ph
+              WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= 4),
+            wrd AS (
+              SELECT doc_id, n_words,
+                     unnest(string_split(phrase, ' ')) AS word
+              FROM occ),
+            stats AS (
+              SELECT doc_id, word, count(*) AS freq, sum(n_words) AS deg
+              FROM wrd GROUP BY 1, 2),
+            uniq AS (
+              SELECT doc_id, phrase, max(n_words) AS n_words
+              FROM occ GROUP BY 1, 2),
+            uw AS (
+              SELECT doc_id, phrase, n_words,
+                     unnest(string_split(phrase, ' ')) AS word
+              FROM uniq),
+            scored AS (
+              SELECT uw.doc_id, uw.phrase,
+                     max(uw.n_words) AS n_words,
+                     round(sum(CAST(s.deg AS DOUBLE) / s.freq), 6) AS score
+              FROM uw JOIN stats s ON s.doc_id = uw.doc_id AND s.word = uw.word
+              GROUP BY 1, 2)
+            SELECT doc_id, phrase, CAST(n_words AS BIGINT) AS n_words,
+                   score, CAST(rank AS BIGINT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, phrase) AS rank
+                  FROM scored)
+            WHERE rank <= 3""",
+        "k_anonymity": """
+            WITH cls AS (
+              SELECT coalesce(CAST(c_nationkey AS VARCHAR), '<NULL>') AS q0,
+                     coalesce(CAST(CAST(floor(c_acctbal / 1000) AS BIGINT)
+                                   AS VARCHAR), '<NULL>') AS q1,
+                     count(*) AS class_size,
+                     count(DISTINCT c_mktsegment) AS l_div
+              FROM customer GROUP BY 1, 2)
+            SELECT CAST(sum(class_size) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(5 AS BIGINT) AS k_threshold,
+                   CAST(min(class_size) AS BIGINT) AS min_class_size,
+                   CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_classes_below_k,
+                   CAST(sum(CASE WHEN class_size < 5 THEN class_size
+                                 ELSE 0 END) AS BIGINT) AS n_rows_below_k,
+                   CAST(2 AS BIGINT) AS l_threshold,
+                   CAST(min(l_div) AS BIGINT) AS min_l_diversity,
+                   CAST(sum(CASE WHEN l_div < 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_classes_below_l,
+                   min(class_size) >= 5 AS k_anonymous,
+                   min(l_div) >= 2 AS l_diverse
+            FROM cls""",
+        "kneser_ney": f"""
+            WITH {TOKENS_CTE},
+            bg AS (
+              SELECT a.token AS w1, b.token AS w2
+              FROM tokens a JOIN tokens b
+                ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+            l AS (SELECT w1, sum(c12) AS c1, count(*) AS n1plus_fwd
+                  FROM c12 GROUP BY 1),
+            r AS (SELECT w2, count(*) AS n1plus_bwd FROM c12 GROUP BY 1),
+            ty AS (SELECT count(*) AS n_types FROM c12),
+            s AS (
+              SELECT c12.w1, c12.w2, c12.c12, l.c1, l.n1plus_fwd,
+                     r.n1plus_bwd,
+                     CAST(r.n1plus_bwd AS DOUBLE) / ty.n_types AS p_cont,
+                     greatest(c12.c12 - 0.75, 0.0) / l.c1
+                       + 0.75 * l.n1plus_fwd / l.c1
+                         * (CAST(r.n1plus_bwd AS DOUBLE) / ty.n_types)
+                       AS p_kn
+              FROM c12 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN ty)
+            SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+                   CAST(c1 AS BIGINT) AS c1,
+                   CAST(n1plus_fwd AS BIGINT) AS n1plus_fwd,
+                   CAST(n1plus_bwd AS BIGINT) AS n1plus_bwd,
+                   round(p_cont, 6) AS p_cont, round(p_kn, 6) AS p_kn
+            FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY c12 DESC, w1, w2)
+                            AS rk FROM s)
+            WHERE rk <= 20""",
     }

@@ -239,6 +239,10 @@ def main() -> None:
         # label noise, DP release)
         "distmult_score", "property_paths", "cdc_chunk_dedup",
         "label_noise", "dp_release",
+        # round 5 final session batch 2 (ComplEx, landmark harmonic
+        # centrality, RAKE, k-anonymity audit, Kneser-Ney)
+        "complex_score", "harmonic_hosts", "rake_keywords",
+        "k_anonymity", "kneser_ney",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -215,3 +215,67 @@ def good_turing(tokens: DataFrame, token_col: str = "token") -> DataFrame:
             .select("r", "n_r",
                     F.round((F.col("r") + 1) * F.col("_n_r1")
                             / F.col("n_r"), 6).alias("r_star")))
+
+
+def kneser_ney_bigrams(docs: DataFrame, pattern: str,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       discount: float = 0.75,
+                       top_k: int = 20) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney ICASSP
+    1995; Chen & Goodman 1998 formulation) — the smoothing family KenLM
+    ships, i.e. the exact model class behind CCNet's perplexity filter
+    (lm_cross_entropy's add-k and trigram_backoff_xent's stupid backoff
+    are its cheaper siblings; this is the production-grade one):
+
+        P_kn(w2|w1) = max(c(w1 w2) - d, 0) / c(w1)
+                      + d * N1+(w1, *) / c(w1) * P_cont(w2)
+        P_cont(w2)  = N1+(*, w2) / |distinct bigram types|
+
+    The continuation probability is KN's signature: a word scores by how
+    many CONTEXTS it follows, not how often it occurs — "francisco" is
+    frequent but only ever follows "san", so its unigram backoff weight
+    collapses, which is precisely the behavior that separates KN from
+    Good-Turing/add-k on web text.
+
+    Scale shape: bigram extraction is doc_bigrams' narrow zip (no
+    shuffle); the model is ONE (w1, w2) hash agg (map-side partials
+    absorb the Zipf head) from which every other statistic derives by
+    REDUCED-side aggs: c(w1) and N1+(w1, *) in one groupBy over the pair
+    table, N1+(*, w2) in another, the type total as a broadcast 1-row
+    agg. Scoring joins are all on the already-reduced model tables. No
+    Python, nothing row-at-a-time.
+
+    -> top_k bigrams by raw count (ties: w1 ASC, w2 ASC):
+    (w1, w2, c12, c1, n1plus_fwd, n1plus_bwd, p_cont 6dp, p_kn 6dp).
+    """
+    bg = doc_bigrams(docs, pattern, text_col, id_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).alias("n1plus_fwd"))
+    right = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n1plus_bwd"))
+    types = c12.agg(F.count(F.lit(1)).alias("n_types"))
+    d = float(discount)
+    scored = (c12.join(left, "w1").join(right, "w2")
+              .crossJoin(F.broadcast(types))
+              .withColumn("p_cont",
+                          F.col("n1plus_bwd").cast("double")
+                          / F.col("n_types"))
+              .withColumn(
+                  "p_kn",
+                  F.greatest(F.col("c12") - F.lit(d), F.lit(0.0))
+                  / F.col("c1")
+                  + F.lit(d) * F.col("n1plus_fwd") / F.col("c1")
+                  * F.col("p_cont")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("c12").desc(), F.col("w1").asc(),
+                       F.col("w2").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= top_k)
+            .select("w1", "w2", F.col("c12").cast("long").alias("c12"),
+                    F.col("c1").cast("long").alias("c1"),
+                    F.col("n1plus_fwd").cast("long").alias("n1plus_fwd"),
+                    F.col("n1plus_bwd").cast("long").alias("n1plus_bwd"),
+                    F.round("p_cont", 6).alias("p_cont"),
+                    F.round("p_kn", 6).alias("p_kn")))

@@ -306,3 +306,51 @@ def dp_release_counts(df: DataFrame, group_col: str, epsilon: float = 1.0,
                         F.round(F.col("_n") + noise, 6))
             .filter(F.col("noisy_n") >= threshold)
             .select(group_col, "noisy_n"))
+
+
+def k_anonymity_audit(df: DataFrame, quasi_cols: Sequence[str],
+                      sensitive_col: str, k: int = 5,
+                      ell: int = 2) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney IJUFKS 2002; Machanavajjhala
+    et al. ICDE 2006) over a quasi-identifier combination: every row whose
+    quasi-identifier equivalence class holds fewer than k rows is
+    re-identifiable by linkage, and a class whose sensitive attribute
+    shows fewer than l distinct values leaks it outright — the release
+    gate a training-data pipeline runs BEFORE publishing per-group
+    statistics or retained user-derived records (the audit counterpart
+    of dp_release_counts' noise-adding release path and pii_scrub's
+    field-level redaction).
+
+    One hash agg over the quasi-identifier key builds the equivalence
+    classes (count + distinct-sensitive per class — both algebraic /
+    partial-aggregatable, so Zipf-headed classes combine map-side), then
+    ONE row-count-bounded summary agg. Skewed quasi-identifier
+    combinations are the NORMAL case (that's what the audit detects),
+    and the class agg tolerates them: a hot class is still a single
+    reduced row per partition before the exchange.
+
+    -> ONE summary row: (n_rows, n_classes, k_threshold, min_class_size,
+    n_classes_below_k, n_rows_below_k, l_threshold, min_l_diversity,
+    n_classes_below_l, k_anonymous, l_diverse).
+    """
+    key = [F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+           .alias(f"_qi_{i}") for i, c in enumerate(quasi_cols)]
+    classes = (df.select(*key, F.col(sensitive_col).alias("_sens"))
+               .groupBy(*[f"_qi_{i}" for i in range(len(quasi_cols))])
+               .agg(F.count(F.lit(1)).alias("class_size"),
+                    F.countDistinct("_sens").alias("l_div")))
+    return classes.agg(
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.lit(int(k)).cast("long").alias("k_threshold"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.sum((F.col("class_size") < k).cast("long")).cast("long")
+        .alias("n_classes_below_k"),
+        F.sum(F.when(F.col("class_size") < k, F.col("class_size"))
+              .otherwise(F.lit(0))).cast("long").alias("n_rows_below_k"),
+        F.lit(int(ell)).cast("long").alias("l_threshold"),
+        F.min("l_div").cast("long").alias("min_l_diversity"),
+        F.sum((F.col("l_div") < ell).cast("long")).cast("long")
+        .alias("n_classes_below_l"),
+        (F.min("class_size") >= k).alias("k_anonymous"),
+        (F.min("l_div") >= ell).alias("l_diverse"))

@@ -501,3 +501,80 @@ def texttiling(docs: DataFrame, window: int = 10, cutoff: float = 0.1,
         (depth.isNotNull() & (depth > cutoff)
          & (F.col("cos") < lagc) & (F.col("cos") < leadc))
         .alias("boundary")))
+
+
+def rake_keywords(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_words: int = 4,
+                  top_k: int = 3) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al., "Automatic Keyword
+    Extraction from Individual Documents", 2010): candidate phrases are
+    the maximal runs of content words between stopword/punctuation
+    delimiters; each word scores deg(w)/freq(w) where freq counts the
+    word's phrase occurrences and deg sums the lengths of the phrases
+    containing it (co-occurrence degree, self included); a phrase
+    scores the sum of its word scores. The graph-free, one-pass cousin
+    of graph.textrank — RAKE needs no iteration and no co-occurrence
+    join, which is why it is the cheap first-pass keyphrase signal in
+    web-scale enrichment (textrank then refines where it matters).
+
+    Candidate construction is a NARROW map (tokenize -> delimiter-mark
+    -> rejoin -> split on the markers), so the only shuffles are the
+    per-(doc, word) stats agg, the co-partitioned join back to the
+    exploded phrase words, the per-(doc, phrase) score agg, and the
+    per-doc top-k window — all keyed on doc_id, so AQE coalesces them
+    onto one partitioning. Phrase length caps at max_words (Rose's
+    own fixed-window practice), bounding deg and the explode fan-out.
+
+    -> (doc_id, phrase, n_words, score 6dp, rank <= top_k); rank ties
+    break phrase ASC.
+    """
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit(INFIX_PATTERN), F.lit(0))
+    marked = F.transform(
+        toks,
+        lambda t: F.when(t.rlike("^[0-9a-zA-Z]+$")
+                         & ~F.array_contains(stop_arr, t), t)
+        .otherwise(F.lit("|")))
+    phrases = F.filter(
+        F.transform(F.split(F.array_join(marked, " "), r"\|"),
+                    lambda p: F.trim(p)),
+        lambda p: (p != F.lit(""))
+        & (F.size(F.split(p, " ")) <= F.lit(max_words)))
+    occ = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(phrases).alias("phrase"))
+           .withColumn("words", F.split("phrase", " "))
+           .withColumn("n_words", F.size("words")))
+    # word stats see EVERY phrase occurrence (RAKE's freq/deg are
+    # occurrence counts) ...
+    words = occ.select("doc_id", "n_words",
+                       F.explode("words").alias("word"))
+    stats = (words.groupBy("doc_id", "word")
+             .agg(F.count(F.lit(1)).alias("freq"),
+                  F.sum("n_words").alias("deg")))
+    # ... while the output carries one row per DISTINCT phrase; word
+    # multiplicity inside a phrase ("big big win") is preserved by
+    # re-exploding the distinct phrase's own word array
+    uniq = (occ.groupBy("doc_id", "phrase")
+            .agg(F.max("n_words").alias("n_words")))
+    uniq_words = uniq.select(
+        "doc_id", "phrase", "n_words",
+        F.explode(F.split("phrase", " ")).alias("word"))
+    scored = (uniq_words.join(stats, ["doc_id", "word"])
+              .groupBy("doc_id", "phrase")
+              .agg(F.max("n_words").alias("n_words"),
+                   F.sum(F.col("deg").cast("double")
+                         / F.col("freq")).alias("score")))
+    from pyspark.sql import Window
+    # rank on the ROUNDED score: the raw double is a sum whose term order
+    # differs across engines, and an ulp at the boundary would flip ranks
+    # that the phrase tie-break should decide (cross-engine contract)
+    scored = scored.withColumn("score", F.round("score", 6))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("phrase").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("doc_id", "phrase",
+                    F.col("n_words").cast("long").alias("n_words"),
+                    "score",
+                    F.col("rank").cast("long").alias("rank")))

@@ -1,0 +1,269 @@
+"""Round-5 final-session batch 2: ComplEx scoring, landmark harmonic
+centrality, RAKE keyphrases, k-anonymity audit, Kneser-Ney smoothing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+class TestComplexScore:
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>")
+
+    def test_four_term_expansion(self, spark):
+        from saber_spark.operators.kge import complex_score
+        # dim 2 -> half 1: h = (hr, hi), r = (rr, ri), t = (tr, ti)
+        # cust:0 -> row 0, part:1 -> row 14 (13 offset + 1); relation row 3
+        emb = self._emb(spark, {0: [0.001, 0.002], 14: [0.003, 0.001],
+                                3: [0.002, 0.005], 1: [0.0, 0.0],
+                                2: [0.0, 0.0], 4: [0.0, 0.0],
+                                5: [0.0, 0.0], 6: [0.0, 0.0],
+                                7: [0.0, 0.0], 8: [0.0, 0.0],
+                                9: [0.0, 0.0], 10: [0.0, 0.0],
+                                11: [0.0, 0.0], 12: [0.0, 0.0],
+                                13: [0.0, 0.0], 15: [0.0, 0.0]})
+        t = _triples(spark, [("cust:0", "made", "part:1")])
+        out = complex_score(t, emb, {"made": 3}).collect()
+        assert len(out) == 1
+        # q(h)=(1,2), q(r)=(2,5), q(t)=(3,1):
+        # hr*rr*tr + hi*rr*ti + hr*ri*ti - hi*ri*tr
+        # = 1*2*3 + 2*2*1 + 1*5*1 - 2*5*3 = 6 + 4 + 5 - 30 = -15
+        assert out[0].score == -15 and out[0].rank == 1
+
+    def test_antisymmetric_under_reversal(self, spark):
+        """The property DistMult cannot express: score(h, r, t) !=
+        score(t, r, h) when the imaginary relation part is nonzero."""
+        from saber_spark.operators.kge import complex_score
+        emb = self._emb(spark, {0: [0.001, 0.002], 1: [0.003, 0.001],
+                                2: [0.002, 0.005], 3: [0.0, 0.0]})
+        fwd = _triples(spark, [("cust:0", "r", "cust:1")])
+        rev = _triples(spark, [("cust:1", "r", "cust:0")])
+        s_fwd = complex_score(fwd, emb, {"r": 2}).collect()[0].score
+        s_rev = complex_score(rev, emb, {"r": 2}).collect()[0].score
+        # real terms agree, imaginary cross terms swap and change sign:
+        # fwd: 1*2*3 + 2*2*1 + 1*5*1 - 2*5*3 = 6 + 4 + 5 - 30 = -15
+        # rev: 3*2*1 + 1*2*2 + 3*5*2 - 1*5*1 = 6 + 4 + 30 - 5 = 35
+        assert s_fwd == -15 and s_rev == 35 and s_fwd != s_rev
+
+    def test_odd_dim_raises(self, spark):
+        from saber_spark.operators.kge import complex_score
+        emb = self._emb(spark, {0: [0.001, 0.002, 0.003],
+                                1: [0.001, 0.0, 0.0],
+                                2: [0.0, 0.001, 0.0]})
+        t = _triples(spark, [("cust:0", "r", "cust:1")])
+        with pytest.raises(ValueError, match="odd"):
+            complex_score(t, emb, {"r": 2})
+
+    def test_missing_relation_row_raises(self, spark):
+        from saber_spark.operators.kge import complex_score
+        emb = self._emb(spark, {0: [0.001, 0.0], 1: [0.001, 0.0]})
+        t = _triples(spark, [("cust:0", "r", "cust:1")])
+        with pytest.raises(ValueError, match="no embedding row"):
+            complex_score(t, emb, {"r": 99})
+
+
+class TestHarmonicCentrality:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def _landmarks(self, spark, nodes):
+        return spark.createDataFrame([(n,) for n in nodes], "node string")
+
+    def test_path_graph_distances(self, spark):
+        from saber_spark.operators.graph import harmonic_centrality
+        # a -> b -> c -> d, landmarks {a, b}
+        e = self._edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        out = {r.node: (r.n_reached, r.est_harmonic)
+               for r in harmonic_centrality(
+                   e, self._landmarks(spark, ["a", "b"]),
+                   max_depth=3).collect()}
+        # d(a,b)=1 d(a,c)=2 d(a,d)=3 ; d(b,c)=1 d(b,d)=2 ; |L| = 2
+        assert out["b"] == (1, round(1.0 / 2, 6))
+        assert out["c"] == (2, round((1 / 2 + 1 / 1) / 2, 6))
+        assert out["d"] == (2, round((1 / 3 + 1 / 2) / 2, 6))
+        assert "a" not in out  # only landmark self-distances -> dropped
+
+    def test_bfs_takes_shortest_of_multiple_paths(self, spark):
+        from saber_spark.operators.graph import harmonic_centrality
+        # a -> b -> c and a -> c: d(a, c) must be 1, not 2
+        e = self._edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+        out = {r.node: r.est_harmonic for r in harmonic_centrality(
+            e, self._landmarks(spark, ["a"]), max_depth=3).collect()}
+        assert out["c"] == 1.0
+
+    def test_max_depth_truncates(self, spark):
+        from saber_spark.operators.graph import harmonic_centrality
+        e = self._edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        out = {r.node for r in harmonic_centrality(
+            e, self._landmarks(spark, ["a"]), max_depth=2).collect()}
+        assert out == {"b", "c"}  # d is 3 hops out
+
+    def test_unreachable_contributes_nothing(self, spark):
+        from saber_spark.operators.graph import harmonic_centrality
+        # two components: landmark in one, island in the other
+        e = self._edges(spark, [("a", "b"), ("x", "y")])
+        out = {r.node: (r.n_reached, r.est_harmonic)
+               for r in harmonic_centrality(
+                   e, self._landmarks(spark, ["a", "x"]),
+                   max_depth=3).collect()}
+        assert out["b"] == (1, round(1 / 2, 6))  # only a reaches b; /|L|=2
+        assert out["y"] == (1, round(1 / 2, 6))
+
+    def test_empty_landmarks_raise(self, spark):
+        from saber_spark.operators.graph import harmonic_centrality
+        e = self._edges(spark, [("a", "b")])
+        with pytest.raises(ValueError, match="empty landmark"):
+            harmonic_centrality(e, self._landmarks(spark, []))
+
+
+class TestRakeKeywords:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def test_rose_scoring_on_one_doc(self, spark):
+        from saber_spark.operators.textstats import rake_keywords
+        # stopword list: the a of and to in is it
+        # phrases: "deep learning" | "deep models" | "win"
+        docs = self._docs(spark, ["deep learning of deep models, a win"])
+        out = {r.phrase: (r.n_words, r.score, r.rank)
+               for r in rake_keywords(docs, top_k=5).collect()}
+        # freq(deep)=2 deg(deep)=4 -> 2.0 ; learning 1/2 -> 2.0
+        # models 1/2 -> 2.0 ; win 1/1 -> 1.0
+        assert out["deep learning"] == (2, 4.0, 1)
+        assert out["deep models"] == (2, 4.0, 2)  # tie -> phrase ASC
+        assert out["win"] == (1, 1.0, 3)
+
+    def test_repeated_phrase_scores_once(self, spark):
+        from saber_spark.operators.textstats import rake_keywords
+        docs = self._docs(spark, ["red fox. red fox. blue bird."])
+        out = {r.phrase: r.score
+               for r in rake_keywords(docs, top_k=5).collect()}
+        # red: freq 2, deg 4 -> 2 ; fox: same -> phrase = 4.0 (not doubled)
+        assert out["red fox"] == 4.0
+        assert out["blue bird"] == 4.0
+
+    def test_word_multiplicity_inside_phrase(self, spark):
+        from saber_spark.operators.textstats import rake_keywords
+        docs = self._docs(spark, ["big big win"])
+        out = {r.phrase: r.score
+               for r in rake_keywords(docs, top_k=5).collect()}
+        # one phrase of 3 words: big freq 2 deg 6 -> 3 ; win 1/3 -> 3
+        # phrase = 3 + 3 + 3 = 9
+        assert out["big big win"] == 9.0
+
+    def test_max_words_cap_drops_long_runs(self, spark):
+        from saber_spark.operators.textstats import rake_keywords
+        docs = self._docs(spark, ["alpha beta gamma delta epsilon, zeta"])
+        out = {r.phrase for r in rake_keywords(
+            docs, max_words=4, top_k=5).collect()}
+        assert out == {"zeta"}  # 5-word run exceeds the cap entirely
+
+    def test_stopwords_and_punct_delimit(self, spark):
+        from saber_spark.operators.textstats import rake_keywords
+        docs = self._docs(spark, ["cats and dogs; fish"])
+        out = {r.phrase for r in rake_keywords(docs, top_k=5).collect()}
+        assert out == {"cats", "dogs", "fish"}
+
+
+class TestKAnonymity:
+    def test_summary_counts(self, spark):
+        from saber_spark.operators.profile import k_anonymity_audit
+        rows = [("us", 1, "A"), ("us", 1, "B"), ("us", 1, "A"),
+                ("us", 2, "A"), ("uk", 1, "B"), ("uk", 1, "B")]
+        df = spark.createDataFrame(rows, "nation string, bucket int, seg string")
+        out = k_anonymity_audit(df, ["nation", "bucket"], "seg",
+                                k=2, ell=2).collect()[0]
+        # classes: (us,1) size 3 l 2 ; (us,2) size 1 l 1 ; (uk,1) size 2 l 1
+        assert out.n_rows == 6 and out.n_classes == 3
+        assert out.min_class_size == 1
+        assert out.n_classes_below_k == 1 and out.n_rows_below_k == 1
+        assert out.min_l_diversity == 1 and out.n_classes_below_l == 2
+        assert out.k_anonymous is False and out.l_diverse is False
+
+    def test_anonymous_when_all_classes_big_and_diverse(self, spark):
+        from saber_spark.operators.profile import k_anonymity_audit
+        rows = [("us", "A"), ("us", "B"), ("us", "C"),
+                ("uk", "A"), ("uk", "B")]
+        df = spark.createDataFrame(rows, "nation string, seg string")
+        out = k_anonymity_audit(df, ["nation"], "seg", k=2, ell=2).collect()[0]
+        assert out.k_anonymous is True and out.l_diverse is True
+        assert out.n_classes_below_k == 0 and out.n_rows_below_k == 0
+
+    def test_null_quasi_identifier_is_a_class(self, spark):
+        from saber_spark.operators.profile import k_anonymity_audit
+        rows = [(None, "A"), (None, "B"), ("us", "A"), ("us", "B")]
+        df = spark.createDataFrame(rows, "nation string, seg string")
+        out = k_anonymity_audit(df, ["nation"], "seg", k=2, ell=2).collect()[0]
+        assert out.n_classes == 2 and out.k_anonymous is True
+
+
+class TestKneserNey:
+    PAT = r"[0-9a-zA-Z]+|[^0-9a-zA-Z\s]"
+
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def test_continuation_vs_frequency(self, spark):
+        """The KN signature: 'francisco' is frequent but follows only one
+        context, so its continuation probability collapses below a rarer
+        word that follows many contexts."""
+        from saber_spark.operators.lm import kneser_ney_bigrams
+        docs = self._docs(spark, [
+            "san francisco san francisco san francisco",
+            "red cat blue cat green cat",
+        ])
+        out = {(r.w1, r.w2): r for r in kneser_ney_bigrams(
+            docs, self.PAT, top_k=50).collect()}
+        fr = out[("san", "francisco")]
+        cat = out[("blue", "cat")]
+        # francisco follows 1 context; cat follows 3
+        assert fr.n1plus_bwd == 1 and cat.n1plus_bwd == 3
+        assert cat.p_cont > fr.p_cont
+
+    def test_exact_probability(self, spark):
+        from saber_spark.operators.lm import kneser_ney_bigrams
+        docs = self._docs(spark, ["a b a b a c"])
+        out = {(r.w1, r.w2): r for r in kneser_ney_bigrams(
+            docs, self.PAT, discount=0.75, top_k=50).collect()}
+        # bigrams: (a,b)x2 (b,a)x2 (a,c)x1 ; types T = 3
+        # c(a)=3, N1+(a,*)=2 ; N1+(*,b)=1 ; P_cont(b)=1/3
+        # P_kn(b|a) = (2-.75)/3 + .75*2/3 * (1/3)
+        ab = out[("a", "b")]
+        assert ab.c12 == 2 and ab.c1 == 3
+        assert ab.n1plus_fwd == 2 and ab.n1plus_bwd == 1
+        expected = (2 - 0.75) / 3 + 0.75 * 2 / 3 * (1 / 3)
+        assert ab.p_kn == round(expected, 6)
+
+    def test_probabilities_sum_to_one_per_context(self, spark):
+        """Interpolated KN is a proper conditional distribution: for a
+        context with ALL continuations observed, sum_w2 P_kn(w2|w1) = 1."""
+        from saber_spark.operators.lm import kneser_ney_bigrams
+        docs = self._docs(spark, ["x y x z x y"])
+        rows = kneser_ney_bigrams(docs, self.PAT, top_k=50).collect()
+        # context x: continuations y (x2), z (x1); vocabulary of observed
+        # SECOND slots is exactly {y, z, x} but only y,z follow x... sum
+        # over observed (x, *) rows + the backoff mass spread over the
+        # remaining continuation types must equal 1:
+        # sum_observed P_kn + d*N1+(x,*)/c(x) * sum_unobserved P_cont = 1
+        x_rows = [r for r in rows if r.w1 == "x"]
+        obs = sum(r.p_kn for r in x_rows)
+        d, c1 = 0.75, 3
+        n1f = x_rows[0].n1plus_fwd
+        all_pcont = {r.w2: r.p_cont for r in rows}
+        unobs = set(all_pcont) - {r.w2 for r in x_rows}
+        backoff = d * n1f / c1 * sum(all_pcont[w] for w in unobs)
+        assert abs(obs + backoff - 1.0) < 1e-5
+
+    def test_top_k_by_count(self, spark):
+        from saber_spark.operators.lm import kneser_ney_bigrams
+        docs = self._docs(spark, ["p q p q p q r s"])
+        rows = kneser_ney_bigrams(docs, self.PAT, top_k=2).collect()
+        assert len(rows) == 2
+        assert {(r.w1, r.w2) for r in rows} == {("p", "q"), ("q", "p")}

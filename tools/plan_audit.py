@@ -1977,6 +1977,70 @@ def main() -> None:
         0,
     ))
 
+    cx = e.q_complex_score(spark, SF_DIR)
+    sections.append((
+        "complex_score (relation literals folded, top-k pruned)",
+        "transe/distmult shape: the store is localCheckpointed ONCE "
+        "across relation legs; head and tail entities each resolve with "
+        "a BROADCAST equi-join against the quantized embedding table; "
+        "the 4-term ComplEx expansion is per-dimension integer literals "
+        "inside codegen (no HOF lambda on the interpreted path); "
+        "per-relation top-k prunes map-side via WindowGroupLimit. "
+        "No cross join, no Python.",
+        formatted_plan(cx),
+        ["BroadcastHashJoin", "WindowGroupLimit", "Window"],
+        0,
+    ))
+
+    hc = e.q_harmonic_hosts(spark, SF_DIR)
+    sections.append((
+        "harmonic_hosts (BFS rounds lineage-cut, one final agg)",
+        "Level-synchronous multi-landmark BFS: each round joined ONLY "
+        "the frontier and localCheckpointed it, so the final plan is "
+        "the per-node aggregation over the materialized visited set — "
+        "lineage stays flat no matter how many rounds ran.",
+        formatted_plan(hc),
+        ["HashAggregate", "Scan ExistingRDD"],
+        0,
+    ))
+
+    rk = e.q_rake_keywords(spark, SF_DIR)
+    sections.append((
+        "rake_keywords (doc_id-keyed stats join, narrow candidates)",
+        "Candidate phrases are built by a narrow map (tokenize -> "
+        "delimiter-mark -> rejoin -> split); the word-stats agg, the "
+        "stats join back, the phrase-score agg and the per-doc top-k "
+        "window all key on doc_id; top-k prunes via WindowGroupLimit.",
+        formatted_plan(rk),
+        ["WindowGroupLimit", "HashAggregate"],
+        0,
+    ))
+
+    ka = e.q_k_anonymity(spark, SF_DIR)
+    sections.append((
+        "k_anonymity (two algebraic aggs, single verdict row)",
+        "Equivalence classes build in ONE hash agg over the quasi-"
+        "identifier key (count + distinct-sensitive, partial-"
+        "aggregatable); the verdict is a second agg over the reduced "
+        "class table. No join, no window, no Python.",
+        formatted_plan(ka),
+        ["HashAggregate"],
+        0,
+    ))
+
+    kn = e.q_kneser_ney(spark, SF_DIR)
+    sections.append((
+        "kneser_ney (one corpus-scale pair agg, reduced-side model)",
+        "Bigrams zip out of the token array row-locally (no positional "
+        "self-join); c(w1 w2) is the single corpus-scale hash agg; "
+        "c(w1)/N1+(w1,*)/N1+(*,w2)/type-total all aggregate the "
+        "already-reduced pair table; the type total rides in as a "
+        "broadcast 1-row join.",
+        formatted_plan(kn),
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
