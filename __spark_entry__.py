@@ -4085,6 +4085,68 @@ def q_kneser_ney(spark, sf_dir):
                               discount=0.75, top_k=20)
 
 
+def q_ifp_sameas(spark, sf_dir):
+    """OWL-RL prp-ifp sameAs inference (ontology.ifp_sameas): subjects
+    sharing a value of an inverse-functional key predicate (phone /
+    vat here; email / DOI / ORCID in the wild) are the same entity —
+    the precision-end identity producer feeding sameas_rewrite, next
+    to kg_align's fact-overlap recall end. Fixture: customers carry a
+    'phone' and a 'vat' key; every 4th customer collides on k % 300
+    (two witnesses per inferred pair), every 16th lands on the
+    'ph:hub' PLACEHOLDER value whose fan-out exceeds max_fan=64 at
+    sf >= 0.01 and is excluded by the skew guard — the guard is
+    semantics (a placeholder is not identity evidence), not just
+    safety. Oracle: identical fan-filtered self-join."""
+    from saber_spark.operators.ontology import ifp_sameas
+    cust = tpch.load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    subj = F.concat(F.lit("cust:"), k.cast("string"))
+    phone_obj = (F.when(k % 16 == 0, F.lit("ph:hub"))
+                 .when(k % 4 == 0, F.concat(F.lit("ph:"),
+                                            (k % 300).cast("string")))
+                 .otherwise(F.concat(F.lit("ph:u"), k.cast("string"))))
+    vat_obj = (F.when((k % 4 == 0) & (k % 16 != 0),
+                      F.concat(F.lit("vat:"), (k % 300).cast("string")))
+               .otherwise(F.concat(F.lit("vat:u"), k.cast("string"))))
+    triples = (cust.select(subj.alias("subj"),
+                           F.lit("phone").alias("pred"),
+                           phone_obj.alias("obj"))
+               .unionByName(cust.select(subj.alias("subj"),
+                                        F.lit("vat").alias("pred"),
+                                        vat_obj.alias("obj"))))
+    return ifp_sameas(triples, ["phone", "vat"], max_fan=64)
+
+
+def q_disjoint_audit(spark, sf_dir):
+    """OWL-RL cax-dw disjoint-class violation audit
+    (ontology.disjoint_audit): entities asserted into two classes
+    declared owl:disjointWith — the class-level consistency gate next
+    to domain_range_audit (property-level) and shacl_validate
+    (shapes); on a construction KG this catches linker collisions
+    before fusion. Fixture: Customer/Supplier type assertions whose id
+    spaces deliberately collide (custkey % 3000 vs suppkey * 10), plus
+    Delinquent (negative balance); axioms declare Customer|Supplier
+    and Supplier|Delinquent disjoint — Customer+Delinquent co-typing
+    is NOT audited (axiom filtering is load-bearing). One entity-keyed
+    self-join bounded by types-per-entity, broadcast axiom list."""
+    from saber_spark.operators.ontology import disjoint_audit
+    cust = tpch.load(spark, sf_dir, "customer")
+    supp = tpch.load(spark, sf_dir, "supplier")
+    ent_c = F.concat(F.lit("ent:"),
+                     (F.col("c_custkey") % 3000).cast("string"))
+    types = (cust.select(ent_c.alias("entity"),
+                         F.lit("Customer").alias("type"))
+             .unionByName(supp.select(
+                 F.concat(F.lit("ent:"),
+                          (F.col("s_suppkey") * 10).cast("string"))
+                 .alias("entity"), F.lit("Supplier").alias("type")))
+             .unionByName(cust.filter(F.col("c_acctbal") < 0)
+                          .select(ent_c.alias("entity"),
+                                  F.lit("Delinquent").alias("type"))))
+    return disjoint_audit(types, [("Customer", "Supplier"),
+                                  ("Delinquent", "Supplier")])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4419,6 +4481,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake_keywords,
         "k_anonymity": q_k_anonymity,
         "kneser_ney": q_kneser_ney,
+        # r5 final-session batch 3: OWL-RL identity + consistency rules
+        # (prp-ifp inverse-functional sameAs inference, cax-dw
+        # disjoint-class violations)
+        "ifp_sameas": q_ifp_sameas,
+        "disjoint_audit": q_disjoint_audit,
     }
 
 
@@ -10033,4 +10100,54 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY c12 DESC, w1, w2)
                             AS rk FROM s)
             WHERE rk <= 20""",
+        "ifp_sameas": """
+            WITH keys AS (
+              SELECT DISTINCT s, p, v FROM (
+                SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s,
+                       'phone' AS p,
+                       CASE WHEN c_custkey % 16 = 0 THEN 'ph:hub'
+                            WHEN c_custkey % 4 = 0
+                              THEN 'ph:' || CAST(c_custkey % 300 AS VARCHAR)
+                            ELSE 'ph:u' || CAST(c_custkey AS VARCHAR)
+                       END AS v
+                FROM customer
+                UNION ALL
+                SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+                       'vat',
+                       CASE WHEN c_custkey % 4 = 0 AND c_custkey % 16 <> 0
+                              THEN 'vat:' || CAST(c_custkey % 300 AS VARCHAR)
+                            ELSE 'vat:u' || CAST(c_custkey AS VARCHAR)
+                       END
+                FROM customer)),
+            fan AS (
+              SELECT p, v FROM keys GROUP BY p, v
+              HAVING count(*) >= 2 AND count(*) <= 64),
+            shared AS (SELECT k.s, k.p, k.v
+                       FROM keys k JOIN fan USING (p, v)),
+            pairs AS (
+              SELECT a.s AS a, b.s AS b
+              FROM shared a JOIN shared b
+                ON a.p = b.p AND a.v = b.v AND a.s < b.s)
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n_witnesses
+            FROM pairs GROUP BY a, b""",
+        "disjoint_audit": """
+            WITH types AS (
+              SELECT DISTINCT entity, ty FROM (
+                SELECT 'ent:' || CAST(c_custkey % 3000 AS VARCHAR) AS entity,
+                       'Customer' AS ty
+                FROM customer
+                UNION ALL
+                SELECT 'ent:' || CAST(s_suppkey * 10 AS VARCHAR), 'Supplier'
+                FROM supplier
+                UNION ALL
+                SELECT 'ent:' || CAST(c_custkey % 3000 AS VARCHAR),
+                       'Delinquent'
+                FROM customer WHERE c_acctbal < 0)),
+            ax(ta, tb) AS (VALUES ('Customer', 'Supplier'),
+                                  ('Delinquent', 'Supplier'))
+            SELECT t1.entity,
+                   t1.ty AS type_a, t2.ty AS type_b
+            FROM types t1
+            JOIN types t2 ON t2.entity = t1.entity AND t1.ty < t2.ty
+            JOIN ax ON ax.ta = t1.ty AND ax.tb = t2.ty""",
     }

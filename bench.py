@@ -243,6 +243,8 @@ def main() -> None:
         # centrality, RAKE, k-anonymity audit, Kneser-Ney)
         "complex_score", "harmonic_hosts", "rake_keywords",
         "k_anonymity", "kneser_ney",
+        # round 5 final session batch 3 (OWL-RL prp-ifp + cax-dw)
+        "ifp_sameas", "disjoint_audit",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -264,3 +264,93 @@ def subprop_entail(triples: DataFrame, subprops: DataFrame,
                            F.col(subj_col).alias(obj_col)))
         e1 = e1.unionByName(flipped).unionByName(expand(flipped))
     return e1.distinct()
+
+
+def ifp_sameas(triples: DataFrame, ifp_preds: list[str],
+               max_fan: int = 64, subj_col: str = "subj",
+               pred_col: str = "pred", obj_col: str = "obj") -> DataFrame:
+    """OWL-RL prp-ifp: two subjects sharing a value of an
+    inverse-functional property are the same entity — the rule that
+    turns identity-bearing keys (email, phone, VAT id, DOI, ORCID)
+    into owl:sameAs evidence. This is the INFERENCE producer feeding
+    triples.sameas_rewrite's consumer (kg_align infers identity from
+    fact overlap; this infers it from single designated key predicates
+    — the precision end of the alignment spectrum).
+
+    -> (a, b, n_witnesses): unordered entity pairs (a < b) with the
+    number of distinct (pred, value) keys that witness the identity
+    (2 witnesses = email AND vat agree — fusion-grade evidence).
+
+    Skew/scale contract: real web data always contains PLACEHOLDER key
+    values ('info@example.com', '000-000-0000') asserted by thousands
+    of subjects; the naive self-join is quadratic in that fan-out. A
+    (pred, value) whose distinct-subject count exceeds ``max_fan`` is
+    EXCLUDED (logged in production; a placeholder is not evidence of
+    identity — the exclusion is semantics, not just safety), bounding
+    the self-join at max_fan^2 pairs per key. One (pred, obj) agg for
+    the fan filter, one co-partitioned self-join on the same key, one
+    pair agg — three shuffles total, no Python.
+    """
+    if not ifp_preds:
+        raise ValueError("ifp_sameas: empty inverse-functional "
+                         "predicate list")
+    keys = (triples
+            .filter(F.col(pred_col).isin(*ifp_preds))
+            .select(F.col(subj_col).alias("s"),
+                    F.col(pred_col).alias("p"),
+                    F.col(obj_col).alias("v"))
+            .distinct())
+    fan = (keys.groupBy("p", "v")
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .filter((F.col("_n") >= 2) & (F.col("_n") <= max_fan))
+           .select("p", "v"))
+    shared = keys.join(fan, ["p", "v"])
+    rhs = shared.select(F.col("p"), F.col("v"),
+                        F.col("s").alias("s2"))
+    pairs = (shared.join(rhs, ["p", "v"])
+             .filter(F.col("s") < F.col("s2"))
+             .select(F.col("s").alias("a"), F.col("s2").alias("b"),
+                     "p", "v"))
+    return (pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_witnesses")))
+
+
+def disjoint_audit(types: DataFrame, axioms: list[tuple[str, str]],
+                   ent_col: str = "entity",
+                   type_col: str = "type") -> DataFrame:
+    """OWL-RL cax-dw: an entity asserted to belong to two classes
+    declared owl:disjointWith is a contradiction — the class-level
+    consistency gate next to domain_range_audit's property-level one
+    and shacl_validate's shape constraints. On a construction KG this
+    catches linker collisions (one surface grounded to both a Disease
+    and a Gene) before they poison downstream fusion.
+
+    -> (entity, type_a, type_b) violation rows, type_a < type_b
+    canonical order; axioms apply symmetrically regardless of the
+    order they were declared in.
+
+    Scale shape: ONE co-partitioned self-join of the (entity, type)
+    assertion table on the entity key, filtered by the broadcast
+    axiom list (axioms are schema-sized). The self-join is bounded by
+    types-per-entity (single digits in any real ontology), not
+    corpus size. One distinct, no Python.
+    """
+    if not axioms:
+        raise ValueError("disjoint_audit: empty axiom list")
+    canon = sorted({(a, b) if a < b else (b, a) for a, b in axioms})
+    if any(a == b for a, b in canon):
+        raise ValueError("disjoint_audit: a class cannot be disjoint "
+                         "with itself")
+    ax = F.array(*[F.struct(F.lit(a).alias("ta"), F.lit(b).alias("tb"))
+                   for a, b in canon])
+    t = (types.select(F.col(ent_col).alias("entity"),
+                      F.col(type_col).alias("ty"))
+         .distinct())
+    rhs = t.select(F.col("entity"), F.col("ty").alias("ty2"))
+    return (t.join(rhs, "entity")
+            .filter(F.col("ty") < F.col("ty2"))
+            .filter(F.array_contains(
+                ax, F.struct(F.col("ty").alias("ta"),
+                             F.col("ty2").alias("tb"))))
+            .select("entity", F.col("ty").alias("type_a"),
+                    F.col("ty2").alias("type_b")))

@@ -267,3 +267,91 @@ class TestKneserNey:
         rows = kneser_ney_bigrams(docs, self.PAT, top_k=2).collect()
         assert len(rows) == 2
         assert {(r.w1, r.w2) for r in rows} == {("p", "q"), ("q", "p")}
+
+
+class TestIfpSameas:
+    def _triples(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string")
+
+    def test_shared_key_infers_identity(self, spark):
+        from saber_spark.operators.ontology import ifp_sameas
+        t = self._triples(spark, [
+            ("e1", "email", "x@y.z"), ("e2", "email", "x@y.z"),
+            ("e3", "email", "other@y.z"),
+            ("e1", "name", "shared"), ("e3", "name", "shared"),
+        ])
+        out = {(r.a, r.b): r.n_witnesses
+               for r in ifp_sameas(t, ["email"]).collect()}
+        # name is NOT declared inverse-functional -> no (e1, e3) pair
+        assert out == {("e1", "e2"): 1}
+
+    def test_multiple_witnesses_counted(self, spark):
+        from saber_spark.operators.ontology import ifp_sameas
+        t = self._triples(spark, [
+            ("e1", "email", "x@y.z"), ("e2", "email", "x@y.z"),
+            ("e1", "vat", "V1"), ("e2", "vat", "V1"),
+        ])
+        out = ifp_sameas(t, ["email", "vat"]).collect()
+        assert len(out) == 1 and out[0].n_witnesses == 2
+
+    def test_placeholder_fanout_excluded(self, spark):
+        from saber_spark.operators.ontology import ifp_sameas
+        rows = [(f"e{i}", "email", "info@example.com") for i in range(10)]
+        rows += [("a1", "email", "real@y.z"), ("a2", "email", "real@y.z")]
+        out = ifp_sameas(self._triples(spark, rows), ["email"],
+                         max_fan=5).collect()
+        # the 10-subject placeholder would emit 45 pairs; guard drops it
+        assert [(r.a, r.b) for r in out] == [("a1", "a2")]
+
+    def test_duplicate_assertions_count_once(self, spark):
+        from saber_spark.operators.ontology import ifp_sameas
+        t = self._triples(spark, [
+            ("e1", "email", "x@y.z"), ("e1", "email", "x@y.z"),
+            ("e2", "email", "x@y.z"),
+        ])
+        out = ifp_sameas(t, ["email"]).collect()
+        assert len(out) == 1 and out[0].n_witnesses == 1
+
+    def test_empty_pred_list_raises(self, spark):
+        import pytest as _pt
+        from saber_spark.operators.ontology import ifp_sameas
+        with _pt.raises(ValueError, match="empty"):
+            ifp_sameas(self._triples(spark, [("a", "p", "b")]), [])
+
+
+class TestDisjointAudit:
+    def _types(self, spark, rows):
+        return spark.createDataFrame(rows, "entity string, type string")
+
+    def test_violation_detected_in_canonical_order(self, spark):
+        from saber_spark.operators.ontology import disjoint_audit
+        t = self._types(spark, [("x", "Disease"), ("x", "Gene"),
+                                ("y", "Disease")])
+        out = disjoint_audit(t, [("Gene", "Disease")]).collect()
+        assert [(r.entity, r.type_a, r.type_b) for r in out] == [
+            ("x", "Disease", "Gene")]  # axiom order normalized
+
+    def test_undeclared_pair_not_flagged(self, spark):
+        from saber_spark.operators.ontology import disjoint_audit
+        t = self._types(spark, [("x", "Disease"), ("x", "Chemical")])
+        out = disjoint_audit(t, [("Gene", "Disease")]).collect()
+        assert out == []
+
+    def test_duplicate_assertions_one_row(self, spark):
+        from saber_spark.operators.ontology import disjoint_audit
+        t = self._types(spark, [("x", "A"), ("x", "A"), ("x", "B")])
+        out = disjoint_audit(t, [("A", "B")]).collect()
+        assert len(out) == 1
+
+    def test_self_disjoint_axiom_raises(self, spark):
+        import pytest as _pt
+        from saber_spark.operators.ontology import disjoint_audit
+        with _pt.raises(ValueError, match="disjoint with itself"):
+            disjoint_audit(self._types(spark, [("x", "A")]), [("A", "A")])
+
+    def test_empty_axioms_raise(self, spark):
+        import pytest as _pt
+        from saber_spark.operators.ontology import disjoint_audit
+        with _pt.raises(ValueError, match="empty axiom"):
+            disjoint_audit(self._types(spark, [("x", "A")]), [])

@@ -2041,6 +2041,31 @@ def main() -> None:
         0,
     ))
 
+    ifp = e.q_ifp_sameas(spark, SF_DIR)
+    sections.append((
+        "ifp_sameas (fan-guarded key self-join)",
+        "prp-ifp: one (pred, value) agg builds the fan filter (the "
+        "placeholder-value skew guard — 2 <= fan <= max_fan), the "
+        "self-join co-partitions on the same (pred, value) key, and "
+        "the witness count is one pair agg. Pair volume is bounded at "
+        "max_fan^2 per key by construction.",
+        formatted_plan(ifp),
+        ["HashAggregate"],
+        0,
+    ))
+
+    dj = e.q_disjoint_audit(spark, SF_DIR)
+    sections.append((
+        "disjoint_audit (entity-keyed self-join, broadcast axioms)",
+        "cax-dw: ONE self-join of the distinct (entity, type) table on "
+        "the entity key — bounded by types-per-entity, not corpus "
+        "size; the axiom list folds in as an array literal inside "
+        "codegen (schema-sized, no join).",
+        formatted_plan(dj),
+        ["HashAggregate", "array_contains"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
