@@ -24,7 +24,8 @@ from saber_spark.kernels.text import INFIX_PATTERN
 from saber_spark.fixtures.dictionary import GROUNDING_DICT_ROWS, grounding_dict_df
 from saber_spark.fixtures.pages import build_pages_df
 from saber_spark.operators import tpch
-from saber_spark.operators.canonicalize import salted_count
+from saber_spark.operators.canonicalize import (FOLD_DST, FOLD_SRC,
+                                                salted_count)
 from saber_spark.operators.chunker import chunk_bio_sql
 from saber_spark.operators.dedup import (
     MINHASH_PRIME,
@@ -4147,6 +4148,44 @@ def q_disjoint_audit(spark, sf_dir):
                                   ("Delinquent", "Supplier")])
 
 
+def q_eval_semeval(spark, sf_dir):
+    """MUC-5 / SemEval-2013 four-mode chunk evaluation
+    (evaluation.evaluate_chunks_semeval): strict / exact / partial /
+    type rows with COR/INC/PAR/MIS/SPU counts and half-credit P/R/F1 —
+    the overlap-credit ladder above eval_prf's exact/left/right
+    boundary criteria (reference: saber/metrics.py:158-166), on the
+    same gold-vs-perturbed-model BIO chunk fixture (the perturbation
+    splits I- continuations, so partial overlaps genuinely occur).
+    ONE overlap join co-partitioned on seq_id; the four mode rows
+    inline() out of a single assembled count row."""
+    events = _events(spark, sf_dir)
+    from saber_spark.operators.evaluation import evaluate_chunks_semeval
+    gold = chunk_bio_sql(_event_tags(events, TAG_CASE))
+    pred = chunk_bio_sql(_event_tags(events, PRED_TAG_CASE))
+    return evaluate_chunks_semeval(gold, pred, extra_keys=["seq_id"])
+
+
+def q_folded_blocks(spark, sf_dir):
+    """Accent-folded ER blocking (canonicalize.folded_blocks /
+    ascii_fold): ICU/Lucene-style ASCII folding as a pure aligned
+    translate() — the normalization every production linkage stack
+    (Splink, dedupe, JedAI) applies before exact/phonetic/sorted-
+    neighborhood blocking. Fixture: part-name first words decorated
+    into three deterministic spelling variants (plain, grave/circumflex
+    accents, acute accents + uppercase); the fold must reunite them —
+    n_variants counts the RAW spellings each block recovered. Oracle:
+    the identical aligned fold map interpolated from the single source
+    of truth (FOLD_SRC/FOLD_DST)."""
+    from saber_spark.operators.canonicalize import folded_blocks
+    part = tpch.load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    fw = F.split(F.col("p_name"), " ")[0]
+    raw = (F.when(k % 3 == 1, F.translate(fw, "aeiou", "àéîöû"))
+           .when(k % 3 == 2, F.upper(F.translate(fw, "aeiou", "áèïôü")))
+           .otherwise(fw))
+    return folded_blocks(part.select(raw.alias("name")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4486,6 +4525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # disjoint-class violations)
         "ifp_sameas": q_ifp_sameas,
         "disjoint_audit": q_disjoint_audit,
+        # r5 final-session batch 4: SemEval-2013 four-mode chunk eval +
+        # accent-folded ER blocking
+        "eval_semeval": q_eval_semeval,
+        "folded_blocks": q_folded_blocks,
     }
 
 
@@ -10150,4 +10193,90 @@ def oracle_sql() -> dict[str, str]:
             FROM types t1
             JOIN types t2 ON t2.entity = t1.entity AND t1.ty < t2.ty
             JOIN ax ON ax.ta = t1.ty AND ax.tb = t2.ty""",
+        "eval_semeval": f"""
+            WITH {_chunks_cte_sql(TAG_CASE, 'g')},
+                 {_chunks_cte_sql(PRED_TAG_CASE, 'p')},
+            g AS (SELECT DISTINCT seq_id, label, chunk_start, chunk_end
+                  FROM g_chunks),
+            p AS (SELECT DISTINCT seq_id, label, chunk_start, chunk_end
+                  FROM p_chunks),
+            ov AS (
+              SELECT p.seq_id, p.label, p.chunk_start, p.chunk_end,
+                     g.label AS g_label, g.chunk_start AS g_start,
+                     g.chunk_end AS g_end
+              FROM p JOIN g ON g.seq_id = p.seq_id
+                           AND g.chunk_start < p.chunk_end
+                           AND p.chunk_start < g.chunk_end),
+            flags AS (
+              SELECT seq_id, label, chunk_start, chunk_end,
+                     max(CASE WHEN g_start = chunk_start
+                               AND g_end = chunk_end
+                               AND g_label = label THEN 1 ELSE 0 END) AS ex_l,
+                     max(CASE WHEN g_start = chunk_start
+                               AND g_end = chunk_end THEN 1 ELSE 0 END) AS ex,
+                     max(CASE WHEN g_label = label THEN 1 ELSE 0 END) AS ov_l
+              FROM ov GROUP BY 1, 2, 3, 4),
+            pp AS (
+              SELECT coalesce(f.ex_l, 0) AS ex_l, coalesce(f.ex, 0) AS ex,
+                     coalesce(f.ov_l, 0) AS ov_l,
+                     CASE WHEN f.ex IS NULL THEN 0 ELSE 1 END AS ov
+              FROM p LEFT JOIN flags f
+                USING (seq_id, label, chunk_start, chunk_end)),
+            pc AS (SELECT count(*) AS n_pred, sum(ex_l) AS s_ex_l,
+                          sum(ex) AS s_ex, sum(ov_l) AS s_ov_l,
+                          sum(ov) AS s_ov FROM pp),
+            gm AS (
+              SELECT g.seq_id, g.label, g.chunk_start, g.chunk_end,
+                     max(CASE WHEN p.chunk_start IS NOT NULL
+                              THEN 1 ELSE 0 END) AS h
+              FROM g LEFT JOIN p ON p.seq_id = g.seq_id
+                                AND p.chunk_start < g.chunk_end
+                                AND g.chunk_start < p.chunk_end
+              GROUP BY 1, 2, 3, 4),
+            mm AS (SELECT count(*) - sum(h) AS mis FROM gm),
+            modes AS (
+              SELECT 'strict' AS mode, s_ex_l AS cor, s_ov - s_ex_l AS inc,
+                     0 AS par, mis, n_pred - s_ov AS spu FROM pc, mm
+              UNION ALL
+              SELECT 'exact', s_ex, s_ov - s_ex, 0, mis, n_pred - s_ov
+              FROM pc, mm
+              UNION ALL
+              SELECT 'partial', s_ex, 0, s_ov - s_ex, mis, n_pred - s_ov
+              FROM pc, mm
+              UNION ALL
+              SELECT 'type', s_ov_l, s_ov - s_ov_l, 0, mis, n_pred - s_ov
+              FROM pc, mm),
+            scored AS (
+              SELECT mode, cor, inc, par, mis, spu,
+                     CASE WHEN cor + inc + par + spu > 0
+                          THEN (cor + 0.5 * par)
+                               / (cor + inc + par + spu) ELSE 0.0 END AS p_,
+                     CASE WHEN cor + inc + par + mis > 0
+                          THEN (cor + 0.5 * par)
+                               / (cor + inc + par + mis) ELSE 0.0 END AS r_
+              FROM modes)
+            SELECT mode, CAST(cor AS BIGINT) AS cor,
+                   CAST(inc AS BIGINT) AS inc, CAST(par AS BIGINT) AS par,
+                   CAST(mis AS BIGINT) AS mis, CAST(spu AS BIGINT) AS spu,
+                   round(p_, 6) AS precision, round(r_, 6) AS recall,
+                   round(CASE WHEN p_ + r_ > 0
+                              THEN 2 * p_ * r_ / (p_ + r_)
+                              ELSE 0.0 END, 6) AS f1
+            FROM scored""",
+        "folded_blocks": f"""
+            WITH names AS (
+              SELECT CASE
+                       WHEN p_partkey % 3 = 1
+                         THEN translate(fw, 'aeiou', 'àéîöû')
+                       WHEN p_partkey % 3 = 2
+                         THEN upper(translate(fw, 'aeiou', 'áèïôü'))
+                       ELSE fw
+                     END AS raw
+              FROM (SELECT p_partkey,
+                           string_split(p_name, ' ')[1] AS fw FROM part))
+            SELECT translate(lower(raw), '{FOLD_SRC}', '{FOLD_DST}')
+                     AS folded,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT raw) AS BIGINT) AS n_variants
+            FROM names GROUP BY 1""",
     }

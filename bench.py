@@ -245,6 +245,8 @@ def main() -> None:
         "k_anonymity", "kneser_ney",
         # round 5 final session batch 3 (OWL-RL prp-ifp + cax-dw)
         "ifp_sameas", "disjoint_audit",
+        # round 5 final session batch 4 (SemEval modes, accent folding)
+        "eval_semeval", "folded_blocks",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

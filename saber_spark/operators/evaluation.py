@@ -257,3 +257,116 @@ def bcubed_eval(assign: DataFrame, item_col: str = "item",
         F.round(r, 6).alias("bcubed_recall"),
         F.round(F.when(p + r > 0, 2.0 * p * r / (p + r)), 6)
         .alias("bcubed_f1"))
+
+
+def evaluate_chunks_semeval(gold: DataFrame, pred: DataFrame,
+                            extra_keys: list[str] | None = None
+                            ) -> DataFrame:
+    """MUC-5 / SemEval-2013 task-9.1 evaluation modes over chunk sets
+    (Chinchor MUC-5 1993; Segura-Bedmar et al. SemEval 2013; the
+    nervaluate reference implementation): the four-mode ladder that
+    extends evaluate_chunks' exact/left/right boundary criteria
+    (saber/metrics.py:158-166) with OVERLAP credit —
+
+      strict   exact boundaries AND matching label
+      exact    exact boundaries, label ignored
+      partial  exact boundaries = COR, any overlap = PAR (half credit)
+      type     any overlap with matching label
+
+    Per prediction: COR / INC / PAR / SPU by the best gold evidence
+    available (exists-quantified over overlapping golds); MIS = gold
+    chunks no prediction overlaps at all. Set semantics throughout
+    (DISTINCT chunk identity, no bipartite matching) — the
+    deterministic relational variant; it agrees with nervaluate
+    whenever spans do not doubly overlap, which BIO decoding
+    guarantees within one sequence.
+
+    P = (COR + 0.5 PAR) / (COR + INC + PAR + SPU)
+    R = (COR + 0.5 PAR) / (COR + INC + PAR + MIS)
+
+    Scale shape: ONE overlap join co-partitioned on the sequence key
+    (chunks-per-sequence is bounded, so the per-key pair fan-out is
+    too), one per-prediction flag agg, one global count agg each side,
+    and the four mode rows inline() out of a single assembled row —
+    no second pass over the data.
+
+    -> 4 rows (mode, cor, inc, par, mis, spu, precision 6dp,
+    recall 6dp, f1 6dp).
+    """
+    keys = extra_keys or []
+    idc = keys + ["label", "chunk_start", "chunk_end"]
+    g = gold.select(*idc).distinct()
+    p = pred.select(*idc).distinct()
+    gg = g.select(
+        *keys, F.col("label").alias("g_label"),
+        F.col("chunk_start").alias("g_start"),
+        F.col("chunk_end").alias("g_end"))
+    ov = (p.join(gg, keys)
+          .filter((F.col("g_start") < F.col("chunk_end"))
+                  & (F.col("chunk_start") < F.col("g_end"))))
+    ex = ((F.col("g_start") == F.col("chunk_start"))
+          & (F.col("g_end") == F.col("chunk_end")))
+    same = F.col("g_label") == F.col("label")
+    flags = (ov.groupBy(*idc)
+             .agg(F.max((ex & same).cast("int")).alias("ex_l"),
+                  F.max(ex.cast("int")).alias("ex"),
+                  F.max(same.cast("int")).alias("ov_l")))
+    per_pred = (p.join(flags, idc, "left")
+                .select(F.coalesce("ex_l", F.lit(0)).alias("ex_l"),
+                        F.coalesce("ex", F.lit(0)).alias("ex"),
+                        F.coalesce("ov_l", F.lit(0)).alias("ov_l"),
+                        F.when(F.col("ex").isNull(), F.lit(0))
+                        .otherwise(F.lit(1)).alias("ov")))
+    pc = per_pred.agg(
+        F.count(F.lit(1)).alias("n_pred"),
+        F.sum("ex_l").alias("s_ex_l"), F.sum("ex").alias("s_ex"),
+        F.sum("ov_l").alias("s_ov_l"), F.sum("ov").alias("s_ov"))
+    pp = p.select(*keys, F.col("chunk_start").alias("p_start"),
+                  F.col("chunk_end").alias("p_end"))
+    mis = (g.join(pp, keys, "left")
+           .withColumn("_hit", ((F.col("p_start") < F.col("chunk_end"))
+                                & (F.col("chunk_start") < F.col("p_end")))
+                       .cast("int"))
+           .groupBy(*idc).agg(F.max(F.coalesce("_hit", F.lit(0)))
+                              .alias("_h"))
+           .agg((F.count(F.lit(1)) - F.sum("_h")).alias("mis")))
+    row = pc.crossJoin(mis)
+    spu = F.col("n_pred") - F.col("s_ov")
+    modes = F.array(
+        F.struct(F.lit("strict").alias("mode"),
+                 F.col("s_ex_l").alias("cor"),
+                 (F.col("s_ov") - F.col("s_ex_l")).alias("inc"),
+                 F.lit(0).cast("bigint").alias("par"),
+                 F.col("mis").alias("mis"), spu.alias("spu")),
+        F.struct(F.lit("exact").alias("mode"),
+                 F.col("s_ex").alias("cor"),
+                 (F.col("s_ov") - F.col("s_ex")).alias("inc"),
+                 F.lit(0).cast("bigint").alias("par"),
+                 F.col("mis").alias("mis"), spu.alias("spu")),
+        F.struct(F.lit("partial").alias("mode"),
+                 F.col("s_ex").alias("cor"),
+                 F.lit(0).cast("bigint").alias("inc"),
+                 (F.col("s_ov") - F.col("s_ex")).alias("par"),
+                 F.col("mis").alias("mis"), spu.alias("spu")),
+        F.struct(F.lit("type").alias("mode"),
+                 F.col("s_ov_l").alias("cor"),
+                 (F.col("s_ov") - F.col("s_ov_l")).alias("inc"),
+                 F.lit(0).cast("bigint").alias("par"),
+                 F.col("mis").alias("mis"), spu.alias("spu")))
+    out = row.select(F.inline(modes))
+    num = F.col("cor") + F.lit(0.5) * F.col("par")
+    act = F.col("cor") + F.col("inc") + F.col("par") + F.col("spu")
+    pos = F.col("cor") + F.col("inc") + F.col("par") + F.col("mis")
+    prec = F.when(act > 0, num / act).otherwise(F.lit(0.0))
+    rec = F.when(pos > 0, num / pos).otherwise(F.lit(0.0))
+    f1 = F.when((prec + rec) > 0,
+                2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+    return out.select(
+        "mode", F.col("cor").cast("long").alias("cor"),
+        F.col("inc").cast("long").alias("inc"),
+        F.col("par").cast("long").alias("par"),
+        F.col("mis").cast("long").alias("mis"),
+        F.col("spu").cast("long").alias("spu"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"))

@@ -355,3 +355,97 @@ class TestDisjointAudit:
         from saber_spark.operators.ontology import disjoint_audit
         with _pt.raises(ValueError, match="empty axiom"):
             disjoint_audit(self._types(spark, [("x", "A")]), [])
+
+
+class TestEvalSemeval:
+    def _chunks(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "seq_id long, label string, chunk_start long, "
+                  "chunk_end long")
+
+    def _modes(self, spark, gold, pred):
+        from saber_spark.operators.evaluation import evaluate_chunks_semeval
+        out = evaluate_chunks_semeval(
+            self._chunks(spark, gold), self._chunks(spark, pred),
+            extra_keys=["seq_id"]).collect()
+        return {r.mode: r for r in out}
+
+    def test_textbook_categories(self, spark):
+        # gold: [0,2) PER, [5,8) LOC ; pred: [0,2) PER (strict COR),
+        # [5,7) LOC (overlap, right label), [9,10) ORG (spurious)
+        gold = [(1, "PER", 0, 2), (1, "LOC", 5, 8)]
+        pred = [(1, "PER", 0, 2), (1, "LOC", 5, 7), (1, "ORG", 9, 10)]
+        m = self._modes(spark, gold, pred)
+        s = m["strict"]
+        assert (s.cor, s.inc, s.par, s.mis, s.spu) == (1, 1, 0, 0, 1)
+        e = m["exact"]
+        assert (e.cor, e.inc, e.par, e.mis, e.spu) == (1, 1, 0, 0, 1)
+        p = m["partial"]
+        assert (p.cor, p.inc, p.par, p.mis, p.spu) == (1, 0, 1, 0, 1)
+        t = m["type"]
+        assert (t.cor, t.inc, t.par, t.mis, t.spu) == (2, 0, 0, 0, 1)
+        # partial: P = (1 + 0.5) / 3, R = (1 + 0.5) / 2
+        assert p.precision == 0.5 and p.recall == 0.75
+
+    def test_wrong_label_exact_span(self, spark):
+        gold = [(1, "PER", 0, 2)]
+        pred = [(1, "ORG", 0, 2)]
+        m = self._modes(spark, gold, pred)
+        assert m["strict"].cor == 0 and m["strict"].inc == 1
+        assert m["exact"].cor == 1          # boundaries-only mode forgives
+        assert m["type"].cor == 0 and m["type"].inc == 1
+        assert m["partial"].cor == 1        # exact boundary = full credit
+
+    def test_missed_gold_counts_mis(self, spark):
+        gold = [(1, "PER", 0, 2), (2, "PER", 0, 2)]
+        pred = [(1, "PER", 0, 2)]
+        m = self._modes(spark, gold, pred)
+        assert m["strict"].mis == 1 and m["strict"].spu == 0
+        assert m["strict"].recall == 0.5 and m["strict"].precision == 1.0
+
+    def test_sequence_key_isolates(self, spark):
+        # same span in a DIFFERENT sequence must not match
+        gold = [(1, "PER", 0, 2)]
+        pred = [(2, "PER", 0, 2)]
+        m = self._modes(spark, gold, pred)
+        assert m["strict"].spu == 1 and m["strict"].mis == 1
+
+    def test_matches_kernel_on_exact_tp(self, spark):
+        """strict-mode COR must equal evaluate_chunks' exact-criteria TP
+        (the two formulations share semantics on exact matches)."""
+        from saber_spark.operators.evaluation import evaluate_chunks
+        gold = [(1, "A", 0, 2), (1, "B", 3, 5), (2, "A", 1, 4)]
+        pred = [(1, "A", 0, 2), (1, "B", 3, 6), (2, "A", 1, 4)]
+        m = self._modes(spark, gold, pred)
+        tp = (evaluate_chunks(self._chunks(spark, gold),
+                              self._chunks(spark, pred),
+                              criteria="exact", extra_keys=["seq_id"])
+              .agg(F.sum("tp")).collect()[0][0])
+        assert m["strict"].cor == tp == 2
+
+
+class TestFoldedBlocks:
+    def test_fold_reunites_variants(self, spark):
+        from saber_spark.operators.canonicalize import folded_blocks
+        names = spark.createDataFrame(
+            [("Müller",), ("MÜLLER",), ("Muller",), ("Ødegård",),
+             ("Odegard",), ("Smith",)], "name string")
+        out = {r.folded: (r.n_rows, r.n_variants)
+               for r in folded_blocks(names).collect()}
+        assert out["muller"] == (3, 3)
+        assert out["odegard"] == (2, 2)
+        assert out["smith"] == (1, 1)
+
+    def test_fold_map_is_aligned_and_lossless(self, spark):
+        from saber_spark.operators.canonicalize import (FOLD_DST, FOLD_SRC,
+                                                        ascii_fold)
+        assert len(FOLD_SRC) == len(FOLD_DST)
+        df = spark.createDataFrame([(FOLD_SRC,)], "name string")
+        folded = df.select(ascii_fold(F.col("name")).alias("f")).collect()
+        assert folded[0].f == FOLD_DST  # every mapped char folds to ASCII
+
+    def test_ascii_input_is_untouched_except_case(self, spark):
+        from saber_spark.operators.canonicalize import ascii_fold
+        df = spark.createDataFrame([("Hello World 42",)], "name string")
+        assert df.select(ascii_fold(F.col("name")).alias("f")) \
+            .collect()[0].f == "hello world 42"

@@ -2066,6 +2066,32 @@ def main() -> None:
         0,
     ))
 
+    sm = e.q_eval_semeval(spark, SF_DIR)
+    sections.append((
+        "eval_semeval (one overlap join, modes inline from one row)",
+        "SemEval four-mode eval: the overlap join co-partitions on "
+        "seq_id (chunks-per-sequence bounded), per-prediction flags "
+        "reduce in one agg, gold-side MIS in another, and the four "
+        "mode rows Generate (inline) out of a single assembled count "
+        "row — no second pass over chunk data.",
+        formatted_plan(sm),
+        ["HashAggregate", "Generate"],
+        0,
+    ))
+
+    fb = e.q_folded_blocks(spark, SF_DIR)
+    sections.append((
+        "folded_blocks (narrow fold, one distinct-variant agg)",
+        "ascii_fold is a pure translate() inside codegen; the block "
+        "table is ONE hash agg on the folded key with the classic "
+        "two-phase distinct-variant plan (partial_count + partial "
+        "distinct on (folded, raw) absorb repeated spellings "
+        "map-side). No join, no window, no Python.",
+        formatted_plan(fb),
+        ["HashAggregate", "translate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
