@@ -4186,6 +4186,33 @@ def q_folded_blocks(spark, sf_dir):
     return folded_blocks(part.select(raw.alias("name")))
 
 
+def q_kwic_snippets(spark, sf_dir):
+    """Keyword-in-context concordance (retrieval.kwic_snippets, Luhn
+    1960): the ±3-token context around the first 3 occurrences of
+    'batch' per document — the result-snippet surface next to
+    bm25_search's ranks and phrase_search's positions. Entirely narrow
+    (index-aware transform + array slices inside the row): one scan,
+    ZERO shuffles, zero Python at any corpus size."""
+    from saber_spark.operators.retrieval import kwic_snippets
+    return kwic_snippets(_docs(spark, sf_dir), "batch",
+                         window=3, max_per_doc=3)
+
+
+def q_js_divergence(spark, sf_dir):
+    """Unigram Jensen-Shannon divergence between the English and German
+    corpus slices (vocab.unigram_js_divergence, Lin 1991): the bounded
+    symmetric whole-slice drift statistic a pipeline runs between crawl
+    snapshots or before/after a filter change — DSIR's per-document
+    importance weighting collapsed to one corpus-level number. One
+    corpus-sized token agg holding both slices as conditional sums;
+    totals broadcast back; contribution sum reduced-side."""
+    from saber_spark.operators.vocab import unigram_js_divergence
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(F.regexp_extract_all(
+            F.col("text"), F.lit(INFIX_PATTERN), F.lit(0))).alias("token"))
+    return unigram_js_divergence(toks, "lang", "en", "de")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4529,6 +4556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # accent-folded ER blocking
         "eval_semeval": q_eval_semeval,
         "folded_blocks": q_folded_blocks,
+        # r5 final-session batch 5: KWIC concordance + corpus-drift JSD
+        "kwic_snippets": q_kwic_snippets,
+        "js_divergence": q_js_divergence,
     }
 
 
@@ -10279,4 +10309,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(count(DISTINCT raw) AS BIGINT) AS n_variants
             FROM names GROUP BY 1""",
+        "kwic_snippets": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '{INFIX_PATTERN}', 0) AS arr
+              FROM documents),
+            tok AS (
+              SELECT doc_id, arr,
+                     CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos,
+                     unnest(arr) AS t
+              FROM d),
+            hits AS (
+              SELECT doc_id, arr, pos,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS rn
+              FROM tok WHERE t = 'batch')
+            SELECT doc_id, pos,
+                   array_to_string(
+                     list_slice(arr,
+                                CAST(greatest(pos - 3, 0) + 1 AS BIGINT),
+                                CAST(least(pos + 4, len(arr)) AS BIGINT)),
+                     ' ') AS snippet
+            FROM hits WHERE rn <= 3""",
+        "js_divergence": f"""
+            WITH tok AS (
+              SELECT lang,
+                     unnest(regexp_extract_all(text, '{INFIX_PATTERN}', 0))
+                       AS token
+              FROM documents WHERE lang IN ('en', 'de')),
+            counts AS (
+              SELECT token,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS cb
+              FROM tok GROUP BY token),
+            totals AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts),
+            terms AS (
+              SELECT ca, cb, na, nb,
+                     (CASE WHEN ca > 0
+                           THEN 0.5 * (ca / na)
+                                * ln((ca / na)
+                                     / (((ca / na) + (cb / nb)) / 2))
+                           ELSE 0.0 END
+                      + CASE WHEN cb > 0
+                             THEN 0.5 * (cb / nb)
+                                  * ln((cb / nb)
+                                       / (((ca / na) + (cb / nb)) / 2))
+                             ELSE 0.0 END) AS term
+              FROM counts CROSS JOIN totals)
+            SELECT CAST(max(na) AS BIGINT) AS n_tokens_a,
+                   CAST(max(nb) AS BIGINT) AS n_tokens_b,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   round(sum(term), 6) AS jsd_nats
+            FROM terms""",
     }

@@ -247,6 +247,8 @@ def main() -> None:
         "ifp_sameas", "disjoint_audit",
         # round 5 final session batch 4 (SemEval modes, accent folding)
         "eval_semeval", "folded_blocks",
+        # round 5 final session batch 5 (KWIC concordance, corpus JSD)
+        "kwic_snippets", "js_divergence",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

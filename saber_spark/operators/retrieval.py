@@ -251,3 +251,45 @@ def phrase_search(tokens: DataFrame, phrase: list[str],
             .agg(F.count(F.lit(1)).alias("n_matches"),
                  F.array_sort(F.collect_list("anchor"))
                  .alias("match_positions")))
+
+
+def kwic_snippets(docs: DataFrame, term: str, window: int = 3,
+                  max_per_doc: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Keyword-in-context concordance (the KWIC index, Luhn 1960 — the
+    result-snippet surface a retrieval stack serves next to bm25/phrase
+    ranks): for each occurrence of ``term`` in a document, the
+    ±``window``-token context around it, capped at ``max_per_doc``
+    occurrences (earliest first).
+
+    Entirely NARROW: hit positions come from an index-aware transform
+    over the token array inside the row, the per-doc cap is an array
+    slice (order-preserving, so "earliest first" is by construction,
+    no window function), and the snippet is an array slice around each
+    exploded hit — the token array never leaves its row, so the
+    operator costs one scan, zero shuffles, zero Python at any corpus
+    size. (Contrast phrase_search, which pays posting joins because it
+    must CONJOIN terms; a single-term concordance never needs to.)
+
+    -> (doc_id, pos, snippet): pos = 0-based token index of the hit,
+    snippet = space-joined context tokens.
+    """
+    from saber_spark.kernels.text import INFIX_PATTERN
+    arr = F.regexp_extract_all(F.col(text_col), F.lit(INFIX_PATTERN),
+                               F.lit(0))
+    d = (docs.select(F.col(id_col).alias("doc_id"), arr.alias("arr"))
+         .filter(F.size("arr") > 0))
+    positions = F.filter(
+        F.transform(F.col("arr"),
+                    lambda x, i: F.when(x == F.lit(term), i)
+                    .otherwise(F.lit(-1))),
+        lambda p: p >= 0)
+    hits = (d.select("doc_id", "arr",
+                     F.explode(F.slice(positions, 1, max_per_doc))
+                     .alias("pos")))
+    start0 = F.greatest(F.col("pos") - window, F.lit(0))
+    end_excl = F.least(F.col("pos") + window + 1, F.size("arr"))
+    return hits.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"),
+        F.array_join(F.slice(F.col("arr"), start0 + 1, end_excl - start0),
+                     " ").alias("snippet"))

@@ -230,3 +230,49 @@ def zipf_fit(tokens: DataFrame, token_col: str = "token") -> DataFrame:
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
         .alias("intercept"),
         F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"))
+
+
+def unigram_js_divergence(tokens: DataFrame, group_col: str,
+                          group_a: str, group_b: str,
+                          token_col: str = "token") -> DataFrame:
+    """Jensen-Shannon divergence between two corpus slices' unigram
+    distributions (Lin IEEE-IT 1991) — the bounded, symmetric
+    distribution-drift diagnostic a data pipeline runs between crawl
+    snapshots, sources, or before/after a filter change (DSIR measures
+    per-document importance against a target; this measures whole-slice
+    drift in one number, 0 = identical, ln 2 = disjoint).
+
+    JSD(P||Q) = 0.5 KL(P||M) + 0.5 KL(Q||M), M = (P+Q)/2, natural log;
+    zero counts contribute zero (0 ln 0 = 0 by continuity), so no
+    smoothing constant can leak into the statistic.
+
+    Scale shape: ONE corpus-sized (token) hash agg holding both slices'
+    counts as conditional sums (map-side partials absorb the Zipf
+    head); totals reduce to a broadcast 1-row join; the final
+    contribution sum is a second reduced-side agg over the vocabulary
+    table. No Python, no window.
+
+    -> ONE row (n_tokens_a, n_tokens_b, n_types, jsd_nats 6dp).
+    """
+    g = F.col(group_col)
+    counts = (tokens
+              .filter(g.isin(group_a, group_b))
+              .groupBy(token_col)
+              .agg(F.sum(F.when(g == group_a, 1).otherwise(0))
+                   .alias("ca"),
+                   F.sum(F.when(g == group_b, 1).otherwise(0))
+                   .alias("cb")))
+    totals = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    joined = counts.crossJoin(F.broadcast(totals))
+    pa = F.col("ca") / F.col("na")
+    pb = F.col("cb") / F.col("nb")
+    m = (pa + pb) / 2
+    term = (F.when(F.col("ca") > 0,
+                   F.lit(0.5) * pa * F.log(pa / m)).otherwise(F.lit(0.0))
+            + F.when(F.col("cb") > 0,
+                     F.lit(0.5) * pb * F.log(pb / m)).otherwise(F.lit(0.0)))
+    return (joined
+            .agg(F.max("na").cast("long").alias("n_tokens_a"),
+                 F.max("nb").cast("long").alias("n_tokens_b"),
+                 F.count(F.lit(1)).cast("long").alias("n_types"),
+                 F.round(F.sum(term), 6).alias("jsd_nats")))

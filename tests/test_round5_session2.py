@@ -449,3 +449,85 @@ class TestFoldedBlocks:
         df = spark.createDataFrame([("Hello World 42",)], "name string")
         assert df.select(ascii_fold(F.col("name")).alias("f")) \
             .collect()[0].f == "hello world 42"
+
+
+class TestKwicSnippets:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def test_window_and_edges(self, spark):
+        from saber_spark.operators.retrieval import kwic_snippets
+        docs = self._docs(spark, ["alpha beta gamma delta epsilon"])
+        out = {r.pos: r.snippet for r in kwic_snippets(
+            docs, "gamma", window=1).collect()}
+        assert out == {2: "beta gamma delta"}
+        out0 = {r.pos: r.snippet for r in kwic_snippets(
+            docs, "alpha", window=2).collect()}
+        assert out0 == {0: "alpha beta gamma"}  # left edge clamps
+        out4 = {r.pos: r.snippet for r in kwic_snippets(
+            docs, "epsilon", window=2).collect()}
+        assert out4 == {4: "gamma delta epsilon"}  # right edge clamps
+
+    def test_max_per_doc_keeps_earliest(self, spark):
+        from saber_spark.operators.retrieval import kwic_snippets
+        docs = self._docs(spark, ["x a x b x c x d"])
+        out = sorted(r.pos for r in kwic_snippets(
+            docs, "x", window=1, max_per_doc=2).collect())
+        assert out == [0, 2]
+
+    def test_absent_term_no_rows(self, spark):
+        from saber_spark.operators.retrieval import kwic_snippets
+        docs = self._docs(spark, ["alpha beta"])
+        assert kwic_snippets(docs, "zzz").count() == 0
+
+    def test_punctuation_tokens_count_positions(self, spark):
+        from saber_spark.operators.retrieval import kwic_snippets
+        # NERsuite tokenizer: ',' is its own token at pos 1
+        docs = self._docs(spark, ["alpha, beta gamma"])
+        out = {r.pos: r.snippet for r in kwic_snippets(
+            docs, "beta", window=1).collect()}
+        assert out == {2: ", beta gamma"}
+
+
+class TestJsDivergence:
+    def _toks(self, spark, rows):
+        return spark.createDataFrame(rows, "grp string, token string")
+
+    def test_identical_slices_zero(self, spark):
+        from saber_spark.operators.vocab import unigram_js_divergence
+        rows = [("a", t) for t in "x y z x".split()]
+        rows += [("b", t) for t in "x y z x".split()]
+        out = unigram_js_divergence(
+            self._toks(spark, rows), "grp", "a", "b").collect()[0]
+        assert out.jsd_nats == 0.0
+        assert out.n_tokens_a == 4 and out.n_tokens_b == 4
+
+    def test_disjoint_slices_ln2(self, spark):
+        import math
+        from saber_spark.operators.vocab import unigram_js_divergence
+        rows = [("a", "x"), ("a", "y"), ("b", "p"), ("b", "q")]
+        out = unigram_js_divergence(
+            self._toks(spark, rows), "grp", "a", "b").collect()[0]
+        assert out.jsd_nats == round(math.log(2), 6)
+
+    def test_hand_computed_value(self, spark):
+        import math
+        from saber_spark.operators.vocab import unigram_js_divergence
+        # P = {x: 1}, Q = {x: .5, y: .5}
+        rows = [("a", "x"), ("a", "x"), ("b", "x"), ("b", "y")]
+        out = unigram_js_divergence(
+            self._toks(spark, rows), "grp", "a", "b").collect()[0]
+        m_x, m_y = 0.75, 0.25
+        expected = (0.5 * (1.0 * math.log(1.0 / m_x))
+                    + 0.5 * (0.5 * math.log(0.5 / m_x)
+                             + 0.5 * math.log(0.5 / m_y)))
+        assert abs(out.jsd_nats - expected) < 2e-6
+        assert out.n_types == 2
+
+    def test_other_groups_ignored(self, spark):
+        from saber_spark.operators.vocab import unigram_js_divergence
+        rows = [("a", "x"), ("b", "x"), ("c", "zzz")] * 2
+        out = unigram_js_divergence(
+            self._toks(spark, rows), "grp", "a", "b").collect()[0]
+        assert out.n_types == 1 and out.jsd_nats == 0.0

@@ -2092,6 +2092,34 @@ def main() -> None:
         0,
     ))
 
+    kw = e.q_kwic_snippets(spark, SF_DIR)
+    sections.append((
+        "kwic_snippets (zero-shuffle concordance)",
+        "Hit positions via index-aware transform, per-doc cap via "
+        "array slice, snippet via array slice — the token array never "
+        "leaves its row, so the whole operator is one scan + Generate "
+        "with NO Exchange anywhere in the plan.",
+        formatted_plan(kw),
+        ["Generate"],
+        0,
+    ))
+    if "Exchange" in formatted_plan(kw):
+        sections[-1] = (sections[-1][0], sections[-1][1],
+                        sections[-1][2] + "\nUNEXPECTED-EXCHANGE",
+                        ["Generate", "NO-EXCHANGE-EXPECTED"], 0)
+
+    jd = e.q_js_divergence(spark, SF_DIR)
+    sections.append((
+        "js_divergence (one corpus agg, broadcast totals)",
+        "Both slices' counts live in ONE token-keyed hash agg as "
+        "conditional sums; totals reduce to a 1-row broadcast joined "
+        "back; the contribution sum is a second reduced-side agg. "
+        "Single corpus-sized exchange.",
+        formatted_plan(jd),
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
