@@ -4213,6 +4213,40 @@ def q_js_divergence(spark, sf_dir):
     return unigram_js_divergence(toks, "lang", "en", "de")
 
 
+def q_chao1_vocab(spark, sf_dir):
+    """Chao1 vocabulary-richness estimate (profile.chao1_richness, Chao
+    1984 bias-corrected; Trushkowsky ICDE 2013 for KB completeness):
+    from the token-frequency histogram's singletons/doubletons,
+    estimate how many vocabulary types the NEXT crawl would add — the
+    type-count complement of good_turing's unseen probability MASS.
+    One corpus-sized freq agg, histogram-sized everything after, one
+    output row."""
+    from saber_spark.operators.profile import chao1_richness
+    return chao1_richness(tokenize_docs(_docs(spark, sf_dir)), "token")
+
+
+def q_capture_recapture(spark, sf_dir):
+    """Lincoln-Petersen/Chapman capture-recapture recall estimation
+    (evaluation.capture_recapture, Razniewski CIKM 2016 for KB recall):
+    two independently hash-thinned extractor runs over the dictionary
+    mention universe (A keeps md5('a:'...)%5 < 4 ≈ 80%, B keeps
+    md5('b:'...)%5 < 3 ≈ 60% — different salts, so the thinning
+    processes are independent by construction) estimate the full
+    mention universe and each run's absolute recall WITHOUT gold
+    annotation. Chapman-corrected; the pytest asserts N-hat recovers
+    the true universe size on this exact construction."""
+    from saber_spark.operators.evaluation import capture_recapture
+    base = _linked_spark(spark, sf_dir).select("doc_id", "pos")
+    key = F.concat_ws(":", F.col("doc_id").cast("string"),
+                      F.col("pos").cast("string"))
+    h = lambda salt: (F.conv(F.substring(  # noqa: E731
+        F.md5(F.concat(F.lit(salt), key)), 1, 8), 16, 10)
+        .cast("long") % 5)
+    a = base.filter(h("a:") < 4)
+    b = base.filter(h("b:") < 3)
+    return capture_recapture(a, b, ["doc_id", "pos"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4559,6 +4593,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 final-session batch 5: KWIC concordance + corpus-drift JSD
         "kwic_snippets": q_kwic_snippets,
         "js_divergence": q_js_divergence,
+        # r5 final-session batch 6: KB-completeness estimators (Chao1
+        # richness, Lincoln-Petersen/Chapman capture-recapture)
+        "chao1_vocab": q_chao1_vocab,
+        "capture_recapture": q_capture_recapture,
     }
 
 
@@ -10361,4 +10399,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_types,
                    round(sum(term), 6) AS jsd_nats
             FROM terms""",
+        "chao1_vocab": f"""
+            WITH {TOKENS_CTE},
+            freqs AS (SELECT token, count(*) AS r FROM tokens
+                      GROUP BY token),
+            hist AS (SELECT r, count(*) AS n_r FROM freqs GROUP BY r),
+            agg AS (
+              SELECT sum(n_r) AS s_obs,
+                     coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0) AS f1,
+                     coalesce(sum(CASE WHEN r = 2 THEN n_r END), 0) AS f2
+              FROM hist)
+            SELECT CAST(s_obs AS BIGINT) AS s_obs,
+                   CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+                   round(s_obs + f1 * (f1 - 1) / (2 * (f2 + 1)), 6)
+                     AS chao1,
+                   round(1.0 - s_obs
+                         / (s_obs + f1 * (f1 - 1) / (2 * (f2 + 1))), 6)
+                     AS unseen_frac
+            FROM agg""",
+        "capture_recapture": f"""
+            WITH {TOKENS_CTE}, {LINKED_CTE},
+            base AS (SELECT DISTINCT doc_id, pos FROM linked),
+            keyed AS (
+              SELECT doc_id, pos,
+                     CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(pos AS VARCHAR) AS k
+              FROM base),
+            a AS (SELECT doc_id, pos FROM keyed
+                  WHERE CAST('0x' || substr(md5('a:' || k), 1, 8) AS BIGINT)
+                        % 5 < 4),
+            b AS (SELECT doc_id, pos FROM keyed
+                  WHERE CAST('0x' || substr(md5('b:' || k), 1, 8) AS BIGINT)
+                        % 5 < 3),
+            cnt AS (
+              SELECT (SELECT count(*) FROM a) AS n_a,
+                     (SELECT count(*) FROM b) AS n_b,
+                     (SELECT count(*) FROM a JOIN b USING (doc_id, pos))
+                       AS n_both)
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CAST(n_both AS BIGINT) AS n_both,
+                   round((n_a + 1) * (n_b + 1) / (n_both + 1) - 1, 6)
+                     AS n_hat,
+                   round(n_a / ((n_a + 1) * (n_b + 1) / (n_both + 1) - 1), 6)
+                     AS recall_a,
+                   round(n_b / ((n_a + 1) * (n_b + 1) / (n_both + 1) - 1), 6)
+                     AS recall_b
+            FROM cnt""",
     }

@@ -249,6 +249,8 @@ def main() -> None:
         "eval_semeval", "folded_blocks",
         # round 5 final session batch 5 (KWIC concordance, corpus JSD)
         "kwic_snippets", "js_divergence",
+        # round 5 final session batch 6 (KB-completeness estimators)
+        "chao1_vocab", "capture_recapture",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -370,3 +370,45 @@ def evaluate_chunks_semeval(gold: DataFrame, pred: DataFrame,
         F.round(prec, 6).alias("precision"),
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"))
+
+
+def capture_recapture(a: DataFrame, b: DataFrame,
+                      keys: list[str]) -> DataFrame:
+    """Lincoln-Petersen capture-recapture with the Chapman correction
+    (Chapman 1951; Razniewski et al. CIKM 2016 applied it to KB recall):
+    two INDEPENDENT extractors' outputs over the same corpus estimate
+    the true extraction universe — and therefore each extractor's
+    absolute recall — without any gold annotation:
+
+        N_hat = (n_a + 1)(n_b + 1) / (n_both + 1) - 1
+        recall_x = n_x / N_hat
+
+    This answers what eval_prf/tagger_agreement cannot: agreement
+    metrics compare extractors to EACH OTHER; capture-recapture infers
+    how much NEITHER found (valid insofar as the extractors' miss
+    processes are independent — the standard caveat, stated, not
+    hidden).
+
+    Scale shape: two distinct projections + ONE inner join on the
+    mention key + three count aggs that reduce to one row. The join
+    co-partitions both sides on the same key.
+
+    -> ONE row (n_a, n_b, n_both, n_hat 6dp, recall_a 6dp,
+    recall_b 6dp).
+    """
+    da = a.select(*keys).distinct()
+    db = b.select(*keys).distinct()
+    both = da.join(db, keys)
+    na = da.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = db.agg(F.count(F.lit(1)).alias("n_b"))
+    m = both.agg(F.count(F.lit(1)).alias("n_both"))
+    row = na.crossJoin(nb).crossJoin(m)
+    n_hat = ((F.col("n_a") + 1) * (F.col("n_b") + 1)
+             / (F.col("n_both") + 1) - 1)
+    return row.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.round(n_hat, 6).alias("n_hat"),
+        F.round(F.col("n_a") / n_hat, 6).alias("recall_a"),
+        F.round(F.col("n_b") / n_hat, 6).alias("recall_b"))

@@ -531,3 +531,79 @@ class TestJsDivergence:
         out = unigram_js_divergence(
             self._toks(spark, rows), "grp", "a", "b").collect()[0]
         assert out.n_types == 1 and out.jsd_nats == 0.0
+
+
+class TestChao1:
+    def _items(self, spark, tokens):
+        return spark.createDataFrame([(t,) for t in tokens],
+                                     "item string")
+
+    def test_hand_computed(self, spark):
+        from saber_spark.operators.profile import chao1_richness
+        # freqs: a:3, b:1, c:1, d:2  ->  s_obs=4, f1=2, f2=1
+        # chao1 = 4 + 2*1/(2*2) = 4.5 ; unseen = 1 - 4/4.5
+        toks = "a a a b c d d".split()
+        out = chao1_richness(self._items(spark, toks), "item").collect()[0]
+        assert (out.s_obs, out.f1, out.f2) == (4, 2, 1)
+        assert out.chao1 == 4.5
+        assert out.unseen_frac == round(1 - 4 / 4.5, 6)
+
+    def test_no_singletons_means_complete(self, spark):
+        from saber_spark.operators.profile import chao1_richness
+        toks = "a a b b c c".split()
+        out = chao1_richness(self._items(spark, toks), "item").collect()[0]
+        assert out.f1 == 0 and out.chao1 == float(out.s_obs)
+        assert out.unseen_frac == 0.0
+
+    def test_defined_when_no_doubletons(self, spark):
+        from saber_spark.operators.profile import chao1_richness
+        toks = "a b c".split()  # all singletons, f2 = 0
+        out = chao1_richness(self._items(spark, toks), "item").collect()[0]
+        # bias-corrected: 3 + 3*2/(2*1) = 6
+        assert out.chao1 == 6.0
+
+
+class TestCaptureRecapture:
+    def _df(self, spark, ids):
+        return spark.createDataFrame([(i,) for i in ids], "id long")
+
+    def test_chapman_formula(self, spark):
+        from saber_spark.operators.evaluation import capture_recapture
+        a = self._df(spark, range(0, 60))       # 60 caught
+        b = self._df(spark, range(40, 100))     # 60 caught, 20 overlap
+        out = capture_recapture(a, b, ["id"]).collect()[0]
+        assert (out.n_a, out.n_b, out.n_both) == (60, 60, 20)
+        n_hat = 61 * 61 / 21 - 1
+        assert out.n_hat == round(n_hat, 6)
+        assert out.recall_a == round(60 / n_hat, 6)
+
+    def test_recovers_universe_under_independent_thinning(self, spark):
+        """The methodological claim the operator exists for: two
+        independent hash-thinned samples of a 2000-item universe give
+        N-hat within a few percent of 2000."""
+        from saber_spark.operators.evaluation import capture_recapture
+        universe = self._df(spark, range(2000))
+        ha = (F.conv(F.substring(F.md5(F.concat(F.lit("a:"),
+              F.col("id").cast("string"))), 1, 8), 16, 10)
+              .cast("long") % 5)
+        hb = (F.conv(F.substring(F.md5(F.concat(F.lit("b:"),
+              F.col("id").cast("string"))), 1, 8), 16, 10)
+              .cast("long") % 5)
+        a = universe.filter(ha < 4)   # ~80%
+        b = universe.filter(hb < 3)   # ~60%
+        out = capture_recapture(a, b, ["id"]).collect()[0]
+        assert abs(out.n_hat - 2000) / 2000 < 0.05
+        assert abs(out.recall_a - 0.8) < 0.05
+
+    def test_full_overlap_degenerates_to_count(self, spark):
+        from saber_spark.operators.evaluation import capture_recapture
+        a = self._df(spark, range(10))
+        out = capture_recapture(a, a, ["id"]).collect()[0]
+        assert out.n_hat == 10.0 and out.recall_a == 1.0
+
+    def test_duplicates_collapse(self, spark):
+        from saber_spark.operators.evaluation import capture_recapture
+        a = self._df(spark, [1, 1, 2])
+        b = self._df(spark, [2, 2, 3])
+        out = capture_recapture(a, b, ["id"]).collect()[0]
+        assert (out.n_a, out.n_b, out.n_both) == (2, 2, 1)

@@ -2120,6 +2120,29 @@ def main() -> None:
         0,
     ))
 
+    ch = e.q_chao1_vocab(spark, SF_DIR)
+    sections.append((
+        "chao1_vocab (one corpus freq agg, histogram-sized tail)",
+        "Type-frequency agg is the only corpus-sized shuffle "
+        "(good_turing's contract); the count-of-counts agg and the "
+        "single-row Chao1 arithmetic run on the histogram.",
+        formatted_plan(ch),
+        ["HashAggregate"],
+        0,
+    ))
+
+    cr = e.q_capture_recapture(spark, SF_DIR)
+    sections.append((
+        "capture_recapture (two distincts, one co-partitioned join)",
+        "Lincoln-Petersen/Chapman: each extractor output deduplicates "
+        "on the mention key, the overlap is ONE equi-join on the same "
+        "key, and three single-row counts assemble the estimate — no "
+        "corpus-sized state beyond the distincts.",
+        formatted_plan(cr),
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
