@@ -4247,6 +4247,90 @@ def q_capture_recapture(spark, sf_dir):
     return capture_recapture(a, b, ["doc_id", "pos"])
 
 
+def q_collocations(spark, sf_dir):
+    """Dunning log-likelihood bigram collocations (vocab.
+    loglik_collocations, Dunning CL 1993): G^2 significance of adjacent
+    alphabetic token pairs against the independence margins — the
+    phrase-mining primitive next to pmi_weights' document-level entity
+    PMI (G^2 stays calibrated at the low counts where PMI explodes).
+    Row-set output (c12 >= 5), no top-k tie-break risk. One window
+    shuffle to form bigrams; three hash aggs; marginals joined back by
+    key; N broadcast."""
+    from saber_spark.operators.vocab import loglik_collocations
+    return loglik_collocations(tokenize_docs(_docs(spark, sf_dir)),
+                               min_count=5)
+
+
+def q_logodds_keyness(spark, sf_dir):
+    """Monroe "Fightin' Words" keyness (vocab.logodds_keyness, Monroe
+    et al. Political Analysis 2008): per-token log-odds between the
+    English and German slices under an informative Dirichlet prior
+    drawn from the pooled corpus, with z-scores — ranks WHICH tokens
+    drive the drift that js_divergence measures in one number. Same
+    scale shape as js_divergence: one corpus-sized conditional-sum agg,
+    1-row totals broadcast, narrow vocabulary-table map."""
+    from saber_spark.operators.vocab import logodds_keyness
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(F.regexp_extract_all(
+            F.col("text"), F.lit(INFIX_PATTERN), F.lit(0))).alias("token"))
+    return logodds_keyness(toks, "lang", "en", "de",
+                           alpha0=100.0, min_total=20)
+
+
+def q_rbo_hosts(spark, sf_dir):
+    """Rank-biased overlap between two host priority rankings
+    (retrieval.rbo_overlap, Webber/Moffat/Zobel TOIS 2010): hosts
+    ranked by document count vs by total extracted chars — the
+    "did the crawl-frontier ordering change?" statistic for truncated,
+    possibly-disjoint top-10 lists where Kendall tau is undefined.
+    Both rankings are deterministic (metric DESC, host ASC
+    row_number); everything past the host agg runs on <= depth rows."""
+    from saber_spark.operators.retrieval import rbo_overlap
+    from saber_spark.operators.webstats import host_stats
+    stats = host_stats(_synth_pages_url(_docs(spark, sf_dir)))
+    wa = Window.orderBy(F.col("n_docs").desc(), F.col("host").asc())
+    wb = Window.orderBy(F.col("total_chars").desc(), F.col("host").asc())
+    ra = stats.select("host",
+                      F.row_number().over(wa).cast("long").alias("rank"))
+    rb = stats.select("host",
+                      F.row_number().over(wb).cast("long").alias("rank"))
+    return rbo_overlap(ra, rb, ["host"], depth=10, p=0.9)
+
+
+def q_benford_prices(spark, sf_dir):
+    """Benford first-digit forensics over order totals
+    (profile.benford_audit, Benford 1938 / Nigrini's audit standard):
+    the numeric-fact quality audit — a source whose extracted
+    magnitudes break the log10(1+1/d) law is templated, fabricated, or
+    unit-mangled and gets quarantined before fusion. ONE 9-key hash
+    agg; law join is a 9-row broadcast."""
+    from saber_spark.operators.profile import benford_audit
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return benford_audit(orders, "o_totalprice")
+
+
+def q_lexical_richness(spark, sf_dir):
+    """Yule's K / TTR / hapax panel (profile.lexical_richness, Yule
+    1944): the repetitiveness complement of chao1_vocab (unseen types)
+    and good_turing (unseen mass) from the SAME type-frequency
+    histogram — the template/boilerplate corpus signal. One corpus
+    agg, histogram-sized tail, one output row."""
+    from saber_spark.operators.profile import lexical_richness
+    return lexical_richness(tokenize_docs(_docs(spark, sf_dir)), "token")
+
+
+def q_wilson_sources(spark, sf_dir):
+    """Wilson lower-bound source ranking (evaluation.
+    wilson_lower_bound, Wilson JASA 1927): rank sources by the 95%
+    lower confidence bound of their clean-document proportion
+    (n_chars >= 300) — the shrinkage-honest leaderboard where 3/3
+    cannot outrank 970/1000 (raw p-hat would). One group agg;
+    rank window on |sources| rows."""
+    from saber_spark.operators.evaluation import wilson_lower_bound
+    return wilson_lower_bound(_docs(spark, sf_dir), "source",
+                              F.col("n_chars") >= 300)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4597,6 +4681,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # richness, Lincoln-Petersen/Chapman capture-recapture)
         "chao1_vocab": q_chao1_vocab,
         "capture_recapture": q_capture_recapture,
+        # r5 final session batch 7 (Dunning G^2 collocations, Monroe
+        # log-odds keyness, rank-biased overlap)
+        "collocations": q_collocations,
+        "logodds_keyness": q_logodds_keyness,
+        "rbo_hosts": q_rbo_hosts,
+        # r5 final session batch 8 (Benford forensics, Yule's K panel,
+        # Wilson lower-bound ranking)
+        "benford_prices": q_benford_prices,
+        "lexical_richness": q_lexical_richness,
+        "wilson_sources": q_wilson_sources,
     }
 
 
@@ -10445,4 +10539,162 @@ def oracle_sql() -> dict[str, str]:
                    round(n_b / ((n_a + 1) * (n_b + 1) / (n_both + 1) - 1), 6)
                      AS recall_b
             FROM cnt""",
+        "collocations": f"""
+            WITH {TOKENS_CTE},
+            big AS (
+              SELECT token AS w1,
+                     lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS w2
+              FROM tokens),
+            ab AS (SELECT w1, w2 FROM big
+                   WHERE w2 IS NOT NULL
+                     AND regexp_full_match(w1, '[A-Za-z]+')
+                     AND regexp_full_match(w2, '[A-Za-z]+')),
+            p12 AS (SELECT w1, w2, count(*) AS c12 FROM ab GROUP BY w1, w2),
+            m1 AS (SELECT w1, count(*) AS c1 FROM ab GROUP BY w1),
+            m2 AS (SELECT w2, count(*) AS c2 FROM ab GROUP BY w2),
+            tot AS (SELECT count(*) AS n FROM ab),
+            j AS (SELECT w1, w2, c12, c1, c2, n
+                  FROM p12 JOIN m1 USING (w1) JOIN m2 USING (w2)
+                  CROSS JOIN tot
+                  WHERE c12 >= 5)
+            SELECT w1, w2,
+                   CAST(c12 AS BIGINT) AS c12,
+                   CAST(c1 AS BIGINT) AS c1,
+                   CAST(c2 AS BIGINT) AS c2,
+                   round(2 * (
+                     CASE WHEN c12 > 0 THEN c12
+                          * ln(c12 / (c1 * c2 / n)) ELSE 0 END
+                     + CASE WHEN c1 - c12 > 0 THEN (c1 - c12)
+                            * ln((c1 - c12) / (c1 * (n - c2) / n))
+                            ELSE 0 END
+                     + CASE WHEN c2 - c12 > 0 THEN (c2 - c12)
+                            * ln((c2 - c12) / ((n - c1) * c2 / n))
+                            ELSE 0 END
+                     + CASE WHEN n - c1 - c2 + c12 > 0
+                            THEN (n - c1 - c2 + c12)
+                            * ln((n - c1 - c2 + c12)
+                                 / ((n - c1) * (n - c2) / n))
+                            ELSE 0 END), 6) AS g2
+            FROM j""",
+        "logodds_keyness": """
+            WITH tok AS (
+              SELECT lang,
+                     unnest(regexp_extract_all(text,
+                       '[0-9a-zA-Z]+|[^0-9a-zA-Z\s]', 0)) AS token
+              FROM documents WHERE lang IN ('en', 'de')),
+            counts AS (
+              SELECT token,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS cb
+              FROM tok GROUP BY token),
+            totals AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts),
+            j AS (SELECT token, ca, cb, na, nb,
+                         100.0 * (ca + cb) / (na + nb) AS aw
+                  FROM counts CROSS JOIN totals
+                  WHERE ca + cb >= 20)
+            SELECT token,
+                   CAST(ca AS BIGINT) AS ca,
+                   CAST(cb AS BIGINT) AS cb,
+                   round(ln((ca + aw) / (na + 100.0 - ca - aw))
+                         - ln((cb + aw) / (nb + 100.0 - cb - aw)), 6)
+                     AS delta,
+                   round((ln((ca + aw) / (na + 100.0 - ca - aw))
+                          - ln((cb + aw) / (nb + 100.0 - cb - aw)))
+                         / sqrt(1 / (ca + aw) + 1 / (cb + aw)), 6) AS z
+            FROM j""",
+        "rbo_hosts": """
+            WITH pages AS (
+              SELECT 'https://' || source || '.Example.org/doc/' ||
+                     CAST(doc_id AS VARCHAR) AS url, n_chars
+              FROM documents),
+            stats AS (
+              SELECT lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                     count(*) AS n_docs,
+                     sum(n_chars) AS total_chars
+              FROM pages GROUP BY 1),
+            ra AS (SELECT host, ROW_NUMBER() OVER
+                     (ORDER BY n_docs DESC, host ASC) AS ra FROM stats),
+            rb AS (SELECT host, ROW_NUMBER() OVER
+                     (ORDER BY total_chars DESC, host ASC) AS rb
+                   FROM stats),
+            shared AS (
+              SELECT greatest(ra, rb) AS entry
+              FROM ra JOIN rb USING (host)
+              WHERE ra <= 10 AND rb <= 10),
+            xd AS (
+              SELECT d, count(entry) AS x_d
+              FROM generate_series(1, 10) AS t(d)
+              LEFT JOIN shared ON entry <= d
+              GROUP BY d)
+            SELECT CAST(10 AS BIGINT) AS depth,
+                   0.9 AS p,
+                   CAST(max(CASE WHEN d = 10 THEN x_d END) AS BIGINT)
+                     AS x_depth,
+                   round(max(CASE WHEN d = 10 THEN x_d END) / 10.0, 6)
+                     AS agreement,
+                   round(0.1 * sum(pow(0.9, d - 1) * x_d / d), 6) AS rbo
+            FROM xd""",
+        "benford_prices": """
+            WITH vals AS (
+              SELECT o_totalprice AS x FROM orders WHERE o_totalprice > 0),
+            d AS (
+              SELECT CAST(floor(x / pow(10.0, floor(log10(x))))
+                          AS BIGINT) AS digit
+              FROM vals),
+            counts AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+            filled AS (
+              SELECT t.d AS digit, coalesce(counts.n, 0) AS n
+              FROM generate_series(1, 9) AS t(d)
+              LEFT JOIN counts ON counts.digit = t.d),
+            tot AS (SELECT sum(n) AS total FROM filled)
+            SELECT CAST(digit AS BIGINT) AS digit,
+                   CAST(n AS BIGINT) AS n,
+                   round(n / total, 6) AS obs_p,
+                   round(log10(1 + 1 / digit), 6) AS exp_p,
+                   round(pow(n - total * log10(1 + 1 / digit), 2)
+                         / (total * log10(1 + 1 / digit)), 6) AS chi2_term
+            FROM filled CROSS JOIN tot""",
+        "lexical_richness": f"""
+            WITH {TOKENS_CTE},
+            freqs AS (SELECT token, count(*) AS r FROM tokens
+                      GROUP BY token),
+            hist AS (SELECT r, count(*) AS n_r FROM freqs GROUP BY r),
+            agg AS (
+              SELECT sum(r * n_r) AS n_tokens,
+                     sum(n_r) AS n_types,
+                     coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0) AS f1,
+                     sum(r * r * n_r) AS sum_r2
+              FROM hist)
+            SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_types AS BIGINT) AS n_types,
+                   CAST(f1 AS BIGINT) AS f1,
+                   round(n_types / n_tokens, 6) AS ttr,
+                   round(f1 / n_types, 6) AS hapax_frac,
+                   round(1e4 * (sum_r2 - n_tokens) / n_tokens / n_tokens,
+                         6) AS yule_k
+            FROM agg""",
+        "wilson_sources": """
+            WITH g AS (
+              SELECT source,
+                     count(*) AS n,
+                     sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS k
+              FROM documents GROUP BY source),
+            scored AS (
+              SELECT source,
+                     CAST(n AS BIGINT) AS n,
+                     CAST(k AS BIGINT) AS k,
+                     round(k / n, 6) AS p_hat,
+                     round(((k / n) + 1.959964 * 1.959964 / (2 * n)
+                            - 1.959964 * sqrt((k / n) * (1 - k / n) / n
+                                + 1.959964 * 1.959964 / (4 * n) / n))
+                           / (1 + 1.959964 * 1.959964 / n), 6)
+                       AS wilson_lb
+              FROM g)
+            SELECT source, n, k, p_hat, wilson_lb,
+                   CAST(ROW_NUMBER() OVER
+                     (ORDER BY wilson_lb DESC, source ASC) AS BIGINT)
+                     AS rank
+            FROM scored""",
     }

@@ -251,6 +251,12 @@ def main() -> None:
         "kwic_snippets", "js_divergence",
         # round 5 final session batch 6 (KB-completeness estimators)
         "chao1_vocab", "capture_recapture",
+        # round 5 final session batch 7 (Dunning G^2 collocations,
+        # Monroe log-odds keyness, rank-biased overlap)
+        "collocations", "logodds_keyness", "rbo_hosts",
+        # round 5 final session batch 8 (Benford forensics, Yule's K
+        # panel, Wilson lower-bound ranking)
+        "benford_prices", "lexical_richness", "wilson_sources",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -412,3 +412,55 @@ def capture_recapture(a: DataFrame, b: DataFrame,
         F.round(n_hat, 6).alias("n_hat"),
         F.round(F.col("n_a") / n_hat, 6).alias("recall_a"),
         F.round(F.col("n_b") / n_hat, 6).alias("recall_b"))
+
+
+def wilson_lower_bound(df: DataFrame, group_col: str, success_col,
+                       z: float = 1.959964) -> DataFrame:
+    """Wilson score-interval lower bound per group (Wilson JASA 1927;
+    the "how not to sort by average rating" estimator) — the
+    shrinkage-honest way to RANK sources/hosts/extractors by a success
+    proportion when group sizes differ by orders of magnitude: a host
+    with 3/3 clean docs must NOT outrank one with 970/1000, which is
+    exactly what raw p-hat does and what capture_recapture /
+    source_reliability don't answer (they estimate, they don't rank
+    under small-sample uncertainty).
+
+        lb = (p + z^2/2n - z*sqrt(p(1-p)/n + z^2/4n^2)) / (1 + z^2/n)
+
+    with p = k/n. Counts are exact; sqrt/divisions are doubles on
+    exact rationals -> 6dp round is engine-portable. z defaults to
+    the two-sided 95% normal quantile.
+
+    Rank ties broken (rounded lb DESC, group ASC) — deterministic.
+
+    Scale shape: ONE group-keyed hash agg (conditional sum for k,
+    count for n — map-side combine, no skew possible beyond the group
+    key itself); the rank window runs on |groups| rows. At web scale
+    |hosts| is millions — row_number over a global order is a single
+    partition, so shard the ranking by a coarse bucket first if the
+    full ordering is actually needed (the top-k consumer never needs
+    it: TakeOrderedAndProject on the rounded key).
+
+    -> (group, n, k, p_hat 6dp, wilson_lb 6dp, rank).
+    """
+    s = success_col if not isinstance(success_col, str) \
+        else F.col(success_col)
+    g = (df.groupBy(group_col)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(s.cast("long")).alias("k")))
+    p = F.col("k") / F.col("n")
+    n = F.col("n")
+    z2 = F.lit(z * z)
+    # z2/(4*n)/n, not z2/(4*n*n): n*n overflows BIGINT past ~3e9 rows
+    lb = ((p + z2 / (2 * n)
+           - F.lit(z) * F.sqrt(p * (1 - p) / n + z2 / (4 * n) / n))
+          / (1 + z2 / n))
+    scored = g.select(
+        F.col(group_col),
+        n.cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(p, 6).alias("p_hat"),
+        F.round(lb, 6).alias("wilson_lb"))
+    w = Window.orderBy(F.col("wilson_lb").desc(), F.col(group_col).asc())
+    return scored.select("*", F.row_number().over(w).cast("long")
+                         .alias("rank"))

@@ -397,3 +397,92 @@ def chao1_richness(items: DataFrame, item_col: str) -> DataFrame:
         F.round(chao1, 6).alias("chao1"),
         F.round(F.lit(1.0) - F.col("s_obs") / chao1, 6)
         .alias("unseen_frac"))
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit (Newcomb 1881;
+    Benford 1938; Nigrini's forensic-accounting standard) over a
+    positive numeric column — the numeric-fact counterpart of the
+    text-side quality audits: naturally-occurring magnitudes
+    (prices, populations, counts extracted into a KG) follow
+    P(d) = log10(1 + 1/d); fabricated, templated, or unit-mangled
+    values do not, so a large chi-square flags an extraction source
+    worth quarantining BEFORE its facts enter fusion.
+
+    First digit d(x) = floor(x / 10^floor(log10(x))) for x > 0
+    (non-positive rows are excluded — Benford is defined on
+    magnitudes). Counts are exact; obs/exp proportions and the
+    chi-square contribution ((n_d - N p_d)^2 / (N p_d)) are doubles
+    on exact rationals -> 6dp round is engine-portable.
+
+    Scale shape: ONE 9-key hash agg (map-side partials collapse each
+    partition to <= 9 rows); the expected-law join is a 9-row
+    broadcast crossJoin of the 1-row total. No window, no Python.
+
+    -> 9 rows (digit, n, obs_p 6dp, exp_p 6dp, chi2_term 6dp),
+    digits with zero support still appear (n = 0).
+    """
+    x = F.col(value_col)
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+    counts = (df.filter(x > 0)
+              .select(digit.cast("long").alias("digit"))
+              .groupBy("digit")
+              .agg(F.count(F.lit(1)).alias("n")))
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").alias("digit"))
+    full = (digits.join(counts, "digit", "left")
+            .select("digit", F.coalesce("n", F.lit(0)).alias("n")))
+    total = full.agg(F.sum("n").alias("total"))
+    exp_p = F.log10(1 + 1 / F.col("digit"))
+    exp_n = F.col("total") * exp_p
+    return (full.crossJoin(F.broadcast(total))
+            .select(F.col("digit").cast("long").alias("digit"),
+                    F.col("n").cast("long").alias("n"),
+                    F.round(F.col("n") / F.col("total"), 6).alias("obs_p"),
+                    F.round(exp_p, 6).alias("exp_p"),
+                    F.round(F.pow(F.col("n") - exp_n, F.lit(2.0)) / exp_n,
+                            6).alias("chi2_term")))
+
+
+def lexical_richness(items: DataFrame, item_col: str) -> DataFrame:
+    """Classic lexical-richness panel from the type-frequency histogram
+    (the third member of the good_turing / chao1_richness family —
+    same single corpus-sized agg, different question: not unseen mass
+    or unseen types but HOW REPETITIVE the observed text is, the
+    template/boilerplate signal stylometry and MT-output detection
+    key on):
+
+        ttr        = V / N                (type-token ratio)
+        hapax_frac = f1 / V               (fraction of one-off types)
+        yule_k     = 1e4 * (sum r^2 n_r - N) / N^2   (Yule 1944;
+                     repeat-rate statistic, length-robust unlike TTR)
+
+    All inputs are exact integers from the histogram; the divisions
+    are the only floating steps -> 6dp round is engine-portable.
+
+    Scale shape: chao1_richness's contract — ONE type-frequency agg
+    (map-side combine absorbs the Zipf head), count-of-counts on the
+    |types|-row table, single-row arithmetic after.
+
+    -> ONE row (n_tokens, n_types, f1, ttr 6dp, hapax_frac 6dp,
+    yule_k 6dp).
+    """
+    freqs = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("r"))
+    hist = freqs.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    agg = hist.agg(
+        F.sum(F.col("r") * F.col("n_r")).alias("n_tokens"),
+        F.sum("n_r").alias("n_types"),
+        F.coalesce(F.sum(F.when(F.col("r") == 1, F.col("n_r"))),
+                   F.lit(0)).alias("f1"),
+        F.sum(F.col("r") * F.col("r") * F.col("n_r")).alias("sum_r2"))
+    n = F.col("n_tokens")
+    return agg.select(
+        n.cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("f1").cast("long").alias("f1"),
+        F.round(F.col("n_types") / n, 6).alias("ttr"),
+        F.round(F.col("f1") / F.col("n_types"), 6).alias("hapax_frac"),
+        # two successive divisions, NOT n*n: keeps the intermediate in
+        # double range (n*n overflows BIGINT past ~3e9 tokens)
+        F.round(F.lit(1e4) * (F.col("sum_r2") - n) / n / n, 6)
+        .alias("yule_k"))

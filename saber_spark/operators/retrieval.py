@@ -293,3 +293,53 @@ def kwic_snippets(docs: DataFrame, term: str, window: int = 3,
         "doc_id", F.col("pos").cast("long").alias("pos"),
         F.array_join(F.slice(F.col("arr"), start0 + 1, end_excl - start0),
                      " ").alias("snippet"))
+
+
+def rbo_overlap(ranking_a: DataFrame, ranking_b: DataFrame,
+                key_cols: list[str], depth: int = 10,
+                p: float = 0.9, rank_col: str = "rank") -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    two rankings, truncated at ``depth`` — the top-weighted,
+    conjointness-free answer to "did the ranking change?" that a
+    pipeline asks when a scorer/index/filter is swapped (Kendall tau
+    needs both lists to rank the same universe; RBO handles truncated,
+    partially-disjoint lists, which is what retrieval and host-priority
+    lists are).
+
+        RBO@D = (1 - p) * sum_{d=1..D} p^(d-1) * X_d / d
+
+    where X_d = |A[:d] ∩ B[:d]| and p is the persistence (top-weight)
+    parameter; the paper's prefix evaluation with the extrapolation
+    term dropped (reported separately as agreement@D = X_D / D).
+
+    An item shared by both lists enters every prefix intersection at
+    entry_depth = max(rank_a, rank_b); X_d = #{shared: entry <= d} —
+    so the whole computation runs on the joined shared-item table
+    (<= D rows) crossed with D depth rows: constant-bounded regardless
+    of corpus size. The only corpus-scale work is whatever produced
+    the rankings. Exact integer X_d; pow/division in DOUBLE -> 6dp
+    round is engine-portable.
+
+    -> ONE row (depth, p, x_depth, agreement 6dp, rbo 6dp).
+    """
+    spark = ranking_a.sparkSession
+    ra = ranking_a.select(*key_cols, F.col(rank_col).alias("ra")) \
+        .filter(F.col("ra") <= depth)
+    rb = ranking_b.select(*key_cols, F.col(rank_col).alias("rb")) \
+        .filter(F.col("rb") <= depth)
+    shared = ra.join(rb, key_cols).select(
+        F.greatest("ra", "rb").alias("entry"))
+    depths = spark.range(1, depth + 1).select(F.col("id").alias("d"))
+    xd = (depths.join(F.broadcast(shared), F.col("entry") <= F.col("d"),
+                      "left")
+          .groupBy("d")
+          .agg(F.count("entry").alias("x_d")))
+    term = (F.pow(F.lit(p), F.col("d") - 1) * F.col("x_d") / F.col("d"))
+    return xd.agg(
+        F.lit(depth).cast("long").alias("depth"),
+        F.lit(p).alias("p"),
+        F.max(F.when(F.col("d") == depth, F.col("x_d")))
+        .cast("long").alias("x_depth"),
+        F.round(F.max(F.when(F.col("d") == depth, F.col("x_d"))) / depth,
+                6).alias("agreement"),
+        F.round((1 - p) * F.sum(term), 6).alias("rbo"))

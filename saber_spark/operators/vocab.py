@@ -276,3 +276,131 @@ def unigram_js_divergence(tokens: DataFrame, group_col: str,
                  F.max("nb").cast("long").alias("n_tokens_b"),
                  F.count(F.lit(1)).cast("long").alias("n_types"),
                  F.round(F.sum(term), 6).alias("jsd_nats")))
+
+
+def loglik_collocations(tokens: DataFrame, id_col: str = "doc_id",
+                        pos_col: str = "pos", token_col: str = "token",
+                        min_count: int = 5,
+                        alpha_only: bool = True) -> DataFrame:
+    """Dunning log-likelihood (G^2) bigram collocation scoring (Dunning,
+    Computational Linguistics 1993) — THE classic significance test for
+    "these two tokens occur together more than chance", robust at the
+    low counts where PMI explodes (pmi_weights covers document-level
+    entity pairs; this covers ADJACENT token pairs, the phrase-mining /
+    multiword-expression primitive a vocab or tokenizer-training stage
+    runs over a web corpus).
+
+    For each adjacent bigram (w1, w2) the 2x2 contingency table against
+    the rest of the corpus is
+
+        O11 = c12          O12 = c1 - c12
+        O21 = c2 - c12     O22 = N - c1 - c2 + c12
+
+    with c1 = count(w1 as left), c2 = count(w2 as right), N = total
+    bigrams; G^2 = 2 * sum O_ij * ln(O_ij / E_ij) with E_ij from the
+    independence margins and 0 ln 0 = 0. All counts are exact integers
+    computed distributively; the only floating step is the final ln on
+    exact rationals, so 6dp rounding is engine-portable.
+
+    alpha_only keeps purely alphabetic bigrams (collocations, not
+    token+punctuation pairs). Returns ALL bigrams with c12 >= min_count
+    (a row-set, not a top-k — no cross-engine tie-break risk).
+
+    Scale shape: bigram formation is ONE window shuffle on doc_id
+    (lead over pos); the three count aggs are partial+final hash aggs
+    on bigram-/type-sized keys; marginals join back onto the collapsed
+    bigram table by key (broadcast when small, shuffle-hash at web
+    scale — no skew, the pair table is already distinct-collapsed);
+    N is a 1-row broadcast. No Python, no global sort.
+
+    -> (w1, w2, c12, c1, c2, g2 6dp), c12 >= min_count.
+    """
+    w = Window.partitionBy(id_col).orderBy(pos_col)
+    big = (tokens
+           .select(F.col(token_col).alias("w1"),
+                   F.lead(token_col).over(w).alias("w2"))
+           .filter(F.col("w2").isNotNull()))
+    if alpha_only:
+        big = big.filter(F.col("w1").rlike("^[A-Za-z]+$")
+                         & F.col("w2").rlike("^[A-Za-z]+$"))
+    big = big.localCheckpoint(eager=True)  # 3 consumers: c12, c1, c2, N
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = big.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    n = big.agg(F.count(F.lit(1)).alias("n"))
+    j = (c12.filter(F.col("c12") >= min_count)
+         .join(c1, "w1").join(c2, "w2")
+         .crossJoin(F.broadcast(n)))
+
+    def _term(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    o11, o12 = F.col("c12"), F.col("c1") - F.col("c12")
+    o21 = F.col("c2") - F.col("c12")
+    o22 = F.col("n") - F.col("c1") - F.col("c2") + F.col("c12")
+    e11 = F.col("c1") * F.col("c2") / F.col("n")
+    e12 = F.col("c1") * (F.col("n") - F.col("c2")) / F.col("n")
+    e21 = (F.col("n") - F.col("c1")) * F.col("c2") / F.col("n")
+    e22 = (F.col("n") - F.col("c1")) * (F.col("n") - F.col("c2")) / F.col("n")
+    g2 = 2 * (_term(o11, e11) + _term(o12, e12)
+              + _term(o21, e21) + _term(o22, e22))
+    return j.select("w1", "w2",
+                    F.col("c12").cast("long").alias("c12"),
+                    F.col("c1").cast("long").alias("c1"),
+                    F.col("c2").cast("long").alias("c2"),
+                    F.round(g2, 6).alias("g2"))
+
+
+def logodds_keyness(tokens: DataFrame, group_col: str,
+                    group_a: str, group_b: str,
+                    token_col: str = "token",
+                    alpha0: float = 100.0,
+                    min_total: int = 20) -> DataFrame:
+    """Monroe/Colaresi/Quinn "Fightin' Words" keyness (Monroe et al.,
+    Political Analysis 2008): per-token log-odds-ratio between two
+    corpus slices with an informative Dirichlet prior drawn from the
+    POOLED corpus — the principled replacement for raw frequency-ratio
+    keyword lists (which over-rank rare tokens) when diagnosing WHAT
+    drifted between two crawls/sources (js_divergence says HOW MUCH in
+    one number; this ranks the responsible tokens with z-scores).
+
+    Prior: alpha_w = alpha0 * (ya_w + yb_w) / (n_a + n_b)  (so
+    sum_w alpha_w = alpha0). Then
+
+        delta_w = ln((ya_w + a_w) / (n_a + alpha0 - ya_w - a_w))
+                - ln((yb_w + a_w) / (n_b + alpha0 - yb_w - a_w))
+        var_w   = 1/(ya_w + a_w) + 1/(yb_w + a_w)
+        z_w     = delta_w / sqrt(var_w)
+
+    (paper eqs. 15-22, the standard approximation). Counts are exact
+    integers; ln/sqrt on exact rationals -> 6dp round is portable.
+
+    Scale shape: identical to unigram_js_divergence — ONE corpus-sized
+    token agg with both slices as conditional sums, 1-row broadcast of
+    totals, then a narrow map over the vocabulary table. min_total
+    bounds the output to tokens with pooled count >= floor (row-set,
+    not top-k).
+
+    -> (token, ca, cb, delta 6dp, z 6dp).
+    """
+    g = F.col(group_col)
+    counts = (tokens
+              .filter(g.isin(group_a, group_b))
+              .groupBy(token_col)
+              .agg(F.sum(F.when(g == group_a, 1).otherwise(0)).alias("ca"),
+                   F.sum(F.when(g == group_b, 1).otherwise(0)).alias("cb")))
+    totals = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = (counts.filter(F.col("ca") + F.col("cb") >= min_total)
+         .crossJoin(F.broadcast(totals)))
+    aw = F.lit(alpha0) * (F.col("ca") + F.col("cb")) \
+        / (F.col("na") + F.col("nb"))
+    delta = (F.log((F.col("ca") + aw)
+                   / (F.col("na") + F.lit(alpha0) - F.col("ca") - aw))
+             - F.log((F.col("cb") + aw)
+                     / (F.col("nb") + F.lit(alpha0) - F.col("cb") - aw)))
+    var = 1 / (F.col("ca") + aw) + 1 / (F.col("cb") + aw)
+    return j.select(F.col(token_col),
+                    F.col("ca").cast("long").alias("ca"),
+                    F.col("cb").cast("long").alias("cb"),
+                    F.round(delta, 6).alias("delta"),
+                    F.round(delta / F.sqrt(var), 6).alias("z"))

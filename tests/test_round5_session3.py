@@ -1,0 +1,233 @@
+"""Round-5 final-session batch 7: Dunning G^2 collocations, Monroe
+log-odds keyness, rank-biased overlap."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _tokens(spark, docs):
+    """docs: {doc_id: [tokens]} -> (doc_id, pos, token)."""
+    rows = [(d, p, t) for d, toks in docs.items()
+            for p, t in enumerate(toks)]
+    return spark.createDataFrame(rows, "doc_id long, pos long, token string")
+
+
+class TestLoglikCollocations:
+    def test_hand_computed_g2(self, spark):
+        from saber_spark.operators.vocab import loglik_collocations
+        # bigrams: (a,b) (b,a) (a,b) (b,c); N=4
+        toks = _tokens(spark, {0: ["a", "b", "a", "b", "c"]})
+        out = {(r.w1, r.w2): r for r in
+               loglik_collocations(toks, min_count=1).collect()}
+        ab = out[("a", "b")]
+        assert (ab.c12, ab.c1, ab.c2) == (2, 2, 2)
+        # O = [2,0,0,2], E = [1,1,1,1] -> G2 = 2*(2ln2 + 2ln2) = 8 ln 2
+        assert ab.g2 == round(8 * math.log(2), 6)
+
+    def test_independence_scores_zero(self, spark):
+        from saber_spark.operators.vocab import loglik_collocations
+        # every (left,right) combination equally often -> G2 = 0 exactly
+        toks = _tokens(spark, {0: ["a", "x"], 1: ["a", "y"],
+                               2: ["b", "x"], 3: ["b", "y"]})
+        for r in loglik_collocations(toks, min_count=1).collect():
+            assert r.g2 == 0.0
+
+    def test_no_bigram_across_documents(self, spark):
+        from saber_spark.operators.vocab import loglik_collocations
+        toks = _tokens(spark, {0: ["a"], 1: ["b"]})
+        assert loglik_collocations(toks, min_count=1).count() == 0
+
+    def test_alpha_only_drops_punctuation_bigrams(self, spark):
+        from saber_spark.operators.vocab import loglik_collocations
+        toks = _tokens(spark, {0: ["a", ".", "a", ".", "b", "b"]})
+        out = loglik_collocations(toks, min_count=1).collect()
+        assert {(r.w1, r.w2) for r in out} == {("b", "b")}
+
+    def test_min_count_floor(self, spark):
+        from saber_spark.operators.vocab import loglik_collocations
+        toks = _tokens(spark, {0: ["a", "b", "a", "b", "c", "d"]})
+        out = loglik_collocations(toks, min_count=2).collect()
+        assert {(r.w1, r.w2) for r in out} == {("a", "b")}
+
+
+class TestLogoddsKeyness:
+    def _toks(self, spark, en, de):
+        rows = [("en", t) for t in en] + [("de", t) for t in de]
+        return spark.createDataFrame(rows, "lang string, token string")
+
+    def test_hand_computed_delta_z(self, spark):
+        from saber_spark.operators.vocab import logodds_keyness
+        toks = self._toks(spark, ["x", "x", "y"], ["x", "y", "y"])
+        out = {r.token: r for r in
+               logodds_keyness(toks, "lang", "en", "de",
+                               alpha0=2.0, min_total=1).collect()}
+        x = out["x"]
+        assert (x.ca, x.cb) == (2, 1)
+        # aw = 2*3/6 = 1; delta = ln(3/2) - ln(2/3) = 2 ln 1.5
+        delta = 2 * math.log(1.5)
+        assert x.delta == round(delta, 6)
+        # var = 1/(2+1) + 1/(1+1)
+        assert x.z == round(delta / math.sqrt(1 / 3 + 1 / 2), 6)
+
+    def test_antisymmetric_in_groups(self, spark):
+        from saber_spark.operators.vocab import logodds_keyness
+        toks = self._toks(spark, ["x", "x", "y"], ["x", "y", "y"])
+        ab = {r.token: r for r in
+              logodds_keyness(toks, "lang", "en", "de",
+                              alpha0=2.0, min_total=1).collect()}
+        ba = {r.token: r for r in
+              logodds_keyness(toks, "lang", "de", "en",
+                              alpha0=2.0, min_total=1).collect()}
+        for t in ab:
+            assert ab[t].delta == -ba[t].delta
+            assert ab[t].z == -ba[t].z
+
+    def test_balanced_token_scores_zero(self, spark):
+        from saber_spark.operators.vocab import logodds_keyness
+        toks = self._toks(spark, ["x", "y"], ["x", "y"])
+        out = {r.token: r for r in
+               logodds_keyness(toks, "lang", "en", "de",
+                               alpha0=2.0, min_total=1).collect()}
+        assert out["x"].delta == 0.0 and out["x"].z == 0.0
+
+    def test_min_total_floor(self, spark):
+        from saber_spark.operators.vocab import logodds_keyness
+        toks = self._toks(spark, ["x", "x", "y"], ["x"])
+        out = logodds_keyness(toks, "lang", "en", "de",
+                              alpha0=2.0, min_total=3).collect()
+        assert [r.token for r in out] == ["x"]
+
+
+class TestRboOverlap:
+    def _rank(self, spark, items):
+        return spark.createDataFrame(
+            [(it, i + 1) for i, it in enumerate(items)],
+            "item string, rank long")
+
+    def test_identical_rankings(self, spark):
+        from saber_spark.operators.retrieval import rbo_overlap
+        a = self._rank(spark, [f"h{i}" for i in range(10)])
+        out = rbo_overlap(a, a, ["item"], depth=10, p=0.9).collect()[0]
+        # X_d = d at every depth -> rbo = (1-p) sum p^(d-1) = 1 - p^D
+        assert out.rbo == round(1 - 0.9 ** 10, 6)
+        assert out.agreement == 1.0 and out.x_depth == 10
+
+    def test_disjoint_rankings(self, spark):
+        from saber_spark.operators.retrieval import rbo_overlap
+        a = self._rank(spark, ["a", "b", "c"])
+        b = self._rank(spark, ["x", "y", "z"])
+        out = rbo_overlap(a, b, ["item"], depth=3, p=0.9).collect()[0]
+        assert out.rbo == 0.0 and out.x_depth == 0
+
+    def test_hand_computed_swap(self, spark):
+        from saber_spark.operators.retrieval import rbo_overlap
+        # A = [1,2,3], B = [2,1,3]: X = (0, 2, 3)
+        a = self._rank(spark, ["1", "2", "3"])
+        b = self._rank(spark, ["2", "1", "3"])
+        out = rbo_overlap(a, b, ["item"], depth=3, p=0.5).collect()[0]
+        # (1-.5)*(.5^0*0/1 + .5^1*2/2 + .5^2*3/3) = 0.375
+        assert out.rbo == 0.375
+        assert out.agreement == 1.0
+
+    def test_truncation_ignores_deep_ranks(self, spark):
+        from saber_spark.operators.retrieval import rbo_overlap
+        # shared item sits past the depth cut in B -> contributes nothing
+        a = self._rank(spark, ["a", "b"])
+        b = self._rank(spark, ["x", "y", "a"])
+        out = rbo_overlap(a, b, ["item"], depth=2, p=0.9).collect()[0]
+        assert out.rbo == 0.0 and out.x_depth == 0
+
+
+class TestBenfordAudit:
+    def test_hand_computed_digits_and_chi2(self, spark):
+        from saber_spark.operators.profile import benford_audit
+        df = spark.createDataFrame(
+            [(1.0,), (19.0,), (250.0,), (3.5,), (0.0,), (-5.0,)],
+            "x double")
+        out = {r.digit: r for r in benford_audit(df, "x").collect()}
+        assert len(out) == 9  # zero-support digits still present
+        assert out[1].n == 2 and out[2].n == 1 and out[3].n == 1
+        assert out[9].n == 0
+        p1 = math.log10(2)
+        assert out[1].obs_p == 0.5
+        assert out[1].exp_p == round(p1, 6)
+        assert out[1].chi2_term == round((2 - 4 * p1) ** 2 / (4 * p1), 6)
+
+    def test_first_digit_of_fractions(self, spark):
+        from saber_spark.operators.profile import benford_audit
+        # 0.042 -> 4; 0.9 -> 9 (negative floor(log10))
+        df = spark.createDataFrame([(0.042,), (0.9,)], "x double")
+        out = {r.digit: r.n for r in benford_audit(df, "x").collect()}
+        assert out[4] == 1 and out[9] == 1
+
+    def test_benford_sample_has_small_chi2(self, spark):
+        from saber_spark.operators.profile import benford_audit
+        # exact Benford proportions scaled to 1000 -> chi2 ~ 0
+        rows = []
+        for d in range(1, 10):
+            n_d = round(1000 * math.log10(1 + 1 / d))
+            rows += [(float(d * 10),)] * n_d
+        df = spark.createDataFrame(rows, "x double")
+        chi2 = sum(r.chi2_term
+                   for r in benford_audit(df, "x").collect())
+        assert chi2 < 0.1
+
+
+class TestLexicalRichness:
+    def test_hand_computed_panel(self, spark):
+        from saber_spark.operators.profile import lexical_richness
+        items = spark.createDataFrame(
+            [("a",), ("a",), ("b",), ("c",)], "token string")
+        out = lexical_richness(items, "token").collect()[0]
+        assert (out.n_tokens, out.n_types, out.f1) == (4, 3, 2)
+        assert out.ttr == 0.75
+        assert out.hapax_frac == round(2 / 3, 6)
+        # sum r^2 n_r = 4 + 1 + 1 = 6 -> 1e4 * (6-4)/16 = 1250
+        assert out.yule_k == 1250.0
+
+    def test_all_distinct_is_zero_k(self, spark):
+        from saber_spark.operators.profile import lexical_richness
+        items = spark.createDataFrame(
+            [("a",), ("b",), ("c",)], "token string")
+        out = lexical_richness(items, "token").collect()[0]
+        assert out.yule_k == 0.0 and out.ttr == 1.0 and out.hapax_frac == 1.0
+
+    def test_single_type_max_repetition(self, spark):
+        from saber_spark.operators.profile import lexical_richness
+        items = spark.createDataFrame([("a",)] * 10, "token string")
+        out = lexical_richness(items, "token").collect()[0]
+        # 1e4 * (100 - 10) / 100 = 9000
+        assert out.yule_k == 9000.0 and out.f1 == 0
+
+
+class TestWilsonLowerBound:
+    def _df(self, spark, groups):
+        rows = [(g, s) for g, (k, n) in groups.items()
+                for s in [True] * k + [False] * (n - k)]
+        return spark.createDataFrame(rows, "src string, ok boolean")
+
+    def test_small_perfect_does_not_outrank_large_good(self, spark):
+        from saber_spark.operators.evaluation import wilson_lower_bound
+        df = self._df(spark, {"tiny": (3, 3), "big": (970, 1000)})
+        out = {r.src: r for r in
+               wilson_lower_bound(df, "src", "ok").collect()}
+        assert out["tiny"].p_hat == 1.0 and out["big"].p_hat == 0.97
+        assert out["big"].wilson_lb > out["tiny"].wilson_lb
+        assert out["big"].rank == 1 and out["tiny"].rank == 2
+
+    def test_hand_computed_bound(self, spark):
+        from saber_spark.operators.evaluation import wilson_lower_bound
+        df = self._df(spark, {"s": (8, 10)})
+        out = wilson_lower_bound(df, "src", "ok").collect()[0]
+        z, p, n = 1.959964, 0.8, 10
+        lb = ((p + z * z / (2 * n)
+               - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+              / (1 + z * z / n))
+        assert out.wilson_lb == round(lb, 6)
+
+    def test_zero_successes(self, spark):
+        from saber_spark.operators.evaluation import wilson_lower_bound
+        df = self._df(spark, {"s": (0, 5)})
+        out = wilson_lower_bound(df, "src", "ok").collect()[0]
+        assert out.p_hat == 0.0 and out.wilson_lb == 0.0

@@ -2143,6 +2143,77 @@ def main() -> None:
         0,
     ))
 
+    co = e.q_collocations(spark, SF_DIR)
+    sections.append((
+        "collocations (one bigram window, margin joins on collapsed pairs)",
+        "Dunning G^2: the lead() window partitioned on doc_id is the only "
+        "corpus-sized exchange — it sits ABOVE the localCheckpoint that "
+        "feeds the four consumers, so this plan (correctly) starts at the "
+        "checkpointed bigram scan; pair/margin aggs collapse map-side; "
+        "the margin joins run on the already-distinct pair table; N is a "
+        "1-row broadcast.",
+        formatted_plan(co),
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
+    lo = e.q_logodds_keyness(spark, SF_DIR)
+    sections.append((
+        "logodds_keyness (one conditional-sum token agg, broadcast totals)",
+        "Monroe log-odds: unigram_js_divergence's shuffle profile — the "
+        "per-token agg holds both slices as conditional sums; the pooled "
+        "Dirichlet prior is computed from columns already in the agg row, "
+        "so shrinkage adds zero exchanges.",
+        formatted_plan(lo),
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
+    rbo = e.q_rbo_hosts(spark, SF_DIR)
+    sections.append((
+        "rbo_hosts (constant-bounded past the host agg)",
+        "Rank-biased overlap: corpus-scale work ends at the host stats "
+        "agg; rankings, shared-item join, and the depth-range join all "
+        "run on <= depth rows (the BroadcastNestedLoopJoin is over D=10 "
+        "rows by construction).",
+        formatted_plan(rbo),
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
+    be = e.q_benford_prices(spark, SF_DIR)
+    sections.append((
+        "benford_prices (one 9-key agg, 9-row law join)",
+        "Benford audit: the first-digit agg collapses map-side to <= 9 "
+        "rows per partition; the digit spine and the 1-row total are "
+        "broadcast joins; the law arithmetic is a narrow map over 9 rows.",
+        formatted_plan(be),
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
+    lx = e.q_lexical_richness(spark, SF_DIR)
+    sections.append((
+        "lexical_richness (one corpus freq agg, histogram tail)",
+        "Yule's K / TTR panel: chao1_vocab's contract — the type-"
+        "frequency agg is the only corpus-sized shuffle; count-of-counts "
+        "and the single-row panel arithmetic run on the histogram.",
+        formatted_plan(lx),
+        ["HashAggregate"],
+        0,
+    ))
+
+    wi = e.q_wilson_sources(spark, SF_DIR)
+    sections.append((
+        "wilson_sources (one group agg, |groups|-row rank window)",
+        "Wilson lower bound: ONE source-keyed hash agg (conditional sum "
+        "+ count, map-side combine); the score is a narrow map and the "
+        "rank window runs on |sources| rows only.",
+        formatted_plan(wi),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
