@@ -4331,6 +4331,45 @@ def q_wilson_sources(spark, sf_dir):
                               F.col("n_chars") >= 300)
 
 
+def q_acf_events(spark, sf_dir):
+    """Sample autocorrelation of the hourly event-count series
+    (timeseries.autocorrelation, Box & Jenkins 1970): r_1..r_24 over
+    the DENSIFIED hourly series — the seasonality/burst diagnostic for
+    a crawl scheduler (daily cycle = peak at lag 24). The bucket agg
+    is the only stream-sized exchange; the series, spine, lag joins,
+    and final agg are all time-bounded (~720 rows at sf0.01)."""
+    from saber_spark.operators.timeseries import autocorrelation
+    return autocorrelation(_events(spark, sf_dir), max_lag=24)
+
+
+def q_term_dispersion(spark, sf_dir):
+    """Gries' Deviation of Proportions across sources
+    (vocab.term_dispersion, Gries IJCL 2008): the burstiness /
+    boilerplate flag keyness can't give — a template string
+    concentrates in the part that carries it, a content word tracks
+    part sizes. Computed over OBSERVED (token, source) pairs only via
+    the sum-to-one rearrangement; never the zero-filled cross
+    product."""
+    from saber_spark.operators.vocab import term_dispersion
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(F.regexp_extract_all(
+            F.col("text"), F.lit(INFIX_PATTERN), F.lit(0))).alias("token"))
+    return term_dispersion(toks, "source", min_count=50)
+
+
+def q_map_eval(spark, sf_dir):
+    """MAP / precision@10 (retrieval.map_eval, TREC conventions): the
+    binary-relevance twin of ndcg_eval over the same three term
+    queries and the same deliberately-simple tf ranker — AP@10 with
+    the min(R, k) normalizer and P@10 side by side. Same single-scan,
+    one-window-exchange plan; the cumulative-relevant running sum
+    rides the sys-rank window for free."""
+    from saber_spark.operators.retrieval import map_eval
+    return map_eval(_docs(spark, sf_dir),
+                    [("join", "merge"), ("stream", "window"),
+                     ("filter", "scan")], k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4691,6 +4730,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_prices": q_benford_prices,
         "lexical_richness": q_lexical_richness,
         "wilson_sources": q_wilson_sources,
+        # r5 final session batch 9 (event-count ACF, Gries DP
+        # dispersion, MAP/P@k)
+        "acf_events": q_acf_events,
+        "term_dispersion": q_term_dispersion,
+        "map_eval": q_map_eval,
     }
 
 
@@ -10697,4 +10741,92 @@ def oracle_sql() -> dict[str, str]:
                      (ORDER BY wilson_lb DESC, source ASC) AS BIGINT)
                      AS rank
             FROM scored""",
+        "acf_events": """
+            WITH counts AS (
+              SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS b,
+                     count(*) AS x
+              FROM events GROUP BY 1),
+            bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+            spine AS (
+              SELECT unnest(generate_series(b0, b1)) AS b FROM bounds),
+            series AS (
+              SELECT spine.b, coalesce(counts.x, 0) AS x
+              FROM spine LEFT JOIN counts ON counts.b = spine.b),
+            m AS (SELECT avg(x) AS xbar, count(*) AS n FROM series),
+            denom AS (
+              SELECT sum(pow(x - xbar, 2)) AS ss, max(xbar) AS xbar
+              FROM series CROSS JOIN m),
+            lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
+            pairs AS (
+              SELECT lags.lag, a.x AS x, b2.x AS x2
+              FROM series a CROSS JOIN lags
+              JOIN series b2 ON b2.b = a.b + lags.lag)
+            SELECT CAST(lag AS BIGINT) AS lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(sum((x - xbar) * (x2 - xbar)) / max(ss), 6) AS r
+            FROM pairs CROSS JOIN denom
+            GROUP BY lag""",
+        "term_dispersion": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_extract_all(text,
+                       '[0-9a-zA-Z]+|[^0-9a-zA-Z\s]', 0)) AS token
+              FROM documents),
+            tp AS (SELECT token, source, count(*) AS c
+                   FROM tok GROUP BY token, source),
+            parts AS (SELECT source, sum(c) AS part_n FROM tp
+                      GROUP BY source),
+            tot AS (SELECT sum(part_n) AS total_n FROM parts),
+            sized AS (SELECT source, part_n / total_n AS s
+                      FROM parts CROSS JOIN tot),
+            tok_tot AS (SELECT token, sum(c) AS n FROM tp GROUP BY token)
+            SELECT token,
+                   CAST(max(n) AS BIGINT) AS n,
+                   round(0.5 * (1 + sum(abs(c / n - s) - s)), 6) AS dp
+            FROM tp JOIN sized USING (source) JOIN tok_tot USING (token)
+            GROUP BY token
+            HAVING max(n) >= 50""",
+        "map_eval": """
+            WITH q AS (
+              SELECT * FROM (VALUES ('join', 'merge'),
+                                    ('stream', 'window'),
+                                    ('filter', 'scan'))
+                AS t(term, rel_term)),
+            scored AS (
+              SELECT d.doc_id, q.term,
+                     len(list_filter(
+                       string_split_regex(trim(d.text), '\s+'),
+                       x -> x = q.term)) AS tf,
+                     CASE WHEN len(list_filter(
+                       string_split_regex(trim(d.text), '\s+'),
+                       x -> x = q.rel_term)) > 0 THEN 1 ELSE 0 END AS rel
+              FROM documents d CROSS JOIN q),
+            cand AS (SELECT * FROM scored WHERE tf > 0),
+            ranked AS (
+              SELECT *,
+                     ROW_NUMBER() OVER
+                       (PARTITION BY term
+                        ORDER BY tf DESC, doc_id ASC) AS sys_rank,
+                     sum(rel) OVER
+                       (PARTITION BY term
+                        ORDER BY tf DESC, doc_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum_rel
+              FROM cand),
+            agg AS (
+              SELECT term,
+                     count(*) AS n_candidates,
+                     sum(rel) AS n_relevant,
+                     sum(CASE WHEN sys_rank <= 10 AND rel = 1
+                              THEN cum_rel / sys_rank ELSE 0 END) AS ap_num,
+                     sum(CASE WHEN sys_rank <= 10 THEN rel ELSE 0 END)
+                       AS rel_at_k
+              FROM ranked GROUP BY term)
+            SELECT term AS query_term,
+                   CAST(n_candidates AS BIGINT) AS n_candidates,
+                   CAST(n_relevant AS BIGINT) AS n_relevant,
+                   round(rel_at_k / 10, 6) AS p_at_k,
+                   round(CASE WHEN n_relevant > 0
+                              THEN ap_num / least(n_relevant, 10)
+                              ELSE 0 END, 6) AS ap
+            FROM agg""",
     }

@@ -257,6 +257,9 @@ def main() -> None:
         # round 5 final session batch 8 (Benford forensics, Yule's K
         # panel, Wilson lower-bound ranking)
         "benford_prices", "lexical_richness", "wilson_sources",
+        # round 5 final session batch 9 (event-count ACF, Gries DP,
+        # MAP/P@k)
+        "acf_events", "term_dispersion", "map_eval",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

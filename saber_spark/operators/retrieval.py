@@ -343,3 +343,73 @@ def rbo_overlap(ranking_a: DataFrame, ranking_b: DataFrame,
         F.round(F.max(F.when(F.col("d") == depth, F.col("x_d"))) / depth,
                 6).alias("agreement"),
         F.round((1 - p) * F.sum(term), 6).alias("rbo"))
+
+
+def map_eval(docs: DataFrame, query_pairs: list[tuple[str, str]],
+             k: int = 10, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Mean-average-precision / precision@k evaluation per query
+    (Buckley & Voorhees SIGIR 2000 conventions; the TREC binary twin
+    of ndcg_eval's graded judgment): same deliberately-simple system
+    ranking as ndcg_eval (tf of the query term DESC, doc_id ASC over
+    candidate docs containing the term) with BINARY relevance
+    rel = [tf(rel_term) > 0], so the metric — not the ranker — is the
+    thing under test.
+
+        AP@k  = sum_{i<=k, rel_i=1} P@i / min(R, k)
+        P@k   = (# relevant in top k) / k
+
+    with R = total relevant candidates (AP@k = 0 when R = 0, the
+    trec_eval convention). Ranks/counts are exact integers; the final
+    divisions are the only floating steps -> 6dp round.
+
+    Scale shape: ndcg_eval's contract — ONE scan with the query list
+    exploded as a broadcast literal, tf via higher-order filters in
+    codegen, ONE window exchange partitioned by query term, |Q|-row
+    output. The cumulative-relevant count rides the SAME sys-rank
+    window (running sum), adding zero exchanges.
+
+    -> |Q| rows (query_term, n_candidates, n_relevant, p_at_k 6dp,
+    ap 6dp).
+    """
+    qarr = F.array(*[
+        F.struct(F.lit(t).alias("term"), F.lit(r).alias("rel_term"))
+        for t, r in query_pairs])
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    scored = (docs
+              .select(F.col(id_col).alias("doc_id"),
+                      F.explode(qarr).alias("qp"),
+                      toks.alias("_toks"))
+              .select("doc_id",
+                      F.col("qp.term").alias("term"),
+                      F.size(F.filter(
+                          F.col("_toks"),
+                          lambda x: x == F.col("qp.term"))).alias("tf"),
+                      (F.size(F.filter(
+                          F.col("_toks"),
+                          lambda x: x == F.col("qp.rel_term"))) > 0)
+                      .cast("long").alias("rel"))
+              .filter(F.col("tf") > 0))
+    w_sys = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc())
+    ranked = (scored
+              .withColumn("sys_rank", F.row_number().over(w_sys))
+              .withColumn("cum_rel", F.sum("rel").over(
+                  w_sys.rowsBetween(Window.unboundedPreceding, 0))))
+    agg = (ranked.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("rel").alias("n_relevant"),
+        F.sum(F.when((F.col("sys_rank") <= k) & (F.col("rel") == 1),
+                     F.col("cum_rel") / F.col("sys_rank"))
+              .otherwise(F.lit(0.0))).alias("ap_num"),
+        F.sum(F.when(F.col("sys_rank") <= k, F.col("rel"))
+              .otherwise(F.lit(0))).alias("rel_at_k")))
+    return agg.select(
+        F.col("term").alias("query_term"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_relevant").cast("long").alias("n_relevant"),
+        F.round(F.col("rel_at_k") / k, 6).alias("p_at_k"),
+        F.round(F.when(F.col("n_relevant") > 0,
+                       F.col("ap_num")
+                       / F.least(F.col("n_relevant"), F.lit(k)))
+                .otherwise(F.lit(0.0)), 6).alias("ap"))

@@ -113,3 +113,71 @@ def cusum_changepoints(events: DataFrame, ts_col: str = "ts",
                     (F.col("cusum_raw") >
                      threshold_sigma * F.sqrt(F.greatest(
                          F.col("var"), F.lit(0.0)))).alias("flagged")))
+
+
+def autocorrelation(events: DataFrame, ts_col: str = "ts",
+                    max_lag: int = 24,
+                    bucket_us: int = HOUR_US) -> DataFrame:
+    """Sample autocorrelation function of the event-count series
+    (Box & Jenkins 1970, the standard biased estimator): bucket the
+    stream into fixed windows, DENSIFY the series over [min, max]
+    (an hour with no events is a 0, not a missing row — skipping gaps
+    silently shifts every lag), and compute
+
+        r_k = sum_{t<=n-k} (x_t - xbar)(x_{t+k} - xbar)
+              / sum_t (x_t - xbar)^2
+
+    for k = 1..max_lag — THE seasonality/burst diagnostic for a crawl
+    scheduler or ingest monitor (a daily cycle shows as a peak at
+    k = 24 on hourly buckets; a flat ACF says Poisson-ish arrivals).
+
+    All counts are exact; xbar and the products are doubles on exact
+    integers -> 6dp round is engine-portable.
+
+    Scale shape: the bucket agg is the only stream-sized exchange
+    (algebraic, map-side combine). The series after densify has
+    (span/bucket) rows — bounded by TIME, not data volume (a decade
+    of hours is ~9e4 rows even at 10^12 events), so the spine
+    sequence, the max_lag-fold lag join, and the final agg all run on
+    time-bounded tables. No window over raw events, no Python.
+
+    -> max_lag rows (lag, n_pairs, r 6dp), lag = 1..max_lag.
+    """
+    us = _epoch_micros(ts_col)
+    counts = (events
+              .select((F.floor(us / bucket_us)).cast("long").alias("b"))
+              .groupBy("b").agg(F.count(F.lit(1)).alias("x")))
+    bounds = counts.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    spine = (bounds
+             .select(F.explode(F.sequence(F.col("b0"), F.col("b1")))
+                     .alias("b")))
+    series = (spine.join(counts, "b", "left")
+              .select("b", F.coalesce("x", F.lit(0)).alias("x"))
+              .localCheckpoint(eager=True))  # consumed 4x below
+    # xbar in one pass, then the centered sum of squares in a second —
+    # no window over the series needed
+    mean_row = series.agg(F.avg("x").alias("xbar"),
+                          F.count(F.lit(1)).alias("n"))
+    centered = series.crossJoin(F.broadcast(mean_row))
+    denom = centered.agg(
+        F.sum(F.pow(F.col("x") - F.col("xbar"), F.lit(2.0)))
+        .alias("ss"), F.max("xbar").alias("xbar"),
+        F.max("n").alias("n"))
+    lags = events.sparkSession.range(1, max_lag + 1) \
+        .select(F.col("id").alias("lag"))
+    lagged = (series.crossJoin(lags)
+              .select("lag", "b", "x"))
+    right = series.select(F.col("b").alias("b2"), F.col("x").alias("x2"))
+    pairs = lagged.join(right, F.col("b2") == F.col("b") + F.col("lag"))
+    num = (pairs.crossJoin(F.broadcast(denom))
+           .groupBy("lag")
+           .agg(F.count(F.lit(1)).alias("n_pairs"),
+                F.sum((F.col("x") - F.col("xbar"))
+                      * (F.col("x2") - F.col("xbar"))).alias("num"),
+                F.max("ss").alias("ss")))
+    # try_divide: a constant series has ss = 0 -> r is NULL (never an
+    # ANSI DIVIDE_BY_ZERO crash on a monitoring query)
+    return (num.select(F.col("lag").cast("long").alias("lag"),
+                       F.col("n_pairs").cast("long").alias("n_pairs"),
+                       F.round(F.try_divide(F.col("num"), F.col("ss")), 6)
+                       .alias("r")))

@@ -404,3 +404,55 @@ def logodds_keyness(tokens: DataFrame, group_col: str,
                     F.col("cb").cast("long").alias("cb"),
                     F.round(delta, 6).alias("delta"),
                     F.round(delta / F.sqrt(var), 6).alias("z"))
+
+
+def term_dispersion(tokens: DataFrame, part_col: str,
+                    token_col: str = "token",
+                    min_count: int = 10) -> DataFrame:
+    """Gries' Deviation of Proportions (DP) term dispersion (Gries,
+    IJCL 2008): how UNEVENLY a token spreads across corpus parts
+    (sources/hosts/shards) —
+
+        DP_w = 0.5 * sum_i | v_wi - s_i |
+
+    with v_wi = the token's proportion of its own occurrences in part
+    i and s_i = part i's share of all tokens. DP = 0 -> perfectly
+    distributed like the corpus itself; -> 1 -> concentrated in one
+    tiny part. THE burstiness/boilerplate flag keyness can't give
+    (a template string has huge DP in the part that carries the
+    template; a genuine content word tracks the part sizes).
+
+    Parts the token never appears in contribute |0 - s_i| = s_i; since
+    sum_i s_i = 1 the operator never materializes the (token x part)
+    zero matrix:
+
+        DP_w = 0.5 * (1 + sum_{i in observed(w)} (|v_wi - s_i| - s_i))
+
+    — algebraically identical, computed only over OBSERVED pairs.
+    Counts exact; the proportions are doubles on exact rationals ->
+    6dp round is engine-portable.
+
+    Scale shape: one (token, part) hash agg (map-side combine), one
+    |parts|-row agg broadcast back, one token-level re-agg. The
+    (token, part) table is the operator's natural size — never the
+    zero-filled cross product.
+
+    -> (token, n, dp 6dp) for tokens with n >= min_count.
+    """
+    tp = (tokens.groupBy(token_col, part_col)
+          .agg(F.count(F.lit(1)).alias("c")))
+    parts = (tp.groupBy(part_col).agg(F.sum("c").alias("part_n")))
+    total = parts.agg(F.sum("part_n").alias("total_n"))
+    sized = (parts.crossJoin(F.broadcast(total))
+             .select(part_col,
+                     (F.col("part_n") / F.col("total_n")).alias("s")))
+    per_tok = (tp.join(F.broadcast(sized), part_col))
+    tok_tot = (tp.groupBy(token_col).agg(F.sum("c").alias("n")))
+    j = per_tok.join(tok_tot, token_col)
+    v = F.col("c") / F.col("n")
+    contrib = F.abs(v - F.col("s")) - F.col("s")
+    return (j.groupBy(token_col)
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.round(F.lit(0.5) * (1 + F.sum(contrib)), 6).alias("dp"))
+            .filter(F.col("n") >= min_count)
+            .select(token_col, "n", "dp"))

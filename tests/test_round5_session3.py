@@ -231,3 +231,110 @@ class TestWilsonLowerBound:
         df = self._df(spark, {"s": (0, 5)})
         out = wilson_lower_bound(df, "src", "ok").collect()[0]
         assert out.p_hat == 0.0 and out.wilson_lb == 0.0
+
+
+class TestAutocorrelation:
+    def _events(self, spark, hourly_counts, start="2024-01-01 00:00:00"):
+        import datetime as dt
+        t0 = dt.datetime.fromisoformat(start)
+        rows = [(t0 + dt.timedelta(hours=h, minutes=m),)
+                for h, c in enumerate(hourly_counts)
+                for m in range(c)]
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    def test_alternating_series(self, spark):
+        from saber_spark.operators.timeseries import autocorrelation
+        out = {r.lag: r for r in
+               autocorrelation(self._events(spark, [1, 2, 1, 2, 1, 2]),
+                               max_lag=2).collect()}
+        # xbar = 1.5, ss = 1.5; lag1: 5 pairs each -0.25 -> -1.25/1.5
+        assert out[1].n_pairs == 5
+        assert out[1].r == round(-1.25 / 1.5, 6)
+        # lag2: 4 pairs each +0.25 -> 1.0/1.5
+        assert out[2].r == round(1.0 / 1.5, 6)
+
+    def test_densify_counts_empty_hours_as_zero(self, spark):
+        from saber_spark.operators.timeseries import autocorrelation
+        # hours 0 and 2 have events, hour 1 none -> series [2, 0, 2]
+        ev = self._events(spark, [2, 0, 2])
+        out = {r.lag: r for r in
+               autocorrelation(ev, max_lag=2).collect()}
+        # xbar = 4/3; ss = 2*(2/3)^2 + (4/3)^2 = 8/3
+        # lag1: (2-4/3)(0-4/3) + (0-4/3)(2-4/3) = 2 * -8/9 = -16/9
+        assert out[1].n_pairs == 2
+        assert out[1].r == round((-16 / 9) / (8 / 3), 6)
+
+    def test_constant_series_nan_guard(self, spark):
+        from saber_spark.operators.timeseries import autocorrelation
+        # zero variance -> ss = 0 -> r is NULL (0/0), never a crash
+        out = autocorrelation(self._events(spark, [3, 3, 3]),
+                              max_lag=1).collect()
+        assert out[0].r is None
+
+
+class TestTermDispersion:
+    def _toks(self, spark, pairs):
+        return spark.createDataFrame(pairs, "source string, token string")
+
+    def test_concentrated_vs_distributed(self, spark):
+        from saber_spark.operators.vocab import term_dispersion
+        toks = self._toks(spark, [
+            ("A", "t"), ("A", "t"),          # concentrated in A
+            ("A", "w"), ("B", "w"),          # tracks part sizes
+            ("B", "x"), ("B", "x"),          # fills B to size 4... no
+        ])
+        # parts: A=3, B=3 -> s = 0.5 each
+        out = {r.token: r for r in
+               term_dispersion(toks, "source", min_count=1).collect()}
+        assert out["t"].dp == 0.5      # all mass in a half-sized part
+        assert out["w"].dp == 0.0      # perfectly proportional
+        assert out["x"].dp == 0.5
+
+    def test_unseen_parts_contribute_their_share(self, spark):
+        from saber_spark.operators.vocab import term_dispersion
+        # parts A=9, B=1; token only in B -> DP = 0.5*(|1-0.1|+|0-0.9|)
+        toks = self._toks(spark, [("A", "f")] * 9 + [("B", "g")])
+        out = {r.token: r for r in
+               term_dispersion(toks, "source", min_count=1).collect()}
+        assert out["g"].dp == 0.9
+        # token only in the BIG part: 0.5*(|1-0.9|+0.1) = 0.1
+        assert out["f"].dp == round(0.1, 6)
+
+    def test_min_count_floor(self, spark):
+        from saber_spark.operators.vocab import term_dispersion
+        toks = self._toks(spark, [("A", "t"), ("A", "t"), ("B", "u")])
+        out = term_dispersion(toks, "source", min_count=2).collect()
+        assert [r.token for r in out] == ["t"]
+
+
+class TestMapEval:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def test_hand_computed_ap(self, spark):
+        from saber_spark.operators.retrieval import map_eval
+        docs = self._docs(spark, ["q q q r", "q q x", "q r", "z"])
+        out = map_eval(docs, [("q", "r")], k=10).collect()[0]
+        assert (out.n_candidates, out.n_relevant) == (3, 2)
+        # ranks: doc0 (rel), doc1, doc2 (rel) -> AP = (1/1 + 2/3)/2
+        assert out.ap == round((1 + 2 / 3) / 2, 6)
+        assert out.p_at_k == 0.2
+    def test_perfect_ranking(self, spark):
+        from saber_spark.operators.retrieval import map_eval
+        docs = self._docs(spark, ["q q r", "q r", "q x"])
+        out = map_eval(docs, [("q", "r")], k=10).collect()[0]
+        assert out.ap == 1.0
+
+    def test_no_relevant_is_zero(self, spark):
+        from saber_spark.operators.retrieval import map_eval
+        docs = self._docs(spark, ["q a", "q b"])
+        out = map_eval(docs, [("q", "r")], k=10).collect()[0]
+        assert out.ap == 0.0 and out.n_relevant == 0
+
+    def test_k_truncation(self, spark):
+        from saber_spark.operators.retrieval import map_eval
+        # relevant doc at rank 3, k = 2 -> contributes nothing to AP@k
+        docs = self._docs(spark, ["q q q a", "q q b", "q r"])
+        out = map_eval(docs, [("q", "r")], k=2).collect()[0]
+        assert out.ap == 0.0 and out.p_at_k == 0.0

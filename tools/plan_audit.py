@@ -2214,6 +2214,41 @@ def main() -> None:
         0,
     ))
 
+    ac = e.q_acf_events(spark, SF_DIR)
+    sections.append((
+        "acf_events (stream-sized bucket agg, time-bounded tail)",
+        "ACF: the hourly bucket agg is the only stream-sized exchange; "
+        "the densified series is bounded by TIME not data volume, so the "
+        "spine, lag joins, and final agg run on ~span/bucket rows (the "
+        "plan starts at the localCheckpointed series scan).",
+        formatted_plan(ac),
+        ["HashAggregate"],
+        0,
+    ))
+
+    td = e.q_term_dispersion(spark, SF_DIR)
+    sections.append((
+        "term_dispersion (observed pairs only, no zero cross product)",
+        "Gries DP: one (token, part) hash agg; part shares are a "
+        "|parts|-row broadcast; the sum-to-one rearrangement means the "
+        "(token x part) zero matrix is never materialized.",
+        formatted_plan(td),
+        ["HashAggregate", "BroadcastHashJoin"],
+        0,
+    ))
+
+    mp = e.q_map_eval(spark, SF_DIR)
+    sections.append((
+        "map_eval (one scan, one ranking-window exchange)",
+        "MAP/P@k: ndcg_eval's contract — queries explode as a broadcast "
+        "literal, tf/rel are higher-order filters in codegen, and the "
+        "cumulative-relevant running sum rides the SAME sys-rank window "
+        "(one exchange partitioned by query term).",
+        formatted_plan(mp),
+        ["Window", "HashAggregate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
