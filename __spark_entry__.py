@@ -4370,6 +4370,43 @@ def q_map_eval(spark, sf_dir):
                      ("filter", "scan")], k=10)
 
 
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth OLS (vocab.heaps_fit, Heaps 1978):
+    V(n) ~ K n^beta over 10 deterministic corpus prefixes — the
+    capacity question next to zipf_fit's concentration and
+    chao1_vocab's one-point unseen-type estimate: what a 10x crawl
+    does to vocab-shard sizing. Global token indices come from a
+    |docs|-row cumulative offset, never a window over raw tokens."""
+    from saber_spark.operators.vocab import heaps_fit
+    return heaps_fit(tokenize_docs(_docs(spark, sf_dir)))
+
+
+def q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta host stylometry (textstats.burrows_delta,
+    Burrows LLC 2002; Argamon 2008): mean |z| of each source's
+    relative frequencies of the corpus' 30 most frequent tokens,
+    standardized across sources — the style-fingerprint that flags
+    spam farms / MT mirrors on function words where keyness sees
+    only topic. The (source x 30) grid is explicit (zeros included);
+    sd = 0 tokens contribute z = 0."""
+    from saber_spark.operators.textstats import burrows_delta
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(F.regexp_extract_all(
+            F.col("text"), F.lit(INFIX_PATTERN), F.lit(0))).alias("token"))
+    return burrows_delta(toks, "source", top_m=30)
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Pairwise association rules with lift (sessions.assoc_rules,
+    Agrawal/Srikant Apriori level 2): per-user event-type ITEM SETS
+    (set semantics, vs event_transitions' adjacent ordered bigrams)
+    -> support / both confidences / lift per unordered pair. One
+    distinct agg, one co-partitioned self-join on user, broadcast
+    marginals."""
+    from saber_spark.operators.sessions import assoc_rules
+    return assoc_rules(_events(spark, sf_dir), min_support=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4735,6 +4772,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_events": q_acf_events,
         "term_dispersion": q_term_dispersion,
         "map_eval": q_map_eval,
+        # r5 final session batch 10 (Heaps' law, Burrows' Delta,
+        # association rules)
+        "heaps_fit": q_heaps_fit,
+        "burrows_delta": q_burrows_delta,
+        "assoc_rules": q_assoc_rules,
     }
 
 
@@ -10829,4 +10871,109 @@ def oracle_sql() -> dict[str, str]:
                               THEN ap_num / least(n_relevant, 10)
                               ELSE 0 END, 6) AS ap
             FROM agg""",
+        "heaps_fit": f"""
+            WITH {TOKENS_CTE},
+            lens AS (SELECT doc_id, count(*) AS len FROM tokens
+                     GROUP BY doc_id),
+            offs AS (
+              SELECT doc_id,
+                     coalesce(sum(len) OVER
+                       (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS off
+              FROM lens),
+            idx AS (
+              SELECT t.token, o.off + t.pos + 1 AS idx
+              FROM tokens t JOIN offs o USING (doc_id)),
+            first AS (SELECT token, min(idx) AS first_idx FROM idx
+                      GROUP BY token),
+            tot AS (SELECT max(idx) AS n_tokens FROM idx),
+            spine AS (
+              SELECT j, n_tokens,
+                     CAST(floor(j * n_tokens / 10) AS BIGINT) AS n_c
+              FROM generate_series(1, 10) AS g(j) CROSS JOIN tot),
+            growth AS (
+              SELECT s.j, s.n_c, s.n_tokens, count(*) AS v_c
+              FROM first f JOIN spine s ON f.first_idx <= s.n_c
+              GROUP BY s.j, s.n_c, s.n_tokens),
+            pts AS (
+              SELECT n_tokens, ln(CAST(n_c AS DOUBLE)) AS x,
+                     ln(CAST(v_c AS DOUBLE)) AS y
+              FROM growth),
+            ols AS (
+              SELECT max(n_tokens) AS n_tokens, count(*) AS k,
+                     sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy
+              FROM pts),
+            nt AS (SELECT count(*) AS n_types FROM first)
+            SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_types AS BIGINT) AS n_types,
+                   round((sxy - sx * sy / k) / (sxx - sx * sx / k), 6)
+                     AS beta,
+                   round(exp(sy / k - (sxy - sx * sy / k)
+                             / (sxx - sx * sx / k) * sx / k), 6)
+                     AS k_hat,
+                   round((sxy - sx * sy / k) * (sxy - sx * sy / k)
+                         / ((sxx - sx * sx / k) * (syy - sy * sy / k)),
+                         6) AS r2
+            FROM ols CROSS JOIN nt""",
+        "burrows_delta": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_extract_all(text,
+                       '[0-9a-zA-Z]+|[^0-9a-zA-Z\s]', 0)) AS token
+              FROM documents),
+            pt AS (SELECT source, token, count(*) AS c FROM tok
+                   GROUP BY source, token),
+            plen AS (SELECT source, sum(c) AS plen FROM pt
+                     GROUP BY source),
+            corpus AS (SELECT token, sum(c) AS cf FROM pt GROUP BY token),
+            top AS (
+              SELECT token FROM (
+                SELECT token, ROW_NUMBER() OVER
+                  (ORDER BY cf DESC, token ASC) AS rk
+                FROM corpus) WHERE rk <= 30),
+            grid AS (SELECT plen.source, plen.plen, top.token
+                     FROM plen CROSS JOIN top),
+            f AS (
+              SELECT g.source, g.token, g.plen,
+                     coalesce(pt.c, 0) / g.plen AS f
+              FROM grid g LEFT JOIN pt
+                ON pt.source = g.source AND pt.token = g.token),
+            stats AS (
+              SELECT token, avg(f) AS mu, stddev_samp(f) AS sd
+              FROM f GROUP BY token),
+            z AS (
+              SELECT f.source, f.plen,
+                     CASE WHEN s.sd > 0
+                          THEN abs((f.f - s.mu) / s.sd) ELSE 0 END AS az
+              FROM f JOIN stats s USING (token))
+            SELECT source,
+                   CAST(max(plen) AS BIGINT) AS part_tokens,
+                   round(avg(az), 6) AS delta
+            FROM z GROUP BY source""",
+        "assoc_rules": """
+            WITH baskets AS (
+              SELECT DISTINCT user_id, event_type AS it FROM events),
+            nu AS (SELECT count(DISTINCT user_id) AS n_users
+                   FROM baskets),
+            item_n AS (SELECT it, count(*) AS cnt FROM baskets
+                       GROUP BY it),
+            pairs AS (
+              SELECT a.it AS item_a, b.it AS item_b,
+                     count(*) AS support
+              FROM baskets a JOIN baskets b USING (user_id)
+              WHERE a.it < b.it
+              GROUP BY a.it, b.it
+              HAVING count(*) >= 5)
+            SELECT item_a, item_b,
+                   CAST(support AS BIGINT) AS support,
+                   round(support / ca.cnt, 6) AS conf_ab,
+                   round(support / cb.cnt, 6) AS conf_ba,
+                   round(nu.n_users * support / ca.cnt / cb.cnt, 6)
+                     AS lift
+            FROM pairs
+            JOIN item_n ca ON ca.it = pairs.item_a
+            JOIN item_n cb ON cb.it = pairs.item_b
+            CROSS JOIN nu""",
     }

@@ -260,6 +260,9 @@ def main() -> None:
         # round 5 final session batch 9 (event-count ACF, Gries DP,
         # MAP/P@k)
         "acf_events", "term_dispersion", "map_eval",
+        # round 5 final session batch 10 (Heaps' law, Burrows' Delta,
+        # association rules)
+        "heaps_fit", "burrows_delta", "assoc_rules",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

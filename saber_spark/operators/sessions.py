@@ -92,3 +92,61 @@ def event_transitions(events: DataFrame, user_col: str = "user_id",
         "from_type", "to_type", "n_transitions",
         F.round(F.col("n_transitions")
                 / F.sum("n_transitions").over(w_from), 6).alias("p"))
+
+
+def assoc_rules(events: DataFrame, user_col: str = "user_id",
+                item_col: str = "event_type",
+                min_support: int = 5) -> DataFrame:
+    """Pairwise association rules with lift (Agrawal/Srikant 1993-94,
+    the Apriori level-2 slice): over per-user ITEM SETS (distinct
+    event types per user — set semantics, unlike event_transitions'
+    adjacent ordered bigrams), every unordered item pair with
+
+        support   = #users with both items
+        conf_ab   = support / #users(a),  conf_ba = support / #users(b)
+        lift      = n_users * support / (#users(a) * #users(b))
+
+    — the co-adoption/feature-bundling diagnostic (lift > 1 = the
+    behaviors attract, < 1 = they repel) that no ordering-aware
+    operator gives. Counts exact; divisions are the only floating
+    steps -> 6dp round.
+
+    Scale shape: ONE distinct agg to baskets, ONE co-partitioned
+    self-join on the user key (bounded per user by the distinct-item
+    count, itself bounded by the item vocabulary), item marginals
+    joined back on the item key, total users broadcast. The a < b
+    canonical order halves the pair table and makes output
+    deterministic.
+
+    -> (item_a, item_b, support, conf_ab 6dp, conf_ba 6dp, lift 6dp),
+    support >= min_support.
+    """
+    baskets = events.select(user_col, F.col(item_col).alias("it")) \
+        .distinct()
+    n_users = baskets.select(user_col).distinct() \
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    item_n = baskets.groupBy("it").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.select(user_col, F.col("it").alias("item_a"))
+    b = baskets.select(user_col, F.col("it").alias("item_b"))
+    pairs = (a.join(b, user_col)
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).alias("support"))
+             .filter(F.col("support") >= min_support))
+    return (pairs
+            .join(F.broadcast(item_n.select(
+                F.col("it").alias("item_a"), F.col("cnt").alias("ca"))),
+                "item_a")
+            .join(F.broadcast(item_n.select(
+                F.col("it").alias("item_b"), F.col("cnt").alias("cb"))),
+                "item_b")
+            .crossJoin(F.broadcast(n_users))
+            .select("item_a", "item_b",
+                    F.col("support").cast("long").alias("support"),
+                    F.round(F.col("support") / F.col("ca"), 6)
+                    .alias("conf_ab"),
+                    F.round(F.col("support") / F.col("cb"), 6)
+                    .alias("conf_ba"),
+                    F.round(F.col("n_users") * F.col("support")
+                            / F.col("ca") / F.col("cb"), 6)
+                    .alias("lift")))

@@ -5,7 +5,7 @@ and engine-portable for oracle checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from saber_spark.kernels.text import INFIX_PATTERN
@@ -578,3 +578,61 @@ def rake_keywords(docs: DataFrame, text_col: str = "text",
                     F.col("n_words").cast("long").alias("n_words"),
                     "score",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def burrows_delta(tokens: DataFrame, part_col: str,
+                  token_col: str = "token",
+                  top_m: int = 30) -> DataFrame:
+    """Burrows' Delta stylometric distinctiveness (Burrows, LLC 2002;
+    Argamon 2008 for the z-score formulation): for each part
+    (source/host/author), the mean absolute z-score of its relative
+    frequencies of the corpus' ``top_m`` most frequent tokens, where
+    z is standardized ACROSS parts per token — THE authorship /
+    style-fingerprint statistic, here pointed at hosts: a spam farm
+    or machine-translated mirror sits far from the corpus norm on
+    exactly the high-frequency function words Delta measures, while
+    topical drift (which keyness flags) barely moves them.
+
+        f_{p,m} = c_{p,m} / len(p)            (relative frequency)
+        z_{p,m} = (f_{p,m} - mu_m) / sd_m     (across parts; sd_samp)
+        Delta_p = mean_m |z_{p,m}|
+
+    Parts missing a token count f = 0 — the (part x top_m) grid is
+    materialized EXPLICITLY (it is tiny: |parts| * top_m), because
+    skipping zeros silently biases mu/sd. sd_m = 0 (a token perfectly
+    even across parts) contributes z = 0 by convention. Top-m
+    selection is deterministic (corpus freq DESC, token ASC).
+
+    Scale shape: one (part, token) hash agg is the only corpus-sized
+    exchange; the top-m window runs on the |vocab|-row corpus freq
+    table (TakeOrderedAndProject shape); the grid, the per-token
+    mu/sd agg, and the final per-part mean all run on |parts| * top_m
+    rows. No Python.
+
+    -> (part, part_tokens, delta 6dp) — one row per part.
+    """
+    pt = (tokens.groupBy(part_col, token_col)
+          .agg(F.count(F.lit(1)).alias("c")))
+    plen = pt.groupBy(part_col).agg(F.sum("c").alias("plen"))
+    corpus = (pt.groupBy(token_col).agg(F.sum("c").alias("cf")))
+    wtop = Window.orderBy(F.col("cf").desc(), F.col(token_col).asc())
+    top = (corpus.select(token_col,
+                         F.row_number().over(wtop).alias("rk"))
+           .filter(F.col("rk") <= top_m)
+           .select(token_col))
+    grid = plen.crossJoin(F.broadcast(top))
+    f = (grid.join(pt, [part_col, token_col], "left")
+         .select(part_col, token_col, "plen",
+                 (F.coalesce(F.col("c"), F.lit(0)) / F.col("plen"))
+                 .alias("f")))
+    stats = (f.groupBy(token_col)
+             .agg(F.avg("f").alias("mu"),
+                  F.stddev_samp("f").alias("sd")))
+    z = (f.join(F.broadcast(stats), token_col)
+         .select(part_col, "plen",
+                 F.when(F.col("sd") > 0,
+                        F.abs((F.col("f") - F.col("mu")) / F.col("sd")))
+                 .otherwise(F.lit(0.0)).alias("az")))
+    return (z.groupBy(part_col)
+            .agg(F.max("plen").cast("long").alias("part_tokens"),
+                 F.round(F.avg("az"), 6).alias("delta")))

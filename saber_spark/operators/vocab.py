@@ -456,3 +456,84 @@ def term_dispersion(tokens: DataFrame, part_col: str,
                  F.round(F.lit(0.5) * (1 + F.sum(contrib)), 6).alias("dp"))
             .filter(F.col("n") >= min_count)
             .select(token_col, "n", "dp"))
+
+
+def heaps_fit(tokens: DataFrame, id_col: str = "doc_id",
+              pos_col: str = "pos", token_col: str = "token",
+              checkpoints: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978; Herdan 1960):
+    OLS of ln V against ln n over ``checkpoints`` evenly spaced
+    prefixes of the corpus token stream, estimating V(n) ~ K * n^beta
+    — the capacity-planning complement of zipf_fit (Zipf: how mass
+    concentrates; Heaps: how fast the VOCABULARY table grows as the
+    crawl grows — what a 10x-bigger crawl does to embedding-matrix /
+    vocab-shard sizing; chao1 asks the same question
+    nonparametrically at one point).
+
+    The stream order is deterministic: documents by id, tokens by
+    position. V(n) = #{types whose FIRST occurrence index <= n};
+    first-occurrence indices need a global token index, computed as
+    per-doc offsets (a cumulative sum over the |docs|-row length
+    table) plus the in-doc position — never a window over raw tokens.
+
+    Counts are exact; ln/OLS on exact integers -> 6dp round.
+
+    Scale shape: one token-level min-agg per type (map-side combine)
+    + one |docs|-row cumulative window. The checkpoint evaluation
+    joins the 10-row checkpoint spine against the |types|-row
+    first-occurrence table (broadcast the spine); the OLS reduces 10
+    rows. At 10^12 docs the |docs|-row running sum becomes the
+    standard two-phase prefix sum (per-partition totals + offset
+    join); everything else is unchanged.
+
+    -> ONE row (n_tokens, n_types, beta 6dp, k_hat 6dp, r2 6dp).
+    """
+    lens = (tokens.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("len")))
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = lens.select(
+        id_col, F.coalesce(F.sum("len").over(w), F.lit(0)).alias("off"))
+    idx = (tokens.join(offsets, id_col)
+           .select(token_col,
+                   (F.col("off") + F.col(pos_col) + 1).alias("idx")))
+    first = idx.groupBy(token_col).agg(F.min("idx").alias("first_idx"))
+    totals = idx.agg(F.max("idx").alias("n_tokens"))
+    spine = (totals.select(
+        F.explode(F.sequence(F.lit(1), F.lit(checkpoints))).alias("j"),
+        "n_tokens")
+        .select("j", "n_tokens",
+                F.floor(F.col("j") * F.col("n_tokens") / checkpoints)
+                .alias("n_c")))
+    growth = (first.crossJoin(F.broadcast(spine))
+              .filter(F.col("first_idx") <= F.col("n_c"))
+              .groupBy("j", "n_c", "n_tokens")
+              .agg(F.count(F.lit(1)).alias("v_c")))
+    pts = growth.select(
+        "n_tokens",
+        F.log(F.col("n_c").cast("double")).alias("x"),
+        F.log(F.col("v_c").cast("double")).alias("y"))
+    ols = pts.agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n_types = first.agg(F.count(F.lit(1)).alias("n_types"))
+    kk = F.col("k")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / kk
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / kk
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / kk
+    beta = cov / varx
+    alpha = F.col("sy") / kk - beta * F.col("sx") / kk
+    # try_divide: a degenerate corpus (single type, or fewer tokens than
+    # checkpoints) has zero x- or y-variance -> NULL, not an ANSI crash
+    return (ols.crossJoin(F.broadcast(n_types))
+            .select(F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_types").cast("long").alias("n_types"),
+                    F.round(F.try_divide(cov, varx), 6).alias("beta"),
+                    F.round(F.exp(F.col("sy") / kk
+                                  - F.try_divide(cov, varx)
+                                  * F.col("sx") / kk), 6).alias("k_hat"),
+                    F.round(F.try_divide(cov * cov, varx * vary), 6)
+                    .alias("r2")))

@@ -338,3 +338,131 @@ class TestMapEval:
         docs = self._docs(spark, ["q q q a", "q q b", "q r"])
         out = map_eval(docs, [("q", "r")], k=2).collect()[0]
         assert out.ap == 0.0 and out.p_at_k == 0.0
+
+
+class TestHeapsFit:
+    def test_all_distinct_is_linear_growth(self, spark):
+        from saber_spark.operators.vocab import heaps_fit
+        # V(n) = n exactly -> beta = 1, K = 1, r2 = 1
+        toks = _tokens(spark, {0: [f"t{i}" for i in range(10)],
+                               1: [f"u{i}" for i in range(10)]})
+        out = heaps_fit(toks).collect()[0]
+        assert (out.n_tokens, out.n_types) == (20, 20)
+        assert out.beta == 1.0 and out.k_hat == 1.0 and out.r2 == 1.0
+
+    def test_matches_numpy_ols(self, spark):
+        from saber_spark.operators.vocab import heaps_fit
+        # deterministic mixed corpus; compare against a reference OLS
+        words = ["a", "b", "a", "c", "b", "d", "a", "e", "f", "c",
+                 "g", "a", "h", "b", "i", "j", "k", "a", "l", "b"]
+        toks = _tokens(spark, {0: words})
+        out = heaps_fit(toks).collect()[0]
+        # reference: first-occurrence prefix vocab counts
+        seen, first = set(), []
+        for i, w in enumerate(words, 1):
+            if w not in seen:
+                seen.add(w)
+                first.append(i)
+        n = len(words)
+        pts = []
+        for j in range(1, 11):
+            n_c = (j * n) // 10
+            v_c = sum(1 for fi in first if fi <= n_c)
+            pts.append((math.log(n_c), math.log(v_c)))
+        k = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        beta = (sxy - sx * sy / k) / (sxx - sx * sx / k)
+        assert out.beta == round(beta, 6)
+        assert out.n_types == 12
+
+    def test_single_type_degenerate_is_null(self, spark):
+        from saber_spark.operators.vocab import heaps_fit
+        toks = _tokens(spark, {0: ["a"] * 20})
+        out = heaps_fit(toks).collect()[0]
+        assert out.beta == 0.0 and out.r2 is None  # zero y-variance
+
+
+class TestBurrowsDelta:
+    def _toks(self, spark, parts):
+        rows = [(p, t) for p, toks in parts.items() for t in toks]
+        return spark.createDataFrame(rows, "source string, token string")
+
+    def test_hand_computed_two_parts(self, spark):
+        from saber_spark.operators.textstats import burrows_delta
+        toks = self._toks(spark, {"A": ["x", "x", "y"],
+                                  "B": ["x", "y", "y"]})
+        out = {r.source: r for r in
+               burrows_delta(toks, "source", top_m=2).collect()}
+        # f_A(x)=2/3, f_B(x)=1/3 -> |z| = |1/6| / (|1/3|/sqrt(2))
+        expect = (1 / 6) / ((1 / 3) / math.sqrt(2))
+        assert out["A"].delta == round(expect, 6)
+        assert out["A"].delta == out["B"].delta  # 2-part symmetry
+        assert out["A"].part_tokens == 3
+
+    def test_identical_parts_zero_delta(self, spark):
+        from saber_spark.operators.textstats import burrows_delta
+        toks = self._toks(spark, {"A": ["x", "y"], "B": ["x", "y"]})
+        for r in burrows_delta(toks, "source", top_m=2).collect():
+            assert r.delta == 0.0  # sd = 0 -> z = 0 by convention
+
+    def test_missing_token_counts_as_zero(self, spark):
+        from saber_spark.operators.textstats import burrows_delta
+        toks = self._toks(spark, {"A": ["x", "x"], "B": ["y", "y"]})
+        out = {r.source: r.delta for r in
+               burrows_delta(toks, "source", top_m=2).collect()}
+        # f matrices (1,0) vs (0,1): |z| = 0.5/(sqrt(2)/2 / sqrt(2)) ...
+        expect = 0.5 / ((1.0) / math.sqrt(2))
+        assert out["A"] == round(expect, 6) and out["B"] == out["A"]
+
+    def test_top_m_restricts_tokens(self, spark):
+        from saber_spark.operators.textstats import burrows_delta
+        # 'rare' differs wildly but is outside top-1 -> delta driven by x
+        toks = self._toks(spark, {"A": ["x", "x", "rare"],
+                                  "B": ["x", "x"]})
+        out = {r.source: r.delta for r in
+               burrows_delta(toks, "source", top_m=1).collect()}
+        # top-1 = x; f_A = 2/3, f_B = 1
+        d = abs((2 / 3 - 5 / 6)) / (abs(1 / 3) / math.sqrt(2))
+        assert out["A"] == round(d, 6)
+
+
+class TestAssocRules:
+    def _ev(self, spark, user_items):
+        rows = [(u, i) for u, items in user_items.items() for i in items]
+        return spark.createDataFrame(rows, "user_id long, event_type string")
+
+    def test_hand_computed_support_conf_lift(self, spark):
+        from saber_spark.operators.sessions import assoc_rules
+        ev = self._ev(spark, {1: ["a", "b"], 2: ["a", "b"],
+                              3: ["a"], 4: ["b", "c"]})
+        out = {(r.item_a, r.item_b): r for r in
+               assoc_rules(ev, min_support=1).collect()}
+        ab = out[("a", "b")]
+        assert ab.support == 2
+        assert ab.conf_ab == round(2 / 3, 6)  # P(b|a)
+        assert ab.conf_ba == round(2 / 3, 6)
+        assert ab.lift == round(4 * 2 / 9, 6)
+        bc = out[("b", "c")]
+        assert bc.lift == round(4 / 3, 6)
+
+    def test_set_semantics_ignore_repeats(self, spark):
+        from saber_spark.operators.sessions import assoc_rules
+        ev = self._ev(spark, {1: ["a", "a", "b", "b", "b"]})
+        out = assoc_rules(ev, min_support=1).collect()
+        assert len(out) == 1 and out[0].support == 1
+
+    def test_min_support_floor(self, spark):
+        from saber_spark.operators.sessions import assoc_rules
+        ev = self._ev(spark, {1: ["a", "b"], 2: ["a", "c"]})
+        assert assoc_rules(ev, min_support=2).count() == 0
+
+    def test_independent_items_lift_one(self, spark):
+        from saber_spark.operators.sessions import assoc_rules
+        # a and b fully independent across 4 users: lift = 1
+        ev = self._ev(spark, {1: ["a", "b"], 2: ["a"],
+                              3: ["b"], 4: ["z"]})
+        out = {(r.item_a, r.item_b): r for r in
+               assoc_rules(ev, min_support=1).collect()}
+        assert out[("a", "b")].lift == 1.0

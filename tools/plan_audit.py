@@ -2249,6 +2249,40 @@ def main() -> None:
         0,
     ))
 
+    hp = e.q_heaps_fit(spark, SF_DIR)
+    sections.append((
+        "heaps_fit (docs-row cumulative offset, 10-row OLS tail)",
+        "Heaps fit: global token indices come from the |docs|-row "
+        "running-sum window plus in-doc position — never a window over "
+        "raw tokens; the checkpoint spine is a broadcast; the OLS "
+        "reduces 10 rows.",
+        formatted_plan(hp),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
+    bd = e.q_burrows_delta(spark, SF_DIR)
+    sections.append((
+        "burrows_delta (one corpus agg, parts x top-m grid tail)",
+        "Burrows' Delta: the (part, token) agg is the only corpus-sized "
+        "exchange; top-m selection windows the |vocab|-row freq table; "
+        "grid/mu-sd/z/final-mean all run on |parts| * top_m rows.",
+        formatted_plan(bd),
+        ["HashAggregate", "Window", "BroadcastHashJoin"],
+        0,
+    ))
+
+    ar = e.q_assoc_rules(spark, SF_DIR)
+    sections.append((
+        "assoc_rules (one distinct, one co-partitioned self-join)",
+        "Association rules: baskets distinct once; the pair self-join is "
+        "co-partitioned on user_id and bounded per user by distinct "
+        "items; marginals and the user total join back as broadcasts.",
+        formatted_plan(ar),
+        ["HashAggregate", "BroadcastHashJoin"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
