@@ -4407,6 +4407,44 @@ def q_assoc_rules(spark, sf_dir):
     return assoc_rules(_events(spark, sf_dir), min_support=5)
 
 
+def q_mannwhitney_chars(spark, sf_dir):
+    """Mann-Whitney U rank-sum drift test (groupstats.mann_whitney_u,
+    Mann & Whitney 1947, full tie correction): did document length
+    SHIFT between the English and German slices — the nonparametric
+    location test for heavy-tailed metrics where mean comparisons
+    mislead. Ranks per DISTINCT value from the value histogram; the
+    window never touches row-level data."""
+    from saber_spark.operators.groupstats import mann_whitney_u
+    return mann_whitney_u(_docs(spark, sf_dir), "lang", "en", "de",
+                          "n_chars")
+
+
+def q_ks_chars(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D (groupstats.ks_two_sample,
+    Smirnov 1939): max CDF gap in doc length between slices — catches
+    SHAPE drift (variance, bimodality) the rank-sum test misses. The
+    max is decided on exact integer numerators over the common
+    n_a*n_b denominator; one division at the end."""
+    from saber_spark.operators.groupstats import ks_two_sample
+    return ks_two_sample(_docs(spark, sf_dir), "lang", "en", "de",
+                         "n_chars")
+
+
+def q_spearman_chars(spark, sf_dir):
+    """Spearman rank correlation (groupstats.spearman_rho, tie-averaged
+    ranks): monotone association between document char length and
+    token count — the outlier-robust sanity check that the tokenizer
+    tracks document size. Per-column ranks from value histograms
+    joined back by value; Pearson on ranks in one agg."""
+    from saber_spark.operators.groupstats import spearman_rho
+    toks_per_doc = (tokenize_docs(_docs(spark, sf_dir))
+                    .groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("n_toks")))
+    d = (_docs(spark, sf_dir).select("doc_id", "n_chars")
+         .join(toks_per_doc, "doc_id"))
+    return spearman_rho(d, "n_chars", "n_toks")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4777,6 +4815,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": q_heaps_fit,
         "burrows_delta": q_burrows_delta,
         "assoc_rules": q_assoc_rules,
+        # r5 final session batch 11 (rank-sum, KS, Spearman drift tests)
+        "mannwhitney_chars": q_mannwhitney_chars,
+        "ks_chars": q_ks_chars,
+        "spearman_chars": q_spearman_chars,
     }
 
 
@@ -10976,4 +11018,89 @@ def oracle_sql() -> dict[str, str]:
             JOIN item_n ca ON ca.it = pairs.item_a
             JOIN item_n cb ON cb.it = pairs.item_b
             CROSS JOIN nu""",
+        "mannwhitney_chars": """
+            WITH hist AS (
+              SELECT n_chars,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS cb
+              FROM documents WHERE lang IN ('en', 'de')
+              GROUP BY n_chars),
+            ranked AS (
+              SELECT ca, cb, ca + cb AS t,
+                     coalesce(sum(ca + cb) OVER
+                       (ORDER BY n_chars
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS less
+              FROM hist),
+            agg AS (
+              SELECT sum(ca) AS na, sum(cb) AS nb,
+                     sum(ca * (less + (t + 1) / 2)) AS ra,
+                     sum(t * t * t - t) AS ties
+              FROM ranked)
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   round(ra - na * (na + 1) / 2, 6) AS u_a,
+                   round((ra - na * (na + 1) / 2 - na * nb / 2)
+                         / sqrt((na * nb / 12)
+                                * (na + nb + 1
+                                   - ties / ((na + nb)
+                                             * (na + nb - 1)))), 6) AS z
+            FROM agg""",
+        "ks_chars": """
+            WITH hist AS (
+              SELECT n_chars,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS cb
+              FROM documents WHERE lang IN ('en', 'de')
+              GROUP BY n_chars),
+            cum AS (
+              SELECT sum(ca) OVER
+                       (ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+                       AS cum_a,
+                     sum(cb) OVER
+                       (ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+                       AS cum_b
+              FROM hist),
+            tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM hist),
+            agg AS (
+              SELECT max(abs(cum_a * nb - cum_b * na)) AS max_num,
+                     max(na) AS na, max(nb) AS nb
+              FROM cum CROSS JOIN tot)
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   round(max_num / (na * nb), 6) AS d,
+                   round(max_num / (na * nb)
+                         * sqrt(na * nb / (na + nb)), 6) AS scaled
+            FROM agg""",
+        "spearman_chars": f"""
+            WITH {TOKENS_CTE},
+            tpd AS (SELECT doc_id, count(*) AS n_toks FROM tokens
+                    GROUP BY doc_id),
+            d AS (SELECT dd.n_chars, tpd.n_toks
+                  FROM documents dd JOIN tpd USING (doc_id)),
+            hx AS (SELECT n_chars, count(*) AS t FROM d
+                   GROUP BY n_chars),
+            rx AS (SELECT n_chars,
+                          coalesce(sum(t) OVER
+                            (ORDER BY n_chars
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) + (t + 1) / 2 AS rx
+                   FROM hx),
+            hy AS (SELECT n_toks, count(*) AS t FROM d GROUP BY n_toks),
+            ry AS (SELECT n_toks,
+                          coalesce(sum(t) OVER
+                            (ORDER BY n_toks
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) + (t + 1) / 2 AS ry
+                   FROM hy),
+            j AS (SELECT rx.rx, ry.ry
+                  FROM d JOIN rx USING (n_chars) JOIN ry USING (n_toks)),
+            agg AS (
+              SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+                     sum(rx * ry) AS sxy, sum(rx * rx) AS sxx,
+                     sum(ry * ry) AS syy
+              FROM j)
+            SELECT CAST(n AS BIGINT) AS n,
+                   round((sxy - sx * sy / n)
+                         / sqrt((sxx - sx * sx / n)
+                                * (syy - sy * sy / n)), 6) AS rho
+            FROM agg""",
     }

@@ -263,6 +263,8 @@ def main() -> None:
         # round 5 final session batch 10 (Heaps' law, Burrows' Delta,
         # association rules)
         "heaps_fit", "burrows_delta", "assoc_rules",
+        # round 5 final session batch 11 (rank-sum, KS, Spearman)
+        "mannwhitney_chars", "ks_chars", "spearman_chars",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

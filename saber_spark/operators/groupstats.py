@@ -131,3 +131,142 @@ def gini_concentration(df: DataFrame, group_col: str, key_col: str
                         (F.col("n_keys") * F.col("total")).cast("double")
                         - (F.col("n_keys") + 1).cast("double") /
                         F.col("n_keys").cast("double"), 6).alias("gini")))
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, group_a: str,
+                   group_b: str, value_col: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum two-sample test (Mann &
+    Whitney 1947) with the full tie correction — the nonparametric
+    "did this distribution shift?" test a pipeline runs on doc
+    length / quality / latency between two slices when means are
+    meaningless under heavy tails (zscore_by_group assumes a shape;
+    this only assumes exchangeability):
+
+        U_a = R_a - n_a(n_a+1)/2          (R_a = tie-averaged rank sum)
+        z   = (U_a - n_a n_b / 2) / sqrt(var),
+        var = (n_a n_b / 12) * (N + 1 - sum(t^3 - t) / (N (N - 1)))
+
+    Ranks are computed per DISTINCT value (cumulative-less + half the
+    tie block), never per row: the only corpus-sized exchange is the
+    value-histogram agg; the ranking window runs on |distinct values|
+    rows. Counts exact -> 6dp round is engine-portable.
+
+    Scale note: the distinct-value table for doc-level metrics is
+    bounded (lengths, scores at fixed precision) — at web scale it
+    stays ~10^3-10^6 rows while the corpus is 10^12.
+
+    -> ONE row (n_a, n_b, u_a 6dp, z 6dp).
+    """
+    g = F.col(group_col)
+    hist = (df.filter(g.isin(group_a, group_b))
+            .groupBy(value_col)
+            .agg(F.sum(F.when(g == group_a, 1).otherwise(0)).alias("ca"),
+                 F.sum(F.when(g == group_b, 1).otherwise(0)).alias("cb")))
+    w = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, -1)
+    t = F.col("ca") + F.col("cb")
+    ranked = hist.select(
+        "ca", "cb", t.alias("t"),
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
+        .alias("less"))
+    avg_rank = F.col("less") + (F.col("t") + 1) / 2
+    agg = ranked.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.sum(F.col("ca") * avg_rank).alias("ra"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("ties"))
+    na, nb = F.col("na"), F.col("nb")
+    n = na + nb
+    ua = F.col("ra") - na * (na + 1) / 2
+    var = (na * nb / 12) * (n + 1 - F.col("ties") / (n * (n - 1)))
+    return agg.select(
+        na.cast("long").alias("n_a"), nb.cast("long").alias("n_b"),
+        F.round(ua, 6).alias("u_a"),
+        F.round(F.try_divide(ua - na * nb / 2, F.sqrt(var)), 6)
+        .alias("z"))
+
+
+def ks_two_sample(df: DataFrame, group_col: str, group_a: str,
+                  group_b: str, value_col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (Smirnov 1939):
+    D = max over x of |F_a(x) - F_b(x)| between the two slices'
+    empirical CDFs — the drift test that sees SHAPE changes (variance,
+    bimodality) a rank-sum location test misses; the standard
+    crawl-over-crawl distribution monitor next to js_divergence's
+    token-space drift.
+
+    Same histogram contract as mann_whitney_u: one value-histogram
+    agg, cumulative sums over the |distinct values|-row table, exact
+    integer numerators (|cum_a * nb - cum_b * na| over the common
+    denominator na*nb) so the max is decided on exact integers; the
+    single division happens once at the end -> 6dp round.
+
+    scaled = D * sqrt(n_a n_b / (n_a + n_b)) — the statistic compared
+    against the Kolmogorov critical values c(alpha).
+
+    -> ONE row (n_a, n_b, d 6dp, scaled 6dp).
+    """
+    g = F.col(group_col)
+    hist = (df.filter(g.isin(group_a, group_b))
+            .groupBy(value_col)
+            .agg(F.sum(F.when(g == group_a, 1).otherwise(0)).alias("ca"),
+                 F.sum(F.when(g == group_b, 1).otherwise(0)).alias("cb")))
+    w = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"))
+    tot = hist.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = cum.crossJoin(F.broadcast(tot))
+    num = F.abs(F.col("cum_a") * F.col("nb")
+                - F.col("cum_b") * F.col("na"))
+    agg = j.agg(F.max(num).alias("max_num"),
+                F.max("na").alias("na"), F.max("nb").alias("nb"))
+    na, nb = F.col("na"), F.col("nb")
+    d = F.try_divide(F.col("max_num"), na * nb)
+    return agg.select(
+        na.cast("long").alias("n_a"), nb.cast("long").alias("n_b"),
+        F.round(d, 6).alias("d"),
+        F.round(d * F.sqrt(na * nb / (na + nb)), 6).alias("scaled"))
+
+
+def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation with average ranks for ties
+    (Spearman 1904; the tie-correct form is Pearson on tie-averaged
+    ranks) — the monotone-association check between two document
+    metrics (length vs quality, inlinks vs PageRank) that Pearson
+    gets wrong under heavy tails and outliers.
+
+    Per-column ranks come from each column's value histogram
+    (cumulative-less + half the tie block, the mann_whitney_u
+    contract) joined back to rows by value — no window ever touches
+    the row-level table; the Pearson reduction is a single agg.
+
+    -> ONE row (n, rho 6dp).
+    """
+
+    def ranks(col: str, alias: str) -> DataFrame:
+        hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1)
+        return hist.select(
+            F.col(col),
+            (F.coalesce(F.sum("t").over(w), F.lit(0))
+             + (F.col("t") + 1) / 2).alias(alias))
+    rx = ranks(x_col, "rx")
+    ry = ranks(y_col, "ry")
+    j = (df.select(x_col, y_col)
+         .join(F.broadcast(rx), x_col)
+         .join(F.broadcast(ry), y_col))
+    agg = j.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
+                F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+                F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+                F.sum(F.col("ry") * F.col("ry")).alias("syy"))
+    n = F.col("n")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.round(F.try_divide(cov, F.sqrt(vx * vy)), 6).alias("rho"))

@@ -466,3 +466,86 @@ class TestAssocRules:
         out = {(r.item_a, r.item_b): r for r in
                assoc_rules(ev, min_support=1).collect()}
         assert out[("a", "b")].lift == 1.0
+
+
+class TestMannWhitneyU:
+    def _df(self, spark, a, b):
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        return spark.createDataFrame(rows, "g string, v long")
+
+    def test_fully_separated(self, spark):
+        from saber_spark.operators.groupstats import mann_whitney_u
+        out = mann_whitney_u(self._df(spark, [1, 2, 3], [4, 5, 6]),
+                             "g", "a", "b", "v").collect()[0]
+        # R_a = 6 -> U_a = 0; no ties: var = 3*3*7/12
+        assert (out.n_a, out.n_b, out.u_a) == (3, 3, 0.0)
+        assert out.z == round(-4.5 / math.sqrt(5.25), 6)
+
+    def test_tie_correction(self, spark):
+        from saber_spark.operators.groupstats import mann_whitney_u
+        out = mann_whitney_u(self._df(spark, [1, 1], [1, 2]),
+                             "g", "a", "b", "v").collect()[0]
+        # avg rank of the 1-block = 2 -> R_a = 4, U_a = 1
+        # var = (4/12) * (5 - 24/12) = 1 -> z = -1
+        assert out.u_a == 1.0 and out.z == -1.0
+
+    def test_identical_groups_z_zero(self, spark):
+        from saber_spark.operators.groupstats import mann_whitney_u
+        out = mann_whitney_u(self._df(spark, [1, 2, 3], [1, 2, 3]),
+                             "g", "a", "b", "v").collect()[0]
+        assert out.z == 0.0
+
+
+class TestKsTwoSample:
+    def _df(self, spark, a, b):
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        return spark.createDataFrame(rows, "g string, v long")
+
+    def test_disjoint_supports_d_one(self, spark):
+        from saber_spark.operators.groupstats import ks_two_sample
+        out = ks_two_sample(self._df(spark, [1, 2], [3, 4]),
+                            "g", "a", "b", "v").collect()[0]
+        assert out.d == 1.0
+        assert out.scaled == 1.0  # sqrt(2*2/4) = 1
+
+    def test_interleaved(self, spark):
+        from saber_spark.operators.groupstats import ks_two_sample
+        out = ks_two_sample(self._df(spark, [1, 3], [2, 4]),
+                            "g", "a", "b", "v").collect()[0]
+        assert out.d == 0.5
+
+    def test_identical_distributions_d_zero(self, spark):
+        from saber_spark.operators.groupstats import ks_two_sample
+        out = ks_two_sample(self._df(spark, [1, 2, 3], [1, 2, 3]),
+                            "g", "a", "b", "v").collect()[0]
+        assert out.d == 0.0
+
+
+class TestSpearmanRho:
+    def _df(self, spark, xs, ys):
+        return spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+
+    def test_perfect_monotone(self, spark):
+        from saber_spark.operators.groupstats import spearman_rho
+        out = spearman_rho(self._df(spark, [1, 5, 9, 20],
+                                    [2, 4, 100, 200]), "x", "y").collect()[0]
+        assert out.rho == 1.0
+
+    def test_perfect_inverse(self, spark):
+        from saber_spark.operators.groupstats import spearman_rho
+        out = spearman_rho(self._df(spark, [1, 2, 3], [9, 5, 1]),
+                           "x", "y").collect()[0]
+        assert out.rho == -1.0
+
+    def test_hand_computed_partial(self, spark):
+        from saber_spark.operators.groupstats import spearman_rho
+        # rank pairs (1,1),(2,3),(3,2),(4,4) -> rho = 4/5
+        out = spearman_rho(self._df(spark, [1, 2, 3, 4], [1, 3, 2, 4]),
+                           "x", "y").collect()[0]
+        assert out.rho == 0.8
+
+    def test_constant_column_null(self, spark):
+        from saber_spark.operators.groupstats import spearman_rho
+        out = spearman_rho(self._df(spark, [1, 2, 3], [7, 7, 7]),
+                           "x", "y").collect()[0]
+        assert out.rho is None

@@ -2283,6 +2283,39 @@ def main() -> None:
         0,
     ))
 
+    mw = e.q_mannwhitney_chars(spark, SF_DIR)
+    sections.append((
+        "mannwhitney_chars (histogram ranks, no row-level window)",
+        "Rank-sum: the value-histogram agg is the only corpus-sized "
+        "exchange; tie-averaged ranks come from a window over the "
+        "|distinct values|-row table; one reduced agg assembles U and z.",
+        formatted_plan(mw),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
+    ks = e.q_ks_chars(spark, SF_DIR)
+    sections.append((
+        "ks_chars (histogram CDFs, exact-integer max)",
+        "KS: same histogram contract; the sup gap is decided on exact "
+        "integer numerators over the common n_a*n_b denominator with "
+        "one division at the end.",
+        formatted_plan(ks),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
+    sp = e.q_spearman_chars(spark, SF_DIR)
+    sections.append((
+        "spearman_chars (per-column histogram ranks joined by value)",
+        "Spearman: each column's ranks come from its own value "
+        "histogram (broadcast back by value); Pearson on ranks is one "
+        "agg; no window ever touches row-level data.",
+        formatted_plan(sp),
+        ["HashAggregate", "Window", "BroadcastHashJoin"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
