@@ -4445,6 +4445,42 @@ def q_spearman_chars(spark, sf_dir):
     return spearman_rho(d, "n_chars", "n_toks")
 
 
+def q_kendall_hosts(spark, sf_dir):
+    """Kendall tau-b between host doc-count and host total-chars
+    (groupstats.kendall_tau, Kendall 1938/1945): pair-level rank
+    agreement with tie corrections over the REDUCED host table —
+    deliberately O(hosts^2) (190 pairs at 20 hosts) where
+    spearman_chars covers the corpus-sized case and rbo_hosts the
+    top-weighted prefix view."""
+    from saber_spark.operators.groupstats import kendall_tau
+    from saber_spark.operators.webstats import host_stats
+    stats = host_stats(_synth_pages_url(_docs(spark, sf_dir)))
+    return kendall_tau(stats, "n_docs", "total_chars")
+
+
+def q_chisq_lang_source(spark, sf_dir):
+    """Chi-square independence + Cramér's V for lang x source
+    (profile.chisq_independence, Pearson 1900 / Cramér 1946): the
+    categorical-association audit that catches stratification bugs
+    and leaky splits — benford_prices tests a column against a LAW,
+    this tests two columns against each other. Zero cells enter
+    through the sum o^2/e - n identity without materialization."""
+    from saber_spark.operators.profile import chisq_independence
+    return chisq_independence(_docs(spark, sf_dir), "lang", "source")
+
+
+def q_entropy_rate(spark, sf_dir):
+    """Shannon unigram entropy and bigram entropy rate of the corpus
+    (lm.entropy_rate, Shannon 1951): H1, H2 = H(W2|W1) and their
+    perplexities — H1 - H2 is the predictive value of one token of
+    context; boilerplate collapses H2, noise pushes it to H1. ML
+    estimates on the corpus itself (no split/smoothing — the
+    corpus-property complement of lm_cross_entropy's held-out model
+    score)."""
+    from saber_spark.operators.lm import entropy_rate
+    return entropy_rate(_docs(spark, sf_dir), INFIX_PATTERN)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4819,6 +4855,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mannwhitney_chars": q_mannwhitney_chars,
         "ks_chars": q_ks_chars,
         "spearman_chars": q_spearman_chars,
+        # r5 final session batch 12 (Kendall tau-b, chi-square/Cramér's V,
+        # Shannon entropy rate)
+        "kendall_hosts": q_kendall_hosts,
+        "chisq_lang_source": q_chisq_lang_source,
+        "entropy_rate": q_entropy_rate,
     }
 
 
@@ -11103,4 +11144,84 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt((sxx - sx * sx / n)
                                 * (syy - sy * sy / n)), 6) AS rho
             FROM agg""",
+        "kendall_hosts": """
+            WITH pages AS (
+              SELECT 'https://' || source || '.Example.org/doc/' ||
+                     CAST(doc_id AS VARCHAR) AS url, n_chars
+              FROM documents),
+            stats AS (
+              SELECT lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                     count(*) AS x, sum(n_chars) AS y
+              FROM pages GROUP BY 1),
+            ids AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY host) AS i
+                    FROM stats),
+            pairs AS (
+              SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+              FROM ids a JOIN ids b ON a.i < b.i),
+            agg AS (
+              SELECT count(*) AS n0,
+                     sum(CASE WHEN (x1 - x2) * (y1 - y2) > 0
+                              THEN 1 ELSE 0 END) AS c,
+                     sum(CASE WHEN (x1 - x2) * (y1 - y2) < 0
+                              THEN 1 ELSE 0 END) AS d,
+                     sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS n1,
+                     sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS n2
+              FROM pairs),
+            nn AS (SELECT count(*) AS n FROM stats)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(c AS BIGINT) AS concordant,
+                   CAST(d AS BIGINT) AS discordant,
+                   round((c - d) / sqrt(CAST((n0 - n1) AS DOUBLE)
+                                        * CAST((n0 - n2) AS DOUBLE)), 6)
+                     AS tau_b
+            FROM agg CROSS JOIN nn""",
+        "chisq_lang_source": """
+            WITH cells AS (
+              SELECT lang, source, count(*) AS o FROM documents
+              GROUP BY lang, source),
+            ra AS (SELECT lang, sum(o) AS ri FROM cells GROUP BY lang),
+            cb AS (SELECT source, sum(o) AS cj FROM cells
+                   GROUP BY source),
+            tot AS (SELECT sum(o) AS n, count(DISTINCT lang) AS r,
+                           count(DISTINCT source) AS c
+                    FROM cells),
+            agg AS (
+              SELECT sum(o * o * n / (ri * cj)) AS s,
+                     max(n) AS n, max(r) AS r, max(c) AS c
+              FROM cells JOIN ra USING (lang) JOIN cb USING (source)
+              CROSS JOIN tot)
+            SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+                   CAST(c AS BIGINT) AS c,
+                   CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+                   round(s - n, 6) AS chi2,
+                   round(sqrt((s - n)
+                              / CAST(n * least(r - 1, c - 1) AS DOUBLE)),
+                         6) AS cramers_v
+            FROM agg""",
+        "entropy_rate": f"""
+            WITH {TOKENS_CTE},
+            lagd AS (
+              SELECT token AS w1,
+                     lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS w2
+              FROM tokens),
+            bg AS (SELECT w1, w2 FROM lagd WHERE w2 IS NOT NULL),
+            bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg
+                    GROUP BY w1, w2),
+            leftm AS (SELECT w1, sum(c12) AS c1 FROM bgc GROUP BY w1),
+            nn AS (SELECT sum(c12) AS n FROM bgc),
+            h2 AS (
+              SELECT -sum(c12 / n * ln(c12 / c1)) AS h2,
+                     max(n) AS n_bigrams
+              FROM bgc JOIN leftm USING (w1) CROSS JOIN nn),
+            h1 AS (
+              SELECT -sum(c1 / n * ln(c1 / n)) AS h1
+              FROM leftm CROSS JOIN nn)
+            SELECT CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                   round(h1, 6) AS h_unigram,
+                   round(h2, 6) AS h_bigram_rate,
+                   round(exp(h1), 6) AS ppl_unigram,
+                   round(exp(h2), 6) AS ppl_bigram
+            FROM h2 CROSS JOIN h1""",
     }

@@ -265,6 +265,9 @@ def main() -> None:
         "heaps_fit", "burrows_delta", "assoc_rules",
         # round 5 final session batch 11 (rank-sum, KS, Spearman)
         "mannwhitney_chars", "ks_chars", "spearman_chars",
+        # round 5 final session batch 12 (Kendall tau-b, chi-square,
+        # entropy rate)
+        "kendall_hosts", "chisq_lang_source", "entropy_rate",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

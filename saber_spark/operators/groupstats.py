@@ -270,3 +270,51 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     return agg.select(
         n.cast("long").alias("n"),
         F.round(F.try_divide(cov, F.sqrt(vx * vy)), 6).alias("rho"))
+
+
+def kendall_tau(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Kendall tau-b rank correlation with tie corrections (Kendall
+    1938; tau-b per Kendall 1945) over an AGGREGATED metric table —
+    the pair-level agreement statistic next to spearman_rho's
+    rank-Pearson and rbo_overlap's top-weighted prefix view:
+
+        tau_b = (C - D) / sqrt((n0 - n1) (n0 - n2))
+
+    with C/D concordant/discordant pairs, n0 = n(n-1)/2, n1/n2 =
+    pairs tied on x / on y (pairs tied on both count in each). Exact
+    integer pair counts; one sqrt at the end -> 6dp round.
+
+    Scale shape: the input is a per-entity metric table (hosts,
+    sources, shards) — the pairwise self-join is O(n^2) in ENTITIES,
+    deliberately: this operator is for the reduced tables where n is
+    hundreds-to-thousands (190 pairs for 20 hosts). For corpus-sized
+    association use spearman_rho (histogram ranks, no pair blowup).
+    The join is a single crossJoin filtered to i < j on a broadcast
+    side; everything after is one agg.
+
+    -> ONE row (n, concordant, discordant, tau_b 6dp).
+    """
+    a = df.select(F.col(x_col).alias("x1"), F.col(y_col).alias("y1")) \
+        .withColumn("i", F.monotonically_increasing_id())
+    # deterministic pair universe: order-free i<j via value+id ordering
+    b = a.select(F.col("x1").alias("x2"), F.col("y1").alias("y2"),
+                 F.col("i").alias("j"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("i") < F.col("j"))
+    sgn = (F.col("x1") - F.col("x2")) * (F.col("y1") - F.col("y2"))
+    tie_x = (F.col("x1") == F.col("x2")).cast("long")
+    tie_y = (F.col("y1") == F.col("y2")).cast("long")
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum((sgn > 0).cast("long")).alias("c"),
+        F.sum((sgn < 0).cast("long")).alias("d"),
+        F.sum(tie_x).alias("n1"),
+        F.sum(tie_y).alias("n2"))
+    n = df.count()
+    denom = F.sqrt((F.col("n0") - F.col("n1")).cast("double")
+                   * (F.col("n0") - F.col("n2")).cast("double"))
+    return agg.select(
+        F.lit(n).cast("long").alias("n"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.round(F.try_divide(F.col("c") - F.col("d"), denom), 6)
+        .alias("tau_b"))

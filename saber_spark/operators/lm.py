@@ -279,3 +279,47 @@ def kneser_ney_bigrams(docs: DataFrame, pattern: str,
                     F.col("n1plus_bwd").cast("long").alias("n1plus_bwd"),
                     F.round("p_cont", 6).alias("p_cont"),
                     F.round("p_kn", 6).alias("p_kn")))
+
+
+def entropy_rate(docs: DataFrame, pattern: str,
+                 text_col: str = "text") -> DataFrame:
+    """Corpus unigram entropy and bigram entropy rate (Shannon 1951,
+    "Prediction and Entropy of Printed English"):
+
+        H1 = -sum_w  p(w) ln p(w)
+        H2 = -sum_{w1,w2} p(w1,w2) ln p(w2 | w1)      (entropy rate)
+
+    in nats, with perplexities exp(H). H1 - H2 is the predictive
+    value of one token of context — natural text has H2 well below
+    H1; templated/boilerplate corpora collapse H2 toward 0 while
+    machine-generated-noise pushes H2 toward H1. Unlike
+    lm_cross_entropy (a MODEL scored on held-out data) this is a
+    property of the corpus itself: no split, no smoothing — maximum-
+    likelihood estimates on the full bigram table, 0 ln 0 = 0.
+
+    Scale shape: one bigram hash agg (narrow zip_with extraction,
+    map-side combine) and one unigram agg derived from its left
+    margin; totals broadcast; two reduced-side contribution sums.
+
+    -> ONE row (n_bigrams, h_unigram 6dp, h_bigram_rate 6dp,
+    ppl_unigram 6dp, ppl_bigram 6dp).
+    """
+    bg = (doc_bigrams(docs, pattern, text_col)
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    left = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    n = bg.agg(F.sum("c12").alias("n"))
+    h2 = (bg.join(left, "w1").crossJoin(F.broadcast(n))
+          .agg((-F.sum(F.col("c12") / F.col("n")
+                       * F.log(F.col("c12") / F.col("c1"))))
+               .alias("h2"),
+               F.max("n").alias("n_bigrams")))
+    h1 = (left.crossJoin(F.broadcast(n))
+          .agg((-F.sum(F.col("c1") / F.col("n")
+                       * F.log(F.col("c1") / F.col("n"))))
+               .alias("h1")))
+    return (h2.crossJoin(F.broadcast(h1))
+            .select(F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                    F.round(F.col("h1"), 6).alias("h_unigram"),
+                    F.round(F.col("h2"), 6).alias("h_bigram_rate"),
+                    F.round(F.exp(F.col("h1")), 6).alias("ppl_unigram"),
+                    F.round(F.exp(F.col("h2")), 6).alias("ppl_bigram")))

@@ -486,3 +486,58 @@ def lexical_richness(items: DataFrame, item_col: str) -> DataFrame:
         # double range (n*n overflows BIGINT past ~3e9 tokens)
         F.round(F.lit(1e4) * (F.col("sum_r2") - n) / n / n, 6)
         .alias("yule_k"))
+
+
+def chisq_independence(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Pearson chi-square test of independence + Cramér's V effect
+    size (Pearson 1900; Cramér 1946) over a two-column contingency
+    table — the categorical-association audit (is `lang` independent
+    of `source`? is `label` independent of shard?) that catches
+    stratification bugs and leaky splits before training; Benford's
+    chi-square tests a column against a LAW, this tests two columns
+    against EACH OTHER.
+
+        chi2 = sum (o_ij - e_ij)^2 / e_ij,  e_ij = r_i * c_j / n
+        V    = sqrt(chi2 / (n * min(r - 1, c - 1)))
+
+    Cell/marginal counts are exact integers; e and the terms are
+    doubles on exact rationals -> 6dp round.
+
+    Scale shape: ONE (a, b) hash agg is the only corpus-sized
+    exchange; marginals re-aggregate the |cells|-row table and join
+    back by key (broadcast — categorical cardinalities are small by
+    definition); the reduction is one row. Zero-count cells
+    contribute their expected mass through the marginals without
+    being materialized (the (o - e)^2/e term for o = 0 is e, summed
+    as (n - observed-cell e-sum) below — algebraic identity
+    chi2 = sum_observed o^2/e - n).
+
+    -> ONE row (n, r, c, dof, chi2 6dp, cramers_v 6dp).
+    """
+    cells = (df.groupBy(a_col, b_col)
+             .agg(F.count(F.lit(1)).alias("o")))
+    ra = cells.groupBy(a_col).agg(F.sum("o").alias("ri"))
+    cb = cells.groupBy(b_col).agg(F.sum("o").alias("cj"))
+    tot = cells.agg(F.sum("o").alias("n"),
+                    F.countDistinct(a_col).alias("r"),
+                    F.countDistinct(b_col).alias("c"))
+    j = (cells.join(F.broadcast(ra), a_col)
+         .join(F.broadcast(cb), b_col)
+         .crossJoin(F.broadcast(tot)))
+    # chi2 = sum over OBSERVED cells of o^2 * n / (ri * cj)  -  n
+    term = (F.col("o") * F.col("o") * F.col("n")
+            / (F.col("ri") * F.col("cj")))
+    agg = j.agg(F.sum(term).alias("s"),
+                F.max("n").alias("n"), F.max("r").alias("r"),
+                F.max("c").alias("c"))
+    chi2 = F.col("s") - F.col("n")
+    mindim = F.least(F.col("r") - 1, F.col("c") - 1)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("c"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.sqrt(F.try_divide(chi2, (F.col("n") * mindim)
+                                    .cast("double"))), 6)
+        .alias("cramers_v"))

@@ -549,3 +549,95 @@ class TestSpearmanRho:
         out = spearman_rho(self._df(spark, [1, 2, 3], [7, 7, 7]),
                            "x", "y").collect()[0]
         assert out.rho is None
+
+
+class TestKendallTau:
+    def _df(self, spark, xs, ys):
+        return spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+
+    def test_perfect_concordance(self, spark):
+        from saber_spark.operators.groupstats import kendall_tau
+        out = kendall_tau(self._df(spark, [1, 2, 3], [10, 20, 30]),
+                          "x", "y").collect()[0]
+        assert (out.concordant, out.discordant) == (3, 0)
+        assert out.tau_b == 1.0
+
+    def test_perfect_discordance(self, spark):
+        from saber_spark.operators.groupstats import kendall_tau
+        out = kendall_tau(self._df(spark, [1, 2, 3], [30, 20, 10]),
+                          "x", "y").collect()[0]
+        assert out.tau_b == -1.0
+
+    def test_tie_corrected_hand_value(self, spark):
+        from saber_spark.operators.groupstats import kendall_tau
+        # C=4 D=0, one x-tie pair, one y-tie pair -> 4/sqrt(25) = 0.8
+        out = kendall_tau(self._df(spark, [1, 2, 2, 3], [1, 2, 3, 3]),
+                          "x", "y").collect()[0]
+        assert (out.concordant, out.discordant) == (4, 0)
+        assert out.tau_b == 0.8
+
+    def test_constant_column_null(self, spark):
+        from saber_spark.operators.groupstats import kendall_tau
+        out = kendall_tau(self._df(spark, [5, 5, 5], [1, 2, 3]),
+                          "x", "y").collect()[0]
+        assert out.tau_b is None
+
+
+class TestChisqIndependence:
+    def _df(self, spark, cells):
+        rows = [(a, b) for a, b, n in cells for _ in range(n)]
+        return spark.createDataFrame(rows, "a string, b string")
+
+    def test_independent_is_zero(self, spark):
+        from saber_spark.operators.profile import chisq_independence
+        df = self._df(spark, [("a1", "b1", 2), ("a1", "b2", 2),
+                              ("a2", "b1", 2), ("a2", "b2", 2)])
+        out = chisq_independence(df, "a", "b").collect()[0]
+        assert out.chi2 == 0.0 and out.cramers_v == 0.0
+        assert out.dof == 1
+
+    def test_perfect_association(self, spark):
+        from saber_spark.operators.profile import chisq_independence
+        df = self._df(spark, [("a1", "b1", 3), ("a2", "b2", 3)])
+        out = chisq_independence(df, "a", "b").collect()[0]
+        # zero cells enter via the o^2/e - n identity: chi2 = n
+        assert out.chi2 == 6.0 and out.cramers_v == 1.0
+
+    def test_hand_computed_2x2(self, spark):
+        from saber_spark.operators.profile import chisq_independence
+        df = self._df(spark, [("a1", "b1", 10), ("a1", "b2", 20),
+                              ("a2", "b1", 20), ("a2", "b2", 10)])
+        out = chisq_independence(df, "a", "b").collect()[0]
+        assert out.chi2 == round(1000 * 60 / 900 - 60, 6)
+        assert out.cramers_v == round(math.sqrt((1000 * 60 / 900 - 60)
+                                                / 60), 6)
+
+
+class TestEntropyRate:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def test_deterministic_alternation(self, spark):
+        from saber_spark.operators.lm import entropy_rate
+        out = entropy_rate(self._docs(spark, ["a b a b a"]),
+                           r"[0-9a-zA-Z]+").collect()[0]
+        # context fully determines the next token -> H2 = 0
+        assert out.h_bigram_rate == 0.0 and out.ppl_bigram == 1.0
+        assert out.h_unigram == round(math.log(2), 6)
+        assert out.ppl_unigram == 2.0
+
+    def test_hand_computed_mixed(self, spark):
+        from saber_spark.operators.lm import entropy_rate
+        out = entropy_rate(self._docs(spark, ["a a b b"]),
+                           r"[0-9a-zA-Z]+").collect()[0]
+        # bigrams aa ab bb; p(next|a) = 1/2 -> H2 = (2/3) ln 2
+        assert out.n_bigrams == 3
+        assert out.h_bigram_rate == round(2 / 3 * math.log(2), 6)
+
+    def test_no_cross_document_bigrams(self, spark):
+        from saber_spark.operators.lm import entropy_rate
+        out = entropy_rate(self._docs(spark, ["a b", "b a"]),
+                           r"[0-9a-zA-Z]+").collect()[0]
+        assert out.n_bigrams == 2  # never (b, b) across the doc gap
+        assert out.h_bigram_rate == 0.0

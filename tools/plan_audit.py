@@ -2316,6 +2316,41 @@ def main() -> None:
         0,
     ))
 
+    kt = e.q_kendall_hosts(spark, SF_DIR)
+    sections.append((
+        "kendall_hosts (pairwise on the reduced host table only)",
+        "Kendall tau-b: the O(n^2) self-join runs on the |hosts|-row "
+        "metric table (host agg upstream), never corpus rows; one agg "
+        "classifies pairs and assembles tau.",
+        formatted_plan(kt),
+        ["HashAggregate"],
+        0,
+    ))
+
+    cs = e.q_chisq_lang_source(spark, SF_DIR)
+    sections.append((
+        "chisq_lang_source (one cell agg, broadcast marginals)",
+        "Chi-square/Cramér's V: ONE (a, b) hash agg is the only "
+        "corpus-sized exchange; marginals re-aggregate the cells table "
+        "and join back as broadcasts; zero cells contribute via the "
+        "o^2/e - n identity without materialization.",
+        formatted_plan(cs),
+        ["HashAggregate", "BroadcastHashJoin"],
+        0,
+    ))
+
+    er = e.q_entropy_rate(spark, SF_DIR)
+    sections.append((
+        "entropy_rate (one bigram agg, margins derived from it)",
+        "Shannon entropy rate: bigram extraction is a narrow zip_with "
+        "map; the bigram agg combines map-side; the unigram margin "
+        "re-aggregates the bigram table, so raw tokens are touched "
+        "exactly once.",
+        formatted_plan(er),
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
