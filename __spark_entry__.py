@@ -4481,6 +4481,53 @@ def q_entropy_rate(spark, sf_dir):
     return entropy_rate(_docs(spark, sf_dir), INFIX_PATTERN)
 
 
+def q_stem_collapse(spark, sf_dir):
+    """Harman S-stemmer conflation audit (vocab.s_stem/stem_collapse,
+    Harman JASIS 1991): every stem class merging >= 2 surface types
+    with its token mass — what plural conflation buys the
+    index/vocab, and the overstemming review surface. Pure codegen
+    stemming (three suffix rules, first match wins), two map-side
+    combining aggs."""
+    from saber_spark.operators.vocab import stem_collapse
+    toks = tokenize_docs(_docs(spark, sf_dir)).select("doc_id", "token")
+    # deterministic plural fixture (the _synth_pages_url convention —
+    # the corpus word list carries no plurals): docs with doc_id % 3
+    # == 0 also emit the regular English plural of each token
+    plural = (toks.filter(F.col("doc_id") % 3 == 0)
+              .select("doc_id", F.when(
+                  F.col("token").endswith("y"),
+                  F.concat(F.substring(F.col("token"), 1,
+                                       F.length("token") - 1),
+                           F.lit("ies")))
+                  .when(F.col("token").endswith("s"),
+                        F.concat(F.col("token"), F.lit("es")))
+                  .otherwise(F.concat(F.col("token"), F.lit("s")))
+                  .alias("token")))
+    return stem_collapse(toks.unionByName(plural))
+
+
+def q_control_chart(spark, sf_dir):
+    """Shewhart I-MR control chart on hourly event counts
+    (timeseries.control_chart, Shewhart 1931; 2.66 = 3/d2): WHICH
+    hours are statistically out of control — the alert view next to
+    cusum_changepoints' sustained-shift detection and acf_events'
+    cyclicity. Densified series (an empty hour can BE the violation);
+    violations-only output."""
+    from saber_spark.operators.timeseries import control_chart
+    return control_chart(_events(spark, sf_dir))
+
+
+def q_mojibake_audit(spark, sf_dir):
+    """Encoding-damage audit (textstats.mojibake_audit, ftfy
+    heuristics, Speer 2019): occurrences of the classic double-decode
+    artifacts (UTF-8-as-Latin-1, BOM-as-text, U+FFFD) — the crawl-QA
+    gate before damaged bytes pollute shingles and KG surfaces. One
+    row per marker ALWAYS (zeros are the healthy record); detection
+    behavior is pytest-proven on synthesized damage."""
+    from saber_spark.operators.textstats import mojibake_audit
+    return mojibake_audit(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4860,6 +4907,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_hosts": q_kendall_hosts,
         "chisq_lang_source": q_chisq_lang_source,
         "entropy_rate": q_entropy_rate,
+        # r5 final session batch 13 (S-stemmer, I-MR chart, mojibake)
+        "stem_collapse": q_stem_collapse,
+        "control_chart": q_control_chart,
+        "mojibake_audit": q_mojibake_audit,
     }
 
 
@@ -11224,4 +11275,104 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(h1), 6) AS ppl_unigram,
                    round(exp(h2), 6) AS ppl_bigram
             FROM h2 CROSS JOIN h1""",
+        "stem_collapse": f"""
+            WITH {TOKENS_CTE},
+            plural AS (
+              SELECT doc_id,
+                     CASE WHEN token LIKE '%y'
+                          THEN substr(token, 1, len(token) - 1) || 'ies'
+                          WHEN token LIKE '%s' THEN token || 'es'
+                          ELSE token || 's' END AS token
+              FROM tokens WHERE doc_id % 3 = 0),
+            allt AS (
+              SELECT token FROM tokens
+              UNION ALL SELECT token FROM plural),
+            stemmed AS (
+              SELECT token AS tok,
+              CASE WHEN token LIKE '%ies' THEN
+                     CASE WHEN token LIKE '%eies' OR token LIKE '%aies'
+                          THEN token
+                          ELSE substr(token, 1, len(token) - 3) || 'y'
+                     END
+                   WHEN token LIKE '%es' THEN
+                     CASE WHEN token LIKE '%aes' OR token LIKE '%ees'
+                               OR token LIKE '%oes'
+                          THEN token
+                          ELSE substr(token, 1, len(token) - 1)
+                     END
+                   WHEN token LIKE '%s' THEN
+                     CASE WHEN token LIKE '%us' OR token LIKE '%ss'
+                          THEN token
+                          ELSE substr(token, 1, len(token) - 1)
+                     END
+                   ELSE token END AS stem
+              FROM allt),
+            per_type AS (
+              SELECT stem, tok, count(*) AS c FROM stemmed
+              GROUP BY stem, tok)
+            SELECT stem,
+                   CAST(count(*) AS BIGINT) AS n_variants,
+                   CAST(sum(c) AS BIGINT) AS n_tokens
+            FROM per_type
+            GROUP BY stem
+            HAVING count(*) >= 2""",
+        "control_chart": """
+            WITH counts AS (
+              SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS b,
+                     count(*) AS x
+              FROM events GROUP BY 1),
+            bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+            spine AS (
+              SELECT unnest(generate_series(b0, b1)) AS b FROM bounds),
+            series AS (
+              SELECT spine.b, coalesce(counts.x, 0) AS x
+              FROM spine LEFT JOIN counts ON counts.b = spine.b),
+            mr AS (
+              SELECT b, x,
+                     abs(x - lag(x) OVER (ORDER BY b)) AS mrv
+              FROM series),
+            stats AS (SELECT avg(x) AS xbar, avg(mrv) AS mr_bar FROM mr)
+            SELECT CAST(b * 3600000000 AS BIGINT) AS bucket_us,
+                   CAST(x AS BIGINT) AS x,
+                   round(xbar, 6) AS xbar,
+                   round(mr_bar, 6) AS mr_bar,
+                   round(xbar + 2.66 * mr_bar, 6) AS ucl,
+                   round(greatest(xbar - 2.66 * mr_bar, 0.0), 6) AS lcl,
+                   CASE WHEN x > xbar + 2.66 * mr_bar THEN 'high'
+                        ELSE 'low' END AS side
+            FROM mr CROSS JOIN stats
+            WHERE x > xbar + 2.66 * mr_bar
+               OR x < greatest(xbar - 2.66 * mr_bar, 0.0)""",
+        "mojibake_audit": """
+            WITH occs AS (
+              SELECT 'Ã' AS marker,
+                     CAST((len(text) - len(replace(text, 'Ã', '')))
+                          / 1 AS BIGINT) AS occ
+              FROM documents
+              UNION ALL
+              SELECT 'â€' AS marker,
+                     CAST((len(text) - len(replace(text, 'â€', '')))
+                          / 2 AS BIGINT) AS occ
+              FROM documents
+              UNION ALL
+              SELECT 'Â' AS marker,
+                     CAST((len(text) - len(replace(text, 'Â', '')))
+                          / 1 AS BIGINT) AS occ
+              FROM documents
+              UNION ALL
+              SELECT 'ï»¿' AS marker,
+                     CAST((len(text) - len(replace(text, 'ï»¿', '')))
+                          / 3 AS BIGINT) AS occ
+              FROM documents
+              UNION ALL
+              SELECT '�' AS marker,
+                     CAST((len(text) - len(replace(text, '�', '')))
+                          / 1 AS BIGINT) AS occ
+              FROM documents
+            )
+            SELECT marker,
+                   CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_affected,
+                   CAST(sum(occ) AS BIGINT) AS n_occurrences
+            FROM occs GROUP BY marker""",
     }

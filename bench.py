@@ -268,6 +268,9 @@ def main() -> None:
         # round 5 final session batch 12 (Kendall tau-b, chi-square,
         # entropy rate)
         "kendall_hosts", "chisq_lang_source", "entropy_rate",
+        # round 5 final session batch 13 (S-stemmer, I-MR chart,
+        # mojibake audit)
+        "stem_collapse", "control_chart", "mojibake_audit",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -636,3 +636,48 @@ def burrows_delta(tokens: DataFrame, part_col: str,
     return (z.groupBy(part_col)
             .agg(F.max("plen").cast("long").alias("part_tokens"),
                  F.round(F.avg("az"), 6).alias("delta")))
+
+
+# Classic double-decode artifacts (the ftfy heuristic family, Speer
+# 2019), written as escapes so the source stays ASCII-auditable:
+#   \u00c3 'A-tilde'  — UTF-8 lead byte re-decoded as Latin-1
+#   \u00e2\u20ac     — smart-quote family double-decode prefix
+#   \u00c2            — NBSP / C1 double-decode
+#   \u00ef\u00bb\u00bf — UTF-8 BOM bytes decoded as Latin-1
+#   \ufffd            — replacement character (lossy decode happened)
+MOJIBAKE_MARKERS = ["\u00c3", "\u00e2\u20ac", "\u00c2",
+                    "\u00ef\u00bb\u00bf", "\ufffd"]
+
+
+def mojibake_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mojibake / encoding-damage audit (ftfy heuristics, Speer 2019):
+    count the classic double-decode artifacts — UTF-8 bytes re-decoded
+    as Latin-1, BOM-as-text, and U+FFFD replacement characters marking
+    lossy decodes — the crawl-QA gate that catches a mis-declared
+    charset BEFORE damaged text pollutes tokenization, dedup shingles,
+    and KG surface forms (sterilize normalizes whitespace; it cannot
+    repair bytes, so detection must happen here).
+
+    One row per marker, ALWAYS emitted (zeros are the healthy signal
+    an audit wants on record). Occurrences counted by length
+    difference — pure codegen, no regex, no Python.
+
+    Scale shape: one scan, one 5-key agg (map-side combine to <= 5
+    rows per partition). The marker list is a code constant — no join.
+
+    -> (marker, n_docs_affected, n_occurrences), one row per marker.
+    """
+    t = F.col(text_col)
+    legs = []
+    for m in MOJIBAKE_MARKERS:
+        occ = ((F.length(t)
+                - F.length(F.replace(t, F.lit(m), F.lit(""))))
+               / len(m)).cast("long")
+        legs.append(F.struct(F.lit(m).alias("marker"), occ.alias("occ")))
+    exploded = (docs.select(F.explode(F.array(*legs)).alias("s"))
+                .select(F.col("s.marker").alias("marker"),
+                        F.col("s.occ").alias("occ")))
+    return (exploded.groupBy("marker")
+            .agg(F.sum((F.col("occ") > 0).cast("long"))
+                 .cast("long").alias("n_docs_affected"),
+                 F.sum("occ").cast("long").alias("n_occurrences")))

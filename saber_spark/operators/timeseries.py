@@ -181,3 +181,55 @@ def autocorrelation(events: DataFrame, ts_col: str = "ts",
                        F.col("n_pairs").cast("long").alias("n_pairs"),
                        F.round(F.try_divide(F.col("num"), F.col("ss")), 6)
                        .alias("r")))
+
+
+def control_chart(events: DataFrame, ts_col: str = "ts",
+                  bucket_us: int = HOUR_US,
+                  k: float = 2.66) -> DataFrame:
+    """Shewhart individuals/moving-range (I-MR) control chart over the
+    event-count series (Shewhart 1931; k = 2.66 = 3/d2 for n=2 is the
+    standard I-chart constant) — the ingest-rate monitor that flags
+    WHICH hours are statistically out of control, complementing
+    cusum_changepoints (sustained shift) and autocorrelation
+    (cyclicity):
+
+        UCL/LCL = xbar +- k * MRbar,   MRbar = mean |x_t - x_{t-1}|
+
+    over the DENSIFIED series (autocorrelation's contract — an empty
+    hour is a 0 and can itself be the violation). LCL floors at 0.
+    Counts exact; limits are doubles on exact rationals -> 6dp.
+
+    Scale shape: one stream-sized bucket agg; the series, the lag
+    window, and the limit join are all time-bounded. Violations-only
+    output keeps the result alert-sized.
+
+    -> violation rows (bucket_us, x, xbar 6dp, mr_bar 6dp, ucl 6dp,
+    lcl 6dp, side 'high'|'low').
+    """
+    us = _epoch_micros(ts_col)
+    counts = (events
+              .select((F.floor(us / bucket_us)).cast("long").alias("b"))
+              .groupBy("b").agg(F.count(F.lit(1)).alias("x")))
+    bounds = counts.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b"))
+    series = (spine.join(counts, "b", "left")
+              .select("b", F.coalesce("x", F.lit(0)).alias("x")))
+    w = Window.orderBy("b")
+    mr = series.select(
+        "b", "x", F.abs(F.col("x") - F.lag("x").over(w)).alias("mr"))
+    stats = mr.agg(F.avg("x").alias("xbar"),
+                   F.avg("mr").alias("mr_bar"))  # avg skips the first NULL
+    ucl = F.col("xbar") + F.lit(k) * F.col("mr_bar")
+    lcl = F.greatest(F.col("xbar") - F.lit(k) * F.col("mr_bar"),
+                     F.lit(0.0))
+    return (mr.crossJoin(F.broadcast(stats))
+            .filter((F.col("x") > ucl) | (F.col("x") < lcl))
+            .select((F.col("b") * bucket_us).alias("bucket_us"),
+                    F.col("x").cast("long").alias("x"),
+                    F.round(F.col("xbar"), 6).alias("xbar"),
+                    F.round(F.col("mr_bar"), 6).alias("mr_bar"),
+                    F.round(ucl, 6).alias("ucl"),
+                    F.round(lcl, 6).alias("lcl"),
+                    F.when(F.col("x") > ucl, F.lit("high"))
+                    .otherwise(F.lit("low")).alias("side")))

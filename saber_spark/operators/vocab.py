@@ -537,3 +537,61 @@ def heaps_fit(tokens: DataFrame, id_col: str = "doc_id",
                                   * F.col("sx") / kk), 6).alias("k_hat"),
                     F.round(F.try_divide(cov * cov, varx * vary), 6)
                     .alias("r2")))
+
+
+def s_stem(col):
+    """Harman's S-stemmer (Harman, JASIS 1991 "How effective is
+    suffixing?") as a pure codegen expression — the three-rule,
+    first-match-wins English plural conflation that removes most
+    plural variance with near-zero overstemming risk (the reason
+    Harman found it as effective as Porter for retrieval):
+
+        1. -ies -> -y   unless ending -eies / -aies
+        2. -es  -> -e   unless ending -aes / -ees / -oes
+        3. -s   -> ''   unless ending -us / -ss
+
+    Applied to already-tokenized surfaces; case-sensitive (tokens
+    here preserve case; lowercase upstream for case-folded
+    conflation). A deterministic scalar expression — no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # the suffix selects the rule; an exception TERMINATES (leaves the
+    # word unchanged) — it does not fall through to the next rule
+    return (
+        F.when(c.endswith("ies"),
+               F.when(c.endswith("eies") | c.endswith("aies"), c)
+               .otherwise(F.concat(F.substring(c, 1, F.length(c) - 3),
+                                   F.lit("y"))))
+        .when(c.endswith("es"),
+              F.when(c.endswith("aes") | c.endswith("ees")
+                     | c.endswith("oes"), c)
+              .otherwise(F.substring(c, 1, F.length(c) - 1)))
+        .when(c.endswith("s"),
+              F.when(c.endswith("us") | c.endswith("ss"), c)
+              .otherwise(F.substring(c, 1, F.length(c) - 1)))
+        .otherwise(c))
+
+
+def stem_collapse(tokens: DataFrame, token_col: str = "token",
+                  min_variants: int = 2) -> DataFrame:
+    """Vocabulary conflation audit for the S-stemmer: every stem class
+    that MERGES >= min_variants distinct surface types, with its
+    token mass — what a stemmed index/vocab actually buys (and the
+    review surface for overstemming: a class merging unrelated
+    surfaces is a precision bug).
+
+    Scale shape: the stem is a narrow map; ONE (stem, token) distinct
+    agg then ONE stem agg (both map-side combining). Row-set output
+    (no top-k).
+
+    -> (stem, n_variants, n_tokens), n_variants >= min_variants;
+    variants = distinct surface forms in the class.
+    """
+    stemmed = tokens.select(F.col(token_col).alias("tok"),
+                            s_stem(token_col).alias("stem"))
+    per_type = (stemmed.groupBy("stem", "tok")
+                .agg(F.count(F.lit(1)).alias("c")))
+    return (per_type.groupBy("stem")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_variants"),
+                 F.sum("c").cast("long").alias("n_tokens"))
+            .filter(F.col("n_variants") >= min_variants))

@@ -641,3 +641,98 @@ class TestEntropyRate:
                            r"[0-9a-zA-Z]+").collect()[0]
         assert out.n_bigrams == 2  # never (b, b) across the doc gap
         assert out.h_bigram_rate == 0.0
+
+
+class TestSStemmer:
+    def test_rule_table(self, spark):
+        from saber_spark.operators.vocab import s_stem
+        cases = {
+            "queries": "query",   # -ies -> -y
+            "ponies": "pony",
+            "daies": "daies",     # -aies exception
+            "tables": "table",    # -es -> -e (drop the s)
+            "batches": "batche",  # Harman's documented behavior
+            "shoes": "shoes",     # -oes exception
+            "trees": "trees",     # -ees exception
+            "cats": "cat",        # -s -> ''
+            "bus": "bus",         # -us exception
+            "class": "class",     # -ss exception
+            "table": "table",     # no suffix -> unchanged
+        }
+        df = spark.createDataFrame([(w,) for w in cases], "w string")
+        out = {r.w: r.stem for r in
+               df.select("w", s_stem("w").alias("stem")).collect()}
+        assert out == cases
+
+    def test_stem_collapse_groups(self, spark):
+        from saber_spark.operators.vocab import stem_collapse
+        toks = spark.createDataFrame(
+            [("table",), ("tables",), ("query",), ("queries",),
+             ("scan",)], "token string")
+        out = {r.stem: r for r in stem_collapse(toks).collect()}
+        assert set(out) == {"table", "query"}
+        assert out["table"].n_variants == 2
+        assert out["table"].n_tokens == 2
+
+
+class TestControlChart:
+    def _events(self, spark, hourly_counts):
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(t0 + dt.timedelta(hours=h, minutes=m),)
+                for h, c in enumerate(hourly_counts)
+                for m in range(c)]
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    def test_spike_flagged_high(self, spark):
+        from saber_spark.operators.timeseries import control_chart
+        out = control_chart(
+            self._events(spark, [5, 5, 5, 5, 50])).collect()
+        assert len(out) == 1
+        r = out[0]
+        # xbar = 14, MRbar = 45/4
+        assert r.x == 50 and r.side == "high"
+        assert r.xbar == 14.0 and r.mr_bar == 11.25
+        assert r.ucl == round(14 + 2.66 * 11.25, 6)
+
+    def test_stable_series_no_alerts(self, spark):
+        from saber_spark.operators.timeseries import control_chart
+        assert control_chart(
+            self._events(spark, [7, 7, 7, 7])).count() == 0
+
+    def test_empty_hour_can_violate_low(self, spark):
+        from saber_spark.operators.timeseries import control_chart
+        # hour 2 has no events at all -> densified 0 breaches k=1 LCL
+        out = control_chart(
+            self._events(spark, [10, 10, 0, 10, 10, 10]),
+            k=1.0).collect()
+        assert any(r.x == 0 and r.side == "low" for r in out)
+
+
+class TestMojibakeAudit:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def test_detects_each_marker(self, spark):
+        from saber_spark.operators.textstats import mojibake_audit
+        docs = self._docs(spark, [
+            "cafÃ© menu",          # A-tilde double-decode
+            "itâ€™s fine",    # smart-quote damage
+            "xÂ y",                # NBSP damage
+            "ï»¿header",      # BOM as text
+            "lossy � here �",      # two replacement chars
+        ])
+        out = {r.marker: r for r in mojibake_audit(docs).collect()}
+        assert len(out) == 5
+        assert out["Ã"].n_docs_affected == 1
+        assert out["â€"].n_occurrences == 1
+        assert out["�"].n_occurrences == 2
+        assert out["ï»¿"].n_docs_affected == 1
+
+    def test_clean_corpus_all_zero_rows_present(self, spark):
+        from saber_spark.operators.textstats import mojibake_audit
+        out = mojibake_audit(
+            self._docs(spark, ["plain ascii text", "more text"])).collect()
+        assert len(out) == 5
+        assert all(r.n_occurrences == 0 for r in out)

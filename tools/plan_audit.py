@@ -2351,6 +2351,39 @@ def main() -> None:
         0,
     ))
 
+    sc2 = e.q_stem_collapse(spark, SF_DIR)
+    sections.append((
+        "stem_collapse (codegen stemmer, two combining aggs)",
+        "S-stemmer: the three-rule stem is a pure scalar expression "
+        "(no UDF); the (stem, token) and stem aggs both combine "
+        "map-side; output is a row-set above the variant floor.",
+        formatted_plan(sc2),
+        ["HashAggregate"],
+        0,
+    ))
+
+    cc = e.q_control_chart(spark, SF_DIR)
+    sections.append((
+        "control_chart (stream-sized bucket agg, time-bounded tail)",
+        "I-MR chart: acf_events' contract — one bucket agg over the "
+        "stream; densify, the lag window, and the limit filter run on "
+        "the time-bounded series; violations-only output.",
+        formatted_plan(cc),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
+    mj = e.q_mojibake_audit(spark, SF_DIR)
+    sections.append((
+        "mojibake_audit (one scan, 5-key agg, no regex)",
+        "Encoding audit: occurrence counts via length difference in "
+        "codegen (no regex backtracking, no Python); the agg collapses "
+        "map-side to <= 5 rows per partition.",
+        formatted_plan(mj),
+        ["HashAggregate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
