@@ -4528,6 +4528,38 @@ def q_mojibake_audit(spark, sf_dir):
     return mojibake_audit(_docs(spark, sf_dir))
 
 
+def q_seq_patterns(spark, sf_dir):
+    """Length-2 sequential patterns with gaps (sessions.seq_patterns,
+    PrefixSpan support, Pei ICDE 2001): users for whom type a occurs
+    strictly before type b — the ordered-with-gaps third view next to
+    event_transitions (adjacent) and assoc_rules (unordered). Reduces
+    to first_a < last_b on the (user, type) table: no pairwise event
+    join ever happens."""
+    from saber_spark.operators.sessions import seq_patterns
+    return seq_patterns(_events(spark, sf_dir), min_support=5)
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier user-lifetime survival with right-censoring
+    (sessions.kaplan_meier, Kaplan & Meier JASA 1958): the churn curve
+    cohort_retention can't give honestly — users active near the
+    observation boundary are censored, not churned. Cumulative
+    product via exp-sum-ln with an exact-zero guard; all windows run
+    on the |distinct lifetimes|-row table."""
+    from saber_spark.operators.sessions import kaplan_meier
+    return kaplan_meier(_events(spark, sf_dir), censor_guard_hours=12)
+
+
+def q_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the behavioral Markov chain
+    (sessions.markov_stationary, Markov 1906; power iteration — the
+    PageRank fixpoint on event_transitions' matrix): long-run
+    steady-state by 10 synchronous updates on the |alphabet|^2
+    matrix; the transition agg is the only event-sized exchange."""
+    from saber_spark.operators.sessions import markov_stationary
+    return markov_stationary(_events(spark, sf_dir), iterations=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4911,6 +4943,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stem_collapse": q_stem_collapse,
         "control_chart": q_control_chart,
         "mojibake_audit": q_mojibake_audit,
+        # r5 final session batch 14 (sequential patterns, Kaplan-Meier,
+        # Markov stationary)
+        "seq_patterns": q_seq_patterns,
+        "kaplan_meier": q_kaplan_meier,
+        "markov_stationary": q_markov_stationary,
     }
 
 
@@ -11375,4 +11412,124 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_docs_affected,
                    CAST(sum(occ) AS BIGINT) AS n_occurrences
             FROM occs GROUP BY marker""",
+        "seq_patterns": """
+            WITH occ AS (
+              SELECT user_id, event_type AS t,
+                     min(ROW(ts, event_id)) AS first_k,
+                     max(ROW(ts, event_id)) AS last_k
+              FROM events GROUP BY user_id, event_type),
+            nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+            pairs AS (
+              SELECT a.t AS first_type, b.t AS then_type,
+                     count(*) AS support
+              FROM occ a JOIN occ b USING (user_id)
+              WHERE a.t <> b.t AND a.first_k < b.last_k
+              GROUP BY a.t, b.t
+              HAVING count(*) >= 5)
+            SELECT first_type, then_type,
+                   CAST(support AS BIGINT) AS support,
+                   round(support / n_users, 6) AS support_frac
+            FROM pairs CROSS JOIN nu""",
+        "kaplan_meier": """
+            WITH spans AS (
+              SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+              FROM events GROUP BY user_id),
+            endt AS (SELECT max(ts) AS end_ts FROM events),
+            lifetimes AS (
+              SELECT CAST(floor(date_diff('microsecond', first_ts,
+                                          last_ts) / 86400000000)
+                          AS BIGINT) AS t_days,
+                     CASE WHEN date_diff('microsecond', last_ts, end_ts)
+                               >= 12 * 3600000000 THEN 1 ELSE 0 END
+                       AS churned
+              FROM spans CROSS JOIN endt),
+            hist AS (
+              SELECT t_days, count(*) AS n_here, sum(churned) AS d
+              FROM lifetimes GROUP BY t_days),
+            at_risk AS (
+              SELECT t_days, n_here, d,
+                     sum(n_here) OVER
+                       (ORDER BY t_days DESC ROWS UNBOUNDED PRECEDING)
+                       AS n_risk
+              FROM hist),
+            curve AS (
+              SELECT t_days, n_risk, d, n_here,
+                     sum(CASE WHEN d < n_risk
+                              THEN ln(1 - d / n_risk) END) OVER
+                       (ORDER BY t_days ROWS UNBOUNDED PRECEDING)
+                       AS ln_s,
+                     max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER
+                       (ORDER BY t_days ROWS UNBOUNDED PRECEDING)
+                       AS dead
+              FROM at_risk)
+            SELECT t_days,
+                   CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(d AS BIGINT) AS n_churned,
+                   CAST(n_here - d AS BIGINT) AS n_censored_here,
+                   round(CASE WHEN dead = 1 THEN 0.0
+                              ELSE exp(ln_s) END, 6) AS survival
+            FROM curve WHERE d > 0""",
+        "markov_stationary": """
+            WITH pairs AS (
+              SELECT s_from, s_to FROM (
+                SELECT event_type AS s_from,
+                       lead(event_type) OVER
+                         (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS s_to
+                FROM events)
+              WHERE s_to IS NOT NULL),
+            counts AS (SELECT s_from, s_to, count(*) AS c FROM pairs
+                       GROUP BY s_from, s_to),
+            outdeg AS (SELECT s_from, sum(c) AS tot FROM counts
+                       GROUP BY s_from),
+            pm AS (SELECT counts.s_from, counts.s_to,
+                          counts.c / outdeg.tot AS p
+                   FROM counts JOIN outdeg USING (s_from)),
+            states AS (
+              SELECT DISTINCT state FROM (
+                SELECT s_from AS state FROM pm
+                UNION SELECT s_to FROM pm)),
+            ns AS (SELECT count(*) AS n FROM states),
+            v0 AS (SELECT state, 1.0 / n AS v FROM states CROSS JOIN ns),
+            v1 AS (
+              SELECT pm.s_to AS state, sum(pm.p * v0.v) AS v
+              FROM pm JOIN v0 ON pm.s_from = v0.state
+              GROUP BY pm.s_to),
+            v2 AS (
+              SELECT pm.s_to AS state, sum(pm.p * v1.v) AS v
+              FROM pm JOIN v1 ON pm.s_from = v1.state
+              GROUP BY pm.s_to),
+            v3 AS (
+              SELECT pm.s_to AS state, sum(pm.p * v2.v) AS v
+              FROM pm JOIN v2 ON pm.s_from = v2.state
+              GROUP BY pm.s_to),
+            v4 AS (
+              SELECT pm.s_to AS state, sum(pm.p * v3.v) AS v
+              FROM pm JOIN v3 ON pm.s_from = v3.state
+              GROUP BY pm.s_to),
+            v5 AS (
+              SELECT pm.s_to AS state, sum(pm.p * v4.v) AS v
+              FROM pm JOIN v4 ON pm.s_from = v4.state
+              GROUP BY pm.s_to),
+            v6 AS (
+              SELECT pm.s_to AS state, sum(pm.p * v5.v) AS v
+              FROM pm JOIN v5 ON pm.s_from = v5.state
+              GROUP BY pm.s_to),
+            v7 AS (
+              SELECT pm.s_to AS state, sum(pm.p * v6.v) AS v
+              FROM pm JOIN v6 ON pm.s_from = v6.state
+              GROUP BY pm.s_to),
+            v8 AS (
+              SELECT pm.s_to AS state, sum(pm.p * v7.v) AS v
+              FROM pm JOIN v7 ON pm.s_from = v7.state
+              GROUP BY pm.s_to),
+            v9 AS (
+              SELECT pm.s_to AS state, sum(pm.p * v8.v) AS v
+              FROM pm JOIN v8 ON pm.s_from = v8.state
+              GROUP BY pm.s_to),
+            v10 AS (
+              SELECT pm.s_to AS state, sum(pm.p * v9.v) AS v
+              FROM pm JOIN v9 ON pm.s_from = v9.state
+              GROUP BY pm.s_to)
+            SELECT state, round(v, 6) AS pi FROM v10""",
     }

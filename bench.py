@@ -271,6 +271,9 @@ def main() -> None:
         # round 5 final session batch 13 (S-stemmer, I-MR chart,
         # mojibake audit)
         "stem_collapse", "control_chart", "mojibake_audit",
+        # round 5 final session batch 14 (sequential patterns,
+        # Kaplan-Meier, Markov stationary)
+        "seq_patterns", "kaplan_meier", "markov_stationary",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -150,3 +150,182 @@ def assoc_rules(events: DataFrame, user_col: str = "user_id",
                     F.round(F.col("n_users") * F.col("support")
                             / F.col("ca") / F.col("cb"), 6)
                     .alias("lift")))
+
+
+def seq_patterns(events: DataFrame, user_col: str = "user_id",
+                 type_col: str = "event_type", ts_col: str = "ts",
+                 tiebreak_col: str = "event_id",
+                 min_support: int = 5) -> DataFrame:
+    """Length-2 sequential patterns with GAPS allowed (the PrefixSpan
+    support definition, Pei et al. ICDE 2001; GSP's "a then
+    eventually b") — the third behavioral view: event_transitions
+    counts ADJACENT ordered pairs, assoc_rules ignores order
+    entirely; this counts users for whom a occurs strictly BEFORE b
+    anywhere in their stream (classic subsequence support, one count
+    per user regardless of repeats).
+
+        support(a -> b) = #users with some event a before some b
+
+    Deterministic total order (ts, tiebreak). Exact integer counts;
+    the only floating step is the support share -> 6dp.
+
+    Scale shape: per-user FIRST occurrence of each type and LAST
+    occurrence of each type are two aggs on (user, type) — the
+    subsequence test "some a before some b" reduces to
+    first_a < last_b (no pairwise event join ever happens; the
+    (user, type) table is bounded by users x alphabet). The pattern
+    join is a co-partitioned self-join on the user key bounded by the
+    type alphabet.
+
+    -> (first_type, then_type, support, support_frac 6dp),
+    support >= min_support, a != b pairs.
+    """
+    base = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"),
+        F.struct(F.col(ts_col).alias("ts"),
+                 F.col(tiebreak_col).alias("tb")).alias("k"))
+    occ = (base.groupBy("u", "t")
+           .agg(F.min("k").alias("first_k"), F.max("k").alias("last_k")))
+    n_users = base.select("u").distinct() \
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    a = occ.select("u", F.col("t").alias("first_type"),
+                   F.col("first_k").alias("fk"))
+    b = occ.select("u", F.col("t").alias("then_type"),
+                   F.col("last_k").alias("lk"))
+    pairs = (a.join(b, "u")
+             .filter((F.col("first_type") != F.col("then_type"))
+                     & (F.col("fk") < F.col("lk")))
+             .groupBy("first_type", "then_type")
+             .agg(F.count(F.lit(1)).alias("support"))
+             .filter(F.col("support") >= min_support))
+    return (pairs.crossJoin(F.broadcast(n_users))
+            .select("first_type", "then_type",
+                    F.col("support").cast("long").alias("support"),
+                    F.round(F.col("support") / F.col("n_users"), 6)
+                    .alias("support_frac")))
+
+
+def kaplan_meier(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts",
+                 censor_guard_hours: int = 12) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime (Kaplan & Meier,
+    JASA 1958) with right-censoring — the churn curve cohort_retention
+    cannot give honestly: a user still active near the observation
+    boundary has not churned, they are CENSORED, and ignoring that
+    biases retention down (the classic web-analytics mistake).
+
+    Lifetime T_u = floor days between first and last event; a user
+    whose last event falls within ``censor_guard_hours`` of the
+    corpus' last timestamp is censored (event indicator 0). At each
+    distinct lifetime t with d_t observed churns and n_t at risk
+    (T >= t, censored or not):
+
+        S(t) = prod over t' <= t of (1 - d_t' / n_t')
+
+    computed as exp(cumsum ln(1 - d/n)) — the one engine-portable
+    cumulative-product form; a factor of exactly 0 (everyone at risk
+    churns) propagates as S = 0 via a guard, not ln(0).
+
+    Scale shape: one (user) agg for lifetimes, one lifetime-histogram
+    agg, cumulative windows over the |distinct lifetimes|-row table
+    (bounded by the observation span in days), one broadcast of the
+    corpus end.
+
+    -> rows at distinct lifetimes with d_t > 0:
+    (t_days, n_risk, n_churned, n_censored_here, survival 6dp).
+    """
+    spans = (events.groupBy(user_col)
+             .agg(F.min(ts_col).alias("first_ts"),
+                  F.max(ts_col).alias("last_ts")))
+    end = events.agg(F.max(ts_col).alias("end_ts"))
+    guard_us = censor_guard_hours * 3_600_000_000
+    lifetimes = (spans.crossJoin(F.broadcast(end))
+                 .select(
+                     # complete-24h-period lifetimes via epoch micros:
+                     # calendar day_diff counts midnight crossings and
+                     # is engine- and tz-ambiguous
+                     F.floor(F.timestamp_diff(
+                         "MICROSECOND", F.col("first_ts"),
+                         F.col("last_ts")) / 86_400_000_000)
+                     .cast("long").alias("t_days"),
+                     (F.timestamp_diff("MICROSECOND", F.col("last_ts"),
+                                       F.col("end_ts")) >= guard_us)
+                     .cast("long").alias("churned")))
+    hist = (lifetimes.groupBy("t_days")
+            .agg(F.count(F.lit(1)).alias("n_here"),
+                 F.sum("churned").alias("d")))
+    w_ge = Window.orderBy(F.col("t_days").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = hist.select(
+        "t_days", "n_here", "d",
+        F.sum("n_here").over(w_ge).alias("n_risk"))
+    w_le = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0)
+    factor_ln = F.when(F.col("d") < F.col("n_risk"),
+                       F.log(1 - F.col("d") / F.col("n_risk")))
+    curve = at_risk.select(
+        "t_days", "n_risk", "d", "n_here",
+        F.sum(factor_ln).over(w_le).alias("ln_s"),
+        F.max((F.col("d") == F.col("n_risk")).cast("int"))
+        .over(w_le).alias("dead"))
+    return (curve.filter(F.col("d") > 0)
+            .select(F.col("t_days"),
+                    F.col("n_risk").cast("long").alias("n_risk"),
+                    F.col("d").cast("long").alias("n_churned"),
+                    (F.col("n_here") - F.col("d")).cast("long")
+                    .alias("n_censored_here"),
+                    F.round(F.when(F.col("dead") == 1, F.lit(0.0))
+                            .otherwise(F.exp("ln_s")), 6)
+                    .alias("survival")))
+
+
+def markov_stationary(events: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      tiebreak_col: str = "event_id",
+                      iterations: int = 10) -> DataFrame:
+    """Stationary distribution of the first-order behavioral Markov
+    chain (Markov 1906; the PageRank fixpoint on event_transitions'
+    matrix): where does a user's session settle in the long run —
+    the steady-state complement of the transition table's one-step
+    view. Power iteration from the uniform vector, ``iterations``
+    synchronous updates v <- v P with row-normalized transition
+    probabilities.
+
+    Exact counts feed double probabilities; iteration count is fixed
+    so both engines compute the identical expression tree -> 6dp.
+
+    Scale shape: the transition agg is the only event-sized exchange
+    (one lead window, one hash agg — event_transitions' plan); the
+    iteration loop runs on the |alphabet|^2 matrix (tens of rows):
+    each step is a broadcast join + tiny agg, linear plan growth in
+    ``iterations`` (the pagerank_entities pattern, no driver
+    collect).
+
+    -> (state, pi 6dp) — one row per event type reachable in the
+    chain.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (events
+             .select(F.col(user_col),
+                     F.col(type_col).alias("s_from"),
+                     F.lead(type_col).over(w).alias("s_to"))
+             .filter(F.col("s_to").isNotNull()))
+    counts = (pairs.groupBy("s_from", "s_to")
+              .agg(F.count(F.lit(1)).alias("c")))
+    outdeg = counts.groupBy("s_from").agg(F.sum("c").alias("tot"))
+    p = (counts.join(outdeg, "s_from")
+         .select("s_from", "s_to",
+                 (F.col("c") / F.col("tot")).alias("p"))
+         .localCheckpoint(eager=True))  # reused every iteration
+    states = (p.select(F.col("s_from").alias("state"))
+              .union(p.select("s_to")).distinct())
+    n_states = states.count()
+    v = states.select("state", F.lit(1.0 / n_states).alias("v"))
+    for _ in range(iterations):
+        v = (p.join(v, p.s_from == v.state)
+             .groupBy(F.col("s_to").alias("state"))
+             .agg(F.sum(F.col("p") * F.col("v")).alias("v")))
+        # states with no inbound mass drop out; reinstate absorbing-
+        # free chains implicitly (the behavioral chain here is
+        # strongly connected by construction of real session data)
+    return v.select("state", F.round("v", 6).alias("pi"))

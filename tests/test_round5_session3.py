@@ -736,3 +736,104 @@ class TestMojibakeAudit:
             self._docs(spark, ["plain ascii text", "more text"])).collect()
         assert len(out) == 5
         assert all(r.n_occurrences == 0 for r in out)
+
+
+def _ev_stream(spark, streams, day_step=0):
+    """streams: {user: [type,...]} -> events with ts/event_id ordering."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u, types in streams.items():
+        for i, t in enumerate(types):
+            rows.append((u, t, t0 + dt.timedelta(hours=i), eid))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long")
+
+
+class TestSeqPatterns:
+    def test_gap_subsequence_support(self, spark):
+        from saber_spark.operators.sessions import seq_patterns
+        ev = _ev_stream(spark, {1: ["a", "x", "b"],   # a before b (gap)
+                                2: ["b", "a"],        # b before a
+                                3: ["a", "a"]})       # no pair
+        out = {(r.first_type, r.then_type): r for r in
+               seq_patterns(ev, min_support=1).collect()}
+        assert out[("a", "b")].support == 1
+        assert out[("b", "a")].support == 1
+        assert ("a", "a") not in out
+        # user 1 also has a->x and x->b
+        assert out[("a", "x")].support == 1
+
+    def test_one_count_per_user(self, spark):
+        from saber_spark.operators.sessions import seq_patterns
+        ev = _ev_stream(spark, {1: ["a", "b", "a", "b"]})
+        out = {(r.first_type, r.then_type): r.support for r in
+               seq_patterns(ev, min_support=1).collect()}
+        assert out[("a", "b")] == 1  # repeats don't inflate support
+        assert out[("b", "a")] == 1  # a@3 after b@2 -> also present
+
+    def test_support_floor_and_frac(self, spark):
+        from saber_spark.operators.sessions import seq_patterns
+        ev = _ev_stream(spark, {1: ["a", "b"], 2: ["a", "b"],
+                                3: ["b", "c"], 4: ["z"]})
+        out = seq_patterns(ev, min_support=2).collect()
+        assert len(out) == 1
+        assert out[0].support == 2 and out[0].support_frac == 0.5
+
+
+class TestKaplanMeier:
+    def _events(self, spark, user_days):
+        """user_days: {user: [day offsets of events]}"""
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(u, t0 + dt.timedelta(days=d)) for u, ds in
+                user_days.items() for d in ds]
+        return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    def test_hand_computed_curve(self, spark):
+        from saber_spark.operators.sessions import kaplan_meier
+        ev = self._events(spark, {1: [0, 1], 2: [0, 1], 3: [0, 2],
+                                  4: [0, 10]})
+        out = {r.t_days: r for r in
+               kaplan_meier(ev, censor_guard_hours=12).collect()}
+        # u4's last event IS the corpus end -> censored
+        assert set(out) == {1, 2}
+        assert (out[1].n_risk, out[1].n_churned) == (4, 2)
+        assert out[1].survival == 0.5
+        assert (out[2].n_risk, out[2].n_churned) == (2, 1)
+        assert out[2].survival == 0.25
+
+    def test_all_churn_hits_zero(self, spark):
+        from saber_spark.operators.sessions import kaplan_meier
+        ev = self._events(spark, {1: [0, 1], 2: [0, 1], 3: [0, 30]})
+        out = {r.t_days: r for r in
+               kaplan_meier(ev, censor_guard_hours=12).collect()}
+        # at t=1 both at-risk users churn ... but u3 (t=30) is at risk too
+        assert out[1].survival == round(1 - 2 / 3, 6)
+
+    def test_censored_never_counted_as_churn(self, spark):
+        from saber_spark.operators.sessions import kaplan_meier
+        # both users end at the corpus end -> all censored -> no rows
+        ev = self._events(spark, {1: [0, 5], 2: [1, 5]})
+        assert kaplan_meier(ev, censor_guard_hours=12).count() == 0
+
+
+class TestMarkovStationary:
+    def test_two_state_cycle_uniform(self, spark):
+        from saber_spark.operators.sessions import markov_stationary
+        ev = _ev_stream(spark, {1: ["a", "b", "a", "b", "a"]})
+        out = {r.state: r.pi for r in
+               markov_stationary(ev, iterations=10).collect()}
+        # doubly stochastic 2-cycle: uniform is stationary from uniform
+        assert out == {"a": 0.5, "b": 0.5}
+
+    def test_biased_chain_converges(self, spark):
+        from saber_spark.operators.sessions import markov_stationary
+        # P: a->a 0.75, a->b 0.25; b->a 1.0 -> pi = (0.8, 0.2)
+        ev = _ev_stream(spark, {1: ["a", "a", "a", "a", "b"],
+                                2: ["b", "a"]})
+        out = {r.state: r.pi for r in
+               markov_stationary(ev, iterations=30).collect()}
+        assert abs(out["a"] - 0.8) < 1e-4
+        assert abs(out["a"] + out["b"] - 1.0) < 1e-6

@@ -2384,6 +2384,40 @@ def main() -> None:
         0,
     ))
 
+    sq = e.q_seq_patterns(spark, SF_DIR)
+    sections.append((
+        "seq_patterns (first/last reduction, no pairwise event join)",
+        "Sequential patterns: 'some a before some b' reduces to "
+        "first_a < last_b on the (user, type) table — bounded by users "
+        "x alphabet; the pattern join co-partitions on the user key.",
+        formatted_plan(sq),
+        ["HashAggregate"],
+        0,
+    ))
+
+    km = e.q_kaplan_meier(spark, SF_DIR)
+    sections.append((
+        "kaplan_meier (user agg + lifetime-histogram windows)",
+        "KM survival: one user-keyed agg for lifetimes; at-risk and "
+        "cumulative-product windows run on the |distinct lifetimes|-row "
+        "histogram; the corpus end is a 1-row broadcast.",
+        formatted_plan(km),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
+    mk = e.q_markov_stationary(spark, SF_DIR)
+    sections.append((
+        "markov_stationary (one event-sized exchange, tiny fixpoint)",
+        "Markov chain: the transition agg (lead window + hash agg) is "
+        "the only event-sized work; 10 power-iteration steps run on the "
+        "|alphabet|^2 matrix from a localCheckpointed probability table "
+        "(linear plan growth, the pagerank pattern).",
+        formatted_plan(mk),
+        ["HashAggregate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
