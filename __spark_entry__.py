@@ -4560,6 +4560,39 @@ def q_markov_stationary(spark, sf_dir):
     return markov_stationary(_events(spark, sf_dir), iterations=10)
 
 
+def q_robust_means(spark, sf_dir):
+    """Tukey trimmed + winsorized means of doc length per source
+    (groupstats.robust_location, Tukey 1962): the robust location
+    summary where a handful of pathological docs drag the plain mean
+    — mad_outliers flags them, this reports location with them
+    neutralized. Per-group rank window (the honest cost of exact
+    order statistics), one agg."""
+    from saber_spark.operators.groupstats import robust_location
+    return robust_location(_docs(spark, sf_dir), "source", "n_chars",
+                           trim_frac=0.1)
+
+
+def q_effect_size_chars(spark, sf_dir):
+    """Cohen's d / Hedges' g for doc length, en vs de
+    (groupstats.effect_size, Cohen 1969 / Hedges 1981): the effect
+    size the drift TESTS deliberately don't give — at 10^12 docs
+    everything is significant; this says by how many pooled standard
+    deviations. One conditional-sum agg, one row."""
+    from saber_spark.operators.groupstats import effect_size
+    return effect_size(_docs(spark, sf_dir), "lang", "en", "de",
+                       "n_chars")
+
+
+def q_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend of daily event counts
+    (timeseries.theil_sen, Theil 1950 / Sen 1968): median pairwise
+    slope + median-residual intercept, computed with EXACT rank
+    medians (no engine-interpolated percentiles) — the crawl-rate
+    trend one burst day cannot hijack. Time-bounded pair table."""
+    from saber_spark.operators.timeseries import theil_sen
+    return theil_sen(_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4948,6 +4981,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_patterns": q_seq_patterns,
         "kaplan_meier": q_kaplan_meier,
         "markov_stationary": q_markov_stationary,
+        # r5 final session batch 15 (robust means, effect size,
+        # Theil-Sen trend)
+        "robust_means": q_robust_means,
+        "effect_size_chars": q_effect_size_chars,
+        "theil_sen_trend": q_theil_sen_trend,
     }
 
 
@@ -11532,4 +11570,104 @@ def oracle_sql() -> dict[str, str]:
               FROM pm JOIN v9 ON pm.s_from = v9.state
               GROUP BY pm.s_to)
             SELECT state, round(v, 6) AS pi FROM v10""",
+        "robust_means": """
+            WITH ranked AS (
+              SELECT source, n_chars AS v,
+                     ROW_NUMBER() OVER
+                       (PARTITION BY source ORDER BY n_chars ASC,
+                        doc_id ASC) AS ra,
+                     ROW_NUMBER() OVER
+                       (PARTITION BY source ORDER BY n_chars DESC,
+                        doc_id DESC) AS rd,
+                     CAST(floor(count(*) OVER (PARTITION BY source)
+                                * 0.1) AS BIGINT) AS k
+              FROM documents),
+            agg AS (
+              SELECT source,
+                     count(*) AS n,
+                     max(k) AS k_trimmed,
+                     avg(v) AS mean,
+                     avg(CASE WHEN ra > k AND rd > k THEN v END)
+                       AS tmean,
+                     sum(CASE WHEN ra > k AND rd > k THEN v END)
+                       AS kept_sum,
+                     min(CASE WHEN ra > k AND rd > k THEN v END) AS lo,
+                     max(CASE WHEN ra > k AND rd > k THEN v END) AS hi
+              FROM ranked GROUP BY source)
+            SELECT source, CAST(n AS BIGINT) AS n,
+                   CAST(k_trimmed AS BIGINT) AS k_trimmed,
+                   round(mean, 6) AS mean,
+                   round(tmean, 6) AS trimmed_mean,
+                   round((kept_sum + k_trimmed * lo + k_trimmed * hi)
+                         / n, 6) AS winsorized_mean
+            FROM agg""",
+        "effect_size_chars": """
+            WITH agg AS (
+              SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS na,
+                     sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS nb,
+                     sum(CASE WHEN lang = 'en' THEN n_chars
+                              ELSE 0 END) AS sa,
+                     sum(CASE WHEN lang = 'de' THEN n_chars
+                              ELSE 0 END) AS sb,
+                     sum(CASE WHEN lang = 'en' THEN n_chars * n_chars
+                              ELSE 0 END) AS qa,
+                     sum(CASE WHEN lang = 'de' THEN n_chars * n_chars
+                              ELSE 0 END) AS qb
+              FROM documents WHERE lang IN ('en', 'de')),
+            m AS (
+              SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+                     (qa - sa * sa / na) / (na - 1) AS va,
+                     (qb - sb * sb / nb) / (nb - 1) AS vb
+              FROM agg),
+            s AS (
+              SELECT na, nb, ma, mb,
+                     sqrt(((na - 1) * va + (nb - 1) * vb)
+                          / (na + nb - 2)) AS sp
+              FROM m)
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                   round((ma - mb) / sp, 6) AS cohens_d,
+                   round((ma - mb) / sp
+                         * (1 - 3 / (4 * (na + nb) - 9)), 6)
+                     AS hedges_g
+            FROM s""",
+        "theil_sen_trend": """
+            WITH counts AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                       AS b,
+                     count(*) AS x
+              FROM events GROUP BY 1),
+            bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+            spine AS (
+              SELECT unnest(generate_series(b0, b1)) AS b FROM bounds),
+            series AS (
+              SELECT spine.b, coalesce(counts.x, 0) AS x
+              FROM spine LEFT JOIN counts ON counts.b = spine.b),
+            slopes AS (
+              SELECT (b2.x - b1.x) / CAST(b2.b - b1.b AS DOUBLE)
+                       AS slope
+              FROM series b1 JOIN series b2 ON b2.b > b1.b),
+            sm AS (
+              SELECT avg(slope) AS med FROM (
+                SELECT slope, ROW_NUMBER() OVER (ORDER BY slope ASC)
+                         AS r, count(*) OVER () AS cnt
+                FROM slopes)
+              WHERE r IN ((cnt + 1) // 2, (cnt + 2) // 2)),
+            resid AS (
+              SELECT series.x - sm.med * series.b AS resid
+              FROM series CROSS JOIN sm),
+            im AS (
+              SELECT avg(resid) AS imed FROM (
+                SELECT resid, ROW_NUMBER() OVER (ORDER BY resid ASC)
+                         AS r, count(*) OVER () AS cnt
+                FROM resid)
+              WHERE r IN ((cnt + 1) // 2, (cnt + 2) // 2)),
+            meta AS (
+              SELECT (SELECT count(*) FROM series) AS n_buckets,
+                     (SELECT count(*) FROM slopes) AS n_pairs)
+            SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   round(sm.med, 6) AS slope_per_bucket,
+                   round(im.imed, 6) AS intercept
+            FROM meta CROSS JOIN sm CROSS JOIN im""",
     }

@@ -274,6 +274,9 @@ def main() -> None:
         # round 5 final session batch 14 (sequential patterns,
         # Kaplan-Meier, Markov stationary)
         "seq_patterns", "kaplan_meier", "markov_stationary",
+        # round 5 final session batch 15 (robust means, effect size,
+        # Theil-Sen)
+        "robust_means", "effect_size_chars", "theil_sen_trend",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -318,3 +318,105 @@ def kendall_tau(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.col("d").cast("long").alias("discordant"),
         F.round(F.try_divide(F.col("c") - F.col("d"), denom), 6)
         .alias("tau_b"))
+
+
+def robust_location(df: DataFrame, group_col: str, value_col: str,
+                    trim_frac: float = 0.1) -> DataFrame:
+    """Tukey trimmed and winsorized means per group (Tukey 1962;
+    Dixon & Tukey 1968 for winsorizing) — the robust location pair
+    for per-source/host metric summaries where a handful of
+    pathological documents drag the plain mean (mad_outliers flags
+    the outliers; this reports location WITH them neutralized):
+
+        k               = floor(n * trim_frac)   per group
+        trimmed mean    = mean of values ranked k+1 .. n-k
+        winsorized mean = mean after clamping the k lowest values up
+                          to the (k+1)-th and the k highest down to
+                          the (n-k)-th
+
+    Rank ties share value, so any row_number assignment among equals
+    keeps the same retained multiset — deterministic output. Counts
+    exact; means are doubles on exact integer sums -> 6dp.
+
+    Scale shape: one per-group rank window over row-level data (the
+    honest cost of exact order statistics — partitioned by group, so
+    parallelism is |groups|; for corpus-sized single groups quantize
+    and use the histogram trick instead), then one agg.
+
+    -> (group, n, k_trimmed, mean 6dp, trimmed_mean 6dp,
+    winsorized_mean 6dp).
+    """
+    w_asc = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    w_desc = Window.partitionBy(group_col) \
+        .orderBy(F.col(value_col).desc())
+    w_all = Window.partitionBy(group_col)
+    # k as a ROW-LEVEL column (count over the group window): Spark
+    # rejects an aggregate inside another aggregate's argument
+    ranked = df.select(
+        group_col, F.col(value_col).alias("v"),
+        F.row_number().over(w_asc).alias("ra"),
+        F.row_number().over(w_desc).alias("rd"),
+        F.floor(F.count(F.lit(1)).over(w_all) * trim_frac).alias("k"))
+    kept = (F.col("ra") > F.col("k")) & (F.col("rd") > F.col("k"))
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("k").cast("long").alias("k_trimmed"),
+        F.avg("v").alias("mean"),
+        F.avg(F.when(kept, F.col("v"))).alias("tmean"),
+        F.sum(F.when(kept, F.col("v"))).alias("kept_sum"),
+        F.min(F.when(kept, F.col("v"))).alias("lo"),
+        F.max(F.when(kept, F.col("v"))).alias("hi"))
+    wmean = ((F.col("kept_sum")
+              + F.col("k_trimmed") * F.col("lo")
+              + F.col("k_trimmed") * F.col("hi")) / F.col("n"))
+    return agg.select(
+        group_col, "n", "k_trimmed",
+        F.round("mean", 6).alias("mean"),
+        F.round("tmean", 6).alias("trimmed_mean"),
+        F.round(wmean, 6).alias("winsorized_mean"))
+
+
+def effect_size(df: DataFrame, group_col: str, group_a: str,
+                group_b: str, value_col: str) -> DataFrame:
+    """Cohen's d and Hedges' g standardized mean difference (Cohen
+    1969; Hedges 1981 small-sample correction) — the EFFECT SIZE the
+    mann_whitney_u / ks tests deliberately don't give: not "did the
+    slices differ" but "by how many pooled standard deviations",
+    the number that survives when n is so large every test is
+    significant (the constant condition of 10^12-doc corpora):
+
+        d = (mean_a - mean_b) / s_pooled
+        s_pooled = sqrt(((n_a-1) s_a^2 + (n_b-1) s_b^2)
+                        / (n_a + n_b - 2))
+        g = d * (1 - 3 / (4(n_a + n_b) - 9))
+
+    Sample variances from exact sum/sumsq; one conditional-sum agg
+    over the corpus -> one output row; try_divide guards zero
+    pooled variance. -> ONE row (n_a, n_b, mean_a 6dp, mean_b 6dp,
+    cohens_d 6dp, hedges_g 6dp).
+    """
+    g = F.col(group_col)
+    v = F.col(value_col)
+    agg = (df.filter(g.isin(group_a, group_b))
+           .agg(F.sum(F.when(g == group_a, 1).otherwise(0)).alias("na"),
+                F.sum(F.when(g == group_b, 1).otherwise(0)).alias("nb"),
+                F.sum(F.when(g == group_a, v).otherwise(0)).alias("sa"),
+                F.sum(F.when(g == group_b, v).otherwise(0)).alias("sb"),
+                F.sum(F.when(g == group_a, v * v).otherwise(0))
+                .alias("qa"),
+                F.sum(F.when(g == group_b, v * v).otherwise(0))
+                .alias("qb")))
+    na, nb = F.col("na"), F.col("nb")
+    ma = F.col("sa") / na
+    mb = F.col("sb") / nb
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / na) / (na - 1)
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / nb) / (nb - 1)
+    sp = F.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+    d = F.try_divide(ma - mb, sp)
+    corr = 1 - 3 / (4 * (na + nb) - 9)
+    return agg.select(
+        na.cast("long").alias("n_a"), nb.cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * corr, 6).alias("hedges_g"))

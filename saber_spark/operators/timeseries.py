@@ -233,3 +233,68 @@ def control_chart(events: DataFrame, ts_col: str = "ts",
                     F.round(lcl, 6).alias("lcl"),
                     F.when(F.col("x") > ucl, F.lit("high"))
                     .otherwise(F.lit("low")).alias("side")))
+
+
+def theil_sen(events: DataFrame, ts_col: str = "ts",
+              bucket_us: int = DAY_US) -> DataFrame:
+    """Theil-Sen robust trend of the event-count series (Theil 1950;
+    Sen JASA 1968): the median of all pairwise slopes over the
+    densified daily series — the crawl-rate trend estimate a single
+    burst day cannot hijack (OLS breaks down at one outlier; Theil-
+    Sen tolerates ~29% contamination). Intercept = median of
+    (x_i - slope * i), the standard companion estimate.
+
+    Medians are computed EXACTLY by rank (avg of the two middle
+    order statistics for even counts) — no engine-interpolated
+    percentile function, so both engines agree bit-for-bit on the
+    6dp round.
+
+    Scale shape: the bucket agg is the only stream-sized exchange;
+    the pairwise slope table is (span/bucket choose 2) rows — time-
+    bounded (435 pairs for a 30-day window, ~5e8 for a decade of
+    days: still a trivially distributed join); the two median
+    selections are windows over slope-table-sized data.
+
+    -> ONE row (n_buckets, n_pairs, slope_per_bucket 6dp,
+    intercept 6dp).
+    """
+    us = _epoch_micros(ts_col)
+    counts = (events
+              .select((F.floor(us / bucket_us)).cast("long").alias("b"))
+              .groupBy("b").agg(F.count(F.lit(1)).alias("x")))
+    bounds = counts.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b"))
+    series = (spine.join(counts, "b", "left")
+              .select("b", F.coalesce("x", F.lit(0)).alias("x"))
+              .localCheckpoint(eager=True))
+
+    def exact_median(df, col):
+        w = Window.orderBy(F.col(col).asc())
+        ranked = df.select(F.col(col).alias("_m"),
+                           F.row_number().over(w).alias("_r"))
+        cnt = df.count()
+        mid_lo, mid_hi = (cnt + 1) // 2, (cnt + 2) // 2
+        return (ranked.filter(F.col("_r").isin(mid_lo, mid_hi))
+                .agg(F.avg("_m").alias("med")))
+
+    a = series.select(F.col("b").alias("i"), F.col("x").alias("xi"))
+    b = series.select(F.col("b").alias("j"), F.col("x").alias("xj"))
+    slopes = (a.join(b, F.col("j") > F.col("i"))
+              .select(((F.col("xj") - F.col("xi"))
+                       / (F.col("j") - F.col("i"))).alias("slope"))
+              .localCheckpoint(eager=True))
+    slope_med = exact_median(slopes, "slope")
+    resid = (series.crossJoin(F.broadcast(slope_med))
+             .select((F.col("x") - F.col("med") * F.col("b"))
+                     .alias("resid")))
+    inter_med = exact_median(resid, "resid")
+    meta = series.agg(F.count(F.lit(1)).alias("n_buckets"))
+    n_pairs = slopes.count()
+    return (meta.crossJoin(F.broadcast(slope_med))
+            .crossJoin(F.broadcast(inter_med.select(
+                F.col("med").alias("imed"))))
+            .select(F.col("n_buckets").cast("long").alias("n_buckets"),
+                    F.lit(n_pairs).cast("long").alias("n_pairs"),
+                    F.round(F.col("med"), 6).alias("slope_per_bucket"),
+                    F.round(F.col("imed"), 6).alias("intercept")))

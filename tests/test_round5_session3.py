@@ -837,3 +837,84 @@ class TestMarkovStationary:
                markov_stationary(ev, iterations=30).collect()}
         assert abs(out["a"] - 0.8) < 1e-4
         assert abs(out["a"] + out["b"] - 1.0) < 1e-6
+
+
+class TestRobustLocation:
+    def _df(self, spark, vals):
+        return spark.createDataFrame(
+            [("g", v) for v in vals], "src string, v long")
+
+    def test_hand_computed_trim_and_winsor(self, spark):
+        from saber_spark.operators.groupstats import robust_location
+        out = robust_location(
+            self._df(spark, [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 100]),
+            "src", "v", trim_frac=0.1).collect()[0]
+        assert (out.n, out.k_trimmed) == (11, 1)
+        assert out.mean == round(145 / 11, 6)
+        assert out.trimmed_mean == 5.0     # mean of 1..9
+        assert out.winsorized_mean == 5.0  # (45 + 1 + 9) / 11
+        assert out.winsorized_mean < out.mean  # outlier neutralized
+
+    def test_small_group_no_trim(self, spark):
+        from saber_spark.operators.groupstats import robust_location
+        out = robust_location(self._df(spark, [1, 2, 9]),
+                              "src", "v", trim_frac=0.1).collect()[0]
+        assert out.k_trimmed == 0
+        assert out.mean == out.trimmed_mean == out.winsorized_mean == 4.0
+
+
+class TestEffectSize:
+    def _df(self, spark, a, b):
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        return spark.createDataFrame(rows, "g string, v long")
+
+    def test_hand_computed_d_and_g(self, spark):
+        from saber_spark.operators.groupstats import effect_size
+        out = effect_size(self._df(spark, [1, 2, 3], [4, 5, 6]),
+                          "g", "a", "b", "v").collect()[0]
+        # means 2 and 5, pooled sd 1 -> d = -3; g = d * (1 - 3/15)
+        assert out.cohens_d == -3.0
+        assert out.hedges_g == -2.4
+
+    def test_equal_groups_zero(self, spark):
+        from saber_spark.operators.groupstats import effect_size
+        out = effect_size(self._df(spark, [1, 2, 3], [3, 2, 1]),
+                          "g", "a", "b", "v").collect()[0]
+        assert out.cohens_d == 0.0
+
+    def test_zero_variance_null(self, spark):
+        from saber_spark.operators.groupstats import effect_size
+        out = effect_size(self._df(spark, [5, 5], [5, 5]),
+                          "g", "a", "b", "v").collect()[0]
+        assert out.cohens_d is None
+
+
+class TestTheilSen:
+    def _events(self, spark, daily_counts):
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(t0 + dt.timedelta(days=d, minutes=m),)
+                for d, c in enumerate(daily_counts)
+                for m in range(c)]
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    def test_perfect_linear(self, spark):
+        import datetime as dt
+        from saber_spark.operators.timeseries import theil_sen
+        out = theil_sen(self._events(spark, [1, 2, 3, 4, 5])).collect()[0]
+        assert out.slope_per_bucket == 1.0
+        d0 = (dt.datetime(2024, 1, 1) - dt.datetime(1970, 1, 1)).days
+        assert out.intercept == round(1.0 - d0, 6)
+        assert out.n_pairs == 10
+
+    def test_outlier_does_not_move_slope(self, spark):
+        from saber_spark.operators.timeseries import theil_sen
+        out = theil_sen(
+            self._events(spark, [1, 2, 3, 4, 100])).collect()[0]
+        # 6 of 10 pairwise slopes are exactly 1 -> median stays 1
+        assert out.slope_per_bucket == 1.0
+
+    def test_flat_series(self, spark):
+        from saber_spark.operators.timeseries import theil_sen
+        out = theil_sen(self._events(spark, [4, 4, 4, 4])).collect()[0]
+        assert out.slope_per_bucket == 0.0

@@ -2418,6 +2418,41 @@ def main() -> None:
         0,
     ))
 
+    rm = e.q_robust_means(spark, SF_DIR)
+    sections.append((
+        "robust_means (per-group rank windows, one agg)",
+        "Tukey trimmed/winsorized means: exact order statistics need "
+        "the per-group rank windows (partitioned by source — "
+        "parallelism = |groups|); k rides as a row-level window count "
+        "so no aggregate nests inside another; one final agg.",
+        formatted_plan(rm),
+        ["Window", "HashAggregate"],
+        0,
+    ))
+
+    es = e.q_effect_size_chars(spark, SF_DIR)
+    sections.append((
+        "effect_size_chars (one conditional-sum agg)",
+        "Cohen's d / Hedges' g: a single corpus agg carrying both "
+        "slices as conditional sums; everything after is single-row "
+        "arithmetic.",
+        formatted_plan(es),
+        ["HashAggregate"],
+        0,
+    ))
+
+    ts2 = e.q_theil_sen_trend(spark, SF_DIR)
+    sections.append((
+        "theil_sen_trend (stream-sized bucket agg, pair table bounded)",
+        "Theil-Sen: one bucket agg over events; the pairwise slope "
+        "table is (days choose 2) — time-bounded; medians are exact "
+        "rank selections over the slope table (no interpolated "
+        "percentile).",
+        formatted_plan(ts2),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
