@@ -4593,6 +4593,41 @@ def q_theil_sen_trend(spark, sf_dir):
     return theil_sen(_events(spark, sf_dir))
 
 
+def q_ccf_events(spark, sf_dir):
+    """Cross-correlation lead-lag between click and purchase hourly
+    series (timeseries.cross_correlation, Box & Jenkins ch. 11):
+    r_xy(k) for k = -12..12 — does type_a lead type_b and by how many
+    buckets; the causal-ordering hint acf_events can't give. ONE
+    conditional-count bucket agg holds both series; the tail is
+    time-bounded."""
+    from saber_spark.operators.timeseries import cross_correlation
+    return cross_correlation(_events(spark, sf_dir), "click",
+                             "purchase", max_lag=12)
+
+
+def q_burstiness(spark, sf_dir):
+    """Burstiness panel (timeseries.burstiness_panel, Fano 1947 +
+    Goh & Barabási EPL 2008): Fano factor of hourly counts and the
+    (cv-1)/(cv+1) burstiness of per-USER inter-arrival gaps — the
+    "are arrivals Poisson?" check that decides whether the control
+    chart's assumptions hold. Gaps are per-user lag windows,
+    co-partitioned; a global gap series is deliberately not
+    offered."""
+    from saber_spark.operators.timeseries import burstiness_panel
+    return burstiness_panel(_events(spark, sf_dir))
+
+
+def q_cocitation_hosts(spark, sf_dir):
+    """Co-citation host similarity (graph.cocitation, Small JASIS
+    1973): hosts repeatedly linked FROM the same sources with
+    cosine-normalized strength — content-free relatedness, the
+    hyperlink twin of pmi_weights. Bibliographic coupling (Kessler
+    1963) is the same operator on reversed edges. Self-join
+    co-partitioned on the citing side; canonical a < b order."""
+    from saber_spark.operators.graph import cocitation
+    return cocitation(_host_edges(spark, sf_dir), min_common=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -4986,6 +5021,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_means": q_robust_means,
         "effect_size_chars": q_effect_size_chars,
         "theil_sen_trend": q_theil_sen_trend,
+        # r5 final session batch 16 (lead-lag CCF, burstiness panel,
+        # co-citation)
+        "ccf_events": q_ccf_events,
+        "burstiness": q_burstiness,
+        "cocitation_hosts": q_cocitation_hosts,
     }
 
 
@@ -11670,4 +11710,88 @@ def oracle_sql() -> dict[str, str]:
                    round(sm.med, 6) AS slope_per_bucket,
                    round(im.imed, 6) AS intercept
             FROM meta CROSS JOIN sm CROSS JOIN im""",
+        "ccf_events": """
+            WITH counts AS (
+              SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                       AS b,
+                     sum(CASE WHEN event_type = 'click'
+                              THEN 1 ELSE 0 END) AS x,
+                     sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS y
+              FROM events WHERE event_type IN ('click', 'purchase')
+              GROUP BY 1),
+            bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+            spine AS (
+              SELECT unnest(generate_series(b0, b1)) AS b FROM bounds),
+            series AS (
+              SELECT spine.b, coalesce(counts.x, 0) AS x,
+                     coalesce(counts.y, 0) AS y
+              FROM spine LEFT JOIN counts ON counts.b = spine.b),
+            m AS (SELECT avg(x) AS xbar, avg(y) AS ybar FROM series),
+            denom AS (
+              SELECT sum(pow(x - xbar, 2)) AS sx,
+                     sum(pow(y - ybar, 2)) AS sy,
+                     max(xbar) AS xbar, max(ybar) AS ybar
+              FROM series CROSS JOIN m),
+            lags AS (SELECT unnest(generate_series(-12, 12)) AS lag),
+            pairs AS (
+              SELECT lags.lag, a.x AS x, b2.y AS y2
+              FROM series a CROSS JOIN lags
+              JOIN series b2 ON b2.b = a.b + lags.lag)
+            SELECT CAST(lag AS BIGINT) AS lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(sum((x - xbar) * (y2 - ybar))
+                         / sqrt(max(sx) * max(sy)), 6) AS r
+            FROM pairs CROSS JOIN denom
+            GROUP BY lag""",
+        "burstiness": """
+            WITH counts AS (
+              SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                       AS b,
+                     count(*) AS x
+              FROM events GROUP BY 1),
+            bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+            spine AS (
+              SELECT unnest(generate_series(b0, b1)) AS b FROM bounds),
+            series AS (
+              SELECT coalesce(counts.x, 0) AS x
+              FROM spine LEFT JOIN counts ON counts.b = spine.b),
+            fano AS (
+              SELECT count(*) AS n_buckets,
+                     (avg(x * x) - avg(x) * avg(x)) / avg(x) AS fano
+              FROM series),
+            gaps AS (
+              SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY epoch_us(ts)))
+                     / 1e6 AS gap
+              FROM events),
+            g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL),
+            gstats AS (
+              SELECT count(*) AS n_gaps, avg(gap) AS mg,
+                     avg(gap * gap) - avg(gap) * avg(gap) AS vg
+              FROM g)
+            SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+                   round(fano, 6) AS fano,
+                   CAST(n_gaps AS BIGINT) AS n_gaps,
+                   round(mg, 6) AS mean_gap_s,
+                   round(sqrt(greatest(vg, 0.0)) / mg, 6) AS cv_gap,
+                   round((sqrt(greatest(vg, 0.0)) / mg - 1)
+                         / (sqrt(greatest(vg, 0.0)) / mg + 1), 6)
+                     AS burstiness
+            FROM fano CROSS JOIN gstats""",
+        "cocitation_hosts": f"""
+            WITH {HOST_EDGES_CTE},
+            e AS (SELECT DISTINCT src AS s, dst AS d FROM hedges),
+            indeg AS (SELECT d, count(*) AS deg FROM e GROUP BY d),
+            pairs AS (
+              SELECT a.d AS a, b.d AS b, count(*) AS n_common
+              FROM e a JOIN e b ON a.s = b.s AND a.d < b.d
+              GROUP BY a.d, b.d
+              HAVING count(*) >= 2)
+            SELECT a, b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   round(n_common / sqrt(da.deg * db.deg), 6) AS cosine
+            FROM pairs
+            JOIN indeg da ON da.d = pairs.a
+            JOIN indeg db ON db.d = pairs.b""",
     }

@@ -277,6 +277,9 @@ def main() -> None:
         # round 5 final session batch 15 (robust means, effect size,
         # Theil-Sen)
         "robust_means", "effect_size_chars", "theil_sen_trend",
+        # round 5 final session batch 16 (lead-lag CCF, burstiness,
+        # co-citation)
+        "ccf_events", "burstiness", "cocitation_hosts",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

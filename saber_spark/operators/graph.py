@@ -1531,3 +1531,50 @@ def harmonic_centrality(edges: DataFrame, landmarks: DataFrame,
                         "n_reached"),
                     F.round(F.col("_h") / F.lit(float(n_lm)), 6)
                     .alias("est_harmonic")))
+
+
+def cocitation(edges: DataFrame, src_col: str = "src",
+               dst_col: str = "dst", min_common: int = 2) -> DataFrame:
+    """Co-citation coupling (Small, JASIS 1973): pairs of nodes cited
+    BY the same sources, weighted by the number of common citers —
+    the bibliometric similarity that needs no content at all (two
+    hosts repeatedly linked from the same pages are related even if
+    their text shares nothing; the hyperlink twin of pmi_weights'
+    co-occurrence edges). Bibliographic coupling (Kessler 1963) is
+    the SAME operator on reversed edges — pass
+    edges.select(dst as src, src as dst).
+
+    Cosine-normalized strength: n_common / sqrt(deg_a * deg_b)
+    (in-degrees), the standard normalization so hub targets don't
+    dominate.
+
+    Scale shape: ONE distinct edge projection; the pair expansion is
+    a self-join co-partitioned on the CITING side (bounded per citer
+    by its out-degree — cap heavy citers upstream if a page can cite
+    thousands); in-degree marginals join back by key; canonical
+    a < b order halves the table.
+
+    -> (a, b, n_common, cosine 6dp), n_common >= min_common.
+    """
+    e = edges.select(F.col(src_col).alias("s"),
+                     F.col(dst_col).alias("d")).distinct()
+    indeg = e.groupBy("d").agg(F.count(F.lit(1)).alias("deg"))
+    a = e.select("s", F.col("d").alias("a"))
+    b = e.select("s", F.col("d").alias("b"))
+    pairs = (a.join(b, "s")
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).alias("n_common"))
+             .filter(F.col("n_common") >= min_common))
+    return (pairs
+            .join(F.broadcast(indeg.select(F.col("d").alias("a"),
+                                           F.col("deg").alias("da"))),
+                  "a")
+            .join(F.broadcast(indeg.select(F.col("d").alias("b"),
+                                           F.col("deg").alias("db"))),
+                  "b")
+            .select("a", "b",
+                    F.col("n_common").cast("long").alias("n_common"),
+                    F.round(F.col("n_common")
+                            / F.sqrt(F.col("da") * F.col("db")), 6)
+                    .alias("cosine")))

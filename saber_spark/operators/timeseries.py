@@ -298,3 +298,125 @@ def theil_sen(events: DataFrame, ts_col: str = "ts",
                     F.lit(n_pairs).cast("long").alias("n_pairs"),
                     F.round(F.col("med"), 6).alias("slope_per_bucket"),
                     F.round(F.col("imed"), 6).alias("intercept")))
+
+
+def cross_correlation(events: DataFrame, type_a: str, type_b: str,
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      max_lag: int = 12,
+                      bucket_us: int = HOUR_US) -> DataFrame:
+    """Sample cross-correlation function between two event types'
+    count series (Box & Jenkins 1970 ch. 11): r_xy(k) for
+    k = -max_lag..+max_lag — the LEAD-LAG diagnostic autocorrelation
+    can't give: a peak at positive k means type_a moves FIRST and
+    type_b follows k buckets later (errors follow deploys, purchases
+    follow clicks), the causal-ordering hint for funnel and alerting
+    design.
+
+        r_xy(k) = sum_t (x_t - xbar)(y_{t+k} - ybar)
+                  / sqrt(sum (x - xbar)^2 * sum (y - ybar)^2)
+
+    over the DENSIFIED common [min, max] bucket span of both series
+    (autocorrelation's zeros-not-gaps contract). Exact counts; the
+    normalizer is one sqrt on exact-integer sums -> 6dp.
+
+    Scale shape: ONE stream-sized agg holding both types as
+    conditional counts per bucket; everything after (spine, lag
+    join, moments) is time-bounded.
+
+    -> (2*max_lag + 1) rows (lag, n_pairs, r 6dp).
+    """
+    g = F.col(type_col)
+    us = _epoch_micros(ts_col)
+    counts = (events.filter(g.isin(type_a, type_b))
+              .select((F.floor(us / bucket_us)).cast("long").alias("b"),
+                      g.alias("t"))
+              .groupBy("b")
+              .agg(F.sum((F.col("t") == type_a).cast("long")).alias("x"),
+                   F.sum((F.col("t") == type_b).cast("long")).alias("y")))
+    bounds = counts.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b"))
+    series = (spine.join(counts, "b", "left")
+              .select("b", F.coalesce("x", F.lit(0)).alias("x"),
+                      F.coalesce("y", F.lit(0)).alias("y"))
+              .localCheckpoint(eager=True))
+    m = series.agg(F.avg("x").alias("xbar"), F.avg("y").alias("ybar"))
+    cent = series.crossJoin(F.broadcast(m))
+    denom = cent.agg(
+        F.sum(F.pow(F.col("x") - F.col("xbar"), F.lit(2.0))).alias("sx"),
+        F.sum(F.pow(F.col("y") - F.col("ybar"), F.lit(2.0))).alias("sy"),
+        F.max("xbar").alias("xbar"), F.max("ybar").alias("ybar"))
+    lags = events.sparkSession.range(-max_lag, max_lag + 1) \
+        .select(F.col("id").alias("lag"))
+    xs = series.select("b", "x")
+    ys = series.select(F.col("b").alias("b2"), F.col("y").alias("y2"))
+    pairs = (xs.crossJoin(lags)
+             .join(ys, F.col("b2") == F.col("b") + F.col("lag")))
+    return (pairs.crossJoin(F.broadcast(denom))
+            .groupBy("lag")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.round(F.try_divide(
+                     F.sum((F.col("x") - F.col("xbar"))
+                           * (F.col("y2") - F.col("ybar"))),
+                     F.sqrt(F.max("sx") * F.max("sy"))), 6).alias("r"))
+            .select(F.col("lag").cast("long").alias("lag"),
+                    "n_pairs", "r"))
+
+
+def burstiness_panel(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     bucket_us: int = HOUR_US) -> DataFrame:
+    """Burstiness panel: Fano factor of the bucketed count series
+    (index of dispersion, Fano 1947 — variance/mean; 1 = Poisson,
+    >> 1 = bursty) plus the Goh-Barabási burstiness parameter of
+    per-user inter-arrival gaps (Goh & Barabási, EPL 2008):
+
+        B = (cv - 1) / (cv + 1),   cv = sd(gap) / mean(gap)
+
+    (B = -1 periodic, 0 Poisson, -> 1 maximally bursty) — together
+    the two standard answers to "are arrivals Poisson?", which
+    decides whether rate limits, sampling windows, and the control
+    chart's assumptions hold. Population moments from exact sums;
+    gaps are per-USER (lag over the co-partitioned (user, ts)
+    window — a GLOBAL gap series would need a single-partition sort
+    of the stream and is deliberately not offered).
+
+    -> ONE row (n_buckets, fano, n_gaps, mean_gap_s 6dp, cv_gap 6dp,
+    burstiness 6dp).
+    """
+    us = _epoch_micros(ts_col)
+    counts = (events
+              .select((F.floor(us / bucket_us)).cast("long").alias("b"))
+              .groupBy("b").agg(F.count(F.lit(1)).alias("x")))
+    bounds = counts.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b"))
+    series = (spine.join(counts, "b", "left")
+              .select(F.coalesce("x", F.lit(0)).alias("x")))
+    fano = series.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (F.try_divide(
+            F.avg(F.col("x") * F.col("x"))
+            - F.avg("x") * F.avg("x"), F.avg("x"))).alias("fano"))
+    gaps = (events
+            .select(F.col(user_col), us.alias("t"))
+            .select(((F.col("t")
+                      - F.lag("t").over(
+                          Window.partitionBy(user_col).orderBy("t")))
+                     / 1e6).alias("gap"))
+            .filter(F.col("gap").isNotNull()))
+    gstats = gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.avg("gap").alias("mg"),
+        (F.avg(F.col("gap") * F.col("gap"))
+         - F.avg("gap") * F.avg("gap")).alias("vg"))
+    cv = F.try_divide(F.sqrt(F.greatest(F.col("vg"), F.lit(0.0))),
+                      F.col("mg"))
+    return (fano.crossJoin(F.broadcast(gstats))
+            .select(F.col("n_buckets").cast("long").alias("n_buckets"),
+                    F.round("fano", 6).alias("fano"),
+                    F.col("n_gaps").cast("long").alias("n_gaps"),
+                    F.round("mg", 6).alias("mean_gap_s"),
+                    F.round(cv, 6).alias("cv_gap"),
+                    F.round(F.try_divide(cv - 1, cv + 1), 6)
+                    .alias("burstiness")))

@@ -918,3 +918,112 @@ class TestTheilSen:
         from saber_spark.operators.timeseries import theil_sen
         out = theil_sen(self._events(spark, [4, 4, 4, 4])).collect()[0]
         assert out.slope_per_bucket == 0.0
+
+
+class TestCrossCorrelation:
+    def _events(self, spark, a_counts, b_counts, b_offset):
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        for h, c in enumerate(a_counts):
+            rows += [("a", t0 + dt.timedelta(hours=h, minutes=m))
+                     for m in range(c)]
+        for h, c in enumerate(b_counts):
+            rows += [("b", t0 + dt.timedelta(hours=h + b_offset,
+                                             minutes=m))
+                     for m in range(c)]
+        return spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    def test_self_correlation_at_zero(self, spark):
+        from saber_spark.operators.timeseries import cross_correlation
+        ev = self._events(spark, [1, 3, 2, 4], [], 0)
+        out = {r.lag: r.r for r in
+               cross_correlation(ev, "a", "a", max_lag=1).collect()}
+        assert out[0] == 1.0
+
+    def test_hand_computed_shifted(self, spark):
+        from saber_spark.operators.timeseries import cross_correlation
+        # x = [2,1,2,1,0,0], y = [0,0,2,1,2,1] -> r(2) = 2/4
+        ev = self._events(spark, [2, 1, 2, 1], [2, 1, 2, 1], 2)
+        out = {r.lag: r.r for r in
+               cross_correlation(ev, "a", "b", max_lag=3).collect()}
+        assert out[2] == 0.5
+        assert out[2] == max(v for v in out.values() if v is not None)
+
+    def test_lag_window_row_counts(self, spark):
+        from saber_spark.operators.timeseries import cross_correlation
+        ev = self._events(spark, [1, 1, 1, 1], [], 0)
+        out = {r.lag: r.n_pairs for r in
+               cross_correlation(ev, "a", "a", max_lag=2).collect()}
+        assert out[0] == 4 and out[2] == 2 and out[-2] == 2
+
+
+class TestBurstinessPanel:
+    def _events(self, spark, user_hours):
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(u, t0 + dt.timedelta(hours=h))
+                for u, hs in user_hours.items() for h in hs]
+        return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    def test_periodic_is_minus_one(self, spark):
+        from saber_spark.operators.timeseries import burstiness_panel
+        out = burstiness_panel(
+            self._events(spark, {1: range(6)})).collect()[0]
+        assert out.fano == 0.0          # constant hourly counts
+        assert out.mean_gap_s == 3600.0
+        assert out.cv_gap == 0.0
+        assert out.burstiness == -1.0   # perfectly periodic
+
+    def test_bursty_positive(self, spark):
+        from saber_spark.operators.timeseries import burstiness_panel
+        # gaps 1h,1h,1h,45h: heavy-tailed -> cv > 1 -> B > 0
+        out = burstiness_panel(
+            self._events(spark, {1: [0, 1, 2, 3, 48]})).collect()[0]
+        assert out.cv_gap > 1.0 and out.burstiness > 0.0
+
+    def test_gaps_never_cross_users(self, spark):
+        from saber_spark.operators.timeseries import burstiness_panel
+        out = burstiness_panel(
+            self._events(spark, {1: [0, 1], 2: [100, 101]})).collect()[0]
+        assert out.n_gaps == 2          # not 3: no inter-user gap
+
+
+class TestCocitation:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_hand_computed_cosine(self, spark):
+        from saber_spark.operators.graph import cocitation
+        e = self._edges(spark, [("s1", "a"), ("s1", "b"), ("s2", "a"),
+                                ("s2", "b"), ("s3", "a"), ("s3", "c")])
+        out = {(r.a, r.b): r for r in
+               cocitation(e, min_common=1).collect()}
+        ab = out[("a", "b")]
+        assert ab.n_common == 2
+        assert ab.cosine == round(2 / math.sqrt(3 * 2), 6)
+        assert out[("a", "c")].cosine == round(1 / math.sqrt(3), 6)
+
+    def test_min_common_floor(self, spark):
+        from saber_spark.operators.graph import cocitation
+        e = self._edges(spark, [("s1", "a"), ("s1", "b"), ("s2", "a"),
+                                ("s2", "b"), ("s3", "a"), ("s3", "c")])
+        out = {(r.a, r.b) for r in cocitation(e, min_common=2).collect()}
+        assert out == {("a", "b")}
+
+    def test_duplicate_edges_collapse(self, spark):
+        from saber_spark.operators.graph import cocitation
+        e = self._edges(spark, [("s1", "a"), ("s1", "a"), ("s1", "b")])
+        out = cocitation(e, min_common=1).collect()
+        assert len(out) == 1 and out[0].n_common == 1
+
+    def test_coupling_via_reversed_edges(self, spark):
+        from saber_spark.operators.graph import cocitation
+        # bibliographic coupling: p1 and p2 both cite z
+        e = self._edges(spark, [("p1", "z"), ("p2", "z"), ("p1", "w"),
+                                ("p2", "w")])
+        rev = e.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"))
+        out = cocitation(rev, min_common=2).collect()
+        assert len(out) == 1
+        assert (out[0].a, out[0].b, out[0].n_common) == ("p1", "p2", 2)

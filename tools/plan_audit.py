@@ -2453,6 +2453,40 @@ def main() -> None:
         0,
     ))
 
+    cf = e.q_ccf_events(spark, SF_DIR)
+    sections.append((
+        "ccf_events (one dual-series bucket agg, bounded tail)",
+        "Cross-correlation: ONE stream-sized agg holds both types as "
+        "conditional counts per bucket; spine/lag-join/moments are "
+        "time-bounded (acf_events' contract with two series).",
+        formatted_plan(cf),
+        ["HashAggregate"],
+        0,
+    ))
+
+    bu = e.q_burstiness(spark, SF_DIR)
+    sections.append((
+        "burstiness (bucket agg + per-user co-partitioned lag)",
+        "Burstiness panel: Fano from the bucketed series; gap moments "
+        "from a lag window partitioned on user_id — a global gap "
+        "series (single-partition sort of the stream) is deliberately "
+        "not offered.",
+        formatted_plan(bu),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
+    cc2 = e.q_cocitation_hosts(spark, SF_DIR)
+    sections.append((
+        "cocitation_hosts (citer-partitioned self-join, degree joins)",
+        "Co-citation: the pair expansion co-partitions on the citing "
+        "side (bounded by out-degree); in-degree marginals join back "
+        "by key; canonical a < b halves the table.",
+        formatted_plan(cc2),
+        ["HashAggregate", "BroadcastHashJoin"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
