@@ -4628,6 +4628,36 @@ def q_cocitation_hosts(spark, sf_dir):
     return cocitation(_host_edges(spark, sf_dir), min_common=2)
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test on daily event counts
+    (timeseries.mann_kendall, Mann 1945 / Kendall 1975, tie-corrected
+    variance, continuity-corrected z): the significance companion
+    theil_sen_trend is always paired with — is the drift
+    distinguishable from noise. Time-bounded pair comparisons."""
+    from saber_spark.operators.timeseries import mann_kendall
+    return mann_kendall(_events(spark, sf_dir))
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the above/below-median hourly
+    series (timeseries.runs_test, 1940): regime clumping vs
+    oscillation — the randomness axis orthogonal to trend
+    (mann_kendall) and periodicity (acf_events). Exact rank median;
+    equal-to-median buckets excluded per the standard convention."""
+    from saber_spark.operators.timeseries import runs_test
+    return runs_test(_events(spark, sf_dir))
+
+
+def q_seasonal_profile(spark, sf_dir):
+    """Hour-of-day seasonal profile (timeseries.seasonal_profile):
+    the explicit cyclic shape acf_events only detects — mean count
+    and share per phase, the table a crawl scheduler reads to place
+    load and the divisor for seasonal adjustment. 24 rows, densified,
+    tz-free phase."""
+    from saber_spark.operators.timeseries import seasonal_profile
+    return seasonal_profile(_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -5026,6 +5056,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_events": q_ccf_events,
         "burstiness": q_burstiness,
         "cocitation_hosts": q_cocitation_hosts,
+        # r5 final session batch 17 (Mann-Kendall, runs test,
+        # seasonal profile)
+        "mann_kendall": q_mann_kendall,
+        "runs_test": q_runs_test,
+        "seasonal_profile": q_seasonal_profile,
     }
 
 
@@ -11794,4 +11829,98 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN indeg da ON da.d = pairs.a
             JOIN indeg db ON db.d = pairs.b""",
+        "mann_kendall": """
+            WITH counts AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                       AS b,
+                     count(*) AS x
+              FROM events GROUP BY 1),
+            bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+            spine AS (
+              SELECT unnest(generate_series(b0, b1)) AS b FROM bounds),
+            series AS (
+              SELECT spine.b, coalesce(counts.x, 0) AS x
+              FROM spine LEFT JOIN counts ON counts.b = spine.b),
+            s_agg AS (
+              SELECT CAST(sum(sign(b2.x - b1.x)) AS BIGINT) AS s
+              FROM series b1 JOIN series b2 ON b2.b > b1.b),
+            n_agg AS (SELECT count(*) AS n FROM series),
+            ties AS (
+              SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                       AS tie_term
+              FROM (SELECT count(*) AS t FROM series GROUP BY x)),
+            j AS (SELECT s, n, tie_term
+                  FROM s_agg CROSS JOIN n_agg CROSS JOIN ties)
+            SELECT CAST(n AS BIGINT) AS n_buckets,
+                   CAST(s AS BIGINT) AS s,
+                   round((n * (n - 1) * (2 * n + 5) - tie_term)
+                         / 18, 6) AS var_s,
+                   round(CASE
+                     WHEN s > 0 THEN (s - 1)
+                       / sqrt((n * (n - 1) * (2 * n + 5) - tie_term)
+                              / 18)
+                     WHEN s < 0 THEN (s + 1)
+                       / sqrt((n * (n - 1) * (2 * n + 5) - tie_term)
+                              / 18)
+                     ELSE 0.0 END, 6) AS z
+            FROM j""",
+        "runs_test": """
+            WITH counts AS (
+              SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                       AS b,
+                     count(*) AS x
+              FROM events GROUP BY 1),
+            bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+            spine AS (
+              SELECT unnest(generate_series(b0, b1)) AS b FROM bounds),
+            series AS (
+              SELECT spine.b, coalesce(counts.x, 0) AS x
+              FROM spine LEFT JOIN counts ON counts.b = spine.b),
+            med AS (
+              SELECT avg(_m) AS med FROM (
+                SELECT x AS _m, ROW_NUMBER() OVER (ORDER BY x ASC)
+                         AS r, count(*) OVER () AS cnt
+                FROM series)
+              WHERE r IN ((cnt + 1) // 2, (cnt + 2) // 2)),
+            signed AS (
+              SELECT b, CASE WHEN x > med THEN 1 ELSE 0 END AS above
+              FROM series CROSS JOIN med
+              WHERE x <> med),
+            flips AS (
+              SELECT above,
+                     CASE WHEN above <> lag(above) OVER (ORDER BY b)
+                          THEN 1 ELSE 0 END AS flip
+              FROM signed),
+            agg AS (
+              SELECT sum(above) AS n1, sum(1 - above) AS n2,
+                     coalesce(sum(flip), 0) + 1 AS runs
+              FROM flips)
+            SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                   CAST(runs AS BIGINT) AS runs,
+                   round(2 * n1 * n2 / (n1 + n2) + 1, 6) AS mu,
+                   round((runs - (2 * n1 * n2 / (n1 + n2) + 1))
+                         / sqrt((2 * n1 * n2
+                                 * (2 * n1 * n2 - (n1 + n2)))
+                                / ((n1 + n2) * (n1 + n2)
+                                   * (n1 + n2 - 1))), 6) AS z
+            FROM agg""",
+        "seasonal_profile": """
+            WITH counts AS (
+              SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                       AS b,
+                     count(*) AS x
+              FROM events GROUP BY 1),
+            bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+            spine AS (
+              SELECT unnest(generate_series(b0, b1)) AS b FROM bounds),
+            series AS (
+              SELECT spine.b % 24 AS phase, coalesce(counts.x, 0) AS x
+              FROM spine LEFT JOIN counts ON counts.b = spine.b),
+            tot AS (SELECT sum(x) AS total FROM series)
+            SELECT CAST(phase AS BIGINT) AS phase,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   round(sum(x) / count(*), 6) AS mean_count,
+                   round(sum(x) / max(total), 6) AS share
+            FROM series CROSS JOIN tot
+            GROUP BY phase""",
     }

@@ -280,6 +280,9 @@ def main() -> None:
         # round 5 final session batch 16 (lead-lag CCF, burstiness,
         # co-citation)
         "ccf_events", "burstiness", "cocitation_hosts",
+        # round 5 final session batch 17 (Mann-Kendall, runs test,
+        # seasonal profile)
+        "mann_kendall", "runs_test", "seasonal_profile",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

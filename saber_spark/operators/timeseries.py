@@ -420,3 +420,161 @@ def burstiness_panel(events: DataFrame, user_col: str = "user_id",
                     F.round(cv, 6).alias("cv_gap"),
                     F.round(F.try_divide(cv - 1, cv + 1), 6)
                     .alias("burstiness")))
+
+
+def mann_kendall(events: DataFrame, ts_col: str = "ts",
+                 bucket_us: int = DAY_US) -> DataFrame:
+    """Mann-Kendall trend TEST (Mann 1945; Kendall 1975) with the
+    tie-corrected variance — the significance companion Theil-Sen's
+    slope estimate is always paired with in monitoring practice
+    (theil_sen says HOW FAST the crawl rate drifts; this says whether
+    the monotone drift is distinguishable from noise):
+
+        S      = sum over i<j of sgn(x_j - x_i)
+        Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18
+        z      = (S -+ 1) / sqrt(Var)   (continuity-corrected,
+                                         0 when S = 0)
+
+    over the densified bucket series. Exact integer S and tie table;
+    the single sqrt at the end -> 6dp.
+
+    Scale shape: theil_sen's pair economics — (span/bucket choose 2)
+    sign comparisons, time-bounded; the tie histogram is one agg over
+    the series.
+
+    -> ONE row (n_buckets, s, var_s 6dp, z 6dp).
+    """
+    us = _epoch_micros(ts_col)
+    counts = (events
+              .select((F.floor(us / bucket_us)).cast("long").alias("b"))
+              .groupBy("b").agg(F.count(F.lit(1)).alias("x")))
+    bounds = counts.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b"))
+    series = (spine.join(counts, "b", "left")
+              .select("b", F.coalesce("x", F.lit(0)).alias("x"))
+              .localCheckpoint(eager=True))
+    a = series.select(F.col("b").alias("i"), F.col("x").alias("xi"))
+    bb = series.select(F.col("b").alias("j"), F.col("x").alias("xj"))
+    s_agg = (a.join(bb, F.col("j") > F.col("i"))
+             .agg(F.sum(F.signum(F.col("xj") - F.col("xi"))
+                        .cast("long")).alias("s")))
+    n_agg = series.agg(F.count(F.lit(1)).alias("n"))
+    ties = (series.groupBy("x").agg(F.count(F.lit(1)).alias("t"))
+            .agg(F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1)
+                      * (2 * F.col("t") + 5)), F.lit(0))
+                .alias("tie_term")))
+    j = (s_agg.crossJoin(F.broadcast(n_agg))
+         .crossJoin(F.broadcast(ties)))
+    n = F.col("n")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")) / 18
+    s = F.col("s")
+    z = (F.when(s > 0, (s - 1) / F.sqrt(var_s))
+         .when(s < 0, (s + 1) / F.sqrt(var_s))
+         .otherwise(F.lit(0.0)))
+    return j.select(n.cast("long").alias("n_buckets"),
+                    s.cast("long").alias("s"),
+                    F.round(var_s, 6).alias("var_s"),
+                    F.round(z, 6).alias("z"))
+
+
+def runs_test(events: DataFrame, ts_col: str = "ts",
+              bucket_us: int = HOUR_US) -> DataFrame:
+    """Wald-Wolfowitz runs test (Wald & Wolfowitz 1940) on the
+    above/below-median binarization of the bucket series — the
+    randomness check orthogonal to trend (mann_kendall) and
+    periodicity (acf): too FEW runs = clumping/regime persistence,
+    too MANY = oscillation; either invalidates iid-based alerting
+    thresholds.
+
+        R ~ Normal(mu, sigma^2),  mu = 2 n1 n2 / n + 1,
+        sigma^2 = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n - 1))
+
+    with n1/n2 the above/below counts; buckets EQUAL to the median
+    are excluded (the standard convention). The median is the exact
+    two-middle rank median (theil_sen's contract — no interpolated
+    percentile). Runs counted as 1 + boundary flips via a lag window
+    over the surviving time-ordered buckets.
+
+    -> ONE row (n1, n2, runs, mu 6dp, z 6dp).
+    """
+    us = _epoch_micros(ts_col)
+    counts = (events
+              .select((F.floor(us / bucket_us)).cast("long").alias("b"))
+              .groupBy("b").agg(F.count(F.lit(1)).alias("x")))
+    bounds = counts.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b"))
+    series = (spine.join(counts, "b", "left")
+              .select("b", F.coalesce("x", F.lit(0)).alias("x"))
+              .localCheckpoint(eager=True))
+    wm = Window.orderBy(F.col("x").asc())
+    ranked = series.select(F.col("x").alias("_m"),
+                           F.row_number().over(wm).alias("_r"))
+    cnt = series.count()
+    med = (ranked.filter(F.col("_r").isin((cnt + 1) // 2,
+                                          (cnt + 2) // 2))
+           .agg(F.avg("_m").alias("med")))
+    signed = (series.crossJoin(F.broadcast(med))
+              .filter(F.col("x") != F.col("med"))
+              .select("b", (F.col("x") > F.col("med")).cast("int")
+                      .alias("above")))
+    w = Window.orderBy("b")
+    flips = signed.select(
+        "above",
+        (F.col("above") != F.lag("above").over(w)).cast("int")
+        .alias("flip"))
+    agg = flips.agg(
+        F.sum("above").alias("n1"),
+        F.sum(1 - F.col("above")).alias("n2"),
+        (F.coalesce(F.sum("flip"), F.lit(0)) + 1).alias("runs"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    mu = 2 * n1 * n2 / n + 1
+    var = (2 * n1 * n2 * (2 * n1 * n2 - n)) / (n * n * (n - 1))
+    return agg.select(
+        n1.cast("long").alias("n1"), n2.cast("long").alias("n2"),
+        F.col("runs").cast("long").alias("runs"),
+        F.round(mu, 6).alias("mu"),
+        F.round(F.try_divide(F.col("runs") - mu, F.sqrt(var)), 6)
+        .alias("z"))
+
+
+def seasonal_profile(events: DataFrame, ts_col: str = "ts",
+                     bucket_us: int = HOUR_US,
+                     period: int = 24) -> DataFrame:
+    """Seasonal profile: mean bucket count by position-in-period
+    (hour-of-day for hourly buckets / period 24) — the explicit
+    seasonal shape whose EXISTENCE acf_events detects (peak at lag
+    24) but does not display; what a crawl scheduler actually reads
+    to place load, and the divisor for seasonal adjustment before
+    control_chart / mann_kendall on strongly cyclic streams.
+
+    Phase = bucket index mod period on tz-free epoch buckets (UTC
+    phase; shift upstream for local-time profiles). Densified (the
+    acf contract). share = phase total / grand total.
+
+    -> ``period`` rows (phase, n_buckets, mean_count 6dp, share 6dp).
+    """
+    us = _epoch_micros(ts_col)
+    counts = (events
+              .select((F.floor(us / bucket_us)).cast("long").alias("b"))
+              .groupBy("b").agg(F.count(F.lit(1)).alias("x")))
+    bounds = counts.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b"))
+    series = (spine.join(counts, "b", "left")
+              .select((F.col("b") % period).alias("phase"),
+                      F.coalesce("x", F.lit(0)).alias("x")))
+    tot = series.agg(F.sum("x").alias("total"))
+    return (series.groupBy("phase")
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.sum("x").alias("sx"))
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("phase").cast("long").alias("phase"),
+                    F.col("n_buckets").cast("long").alias("n_buckets"),
+                    F.round(F.col("sx") / F.col("n_buckets"), 6)
+                    .alias("mean_count"),
+                    F.round(F.col("sx") / F.col("total"), 6)
+                    .alias("share")))

@@ -1027,3 +1027,83 @@ class TestCocitation:
         out = cocitation(rev, min_common=2).collect()
         assert len(out) == 1
         assert (out[0].a, out[0].b, out[0].n_common) == ("p1", "p2", 2)
+
+
+def _hourly_events(spark, hourly_counts, day_buckets=False):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    step = dt.timedelta(days=1) if day_buckets else dt.timedelta(hours=1)
+    rows = [(t0 + h * step + dt.timedelta(minutes=m),)
+            for h, c in enumerate(hourly_counts) for m in range(c)]
+    return spark.createDataFrame(rows, "ts timestamp")
+
+
+class TestMannKendall:
+    def test_strictly_increasing(self, spark):
+        from saber_spark.operators.timeseries import mann_kendall
+        out = mann_kendall(_hourly_events(
+            spark, [1, 2, 3, 4, 5], day_buckets=True)).collect()[0]
+        # all 10 pairs positive; no ties
+        assert out.s == 10
+        var = 5 * 4 * 15 / 18
+        assert out.var_s == round(var, 6)
+        assert out.z == round(9 / math.sqrt(var), 6)
+
+    def test_tie_correction(self, spark):
+        from saber_spark.operators.timeseries import mann_kendall
+        out = mann_kendall(_hourly_events(
+            spark, [2, 2, 3], day_buckets=True)).collect()[0]
+        # pairs: (2,2)=0, (2,3)=+1, (2,3)=+1 -> S = 2
+        assert out.s == 2
+        # tie group t=2: term = 2*1*9 = 18 -> var = (3*2*11 - 18)/18
+        assert out.var_s == round((66 - 18) / 18, 6)
+
+    def test_flat_is_zero(self, spark):
+        from saber_spark.operators.timeseries import mann_kendall
+        out = mann_kendall(_hourly_events(
+            spark, [4, 4, 4, 4], day_buckets=True)).collect()[0]
+        assert out.s == 0 and out.z == 0.0
+
+
+class TestRunsTest:
+    def test_alternating_max_runs(self, spark):
+        from saber_spark.operators.timeseries import runs_test
+        out = runs_test(_hourly_events(
+            spark, [1, 9, 1, 9, 1, 9])).collect()[0]
+        # median 5, n1 = n2 = 3, alternation -> 6 runs (max)
+        assert (out.n1, out.n2, out.runs) == (3, 3, 6)
+        assert out.mu == 4.0
+        assert out.z > 0
+
+    def test_clumped_min_runs(self, spark):
+        from saber_spark.operators.timeseries import runs_test
+        out = runs_test(_hourly_events(
+            spark, [1, 1, 1, 9, 9, 9])).collect()[0]
+        assert out.runs == 2 and out.z < 0
+
+    def test_median_ties_excluded(self, spark):
+        from saber_spark.operators.timeseries import runs_test
+        # series [1, 5, 5, 9]: median 5 -> only 1 and 9 survive
+        out = runs_test(_hourly_events(spark, [1, 5, 5, 9])).collect()[0]
+        assert out.n1 + out.n2 == 2 and out.runs == 2
+
+
+class TestSeasonalProfile:
+    def test_phase_means_and_shares(self, spark):
+        from saber_spark.operators.timeseries import seasonal_profile
+        # two full days: hour h has h+1 events each day (nonzero first
+        # bucket, so the densified span is exactly 48 buckets)
+        counts = [h + 1 for h in range(24)] * 2
+        out = {r.phase: r for r in
+               seasonal_profile(_hourly_events(spark, counts)).collect()}
+        assert len(out) == 24
+        assert all(r.n_buckets == 2 for r in out.values())
+        total = sum(counts)
+        for r in out.values():
+            assert r.share == round(r.mean_count * 2 / total, 6)
+
+    def test_shares_sum_to_one(self, spark):
+        from saber_spark.operators.timeseries import seasonal_profile
+        out = seasonal_profile(
+            _hourly_events(spark, [3, 1, 4, 1, 5] * 10)).collect()
+        assert abs(sum(r.share for r in out) - 1.0) < 1e-4

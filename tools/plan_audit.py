@@ -2487,6 +2487,39 @@ def main() -> None:
         0,
     ))
 
+    mk2 = e.q_mann_kendall(spark, SF_DIR)
+    sections.append((
+        "mann_kendall (bucket agg, time-bounded sign pairs)",
+        "Mann-Kendall: theil_sen's pair economics — sign comparisons "
+        "over (days choose 2); the tie histogram is one agg over the "
+        "densified series.",
+        formatted_plan(mk2),
+        ["HashAggregate"],
+        0,
+    ))
+
+    rt = e.q_runs_test(spark, SF_DIR)
+    sections.append((
+        "runs_test (exact rank median, lag window on series)",
+        "Runs test: exact two-middle median over the series; boundary "
+        "flips via one lag window on the surviving time-ordered "
+        "buckets; all post-agg work time-bounded.",
+        formatted_plan(rt),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
+    sp2 = e.q_seasonal_profile(spark, SF_DIR)
+    sections.append((
+        "seasonal_profile (bucket agg, 24-row output)",
+        "Seasonal profile: one stream-sized bucket agg; phase grouping "
+        "and shares run on the densified time-bounded series; output "
+        "is |period| rows.",
+        formatted_plan(sp2),
+        ["HashAggregate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
