@@ -4617,15 +4617,16 @@ def q_burstiness(spark, sf_dir):
     return burstiness_panel(_events(spark, sf_dir))
 
 
-def q_cocitation_hosts(spark, sf_dir):
-    """Co-citation host similarity (graph.cocitation, Small JASIS
-    1973): hosts repeatedly linked FROM the same sources with
-    cosine-normalized strength — content-free relatedness, the
-    hyperlink twin of pmi_weights. Bibliographic coupling (Kessler
-    1963) is the same operator on reversed edges. Self-join
+def q_cocitation_cosine(spark, sf_dir):
+    """Cosine-normalized co-citation strength
+    (graph.cocitation_cosine, Small JASIS 1973 + Salton
+    normalization): the degree-normalized view next to
+    cocitation_hosts' raw shared-neighbor counts — "specifically
+    related" vs "both popular". Bibliographic coupling (Kessler 1963)
+    is the same operator on reversed edges (test-proven). Self-join
     co-partitioned on the citing side; canonical a < b order."""
-    from saber_spark.operators.graph import cocitation
-    return cocitation(_host_edges(spark, sf_dir), min_common=2)
+    from saber_spark.operators.graph import cocitation_cosine
+    return cocitation_cosine(_host_edges(spark, sf_dir), min_common=2)
 
 
 def q_mann_kendall(spark, sf_dir):
@@ -5055,7 +5056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # co-citation)
         "ccf_events": q_ccf_events,
         "burstiness": q_burstiness,
-        "cocitation_hosts": q_cocitation_hosts,
+        "cocitation_cosine": q_cocitation_cosine,
         # r5 final session batch 17 (Mann-Kendall, runs test,
         # seasonal profile)
         "mann_kendall": q_mann_kendall,
@@ -11814,7 +11815,7 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(greatest(vg, 0.0)) / mg + 1), 6)
                      AS burstiness
             FROM fano CROSS JOIN gstats""",
-        "cocitation_hosts": f"""
+        "cocitation_cosine": f"""
             WITH {HOST_EDGES_CTE},
             e AS (SELECT DISTINCT src AS s, dst AS d FROM hedges),
             indeg AS (SELECT d, count(*) AS deg FROM e GROUP BY d),

@@ -279,7 +279,7 @@ def main() -> None:
         "robust_means", "effect_size_chars", "theil_sen_trend",
         # round 5 final session batch 16 (lead-lag CCF, burstiness,
         # co-citation)
-        "ccf_events", "burstiness", "cocitation_hosts",
+        "ccf_events", "burstiness", "cocitation_cosine",
         # round 5 final session batch 17 (Mann-Kendall, runs test,
         # seasonal profile)
         "mann_kendall", "runs_test", "seasonal_profile",

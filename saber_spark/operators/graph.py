@@ -1533,9 +1533,15 @@ def harmonic_centrality(edges: DataFrame, landmarks: DataFrame,
                     .alias("est_harmonic")))
 
 
-def cocitation(edges: DataFrame, src_col: str = "src",
-               dst_col: str = "dst", min_common: int = 2) -> DataFrame:
-    """Co-citation coupling (Small, JASIS 1973): pairs of nodes cited
+def cocitation_cosine(edges: DataFrame, src_col: str = "src",
+                      dst_col: str = "dst",
+                      min_common: int = 2) -> DataFrame:
+    """Cosine-NORMALIZED co-citation strength (Small, JASIS 1973;
+    Salton cosine normalization): the degree-normalized companion of
+    ``cocitation`` above, which reports raw shared-neighbor counts
+    for both directions — this one answers "are these two hosts
+    SPECIFICALLY related" where raw counts just say "both popular".
+    Pairs of nodes cited
     BY the same sources, weighted by the number of common citers —
     the bibliometric similarity that needs no content at all (two
     hosts repeatedly linked from the same pages are related even if

@@ -994,37 +994,37 @@ class TestCocitation:
         return spark.createDataFrame(pairs, "src string, dst string")
 
     def test_hand_computed_cosine(self, spark):
-        from saber_spark.operators.graph import cocitation
+        from saber_spark.operators.graph import cocitation_cosine
         e = self._edges(spark, [("s1", "a"), ("s1", "b"), ("s2", "a"),
                                 ("s2", "b"), ("s3", "a"), ("s3", "c")])
         out = {(r.a, r.b): r for r in
-               cocitation(e, min_common=1).collect()}
+               cocitation_cosine(e, min_common=1).collect()}
         ab = out[("a", "b")]
         assert ab.n_common == 2
         assert ab.cosine == round(2 / math.sqrt(3 * 2), 6)
         assert out[("a", "c")].cosine == round(1 / math.sqrt(3), 6)
 
     def test_min_common_floor(self, spark):
-        from saber_spark.operators.graph import cocitation
+        from saber_spark.operators.graph import cocitation_cosine
         e = self._edges(spark, [("s1", "a"), ("s1", "b"), ("s2", "a"),
                                 ("s2", "b"), ("s3", "a"), ("s3", "c")])
-        out = {(r.a, r.b) for r in cocitation(e, min_common=2).collect()}
+        out = {(r.a, r.b) for r in cocitation_cosine(e, min_common=2).collect()}
         assert out == {("a", "b")}
 
     def test_duplicate_edges_collapse(self, spark):
-        from saber_spark.operators.graph import cocitation
+        from saber_spark.operators.graph import cocitation_cosine
         e = self._edges(spark, [("s1", "a"), ("s1", "a"), ("s1", "b")])
-        out = cocitation(e, min_common=1).collect()
+        out = cocitation_cosine(e, min_common=1).collect()
         assert len(out) == 1 and out[0].n_common == 1
 
     def test_coupling_via_reversed_edges(self, spark):
-        from saber_spark.operators.graph import cocitation
+        from saber_spark.operators.graph import cocitation_cosine
         # bibliographic coupling: p1 and p2 both cite z
         e = self._edges(spark, [("p1", "z"), ("p2", "z"), ("p1", "w"),
                                 ("p2", "w")])
         rev = e.select(F.col("dst").alias("src"),
                        F.col("src").alias("dst"))
-        out = cocitation(rev, min_common=2).collect()
+        out = cocitation_cosine(rev, min_common=2).collect()
         assert len(out) == 1
         assert (out[0].a, out[0].b, out[0].n_common) == ("p1", "p2", 2)
 

@@ -2476,9 +2476,9 @@ def main() -> None:
         0,
     ))
 
-    cc2 = e.q_cocitation_hosts(spark, SF_DIR)
+    cc2 = e.q_cocitation_cosine(spark, SF_DIR)
     sections.append((
-        "cocitation_hosts (citer-partitioned self-join, degree joins)",
+        "cocitation_cosine (citer-partitioned self-join, degree joins)",
         "Co-citation: the pair expansion co-partitions on the citing "
         "side (bounded by out-degree); in-degree marginals join back "
         "by key; canonical a < b halves the table.",
