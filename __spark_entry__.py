@@ -4659,6 +4659,63 @@ def q_seasonal_profile(spark, sf_dir):
     return seasonal_profile(_events(spark, sf_dir))
 
 
+def q_ppmi_similarity(spark, sf_dir):
+    """Count-based distributional similarity (vocab.ppmi_similarity,
+    Church & Hanks 1990; Levy & Goldberg 2014): PPMI context vectors
+    (+-2 window) scored by cosine — embedding-free synonym candidates
+    for linking/expansion, consuming the same statistics
+    skipgram_pairs materializes for training. Context pairs from
+    lead/lag columns on ONE window (never a positional self-join);
+    similarity join co-partitioned on the context key."""
+    from saber_spark.operators.vocab import ppmi_similarity
+    return ppmi_similarity(tokenize_docs(_docs(spark, sf_dir)),
+                           window=2, min_pair=3, min_shared=3)
+
+
+def q_og_meta(spark, sf_dir):
+    """Open Graph metadata harvest (structured.og_meta, ogp.me): the
+    fourth harvester next to microdata/RDFa/JSON-LD — og:* meta tags
+    in BOTH attribute orders, entity-decoded. Fixture carries
+    property-first title (with &amp; escape) + locale and a
+    content-first type tag, so both regexp passes and the decode are
+    exercised. Narrow zipped extraction, one explode, no joins."""
+    from saber_spark.operators.structured import og_meta
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><head><meta property="og:title" content="Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(' &amp; more" /><meta content="article" '
+              'property="og:type" /><meta property="og:locale" '
+              'content="'), F.col("lang"),
+        F.lit('" /></head></html>'))
+    pages = docs.select(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"))
+    return og_meta(pages)
+
+
+def q_rel_canonical(spark, sf_dir):
+    """rel=canonical harvest (webstats.rel_canonical, RFC 6596): the
+    explicit webmaster dedup signal — markup-layer canonicalization
+    edges next to resolve_redirects' HTTP layer. Fixture: every 5th
+    doc is its group's canonical leader, the rest point at it, so
+    self/non-self declarations both appear. One narrow regexp per
+    row."""
+    from saber_spark.operators.webstats import rel_canonical
+    docs = _docs(spark, sf_dir)
+    leader = (F.col("doc_id") - F.col("doc_id") % 5).cast("string")
+    html = F.concat(
+        F.lit('<html><head><link rel="canonical" '
+              'href="https://example.org/doc/'), leader,
+        F.lit('" /></head></html>'))
+    pages = docs.select(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"))
+    return rel_canonical(pages)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -5062,6 +5119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "runs_test": q_runs_test,
         "seasonal_profile": q_seasonal_profile,
+        # r5 final session batch 18 (PPMI similarity, OpenGraph harvest,
+        # rel=canonical)
+        "ppmi_similarity": q_ppmi_similarity,
+        "og_meta": q_og_meta,
+        "rel_canonical": q_rel_canonical,
     }
 
 
@@ -11924,4 +11986,65 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(x) / max(total), 6) AS share
             FROM series CROSS JOIN tot
             GROUP BY phase""",
+        "ppmi_similarity": f"""
+            WITH {TOKENS_CTE},
+            ctx AS (
+              SELECT w, c FROM (
+                SELECT token AS w,
+                       unnest([lead(token, 1) OVER win,
+                               lead(token, 2) OVER win,
+                               lag(token, 1) OVER win,
+                               lag(token, 2) OVER win]) AS c
+                FROM tokens
+                WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+              WHERE c IS NOT NULL),
+            wc AS (SELECT w, c, count(*) AS cwc FROM ctx
+                   GROUP BY w, c HAVING count(*) >= 3),
+            cw AS (SELECT w, sum(cwc) AS cw FROM wc GROUP BY w),
+            ccm AS (SELECT c, sum(cwc) AS cc FROM wc GROUP BY c),
+            nn AS (SELECT sum(cwc) AS n FROM wc),
+            ppmi AS (
+              SELECT w, c,
+                     greatest(ln(cwc * n / (cw.cw * ccm.cc)), 0.0) AS p
+              FROM wc JOIN cw USING (w) JOIN ccm USING (c)
+              CROSS JOIN nn),
+            pos_p AS (SELECT w, c, p FROM ppmi WHERE p > 0),
+            norms AS (SELECT w, sqrt(sum(p * p)) AS nrm FROM pos_p
+                      GROUP BY w),
+            dots AS (
+              SELECT x.w AS a, y.w AS b,
+                     count(*) AS n_shared,
+                     sum(x.p * y.p) AS dot
+              FROM pos_p x JOIN pos_p y
+                ON x.c = y.c AND x.w < y.w
+              GROUP BY x.w, y.w
+              HAVING count(*) >= 3)
+            SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared,
+                   round(dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM dots
+            JOIN norms na ON na.w = dots.a
+            JOIN norms nb ON nb.w = dots.b""",
+        "og_meta": """
+            WITH base AS (
+              SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     doc_id, lang
+              FROM documents)
+            SELECT url, og_key, content FROM (
+              SELECT url, 'og:title' AS og_key,
+                     'Doc ' || CAST(doc_id AS VARCHAR) || ' & more'
+                       AS content
+              FROM base
+              UNION ALL
+              SELECT url, 'og:type', 'article' FROM base
+              UNION ALL
+              SELECT url, 'og:locale', lang FROM base)""",
+        "rel_canonical": """
+            SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   'https://example.org/doc/'
+                     || CAST(doc_id - doc_id % 5 AS VARCHAR)
+                     AS canonical,
+                   doc_id % 5 = 0 AS self_canonical
+            FROM documents""",
     }

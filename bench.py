@@ -283,6 +283,9 @@ def main() -> None:
         # round 5 final session batch 17 (Mann-Kendall, runs test,
         # seasonal profile)
         "mann_kendall", "runs_test", "seasonal_profile",
+        # round 5 final session batch 18 (PPMI similarity, OpenGraph,
+        # rel=canonical)
+        "ppmi_similarity", "og_meta", "rel_canonical",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -391,3 +391,41 @@ def rdfa_triples(pages: DataFrame, html_col: str = "html",
     return type_rows.unionByName(
         prop_rows(_RDFA_SPAN_RE, _SPAN_VALUE_RE)).unionByName(
         prop_rows(_RDFA_META_RE, _META_VALUE_RE))
+
+
+OG_META_RE = (r'<meta\s+property="(og:[a-z:_]+)"\s+content="([^"]*)"'
+              r'\s*/?>')
+OG_META_RE_REV = (r'<meta\s+content="([^"]*)"\s+property="(og:[a-z:_]+)"'
+                  r'\s*/?>')
+
+
+def og_meta(pages: DataFrame, html_col: str = "html",
+            url_col: str = "url") -> DataFrame:
+    """Open Graph metadata harvest (the Open Graph protocol, ogp.me —
+    Facebook 2010; the de-facto page-summary vocabulary next to
+    microdata/RDFa/JSON-LD, and often the ONLY structured markup a
+    page carries): every <meta property="og:*" content="..."> pair,
+    BOTH attribute orders (property-first and content-first appear in
+    the wild), entity-decoded like the sibling harvesters.
+
+    Scale shape: two regexp_extract_all passes zipped per row
+    (narrow, codegen), one explode — the microdata_triples plan
+    shape; no joins, no Python.
+
+    -> (url, og_key, content) rows, one per matched tag.
+    """
+
+    def harvest(pat: str, key_group: int, val_group: int) -> DataFrame:
+        keys = F.regexp_extract_all(F.col(html_col), F.lit(pat),
+                                    F.lit(key_group))
+        vals = F.regexp_extract_all(F.col(html_col), F.lit(pat),
+                                    F.lit(val_group))
+        z = F.zip_with(keys, vals,
+                       lambda k, v: F.struct(k.alias("k"), v.alias("v")))
+        return (pages.select(F.col(url_col).alias("url"),
+                             F.explode(z).alias("s"))
+                .select("url", F.col("s.k").alias("og_key"),
+                        _entity_decode(F.col("s.v")).alias("content")))
+
+    return (harvest(OG_META_RE, 1, 2)
+            .unionByName(harvest(OG_META_RE_REV, 2, 1)))

@@ -595,3 +595,77 @@ def stem_collapse(tokens: DataFrame, token_col: str = "token",
             .agg(F.count(F.lit(1)).cast("long").alias("n_variants"),
                  F.sum("c").cast("long").alias("n_tokens"))
             .filter(F.col("n_variants") >= min_variants))
+
+
+def ppmi_similarity(tokens: DataFrame, id_col: str = "doc_id",
+                    pos_col: str = "pos", token_col: str = "token",
+                    window: int = 2, min_pair: int = 3,
+                    min_shared: int = 3) -> DataFrame:
+    """Count-based distributional similarity via PPMI vectors (Church
+    & Hanks 1990 for PMI; Levy & Goldberg NeurIPS 2014 for the
+    PPMI-SGNS equivalence): tokens are represented by their positive-
+    PMI association with +-window context tokens, and pairs are scored
+    by the cosine of those sparse vectors — "count-based word2vec",
+    the embedding-free similarity that needs no training and feeds
+    synonym candidates to entity linking / query expansion
+    (skipgram_pairs materializes the training pairs; this CONSUMES
+    the same statistics directly).
+
+        ppmi(w, c) = max(0, ln(c_wc * N / (c_w * c_c)))
+        sim(a, b)  = sum_c ppmi(a,c) ppmi(b,c) / (||a|| ||b||)
+
+    Scale shape: context pairs come from 2*window lead/lag columns on
+    ONE (doc, pos) window — never a positional self-join; the (w, c)
+    agg collapses map-side (Zipf head absorbed); marginals join back
+    by key; the similarity join co-partitions on the CONTEXT key and
+    is bounded per context by its vector support (hub contexts =
+    stopwords — min_pair floors them out of the vectors first).
+    Canonical a < b order; exact integer counts under the logs.
+
+    -> (a, b, n_shared, cosine 6dp), shared contexts >= min_shared.
+    """
+    w = Window.partitionBy(id_col).orderBy(pos_col)
+    t = F.col(token_col)
+    ctx_cols = []
+    for k in range(1, window + 1):
+        ctx_cols.append(F.lead(t, k).over(w))
+        ctx_cols.append(F.lag(t, k).over(w))
+    pairs = (tokens
+             .select(t.alias("w"), F.array(*ctx_cols).alias("cs"))
+             .select("w", F.explode("cs").alias("c"))
+             .filter(F.col("c").isNotNull()))
+    wc = (pairs.groupBy("w", "c").agg(F.count(F.lit(1)).alias("cwc"))
+          .filter(F.col("cwc") >= min_pair))
+    cw = wc.groupBy("w").agg(F.sum("cwc").alias("cw"))
+    cc = wc.groupBy("c").agg(F.sum("cwc").alias("cc"))
+    n = wc.agg(F.sum("cwc").alias("n"))
+    ppmi = (wc.join(cw, "w").join(cc, "c")
+            .crossJoin(F.broadcast(n))
+            .select("w", "c",
+                    F.greatest(
+                        F.log(F.col("cwc") * F.col("n")
+                              / (F.col("cw") * F.col("cc"))),
+                        F.lit(0.0)).alias("p"))
+            .filter(F.col("p") > 0)
+            .localCheckpoint(eager=True))  # reused: norms + dot join
+    norms = ppmi.groupBy("w").agg(
+        F.sqrt(F.sum(F.col("p") * F.col("p"))).alias("nrm"))
+    a = ppmi.select(F.col("w").alias("a"), "c", F.col("p").alias("pa"))
+    b = ppmi.select(F.col("w").alias("b"), "c", F.col("p").alias("pb"))
+    dots = (a.join(b, "c")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_shared"),
+                 F.sum(F.col("pa") * F.col("pb")).alias("dot"))
+            .filter(F.col("n_shared") >= min_shared))
+    return (dots
+            .join(F.broadcast(norms.select(F.col("w").alias("a"),
+                                           F.col("nrm").alias("na"))),
+                  "a")
+            .join(F.broadcast(norms.select(F.col("w").alias("b"),
+                                           F.col("nrm").alias("nb"))),
+                  "b")
+            .select("a", "b",
+                    F.col("n_shared").cast("long").alias("n_shared"),
+                    F.round(F.col("dot") / (F.col("na") * F.col("nb")),
+                            6).alias("cosine")))

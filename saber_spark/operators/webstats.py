@@ -558,3 +558,34 @@ def url_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
             .groupBy("host", "template")
             .agg(F.count(F.lit(1)).alias("n_pages"),
                  F.countDistinct("path").alias("n_paths")))
+
+
+REL_CANONICAL_RE = r'<link\s+rel="canonical"\s+href="([^"]+)"\s*/?>'
+
+
+def rel_canonical(pages: DataFrame, html_col: str = "html",
+                  url_col: str = "url") -> DataFrame:
+    """rel=canonical declaration harvest (RFC 6596; THE explicit
+    webmaster dedup signal — a page declaring a different canonical
+    says "index that one, not me", which the crawl's duplicate
+    clustering should treat as ground truth BEFORE any content
+    similarity runs; resolve_redirects handles the HTTP layer, this
+    handles the markup layer):
+
+    -> (url, canonical, self_canonical) — one row per page that
+    declares a canonical link (first declaration wins, the browser/
+    indexer convention); self_canonical = the declaration points at
+    the page itself.
+
+    Scale shape: one narrow regexp_extract per row + a projection; a
+    downstream dedup consumes (canonical <- url) edges exactly like
+    resolve_redirects' mapping.
+    """
+    canon = F.regexp_extract(F.col(html_col),
+                             REL_CANONICAL_RE, 1)
+    return (pages
+            .select(F.col(url_col).alias("url"), canon.alias("canonical"))
+            .filter(F.col("canonical") != "")
+            .select("url", "canonical",
+                    (F.col("url") == F.col("canonical"))
+                    .alias("self_canonical")))

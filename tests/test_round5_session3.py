@@ -1107,3 +1107,81 @@ class TestSeasonalProfile:
         out = seasonal_profile(
             _hourly_events(spark, [3, 1, 4, 1, 5] * 10)).collect()
         assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+
+
+class TestPpmiSimilarity:
+    def test_identical_context_words_cosine_one(self, spark):
+        from saber_spark.operators.vocab import ppmi_similarity
+        docs = {}
+        for i in range(3):
+            docs[2 * i] = ["x", "a", "b"]
+            docs[2 * i + 1] = ["y", "a", "b"]
+        out = {(r.a, r.b): r for r in
+               ppmi_similarity(_tokens(spark, docs), window=2,
+                               min_pair=3, min_shared=2).collect()}
+        xy = out[("x", "y")]
+        # x and y see exactly the contexts {a, b} with equal counts
+        assert xy.n_shared == 2 and xy.cosine == 1.0
+
+    def test_disjoint_contexts_absent(self, spark):
+        from saber_spark.operators.vocab import ppmi_similarity
+        docs = {}
+        for i in range(3):
+            docs[2 * i] = ["x", "a"]
+            docs[2 * i + 1] = ["y", "b"]
+        out = {(r.a, r.b) for r in
+               ppmi_similarity(_tokens(spark, docs), window=2,
+                               min_pair=1, min_shared=1).collect()}
+        assert ("x", "y") not in out
+
+    def test_min_pair_floor(self, spark):
+        from saber_spark.operators.vocab import ppmi_similarity
+        docs = {0: ["x", "a"], 1: ["y", "a"]}  # pairs occur once
+        assert ppmi_similarity(_tokens(spark, docs), window=2,
+                               min_pair=3, min_shared=1).count() == 0
+
+
+class TestOgMeta:
+    def _pages(self, spark, html):
+        return spark.createDataFrame([("u1", html)], "url string, html string")
+
+    def test_both_orders_and_decode(self, spark):
+        from saber_spark.operators.structured import og_meta
+        html = ('<head>'
+                '<meta property="og:title" content="A &amp; B" />'
+                '<meta content="article" property="og:type" />'
+                '</head>')
+        out = {r.og_key: r.content for r in
+               og_meta(self._pages(spark, html)).collect()}
+        assert out == {"og:title": "A & B", "og:type": "article"}
+
+    def test_non_og_meta_ignored(self, spark):
+        from saber_spark.operators.structured import og_meta
+        html = '<meta property="twitter:card" content="x" />'
+        assert og_meta(self._pages(spark, html)).count() == 0
+
+
+class TestRelCanonical:
+    def _pages(self, spark, rows):
+        return spark.createDataFrame(rows, "url string, html string")
+
+    def test_self_and_cross_declarations(self, spark):
+        from saber_spark.operators.webstats import rel_canonical
+        rows = [
+            ("u1", '<link rel="canonical" href="u1" />'),
+            ("u2", '<link rel="canonical" href="u1" />'),
+            ("u3", "<html>no declaration</html>"),
+        ]
+        out = {r.url: r for r in
+               rel_canonical(self._pages(spark, rows)).collect()}
+        assert set(out) == {"u1", "u2"}
+        assert out["u1"].self_canonical is True
+        assert out["u2"].self_canonical is False
+        assert out["u2"].canonical == "u1"
+
+    def test_first_declaration_wins(self, spark):
+        from saber_spark.operators.webstats import rel_canonical
+        rows = [("u1", '<link rel="canonical" href="a" />'
+                       '<link rel="canonical" href="b" />')]
+        out = rel_canonical(self._pages(spark, rows)).collect()[0]
+        assert out.canonical == "a"

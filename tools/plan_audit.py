@@ -2520,6 +2520,40 @@ def main() -> None:
         0,
     ))
 
+    pp = e.q_ppmi_similarity(spark, SF_DIR)
+    sections.append((
+        "ppmi_similarity (window contexts, context-keyed dot join)",
+        "PPMI similarity: context pairs from lead/lag columns on ONE "
+        "window (never a positional self-join) — the window sits above "
+        "the localCheckpoint, so this plan correctly starts at the "
+        "checkpointed PPMI scan; the dot-product join co-partitions on "
+        "the context key.",
+        formatted_plan(pp),
+        ["HashAggregate"],
+        0,
+    ))
+
+    og = e.q_og_meta(spark, SF_DIR)
+    sections.append((
+        "og_meta (narrow zipped extraction, no joins)",
+        "OpenGraph harvest: two regexp_extract_all passes zipped per "
+        "row + one explode — the microdata plan shape; both attribute "
+        "orders handled by union of narrow maps.",
+        formatted_plan(og),
+        ["Generate"],
+        0,
+    ))
+
+    rc = e.q_rel_canonical(spark, SF_DIR)
+    sections.append((
+        "rel_canonical (single narrow regexp projection)",
+        "rel=canonical: one regexp_extract per row, a filter, a "
+        "projection — scan-bound; no shuffle at all.",
+        formatted_plan(rc),
+        ["Filter"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
