@@ -4716,6 +4716,43 @@ def q_rel_canonical(spark, sf_dir):
     return rel_canonical(pages)
 
 
+def q_ht_estimate(spark, sf_dir):
+    """Horvitz-Thompson total estimation from an unequal-probability
+    sample (samples.horvitz_thompson, Horvitz & Thompson JASA 1952):
+    estimate total corpus chars from a hash-thinned stratified sample
+    (en at 50%, de at 30%, other langs fully sampled) with KNOWN
+    inclusion probabilities — "measure the corpus from the sample",
+    with the true total and relative error reported in the SAME pass
+    so calibration is itself checked."""
+    from saber_spark.operators.samples import horvitz_thompson
+    return horvitz_thompson(_docs(spark, sf_dir), "doc_id", "n_chars",
+                            {"en": 0.5, "de": 0.3}, "lang")
+
+
+def q_neyman_alloc(spark, sf_dir):
+    """Neyman optimal sampling allocation across sources
+    (samples.neyman_allocation, Neyman JRSS 1934): the
+    variance-minimizing n_h proportional to N_h * S_h, reported next
+    to proportional allocation — the design table a labeling/eval
+    pipeline computes BEFORE drawing its sample. One stratum agg,
+    |strata|-row arithmetic."""
+    from saber_spark.operators.samples import neyman_allocation
+    return neyman_allocation(_docs(spark, sf_dir), "source", "n_chars",
+                             budget=1000)
+
+
+def q_jackknife_se(spark, sf_dir):
+    """Delete-one-source jackknife standard error of mean doc length
+    (samples.jackknife_mean, Quenouille 1956/Tukey 1958, grouped
+    form): the deterministic, RNG-free resampling error bar that
+    respects cluster correlation — reported against the naive
+    sd/sqrt(n) that understates it on clustered web data. Every
+    leave-one-out mean comes from the group table + grand totals;
+    never a second data pass."""
+    from saber_spark.operators.samples import jackknife_mean
+    return jackknife_mean(_docs(spark, sf_dir), "source", "n_chars")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -5124,6 +5161,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppmi_similarity": q_ppmi_similarity,
         "og_meta": q_og_meta,
         "rel_canonical": q_rel_canonical,
+        # r5 final session batch 19 (survey statistics: HT estimator,
+        # Neyman allocation, grouped jackknife)
+        "ht_estimate": q_ht_estimate,
+        "neyman_alloc": q_neyman_alloc,
+        "jackknife_se": q_jackknife_se,
     }
 
 
@@ -12047,4 +12089,68 @@ def oracle_sql() -> dict[str, str]:
                      AS canonical,
                    doc_id % 5 = 0 AS self_canonical
             FROM documents""",
+        "ht_estimate": """
+            WITH s AS (
+              SELECT doc_id, n_chars,
+                     (doc_id * 2654435761) % 2147483647
+                       / 2147483647.0 AS h,
+                     CASE WHEN lang = 'de' THEN 0.3
+                          WHEN lang = 'en' THEN 0.5
+                          ELSE 1.0 END AS pi
+              FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN h < pi THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sampled,
+                   CAST(sum(n_chars) AS BIGINT) AS t_true,
+                   round(sum(CASE WHEN h < pi THEN n_chars / pi END),
+                         6) AS t_hat,
+                   round(abs(sum(CASE WHEN h < pi
+                                      THEN n_chars / pi END)
+                             - sum(n_chars)) / sum(n_chars), 6)
+                     AS rel_err
+            FROM s""",
+        "neyman_alloc": """
+            WITH g AS (
+              SELECT source AS stratum, count(*) AS nh,
+                     sum(n_chars) AS s1,
+                     sum(n_chars * n_chars) AS s2
+              FROM documents GROUP BY source),
+            scored AS (
+              SELECT stratum, nh,
+                     sqrt(greatest(s2 / nh - (s1 / nh) * (s1 / nh),
+                                   0.0)) AS sd,
+                     nh * sqrt(greatest(s2 / nh - (s1 / nh) * (s1 / nh),
+                                        0.0)) AS w
+              FROM g),
+            tot AS (SELECT sum(w) AS sw, sum(nh) AS n FROM scored)
+            SELECT stratum, CAST(nh AS BIGINT) AS n_rows,
+                   round(sd, 6) AS sd,
+                   round(1000 * w / sw, 6) AS alloc_neyman,
+                   round(1000 * nh / n, 6) AS alloc_prop
+            FROM scored CROSS JOIN tot""",
+        "jackknife_se": """
+            WITH g AS (
+              SELECT source, count(*) AS nh, sum(n_chars) AS sh,
+                     sum(n_chars * n_chars) AS qh
+              FROM documents GROUP BY source),
+            tot AS (SELECT sum(nh) AS n, sum(sh) AS s, sum(qh) AS q,
+                           count(*) AS ng
+                    FROM g),
+            loos AS (
+              SELECT (s - sh) / (n - nh) AS theta_i, n, s, q, ng
+              FROM g CROSS JOIN tot),
+            agg AS (
+              SELECT max(n) AS n, max(ng) AS ng, max(s) AS s,
+                     max(q) AS q, avg(theta_i) AS tbar,
+                     sum(theta_i * theta_i) AS t2
+              FROM loos)
+            SELECT CAST(n AS BIGINT) AS n_rows,
+                   CAST(ng AS BIGINT) AS n_groups,
+                   round(s / n, 6) AS mean,
+                   round(sqrt(greatest((ng - 1) * 1.0 / ng
+                              * (t2 - ng * tbar * tbar), 0.0)), 6)
+                     AS se_jack,
+                   round(sqrt((q * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n))
+                              / n), 6) AS se_naive
+            FROM agg""",
     }

@@ -286,6 +286,9 @@ def main() -> None:
         # round 5 final session batch 18 (PPMI similarity, OpenGraph,
         # rel=canonical)
         "ppmi_similarity", "og_meta", "rel_canonical",
+        # round 5 final session batch 19 (HT estimator, Neyman
+        # allocation, grouped jackknife)
+        "ht_estimate", "neyman_alloc", "jackknife_se",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

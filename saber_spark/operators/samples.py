@@ -224,3 +224,146 @@ def kge_negatives(triples: DataFrame, neg_k: int = 2,
             .select("subj", "pred", "obj", F.lit(0).alias("label")))
     return (pos.select("subj", "pred", "obj", F.lit(1).alias("label"))
             .unionByName(negs))
+
+
+def horvitz_thompson(df: DataFrame, id_col: str, value_col: str,
+                     strata_probs: dict[str, float],
+                     strata_col: str) -> DataFrame:
+    """Horvitz-Thompson total estimation from an unequal-probability
+    sample (Horvitz & Thompson, JASA 1952): each stratum is sampled
+    at its own KNOWN inclusion probability (deterministic
+    multiplicative-hash thinning — the repo's portable sampling
+    primitive), and the population total is estimated as
+
+        T_hat = sum over sampled rows of y_i / pi_i
+
+    — the design-unbiased estimator behind every "measure the corpus
+    from a 1% sample" job: quality metrics, token totals, PII rates
+    can be estimated WITHOUT the full scan's cost as long as pi_i is
+    known and positive. The operator also reports the true total (at
+    test scale the full data is available) and the relative error, so
+    the estimator's calibration is itself driver-checked.
+
+    Scale shape: the sample filter is a narrow hash map; one
+    conditional-sum agg produces sampled and true totals in the SAME
+    pass (at production scale run the true-total leg only on audit
+    runs). No joins.
+
+    -> ONE row (n_total, n_sampled, t_true, t_hat 6dp, rel_err 6dp).
+    """
+    h = F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH),
+               F.lit(HASH_MOD)) / F.lit(HASH_MOD)
+    pi = F.lit(1.0)  # strata without a declared prob are fully sampled
+    for s, p in sorted(strata_probs.items()):
+        pi = F.when(F.col(strata_col) == s, F.lit(p)).otherwise(pi)
+    sampled = h < pi
+    y = F.col(value_col)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(sampled.cast("long")).alias("n_sampled"),
+        F.sum(y).alias("t_true"),
+        F.sum(F.when(sampled, y / pi)).alias("t_hat"))
+    return agg.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        F.col("t_true").cast("long").alias("t_true"),
+        F.round("t_hat", 6).alias("t_hat"),
+        F.round(F.abs(F.col("t_hat") - F.col("t_true"))
+                / F.col("t_true"), 6).alias("rel_err"))
+
+
+def neyman_allocation(df: DataFrame, strata_col: str, value_col: str,
+                      budget: int) -> DataFrame:
+    """Neyman optimal allocation of a sampling budget across strata
+    (Neyman, JRSS 1934): for a fixed total sample size n, the
+    variance-minimizing allocation is
+
+        n_h = n * N_h S_h / sum_k N_k S_k
+
+    (stratum size times stratum standard deviation) — the design
+    table an eval/labeling pipeline computes BEFORE drawing its
+    sample: high-variance strata (mixed-quality sources) get more
+    budget than proportional allocation would give, uniform strata
+    less. Reported next to proportional allocation so the difference
+    is visible. Population SD from exact sum/sumsq.
+
+    Scale shape: one stratum-keyed agg (map-side combine), then
+    |strata|-row arithmetic with a 1-row broadcast of the
+    normalizer. Fractional allocations are reported raw (6dp) —
+    rounding to integers is the caller's policy choice.
+
+    -> (stratum, n_rows, sd 6dp, alloc_neyman 6dp, alloc_prop 6dp).
+    """
+    y = F.col(value_col)
+    g = (df.groupBy(F.col(strata_col).alias("stratum"))
+         .agg(F.count(F.lit(1)).alias("nh"),
+              F.sum(y).alias("s1"),
+              F.sum(y * y).alias("s2")))
+    sd = F.sqrt(F.greatest(
+        F.col("s2") / F.col("nh")
+        - (F.col("s1") / F.col("nh")) * (F.col("s1") / F.col("nh")),
+        F.lit(0.0)))
+    scored = g.select("stratum", "nh", sd.alias("sd"),
+                      (F.col("nh") * sd).alias("w"))
+    tot = scored.agg(F.sum("w").alias("sw"), F.sum("nh").alias("n"))
+    return (scored.crossJoin(F.broadcast(tot))
+            .select("stratum",
+                    F.col("nh").cast("long").alias("n_rows"),
+                    F.round("sd", 6).alias("sd"),
+                    F.round(F.lit(budget) * F.col("w") / F.col("sw"), 6)
+                    .alias("alloc_neyman"),
+                    F.round(F.lit(budget) * F.col("nh") / F.col("n"), 6)
+                    .alias("alloc_prop")))
+
+
+def jackknife_mean(df: DataFrame, group_col: str,
+                   value_col: str) -> DataFrame:
+    """Delete-one-GROUP jackknife variance of the corpus mean
+    (Quenouille 1956; Tukey 1958; the grouped form is the survey-
+    sampling standard for clustered data): leave each group (source/
+    host/shard) out in turn, recompute the mean, and estimate
+
+        var_jack = (g - 1)/g * sum_i (theta_(i) - theta_bar_.)^2
+
+    — the DETERMINISTIC resampling error bar (no RNG, engine-portable
+    by construction) that respects cluster structure: documents
+    within a host are correlated, so the naive sd/sqrt(n) understates
+    the error, sometimes wildly. THE honest uncertainty for any
+    corpus-level metric reported off clustered web data.
+
+    Scale shape: one group agg; every leave-one-out mean is computed
+    from the GROUP TABLE and the 1-row grand totals (never a second
+    data pass); the variance reduces |groups| rows.
+
+    -> ONE row (n_rows, n_groups, mean 6dp, se_jack 6dp,
+    se_naive 6dp).
+    """
+    y = F.col(value_col)
+    g = (df.groupBy(group_col)
+         .agg(F.count(F.lit(1)).alias("nh"),
+              F.sum(y).alias("sh"),
+              F.sum(y * y).alias("qh")))
+    tot = g.agg(F.sum("nh").alias("n"), F.sum("sh").alias("s"),
+                F.sum("qh").alias("q"),
+                F.count(F.lit(1)).alias("ng"))
+    j = g.crossJoin(F.broadcast(tot))
+    loo = ((F.col("s") - F.col("sh"))
+           / (F.col("n") - F.col("nh"))).alias("theta_i")
+    loos = j.select(loo, "n", "s", "q", "ng")
+    agg = loos.agg(
+        F.max("n").alias("n"), F.max("ng").alias("ng"),
+        F.max("s").alias("s"), F.max("q").alias("q"),
+        F.avg("theta_i").alias("tbar"),
+        F.sum(F.col("theta_i") * F.col("theta_i")).alias("t2"))
+    gg = F.col("ng")
+    var_jack = (gg - 1) / gg * (F.col("t2")
+                                - gg * F.col("tbar") * F.col("tbar"))
+    mean = F.col("s") / F.col("n")
+    var_pop = F.col("q") / F.col("n") - mean * mean
+    return agg.select(
+        F.col("n").cast("long").alias("n_rows"),
+        gg.cast("long").alias("n_groups"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(F.greatest(var_jack, F.lit(0.0))), 6)
+        .alias("se_jack"),
+        F.round(F.sqrt(var_pop / F.col("n")), 6).alias("se_naive"))

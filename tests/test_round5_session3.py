@@ -1185,3 +1185,94 @@ class TestRelCanonical:
                        '<link rel="canonical" href="b" />')]
         out = rel_canonical(self._pages(spark, rows)).collect()[0]
         assert out.canonical == "a"
+
+
+class TestHorvitzThompson:
+    def test_full_sampling_exact(self, spark):
+        from saber_spark.operators.samples import horvitz_thompson
+        df = spark.createDataFrame(
+            [(i, "a", 10) for i in range(20)],
+            "id long, s string, v long")
+        out = horvitz_thompson(df, "id", "v", {}, "s").collect()[0]
+        # pi = 1 everywhere -> estimator is exact
+        assert out.n_sampled == 20
+        assert out.t_hat == 200.0 and out.rel_err == 0.0
+
+    def test_half_sampling_unbiased_form(self, spark):
+        from saber_spark.operators.samples import horvitz_thompson
+        from saber_spark.operators.splits import HASH_MOD, KNUTH
+        df = spark.createDataFrame(
+            [(i, "a", 10) for i in range(2000)],
+            "id long, s string, v long")
+        out = horvitz_thompson(df, "id", "v",
+                               {"a": 0.5}, "s").collect()[0]
+        # each sampled row contributes v/0.5 = 20
+        assert out.t_hat == out.n_sampled * 20.0
+        assert out.rel_err < 0.05  # hash thinning ~ uniform
+
+    def test_uncovered_stratum_fully_sampled(self, spark):
+        from saber_spark.operators.samples import horvitz_thompson
+        df = spark.createDataFrame(
+            [(i, "other", 5) for i in range(10)],
+            "id long, s string, v long")
+        out = horvitz_thompson(df, "id", "v",
+                               {"a": 0.1}, "s").collect()[0]
+        assert out.n_sampled == 10 and out.rel_err == 0.0
+
+
+class TestNeymanAllocation:
+    def _df(self, spark, strata):
+        rows = [(s, v) for s, vals in strata.items() for v in vals]
+        return spark.createDataFrame(rows, "src string, v long")
+
+    def test_zero_variance_stratum_gets_nothing(self, spark):
+        from saber_spark.operators.samples import neyman_allocation
+        out = {r.stratum: r for r in neyman_allocation(
+            self._df(spark, {"flat": [5] * 10,
+                             "wild": [0, 10] * 5}),
+            "src", "v", budget=100).collect()}
+        assert out["flat"].alloc_neyman == 0.0
+        assert out["wild"].alloc_neyman == 100.0
+        # proportional would split evenly
+        assert out["flat"].alloc_prop == 50.0
+
+    def test_hand_computed_weights(self, spark):
+        from saber_spark.operators.samples import neyman_allocation
+        # sd(a) = 1 (values 1,3 pop sd), sd(b) = 2 (values 1,5)
+        out = {r.stratum: r for r in neyman_allocation(
+            self._df(spark, {"a": [1, 3], "b": [1, 5]}),
+            "src", "v", budget=90).collect()}
+        assert out["a"].sd == 1.0 and out["b"].sd == 2.0
+        # weights 2*1 and 2*2 -> 30 / 60
+        assert out["a"].alloc_neyman == 30.0
+        assert out["b"].alloc_neyman == 60.0
+
+
+class TestJackknifeMean:
+    def _df(self, spark, groups):
+        rows = [(g, v) for g, vals in groups.items() for v in vals]
+        return spark.createDataFrame(rows, "src string, v long")
+
+    def test_hand_computed_two_groups(self, spark):
+        from saber_spark.operators.samples import jackknife_mean
+        out = jackknife_mean(self._df(spark, {"a": [1, 1], "b": [3, 3]}),
+                             "src", "v").collect()[0]
+        # theta_(a) = 3, theta_(b) = 1, tbar = 2
+        # var = (1/2) * ((3-2)^2 + (1-2)^2) = 1 -> se = 1
+        assert out.mean == 2.0 and out.se_jack == 1.0
+
+    def test_homogeneous_groups_zero_se(self, spark):
+        from saber_spark.operators.samples import jackknife_mean
+        out = jackknife_mean(self._df(spark, {"a": [4, 4], "b": [4, 4],
+                                              "c": [4, 4]}),
+                             "src", "v").collect()[0]
+        assert out.se_jack == 0.0 and out.se_naive == 0.0
+
+    def test_cluster_correlation_inflates_se(self, spark):
+        from saber_spark.operators.samples import jackknife_mean
+        # within-group constant, between-group spread: the clustered
+        # design's true uncertainty >> naive iid se
+        groups = {f"g{i}": [i * 10] * 50 for i in range(4)}
+        out = jackknife_mean(self._df(spark, groups),
+                             "src", "v").collect()[0]
+        assert out.se_jack > out.se_naive

@@ -2554,6 +2554,39 @@ def main() -> None:
         0,
     ))
 
+    ht = e.q_ht_estimate(spark, SF_DIR)
+    sections.append((
+        "ht_estimate (narrow hash filter, one conditional agg)",
+        "Horvitz-Thompson: the sample membership is a narrow "
+        "multiplicative-hash map; sampled and true totals come from "
+        "ONE conditional-sum agg; no joins.",
+        formatted_plan(ht),
+        ["HashAggregate"],
+        0,
+    ))
+
+    ny = e.q_neyman_alloc(spark, SF_DIR)
+    sections.append((
+        "neyman_alloc (one stratum agg, broadcast normalizer)",
+        "Neyman allocation: one stratum-keyed agg with map-side "
+        "combine; |strata|-row arithmetic against a 1-row broadcast "
+        "normalizer.",
+        formatted_plan(ny),
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
+    jk = e.q_jackknife_se(spark, SF_DIR)
+    sections.append((
+        "jackknife_se (group table + grand totals, no second pass)",
+        "Grouped jackknife: every leave-one-out mean is derived from "
+        "the group table and the broadcast grand totals — the data is "
+        "scanned once; the variance reduces |groups| rows.",
+        formatted_plan(jk),
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
