@@ -4753,6 +4753,62 @@ def q_jackknife_se(spark, sf_dir):
     return jackknife_mean(_docs(spark, sf_dir), "source", "n_chars")
 
 
+def q_qld_search(spark, sf_dir):
+    """Dirichlet query-likelihood retrieval (retrieval.qld_topk, Ponte
+    & Croft 1998; Zhai & Lafferty 2001, mu=2000): the LM scorer beside
+    bm25_search — smoothing gives unseen query terms nonzero mass, so
+    candidates score on ALL terms. Same query as bm25_search for
+    side-by-side comparison; rrf_search can fuse the two."""
+    from saber_spark.operators.retrieval import qld_topk
+    return qld_topk(tokenize_docs(_docs(spark, sf_dir)),
+                    ["spark", "stream", "vector"], top_k=15)
+
+
+def q_err_eval(spark, sf_dir):
+    """Expected Reciprocal Rank (retrieval.err_eval, Chapelle CIKM
+    2009): the cascade-model metric next to ndcg_eval (position
+    discount) and map_eval (binary AP) over the same three queries —
+    models a user who STOPS at the first satisfying result; the
+    stopping product rides the ranking window as a cumulative
+    ln(1-R) sum with a kaplan_meier-style exact-one dead flag."""
+    from saber_spark.operators.retrieval import err_eval
+    return err_eval(_docs(spark, sf_dir),
+                    [("join", "merge"), ("stream", "window"),
+                     ("filter", "scan")], k=10)
+
+
+def q_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance diversified top-5 (retrieval.
+    mmr_rerank, Carbonell & Goldstein 1998): greedy
+    relevance-vs-novelty selection over the bm25 top-15, with
+    pairwise token-set Jaccard as the redundancy measure — the
+    mirror-farm antidote a plain top-k lacks. Every greedy step is
+    candidate-sized; deterministic 6dp/id argmax."""
+    from saber_spark.operators.retrieval import bm25_topk, mmr_rerank
+    toks = tokenize_docs(_docs(spark, sf_dir))
+    cand = bm25_topk(toks, ["spark", "stream", "vector"], top_k=15) \
+        .select("doc_id", F.col("score").alias("rel"))
+    dt = (toks.join(cand.select("doc_id"), "doc_id")
+          .select("doc_id", "token").distinct())
+    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (dt.alias("p")
+             .join(dt.alias("q"), F.col("p.token") == F.col("q.token"))
+             .filter(F.col("p.doc_id") < F.col("q.doc_id"))
+             .groupBy(F.col("p.doc_id").alias("a"),
+                      F.col("q.doc_id").alias("b"))
+             .agg(F.count(F.lit(1)).alias("ni")))
+    sim = (inter
+           .join(F.broadcast(sizes.select(F.col("doc_id").alias("a"),
+                                          F.col("sz").alias("sa"))), "a")
+           .join(F.broadcast(sizes.select(F.col("doc_id").alias("b"),
+                                          F.col("sz").alias("sb"))), "b")
+           .select("a", "b",
+                   (F.col("ni")
+                    / (F.col("sa") + F.col("sb") - F.col("ni")))
+                   .alias("sim")))
+    return mmr_rerank(cand, sim, k=5, lam=0.7)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -5166,6 +5222,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ht_estimate": q_ht_estimate,
         "neyman_alloc": q_neyman_alloc,
         "jackknife_se": q_jackknife_se,
+        # r5 final session batch 20 (Dirichlet QLD, ERR metric,
+        # MMR diversified rerank)
+        "qld_search": q_qld_search,
+        "err_eval": q_err_eval,
+        "mmr_rerank": q_mmr_rerank,
     }
 
 
@@ -12153,4 +12214,202 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt((q * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n))
                               / n), 6) AS se_naive
             FROM agg""",
+        "qld_search": f"""
+            WITH {TOKENS_CTE},
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tokens GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, count(*) AS dl
+                   FROM tokens GROUP BY doc_id),
+            cn AS (SELECT count(*) AS cn FROM tokens),
+            qt AS (SELECT unnest(['spark', 'stream', 'vector']) AS qt),
+            cf AS (
+              SELECT qt, coalesce(sum(CASE WHEN token = qt
+                                           THEN 1 END), 0) AS cf
+              FROM qt LEFT JOIN tokens ON token = qt GROUP BY qt),
+            cands AS (
+              SELECT DISTINCT doc_id FROM tf JOIN qt ON tf.token = qt),
+            grid AS (
+              SELECT c.doc_id, dl.dl, cf.qt, cf.cf, cn.cn
+              FROM cands c JOIN dl USING (doc_id)
+              CROSS JOIN cf CROSS JOIN cn),
+            tfq AS (SELECT doc_id, token AS qt, tf FROM tf
+                    JOIN qt ON tf.token = qt),
+            st AS (
+              SELECT g.doc_id, g.dl, g.qt,
+                     coalesce(tfq.tf, 0) AS tf, g.cf, g.cn
+              FROM grid g LEFT JOIN tfq
+                ON tfq.doc_id = g.doc_id AND tfq.qt = g.qt),
+            scored AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hits,
+                     round(sum(ln((tf + 2000.0 * cf / cn)
+                                  / (dl + 2000.0))), 6) AS score
+              FROM st GROUP BY doc_id)
+            SELECT doc_id, n_hits, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM scored
+            ORDER BY score DESC, doc_id
+            LIMIT 15""",
+        "err_eval": """
+            WITH q AS (
+              SELECT * FROM (VALUES ('join', 'merge'),
+                                    ('stream', 'window'),
+                                    ('filter', 'scan'))
+                AS t(term, rel_term)),
+            scored AS (
+              SELECT d.doc_id, q.term,
+                     len(list_filter(
+                       string_split_regex(trim(d.text), '\s+'),
+                       x -> x = q.term)) AS tf,
+                     least(len(list_filter(
+                       string_split_regex(trim(d.text), '\s+'),
+                       x -> x = q.rel_term)), 3) AS rel
+              FROM documents d CROSS JOIN q),
+            cand AS (SELECT * FROM scored WHERE tf > 0),
+            ranked AS (
+              SELECT term, doc_id,
+                     (pow(2.0, rel) - 1) / 8.0 AS rr,
+                     ROW_NUMBER() OVER
+                       (PARTITION BY term
+                        ORDER BY tf DESC, doc_id ASC) AS rank,
+                     sum(CASE WHEN (pow(2.0, rel) - 1) / 8.0 < 1
+                              THEN ln(1 - (pow(2.0, rel) - 1) / 8.0)
+                         END) OVER
+                       (PARTITION BY term
+                        ORDER BY tf DESC, doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS ln_stop,
+                     max(CASE WHEN (pow(2.0, rel) - 1) / 8.0 >= 1
+                              THEN 1 ELSE 0 END) OVER
+                       (PARTITION BY term
+                        ORDER BY tf DESC, doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS dead_before
+              FROM cand)
+            SELECT term AS query_term,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   round(sum(CASE WHEN rank <= 10
+                                  AND coalesce(dead_before, 0) = 0
+                             THEN rr / rank
+                                  * exp(coalesce(ln_stop, 0.0))
+                             ELSE 0 END), 6) AS err
+            FROM ranked GROUP BY term""",
+        "mmr_rerank": f"""
+            WITH {TOKENS_CTE},
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tokens GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, count(*) AS dl
+                   FROM tokens GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            qt AS (SELECT unnest(['spark', 'stream', 'vector']) AS token),
+            hits AS (SELECT tf.* FROM tf JOIN qt USING (token)),
+            dfq AS (SELECT token, count(*) AS df FROM hits GROUP BY token),
+            bscored AS (
+              SELECT h.doc_id, count(*) AS n_hits,
+                     round(sum(
+                       ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * h.tf * 2.2
+                       / (h.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                     ), 6) AS score
+              FROM hits h
+              JOIN dfq d USING (token)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats s
+              GROUP BY h.doc_id),
+            cand AS (SELECT doc_id, score AS rel FROM bscored
+                     ORDER BY score DESC, doc_id LIMIT 15),
+            dt AS (
+              SELECT DISTINCT t.doc_id, t.token
+              FROM tokens t JOIN cand ON cand.doc_id = t.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM dt
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT p.doc_id AS a, q.doc_id AS b, count(*) AS ni
+              FROM dt p JOIN dt q
+                ON p.token = q.token AND p.doc_id < q.doc_id
+              GROUP BY p.doc_id, q.doc_id),
+            simt AS (
+              SELECT a, b, ni / (sa.sz + sb.sz - ni) AS sim
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = inter.a
+              JOIN sizes sb ON sb.doc_id = inter.b),
+            sym AS (
+              SELECT a AS x, b AS y, sim FROM simt
+              UNION ALL SELECT b, a, sim FROM simt),
+            pick1 AS (
+              SELECT doc_id, rel, round(0.7 * rel, 6) AS mmr,
+                     CAST(1 AS BIGINT) AS step
+              FROM cand ORDER BY round(0.7 * rel, 6) DESC, doc_id
+              LIMIT 1),
+            avail2 AS (
+              SELECT c.doc_id, c.rel,
+                     coalesce(max(s.sim), 0.0) AS ms
+              FROM cand c
+              LEFT JOIN sym s
+                ON s.x = c.doc_id
+               AND s.y IN (SELECT doc_id FROM (SELECT doc_id FROM pick1))
+              WHERE c.doc_id NOT IN (SELECT doc_id FROM pick1)
+              GROUP BY c.doc_id, c.rel),
+            pick2 AS (
+              SELECT doc_id, rel,
+                     round(0.7 * rel - 0.3 * ms, 6) AS mmr,
+                     CAST(2 AS BIGINT) AS step
+              FROM avail2
+              ORDER BY round(0.7 * rel - 0.3 * ms, 6) DESC, doc_id
+              LIMIT 1),
+            avail3 AS (
+              SELECT c.doc_id, c.rel,
+                     coalesce(max(s.sim), 0.0) AS ms
+              FROM cand c
+              LEFT JOIN sym s
+                ON s.x = c.doc_id
+               AND s.y IN (SELECT doc_id FROM (SELECT doc_id FROM pick1 UNION ALL SELECT doc_id FROM pick2))
+              WHERE c.doc_id NOT IN (SELECT doc_id FROM pick1 UNION ALL SELECT doc_id FROM pick2)
+              GROUP BY c.doc_id, c.rel),
+            pick3 AS (
+              SELECT doc_id, rel,
+                     round(0.7 * rel - 0.3 * ms, 6) AS mmr,
+                     CAST(3 AS BIGINT) AS step
+              FROM avail3
+              ORDER BY round(0.7 * rel - 0.3 * ms, 6) DESC, doc_id
+              LIMIT 1),
+            avail4 AS (
+              SELECT c.doc_id, c.rel,
+                     coalesce(max(s.sim), 0.0) AS ms
+              FROM cand c
+              LEFT JOIN sym s
+                ON s.x = c.doc_id
+               AND s.y IN (SELECT doc_id FROM (SELECT doc_id FROM pick1 UNION ALL SELECT doc_id FROM pick2 UNION ALL SELECT doc_id FROM pick3))
+              WHERE c.doc_id NOT IN (SELECT doc_id FROM pick1 UNION ALL SELECT doc_id FROM pick2 UNION ALL SELECT doc_id FROM pick3)
+              GROUP BY c.doc_id, c.rel),
+            pick4 AS (
+              SELECT doc_id, rel,
+                     round(0.7 * rel - 0.3 * ms, 6) AS mmr,
+                     CAST(4 AS BIGINT) AS step
+              FROM avail4
+              ORDER BY round(0.7 * rel - 0.3 * ms, 6) DESC, doc_id
+              LIMIT 1),
+            avail5 AS (
+              SELECT c.doc_id, c.rel,
+                     coalesce(max(s.sim), 0.0) AS ms
+              FROM cand c
+              LEFT JOIN sym s
+                ON s.x = c.doc_id
+               AND s.y IN (SELECT doc_id FROM (SELECT doc_id FROM pick1 UNION ALL SELECT doc_id FROM pick2 UNION ALL SELECT doc_id FROM pick3 UNION ALL SELECT doc_id FROM pick4))
+              WHERE c.doc_id NOT IN (SELECT doc_id FROM pick1 UNION ALL SELECT doc_id FROM pick2 UNION ALL SELECT doc_id FROM pick3 UNION ALL SELECT doc_id FROM pick4)
+              GROUP BY c.doc_id, c.rel),
+            pick5 AS (
+              SELECT doc_id, rel,
+                     round(0.7 * rel - 0.3 * ms, 6) AS mmr,
+                     CAST(5 AS BIGINT) AS step
+              FROM avail5
+              ORDER BY round(0.7 * rel - 0.3 * ms, 6) DESC, doc_id
+              LIMIT 1)
+            SELECT step, doc_id, round(rel, 6) AS rel, mmr FROM pick1
+            UNION ALL SELECT step, doc_id, round(rel, 6), mmr FROM pick2
+            UNION ALL SELECT step, doc_id, round(rel, 6), mmr FROM pick3
+            UNION ALL SELECT step, doc_id, round(rel, 6), mmr FROM pick4
+            UNION ALL SELECT step, doc_id, round(rel, 6), mmr FROM pick5""",
     }

@@ -289,6 +289,8 @@ def main() -> None:
         # round 5 final session batch 19 (HT estimator, Neyman
         # allocation, grouped jackknife)
         "ht_estimate", "neyman_alloc", "jackknife_se",
+        # round 5 final session batch 20 (Dirichlet QLD, ERR, MMR)
+        "qld_search", "err_eval", "mmr_rerank",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -413,3 +413,205 @@ def map_eval(docs: DataFrame, query_pairs: list[tuple[str, str]],
                        F.col("ap_num")
                        / F.least(F.col("n_relevant"), F.lit(k)))
                 .otherwise(F.lit(0.0)), 6).alias("ap"))
+
+
+def qld_topk(tokens: DataFrame, query_terms: list[str], top_k: int = 10,
+             mu: float = 2000.0) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    Croft SIGIR 1998; Zhai & Lafferty SIGIR 2001) — the language-
+    modeling scorer that sits beside bm25_topk in every IR textbook
+    and behind Indri/Galago:
+
+        score(d, q) = sum over t in q of
+                      ln( (tf_td + mu * p(t|C)) / (dl_d + mu) )
+
+    with p(t|C) the corpus unigram MLE and mu the Dirichlet prior
+    mass (2000 is the standard default). Unlike BM25 every query term
+    contributes for every candidate (smoothing gives unseen terms
+    nonzero mass) — candidates are docs matching >= 1 term, scored on
+    ALL query terms via the smoothed formula.
+
+    Ties broken (rounded score DESC, doc_id ASC). Exact integer
+    tf/dl/cf under the log -> 6dp round is engine-portable.
+
+    Scale shape: bm25_topk's contract — tf is one (doc, token) hash
+    agg; the query join is a broadcast semi-join; corpus stats are a
+    broadcast |q|-row table; candidates' missing-term rows are
+    manufactured by a broadcast crossJoin with the query list (|cand|
+    x |q| rows, bounded); final top-k is TakeOrderedAndProject.
+
+    -> top-k (doc_id, n_hits, score 6dp, rank).
+    """
+    if not query_terms:
+        raise ValueError("qld_topk: query_terms must be non-empty")
+    spark = tokens.sparkSession
+    q = spark.createDataFrame([(t,) for t in sorted(set(query_terms))],
+                              "qt string")
+    tf = (tokens.groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus_n = tokens.agg(F.count(F.lit(1)).alias("cn"))
+    cf = (tokens.join(F.broadcast(q), tokens.token == F.col("qt"))
+          .groupBy("qt").agg(F.count(F.lit(1)).alias("cf")))
+    # OOV guard: a query term with cf = 0 would make EVERY candidate's
+    # term ln(0) — the standard practice (Indri) drops corpus-unseen
+    # terms from the query
+    qstats = (q.join(cf, "qt", "left")
+              .select("qt", F.coalesce("cf", F.lit(0)).alias("cf"))
+              .filter(F.col("cf") > 0)
+              .crossJoin(F.broadcast(corpus_n)))
+    cands = (tf.join(F.broadcast(q), tf.token == F.col("qt"))
+             .select("doc_id").distinct())
+    grid = (cands.join(dl, "doc_id")
+            .crossJoin(F.broadcast(qstats)))
+    tfq = (tf.join(F.broadcast(q), tf.token == F.col("qt"))
+           .select("doc_id", "qt", "tf"))
+    scored_terms = (grid.join(tfq, ["doc_id", "qt"], "left")
+                    .select("doc_id", "dl", "qt",
+                            F.coalesce("tf", F.lit(0)).alias("tf"),
+                            "cf", "cn"))
+    term = F.log((F.col("tf") + F.lit(mu) * F.col("cf") / F.col("cn"))
+                 / (F.col("dl") + F.lit(mu)))
+    scored = (scored_terms.groupBy("doc_id")
+              .agg(F.sum((F.col("tf") > 0).cast("long")).alias("n_hits"),
+                   F.round(F.sum(term), 6).alias("score")))
+    top = (scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+           .limit(top_k))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select("doc_id", "n_hits", "score",
+                      F.row_number().over(w).cast("long").alias("rank"))
+
+
+def err_eval(docs: DataFrame, query_pairs: list[tuple[str, str]],
+             k: int = 10, id_col: str = "doc_id",
+             text_col: str = "text", max_grade: int = 3) -> DataFrame:
+    """Expected Reciprocal Rank (Chapelle et al. CIKM 2009) — the
+    cascade-model ranking metric that, unlike nDCG's position
+    discount, models a user who STOPS at the first satisfying
+    result:
+
+        ERR@k = sum_{r<=k} (1/r) * R_r * prod_{i<r} (1 - R_i),
+        R = (2^rel - 1) / 2^max_grade
+
+    Same harness as ndcg_eval/map_eval: system ranks candidates by
+    query-term tf (DESC, doc_id ASC), graded relevance = min(tf of
+    the paired rel_term, max_grade). The stopping product rides the
+    SAME ranking window as a cumulative sum of ln(1 - R) (exact-zero
+    guard for R = 1 handled by a cumulative dead flag, the
+    kaplan_meier device).
+
+    -> |Q| rows (query_term, n_candidates, err 6dp).
+    """
+    qarr = F.array(*[
+        F.struct(F.lit(t).alias("term"), F.lit(r).alias("rel_term"))
+        for t, r in query_pairs])
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    scored = (docs
+              .select(F.col(id_col).alias("doc_id"),
+                      F.explode(qarr).alias("qp"),
+                      toks.alias("_toks"))
+              .select("doc_id",
+                      F.col("qp.term").alias("term"),
+                      F.size(F.filter(
+                          F.col("_toks"),
+                          lambda x: x == F.col("qp.term"))).alias("tf"),
+                      F.least(
+                          F.size(F.filter(
+                              F.col("_toks"),
+                              lambda x: x == F.col("qp.rel_term"))),
+                          F.lit(max_grade)).cast("long").alias("rel"))
+              .filter(F.col("tf") > 0))
+    r_prob = (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1) \
+        / F.lit(float(2 ** max_grade))
+    w_sys = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc())
+    w_prev = w_sys.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = (scored
+              .withColumn("rr", r_prob)
+              .withColumn("rank", F.row_number().over(w_sys))
+              .withColumn("ln_stop", F.sum(
+                  F.when(F.col("rr") < 1, F.log(1 - F.col("rr"))))
+                  .over(w_prev))
+              .withColumn("dead_before", F.max(
+                  (F.col("rr") >= 1).cast("int")).over(w_prev)))
+    contrib = F.when(
+        (F.col("rank") <= k) & (F.coalesce("dead_before", F.lit(0)) == 0),
+        F.col("rr") / F.col("rank")
+        * F.exp(F.coalesce("ln_stop", F.lit(0.0)))).otherwise(F.lit(0.0))
+    return (ranked.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                 F.round(F.sum(contrib), 6).alias("err"))
+            .select(F.col("term").alias("query_term"),
+                    "n_candidates", "err"))
+
+
+def mmr_rerank(candidates: DataFrame, sim_pairs: DataFrame,
+               k: int = 5, lam: float = 0.7,
+               id_col: str = "doc_id", rel_col: str = "rel",
+               ) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-ranking (Carbonell &
+    Goldstein SIGIR 1998): greedily select k items maximizing
+
+        mmr(d) = lam * rel(d) - (1 - lam) * max over selected s
+                 of sim(d, s)
+
+    — THE classic redundancy-penalized top-k: a plain top-k returns
+    five near-duplicate pages from one mirror farm; MMR trades
+    relevance against novelty (lam = 1 recovers the plain ranking).
+    ``sim_pairs`` is an undirected (a, b, sim) table over the
+    CANDIDATE set only (tens of rows — the caller's top-N), so every
+    step is candidate-sized.
+
+    Determinism: each greedy argmax orders by (6dp-rounded mmr DESC,
+    id ASC) — engine-portable like every ranked output in this repo.
+
+    Scale shape: the greedy loop is inherently sequential but runs
+    entirely on the candidate table (k joins of a tens-of-rows DF
+    against the pair table; linear plan growth, no driver collect of
+    data — only the loop counter lives on the driver).
+
+    -> k rows (step, doc_id, rel 6dp, mmr 6dp).
+    """
+    cand = candidates.select(F.col(id_col).alias("d"),
+                             F.col(rel_col).cast("double").alias("rel")) \
+        .localCheckpoint(eager=True)
+    sym = sim_pairs.select(F.col("a").alias("x"), F.col("b").alias("y"),
+                           F.col("sim")) \
+        .unionByName(sim_pairs.select(
+            F.col("b").alias("x"), F.col("a").alias("y"), F.col("sim")))
+    picked = None
+    remaining = cand
+    out = []
+    for step in range(1, k + 1):
+        if picked is None:
+            scored = remaining.select(
+                "d", "rel", F.round(F.lit(lam) * F.col("rel"), 6)
+                .alias("mmr"))
+        else:
+            maxsim = (remaining
+                      .join(sym.join(picked.select(
+                          F.col("d").alias("y")), "y"),
+                          remaining.d == F.col("x"), "left")
+                      .groupBy("d")
+                      .agg(F.max("rel").alias("rel"),
+                           F.coalesce(F.max("sim"), F.lit(0.0))
+                           .alias("ms")))
+            scored = maxsim.select(
+                "d", "rel",
+                F.round(F.lit(lam) * F.col("rel")
+                        - F.lit(1 - lam) * F.col("ms"), 6).alias("mmr"))
+        pick = (scored.orderBy(F.col("mmr").desc(), F.col("d").asc())
+                .limit(1)
+                .select("d", "rel", "mmr",
+                        F.lit(step).cast("long").alias("step"))
+                .localCheckpoint(eager=True))
+        out.append(pick)
+        picked = pick.select("d") if picked is None \
+            else picked.select("d").unionByName(pick.select("d"))
+        picked = picked.localCheckpoint(eager=True)
+        remaining = remaining.join(pick.select("d"), "d", "left_anti")
+    allp = out[0]
+    for p in out[1:]:
+        allp = allp.unionByName(p)
+    return allp.select("step", F.col("d").alias(id_col),
+                       F.round("rel", 6).alias("rel"), "mmr")

@@ -1276,3 +1276,104 @@ class TestJackknifeMean:
         out = jackknife_mean(self._df(spark, groups),
                              "src", "v").collect()[0]
         assert out.se_jack > out.se_naive
+
+
+class TestQldTopk:
+    def _toks(self, spark, docs):
+        rows = [(d, p, t) for d, ts in docs.items()
+                for p, t in enumerate(ts)]
+        return spark.createDataFrame(
+            rows, "doc_id long, pos long, token string")
+
+    def test_hand_computed_scores(self, spark):
+        from saber_spark.operators.retrieval import qld_topk
+        toks = self._toks(spark, {0: ["q", "q", "a"], 1: ["q", "b"],
+                                  2: ["c", "c"]})
+        out = {r.doc_id: r for r in
+               qld_topk(toks, ["q"], top_k=10, mu=1.0).collect()}
+        assert set(out) == {0, 1}  # d2 has no query term
+        cf, cn = 3, 7
+        s0 = math.log((2 + 1 * cf / cn) / (3 + 1))
+        s1 = math.log((1 + 1 * cf / cn) / (2 + 1))
+        assert out[0].score == round(s0, 6)
+        assert out[1].score == round(s1, 6)
+        assert out[0].rank == 1  # higher likelihood ranks first
+
+    def test_smoothing_scores_missing_terms(self, spark):
+        from saber_spark.operators.retrieval import qld_topk
+        # d1 contains q but not r; r exists elsewhere in the corpus ->
+        # d1 still gets a (smoothed) r contribution
+        toks = self._toks(spark, {0: ["q", "r"], 1: ["q", "b"]})
+        out = {r.doc_id: r for r in
+               qld_topk(toks, ["q", "r"], mu=1.0).collect()}
+        assert out[1].n_hits == 1  # only q matched...
+        assert out[0].score > out[1].score  # ...but both terms scored
+
+    def test_oov_query_term_dropped(self, spark):
+        from saber_spark.operators.retrieval import qld_topk
+        toks = self._toks(spark, {0: ["q", "a"]})
+        out = qld_topk(toks, ["q", "zzz"], mu=1.0).collect()
+        assert len(out) == 1 and out[0].score is not None
+
+
+class TestErrEval:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def test_hand_computed_cascade(self, spark):
+        from saber_spark.operators.retrieval import err_eval
+        # ranks by tf of q: d0 (tf3, rel3), d1 (tf2, rel0), d2 (tf1, rel1)
+        docs = self._docs(spark, ["q q q r r r", "q q x", "q r"])
+        out = err_eval(docs, [("q", "r")], k=10).collect()[0]
+        r1, r2, r3 = 7 / 8, 0.0, 1 / 8
+        err = r1 + 0 + (1 / 3) * r3 * (1 - r1) * (1 - r2)
+        assert out.err == round(err, 6)
+
+    def test_perfect_first_result_dominates(self, spark):
+        from saber_spark.operators.retrieval import err_eval
+        docs = self._docs(spark, ["q q r r r", "q r r r"])
+        out = err_eval(docs, [("q", "r")], k=10).collect()[0]
+        # both rel 3: ERR = 7/8 + (1/2)(7/8)(1/8)
+        assert out.err == round(7 / 8 + 0.5 * 7 / 8 / 8, 6)
+
+    def test_k_truncation(self, spark):
+        from saber_spark.operators.retrieval import err_eval
+        docs = self._docs(spark, ["q q x", "q r"])
+        out = err_eval(docs, [("q", "r")], k=1).collect()[0]
+        assert out.err == 0.0  # only the rel-0 doc is inside k
+
+
+class TestMmrRerank:
+    def _dfs(self, spark, rels, sims):
+        cand = spark.createDataFrame(
+            [(d, r) for d, r in rels.items()], "doc_id string, rel double")
+        sim = spark.createDataFrame(
+            [(a, b, s) for (a, b), s in sims.items()],
+            "a string, b string, sim double")
+        return cand, sim
+
+    def test_diversity_beats_relevance(self, spark):
+        from saber_spark.operators.retrieval import mmr_rerank
+        cand, sim = self._dfs(spark, {"a": 1.0, "b": 0.9, "c": 0.8},
+                              {("a", "b"): 1.0})
+        out = [r.doc_id for r in
+               sorted(mmr_rerank(cand, sim, k=3, lam=0.7).collect(),
+                      key=lambda r: r.step)]
+        assert out == ["a", "c", "b"]  # near-dup b demoted below c
+
+    def test_lambda_one_recovers_plain_ranking(self, spark):
+        from saber_spark.operators.retrieval import mmr_rerank
+        cand, sim = self._dfs(spark, {"a": 1.0, "b": 0.9, "c": 0.8},
+                              {("a", "b"): 1.0})
+        out = [r.doc_id for r in
+               sorted(mmr_rerank(cand, sim, k=3, lam=1.0).collect(),
+                      key=lambda r: r.step)]
+        assert out == ["a", "b", "c"]
+
+    def test_first_pick_is_pure_relevance(self, spark):
+        from saber_spark.operators.retrieval import mmr_rerank
+        cand, sim = self._dfs(spark, {"a": 0.5, "b": 0.9},
+                              {("a", "b"): 1.0})
+        out = mmr_rerank(cand, sim, k=1, lam=0.5).collect()
+        assert out[0].doc_id == "b" and out[0].mmr == 0.45

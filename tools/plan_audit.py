@@ -2587,6 +2587,41 @@ def main() -> None:
         0,
     ))
 
+    ql = e.q_qld_search(spark, SF_DIR)
+    sections.append((
+        "qld_search (bm25 contract: broadcast query, TakeOrdered)",
+        "Dirichlet QLD: tf agg + broadcast query semi-join; the "
+        "candidate x query grid is broadcast-bounded; final top-k is "
+        "TakeOrderedAndProject, never a global sort.",
+        formatted_plan(ql),
+        ["HashAggregate", "TakeOrderedAndProject"],
+        0,
+    ))
+
+    er2 = e.q_err_eval(spark, SF_DIR)
+    sections.append((
+        "err_eval (one scan, one ranking-window exchange)",
+        "ERR: ndcg/map's harness — the cascade stopping product rides "
+        "the SAME sys-rank window as a cumulative ln(1-R) sum; |Q|-row "
+        "output.",
+        formatted_plan(er2),
+        ["Window", "HashAggregate"],
+        0,
+    ))
+
+    mm = e.q_mmr_rerank(spark, SF_DIR)
+    sections.append((
+        "mmr_rerank (candidate-sized greedy, no driver data collect)",
+        "MMR: every greedy step joins the tens-of-rows candidate table "
+        "against the pair table (localCheckpointed between steps — "
+        "the final plan is therefore a Union of checkpointed 1-row "
+        "picks; the per-step agg/argmax plans already executed); only "
+        "the loop counter lives on the driver.",
+        formatted_plan(mm),
+        ["Union"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
