@@ -4809,6 +4809,49 @@ def q_mmr_rerank(spark, sf_dir):
     return mmr_rerank(cand, sim, k=5, lam=0.7)
 
 
+def q_nysiis_blocks(spark, sf_dir):
+    """NYSIIS-style phonetic blocking keys over part names
+    (canonicalize.nysiis_key, Taft 1970): the second phonetic pass
+    next to phonetic_blocking's Soundex-style key — NYSIIS keeps
+    vowel-position structure, so the two blockings are independent
+    and their union recovers pairs either alone misses. One narrow
+    key map + one block-size agg."""
+    from saber_spark.operators.canonicalize import nysiis_key
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    keyed = parts.select(F.col("p_name").alias("name"),
+                         nysiis_key(F.col("p_name")).alias("nkey"))
+    w = Window.partitionBy("nkey")
+    return keyed.select("name", "nkey",
+                        F.count(F.lit(1)).over(w).cast("long")
+                        .alias("block_size")).distinct()
+
+
+def q_dice_pairs(spark, sf_dir):
+    """Two-stage ER comparator (canonicalize.dice_verified_pairs,
+    Sorensen 1948 / Dice 1945): NYSIIS blocks propose, char-bigram
+    Dice verifies (set semantics, row-level HOFs — no explode-join) —
+    the blocking+verification pattern with the edit-based fuzzy_link
+    replaced by a transposition-tolerant set measure. Never
+    all-pairs."""
+    from saber_spark.operators.canonicalize import dice_verified_pairs
+    parts = (spark.read.parquet(f"{sf_dir}/part.parquet")
+             .filter(F.col("p_partkey") <= 500)  # deterministic slice
+             .select(F.col("p_partkey").alias("id"),
+                     F.col("p_name").alias("name")))
+    return dice_verified_pairs(parts, "name", "id", threshold=0.6)
+
+
+def q_katz_hosts(spark, sf_dir):
+    """Katz centrality by truncated walk series (graph.katz_centrality,
+    Katz 1953, alpha=0.1, k<=6): the damped-walk influence between
+    degree and PageRank — no out-degree normalization, so prolific
+    hubs still pass credit. The pagerank iteration pattern on the
+    shared host-edge fixture; linear plan growth, no driver
+    collect."""
+    from saber_spark.operators.graph import katz_centrality
+    return katz_centrality(_host_edges(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -5227,6 +5270,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_search": q_qld_search,
         "err_eval": q_err_eval,
         "mmr_rerank": q_mmr_rerank,
+        # r5 final session batch 21 (NYSIIS blocking, Dice verification,
+        # Katz centrality)
+        "nysiis_blocks": q_nysiis_blocks,
+        "dice_pairs": q_dice_pairs,
+        "katz_hosts": q_katz_hosts,
     }
 
 
@@ -12412,4 +12460,156 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT step, doc_id, round(rel, 6), mmr FROM pick3
             UNION ALL SELECT step, doc_id, round(rel, 6), mmr FROM pick4
             UNION ALL SELECT step, doc_id, round(rel, 6), mmr FROM pick5""",
+        "nysiis_blocks": """
+            WITH base AS (SELECT p_name AS name FROM part),
+            s0 AS (SELECT name,
+                     regexp_replace(lower(name), '[^a-z]', '', 'g') AS k
+                   FROM base),
+            s1 AS (SELECT name,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(k, '^mac', 'mcc'),
+                             '^kn', 'nn'),
+                           '^k', 'c'),
+                         '^(ph|pf)', 'ff'),
+                       '^sch', 'sss') AS k
+                   FROM s0),
+            s2 AS (SELECT name,
+                     regexp_replace(
+                       regexp_replace(k, '(ee|ie)$', 'y'),
+                       '(dt|rt|rd|nt|nd)$', 'd') AS k
+                   FROM s1),
+            s3 AS (SELECT name, substr(k, 1, 1) AS hd,
+                     substr(k, 2) AS tl
+                   FROM s2),
+            s4 AS (SELECT name, hd,
+                     translate(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               translate(
+                                 regexp_replace(tl, 'ev', 'af', 'g'),
+                                 'qzm', 'gsn'),
+                               'kn', 'n', 'g'),
+                             'k', 'c', 'g'),
+                           'sch', 'sss', 'g'),
+                         'ph', 'ff', 'g'),
+                       'eiou', 'aaaa') AS tl
+                   FROM s3),
+            s5 AS (SELECT name, hd || tl AS k FROM s4),
+            s6 AS (SELECT name, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(k, 'a{2,}', 'a', 'g'), 'b{2,}', 'b', 'g'), 'c{2,}', 'c', 'g'), 'd{2,}', 'd', 'g'), 'e{2,}', 'e', 'g'), 'f{2,}', 'f', 'g'), 'g{2,}', 'g', 'g'), 'h{2,}', 'h', 'g'), 'i{2,}', 'i', 'g'), 'j{2,}', 'j', 'g'), 'k{2,}', 'k', 'g'), 'l{2,}', 'l', 'g'), 'm{2,}', 'm', 'g'), 'n{2,}', 'n', 'g'), 'o{2,}', 'o', 'g'), 'p{2,}', 'p', 'g'), 'q{2,}', 'q', 'g'), 'r{2,}', 'r', 'g'), 's{2,}', 's', 'g'), 't{2,}', 't', 'g'), 'u{2,}', 'u', 'g'), 'v{2,}', 'v', 'g'), 'w{2,}', 'w', 'g'), 'x{2,}', 'x', 'g'), 'y{2,}', 'y', 'g'), 'z{2,}', 'z', 'g') AS k FROM s5),
+            keyed AS (SELECT name,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(k, 's$', ''),
+                         'ay$', 'y'),
+                       'a$', '') AS nkey
+                   FROM s6)
+            SELECT DISTINCT name, nkey,
+                   CAST(count(*) OVER (PARTITION BY nkey) AS BIGINT)
+                     AS block_size
+            FROM keyed""",
+        "dice_pairs": """
+            WITH base AS (
+              SELECT p_partkey AS id, p_name AS name FROM part
+              WHERE p_partkey <= 500),
+            t0 AS (SELECT DISTINCT name,
+                     regexp_replace(lower(name), '[^a-z]', '', 'g') AS k
+                   FROM base),
+            t1 AS (SELECT name,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(k, '^mac', 'mcc'),
+                             '^kn', 'nn'),
+                           '^k', 'c'),
+                         '^(ph|pf)', 'ff'),
+                       '^sch', 'sss') AS k
+                   FROM t0),
+            t2 AS (SELECT name,
+                     regexp_replace(
+                       regexp_replace(k, '(ee|ie)$', 'y'),
+                       '(dt|rt|rd|nt|nd)$', 'd') AS k
+                   FROM t1),
+            t3 AS (SELECT name, substr(k, 1, 1) AS hd,
+                     substr(k, 2) AS tl
+                   FROM t2),
+            t4 AS (SELECT name, hd,
+                     translate(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               translate(
+                                 regexp_replace(tl, 'ev', 'af', 'g'),
+                                 'qzm', 'gsn'),
+                               'kn', 'n', 'g'),
+                             'k', 'c', 'g'),
+                           'sch', 'sss', 'g'),
+                         'ph', 'ff', 'g'),
+                       'eiou', 'aaaa') AS tl
+                   FROM t3),
+            t5 AS (SELECT name, hd || tl AS k FROM t4),
+            t6 AS (SELECT name, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(k, 'a{2,}', 'a', 'g'), 'b{2,}', 'b', 'g'), 'c{2,}', 'c', 'g'), 'd{2,}', 'd', 'g'), 'e{2,}', 'e', 'g'), 'f{2,}', 'f', 'g'), 'g{2,}', 'g', 'g'), 'h{2,}', 'h', 'g'), 'i{2,}', 'i', 'g'), 'j{2,}', 'j', 'g'), 'k{2,}', 'k', 'g'), 'l{2,}', 'l', 'g'), 'm{2,}', 'm', 'g'), 'n{2,}', 'n', 'g'), 'o{2,}', 'o', 'g'), 'p{2,}', 'p', 'g'), 'q{2,}', 'q', 'g'), 'r{2,}', 'r', 'g'), 's{2,}', 's', 'g'), 't{2,}', 't', 'g'), 'u{2,}', 'u', 'g'), 'v{2,}', 'v', 'g'), 'w{2,}', 'w', 'g'), 'x{2,}', 'x', 'g'), 'y{2,}', 'y', 'g'), 'z{2,}', 'z', 'g') AS k FROM t5),
+            keyed2 AS (SELECT name,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(k, 's$', ''),
+                         'ay$', 'y'),
+                       'a$', '') AS nkey
+                   FROM t6),
+            a AS (SELECT base.id, base.name AS name_a, keyed2.nkey
+                  FROM base JOIN keyed2 USING (name)),
+            b AS (SELECT base.id, base.name AS name_b, keyed2.nkey
+                  FROM base JOIN keyed2 USING (name)),
+            bg AS (
+              SELECT id, list_distinct(
+                       list_transform(range(1, len(name)),
+                                      i -> substr(name, i, 2))) AS bs
+              FROM base WHERE len(name) >= 2),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, name_a, name_b
+              FROM a JOIN b USING (nkey)
+              WHERE a.id < b.id),
+            scored AS (
+              SELECT id_a, id_b, name_a, name_b,
+                     round(CASE WHEN len(ba.bs) + len(bb.bs) > 0
+                                THEN 2.0 * len(list_intersect(ba.bs,
+                                                              bb.bs))
+                                     / (len(ba.bs) + len(bb.bs))
+                                ELSE 0.0 END, 6) AS dice
+              FROM pairs
+              JOIN bg ba ON ba.id = pairs.id_a
+              JOIN bg bb ON bb.id = pairs.id_b)
+            SELECT * FROM scored WHERE dice >= 0.6""",
+        "katz_hosts": f"""
+            WITH {HOST_EDGES_CTE},
+            e AS (SELECT DISTINCT src AS s, dst AS d FROM hedges),
+            nodes AS (SELECT DISTINCT node FROM (
+              SELECT s AS node FROM e UNION SELECT d FROM e)),
+            w0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS w FROM nodes),
+            w1 AS (SELECT e.d AS node, CAST(0.1 AS DOUBLE) * sum(w0.w) AS w
+                   FROM e JOIN w0 ON w0.node = e.s GROUP BY e.d),
+            w2 AS (SELECT e.d AS node, CAST(0.1 AS DOUBLE) * sum(w1.w) AS w
+                   FROM e JOIN w1 ON w1.node = e.s GROUP BY e.d),
+            w3 AS (SELECT e.d AS node, CAST(0.1 AS DOUBLE) * sum(w2.w) AS w
+                   FROM e JOIN w2 ON w2.node = e.s GROUP BY e.d),
+            w4 AS (SELECT e.d AS node, CAST(0.1 AS DOUBLE) * sum(w3.w) AS w
+                   FROM e JOIN w3 ON w3.node = e.s GROUP BY e.d),
+            w5 AS (SELECT e.d AS node, CAST(0.1 AS DOUBLE) * sum(w4.w) AS w
+                   FROM e JOIN w4 ON w4.node = e.s GROUP BY e.d),
+            w6 AS (SELECT e.d AS node, CAST(0.1 AS DOUBLE) * sum(w5.w) AS w
+                   FROM e JOIN w5 ON w5.node = e.s GROUP BY e.d),
+            tot AS (
+              SELECT node, sum(w) AS w FROM (
+                SELECT * FROM w1 UNION ALL SELECT * FROM w2
+                UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4
+                UNION ALL SELECT * FROM w5 UNION ALL SELECT * FROM w6)
+              GROUP BY node)
+            SELECT nodes.node, round(coalesce(tot.w, 0.0), 6) AS katz
+            FROM nodes LEFT JOIN tot USING (node)""",
     }

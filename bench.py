@@ -291,6 +291,8 @@ def main() -> None:
         "ht_estimate", "neyman_alloc", "jackknife_se",
         # round 5 final session batch 20 (Dirichlet QLD, ERR, MMR)
         "qld_search", "err_eval", "mmr_rerank",
+        # round 5 final session batch 21 (NYSIIS, Dice verify, Katz)
+        "nysiis_blocks", "dice_pairs", "katz_hosts",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

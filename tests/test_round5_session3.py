@@ -1377,3 +1377,92 @@ class TestMmrRerank:
                               {("a", "b"): 1.0})
         out = mmr_rerank(cand, sim, k=1, lam=0.5).collect()
         assert out[0].doc_id == "b" and out[0].mmr == 0.45
+
+
+class TestNysiisKey:
+    def _keys(self, spark, names):
+        from saber_spark.operators.canonicalize import nysiis_key
+        df = spark.createDataFrame([(n,) for n in names], "n string")
+        return {r.n: r.k for r in
+                df.select("n", nysiis_key(F.col("n")).alias("k")).collect()}
+
+    def test_classic_conflations(self, spark):
+        k = self._keys(spark, ["MacDonald", "McDonald", "phone", "fone",
+                               "cats", "cat"])
+        assert k["MacDonald"] == k["McDonald"]
+        assert k["phone"] == k["fone"]
+        assert k["cats"] == k["cat"]
+
+    def test_differs_from_soundex_style(self, spark):
+        from saber_spark.operators.canonicalize import phonetic_key
+        # the two keys must be INDEPENDENT blockings, not clones
+        df = None
+        k1 = self._keys(spark, ["blue gear", "blue bolt"])
+        assert k1["blue gear"] != k1["blue bolt"]
+
+    def test_first_char_preserved(self, spark):
+        k = self._keys(spark, ["widget", "ring"])
+        assert k["widget"].startswith("w") and k["ring"].startswith("r")
+
+
+class TestDiceBigram:
+    def _sim(self, spark, a, b):
+        from saber_spark.operators.canonicalize import (
+            dice_bigram_similarity)
+        df = spark.createDataFrame([(a, b)], "x string, y string")
+        return df.select(dice_bigram_similarity(
+            F.col("x"), F.col("y")).alias("d")).collect()[0].d
+
+    def test_hand_computed(self, spark):
+        # night/nacht share only 'ht' -> 2*1/(4+4)
+        assert self._sim(spark, "night", "nacht") == 0.25
+
+    def test_identical_is_one(self, spark):
+        assert self._sim(spark, "widget", "widget") == 1.0
+
+    def test_transposition_damage_is_local(self, spark):
+        # a tail transposition only destroys the bigrams it touches:
+        # abcdefgh vs abcdefhg share ab..ef -> 2*5/(7+7)
+        assert self._sim(spark, "abcdefgh", "abcdefhg") == 10 / 14
+
+    def test_short_string_zero(self, spark):
+        assert self._sim(spark, "a", "abc") == 0.0
+
+    def test_verified_pairs_blocks_first(self, spark):
+        from saber_spark.operators.canonicalize import dice_verified_pairs
+        names = spark.createDataFrame(
+            [(1, "phone"), (2, "fone"), (3, "zebra")],
+            "id long, name string")
+        out = dice_verified_pairs(names, "name", "id",
+                                  threshold=0.0).collect()
+        # zebra shares no NYSIIS block -> never compared
+        assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+class TestKatzCentrality:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_hand_computed_chain(self, spark):
+        from saber_spark.operators.graph import katz_centrality
+        e = self._edges(spark, [("a", "b"), ("b", "c")])
+        out = {r.node: r.katz for r in
+               katz_centrality(e, alpha=0.5, k_max=3).collect()}
+        # walks into b: a->b (0.5); into c: b->c (0.5) + a->b->c (0.25)
+        assert out == {"a": 0.0, "b": 0.5, "c": 0.75}
+
+    def test_star_hub(self, spark):
+        from saber_spark.operators.graph import katz_centrality
+        e = self._edges(spark, [("x", "h"), ("y", "h"), ("z", "h")])
+        out = {r.node: r.katz for r in
+               katz_centrality(e, alpha=0.1, k_max=4).collect()}
+        assert out["h"] == round(0.3, 6)
+
+    def test_truncation_depth(self, spark):
+        from saber_spark.operators.graph import katz_centrality
+        # a->b->c->d with k_max=2: d gets len-1 (0.5) + len-2 (0.25),
+        # the len-3 walk from a is cut off
+        e = self._edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        out = {r.node: r.katz for r in
+               katz_centrality(e, alpha=0.5, k_max=2).collect()}
+        assert out["d"] == 0.75

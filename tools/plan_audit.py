@@ -2622,6 +2622,39 @@ def main() -> None:
         0,
     ))
 
+    nb = e.q_nysiis_blocks(spark, SF_DIR)
+    sections.append((
+        "nysiis_blocks (narrow key chain, one block window)",
+        "NYSIIS-style key: the whole rule chain is narrow regexp/"
+        "translate codegen; the only exchange is the block-size window "
+        "keyed on nkey.",
+        formatted_plan(nb),
+        ["Window"],
+        0,
+    ))
+
+    dp2 = e.q_dice_pairs(spark, SF_DIR)
+    sections.append((
+        "dice_pairs (block join, row-level verification)",
+        "Two-stage ER: the candidate join co-partitions on the NYSIIS "
+        "block key (never all-pairs); Dice runs INSIDE the row via "
+        "array HOFs — no explode-join for verification.",
+        formatted_plan(dp2),
+        ["Join"],
+        0,
+    ))
+
+    kz = e.q_katz_hosts(spark, SF_DIR)
+    sections.append((
+        "katz_hosts (edge-vector iteration, linear plan growth)",
+        "Katz: the pagerank/markov loop shape — each of k_max steps is "
+        "one equi-join of the localCheckpointed edges against the "
+        "walk vector plus a hash agg; accumulation via union + re-agg.",
+        formatted_plan(kz),
+        ["HashAggregate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
