@@ -4852,6 +4852,41 @@ def q_katz_hosts(spark, sf_dir):
     return katz_centrality(_host_edges(spark, sf_dir))
 
 
+def q_ct_lang(spark, sf_dir):
+    """Cavnar-Trenkle rank-order language ID held-out confusion
+    (classify.ct_lang_confusion, SDAIR 1994 — the original TextCat):
+    top-40 char-trigram profiles per language, out-of-place distance
+    with missing-gram penalty, argmin prediction — the rank-profile
+    method next to nb_lang_confusion's multinomial NB on the same
+    hash split. Scoring is one gram-keyed join against the broadcast
+    language profiles."""
+    from saber_spark.operators.classify import ct_lang_confusion
+    return ct_lang_confusion(_docs(spark, sf_dir), top_k=40)
+
+
+def q_token_adaptation(spark, sf_dir):
+    """Church adaptation (vocab.token_adaptation, EMNLP 2000 "two
+    Noriegas"): P(token again | token appeared) vs its prior — the
+    document-level burstiness twin of term_dispersion's corpus-part
+    view and the statistical basis for BM25's tf saturation. Two-level
+    count reduction, 1-row N broadcast."""
+    from saber_spark.operators.vocab import token_adaptation
+    return token_adaptation(tokenize_docs(_docs(spark, sf_dir)),
+                            min_df=10)
+
+
+def q_rocchio_rerank(spark, sf_dir):
+    """Rocchio pseudo-relevance feedback rerank (retrieval.
+    rocchio_rerank, Rocchio 1971/SMART): BM25 top-10 as blind
+    feedback, query moved toward their tf-idf centroid, 5
+    deterministic expansion terms, second-pass dot-product scoring
+    over the original candidates — the classic expansion loop over
+    the same 3-term query as bm25_search/qld_search."""
+    from saber_spark.operators.retrieval import rocchio_rerank
+    return rocchio_rerank(tokenize_docs(_docs(spark, sf_dir)),
+                          ["spark", "stream", "vector"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -5275,6 +5310,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nysiis_blocks": q_nysiis_blocks,
         "dice_pairs": q_dice_pairs,
         "katz_hosts": q_katz_hosts,
+        # r5 final session batch 22 (Cavnar-Trenkle, Church adaptation,
+        # Rocchio feedback)
+        "ct_lang": q_ct_lang,
+        "token_adaptation": q_token_adaptation,
+        "rocchio_rerank": q_rocchio_rerank,
     }
 
 
@@ -12612,4 +12652,125 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY node)
             SELECT nodes.node, round(coalesce(tot.w, 0.0), 6) AS katz
             FROM nodes LEFT JOIN tot USING (node)""",
+        "ct_lang": """
+            WITH grams AS (
+              SELECT doc_id, lang,
+                     unnest(list_transform(
+                       range(1, greatest(len(text) - 1, 1)),
+                       i -> substr(lower(text), i, 3))) AS g,
+                     ((doc_id * 2654435761) % 2147483647) % 4 = 0
+                       AS is_test
+              FROM documents),
+            lang_counts AS (
+              SELECT lang, g, count(*) AS c FROM grams
+              WHERE NOT is_test GROUP BY lang, g),
+            lang_prof AS (
+              SELECT lang, g, lr FROM (
+                SELECT lang, g, ROW_NUMBER() OVER
+                  (PARTITION BY lang ORDER BY c DESC, g ASC) AS lr
+                FROM lang_counts) WHERE lr <= 40),
+            doc_counts AS (
+              SELECT doc_id, lang AS true_lang, g, count(*) AS c
+              FROM grams WHERE is_test
+              GROUP BY doc_id, lang, g),
+            doc_prof AS (
+              SELECT doc_id, true_lang, g, dr FROM (
+                SELECT doc_id, true_lang, g, ROW_NUMBER() OVER
+                  (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS dr
+                FROM doc_counts) WHERE dr <= 40),
+            langs AS (SELECT DISTINCT lang FROM lang_prof),
+            grid AS (SELECT d.*, langs.lang
+                     FROM doc_prof d CROSS JOIN langs),
+            joined AS (
+              SELECT grid.doc_id, grid.true_lang, grid.lang,
+                     coalesce(abs(grid.dr - lp.lr), 40) AS pen
+              FROM grid LEFT JOIN lang_prof lp
+                ON lp.lang = grid.lang AND lp.g = grid.g),
+            dist AS (
+              SELECT doc_id, true_lang, lang, sum(pen) AS d
+              FROM joined GROUP BY doc_id, true_lang, lang),
+            pred AS (
+              SELECT true_lang, lang AS pred_lang FROM (
+                SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY doc_id ORDER BY d ASC, lang ASC) AS rk
+                FROM dist) WHERE rk = 1)
+            SELECT true_lang, pred_lang,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM pred GROUP BY true_lang, pred_lang""",
+        "token_adaptation": f"""
+            WITH {TOKENS_CTE},
+            dt AS (SELECT doc_id, token, count(*) AS c FROM tokens
+                   GROUP BY doc_id, token),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM tokens),
+            pt AS (
+              SELECT token, count(*) AS df1,
+                     sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS df2
+              FROM dt GROUP BY token HAVING count(*) >= 10)
+            SELECT token,
+                   CAST(df1 AS BIGINT) AS df1,
+                   CAST(df2 AS BIGINT) AS df2,
+                   round(df1 / n, 6) AS prior,
+                   round(df2 / df1, 6) AS adaptation,
+                   round((df2 / df1) / (df1 / n), 6) AS lift
+            FROM pt CROSS JOIN nd""",
+        "rocchio_rerank": f"""
+            WITH {TOKENS_CTE},
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tokens GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, count(*) AS dl
+                   FROM tokens GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            qt AS (SELECT unnest(['spark', 'stream', 'vector']) AS token),
+            hits AS (SELECT tf.* FROM tf JOIN qt USING (token)),
+            dfq AS (SELECT token, count(*) AS df FROM hits GROUP BY token),
+            bscored AS (
+              SELECT h.doc_id,
+                     round(sum(
+                       ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * h.tf * 2.2
+                       / (h.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                     ), 6) AS score
+              FROM hits h
+              JOIN dfq d USING (token)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats s
+              GROUP BY h.doc_id),
+            fb_docs AS (SELECT doc_id FROM bscored
+                        ORDER BY score DESC, doc_id LIMIT 10),
+            dfall AS (SELECT token, count(*) AS df FROM tf
+                      GROUP BY token),
+            tfidf AS (
+              SELECT tf.doc_id, tf.token,
+                     tf.tf * ln(s.n_docs * 1.0 / dfall.df) AS w
+              FROM tf JOIN dfall USING (token) CROSS JOIN stats s),
+            fb AS (
+              SELECT token, sum(w) / 10 AS cw
+              FROM tfidf JOIN fb_docs USING (doc_id)
+              GROUP BY token),
+            expansion AS (
+              SELECT token, cw FROM fb
+              WHERE token NOT IN (SELECT token FROM qt)
+              ORDER BY round(cw, 6) DESC, token ASC LIMIT 5),
+            q_weights AS (
+              SELECT qt.token,
+                     1.0 + 0.75 * coalesce(fb.cw, 0.0) AS qw
+              FROM qt LEFT JOIN fb USING (token)),
+            weights AS (
+              SELECT token, qw FROM q_weights
+              UNION ALL
+              SELECT token, 0.75 * cw AS qw FROM expansion),
+            cands AS (SELECT DISTINCT doc_id FROM hits),
+            scored AS (
+              SELECT t.doc_id,
+                     round(sum(t.w * weights.qw), 6) AS score
+              FROM tfidf t
+              JOIN weights USING (token)
+              JOIN cands ON cands.doc_id = t.doc_id
+              GROUP BY t.doc_id)
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM scored
+            ORDER BY score DESC, doc_id
+            LIMIT 10""",
     }

@@ -293,6 +293,9 @@ def main() -> None:
         "qld_search", "err_eval", "mmr_rerank",
         # round 5 final session batch 21 (NYSIIS, Dice verify, Katz)
         "nysiis_blocks", "dice_pairs", "katz_hosts",
+        # round 5 final session batch 22 (Cavnar-Trenkle, adaptation,
+        # Rocchio)
+        "ct_lang", "token_adaptation", "rocchio_rerank",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -461,3 +461,81 @@ def label_noise(embeddings: DataFrame, folds: int = 5,
             .groupBy(F.col(label_col).alias("true_label"),
                      F.col("_c_label").alias("guessed_label"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_vecs")))
+
+
+def ct_lang_confusion(docs: DataFrame, text_col: str = "text",
+                      lang_col: str = "lang", id_col: str = "doc_id",
+                      top_k: int = 40,
+                      hash_mod: int = 4) -> DataFrame:
+    """Cavnar-Trenkle rank-order n-gram language identification
+    (Cavnar & Trenkle, SDAIR 1994 — the ORIGINAL "TextCat" method
+    fastText-era classifiers descend from), evaluated as a held-out
+    confusion matrix next to nb_confusion's multinomial NB: language
+    profiles are the top_k most frequent character TRIGRAMS (the
+    classic uses mixed 1-5-grams; trigrams are the standard
+    simplification and stated here), and a document is classified by
+    the OUT-OF-PLACE distance
+
+        d(doc, lang) = sum over doc-profile grams of
+                       |rank_doc(g) - rank_lang(g)|,
+        missing grams cost top_k
+
+    with argmin prediction (ties: lang ASC). Train/test split by the
+    repo's multiplicative doc-id hash (test = hash bucket 0).
+
+    Scale shape: trigram explode is narrow; profile building is two
+    hash aggs + a rank window per lang (|langs| * |grams| rows); doc
+    profiles rank within (doc) windows over doc-local grams; scoring
+    is ONE equi-join on the gram key against the tiny broadcast
+    language profile; the argmin is a window over |docs| x |langs|
+    rows.
+
+    -> (true_lang, pred_lang, n_docs) confusion cells.
+    """
+    from saber_spark.operators.splits import HASH_MOD, KNUTH
+    s = F.lower(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.length(s) - 2, F.lit(0))),
+        lambda i: s.substr(i, F.lit(3)))
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(lang_col).alias("lang"),
+                        F.explode(grams).alias("g"))
+            .withColumn("is_test",
+                        F.pmod(F.pmod(F.col("doc_id").cast("long")
+                                      * F.lit(KNUTH), F.lit(HASH_MOD)),
+                               F.lit(hash_mod)) == 0))
+    train = base.filter(~F.col("is_test"))
+    lang_counts = (train.groupBy("lang", "g")
+                   .agg(F.count(F.lit(1)).alias("c")))
+    w_lang = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("g").asc())
+    lang_prof = (lang_counts
+                 .select("lang", "g",
+                         F.row_number().over(w_lang).alias("lr"))
+                 .filter(F.col("lr") <= top_k))
+    test = base.filter(F.col("is_test"))
+    doc_counts = (test.groupBy("doc_id", "lang", "g")
+                  .agg(F.count(F.lit(1)).alias("c")))
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("g").asc())
+    doc_prof = (doc_counts
+                .select("doc_id", F.col("lang").alias("true_lang"),
+                        "g", F.row_number().over(w_doc).alias("dr"))
+                .filter(F.col("dr") <= top_k))
+    langs = lang_prof.select("lang").distinct()
+    grid = doc_prof.crossJoin(F.broadcast(langs))
+    joined = grid.join(
+        F.broadcast(lang_prof.select(F.col("lang"),
+                                     F.col("g"), F.col("lr"))),
+        ["lang", "g"], "left")
+    dist = (joined.groupBy("doc_id", "true_lang", "lang")
+            .agg(F.sum(F.coalesce(F.abs(F.col("dr") - F.col("lr")),
+                                  F.lit(top_k))).alias("d")))
+    w_min = Window.partitionBy("doc_id").orderBy(
+        F.col("d").asc(), F.col("lang").asc())
+    pred = (dist.withColumn("rk", F.row_number().over(w_min))
+            .filter(F.col("rk") == 1)
+            .select("true_lang", F.col("lang").alias("pred_lang")))
+    return (pred.groupBy("true_lang", "pred_lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))

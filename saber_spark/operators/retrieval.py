@@ -615,3 +615,79 @@ def mmr_rerank(candidates: DataFrame, sim_pairs: DataFrame,
         allp = allp.unionByName(p)
     return allp.select("step", F.col("d").alias(id_col),
                        F.round("rel", 6).alias("rel"), "mmr")
+
+
+def rocchio_rerank(tokens: DataFrame, query_terms: list[str],
+                   alpha: float = 1.0, beta: float = 0.75,
+                   fb_docs: int = 10, fb_terms: int = 5,
+                   top_k: int = 10) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (Rocchio 1971, the SMART
+    system's query modification; the blind-feedback form is the
+    classic first-pass expansion every IR stack reimplements): run
+    BM25, take the top ``fb_docs`` as pseudo-relevant, move the query
+    toward their tf-idf centroid,
+
+        w(t) = alpha * [t in q] + beta * centroid_tfidf(t),
+
+    keep the ``fb_terms`` strongest non-query expansion terms
+    (weight DESC, token ASC — deterministic), and re-rank candidates
+    by the dot product of w with the doc tf-idf vector. Candidates =
+    docs matching >= 1 ORIGINAL query term (the standard second-pass
+    scope). tf-idf = tf * ln(N/df); 6dp rounds before every ranked
+    cut.
+
+    Scale shape: bm25's aggregates are reused (tf/dl/df built once);
+    the feedback centroid aggregates fb_docs' postings (broadcast-
+    bounded); the final scoring is ONE join of the expanded |q|+
+    fb_terms weight table (broadcast) against candidate postings;
+    top-k is TakeOrderedAndProject.
+
+    -> top-k (doc_id, score 6dp, rank).
+    """
+    if not query_terms:
+        raise ValueError("rocchio_rerank: query_terms must be non-empty")
+    spark = tokens.sparkSession
+    q = spark.createDataFrame([(t,) for t in sorted(set(query_terms))],
+                              "qt string")
+    first = bm25_topk(tokens, query_terms, top_k=fb_docs)
+    tf = (tokens.groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = tokens.select("doc_id").distinct() \
+        .agg(F.count(F.lit(1)).alias("n"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tfidf = (tf.join(df, "token").crossJoin(F.broadcast(n_docs))
+             .select("doc_id", "token",
+                     (F.col("tf")
+                      * F.log(F.col("n") / F.col("df"))).alias("w")))
+    fb = (tfidf.join(F.broadcast(first.select("doc_id")), "doc_id")
+          .groupBy("token")
+          .agg((F.sum("w") / fb_docs).alias("cw")))
+    # expansion terms: strongest centroid terms NOT in the query
+    expansion = (fb.join(F.broadcast(q), fb.token == F.col("qt"),
+                         "left_anti")
+                 .orderBy(F.round(F.col("cw"), 6).desc(),
+                          F.col("token").asc())
+                 .limit(fb_terms))
+    q_weights = (q.select(F.col("qt").alias("token"))
+                 .join(fb.withColumnRenamed("token", "token"),
+                       "token", "left")
+                 .select("token",
+                         (F.lit(alpha)
+                          + F.lit(beta) * F.coalesce("cw", F.lit(0.0)))
+                         .alias("qw")))
+    e_weights = expansion.select(
+        "token", (F.lit(beta) * F.col("cw")).alias("qw"))
+    weights = q_weights.unionByName(e_weights)
+    cands = (tf.join(F.broadcast(q), tf.token == F.col("qt"))
+             .select("doc_id").distinct())
+    scored = (tfidf.join(F.broadcast(weights), "token")
+              .join(cands, "doc_id")
+              .groupBy("doc_id")
+              .agg(F.round(F.sum(F.col("w") * F.col("qw")), 6)
+                   .alias("score")))
+    top = (scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+           .limit(top_k))
+    w_rank = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select("doc_id", "score",
+                      F.row_number().over(w_rank).cast("long")
+                      .alias("rank"))

@@ -669,3 +669,48 @@ def ppmi_similarity(tokens: DataFrame, id_col: str = "doc_id",
                     F.col("n_shared").cast("long").alias("n_shared"),
                     F.round(F.col("dot") / (F.col("na") * F.col("nb")),
                             6).alias("cosine")))
+
+
+def token_adaptation(tokens: DataFrame, id_col: str = "doc_id",
+                     token_col: str = "token",
+                     min_df: int = 10) -> DataFrame:
+    """Church's adaptation statistic (Church, EMNLP 2000 "Empirical
+    estimates of adaptation: the chance of two Noriegas is closer to
+    p/2 than p^2"): for each token,
+
+        prior      = df1 / N          (P(token appears in a doc))
+        adaptation = df2 / df1        (P(appears AGAIN | appeared))
+        lift       = adaptation / prior
+
+    where df1/df2 = docs with >= 1 / >= 2 occurrences. Under
+    independence adaptation ~ prior; real content words adapt
+    (lift >> 1, "two Noriegas") while function words don't — the
+    document-level burstiness twin of term_dispersion's corpus-part
+    view, and the statistical basis for cache/trigger LMs and tf
+    saturation in BM25.
+
+    Scale shape: one (doc, token) count agg, one token-level agg over
+    it, a 1-row broadcast of N — the standard two-level reduction,
+    all map-side combining.
+
+    -> (token, df1, df2, prior 6dp, adaptation 6dp, lift 6dp),
+    df1 >= min_df.
+    """
+    dt = (tokens.groupBy(id_col, token_col)
+          .agg(F.count(F.lit(1)).alias("c")))
+    n_docs = tokens.select(id_col).distinct() \
+        .agg(F.count(F.lit(1)).alias("n"))
+    per_tok = (dt.groupBy(token_col)
+               .agg(F.count(F.lit(1)).alias("df1"),
+                    F.sum((F.col("c") >= 2).cast("long")).alias("df2"))
+               .filter(F.col("df1") >= min_df))
+    prior = F.col("df1") / F.col("n")
+    adapt = F.col("df2") / F.col("df1")
+    return (per_tok.crossJoin(F.broadcast(n_docs))
+            .select(token_col,
+                    F.col("df1").cast("long").alias("df1"),
+                    F.col("df2").cast("long").alias("df2"),
+                    F.round(prior, 6).alias("prior"),
+                    F.round(adapt, 6).alias("adaptation"),
+                    F.round(F.try_divide(adapt, prior), 6)
+                    .alias("lift")))

@@ -1466,3 +1466,97 @@ class TestKatzCentrality:
         out = {r.node: r.katz for r in
                katz_centrality(e, alpha=0.5, k_max=2).collect()}
         assert out["d"] == 0.75
+
+
+class TestCtLang:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string")
+
+    def test_separable_languages_classified(self, spark):
+        from saber_spark.operators.classify import ct_lang_confusion
+        # two 'languages' with disjoint trigram inventories; enough
+        # docs that every hash bucket has train data
+        rows = []
+        for i in range(40):
+            rows.append((2 * i, "aaa bbb aaa bbb aaa", "xx"))
+            rows.append((2 * i + 1, "zzz yyy zzz yyy zzz", "yy"))
+        out = {(r.true_lang, r.pred_lang): r.n_docs for r in
+               ct_lang_confusion(self._docs(spark, rows),
+                                 top_k=10).collect()}
+        assert all(t == p for (t, p) in out)  # perfect diagonal
+
+    def test_out_of_place_prefers_matching_profile(self, spark):
+        from saber_spark.operators.classify import ct_lang_confusion
+        rows = []
+        for i in range(60):
+            rows.append((2 * i, "the cat sat on the mat", "en"))
+            rows.append((2 * i + 1, "der hund lief im wald", "de"))
+        out = {(r.true_lang, r.pred_lang): r.n_docs for r in
+               ct_lang_confusion(self._docs(spark, rows),
+                                 top_k=20).collect()}
+        diag = sum(n for (t, p), n in out.items() if t == p)
+        total = sum(out.values())
+        assert diag == total
+
+
+class TestTokenAdaptation:
+    def test_hand_computed(self, spark):
+        from saber_spark.operators.vocab import token_adaptation
+        toks = _tokens(spark, {0: ["x", "x", "y"], 1: ["x"],
+                               2: ["y"], 3: ["z"]})
+        out = {r.token: r for r in
+               token_adaptation(toks, min_df=1).collect()}
+        x = out["x"]
+        # x: df1=2 (docs 0,1), df2=1 (doc 0); N=4
+        assert (x.df1, x.df2) == (2, 1)
+        assert x.prior == 0.5 and x.adaptation == 0.5
+        assert x.lift == 1.0
+
+    def test_bursty_token_lift(self, spark):
+        from saber_spark.operators.vocab import token_adaptation
+        # 'b' always repeats when present -> adaptation 1, prior 0.25
+        toks = _tokens(spark, {0: ["b", "b", "b"], 1: ["a"],
+                               2: ["a"], 3: ["a"]})
+        out = {r.token: r for r in
+               token_adaptation(toks, min_df=1).collect()}
+        assert out["b"].adaptation == 1.0 and out["b"].lift == 4.0
+
+    def test_min_df_floor(self, spark):
+        from saber_spark.operators.vocab import token_adaptation
+        toks = _tokens(spark, {0: ["a"], 1: ["a"], 2: ["rare"]})
+        out = token_adaptation(toks, min_df=2).collect()
+        assert [r.token for r in out] == ["a"]
+
+
+class TestRocchioRerank:
+    def _toks(self, spark, docs):
+        rows = [(d, p, t) for d, ts in docs.items()
+                for p, t in enumerate(ts)]
+        return spark.createDataFrame(
+            rows, "doc_id long, pos long, token string")
+
+    def test_expansion_promotes_co_occurring_docs(self, spark):
+        from saber_spark.operators.retrieval import rocchio_rerank
+        # 'q' docs all carry 'exp'; doc 10 has q once but lots of exp
+        docs = {i: ["q", "exp", "exp", "filler%d" % i] for i in range(5)}
+        docs[10] = ["q", "exp", "exp", "exp", "exp", "exp"]
+        docs[11] = ["q", "zzz", "zzz", "zzz", "zzz", "zzz"]
+        out = {r.doc_id: r for r in rocchio_rerank(
+            self._toks(spark, docs), ["q"], fb_docs=3,
+            fb_terms=2).collect()}
+        # the exp-heavy doc outranks the zzz doc after feedback
+        assert out[10].rank < out[11].rank
+
+    def test_candidates_limited_to_query_matches(self, spark):
+        from saber_spark.operators.retrieval import rocchio_rerank
+        docs = {0: ["q", "exp"], 1: ["exp", "exp"]}  # doc1 has no q
+        out = rocchio_rerank(self._toks(spark, docs), ["q"],
+                             fb_docs=1, fb_terms=1).collect()
+        assert [r.doc_id for r in out] == [0]
+
+    def test_deterministic_ranking(self, spark):
+        from saber_spark.operators.retrieval import rocchio_rerank
+        docs = {i: ["q", "a"] for i in range(4)}
+        out = rocchio_rerank(self._toks(spark, docs), ["q"]).collect()
+        assert [r.doc_id for r in out] == [0, 1, 2, 3]  # id tie-break

@@ -2655,6 +2655,40 @@ def main() -> None:
         0,
     ))
 
+    ct = e.q_ct_lang(spark, SF_DIR)
+    sections.append((
+        "ct_lang (gram-keyed scoring join, broadcast profiles)",
+        "Cavnar-Trenkle: trigram explode is narrow; language profiles "
+        "are rank windows on |langs| x |grams| rows; scoring is one "
+        "gram-keyed join against the broadcast top-40 profiles; the "
+        "argmin is a window over |docs| x |langs| rows.",
+        formatted_plan(ct),
+        ["Window", "HashAggregate", "Generate"],
+        0,
+    ))
+
+    ta = e.q_token_adaptation(spark, SF_DIR)
+    sections.append((
+        "token_adaptation (two-level count reduction)",
+        "Church adaptation: one (doc, token) agg, one token agg over "
+        "it, a 1-row N broadcast — all map-side combining.",
+        formatted_plan(ta),
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
+    ro = e.q_rocchio_rerank(spark, SF_DIR)
+    sections.append((
+        "rocchio_rerank (shared tf/df aggregates, broadcast weights)",
+        "Rocchio: tf/df/tfidf built once and reused by the first pass, "
+        "the feedback centroid, and the second-pass scoring; the "
+        "expanded weight table is a broadcast; top-k is "
+        "TakeOrderedAndProject.",
+        formatted_plan(ro),
+        ["HashAggregate", "TakeOrderedAndProject"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
