@@ -4887,6 +4887,30 @@ def q_rocchio_rerank(spark, sf_dir):
                           ["spark", "stream", "vector"])
 
 
+def q_cluster_validity(spark, sf_dir):
+    """Internal cluster-validity panel (cluster.cluster_validity:
+    simplified silhouette Hruschka 2004 / Davies-Bouldin 1979 /
+    Calinski-Harabasz 1974) over the kmeans_embeddings partition —
+    "is k right" without any pairwise point-point work: everything
+    derives from point-to-centroid and centroid-to-centroid
+    distances."""
+    from saber_spark.operators.cluster import cluster_validity
+    return cluster_validity(_embeddings(spark, sf_dir), k=4,
+                            iterations=3)
+
+
+def q_pca_top(spark, sf_dir):
+    """First principal component by power iteration
+    (cluster.pca_top_component, Pearson 1901 / von Mises 1929): the
+    dominant axis of the embedding cloud with its variance share —
+    the anisotropy/collapse smell test and the input to
+    dominant-direction removal. Covariance from ONE id-keyed
+    self-join of the long table; the fixpoint runs on the d^2-row
+    matrix."""
+    from saber_spark.operators.cluster import pca_top_component
+    return pca_top_component(_embeddings(spark, sf_dir), iterations=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -5315,6 +5339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ct_lang": q_ct_lang,
         "token_adaptation": q_token_adaptation,
         "rocchio_rerank": q_rocchio_rerank,
+        # r5 final session batch 23 (cluster validity, PCA power
+        # iteration)
+        "cluster_validity": q_cluster_validity,
+        "pca_top": q_pca_top,
     }
 
 
@@ -12773,4 +12801,156 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY score DESC, doc_id
             LIMIT 10""",
+        "cluster_validity": _kmeans_with_clause(4, 3) + """,
+            dimsj AS (
+              SELECT d.vec_id, d.dim, d.qv AS v, a.cluster
+              FROM dims d JOIN afinal a USING (vec_id)),
+            cents AS (SELECT cluster, dim, avg(v) AS c
+                      FROM dimsj GROUP BY cluster, dim),
+            d2 AS (
+              SELECT p.vec_id, p.cluster AS own, c.cluster AS cl,
+                     sum((p.v - c.c) * (p.v - c.c)) AS d2
+              FROM dimsj p JOIN cents c USING (dim)
+              GROUP BY p.vec_id, p.cluster, c.cluster),
+            per_point AS (
+              SELECT vec_id, own,
+                     max(CASE WHEN cl = own THEN d2 END) AS a2,
+                     min(CASE WHEN cl <> own THEN d2 END) AS b2
+              FROM d2 GROUP BY vec_id, own),
+            ps AS (
+              SELECT own AS cluster,
+                     CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+                          THEN (sqrt(b2) - sqrt(a2))
+                               / greatest(sqrt(a2), sqrt(b2))
+                          ELSE 0.0 END AS s,
+                     a2, sqrt(a2) AS ad
+              FROM per_point),
+            cl_stats AS (
+              SELECT cluster, count(*) AS n_i, avg(ad) AS s_i,
+                     sum(a2) AS w_i, avg(s) AS sil_i
+              FROM ps GROUP BY cluster),
+            gmu AS (SELECT dim, avg(v) AS g FROM dimsj GROUP BY dim),
+            btw AS (
+              SELECT sum(n_i * bd2) AS b FROM (
+                SELECT c.cluster, sum((c.c - g.g) * (c.c - g.g)) AS bd2
+                FROM cents c JOIN gmu g USING (dim)
+                GROUP BY c.cluster) x
+              JOIN cl_stats USING (cluster)),
+            cc AS (
+              SELECT a.cluster AS ci, b.cluster AS cj,
+                     sqrt(sum((a.c - b.c) * (a.c - b.c))) AS dc
+              FROM cents a JOIN cents b USING (dim)
+              WHERE a.cluster <> b.cluster
+              GROUP BY a.cluster, b.cluster),
+            dbt AS (
+              SELECT ci, max((si.s_i + sj.s_i) / dc) AS r_i
+              FROM cc
+              JOIN cl_stats si ON si.cluster = cc.ci
+              JOIN cl_stats sj ON sj.cluster = cc.cj
+              GROUP BY ci),
+            dbv AS (SELECT avg(r_i) AS db FROM dbt),
+            tot AS (SELECT sum(n_i) AS n, sum(w_i) AS w,
+                           sum(n_i * sil_i) AS sil_sum
+                    FROM cl_stats)
+            SELECT CAST(4 AS BIGINT) AS k,
+                   CAST(n AS BIGINT) AS n,
+                   round(sil_sum / n, 6) AS silhouette,
+                   round(db, 6) AS davies_bouldin,
+                   round((b / 3) / (w / (n - 4)), 6)
+                     AS calinski_harabasz
+            FROM tot CROSS JOIN btw CROSS JOIN dbv""",
+        "pca_top": """
+            WITH q AS (SELECT vec_id,
+                              list_transform(embedding,
+                                x -> CAST(round(x::DOUBLE * 1000)
+                                          AS BIGINT)) AS qv
+                       FROM embeddings),
+            dims AS (SELECT vec_id,
+                            CAST(generate_subscripts(qv, 1) - 1
+                                 AS BIGINT) AS dim,
+                            unnest(qv) AS v
+                     FROM q),
+            mu AS (SELECT dim, avg(v) AS mu FROM dims GROUP BY dim),
+            centered AS (
+              SELECT d.vec_id, d.dim, d.v - mu.mu AS x
+              FROM dims d JOIN mu USING (dim)),
+            nn AS (SELECT count(*) AS n FROM q),
+            cov AS MATERIALIZED (
+              SELECT a.dim AS i, b.dim AS j,
+                     sum(a.x * b.x) / (max(nn.n) - 1) AS c
+              FROM centered a JOIN centered b USING (vec_id)
+              CROSS JOIN nn
+              GROUP BY a.dim, b.dim),
+            v0 AS (SELECT DISTINCT i AS dim, CAST(1.0 AS DOUBLE) AS v
+                   FROM cov),
+            w1 AS MATERIALIZED (
+              SELECT cov.i, sum(cov.c * v0.v) AS w
+              FROM cov JOIN v0 ON v0.dim = cov.j
+              GROUP BY cov.i),
+            n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
+            v1 AS MATERIALIZED (SELECT i AS dim, w / nrm AS v
+                     FROM w1 CROSS JOIN n1),
+            w2 AS MATERIALIZED (
+              SELECT cov.i, sum(cov.c * v1.v) AS w
+              FROM cov JOIN v1 ON v1.dim = cov.j
+              GROUP BY cov.i),
+            n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2),
+            v2 AS MATERIALIZED (SELECT i AS dim, w / nrm AS v
+                     FROM w2 CROSS JOIN n2),
+            w3 AS MATERIALIZED (
+              SELECT cov.i, sum(cov.c * v2.v) AS w
+              FROM cov JOIN v2 ON v2.dim = cov.j
+              GROUP BY cov.i),
+            n3 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w3),
+            v3 AS MATERIALIZED (SELECT i AS dim, w / nrm AS v
+                     FROM w3 CROSS JOIN n3),
+            w4 AS MATERIALIZED (
+              SELECT cov.i, sum(cov.c * v3.v) AS w
+              FROM cov JOIN v3 ON v3.dim = cov.j
+              GROUP BY cov.i),
+            n4 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w4),
+            v4 AS MATERIALIZED (SELECT i AS dim, w / nrm AS v
+                     FROM w4 CROSS JOIN n4),
+            w5 AS MATERIALIZED (
+              SELECT cov.i, sum(cov.c * v4.v) AS w
+              FROM cov JOIN v4 ON v4.dim = cov.j
+              GROUP BY cov.i),
+            n5 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w5),
+            v5 AS MATERIALIZED (SELECT i AS dim, w / nrm AS v
+                     FROM w5 CROSS JOIN n5),
+            w6 AS MATERIALIZED (
+              SELECT cov.i, sum(cov.c * v5.v) AS w
+              FROM cov JOIN v5 ON v5.dim = cov.j
+              GROUP BY cov.i),
+            n6 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w6),
+            v6 AS MATERIALIZED (SELECT i AS dim, w / nrm AS v
+                     FROM w6 CROSS JOIN n6),
+            w7 AS MATERIALIZED (
+              SELECT cov.i, sum(cov.c * v6.v) AS w
+              FROM cov JOIN v6 ON v6.dim = cov.j
+              GROUP BY cov.i),
+            n7 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w7),
+            v7 AS MATERIALIZED (SELECT i AS dim, w / nrm AS v
+                     FROM w7 CROSS JOIN n7),
+            w8 AS MATERIALIZED (
+              SELECT cov.i, sum(cov.c * v7.v) AS w
+              FROM cov JOIN v7 ON v7.dim = cov.j
+              GROUP BY cov.i),
+            n8 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w8),
+            v8 AS MATERIALIZED (SELECT i AS dim, w / nrm AS v
+                     FROM w8 CROSS JOIN n8),
+            lam AS (
+              SELECT sum(vi.v * cov.c * vj.v) AS lam
+              FROM cov
+              JOIN v8 vi ON vi.dim = cov.i
+              JOIN v8 vj ON vj.dim = cov.j),
+            tr AS (SELECT sum(c) AS tr FROM cov WHERE i = j),
+            sgn AS (SELECT CASE WHEN sum(v) < 0 THEN -1.0
+                                ELSE 1.0 END AS sgn
+                    FROM v8)
+            SELECT CAST(v8.dim AS BIGINT) AS dim,
+                   round(v8.v * sgn.sgn, 6) AS loading,
+                   round(lam.lam, 6) AS eigenvalue,
+                   round(lam.lam / tr.tr, 6) AS var_share
+            FROM v8 CROSS JOIN lam CROSS JOIN tr CROSS JOIN sgn""",
     }

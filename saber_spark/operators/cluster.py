@@ -151,3 +151,191 @@ def semdedup(embeddings: DataFrame, k: int = 4, iterations: int = 3,
             .join(dropped, member[id_col] == dropped.dropped_id, "left")
             .select(id_col, "cluster",
                     F.col("dropped_id").isNull().alias("keep")))
+
+
+def cluster_validity(embeddings: DataFrame, k: int = 4,
+                     iterations: int = 3, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Internal cluster-validity panel over the kmeans_assign
+    partition: simplified silhouette (Hruschka et al. 2004 — the
+    centroid-distance form of Rousseeuw 1987's silhouette, the
+    standard scalable variant), Davies-Bouldin (1979), and
+    Calinski-Harabasz (1974) — the three textbook answers to "is k
+    right / are these clusters real", computed WITHOUT any pairwise
+    point-point work:
+
+        s_i  = (b_i - a_i) / max(a_i, b_i)   a = dist to own
+               centroid, b = min dist to another centroid
+        DB   = (1/k) sum_i max_j (s_i + s_j) / d(c_i, c_j)
+        CH   = [B/(k-1)] / [W/(n-k)]
+
+    Centroids here are the exact DOUBLE means of the final
+    assignment (not the engine-rounded integer update centroids —
+    validity measures the PARTITION, and double means are the
+    textbook definition). All distances are Euclidean on the
+    quantized integer vectors -> engine-portable doubles.
+
+    Scale shape: assignments from kmeans_assign (its documented
+    driver-bounded k x d model); then one (cluster, dim) mean agg,
+    one point x k x d distance join (narrow, k and d constants), and
+    k^2-row DB arithmetic. Nothing pairwise in points.
+
+    -> ONE row (k, n, silhouette 6dp, davies_bouldin 6dp,
+    calinski_harabasz 6dp).
+    """
+    assign = kmeans_assign(embeddings, k=k, iterations=iterations,
+                           id_col=id_col, vec_col=vec_col) \
+        .select(id_col, "cluster")
+    q = F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * QUANT)
+                    .cast("long"))
+    dims = (embeddings.select(F.col(id_col), q.alias("qv"))
+            .select(id_col, F.posexplode("qv").alias("dim", "v"))
+            .join(assign, id_col)
+            .localCheckpoint(eager=True))
+    cents = (dims.groupBy("cluster", "dim")
+             .agg(F.avg("v").alias("c")))
+    # distances from every point to every centroid
+    d2 = (dims.select(id_col, F.col("cluster").alias("own"),
+                      "dim", "v")
+          .join(F.broadcast(cents.select(
+              F.col("cluster").alias("cl"), "dim", "c")), "dim")
+          .groupBy(id_col, "own", "cl")
+          .agg(F.sum((F.col("v") - F.col("c"))
+                     * (F.col("v") - F.col("c"))).alias("d2")))
+    per_point = (d2.groupBy(id_col, "own")
+                 .agg(F.max(F.when(F.col("cl") == F.col("own"),
+                                   F.col("d2"))).alias("a2"),
+                      F.min(F.when(F.col("cl") != F.col("own"),
+                                   F.col("d2"))).alias("b2")))
+    a, b = F.sqrt("a2"), F.sqrt("b2")
+    sil = F.when(F.greatest(a, b) > 0,
+                 (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
+    point_stats = per_point.select(
+        F.col("own").alias("cluster"), sil.alias("s"),
+        F.col("a2"), a.alias("ad"))
+    cl_stats = (point_stats.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n_i"),
+                     F.avg("ad").alias("s_i"),
+                     F.sum("a2").alias("w_i"),
+                     F.avg("s").alias("sil_i")))
+    glob = (dims.groupBy("dim").agg(F.avg("v").alias("g")))
+    b_between = (cents.join(F.broadcast(glob), "dim")
+                 .groupBy("cluster")
+                 .agg(F.sum((F.col("c") - F.col("g"))
+                            * (F.col("c") - F.col("g"))).alias("bd2"))
+                 .join(cl_stats.select("cluster", "n_i"), "cluster")
+                 .agg(F.sum(F.col("n_i") * F.col("bd2")).alias("b")))
+    # centroid-centroid distances for DB
+    cc = (cents.select(F.col("cluster").alias("ci"), "dim",
+                       F.col("c").alias("vi"))
+          .join(cents.select(F.col("cluster").alias("cj"), "dim",
+                             F.col("c").alias("vj")), "dim")
+          .filter(F.col("ci") != F.col("cj"))
+          .groupBy("ci", "cj")
+          .agg(F.sqrt(F.sum((F.col("vi") - F.col("vj"))
+                            * (F.col("vi") - F.col("vj"))))
+               .alias("dc")))
+    db_terms = (cc
+                .join(F.broadcast(cl_stats.select(
+                    F.col("cluster").alias("ci"),
+                    F.col("s_i").alias("si"))), "ci")
+                .join(F.broadcast(cl_stats.select(
+                    F.col("cluster").alias("cj"),
+                    F.col("s_i").alias("sj"))), "cj")
+                .groupBy("ci")
+                .agg(F.max((F.col("si") + F.col("sj")) / F.col("dc"))
+                     .alias("r_i")))
+    db = db_terms.agg(F.avg("r_i").alias("db"))
+    tot = cl_stats.agg(F.sum("n_i").alias("n"),
+                       F.sum("w_i").alias("w"),
+                       F.sum(F.col("n_i") * F.col("sil_i")).alias("sil_sum"))
+    return (tot.crossJoin(F.broadcast(b_between))
+            .crossJoin(F.broadcast(db))
+            .select(F.lit(k).cast("long").alias("k"),
+                    F.col("n").cast("long").alias("n"),
+                    F.round(F.col("sil_sum") / F.col("n"), 6)
+                    .alias("silhouette"),
+                    F.round("db", 6).alias("davies_bouldin"),
+                    F.round((F.col("b") / (k - 1))
+                            / (F.col("w") / (F.col("n") - k)), 6)
+                    .alias("calinski_harabasz")))
+
+
+def pca_top_component(embeddings: DataFrame, iterations: int = 8,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """First principal component by power iteration on the sample
+    covariance matrix (Pearson 1901; Hotelling 1933; the power method
+    is von Mises 1929) — the dominant axis of an embedding cloud: its
+    variance share says whether the space is healthy (an
+    anisotropic/collapsed embedding table shows one component eating
+    most variance — the standard representation-quality smell) and
+    the loadings feed whitening or ABTT-style dominant-direction
+    removal.
+
+    Deterministic: quantized integer inputs, uniform start vector,
+    FIXED iteration count (no convergence test), sign normalized so
+    the loading sum is >= 0 — both engines evaluate the identical
+    expression tree.
+
+    Scale shape: the d x d covariance is built from ONE self-join of
+    the (id, dim) long table on the id key (d-bounded fan per row,
+    co-partitioned) — points are never paired; the power loop runs on
+    the d^2-row matrix (4096 rows at d = 64) with d-row vectors —
+    driver holds only the loop counter.
+
+    -> d rows (dim, loading 6dp, eigenvalue 6dp, var_share 6dp) —
+    eigenvalue/share are the same on every row by construction.
+    """
+    q = F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * QUANT)
+                    .cast("long"))
+    dims = (embeddings.select(F.col(id_col), q.alias("qv"))
+            .select(id_col, F.posexplode("qv").alias("dim", "v")))
+    mu = dims.groupBy("dim").agg(F.avg("v").alias("mu"))
+    centered = (dims.join(F.broadcast(mu), "dim")
+                .select(id_col, "dim",
+                        (F.col("v") - F.col("mu")).alias("x")))
+    n = embeddings.count()
+    cov = (centered.select(id_col, F.col("dim").alias("i"),
+                           F.col("x").alias("xi"))
+           .join(centered.select(id_col, F.col("dim").alias("j"),
+                                 F.col("x").alias("xj")), id_col)
+           .groupBy("i", "j")
+           .agg((F.sum(F.col("xi") * F.col("xj")) / (n - 1))
+                .alias("c"))
+           .localCheckpoint(eager=True))
+    v = cov.select("i").distinct().select(
+        F.col("i").alias("dim"), F.lit(1.0).alias("v"))
+    for _ in range(iterations):
+        w = (cov.join(v, cov.j == v.dim)
+             .groupBy("i")
+             .agg(F.sum(F.col("c") * F.col("v")).alias("w")))
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w")))
+                    .alias("nrm"))
+        v = (w.crossJoin(F.broadcast(nrm))
+             .select(F.col("i").alias("dim"),
+                     (F.col("w") / F.col("nrm")).alias("v")))
+        v = v.localCheckpoint(eager=True)
+    lam = (cov.join(v.select(F.col("dim").alias("j2"),
+                             F.col("v").alias("vj")),
+                    cov.j == F.col("j2"))
+           .join(v.select(F.col("dim").alias("i2"),
+                          F.col("v").alias("vi")),
+                 cov.i == F.col("i2"))
+           .agg(F.sum(F.col("vi") * F.col("c") * F.col("vj"))
+                .alias("lam")))
+    trace = cov.filter(F.col("i") == F.col("j")) \
+        .agg(F.sum("c").alias("tr"))
+    sgn = v.agg(F.when(F.sum("v") < 0, F.lit(-1.0))
+                .otherwise(F.lit(1.0)).alias("sgn"))
+    return (v.crossJoin(F.broadcast(lam))
+            .crossJoin(F.broadcast(trace))
+            .crossJoin(F.broadcast(sgn))
+            .select(F.col("dim").cast("long").alias("dim"),
+                    F.round(F.col("v") * F.col("sgn"), 6)
+                    .alias("loading"),
+                    F.round("lam", 6).alias("eigenvalue"),
+                    F.round(F.col("lam") / F.col("tr"), 6)
+                    .alias("var_share")))

@@ -2689,6 +2689,30 @@ def main() -> None:
         0,
     ))
 
+    cv = e.q_cluster_validity(spark, SF_DIR)
+    sections.append((
+        "cluster_validity (centroid-distance panel, no point pairs)",
+        "Silhouette/DB/CH from point-to-centroid and centroid-to-"
+        "centroid distances only: one (cluster, dim) mean agg, a "
+        "point x k x d broadcast join, k^2-row DB arithmetic — "
+        "nothing pairwise in points.",
+        formatted_plan(cv),
+        ["HashAggregate", "BroadcastHashJoin"],
+        0,
+    ))
+
+    pc = e.q_pca_top(spark, SF_DIR)
+    sections.append((
+        "pca_top (id-keyed covariance, d^2-row power loop)",
+        "Covariance from ONE self-join of the (id, dim) long table on "
+        "the id key (d-bounded fan); the 8-step power loop runs on the "
+        "localCheckpointed d^2-row matrix, so plan growth is linear "
+        "and points are never paired.",
+        formatted_plan(pc),
+        ["HashAggregate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
