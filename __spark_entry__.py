@@ -491,6 +491,39 @@ GADGET_EDGE_ROWS = (
     + [("cliqA00", "cliqB00")])
 GADGET_VALUES_SQL = ", ".join(f"('{a}', '{b}')" for a, b in GADGET_EDGE_ROWS)
 
+#: bowtie gadget: the bare host fixture is CORE + IN only (every host
+#: links into the src0-6 hub set), so these deterministic extras create
+#: the remaining Broder classes — an OUT chain off the core, a tendril
+#: off IN, a tube IN->OUT bypassing the core, and a disconnected pair.
+BOWTIE_GADGET_ROWS = [
+    ("src1.example.org", "outa.example.org"),     # core -> OUT
+    ("outa.example.org", "outb.example.org"),     # OUT chain
+    ("src19.example.org", "tdra.example.org"),    # tendril off IN
+    ("src17.example.org", "tubea.example.org"),   # tube entrance
+    ("tubea.example.org", "outa.example.org"),    # tube -> OUT
+    ("dsca.example.org", "dscb.example.org"),     # disconnected pair
+]
+BOWTIE_GADGET_VALUES_SQL = ", ".join(
+    f"('{a}', '{b}')" for a, b in BOWTIE_GADGET_ROWS)
+
+#: link-farm gadget for the trustrank query: five spam hosts pump rank
+#: into a boss page that links into the trusted core — high PageRank,
+#: zero trust, spam mass ~ 1 (the pattern TrustRank exists to catch).
+TRUST_GADGET_ROWS = (
+    [(f"spam{i:02d}.example.org", "spamboss.example.org")
+     for i in range(5)]
+    + [("spamboss.example.org", "src0.example.org")])
+TRUST_GADGET_VALUES_SQL = ", ".join(
+    f"('{a}', '{b}')" for a, b in TRUST_GADGET_ROWS)
+
+#: the kge.ROT65 rotation table as SQL VALUES (idx, c, s) — the oracle
+#: re-derives the per-dimension rotation choice from the same quantized
+#: relation components, so the constant list must match kge.ROT65 exactly.
+from saber_spark.operators.kge import ROT65 as _ROT65  # noqa: E402
+
+ROT65_VALUES_SQL = ", ".join(
+    f"({i}, {c}, {s})" for i, (c, s) in enumerate(_ROT65))
+
 
 def _modularity_oracle_sql(rounds: int = 3) -> str:
     """Twin of operators/graph.py:modularity over label_propagation's
@@ -4911,6 +4944,56 @@ def q_pca_top(spark, sf_dir):
     return pca_top_component(_embeddings(spark, sf_dir), iterations=8)
 
 
+def q_rotate_score(spark, sf_dir):
+    """RotatE triple plausibility (kge.rotate_score, Sun et al. ICLR
+    2019): per-dimension unit complex rotations drawn from the 32
+    exact hypotenuse-65 Pythagorean rotations (no trig — engine-exact
+    integers until one final /65), L1 energy ||h o r - t||_1, LOWEST
+    wins — the composition/inversion-capable completion of the
+    transe/distmult/complex scoring family. Same two entity-resolution
+    equi-joins, rotation constants folded into codegen literals, top-5
+    per relation."""
+    from saber_spark.operators.kge import rotate_score
+    return rotate_score(
+        _schema_kg3(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        {"placed": 100, "contains": 101, "supplies": 102}, top_k=5)
+
+
+def q_bowtie_hosts(spark, sf_dir):
+    """Broder WWW-2000 bowtie census of the host graph
+    (graph.bowtie_structure): CORE/IN/OUT/TENDRIL/DISCONNECTED class
+    sizes + shares from one forward and one backward frontier BFS off
+    the max-degree pivot plus weak-CC membership. The bare fixture is
+    CORE + IN only, so BOWTIE_GADGET_ROWS adds an OUT chain, a tendril,
+    an IN->OUT tube, and a disconnected pair. Oracle: two depth-capped
+    recursive reachability CTEs + the recursive min-label CC."""
+    from saber_spark.operators.graph import bowtie_structure
+    gadget = spark.createDataFrame(BOWTIE_GADGET_ROWS,
+                                   "src string, dst string")
+    return bowtie_structure(
+        _host_edges(spark, sf_dir).unionByName(gadget), max_depth=8)
+
+
+def q_trustrank_hosts(spark, sf_dir):
+    """TrustRank + relative spam mass (graph.trustrank_spam_mass,
+    Gyöngyi et al. VLDB 2004 / spam mass 2006) over the DIRECTED host
+    graph plus a five-host link farm (TRUST_GADGET_ROWS): trusted core
+    {src0, src1}, one power loop carrying BOTH the PageRank and the
+    trust vector (half the joins of two runs), spam_mass =
+    (pr - trust)/pr from the 6dp-rounded values. The farm's boss page
+    earns high rank and ~1 spam mass; the trusted core goes <= 0.
+    Oracle: unrolled 4-round directed twin of the ppr_hosts CTE."""
+    from saber_spark.operators.graph import trustrank_spam_mass
+    gadget = spark.createDataFrame(TRUST_GADGET_ROWS,
+                                   "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("src0.example.org",), ("src1.example.org",)], "node string")
+    return trustrank_spam_mass(
+        _host_edges(spark, sf_dir).unionByName(gadget), seeds,
+        iterations=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -5343,6 +5426,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iteration)
         "cluster_validity": q_cluster_validity,
         "pca_top": q_pca_top,
+        # batch 24 (RotatE scoring, Broder bowtie census)
+        "rotate_score": q_rotate_score,
+        "bowtie_hosts": q_bowtie_hosts,
+        # batch 25 (TrustRank web-spam demotion)
+        "trustrank_hosts": q_trustrank_hosts,
     }
 
 
@@ -12953,4 +13041,162 @@ def oracle_sql() -> dict[str, str]:
                    round(lam.lam, 6) AS eigenvalue,
                    round(lam.lam / tr.tr, 6) AS var_share
             FROM v8 CROSS JOIN lam CROSS JOIN tr CROSS JOIN sgn""",
+        "rotate_score": f"""
+
+            WITH placed AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subj, 'placed' AS pred,
+                     CASE WHEN o_orderkey % 13 = 0 THEN 'cust:' || CAST(o_custkey AS VARCHAR)
+                          ELSE 'order:' || CAST(o_orderkey AS VARCHAR) END AS obj
+              FROM orders),
+            contains_t AS (
+              SELECT 'order:' || CAST(l_orderkey AS VARCHAR), 'contains', 'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+            supplies_t AS (
+              SELECT 'supp:' || CAST(l_suppkey AS VARCHAR), 'supplies', 'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+            t AS (SELECT DISTINCT * FROM (SELECT * FROM placed UNION ALL SELECT * FROM contains_t UNION ALL SELECT * FROM supplies_t)),
+            q AS MATERIALIZED (
+              SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv FROM embeddings),
+            dm AS (SELECT CAST(len(qv) / 2 AS INT) AS h FROM q LIMIT 1),
+            vals AS MATERIALIZED (
+              SELECT vec_id, CAST(generate_subscripts(qv, 1) AS INT) AS i, unnest(qv) AS v FROM q),
+            -- complex packing: dim i pairs Re = component i, Im = component i + half
+            cx AS MATERIALIZED (
+              SELECT a.vec_id, a.i, a.v AS re, b.v AS im
+              FROM vals a JOIN vals b ON b.vec_id = a.vec_id
+                                     AND b.i = a.i + (SELECT h FROM dm)
+              WHERE a.i <= (SELECT h FROM dm)),
+            nv AS (SELECT count(*) AS n FROM embeddings),
+            tt AS MATERIALIZED (
+              SELECT subj, pred, obj,
+                     (CAST(regexp_extract(subj, '([0-9]+)', 1) AS BIGINT)
+                      + CASE WHEN subj LIKE 'cust:%' THEN 0 WHEN subj LIKE 'order:%' THEN 7
+                             WHEN subj LIKE 'part:%' THEN 13 WHEN subj LIKE 'supp:%' THEN 29 ELSE 0 END)
+                       % (SELECT n FROM nv) AS hid,
+                     (CAST(regexp_extract(obj, '([0-9]+)', 1) AS BIGINT)
+                      + CASE WHEN obj LIKE 'cust:%' THEN 0 WHEN obj LIKE 'order:%' THEN 7
+                             WHEN obj LIKE 'part:%' THEN 13 WHEN obj LIKE 'supp:%' THEN 29 ELSE 0 END)
+                       % (SELECT n FROM nv) AS tid,
+                     CASE pred WHEN 'placed' THEN 100 WHEN 'contains' THEN 101 WHEN 'supplies' THEN 102 END AS rid
+              FROM t),
+            rot AS (SELECT * FROM (VALUES {ROT65_VALUES_SQL}) AS rot(idx, c, s)),
+            relrot AS MATERIALIZED (
+              SELECT r.vec_id AS rid, r.i, rot.c, rot.s
+              FROM cx r
+              JOIN rot ON rot.idx = (abs(r.re) + 3 * abs(r.im)) % 32
+              WHERE r.vec_id IN (100, 101, 102)),
+            hrx AS MATERIALIZED (
+              SELECT h.vec_id AS hid, rr.rid, h.i,
+                     h.re, h.im, rr.c, rr.s
+              FROM cx h JOIN relrot rr ON rr.i = h.i),
+            ids AS MATERIALIZED (SELECT DISTINCT hid, rid, tid FROM tt),
+            en AS MATERIALIZED (
+              SELECT e.hid, e.rid, e.tid,
+                     round(sum(abs(hr.re * hr.c - hr.im * hr.s - 65 * ta.re)
+                               + abs(hr.im * hr.c + hr.re * hr.s - 65 * ta.im)
+                               ) / 65.0, 6) AS energy
+              FROM ids e
+              JOIN hrx hr ON hr.hid = e.hid AND hr.rid = e.rid
+              JOIN cx ta ON ta.vec_id = e.tid AND ta.i = hr.i
+              GROUP BY 1, 2, 3)
+            SELECT subj, pred, obj, energy, CAST(rank AS BIGINT) AS rank
+            FROM (SELECT tt.subj, tt.pred, tt.obj, en.energy,
+                         ROW_NUMBER() OVER (PARTITION BY tt.pred ORDER BY en.energy ASC, tt.subj, tt.obj) AS rank
+                  FROM tt JOIN en ON en.hid = tt.hid AND en.rid = tt.rid AND en.tid = tt.tid)
+            WHERE rank <= 5""",
+        "bowtie_hosts": f"""
+            WITH RECURSIVE {HOST_EDGES_CTE.strip()},
+            gadget AS (SELECT * FROM (VALUES {BOWTIE_GADGET_VALUES_SQL})
+                       AS g(src, dst)),
+            alle AS (SELECT DISTINCT src, dst FROM
+                     (SELECT src, dst FROM hedges
+                      UNION ALL SELECT src, dst FROM gadget)),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT src AS node FROM alle
+                       UNION ALL SELECT dst FROM alle)),
+            d1 AS (SELECT src AS node, count(*) AS c FROM alle GROUP BY 1),
+            d2 AS (SELECT dst AS node, count(*) AS c FROM alle GROUP BY 1),
+            deg AS (SELECT n.node,
+                           coalesce(d1.c, 0) + coalesce(d2.c, 0) AS d
+                    FROM nodes n
+                    LEFT JOIN d1 USING (node) LEFT JOIN d2 USING (node)),
+            pv AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+            fwd (node, dist) AS (
+              SELECT node, 0 FROM pv
+              UNION
+              SELECT e.dst, f.dist + 1
+              FROM fwd f JOIN alle e ON e.src = f.node
+              WHERE f.dist < 8),
+            bwd (node, dist) AS (
+              SELECT node, 0 FROM pv
+              UNION
+              SELECT e.src, b.dist + 1
+              FROM bwd b JOIN alle e ON e.dst = b.node
+              WHERE b.dist < 8),
+            sym AS (SELECT src AS a, dst AS b FROM alle
+                    UNION SELECT dst, src FROM alle),
+            reach (node, root) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node),
+            comp AS (SELECT node, min(root) AS component
+                     FROM reach GROUP BY node),
+            pcomp AS (SELECT c.component FROM comp c
+                      JOIN pv p ON p.node = c.node),
+            fset AS (SELECT DISTINCT node FROM fwd),
+            bset AS (SELECT DISTINCT node FROM bwd),
+            cls AS (
+              SELECT n.node,
+                     CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL
+                            THEN 'CORE'
+                          WHEN b.node IS NOT NULL THEN 'IN'
+                          WHEN f.node IS NOT NULL THEN 'OUT'
+                          WHEN c.component = (SELECT component FROM pcomp)
+                            THEN 'TENDRIL'
+                          ELSE 'DISCONNECTED' END AS component
+              FROM nodes n
+              LEFT JOIN fset f ON f.node = n.node
+              LEFT JOIN bset b ON b.node = n.node
+              JOIN comp c ON c.node = n.node),
+            tot AS (SELECT count(*) AS n FROM nodes)
+            SELECT component, CAST(count(*) AS BIGINT) AS n_hosts,
+                   round(count(*) / (SELECT n FROM tot)::DOUBLE, 6) AS share
+            FROM cls GROUP BY component""",
+        "trustrank_hosts": f"""
+            WITH {HOST_EDGES_CTE.strip()},
+            gadget AS (SELECT * FROM (VALUES {TRUST_GADGET_VALUES_SQL})
+                       AS g(src, dst)),
+            alle AS (SELECT DISTINCT src AS a, dst AS b FROM
+                     (SELECT src, dst FROM hedges
+                      UNION ALL SELECT src, dst FROM gadget)),
+            outdeg AS (SELECT a, count(*) AS outdeg FROM alle GROUP BY a),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT a AS node FROM alle
+                       UNION ALL SELECT b FROM alle)),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            sv AS (SELECT node,
+                          1.0 / (SELECT n FROM nn) AS u,
+                          CASE WHEN node IN ('src0.example.org',
+                                             'src1.example.org')
+                               THEN 0.5 ELSE 0.0 END AS seed
+                   FROM nodes),
+            v0 AS (SELECT node, u AS pr, seed AS trust FROM sv)"""
+        + "".join(f""",
+            v{i} AS (
+              SELECT s.node,
+                     0.15 * s.u + 0.85 * COALESCE(c.cp, 0.0) AS pr,
+                     0.15 * s.seed + 0.85 * COALESCE(c.ct, 0.0) AS trust
+              FROM sv s LEFT JOIN (
+                SELECT e.b AS node,
+                       sum(p.pr / o.outdeg) AS cp,
+                       sum(p.trust / o.outdeg) AS ct
+                FROM alle e
+                JOIN v{i - 1} p ON e.a = p.node
+                JOIN outdeg o ON o.a = e.a
+                GROUP BY e.b) c USING (node))""" for i in range(1, 5))
+        + """
+            SELECT node, round(pr, 6) AS pr, round(trust, 6) AS trust,
+                   CASE WHEN round(pr, 6) > 0
+                        THEN round((round(pr, 6) - round(trust, 6))
+                                   / round(pr, 6), 6)
+                        ELSE 0.0 END AS spam_mass
+            FROM v4""",
     }

@@ -296,6 +296,10 @@ def main() -> None:
         # round 5 final session batch 22 (Cavnar-Trenkle, adaptation,
         # Rocchio)
         "ct_lang", "token_adaptation", "rocchio_rerank",
+        # round 5 final session batches 23-25 (cluster validity, PCA,
+        # RotatE, bowtie census, TrustRank)
+        "cluster_validity", "pca_top", "rotate_score", "bowtie_hosts",
+        "trustrank_hosts",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

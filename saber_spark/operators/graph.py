@@ -1630,3 +1630,164 @@ def katz_centrality(edges: DataFrame, src_col: str = "src",
             .select("node",
                     F.round(F.coalesce("w", F.lit(0.0)), 6)
                     .alias("katz")))
+
+
+def bowtie_structure(edges: DataFrame, src: str = "src", dst: str = "dst",
+                     max_depth: int = 8, cc_max_iter: int = 25
+                     ) -> DataFrame:
+    """Bowtie decomposition of a directed web graph (Broder et al.,
+    WWW 2000 "Graph structure in the Web"): classify every host into
+
+        CORE          the giant strongly connected component
+        IN            reaches the core but is not reached by it
+        OUT           reached by the core but does not reach it
+        TENDRIL       weakly connected to the core's component but in
+                      none of the above (includes Broder's tubes —
+                      IN->OUT paths bypassing the core)
+        DISCONNECTED  not even weakly connected to the core
+
+    — the standard structural census of a crawl ("how much of the web
+    can a crawler starting in the core actually reach?").
+
+    Pivot: the node with the highest total degree (tie: smallest name)
+    — in a web graph the top hub is in the giant SCC with near
+    certainty (Broder picks an arbitrary giant-SCC member; degree-max
+    is the deterministic stand-in).  CORE/IN/OUT then come from ONE
+    forward and ONE backward frontier BFS from the pivot
+    (khop_distance's level-synchronous shape: per round, one equi-join
+    keyed on the frontier + one anti-join — shuffle volume tracks the
+    frontier, never the graph), depth-capped at max_depth (both
+    engines; a real crawl graph's diameter is far below 8 from a hub
+    by the same small-world evidence Broder measures).  Weak
+    connectivity reuses connected_components' fixpoint min-label
+    propagation.
+
+    -> (component, n_hosts, share 6dp), one row per NON-EMPTY class.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+         .distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    deg = (e.select(F.col("u").alias("node"))
+           .unionByName(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    # bounded driver action: exactly one row (the pivot)
+    pivot = (deg.orderBy(F.col("d").desc(), F.col("node").asc())
+             .limit(1).collect()[0]["node"])
+    seeds = nodes.filter(F.col("node") == F.lit(pivot))
+    fwd = (khop_distance(e, seeds, k=max_depth, src="u", dst="v")
+           .select("node", F.lit(True).alias("in_f")))
+    bwd = (khop_distance(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")),
+                         seeds, k=max_depth, src="u", dst="v")
+           .select("node", F.lit(True).alias("in_b")))
+    cc = connected_components(e, src="u", dst="v", max_iter=cc_max_iter)
+    pivot_comp = (cc.filter(F.col("node") == F.lit(pivot))
+                  .select(F.col("component").alias("pivot_component")))
+    cls = (nodes
+           .join(fwd, "node", "left")
+           .join(bwd, "node", "left")
+           .join(cc, "node")
+           .crossJoin(F.broadcast(pivot_comp))
+           .select(F.when(F.col("in_f") & F.col("in_b"), "CORE")
+                   .when(F.col("in_b"), "IN")
+                   .when(F.col("in_f"), "OUT")
+                   .when(F.col("component") == F.col("pivot_component"),
+                         "TENDRIL")
+                   .otherwise("DISCONNECTED").alias("component")))
+    tot = cls.agg(F.count(F.lit(1)).alias("n_total"))
+    return (cls.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_hosts"))
+            .crossJoin(F.broadcast(tot))
+            .select("component", "n_hosts",
+                    F.round(F.col("n_hosts")
+                            / F.col("n_total").cast("double"), 6)
+                    .alias("share")))
+
+
+def trustrank_spam_mass(edges: DataFrame, seeds: DataFrame,
+                        src: str = "src", dst: str = "dst",
+                        seed_col: str = "node", iterations: int = 4,
+                        damping: float = 0.85,
+                        materialize: bool = True) -> DataFrame:
+    """TrustRank + relative spam mass (Gyöngyi, Garcia-Molina &
+    Pedersen, VLDB 2004 "Combating Web Spam with TrustRank"; spam mass
+    per Gyöngyi et al. 2006): run PageRank and TrustRank over the
+    DIRECTED link graph in ONE power loop —
+
+        pr_{r+1}(v)    = (1-d)/n       + d * sum_in pr(u)/outdeg(u)
+        trust_{r+1}(v) = (1-d)*seed(v) + d * sum_in trust(u)/outdeg(u)
+
+    (seed uniform over the trusted set) — and report per node the
+    relative spam mass (pr - trust)/pr: ~1 for pages whose rank comes
+    entirely from untrusted regions (link farms), <= 0 for the trusted
+    core.  Trust flows ALONG out-links only, so the graph stays
+    directed (unlike pagerank/ppr's symmetrized variants).  Dangling
+    mass is dropped identically in both engines (no redistribution
+    term), which cancels in the ratio.
+
+    Scale shape: both vectors ride in one DataFrame, so each round is
+    ONE equi-join of the (pr, trust) vector against the
+    localCheckpointed degree-carrying edge table + ONE hash agg on the
+    destination computing both sums, then a LEFT join back to the node
+    set for teleport — pagerank's linear-plan-growth shape at exactly
+    half the joins of running the two rankings separately.  The seed
+    table enters as a broadcast.
+
+    -> (node, pr 6dp, trust 6dp, spam_mass 6dp); spam_mass = 0.0 when
+    pr rounds to 0 (teleport guarantees pr > 0 for every node).
+    """
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+         .distinct())
+    if materialize:
+        e = e.localCheckpoint(eager=True)
+    outdeg = e.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
+    contrib_edges = e.join(outdeg, "a")
+    nodes = (e.select(F.col("a").alias("node"))
+             .unionByName(e.select(F.col("b").alias("node")))
+             .distinct())
+    if materialize:
+        nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("trustrank_spam_mass: empty trusted seed set")
+    n_absent = seed_nodes.join(nodes, "node", "left_anti").limit(1).count()
+    if n_absent:
+        raise ValueError(
+            "trustrank_spam_mass: trusted seed(s) not present in the "
+            "graph's node set")
+    s = (nodes.join(F.broadcast(seed_nodes.withColumn(
+            "seed", F.lit(1.0 / n_seeds))), "node", "left")
+         .select("node", F.lit(1.0 / n).alias("u"),
+                 F.coalesce("seed", F.lit(0.0)).alias("seed")))
+    if materialize:
+        s = s.localCheckpoint(eager=True)
+    vec = s.select("node", F.col("u").alias("pr"),
+                   F.col("seed").alias("trust"))
+    for _ in range(iterations):
+        contrib = (contrib_edges.join(vec, contrib_edges.a == vec.node)
+                   .groupBy(F.col("b").alias("node2"))
+                   .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("cp"),
+                        F.sum(F.col("trust") / F.col("outdeg")).alias("ct"))
+                   .withColumnRenamed("node2", "node"))
+        vec = (s.join(contrib, "node", "left")
+               .select("node",
+                       (F.lit(1.0 - damping) * F.col("u")
+                        + F.lit(damping)
+                        * F.coalesce("cp", F.lit(0.0))).alias("pr"),
+                       (F.lit(1.0 - damping) * F.col("seed")
+                        + F.lit(damping)
+                        * F.coalesce("ct", F.lit(0.0))).alias("trust")))
+    pr6 = F.round("pr", 6)
+    tr6 = F.round("trust", 6)
+    return vec.select(
+        "node", pr6.alias("pr"), tr6.alias("trust"),
+        F.when(pr6 > 0, F.round((pr6 - tr6) / pr6, 6))
+        .otherwise(F.lit(0.0)).alias("spam_mass"))

@@ -326,3 +326,110 @@ def complex_score(triples: DataFrame, embeddings: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k)
             .select(subj_col, pred_col, obj_col, "score", "rank"))
+
+
+#: the 32 exact unit rotations on the hypotenuse-65 Pythagorean circle:
+#: every (c, s) satisfies c^2 + s^2 = 65^2 exactly, so (c + i*s)/65 has
+#: unit modulus in RATIONAL arithmetic — RotatE's |r_i| = 1 constraint
+#: without trig, keeping the whole energy exact-integer until one final
+#: division by 65.  Built from the four primitive legs of hypotenuse 65
+#: ((16,63), (33,56), (25,60), (39,52)) under swap and sign.
+ROT65: list[tuple[int, int]] = [
+    (c, s)
+    for p, q in ((16, 63), (33, 56), (25, 60), (39, 52))
+    for c, s in ((p, q), (q, p), (p, -q), (q, -p),
+                 (-p, q), (-q, p), (-p, -q), (-q, -p))
+]
+ROT65_DEN = 65
+
+
+def rotate_score(triples: DataFrame, embeddings: DataFrame,
+                 pred_vec_ids: dict[str, int], top_k: int = 20,
+                 subj_col: str = "subj", pred_col: str = "pred",
+                 obj_col: str = "obj", id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """RotatE triple plausibility (Sun et al., ICLR 2019): entities are
+    complex vectors (first half Re, second half Im — complex_score's
+    packing) and each relation is a per-dimension UNIT ROTATION of the
+    complex plane; energy(h, r, t) = ||h o r - t||_1, LOWEST energy =
+    most plausible (TransE's sign convention).  Rotations compose and
+    invert, so RotatE models symmetry, antisymmetry, inversion AND
+    composition — the full relation-pattern set the
+    TransE/DistMult/ComplEx trio each only partially covers.
+
+    Engine-exactness: RotatE's e^{i*theta} phases would need trig,
+    whose last-ulp behavior differs across engines.  Instead each
+    dimension's rotation is drawn from ROT65 — the 32 exact unit
+    rotations (c + i*s)/65 with c^2 + s^2 = 65^2 — selected by the
+    relation row's quantized components: idx_i = (|rv[i]| +
+    3 * |rv[half+i]|) % 32.  The rotated-minus-tail residual is then
+    the exact BIGINT |qh_re*c - qh_im*s - 65*qt_re| +
+    |qh_im*c + qh_re*s - 65*qt_im| per dimension (65 * the true L1
+    term), summed exactly and divided by 65 ONCE at the end (6dp) —
+    both engines evaluate identical integer arithmetic plus one
+    exactly-rounded IEEE division.
+
+    Scale shape: identical to transe_score — one equi-join per entity
+    side against the quantized embedding table, rotation constants fold
+    in as per-dimension integer literals JIT-ed by whole-stage codegen,
+    the store materializes once across relation legs, per-relation
+    top-k is a WindowGroupLimit-pruned window.  No Python, no cross
+    join, two shuffles regardless of corpus size.
+
+    -> (subj, pred, obj, energy, rank), rank 1 = most plausible (lowest
+    energy); ties broken (subj ASC, obj ASC).
+    """
+    n_vecs = embeddings.count()
+    quant = _quantized(embeddings, id_col, vec_col)
+
+    rel_rows = {int(r[id_col]): list(r["q"]) for r in quant.filter(
+        F.col(id_col).isin(*[int(v) for v in pred_vec_ids.values()]))
+        .collect()}
+    missing = [p for p, v in pred_vec_ids.items() if int(v) not in rel_rows]
+    if missing:
+        raise ValueError(
+            f"rotate_score: no embedding row for relation vec ids of "
+            f"{missing} (need {id_col} in {sorted(pred_vec_ids.values())})")
+    dim = len(next(iter(rel_rows.values())))
+    if dim % 2:
+        raise ValueError(
+            f"rotate_score: embedding dim {dim} is odd — the complex "
+            f"packing needs an even dim (first half Re, second half Im)")
+    half = dim // 2
+    head = quant.select(F.col(id_col).alias("_hid"), F.col("q").alias("qh"))
+    tail = quant.select(F.col(id_col).alias("_tid"), F.col("q").alias("qt"))
+    triples = triples.select(subj_col, pred_col, obj_col)
+    if len(pred_vec_ids) > 1:
+        # materialize the store once across relation legs (transe_score
+        # precedent: at 100 TB the store is a durable Iceberg table and
+        # this is a no-op by construction)
+        triples = triples.localCheckpoint(eager=True)
+    legs = []
+    for p, v in pred_vec_ids.items():
+        rv = rel_rows[int(v)]
+        leg = (triples
+               .filter(F.col(pred_col) == F.lit(p))
+               .withColumn("_hid", _entity_row_id(F.col(subj_col), n_vecs))
+               .withColumn("_tid", _entity_row_id(F.col(obj_col), n_vecs))
+               .join(head, "_hid").join(tail, "_tid"))
+        energy65 = None
+        for i in range(half):
+            c, s = ROT65[(abs(int(rv[i]))
+                          + 3 * abs(int(rv[half + i]))) % len(ROT65)]
+            hr, hi = F.col("qh")[i], F.col("qh")[half + i]
+            tr, ti = F.col("qt")[i], F.col("qt")[half + i]
+            term = (F.abs(hr * F.lit(c) - hi * F.lit(s)
+                          - F.lit(ROT65_DEN) * tr)
+                    + F.abs(hi * F.lit(c) + hr * F.lit(s)
+                            - F.lit(ROT65_DEN) * ti))
+            energy65 = term if energy65 is None else energy65 + term
+        legs.append(leg.withColumn(
+            "energy", F.round(energy65 / F.lit(float(ROT65_DEN)), 6)))
+    scored = legs[0]
+    for leg in legs[1:]:
+        scored = scored.unionByName(leg)
+    w = Window.partitionBy(pred_col).orderBy(
+        F.col("energy").asc(), F.col(subj_col).asc(), F.col(obj_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select(subj_col, pred_col, obj_col, "energy", "rank"))

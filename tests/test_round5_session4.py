@@ -104,3 +104,166 @@ class TestPcaTop:
                pca_top_component(_emb(spark, rows)).collect()}
         assert out[0] == pytest.approx(1 / math.sqrt(2), abs=1e-6)
         assert out[1] == pytest.approx(1 / math.sqrt(2), abs=1e-6)
+
+
+class TestRotateScore:
+    def test_rot65_all_unit_modulus(self):
+        from saber_spark.operators.kge import ROT65, ROT65_DEN
+        assert len(ROT65) == 32 and len(set(ROT65)) == 32
+        assert all(c * c + s * s == ROT65_DEN ** 2 for c, s in ROT65)
+
+    def _embs(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+
+    def test_hand_computed_energy(self, spark):
+        from saber_spark.operators.kge import (ROT65, ROT65_DEN,
+                                               rotate_score)
+        # dim 2 -> one complex dim; entities cust:0 -> row 0,
+        # order:0 -> row (0+7) % 4 = 3; relation row 2
+        vecs = [[0.5, 0.25], [9.0, 9.0], [0.103, 0.207], [0.75, -0.5]]
+        trip = spark.createDataFrame([("cust:0", "placed", "order:0")],
+                                     "subj string, pred string, obj string")
+        out = rotate_score(trip, self._embs(spark, vecs),
+                           {"placed": 2}, top_k=5).collect()
+        rv = [round(0.103 * 1000), round(0.207 * 1000)]  # 103, 207
+        c, s = ROT65[(abs(rv[0]) + 3 * abs(rv[1])) % 32]
+        h = [500, 250]
+        t = [750, -500]
+        e65 = (abs(h[0] * c - h[1] * s - ROT65_DEN * t[0])
+               + abs(h[1] * c + h[0] * s - ROT65_DEN * t[1]))
+        assert len(out) == 1
+        assert out[0].energy == round(e65 / ROT65_DEN, 6)
+        assert out[0].rank == 1
+
+    def test_direction_sensitive(self, spark):
+        from saber_spark.operators.kge import rotate_score
+        # a rotation is generally not its own inverse -> the reversed
+        # triple scores differently (the RotatE antisymmetry capability)
+        vecs = [[0.5, 0.25], [0.9, -0.3], [0.103, 0.207], [0.75, -0.5]]
+        embs = self._embs(spark, vecs)
+        fwd = spark.createDataFrame([("cust:0", "placed", "cust:1")],
+                                    "subj string, pred string, obj string")
+        rev = spark.createDataFrame([("cust:1", "placed", "cust:0")],
+                                    "subj string, pred string, obj string")
+        ef = rotate_score(fwd, embs, {"placed": 2}).collect()[0].energy
+        er = rotate_score(rev, embs, {"placed": 2}).collect()[0].energy
+        assert ef != er
+
+    def test_odd_dim_raises(self, spark):
+        from saber_spark.operators.kge import rotate_score
+        trip = spark.createDataFrame([("cust:0", "placed", "cust:1")],
+                                     "subj string, pred string, obj string")
+        with pytest.raises(ValueError, match="odd"):
+            rotate_score(trip, self._embs(spark, [[1.0], [2.0], [3.0]]),
+                         {"placed": 2}).collect()
+
+    def test_missing_relation_row_raises(self, spark):
+        from saber_spark.operators.kge import rotate_score
+        trip = spark.createDataFrame([("cust:0", "placed", "cust:1")],
+                                     "subj string, pred string, obj string")
+        with pytest.raises(ValueError, match="placed"):
+            rotate_score(trip, self._embs(spark, [[1.0, 2.0]]),
+                         {"placed": 99}).collect()
+
+
+class TestBowtieStructure:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_textbook_decomposition(self, spark):
+        from saber_spark.operators.graph import bowtie_structure
+        # core {a,b}; in1 -> core; core -> out1; tendril t1 off in1;
+        # disconnected pair d1 -> d2.  pivot = a (degree 4).
+        pairs = [("a", "b"), ("b", "a"), ("in1", "a"), ("a", "out1"),
+                 ("in1", "t1"), ("d1", "d2")]
+        out = {r.component: r for r in
+               bowtie_structure(self._edges(spark, pairs)).collect()}
+        assert out["CORE"].n_hosts == 2
+        assert out["IN"].n_hosts == 1
+        assert out["OUT"].n_hosts == 1
+        assert out["TENDRIL"].n_hosts == 1
+        assert out["DISCONNECTED"].n_hosts == 2
+        assert out["CORE"].share == pytest.approx(2 / 7, abs=1e-6)
+
+    def test_shares_sum_to_one(self, spark):
+        from saber_spark.operators.graph import bowtie_structure
+        pairs = [("a", "b"), ("b", "a"), ("c", "a"), ("a", "d"),
+                 ("e", "f")]
+        out = bowtie_structure(self._edges(spark, pairs)).collect()
+        assert sum(r.share for r in out) == pytest.approx(1.0, abs=1e-5)
+        assert sum(r.n_hosts for r in out) == 6
+
+    def test_depth_cap_demotes_far_nodes(self, spark):
+        from saber_spark.operators.graph import bowtie_structure
+        # chain core -> x1 -> x2 -> x3; with max_depth=2 only x1, x2
+        # are OUT; x3 is weakly connected -> TENDRIL (documented cap
+        # semantics)
+        pairs = [("a", "b"), ("b", "a"), ("a", "x1"), ("x1", "x2"),
+                 ("x2", "x3")]
+        out = {r.component: r.n_hosts for r in bowtie_structure(
+            self._edges(spark, pairs), max_depth=2).collect()}
+        assert out["OUT"] == 2 and out.get("TENDRIL") == 1
+
+    def test_all_core_cycle(self, spark):
+        from saber_spark.operators.graph import bowtie_structure
+        pairs = [("a", "b"), ("b", "c"), ("c", "a")]
+        out = bowtie_structure(self._edges(spark, pairs)).collect()
+        assert len(out) == 1
+        assert out[0].component == "CORE" and out[0].n_hosts == 3
+        assert out[0].share == 1.0
+
+
+class TestTrustrankSpamMass:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def _seeds(self, spark, names):
+        return spark.createDataFrame([(n,) for n in names], "node string")
+
+    def test_hand_computed_one_round(self, spark):
+        from saber_spark.operators.graph import trustrank_spam_mass
+        # a -> b, seed {a}, 1 iteration: n=2, u=0.5
+        # pr:  a = 0.15*0.5 = 0.075          b = 0.15*0.5 + 0.85*0.5 = 0.5
+        # tr:  a = 0.15*1.0 = 0.15           b = 0.85*1.0 = 0.85
+        # mass a = (0.075-0.15)/0.075 = -1   b = (0.5-0.85)/0.5 = -0.7
+        out = {r.node: r for r in trustrank_spam_mass(
+            self._edges(spark, [("a", "b")]), self._seeds(spark, ["a"]),
+            iterations=1).collect()}
+        assert out["a"].pr == pytest.approx(0.075)
+        assert out["a"].trust == pytest.approx(0.15)
+        assert out["a"].spam_mass == pytest.approx(-1.0)
+        assert out["b"].pr == pytest.approx(0.5)
+        assert out["b"].trust == pytest.approx(0.85)
+        assert out["b"].spam_mass == pytest.approx(-0.7)
+
+    def test_link_farm_flagged(self, spark):
+        from saber_spark.operators.graph import trustrank_spam_mass
+        # trusted hub t <-> g (good cycle); farm s0..s4 -> boss -> g
+        pairs = ([("t", "g"), ("g", "t")]
+                 + [(f"s{i}", "boss") for i in range(5)]
+                 + [("boss", "g")])
+        out = {r.node: r for r in trustrank_spam_mass(
+            self._edges(spark, pairs), self._seeds(spark, ["t"]),
+            iterations=4).collect()}
+        # the boss accumulates rank from the farm but zero trust
+        assert out["boss"].trust == 0.0
+        assert out["boss"].spam_mass == 1.0
+        assert out["boss"].pr > out["s0"].pr
+        # the trusted seed is not spam; g (fed by both the farm's boss
+        # and the seed) sits strictly between the seed and the farm
+        assert out["t"].spam_mass <= 0.0
+        assert out["t"].spam_mass < out["g"].spam_mass < 1.0
+
+    def test_empty_seeds_raise(self, spark):
+        from saber_spark.operators.graph import trustrank_spam_mass
+        with pytest.raises(ValueError, match="empty"):
+            trustrank_spam_mass(self._edges(spark, [("a", "b")]),
+                                self._seeds(spark, []).limit(0))
+
+    def test_absent_seed_raises(self, spark):
+        from saber_spark.operators.graph import trustrank_spam_mass
+        with pytest.raises(ValueError, match="not present"):
+            trustrank_spam_mass(self._edges(spark, [("a", "b")]),
+                                self._seeds(spark, ["zz"])).collect()

@@ -2713,6 +2713,45 @@ def main() -> None:
         0,
     ))
 
+    rs = e.q_rotate_score(spark, SF_DIR)
+    sections.append((
+        "rotate_score (literal-folded rotations, windowed top-k)",
+        "RotatE: the transe/distmult leg shape — one equi-join per "
+        "entity side against the quantized embedding table, rotation "
+        "constants folded as integer literals into codegen, "
+        "WindowGroupLimit-pruned per-relation top-k. No cross join.",
+        formatted_plan(rs),
+        ["BroadcastHashJoin", "WindowGroupLimit", "Window"],
+        0,
+    ))
+
+    bt = e.q_bowtie_hosts(spark, SF_DIR)
+    sections.append((
+        "bowtie_hosts (frontier BFS x2 + CC, no all-pairs)",
+        "Broder bowtie: forward/backward reachability are frontier "
+        "BFS joins off the localCheckpointed edge set (shuffle "
+        "tracks the frontier), weak membership is the CC fixpoint, "
+        "classification is one left-join chain + a broadcast pivot "
+        "component.",
+        formatted_plan(bt),
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
+    tk = e.q_trustrank_hosts(spark, SF_DIR)
+    sections.append((
+        "trustrank_hosts (dual-vector power loop, directed)",
+        "TrustRank + spam mass: ONE power loop carries both the "
+        "PageRank and the trust vector — each round is one equi-join "
+        "against the localCheckpointed degree-carrying edges + one "
+        "hash agg computing BOTH sums (half the joins of two runs); "
+        "the broadcast seed join is paid once inside the checkpointed "
+        "teleport table; linear plan growth.",
+        formatted_plan(tk),
+        ["HashAggregate", "SortMergeJoin"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
