@@ -516,6 +516,18 @@ TRUST_GADGET_ROWS = (
 TRUST_GADGET_VALUES_SQL = ", ".join(
     f"('{a}', '{b}')" for a, b in TRUST_GADGET_ROWS)
 
+#: SCAN gadget: the two-clique gadget plus a pendant off cliqA (sigma
+#: 2/sqrt(12) ~ 0.577 >= eps -> BORDER) and a bridge touching both
+#: cliques (sigma 2/sqrt(18) ~ 0.471 < eps on both sides, neighbors in
+#: two clusters -> HUB), so every SCAN role is populated.
+SCAN_GADGET_ROWS = GADGET_EDGE_ROWS + [
+    ("pendA", "cliqA01"),
+    ("hubX", "cliqA02"),
+    ("hubX", "cliqB02"),
+]
+SCAN_GADGET_VALUES_SQL = ", ".join(
+    f"('{a}', '{b}')" for a, b in SCAN_GADGET_ROWS)
+
 #: the kge.ROT65 rotation table as SQL VALUES (idx, c, s) — the oracle
 #: re-derives the per-dimension rotation choice from the same quantized
 #: relation components, so the constant list must match kge.ROT65 exactly.
@@ -4994,6 +5006,33 @@ def q_trustrank_hosts(spark, sf_dir):
         iterations=4)
 
 
+def q_scan_hosts(spark, sf_dir):
+    """SCAN structural clustering (graph.scan_clusters, Xu et al. KDD
+    2007) of the host graph + SCAN_GADGET_ROWS: cluster by structural
+    similarity sigma = |closed-neighborhood overlap| / sqrt(deg*deg)
+    per EDGE (wedge join, never all-pairs), cores/borders via
+    eps=0.5/mu=3, hubs and outliers named explicitly — the community
+    map that, unlike LPA, tells you which hosts are noise and which
+    are inter-community brokers. Oracle: the identical
+    sigma/core/border chain + recursive min-label CC."""
+    from saber_spark.operators.graph import scan_clusters
+    gadget = spark.createDataFrame(SCAN_GADGET_ROWS,
+                                   "src string, dst string")
+    return scan_clusters(
+        _host_edges(spark, sf_dir).unionByName(gadget), eps=0.5, mu=3)
+
+
+def q_kcenter_seeds(spark, sf_dir):
+    """Farthest-first k-center seeding (cluster.kcenter_seeds, Gonzalez
+    1985 2-approximation): 6 maximally spread embedding rows by exact
+    integer squared distance, ties to the smallest id — the diversity
+    picker for eval seeding and IVF warm starts; the last row's d2 is
+    the coverage-radius certificate. Oracle: unrolled per-round
+    argmax CTEs over the long (id, dim) table."""
+    from saber_spark.operators.cluster import kcenter_seeds
+    return kcenter_seeds(_embeddings(spark, sf_dir), k=6)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -5431,6 +5470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_hosts": q_bowtie_hosts,
         # batch 25 (TrustRank web-spam demotion)
         "trustrank_hosts": q_trustrank_hosts,
+        # batch 26 (SCAN structural clustering, k-center seeding)
+        "scan_hosts": q_scan_hosts,
+        "kcenter_seeds": q_kcenter_seeds,
     }
 
 
@@ -13199,4 +13241,159 @@ def oracle_sql() -> dict[str, str]:
                                    / round(pr, 6), 6)
                         ELSE 0.0 END AS spam_mass
             FROM v4""",
+        "scan_hosts": f"""
+            WITH RECURSIVE {HOST_EDGES_CTE.strip()},
+            gadget AS (SELECT * FROM (VALUES {SCAN_GADGET_VALUES_SQL})
+                       AS g(src, dst)),
+            alle AS (SELECT src, dst FROM hedges
+                     UNION ALL SELECT src, dst FROM gadget),
+            sym AS (SELECT DISTINCT a, b FROM
+                    (SELECT src AS a, dst AS b FROM alle
+                     UNION ALL SELECT dst, src FROM alle)
+                    WHERE a <> b),
+            nodes AS (SELECT DISTINCT a AS node FROM sym),
+            closed AS (SELECT a, b FROM sym
+                       UNION ALL SELECT node, node FROM nodes),
+            deg AS (SELECT a, count(*) AS deg FROM closed GROUP BY a),
+            common AS (
+              SELECT e.a AS u, e.b AS v, count(*) AS n_common
+              FROM sym e
+              JOIN closed x ON x.a = e.a
+              JOIN closed y ON y.a = e.b AND y.b = x.b
+              GROUP BY e.a, e.b),
+            sig AS (
+              SELECT c.u, c.v,
+                     round(c.n_common
+                           / sqrt(du.deg * dv.deg::DOUBLE), 6) AS sigma
+              FROM common c
+              JOIN deg du ON du.a = c.u
+              JOIN deg dv ON dv.a = c.v),
+            epse AS MATERIALIZED (SELECT u, v FROM sig
+                                  WHERE sigma >= 0.5),
+            core AS MATERIALIZED (
+              SELECT u AS node FROM epse
+              GROUP BY u HAVING count(*) + 1 >= 3),
+            ce AS (SELECT e.u, e.v FROM epse e
+                   JOIN core cu ON cu.node = e.u
+                   JOIN core cv ON cv.node = e.v
+                   UNION SELECT node, node FROM core),
+            cesym AS (SELECT u AS a, v AS b FROM ce
+                      UNION SELECT v, u FROM ce),
+            reach (node, root) AS (
+              SELECT a, a FROM cesym
+              UNION
+              SELECT s.b, r.root
+              FROM reach r JOIN cesym s ON s.a = r.node),
+            cc AS (SELECT node, min(root) AS cluster
+                   FROM reach GROUP BY node),
+            border AS (
+              SELECT e.v AS node, min(cc.cluster) AS cluster
+              FROM epse e JOIN cc ON cc.node = e.u
+              WHERE e.v NOT IN (SELECT node FROM cc)
+              GROUP BY e.v),
+            clustered AS (
+              SELECT node, 'core' AS role, cluster FROM cc
+              UNION ALL
+              SELECT node, 'border', cluster FROM border),
+            rest AS (SELECT node FROM nodes
+                     WHERE node NOT IN (SELECT node FROM clustered)),
+            bridge AS (
+              SELECT s.a AS node,
+                     count(DISTINCT cl.cluster) AS n_cl
+              FROM sym s
+              JOIN rest r ON r.node = s.a
+              JOIN clustered cl ON cl.node = s.b
+              GROUP BY s.a)
+            SELECT node, role, cluster FROM clustered
+            UNION ALL
+            SELECT r.node,
+                   CASE WHEN coalesce(b.n_cl, 0) >= 2
+                        THEN 'hub' ELSE 'outlier' END AS role,
+                   NULL AS cluster
+            FROM rest r LEFT JOIN bridge b ON b.node = r.node""",
+        "kcenter_seeds": """
+            WITH q AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            dims AS MATERIALIZED (
+              SELECT vec_id,
+                     CAST(generate_subscripts(qv, 1) - 1 AS BIGINT) AS dim,
+                     unnest(qv) AS v
+              FROM q),
+            c0 AS (SELECT min(vec_id) AS id FROM q),
+            m0 AS MATERIALIZED (
+              SELECT p.vec_id,
+                     sum((p.v - c.v) * (p.v - c.v)) AS d2
+              FROM dims p
+              JOIN dims c ON c.vec_id = (SELECT id FROM c0)
+                         AND c.dim = p.dim
+              GROUP BY p.vec_id),
+            s1 AS (SELECT vec_id, d2 FROM m0
+                     ORDER BY d2 DESC, vec_id LIMIT 1),
+            m1 AS MATERIALIZED (
+              SELECT m.vec_id, least(m.d2, n.d2) AS d2
+              FROM m0 m JOIN (
+                SELECT p.vec_id,
+                       sum((p.v - c.v) * (p.v - c.v)) AS d2
+                FROM dims p
+                JOIN dims c ON c.vec_id = (SELECT vec_id FROM s1)
+                           AND c.dim = p.dim
+                GROUP BY p.vec_id) n USING (vec_id)),
+            s2 AS (SELECT vec_id, d2 FROM m1
+                     ORDER BY d2 DESC, vec_id LIMIT 1),
+            m2 AS MATERIALIZED (
+              SELECT m.vec_id, least(m.d2, n.d2) AS d2
+              FROM m1 m JOIN (
+                SELECT p.vec_id,
+                       sum((p.v - c.v) * (p.v - c.v)) AS d2
+                FROM dims p
+                JOIN dims c ON c.vec_id = (SELECT vec_id FROM s2)
+                           AND c.dim = p.dim
+                GROUP BY p.vec_id) n USING (vec_id)),
+            s3 AS (SELECT vec_id, d2 FROM m2
+                     ORDER BY d2 DESC, vec_id LIMIT 1),
+            m3 AS MATERIALIZED (
+              SELECT m.vec_id, least(m.d2, n.d2) AS d2
+              FROM m2 m JOIN (
+                SELECT p.vec_id,
+                       sum((p.v - c.v) * (p.v - c.v)) AS d2
+                FROM dims p
+                JOIN dims c ON c.vec_id = (SELECT vec_id FROM s3)
+                           AND c.dim = p.dim
+                GROUP BY p.vec_id) n USING (vec_id)),
+            s4 AS (SELECT vec_id, d2 FROM m3
+                     ORDER BY d2 DESC, vec_id LIMIT 1),
+            m4 AS MATERIALIZED (
+              SELECT m.vec_id, least(m.d2, n.d2) AS d2
+              FROM m3 m JOIN (
+                SELECT p.vec_id,
+                       sum((p.v - c.v) * (p.v - c.v)) AS d2
+                FROM dims p
+                JOIN dims c ON c.vec_id = (SELECT vec_id FROM s4)
+                           AND c.dim = p.dim
+                GROUP BY p.vec_id) n USING (vec_id)),
+            s5 AS (SELECT vec_id, d2 FROM m4
+                     ORDER BY d2 DESC, vec_id LIMIT 1)
+            SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS seed_rank,
+                   (SELECT id FROM c0) AS vec_id,
+                   CAST(0 AS BIGINT) AS d2
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), vec_id,
+                   CAST(d2 AS BIGINT) FROM s1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), vec_id,
+                   CAST(d2 AS BIGINT) FROM s2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), vec_id,
+                   CAST(d2 AS BIGINT) FROM s3
+            UNION ALL
+            SELECT CAST(4 AS BIGINT), vec_id,
+                   CAST(d2 AS BIGINT) FROM s4
+            UNION ALL
+            SELECT CAST(5 AS BIGINT), vec_id,
+                   CAST(d2 AS BIGINT) FROM s5)
+            ORDER BY seed_rank""",
     }

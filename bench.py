@@ -300,6 +300,8 @@ def main() -> None:
         # RotatE, bowtie census, TrustRank)
         "cluster_validity", "pca_top", "rotate_score", "bowtie_hosts",
         "trustrank_hosts",
+        # round 5 final session batch 26 (SCAN clustering, k-center)
+        "scan_hosts", "kcenter_seeds",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -339,3 +339,65 @@ def pca_top_component(embeddings: DataFrame, iterations: int = 8,
                     F.round("lam", 6).alias("eigenvalue"),
                     F.round(F.col("lam") / F.col("tr"), 6)
                     .alias("var_share")))
+
+
+def kcenter_seeds(embeddings: DataFrame, k: int = 4,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Farthest-first traversal (Gonzalez 1985, the 2-approximation for
+    the k-center problem; the seeding rule behind k-means++'s
+    deterministic cousin and coreset/diversity selection in data
+    pruning): start from the smallest id, then repeatedly add the point
+    FARTHEST from the chosen set (max min-distance; ties -> smallest
+    id).  The selected rows are the maximally spread sample — the
+    "cover the embedding space with k probes" picker for eval-set
+    seeding, diverse-example selection, and IVF/k-means warm starts
+    that avoid collapsing onto one dense region.
+
+    Exactness: distances are exact BIGINT squared Euclidean on the
+    quantized integer vectors (similarity-module contract), so argmax
+    and ties are discrete — no float boundary, any engine agrees.
+
+    Scale shape: kmeans_assign's model-on-driver loop — the chosen
+    set (k x d ints) broadcasts as literals into a narrow min-distance
+    map; each of the k rounds is ONE scan + ONE 1-row argmax
+    (orderBy desc limit 1 — TakeOrderedAndProject, never a global
+    sort); the driver holds only the k chosen vectors.
+
+    -> k rows (seed_rank, vec_id, d2) where d2 = exact squared
+    distance to the previously chosen set (0 for the first seed);
+    d2 of the LAST row is the standard k-center coverage-radius
+    certificate (every point is within sqrt(d2_last) of a seed after
+    the final round — Gonzalez's bound).
+    """
+    q = F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * QUANT)
+                    .cast("long"))
+    base = (embeddings.select(F.col(id_col), q.alias("qv"))
+            .localCheckpoint(eager=True))
+    n = base.count()
+    if n < k:
+        raise ValueError(f"kcenter_seeds: need >= {k} vectors, got {n}")
+    first = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    chosen = [(int(first[id_col]), list(first["qv"]), 0)]
+
+    def d2_to(cent):
+        return F.aggregate(
+            F.zip_with(F.col("qv"),
+                       F.array(*[F.lit(int(c)) for c in cent]),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    for _ in range(1, k):
+        mind = F.least(*[d2_to(c) for _, c, _ in chosen]) \
+            if len(chosen) > 1 else d2_to(chosen[0][1])
+        far = (base.select(F.col(id_col), F.col("qv"),
+                           mind.alias("d2"))
+               .orderBy(F.col("d2").desc(), F.col(id_col).asc())
+               .limit(1).collect()[0])
+        chosen.append((int(far[id_col]), list(far["qv"]),
+                       int(far["d2"])))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(r, i, d) for r, (i, _, d) in enumerate(chosen)],
+        "seed_rank long, vec_id long, d2 long")

@@ -1791,3 +1791,107 @@ def trustrank_spam_mass(edges: DataFrame, seeds: DataFrame,
         "node", pr6.alias("pr"), tr6.alias("trust"),
         F.when(pr6 > 0, F.round((pr6 - tr6) / pr6, 6))
         .otherwise(F.lit(0.0)).alias("spam_mass"))
+
+
+def scan_clusters(edges: DataFrame, eps: float = 0.5, mu: int = 3,
+                  src: str = "src", dst: str = "dst",
+                  cc_max_iter: int = 25) -> DataFrame:
+    """SCAN structural graph clustering (Xu, Yuruk, Feng & Schweiger,
+    KDD 2007): cluster by NEIGHBORHOOD AGREEMENT instead of mere
+    adjacency, and — unlike LPA/modularity partitions — explicitly
+    name the nodes that belong to no cluster:
+
+        sigma(u, v) = |G[u] ∩ G[v]| / sqrt(|G[u]| * |G[v]|)
+
+    over CLOSED neighborhoods G[x] = {x} ∪ N(x); v is eps-reachable
+    from u when (u, v) is an edge with sigma >= eps; u is a CORE when
+    its closed eps-neighborhood (u itself always qualifies,
+    sigma(u,u) = 1) has >= mu members.  Clusters are the connected
+    components of the core-core eps-edge graph; non-cores attach as
+    BORDER to the smallest adjacent core cluster (deterministic tie);
+    the rest are HUB (adjacent to >= 2 distinct clusters — the
+    inter-community brokers) or OUTLIER (noise).  For a web host graph
+    this separates genuine communities from link-farm cores, directory
+    hubs, and stray hosts in one pass.
+
+    Scale shape: sigma only ever computed PER EDGE — the common-
+    neighbor count is the triangle wedge join (adjacency joined to
+    adjacency on the shared endpoint, bounded by degree), never
+    all-pairs; core flags are one agg; clusters reuse
+    connected_components' fixpoint; border/hub/outlier classification
+    is two joins + one agg.  Rounding: sigma compared at 6dp (the
+    cross-engine float contract).
+
+    -> (node, role, cluster) — role in {core, border, hub, outlier},
+    cluster NULL for hubs/outliers.
+    """
+    sym = _symmetrize(edges, src, dst).filter(F.col("a") != F.col("b"))
+    sym = sym.localCheckpoint(eager=True)
+    # closed adjacency: every node is its own neighbor
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    closed = sym.unionByName(
+        nodes.select(F.col("node").alias("a"), F.col("node").alias("b")))
+    deg = closed.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # per-EDGE common closed neighbors: wedge join through the shared w
+    common = (sym.alias("e")
+              .join(closed.alias("x"), F.col("e.a") == F.col("x.a"))
+              .join(closed.alias("y"),
+                    (F.col("e.b") == F.col("y.a"))
+                    & (F.col("x.b") == F.col("y.b")))
+              .groupBy(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    sigma_edges = (common
+                   .join(deg.select(F.col("a").alias("u"),
+                                    F.col("deg").alias("du")), "u")
+                   .join(deg.select(F.col("a").alias("v"),
+                                    F.col("deg").alias("dv")), "v")
+                   .select("u", "v",
+                           F.round(F.col("n_common")
+                                   / F.sqrt(F.col("du").cast("double")
+                                            * F.col("dv")), 6)
+                           .alias("sigma")))
+    eps_edges = (sigma_edges.filter(F.col("sigma") >= eps)
+                 .select("u", "v")
+                 .localCheckpoint(eager=True))
+    # core: closed eps-neighborhood size = eps-neighbors + self
+    core = (eps_edges.groupBy(F.col("u").alias("node"))
+            .agg((F.count(F.lit(1)) + 1).alias("n_eps"))
+            .filter(F.col("n_eps") >= mu)
+            .select("node")
+            .localCheckpoint(eager=True))
+    core_edges = (eps_edges
+                  .join(core.select(F.col("node").alias("u")), "u")
+                  .join(core.select(F.col("node").alias("v")), "v"))
+    # isolated cores (no core-core eps-edge) form singleton clusters
+    core_cc = (connected_components(
+        core_edges.unionByName(
+            core.select(F.col("node").alias("u"),
+                        F.col("node").alias("v"))),
+        src="u", dst="v", max_iter=cc_max_iter)
+        .withColumnRenamed("component", "cluster"))
+    # border: non-core eps-reachable from a core; smallest cluster wins
+    border = (eps_edges
+              .join(core_cc.withColumnRenamed("node", "u"), "u")
+              .select(F.col("v").alias("node"), "cluster")
+              .join(core_cc.select(F.col("node")), "node", "left_anti")
+              .groupBy("node").agg(F.min("cluster").alias("cluster")))
+    clustered = (core_cc.select("node", "cluster",
+                                F.lit("core").alias("role"))
+                 .unionByName(border.select(
+                     "node", "cluster", F.lit("border").alias("role")))
+                 .localCheckpoint(eager=True))
+    # hubs bridge >= 2 clusters among their plain neighbors
+    rest = nodes.join(clustered.select("node"), "node", "left_anti")
+    bridge = (sym.join(rest.withColumnRenamed("node", "a"), "a")
+              .join(clustered.select(F.col("node").alias("b"), "cluster"),
+                    "b")
+              .groupBy(F.col("a").alias("node"))
+              .agg(F.countDistinct("cluster").alias("n_cl")))
+    unclustered = (rest.join(bridge, "node", "left")
+                   .select("node", F.lit(None).cast(
+                       clustered.schema["cluster"].dataType)
+                       .alias("cluster"),
+                       F.when(F.coalesce("n_cl", F.lit(0)) >= 2, "hub")
+                       .otherwise("outlier").alias("role")))
+    return (clustered.select("node", "role", "cluster")
+            .unionByName(unclustered.select("node", "role", "cluster")))

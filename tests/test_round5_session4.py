@@ -267,3 +267,102 @@ class TestTrustrankSpamMass:
         with pytest.raises(ValueError, match="not present"):
             trustrank_spam_mass(self._edges(spark, [("a", "b")]),
                                 self._seeds(spark, ["zz"])).collect()
+
+
+class TestScanClusters:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def _two_cliques(self):
+        # 5-cliques: the hand sigmas below (2/sqrt(12) for a pendant,
+        # 2/sqrt(18) for a two-clique bridge) assume clique degree 4
+        a = [(f"a{i}", f"a{j}") for i in range(5) for j in range(i + 1, 5)]
+        b = [(f"b{i}", f"b{j}") for i in range(5) for j in range(i + 1, 5)]
+        return a + b
+
+    def test_two_cliques_two_clusters(self, spark):
+        from saber_spark.operators.graph import scan_clusters
+        out = {r.node: r for r in scan_clusters(
+            self._edges(spark, self._two_cliques()),
+            eps=0.5, mu=3).collect()}
+        assert all(out[f"a{i}"].role == "core" for i in range(5))
+        a_cl = {out[f"a{i}"].cluster for i in range(5)}
+        b_cl = {out[f"b{i}"].cluster for i in range(5)}
+        assert len(a_cl) == 1 and len(b_cl) == 1 and a_cl != b_cl
+
+    def test_hub_bridges_two_clusters(self, spark):
+        from saber_spark.operators.graph import scan_clusters
+        # h touches one member of each clique: low sigma on both sides
+        # (its neighborhood agrees with neither clique) but neighbors in
+        # two clusters -> hub
+        pairs = self._two_cliques() + [("h", "a0"), ("h", "b0")]
+        out = {r.node: r for r in scan_clusters(
+            self._edges(spark, pairs), eps=0.5, mu=3).collect()}
+        assert out["h"].role == "hub" and out["h"].cluster is None
+
+    def test_pendant_is_border_and_lone_is_outlier(self, spark):
+        from saber_spark.operators.graph import scan_clusters
+        # p-a0: sigma = 2/sqrt(2*6) ~ 0.577 >= 0.5 -> border of a's
+        # cluster; x-y is an isolated pair, sigma(x,y) = 1 but
+        # n_eps = 2 < mu -> no cores -> both outliers
+        pairs = self._two_cliques() + [("p", "a0"), ("x", "y")]
+        out = {r.node: r for r in scan_clusters(
+            self._edges(spark, pairs), eps=0.5, mu=3).collect()}
+        assert out["p"].role == "border"
+        assert out["p"].cluster == out["a0"].cluster
+        assert out["x"].role == "outlier" and out["x"].cluster is None
+
+    def test_sigma_hand_value_gates_border(self, spark):
+        from saber_spark.operators.graph import scan_clusters
+        # with eps just above 2/sqrt(12) the pendant drops to outlier
+        pairs = self._two_cliques() + [("p", "a0")]
+        out = {r.node: r for r in scan_clusters(
+            self._edges(spark, pairs), eps=0.58, mu=3).collect()}
+        assert out["p"].role == "outlier"
+
+    def test_isolated_core_singleton_cluster(self, spark):
+        from saber_spark.operators.graph import scan_clusters
+        # triangle: every node core (sigma = 1 between all), one cluster
+        pairs = [("t0", "t1"), ("t1", "t2"), ("t0", "t2")]
+        out = scan_clusters(self._edges(spark, pairs),
+                            eps=0.9, mu=3).collect()
+        assert {r.role for r in out} == {"core"}
+        assert len({r.cluster for r in out}) == 1
+
+
+class TestKcenterSeeds:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_farthest_first_order(self, spark):
+        from saber_spark.operators.cluster import kcenter_seeds
+        # line 0, 1, 10: start at id 0; farthest is 10 (d2 1e8);
+        # then 1 (min-dist to {0,10} = 1e6)
+        rows = [(0, [0.0]), (1, [1.0]), (2, [10.0])]
+        out = [(r.seed_rank, r.vec_id, r.d2) for r in
+               kcenter_seeds(self._emb(spark, rows), k=3)
+               .orderBy("seed_rank").collect()]
+        assert out == [(0, 0, 0), (1, 2, 100000000), (2, 1, 1000000)]
+
+    def test_coverage_radius_nonincreasing(self, spark):
+        from saber_spark.operators.cluster import kcenter_seeds
+        rows = [(i, [float((i * 7) % 13), float((i * 3) % 11)])
+                for i in range(24)]
+        out = [r.d2 for r in kcenter_seeds(self._emb(spark, rows), k=5)
+               .orderBy("seed_rank").collect()][1:]
+        assert all(a >= b for a, b in zip(out, out[1:]))
+
+    def test_tie_breaks_to_smallest_id(self, spark):
+        from saber_spark.operators.cluster import kcenter_seeds
+        # two points equidistant from seed 0: id 1 wins
+        rows = [(0, [0.0]), (1, [5.0]), (2, [-5.0])]
+        out = [r.vec_id for r in kcenter_seeds(self._emb(spark, rows),
+                                               k=2)
+               .orderBy("seed_rank").collect()]
+        assert out == [0, 1]
+
+    def test_fewer_than_k_raises(self, spark):
+        from saber_spark.operators.cluster import kcenter_seeds
+        with pytest.raises(ValueError, match="need"):
+            kcenter_seeds(self._emb(spark, [(0, [1.0])]), k=3)

@@ -2752,6 +2752,32 @@ def main() -> None:
         0,
     ))
 
+    sc = e.q_scan_hosts(spark, SF_DIR)
+    sections.append((
+        "scan_hosts (per-edge wedge sigma, no all-pairs)",
+        "SCAN: structural similarity is computed per EDGE via the "
+        "triangle wedge join (adjacency joined to adjacency on the "
+        "shared endpoint, degree-bounded); cores are one agg; "
+        "clusters reuse the CC fixpoint; border/hub classification "
+        "is joins + one agg.",
+        formatted_plan(sc),
+        ["HashAggregate", "Union"],
+        0,
+    ))
+
+    kc = e.q_kcenter_seeds(spark, SF_DIR)
+    sections.append((
+        "kcenter_seeds (model-on-driver farthest-first)",
+        "Gonzalez k-center: the chosen set is a k x d literal model; "
+        "each round is one narrow min-distance scan + a 1-row "
+        "TakeOrderedAndProject argmax — the k-row result frame itself "
+        "is the collected model, so the audited plan is the final "
+        "scan shape.",
+        formatted_plan(kc),
+        ["Scan"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
