@@ -5033,6 +5033,59 @@ def q_kcenter_seeds(spark, sf_dir):
     return kcenter_seeds(_embeddings(spark, sf_dir), k=6)
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode script census (textstats.script_profile): the
+    writing-SYSTEM axis orthogonal to language ID — per-doc letter
+    counts over six BMP script ranges, dominant script + share. The
+    fixture injects deterministic multi-script snippets (CJK for zh,
+    accented Latin for de/fr/es, Cyrillic every 11th doc, Greek every
+    13th) since the synthetic corpus is pure ASCII. Pure narrow
+    regexp codegen — zero joins/shuffles/Python. Oracle: identical
+    byte-for-byte \\x{...} classes (the syntax Java regex and RE2
+    share)."""
+    from saber_spark.operators.textstats import script_profile
+    docs = _docs(spark, sf_dir)
+    inj = (F.when(F.col("lang") == "zh", F.lit(" 数据流处理"))
+           .when(F.col("lang") == "de", F.lit(" straße prüfung"))
+           .when(F.col("lang") == "fr", F.lit(" données département"))
+           .when(F.col("lang") == "es", F.lit(" años señal"))
+           .otherwise(F.lit("")))
+    cyr = F.when(F.col("doc_id") % 11 == 0,
+                 F.lit(" поток данных")).otherwise(F.lit(""))
+    grk = F.when(F.col("doc_id") % 13 == 0,
+                 F.lit(" διαδικασία")).otherwise(F.lit(""))
+    fx = docs.select("doc_id",
+                     F.concat("text", inj, cyr, grk).alias("text"))
+    return script_profile(fx)
+
+
+def q_pld_rollup(spark, sf_dir):
+    """Registered-domain (pay-level-domain) crawl rollup against the
+    embedded public-suffix snapshot (webstats.pld_rollup,
+    publicsuffix.org semantics: LONGEST matching suffix + one label —
+    the upgrade apex_domain's docstring promises): per-PLD url/host
+    counts over synthetic crawl URLs spanning single- and multi-label
+    suffixes, subdomain shapes, and an unknown TLD (naive-apex
+    fallback, matched=false). One distinct-host resolution via a
+    constant-fan-out candidate explode + broadcast PSL join + one
+    max-struct agg — no windows, no corpus shuffle."""
+    from saber_spark.operators.webstats import pld_rollup
+    docs = _docs(spark, sf_dir)
+    sfx = F.array(*[F.lit(s) for s in
+                    ["com", "co.uk", "org", "com.au", "de", "io",
+                     "net", "gov.uk", "zz"]])
+    suffix = F.element_at(sfx, (F.col("doc_id") % 9 + 1).cast("int"))
+    sub = (F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+           .when(F.col("doc_id") % 5 == 0, F.lit("a.b."))
+           .otherwise(F.lit("")))
+    urls = docs.select(
+        F.concat(F.lit("https://"), sub, F.lit("site"),
+                 (F.col("doc_id") % 7).cast("string"), F.lit("."),
+                 suffix, F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return pld_rollup(urls)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -5473,6 +5526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 26 (SCAN structural clustering, k-center seeding)
         "scan_hosts": q_scan_hosts,
         "kcenter_seeds": q_kcenter_seeds,
+        # batch 27 (Unicode script census, public-suffix PLD rollup)
+        "script_profile": q_script_profile,
+        "pld_rollup": q_pld_rollup,
     }
 
 
@@ -13396,4 +13452,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(5 AS BIGINT), vec_id,
                    CAST(d2 AS BIGINT) FROM s5)
             ORDER BY seed_rank""",
+        "script_profile": r"""
+            WITH fx AS (
+              SELECT doc_id,
+                     text
+                     || CASE lang
+                          WHEN 'zh' THEN ' 数据流处理'
+                          WHEN 'de' THEN ' straße prüfung'
+                          WHEN 'fr' THEN ' données département'
+                          WHEN 'es' THEN ' años señal'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' поток данных' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN ' διαδικασία' ELSE '' END AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CAST(length(text) - length(regexp_replace(text, '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+                     CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+                     CAST(length(text) - length(regexp_replace(text, '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+                     CAST(length(text) - length(regexp_replace(text, '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+                     CAST(length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+                     CAST(length(text) - length(regexp_replace(text, '[\x{AC00}-\x{D7AF}]', '', 'g')) AS BIGINT) AS n_hangul
+              FROM fx),
+            m AS (SELECT c.*, greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_hangul) AS mx, n_latin + n_cyrillic + n_greek + n_cjk + n_arabic + n_hangul AS tot FROM c)
+            SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_hangul,
+                   CASE WHEN n_latin = mx AND mx > 0 THEN 'latin' WHEN n_cyrillic = mx AND mx > 0 THEN 'cyrillic' WHEN n_greek = mx AND mx > 0 THEN 'greek' WHEN n_cjk = mx AND mx > 0 THEN 'cjk' WHEN n_arabic = mx AND mx > 0 THEN 'arabic' WHEN n_hangul = mx AND mx > 0 THEN 'hangul' ELSE 'none' END AS script,
+                   CASE WHEN tot > 0
+                        THEN round(mx / tot::DOUBLE, 6)
+                        ELSE 0.0 END AS share
+            FROM m""",
+        "pld_rollup": """
+            WITH urls AS (
+              SELECT 'https://'
+                     || CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                             WHEN doc_id % 5 = 0 THEN 'a.b.'
+                             ELSE '' END
+                     || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.'
+                     || (['com', 'co.uk', 'org', 'com.au', 'de', 'io',
+                          'net', 'gov.uk', 'zz'])[CAST(doc_id % 9 AS INT) + 1]
+                     || '/p/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            wh AS (
+              SELECT url,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host
+              FROM urls),
+            hosts AS (SELECT DISTINCT host FROM wh),
+            hp AS (SELECT host, string_split(host, '.') AS parts
+                   FROM hosts),
+            cands AS (
+              SELECT h.host,
+                     array_to_string(list_slice(h.parts,
+                       greatest(len(h.parts) - k.k + 1, 1),
+                       len(h.parts)), '.') AS cand
+              FROM hp h CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) k),
+            psl AS (SELECT * FROM (VALUES ('ac.uk', 2), ('ai', 1), ('app', 1), ('au', 1), ('br', 1), ('ca', 1), ('cn', 1), ('co.in', 2), ('co.jp', 2), ('co.uk', 2), ('com', 1), ('com.au', 2), ('com.br', 2), ('com.cn', 2), ('com.mx', 2), ('de', 1), ('dev', 1), ('edu', 1), ('fr', 1), ('gov', 1), ('gov.uk', 2), ('in', 1), ('int', 1), ('io', 1), ('jp', 1), ('mil', 1), ('mx', 1), ('ne.jp', 2), ('net', 1), ('net.au', 2), ('org', 1), ('org.au', 2), ('org.uk', 2), ('uk', 1), ('us', 1))
+                    AS p(suffix, n_labels)),
+            best AS (
+              SELECT host, suffix, n_labels FROM (
+                SELECT c.host, p.suffix, p.n_labels,
+                       row_number() OVER (PARTITION BY c.host
+                         ORDER BY p.n_labels DESC, p.suffix DESC) AS rn
+                FROM cands c JOIN psl p ON p.suffix = c.cand)
+              WHERE rn = 1),
+            pld AS (
+              SELECT h.host,
+                     CASE WHEN b.suffix IS NOT NULL
+                               AND len(h.parts) > b.n_labels
+                          THEN array_to_string(list_slice(h.parts,
+                            len(h.parts) - b.n_labels, len(h.parts)), '.')
+                          WHEN b.suffix IS NOT NULL THEN h.host
+                          ELSE array_to_string(list_slice(h.parts,
+                            greatest(len(h.parts) - 1, 1),
+                            len(h.parts)), '.') END AS registered,
+                     coalesce(b.suffix, '') AS suffix,
+                     (b.suffix IS NOT NULL
+                      AND len(h.parts) > b.n_labels) AS matched
+              FROM hp h LEFT JOIN best b ON b.host = h.host)
+            SELECT p.registered, p.suffix,
+                   count(*) AS n_urls,
+                   count(DISTINCT w.host) AS n_hosts,
+                   p.matched
+            FROM wh w JOIN pld p ON p.host = w.host
+            GROUP BY p.registered, p.suffix, p.matched""",
     }

@@ -302,6 +302,8 @@ def main() -> None:
         "trustrank_hosts",
         # round 5 final session batch 26 (SCAN clustering, k-center)
         "scan_hosts", "kcenter_seeds",
+        # round 5 final session batch 27 (script census, PSL rollup)
+        "script_profile", "pld_rollup",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -681,3 +681,59 @@ def mojibake_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .agg(F.sum((F.col("occ") > 0).cast("long"))
                  .cast("long").alias("n_docs_affected"),
                  F.sum("occ").cast("long").alias("n_occurrences")))
+
+
+#: Unicode script ranges (BMP, explicit \\x{...} classes — the syntax
+#: both Java regex and RE2 accept, so the oracle pattern is identical
+#: byte-for-byte). Order = deterministic dominant-script tie priority.
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", "A-Za-z\\x{00C0}-\\x{024F}"),
+    ("cyrillic", "\\x{0400}-\\x{04FF}"),
+    ("greek", "\\x{0370}-\\x{03FF}"),
+    ("cjk", "\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}"),
+    ("arabic", "\\x{0600}-\\x{06FF}"),
+    ("hangul", "\\x{AC00}-\\x{D7AF}"),
+]
+
+
+def script_profile(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Unicode script census per document (the writing-SYSTEM axis
+    orthogonal to language ID: lang_id/ct_lang separate en from de but
+    both are Latin; this separates Latin from Cyrillic/CJK/Arabic —
+    the first gate of multilingual curation, the mixed-script spoofing
+    smell, and the router for script-specific tokenizers): count
+    letters per script over six BMP ranges, name the dominant script
+    (ties -> SCRIPT_RANGES order) and its share of all letters.
+
+    Counting: length(text) - length(regexp_replace(text, [class], ''))
+    — pure narrow codegen regexp, zero joins, zero shuffles, zero
+    Python; counts are code points (both engines' length() semantics
+    on BMP text).
+
+    -> (doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+    n_hangul, script, share 6dp); script = 'none' / share = 0.0 for
+    letterless documents.
+    """
+    text = F.col(text_col)
+    counts = {
+        name: (F.length(text)
+               - F.length(F.regexp_replace(
+                   text, f"[{cls}]", ""))).cast("long")
+        for name, cls in SCRIPT_RANGES}
+    cols = [counts[n].alias(f"n_{n}") for n, _ in SCRIPT_RANGES]
+    base = docs.select(F.col(id_col), *cols)
+    mx = F.greatest(*[F.col(f"n_{n}") for n, _ in SCRIPT_RANGES])
+    total = None
+    for n, _ in SCRIPT_RANGES:
+        total = F.col(f"n_{n}") if total is None \
+            else total + F.col(f"n_{n}")
+    dom = F.lit("none")
+    for n, _ in reversed(SCRIPT_RANGES):
+        dom = F.when((F.col(f"n_{n}") == mx) & (mx > 0), n) \
+            .otherwise(dom)
+    return base.select(
+        id_col, *[f"n_{n}" for n, _ in SCRIPT_RANGES],
+        dom.alias("script"),
+        F.when(total > 0, F.round(mx / total.cast("double"), 6))
+        .otherwise(F.lit(0.0)).alias("share"))

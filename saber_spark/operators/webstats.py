@@ -589,3 +589,94 @@ def rel_canonical(pages: DataFrame, html_col: str = "html",
             .select("url", "canonical",
                     (F.col("url") == F.col("canonical"))
                     .alias("self_canonical")))
+
+
+#: embedded public-suffix snapshot (publicsuffix.org, static subset):
+#: multi-label suffixes first-class so 'shop.example.co.uk' registers as
+#: 'example.co.uk', not 'co.uk'. A production deploy swaps in the full
+#: PSL file with the SAME join shape — the list is broadcast-sized
+#: (~9k rows) by nature.
+PSL_SNAPSHOT = [
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "com.br", "co.in", "com.cn", "com.mx",
+    "com", "org", "net", "edu", "gov", "mil", "int",
+    "io", "ai", "app", "dev",
+    "uk", "de", "fr", "jp", "au", "br", "in", "cn", "mx", "us", "ca",
+]
+
+
+def pld_registered_domain(df: DataFrame, host_col: str = "host",
+                          psl: list[str] | None = None,
+                          max_suffix_labels: int = 3) -> DataFrame:
+    """Pay-level-domain (registered-domain) resolution against a
+    public-suffix list (Mozilla PSL, publicsuffix.org — the standard
+    the apex_domain docstring names as the deploy-time upgrade): the
+    registered domain is the public suffix plus ONE label, under the
+    PSL rule that the LONGEST matching suffix wins ('a.co.uk' must
+    register as a.co.uk's owner-level 'a.co.uk', never the unowned
+    'co.uk').  Crawl analytics (politeness, dedup, blocklists, host
+    mirrors) group at this level, not hostname or naive apex.
+
+    Scale shape: the host's last 1..max_suffix_labels label tails
+    posexplode to candidates (constant fan-out), ONE broadcast join
+    against the PSL, and a (host, n_labels) max-struct agg picks the
+    longest match — no windows, no corpus shuffle beyond the one agg
+    keyed on the (deduplicated) host.  Hosts matching no suffix fall
+    back to the naive apex with matched = false; a host that IS a bare
+    public suffix registers as itself with matched = false (nothing is
+    registrable under the PSL there).
+
+    -> (host, registered, suffix, matched).
+    """
+    suffixes = sorted(set(psl if psl is not None else PSL_SNAPSHOT))
+    spark = df.sparkSession
+    psl_df = spark.createDataFrame(
+        [(s, s.count(".") + 1) for s in suffixes],
+        "suffix string, n_labels int")
+    hosts = df.select(F.col(host_col).alias("host")).distinct()
+    cands = hosts.select(
+        "host",
+        F.posexplode(F.array(*[
+            F.substring_index("host", ".", -k)
+            for k in range(1, max_suffix_labels + 1)])).alias("k", "cand"))
+    best = (cands.join(F.broadcast(psl_df),
+                       cands.cand == psl_df.suffix)
+            .groupBy("host")
+            .agg(F.max(F.struct("n_labels", "suffix")).alias("m"))
+            .select("host", F.col("m.suffix").alias("suffix")))
+    out = hosts.join(best, "host", "left")
+    parts = F.split(F.col("host"), r"\.")
+    n_host_labels = F.size(parts)
+    n_suf_labels = (F.length("suffix")
+                    - F.length(F.regexp_replace("suffix", r"\.", ""))
+                    + 1)
+    registrable = F.col("suffix").isNotNull() \
+        & (n_host_labels > n_suf_labels)
+    tail = F.array_join(
+        F.slice(parts, n_host_labels - n_suf_labels, n_suf_labels + 1),
+        ".")
+    return out.select(
+        "host",
+        F.when(registrable, tail)
+        .when(F.col("suffix").isNotNull(), F.col("host"))
+        .otherwise(F.substring_index("host", ".", -2)).alias("registered"),
+        F.coalesce("suffix", F.lit("")).alias("suffix"),
+        registrable.alias("matched"))
+
+
+def pld_rollup(df: DataFrame, url_col: str = "url",
+               psl: list[str] | None = None) -> DataFrame:
+    """Registered-domain crawl rollup: resolve every URL's host to its
+    PSL registered domain and aggregate -> (registered, suffix,
+    n_urls, n_hosts, matched).  The grouping production politeness /
+    per-site budget / ownership analytics run at.  One distinct-host
+    PLD resolution (broadcast PSL), one equi-join back, one agg."""
+    with_host = df.select(F.col(url_col).alias("url"),
+                          url_host("url").alias("host"))
+    pld = pld_registered_domain(with_host, "host", psl=psl)
+    return (with_host.join(pld, "host")
+            .groupBy("registered", "suffix", "matched")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct("host").alias("n_hosts"))
+            .select("registered", "suffix", "n_urls", "n_hosts",
+                    "matched"))

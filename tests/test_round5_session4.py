@@ -366,3 +366,80 @@ class TestKcenterSeeds:
         from saber_spark.operators.cluster import kcenter_seeds
         with pytest.raises(ValueError, match="need"):
             kcenter_seeds(self._emb(spark, [(0, [1.0])]), k=3)
+
+
+class TestScriptProfile:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_mixed_scripts_counted(self, spark):
+        from saber_spark.operators.textstats import script_profile
+        out = {r.doc_id: r for r in script_profile(self._docs(spark, [
+            (0, "hello мир 数据"), (1, "12345 !!"),
+            (2, "données straße"), (3, "και κόσμος"),
+            (4, "مرحبا بالعالم"), (5, "안녕하세요"),
+        ])).collect()}
+        assert (out[0].n_latin, out[0].n_cyrillic, out[0].n_cjk) == (5, 3, 2)
+        assert out[0].script == "latin" and out[0].share == 0.5
+        assert out[1].script == "none" and out[1].share == 0.0
+        assert out[2].script == "latin" and out[2].share == 1.0
+        assert out[3].script == "greek"
+        assert out[4].script == "arabic"
+        assert out[5].script == "hangul"
+
+    def test_tie_breaks_by_declared_order(self, spark):
+        from saber_spark.operators.textstats import script_profile
+        # 2 latin letters vs 2 cyrillic letters -> latin (declared first)
+        out = script_profile(self._docs(spark, [(0, "ab мы")])).collect()[0]
+        assert out.n_latin == out.n_cyrillic == 2
+        assert out.script == "latin" and out.share == 0.5
+
+    def test_kana_counts_as_cjk(self, spark):
+        from saber_spark.operators.textstats import script_profile
+        out = script_profile(self._docs(spark, [(0, "データ 処理")])).collect()[0]
+        assert out.n_cjk == 5 and out.script == "cjk"
+
+
+class TestPldRollup:
+    def _hosts(self, spark, names):
+        return spark.createDataFrame([(n,) for n in names], "host string")
+
+    def test_longest_suffix_wins(self, spark):
+        from saber_spark.operators.webstats import pld_registered_domain
+        out = {r.host: r for r in pld_registered_domain(self._hosts(
+            spark, ["shop.example.co.uk", "example.uk"])).collect()}
+        # co.uk beats uk: registered one label above co.uk
+        assert out["shop.example.co.uk"].registered == "example.co.uk"
+        assert out["shop.example.co.uk"].suffix == "co.uk"
+        assert out["example.uk"].registered == "example.uk"
+        assert out["example.uk"].suffix == "uk"
+
+    def test_bare_suffix_not_registrable(self, spark):
+        from saber_spark.operators.webstats import pld_registered_domain
+        out = pld_registered_domain(
+            self._hosts(spark, ["co.uk"])).collect()[0]
+        assert out.registered == "co.uk" and out.matched is False
+
+    def test_unknown_tld_falls_back_to_apex(self, spark):
+        from saber_spark.operators.webstats import pld_registered_domain
+        out = pld_registered_domain(
+            self._hosts(spark, ["x.y.weird.zz"])).collect()[0]
+        assert out.registered == "weird.zz"
+        assert out.suffix == "" and out.matched is False
+
+    def test_deep_subdomain_collapses(self, spark):
+        from saber_spark.operators.webstats import pld_registered_domain
+        out = pld_registered_domain(
+            self._hosts(spark, ["a.b.c.example.com"])).collect()[0]
+        assert out.registered == "example.com" and out.matched is True
+
+    def test_rollup_groups_hosts(self, spark):
+        from saber_spark.operators.webstats import pld_rollup
+        urls = spark.createDataFrame(
+            [("https://www.site.com/a",), ("https://m.site.com/b",),
+             ("https://site.com/c",), ("https://other.org/d",)],
+            "url string")
+        out = {r.registered: r for r in pld_rollup(urls).collect()}
+        assert out["site.com"].n_urls == 3
+        assert out["site.com"].n_hosts == 3
+        assert out["other.org"].n_urls == 1

@@ -2778,6 +2778,29 @@ def main() -> None:
         0,
     ))
 
+    sp = e.q_script_profile(spark, SF_DIR)
+    sections.append((
+        "script_profile (pure narrow regexp census)",
+        "Unicode script counts are length-difference regexps per "
+        "range — one narrow projection, zero joins, zero exchanges "
+        "beyond the scan, zero Python.",
+        formatted_plan(sp),
+        ["Project", "Scan"],
+        0,
+    ))
+
+    pl = e.q_pld_rollup(spark, SF_DIR)
+    sections.append((
+        "pld_rollup (broadcast PSL, constant fan-out)",
+        "Registered-domain resolution: candidate suffix tails are a "
+        "constant-width posexplode on DISTINCT hosts, matched via a "
+        "broadcast PSL join + max-struct agg; the url table joins "
+        "back once and aggregates.",
+        formatted_plan(pl),
+        ["BroadcastHashJoin", "HashAggregate", "Generate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
