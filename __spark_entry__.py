@@ -528,6 +528,24 @@ SCAN_GADGET_ROWS = GADGET_EDGE_ROWS + [
 SCAN_GADGET_VALUES_SQL = ", ".join(
     f"('{a}', '{b}')" for a, b in SCAN_GADGET_ROWS)
 
+#: WordPiece vocab for the corpus (31 distinct synthetic tokens): a few
+#: whole-word pieces, sub-word splits for the rest, and all single
+#: letters EXCEPT 'q' in both initial and continuation form — so
+#: 'query' becomes [UNK], exercising the BERT whole-word-UNK rule.
+_WP_LETTERS = "abcdefghijklmnoprstuvwxyz"  # no q
+WORDPIECE_VOCAB = (
+    ["data", "join", "str", "wind", "sp", "ba", "fil", "ta", "cus",
+     "sc", "mer", "val", "agg", "key"]
+    + ["##eam", "##ow", "##ark", "##tch", "##ter", "##ble", "##tom",
+       "##er", "##an", "##ge", "##ue"]
+    + list(_WP_LETTERS)
+    + ["##" + c for c in _WP_LETTERS])
+WORDPIECE_VOCAB_VALUES_SQL = ", ".join(
+    f"('{p}', '{p[2:] if p.startswith('##') else p}', "
+    f"{len(p[2:] if p.startswith('##') else p)}, "
+    f"{'true' if p.startswith('##') else 'false'})"
+    for p in sorted(set(WORDPIECE_VOCAB)))
+
 #: the kge.ROT65 rotation table as SQL VALUES (idx, c, s) — the oracle
 #: re-derives the per-dimension rotation choice from the same quantized
 #: relation components, so the constant list must match kge.ROT65 exactly.
@@ -5086,6 +5104,65 @@ def q_pld_rollup(spark, sf_dir):
     return pld_rollup(urls)
 
 
+def q_wordpiece_encode(spark, sf_dir):
+    """WordPiece greedy longest-match encoding (bpe.wordpiece_encode,
+    Wu et al. 2016 / BERT; Schuster-Nakajima 2012) over the corpus's
+    distinct words with WORDPIECE_VOCAB: the match-based sibling of
+    the BPE encoder, expressed ENTIRELY in joins — longest match per
+    (word, pos) is one broadcast-vocab join + max-struct agg, and the
+    greedy walk is pointer-chasing over that jump table (lazy rounds,
+    no Python, unlike encode_df's Arrow loop). 'query' lands on the
+    whole-word [UNK] rule (no 'q' piece); the 25-char cap mirrors the
+    reference's word truncation (saber/constants.py:64). Oracle: the
+    same jump table + a recursive pointer-walk CTE."""
+    from saber_spark.operators.bpe import wordpiece_encode
+    from saber_spark.operators.vocab import tokenize_docs
+    return wordpiece_encode(
+        tokenize_docs(_docs(spark, sf_dir)).select("token").distinct(),
+        WORDPIECE_VOCAB)
+
+
+def q_min_k_prob(spark, sf_dir):
+    """Min-K% Prob membership audit (lm.min_k_prob, Shi et al. 2023):
+    per scored doc, the mean log-probability of its 20% least-likely
+    bigrams under the repo's add-k bigram reference LM — the
+    probability-based leakage detector next to the verbatim n-gram
+    decontamination ops (members lack the low-probability outliers
+    non-members have). One model (two hash aggs), two scoring joins,
+    one per-doc window + agg; tie-invariant selection documented in
+    the operator."""
+    from saber_spark.operators.lm import min_k_prob
+    return min_k_prob(_docs(spark, sf_dir), INFIX_PATTERN, k_pct=0.2)
+
+
+def q_self_bleu(spark, sf_dir):
+    """Self-BLEU corpus-diversity audit (textstats.self_bleu, Zhu et
+    al. 2018 Texygen / Papineni 2002 arithmetic): each doc BLEU-scored
+    against the REST of the corpus — the distributional-redundancy
+    axis the exact/MinHash dedup ops don't see. Clipping ceilings come
+    from ONE (n, gram)-keyed top-2 window (ties -> smaller doc id), so
+    the plan is linear in gram volume, never per-(candidate,
+    reference) quadratic; brevity penalty uses the closest OTHER-doc
+    length from a broadcast length histogram."""
+    from saber_spark.operators.textstats import self_bleu
+    return self_bleu(_docs(spark, sf_dir), INFIX_PATTERN)
+
+
+def q_sif_embeddings(spark, sf_dir):
+    """SIF document embeddings (cluster.sif_embeddings, Arora-Liang-Ma
+    ICLR 2017): frequency-weighted word-vector means with first-PC
+    common-component removal — the tough-to-beat doc-embedding
+    baseline composing three existing stages (token freqs, the
+    quantized embedding table via the DSIR md5-portable word->row
+    hash, pca_top_component's power loop on the doc-vector
+    covariance). Long-form (doc_id, dim, value) output."""
+    from saber_spark.operators.cluster import sif_embeddings
+    from saber_spark.operators.vocab import tokenize_docs
+    return sif_embeddings(
+        tokenize_docs(_docs(spark, sf_dir)),
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -5529,6 +5606,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 27 (Unicode script census, public-suffix PLD rollup)
         "script_profile": q_script_profile,
         "pld_rollup": q_pld_rollup,
+        # batch 28 (WordPiece join-based encoding, Min-K% membership)
+        "wordpiece_encode": q_wordpiece_encode,
+        "min_k_prob": q_min_k_prob,
+        # batch 29 (Self-BLEU corpus diversity)
+        "self_bleu": q_self_bleu,
+        # batch 30 (SIF document embeddings)
+        "sif_embeddings": q_sif_embeddings,
     }
 
 
@@ -13537,4 +13621,255 @@ def oracle_sql() -> dict[str, str]:
                    p.matched
             FROM wh w JOIN pld p ON p.host = w.host
             GROUP BY p.registered, p.suffix, p.matched""",
+        "wordpiece_encode": f"""
+            WITH RECURSIVE {TOKENS_CTE},
+            words AS (SELECT DISTINCT token AS word FROM tokens
+                      WHERE length(token) BETWEEN 1 AND 25),
+            vocab AS (SELECT * FROM
+                      (VALUES {WORDPIECE_VOCAB_VALUES_SQL})
+                      AS v(piece, raw, rlen, cont)),
+            cand AS (
+              SELECT w.word, p.pos, v.piece, v.rlen
+              FROM words w
+              CROSS JOIN (SELECT unnest(range(1, 26)) AS pos) p
+              JOIN vocab v
+                ON p.pos <= length(w.word)
+               AND substr(w.word, CAST(p.pos AS INT), v.rlen) = v.raw
+               AND p.pos + v.rlen - 1 <= length(w.word)
+               AND v.cont = (p.pos > 1)),
+            best AS (
+              SELECT word, pos, max_by(piece, rlen) AS piece,
+                     pos + max(rlen) AS next_pos
+              FROM cand GROUP BY word, pos),
+            walk (word, idx, piece, next_pos) AS (
+              SELECT word, 0, piece, next_pos FROM best WHERE pos = 1
+              UNION ALL
+              SELECT b.word, w.idx + 1, b.piece, b.next_pos
+              FROM walk w
+              JOIN best b ON b.word = w.word AND b.pos = w.next_pos),
+            done AS (
+              SELECT w.word,
+                     (coalesce(max(k.next_pos), -1)
+                      = length(w.word) + 1) AS ok
+              FROM words w LEFT JOIN walk k ON k.word = w.word
+              GROUP BY w.word),
+            allwords AS (SELECT DISTINCT token AS word FROM tokens)
+            SELECT k.word, CAST(k.idx AS INT) AS idx, k.piece
+            FROM walk k JOIN done d ON d.word = k.word AND d.ok
+            UNION ALL
+            SELECT a.word, 0, '[UNK]'
+            FROM allwords a
+            WHERE a.word NOT IN (SELECT word FROM done WHERE ok)""",
+        "min_k_prob": f"""
+            WITH {TOKENS_CTE},
+            bg AS (
+              SELECT t1.doc_id, t1.token AS w1, t2.token AS w2,
+                     ((t1.doc_id * {KNUTH}) % {HASH_MOD}) % 2 AS part
+              FROM tokens t1 JOIN tokens t2
+                ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg
+                    WHERE part <> 0 GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+                   FROM c12 GROUP BY w1),
+            v AS (SELECT count(DISTINCT w) AS v FROM (
+                    SELECT w2 AS w FROM bg WHERE part <> 0
+                    UNION ALL SELECT w1 FROM bg WHERE part <> 0)),
+            s AS (SELECT b.doc_id,
+                         -ln((coalesce(c12.c12, 0) + 0.5)
+                             / (coalesce(c1.c1, 0)
+                                + 0.5 * greatest((SELECT v FROM v), 1))
+                             ) AS nll
+                  FROM bg b
+                  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+                  LEFT JOIN c1 ON b.w1 = c1.w1
+                  WHERE b.part = 0),
+            ranked AS (
+              SELECT doc_id, nll,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY nll DESC) AS rn,
+                     count(*) OVER (PARTITION BY doc_id) AS n
+              FROM s)
+            SELECT doc_id,
+                   CAST(max(n) AS BIGINT) AS n_bigrams,
+                   CAST(max(CAST(ceil(0.2 * n) AS BIGINT)) AS BIGINT
+                        ) AS n_selected,
+                   round(-sum(CASE WHEN rn <= ceil(0.2 * n)
+                                   THEN nll END)
+                         / max(CAST(ceil(0.2 * n) AS BIGINT)), 6
+                         ) AS mink_avg_logprob,
+                   round(-avg(nll), 6) AS full_avg_logprob
+            FROM ranked GROUP BY doc_id""",
+        "self_bleu": f"""
+            WITH {TOKENS_CTE},
+            base AS (SELECT doc_id, count(*) AS n_tokens
+                     FROM tokens GROUP BY doc_id),
+            grams AS (
+              SELECT doc_id, 1 AS n, token AS gram FROM tokens
+              UNION ALL
+              SELECT t1.doc_id, 2, t1.token || ' ' || t2.token
+              FROM tokens t1 JOIN tokens t2
+                ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+              UNION ALL
+              SELECT t1.doc_id, 3,
+                     t1.token || ' ' || t2.token || ' ' || t3.token
+              FROM tokens t1
+              JOIN tokens t2 ON t1.doc_id = t2.doc_id
+                            AND t2.pos = t1.pos + 1
+              JOIN tokens t3 ON t1.doc_id = t3.doc_id
+                            AND t3.pos = t1.pos + 2
+              UNION ALL
+              SELECT t1.doc_id, 4,
+                     t1.token || ' ' || t2.token || ' '
+                     || t3.token || ' ' || t4.token
+              FROM tokens t1
+              JOIN tokens t2 ON t1.doc_id = t2.doc_id
+                            AND t2.pos = t1.pos + 1
+              JOIN tokens t3 ON t1.doc_id = t3.doc_id
+                            AND t3.pos = t1.pos + 2
+              JOIN tokens t4 ON t1.doc_id = t4.doc_id
+                            AND t4.pos = t1.pos + 3),
+            counts AS MATERIALIZED (
+              SELECT n, gram, doc_id, count(*) AS c
+              FROM grams GROUP BY n, gram, doc_id),
+            top2 AS MATERIALIZED (
+              SELECT n, gram,
+                     max(CASE WHEN rn = 1 THEN doc_id END) AS d1,
+                     max(CASE WHEN rn = 1 THEN c END) AS m1,
+                     max(CASE WHEN rn = 2 THEN c END) AS m2
+              FROM (SELECT n, gram, doc_id, c,
+                           row_number() OVER (PARTITION BY n, gram
+                             ORDER BY c DESC, doc_id) AS rn
+                    FROM counts)
+              WHERE rn <= 2 GROUP BY n, gram),
+            prec AS (
+              SELECT c.doc_id, c.n,
+                     sum(least(c.c,
+                       CASE WHEN c.doc_id <> t.d1 THEN t.m1
+                            ELSE coalesce(t.m2, 0) END))
+                     / sum(c.c)::DOUBLE AS p
+              FROM counts c
+              JOIN top2 t ON t.n = c.n AND t.gram = c.gram
+              GROUP BY c.doc_id, c.n),
+            hist AS (SELECT n_tokens AS rl, count(*) AS cnt
+                     FROM base GROUP BY n_tokens),
+            rlen AS (
+              SELECT doc_id, rl AS ref_len FROM (
+                SELECT b.doc_id, h.rl,
+                       row_number() OVER (PARTITION BY b.doc_id
+                         ORDER BY abs(h.rl - b.n_tokens), h.rl) AS rn
+                FROM base b
+                JOIN hist h ON h.cnt > 1 OR h.rl <> b.n_tokens)
+              WHERE rn = 1),
+            pw AS (
+              SELECT doc_id, min(p) AS pmin,
+                     sum(ln(CASE WHEN p > 0 THEN p ELSE 1.0 END))
+                       / 4 AS logmean,
+                     round(max(CASE WHEN n = 1 THEN p END), 6) AS p1,
+                     round(max(CASE WHEN n = 2 THEN p END), 6) AS p2,
+                     round(max(CASE WHEN n = 3 THEN p END), 6) AS p3,
+                     round(max(CASE WHEN n = 4 THEN p END), 6) AS p4
+              FROM prec GROUP BY doc_id)
+            SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+                   CAST(r.ref_len AS INT) AS ref_len,
+                   w.p1, w.p2, w.p3, w.p4,
+                   round(CASE WHEN b.n_tokens >= r.ref_len THEN 1.0
+                              ELSE exp(1 - r.ref_len
+                                       / b.n_tokens::DOUBLE) END, 6
+                         ) AS bp,
+                   round(CASE WHEN w.pmin > 0
+                              THEN (CASE WHEN b.n_tokens >= r.ref_len
+                                         THEN 1.0
+                                         ELSE exp(1 - r.ref_len
+                                              / b.n_tokens::DOUBLE) END)
+                                   * exp(w.logmean)
+                              ELSE 0.0 END, 6) AS self_bleu
+            FROM base b
+            JOIN rlen r ON r.doc_id = b.doc_id
+            JOIN pw w ON w.doc_id = b.doc_id""",
+        "sif_embeddings": f"""
+            WITH {TOKENS_CTE},
+            freq AS (SELECT token, count(*) AS c
+                     FROM tokens GROUP BY token),
+            tot AS (SELECT sum(c) AS tot FROM freq),
+            nv AS (SELECT count(*) AS n FROM embeddings),
+            weights AS (
+              SELECT token,
+                     0.001 / (0.001
+                              + c / (SELECT tot FROM tot)::DOUBLE) AS w,
+                     CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)
+                       % (SELECT n FROM nv) AS row
+              FROM freq),
+            dims AS MATERIALIZED (
+              SELECT vec_id AS row,
+                     CAST(generate_subscripts(qv, 1) - 1 AS BIGINT
+                          ) AS dim,
+                     unnest(qv) AS v
+              FROM (SELECT vec_id,
+                           list_transform(embedding,
+                             x -> CAST(round(x::DOUBLE * 1000)
+                                       AS BIGINT)) AS qv
+                    FROM embeddings)),
+            dlen AS (SELECT doc_id, count(*) AS n_tok
+                     FROM tokens GROUP BY doc_id),
+            sacc AS (
+              SELECT t.doc_id, d.dim, sum(w.w * d.v) AS s
+              FROM tokens t
+              JOIN weights w USING (token)
+              JOIN dims d ON d.row = w.row
+              GROUP BY t.doc_id, d.dim),
+            vd AS MATERIALIZED (
+              SELECT s.doc_id, s.dim, s.s / l.n_tok AS x
+              FROM sacc s JOIN dlen l USING (doc_id)),
+            mu AS (SELECT dim, avg(x) AS mu FROM vd GROUP BY dim),
+            centered AS MATERIALIZED (
+              SELECT v.doc_id, v.dim, v.x - m.mu AS cx
+              FROM vd v JOIN mu m USING (dim)),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM vd),
+            cov AS MATERIALIZED (
+              SELECT a.dim AS i, b.dim AS j,
+                     sum(a.cx * b.cx) / ((SELECT n FROM nd) - 1) AS c
+              FROM centered a JOIN centered b USING (doc_id)
+              GROUP BY a.dim, b.dim),
+            u0 AS (SELECT DISTINCT i AS dim, CAST(1.0 AS DOUBLE) AS u
+                   FROM cov),
+            w1 AS MATERIALIZED (
+              SELECT cov.i, sum(cov.c * u0.u) AS w
+              FROM cov JOIN u0 ON u0.dim = cov.j
+              GROUP BY cov.i),
+            n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
+            u1 AS MATERIALIZED (
+              SELECT i AS dim, w / nrm AS u
+              FROM w1 CROSS JOIN n1),
+            w2 AS MATERIALIZED (
+              SELECT cov.i, sum(cov.c * u1.u) AS w
+              FROM cov JOIN u1 ON u1.dim = cov.j
+              GROUP BY cov.i),
+            n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2),
+            u2 AS MATERIALIZED (
+              SELECT i AS dim, w / nrm AS u
+              FROM w2 CROSS JOIN n2),
+            w3 AS MATERIALIZED (
+              SELECT cov.i, sum(cov.c * u2.u) AS w
+              FROM cov JOIN u2 ON u2.dim = cov.j
+              GROUP BY cov.i),
+            n3 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w3),
+            u3 AS MATERIALIZED (
+              SELECT i AS dim, w / nrm AS u
+              FROM w3 CROSS JOIN n3),
+            w4 AS MATERIALIZED (
+              SELECT cov.i, sum(cov.c * u3.u) AS w
+              FROM cov JOIN u3 ON u3.dim = cov.j
+              GROUP BY cov.i),
+            n4 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w4),
+            u4 AS MATERIALIZED (
+              SELECT i AS dim, w / nrm AS u
+              FROM w4 CROSS JOIN n4),
+            proj AS (
+              SELECT v.doc_id, sum(v.x * u.u) AS dot
+              FROM vd v JOIN u4 u USING (dim) GROUP BY v.doc_id)
+            SELECT v.doc_id, v.dim,
+                   round(v.x - p.dot * u.u, 6) AS value
+            FROM vd v
+            JOIN u4 u USING (dim)
+            JOIN proj p USING (doc_id)""",
     }

@@ -304,6 +304,12 @@ def main() -> None:
         "scan_hosts", "kcenter_seeds",
         # round 5 final session batch 27 (script census, PSL rollup)
         "script_profile", "pld_rollup",
+        # round 5 final session batch 28 (WordPiece, Min-K% prob)
+        "wordpiece_encode", "min_k_prob",
+        # round 5 final session batch 29 (Self-BLEU diversity)
+        "self_bleu",
+        # round 5 final session batch 30 (SIF doc embeddings)
+        "sif_embeddings",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -142,3 +142,119 @@ def encode_df(tokens: DataFrame, merges: list[tuple[str, str]],
                                 "piece_idx": idxs, "piece": pieces})
 
     return tokens.select(id_col, pos_col, tok_col).mapInPandas(run, schema)
+
+
+def wordpiece_encode(tokens: DataFrame, vocab: list[str],
+                     tok_col: str = "token", unk: str = "[UNK]",
+                     max_word_len: int = 25) -> DataFrame:
+    """WordPiece greedy longest-match-first encoding (Wu et al. 2016,
+    arXiv:1609.08144 §4.1 — the BERT tokenizer; Schuster & Nakajima
+    2012): split each word into the longest vocab piece at each
+    position, continuation pieces prefixed '##'; any position with NO
+    matching piece makes the WHOLE word ``unk`` (the BERT convention).
+    The companion of the BPE encoder — same vocabulary-bounded model,
+    different (match-based, not merge-based) inference — and, unlike
+    encode_df's Arrow loop, expressed ENTIRELY in joins: WordPiece's
+    greedy walk is a FUNCTIONAL GRAPH once the longest match per
+    (word, position) is known.
+
+    Plan shape (zero Python):
+      1. DISTINCT words (vocabulary-bounded, Heaps' law — the same
+         bound the BPE trainer rides) explode to (word, pos,
+         candidate-substring) with constant fan-out <=
+         max_word_len * max piece length;
+      2. ONE broadcast join against the vocab + a max-struct agg give
+         best(word, pos) = (longest piece, next pos) — an explicit
+         jump table;
+      3. the greedy walk is pointer-chasing over best: max_word_len
+         LAZY rounds (no per-round actions — connected_components'
+         rounds-mode contract) each ONE equi-join;
+      4. words that get stuck emit ``unk``; results join back to the
+         token table by word.
+
+    max_word_len mirrors the reference's 25-char word cap
+    (/root/reference/saber/constants.py:64, preprocessor.py:181-185) —
+    longer words are ``unk`` outright (documented cap, like BERT's
+    max_input_chars_per_word=100).
+
+    -> (word, idx, piece): one row per emitted piece, idx 0-based.
+    """
+    if not vocab:
+        raise ValueError("wordpiece_encode: empty vocab")
+    spark = tokens.sparkSession
+    vrows = []
+    max_piece = 1
+    for p in sorted(set(vocab)):
+        cont = p.startswith("##")
+        raw = p[2:] if cont else p
+        if not raw:
+            continue
+        vrows.append((p, raw, len(raw), cont))
+        max_piece = max(max_piece, len(raw))
+    vdf = spark.createDataFrame(
+        vrows, "piece string, raw string, rlen int, cont boolean")
+
+    words = (tokens.select(F.col(tok_col).alias("word")).distinct()
+             .filter((F.length("word") >= 1)
+                     & (F.length("word") <= max_word_len))
+             .localCheckpoint(eager=True))
+    # candidate substrings at every (pos, len) — constant fan-out
+    cand = (words
+            .select("word", F.posexplode(F.sequence(
+                F.lit(1), F.length("word"))).alias("_", "pos"))
+            .select("word", "pos", F.explode(F.sequence(
+                F.lit(1),
+                F.least(F.lit(max_piece),
+                        F.length("word") - F.col("pos") + 1)))
+            .alias("plen"))
+            .select("word", "pos", "plen",
+                    F.substring(F.col("word"), F.col("pos"),
+                                F.lit(0) + F.col("plen"))
+                    .alias("sub")))
+    best = (cand.join(F.broadcast(vdf),
+                      (cand.sub == vdf.raw)
+                      & (vdf.cont == (cand.pos > 1)))
+            .groupBy("word", "pos")
+            .agg(F.max(F.struct(F.col("rlen"), F.col("piece")))
+                 .alias("m"))
+            .select("word", "pos",
+                    F.col("m.piece").alias("piece"),
+                    (F.col("pos") + F.col("m.rlen")).alias("next_pos"))
+            .localCheckpoint(eager=True))
+    # pointer-chase the jump table: lazy rounds, no driver actions
+    walk = (best.filter(F.col("pos") == 1)
+            .select("word", F.lit(0).alias("idx"), "piece", "next_pos"))
+    out = walk
+    step = walk
+    for i in range(1, max_word_len):
+        nxt = best.select(F.col("word").alias("w2"),
+                          F.col("pos").alias("p2"),
+                          F.col("piece").alias("piece2"),
+                          F.col("next_pos").alias("np2"))
+        step = (step.join(nxt, (step.word == nxt.w2)
+                          & (step.next_pos == nxt.p2))
+                .select("word", F.lit(i).alias("idx"),
+                        F.col("piece2").alias("piece"),
+                        F.col("np2").alias("next_pos")))
+        # cut lineage every few rounds: 25 chained joins parse fine but
+        # re-analysis cost grows; checkpoint keeps each round flat
+        if i % 5 == 0:
+            step = step.localCheckpoint(eager=True)
+        out = out.unionByName(step)
+    # a word is fully encoded iff its LAST emitted piece ends exactly at
+    # len(word) + 1; stuck or over-long or never-started words -> unk
+    done = (out.groupBy("word")
+            .agg(F.max("next_pos").alias("endp"))
+            .join(words, "word", "right")
+            .select("word",
+                    (F.coalesce("endp", F.lit(-1))
+                     == F.length("word") + 1).alias("ok")))
+    encoded = (out.join(done.filter(F.col("ok")), "word")
+               .select("word", "idx", "piece"))
+    unks = (tokens.select(F.col(tok_col).alias("word")).distinct()
+            .join(done.filter(F.col("ok")).select("word"),
+                  "word", "left_anti")
+            .select("word", F.lit(0).cast("int").alias("idx"),
+                    F.lit(unk).alias("piece")))
+    return encoded.select("word", F.col("idx").cast("int").alias("idx"),
+                          "piece").unionByName(unks)

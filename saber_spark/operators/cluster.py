@@ -401,3 +401,107 @@ def kcenter_seeds(embeddings: DataFrame, k: int = 4,
     return spark.createDataFrame(
         [(r, i, d) for r, (i, _, d) in enumerate(chosen)],
         "seed_rank long, vec_id long, d2 long")
+
+
+def sif_embeddings(tokens: DataFrame, embeddings: DataFrame,
+                   a: float = 1e-3, pc_iterations: int = 4,
+                   doc_col: str = "doc_id", tok_col: str = "token",
+                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   ) -> DataFrame:
+    """SIF document embeddings (Arora, Liang & Ma, ICLR 2017 "A Simple
+    but Tough-to-Beat Baseline for Sentence Embeddings"): each document
+    is the frequency-weighted mean of its word vectors,
+
+        v_d = (1/|d|) * sum_t  a / (a + p(t)) * emb(t),
+
+    followed by COMMON-COMPONENT REMOVAL — subtracting each vector's
+    projection onto the corpus's first principal component (the shared
+    syntax/frequency direction that drowns topical signal).  The
+    classic composition of three stages this repo already ships
+    separately: token frequencies (vocab), an embedding table
+    (similarity), and the power-iteration PC (pca_top_component) — the
+    doc-embedding baseline that feeds cosine_topk / semdedup /
+    kmeans when no trained encoder is available.
+
+    Word -> vector row: md5-portable hash mod |table| (the DSIR hash
+    family — engine-identical), standing in for a trained word->row
+    index with the same join shape.  Embedding components are the
+    quantized integers of the similarity contract; weights and all
+    downstream arithmetic are IEEE doubles rounded once at 6dp.
+
+    Scale shape: ONE token-frequency agg (broadcast, vocab-bounded),
+    one equi-join of the token stream against the quantized embedding
+    long table, one (doc, dim) agg; the PC loop reuses
+    pca_top_component's shape — covariance via ONE doc-keyed self-join
+    (dim-bounded fan), fixed pc_iterations on the d^2-row matrix;
+    the removal is one broadcast join + narrow arithmetic.
+
+    -> (doc_id, dim, value 6dp) — the long form of the corrected doc
+    vectors (array re-assembly is one collect_list away when needed).
+    """
+    n_vecs = embeddings.count()
+    q = F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * QUANT)
+                    .cast("long"))
+    dims = (embeddings.select(F.col(id_col), q.alias("qv"))
+            .select(F.col(id_col).alias("row"),
+                    F.posexplode("qv").alias("dim", "v")))
+    tok = tokens.select(F.col(doc_col), F.col(tok_col).alias("token"))
+    freq = (tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True))
+    total = freq.agg(F.sum("c").alias("tot"))
+    weights = (freq.crossJoin(F.broadcast(total))
+               .select("token",
+                       (F.lit(float(a))
+                        / (F.lit(float(a))
+                           + F.col("c") / F.col("tot").cast("double")))
+                       .alias("w"),
+                       (F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+                        .cast("long") % F.lit(n_vecs)).alias("row")))
+    dlen = tok.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    vd = (tok.join(F.broadcast(weights), "token")
+          .join(dims, "row")
+          .groupBy(doc_col, "dim")
+          .agg(F.sum(F.col("w") * F.col("v")).alias("s"))
+          .join(dlen, doc_col)
+          .select(doc_col, "dim",
+                  (F.col("s") / F.col("n_tok")).alias("x"))
+          .localCheckpoint(eager=True))
+    if pc_iterations == 0:
+        # no common-component removal: the raw weighted means
+        return vd.select(doc_col, "dim",
+                         F.round("x", 6).alias("value"))
+    # first PC of the doc vectors: pca_top_component's loop on doubles
+    mu = vd.groupBy("dim").agg(F.avg("x").alias("mu"))
+    centered = (vd.join(F.broadcast(mu), "dim")
+                .select(doc_col, "dim",
+                        (F.col("x") - F.col("mu")).alias("cx")))
+    n_docs = vd.select(doc_col).distinct().count()
+    cov = (centered.select(doc_col, F.col("dim").alias("i"),
+                           F.col("cx").alias("xi"))
+           .join(centered.select(doc_col, F.col("dim").alias("j"),
+                                 F.col("cx").alias("xj")), doc_col)
+           .groupBy("i", "j")
+           .agg((F.sum(F.col("xi") * F.col("xj")) / (n_docs - 1))
+                .alias("c"))
+           .localCheckpoint(eager=True))
+    u = cov.select("i").distinct().select(
+        F.col("i").alias("dim"), F.lit(1.0).alias("u"))
+    for _ in range(pc_iterations):
+        w2 = (cov.join(u, cov.j == u.dim)
+              .groupBy("i")
+              .agg(F.sum(F.col("c") * F.col("u")).alias("w")))
+        nrm = w2.agg(F.sqrt(F.sum(F.col("w") * F.col("w")))
+                     .alias("nrm"))
+        u = (w2.crossJoin(F.broadcast(nrm))
+             .select(F.col("i").alias("dim"),
+                     (F.col("w") / F.col("nrm")).alias("u"))
+             .localCheckpoint(eager=True))
+    proj = (vd.join(F.broadcast(u), "dim")
+            .groupBy(doc_col)
+            .agg(F.sum(F.col("x") * F.col("u")).alias("dot")))
+    return (vd.join(F.broadcast(u), "dim")
+            .join(proj, doc_col)
+            .select(doc_col, "dim",
+                    F.round(F.col("x") - F.col("dot") * F.col("u"), 6)
+                    .alias("value")))

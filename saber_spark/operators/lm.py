@@ -323,3 +323,62 @@ def entropy_rate(docs: DataFrame, pattern: str,
                     F.round(F.col("h2"), 6).alias("h_bigram_rate"),
                     F.round(F.exp(F.col("h1")), 6).alias("ppl_unigram"),
                     F.round(F.exp(F.col("h2")), 6).alias("ppl_bigram")))
+
+
+def min_k_prob(docs: DataFrame, pattern: str, k_pct: float = 0.2,
+               text_col: str = "text", id_col: str = "doc_id",
+               add_k: float = 0.5) -> DataFrame:
+    """Min-K% Prob pretraining-membership score (Shi et al. 2023,
+    arXiv:2310.16789 "Detecting Pretraining Data from Large Language
+    Models"): score a document by the MEAN log-probability of its k%
+    LEAST-likely tokens under a reference LM — members of the training
+    set lack the low-probability outlier tokens non-members have, so a
+    HIGHER min-k% average means more likely seen in training. The
+    membership/leakage audit that runs next to the n-gram
+    decontamination ops (contamination_check, bloom_decontaminate):
+    those catch verbatim overlap, this catches paraphrased/partial
+    leakage through the model's own probabilities.
+
+    Reference model: the repo's add-k bigram LM (lm_cross_entropy's
+    model half — hash-half != 0 trains, half 0 is scored), standing in
+    for the LLM logprobs the paper queries; the selection/aggregation
+    layer is the operator. Selection: per doc, the ceil(k_pct * n)
+    bigrams with the highest NLL. Ties share identical NLL values, so
+    the mean is invariant to which tied members the row_number picks —
+    deterministic without a positional tie-break.
+
+    Scale shape: one bigram model (two hash aggs), two left joins for
+    scoring, ONE per-doc window (WindowGroupLimit-prunable rank) and
+    one agg. No Python.
+
+    -> (doc_id, n_bigrams, n_selected, mink_avg_logprob 6dp,
+    full_avg_logprob 6dp); higher mink => more member-like.
+    """
+    from pyspark.sql import Window
+    bg = train_split(doc_bigrams(docs, pattern, text_col, id_col),
+                     id_col)
+    c12, c1, vocab = bigram_model(bg.filter(F.col("part") != 0))
+    score = bg.filter(F.col("part") == 0)
+    v = F.lit(float(add_k)) * F.greatest(F.col("v"), F.lit(1))
+    p = ((F.coalesce(F.col("c12"), F.lit(0)) + F.lit(float(add_k)))
+         / (F.coalesce(F.col("c1"), F.lit(0)) + v))
+    nll = (score
+           .join(c12, ["w1", "w2"], "left")
+           .join(c1, ["w1"], "left")
+           .crossJoin(F.broadcast(vocab))
+           .select(id_col, (-F.ln(p)).alias("nll")))
+    w = Window.partitionBy(id_col).orderBy(F.col("nll").desc())
+    cnt = Window.partitionBy(id_col)
+    ranked = nll.select(
+        id_col, "nll",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"))
+    sel = F.ceil(F.lit(float(k_pct)) * F.col("n")).cast("long")
+    return (ranked
+            .groupBy(id_col)
+            .agg(F.max("n").alias("n_bigrams"),
+                 F.max(sel).alias("n_selected"),
+                 F.round(-F.sum(F.when(F.col("rn") <= sel,
+                                       F.col("nll")))
+                         / F.max(sel), 6).alias("mink_avg_logprob"),
+                 F.round(-F.avg("nll"), 6).alias("full_avg_logprob")))

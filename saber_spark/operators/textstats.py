@@ -737,3 +737,110 @@ def script_profile(docs: DataFrame, text_col: str = "text",
         dom.alias("script"),
         F.when(total > 0, F.round(mx / total.cast("double"), 6))
         .otherwise(F.lit(0.0)).alias("share"))
+
+
+def self_bleu(docs: DataFrame, pattern: str, max_n: int = 4,
+              text_col: str = "text", id_col: str = "doc_id"
+              ) -> DataFrame:
+    """Self-BLEU corpus-diversity audit (Zhu et al. 2018,
+    arXiv:1802.01886 "Texygen": BLEU of each document against the REST
+    of the corpus as references; Papineni et al. 2002 BLEU arithmetic):
+    high self-BLEU = template/near-duplicate saturation — the
+    distributional redundancy axis the exact/MinHash dedup ops don't
+    see (they catch copies; this catches a corpus that is one big
+    paraphrase of itself). Per doc:
+
+        p_n  = clipped n-gram matches / doc n-grams   (n = 1..max_n)
+        BP   = 1 if c >= r else exp(1 - r/c)  (closest ref length,
+                ties -> shorter, per the original BLEU convention)
+        BLEU = BP * exp(mean_n ln p_n), 0 if any p_n = 0
+
+    Clipping is against the MAX count of the gram in any single OTHER
+    document (the BLEU multi-reference rule): per (n, gram) the top-2
+    per-doc counts (ties -> smaller doc id first) give every doc its
+    reference ceiling in one pass — the n-gram tables are built ONCE,
+    never per (candidate, reference) pair, so the plan is linear in
+    corpus gram volume instead of quadratic in documents.
+
+    Scale shape: gram explosion is a narrow transform/slice map; the
+    top-2 rank is ONE (n, gram)-keyed window (WindowGroupLimit-
+    prunable); clip + precision are one join + two aggs; the
+    brevity-penalty reference length joins the doc table against the
+    BROADCAST distinct-length histogram. Gram-keyed shuffles hash well
+    (no hot keys beyond stopword unigrams — absorbed by partial aggs).
+
+    -> (doc_id, n_tokens, ref_len, p1..p{max_n} 6dp, bp 6dp,
+    self_bleu 6dp).
+    """
+    arr = F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+    base = (docs.select(F.col(id_col), arr.alias("arr"))
+            .select(id_col, "arr", F.size("arr").alias("n_tokens"))
+            .filter(F.col("n_tokens") >= 1)
+            .localCheckpoint(eager=True))
+    def _gram_fn(n):
+        # one-arg lambda on purpose: a two-arg lambda would be treated
+        # by F.transform as (element, index) and hijack n
+        return lambda i: F.array_join(F.slice(F.col("arr"), i, n), " ")
+
+    gram_legs = []
+    for n in range(1, max_n + 1):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(
+                F.col("n_tokens") - F.lit(n - 1), F.lit(0))),
+            _gram_fn(n))
+        gram_legs.append(
+            base.filter(F.col("n_tokens") >= n)
+            .select(id_col, F.lit(n).alias("n"),
+                    F.explode(grams).alias("gram")))
+    gram_rows = gram_legs[0]
+    for leg in gram_legs[1:]:
+        gram_rows = gram_rows.unionByName(leg)
+    counts = (gram_rows.groupBy("n", "gram", id_col)
+              .agg(F.count(F.lit(1)).alias("c"))
+              .localCheckpoint(eager=True))
+    w = Window.partitionBy("n", "gram").orderBy(
+        F.col("c").desc(), F.col(id_col).asc())
+    top2 = (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .groupBy("n", "gram")
+            .agg(F.max(F.when(F.col("rn") == 1, F.col(id_col)))
+                 .alias("d1"),
+                 F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("m1"),
+                 F.max(F.when(F.col("rn") == 2, F.col("c")))
+                 .alias("m2")))
+    ref_max = F.when(F.col(id_col) != F.col("d1"), F.col("m1")) \
+        .otherwise(F.coalesce("m2", F.lit(0)))
+    prec = (counts.join(top2, ["n", "gram"])
+            .groupBy(id_col, "n")
+            .agg((F.sum(F.least(F.col("c"), ref_max))
+                  / F.sum("c").cast("double")).alias("p")))
+    # closest OTHER-doc length for the brevity penalty
+    lens = base.select(id_col, "n_tokens")
+    hist = (lens.groupBy(F.col("n_tokens").alias("rl"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    rlen = (lens.crossJoin(F.broadcast(hist))
+            .filter((F.col("cnt") > 1)
+                    | (F.col("rl") != F.col("n_tokens")))
+            .groupBy(id_col)
+            .agg(F.min(F.struct(
+                F.abs(F.col("rl") - F.col("n_tokens")).alias("diff"),
+                F.col("rl").alias("rl"))).alias("m"))
+            .select(id_col, F.col("m.rl").alias("ref_len")))
+    pw = prec.groupBy(id_col).agg(
+        F.min("p").alias("pmin"),
+        (F.sum(F.ln(F.when(F.col("p") > 0, F.col("p"))
+                    .otherwise(F.lit(1.0)))) / F.lit(float(max_n)))
+        .alias("logmean"),
+        *[F.round(F.max(F.when(F.col("n") == n, F.col("p"))), 6)
+          .alias(f"p{n}") for n in range(1, max_n + 1)])
+    bp = F.when(F.col("n_tokens") >= F.col("ref_len"), F.lit(1.0)) \
+        .otherwise(F.exp(F.lit(1.0) - F.col("ref_len")
+                         / F.col("n_tokens").cast("double")))
+    return (lens.join(rlen, id_col).join(pw, id_col)
+            .select(id_col, "n_tokens", "ref_len",
+                    *[f"p{n}" for n in range(1, max_n + 1)],
+                    F.round(bp, 6).alias("bp"),
+                    F.round(F.when(F.col("pmin") > 0,
+                                   bp * F.exp(F.col("logmean")))
+                            .otherwise(F.lit(0.0)), 6)
+                    .alias("self_bleu")))

@@ -443,3 +443,205 @@ class TestPldRollup:
         assert out["site.com"].n_urls == 3
         assert out["site.com"].n_hosts == 3
         assert out["other.org"].n_urls == 1
+
+
+class TestWordpieceEncode:
+    def _toks(self, spark, words):
+        return spark.createDataFrame([(w,) for w in words],
+                                     "token string")
+
+    def _encode(self, spark, words, vocab):
+        from saber_spark.operators.bpe import wordpiece_encode
+        out = wordpiece_encode(self._toks(spark, words), vocab)
+        res: dict[str, list[str]] = {}
+        for r in sorted(out.collect(), key=lambda r: (r.word, r.idx)):
+            res.setdefault(r.word, []).append(r.piece)
+        return res
+
+    def test_greedy_longest_match(self, spark):
+        vocab = ["dream", "d", "r", "e", "a", "m", "y",
+                 "##y", "##r", "##e", "##a", "##m"]
+        res = self._encode(spark, ["dreamy"], vocab)
+        assert res["dreamy"] == ["dream", "##y"]
+
+    def test_greedy_no_backtracking_unks(self, spark):
+        # greedy takes ##tab (longer), gets stuck, whole word -> [UNK]
+        # even though data ##ta ##ble would have worked (BERT behavior)
+        vocab = ["data", "##ta", "##tab", "##ble"]
+        res = self._encode(spark, ["datatable"], vocab)
+        assert res["datatable"] == ["[UNK]"]
+
+    def test_missing_char_unks_whole_word(self, spark):
+        vocab = [c for c in "uery"] + ["##" + c for c in "uery"]
+        res = self._encode(spark, ["query", "ere"], vocab)
+        assert res["query"] == ["[UNK]"]       # no 'q'
+        assert res["ere"] == ["e", "##r", "##e"]
+
+    def test_continuation_vs_initial_distinct(self, spark):
+        # 'ab' exists only as continuation: cannot start a word
+        vocab = ["x", "##ab", "a", "b", "##b"]
+        res = self._encode(spark, ["xab", "ab"], vocab)
+        assert res["xab"] == ["x", "##ab"]
+        assert res["ab"] == ["a", "##b"]
+
+    def test_over_long_word_unks(self, spark):
+        vocab = ["x", "##x"]
+        res = self._encode(spark, ["x" * 26], vocab)
+        assert res["x" * 26] == ["[UNK]"]
+
+    def test_empty_vocab_raises(self, spark):
+        from saber_spark.operators.bpe import wordpiece_encode
+        with pytest.raises(ValueError, match="empty"):
+            wordpiece_encode(self._toks(spark, ["a"]), [])
+
+
+class TestMinKProb:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_outlier_tokens_lower_mink(self, spark):
+        from saber_spark.operators.lm import min_k_prob
+        # doc 0 (scored half) carries rare bigrams; other scored docs
+        # are pure in-distribution
+        rows = [(i, "data stream " * 8
+                 + ("weird glyph blob" if i == 0 else ""))
+                for i in range(8)]
+        out = {r.doc_id: r for r in min_k_prob(
+            self._docs(spark, rows), r"[a-z]+").collect()}
+        scored = sorted(out)
+        base = [d for d in scored if d != 0]
+        assert out[0].mink_avg_logprob < out[base[0]].mink_avg_logprob
+        # min-k average can never exceed the full average
+        for d in scored:
+            assert (out[d].mink_avg_logprob
+                    <= out[d].full_avg_logprob + 1e-9)
+
+    def test_selection_count_is_ceil(self, spark):
+        from saber_spark.operators.lm import min_k_prob
+        rows = [(i, "a b c d e f g h i j k l") for i in range(6)]
+        out = min_k_prob(self._docs(spark, rows), r"[a-z]+",
+                         k_pct=0.2).collect()
+        for r in out:
+            assert r.n_selected == -(-r.n_bigrams // 5)  # ceil(n/5)
+
+    def test_k_one_equals_full(self, spark):
+        from saber_spark.operators.lm import min_k_prob
+        rows = [(i, "x y z w v u t s") for i in range(6)]
+        out = min_k_prob(self._docs(spark, rows), r"[a-z]+",
+                         k_pct=1.0).collect()
+        for r in out:
+            assert r.mink_avg_logprob == pytest.approx(
+                r.full_avg_logprob, abs=2e-6)
+
+
+class TestSelfBleu:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_duplicate_docs_score_one(self, spark):
+        from saber_spark.operators.textstats import self_bleu
+        docs = self._docs(spark, [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat on the mat"),
+            (2, "a completely different sentence here now")])
+        out = {r.doc_id: r for r in
+               self_bleu(docs, r"[a-z]+").collect()}
+        assert out[0].self_bleu == 1.0 and out[1].self_bleu == 1.0
+        assert out[2].self_bleu == 0.0
+        assert out[2].p1 == 0.0  # no unigram shared with any other doc
+
+    def test_clip_excludes_own_counts(self, spark):
+        from saber_spark.operators.textstats import self_bleu
+        # doc 0 repeats 'x' 4 times; the only other doc has it once:
+        # clipped unigram matches for doc 0 = min(4, 1) + 0s
+        docs = self._docs(spark, [(0, "x x x x"), (1, "x y z w")])
+        out = {r.doc_id: r for r in
+               self_bleu(docs, r"[a-z]+").collect()}
+        assert out[0].p1 == pytest.approx(0.25, abs=1e-6)
+        assert out[1].p1 == pytest.approx(0.25, abs=1e-6)
+
+    def test_brevity_penalty_for_short_candidate(self, spark):
+        from saber_spark.operators.textstats import self_bleu
+        # doc 1 (2 tokens) vs closest other length 6: bp = exp(1 - 3)
+        docs = self._docs(spark, [
+            (0, "a b c d e f"), (1, "a b"), (2, "a b c d e g")])
+        out = {r.doc_id: r for r in
+               self_bleu(docs, r"[a-z]+").collect()}
+        assert out[1].ref_len == 6
+        assert out[1].bp == pytest.approx(round(math.exp(1 - 3.0), 6))
+        assert out[0].bp == 1.0
+
+    def test_zero_fourgram_zeroes_bleu(self, spark):
+        from saber_spark.operators.textstats import self_bleu
+        # shares unigrams but no 4-gram -> BLEU exactly 0 (no smoothing)
+        docs = self._docs(spark, [
+            (0, "a b c d e"), (1, "a c b e d")])
+        out = {r.doc_id: r for r in
+               self_bleu(docs, r"[a-z]+").collect()}
+        assert out[0].p1 == 1.0 and out[0].p4 == 0.0
+        assert out[0].self_bleu == 0.0
+
+
+class TestSifEmbeddings:
+    def _toks(self, spark, docs):
+        rows = [(d, t) for d, ts in docs.items() for t in ts]
+        return spark.createDataFrame(rows, "doc_id long, token string")
+
+    def _embs(self, spark, n=16, d=4):
+        return spark.createDataFrame(
+            [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(d)])
+             for i in range(n)],
+            "vec_id long, embedding array<float>")
+
+    def test_every_doc_gets_full_vector(self, spark):
+        from saber_spark.operators.cluster import sif_embeddings
+        docs = {d: ("data stream join rare%d x%d" % (d, d)).split()
+                for d in range(5)}
+        out = sif_embeddings(self._toks(spark, docs),
+                             self._embs(spark)).collect()
+        vecs: dict[int, dict[int, float]] = {}
+        for r in out:
+            vecs.setdefault(r.doc_id, {})[r.dim] = r.value
+        assert len(vecs) == 5 and all(len(v) == 4 for v in vecs.values())
+
+    def test_rank1_correction(self, spark):
+        from saber_spark.operators.cluster import sif_embeddings
+        docs = {d: ("data stream join rare%d" % d).split()
+                for d in range(4)}
+        toks, embs = self._toks(spark, docs), self._embs(spark)
+        corrected = sif_embeddings(toks, embs).collect()
+        plain = sif_embeddings(toks, embs, pc_iterations=0).collect()
+        c = {(r.doc_id, r.dim): r.value for r in corrected}
+        p = {(r.doc_id, r.dim): r.value for r in plain}
+        # correction matrix (p - c) must be rank 1: all 2x2 minors ~ 0
+        diff = {k: p[k] - c[k] for k in p}
+        docs_ = sorted({k[0] for k in p})
+        dims_ = sorted({k[1] for k in p})
+        for da, db in [(docs_[0], docs_[1]), (docs_[1], docs_[2])]:
+            for i, j in [(dims_[0], dims_[1]), (dims_[2], dims_[3])]:
+                det = (diff[(da, i)] * diff[(db, j)]
+                       - diff[(da, j)] * diff[(db, i)])
+                assert abs(det) < 1e-3
+
+    def test_rare_tokens_weigh_more(self, spark):
+        from saber_spark.operators.cluster import sif_embeddings
+        # two docs share a flooding common token; their difference comes
+        # only from their rare tokens, amplified by the SIF weight
+        docs = {0: ["common"] * 20 + ["uniqa"],
+                1: ["common"] * 20 + ["uniqb"]}
+        out = sif_embeddings(self._toks(spark, docs),
+                             self._embs(spark),
+                             pc_iterations=0).collect()
+        v = {}
+        for r in out:
+            v.setdefault(r.doc_id, {})[r.dim] = r.value
+        # docs must differ despite 20/21 shared tokens
+        assert any(abs(v[0][d] - v[1][d]) > 1e-6 for d in v[0])
+
+    def test_deterministic(self, spark):
+        from saber_spark.operators.cluster import sif_embeddings
+        docs = {d: ("a b c d%d" % d).split() for d in range(3)}
+        toks, embs = self._toks(spark, docs), self._embs(spark)
+        r1 = sorted(map(tuple, sif_embeddings(toks, embs).collect()))
+        r2 = sorted(map(tuple, sif_embeddings(toks, embs).collect()))
+        assert r1 == r2

@@ -2801,6 +2801,55 @@ def main() -> None:
         0,
     ))
 
+    wp = e.q_wordpiece_encode(spark, SF_DIR)
+    sections.append((
+        "wordpiece_encode (join-based greedy walk, zero Python)",
+        "WordPiece: longest match per (word, pos) is one "
+        "broadcast-vocab join + max-struct agg into a jump table; "
+        "the greedy walk is pointer-chasing equi-joins over it "
+        "(lazy rounds) — no Arrow loop, no Python.",
+        formatted_plan(wp),
+        ["HashAggregate", "Union"],
+        0,
+    ))
+
+    mk = e.q_min_k_prob(spark, SF_DIR)
+    sections.append((
+        "min_k_prob (bigram model + one per-doc window)",
+        "Min-K%: the lm_cross_entropy model/scoring shape (two hash "
+        "aggs, two left joins) plus ONE per-doc rank window and one "
+        "agg for the tail-average.",
+        formatted_plan(mk),
+        ["HashAggregate", "Window"],
+        0,
+    ))
+
+    sb = e.q_self_bleu(spark, SF_DIR)
+    sections.append((
+        "self_bleu (one gram table, top-2 window, never pairwise)",
+        "Self-BLEU: n-gram tables built ONCE; clipping ceilings from "
+        "ONE (n, gram)-keyed top-2 window; precision is one join + "
+        "agg; brevity reference length joins a broadcast length "
+        "histogram — linear in gram volume, never per-(candidate, "
+        "reference).",
+        formatted_plan(sb),
+        ["HashAggregate", "Window", "BroadcastNestedLoopJoin"],
+        0,
+    ))
+
+    sf_ = e.q_sif_embeddings(spark, SF_DIR)
+    sections.append((
+        "sif_embeddings (weighted mean + PC removal, linear growth)",
+        "SIF: one vocab-bounded frequency agg broadcast into the "
+        "token stream, one embedding equi-join, one (doc, dim) agg; "
+        "the PC loop reuses pca_top's doc-keyed covariance self-join "
+        "and localCheckpointed d^2 matrix; removal is a broadcast "
+        "join + narrow arithmetic.",
+        formatted_plan(sf_),
+        ["HashAggregate", "BroadcastHashJoin"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
