@@ -5163,6 +5163,32 @@ def q_sif_embeddings(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry preference strengths by Hunter's MM
+    (evaluation.bradley_terry, Bradley-Terry 1952 / Hunter 2004) —
+    the Chatbot-Arena leaderboard model: deterministic synthetic
+    pairwise judgments between sources (each doc stages a match
+    against a derived opponent; the lower-indexed source wins 2/3 of
+    the time), fitted for 8 MM rounds with geometric-mean
+    re-centering. One item-bounded pair table; each round one
+    equi-join + agg (the pagerank loop shape). Oracle: 8 unrolled
+    MM CTEs."""
+    from saber_spark.operators.evaluation import bradley_terry
+    docs = _docs(spark, sf_dir)
+    ia = F.regexp_extract("source", r"([0-9]+)", 1).cast("long")
+    ib = (F.col("doc_id") * 7 + 3) % 20
+    team_b = F.concat(F.lit("src"), ib.cast("string"))
+    fav = F.when(ia < ib, F.col("source")).otherwise(team_b)
+    und = F.when(ia < ib, team_b).otherwise(F.col("source"))
+    fav_wins = (F.col("n_chars") + F.col("doc_id")) % 3 > 0
+    matches = (docs.filter(ia != ib)
+               .select(F.when(fav_wins, fav).otherwise(und)
+                       .alias("winner"),
+                       F.when(fav_wins, und).otherwise(fav)
+                       .alias("loser")))
+    return bradley_terry(matches, iterations=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -5613,6 +5639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_bleu": q_self_bleu,
         # batch 30 (SIF document embeddings)
         "sif_embeddings": q_sif_embeddings,
+        # batch 31 (Bradley-Terry preference strengths)
+        "bradley_terry": q_bradley_terry,
     }
 
 
@@ -13872,4 +13900,188 @@ def oracle_sql() -> dict[str, str]:
             FROM vd v
             JOIN u4 u USING (dim)
             JOIN proj p USING (doc_id)""",
+        "bradley_terry": """
+            WITH base AS (
+              SELECT source,
+                     CAST(regexp_extract(source, '([0-9]+)', 1)
+                          AS BIGINT) AS ia,
+                     (doc_id * 7 + 3) % 20 AS ib,
+                     n_chars, doc_id
+              FROM documents),
+            m AS (
+              SELECT CASE WHEN (n_chars + doc_id) % 3 > 0
+                          THEN (CASE WHEN ia < ib THEN source
+                                ELSE 'src' || CAST(ib AS VARCHAR) END)
+                          ELSE (CASE WHEN ia < ib
+                                THEN 'src' || CAST(ib AS VARCHAR)
+                                ELSE source END) END AS w,
+                     CASE WHEN (n_chars + doc_id) % 3 > 0
+                          THEN (CASE WHEN ia < ib
+                                THEN 'src' || CAST(ib AS VARCHAR)
+                                ELSE source END)
+                          ELSE (CASE WHEN ia < ib THEN source
+                                ELSE 'src' || CAST(ib AS VARCHAR) END)
+                          END AS l
+              FROM base WHERE ia <> ib),
+            wins0 AS (SELECT w AS item, count(*) AS wins
+                      FROM m GROUP BY w),
+            items AS (SELECT DISTINCT item FROM
+                      (SELECT w AS item FROM m
+                       UNION ALL SELECT l FROM m)),
+            w_tbl AS (SELECT i.item, coalesce(wins0.wins, 0) AS wins
+                      FROM items i LEFT JOIN wins0 USING (item)),
+            pairs AS MATERIALIZED (
+              SELECT a, b, count(*) AS n FROM
+              (SELECT w AS a, l AS b FROM m
+               UNION ALL SELECT l, w FROM m)
+              GROUP BY a, b),
+            comp AS (SELECT a AS item, sum(n) AS comparisons
+                     FROM pairs GROUP BY a),
+            t0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS theta
+                   FROM w_tbl),
+            d1 AS (
+              SELECT p.a AS item,
+                     sum(p.n / (ta.theta + tb.theta)) AS d
+              FROM pairs p
+              JOIN t0 ta ON ta.item = p.a
+              JOIN t0 tb ON tb.item = p.b
+              GROUP BY p.a),
+            raw1 AS (
+              SELECT w.item,
+                     CASE WHEN coalesce(d.d, 0) > 0
+                          THEN w.wins / d.d ELSE 0.0 END AS theta
+              FROM w_tbl w LEFT JOIN d1 d USING (item)),
+            g1 AS (SELECT exp(avg(ln(theta))) AS g
+                     FROM raw1 WHERE theta > 0),
+            t1 AS MATERIALIZED (
+              SELECT item, theta / (SELECT g FROM g1) AS theta
+              FROM raw1),
+            d2 AS (
+              SELECT p.a AS item,
+                     sum(p.n / (ta.theta + tb.theta)) AS d
+              FROM pairs p
+              JOIN t1 ta ON ta.item = p.a
+              JOIN t1 tb ON tb.item = p.b
+              GROUP BY p.a),
+            raw2 AS (
+              SELECT w.item,
+                     CASE WHEN coalesce(d.d, 0) > 0
+                          THEN w.wins / d.d ELSE 0.0 END AS theta
+              FROM w_tbl w LEFT JOIN d2 d USING (item)),
+            g2 AS (SELECT exp(avg(ln(theta))) AS g
+                     FROM raw2 WHERE theta > 0),
+            t2 AS MATERIALIZED (
+              SELECT item, theta / (SELECT g FROM g2) AS theta
+              FROM raw2),
+            d3 AS (
+              SELECT p.a AS item,
+                     sum(p.n / (ta.theta + tb.theta)) AS d
+              FROM pairs p
+              JOIN t2 ta ON ta.item = p.a
+              JOIN t2 tb ON tb.item = p.b
+              GROUP BY p.a),
+            raw3 AS (
+              SELECT w.item,
+                     CASE WHEN coalesce(d.d, 0) > 0
+                          THEN w.wins / d.d ELSE 0.0 END AS theta
+              FROM w_tbl w LEFT JOIN d3 d USING (item)),
+            g3 AS (SELECT exp(avg(ln(theta))) AS g
+                     FROM raw3 WHERE theta > 0),
+            t3 AS MATERIALIZED (
+              SELECT item, theta / (SELECT g FROM g3) AS theta
+              FROM raw3),
+            d4 AS (
+              SELECT p.a AS item,
+                     sum(p.n / (ta.theta + tb.theta)) AS d
+              FROM pairs p
+              JOIN t3 ta ON ta.item = p.a
+              JOIN t3 tb ON tb.item = p.b
+              GROUP BY p.a),
+            raw4 AS (
+              SELECT w.item,
+                     CASE WHEN coalesce(d.d, 0) > 0
+                          THEN w.wins / d.d ELSE 0.0 END AS theta
+              FROM w_tbl w LEFT JOIN d4 d USING (item)),
+            g4 AS (SELECT exp(avg(ln(theta))) AS g
+                     FROM raw4 WHERE theta > 0),
+            t4 AS MATERIALIZED (
+              SELECT item, theta / (SELECT g FROM g4) AS theta
+              FROM raw4),
+            d5 AS (
+              SELECT p.a AS item,
+                     sum(p.n / (ta.theta + tb.theta)) AS d
+              FROM pairs p
+              JOIN t4 ta ON ta.item = p.a
+              JOIN t4 tb ON tb.item = p.b
+              GROUP BY p.a),
+            raw5 AS (
+              SELECT w.item,
+                     CASE WHEN coalesce(d.d, 0) > 0
+                          THEN w.wins / d.d ELSE 0.0 END AS theta
+              FROM w_tbl w LEFT JOIN d5 d USING (item)),
+            g5 AS (SELECT exp(avg(ln(theta))) AS g
+                     FROM raw5 WHERE theta > 0),
+            t5 AS MATERIALIZED (
+              SELECT item, theta / (SELECT g FROM g5) AS theta
+              FROM raw5),
+            d6 AS (
+              SELECT p.a AS item,
+                     sum(p.n / (ta.theta + tb.theta)) AS d
+              FROM pairs p
+              JOIN t5 ta ON ta.item = p.a
+              JOIN t5 tb ON tb.item = p.b
+              GROUP BY p.a),
+            raw6 AS (
+              SELECT w.item,
+                     CASE WHEN coalesce(d.d, 0) > 0
+                          THEN w.wins / d.d ELSE 0.0 END AS theta
+              FROM w_tbl w LEFT JOIN d6 d USING (item)),
+            g6 AS (SELECT exp(avg(ln(theta))) AS g
+                     FROM raw6 WHERE theta > 0),
+            t6 AS MATERIALIZED (
+              SELECT item, theta / (SELECT g FROM g6) AS theta
+              FROM raw6),
+            d7 AS (
+              SELECT p.a AS item,
+                     sum(p.n / (ta.theta + tb.theta)) AS d
+              FROM pairs p
+              JOIN t6 ta ON ta.item = p.a
+              JOIN t6 tb ON tb.item = p.b
+              GROUP BY p.a),
+            raw7 AS (
+              SELECT w.item,
+                     CASE WHEN coalesce(d.d, 0) > 0
+                          THEN w.wins / d.d ELSE 0.0 END AS theta
+              FROM w_tbl w LEFT JOIN d7 d USING (item)),
+            g7 AS (SELECT exp(avg(ln(theta))) AS g
+                     FROM raw7 WHERE theta > 0),
+            t7 AS MATERIALIZED (
+              SELECT item, theta / (SELECT g FROM g7) AS theta
+              FROM raw7),
+            d8 AS (
+              SELECT p.a AS item,
+                     sum(p.n / (ta.theta + tb.theta)) AS d
+              FROM pairs p
+              JOIN t7 ta ON ta.item = p.a
+              JOIN t7 tb ON tb.item = p.b
+              GROUP BY p.a),
+            raw8 AS (
+              SELECT w.item,
+                     CASE WHEN coalesce(d.d, 0) > 0
+                          THEN w.wins / d.d ELSE 0.0 END AS theta
+              FROM w_tbl w LEFT JOIN d8 d USING (item)),
+            g8 AS (SELECT exp(avg(ln(theta))) AS g
+                     FROM raw8 WHERE theta > 0),
+            t8 AS MATERIALIZED (
+              SELECT item, theta / (SELECT g FROM g8) AS theta
+              FROM raw8)
+            SELECT w.item, CAST(w.wins AS BIGINT) AS wins,
+                   CAST(coalesce(c.comparisons, 0) AS BIGINT
+                        ) AS comparisons,
+                   round(t.theta, 6) AS theta,
+                   CAST(row_number() OVER (ORDER BY t.theta DESC,
+                                           w.item) AS INT) AS rank
+            FROM w_tbl w
+            LEFT JOIN comp c USING (item)
+            JOIN t8 t USING (item)""",
     }

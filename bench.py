@@ -310,6 +310,8 @@ def main() -> None:
         "self_bleu",
         # round 5 final session batch 30 (SIF doc embeddings)
         "sif_embeddings",
+        # round 5 final session batch 31 (Bradley-Terry strengths)
+        "bradley_terry",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

@@ -645,3 +645,48 @@ class TestSifEmbeddings:
         r1 = sorted(map(tuple, sif_embeddings(toks, embs).collect()))
         r2 = sorted(map(tuple, sif_embeddings(toks, embs).collect()))
         assert r1 == r2
+
+
+class TestBradleyTerry:
+    def _m(self, spark, rows):
+        return spark.createDataFrame(rows, "winner string, loser string")
+
+    def test_transitive_strengths(self, spark):
+        from saber_spark.operators.evaluation import bradley_terry
+        rows = ([("a", "b")] * 9 + [("b", "a")]
+                + [("b", "c")] * 9 + [("c", "b")]
+                + [("a", "c")] * 5)
+        out = {r.item: r for r in bradley_terry(
+            self._m(spark, rows)).collect()}
+        assert out["a"].rank == 1 and out["c"].rank == 3
+        assert out["a"].theta > out["b"].theta > out["c"].theta
+        assert out["a"].wins == 14 and out["a"].comparisons == 15
+
+    def test_balanced_pair_equal_strength(self, spark):
+        from saber_spark.operators.evaluation import bradley_terry
+        rows = [("a", "b")] * 5 + [("b", "a")] * 5
+        out = {r.item: r for r in bradley_terry(
+            self._m(spark, rows)).collect()}
+        assert out["a"].theta == pytest.approx(out["b"].theta, abs=1e-6)
+        # geometric-mean pinning: product of thetas = 1
+        assert out["a"].theta * out["b"].theta == pytest.approx(
+            1.0, abs=1e-5)
+
+    def test_zero_win_item_goes_to_zero(self, spark):
+        from saber_spark.operators.evaluation import bradley_terry
+        rows = [("a", "z")] * 4 + [("b", "z")] * 4 + [("a", "b"),
+                                                      ("b", "a")]
+        out = {r.item: r for r in bradley_terry(
+            self._m(spark, rows)).collect()}
+        assert out["z"].wins == 0
+        assert out["z"].theta == pytest.approx(0.0, abs=1e-6)
+        assert out["z"].rank == 3
+
+    def test_bt_probability_recovered(self, spark):
+        from saber_spark.operators.evaluation import bradley_terry
+        # a beats b 3:1 -> fitted P(a>b) = ta/(ta+tb) ~ 0.75
+        rows = [("a", "b")] * 3 + [("b", "a")]
+        out = {r.item: r for r in bradley_terry(
+            self._m(spark, rows), iterations=30).collect()}
+        p = out["a"].theta / (out["a"].theta + out["b"].theta)
+        assert p == pytest.approx(0.75, abs=1e-3)

@@ -2850,6 +2850,19 @@ def main() -> None:
         0,
     ))
 
+    btq = e.q_bradley_terry(spark, SF_DIR)
+    sections.append((
+        "bradley_terry (match reduction + driver MM model)",
+        "Bradley-Terry: the match stream reduces with ONE hash agg "
+        "to the item^2-bounded pair table (the distributed part); "
+        "Hunter's MM loop runs on the driver over that bounded model "
+        "(the BPE-trainer division of labor), so the audited plan is "
+        "the small result frame + rank window.",
+        formatted_plan(btq),
+        ["Window"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
