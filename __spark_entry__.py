@@ -5189,6 +5189,19 @@ def q_bradley_terry(spark, sf_dir):
     return bradley_terry(matches, iterations=8)
 
 
+def q_luhn_abstract(spark, sf_dir):
+    """Luhn auto-abstract (textstats.luhn_abstract, Luhn IBM Journal
+    1958 — the original extractive summarizer, the cheap snippet
+    generator next to textrank_keywords): per doc, the top-2
+    sentences by best significant-word cluster score n_sig^2/span
+    (significant = doc-frequency >= 2, non-stopword; cluster = runs
+    with <= 4 insignificant words between significant ones). Sentence
+    split + ONE (doc, token) freq agg + one lag/running-sum window
+    pair + per-doc rank — all co-partitioned, zero Python."""
+    from saber_spark.operators.textstats import luhn_abstract
+    return luhn_abstract(_docs(spark, sf_dir), INFIX_PATTERN)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline on sf0.001 -> deduplicated edge table."""
     from saber_spark.pipeline import run_pipeline
@@ -5641,6 +5654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sif_embeddings": q_sif_embeddings,
         # batch 31 (Bradley-Terry preference strengths)
         "bradley_terry": q_bradley_terry,
+        # batch 32 (Luhn auto-abstract)
+        "luhn_abstract": q_luhn_abstract,
     }
 
 
@@ -14084,4 +14099,72 @@ def oracle_sql() -> dict[str, str]:
             FROM w_tbl w
             LEFT JOIN comp c USING (item)
             JOIN t8 t USING (item)""",
+        "luhn_abstract": f"""
+            WITH sents AS (
+              SELECT doc_id, sent_idx, sentence FROM (
+                SELECT doc_id,
+                       CAST(generate_subscripts(arr, 1) - 1 AS BIGINT)
+                         AS sent_idx,
+                       unnest(arr) AS sentence
+                FROM (SELECT doc_id,
+                             string_split(
+                               regexp_replace(text,
+                                 '{SENT_BOUNDARY_NOLB}',
+                                 '\\1' || chr(30), 'g'),
+                               chr(30)) AS arr
+                      FROM documents))
+              WHERE sentence <> ''),
+            toks AS (
+              SELECT doc_id, sent_idx,
+                     CAST(generate_subscripts(arr, 1) - 1 AS BIGINT
+                          ) AS pos,
+                     unnest(arr) AS token
+              FROM (SELECT doc_id, sent_idx,
+                           regexp_extract_all(sentence,
+                             '{INFIX_PATTERN}', 0) AS arr
+                    FROM sents)),
+            freq AS (SELECT doc_id, token, count(*) AS c
+                     FROM toks GROUP BY doc_id, token),
+            sig AS (SELECT doc_id, token FROM freq
+                    WHERE c >= 2 AND token NOT IN ('a', 'and', 'in', 'is', 'it', 'of', 'the', 'to')),
+            sp AS (SELECT t.doc_id, t.sent_idx, t.pos
+                   FROM toks t
+                   JOIN sig s ON s.doc_id = t.doc_id
+                             AND s.token = t.token),
+            cl2 AS (
+              SELECT doc_id, sent_idx, pos,
+                     sum(brk) OVER (PARTITION BY doc_id, sent_idx
+                       ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cl
+              FROM (SELECT *,
+                           CASE WHEN prev IS NULL OR pos - prev > 5
+                                THEN 1 ELSE 0 END AS brk
+                    FROM (SELECT *,
+                                 lag(pos) OVER (PARTITION BY doc_id,
+                                   sent_idx ORDER BY pos) AS prev
+                          FROM sp))),
+            cs AS (
+              SELECT doc_id, sent_idx, cl,
+                     count(*) AS n_sig,
+                     count(*) * count(*)
+                       / (max(pos) - min(pos) + 1)::DOUBLE AS score
+              FROM cl2 GROUP BY doc_id, sent_idx, cl),
+            ss AS (
+              SELECT doc_id, sent_idx, n_sig, score FROM (
+                SELECT doc_id, sent_idx, n_sig, score,
+                       row_number() OVER (PARTITION BY doc_id, sent_idx
+                         ORDER BY score DESC, n_sig DESC) AS rn
+                FROM cs)
+              WHERE rn = 1),
+            ranked AS (
+              SELECT s.doc_id, s.sent_idx, s.n_sig, s.score,
+                     row_number() OVER (PARTITION BY s.doc_id
+                       ORDER BY s.score DESC, s.sent_idx) AS rank
+              FROM ss s)
+            SELECT r.doc_id, r.sent_idx, CAST(r.rank AS INT) AS rank,
+                   CAST(r.n_sig AS BIGINT) AS n_sig,
+                   round(r.score, 6) AS score, se.sentence
+            FROM ranked r
+            JOIN sents se ON se.doc_id = r.doc_id
+                         AND se.sent_idx = r.sent_idx
+            WHERE r.rank <= 2""",
     }

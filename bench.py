@@ -312,6 +312,8 @@ def main() -> None:
         "sif_embeddings",
         # round 5 final session batch 31 (Bradley-Terry strengths)
         "bradley_terry",
+        # round 5 final session batch 32 (Luhn auto-abstract)
+        "luhn_abstract",
     ]
     # Each query is timed twice: the first execution pays one-off per-plan
     # cost (whole-stage-codegen compile, window/agg exec JIT) that on a real

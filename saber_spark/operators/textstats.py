@@ -844,3 +844,81 @@ def self_bleu(docs: DataFrame, pattern: str, max_n: int = 4,
                                    bp * F.exp(F.col("logmean")))
                             .otherwise(F.lit(0.0)), 6)
                     .alias("self_bleu")))
+
+
+def luhn_abstract(docs: DataFrame, pattern: str, top_sentences: int = 2,
+                  sig_min_freq: int = 2, gap: int = 4,
+                  stopwords: list[str] | None = None,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """Luhn auto-abstract (Luhn, IBM Journal 1958 "The Automatic
+    Creation of Literature Abstracts" — the original extractive
+    summarizer, still the standard cheap snippet generator next to
+    textrank_keywords' graph ranking): significant words are the
+    document's frequent non-stopword tokens (doc frequency >=
+    sig_min_freq); each sentence is scored by its best CLUSTER of
+    significant words — a maximal run where consecutive significant
+    words are <= ``gap`` insignificant words apart — with Luhn's
+    score n_sig^2 / span; the top_sentences highest-scoring sentences
+    (ties -> document order) form the abstract.
+
+    Scale shape: the rule-based sentence splitter (narrow map +
+    explode), one (doc, token) frequency agg for significance
+    (broadcast stopword anti-join), then per-sentence clustering as
+    ONE lag window + running-sum window + one agg — all keyed on
+    (doc, sentence), co-partitioned; final selection is a per-doc
+    rank window. No Python, no joins beyond the broadcast
+    significance table.
+
+    -> (doc_id, sent_idx, rank, n_sig, score 6dp, sentence).
+    """
+    from pyspark.sql import Window
+    from saber_spark.operators.vocab import split_sentences
+    stops = sorted(set(stopwords if stopwords is not None
+                       else EN_STOPWORDS))
+    sents = split_sentences(docs, text_col=text_col, id_col=id_col) \
+        .localCheckpoint(eager=True)
+    toks = (sents.select(id_col, "sent_idx",
+                         F.posexplode(F.regexp_extract_all(
+                             "sentence", F.lit(pattern), F.lit(0)))
+                         .alias("pos", "token")))
+    freq = (toks.groupBy(id_col, "token")
+            .agg(F.count(F.lit(1)).alias("c")))
+    stop_df = toks.sparkSession.createDataFrame(
+        [(w,) for w in stops], "token string")
+    sig = (freq.filter(F.col("c") >= sig_min_freq)
+           .join(F.broadcast(stop_df), "token", "left_anti")
+           .select(id_col, "token"))
+    sig_pos = toks.join(sig, [id_col, "token"])
+    w_lag = Window.partitionBy(id_col, "sent_idx").orderBy("pos")
+    clustered = (sig_pos
+                 .withColumn("prev", F.lag("pos").over(w_lag))
+                 .withColumn("brk", F.when(
+                     F.col("prev").isNull()
+                     | (F.col("pos") - F.col("prev") > gap + 1),
+                     F.lit(1)).otherwise(F.lit(0)))
+                 .withColumn("cl", F.sum("brk").over(
+                     w_lag.rowsBetween(Window.unboundedPreceding, 0))))
+    cluster_scores = (clustered
+                      .groupBy(id_col, "sent_idx", "cl")
+                      .agg(F.count(F.lit(1)).alias("n_sig"),
+                           (F.max("pos") - F.min("pos") + 1)
+                           .alias("span"))
+                      .select(id_col, "sent_idx", "n_sig",
+                              (F.col("n_sig") * F.col("n_sig")
+                               / F.col("span").cast("double"))
+                              .alias("cs")))
+    sent_scores = (cluster_scores
+                   .groupBy(id_col, "sent_idx")
+                   .agg(F.max(F.struct(F.col("cs"), F.col("n_sig")))
+                        .alias("m"))
+                   .select(id_col, "sent_idx",
+                           F.col("m.n_sig").alias("n_sig"),
+                           F.col("m.cs").alias("score")))
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("sent_idx").asc())
+    return (sents.join(sent_scores, [id_col, "sent_idx"])
+            .withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= top_sentences)
+            .select(id_col, "sent_idx", "rank", "n_sig",
+                    F.round("score", 6).alias("score"), "sentence"))

@@ -690,3 +690,49 @@ class TestBradleyTerry:
             self._m(spark, rows), iterations=30).collect()}
         p = out["a"].theta / (out["a"].theta + out["b"].theta)
         assert p == pytest.approx(0.75, abs=1e-3)
+
+
+class TestLuhnAbstract:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cluster_score_ranks_sentences(self, spark):
+        from saber_spark.operators.textstats import luhn_abstract
+        docs = self._docs(spark, [(0,
+            "spark streams data fast. "
+            "the filler filler filler sentence is here. "
+            "data spark data spark wins again. nothing to see.")])
+        out = luhn_abstract(docs, r"[a-z]+").orderBy("rank").collect()
+        # 'data spark data spark wins again': 4 sig tokens span 4 -> 4.0
+        assert out[0].sentence.startswith("data spark data spark")
+        assert out[0].n_sig == 4 and out[0].score == 4.0
+        # 'filler filler filler': 3 sig tokens span 3 -> 3.0
+        assert out[1].score == 3.0
+
+    def test_gap_breaks_cluster(self, spark):
+        from saber_spark.operators.textstats import luhn_abstract
+        # two sig words 6 apart (> gap+1=5) form two 1-word clusters:
+        # best score 1, not 4/7
+        docs = self._docs(spark, [(0,
+            "key a b c d e key. key key other words here.")])
+        out = {r.sent_idx: r for r in
+               luhn_abstract(docs, r"[a-z]+").collect()}
+        assert out[0].score == 1.0
+        assert out[1].score == 2.0  # adjacent pair: 2^2 / span 2
+
+    def test_stopwords_not_significant(self, spark):
+        from saber_spark.operators.textstats import luhn_abstract
+        # 'the' repeats but is a stopword -> no significant words at all
+        docs = self._docs(spark, [(0, "the the the. the the again.")])
+        out = luhn_abstract(docs, r"[a-z]+").collect()
+        assert out == []
+
+    def test_top_sentences_cap_and_tie_order(self, spark):
+        from saber_spark.operators.textstats import luhn_abstract
+        # three equally scored sentences: document order wins, top 2 kept
+        docs = self._docs(spark, [(0, "dup dup one. dup dup two. "
+                                      "dup dup three.")])
+        out = luhn_abstract(docs, r"[a-z]+",
+                            top_sentences=2).orderBy("rank").collect()
+        assert [r.sent_idx for r in out] == [0, 1]
+        assert all(r.score == 2.0 for r in out)

@@ -2863,6 +2863,18 @@ def main() -> None:
         0,
     ))
 
+    lu = e.q_luhn_abstract(spark, SF_DIR)
+    sections.append((
+        "luhn_abstract (co-partitioned window clustering)",
+        "Luhn: sentence split is a narrow map + explode; significance "
+        "is one (doc, token) agg with a broadcast stopword anti-join; "
+        "clustering is one lag + running-sum window pair keyed on "
+        "(doc, sentence); selection is a per-doc rank window.",
+        formatted_plan(lu),
+        ["Window", "HashAggregate", "Generate"],
+        0,
+    ))
+
     failures = []
     out_parts = [
         "# PLANS — physical-plan audit of headline operators\n",
