@@ -45,6 +45,57 @@ def _entity_row_id(col, n_vecs: int):
     return (num + off) % n_vecs
 
 
+def _pred_const_array(pred_col: str, vals_by_pred: dict[str, list[int]]):
+    """CASE WHEN pred = p THEN array(<int literals>) ... — folds each
+    relation's constant vector into the plan so ONE pass over the store
+    scores every relation (no per-relation legs, no union, no store
+    re-scan)."""
+    expr = None
+    for p, vals in vals_by_pred.items():
+        arr = F.array(*[F.lit(int(v)) for v in vals])
+        expr = (F.when(F.col(pred_col) == p, arr) if expr is None
+                else expr.when(F.col(pred_col) == p, arr))
+    return expr
+
+
+def _score_base(triples: DataFrame, embeddings: DataFrame,
+                pred_vec_ids: dict[str, int], fn_name: str,
+                subj_col: str, pred_col: str, obj_col: str,
+                id_col: str, vec_col: str):
+    """Shared single-pass scoring scaffold for the KGE score family:
+    resolve the quantized relation vectors (schema-sized collect),
+    filter the store to the scored relations, attach head/tail rows
+    with one equi-join per side. Returns (base_df, rel_rows, dim).
+
+    The per-dimension energy/score is then an ``aggregate`` over a
+    constant index ``sequence`` (interpreted HOF, one small JIT-friendly
+    loop). The alternative — scalar-expanding dim terms into one giant
+    codegen expression — generates a method past HotSpot's JIT'able
+    bytecode size at dim=64, runs interpreted, and measured 4x SLOWER
+    (6.9s vs 1.7s over the 1.3M-triple store); the r5 "HOFs 6x slower"
+    note predates the WindowGroupLimit plan shape and is superseded by
+    that A/B."""
+    n_vecs = embeddings.count()
+    quant = _quantized(embeddings, id_col, vec_col)
+    rel_rows = {int(r[id_col]): list(r["q"]) for r in quant.filter(
+        F.col(id_col).isin(*[int(v) for v in pred_vec_ids.values()]))
+        .collect()}
+    missing = [p for p, v in pred_vec_ids.items() if int(v) not in rel_rows]
+    if missing:
+        raise ValueError(
+            f"{fn_name}: no embedding row for relation vec ids of "
+            f"{missing} (need {id_col} in {sorted(pred_vec_ids.values())})")
+    dim = len(next(iter(rel_rows.values())))
+    head = quant.select(F.col(id_col).alias("_hid"), F.col("q").alias("qh"))
+    tail = quant.select(F.col(id_col).alias("_tid"), F.col("q").alias("qt"))
+    base = (triples.select(subj_col, pred_col, obj_col)
+            .filter(F.col(pred_col).isin(*list(pred_vec_ids)))
+            .withColumn("_hid", _entity_row_id(F.col(subj_col), n_vecs))
+            .withColumn("_tid", _entity_row_id(F.col(obj_col), n_vecs))
+            .join(head, "_hid").join(tail, "_tid"))
+    return base, rel_rows, dim
+
+
 def transe_score(triples: DataFrame, embeddings: DataFrame,
                  pred_vec_ids: dict[str, int], top_k: int = 20,
                  subj_col: str = "subj", pred_col: str = "pred",
@@ -61,49 +112,21 @@ def transe_score(triples: DataFrame, embeddings: DataFrame,
     -> (subj, pred, obj, energy, rank), rank 1 = most plausible; ties
     broken (subj ASC, obj ASC).
     """
-    n_vecs = embeddings.count()
-    quant = _quantized(embeddings, id_col, vec_col)
-
-    rel_rows = {int(r[id_col]): list(r["q"]) for r in quant.filter(
-        F.col(id_col).isin(*[int(v) for v in pred_vec_ids.values()]))
-        .collect()}
-    missing = [p for p, v in pred_vec_ids.items() if int(v) not in rel_rows]
-    if missing:
-        raise ValueError(
-            f"transe_score: no embedding row for relation vec ids of "
-            f"{missing} (need {id_col} in {sorted(pred_vec_ids.values())})")
-    head = quant.select(F.col(id_col).alias("_hid"), F.col("q").alias("qh"))
-    tail = quant.select(F.col(id_col).alias("_tid"), F.col("q").alias("qt"))
-    triples = triples.select(subj_col, pred_col, obj_col)
-    if len(pred_vec_ids) > 1:
-        # one leg per relation re-reads the store lineage; materialize it
-        # once so an expensive upstream derivation (joins/distinct) is
-        # paid once, not per relation (at 100 TB the store is a
-        # materialized Iceberg table and this is a no-op by construction)
-        triples = triples.localCheckpoint(eager=True)
-    # One leg per relation: the pred constant pushes below the store's
-    # distinct into the source scans, and the relation vector FOLDS INTO
-    # dim scalar |qh[i] + c_i - qt[i]| terms that whole-stage codegen
-    # JITs — higher-order zip_with/aggregate lambdas run on Spark's
-    # interpreted expression path and measured ~6x slower over a
-    # 1.3M-triple store (the similarity ops keep HOFs because their
-    # vectors outnumber their rows; here rows outnumber relations).
-    legs = []
-    for p, v in pred_vec_ids.items():
-        rv = rel_rows[int(v)]
-        leg = (triples
-               .filter(F.col(pred_col) == F.lit(p))
-               .withColumn("_hid", _entity_row_id(F.col(subj_col), n_vecs))
-               .withColumn("_tid", _entity_row_id(F.col(obj_col), n_vecs))
-               .join(head, "_hid").join(tail, "_tid"))
-        energy = None
-        for i, c in enumerate(rv):
-            term = F.abs(F.col("qh")[i] + F.lit(int(c)) - F.col("qt")[i])
-            energy = term if energy is None else energy + term
-        legs.append(leg.withColumn("energy", energy))
-    scored = legs[0]
-    for leg in legs[1:]:
-        scored = scored.unionByName(leg)
+    base, rel_rows, dim = _score_base(
+        triples, embeddings, pred_vec_ids, "transe_score",
+        subj_col, pred_col, obj_col, id_col, vec_col)
+    # Relation vectors fold in as a pred-selected constant array; the L1
+    # energy is one aggregate over a constant index sequence — a single
+    # pass over the store (no per-relation legs/union, no checkpoint),
+    # see _score_base for the HOF-vs-scalar-expansion A/B.
+    qr = _pred_const_array(
+        pred_col, {p: rel_rows[int(v)] for p, v in pred_vec_ids.items()})
+    energy = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)), F.lit(0).cast("long"),
+        lambda acc, i: acc + F.abs(F.element_at(F.col("qh"), i)
+                                   + F.element_at(F.col("qr"), i)
+                                   - F.element_at(F.col("qt"), i)))
+    scored = base.withColumn("qr", qr).withColumn("energy", energy)
     w = Window.partitionBy(pred_col).orderBy(
         F.col("energy").asc(), F.col(subj_col).asc(), F.col(obj_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -140,41 +163,19 @@ def distmult_score(triples: DataFrame, embeddings: DataFrame,
     -> (subj, pred, obj, score, rank), rank 1 = most plausible; ties
     broken (subj ASC, obj ASC).
     """
-    n_vecs = embeddings.count()
-    quant = _quantized(embeddings, id_col, vec_col)
-
-    rel_rows = {int(r[id_col]): list(r["q"]) for r in quant.filter(
-        F.col(id_col).isin(*[int(v) for v in pred_vec_ids.values()]))
-        .collect()}
-    missing = [p for p, v in pred_vec_ids.items() if int(v) not in rel_rows]
-    if missing:
-        raise ValueError(
-            f"distmult_score: no embedding row for relation vec ids of "
-            f"{missing} (need {id_col} in {sorted(pred_vec_ids.values())})")
-    head = quant.select(F.col(id_col).alias("_hid"), F.col("q").alias("qh"))
-    tail = quant.select(F.col(id_col).alias("_tid"), F.col("q").alias("qt"))
-    triples = triples.select(subj_col, pred_col, obj_col)
-    if len(pred_vec_ids) > 1:
-        # materialize the store once across relation legs (transe_score
-        # precedent: at 100 TB the store is a durable Iceberg table and
-        # this is a no-op by construction)
-        triples = triples.localCheckpoint(eager=True)
-    legs = []
-    for p, v in pred_vec_ids.items():
-        rv = rel_rows[int(v)]
-        leg = (triples
-               .filter(F.col(pred_col) == F.lit(p))
-               .withColumn("_hid", _entity_row_id(F.col(subj_col), n_vecs))
-               .withColumn("_tid", _entity_row_id(F.col(obj_col), n_vecs))
-               .join(head, "_hid").join(tail, "_tid"))
-        score = None
-        for i, c in enumerate(rv):
-            term = F.col("qh")[i] * F.lit(int(c)) * F.col("qt")[i]
-            score = term if score is None else score + term
-        legs.append(leg.withColumn("score", score))
-    scored = legs[0]
-    for leg in legs[1:]:
-        scored = scored.unionByName(leg)
+    base, rel_rows, dim = _score_base(
+        triples, embeddings, pred_vec_ids, "distmult_score",
+        subj_col, pred_col, obj_col, id_col, vec_col)
+    # Single pass: pred-selected constant relation array + one aggregate
+    # over a constant index sequence (see _score_base docstring).
+    qr = _pred_const_array(
+        pred_col, {p: rel_rows[int(v)] for p, v in pred_vec_ids.items()})
+    score = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)), F.lit(0).cast("long"),
+        lambda acc, i: acc + (F.element_at(F.col("qh"), i)
+                              * F.element_at(F.col("qr"), i)
+                              * F.element_at(F.col("qt"), i)))
+    scored = base.withColumn("qr", qr).withColumn("score", score)
     w = Window.partitionBy(pred_col).orderBy(
         F.col("score").desc(), F.col(subj_col).asc(), F.col(obj_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -276,51 +277,33 @@ def complex_score(triples: DataFrame, embeddings: DataFrame,
     -> (subj, pred, obj, score, rank), rank 1 = most plausible; ties
     broken (subj ASC, obj ASC).
     """
-    n_vecs = embeddings.count()
-    quant = _quantized(embeddings, id_col, vec_col)
-
-    rel_rows = {int(r[id_col]): list(r["q"]) for r in quant.filter(
-        F.col(id_col).isin(*[int(v) for v in pred_vec_ids.values()]))
-        .collect()}
-    missing = [p for p, v in pred_vec_ids.items() if int(v) not in rel_rows]
-    if missing:
-        raise ValueError(
-            f"complex_score: no embedding row for relation vec ids of "
-            f"{missing} (need {id_col} in {sorted(pred_vec_ids.values())})")
-    dim = len(next(iter(rel_rows.values())))
+    base, rel_rows, dim = _score_base(
+        triples, embeddings, pred_vec_ids, "complex_score",
+        subj_col, pred_col, obj_col, id_col, vec_col)
     if dim % 2:
         raise ValueError(
             f"complex_score: embedding dim {dim} is odd — the complex "
             f"packing needs an even dim (first half Re, second half Im)")
     half = dim // 2
-    head = quant.select(F.col(id_col).alias("_hid"), F.col("q").alias("qh"))
-    tail = quant.select(F.col(id_col).alias("_tid"), F.col("q").alias("qt"))
-    triples = triples.select(subj_col, pred_col, obj_col)
-    if len(pred_vec_ids) > 1:
-        # materialize the store once across relation legs (transe_score
-        # precedent: at 100 TB the store is a durable Iceberg table and
-        # this is a no-op by construction)
-        triples = triples.localCheckpoint(eager=True)
-    legs = []
-    for p, v in pred_vec_ids.items():
-        rv = rel_rows[int(v)]
-        leg = (triples
-               .filter(F.col(pred_col) == F.lit(p))
-               .withColumn("_hid", _entity_row_id(F.col(subj_col), n_vecs))
-               .withColumn("_tid", _entity_row_id(F.col(obj_col), n_vecs))
-               .join(head, "_hid").join(tail, "_tid"))
-        score = None
-        for i in range(half):
-            rr, ri = int(rv[i]), int(rv[half + i])
-            hr, hi = F.col("qh")[i], F.col("qh")[half + i]
-            tr, ti = F.col("qt")[i], F.col("qt")[half + i]
-            term = (hr * F.lit(rr) * tr + hi * F.lit(rr) * ti
-                    + hr * F.lit(ri) * ti - hi * F.lit(ri) * tr)
-            score = term if score is None else score + term
-        legs.append(leg.withColumn("score", score))
-    scored = legs[0]
-    for leg in legs[1:]:
-        scored = scored.unionByName(leg)
+    # Single pass: pred-selected constant relation array + one aggregate
+    # over the half-dim index sequence, reading Re (i) and Im (i + half)
+    # halves by element_at (see _score_base docstring).
+    qr = _pred_const_array(
+        pred_col, {p: rel_rows[int(v)] for p, v in pred_vec_ids.items()})
+
+    def _term(acc, i):
+        hr, hi = F.element_at(F.col("qh"), i), \
+            F.element_at(F.col("qh"), i + half)
+        rr, ri = F.element_at(F.col("qr"), i), \
+            F.element_at(F.col("qr"), i + half)
+        tr, ti = F.element_at(F.col("qt"), i), \
+            F.element_at(F.col("qt"), i + half)
+        return acc + (hr * rr * tr + hi * rr * ti
+                      + hr * ri * ti - hi * ri * tr)
+
+    score = F.aggregate(
+        F.sequence(F.lit(1), F.lit(half)), F.lit(0).cast("long"), _term)
+    scored = base.withColumn("qr", qr).withColumn("score", score)
     w = Window.partitionBy(pred_col).orderBy(
         F.col("score").desc(), F.col(subj_col).asc(), F.col(obj_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -379,55 +362,43 @@ def rotate_score(triples: DataFrame, embeddings: DataFrame,
     -> (subj, pred, obj, energy, rank), rank 1 = most plausible (lowest
     energy); ties broken (subj ASC, obj ASC).
     """
-    n_vecs = embeddings.count()
-    quant = _quantized(embeddings, id_col, vec_col)
-
-    rel_rows = {int(r[id_col]): list(r["q"]) for r in quant.filter(
-        F.col(id_col).isin(*[int(v) for v in pred_vec_ids.values()]))
-        .collect()}
-    missing = [p for p, v in pred_vec_ids.items() if int(v) not in rel_rows]
-    if missing:
-        raise ValueError(
-            f"rotate_score: no embedding row for relation vec ids of "
-            f"{missing} (need {id_col} in {sorted(pred_vec_ids.values())})")
-    dim = len(next(iter(rel_rows.values())))
+    base, rel_rows, dim = _score_base(
+        triples, embeddings, pred_vec_ids, "rotate_score",
+        subj_col, pred_col, obj_col, id_col, vec_col)
     if dim % 2:
         raise ValueError(
             f"rotate_score: embedding dim {dim} is odd — the complex "
             f"packing needs an even dim (first half Re, second half Im)")
     half = dim // 2
-    head = quant.select(F.col(id_col).alias("_hid"), F.col("q").alias("qh"))
-    tail = quant.select(F.col(id_col).alias("_tid"), F.col("q").alias("qt"))
-    triples = triples.select(subj_col, pred_col, obj_col)
-    if len(pred_vec_ids) > 1:
-        # materialize the store once across relation legs (transe_score
-        # precedent: at 100 TB the store is a durable Iceberg table and
-        # this is a no-op by construction)
-        triples = triples.localCheckpoint(eager=True)
-    legs = []
+    # Per-relation rotation constants (cos, sin legs of ROT65) fold in as
+    # two pred-selected constant arrays; the energy is one aggregate over
+    # the half-dim index sequence (see _score_base docstring).
+    rot_c: dict[str, list[int]] = {}
+    rot_s: dict[str, list[int]] = {}
     for p, v in pred_vec_ids.items():
         rv = rel_rows[int(v)]
-        leg = (triples
-               .filter(F.col(pred_col) == F.lit(p))
-               .withColumn("_hid", _entity_row_id(F.col(subj_col), n_vecs))
-               .withColumn("_tid", _entity_row_id(F.col(obj_col), n_vecs))
-               .join(head, "_hid").join(tail, "_tid"))
-        energy65 = None
-        for i in range(half):
-            c, s = ROT65[(abs(int(rv[i]))
-                          + 3 * abs(int(rv[half + i]))) % len(ROT65)]
-            hr, hi = F.col("qh")[i], F.col("qh")[half + i]
-            tr, ti = F.col("qt")[i], F.col("qt")[half + i]
-            term = (F.abs(hr * F.lit(c) - hi * F.lit(s)
-                          - F.lit(ROT65_DEN) * tr)
-                    + F.abs(hi * F.lit(c) + hr * F.lit(s)
-                            - F.lit(ROT65_DEN) * ti))
-            energy65 = term if energy65 is None else energy65 + term
-        legs.append(leg.withColumn(
-            "energy", F.round(energy65 / F.lit(float(ROT65_DEN)), 6)))
-    scored = legs[0]
-    for leg in legs[1:]:
-        scored = scored.unionByName(leg)
+        cs = [ROT65[(abs(int(rv[i])) + 3 * abs(int(rv[half + i])))
+                    % len(ROT65)] for i in range(half)]
+        rot_c[p] = [c for c, _ in cs]
+        rot_s[p] = [s for _, s in cs]
+
+    def _term(acc, i):
+        hr, hi = F.element_at(F.col("qh"), i), \
+            F.element_at(F.col("qh"), i + half)
+        tr, ti = F.element_at(F.col("qt"), i), \
+            F.element_at(F.col("qt"), i + half)
+        c = F.element_at(F.col("qc"), i)
+        s = F.element_at(F.col("qs"), i)
+        return acc + (F.abs(hr * c - hi * s - F.lit(ROT65_DEN) * tr)
+                      + F.abs(hi * c + hr * s - F.lit(ROT65_DEN) * ti))
+
+    energy65 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(half)), F.lit(0).cast("long"), _term)
+    scored = (base
+              .withColumn("qc", _pred_const_array(pred_col, rot_c))
+              .withColumn("qs", _pred_const_array(pred_col, rot_s))
+              .withColumn("energy",
+                          F.round(energy65 / F.lit(float(ROT65_DEN)), 6)))
     w = Window.partitionBy(pred_col).orderBy(
         F.col("energy").asc(), F.col(subj_col).asc(), F.col(obj_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
