@@ -1386,7 +1386,21 @@ def kg_align(kg_a: DataFrame, kg_b: DataFrame, threshold: float = 0.5,
         fb = fb.join(keep, ["pred", "obj"])
     na = fa.groupBy("ent_a").agg(F.count(F.lit(1)).alias("n_a"))
     nb = fb.groupBy("ent_b").agg(F.count(F.lit(1)).alias("n_b"))
-    shared = (fa.join(fb, ["pred", "obj"])
+    # The candidate join OUTPUT is sum over keys of df_a*df_b — orders of
+    # magnitude larger than either input. AQE sizes stages by INPUT bytes,
+    # so after the df-cut it coalesces the small pruned fact table to ~1
+    # partition and the whole explosion (6.7M pairs at sf0.1) plus its
+    # partial agg runs single-threaded (measured 7.2s). An explicit
+    # round-robin spread of the probe side before the join restores
+    # parallelism (2.9s); width follows spark.sql.shuffle.partitions so
+    # cluster deployments keep their configured reduce width (AQE does
+    # not re-coalesce a user-specified repartition).
+    spark = fa.sparkSession
+    try:
+        n_spread = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_spread = spark.sparkContext.defaultParallelism
+    shared = (fa.repartition(n_spread).join(fb, ["pred", "obj"])
               .groupBy("ent_a", "ent_b")
               .agg(F.count(F.lit(1)).alias("n_shared")))
     scored = (shared.join(na, "ent_a").join(nb, "ent_b")
