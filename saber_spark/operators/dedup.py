@@ -678,18 +678,44 @@ def ppjoin_similarity(docs: DataFrame, threshold: float = 0.6,
                     F.col("b.doc").alias("doc_b"))
             .distinct())
 
-    tsets = (toks.join(rank, "token").groupBy("doc")
-             .agg(F.array_sort(F.collect_set("trank")).alias("tokset")))
-    inter = (cand
-             .join(tsets.select(F.col("doc").alias("doc_a"),
-                                F.col("tokset").alias("_ts_a")), "doc_a")
-             .join(tsets.select(F.col("doc").alias("doc_b"),
-                                F.col("tokset").alias("_ts_b")), "doc_b")
-             .select("doc_a", "doc_b",
-                     F.size(F.array_intersect("_ts_a", "_ts_b"))
-                     .cast("long").alias("inter"),
-                     F.size("_ts_a").cast("long").alias("size_a"),
-                     F.size("_ts_b").cast("long").alias("size_b")))
+    # Verification strategy is chosen from the (driver-known,
+    # vocabulary-sized) distinct-token count. When the whole vocabulary
+    # fits one machine word, each doc's token set is a single long
+    # bitmask and the exact intersection is bit_count(a & b) — three
+    # primitive ops per pair vs array_intersect's per-element hash
+    # build/probe (measured 6.9s -> 2.8s steady at sf0.1, where the
+    # fixture vocabulary is 31 tokens). Both paths compute the same
+    # exact integers; large vocabularies keep the sorted-array
+    # intersect, whose cost tracks SET size (10^2-10^3), not
+    # vocabulary size.
+    n_vocab = dfreq.count()
+    if n_vocab <= 64:
+        masks = (toks.join(rank, "token").groupBy("doc")
+                 .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                             "trank - 1))").alias("mask")))
+        inter = (cand
+                 .join(masks.select(F.col("doc").alias("doc_a"),
+                                    F.col("mask").alias("_m_a")), "doc_a")
+                 .join(masks.select(F.col("doc").alias("doc_b"),
+                                    F.col("mask").alias("_m_b")), "doc_b")
+                 .select("doc_a", "doc_b",
+                         F.bit_count(F.col("_m_a").bitwiseAND(F.col("_m_b")))
+                         .cast("long").alias("inter"),
+                         F.bit_count("_m_a").cast("long").alias("size_a"),
+                         F.bit_count("_m_b").cast("long").alias("size_b")))
+    else:
+        tsets = (toks.join(rank, "token").groupBy("doc")
+                 .agg(F.array_sort(F.collect_set("trank")).alias("tokset")))
+        inter = (cand
+                 .join(tsets.select(F.col("doc").alias("doc_a"),
+                                    F.col("tokset").alias("_ts_a")), "doc_a")
+                 .join(tsets.select(F.col("doc").alias("doc_b"),
+                                    F.col("tokset").alias("_ts_b")), "doc_b")
+                 .select("doc_a", "doc_b",
+                         F.size(F.array_intersect("_ts_a", "_ts_b"))
+                         .cast("long").alias("inter"),
+                         F.size("_ts_a").cast("long").alias("size_a"),
+                         F.size("_ts_b").cast("long").alias("size_b")))
 
     return (inter
             .filter(F.col("inter") * den
