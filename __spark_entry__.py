@@ -3014,14 +3014,22 @@ def q_construct_triples(spark, sf_dir):
     3-relation store, excluding the id-swap self-loop corruption via
     FILTER NOT EXISTS — the rule-APPLICATION twin of rule_confidence's
     rule MINING. Set semantics (a CONSTRUCT result is a graph):
-    bgp_match's join chain + two template Projects + one distinct."""
+    bgp_match's join chain + two template Projects + one distinct.
+
+    Execution shape (r6): the BGP join chain, the ~32M-row template
+    union and the set-semantics distinct all run over the tagged-long
+    twin store (guide §2.3); uri strings are rebuilt only on the 9M
+    distinct result triples. Injective encode -> distinct commutes
+    with the decode; verified hash-MATCH vs the unchanged oracle."""
     from saber_spark.operators.triples import construct
-    return construct(_schema_kg3(spark, sf_dir),
-                     [("?c", "placed", "?o"), ("?o", "contains", "?p"),
-                      ("?s", "supplies", "?p")],
-                     [("?c", "bought_from", "?s"),
-                      ("?s", "sold_to", "?c")],
-                     anti=[("?c", "placed", "?c")])
+    g = construct(_schema_kg3_ids(spark, sf_dir),
+                  [("?c", "placed", "?o"), ("?o", "contains", "?p"),
+                   ("?s", "supplies", "?p")],
+                  [("?c", "bought_from", "?s"),
+                   ("?s", "sold_to", "?c")],
+                  anti=[("?c", "placed", "?c")])
+    return g.select(_kg3_id_to_uri(F.col("subj")).alias("subj"), "pred",
+                    _kg3_id_to_uri(F.col("obj")).alias("obj"))
 
 
 def q_ntriples_roundtrip(spark, sf_dir):
@@ -3348,14 +3356,20 @@ def q_rdfs_entailment(spark, sf_dir):
     as genuine type CONFLICTS (a cust: node typed Order via
     range(placed)) rather than being cleaned away. Schema tables are
     broadcast; the store shuffles only for the final set-semantics
-    distinct. Oracle: recursive CTE closure + the same rule joins."""
+    distinct. Oracle: recursive CTE closure + the same rule joins.
+    Execution shape (r6): tagged-long twin store (rules key on pred
+    strings; entity identity is internal until the final decode of the
+    573k distinct (entity, type) rows — guide §2.3), hash-MATCH vs the
+    unchanged oracle."""
     from saber_spark.operators.ontology import rdfs_entail
-    return rdfs_entail(
-        _schema_kg3(spark, sf_dir),
+    ent = rdfs_entail(
+        _schema_kg3_ids(spark, sf_dir),
         spark.createDataFrame(RDFS_DOMAIN_ROWS, "pred string, cls string"),
         spark.createDataFrame(RDFS_RANGE_ROWS, "pred string, cls string"),
         spark.createDataFrame(RDFS_SUBCLASS_ROWS,
                               "child string, parent string"))
+    return ent.select(_kg3_id_to_uri(F.col("entity")).alias("entity"),
+                      "type")
 
 
 def q_optional_bgp(spark, sf_dir):
@@ -3924,8 +3938,11 @@ def q_subprop_entailment(spark, sf_dir):
     under related_to (a 2-deep chain exercising the rdfs5 closure),
     contains under structural_rel; inverses placed<->placed_by and
     contains<->contained_in. Facts touched by two broadcast joins and
-    ONE distinct; the closure is schema-sized path doubling. Oracle:
-    recursive-CTE closure + the same unions."""
+    ONE distinct; the closure is schema-sized (driver BFS fast path).
+    Oracle: recursive-CTE closure + the same unions. Execution shape
+    (r6): tagged-long twin store (rules rewrite pred strings only;
+    entities decode after the final 4.2M-row distinct — guide §2.3),
+    hash-MATCH vs the unchanged oracle."""
     from saber_spark.operators.ontology import subprop_entail
     subprops = spark.createDataFrame(
         [("placed", "commercial_rel"), ("supplies", "commercial_rel"),
@@ -3934,7 +3951,9 @@ def q_subprop_entailment(spark, sf_dir):
     inverses = spark.createDataFrame(
         [("placed", "placed_by"), ("contains", "contained_in")],
         "pred string, inverse string")
-    return subprop_entail(_schema_kg3(spark, sf_dir), subprops, inverses)
+    ent = subprop_entail(_schema_kg3_ids(spark, sf_dir), subprops, inverses)
+    return ent.select(_kg3_id_to_uri(F.col("subj")).alias("subj"), "pred",
+                      _kg3_id_to_uri(F.col("obj")).alias("obj"))
 
 
 def q_sameas_rewrite(spark, sf_dir):

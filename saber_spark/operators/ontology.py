@@ -21,26 +21,65 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def transitive_closure(edges: DataFrame, child: str = "child",
                        parent: str = "parent",
-                       max_depth: int = 64) -> DataFrame:
+                       max_depth: int = 64,
+                       driver_threshold: int = 4096) -> DataFrame:
     """(child, parent) direct edges -> (child, ancestor) full closure,
     NOT including the reflexive (x, x) pairs.
 
-    Path-doubling: each round joins the current closure with itself, so
-    reachable distance doubles — ceil(log2(max_depth)) rounds cover any
-    DAG of depth <= max_depth. Each round is ONE self-join + distinct
-    (one shuffle); the loop is driver-side counting only. A cycle would
-    make the closure loop forever in depth terms but path-doubling still
-    converges to the finite pair set — the fixpoint test (no new pairs)
-    terminates either way.
+    Small-dimension fast path: hierarchy tables are SCHEMA-sized in
+    every caller (type lattices, subPropertyOf chains — dozens of
+    rows), yet the generic fixpoint costs ~2 jobs per round (self-join
+    + checkpoint + count), which at schema size is pure scheduler
+    overhead. When the deduped edge set fits ``driver_threshold`` rows
+    (one bounded limit+collect — the same dimension-table-sized collect
+    the repo's model/codebook tables use), the closure is computed as a
+    driver-side depth-capped BFS and returned as a literal frame —
+    byte-identical pairs, zero iterative jobs.
+
+    Large hierarchies keep path-doubling: each round joins the current
+    closure with itself, so reachable distance doubles —
+    ceil(log2(max_depth)) rounds cover any DAG of depth <= max_depth,
+    each round ONE self-join + distinct. A cycle would make the closure
+    loop forever in depth terms but path-doubling still converges to
+    the finite pair set — the fixpoint test (no new pairs) terminates
+    either way. The BFS depth cap (2^rounds hops) replicates the
+    path-doubling reach exactly, so both paths agree even on
+    deeper-than-max_depth chains.
     """
-    paths = (edges.select(F.col(child).alias("c"), F.col(parent).alias("p"))
-             .filter(F.col("c") != F.col("p")).distinct()
-             .localCheckpoint(eager=True))
+    paths0 = (edges.select(F.col(child).alias("c"), F.col(parent).alias("p"))
+              .filter(F.col("c") != F.col("p")).distinct())
     rounds = max(1, (max_depth - 1).bit_length())
+    head = paths0.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        from collections import defaultdict
+        adj: dict = defaultdict(set)
+        for r in head:
+            adj[r["c"]].add(r["p"])
+        reach_cap = 1 << rounds
+        out = []
+        for start in adj:
+            seen = {start}
+            frontier = [start]
+            for _ in range(reach_cap):
+                nxt = [q for n in frontier for q in adj.get(n, ())
+                       if q not in seen]
+                if not nxt:
+                    break
+                seen.update(nxt)
+                frontier = nxt
+            out.extend((start, dst) for dst in seen if dst != start)
+        spark = edges.sparkSession
+        fields = paths0.schema.fields
+        schema = T.StructType([
+            T.StructField(child, fields[0].dataType, True),
+            T.StructField("ancestor", fields[1].dataType, True)])
+        return spark.createDataFrame(out, schema)
+    paths = paths0.localCheckpoint(eager=True)
     for _ in range(rounds):
         hops = (paths.alias("l")
                 .join(paths.alias("r"), F.col("l.p") == F.col("r.c"))
