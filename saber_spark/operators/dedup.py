@@ -290,6 +290,16 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5,
     """
     from saber_spark.operators.graph import connected_components
 
+    if shingles is None:
+        # One materialized shingle stage shared by candidate generation
+        # (band_buckets) and all three verify branches (sizes, ta, tb) —
+        # without it the narrow-but-nontrivial regexp+transform+explode
+        # shingle lineage re-derives per branch (the ngram_jaccard
+        # docstring's "8 scans"); measured 3.9s -> 2.6s for the curate
+        # dedup stage at sf0.1. Same table a 100 TB run checkpoints
+        # durably.
+        shingles = doc_shingles(docs, text_col=text_col, id_col=id_col) \
+            .localCheckpoint(eager=True)
     pairs = minhash_candidates(docs, text_col, id_col,
                                portable_ids=portable_ids, shingles=shingles)
     jac = (ngram_jaccard(docs, pairs, text_col, id_col, shingles=shingles)

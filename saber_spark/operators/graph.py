@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -82,6 +83,45 @@ def connected_components(edges: DataFrame, src: str = "src",
         for _ in range(rounds):
             labels = _propagate(sym_self, labels)
         return labels.select("node", F.col("label").alias("component"))
+
+    # Fixpoint mode pays ~2 jobs per round (propagate + convergence
+    # probe + checkpoint); when the (already-materialized) edge set is
+    # dimension-sized — LSH-verified near-dup pairs, sameAs links — the
+    # rounds are pure scheduler overhead. One bounded limit+collect and
+    # a driver union-find replace the whole loop for graphs up to 4096
+    # edges (same fast-path contract as ontology.transitive_closure);
+    # the exact min-label components come back as a literal frame.
+    # Corpus-scale graphs fall through to the iterative path untouched.
+    _DRIVER_EDGE_CAP = 4096
+    head = sym.limit(_DRIVER_EDGE_CAP + 1).collect()
+    if len(head) <= _DRIVER_EDGE_CAP:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in head:
+            a, b = r["a"], r["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for n in parent:
+            r0 = find(n)
+            if r0 not in comp_min or n < comp_min[r0]:
+                comp_min[r0] = n
+        out = [(n, comp_min[find(n)]) for n in parent]
+        spark = edges.sparkSession
+        node_type = sym.schema.fields[0].dataType
+        schema = T.StructType([
+            T.StructField("node", node_type, True),
+            T.StructField("component", node_type, True)])
+        return spark.createDataFrame(out, schema)
 
     for _ in range(max_iter):
         new_labels = _propagate(sym_self, labels)
