@@ -315,6 +315,34 @@ class TestTranseScore:
         out = transe_score(t, self._emb(spark), {"placed": 3})
         assert out.count() == 1
 
+    def test_fast_path_matches_join_path(self, spark):
+        # r6: the numpy fast path (embedding matrix under the broadcast
+        # threshold) must emit byte-identical rows to the distributed
+        # join path; disabling auto-broadcast forces the join path.
+        from saber_spark.operators.kge import (complex_score,
+                                               distmult_score,
+                                               rotate_score, transe_score)
+        t = spark.createDataFrame(
+            [(f"cust:{i}", p, f"order:{(3 * i + j) % 11}")
+             for i in range(12) for j, p in enumerate(("placed", "ships"))],
+            "subj string, pred string, obj string")
+        emb = spark.createDataFrame(
+            [(i, [float((7 * i + d * d) % 13) - 6.0 for d in range(4)])
+             for i in range(8)],
+            "vec_id long, embedding array<float>")
+        ids = {"placed": 3, "ships": 5}
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        for fn in (transe_score, distmult_score, complex_score,
+                   rotate_score):
+            fast = sorted(map(tuple, fn(t, emb, ids, top_k=4).collect()))
+            try:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                slow = sorted(map(tuple,
+                                  fn(t, emb, ids, top_k=4).collect()))
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            assert fast == slow and len(fast) == 8, fn.__name__
+
 
 class TestFactRanking:
     def test_rare_value_outranks_hub(self, spark):
