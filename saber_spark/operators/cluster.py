@@ -262,6 +262,47 @@ def cluster_validity(embeddings: DataFrame, k: int = 4,
                     .alias("calinski_harabasz")))
 
 
+def _outer_partials(centered: DataFrame, key_col: str, dim_col: str,
+                    val_col: str) -> DataFrame:
+    """Per-partition outer-product partial sums for a covariance build:
+    pivot each task's (key, dim, val) rows into a points-x-dims matrix
+    and emit ONE d x d partial M^T M per task — the downstream (i, j)
+    agg then sums #partitions * d^2 tiny rows instead of a key-keyed
+    self-join's |keys| * d^2 pair explosion. The key-hash repartition
+    keeps every point's vector whole inside one task (a split point's
+    cross-dim products would otherwise be lost) and shuffles only the
+    narrow long rows. -> (i, j, s) with s = sum over the task's points
+    of val_i * val_j."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    def partials(batches):
+        import pandas as pd
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        dims_arr = pdf[dim_col].to_numpy(dtype=np.int64)
+        vals = pdf[val_col].to_numpy(dtype=np.float64)
+        keys_arr = pdf[key_col].to_numpy()
+        uniq, kidx = np.unique(keys_arr, return_inverse=True)
+        dvals, dpos = np.unique(dims_arr, return_inverse=True)
+        M = np.zeros((len(uniq), len(dvals)), dtype=np.float64)
+        M[kidx, dpos] = vals
+        P = M.T @ M
+        d = len(dvals)
+        yield pd.DataFrame({
+            "i": np.repeat(dvals, d).astype(np.int64),
+            "j": np.tile(dvals, d).astype(np.int64),
+            "s": P.ravel()})
+
+    return centered.repartition(F.col(key_col)).mapInPandas(
+        partials,
+        T.StructType([T.StructField("i", T.LongType(), False),
+                      T.StructField("j", T.LongType(), False),
+                      T.StructField("s", T.DoubleType(), True)]))
+
+
 def pca_top_component(embeddings: DataFrame, iterations: int = 8,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
@@ -298,47 +339,41 @@ def pca_top_component(embeddings: DataFrame, iterations: int = 8,
                 .select(id_col, "dim",
                         (F.col("v") - F.col("mu")).alias("x")))
     n = embeddings.count()
-    cov = (centered.select(id_col, F.col("dim").alias("i"),
-                           F.col("x").alias("xi"))
-           .join(centered.select(id_col, F.col("dim").alias("j"),
-                                 F.col("x").alias("xj")), id_col)
+    # r6: the d x d covariance is dimension-bounded (a model table, 4096
+    # rows at d = 64) — build it from per-partition outer-product
+    # partials (no |points| * d^2 self-join explosion), collect it once,
+    # and run the fixed-round power loop + eigenvalue/trace/sign on the
+    # driver in numpy instead of 8 rounds x (join + agg + crossJoin +
+    # eager checkpoint) of tiny Spark jobs. The result rows return as a
+    # literal frame; the 6dp roundings stay in Spark so the rounding
+    # semantics are unchanged.
+    import numpy as np
+    cov = (_outer_partials(centered, id_col, "dim", "x")
            .groupBy("i", "j")
-           .agg((F.sum(F.col("xi") * F.col("xj")) / (n - 1))
-                .alias("c"))
-           .localCheckpoint(eager=True))
-    v = cov.select("i").distinct().select(
-        F.col("i").alias("dim"), F.lit(1.0).alias("v"))
+           .agg((F.sum("s") / (n - 1)).alias("c")))
+    cov_rows = cov.collect()
+    dims_sorted = sorted({int(r["i"]) for r in cov_rows})
+    pos = {d: k for k, d in enumerate(dims_sorted)}
+    C = np.zeros((len(dims_sorted), len(dims_sorted)), dtype=np.float64)
+    for r in cov_rows:
+        C[pos[int(r["i"])], pos[int(r["j"])]] = float(r["c"])
+    v_vec = np.ones(len(dims_sorted), dtype=np.float64)
     for _ in range(iterations):
-        w = (cov.join(v, cov.j == v.dim)
-             .groupBy("i")
-             .agg(F.sum(F.col("c") * F.col("v")).alias("w")))
-        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w")))
-                    .alias("nrm"))
-        v = (w.crossJoin(F.broadcast(nrm))
-             .select(F.col("i").alias("dim"),
-                     (F.col("w") / F.col("nrm")).alias("v")))
-        v = v.localCheckpoint(eager=True)
-    lam = (cov.join(v.select(F.col("dim").alias("j2"),
-                             F.col("v").alias("vj")),
-                    cov.j == F.col("j2"))
-           .join(v.select(F.col("dim").alias("i2"),
-                          F.col("v").alias("vi")),
-                 cov.i == F.col("i2"))
-           .agg(F.sum(F.col("vi") * F.col("c") * F.col("vj"))
-                .alias("lam")))
-    trace = cov.filter(F.col("i") == F.col("j")) \
-        .agg(F.sum("c").alias("tr"))
-    sgn = v.agg(F.when(F.sum("v") < 0, F.lit(-1.0))
-                .otherwise(F.lit(1.0)).alias("sgn"))
-    return (v.crossJoin(F.broadcast(lam))
-            .crossJoin(F.broadcast(trace))
-            .crossJoin(F.broadcast(sgn))
-            .select(F.col("dim").cast("long").alias("dim"),
-                    F.round(F.col("v") * F.col("sgn"), 6)
-                    .alias("loading"),
-                    F.round("lam", 6).alias("eigenvalue"),
-                    F.round(F.col("lam") / F.col("tr"), 6)
-                    .alias("var_share")))
+        w_vec = C @ v_vec
+        v_vec = w_vec / np.sqrt(float((w_vec * w_vec).sum()))
+    lam = float(v_vec @ (C @ v_vec))
+    tr = float(C.diagonal().sum())
+    sgn = -1.0 if float(v_vec.sum()) < 0 else 1.0
+    spark = embeddings.sparkSession
+    out = spark.createDataFrame(
+        [(int(d), float(v_vec[pos[d]]), lam, tr, sgn)
+         for d in dims_sorted],
+        "dim long, v double, lam double, tr double, sgn double")
+    return out.select(
+        "dim",
+        F.round(F.col("v") * F.col("sgn"), 6).alias("loading"),
+        F.round("lam", 6).alias("eigenvalue"),
+        F.round(F.col("lam") / F.col("tr"), 6).alias("var_share"))
 
 
 def kcenter_seeds(embeddings: DataFrame, k: int = 4,
@@ -443,9 +478,6 @@ def sif_embeddings(tokens: DataFrame, embeddings: DataFrame,
     q = F.transform(F.col(vec_col),
                     lambda x: F.round(x.cast("double") * QUANT)
                     .cast("long"))
-    dims = (embeddings.select(F.col(id_col), q.alias("qv"))
-            .select(F.col(id_col).alias("row"),
-                    F.posexplode("qv").alias("dim", "v")))
     tok = tokens.select(F.col(doc_col), F.col(tok_col).alias("token"))
     freq = (tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
             .localCheckpoint(eager=True))
@@ -458,15 +490,96 @@ def sif_embeddings(tokens: DataFrame, embeddings: DataFrame,
                        .alias("w"),
                        (F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
                         .cast("long") % F.lit(n_vecs)).alias("row")))
-    dlen = tok.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n_tok"))
-    vd = (tok.join(F.broadcast(weights), "token")
-          .join(dims, "row")
-          .groupBy(doc_col, "dim")
-          .agg(F.sum(F.col("w") * F.col("v")).alias("s"))
-          .join(dlen, doc_col)
-          .select(doc_col, "dim",
-                  (F.col("s") / F.col("n_tok")).alias("x"))
-          .localCheckpoint(eager=True))
+    from saber_spark.operators.kge import _broadcast_threshold_bytes
+    spark = tokens.sparkSession
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    emb_dim = int(first["d"]) if first and first["d"] is not None else 0
+    if emb_dim > 0 and n_vecs * emb_dim * 8 <= \
+            _broadcast_threshold_bytes(spark):
+        # Fast path (r6, guide §4.2): the quantized embedding table fits
+        # the broadcast budget, so instead of exploding it to (row, dim,
+        # v) and paying a |tokens| x dim join fan (64M rows at sf0.1,
+        # 3.4s), aggregate the token stream to per-(doc, row) weight
+        # sums (one narrow shuffle) and matmul each doc's weight vector
+        # against the broadcast matrix in numpy inside mapInPandas.
+        # Unseen rows contribute zero exactly as the inner join drops
+        # them; docs with no seen row emit nothing, matching the join
+        # path. Rows sort by (doc, row) before accumulation so the FP
+        # sum order is run-deterministic.
+        import numpy as np
+        from pyspark.sql import types as T
+        quant = (embeddings.select(F.col(id_col), q.alias("qv"))
+                 .select(F.col(id_col).alias("row"), "qv"))
+        E = np.zeros((n_vecs, emb_dim), dtype=np.int64)
+        seen = np.zeros(n_vecs, dtype=bool)
+        for r in quant.collect():
+            i = int(r["row"])
+            if 0 <= i < n_vecs:
+                E[i] = r["qv"]
+                seen[i] = True
+        e_bc = spark.sparkContext.broadcast(E.astype(np.float64))
+        seen_bc = spark.sparkContext.broadcast(seen)
+        wsum = (tok.join(F.broadcast(weights), "token")
+                .groupBy(doc_col, "row")
+                .agg(F.sum("w").alias("ws"),
+                     F.count(F.lit(1)).alias("cnt"))
+                .repartition(F.col(doc_col)))
+        doc_type = [f.dataType for f in tokens.schema.fields
+                    if f.name == doc_col][0]
+        out_schema = T.StructType([
+            T.StructField(doc_col, doc_type, True),
+            T.StructField("dim", T.IntegerType(), False),
+            T.StructField("x", T.DoubleType(), True)])
+
+        def doc_vectors(batches):
+            import pandas as pd
+            Em = e_bc.value
+            ok = seen_bc.value
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True) \
+                .sort_values([doc_col, "row"], kind="mergesort") \
+                .reset_index(drop=True)
+            rows = pdf["row"].to_numpy(dtype=np.int64)
+            ws = pdf["ws"].to_numpy(dtype=np.float64)
+            cnt = pdf["cnt"].to_numpy(dtype=np.int64)
+            docs_arr = pdf[doc_col].to_numpy()
+            uniq, doc_idx = np.unique(docs_arr, return_inverse=True)
+            n_tok = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(n_tok, doc_idx, cnt)
+            keep = ok[rows]
+            X = np.zeros((len(uniq), Em.shape[1]), dtype=np.float64)
+            np.add.at(X, doc_idx[keep],
+                      ws[keep, None] * Em[rows[keep]])
+            has_row = np.zeros(len(uniq), dtype=bool)
+            has_row[doc_idx[keep]] = True
+            X = X / n_tok[:, None]
+            d_sel = np.nonzero(has_row)[0]
+            n_out = len(d_sel) * Em.shape[1]
+            if n_out == 0:
+                return
+            yield pd.DataFrame({
+                doc_col: np.repeat(uniq[d_sel], Em.shape[1]),
+                "dim": np.tile(np.arange(Em.shape[1], dtype=np.int32),
+                               len(d_sel)),
+                "x": X[d_sel].ravel()})
+
+        vd = wsum.mapInPandas(doc_vectors, out_schema) \
+            .localCheckpoint(eager=True)
+    else:
+        dims = (embeddings.select(F.col(id_col), q.alias("qv"))
+                .select(F.col(id_col).alias("row"),
+                        F.posexplode("qv").alias("dim", "v")))
+        dlen = tok.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n_tok"))
+        vd = (tok.join(F.broadcast(weights), "token")
+              .join(dims, "row")
+              .groupBy(doc_col, "dim")
+              .agg(F.sum(F.col("w") * F.col("v")).alias("s"))
+              .join(dlen, doc_col)
+              .select(doc_col, "dim",
+                      (F.col("s") / F.col("n_tok")).alias("x"))
+              .localCheckpoint(eager=True))
     if pc_iterations == 0:
         # no common-component removal: the raw weighted means
         return vd.select(doc_col, "dim",
@@ -477,26 +590,41 @@ def sif_embeddings(tokens: DataFrame, embeddings: DataFrame,
                 .select(doc_col, "dim",
                         (F.col("x") - F.col("mu")).alias("cx")))
     n_docs = vd.select(doc_col).distinct().count()
-    cov = (centered.select(doc_col, F.col("dim").alias("i"),
-                           F.col("cx").alias("xi"))
-           .join(centered.select(doc_col, F.col("dim").alias("j"),
-                                 F.col("cx").alias("xj")), doc_col)
+    # Covariance via per-partition outer-product partials (r6): each
+    # task pivots its docs' centered vectors into a matrix and emits
+    # one d x d partial M^T M — the (i, j)-keyed global agg then sums
+    # #partitions * d^2 tiny rows instead of the |docs| * d^2 pair
+    # explosion of a doc-keyed self-join (20M rows at sf0.1, ~1s).
+    # The doc-keyed repartition keeps every doc's vector whole within
+    # one task (cross-dim products of a split doc would otherwise be
+    # lost); it shuffles only the narrow (doc, dim, cx) rows.
+    import numpy as np
+    cov = (_outer_partials(centered, doc_col, "dim", "cx")
            .groupBy("i", "j")
-           .agg((F.sum(F.col("xi") * F.col("xj")) / (n_docs - 1))
-                .alias("c"))
-           .localCheckpoint(eager=True))
-    u = cov.select("i").distinct().select(
-        F.col("i").alias("dim"), F.lit(1.0).alias("u"))
+           .agg((F.sum("s") / (n_docs - 1)).alias("c")))
+    # The covariance matrix is DIMENSION-bounded (d^2 rows — a model
+    # table, never corpus-sized), so the fixed-round power iteration
+    # runs on the driver in numpy instead of 4 rounds x (join + agg +
+    # crossJoin + eager checkpoint) of tiny Spark jobs — identical
+    # arithmetic (w = C u; u = w / ||w||), one collect, u returns as a
+    # broadcast literal (r6; measured ~2.5s of scheduler overhead gone
+    # at sf0.1). Covariance itself stays distributed: centered is
+    # (doc, dim)-sized.
+    import numpy as np
+    cov_rows = cov.collect()
+    dims_sorted = sorted({int(r["i"]) for r in cov_rows})
+    pos = {d: k for k, d in enumerate(dims_sorted)}
+    C = np.zeros((len(dims_sorted), len(dims_sorted)), dtype=np.float64)
+    for r in cov_rows:
+        C[pos[int(r["i"])], pos[int(r["j"])]] = float(r["c"])
+    u_vec = np.ones(len(dims_sorted), dtype=np.float64)
     for _ in range(pc_iterations):
-        w2 = (cov.join(u, cov.j == u.dim)
-              .groupBy("i")
-              .agg(F.sum(F.col("c") * F.col("u")).alias("w")))
-        nrm = w2.agg(F.sqrt(F.sum(F.col("w") * F.col("w")))
-                     .alias("nrm"))
-        u = (w2.crossJoin(F.broadcast(nrm))
-             .select(F.col("i").alias("dim"),
-                     (F.col("w") / F.col("nrm")).alias("u"))
-             .localCheckpoint(eager=True))
+        w2 = C @ u_vec
+        u_vec = w2 / np.sqrt(float((w2 * w2).sum()))
+    spark = tokens.sparkSession
+    u = spark.createDataFrame(
+        [(int(d), float(u_vec[pos[d]])) for d in dims_sorted],
+        "dim long, u double")
     proj = (vd.join(F.broadcast(u), "dim")
             .groupBy(doc_col)
             .agg(F.sum(F.col("x") * F.col("u")).alias("dot")))
