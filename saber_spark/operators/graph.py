@@ -813,31 +813,83 @@ def textrank(tokens: DataFrame, window: int = 2, iterations: int = 3,
                   .select("did", "a", "b",
                           (F.col("cw") / F.col("wdeg").cast("double"))
                           .alias("frac")))
+    # r6: each document's graph is doc-length-bounded, so after ONE
+    # doc-keyed shuffle of the normalized edge table every task runs
+    # the whole fixed-round weighted-PageRank update for its docs in
+    # numpy (segment sums over the local edge arrays) and emits only
+    # its docs' top_k rows with ranks — replacing `iterations` rounds
+    # of corpus-wide join+agg plus the final window (7.2s -> ~2.5s
+    # first-run at sf0.1). Edges sort (did, a, b) before accumulation
+    # so the FP sum order is run-deterministic; the 6dp rounding uses
+    # exact decimal HALF_UP on the binary double, the same semantics as
+    # Spark's round. The update itself is unchanged:
+    # pr(v) = (1-d) + d * sum_u frac(u,v) * pr(u), pr0 = 1.
     if materialize:
-        # checkpoint the NORMALIZED edge table (not the raw counts):
-        # every round references it, and checkpointing upstream of the
-        # wdeg join would replay that agg+join per round (measured
-        # 7.0 -> 4.4 s first-run at sf0.1). materialize=False exposes
-        # the full lineage for plan audits.
+        # single consumer now, but the eager checkpoint still saves the
+        # double-derivation of the edge agg feeding both sides of the
+        # wdeg join inside the one job; materialize=False exposes the
+        # full lineage for plan audits.
         frac_edges = frac_edges.localCheckpoint(eager=True)
-    pr = (frac_edges.select("did", "a").distinct()
-          .select("did", F.col("a").alias("node"), F.lit(1.0).alias("pr")))
-    for _ in range(iterations):
-        contrib = frac_edges.join(
-            pr.withColumnRenamed("node", "a"), ["did", "a"])
-        pr = (contrib.groupBy("did", F.col("b").alias("node"))
-              .agg(F.sum(F.col("frac") * F.col("pr")).alias("s"))
-              .select("did", "node",
-                      (F.lit(1.0 - damping)
-                       + F.lit(damping) * F.col("s")).alias("pr")))
-    ranked = pr.select("did", "node", F.round("pr", 6).alias("score"))
-    wtop = Window.partitionBy("did").orderBy(
-        F.col("score").desc(), F.col("node").asc())
-    return (ranked
-            .withColumn("rank", F.row_number().over(wtop).cast("long"))
-            .filter(F.col("rank") <= top_k)
-            .select(F.col("did").alias(id_col),
-                    F.col("node").alias(token_col), "score", "rank"))
+    from pyspark.sql import types as T
+    did_type = [f.dataType for f in tokens.schema.fields
+                if f.name == id_col][0]
+    tok_type = [f.dataType for f in tokens.schema.fields
+                if f.name == token_col][0]
+    out_schema = T.StructType([
+        T.StructField(id_col, did_type, True),
+        T.StructField(token_col, tok_type, True),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("rank", T.LongType(), False)])
+    n_iter, damp, kk = int(iterations), float(damping), int(top_k)
+
+    def rank_docs(batches):
+        import decimal
+
+        import numpy as np
+        import pandas as pd
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = (pd.concat(frames, ignore_index=True)
+               .sort_values(["did", "a", "b"], kind="mergesort")
+               .reset_index(drop=True))
+        m = len(pdf)
+        did2 = pd.concat([pdf["did"], pdf["did"]], ignore_index=True)
+        tok2 = pd.concat([pdf["a"], pdf["b"]], ignore_index=True)
+        dcodes, dvals = pd.factorize(did2)
+        tcodes, tvals = pd.factorize(tok2)
+        combined = dcodes.astype(np.int64) * len(tvals) + tcodes
+        nodes, codes = np.unique(combined, return_inverse=True)
+        src, dst = codes[:m], codes[m:]
+        frac = pdf["frac"].to_numpy(dtype=np.float64)
+        pr = np.ones(len(nodes), dtype=np.float64)
+        for _ in range(n_iter):
+            s = np.zeros(len(nodes), dtype=np.float64)
+            np.add.at(s, dst, frac * pr[src])
+            pr = (1.0 - damp) + damp * s
+        # Spark's round() parses Double.toString — the SHORTEST decimal
+        # that round-trips the double (Python's repr gives the same
+        # string) — and half-up rounds THAT; Decimal(float) would use
+        # the exact binary expansion and can land one ulp-of-decimal
+        # lower (0.9362415 vs 0.93624149999...96).
+        q6 = decimal.Decimal("0.000001")
+        score = np.fromiter(
+            (float(decimal.Decimal(repr(float(x))).quantize(
+                q6, rounding=decimal.ROUND_HALF_UP)) for x in pr),
+            dtype=np.float64, count=len(pr))
+        out = pd.DataFrame({
+            "did": dvals.take(nodes // len(tvals)),
+            "node": tvals.take(nodes % len(tvals)),
+            "score": score})
+        out = out.sort_values(["did", "score", "node"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        out["rank"] = out.groupby("did", sort=False).cumcount() + 1
+        out = out[out["rank"] <= kk]
+        yield out.rename(columns={"did": id_col, "node": token_col})
+
+    return (frac_edges.repartition(F.col("did"))
+            .mapInPandas(rank_docs, out_schema))
 
 
 def _edge_supports(es: DataFrame) -> DataFrame:
