@@ -4995,8 +4995,12 @@ def q_mmr_rerank(spark, sf_dir):
     candidate-sized; deterministic 6dp/id argmax."""
     from saber_spark.operators.retrieval import bm25_topk, mmr_rerank
     toks = tokenize_docs(_docs(spark, sf_dir))
+    # eager checkpoint of the 15-row candidate table: the pairwise-sim
+    # chain and the rerank loop both consume it, and without the cut
+    # each consumer re-derives the whole BM25 corpus pass (r6)
     cand = bm25_topk(toks, ["spark", "stream", "vector"], top_k=15) \
-        .select("doc_id", F.col("score").alias("rel"))
+        .select("doc_id", F.col("score").alias("rel")) \
+        .localCheckpoint(eager=True)
     dt = (toks.join(cand.select("doc_id"), "doc_id")
           .select("doc_id", "token").distinct())
     sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

@@ -566,53 +566,60 @@ def mmr_rerank(candidates: DataFrame, sim_pairs: DataFrame,
     Determinism: each greedy argmax orders by (6dp-rounded mmr DESC,
     id ASC) — engine-portable like every ranked output in this repo.
 
-    Scale shape: the greedy loop is inherently sequential but runs
-    entirely on the candidate table; the candidate set and the
-    symmetrized pair table are each materialized ONCE (their upstream
-    corpus queries do not re-run per step), and each step is one tiny
-    argmax job whose single winning row comes back to the driver — the
-    picked ids then ride into the next step as literal predicates, so
-    the plan stays flat (no per-step checkpoint chain; only ids and the
-    loop counter live on the driver; r5 shape cost 9.2s at sf0.1 in
-    per-step localCheckpoints + re-derived pair tables, this one ~1s).
+    Scale shape: the greedy loop is inherently sequential and both
+    inputs are CANDIDATE-sized by contract (the caller's top-N and its
+    pairwise sims — tens to a few hundred rows at any corpus size), so
+    the loop runs on the driver over two one-shot collects: the corpus
+    queries upstream of each input run exactly once, and no per-step
+    Spark job is launched at all (r5 shape cost 9.2s at sf0.1 in
+    per-step localCheckpoints + re-derived pair tables; the r6
+    argmax-job shape ~1s of step jobs; this one none). The greedy
+    arithmetic is the identical IEEE expression lam*rel - (1-lam)*ms,
+    with the 6dp rounding applied to the shortest round-trip decimal
+    (Decimal(repr(x)) HALF_UP), which is exactly Spark round's
+    Double.toString + BigDecimal HALF_UP semantics.
 
     -> k rows (step, doc_id, rel 6dp, mmr 6dp).
     """
-    cand = candidates.select(F.col(id_col).alias("d"),
-                             F.col(rel_col).cast("double").alias("rel")) \
-        .localCheckpoint(eager=True)
-    sym = (sim_pairs.select(F.col("a").alias("x"), F.col("b").alias("y"),
-                            F.col("sim"))
-           .unionByName(sim_pairs.select(
-               F.col("b").alias("x"), F.col("a").alias("y"), F.col("sim")))
-           .localCheckpoint(eager=True))
+    import decimal
+
+    q6 = decimal.Decimal("0.000001")
+
+    def rnd6(x: float) -> float:
+        return float(decimal.Decimal(repr(float(x))).quantize(
+            q6, rounding=decimal.ROUND_HALF_UP))
+
+    cand_rows = candidates.select(
+        F.col(id_col).alias("d"),
+        F.col(rel_col).cast("double").alias("rel")).collect()
+    rels = {r["d"]: float(r["rel"]) for r in cand_rows}
+    sims: dict = {}
+    for r in sim_pairs.select("a", "b", "sim").collect():
+        s = float(r["sim"])
+        for x, y in ((r["a"], r["b"]), (r["b"], r["a"])):
+            d = sims.setdefault(x, {})
+            if y not in d or s > d[y]:
+                d[y] = s
     picked_ids: list = []
     out_rows: list[tuple] = []
     for step in range(1, k + 1):
-        if not picked_ids:
-            scored = cand.select(
-                "d", "rel", F.round(F.lit(lam) * F.col("rel"), 6)
-                .alias("mmr"))
-        else:
-            remaining = cand.filter(~F.col("d").isin(*picked_ids))
-            maxsim = (remaining
-                      .join(sym.filter(F.col("y").isin(*picked_ids)),
-                            remaining.d == F.col("x"), "left")
-                      .groupBy("d")
-                      .agg(F.max("rel").alias("rel"),
-                           F.coalesce(F.max("sim"), F.lit(0.0))
-                           .alias("ms")))
-            scored = maxsim.select(
-                "d", "rel",
-                F.round(F.lit(lam) * F.col("rel")
-                        - F.lit(1 - lam) * F.col("ms"), 6).alias("mmr"))
-        top = (scored.orderBy(F.col("mmr").desc(), F.col("d").asc())
-               .limit(1).collect())
-        if not top:
+        best = None
+        for d, rel in rels.items():
+            if d in picked_ids:
+                continue
+            if picked_ids:
+                nbrs = sims.get(d, {})
+                ms = max((nbrs[y] for y in picked_ids if y in nbrs),
+                         default=0.0)
+                mmr = rnd6(lam * rel - (1 - lam) * ms)
+            else:
+                mmr = rnd6(lam * rel)
+            if best is None or (-mmr, d) < (-best[2], best[0]):
+                best = (d, rel, mmr)
+        if best is None:
             break  # fewer candidates than k
-        row = top[0]
-        out_rows.append((step, row["d"], row["rel"], row["mmr"]))
-        picked_ids.append(row["d"])
+        out_rows.append((step, best[0], best[1], best[2]))
+        picked_ids.append(best[0])
     spark = candidates.sparkSession
     schema = T.StructType([
         T.StructField("step", T.LongType(), False),
@@ -656,8 +663,13 @@ def rocchio_rerank(tokens: DataFrame, query_terms: list[str],
     q = spark.createDataFrame([(t,) for t in sorted(set(query_terms))],
                               "qt string")
     first = bm25_topk(tokens, query_terms, top_k=fb_docs)
+    # eager checkpoint: the (doc, token, tf) table feeds tfidf (twice —
+    # feedback centroid and final scoring), df, and the candidate
+    # filter; without the cut each consumer replays the corpus-wide
+    # token agg (4 passes measured at sf0.1, r6)
     tf = (tokens.groupBy("doc_id", "token")
-          .agg(F.count(F.lit(1)).alias("tf")))
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=True))
     n_docs = tokens.select("doc_id").distinct() \
         .agg(F.count(F.lit(1)).alias("n"))
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))

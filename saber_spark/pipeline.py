@@ -65,9 +65,34 @@ def run_pipeline(
     if repartition is None:
         # enough tasks to keep every core busy with headroom for stragglers,
         # but never a large multiple of the actual input split count — tiny
-        # inputs would otherwise pay 3 stages of near-empty task overhead
+        # inputs would otherwise pay 3 stages of near-empty task overhead.
+        # The split count is estimated from the scan's file bytes /
+        # maxPartitionBytes (metadata only — the r5 rdd.getNumPartitions
+        # probe forced a full python-RDD conversion costing ~1.4s of the
+        # cold run); non-local storage falls back to the RDD probe.
         par = spark.sparkContext.defaultParallelism
-        n_input = pages.rdd.getNumPartitions()
+        n_input = None
+        try:
+            from urllib.parse import urlparse
+            files = pages.inputFiles()
+            if files and all(urlparse(f).scheme in ("file", "")
+                             for f in files):
+                raw = spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                     "128m")
+                import re as _re
+                m = _re.match(r"(\d+)([a-zA-Z]*)", str(raw))
+                mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+                        "m": 1 << 20, "mb": 1 << 20,
+                        "g": 1 << 30, "gb": 1 << 30}.get(
+                    m.group(2).lower(), 1) if m else 1
+                maxpb = int(m.group(1)) * mult if m else 128 << 20
+                total = sum(os.path.getsize(urlparse(f).path)
+                            for f in files)
+                n_input = max(1, -(-total // max(1, maxpb)))
+        except Exception:
+            n_input = None
+        if n_input is None:
+            n_input = pages.rdd.getNumPartitions()
         repartition = max(par, min(par * 3, n_input * 4))
     surface_bc = spark.sparkContext.broadcast(surface_map)
 
