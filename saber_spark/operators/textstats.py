@@ -153,21 +153,26 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
     words = F.split(F.trim(F.col(text_col)), " ")
 
     def grams(n: int):
-        # positions 1..len-n+1 (element_at is 1-based)
-        return F.when(
-            F.size(words) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.concat_ws(" ", *[
-                    F.element_at(words, i + j) for j in range(n)])),
-        ).otherwise(F.array().cast("array<string>"))
+        # n parallel length-guarded slices zipped into structs — no
+        # lambda anywhere, so the whole gram build stays out of the
+        # interpreted higher-order-function path (r6: the former
+        # per-position transform/concat_ws/element_at lambdas cost
+        # ~3s/branch at sf0.1; grouping on the struct instead of a
+        # concatenated string is exact because words split on a
+        # single-char separator and so contain no separator themselves)
+        ln = F.greatest(F.size(words) - (n - 1), F.lit(0))
+        return F.arrays_zip(*[F.slice(words, i + 1, ln) for i in range(n)])
 
+    # sum(len(word)) == len(trim(text)) - (n_words - 1) exactly: a
+    # single-char split yields n_words parts and n_words-1 separators
+    # (r6 — replaces the per-word interpreted aggregate with integer
+    # scan arithmetic)
     base = docs.select(
         F.col(id_col),
         F.size(words).alias("n_words"),
         F.round(
-            F.aggregate(words, F.lit(0).cast("long"),
-                        lambda acc, w: acc + F.length(w))
+            (F.length(F.trim(F.col(text_col)))
+             - (F.size(words) - F.lit(1))).cast("long")
             / F.greatest(F.size(words), F.lit(1)), 6).alias("mean_word_len"),
     )
     bi = (docs.select(F.col(id_col), F.explode(grams(2)).alias("g"))
