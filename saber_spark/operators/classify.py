@@ -494,13 +494,21 @@ def ct_lang_confusion(docs: DataFrame, text_col: str = "text",
     """
     from saber_spark.operators.splits import HASH_MOD, KNUTH
     s = F.lower(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1),
-                   F.greatest(F.length(s) - 2, F.lit(0))),
-        lambda i: s.substr(i, F.lit(3)))
+    # character trigrams via three zipped slices of the char array —
+    # the former per-position substr lambda ran on the interpreted HOF
+    # evaluator and re-sliced the document string once per position
+    # (r6); split('') yields the per-character array, so the zipped
+    # slices produce exactly substr(i, 3) for i = 1..len-2
+    chars = F.split(s, "")
+    _ln = F.greatest(F.size(chars) - 2, F.lit(0))
+    zipped = F.arrays_zip(F.slice(chars, 1, _ln).alias("c0"),
+                          F.slice(chars, 2, _ln).alias("c1"),
+                          F.slice(chars, 3, _ln).alias("c2"))
     base = (docs.select(F.col(id_col).alias("doc_id"),
                         F.col(lang_col).alias("lang"),
-                        F.explode(grams).alias("g"))
+                        F.explode(zipped).alias("gz"))
+            .select("doc_id", "lang",
+                    F.concat_ws("", "gz.c0", "gz.c1", "gz.c2").alias("g"))
             .withColumn("is_test",
                         F.pmod(F.pmod(F.col("doc_id").cast("long")
                                       * F.lit(KNUTH), F.lit(HASH_MOD)),

@@ -68,14 +68,17 @@ def doc_shingles(docs: DataFrame, text_col: str = "text",
     from saber_spark.kernels.text import INFIX_PATTERN
 
     arr = F.regexp_extract_all(F.col(text_col), F.lit(INFIX_PATTERN), F.lit(0))
-    idx = F.sequence(F.lit(0), F.size(F.col("arr")) - n)
-    shingles = F.when(
-        F.size(F.col("arr")) >= n,
-        F.transform(idx, lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("arr"), i + j + 1) for j in range(n)])),
-    ).otherwise(F.array().cast("array<string>"))
+    # n length-guarded slices zipped into structs, joined AFTER the
+    # explode inside codegen — no lambda, so the gram build stays off
+    # the interpreted higher-order-function path (r6; same strings as
+    # the former per-position transform/concat_ws/element_at form)
+    ln = F.greatest(F.size(F.col("arr")) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(F.col("arr"), j + 1, ln).alias(f"w{j}")
+                            for j in range(n)])
     return (docs.select(F.col(id_col), arr.alias("arr"))
-            .select(id_col, F.explode(shingles).alias("shingle"))
+            .select(id_col, F.explode(zipped).alias("g"))
+            .select(id_col, F.concat_ws(
+                " ", *[f"g.w{j}" for j in range(n)]).alias("shingle"))
             .distinct())
 
 

@@ -49,10 +49,11 @@ def doc_bigrams(docs: DataFrame, pattern: str,
     """
     arr = F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
     docs = docs.select(F.col(id_col), arr.alias("arr"))
-    pairs = F.zip_with(
-        F.slice(F.col("arr"), 1, F.greatest(F.size("arr") - 1, F.lit(0))),
-        F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
-        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")))
+    _ln = F.greatest(F.size("arr") - 1, F.lit(0))
+    # arrays_zip instead of a zip_with lambda: same structs, stays off
+    # the interpreted HOF path (r6)
+    pairs = F.arrays_zip(F.slice(F.col("arr"), 1, _ln).alias("w1"),
+                         F.slice(F.col("arr"), 2, _ln).alias("w2"))
     return (docs
             .filter(F.size("arr") >= 2)
             .select(id_col, F.explode(pairs).alias("bg"))
@@ -128,11 +129,12 @@ def doc_trigrams(docs: DataFrame, pattern: str,
     tokens emit no rows."""
     arr = F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
     d = docs.select(F.col(id_col), arr.alias("arr"))
-    idx = F.sequence(F.lit(1), F.size("arr") - 2)
-    tris = F.transform(idx, lambda i: F.struct(
-        F.element_at(F.col("arr"), i).alias("w1"),
-        F.element_at(F.col("arr"), i + 1).alias("w2"),
-        F.element_at(F.col("arr"), i + 2).alias("w3")))
+    # three length-guarded slices zipped into structs — no lambda, so
+    # the gram build stays off the interpreted HOF path (r6)
+    ln = F.greatest(F.size("arr") - 2, F.lit(0))
+    tris = F.arrays_zip(F.slice("arr", 1, ln).alias("w1"),
+                        F.slice("arr", 2, ln).alias("w2"),
+                        F.slice("arr", 3, ln).alias("w3"))
     return (d.filter(F.size("arr") >= 3)
             .select(id_col, F.explode(tris).alias("tg"))
             .select(id_col, F.col("tg.w1").alias("w1"),

@@ -782,21 +782,22 @@ def self_bleu(docs: DataFrame, pattern: str, max_n: int = 4,
             .select(id_col, "arr", F.size("arr").alias("n_tokens"))
             .filter(F.col("n_tokens") >= 1)
             .localCheckpoint(eager=True))
-    def _gram_fn(n):
-        # one-arg lambda on purpose: a two-arg lambda would be treated
-        # by F.transform as (element, index) and hijack n
-        return lambda i: F.array_join(F.slice(F.col("arr"), i, n), " ")
-
+    # n length-guarded slices zipped into structs, joined AFTER the
+    # explode inside codegen — no lambda, so the gram build stays off
+    # the interpreted HOF path (r6; same strings as the former
+    # per-position transform/array_join/slice form)
     gram_legs = []
     for n in range(1, max_n + 1):
-        grams = F.transform(
-            F.sequence(F.lit(1), F.greatest(
-                F.col("n_tokens") - F.lit(n - 1), F.lit(0))),
-            _gram_fn(n))
+        ln = F.greatest(F.col("n_tokens") - F.lit(n - 1), F.lit(0))
+        zipped = F.arrays_zip(*[
+            F.slice(F.col("arr"), j + 1, ln).alias(f"w{j}")
+            for j in range(n)])
         gram_legs.append(
             base.filter(F.col("n_tokens") >= n)
             .select(id_col, F.lit(n).alias("n"),
-                    F.explode(grams).alias("gram")))
+                    F.explode(zipped).alias("g"))
+            .select(id_col, "n", F.concat_ws(
+                " ", *[f"g.w{j}" for j in range(n)]).alias("gram")))
     gram_rows = gram_legs[0]
     for leg in gram_legs[1:]:
         gram_rows = gram_rows.unionByName(leg)
