@@ -31,6 +31,10 @@ from pyspark.sql import functions as F
 
 END = "</w>"
 
+#: distinct-word cap for wordpiece_encode's driver fast path — the
+#: same vocabulary bound the BPE trainer's word-freq collect rides
+DRIVER_WORD_CAP = 1_000_000
+
 
 def word_freqs(tokens: DataFrame, tok_col: str = "token") -> DataFrame:
     """(.., token) -> (word, freq): the trainer's sufficient statistics.
@@ -191,6 +195,48 @@ def wordpiece_encode(tokens: DataFrame, vocab: list[str],
             continue
         vrows.append((p, raw, len(raw), cont))
         max_piece = max(max_piece, len(raw))
+
+    # r6 fast path: the operator's input AND output are both
+    # vocabulary-bounded (distinct words, Heaps' law — the same bound
+    # the BPE trainer's word-freq collect rides), so up to the cap the
+    # whole greedy walk runs on the driver: one distinct+collect, the
+    # longest-match loop in Python (identical semantics — within a
+    # (word, pos) group the cont flag is fixed, so longest-match has
+    # no ties), and a literal result frame. Replaces a 25-round lazy
+    # pointer-chase plan (25 chained joins + periodic checkpoints)
+    # whose analysis/codegen alone dominated the runtime. Corpora with
+    # more distinct words than the cap keep the join path.
+    wrows = (tokens.select(F.col(tok_col).alias("word")).distinct()
+             .limit(DRIVER_WORD_CAP + 1).collect())
+    if len(wrows) <= DRIVER_WORD_CAP:
+        vmap = {(raw, cont): piece for piece, raw, _rl, cont in vrows}
+        out_rows: list[tuple] = []
+        for r in wrows:
+            w = r["word"]
+            pieces = None
+            if w is not None and 1 <= len(w) <= max_word_len:
+                pieces = []
+                pos = 0
+                while pos < len(w):
+                    hit = None
+                    for plen in range(min(max_piece, len(w) - pos),
+                                      0, -1):
+                        piece = vmap.get((w[pos:pos + plen], pos > 0))
+                        if piece is not None:
+                            hit = (plen, piece)
+                            break
+                    if hit is None:
+                        pieces = None
+                        break
+                    pieces.append(hit[1])
+                    pos += hit[0]
+            if pieces is None:
+                out_rows.append((w, 0, unk))
+            else:
+                out_rows.extend((w, i, p) for i, p in enumerate(pieces))
+        return spark.createDataFrame(
+            out_rows, "word string, idx int, piece string")
+
     vdf = spark.createDataFrame(
         vrows, "piece string, raw string, rlen int, cont boolean")
 

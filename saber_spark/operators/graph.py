@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+#: edge cap for the exact driver fast paths (connected_components,
+#: bowtie_structure, scan_clusters) — dimension-sized graphs only
+DRIVER_EDGE_CAP = 4096
+
+
 def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
             .unionByName(edges.select(F.col(dst).alias("a"),
@@ -92,9 +97,8 @@ def connected_components(edges: DataFrame, src: str = "src",
     # edges (same fast-path contract as ontology.transitive_closure);
     # the exact min-label components come back as a literal frame.
     # Corpus-scale graphs fall through to the iterative path untouched.
-    _DRIVER_EDGE_CAP = 4096
-    head = sym.limit(_DRIVER_EDGE_CAP + 1).collect()
-    if len(head) <= _DRIVER_EDGE_CAP:
+    head = sym.limit(DRIVER_EDGE_CAP + 1).collect()
+    if len(head) <= DRIVER_EDGE_CAP:
         parent: dict = {}
 
         def find(x):
@@ -1760,6 +1764,72 @@ def bowtie_structure(edges: DataFrame, src: str = "src", dst: str = "dst",
          .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
          .distinct()
          .localCheckpoint(eager=True))
+    # Driver fast path (r6): up to the connected_components edge cap
+    # the census — degree pivot, two depth-capped BFS, weak CC, class
+    # counts — is exact set arithmetic on a dimension-sized edge list;
+    # one bounded collect replaces 2 x max_depth lazy frontier rounds
+    # plus the CC fixpoint (pure scheduler overhead on a host graph).
+    # The 6dp share stays a Spark round over the literal counts.
+    # Larger graphs keep the distributed frontier path untouched.
+    head = e.limit(DRIVER_EDGE_CAP + 1).collect()
+    if len(head) <= DRIVER_EDGE_CAP:
+        adj: dict = {}
+        radj: dict = {}
+        und: dict = {}
+        degc: dict = {}
+        for r in head:
+            u, v = r["u"], r["v"]
+            adj.setdefault(u, set()).add(v)
+            radj.setdefault(v, set()).add(u)
+            und.setdefault(u, set()).add(v)
+            und.setdefault(v, set()).add(u)
+            degc[u] = degc.get(u, 0) + 1
+            degc[v] = degc.get(v, 0) + 1
+        all_nodes = set(und)
+        if not all_nodes:
+            spark = edges.sparkSession
+            return spark.createDataFrame(
+                [], "component string, n_hosts long, share double")
+        pivot_n = min(all_nodes, key=lambda x: (-degc.get(x, 0), x))
+
+        def bfs(start, nbrs, depth_cap):
+            seen = {start}
+            frontier = {start}
+            for _ in range(depth_cap):
+                nxt = set()
+                for x in frontier:
+                    nxt |= nbrs.get(x, set())
+                frontier = nxt - seen
+                if not frontier:
+                    break
+                seen |= frontier
+            return seen
+
+        fwd_set = bfs(pivot_n, adj, max_depth)
+        bwd_set = bfs(pivot_n, radj, max_depth)
+        weak = bfs(pivot_n, und, len(all_nodes))
+        counts: dict = {}
+        for x in all_nodes:
+            if x in fwd_set and x in bwd_set:
+                c = "CORE"
+            elif x in bwd_set:
+                c = "IN"
+            elif x in fwd_set:
+                c = "OUT"
+            elif x in weak:
+                c = "TENDRIL"
+            else:
+                c = "DISCONNECTED"
+            counts[c] = counts.get(c, 0) + 1
+        spark = edges.sparkSession
+        tot = len(all_nodes)
+        lit = spark.createDataFrame(
+            [(c, n, tot) for c, n in counts.items()],
+            "component string, n_hosts long, n_total long")
+        return lit.select(
+            "component", "n_hosts",
+            F.round(F.col("n_hosts") / F.col("n_total").cast("double"), 6)
+            .alias("share"))
     nodes = (e.select(F.col("u").alias("node"))
              .unionByName(e.select(F.col("v").alias("node")))
              .distinct()
@@ -1919,6 +1989,82 @@ def scan_clusters(edges: DataFrame, eps: float = 0.5, mu: int = 3,
     """
     sym = _symmetrize(edges, src, dst).filter(F.col("a") != F.col("b"))
     sym = sym.localCheckpoint(eager=True)
+    # Driver fast path (r6, same cap as connected_components): up to
+    # 4096 symmetrized edges the whole chain — per-edge sigma, core
+    # flags, core CC, border/hub/outlier — is exact set arithmetic plus
+    # one correctly-rounded float op per edge (n/sqrt(du*dv): Python
+    # and the JVM both evaluate the identical IEEE expression, and the
+    # 6dp rounding half-up quantizes the shortest round-trip decimal
+    # exactly like Spark's round). Replaces a wedge join, two CC
+    # fixpoints' worth of rounds and four checkpoints with one bounded
+    # collect. Larger graphs keep the distributed path untouched.
+    head = sym.limit(DRIVER_EDGE_CAP + 1).collect()
+    if len(head) <= DRIVER_EDGE_CAP:
+        import decimal
+        import math
+        q6 = decimal.Decimal("0.000001")
+
+        def rnd6(x: float) -> float:
+            return float(decimal.Decimal(repr(float(x))).quantize(
+                q6, rounding=decimal.ROUND_HALF_UP))
+
+        nbrs: dict = {}
+        for r in head:
+            nbrs.setdefault(r["a"], set()).add(r["b"])
+        closed = {x: s | {x} for x, s in nbrs.items()}
+        eps_nbrs: dict = {x: set() for x in closed}
+        for r in head:
+            u, v = r["a"], r["b"]
+            sg = rnd6(len(closed[u] & closed[v])
+                      / math.sqrt(float(len(closed[u]) * len(closed[v]))))
+            if sg >= eps:
+                eps_nbrs[u].add(v)
+        # a node needs >= 1 eps-edge to enter the core agg at all (the
+        # distributed groupBy sees no row for eps-isolated nodes)
+        cores = {x for x, s in eps_nbrs.items() if s and len(s) + 1 >= mu}
+        parent = {x: x for x in cores}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u in cores:
+            for v in eps_nbrs[u]:
+                if v in cores:
+                    ru, rv = find(u), find(v)
+                    if ru != rv:
+                        parent[ru] = rv
+        comp_min: dict = {}
+        for x in cores:
+            r0 = find(x)
+            if r0 not in comp_min or x < comp_min[r0]:
+                comp_min[r0] = x
+        cluster = {x: comp_min[find(x)] for x in cores}
+        border: dict = {}
+        for u in cores:
+            for v in eps_nbrs[u]:
+                if v not in cores:
+                    c = cluster[u]
+                    if v not in border or c < border[v]:
+                        border[v] = c
+        rows = [(x, "core", cluster[x]) for x in cores]
+        rows += [(x, "border", c) for x, c in border.items()]
+        clustered_set = set(cores) | set(border)
+        for x in closed:
+            if x in clustered_set:
+                continue
+            ncl = {cluster[b] if b in cores else border[b]
+                   for b in nbrs.get(x, set()) if b in clustered_set}
+            rows.append((x, "hub" if len(ncl) >= 2 else "outlier", None))
+        from pyspark.sql import types as T
+        node_type = sym.schema.fields[0].dataType
+        spark = edges.sparkSession
+        return spark.createDataFrame(rows, T.StructType([
+            T.StructField("node", node_type, True),
+            T.StructField("role", T.StringType(), False),
+            T.StructField("cluster", node_type, True)]))
     # closed adjacency: every node is its own neighbor
     nodes = sym.select(F.col("a").alias("node")).distinct()
     closed = sym.unionByName(

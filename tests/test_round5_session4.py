@@ -195,6 +195,21 @@ class TestBowtieStructure:
         assert sum(r.share for r in out) == pytest.approx(1.0, abs=1e-5)
         assert sum(r.n_hosts for r in out) == 6
 
+    def test_driver_fast_path_matches_distributed(self, spark,
+                                                  monkeypatch):
+        # r6: the exact driver census must agree with the frontier-BFS
+        # path row for row; cap=0 forces the distributed branch
+        from saber_spark.operators import graph
+        pairs = [("a", "b"), ("b", "a"), ("in1", "a"), ("a", "out1"),
+                 ("in1", "t1"), ("d1", "d2"), ("out1", "o2"),
+                 ("i0", "in1")]
+        fast = sorted(map(tuple, graph.bowtie_structure(
+            self._edges(spark, pairs)).collect()))
+        monkeypatch.setattr(graph, "DRIVER_EDGE_CAP", 0)
+        slow = sorted(map(tuple, graph.bowtie_structure(
+            self._edges(spark, pairs)).collect()))
+        assert fast == slow and len(fast) >= 4
+
     def test_depth_cap_demotes_far_nodes(self, spark):
         from saber_spark.operators.graph import bowtie_structure
         # chain core -> x1 -> x2 -> x3; with max_depth=2 only x1, x2
@@ -289,6 +304,20 @@ class TestScanClusters:
         a_cl = {out[f"a{i}"].cluster for i in range(5)}
         b_cl = {out[f"b{i}"].cluster for i in range(5)}
         assert len(a_cl) == 1 and len(b_cl) == 1 and a_cl != b_cl
+
+    def test_driver_fast_path_matches_distributed(self, spark,
+                                                  monkeypatch):
+        # r6: exact driver chain vs the wedge-join path; cap=0 forces
+        # the distributed branch (graph with cores/border/hub/outlier)
+        from saber_spark.operators import graph
+        pairs = self._two_cliques() + [
+            ("h", "a0"), ("h", "b0"), ("p", "a1"), ("z1", "z2")]
+        fast = sorted(map(tuple, graph.scan_clusters(
+            self._edges(spark, pairs), eps=0.5, mu=3).collect()))
+        monkeypatch.setattr(graph, "DRIVER_EDGE_CAP", 0)
+        slow = sorted(map(tuple, graph.scan_clusters(
+            self._edges(spark, pairs), eps=0.5, mu=3).collect()))
+        assert fast == slow and len(fast) >= 12
 
     def test_hub_bridges_two_clusters(self, spark):
         from saber_spark.operators.graph import scan_clusters
@@ -463,6 +492,21 @@ class TestWordpieceEncode:
                  "##y", "##r", "##e", "##a", "##m"]
         res = self._encode(spark, ["dreamy"], vocab)
         assert res["dreamy"] == ["dream", "##y"]
+
+    def test_driver_fast_path_matches_join_path(self, spark,
+                                                monkeypatch):
+        # r6: the driver greedy walk vs the pointer-chase join plan;
+        # cap=0 forces the join path
+        from saber_spark.operators import bpe
+        vocab = ["dream", "d", "r", "e", "a", "m", "y", "da", "ta",
+                 "##y", "##r", "##e", "##a", "##m", "##ta", "##tab"]
+        words = ["dreamy", "datatable", "dada", "q" * 30, "m"]
+        fast = sorted(map(tuple, bpe.wordpiece_encode(
+            self._toks(spark, words), vocab).collect()))
+        monkeypatch.setattr(bpe, "DRIVER_WORD_CAP", 0)
+        slow = sorted(map(tuple, bpe.wordpiece_encode(
+            self._toks(spark, words), vocab).collect()))
+        assert fast == slow and len(fast) >= 6
 
     def test_greedy_no_backtracking_unks(self, spark):
         # greedy takes ##tab (longer), gets stuck, whole word -> [UNK]
