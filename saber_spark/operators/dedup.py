@@ -161,20 +161,26 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
     h_i(x) = (a_i * x + b_i) mod P over the doc's distinct SHINGLE ids —
     arithmetic-only, so the identical formula runs under any SQL engine.
+
+    Execution shape (r6): all k permutation mins are computed as k
+    aggregate COLUMNS of one doc-keyed pass (the seeds are literals
+    folded into each column) and unpivoted afterwards — the former
+    k-way crossJoin row expansion shuffled k times the shingle rows to
+    compute the same k mins (guide §2.3 aggregate-before-shuffle).
     """
-    spark = docs.sparkSession
-    seeds = spark.createDataFrame(MINHASH_SEEDS, "seed_id int, a long, b long")
     doc_sh = _doc_shingle_ids(docs, text_col, id_col, portable_ids, shingles)
-    return (
-        doc_sh.crossJoin(F.broadcast(seeds))
-        .select(
-            id_col, "seed_id",
-            F.pmod(F.col("a") * F.col("shingle_id") + F.col("b"),
-                   F.lit(MINHASH_PRIME)).alias("h"),
-        )
-        .groupBy(id_col, "seed_id")
-        .agg(F.min("h").alias("minhash"))
-    )
+    mins = doc_sh.groupBy(id_col).agg(*[
+        F.min(F.pmod(F.lit(a).cast("long") * F.col("shingle_id")
+                     + F.lit(b).cast("long"),
+                     F.lit(MINHASH_PRIME).cast("long"))).alias(f"_m{sid}")
+        for sid, a, b in MINHASH_SEEDS])
+    stack = ", ".join(f"{int(sid)}, _m{sid}" for sid, _a, _b in MINHASH_SEEDS)
+    return mins.select(
+        F.col(id_col),
+        F.expr(f"stack({len(MINHASH_SEEDS)}, {stack}) "
+               "as (seed_id, minhash)")
+    ).select(id_col, F.col("seed_id").cast("int").alias("seed_id"),
+             "minhash")
 
 
 def band_buckets(docs: DataFrame, text_col: str = "text",
