@@ -138,6 +138,38 @@ def type_rollup(facts: DataFrame, hierarchy: DataFrame,
                     F.col("n_types").cast("long").alias("n_types")))
 
 
+#: schema-row cap for the entailment driver fast paths
+DRIVER_SCHEMA_CAP = 4096
+
+
+def _driver_closure(pairs: list, max_depth: int) -> dict:
+    """{node: ancestor set (excl self)} with the exact reach cap of
+    transitive_closure's path-doubling (2^ceil(log2(max_depth)) hops),
+    so driver and distributed closures agree even on deep chains."""
+    from collections import defaultdict
+    adj: dict = defaultdict(set)
+    for c, p in pairs:
+        if c != p:
+            adj[c].add(p)
+    rounds = max(1, (max_depth - 1).bit_length())
+    reach_cap = 1 << rounds
+    out: dict = {}
+    for start in adj:
+        seen = {start}
+        frontier = [start]
+        for _ in range(reach_cap):
+            nxt = [q for n in frontier for q in adj.get(n, ())
+                   if q not in seen]
+            if not nxt:
+                break
+            seen.update(nxt)
+            frontier = nxt
+        res = seen - {start}
+        if res:
+            out[start] = res
+    return out
+
+
 def rdfs_entail(triples: DataFrame, domains: DataFrame, ranges: DataFrame,
                 subclass: DataFrame, subj_col: str = "subj",
                 pred_col: str = "pred", obj_col: str = "obj",
@@ -162,8 +194,51 @@ def rdfs_entail(triples: DataFrame, domains: DataFrame, ranges: DataFrame,
     SET; conflicting types from dirty data — e.g. a self-loop subject
     typed as both Customer and Order — surface as two rows and feed the
     domain_range_audit QA stage downstream).
+
+    Execution (r6): when all three schema tables fit the driver cap
+    (they are schema-sized by contract), the full rule set folds into
+    ONE per-pred constant emission array — for each predicate, the
+    (slot, class) pairs rdfs2/rdfs3 assert plus every rdfs9 ancestor —
+    and the store is scanned ONCE (explode + distinct). The former
+    join form referenced the store twice and its own union twice,
+    re-deriving the store up to 4x in one job. Oversized schemas keep
+    the broadcast-join path.
     """
     t = triples.select(subj_col, pred_col, obj_col)
+    _cap = DRIVER_SCHEMA_CAP
+    d_rows = domains.select("pred", "cls").limit(_cap + 1).collect()
+    r_rows = ranges.select("pred", "cls").limit(_cap + 1).collect()
+    s_rows = subclass.select("child", "parent").limit(_cap + 1).collect()
+    if max(len(d_rows), len(r_rows), len(s_rows)) <= _cap:
+        anc = _driver_closure(
+            [(r["child"], r["parent"]) for r in s_rows], max_depth)
+        emit: dict = {}
+        for rows, slot in ((d_rows, 0), (r_rows, 1)):
+            for r in rows:
+                lst = emit.setdefault(r["pred"], [])
+                lst.append((slot, r["cls"]))
+                lst.extend((slot, a) for a in sorted(anc.get(r["cls"],
+                                                             ())))
+        if not emit:
+            spark = triples.sparkSession
+            etype = t.schema[subj_col].dataType
+            from pyspark.sql import types as T
+            return spark.createDataFrame([], T.StructType([
+                T.StructField("entity", etype, True),
+                T.StructField("type",
+                              domains.schema["cls"].dataType, True)]))
+        expr = None
+        for p, lst in emit.items():
+            arr = F.array(*[F.struct(F.lit(s).alias("s"),
+                                     F.lit(c).alias("c"))
+                            for s, c in lst])
+            expr = (F.when(F.col(pred_col) == p, arr) if expr is None
+                    else expr.when(F.col(pred_col) == p, arr))
+        return (t.select(subj_col, obj_col, F.explode(expr).alias("e"))
+                .select(F.when(F.col("e.s") == 0, F.col(subj_col))
+                        .otherwise(F.col(obj_col)).alias("entity"),
+                        F.col("e.c").alias("type"))
+                .distinct())
     base = (t.join(F.broadcast(domains.select(
                 F.col("pred").alias(pred_col), F.col("cls"))), pred_col)
             .select(F.col(subj_col).alias("entity"), F.col("cls"))
@@ -282,8 +357,57 @@ def subprop_entail(triples: DataFrame, subprops: DataFrame,
 
     -> (subj, pred, obj) DISTINCT: the entailed store, ready for
     bgp_match / shacl_validate / domain_range_audit downstream.
+
+    Execution (r6): when the property schema fits the driver cap, the
+    whole subproperty -> inverse -> subproperty alternation folds into
+    ONE per-pred constant emission array — for each store predicate,
+    the forward predicates {p} ∪ anc(p) plus, for every invertible q
+    in that set, the swapped predicates {inv(q)} ∪ anc(inv(q)) — and
+    the store is scanned ONCE (explode + swap-by-flag + distinct); the
+    former join form re-derived the store up to 4x in one job.
+    Predicates outside the schema emit themselves (the e1 identity
+    leg). Oversized schemas keep the broadcast-join path.
     """
     t = triples.select(subj_col, pred_col, obj_col)
+    _cap = DRIVER_SCHEMA_CAP
+    sp_rows = subprops.select("child", "parent").limit(_cap + 1).collect()
+    inv_rows = ([] if inverses is None else
+                inverses.select("pred", "inverse")
+                .limit(_cap + 1).collect())
+    if max(len(sp_rows), len(inv_rows)) <= _cap:
+        anc = _driver_closure(
+            [(r["child"], r["parent"]) for r in sp_rows], max_depth)
+        inv_map: dict = {}
+        for r in inv_rows:
+            inv_map.setdefault(r["pred"], []).append(r["inverse"])
+        preds = (set(anc) | {a for s in anc.values() for a in s}
+                 | set(inv_map))
+        emit: dict = {}
+        for p in preds:
+            fwd = [p] + sorted(anc.get(p, ()))
+            bwd = []
+            for q in fwd:
+                for iv in inv_map.get(q, []):
+                    bwd.append(iv)
+                    bwd.extend(sorted(anc.get(iv, ())))
+            emit[p] = ([(0, x) for x in fwd] + [(1, y) for y in bwd])
+        expr = None
+        for p, lst in emit.items():
+            arr = F.array(*[F.struct(F.lit(s).alias("s"),
+                                     F.lit(c).alias("c"))
+                            for s, c in lst])
+            expr = (F.when(F.col(pred_col) == p, arr) if expr is None
+                    else expr.when(F.col(pred_col) == p, arr))
+        ident = F.array(F.struct(F.lit(0).alias("s"),
+                                 F.col(pred_col).alias("c")))
+        expr = ident if expr is None else F.coalesce(expr, ident)
+        return (t.select(subj_col, obj_col, F.explode(expr).alias("e"))
+                .select(F.when(F.col("e.s") == 0, F.col(subj_col))
+                        .otherwise(F.col(obj_col)).alias(subj_col),
+                        F.col("e.c").alias(pred_col),
+                        F.when(F.col("e.s") == 0, F.col(obj_col))
+                        .otherwise(F.col(subj_col)).alias(obj_col))
+                .distinct())
     closure = transitive_closure(subprops, "child", "parent", max_depth)
     anc = F.broadcast(closure.select(F.col("child").alias(pred_col),
                                      F.col("ancestor")))

@@ -213,6 +213,41 @@ class TestRdfsEntail:
                                   "subj string, pred string, obj string")
         assert rdfs_entail(t, *self._schema(spark)).count() == 0
 
+    def test_driver_fast_path_matches_join_path(self, spark,
+                                                monkeypatch):
+        # r6: one-scan emission-array path vs broadcast-join path;
+        # cap=0 forces the join branch
+        from saber_spark.operators import ontology
+        t = spark.createDataFrame(
+            [("s", "p", "o"), ("x", "p", "s"), ("s", "unknown", "o")],
+            "subj string, pred string, obj string")
+        fast = sorted(map(tuple, ontology.rdfs_entail(
+            t, *self._schema(spark)).collect()))
+        monkeypatch.setattr(ontology, "DRIVER_SCHEMA_CAP", 0)
+        slow = sorted(map(tuple, ontology.rdfs_entail(
+            t, *self._schema(spark)).collect()))
+        assert fast == slow and len(fast) >= 6
+
+    def test_subprop_fast_path_matches_join_path(self, spark,
+                                                 monkeypatch):
+        from saber_spark.operators import ontology
+        t = spark.createDataFrame(
+            [("s", "placed", "o"), ("o", "contains", "q"),
+             ("a", "weird", "b")],
+            "subj string, pred string, obj string")
+        subprops = spark.createDataFrame(
+            [("placed", "commercial"), ("commercial", "related")],
+            "child string, parent string")
+        inverses = spark.createDataFrame(
+            [("placed", "placed_by"), ("commercial", "has_part_of")],
+            "pred string, inverse string")
+        fast = sorted(map(tuple, ontology.subprop_entail(
+            t, subprops, inverses).collect()))
+        monkeypatch.setattr(ontology, "DRIVER_SCHEMA_CAP", 0)
+        slow = sorted(map(tuple, ontology.subprop_entail(
+            t, subprops, inverses).collect()))
+        assert fast == slow and len(fast) == 7
+
 
 class TestOptionalBgp:
     def test_unbound_optional_yields_null(self, spark):
