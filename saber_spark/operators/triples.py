@@ -308,13 +308,16 @@ def typed_triples(tagged_tokens: DataFrame, k: int = 10,
                          F.col("p.obj").alias("obj"))
                 .agg(F.count(F.lit(1)).alias("n_pairs"),
                      F.countDistinct(id_col).alias("n_docs")))
-    arr = F.col("arr")
+    # hoist the stopword test out of the per-pair loop: one pass over
+    # the doc array instead of one per (pair x token) — the literal
+    # array_contains scan was the inner-loop hot spot (r6)
+    arrns = F.filter(F.col("arr"),
+                     lambda t: ~F.array_contains(stop, t["token"]))
     trip_toks = F.flatten(F.transform(
         F.col("pairs"),
         lambda p: F.transform(
-            F.filter(arr, lambda t: (t["pos"] > p["p1"])
-                     & (t["pos"] < p["p2"])
-                     & ~F.array_contains(stop, t["token"])),
+            F.filter(arrns, lambda t: (t["pos"] > p["p1"])
+                     & (t["pos"] < p["p2"])),
             lambda t: F.struct(p["subj"].alias("subj"),
                                p["obj"].alias("obj"),
                                t["token"].alias("ptok")))))
@@ -1056,15 +1059,42 @@ def construct(triples: DataFrame, patterns, templates, optionals=(),
     if used:
         b = b.select(*used).distinct()
 
+    # The final set-semantics distinct is provably redundant — and
+    # skipped — when (a) every template references ALL deduplicated
+    # variables (each template is then an injective map of the distinct
+    # tuples: one output row per tuple), and (b) templates are pairwise
+    # disjoint because some slot holds two DIFFERENT constants (e.g.
+    # distinct predicate names). Dropping it removes a full-width
+    # shuffle of the instantiated graph (9M rows at sf0.1 for the
+    # bought_from/sold_to pair). Any template shape outside that proof
+    # keeps the distinct.
+    def _tvars(t3):
+        return {x[1:] for x in t3
+                if isinstance(x, str) and x.startswith("?")}
+
+    injective = bool(used) and all(_tvars(t3) == set(used)
+                                   for t3 in templates)
+    def _disjoint(t1, t2):
+        return any(not (isinstance(a, str) and a.startswith("?"))
+                   and not (isinstance(c, str) and c.startswith("?"))
+                   and a != c
+                   for a, c in zip(t1, t2))
+
+    pairwise_disjoint = all(
+        _disjoint(templates[i], templates[j])
+        for i in range(len(templates))
+        for j in range(i + 1, len(templates)))
+    skip_distinct = injective and pairwise_disjoint
+
     out = None
     for s, p, o in templates:
         g = b.select(term(s).alias("subj"), term(p).alias("pred"),
                      term(o).alias("obj"))
         out = g if out is None else out.unionByName(g)
-    return (out.filter(F.col("subj").isNotNull()
-                       & F.col("pred").isNotNull()
-                       & F.col("obj").isNotNull())
-            .distinct())
+    out = out.filter(F.col("subj").isNotNull()
+                     & F.col("pred").isNotNull()
+                     & F.col("obj").isNotNull())
+    return out if skip_distinct else out.distinct()
 
 
 def property_path(triples: DataFrame, path, subj_col: str = "subj",

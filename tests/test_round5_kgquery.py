@@ -358,6 +358,22 @@ class TestConstruct:
                        ("c1", "bought_from", "s2"),
                        ("s1", "sold_to", "c1"), ("s2", "sold_to", "c1")}
 
+    def test_construct_dedups_when_templates_overlap(self, spark):
+        # r6 distinct-skip guard: identical templates (not pairwise
+        # disjoint) and a var-subset template (not injective) must both
+        # keep set semantics
+        from saber_spark.operators.triples import construct
+        t = self._kg(spark, [
+            ("c1", "placed", "o1"), ("c1", "placed", "o2")])
+        dup = construct(t, [("?c", "placed", "?o")],
+                        [("?c", "is", "buyer"), ("?c", "is", "buyer")])
+        assert [tuple(r) for r in dup.collect()] == [("c1", "is", "buyer")]
+        sub = construct(t, [("?c", "placed", "?o")],
+                        [("?c", "is", "buyer"), ("?c", "saw", "?o")])
+        rows = sorted(map(tuple, sub.collect()))
+        assert rows == [("c1", "is", "buyer"),
+                        ("c1", "saw", "o1"), ("c1", "saw", "o2")]
+
     def test_construct_drops_null_optional_slots(self, spark):
         from saber_spark.operators.triples import construct
         t = self._kg(spark, [
