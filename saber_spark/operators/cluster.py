@@ -55,6 +55,59 @@ def kmeans_assign(embeddings: DataFrame, k: int = 4, iterations: int = 3,
     """
     q = F.transform(F.col(vec_col),
                     lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+    # Driver fast path (r6): the whole Lloyd's loop is EXACT integer
+    # arithmetic (quantized vectors, integer squared distances,
+    # round-half-away integer centroid means), so when the quantized
+    # table fits the session broadcast threshold — the same budget the
+    # loop's per-round broadcast-literal centroids assume the table is
+    # small against — one bounded collect runs all iterations in numpy
+    # and returns the assignment as a literal frame: identical rows
+    # (argmin takes the first minimal index in both), zero per-round
+    # jobs (the former loop paid 2 jobs x iterations). Larger tables
+    # keep the distributed loop.
+    spark = embeddings.sparkSession
+    _first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    _dim = int(_first["d"]) if _first and _first["d"] is not None else 0
+    if _dim > 0:
+        from saber_spark.operators.kge import _broadcast_threshold_bytes
+        cap_rows = max(k, _broadcast_threshold_bytes(spark) // (_dim * 8))
+        rows = (embeddings.select(F.col(id_col), q.alias("qv"))
+                .limit(cap_rows + 1).collect())
+        if len(rows) <= cap_rows:
+            if len(rows) < k:
+                raise ValueError(f"kmeans_assign: need >= {k} vectors, "
+                                 f"got {len(rows)}")
+            import numpy as np
+            ids = [r[0] for r in rows]
+            V = np.asarray([list(r["qv"]) for r in rows],
+                           dtype=np.int64)
+            order = sorted(range(len(ids)), key=lambda i: ids[i])
+            C = V[order[:k]].copy()
+            cl = d2 = None
+            for it in range(iterations + 1):
+                D = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                cl = D.argmin(axis=1)
+                d2 = D.min(axis=1)
+                if it == iterations:
+                    break
+                for j in range(k):
+                    m = cl == j
+                    nj = int(m.sum())
+                    if nj == 0:
+                        continue  # empty cluster keeps its centroid
+                    s = V[m].sum(axis=0)
+                    C[j] = np.where(
+                        s >= 0, (2 * s + nj) // (2 * nj),
+                        -((-2 * s + nj) // (2 * nj)))
+            from pyspark.sql import types as T
+            id_type = embeddings.schema[id_col].dataType
+            return spark.createDataFrame(
+                [(ids[i], int(cl[i]), int(d2[i]))
+                 for i in range(len(ids))],
+                T.StructType([
+                    T.StructField(id_col, id_type, True),
+                    T.StructField("cluster", T.LongType(), False),
+                    T.StructField("dist2", T.LongType(), False)]))
     base = (embeddings.select(F.col(id_col), q.alias("qv"))
             .localCheckpoint(eager=True))
 

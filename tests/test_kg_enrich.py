@@ -399,6 +399,24 @@ class TestKMeans:
         r2 = sorted(map(tuple, kmeans_assign(df, k=3, iterations=2).collect()))
         assert r1 == r2
 
+    def test_driver_fast_path_matches_distributed(self, spark):
+        # r6: exact-integer Lloyd's on the driver vs the per-round job
+        # loop; disabling auto-broadcast forces the distributed branch
+        from saber_spark.operators.cluster import kmeans_assign
+        rows = [(i, [float((i * 11) % 7), float((i * 5) % 6),
+                     float(i % 4)]) for i in range(40)]
+        df = self._emb(spark, rows)
+        fast = sorted(map(tuple, kmeans_assign(df, k=3,
+                                               iterations=3).collect()))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            slow = sorted(map(tuple, kmeans_assign(
+                df, k=3, iterations=3).collect()))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert fast == slow and len(fast) == 40
+
     def test_dist2_is_exact_integer(self, spark):
         from saber_spark.operators.cluster import kmeans_assign
         rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
