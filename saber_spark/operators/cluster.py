@@ -461,6 +461,41 @@ def kcenter_seeds(embeddings: DataFrame, k: int = 4,
     q = F.transform(F.col(vec_col),
                     lambda x: F.round(x.cast("double") * QUANT)
                     .cast("long"))
+    # Driver fast path (r6, same guard and exactness argument as
+    # kmeans_assign): the traversal is all exact integers — when the
+    # quantized table fits the broadcast threshold the k-1 argmax
+    # rounds run over one bounded collect in numpy instead of k-1
+    # scan+TakeOrdered jobs; ties resolve to the smallest id on both
+    # paths. Larger tables keep the distributed loop.
+    spark = embeddings.sparkSession
+    _first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    _dim = int(_first["d"]) if _first and _first["d"] is not None else 0
+    if _dim > 0:
+        from saber_spark.operators.kge import _broadcast_threshold_bytes
+        cap_rows = max(k, _broadcast_threshold_bytes(spark) // (_dim * 8))
+        rows = (embeddings.select(F.col(id_col), q.alias("qv"))
+                .limit(cap_rows + 1).collect())
+        if len(rows) <= cap_rows:
+            if len(rows) < k:
+                raise ValueError(
+                    f"kcenter_seeds: need >= {k} vectors, "
+                    f"got {len(rows)}")
+            import numpy as np
+            ids = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
+            V = np.asarray([list(r["qv"]) for r in rows],
+                           dtype=np.int64)
+            start = int(ids.argmin())
+            chosen_rows = [(0, int(ids[start]), 0)]
+            mind = ((V - V[start]) ** 2).sum(axis=1)
+            for rank in range(1, k):
+                # argmax of mind, ties -> smallest id
+                best = np.lexsort((ids, -mind))[0]
+                chosen_rows.append((rank, int(ids[best]),
+                                    int(mind[best])))
+                np.minimum(mind, ((V - V[best]) ** 2).sum(axis=1),
+                           out=mind)
+            return spark.createDataFrame(
+                chosen_rows, "seed_rank long, vec_id long, d2 long")
     base = (embeddings.select(F.col(id_col), q.alias("qv"))
             .localCheckpoint(eager=True))
     n = base.count()

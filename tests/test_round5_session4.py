@@ -374,6 +374,22 @@ class TestKcenterSeeds:
                .orderBy("seed_rank").collect()]
         assert out == [(0, 0, 0), (1, 2, 100000000), (2, 1, 1000000)]
 
+    def test_driver_fast_path_matches_distributed(self, spark):
+        # r6: numpy traversal vs the per-round argmax jobs; disabling
+        # auto-broadcast forces the distributed branch
+        from saber_spark.operators.cluster import kcenter_seeds
+        rows = [(i, [float((i * 7) % 13), float((i * 3) % 11)])
+                for i in range(24)]
+        df = self._emb(spark, rows)
+        fast = sorted(map(tuple, kcenter_seeds(df, k=5).collect()))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            slow = sorted(map(tuple, kcenter_seeds(df, k=5).collect()))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert fast == slow and len(fast) == 5
+
     def test_coverage_radius_nonincreasing(self, spark):
         from saber_spark.operators.cluster import kcenter_seeds
         rows = [(i, [float((i * 7) % 13), float((i * 3) % 11)])
