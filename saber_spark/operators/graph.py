@@ -1073,6 +1073,44 @@ def sssp_weighted(edges: DataFrame, seeds: DataFrame,
         raise ValueError("sssp_weighted: weights must be non-negative "
                          "integers (NULL or negative cost found)")
     e = e.groupBy("u", "v").agg(F.min("w").alias("w"))
+    # Driver fast path (r6, DRIVER_EDGE_CAP guard): Bellman-Ford over
+    # integer min/+ arithmetic is exact, so on a dimension-sized edge
+    # list the whole relaxation loop runs on the driver over one
+    # bounded collect — zero per-round join+agg+checkpoint jobs — with
+    # the same first-no-change-round convergence and the same
+    # RuntimeError past max_rounds. Larger graphs keep the loop.
+    _head = e.limit(DRIVER_EDGE_CAP + 1).collect()
+    if len(_head) <= DRIVER_EDGE_CAP:
+        seed_rows = (seeds.select(F.col(seed_col).alias("node"))
+                     .distinct().limit(DRIVER_EDGE_CAP + 1).collect())
+        if len(seed_rows) <= DRIVER_EDGE_CAP:
+            elist = [(r["u"], r["v"], int(r["w"])) for r in _head]
+            # the distributed rounds carry distances forward via
+            # zero-cost self-edges of GRAPH nodes only, so a seed
+            # absent from the graph drops out after round 1 — mirror
+            # that by rebuilding from graph nodes each round
+            gnodes = ({u for u, _v, _w in elist}
+                      | {v for _u, v, _w in elist})
+            dist = {r["node"]: 0 for r in seed_rows}
+            for _ in range(max_rounds):
+                new = {n: dist[n] for n in gnodes if n in dist}
+                for u, v, w in elist:
+                    du = dist.get(u)
+                    if du is not None:
+                        nd = du + w
+                        if v not in new or nd < new[v]:
+                            new[v] = nd
+                if new == dist:
+                    spark = edges.sparkSession
+                    node_type = e.schema.fields[0].dataType
+                    return spark.createDataFrame(
+                        list(dist.items()), T.StructType([
+                            T.StructField("node", node_type, True),
+                            T.StructField("dist", T.LongType(), True)]))
+                dist = new
+            raise RuntimeError(
+                f"sssp_weighted: did not converge within {max_rounds} "
+                "rounds; raise max_rounds")
     nodes = (e.select(F.col("u").alias("node"))
              .unionByName(e.select(F.col("v").alias("node"))).distinct())
     # closed neighborhood: zero-cost self-edges mean each round is ONE

@@ -417,6 +417,24 @@ class TestSsspWeighted:
         got = {r.node: r.dist for r in sssp_weighted(df, seeds).collect()}
         assert got == {"a": 0, "b": 1, "c": 2, "z": 3}
 
+    def test_driver_fast_path_matches_distributed(self, spark,
+                                                  monkeypatch):
+        # r6: driver Bellman-Ford vs the per-round join loop; cap=0
+        # forces the distributed branch (includes an isolated seed,
+        # which both paths must drop)
+        from saber_spark.operators import graph
+        df = spark.createDataFrame(
+            [("a", "z", 10), ("a", "b", 1), ("b", "c", 1), ("c", "z", 1),
+             ("z", "a", 2)],
+            "src string, dst string, cost int")
+        seeds = spark.createDataFrame([("a",), ("ghost",)], "node string")
+        fast = sorted(map(tuple,
+                          graph.sssp_weighted(df, seeds).collect()))
+        monkeypatch.setattr(graph, "DRIVER_EDGE_CAP", 0)
+        slow = sorted(map(tuple,
+                          graph.sssp_weighted(df, seeds).collect()))
+        assert fast == slow and len(fast) == 4
+
     def test_negative_weight_rejected(self, spark):
         import pytest as _pytest
 
