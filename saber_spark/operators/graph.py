@@ -964,6 +964,35 @@ def ktruss_edges(edges: DataFrame, k: int = 3, max_rounds: int = 30,
           .filter(F.col("a") != F.col("b"))
           .distinct()
           .localCheckpoint(eager=True))
+    # Driver fast path (r6, DRIVER_EDGE_CAP): support counting and
+    # peeling are exact set arithmetic — on a dimension-sized edge set
+    # the whole fixpoint runs over one bounded collect (support =
+    # |N(a) ∩ N(b)|, remove-until-stable) with the same
+    # first-no-removal convergence and RuntimeError past max_rounds,
+    # instead of per-round wedge-join + agg + checkpoint jobs.
+    _head = es.limit(DRIVER_EDGE_CAP + 1).collect()
+    if len(_head) <= DRIVER_EDGE_CAP:
+        cur = {(r["a"], r["b"]) for r in _head}
+        for _ in range(max_rounds):
+            nbrs: dict = {}
+            for a, b in cur:
+                nbrs.setdefault(a, set()).add(b)
+                nbrs.setdefault(b, set()).add(a)
+            sup = {(a, b): len(nbrs[a] & nbrs[b]) for a, b in cur}
+            nxt = {e2 for e2, s in sup.items() if s >= k - 2}
+            if len(nxt) == len(cur):
+                spark = edges.sparkSession
+                node_type = es.schema.fields[0].dataType
+                return spark.createDataFrame(
+                    [(a, b, sup[(a, b)]) for a, b in cur],
+                    T.StructType([
+                        T.StructField("a", node_type, True),
+                        T.StructField("b", node_type, True),
+                        T.StructField("support", T.LongType(), True)]))
+            cur = nxt
+        raise RuntimeError(
+            f"ktruss_edges: did not converge within {max_rounds} "
+            f"rounds (k={k}); raise max_rounds")
     n_cur = es.count()
     for _ in range(max_rounds):
         sup = _edge_supports(es)

@@ -301,6 +301,21 @@ class TestKtruss:
                    for r in ktruss_edges(df, k=k).collect()}
             assert got == _ktruss_brute(edges, k)
 
+    def test_driver_fast_path_matches_distributed(self, spark,
+                                                  monkeypatch):
+        # r6: driver peel vs the per-round wedge-join loop; cap=0
+        # forces the distributed branch
+        from saber_spark.operators import graph
+        rng = random.Random(33)
+        nodes = [f"n{i}" for i in range(12)]
+        edges = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                        for _ in range(34)})
+        df = spark.createDataFrame(edges, "src string, dst string")
+        fast = sorted(map(tuple, graph.ktruss_edges(df, k=3).collect()))
+        monkeypatch.setattr(graph, "DRIVER_EDGE_CAP", 0)
+        slow = sorted(map(tuple, graph.ktruss_edges(df, k=3).collect()))
+        assert fast == slow and len(fast) >= 3
+
     def test_strip_cascade(self, spark):
         """Chords of a triangle strip peel first; the stranded path edges
         peel in the NEXT round — the multi-round dependency a one-shot
