@@ -705,6 +705,33 @@ def kcore_nodes(edges: DataFrame, k: int = 2, max_rounds: int = 30,
     sym = (_symmetrize(edges, src, dst)
            .filter(F.col("a") != F.col("b"))
            .localCheckpoint(eager=True))
+    # Driver fast path (r6, DRIVER_EDGE_CAP): degree peeling is exact
+    # set arithmetic — one bounded collect replaces per-round
+    # semi-join + agg + checkpoint jobs; same first-no-removal
+    # convergence and RuntimeError semantics.
+    _head = sym.limit(DRIVER_EDGE_CAP + 1).collect()
+    if len(_head) <= DRIVER_EDGE_CAP:
+        nbrs: dict = {}
+        for r in _head:
+            nbrs.setdefault(r["a"], set()).add(r["b"])
+        alive_set = set(nbrs)
+        n_alive0 = len(alive_set)
+        for _ in range(max_rounds):
+            degs = {n2: len(nbrs[n2] & alive_set) for n2 in alive_set}
+            nxt = {n2 for n2, d in degs.items() if d >= k}
+            if len(nxt) == n_alive0:
+                spark = edges.sparkSession
+                node_type = sym.schema.fields[0].dataType
+                return spark.createDataFrame(
+                    [(n2, degs[n2]) for n2 in alive_set],
+                    T.StructType([
+                        T.StructField("node", node_type, True),
+                        T.StructField("core_deg", T.LongType(), False)]))
+            alive_set = nxt
+            n_alive0 = len(nxt)
+        raise RuntimeError(
+            f"kcore_nodes: did not converge within {max_rounds} rounds "
+            f"(k={k}); raise max_rounds")
     alive = sym.select(F.col("a").alias("node")).distinct() \
         .localCheckpoint(eager=True)
     n_alive = alive.count()

@@ -467,6 +467,18 @@ class TestScrubDupSpans:
 
 
 class TestKcore:
+    def test_driver_fast_path_matches_distributed(self, spark,
+                                                  monkeypatch):
+        # r6: driver peel vs the per-round semi-join loop
+        from saber_spark.operators import graph
+        rng = random.Random(37)
+        edges = [(a, b) for a, b in _rand_graph(rng, 12, 34) if a != b]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        fast = sorted(map(tuple, graph.kcore_nodes(df, k=2).collect()))
+        monkeypatch.setattr(graph, "DRIVER_EDGE_CAP", 0)
+        slow = sorted(map(tuple, graph.kcore_nodes(df, k=2).collect()))
+        assert fast == slow and len(fast) >= 3
+
     def test_matches_bruteforce_peeling(self, spark):
         from saber_spark.operators.graph import kcore_nodes
         rng = random.Random(31)
