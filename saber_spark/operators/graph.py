@@ -349,6 +349,35 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
         sym = (base.unionByName(base.select(F.col("b").alias("a"),
                                             F.col("a").alias("b"), "w"))
                .groupBy("a", "b").agg(F.sum("w").alias("w")))
+    # Driver fast path (r6, DRIVER_EDGE_CAP): when every (collapsed)
+    # edge weight is INTEGRAL, vote sums are exact in any accumulation
+    # order (sums of integer-valued doubles below 2^53), so the fixed
+    # rounds run over one bounded collect — adopt the label with the
+    # largest neighbor-label weight, ties smallest label. Fractional
+    # weights keep the distributed loop (double sums there are
+    # order-sensitive and the window's order is the contract).
+    _head = sym.limit(DRIVER_EDGE_CAP + 1).collect()
+    if (len(_head) <= DRIVER_EDGE_CAP
+            and all(float(r2["w"]).is_integer() for r2 in _head)):
+        wn: dict = {}
+        for r2 in _head:
+            wn.setdefault(r2["a"], []).append((r2["b"], int(r2["w"])))
+        lab = {n2: n2 for n2 in wn}
+        for _ in range(rounds):
+            new = {}
+            for n2, ns in wn.items():
+                votes: dict = {}
+                for b2, w2 in ns:
+                    lb = lab[b2]
+                    votes[lb] = votes.get(lb, 0) + w2
+                new[n2] = min(votes, key=lambda x: (-votes[x], x))
+            lab = new
+        spark = edges.sparkSession
+        node_type = sym.schema.fields[0].dataType
+        return spark.createDataFrame(
+            list(lab.items()), T.StructType([
+                T.StructField("node", node_type, True),
+                T.StructField("community", node_type, True)]))
     if materialize:
         sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("a").alias("node")).distinct()
@@ -482,6 +511,30 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
          .distinct())
+    # Driver fast path (r6, DRIVER_EDGE_CAP): the unnormalized power
+    # iterations are exact BIGINT sums — one bounded collect replaces
+    # 2 join+agg jobs per round on a dimension-sized graph.
+    _head = e.limit(DRIVER_EDGE_CAP + 1).collect()
+    if len(_head) <= DRIVER_EDGE_CAP:
+        elist = [(r["u"], r["v"]) for r in _head]
+        nset = {u for u, _ in elist} | {v for _, v in elist}
+        h = {n2: 1 for n2 in nset}
+        a = {n2: 0 for n2 in nset}
+        for _ in range(rounds):
+            a = {n2: 0 for n2 in nset}
+            for u, v in elist:
+                a[v] += h[u]
+            h = {n2: 0 for n2 in nset}
+            for u, v in elist:
+                h[u] += a[v]
+        spark = edges.sparkSession
+        node_type = e.schema.fields[0].dataType
+        return spark.createDataFrame(
+            [(n2, h[n2], a[n2]) for n2 in nset],
+            T.StructType([
+                T.StructField("node", node_type, True),
+                T.StructField("hub", T.LongType(), True),
+                T.StructField("auth", T.LongType(), True)]))
     if materialize:
         e = e.localCheckpoint(eager=True)
     nodes = (e.select(F.col("u").alias("node"))
@@ -533,6 +586,35 @@ def khop_distance(edges: DataFrame, seeds: DataFrame, k: int = 3,
          .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
          .distinct()
          .localCheckpoint(eager=True))
+    # Driver fast path (r6, DRIVER_EDGE_CAP): level-synchronous BFS is
+    # exact set arithmetic — one bounded collect replaces k rounds of
+    # join + anti-join + checkpoint + count jobs.
+    _head = e.limit(DRIVER_EDGE_CAP + 1).collect()
+    if len(_head) <= DRIVER_EDGE_CAP:
+        seed_rows = (seeds.select(F.col(seed_col).alias("node"))
+                     .distinct().limit(DRIVER_EDGE_CAP + 1).collect())
+        if len(seed_rows) <= DRIVER_EDGE_CAP:
+            adj: dict = {}
+            for r2 in _head:
+                adj.setdefault(r2["u"], set()).add(r2["v"])
+            visited_d = {r2["node"]: 0 for r2 in seed_rows}
+            frontier_s = set(visited_d)
+            for r2 in range(1, k + 1):
+                nxt = set()
+                for x in frontier_s:
+                    nxt |= adj.get(x, set())
+                nxt -= set(visited_d)
+                if not nxt:
+                    break
+                for x in nxt:
+                    visited_d[x] = r2
+                frontier_s = nxt
+            spark = edges.sparkSession
+            node_type = e.schema.fields[0].dataType
+            return spark.createDataFrame(
+                list(visited_d.items()), T.StructType([
+                    T.StructField("node", node_type, True),
+                    T.StructField("dist", T.LongType(), False)]))
     frontier = (seeds.select(F.col(seed_col).alias("node")).distinct()
                 .localCheckpoint(eager=True))
     visited = frontier.select("node", F.lit(0).cast("long").alias("dist"))

@@ -147,6 +147,24 @@ class TestLabelPropagation:
         assert out["a"] == out["b"] == out["c"]
         assert out["x"] == out["y"] == out["z"]
 
+    def test_driver_fast_path_matches_distributed(self, spark,
+                                                  monkeypatch):
+        # r6: integral-weight driver rounds vs the window loop; cap=0
+        # forces the distributed branch. Fractional weights must always
+        # take the distributed branch (is_integer guard).
+        from saber_spark.operators import graph
+        edges = spark.createDataFrame(
+            [("a", "b", 5.0), ("b", "c", 5.0), ("a", "c", 5.0),
+             ("x", "y", 5.0), ("y", "z", 5.0), ("x", "z", 5.0),
+             ("c", "x", 1.0), ("z", "a", 2.0)],
+            "src string, dst string, w double")
+        fast = sorted(map(tuple, graph.label_propagation(
+            edges, weight_col="w", rounds=3).collect()))
+        monkeypatch.setattr(graph, "DRIVER_EDGE_CAP", 0)
+        slow = sorted(map(tuple, graph.label_propagation(
+            edges, weight_col="w", rounds=3).collect()))
+        assert fast == slow and len(fast) == 6
+
     def test_unweighted_tie_break_is_min_label(self, spark):
         # star: center 'm' sees neighbors {a, z} with equal weight -> 'a'
         edges = spark.createDataFrame(
