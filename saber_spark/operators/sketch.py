@@ -96,15 +96,23 @@ def cms_heavy_hitters(df: DataFrame, value_col: str, width: int = 256,
     threshold arithmetic (`div`) — no float boundary to disagree across
     engines.
     """
+    # r6: aggregate the corpus to vocab-bounded (value, count) rows
+    # FIRST and run the hash family over values, not rows — the former
+    # shape computed depth md5s per CORPUS row (3M at sf0.1) where
+    # depth-per-distinct-value suffices (identical bucket sums), and
+    # re-scanned the corpus for the exact verify (now a lookup in the
+    # same table). Checkpointed once for its three consumers.
     vals = df.select(F.col(value_col).alias("value"))
-    n_total = vals.agg(F.count(F.lit(1)).alias("n_total"))
-    grid = (vals
+    vcounts = (vals.groupBy("value").agg(F.count(F.lit(1)).alias("vc"))
+               .localCheckpoint(eager=True))
+    n_total = vcounts.agg(F.sum("vc").alias("n_total"))
+    grid = (vcounts
             .select(F.explode(_cms_buckets(F.col("value"), width, depth))
-                    .alias("db"))
+                    .alias("db"), "vc")
             .groupBy(F.col("db.d").alias("d"),
                      F.col("db.bucket").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("c")))
-    cand = (vals.distinct()
+            .agg(F.sum("vc").alias("c")))
+    cand = (vcounts
             .select("value",
                     F.explode(_cms_buckets(F.col("value"), width, depth))
                     .alias("db"))
@@ -116,10 +124,9 @@ def cms_heavy_hitters(df: DataFrame, value_col: str, width: int = 256,
                  .filter(F.col("est")
                          >= F.expr(f"n_total div {support_denom}"))
                  .select("value", "est"))
-    exact = (df.select(F.col(value_col).alias("value"))
-             .join(F.broadcast(survivors.select("value")), "value",
-                   "left_semi")
-             .groupBy("value").agg(F.count(F.lit(1)).alias("exact")))
+    exact = (vcounts.join(F.broadcast(survivors.select("value")), "value",
+                          "left_semi")
+             .select("value", F.col("vc").alias("exact")))
     return survivors.join(exact, "value").select("value", "est", "exact")
 
 
