@@ -129,23 +129,33 @@ def skipgram_pairs(tokens: DataFrame, window: int = 2, neg_k: int = 2,
         F.col(token_col).alias("tok"),
         *[F.lead(token_col, d).over(w).alias(f"n{d}")
           for d in range(1, window + 1)])
-    pairs = None
+    # ONE pass (r6): all 2*window directions explode from one struct
+    # array (the textrank pair contract), and positives ride the SAME
+    # row stream as their negatives via a second explode over
+    # j = 0..neg_k with j=0 the positive — the former shape referenced
+    # the window-lead subtree once per (direction, distance) leg AND
+    # once more for the negatives' re-derivation: 8 WindowExec
+    # evaluations of the tokens table collapsed to 1, no checkpoint
+    # needed because nothing is referenced twice.
+    structs = []
     for d in range(1, window + 1):
-        fwd = (led.filter(F.col(f"n{d}").isNotNull())
-               .select(id_col, F.col("cpos").alias("pos"),
-                       F.col("tok").alias("center"),
-                       F.col(f"n{d}").alias("context"),
-                       F.lit(d).alias("dist"), F.lit(0).alias("dir")))
-        bwd = (led.filter(F.col(f"n{d}").isNotNull())
-               .select(id_col, (F.col("cpos") + d).alias("pos"),
-                       F.col(f"n{d}").alias("center"),
-                       F.col("tok").alias("context"),
-                       F.lit(d).alias("dist"), F.lit(1).alias("dir")))
-        both = fwd.unionByName(bwd)
-        pairs = both if pairs is None else pairs.unionByName(both)
-    vocab = (tokens.select(F.col(token_col).alias("context")).distinct()
-             .select("context",
-                     (F.row_number().over(Window.orderBy("context")))
+        structs.append(F.struct(
+            F.col("cpos").alias("pos"), F.col("tok").alias("center"),
+            F.col(f"n{d}").alias("context"),
+            F.lit(d).alias("dist"), F.lit(0).alias("dir")))
+        structs.append(F.struct(
+            (F.col("cpos") + d).alias("pos"),
+            F.col(f"n{d}").alias("center"), F.col("tok").alias("context"),
+            F.lit(d).alias("dist"), F.lit(1).alias("dir")))
+    pairs = (led.select(id_col, F.explode(F.array(*structs)).alias("p"))
+             .select(id_col, "p.pos", "p.center", "p.context",
+                     "p.dist", "p.dir")
+             .filter(F.col("center").isNotNull()
+                     & F.col("context").isNotNull()))
+    vocab = (tokens.select(F.col(token_col).alias("neg_context"))
+             .distinct()
+             .select("neg_context",
+                     (F.row_number().over(Window.orderBy("neg_context")))
                      .cast("long").alias("vid")))
     # vocab size rides in as a broadcast 1-row aggregate (the bm25
     # stats convention) — no driver action, one lazy plan end-to-end
@@ -155,18 +165,19 @@ def skipgram_pairs(tokens: DataFrame, window: int = 2, neg_k: int = 2,
         F.col("dist").cast("string"), F.col("dir").cast("string"),
         F.col("j").cast("string"))), 1, 8), 16, 10).cast("long")
         % F.col("n_vocab") + 1)
-    negs = (pairs
-            .select(id_col, "pos", "center", "dist", "dir",
-                    F.explode(F.sequence(F.lit(1), F.lit(neg_k)))
+    return (pairs
+            .select(id_col, "pos", "center", "context", "dist", "dir",
+                    F.explode(F.sequence(F.lit(0), F.lit(neg_k)))
                     .alias("j"))
             .crossJoin(F.broadcast(vsize))
-            .select(id_col, "pos", "center", neg_id.alias("vid"))
-            .join(F.broadcast(vocab), "vid")
-            .select(id_col, "pos", "center", "context",
-                    F.lit(0).alias("label")))
-    pos_rows = pairs.select(id_col, "pos", "center", "context",
-                            F.lit(1).alias("label"))
-    return pos_rows.unionByName(negs)
+            .select(id_col, "pos", "center", "context", "j",
+                    F.when(F.col("j") > 0, neg_id).alias("vid"))
+            .join(F.broadcast(vocab), "vid", "left")
+            .select(id_col, "pos", "center",
+                    F.when(F.col("j") == 0, F.col("context"))
+                    .otherwise(F.col("neg_context")).alias("context"),
+                    F.when(F.col("j") == 0, F.lit(1)).otherwise(F.lit(0))
+                    .alias("label")))
 
 
 def kge_negatives(triples: DataFrame, neg_k: int = 2,
