@@ -294,9 +294,14 @@ def kendall_tau(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
 
     -> ONE row (n, concordant, discordant, tau_b 6dp).
     """
+    # eager checkpoint pins the id-stamped table BEFORE it is
+    # referenced on both sides of the crossJoin: re-evaluating
+    # monotonically_increasing_id under nondeterministic input
+    # partitioning could assign different ids per side and corrupt the
+    # i<j pair counts (r6, ADVICE fix — the repo determinism contract)
     a = df.select(F.col(x_col).alias("x1"), F.col(y_col).alias("y1")) \
-        .withColumn("i", F.monotonically_increasing_id())
-    # deterministic pair universe: order-free i<j via value+id ordering
+        .withColumn("i", F.monotonically_increasing_id()) \
+        .localCheckpoint(eager=True)
     b = a.select(F.col("x1").alias("x2"), F.col("y1").alias("y2"),
                  F.col("i").alias("j"))
     pairs = a.crossJoin(F.broadcast(b)).filter(F.col("i") < F.col("j"))
