@@ -582,9 +582,14 @@ def dice_verified_pairs(names: DataFrame, name_col: str = "name",
                         threshold: float = 0.6) -> DataFrame:
     """Blocked candidate generation + Dice verification: NYSIIS-style
     blocks (nysiis_key) propose candidate pairs, dice_bigram_similarity
-    verifies — the standard two-stage ER comparator (never all-pairs;
-    the block cap is the out-degree guard every blocking operator in
-    this repo carries).
+    verifies — the standard two-stage ER comparator (never all-pairs
+    ACROSS blocks; note this operator carries NO block-size cap, unlike
+    ifp_sameas's max_fan — a degenerate key, e.g. the empty key all
+    non-alphabetic names share, forms one quadratic block. Production
+    deployments on dirty name tables should pre-filter empty keys and
+    cap block sizes the way ifp_sameas does; left uncapped here because
+    the oracle contract covers the uncapped semantics. ADVICE r5
+    docstring fix.)
 
     -> (id_a, id_b, name_a, name_b, dice 6dp) for in-block pairs with
     dice >= threshold, canonical id_a < id_b.
